@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The engine: olive_spark — a PySpark-native analytics engine with the
+capabilities of steelcake/olive (an Arrow-based columnar file format;
+reference at /root/reference, studied for behavior only — SURVEY.md).
+
+Every query scans data through the olive format (parquet → olive
+conversion cached under /tmp/olive_cache); the DuckDB oracles read the
+original parquet, so a hash match proves both the format round-trip and
+the operator semantics.
 """
 
 from __future__ import annotations
@@ -13,26 +16,42 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _prepare(spark: SparkSession) -> None:
+    from olive_spark import register_olive
+
+    register_olive(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: TPC-H Q1-shaped aggregation over a lineitem scan
+    that goes parquet → olive format → Spark columnar scan → agg."""
+    _prepare(spark)
+    from olive_spark.queries.relational import agg_groupby_sum
+
+    return agg_groupby_sum(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2/§2.7."""
+    from olive_spark.queries import ALL_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prepare(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, (fn, _sql) in ALL_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query (omitted for genuinely
+    non-SQL-expressible ops → driver records a rows-only check)."""
+    from olive_spark.queries import ALL_QUERIES
+
+    return {name: sql for name, (_fn, sql) in ALL_QUERIES.items() if sql is not None}

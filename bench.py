@@ -1,0 +1,94 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Runs the headline queries (scan / agg / join / window / top-k / LLM ops)
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].  The parquet→olive conversion is done once up
+front (it is ingest, not query time); each query is then timed through
+collect().
+
+Output: {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline subset of the declared query surface: one per operator family.
+HEADLINE = [
+    "scan_roundtrip_lineitem",
+    "scan_projection_pruning",
+    "scan_filter_pages",
+    "agg_groupby_sum",
+    "agg_distinct",
+    "join_hash_orders_customer",
+    "join_broadcast_dims",
+    "window_rank_events",
+    "sort_limit_topk",
+    "tpch_q3_shipping",
+    "llm_dedup_exact",
+    "llm_similarity_topk",
+    "llm_text_stats",
+]
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.log.level", "ERROR")
+        .getOrCreate()
+    )
+
+    import __spark_entry__ as E
+    from olive_spark.queries import data
+
+    data.ensure_olive(SF_DIR)  # ingest once; not part of query timing
+
+    qs = E.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            n = df.count() if name.startswith("scan_") else len(df.collect())
+            dt = time.time() - t0
+            times[name] = round(dt, 3)
+            print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            times[name] = -1.0
+            print(f"# {name}: ERROR {type(exc).__name__}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

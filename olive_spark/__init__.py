@@ -11,3 +11,5 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from olive_spark.datasource import register_olive  # noqa: E402,F401

@@ -1,0 +1,402 @@
+"""The ``olive`` Spark data source (Python DataSource V2, Spark 4.x).
+
+Spark-first mapping of the reference's two entry points
+(reference src/write.zig:35-101, src/read.zig:41-100):
+
+    df.write.format("olive").save(path)     → executors serialize their
+        partitions as olive chunks, one or more files per task (the 4 GiB
+        data-section cap means a partition may split into several chunks,
+        SURVEY.md §7.4)
+    spark.read.format("olive").load(path)   → one scan partition per chunk
+        file; each partition yields Arrow RecordBatches zero-copy into
+        Spark's columnar pipeline
+
+Scan-side optimizations (SURVEY.md §4): column pruning via the
+``columns`` option (only requested columns' buffers are decompressed),
+filter pushdown (``pushFilters``) driving page-granular row skipping on
+per-page min/max stats + the shared row grid. Spark re-applies every
+filter, so pruning is allowed to be conservative.
+
+Options:
+    table            table name inside multi-table chunks (default: the
+                     file's single table / "data" on write)
+    columns          comma-separated column pruning list (set automatically
+                     by olive_spark.queries helpers; Spark's Python DS API
+                     has no required-columns pushdown yet)
+    compressionBias  "balanced" (zstd data) | "read_optimized" (lz4_hc)
+                     (reference src/write.zig:30-33)
+    pageRows         rows per page / skipping granularity (default 65536)
+    chunkRows        max rows per output file (default 1 << 20)
+    dictEncode       "true"/"false" — global fsb20/32 dict (default true)
+    stats            "true"/"false" — per-page min/max stats (default true)
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Any, Iterator, Optional, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+if TYPE_CHECKING:
+    import pyarrow as pa
+
+
+def _read_header_bytes(path: str):
+    """Parse just the framed header of one chunk file (cheap: no data pages)."""
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.format.header import MAGIC, ChunkHeader
+
+    with open(path, "rb") as f:
+        pre = f.read(8)
+        if len(pre) < 8 or pre[:4] != MAGIC:
+            raise ValidationError(f"{path}: not an olive file")
+        hlen = int.from_bytes(pre[4:8], "little")
+        return ChunkHeader.from_json_bytes(f.read(hlen)), 8 + hlen
+
+
+def _list_chunk_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".olive"):
+                out.append(os.path.join(root, f))
+    if not out:
+        from olive_spark.format.errors import ValidationError
+
+        raise ValidationError(f"no .olive files under {path}")
+    return out
+
+
+def _spark_schema_from_arrow(schema: "pa.Schema") -> StructType:
+    """Arrow → Spark schema with the SURVEY.md §1.2 widenings applied
+    (no unsigned / f16 / time types in Spark)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return from_arrow_schema(pa.schema([_widen_field(f) for f in schema]))
+
+
+def _widen_field(f: "pa.Field") -> "pa.Field":
+    return f.with_type(_widen_type(f.type))
+
+
+def _widen_type(dt: "pa.DataType") -> "pa.DataType":
+    import pyarrow as pa
+
+    if dt == pa.uint8():
+        return pa.int16()
+    if dt == pa.uint16():
+        return pa.int32()
+    if dt == pa.uint32():
+        return pa.int64()
+    if dt == pa.uint64():
+        return pa.decimal128(20, 0)
+    if dt == pa.float16():
+        return pa.float32()
+    if pa.types.is_time32(dt):
+        return pa.int32()
+    if pa.types.is_time64(dt):
+        return pa.int64()
+    if pa.types.is_date64(dt):
+        return pa.timestamp("ms")
+    if pa.types.is_timestamp(dt) and dt.unit == "ns":
+        # Spark has no nanosecond timestamps (it also refuses to scan
+        # TIMESTAMP(NANOS) parquet outright) — widen to µs
+        return pa.timestamp("us", tz=dt.tz)
+    if pa.types.is_duration(dt) and dt.unit == "ns":
+        return pa.duration("us")
+    if pa.types.is_fixed_size_binary(dt):
+        return pa.binary()
+    if pa.types.is_list(dt) or pa.types.is_large_list(dt):
+        return pa.list_(_widen_type(dt.value_type))
+    if pa.types.is_fixed_size_list(dt):
+        return pa.list_(_widen_type(dt.value_type))
+    if pa.types.is_struct(dt):
+        return pa.struct([_widen_field(dt.field(i)) for i in range(dt.num_fields)])
+    if pa.types.is_map(dt):
+        return pa.map_(_widen_type(dt.key_type), _widen_type(dt.item_type))
+    return dt
+
+
+@dataclass
+class OliveInputPartition(InputPartition):
+    file: str
+    table: Optional[str]
+    columns: Optional[tuple[str, ...]]
+    predicates: tuple[tuple[str, str, Any], ...]
+
+
+class OliveReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("olive: 'path' is required (use .load(path))")
+        self.table = options.get("table")
+        cols = options.get("columns")
+        self.columns = tuple(c.strip() for c in cols.split(",")) if cols else None
+        self.schema = schema
+        self.predicates: list[tuple[str, str, Any]] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Record prunable predicates; report every filter unsupported so
+        Spark re-applies them (page skipping is conservative)."""
+        for f in filters:
+            p = _filter_to_predicate(f)
+            if p is not None:
+                self.predicates.append(p)
+        return iter(filters)
+
+    def partitions(self) -> Sequence[OliveInputPartition]:
+        files = _list_chunk_files(self.path)
+        parts = []
+        preds = tuple(self.predicates)
+        for fp in files:
+            if preds and self._file_prunable(fp, preds):
+                continue
+            parts.append(OliveInputPartition(fp, self.table, self.columns, preds))
+        if not parts:  # fully pruned: keep one partition for an empty scan
+            parts.append(
+                OliveInputPartition(files[0], self.table, self.columns, ((("__none__", "=", 0),)) )
+            )
+        return parts
+
+    def _file_prunable(self, fp: str, preds) -> bool:
+        """File-level pruning on chunk-wide stats (cheap header-only read)."""
+        try:
+            from olive_spark.format.reader import select_pages
+
+            header, _ = _read_header_bytes(fp)
+            th = _pick_table(header, self.table)
+            sel = select_pages(th, list(preds))
+            return sel is not None and len(sel) == 0
+        except Exception:  # noqa: BLE001 — pruning must never break a scan
+            return False
+
+    def read(self, partition: OliveInputPartition) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        from olive_spark.format.reader import ChunkReader, select_pages
+
+        if partition.predicates and partition.predicates[0][0] == "__none__":
+            expected = _expected_arrow_schema(self.schema)
+            yield pa.RecordBatch.from_pylist([], schema=expected)
+            return
+        with open(partition.file, "rb") as f:
+            blob = f.read()
+        r = ChunkReader(blob)
+        th = _pick_table(r.header, partition.table)
+        pages = select_pages(th, list(partition.predicates)) if partition.predicates else None
+        cols = list(partition.columns) if partition.columns else None
+        tbl = r.read_table(th.name, columns=cols, pages=pages)
+        expected = _expected_arrow_schema(self.schema)
+        tbl = _cast_to(tbl, expected)
+        yield from tbl.to_batches(max_chunksize=1 << 16)
+
+
+def _pick_table(header, name: Optional[str]):
+    if name is None:
+        if len(header.tables) != 1:
+            from olive_spark.format.errors import ValidationError
+
+            raise ValidationError(
+                f"multi-table chunk (tables: {[t.name for t in header.tables]}); "
+                "set .option('table', name)"
+            )
+        return header.tables[0]
+    for t in header.tables:
+        if t.name == name:
+            return t
+    from olive_spark.format.errors import ValidationError
+
+    raise ValidationError(f"no table {name!r} in chunk")
+
+
+def _expected_arrow_schema(schema: StructType) -> "pa.Schema":
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(schema)
+
+
+def _cast_to(tbl: "pa.Table", expected: "pa.Schema") -> "pa.Table":
+    import pyarrow as pa
+
+    cols = []
+    fields = []
+    for f in expected:
+        if f.name not in tbl.column_names:
+            continue
+        col = tbl.column(f.name)
+        if col.type != f.type:
+            try:
+                col = col.cast(f.type)
+            except pa.ArrowInvalid:
+                # ns→µs timestamps: truncate like every SQL engine does
+                import pyarrow.compute as pc
+
+                col = pc.cast(
+                    col, f.type, safe=False
+                )
+        cols.append(col)
+        fields.append(f)
+    return pa.Table.from_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
+        schema=pa.schema(fields),
+    )
+
+
+def _filter_to_predicate(f: Filter) -> Optional[tuple[str, str, Any]]:
+    attr = getattr(f, "attribute", None)
+    if not attr or len(attr) != 1:
+        return None
+    col = attr[0]
+    if isinstance(f, EqualTo):
+        return (col, "=", f.value)
+    if isinstance(f, GreaterThan):
+        return (col, ">", f.value)
+    if isinstance(f, GreaterThanOrEqual):
+        return (col, ">=", f.value)
+    if isinstance(f, LessThan):
+        return (col, "<", f.value)
+    if isinstance(f, LessThanOrEqual):
+        return (col, "<=", f.value)
+    if isinstance(f, In):
+        return (col, "in", list(f.values))
+    return None
+
+
+@dataclass
+class OliveCommitMessage(WriterCommitMessage):
+    files: tuple[str, ...]
+
+
+class OliveWriter(DataSourceArrowWriter):
+    def __init__(self, options: dict, schema: StructType, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("olive: 'path' is required (use .save(path))")
+        self.table = options.get("table", "data")
+        self.chunk_rows = int(options.get("chunkrows", options.get("chunkRows", 1 << 20)))
+        self.page_rows = int(options.get("pagerows", options.get("pageRows", 65536)))
+        self.bias = options.get("compressionbias", options.get("compressionBias", "balanced"))
+        self.dict_encode = str(options.get("dictencode", options.get("dictEncode", "true"))).lower() == "true"
+        self.stats = str(options.get("stats", "true")).lower() == "true"
+        self.overwrite = overwrite
+
+    def write(self, iterator: Iterator["pa.RecordBatch"]) -> OliveCommitMessage:
+        import pyarrow as pa
+
+        from olive_spark.format.writer import write_chunk
+
+        os.makedirs(self.path, exist_ok=True)
+        files: list[str] = []
+        buf: list[pa.RecordBatch] = []
+        rows = 0
+
+        def flush() -> None:
+            nonlocal buf, rows
+            if not rows:
+                return
+            tbl = pa.Table.from_batches(buf)
+            blob = write_chunk(
+                {self.table: tbl},
+                page_rows=self.page_rows,
+                compression_bias=self.bias,
+                dict_encode=self.dict_encode,
+                collect_stats=self.stats,
+            )
+            fp = os.path.join(self.path, f"part-{uuid.uuid4().hex}.olive")
+            with open(fp, "wb") as f:
+                f.write(blob)
+            files.append(fp)
+            buf, rows = [], 0
+
+        for batch in iterator:
+            buf.append(batch)
+            rows += batch.num_rows
+            if rows >= self.chunk_rows:
+                flush()
+        flush()
+        return OliveCommitMessage(tuple(files))
+
+    def commit(self, messages) -> None:  # files are final on write
+        pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                for fp in m.files:
+                    try:
+                        os.remove(fp)
+                    except OSError:
+                        pass
+
+
+class OliveDataSource(DataSource):
+    """spark.read.format("olive") / df.write.format("olive")."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "olive"
+
+    def schema(self) -> StructType:
+        files = _list_chunk_files(self.options["path"])
+        header, _ = _read_header_bytes(files[0])
+        th = _pick_table(header, self.options.get("table"))
+        import pyarrow as pa
+
+        from olive_spark.format.types import type_from_json
+
+        cols = self.options.get("columns")
+        names = list(th.field_names)
+        keep = [c.strip() for c in cols.split(",")] if cols else names
+        arrow = pa.schema(
+            [
+                pa.field(n, type_from_json(tj))
+                for n, tj in zip(names, th.field_types)
+                if n in keep
+            ]
+        )
+        return _spark_schema_from_arrow(arrow)
+
+    def reader(self, schema: StructType) -> OliveReader:
+        return OliveReader(dict(self.options), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> OliveWriter:
+        if overwrite:
+            path = self.options.get("path")
+            if path and os.path.isdir(path):
+                for f in _list_chunk_files(path) if any(
+                    fn.endswith(".olive") for _, _, fs in os.walk(path) for fn in fs
+                ) else []:
+                    os.remove(f)
+        return OliveWriter(dict(self.options), schema, overwrite)
+
+
+def register_olive(spark) -> None:
+    """Idempotently register the olive data source on a SparkSession."""
+    try:
+        # OliveReader.pushFilters requires this SQL conf; it is a runtime
+        # conf, so enable it here rather than demanding a builder config.
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:  # noqa: BLE001 — conf may be locked; scan still works
+        pass
+    spark.dataSource.register(OliveDataSource)

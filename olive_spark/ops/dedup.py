@@ -1,0 +1,292 @@
+"""Deduplication operators for LLM data pipelines (SURVEY.md north star).
+
+Every operator is shuffle-aware and designed for 100 TB:
+
+- exact dedup groups by a 128-bit content hash, never by the full text —
+  the shuffle moves 16-byte keys, not documents;
+- MinHash-LSH shuffles only (band_id, band_signature, doc_id) triples,
+  then joins bucket-to-bucket — candidate pairs are generated without any
+  all-pairs comparison;
+- SimHash uses JVM-side xxhash64 token hashing and a vectorized Arrow
+  Pandas-UDF bit-vote (the only Python in this module, batched);
+- embedding near-dup buckets by LSH random hyperplanes, then verifies
+  cosine within buckets only.
+
+All thresholds/seeds are deterministic constants so results are stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+# MinHash parameters: 64 permutations → 16 bands × 4 rows (r=4, b=16)
+# detects Jaccard ≳ (1/16)^(1/4) ≈ 0.50 with high probability.
+# The permutation domain is the 2^31-1 Mersenne prime so that x*a never
+# overflows a 64-bit long under Spark's default ANSI arithmetic.
+_N_PERM = 64
+_BANDS = 16
+_ROWS = _N_PERM // _BANDS
+_MERSENNE = (1 << 31) - 1
+_SEED = 0x9E3779B97F4A7C15
+
+
+def _perm_params() -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p."""
+    params = []
+    state = _SEED
+    for _ in range(_N_PERM):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state | 1) % _MERSENNE
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE
+        params.append((a, b))
+    return params
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash; keeps min id as canonical.
+
+    Returns (keep_id, dup_count) per distinct content. At scale the
+    shuffle key is md5(text) (16 bytes), not the document."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.groupBy(h.alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+        .select("keep_id", "dup_count", "content_hash")
+    )
+
+
+def shingles(text_col: str, k: int = 3):
+    """Word k-gram shingles as an array column (JVM-side)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """doc_id → array<long> of _N_PERM minhashes.
+
+    Single-pass plan: explode distinct shingle hashes to (doc_id, h) rows,
+    then ONE hash aggregation computing all 64 permutation minima —
+    map-side partial agg means the shuffle payload is (doc_id, 64 longs)
+    per doc per partition, independent of document length. (A naive
+    64×array_min formulation re-inlines the shingle subtree into every
+    permutation after projection collapse — 64× the work and an
+    uncompilable codegen blob.)
+
+    Overflow-safe: h, a < 2^31 ⇒ h*a + b < 2^63."""
+    sh = shingles(text_col)
+    hashed = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(sh)).alias("_gram"),
+    ).select(id_col, (F.abs(F.xxhash64("_gram")) % _MERSENNE).alias("_h"))
+    aggs = [
+        F.min((F.col("_h") * F.lit(a) + F.lit(b)) % _MERSENNE).alias(f"_mh{i}")
+        for i, (a, b) in enumerate(_perm_params())
+    ]
+    sig = hashed.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_mh{i}") for i in range(_N_PERM)]).alias("minhash"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH banding.
+
+    Shuffle payload: (band_id, band_hash, doc_id). Bucket self-join emits
+    candidate pairs; the estimated Jaccard (matching minhash fraction)
+    filters to ≥ threshold. Returns (doc_a, doc_b, jaccard_est)."""
+    sigs = minhash_signatures(df, text_col, id_col)
+    bands = sigs.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band_id"),
+                    F.xxhash64(*[F.col("minhash")[bi * _ROWS + r] for r in range(_ROWS)]).alias("band_hash"),
+                )
+                for bi in range(_BANDS)
+            ])
+        ).alias("band"),
+    ).select(id_col, "minhash", "band.band_id", "band.band_hash")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.minhash").alias("mh_a"),
+            F.col("b.minhash").alias("mh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = (
+        F.size(
+            F.filter(
+                F.zip_with("mh_a", "mh_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double") / F.lit(float(_N_PERM))
+    )
+    return (
+        cand.withColumn("jaccard_est", F.round(jac, 4))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("doc_a", "doc_b", "jaccard_est")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.5, k: int = 3,
+) -> DataFrame:
+    """EXACT n-gram Jaccard verification of the LSH candidates: candidate
+    generation via minhash banding (cheap), exact set Jaccard on the
+    (small) candidate set only — never all-pairs."""
+    cands = minhash_lsh_pairs(df, text_col, id_col, threshold=0.30)
+    sets_df = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, k)).alias("grams")
+    )
+    a = sets_df.alias("ga")
+    b = sets_df.alias("gb")
+    joined = (
+        cands.join(a, cands.doc_a == F.col(f"ga.{id_col}"))
+        .join(b, cands.doc_b == F.col(f"gb.{id_col}"))
+    )
+    inter = F.size(F.array_intersect("ga.grams", "gb.grams")).cast("double")
+    union = F.size(F.array_union("ga.grams", "gb.grams")).cast("double")
+    return (
+        joined.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1.0)), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: JVM hashes tokens (xxhash64), an Arrow-batched
+    Pandas UDF does the vectorized bit vote (the numpy popcount loop is
+    the genuinely non-SQL part)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _bit_vote(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+            votes = bits.sum(axis=0) * 2 - len(arr)  # +1/-1 vote per bit
+            sig = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return df.select(F.col(id_col), _bit_vote(hashes).alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit
+    block banding (pigeonhole: ≤3 differing bits → ≥1 identical block)."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    blocks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("block_id"),
+                    F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("block"),
+                )
+                for i in range(4)
+            ])
+        ).alias("blk"),
+    ).select(id_col, "simhash", "blk.block_id", "blk.block")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    threshold: float = 0.95, n_planes: int = 8,
+) -> DataFrame:
+    """Embedding near-duplicates: LSH by random-hyperplane sign buckets,
+    exact cosine verification inside buckets only (bucket join, never
+    all-pairs). Deterministic planes from xxhash64 of (dim, plane)."""
+    from olive_spark.ops.similarity import cosine_expr
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    unit = F.transform(v, lambda x: x / norm)
+
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    sig_bits = []
+    for p in range(n_planes):
+        # pseudo-random ±1 plane component per (dim, plane)
+        comp = F.zip_with(
+            unit,
+            dim_idx,
+            lambda x, i: F.when(F.xxhash64(i, F.lit(p)) % 2 == 0, x).otherwise(-x),
+        )
+        dot = F.aggregate(comp, F.lit(0.0), lambda acc, x: acc + x)
+        sig_bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
+    bucket = sum(sig_bits[1:], sig_bits[0])
+
+    base = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    a, b = base.alias("a"), base.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    cos = cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        cand.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

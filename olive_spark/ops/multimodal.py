@@ -1,0 +1,94 @@
+"""Multimodal column handling (SURVEY.md north star).
+
+Image/audio/video payloads are opaque ``binary`` columns plus typed
+metadata structs. The Spark-side plumbing — schema, Arrow batching,
+``mapInPandas`` UDF signatures, partition-preserving decode — is real and
+tested; the actual codec work is STUBBED deterministically (this container
+ships no image/audio libraries), clearly marked below.
+
+At 100 TB the pattern is: binary payloads stay in their scan partitions,
+decode/feature-extract runs as Arrow-batched ``mapInPandas`` (one Python
+roundtrip per batch, not per row), and only small extracted features ever
+shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes int, width int, height int, n_frames int, ok boolean"
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """STUB: deterministic fake for the image/video decoder.
+
+    A real deployment plugs Pillow/ffmpeg here (not available in this
+    container). Kept pure-arithmetic so the correctness oracle can
+    reproduce it in SQL: width/height/frames derive only from byte length.
+    """
+    n = len(payload)
+    return (n % 512) + 16, ((n * 7) % 512) + 16, (n % 30) + 1
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Treat utf-8 bytes of a text column as an opaque binary payload —
+    the testdata has no real media, but the plumbing is payload-agnostic."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def decode_metadata(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched decode: mapInPandas over (id, payload) partitions.
+    Binary stays partition-local; output is a narrow metadata table."""
+    import pandas as pd
+
+    src = df.select(id_col, payload_col)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            meta = [_fake_decode(p if p is not None else b"") for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": [len(p) if p is not None else 0 for p in payloads],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "n_frames": [m[2] for m in meta],
+                    "ok": [p is not None for p in payloads],
+                }
+            )
+
+    return src.mapInPandas(decode, DECODE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
+                 every_n: int = 10) -> DataFrame:
+    """STUB frame sampler: emits one row per sampled 'frame' with a
+    deterministic byte-slice as the frame payload. Real ffmpeg decode
+    would replace the slicing; the explode/batch shape is the real part."""
+    import pandas as pd
+
+    src = df.select(id_col, payload_col)
+    schema = "doc_id long, frame_no int, frame_bytes binary"
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, blobs = [], [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                n_frames = (len(p) % 30) + 1
+                for fi in range(0, n_frames, every_n):
+                    ids.append(did)
+                    frames.append(fi)
+                    start = (fi * 97) % max(len(p), 1)
+                    blobs.append(bytes(p[start : start + 16]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": frames, "frame_bytes": blobs}
+            )
+
+    return src.mapInPandas(sample, schema)

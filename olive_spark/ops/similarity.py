@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (SURVEY.md north star).
+
+Two paths, same semantics:
+
+- ``cosine_topk`` — declarative: broadcast the (small) query set, JVM-side
+  dot products via ``zip_with``/``aggregate``, per-query top-k via window.
+  Catalyst handles it end-to-end; zero Python in the hot path.
+- ``cosine_topk_arrow`` — the throughput path: ``mapInArrow`` over corpus
+  partitions with a broadcast numpy query matrix; each Arrow batch becomes
+  one BLAS matmul, partitions emit local top-k, a tiny global top-k
+  reduces. This is the shape that survives 100 TB (corpus never leaves
+  its partitions; only n_queries × k rows shuffle).
+- ``ivf_topk`` — the scale path for huge corpora: k-means-ish coarse
+  centroids (deterministic seed sample), corpus bucketed by nearest
+  centroid; queries probe the nearest ``n_probe`` buckets only.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def cosine_expr(a, b):
+    """cos(a, b) as a JVM expression over two array columns (double math)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda s, x: s + x * x))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k, declarative: broadcast-join queries
+    against the corpus, rank per query. Deterministic tie-break on id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("corpus_vec")
+    )
+    sim = F.round(cosine_expr(F.col("query_vec"), F.col("corpus_vec")), 6)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    query_rows: list[tuple[int, list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Throughput path: numpy matmul per Arrow batch, local top-k per
+    partition, global top-k reduce. ``query_rows`` is a small in-memory
+    list [(query_id, vector), ...] — broadcast to executors."""
+    import numpy as np
+    import pyarrow as pa
+
+    spark = corpus.sparkSession
+    qids = np.array([q[0] for q in query_rows], dtype=np.int64)
+    qmat = np.array([q[1] for q in query_rows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        qids_, qmat_ = bc.value
+        best: list = []
+        for batch in batches:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            if len(vecs) == 0:
+                continue
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (vecs / norms) @ qmat_.T  # (batch, n_queries)
+            for qi in range(len(qids_)):
+                col = sims[:, qi]
+                mask = ids != qids_[qi]
+                cid, csim = ids[mask], col[mask]
+                if len(cid) > k:
+                    part = np.argpartition(-csim, k)[:k]
+                    cid, csim = cid[part], csim[part]
+                best.append((qids_[qi], cid, csim))
+        agg: dict = {}
+        for qid, cid, csim in best:
+            pid, psim = agg.get(qid, (np.array([], np.int64), np.array([], np.float64)))
+            agg[qid] = (np.concatenate([pid, cid]), np.concatenate([psim, csim]))
+        rows_q, rows_n, rows_s = [], [], []
+        for qid, (cid, csim) in agg.items():
+            if len(cid) > k:
+                part = np.argpartition(-csim, k)[:k]
+                cid, csim = cid[part], csim[part]
+            rows_q.extend([qid] * len(cid))
+            rows_n.extend(cid.tolist())
+            rows_s.extend(np.round(csim, 6).tolist())
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(rows_q, pa.int64()),
+                pa.array(rows_n, pa.int64()),
+                pa.array(rows_s, pa.float64()),
+            ],
+            names=["query_id", "neighbor_id", "cosine"],
+        )
+
+    local = corpus.select(id_col, vec_col).mapInArrow(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: deterministic coarse centroids (first row of every
+    id-hash bucket — cheap, reproducible), corpus assigned to nearest
+    centroid, queries probe the ``n_probe`` nearest buckets. Recall < 1
+    by design; the 100 TB shape (bucket-pruned scan) is the point."""
+    cents = (
+        corpus.withColumn("_b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_b").orderBy(F.col(id_col))),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_b").alias("centroid_id"), F.col(vec_col).alias("centroid_vec"))
+    )
+    cents_rows = [(r["centroid_id"], r["centroid_vec"]) for r in cents.collect()]
+
+    def nearest_buckets(vec, n):
+        sims = [
+            (cid, cosine_expr(vec, F.array([F.lit(float(x)) for x in cvec])))
+            for cid, cvec in cents_rows
+        ]
+        arr = F.array(*[
+            F.struct(s.alias("sim"), F.lit(cid).alias("cid")) for cid, s in sims
+        ])
+        return F.slice(F.reverse(F.array_sort(arr)), 1, n)
+
+    c_assigned = corpus.withColumn(
+        "bucket", nearest_buckets(F.col(vec_col), 1)[0]["cid"]
+    )
+    q_assigned = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.explode(
+            F.transform(nearest_buckets(F.col(vec_col), n_probe), lambda s: s["cid"])
+        ).alias("bucket"),
+    )
+    sim = F.round(cosine_expr(F.col("query_vec"), F.col(vec_col)), 6)
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), "bucket")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

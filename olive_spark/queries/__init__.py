@@ -1,0 +1,7 @@
+"""Declared query surface: name → (callable(spark, sf_dir) -> DataFrame,
+oracle SQL | None). See SURVEY.md §2.7 for the capability each exercises."""
+
+from olive_spark.queries.llm import QUERIES as _LLM
+from olive_spark.queries.relational import QUERIES as _REL
+
+ALL_QUERIES: dict[str, tuple] = {**_REL, **_LLM}

@@ -1,0 +1,161 @@
+"""LLM-pipeline query surface (SURVEY.md §2.7 north-star rows).
+
+Each query reads olive-format data. SQL-expressible ops carry a DuckDB
+oracle; genuinely non-SQL ops (LSH banding, simhash bit votes) are
+rows-only per the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from olive_spark.ops import dedup, multimodal, similarity, textstats
+from olive_spark.queries import data
+
+
+def llm_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    df = data.load(spark, sf, "documents")
+    return dedup.exact_dedup(df)
+
+
+SQL_DEDUP_EXACT = (
+    "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count, md5(text) AS content_hash "
+    "FROM documents GROUP BY md5(text)"
+)
+
+
+def llm_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (rows-only check: banding + xxhash64
+    permutations aren't reproducible in ANSI SQL)."""
+    df = data.load(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(df, threshold=0.5)
+
+
+def llm_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only)."""
+    df = data.load(spark, sf, "documents")
+    return dedup.simhash_neardup_pairs(df, max_hamming=3)
+
+
+def llm_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidates (rows-only)."""
+    df = data.load(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(df, threshold=0.5)
+
+
+def llm_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding cosine near-dup pairs via hyperplane LSH over the
+    embeddings table with planted scaled duplicates (scaling preserves
+    cosine, so every planted pair MUST be found — a 0-row result would
+    mean the LSH bucketing is broken)."""
+    df = data.load(spark, sf, "embeddings_dup")
+    return dedup.embedding_neardup_pairs(df, threshold=0.98)
+
+
+def llm_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k for a deterministic query set (vec_id < 5),
+    declarative path — DuckDB oracle via list_cosine_similarity."""
+    corpus = data.load(spark, sf, "embeddings")
+    queries = corpus.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk(corpus, queries, k=10)
+
+
+SQL_SIMILARITY_TOPK = (
+    "SELECT query_id, neighbor_id, cosine, rk FROM ("
+    "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    "         ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine, "
+    "         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+    "           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rk "
+    "  FROM embeddings q CROSS JOIN embeddings c "
+    "  WHERE q.vec_id < 5 AND c.vec_id != q.vec_id"
+    ") WHERE rk <= 10"
+)
+
+
+def llm_similarity_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    """Same top-k via the Arrow/numpy matmul scale path — same oracle."""
+    corpus = data.load(spark, sf, "embeddings")
+    qrows = [
+        (r["vec_id"], r["embedding"])
+        for r in corpus.filter(F.col("vec_id") < 5).collect()
+    ]
+    return similarity.cosine_topk_arrow(corpus, qrows, k=10)
+
+
+def llm_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    df = data.load(spark, sf, "documents")
+    return textstats.text_stats(df)
+
+
+SQL_TEXT_STATS = (
+    "SELECT doc_id, LENGTH(text) AS n_chars, "
+    "CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "
+    "ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens, "
+    "LENGTH(text) - LENGTH(REPLACE(text, CHR(10), '')) + 1 AS n_lines "
+    "FROM documents"
+)
+
+
+def llm_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic quality filters (rows-only: array_intersect semantics and
+    double reductions aren't worth chasing bit-exactly in SQL)."""
+    df = data.load(spark, sf, "documents")
+    return textstats.quality_score(df)
+
+
+def llm_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-hit language ID (rows-only)."""
+    df = data.load(spark, sf, "documents")
+    return textstats.lang_id(df)
+
+
+def llm_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    df = data.load(spark, sf, "documents")
+    return textstats.fingerprint(df)
+
+
+SQL_FINGERPRINT = (
+    "SELECT doc_id, md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp "
+    "FROM documents"
+)
+
+
+def llm_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    df = data.load(spark, sf, "documents")
+    return textstats.token_count(df)
+
+
+def mm_decode_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal decode plumbing: binary payload → Arrow-batched
+    mapInPandas metadata extraction. Decoder is a deterministic stub, so
+    the oracle reproduces it arithmetically from the byte length."""
+    df = data.load(spark, sf, "documents")
+    return multimodal.decode_metadata(multimodal.attach_binary_payload(df))
+
+
+SQL_MM_DECODE = (
+    "SELECT doc_id, "
+    "CAST(strlen(text) AS INT) AS n_bytes, "
+    "CAST(strlen(text) % 512 + 16 AS INT) AS width, "
+    "CAST((strlen(text) * 7) % 512 + 16 AS INT) AS height, "
+    "CAST(strlen(text) % 30 + 1 AS INT) AS n_frames, "
+    "TRUE AS ok "
+    "FROM documents"
+)
+
+
+QUERIES: dict[str, tuple] = {
+    "llm_dedup_exact": (llm_dedup_exact, SQL_DEDUP_EXACT),
+    "llm_dedup_minhash": (llm_dedup_minhash, None),
+    "llm_dedup_simhash": (llm_dedup_simhash, None),
+    "llm_dedup_ngram": (llm_dedup_ngram, None),
+    "llm_dedup_embedding": (llm_dedup_embedding, None),
+    "llm_similarity_topk": (llm_similarity_topk, SQL_SIMILARITY_TOPK),
+    "llm_similarity_arrow": (llm_similarity_arrow, SQL_SIMILARITY_TOPK),
+    "llm_text_stats": (llm_text_stats, SQL_TEXT_STATS),
+    "llm_quality_score": (llm_quality_score, None),
+    "llm_lang_id": (llm_lang_id, None),
+    "llm_fingerprint": (llm_fingerprint, SQL_FINGERPRINT),
+    "llm_token_count": (llm_token_count, None),
+    "mm_decode_meta": (mm_decode_meta, SQL_MM_DECODE),
+}

@@ -1,0 +1,480 @@
+"""Declared relational query surface (SURVEY.md §2.7).
+
+Every query scans olive-format data (converted from the driver parquet via
+:mod:`olive_spark.queries.data`) and is paired with an ANSI-SQL oracle that
+DuckDB runs against the *original parquet* — a hash match therefore proves
+both the format round-trip and the operator semantics.
+
+Float-sum hygiene: aggregates over doubles are computed on
+``decimal(18,2)``-cast inputs and the results cast to fixed decimals in
+BOTH engines, so value hashes are exact, not within-epsilon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from olive_spark.queries import data
+
+D = "decimal(18,2)"
+
+
+def _dec(c):  # exact money arithmetic in both engines
+    return F.col(c).cast(D)
+
+
+# --------------------------------------------------------------- scan layer
+
+
+def scan_roundtrip_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-fidelity scan of every lineitem column through olive
+    (write path reference src/write.zig:761-839, read src/read.zig:719-812)."""
+    return data.load(spark, sf, "lineitem")
+
+
+SQL_SCAN_ROUNDTRIP = "SELECT * FROM lineitem"
+
+
+def scan_projection_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Column pruning: only two columns' buffers are decompressed
+    (per-column buffers, reference src/header.zig:131-134)."""
+    return data.load(spark, sf, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+
+
+SQL_SCAN_PROJECTION = "SELECT l_orderkey, l_extendedprice FROM lineitem"
+
+
+def scan_filter_pages(spark: SparkSession, sf: str) -> DataFrame:
+    """Filter pushdown → page-granular row skipping on row_index_ends
+    (reference src/header.zig:41-45, src/write.zig:861-917)."""
+    df = data.load(spark, sf, "orders")
+    return df.filter(F.col("o_totalprice") > 400000.0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+SQL_SCAN_FILTER = (
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+    "WHERE o_totalprice > 400000.0"
+)
+
+
+def scan_nulls_validity(spark: SparkSession, sf: str) -> DataFrame:
+    """Validity bitmaps written only when null_count>0
+    (reference src/write.zig:841-857); nulls injected at conversion time."""
+    return data.load(spark, sf, "customer_nulls")
+
+
+SQL_SCAN_NULLS = (
+    "SELECT c_custkey, "
+    "CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal "
+    "FROM customer"
+)
+
+
+def scan_nested_list(spark: SparkSession, sf: str) -> DataFrame:
+    """List-typed column through olive (reference src/write.zig:604-648)."""
+    return data.load(spark, sf, "embeddings").select("vec_id", "embedding")
+
+
+SQL_SCAN_NESTED = "SELECT vec_id, embedding FROM embeddings"
+
+
+def scan_multi_table_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """Two named tables from ONE chunk file (reference src/chunk.zig:15-19),
+    then a broadcast join above the scan."""
+    region = data.load(spark, sf, "multi", chunk_table="region")
+    nation = data.load(spark, sf, "multi", chunk_table="nation")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_SCAN_MULTI = (
+    "SELECT r_name, n_name FROM nation JOIN region ON n_regionkey = r_regionkey "
+    "ORDER BY r_name, n_name"
+)
+
+
+def dict_encode_fsb(spark: SparkSession, sf: str) -> DataFrame:
+    """Global fsb20/32 dictionary round-trip (reference src/dict.zig:493-536):
+    the addr20/hash32 columns were dict-encoded as u32 indices on write."""
+    df = data.load(spark, sf, "orders_fsb")
+    return (
+        df.groupBy(F.col("addr20").cast("string").alias("addr"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct(F.col("hash32").cast("string")).alias("n_hashes"),
+        )
+    )
+
+
+SQL_DICT_FSB = (
+    "SELECT lpad(CAST(o_custkey AS VARCHAR), 20, '0') AS addr, "
+    "COUNT(*) AS n_orders, "
+    "COUNT(DISTINCT lpad(CAST(o_custkey AS VARCHAR), 32, '0')) AS n_hashes "
+    "FROM orders GROUP BY 1"
+)
+
+
+def compression_codecs(spark: SparkSession, sf: str) -> DataFrame:
+    """Same data through both compression biases → identical results
+    (reference src/compression.zig:12-21, write.zig:30-33)."""
+    import os
+
+    from olive_spark.format.writer import write_chunk
+    import pyarrow.parquet as pq
+
+    base = data.ensure_olive(sf)
+    for bias in ("balanced", "read_optimized"):
+        tdir = os.path.join(base, f"orders_{bias}")
+        if not os.path.exists(os.path.join(tdir, "part-00000.olive")):
+            os.makedirs(tdir, exist_ok=True)
+            t = pq.read_table(os.path.join(sf, "orders.parquet"))
+            with open(os.path.join(tdir, "part-00000.olive"), "wb") as f:
+                f.write(write_chunk({"orders": t}, compression_bias=bias))
+    outs = []
+    for bias in ("balanced", "read_optimized"):
+        df = data.load(spark, sf, f"orders_{bias}")
+        outs.append(
+            df.groupBy("o_orderstatus").agg(
+                F.count("*").alias("n"),
+                F.sum(_dec("o_totalprice")).cast(D).alias("total"),
+            ).withColumn("bias", F.lit(bias))
+        )
+    return outs[0].unionByName(outs[1]).select("bias", "o_orderstatus", "n", "total")
+
+
+SQL_COMPRESSION = (
+    "WITH agg AS (SELECT o_orderstatus, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total "
+    "FROM orders GROUP BY o_orderstatus) "
+    "SELECT 'balanced' AS bias, o_orderstatus, n, total FROM agg "
+    "UNION ALL "
+    "SELECT 'read_optimized' AS bias, o_orderstatus, n, total FROM agg"
+)
+
+
+def types_decimal_date(spark: SparkSession, sf: str) -> DataFrame:
+    """decimal128 + date32 storage mappings (reference src/write.zig:138-177)."""
+    df = data.load(spark, sf, "lineitem_dec")
+    return (
+        df.groupBy(F.year("ship_date").alias("ship_year"))
+        .agg(
+            F.sum("price_dec").cast(D).alias("sum_price"),
+            F.min("disc_dec").cast("decimal(12,2)").alias("min_disc"),
+            F.max("disc_dec").cast("decimal(12,2)").alias("max_disc"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+SQL_TYPES_DECIMAL = (
+    "SELECT EXTRACT(year FROM l_shipdate) AS ship_year, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price, "
+    "CAST(MIN(CAST(ROUND(l_discount, 2) AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS min_disc, "
+    "CAST(MAX(CAST(ROUND(l_discount, 2) AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS max_disc, "
+    "COUNT(*) AS n "
+    "FROM lineitem GROUP BY 1"
+)
+
+
+# ------------------------------------------------- relational operator layer
+
+
+def agg_groupby_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation over the olive scan — partial (map-side)
+    aggregation + single shuffle on the group keys; all expressions stay in
+    whole-stage codegen."""
+    df = data.load(spark, sf, "lineitem")
+    return (
+        df.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast(D).alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast(D).alias("sum_base_price"),
+            # full-precision product summed, ONE cast at the end — per-row
+            # decimal rounding would diverge between engines (HALF_UP vs
+            # HALF_EVEN)
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast(D) - _dec("l_discount"))
+            ).cast("decimal(28,4)").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_AGG_GROUPBY = (
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS sum_disc_price, "
+    "COUNT(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+)
+
+
+def agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    df = data.load(spark, sf, "lineitem", columns=["l_returnflag", "l_partkey", "l_suppkey"])
+    return df.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_parts"),
+        F.countDistinct("l_suppkey").alias("nd_supps"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_AGG_DISTINCT = (
+    "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_parts, "
+    "COUNT(DISTINCT l_suppkey) AS nd_supps, COUNT(*) AS n "
+    "FROM lineitem GROUP BY l_returnflag"
+)
+
+
+def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    df = data.load(spark, sf, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    return (
+        df.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum(_dec("o_totalprice")).cast(D).alias("total"))
+    )
+
+
+SQL_AGG_ROLLUP = (
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total "
+    "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+)
+
+
+def join_hash_orders_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle hash / sort-merge join on the key; AQE picks the strategy."""
+    orders = data.load(spark, sf, "orders")
+    cust = data.load(spark, sf, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.sum(_dec("o_totalprice")).cast(D).alias("revenue"))
+    )
+
+
+SQL_JOIN_HASH = (
+    "SELECT c_mktsegment, COUNT(*) AS n_orders, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue "
+    "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+)
+
+
+def join_broadcast_dims(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-join with explicitly broadcast small dimensions (scale path:
+    region/nation are tiny at any SF — never shuffle them)."""
+    cust = data.load(spark, sf, "customer")
+    nation = data.load(spark, sf, "nation")
+    region = data.load(spark, sf, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_cust"), F.sum(_dec("c_acctbal")).cast(D).alias("acctbal"))
+    )
+
+
+SQL_JOIN_BROADCAST = (
+    "SELECT r_name, COUNT(*) AS n_cust, "
+    "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS acctbal "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+)
+
+
+def join_semi_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi + left-anti joins (customers with vs without orders)."""
+    cust = data.load(spark, sf, "customer", columns=["c_custkey"])
+    orders = data.load(spark, sf, "orders", columns=["o_custkey"])
+    with_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        with_orders.agg(F.count("*").alias("n")).withColumn("kind", F.lit("with_orders"))
+        .unionByName(without.agg(F.count("*").alias("n")).withColumn("kind", F.lit("without_orders")))
+        .select("kind", "n")
+    )
+
+
+SQL_JOIN_SEMI_ANTI = (
+    "SELECT 'with_orders' AS kind, COUNT(*) AS n FROM customer "
+    "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+    "UNION ALL "
+    "SELECT 'without_orders' AS kind, COUNT(*) AS n FROM customer "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+)
+
+
+def window_rank_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Window rank per user over the events table (ingested through olive —
+    Spark's parquet scanner cannot read its TIMESTAMP(NANOS) at all)."""
+    df = data.load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id"))
+    return (
+        df.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", "rk")
+    )
+
+
+SQL_WINDOW_RANK = (
+    "SELECT user_id, event_id, rk FROM ("
+    "SELECT user_id, event_id, RANK() OVER "
+    "(PARTITION BY user_id ORDER BY ts DESC, event_id) AS rk FROM events"
+    ") WHERE rk <= 3"
+)
+
+
+def window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative windowed aggregation with frame specification."""
+    df = data.load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast(D)).over(w).cast(D).alias("running_value"),
+    )
+
+
+SQL_WINDOW_RUNNING = (
+    "SELECT user_id, event_id, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_value "
+    "FROM events"
+)
+
+
+def sort_limit_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k: Spark plans TakeOrderedAndProject — no global sort shuffle."""
+    df = data.load(spark, sf, "orders")
+    return (
+        df.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+SQL_SORT_TOPK = (
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+)
+
+
+def setop_union_except(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION / EXCEPT over two filtered scans of the same olive table."""
+    orders = data.load(spark, sf, "orders", columns=["o_custkey", "o_orderstatus"])
+    a = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return (
+        a.union(b).distinct().withColumn("setop", F.lit("union"))
+        .unionByName(a.subtract(b).withColumn("setop", F.lit("except")))
+        .groupBy("setop").agg(F.count("*").alias("n"))
+    )
+
+
+SQL_SETOP = (
+    "WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'), "
+    "b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') "
+    "SELECT 'union' AS setop, COUNT(*) AS n FROM (SELECT DISTINCT o_custkey FROM (SELECT * FROM a UNION ALL SELECT * FROM b)) "
+    "UNION ALL "
+    "SELECT 'except' AS setop, COUNT(*) AS n FROM (SELECT DISTINCT o_custkey FROM a EXCEPT SELECT DISTINCT o_custkey FROM b)"
+)
+
+
+def scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """String/date/math scalar surface over an olive scan (reference has
+    none — SURVEY.md §2.6; all built-in pyspark.sql.functions, JVM-side)."""
+    df = data.load(spark, sf, "customer")
+    return df.select(
+        "c_custkey",
+        F.upper(F.col("c_name")).alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_mktsegment", 1, 3).alias("seg3"),
+        F.round(F.abs(F.col("c_acctbal")), 1).alias("abs_bal"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_custkey").cast("string")).alias("seg_key"),
+        (F.col("c_custkey") % 7).alias("key_mod"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_pos"),
+    )
+
+
+SQL_SCALAR = (
+    "SELECT c_custkey, UPPER(c_name) AS name_upper, LENGTH(c_name) AS name_len, "
+    "SUBSTRING(c_mktsegment, 1, 3) AS seg3, ROUND(ABS(c_acctbal), 1) AS abs_bal, "
+    "CONCAT_WS('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key, "
+    "c_custkey % 7 AS key_mod, GREATEST(c_acctbal, 0.0) AS bal_pos FROM customer"
+)
+
+
+def tpch_q3_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join + agg + top-k, all over olive scans."""
+    cust = data.load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = data.load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    li = data.load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast(D) - _dec("l_discount"))
+            ).cast("decimal(28,4)").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = (
+    "SELECT o_orderkey, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS revenue, "
+    "o_orderdate, o_orderpriority "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00' "
+    "AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00' "
+    "GROUP BY o_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue DESC, o_orderkey LIMIT 10"
+)
+
+
+QUERIES: dict[str, tuple] = {
+    "scan_roundtrip_lineitem": (scan_roundtrip_lineitem, SQL_SCAN_ROUNDTRIP),
+    "scan_projection_pruning": (scan_projection_pruning, SQL_SCAN_PROJECTION),
+    "scan_filter_pages": (scan_filter_pages, SQL_SCAN_FILTER),
+    "scan_nulls_validity": (scan_nulls_validity, SQL_SCAN_NULLS),
+    "scan_nested_list": (scan_nested_list, SQL_SCAN_NESTED),
+    "scan_multi_table_chunk": (scan_multi_table_chunk, SQL_SCAN_MULTI),
+    "dict_encode_fsb": (dict_encode_fsb, SQL_DICT_FSB),
+    "compression_codecs": (compression_codecs, SQL_COMPRESSION),
+    "types_decimal_date": (types_decimal_date, SQL_TYPES_DECIMAL),
+    "agg_groupby_sum": (agg_groupby_sum, SQL_AGG_GROUPBY),
+    "agg_distinct": (agg_distinct, SQL_AGG_DISTINCT),
+    "agg_rollup": (agg_rollup, SQL_AGG_ROLLUP),
+    "join_hash_orders_customer": (join_hash_orders_customer, SQL_JOIN_HASH),
+    "join_broadcast_dims": (join_broadcast_dims, SQL_JOIN_BROADCAST),
+    "join_semi_anti": (join_semi_anti, SQL_JOIN_SEMI_ANTI),
+    "window_rank_events": (window_rank_events, SQL_WINDOW_RANK),
+    "window_running_sum": (window_running_sum, SQL_WINDOW_RUNNING),
+    "sort_limit_topk": (sort_limit_topk, SQL_SORT_TOPK),
+    "setop_union_except": (setop_union_except, SQL_SETOP),
+    "scalar_functions": (scalar_functions, SQL_SCALAR),
+    "tpch_q3_shipping": (tpch_q3_shipping, SQL_TPCH_Q3),
+}
