@@ -1,0 +1,125 @@
+"""Time-series operators Spark lacks as built-ins (SURVEY.md §2.6 —
+the reference implements none of these either; they are part of the
+"operators a user of a 100 TB pipeline needs" surface).
+
+- ``asof_join`` — the scalable union-sort formulation: tag both sides,
+  one shuffle on the key, one sort by (key, time, side), then a running
+  ``last(ignoreNulls)`` window carries the most recent right-side row
+  forward. Cost is a single sort-shuffle regardless of time-range span —
+  unlike the naive inequality join whose candidate set explodes with
+  history length.
+- ``range_join`` — equality keys + a bounded time window; expressed as a
+  hash join on the key with the range as a post-join predicate so
+  Catalyst/AQE pick broadcast vs shuffle. For key-free pure-interval
+  joins, bucketize time instead (not needed by the current surface).
+- ``sessionize`` — gap-based session assignment: lag + cumulative sum of
+  gap-breaks, all window functions over one (key, time) sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: "str | tuple[str, str]",
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``right_time`` ≤ ``left_time`` within the same key (backward as-of);
+    ``on`` is a shared column name or a (left_key, right_key) pair.
+    Left rows with no prior right row keep nulls.
+
+    Plan shape: union(tagged) → window sort by (key, t, side) → filter.
+    One shuffle, one sort; no range-explosion."""
+    lk, rk = (on, on) if isinstance(on, str) else on
+    lt = left.select(
+        F.col(lk).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast(
+            right.select(F.struct(*[F.col(c) for c in right_cols]).alias("s"))
+            .schema["s"].dataType
+        ).alias("_r"),
+    )
+    rt = right.select(
+        F.col(rk).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("_l"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
+    )
+    # right rows sort BEFORE left rows at equal timestamps (side 0 < 1),
+    # so a right row at exactly left_time is eligible (<= semantics).
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = lt.unionByName(rt).withColumn(
+        "_asof", F.last("_r", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("_side") == 1).select(
+        "_l.*", *[F.col("_asof")[c].alias(c) for c in right_cols]
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: tuple[str, str],
+    left_time: str,
+    right_time: str,
+    lower: Column,
+    upper: Column,
+) -> DataFrame:
+    """Rows of ``right`` whose time falls in [left_time+lower,
+    left_time+upper) for the same key. Equality key keeps this a hash
+    join; the range is a cheap post-join filter."""
+    lk, rk = on
+    cond = (
+        (left[lk] == right[rk])
+        & (right[right_time] >= left[left_time] + lower)
+        & (right[right_time] < left[left_time] + upper)
+    )
+    return left.join(right, cond)
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "user_id",
+    time_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when
+    the time since the previous event exceeds ``gap_minutes``. Returns
+    one row per session: (key, session_id, n_events, t_start_us, dur_us).
+
+    Gap math runs on integer epoch-microseconds (exact; a seconds cast
+    would truncate sub-second gaps)."""
+    tus = F.unix_micros(F.col(time_col).cast("timestamp"))
+    w = Window.partitionBy(key).orderBy(tus)
+    gap = tus - F.lag(tus).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_sess = df.withColumn("_tus", tus).withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_sess.groupBy(key, "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("_tus").alias("t_start_us"),
+        (F.max("_tus") - F.min("_tus")).alias("dur_us"),
+    )

@@ -82,6 +82,31 @@ def llm_similarity_arrow(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk_arrow(corpus, qrows, k=10)
 
 
+def llm_similarity_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-bucketed ANN (rows-only: recall < 1 by design — the point is
+    the bucket-pruned scan shape that survives 100 TB)."""
+    corpus = data.load(spark, sf, "embeddings")
+    queries = corpus.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(corpus, queries, k=10)
+
+
+def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal frame sampling: binary payload → per-frame rows via
+    Arrow-batched mapInPandas (decoder stubbed deterministically, so the
+    oracle reproduces frames + byte slices arithmetically)."""
+    df = data.load(spark, sf, "documents")
+    return multimodal.frame_sample(multimodal.attach_binary_payload(df))
+
+
+SQL_MM_FRAMES = (
+    # documents.text is pure ASCII in the testdata, so the VARCHAR
+    # substring is byte-identical to the Python bytes slice
+    "SELECT doc_id, CAST(fi AS INT) AS frame_no, "
+    "encode(substring(text, CAST((fi * 97) % GREATEST(strlen(text), 1) AS INT) + 1, 16)) AS frame_bytes "
+    "FROM documents, UNNEST(range(0, strlen(text) % 30 + 1, 10)) AS t(fi)"
+)
+
+
 def llm_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     df = data.load(spark, sf, "documents")
     return textstats.text_stats(df)
@@ -152,6 +177,8 @@ QUERIES: dict[str, tuple] = {
     "llm_dedup_embedding": (llm_dedup_embedding, None),
     "llm_similarity_topk": (llm_similarity_topk, SQL_SIMILARITY_TOPK),
     "llm_similarity_arrow": (llm_similarity_arrow, SQL_SIMILARITY_TOPK),
+    "llm_similarity_ivf": (llm_similarity_ivf, None),
+    "mm_frame_sample": (mm_frame_sample, SQL_MM_FRAMES),
     "llm_text_stats": (llm_text_stats, SQL_TEXT_STATS),
     "llm_quality_score": (llm_quality_score, None),
     "llm_lang_id": (llm_lang_id, None),

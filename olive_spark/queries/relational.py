@@ -417,6 +417,108 @@ SQL_SCALAR = (
 )
 
 
+def join_asof_event_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward as-of join: each event picks the most recent order of the
+    same customer with o_orderdate <= ts (olive_spark.ops.timeseries —
+    union-sort formulation, one shuffle, no range explosion)."""
+    from olive_spark.ops.timeseries import asof_join
+
+    events = data.load(spark, sf, "events", columns=["event_id", "user_id", "ts"])
+    orders = data.load(spark, sf, "orders", columns=["o_custkey", "o_orderdate"])
+    out = asof_join(
+        events, orders, on=("user_id", "o_custkey"), left_time="ts",
+        right_time="o_orderdate", right_cols=["o_orderdate"],
+    )
+    return out.select("event_id", "user_id", "o_orderdate")
+
+
+SQL_JOIN_ASOF = (
+    "SELECT event_id, user_id, o_orderdate FROM events "
+    "ASOF LEFT JOIN orders ON user_id = o_custkey AND ts >= o_orderdate"
+)
+
+
+def join_range_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Range self-join: for every 'click' event, the same user's events in
+    the following 5 minutes; equality key keeps it a hash join with the
+    range as a post-join predicate. Epoch-µs comparisons (events carry
+    ns-precision timestamps; µs is what both engines see exactly)."""
+    from olive_spark.ops.timeseries import range_join
+
+    events = data.load(spark, sf, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+    anchors = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("anchor_id"),
+            F.col("user_id").alias("anchor_user"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("anchor_us"),
+        )
+    )
+    follow = events.select(
+        "user_id", "event_type", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    joined = range_join(
+        anchors, follow, on=("anchor_user", "user_id"),
+        left_time="anchor_us", right_time="tus",
+        lower=F.lit(1), upper=F.lit(5 * 60 * 1_000_000 + 1),
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("value")).cast(D).alias("sum_value"),
+    )
+
+
+SQL_JOIN_RANGE = (
+    "SELECT f.event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(f.value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value "
+    "FROM (SELECT user_id, epoch_us(ts) AS anchor_us FROM events WHERE event_type = 'click') a "
+    "JOIN events f ON f.user_id = a.user_id "
+    "AND epoch_us(f.ts) >= a.anchor_us + 1 "
+    "AND epoch_us(f.ts) < a.anchor_us + 300000001 "
+    "GROUP BY f.event_type"
+)
+
+
+def window_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) per user over events; all
+    integer epoch-µs math so both engines agree exactly."""
+    from olive_spark.ops.timeseries import sessionize
+
+    df = data.load(spark, sf, "events")
+    return sessionize(df, key="user_id", time_col="ts", gap_minutes=30)
+
+
+SQL_WINDOW_SESSION = (
+    "WITH g AS (SELECT user_id, epoch_us(ts) AS tus, "
+    "CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+    "(PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000 "
+    "OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL "
+    "THEN 1 ELSE 0 END AS brk FROM events), "
+    "s AS (SELECT user_id, tus, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus "
+    "ROWS UNBOUNDED PRECEDING) AS session_id FROM g) "
+    "SELECT user_id, session_id, COUNT(*) AS n_events, MIN(tus) AS t_start_us, "
+    "MAX(tus) - MIN(tus) AS dur_us FROM s GROUP BY user_id, session_id"
+)
+
+
+def agg_cube_events(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (event_type, iso weekday) with count + decimal sum."""
+    df = data.load(spark, sf, "events", columns=["event_type", "ts", "value"])
+    return (
+        df.withColumn("isodow", F.weekday("ts") + F.lit(1))
+        .cube("event_type", "isodow")
+        .agg(F.count("*").alias("n"), F.sum(_dec("value")).cast(D).alias("sum_value"))
+    )
+
+
+SQL_AGG_CUBE = (
+    "SELECT event_type, isodow(ts) AS isodow, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value "
+    "FROM events GROUP BY CUBE (event_type, isodow(ts))"
+)
+
+
 def tpch_q3_shipping(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3-shaped 3-way join + agg + top-k, all over olive scans."""
     cust = data.load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -471,6 +573,10 @@ QUERIES: dict[str, tuple] = {
     "join_hash_orders_customer": (join_hash_orders_customer, SQL_JOIN_HASH),
     "join_broadcast_dims": (join_broadcast_dims, SQL_JOIN_BROADCAST),
     "join_semi_anti": (join_semi_anti, SQL_JOIN_SEMI_ANTI),
+    "join_asof_event_order": (join_asof_event_order, SQL_JOIN_ASOF),
+    "join_range_events": (join_range_events, SQL_JOIN_RANGE),
+    "window_sessionize": (window_sessionize, SQL_WINDOW_SESSION),
+    "agg_cube_events": (agg_cube_events, SQL_AGG_CUBE),
     "window_rank_events": (window_rank_events, SQL_WINDOW_RANK),
     "window_running_sum": (window_running_sum, SQL_WINDOW_RUNNING),
     "sort_limit_topk": (sort_limit_topk, SQL_SORT_TOPK),
