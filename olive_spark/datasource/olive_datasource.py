@@ -42,6 +42,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -350,6 +352,62 @@ class OliveWriter(DataSourceArrowWriter):
                         pass
 
 
+class OliveStreamReader(DataSourceStreamReader):
+    """Streaming scan: the chunk-file directory is an append-only log;
+    offsets are indices into the sorted file list, one scan partition per
+    new file (the reference format is batch-only — streaming is this
+    engine's extension, SURVEY.md §2.6)."""
+
+    def __init__(self, options: dict, schema: StructType) -> None:
+        self._batch = OliveReader(options, schema)
+        self.path = options.get("path")
+
+    def _files(self) -> list[str]:
+        try:
+            return _list_chunk_files(self.path)
+        except Exception:  # noqa: BLE001 — empty dir: no data yet
+            return []
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(self._files())}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[OliveInputPartition]:
+        files = self._files()[start["index"] : end["index"]]
+        return [
+            OliveInputPartition(fp, self._batch.table, self._batch.columns, ())
+            for fp in files
+        ]
+
+    def read(self, partition: OliveInputPartition) -> Iterator["pa.RecordBatch"]:
+        return self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class OliveStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming sink: each microbatch's partitions write chunk files via
+    the batch writer; abort removes that batch's files."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool) -> None:
+        self._batch = OliveWriter(options, schema, overwrite)
+
+    def write(self, iterator: Iterator["pa.RecordBatch"]) -> OliveCommitMessage:
+        return self._batch.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        pass
+
+    def abort(self, messages, batchId: int) -> None:
+        self._batch.abort(messages)
+
+
 class OliveDataSource(DataSource):
     """spark.read.format("olive") / df.write.format("olive")."""
 
@@ -379,6 +437,12 @@ class OliveDataSource(DataSource):
 
     def reader(self, schema: StructType) -> OliveReader:
         return OliveReader(dict(self.options), schema)
+
+    def streamReader(self, schema: StructType) -> OliveStreamReader:
+        return OliveStreamReader(dict(self.options), schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> OliveStreamWriter:
+        return OliveStreamWriter(dict(self.options), schema, overwrite)
 
     def writer(self, schema: StructType, overwrite: bool) -> OliveWriter:
         if overwrite:

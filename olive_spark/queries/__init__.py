@@ -3,5 +3,6 @@ oracle SQL | None). See SURVEY.md §2.7 for the capability each exercises."""
 
 from olive_spark.queries.llm import QUERIES as _LLM
 from olive_spark.queries.relational import QUERIES as _REL
+from olive_spark.queries.streaming_q import QUERIES as _STREAM
 
-ALL_QUERIES: dict[str, tuple] = {**_REL, **_LLM}
+ALL_QUERIES: dict[str, tuple] = {**_REL, **_LLM, **_STREAM}

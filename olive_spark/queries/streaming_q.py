@@ -1,0 +1,81 @@
+"""Streaming query surface (engine extension — the reference format is
+batch-only, SURVEY.md §2.6).
+
+Each query runs a Structured Streaming job over the olive chunk
+directory to completion (availableNow) and returns the final batch
+result, so the driver's DuckDB oracle can check streaming semantics
+against plain SQL on the same data.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from olive_spark import streaming
+from olive_spark.queries import data
+
+
+def stream_window_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked tumbling-window (1h) counts per event_type, streamed
+    file-by-file from the olive events directory; complete output mode →
+    the final state equals the batch GROUP BY."""
+    path = os.path.join(data.ensure_olive(sf), "events")
+    sdf = streaming.read_stream(spark, path)
+    agg = streaming.tumbling_counts(
+        sdf, time_col="ts", window="1 hour", keys=("event_type",),
+        watermark="2 hours", value_col="value",
+    )
+    return streaming.run_available_now(agg, output_mode="complete")
+
+
+SQL_STREAM_WINDOW = (
+    "SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type, "
+    "COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value "
+    "FROM events GROUP BY 1, 2"
+)
+
+
+def stream_user_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    running per-user totals across microbatches. Rows-only check (float
+    accumulation order varies; the row-per-user shape is the contract)."""
+    path = os.path.join(data.ensure_olive(sf), "events")
+    sdf = streaming.read_stream(spark, path)
+    totals = streaming.stateful_user_totals(sdf, key="user_id")
+    return streaming.run_available_now(totals, output_mode="update")
+
+
+def stream_olive_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end streaming pipeline: olive source → filter → olive SINK
+    (streamWriter appends chunk files per microbatch) → batch scan of the
+    sink → aggregate; checked against SQL over the original parquet."""
+    src = os.path.join(data.ensure_olive(sf), "events")
+    run = uuid.uuid4().hex[:12]
+    out = os.path.join(tempfile.gettempdir(), f"olive_stream_sink_{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"olive_stream_ckpt_{run}")
+    sdf = streaming.read_stream(spark, src).filter(F.col("event_type") != "error")
+    streaming.write_stream_olive(sdf, out, ckpt)
+    written = spark.read.format("olive").load(out)
+    return written.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_value"),
+    )
+
+
+SQL_STREAM_SINK = (
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value "
+    "FROM events WHERE event_type != 'error' GROUP BY event_type"
+)
+
+
+QUERIES: dict[str, tuple] = {
+    "stream_window_counts": (stream_window_counts, SQL_STREAM_WINDOW),
+    "stream_user_totals": (stream_user_totals, None),
+    "stream_olive_sink": (stream_olive_sink, SQL_STREAM_SINK),
+}

@@ -1,0 +1,16 @@
+"""Structured Streaming over the olive format.
+
+The reference format is batch-only (SURVEY.md §2.6) — streaming is this
+engine's extension: the chunk-file directory doubles as an append-only
+log. ``spark.readStream.format("olive")`` tails it (one microbatch
+partition per new file), ``writeStream.format("olive")`` appends chunk
+files per microbatch.
+"""
+
+from olive_spark.streaming.ops import (  # noqa: F401
+    read_stream,
+    run_available_now,
+    stateful_user_totals,
+    tumbling_counts,
+    write_stream_olive,
+)

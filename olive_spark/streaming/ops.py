@@ -1,0 +1,110 @@
+"""Streaming operator surface: windowed aggregation with watermarks and
+custom stateful processing (applyInPandasWithState).
+
+Everything here is expressed so an ``availableNow`` run over a static
+olive directory is DETERMINISTIC — that is what lets the driver's DuckDB
+oracle check a streaming query's final result against plain SQL.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def read_stream(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Tail an olive chunk directory as a stream."""
+    r = spark.readStream.format("olive")
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+def tumbling_counts(
+    sdf: DataFrame,
+    time_col: str = "ts",
+    window: str = "1 hour",
+    keys: tuple = ("event_type",),
+    watermark: str = "2 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation. Output keys are the
+    window start (epoch µs — exact in both engines) plus ``keys``."""
+    agg = (
+        sdf.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window).alias("w"), *keys)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
+    )
+    return agg.select(
+        F.unix_micros(F.col("w.start").cast("timestamp")).alias("window_start_us"),
+        *keys,
+        "n",
+        "sum_value",
+    )
+
+
+def stateful_user_totals(sdf: DataFrame, key: str = "user_id") -> DataFrame:
+    """Custom stateful operator: running per-user totals held in
+    GroupState across microbatches (applyInPandasWithState). Emits the
+    updated total for every key seen in a batch."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, v double"
+
+    def update(
+        key_: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            {"user_id": [key_[0]], "n_events": [n], "total_value": [v]}
+        )
+
+    return sdf.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_available_now(
+    sdf: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the final result as a batch DataFrame."""
+    name = f"olive_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def write_stream_olive(
+    sdf: DataFrame, path: str, checkpoint: str, **options
+) -> None:
+    """Stream into an olive directory (availableNow, runs to completion)."""
+    w = (
+        sdf.writeStream.format("olive")
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    for k, v in options.items():
+        w = w.option(k, v)
+    q = w.start(path)
+    q.awaitTermination()
