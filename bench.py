@@ -26,14 +26,24 @@ HEADLINE = [
     "scan_filter_pages",
     "agg_groupby_sum",
     "agg_distinct",
+    "agg_cube_events",
     "join_hash_orders_customer",
     "join_broadcast_dims",
+    "join_asof_event_order",
+    "join_range_events",
     "window_rank_events",
+    "window_sessionize",
     "sort_limit_topk",
     "tpch_q3_shipping",
     "llm_dedup_exact",
+    "llm_dedup_minhash",
+    "llm_dedup_embedding",
     "llm_similarity_topk",
+    "llm_similarity_arrow",
     "llm_text_stats",
+    "mm_frame_sample",
+    "stream_window_counts",
+    "stream_olive_sink",
 ]
 
 

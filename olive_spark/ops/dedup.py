@@ -68,6 +68,19 @@ def shingles(text_col: str, k: int = 3):
     )).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def shingle_hashes(text_col: str, k: int = 3):
+    """64-bit hashes of word k-gram shingles WITHOUT materializing the
+    shingle strings: multi-arg xxhash64 over the k token slots. Identical
+    dedup semantics to string shingles up to hash collisions (~n²/2⁶⁴);
+    saves building len(text)-proportional strings per shingle."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.xxhash64(*[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """doc_id → array<long> of _N_PERM minhashes.
 
@@ -80,11 +93,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     uncompilable codegen blob.)
 
     Overflow-safe: h, a < 2^31 ⇒ h*a + b < 2^63."""
-    sh = shingles(text_col)
     hashed = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(sh)).alias("_gram"),
-    ).select(id_col, (F.abs(F.xxhash64("_gram")) % _MERSENNE).alias("_h"))
+        F.explode(F.array_distinct(shingle_hashes(text_col))).alias("_gram"),
+    ).select(id_col, (F.abs(F.col("_gram")) % _MERSENNE).alias("_h"))
     aggs = [
         F.min((F.col("_h") * F.lit(a) + F.lit(b)) % _MERSENNE).alias(f"_mh{i}")
         for i, (a, b) in enumerate(_perm_params())
@@ -104,8 +116,16 @@ def minhash_lsh_pairs(
 
     Shuffle payload: (band_id, band_hash, doc_id). Bucket self-join emits
     candidate pairs; the estimated Jaccard (matching minhash fraction)
-    filters to ≥ threshold. Returns (doc_a, doc_b, jaccard_est)."""
-    sigs = minhash_signatures(df, text_col, id_col)
+    filters to ≥ threshold. Returns (doc_a, doc_b, jaccard_est).
+
+    Signatures are persisted before the self-join: both sides share one
+    computation, and at scale a (doc_id, 64×long) cache is far cheaper
+    than a second full-text scan."""
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bands = sigs.select(
         F.col(id_col),
         F.col("minhash"),
@@ -161,7 +181,7 @@ def ngram_jaccard_pairs(
     (small) candidate set only — never all-pairs."""
     cands = minhash_lsh_pairs(df, text_col, id_col, threshold=0.30)
     sets_df = df.select(
-        F.col(id_col), F.array_distinct(shingles(text_col, k)).alias("grams")
+        F.col(id_col), F.array_distinct(shingle_hashes(text_col, k)).alias("grams")
     )
     a = sets_df.alias("ga")
     b = sets_df.alias("gb")
@@ -274,7 +294,11 @@ def embedding_neardup_pairs(
         sig_bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
     bucket = sum(sig_bits[1:], sig_bits[0])
 
-    base = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    from pyspark import StorageLevel
+
+    base = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a, b = base.alias("a"), base.alias("b")
     cand = a.join(
         b,

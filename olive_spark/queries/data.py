@@ -25,8 +25,9 @@ from __future__ import annotations
 import os
 
 CACHE_ROOT = "/tmp/olive_cache"
-CACHE_VERSION = "v2"  # bump when derived-table definitions change
-CHUNK_ROWS = 1 << 17  # files per table → scan parallelism at sf0.1
+CACHE_VERSION = "v3"  # bump when derived-table definitions change
+N_CHUNKS = 16  # files per table = scan parallelism floor (real clusters
+MIN_CHUNK_ROWS = 256  # get this for free from many-file layouts)
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -62,8 +63,9 @@ def ensure_olive(sf_dir: str) -> str:
         tdir = os.path.join(out, name)
         os.makedirs(tdir, exist_ok=True)
         pf = pq.ParquetFile(src)
+        rows_per_chunk = max(MIN_CHUNK_ROWS, -(-pf.metadata.num_rows // N_CHUNKS))
         idx = 0
-        for batch in pf.iter_batches(batch_size=CHUNK_ROWS):
+        for batch in pf.iter_batches(batch_size=rows_per_chunk):
             tbl = pa.Table.from_batches([batch])
             blob = write_chunk({name: tbl})
             with open(os.path.join(tdir, f"part-{idx:05d}.olive"), "wb") as f:
