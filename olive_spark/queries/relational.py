@@ -557,6 +557,120 @@ SQL_TPCH_Q3 = (
 )
 
 
+def scalar_json_events(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON scalar functions over the events.props column (JVM-side
+    get_json_object — the reference has no scalar surface, SURVEY.md §2.6)."""
+    df = data.load(spark, sf, "events", columns=["event_id", "event_type", "props"])
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        df.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_big"),
+        )
+    )
+
+
+SQL_SCALAR_JSON = (
+    "SELECT event_type, COUNT(*) AS n, "
+    "SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k, "
+    "SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50 THEN 1 ELSE 0 END) AS n_big "
+    "FROM events GROUP BY event_type"
+)
+
+
+def tpch_q5_local_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way join: revenue by nation where customer and
+    supplier share the nation; dims broadcast, facts shuffle once."""
+    cust = data.load(spark, sf, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = data.load(spark, sf, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = data.load(spark, sf, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    supp = data.load(spark, sf, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nation = data.load(spark, sf, "nation", columns=["n_nationkey", "n_name"])
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast(D) - _dec("l_discount"))
+            ).cast("decimal(28,4)").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+SQL_TPCH_Q5 = (
+    "SELECT n_name, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS revenue, "
+    "COUNT(*) AS n "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE c_nationkey = s_nationkey "
+    "AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "GROUP BY n_name"
+)
+
+
+def tpch_q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: join against an aggregated subquery (orders whose
+    total quantity exceeds a threshold)."""
+    li = data.load(spark, sf, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = data.load(spark, sf, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast(D).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "sum_qty")
+        .orderBy(F.col("sum_qty").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18 = (
+    "SELECT o_orderkey, o_custkey, o_totalprice, sum_qty FROM orders JOIN ("
+    "SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty "
+    "FROM lineitem GROUP BY l_orderkey HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) > 150"
+    ") ON o_orderkey = l_orderkey "
+    "ORDER BY sum_qty DESC, o_orderkey LIMIT 100"
+)
+
+
+def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS through the SQL surface (spark.sql over an olive
+    scan registered as a temp view)."""
+    df = data.load(spark, sf, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    df.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total "
+        "FROM _orders_gs "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+    )
+
+
+SQL_AGG_GROUPING_SETS = (
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total "
+    "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "scan_roundtrip_lineitem": (scan_roundtrip_lineitem, SQL_SCAN_ROUNDTRIP),
     "scan_projection_pruning": (scan_projection_pruning, SQL_SCAN_PROJECTION),
@@ -583,4 +697,8 @@ QUERIES: dict[str, tuple] = {
     "setop_union_except": (setop_union_except, SQL_SETOP),
     "scalar_functions": (scalar_functions, SQL_SCALAR),
     "tpch_q3_shipping": (tpch_q3_shipping, SQL_TPCH_Q3),
+    "tpch_q5_local_revenue": (tpch_q5_local_revenue, SQL_TPCH_Q5),
+    "tpch_q18_large_orders": (tpch_q18_large_orders, SQL_TPCH_Q18),
+    "scalar_json_events": (scalar_json_events, SQL_SCALAR_JSON),
+    "agg_grouping_sets": (agg_grouping_sets, SQL_AGG_GROUPING_SETS),
 }
