@@ -312,12 +312,9 @@ class OliveWriter(DataSourceArrowWriter):
         files: list[str] = []
         buf: list[pa.RecordBatch] = []
         rows = 0
+        schema: Optional[pa.Schema] = None
 
-        def flush() -> None:
-            nonlocal buf, rows
-            if not rows:
-                return
-            tbl = pa.Table.from_batches(buf)
+        def emit(tbl: pa.Table) -> None:
             blob = write_chunk(
                 {self.table: tbl},
                 page_rows=self.page_rows,
@@ -329,14 +326,21 @@ class OliveWriter(DataSourceArrowWriter):
             with open(fp, "wb") as f:
                 f.write(blob)
             files.append(fp)
-            buf, rows = [], 0
 
         for batch in iterator:
+            schema = schema or batch.schema
             buf.append(batch)
             rows += batch.num_rows
-            if rows >= self.chunk_rows:
-                flush()
-        flush()
+            while rows >= self.chunk_rows:
+                # split on the chunk boundary even inside a large batch —
+                # this is what enforces the 4 GiB data-section cap at scale
+                tbl = pa.Table.from_batches(buf)
+                emit(tbl.slice(0, self.chunk_rows))
+                rest = tbl.slice(self.chunk_rows)
+                buf = rest.to_batches() if rest.num_rows else []
+                rows = rest.num_rows
+        if rows:
+            emit(pa.Table.from_batches(buf, schema=schema))
         return OliveCommitMessage(tuple(files))
 
     def commit(self, messages) -> None:  # files are final on write

@@ -1,0 +1,115 @@
+"""Spark DataSource surface tests: write→read roundtrips, options
+(table/columns/chunkRows/compressionBias), filter pushdown + page
+skipping correctness, overwrite, error surfaces."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from olive_spark.format import write_chunk
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from olive_spark import register_olive
+
+    register_olive(s)
+    yield s
+
+
+def test_spark_write_read_roundtrip(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("rt"))
+    df = spark.range(0, 10_000).selectExpr(
+        "id", "cast(id * 1.5 as double) AS v", "concat('name-', id) AS s",
+        "cast(id % 2 = 0 as boolean) AS b",
+    )
+    df.write.format("olive").mode("overwrite").save(out)
+    got = spark.read.format("olive").load(out)
+    assert got.count() == 10_000
+    assert sorted(got.columns) == ["b", "id", "s", "v"]
+    assert got.agg({"v": "sum"}).collect()[0][0] == pytest.approx(
+        df.agg({"v": "sum"}).collect()[0][0]
+    )
+
+
+def test_spark_write_chunk_split(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("split"))
+    spark.range(0, 5_000).coalesce(1).write.format("olive").mode("append").option(
+        "chunkRows", 1000
+    ).save(out)
+    files = [f for f in os.listdir(out) if f.endswith(".olive")]
+    assert len(files) == 5, "one chunk file per 1000 rows"
+    assert spark.read.format("olive").load(out).count() == 5_000
+
+
+def test_filter_pushdown_matches_unfiltered(spark, tmp_path_factory):
+    """Page skipping must be transparent: filtered results equal the
+    post-hoc filter of a full scan, across page boundaries."""
+    out = str(tmp_path_factory.mktemp("pages"))
+    spark.range(0, 50_000).selectExpr("id", "id % 97 AS m").coalesce(
+        1
+    ).write.format("olive").mode("append").option("pageRows", 1024).save(out)
+    df = spark.read.format("olive").load(out)
+    fast = df.filter("id >= 40000 AND id < 40100").collect()
+    slow = [r for r in df.collect() if 40000 <= r["id"] < 40100]
+    assert sorted(r["id"] for r in fast) == sorted(r["id"] for r in slow)
+    assert len(fast) == 100
+
+
+def test_columns_option_prunes(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cols"))
+    spark.range(0, 100).selectExpr("id", "id*2 AS a", "id*3 AS b").write.format(
+        "olive"
+    ).mode("append").save(out)
+    got = spark.read.format("olive").option("columns", "id,b").load(out)
+    assert got.columns == ["id", "b"]
+    assert got.count() == 100
+
+
+def test_multi_table_chunk_option(spark, tmp_path):
+    t1 = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    t2 = pa.table({"y": pa.array(["a", "b"], pa.string())})
+    p = tmp_path / "multi"
+    p.mkdir()
+    (p / "part-00000.olive").write_bytes(write_chunk({"t1": t1, "t2": t2}))
+    assert spark.read.format("olive").option("table", "t1").load(str(p)).count() == 3
+    assert spark.read.format("olive").option("table", "t2").load(str(p)).count() == 2
+    # no table option on a multi-table chunk → clear error
+    with pytest.raises(Exception, match="multi-table|table"):
+        spark.read.format("olive").load(str(p)).collect()
+
+
+def test_unsigned_widening_through_spark(spark, tmp_path):
+    t = pa.table({
+        "u8": pa.array([0, 255], pa.uint8()),
+        "u32": pa.array([0, 2**32 - 1], pa.uint32()),
+        "u64": pa.array([0, 2**64 - 1], pa.uint64()),
+    })
+    p = tmp_path / "uns"
+    p.mkdir()
+    (p / "part-00000.olive").write_bytes(write_chunk({"uns": t}))
+    got = spark.read.format("olive").load(str(p))
+    types = dict(got.dtypes)
+    assert types["u8"] == "smallint"
+    assert types["u32"] == "bigint"
+    assert types["u64"] == "decimal(20,0)"
+    row = got.orderBy("u8").collect()[-1]
+    assert row["u8"] == 255 and row["u32"] == 2**32 - 1
+    assert int(row["u64"]) == 2**64 - 1
+
+
+def test_read_missing_path_raises(spark, tmp_path):
+    with pytest.raises(Exception, match="no .olive files|PATH_NOT_FOUND|not an olive"):
+        spark.read.format("olive").load(str(tmp_path / "nope")).collect()
