@@ -27,15 +27,6 @@ def tokens(text: Column) -> Column:
     )
 
 
-def bpe_ish_tokens(text: Column) -> Column:
-    """BPE-ish sub-word segmentation: words, numbers, punctuation runs —
-    the standard pre-tokenizer regex family, applied JVM-side."""
-    return F.expr(
-        rf"filter(split(regexp_replace({text._jc.toString() if hasattr(text, '_jc') else 'text'}, "
-        rf"'([0-9]+|[^a-zA-Z0-9\\s]+)', ' $1 '), '\\s+'), x -> x != '')"
-    )
-
-
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document counting stats: chars, whitespace tokens, lines,
     alpha ratio, mean token length."""

@@ -150,6 +150,17 @@ def llm_token_count(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.token_count(df)
 
 
+SQL_TOKEN_COUNT = (
+    "SELECT doc_id, "
+    "CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "
+    "ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_ws_tokens, "
+    "LEN(list_filter(regexp_split_to_array("
+    "regexp_replace(text, '([0-9]+|[^A-Za-z0-9\\s]+)', ' \\1 ', 'g'), '\\s+'), "
+    "x -> x != '')) AS n_bpe_tokens "
+    "FROM documents"
+)
+
+
 def mm_decode_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal decode plumbing: binary payload → Arrow-batched
     mapInPandas metadata extraction. Decoder is a deterministic stub, so
@@ -183,6 +194,6 @@ QUERIES: dict[str, tuple] = {
     "llm_quality_score": (llm_quality_score, None),
     "llm_lang_id": (llm_lang_id, None),
     "llm_fingerprint": (llm_fingerprint, SQL_FINGERPRINT),
-    "llm_token_count": (llm_token_count, None),
+    "llm_token_count": (llm_token_count, SQL_TOKEN_COUNT),
     "mm_decode_meta": (mm_decode_meta, SQL_MM_DECODE),
 }
