@@ -129,9 +129,32 @@ def llm_quality_score(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def llm_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    """Stopword-hit language ID (rows-only)."""
+    """Stopword-hit language ID; DuckDB reproduces the argmax with
+    struct list_sort (both engines compare (hits, lang) structs)."""
     df = data.load(spark, sf, "documents")
     return textstats.lang_id(df)
+
+
+def _lang_id_sql() -> str:
+    from olive_spark.ops.textstats import _STOPWORDS
+
+    packs = ", ".join(
+        "struct_pack(hits := len(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in ws)
+        + f"])), lang := '{code}')"
+        for code, ws in sorted(_STOPWORDS.items())
+    )
+    return (
+        "WITH s AS (SELECT doc_id, "
+        "regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "
+        f"m AS (SELECT doc_id, list_sort([{packs}])[-1] AS best FROM s) "
+        "SELECT doc_id, "
+        "CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred, "
+        "best.hits AS lang_hits FROM m"
+    )
+
+
+SQL_LANG_ID = _lang_id_sql()
 
 
 def llm_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
@@ -158,6 +181,43 @@ SQL_TOKEN_COUNT = (
     "regexp_replace(text, '([0-9]+|[^A-Za-z0-9\\s]+)', ' \\1 ', 'g'), '\\s+'), "
     "x -> x != '')) AS n_bpe_tokens "
     "FROM documents"
+)
+
+
+def llm_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite training-data curation pipeline: quality gate (token/char
+    bounds) → fingerprint dedup (keep lowest doc_id) → per-language doc
+    and token budget. Integer-only outputs so the oracle is exact."""
+    from pyspark.sql.window import Window
+
+    df = data.load(spark, sf, "documents")
+    toks = textstats.tokens(F.col("text"))
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    staged = df.select(
+        "doc_id", "lang",
+        F.size(toks).alias("n_tok"),
+        F.length("text").alias("len"),
+        F.md5(norm).alias("fp"),
+    )
+    gated = staged.filter((F.col("n_tok") >= 10) & (F.col("len") <= 20000))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+
+
+SQL_CURATION = (
+    "WITH t AS (SELECT doc_id, lang, "
+    "CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "
+    "ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tok, "
+    "LENGTH(text) AS len, "
+    "md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM documents), "
+    "f AS (SELECT * FROM t WHERE n_tok >= 10 AND len <= 20000), "
+    "d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f) "
+    "SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens "
+    "FROM d WHERE rn = 1 GROUP BY lang"
 )
 
 
@@ -192,8 +252,9 @@ QUERIES: dict[str, tuple] = {
     "mm_frame_sample": (mm_frame_sample, SQL_MM_FRAMES),
     "llm_text_stats": (llm_text_stats, SQL_TEXT_STATS),
     "llm_quality_score": (llm_quality_score, None),
-    "llm_lang_id": (llm_lang_id, None),
+    "llm_lang_id": (llm_lang_id, SQL_LANG_ID),
     "llm_fingerprint": (llm_fingerprint, SQL_FINGERPRINT),
     "llm_token_count": (llm_token_count, SQL_TOKEN_COUNT),
+    "llm_curation_pipeline": (llm_curation_pipeline, SQL_CURATION),
     "mm_decode_meta": (mm_decode_meta, SQL_MM_DECODE),
 }
