@@ -202,9 +202,7 @@ class OliveReader(DataSourceReader):
             expected = _expected_arrow_schema(self.schema)
             yield pa.RecordBatch.from_pylist([], schema=expected)
             return
-        with open(partition.file, "rb") as f:
-            blob = f.read()
-        r = ChunkReader(blob)
+        r = ChunkReader.from_path(partition.file)
         th = _pick_table(r.header, partition.table)
         pages = select_pages(th, list(partition.predicates)) if partition.predicates else None
         cols = list(partition.columns) if partition.columns else None

@@ -59,6 +59,20 @@ class ChunkReader:
         self.header, self.data = read_frame(blob)
         self._dicts: dict[int, pa.Array] = {}
 
+    @classmethod
+    def from_path(cls, path: str) -> "ChunkReader":
+        """mmap-backed reader: only the byte ranges actually touched
+        (header + selected columns' selected pages) fault in from disk —
+        a narrow projection of a 4 GiB chunk does I/O proportional to the
+        projection, not the file."""
+        import mmap
+
+        with open(path, "rb") as f:
+            mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        r = cls(mm)  # page slices are copied via bytes() before decompress
+        r._mmap = mm  # keep alive alongside the views into it
+        return r
+
     # ---- global dictionaries (reference src/read.zig:102-125) -----------
 
     def _dict_values(self, width: int) -> pa.Array:
