@@ -651,6 +651,19 @@ SQL_TPCH_Q18 = (
 )
 
 
+def agg_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate sketches — the 100 TB path where exact distinct/
+    quantiles would shuffle every value: HLL++ distinct + approximate
+    percentiles, both map-side-combinable. Rows-only check (sketch
+    estimates differ across engines by design)."""
+    df = data.load(spark, sf, "lineitem", columns=["l_returnflag", "l_partkey", "l_extendedprice"])
+    return df.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("nd_parts_approx"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("price_pcts"),
+        F.count("*").alias("n"),
+    )
+
+
 def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     """GROUPING SETS through the SQL surface (spark.sql over an olive
     scan registered as a temp view)."""
@@ -684,6 +697,7 @@ QUERIES: dict[str, tuple] = {
     "agg_groupby_sum": (agg_groupby_sum, SQL_AGG_GROUPBY),
     "agg_distinct": (agg_distinct, SQL_AGG_DISTINCT),
     "agg_rollup": (agg_rollup, SQL_AGG_ROLLUP),
+    "agg_approx_sketches": (agg_approx_sketches, None),
     "join_hash_orders_customer": (join_hash_orders_customer, SQL_JOIN_HASH),
     "join_broadcast_dims": (join_broadcast_dims, SQL_JOIN_BROADCAST),
     "join_semi_anti": (join_semi_anti, SQL_JOIN_SEMI_ANTI),
