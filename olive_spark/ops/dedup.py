@@ -274,29 +274,47 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding near-duplicates: LSH by random-hyperplane sign buckets,
     exact cosine verification inside buckets only (bucket join, never
-    all-pairs). Deterministic planes from xxhash64 of (dim, plane)."""
+    all-pairs). Bucket assignment is one numpy matmul per Arrow batch
+    (vectors × deterministic ±1 planes) — vectors never leave their scan
+    partitions; only (id, vector, bucket) rows continue to the join."""
+    from typing import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
     from olive_spark.ops.similarity import cosine_expr
 
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    unit = F.transform(v, lambda x: x / norm)
+    id_field = df.schema[id_col].dataType.simpleString()
+    vec_field = df.schema[vec_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_field}, {vec_col} {vec_field}, bucket int"
 
-    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
-    sig_bits = []
-    for p in range(n_planes):
-        # pseudo-random ±1 plane component per (dim, plane)
-        comp = F.zip_with(
-            unit,
-            dim_idx,
-            lambda x, i: F.when(F.xxhash64(i, F.lit(p)) % 2 == 0, x).otherwise(-x),
-        )
-        dot = F.aggregate(comp, F.lit(0.0), lambda acc, x: acc + x)
-        sig_bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
-    bucket = sum(sig_bits[1:], sig_bits[0])
+    def assign(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        planes = None
+        for batch in batches:
+            vecs = np.asarray(
+                batch.column(vec_col).to_pylist(), dtype=np.float64
+            )
+            if vecs.ndim != 2 or vecs.shape[0] == 0:
+                bucket = np.zeros(batch.num_rows, dtype=np.int32)
+            else:
+                if planes is None or planes.shape[0] != vecs.shape[1]:
+                    # deterministic ±1 planes from an integer mix of
+                    # (dim, plane) — stable across runs and partitions
+                    dims = np.arange(vecs.shape[1], dtype=np.int64)[:, None]
+                    ps = np.arange(n_planes, dtype=np.int64)[None, :]
+                    planes = ((((dims * 2654435761 + ps * 40503) >> 7) & 1) * 2 - 1).astype(
+                        np.float64
+                    )
+                signs = (vecs @ planes) > 0  # (n, planes); norm is sign-invariant
+                bucket = (signs << np.arange(n_planes)).sum(axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col), batch.column(vec_col), pa.array(bucket)],
+                names=[id_col, vec_col, "bucket"],
+            )
 
     from pyspark import StorageLevel
 
-    base = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket")).persist(
+    base = df.select(id_col, vec_col).mapInArrow(assign, out_schema).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     a, b = base.alias("a"), base.alias("b")
