@@ -519,6 +519,88 @@ SQL_AGG_CUBE = (
 )
 
 
+def agg_pivot_status(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (orders status × priority) — conditional-aggregation oracle."""
+    df = data.load(spark, sf, "orders", columns=["o_orderstatus", "o_orderpriority"])
+    return (
+        df.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+SQL_AGG_PIVOT = (
+    "SELECT o_orderpriority, "
+    "COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS F, "
+    "COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS O, "
+    "COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS P "
+    "FROM orders GROUP BY o_orderpriority"
+)
+
+
+def explode_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """posexplode (lateral unnest) of the embedding arrays + per-dimension
+    aggregate — the array-flattening shape feature pipelines use."""
+    df = data.load(spark, sf, "embeddings")
+    return (
+        df.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .filter(F.col("dim") < 8)
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x").cast("double").cast("decimal(18,6)"))
+            .cast("decimal(18,6)").alias("sum_x"),
+        )
+    )
+
+
+SQL_EXPLODE = (
+    "SELECT dim, COUNT(*) AS n, "
+    "CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_x FROM ("
+    "SELECT vec_id, embedding[ord] AS x, CAST(ord - 1 AS INT) AS dim "
+    "FROM embeddings, UNNEST(range(1, LEAST(len(embedding) + 1, 9))) AS t(ord)"
+    ") GROUP BY dim"
+)
+
+
+def window_ntile_percent(spark: SparkSession, sf: str) -> DataFrame:
+    """ntile + percent_rank window functions over the customer balance."""
+    df = data.load(spark, sf, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return df.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+SQL_WINDOW_NTILE = (
+    "SELECT c_custkey, c_mktsegment, "
+    "NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile, "
+    "ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS pct_rank "
+    "FROM customer"
+)
+
+
+def setop_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT over two filtered scans (customers active in both F and
+    O order statuses)."""
+    orders = data.load(spark, sf, "orders", columns=["o_custkey", "o_orderstatus"])
+    a = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b).agg(F.count("*").alias("n_both"))
+
+
+SQL_SETOP_INTERSECT = (
+    "SELECT COUNT(*) AS n_both FROM ("
+    "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+    "INTERSECT "
+    "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')"
+)
+
+
 def tpch_q3_shipping(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3-shaped 3-way join + agg + top-k, all over olive scans."""
     cust = data.load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -709,6 +791,10 @@ QUERIES: dict[str, tuple] = {
     "window_running_sum": (window_running_sum, SQL_WINDOW_RUNNING),
     "sort_limit_topk": (sort_limit_topk, SQL_SORT_TOPK),
     "setop_union_except": (setop_union_except, SQL_SETOP),
+    "setop_intersect": (setop_intersect, SQL_SETOP_INTERSECT),
+    "agg_pivot_status": (agg_pivot_status, SQL_AGG_PIVOT),
+    "explode_embeddings": (explode_embeddings, SQL_EXPLODE),
+    "window_ntile_percent": (window_ntile_percent, SQL_WINDOW_NTILE),
     "scalar_functions": (scalar_functions, SQL_SCALAR),
     "tpch_q3_shipping": (tpch_q3_shipping, SQL_TPCH_Q3),
     "tpch_q5_local_revenue": (tpch_q5_local_revenue, SQL_TPCH_Q5),
