@@ -519,6 +519,61 @@ SQL_AGG_CUBE = (
 )
 
 
+def join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER join of per-customer order counts vs per-user event
+    counts (key ranges only partially overlap — both null sides appear)."""
+    oc = (
+        data.load(spark, sf, "orders", columns=["o_custkey"])
+        .groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    )
+    ec = (
+        data.load(spark, sf, "events", columns=["user_id"])
+        .groupBy("user_id").agg(F.count("*").alias("n_events"))
+    )
+    j = oc.join(ec, oc.o_custkey == ec.user_id, "full_outer")
+    return j.select(
+        F.coalesce("o_custkey", "user_id").alias("key"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+SQL_JOIN_FULL_OUTER = (
+    "SELECT COALESCE(o_custkey, user_id) AS key, "
+    "COALESCE(n_orders, 0) AS n_orders, COALESCE(n_events, 0) AS n_events "
+    "FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o "
+    "FULL OUTER JOIN (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) e "
+    "ON o_custkey = user_id"
+)
+
+
+def null_handling(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-handling surface over the injected-null scan: coalesce/nvl,
+    null-safe equality, conditional defaults, dropna/fillna."""
+    df = data.load(spark, sf, "customer_nulls")
+    filled = df.select(
+        "c_custkey",
+        F.coalesce("c_acctbal", F.lit(0.0)).alias("bal_filled"),
+        F.col("c_acctbal").isNull().cast("int").alias("was_null"),
+        F.col("c_acctbal").eqNullSafe(F.lit(None).cast("double")).cast("int").alias("nullsafe_eq_null"),
+    )
+    return filled.groupBy("was_null", "nullsafe_eq_null").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("bal_filled").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_bal"),
+    )
+
+
+SQL_NULL_HANDLING = (
+    "WITH cn AS (SELECT c_custkey, "
+    "CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal FROM customer) "
+    "SELECT CAST(c_acctbal IS NULL AS INT) AS was_null, "
+    "CAST(c_acctbal IS NOT DISTINCT FROM NULL AS INT) AS nullsafe_eq_null, "
+    "COUNT(*) AS n, "
+    "CAST(SUM(CAST(COALESCE(c_acctbal, 0.0) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal "
+    "FROM cn GROUP BY 1, 2"
+)
+
+
 def agg_pivot_status(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot (orders status × priority) — conditional-aggregation oracle."""
     df = data.load(spark, sf, "orders", columns=["o_orderstatus", "o_orderpriority"])
@@ -784,6 +839,8 @@ QUERIES: dict[str, tuple] = {
     "join_broadcast_dims": (join_broadcast_dims, SQL_JOIN_BROADCAST),
     "join_semi_anti": (join_semi_anti, SQL_JOIN_SEMI_ANTI),
     "join_asof_event_order": (join_asof_event_order, SQL_JOIN_ASOF),
+    "join_full_outer": (join_full_outer, SQL_JOIN_FULL_OUTER),
+    "null_handling": (null_handling, SQL_NULL_HANDLING),
     "join_range_events": (join_range_events, SQL_JOIN_RANGE),
     "window_sessionize": (window_sessionize, SQL_WINDOW_SESSION),
     "agg_cube_events": (agg_cube_events, SQL_AGG_CUBE),
