@@ -1,0 +1,83 @@
+"""Unit tests for the time-series operators with handcrafted expected
+outputs (the oracle harness checks them statistically; these pin exact
+semantics: as-of tie handling, session gap boundaries, range bounds)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+
+
+def ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_join_backward_with_equality(spark):
+    from olive_spark.ops.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, ts(5), "a"), (1, ts(10), "b"), (2, ts(3), "c"), (3, ts(9), "d")],
+        "k long, t timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(5), 100.0), (1, ts(8), 200.0), (2, ts(4), 300.0)],
+        "k long, rt timestamp, price double",
+    )
+    out = asof_join(left, right, on="k", left_time="t",
+                    right_time="rt", right_cols=["price"])
+    got = {r["tag"]: r["price"] for r in out.collect()}
+    # equal timestamps match (<=); no prior row → null; key 3 unmatched
+    assert got == {"a": 100.0, "b": 200.0, "c": None, "d": None}
+
+
+def test_sessionize_gap_boundary(spark):
+    from olive_spark.ops.timeseries import sessionize
+
+    rows = [
+        (1, ts(0)), (1, ts(20)),          # session 1 (gap 20m < 30m)
+        (1, ts(51)),                       # gap 31m > 30m → session 2
+        (2, ts(0)), (2, ts(30)),           # gap exactly 30m → SAME session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["dur_us"])
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert out == {
+        (1, 1): (2, 20 * 60 * 1_000_000),
+        (1, 2): (1, 0),
+        (2, 1): (2, 30 * 60 * 1_000_000),
+    }
+
+
+def test_range_join_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops.timeseries import range_join
+
+    anchors = spark.createDataFrame([(1, 100)], "k long, at long")
+    points = spark.createDataFrame(
+        [(1, 100), (1, 101), (1, 104), (1, 105), (2, 102)],
+        "k long, pt long",
+    )
+    out = range_join(
+        anchors, points, on=("k", "k"), left_time="at", right_time="pt",
+        lower=F.lit(1), upper=F.lit(5),
+    )
+    # (100, 105): pt in [101, 105) → 101, 104; key 2 excluded
+    assert sorted(r["pt"] for r in out.collect()) == [101, 104]
