@@ -35,6 +35,10 @@ HEADLINE = [
     "window_sessionize",
     "sort_limit_topk",
     "tpch_q3_shipping",
+    "tpch_q6_revenue",
+    "tpch_q4_order_priority",
+    "window_lead_lag",
+    "dedup_latest_per_key",
     "llm_dedup_exact",
     "llm_dedup_minhash",
     "llm_dedup_embedding",

@@ -159,4 +159,45 @@ def canonicalize_array(arr: pa.Array) -> pa.Array:
     if pa.types.is_list_view(dt) or pa.types.is_large_list_view(dt):
         inner = dt.value_type
         return arr.cast(pa.list_(inner))
+    if pa.types.is_union(dt):
+        return _lower_union(arr)
     return arr
+
+
+def _lower_union(arr: pa.Array) -> pa.Array:
+    """Lower a dense/sparse union to a tagged struct
+    ``{_type_id: int8, <field>: ..., ...}`` with all-but-selected children
+    null (SURVEY.md §1.2 — Spark has no union type; the reference writes
+    unions natively, src/write.zig:463-549, so this is our storable
+    equivalent; the tag keeps the row's active branch recoverable)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    dt = arr.type
+    if arr.offset != 0:
+        # normalize the slice away so buffer math below starts at row 0
+        arr = pa.concat_arrays([arr])
+    n = len(arr)
+    codes = np.asarray(arr.type_codes)
+    children: list[pa.Array] = []
+    names: list[str] = []
+    dense = dt.mode == "dense"
+    offsets = np.asarray(arr.offsets) if dense else None
+    for i in range(dt.num_fields):
+        f = dt.field(i)
+        code = dt.type_codes[i]
+        child = canonicalize_array(arr.field(i))
+        sel = codes == code
+        if dense:
+            idx = pa.array(
+                np.where(sel, offsets, 0).astype(np.int64), mask=~sel
+            )
+            lowered = child.take(idx)
+        else:
+            lowered = pc.if_else(
+                pa.array(sel), child, pa.nulls(n, child.type)
+            )
+        children.append(lowered)
+        names.append(f.name or f"f{i}")
+    tag = pa.array(codes, pa.int8())
+    return pa.StructArray.from_arrays([tag, *children], ["_type_id", *names])

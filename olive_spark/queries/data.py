@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 
 CACHE_ROOT = "/tmp/olive_cache"
-CACHE_VERSION = "v3"  # bump when derived-table definitions change
+CACHE_VERSION = "v4"  # bump when derived-table definitions change
 N_CHUNKS = 16  # files per table = scan parallelism floor (real clusters
 MIN_CHUNK_ROWS = 256  # get this for free from many-file layouts)
 TABLES = (
@@ -141,6 +141,22 @@ def _write_derived(sf_dir: str, out: str) -> None:
     emit("embeddings_dup", {"embeddings_dup": pa.concat_tables(
         [emb.select(["vec_id", "embedding"]), dup]
     )})
+
+    # customer_uints — unsigned + time-of-day types (SURVEY.md §1.2
+    # widenings: u8→i16, u16→i32, u32→i64, u64→decimal(20,0),
+    # time32(s)→i32, time64(µs)→i64); values derived from c_custkey so the
+    # oracle can recompute them in ANSI SQL
+    ck = cust.column("c_custkey")
+    ck_np = ck.to_numpy()
+    emit("customer_uints", {"customer_uints": pa.table({
+        "c_custkey": ck,
+        "u8": pa.array((ck_np % 251).astype("uint8"), pa.uint8()),
+        "u16": pa.array((ck_np % 65521).astype("uint16"), pa.uint16()),
+        "u32": pa.array(ck_np.astype("uint32"), pa.uint32()),
+        "u64": pa.array(ck_np.astype("uint64") + 2**63, pa.uint64()),
+        "t32_s": pa.array((ck_np % 86400).astype("int32"), pa.time32("s")),
+        "t64_us": pa.array((ck_np % 86400).astype("int64") * 1_000_000, pa.time64("us")),
+    })})
 
     # multi — one chunk file holding two named tables
     region = pq.read_table(os.path.join(sf_dir, "region.parquet"))

@@ -821,6 +821,294 @@ SQL_AGG_GROUPING_SETS = (
 )
 
 
+def tpch_q6_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate — the pushdown
+    showcase (every predicate reaches the olive scan as a page-skip
+    candidate; no shuffle at all beyond the final single-row reduce)."""
+    df = data.load(
+        spark, sf, "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    return (
+        df.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 15)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("decimal(28,4)")
+            .alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+SQL_TPCH_Q6 = (
+    "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS revenue, "
+    "COUNT(*) AS n FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 15"
+)
+
+
+def tpch_q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS subquery — Catalyst decorrelates
+    it into a left-semi join (no per-row subquery execution at scale)."""
+    data.load(spark, sf, "orders").createOrReplaceTempView("_q4_orders")
+    data.load(spark, sf, "lineitem", columns=["l_orderkey", "l_quantity"]) \
+        .createOrReplaceTempView("_q4_lineitem")
+    return spark.sql(
+        "SELECT o_orderpriority, COUNT(*) AS order_count FROM _q4_orders "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00' "
+        "AND EXISTS (SELECT 1 FROM _q4_lineitem "
+        "WHERE l_orderkey = o_orderkey AND l_quantity > 45) "
+        "GROUP BY o_orderpriority"
+    )
+
+
+SQL_TPCH_Q4 = (
+    "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00' "
+    "AND EXISTS (SELECT 1 FROM lineitem "
+    "WHERE l_orderkey = o_orderkey AND l_quantity > 45) "
+    "GROUP BY o_orderpriority"
+)
+
+
+def subquery_correlated_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery (per-customer order count) — Catalyst
+    rewrites it as an aggregate + left outer join, not a per-row probe."""
+    data.load(spark, sf, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .createOrReplaceTempView("_sq_customer")
+    data.load(spark, sf, "orders", columns=["o_custkey"]) \
+        .createOrReplaceTempView("_sq_orders")
+    return spark.sql(
+        "SELECT c_mktsegment, COUNT(*) AS n_cust, SUM(n_orders) AS sum_orders FROM ("
+        "SELECT c_custkey, c_mktsegment, "
+        "(SELECT COUNT(*) FROM _sq_orders WHERE o_custkey = c_custkey) AS n_orders "
+        "FROM _sq_customer) GROUP BY c_mktsegment"
+    )
+
+
+SQL_SUBQUERY_SCALAR = (
+    "SELECT c_mktsegment, COUNT(*) AS n_cust, SUM(n_orders) AS sum_orders FROM ("
+    "SELECT c_custkey, c_mktsegment, "
+    "(SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders "
+    "FROM customer) GROUP BY c_mktsegment"
+)
+
+
+def subquery_in_uncorrelated(spark: SparkSession, sf: str) -> DataFrame:
+    """IN / NOT IN subqueries → semi/anti join under Catalyst."""
+    data.load(spark, sf, "part", columns=["p_partkey", "p_brand"]) \
+        .createOrReplaceTempView("_in_part")
+    data.load(spark, sf, "lineitem", columns=["l_partkey", "l_quantity"]) \
+        .createOrReplaceTempView("_in_lineitem")
+    return spark.sql(
+        "SELECT p_brand, COUNT(*) AS n_parts FROM _in_part "
+        "WHERE p_partkey IN (SELECT l_partkey FROM _in_lineitem WHERE l_quantity > 48) "
+        "GROUP BY p_brand"
+    )
+
+
+SQL_SUBQUERY_IN = (
+    "SELECT p_brand, COUNT(*) AS n_parts FROM part "
+    "WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 48) "
+    "GROUP BY p_brand"
+)
+
+
+def window_lead_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """lead/lag/first_value navigation functions per user over events —
+    inter-event gap in epoch-µs (integer math, exact in both engines)."""
+    df = data.load(spark, sf, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(tus, F.col("event_id"))
+    return df.select(
+        "user_id",
+        "event_id",
+        (tus - F.lag(tus, 1).over(w)).alias("gap_us"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        F.first("event_id").over(w).alias("first_event"),
+    )
+
+
+SQL_WINDOW_LEAD_LAG = (
+    "SELECT user_id, event_id, "
+    "epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap_us, "
+    "LEAD(event_type, 1) OVER w AS next_type, "
+    "FIRST_VALUE(event_id) OVER w AS first_event "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)"
+)
+
+
+def window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE frame (value-based window): per user, events in the trailing
+    10 minutes counted on the epoch-µs axis."""
+    df = data.load(spark, sf, "events", columns=["event_id", "user_id", "ts"])
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(tus)
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return df.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_trailing_10m"),
+    )
+
+
+SQL_WINDOW_RANGE_FRAME = (
+    "SELECT user_id, event_id, "
+    "COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) "
+    "RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS n_trailing_10m "
+    "FROM events"
+)
+
+
+def agg_stats_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/covariance) —
+    all map-side-combinable single-pass moments; rounded so both engines'
+    double summation agrees exactly."""
+    df = data.load(
+        spark, sf, "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 8).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_AGG_STATS = (
+    "SELECT l_returnflag, "
+    "ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price, "
+    "ROUND(VAR_SAMP(l_quantity), 6) AS var_qty, "
+    "ROUND(CORR(l_quantity, l_extendedprice), 8) AS corr_qp, "
+    "ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qp, "
+    "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag"
+)
+
+
+def scalar_array_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Array/lambda scalar functions (transform/filter/aggregate) over the
+    embedding arrays — all JVM-side higher-order functions, no UDFs."""
+    df = data.load(spark, sf, "embeddings")
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    return df.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_max(emb), 6).alias("max_x"),
+        F.round(F.array_min(emb), 6).alias("min_x"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.element_at(emb, 1), 6).alias("x0"),
+    )
+
+
+SQL_SCALAR_ARRAY = (
+    "SELECT vec_id, len(embedding) AS dim, "
+    "ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 6) AS max_x, "
+    "ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'min'), 6) AS min_x, "
+    "len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS n_pos, "
+    "ROUND(CAST(embedding[1] AS DOUBLE), 6) AS x0 "
+    "FROM embeddings"
+)
+
+
+def scalar_map_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Map construction + element access (create_map / element_at /
+    map_keys). The oracle recomputes the same values without maps — the
+    check pins Spark's map semantics to the plain-SQL meaning."""
+    df = data.load(spark, sf, "events", columns=["event_id", "event_type", "value"])
+    m = F.create_map(F.col("event_type"), F.col("value"))
+    return df.select(
+        "event_id",
+        F.element_at(m, F.lit("click")).alias("click_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(F.map_values(m), 1).alias("first_value"),
+    )
+
+
+SQL_SCALAR_MAP = (
+    "SELECT event_id, "
+    "CASE WHEN event_type = 'click' THEN value END AS click_value, "
+    "1 AS n_keys, value AS first_value FROM events"
+)
+
+
+def dedup_latest_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    """The classic pipeline dedup: keep the newest row per key via
+    row_number — one shuffle on the key, no global sort."""
+    df = data.load(spark, sf, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+SQL_DEDUP_LATEST = (
+    "SELECT user_id, event_id, event_type FROM ("
+    "SELECT user_id, event_id, event_type, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+    "FROM events) WHERE rn = 1"
+)
+
+
+def join_nested_loop(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure non-equi join (no equality key) → BroadcastNestedLoopJoin;
+    only sane when one side is broadcast-small, which nation always is."""
+    n1 = data.load(spark, sf, "nation", columns=["n_nationkey", "n_name"])
+    n2 = data.load(spark, sf, "nation", columns=["n_nationkey"]).select(
+        F.col("n_nationkey").alias("other_key")
+    )
+    return (
+        n1.join(F.broadcast(n2), F.col("n_nationkey") < F.col("other_key"))
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+SQL_JOIN_NESTED_LOOP = (
+    "SELECT n1.n_nationkey, n1.n_name, COUNT(*) AS n_pairs "
+    "FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey "
+    "GROUP BY n1.n_nationkey, n1.n_name"
+)
+
+
+def types_unsigned_time(spark: SparkSession, sf: str) -> DataFrame:
+    """Unsigned-int + time-of-day storage mappings (SURVEY.md §1.2):
+    uint8→smallint, uint16→int, uint32→bigint, uint64→decimal(20,0),
+    time32(s)→int, time64(µs)→bigint — widened on scan, exact values."""
+    df = data.load(spark, sf, "customer_uints")
+    return df.select(
+        "c_custkey", "u8", "u16", "u32", "u64", "t32_s", "t64_us"
+    )
+
+
+SQL_TYPES_UNSIGNED = (
+    "SELECT c_custkey, "
+    "CAST(c_custkey % 251 AS SMALLINT) AS u8, "
+    "CAST(c_custkey % 65521 AS INT) AS u16, "
+    "CAST(c_custkey AS BIGINT) AS u32, "
+    "CAST(9223372036854775807 AS DECIMAL(20,0)) + 1 + CAST(c_custkey AS DECIMAL(20,0)) AS u64, "
+    "CAST(c_custkey % 86400 AS INT) AS t32_s, "
+    "CAST(c_custkey % 86400 AS BIGINT) * 1000000 AS t64_us "
+    "FROM customer"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "scan_roundtrip_lineitem": (scan_roundtrip_lineitem, SQL_SCAN_ROUNDTRIP),
     "scan_projection_pruning": (scan_projection_pruning, SQL_SCAN_PROJECTION),
@@ -858,4 +1146,16 @@ QUERIES: dict[str, tuple] = {
     "tpch_q18_large_orders": (tpch_q18_large_orders, SQL_TPCH_Q18),
     "scalar_json_events": (scalar_json_events, SQL_SCALAR_JSON),
     "agg_grouping_sets": (agg_grouping_sets, SQL_AGG_GROUPING_SETS),
+    "tpch_q4_order_priority": (tpch_q4_order_priority, SQL_TPCH_Q4),
+    "tpch_q6_revenue": (tpch_q6_revenue, SQL_TPCH_Q6),
+    "subquery_correlated_scalar": (subquery_correlated_scalar, SQL_SUBQUERY_SCALAR),
+    "subquery_in_uncorrelated": (subquery_in_uncorrelated, SQL_SUBQUERY_IN),
+    "window_lead_lag": (window_lead_lag, SQL_WINDOW_LEAD_LAG),
+    "window_range_frame": (window_range_frame, SQL_WINDOW_RANGE_FRAME),
+    "agg_stats_moments": (agg_stats_moments, SQL_AGG_STATS),
+    "scalar_array_functions": (scalar_array_functions, SQL_SCALAR_ARRAY),
+    "scalar_map_functions": (scalar_map_functions, SQL_SCALAR_MAP),
+    "dedup_latest_per_key": (dedup_latest_per_key, SQL_DEDUP_LATEST),
+    "join_nested_loop": (join_nested_loop, SQL_JOIN_NESTED_LOOP),
+    "types_unsigned_time": (types_unsigned_time, SQL_TYPES_UNSIGNED),
 }

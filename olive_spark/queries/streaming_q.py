@@ -74,8 +74,34 @@ SQL_STREAM_SINK = (
 )
 
 
+def stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming gap-based session windows (30-min gap) per user —
+    F.session_window state machine; the oracle recomputes the same
+    sessions with LAG/SUM window SQL over the original parquet."""
+    path = os.path.join(data.ensure_olive(sf), "events")
+    sdf = streaming.read_stream(spark, path)
+    sess = streaming.session_windows(
+        sdf, time_col="ts", gap="30 minutes", key="user_id", watermark="2 hours"
+    )
+    return streaming.run_available_now(sess, output_mode="complete")
+
+
+SQL_STREAM_SESSION = (
+    "WITH g AS (SELECT user_id, epoch_us(ts) AS tus, "
+    "CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+    "(PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000 "
+    "OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL "
+    "THEN 1 ELSE 0 END AS brk FROM events), "
+    "s AS (SELECT user_id, tus, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM g) "
+    "SELECT user_id, MIN(tus) AS start_us, MAX(tus) + 1800000000 AS end_us, "
+    "COUNT(*) AS n_events FROM s GROUP BY user_id, sid"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "stream_window_counts": (stream_window_counts, SQL_STREAM_WINDOW),
+    "stream_session_window": (stream_session_window, SQL_STREAM_SESSION),
     "stream_user_totals": (stream_user_totals, None),
     "stream_olive_sink": (stream_olive_sink, SQL_STREAM_SINK),
 }

@@ -10,6 +10,7 @@ files per microbatch.
 from olive_spark.streaming.ops import (  # noqa: F401
     read_stream,
     run_available_now,
+    session_windows,
     stateful_user_totals,
     tumbling_counts,
     write_stream_olive,

@@ -51,6 +51,30 @@ def tumbling_counts(
     )
 
 
+def session_windows(
+    sdf: DataFrame,
+    time_col: str = "ts",
+    gap: str = "30 minutes",
+    key: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows (F.session_window): a session closes when
+    no event arrives for ``gap``; window end = last event + gap. State is
+    partitioned by (key, session) — the streaming mirror of the batch
+    sessionize operator (olive_spark.ops.timeseries.sessionize)."""
+    agg = (
+        sdf.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(time_col, gap).alias("w"), key)
+        .agg(F.count("*").alias("n_events"))
+    )
+    return agg.select(
+        key,
+        F.unix_micros(F.col("w.start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("w.end").cast("timestamp")).alias("end_us"),
+        "n_events",
+    )
+
+
 def stateful_user_totals(sdf: DataFrame, key: str = "user_id") -> DataFrame:
     """Custom stateful operator: running per-user totals held in
     GroupState across microbatches (applyInPandasWithState). Emits the

@@ -159,6 +159,36 @@ def test_physical_encodings_canonicalized():
     assert pa.types.is_string(got.schema.field("d").type)
 
 
+def test_union_lowered_to_tagged_struct():
+    # dense/sparse unions have no Spark equivalent → stored as
+    # {_type_id, <fields>} tagged structs (SURVEY.md §1.2; reference
+    # writes unions natively, src/write.zig:463-549)
+    ints = pa.array([1, 7], pa.int64())
+    strs = pa.array(["x"], pa.string())
+    types = pa.array([0, 1, 0], pa.int8())
+    offsets = pa.array([0, 0, 1], pa.int32())
+    dense = pa.UnionArray.from_dense(
+        types, offsets, [ints, strs], ["num", "word"]
+    )
+    got = roundtrip({"t": pa.table({"u": dense})})["t"]
+    assert got.column("u").to_pylist() == [
+        {"_type_id": 0, "num": 1, "word": None},
+        {"_type_id": 1, "num": None, "word": "x"},
+        {"_type_id": 0, "num": 7, "word": None},
+    ]
+
+    s_ints = pa.array([10, 20, 30], pa.int64())
+    s_flts = pa.array([0.5, 1.5, 2.5], pa.float64())
+    s_types = pa.array([0, 1, 0], pa.int8())
+    sparse = pa.UnionArray.from_sparse(s_types, [s_ints, s_flts], ["i", "f"])
+    got2 = roundtrip({"t": pa.table({"u": sparse})})["t"]
+    assert got2.column("u").to_pylist() == [
+        {"_type_id": 0, "i": 10, "f": None},
+        {"_type_id": 1, "i": None, "f": 1.5},
+        {"_type_id": 0, "i": 30, "f": None},
+    ]
+
+
 # -------------------------------------------------- multi-table + global dict
 
 

@@ -11,7 +11,7 @@ Python), ≤ 255 rows, 1–4 fields.
 from __future__ import annotations
 
 import pyarrow as pa
-from hypothesis import given, settings, strategies as st
+from hypothesis import HealthCheck, given, settings, strategies as st
 
 from olive_spark.format import OliveError, read_all_tables, read_chunk, write_chunk
 
@@ -67,7 +67,9 @@ def table(draw):
 
 
 @given(t=table(), page_rows=st.sampled_from([7, 64, 100000]))
-@settings(max_examples=60, deadline=None)
+@settings(
+    max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
 def test_roundtrip_property(t: pa.Table, page_rows: int):
     got = read_all_tables(write_chunk({"t": t}, page_rows=page_rows))["t"]
     assert got.schema.equals(t.schema)
@@ -75,7 +77,9 @@ def test_roundtrip_property(t: pa.Table, page_rows: int):
 
 
 @given(t=table(), data=st.data())
-@settings(max_examples=25, deadline=None)
+@settings(
+    max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
 def test_hostile_bytes_property(t: pa.Table, data):
     """Bit-flipped chunks must raise typed OliveError or return valid
     tables — never crash (reference src/fuzz.zig:12-61)."""
