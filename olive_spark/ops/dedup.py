@@ -290,10 +290,10 @@ def embedding_neardup_pairs(
 
     def assign(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         planes = None
+        from olive_spark.ops.similarity import batch_matrix
+
         for batch in batches:
-            vecs = np.asarray(
-                batch.column(vec_col).to_pylist(), dtype=np.float64
-            )
+            vecs = batch_matrix(batch.column(vec_col))
             if vecs.ndim != 2 or vecs.shape[0] == 0:
                 bucket = np.zeros(batch.num_rows, dtype=np.int32)
             else:

@@ -23,6 +23,30 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+def batch_matrix(col) -> "np.ndarray":  # noqa: F821
+    """Arrow list<float> column → (n, d) float64 matrix WITHOUT Python
+    object materialization: flatten the child buffer and reshape when all
+    rows share one width (always true for embeddings). Falls back to
+    to_pylist for ragged/null inputs."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_fixed_size_list(t):
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.astype(np.float64, copy=False).reshape(len(col), t.list_size)
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)) and col.null_count == 0:
+        widths = np.diff(np.asarray(col.offsets))
+        if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64, copy=False).reshape(
+                len(col), int(widths[0])
+            )
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
 def cosine_expr(a, b):
     """cos(a, b) as a JVM expression over two array columns (double math)."""
     ad = F.transform(a, lambda x: x.cast("double"))
@@ -90,7 +114,7 @@ def cosine_topk_arrow(
         best: list = []
         for batch in batches:
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            vecs = batch_matrix(batch.column(vec_col))
             if len(vecs) == 0:
                 continue
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)

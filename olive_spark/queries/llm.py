@@ -14,7 +14,7 @@ from olive_spark.queries import data
 
 
 def llm_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
-    df = data.load(spark, sf, "documents")
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
     return dedup.exact_dedup(df)
 
 
@@ -27,19 +27,19 @@ SQL_DEDUP_EXACT = (
 def llm_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (rows-only check: banding + xxhash64
     permutations aren't reproducible in ANSI SQL)."""
-    df = data.load(spark, sf, "documents")
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
     return dedup.minhash_lsh_pairs(df, threshold=0.5)
 
 
 def llm_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only)."""
-    df = data.load(spark, sf, "documents")
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
     return dedup.simhash_neardup_pairs(df, max_hamming=3)
 
 
 def llm_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidates (rows-only)."""
-    df = data.load(spark, sf, "documents")
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
     return dedup.ngram_jaccard_pairs(df, threshold=0.5)
 
 
@@ -55,7 +55,7 @@ def llm_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
 def llm_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-k for a deterministic query set (vec_id < 5),
     declarative path — DuckDB oracle via list_cosine_similarity."""
-    corpus = data.load(spark, sf, "embeddings")
+    corpus = data.load(spark, sf, "embeddings", columns=["vec_id", "embedding"])
     queries = corpus.filter(F.col("vec_id") < 5)
     return similarity.cosine_topk(corpus, queries, k=10)
 
@@ -74,7 +74,7 @@ SQL_SIMILARITY_TOPK = (
 
 def llm_similarity_arrow(spark: SparkSession, sf: str) -> DataFrame:
     """Same top-k via the Arrow/numpy matmul scale path — same oracle."""
-    corpus = data.load(spark, sf, "embeddings")
+    corpus = data.load(spark, sf, "embeddings", columns=["vec_id", "embedding"])
     qrows = [
         (r["vec_id"], r["embedding"])
         for r in corpus.filter(F.col("vec_id") < 5).collect()
@@ -85,7 +85,7 @@ def llm_similarity_arrow(spark: SparkSession, sf: str) -> DataFrame:
 def llm_similarity_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-bucketed ANN (rows-only: recall < 1 by design — the point is
     the bucket-pruned scan shape that survives 100 TB)."""
-    corpus = data.load(spark, sf, "embeddings")
+    corpus = data.load(spark, sf, "embeddings", columns=["vec_id", "embedding"])
     queries = corpus.filter(F.col("vec_id") < 5)
     return similarity.ivf_topk(corpus, queries, k=10)
 
@@ -94,7 +94,7 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal frame sampling: binary payload → per-frame rows via
     Arrow-batched mapInPandas (decoder stubbed deterministically, so the
     oracle reproduces frames + byte slices arithmetically)."""
-    df = data.load(spark, sf, "documents")
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
     return multimodal.frame_sample(multimodal.attach_binary_payload(df))
 
 
@@ -108,7 +108,7 @@ SQL_MM_FRAMES = (
 
 
 def llm_text_stats(spark: SparkSession, sf: str) -> DataFrame:
-    df = data.load(spark, sf, "documents")
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
     return textstats.text_stats(df)
 
 
@@ -124,14 +124,14 @@ SQL_TEXT_STATS = (
 def llm_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic quality filters (rows-only: array_intersect semantics and
     double reductions aren't worth chasing bit-exactly in SQL)."""
-    df = data.load(spark, sf, "documents")
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
     return textstats.quality_score(df)
 
 
 def llm_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """Stopword-hit language ID; DuckDB reproduces the argmax with
     struct list_sort (both engines compare (hits, lang) structs)."""
-    df = data.load(spark, sf, "documents")
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
     return textstats.lang_id(df)
 
 
@@ -158,7 +158,7 @@ SQL_LANG_ID = _lang_id_sql()
 
 
 def llm_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    df = data.load(spark, sf, "documents")
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
     return textstats.fingerprint(df)
 
 
@@ -169,7 +169,7 @@ SQL_FINGERPRINT = (
 
 
 def llm_token_count(spark: SparkSession, sf: str) -> DataFrame:
-    df = data.load(spark, sf, "documents")
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
     return textstats.token_count(df)
 
 
@@ -190,7 +190,7 @@ def llm_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     and token budget. Integer-only outputs so the oracle is exact."""
     from pyspark.sql.window import Window
 
-    df = data.load(spark, sf, "documents")
+    df = data.load(spark, sf, "documents", columns=["doc_id", "lang", "text"])
     toks = textstats.tokens(F.col("text"))
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     staged = df.select(
@@ -225,7 +225,7 @@ def mm_decode_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal decode plumbing: binary payload → Arrow-batched
     mapInPandas metadata extraction. Decoder is a deterministic stub, so
     the oracle reproduces it arithmetically from the byte length."""
-    df = data.load(spark, sf, "documents")
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
     return multimodal.decode_metadata(multimodal.attach_binary_payload(df))
 
 

@@ -48,7 +48,7 @@ SQL_SCAN_PROJECTION = "SELECT l_orderkey, l_extendedprice FROM lineitem"
 def scan_filter_pages(spark: SparkSession, sf: str) -> DataFrame:
     """Filter pushdown → page-granular row skipping on row_index_ends
     (reference src/header.zig:41-45, src/write.zig:861-917)."""
-    df = data.load(spark, sf, "orders")
+    df = data.load(spark, sf, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     return df.filter(F.col("o_totalprice") > 400000.0).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
@@ -75,7 +75,7 @@ SQL_SCAN_NULLS = (
 
 def scan_nested_list(spark: SparkSession, sf: str) -> DataFrame:
     """List-typed column through olive (reference src/write.zig:604-648)."""
-    return data.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    return data.load(spark, sf, "embeddings", columns=["vec_id", "embedding"])
 
 
 SQL_SCAN_NESTED = "SELECT vec_id, embedding FROM embeddings"
@@ -102,7 +102,7 @@ SQL_SCAN_MULTI = (
 def dict_encode_fsb(spark: SparkSession, sf: str) -> DataFrame:
     """Global fsb20/32 dictionary round-trip (reference src/dict.zig:493-536):
     the addr20/hash32 columns were dict-encoded as u32 indices on write."""
-    df = data.load(spark, sf, "orders_fsb")
+    df = data.load(spark, sf, "orders_fsb", columns=["addr20", "hash32"])
     return (
         df.groupBy(F.col("addr20").cast("string").alias("addr"))
         .agg(
@@ -138,7 +138,9 @@ def compression_codecs(spark: SparkSession, sf: str) -> DataFrame:
                 f.write(write_chunk({"orders": t}, compression_bias=bias))
     outs = []
     for bias in ("balanced", "read_optimized"):
-        df = data.load(spark, sf, f"orders_{bias}")
+        df = data.load(
+            spark, sf, f"orders_{bias}", columns=["o_orderstatus", "o_totalprice"]
+        )
         outs.append(
             df.groupBy("o_orderstatus").agg(
                 F.count("*").alias("n"),
@@ -160,7 +162,9 @@ SQL_COMPRESSION = (
 
 def types_decimal_date(spark: SparkSession, sf: str) -> DataFrame:
     """decimal128 + date32 storage mappings (reference src/write.zig:138-177)."""
-    df = data.load(spark, sf, "lineitem_dec")
+    df = data.load(
+        spark, sf, "lineitem_dec", columns=["price_dec", "disc_dec", "ship_date"]
+    )
     return (
         df.groupBy(F.year("ship_date").alias("ship_year"))
         .agg(
@@ -189,7 +193,11 @@ def agg_groupby_sum(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1-shaped aggregation over the olive scan — partial (map-side)
     aggregation + single shuffle on the group keys; all expressions stay in
     whole-stage codegen."""
-    df = data.load(spark, sf, "lineitem")
+    df = data.load(
+        spark, sf, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
     return (
         df.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -252,8 +260,8 @@ SQL_AGG_ROLLUP = (
 
 def join_hash_orders_customer(spark: SparkSession, sf: str) -> DataFrame:
     """Shuffle hash / sort-merge join on the key; AQE picks the strategy."""
-    orders = data.load(spark, sf, "orders")
-    cust = data.load(spark, sf, "customer")
+    orders = data.load(spark, sf, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = data.load(spark, sf, "customer", columns=["c_custkey", "c_mktsegment"])
     return (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
@@ -271,9 +279,9 @@ SQL_JOIN_HASH = (
 def join_broadcast_dims(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-join with explicitly broadcast small dimensions (scale path:
     region/nation are tiny at any SF — never shuffle them)."""
-    cust = data.load(spark, sf, "customer")
-    nation = data.load(spark, sf, "nation")
-    region = data.load(spark, sf, "region")
+    cust = data.load(spark, sf, "customer", columns=["c_nationkey", "c_acctbal"])
+    nation = data.load(spark, sf, "nation", columns=["n_nationkey", "n_regionkey"])
+    region = data.load(spark, sf, "region", columns=["r_regionkey", "r_name"])
     return (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -315,7 +323,7 @@ SQL_JOIN_SEMI_ANTI = (
 def window_rank_events(spark: SparkSession, sf: str) -> DataFrame:
     """Window rank per user over the events table (ingested through olive —
     Spark's parquet scanner cannot read its TIMESTAMP(NANOS) at all)."""
-    df = data.load(spark, sf, "events")
+    df = data.load(spark, sf, "events", columns=["event_id", "user_id", "ts"])
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id"))
     return (
         df.withColumn("rk", F.rank().over(w))
@@ -334,7 +342,7 @@ SQL_WINDOW_RANK = (
 
 def window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
     """Cumulative windowed aggregation with frame specification."""
-    df = data.load(spark, sf, "events")
+    df = data.load(spark, sf, "events", columns=["event_id", "user_id", "ts", "value"])
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.col("ts"), F.col("event_id"))
@@ -358,7 +366,7 @@ SQL_WINDOW_RUNNING = (
 
 def sort_limit_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top-k: Spark plans TakeOrderedAndProject — no global sort shuffle."""
-    df = data.load(spark, sf, "orders")
+    df = data.load(spark, sf, "orders", columns=["o_orderkey", "o_totalprice"])
     return (
         df.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .select("o_orderkey", "o_totalprice")
@@ -396,7 +404,10 @@ SQL_SETOP = (
 def scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
     """String/date/math scalar surface over an olive scan (reference has
     none — SURVEY.md §2.6; all built-in pyspark.sql.functions, JVM-side)."""
-    df = data.load(spark, sf, "customer")
+    df = data.load(
+        spark, sf, "customer",
+        columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"],
+    )
     return df.select(
         "c_custkey",
         F.upper(F.col("c_name")).alias("name_upper"),
@@ -485,7 +496,7 @@ def window_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     integer epoch-µs math so both engines agree exactly."""
     from olive_spark.ops.timeseries import sessionize
 
-    df = data.load(spark, sf, "events")
+    df = data.load(spark, sf, "events", columns=["user_id", "ts"])
     return sessionize(df, key="user_id", time_col="ts", gap_minutes=30)
 
 
@@ -658,13 +669,17 @@ SQL_SETOP_INTERSECT = (
 
 def tpch_q3_shipping(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3-shaped 3-way join + agg + top-k, all over olive scans."""
-    cust = data.load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = data.load(spark, sf, "orders").filter(
-        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz")
-    )
-    li = data.load(spark, sf, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz")
-    )
+    cust = data.load(
+        spark, sf, "customer", columns=["c_custkey", "c_mktsegment"]
+    ).filter(F.col("c_mktsegment") == "BUILDING")
+    orders = data.load(
+        spark, sf, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz"))
+    li = data.load(
+        spark, sf, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz"))
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
@@ -1109,6 +1124,184 @@ SQL_TYPES_UNSIGNED = (
 )
 
 
+def scalar_datetime_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Datetime scalar surface: trunc/extract/diff/add — JVM-side, all
+    folded into the scan's project (no shuffle)."""
+    df = data.load(spark, sf, "orders", columns=["o_orderkey", "o_orderdate"])
+    d = F.col("o_orderdate")
+    return df.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.hour(d).alias("hr"),
+        F.unix_micros(F.date_trunc("month", d).cast("timestamp")).alias("month_start_us"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).alias("days_to_y2k"),
+        F.unix_micros(F.date_add(d.cast("date"), 30).cast("timestamp")).alias("plus30_us"),
+    )
+
+
+SQL_SCALAR_DATETIME = (
+    "SELECT o_orderkey, "
+    "EXTRACT(year FROM o_orderdate) AS yr, "
+    "EXTRACT(quarter FROM o_orderdate) AS qtr, "
+    "EXTRACT(month FROM o_orderdate) AS mo, "
+    "EXTRACT(day FROM o_orderdate) AS dom, "
+    "EXTRACT(hour FROM o_orderdate) AS hr, "
+    "epoch_us(date_trunc('month', o_orderdate)) AS month_start_us, "
+    "datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k, "
+    "epoch_us(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP)) AS plus30_us "
+    "FROM orders"
+)
+
+
+def scalar_string_advanced(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex + string-transform scalar surface (regexp_extract/replace,
+    translate, initcap, lpad, split element access)."""
+    df = data.load(spark, sf, "part", columns=["p_partkey", "p_name", "p_type", "p_brand"])
+    return df.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("name_masked"),
+        F.translate("p_brand", "#", "N").alias("brand_norm"),
+        F.initcap("p_name").alias("name_title"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_pad"),
+        F.split("p_type", " ").getItem(0).alias("type_first"),
+        F.reverse("p_brand").alias("brand_rev"),
+    )
+
+
+SQL_SCALAR_STRING = (
+    "SELECT p_partkey, "
+    "regexp_extract(p_type, '^(\\w+)', 1) AS type_head, "
+    "regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_masked, "
+    "replace(p_brand, '#', 'N') AS brand_norm, "
+    "list_aggregate(list_transform(regexp_split_to_array(p_name, ' '), "
+    "  x -> upper(x[1]) || lower(x[2:])), 'string_agg', ' ') AS name_title, "
+    "lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_pad, "
+    "split_part(p_type, ' ', 1) AS type_first, "
+    "reverse(p_brand) AS brand_rev "
+    "FROM part"
+)
+
+
+def join_left_right_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT and RIGHT outer joins with unmatched sides (suppliers never
+    appear in lineitem at partial key ranges)."""
+    supp = data.load(spark, sf, "supplier", columns=["s_suppkey", "s_nationkey"])
+    li = (
+        data.load(spark, sf, "lineitem", columns=["l_suppkey", "l_quantity"])
+        .filter(F.col("l_quantity") > 49)
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_big"))
+    )
+    left = supp.join(li, supp.s_suppkey == li.l_suppkey, "left").select(
+        "s_suppkey", F.coalesce("n_big", F.lit(0)).alias("n_big"),
+        F.lit("left").alias("side"),
+    )
+    right = li.join(supp, supp.s_suppkey == li.l_suppkey, "right").select(
+        "s_suppkey", F.coalesce("n_big", F.lit(0)).alias("n_big"),
+        F.lit("right").alias("side"),
+    )
+    return left.unionByName(right)
+
+
+SQL_JOIN_LEFT_RIGHT = (
+    "WITH li AS (SELECT l_suppkey, COUNT(*) AS n_big FROM lineitem "
+    "WHERE l_quantity > 49 GROUP BY l_suppkey) "
+    "SELECT s_suppkey, COALESCE(n_big, 0) AS n_big, 'left' AS side "
+    "FROM supplier LEFT JOIN li ON s_suppkey = l_suppkey "
+    "UNION ALL "
+    "SELECT s_suppkey, COALESCE(n_big, 0) AS n_big, 'right' AS side "
+    "FROM li RIGHT JOIN supplier ON s_suppkey = l_suppkey"
+)
+
+
+def tpch_q12_shipmode(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional CASE aggregation by flag."""
+    orders = data.load(spark, sf, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = data.load(spark, sf, "lineitem", columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+    hi = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(hi).alias("high_line_count"),
+            F.sum(1 - hi).alias("low_line_count"),
+        )
+    )
+
+
+SQL_TPCH_Q12 = (
+    "SELECT l_returnflag, "
+    "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count, "
+    "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "GROUP BY l_returnflag"
+)
+
+
+def tpch_q14_promo_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue ratio over a join — exact
+    decimal arithmetic, single output row."""
+    part = data.load(spark, sf, "part", columns=["p_partkey", "p_type"])
+    li = data.load(
+        spark, sf, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(D) - _dec("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast(D))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).cast("decimal(28,4)").alias("promo_revenue"),
+            F.sum(rev).cast("decimal(28,4)").alias("total_revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+SQL_TPCH_Q14 = (
+    "SELECT "
+    "CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,4)) AS promo_revenue, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS total_revenue, "
+    "COUNT(*) AS n "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"
+)
+
+
+def agg_collect_sorted(spark: SparkSession, sf: str) -> DataFrame:
+    """collect_set / collect_list aggregation (sorted for determinism) —
+    the array-building agg shape feature pipelines use for grouping."""
+    df = data.load(spark, sf, "orders", columns=["o_orderstatus", "o_orderpriority"])
+    return df.groupBy("o_orderstatus").agg(
+        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_AGG_COLLECT = (
+    "SELECT o_orderstatus, "
+    "list_sort(list(DISTINCT o_orderpriority)) AS priorities, "
+    "COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "scan_roundtrip_lineitem": (scan_roundtrip_lineitem, SQL_SCAN_ROUNDTRIP),
     "scan_projection_pruning": (scan_projection_pruning, SQL_SCAN_PROJECTION),
@@ -1158,4 +1351,10 @@ QUERIES: dict[str, tuple] = {
     "dedup_latest_per_key": (dedup_latest_per_key, SQL_DEDUP_LATEST),
     "join_nested_loop": (join_nested_loop, SQL_JOIN_NESTED_LOOP),
     "types_unsigned_time": (types_unsigned_time, SQL_TYPES_UNSIGNED),
+    "scalar_datetime_functions": (scalar_datetime_functions, SQL_SCALAR_DATETIME),
+    "scalar_string_advanced": (scalar_string_advanced, SQL_SCALAR_STRING),
+    "join_left_right_outer": (join_left_right_outer, SQL_JOIN_LEFT_RIGHT),
+    "tpch_q12_shipmode": (tpch_q12_shipmode, SQL_TPCH_Q12),
+    "tpch_q14_promo_ratio": (tpch_q14_promo_ratio, SQL_TPCH_Q14),
+    "agg_collect_sorted": (agg_collect_sorted, SQL_AGG_COLLECT),
 }

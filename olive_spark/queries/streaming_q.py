@@ -24,7 +24,7 @@ def stream_window_counts(spark: SparkSession, sf: str) -> DataFrame:
     file-by-file from the olive events directory; complete output mode →
     the final state equals the batch GROUP BY."""
     path = os.path.join(data.ensure_olive(sf), "events")
-    sdf = streaming.read_stream(spark, path)
+    sdf = streaming.read_stream(spark, path, columns="ts,event_type,value")
     agg = streaming.tumbling_counts(
         sdf, time_col="ts", window="1 hour", keys=("event_type",),
         watermark="2 hours", value_col="value",
@@ -45,7 +45,7 @@ def stream_user_totals(spark: SparkSession, sf: str) -> DataFrame:
     running per-user totals across microbatches. Rows-only check (float
     accumulation order varies; the row-per-user shape is the contract)."""
     path = os.path.join(data.ensure_olive(sf), "events")
-    sdf = streaming.read_stream(spark, path)
+    sdf = streaming.read_stream(spark, path, columns="user_id,value")
     totals = streaming.stateful_user_totals(sdf, key="user_id")
     return streaming.run_available_now(totals, output_mode="update")
 
@@ -79,7 +79,7 @@ def stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
     F.session_window state machine; the oracle recomputes the same
     sessions with LAG/SUM window SQL over the original parquet."""
     path = os.path.join(data.ensure_olive(sf), "events")
-    sdf = streaming.read_stream(spark, path)
+    sdf = streaming.read_stream(spark, path, columns="user_id,ts")
     sess = streaming.session_windows(
         sdf, time_col="ts", gap="30 minutes", key="user_id", watermark="2 hours"
     )
