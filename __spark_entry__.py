@@ -24,6 +24,17 @@ def _prepare(spark: SparkSession) -> None:
 
     register_olive(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        # Under local[32] bursts, freshly-forked Python workers can miss
+        # the 15 s default connect-back window → transient
+        # "Python worker failed to connect back" failures.  The factory
+        # reads the live SparkConf at worker spawn, so this takes effect
+        # even though the session already exists.
+        spark.sparkContext._jsc.sc().conf().set(
+            "spark.python.authenticate.socketTimeout", "120s"
+        )
+    except Exception:
+        pass  # conf shape differs on Connect sessions — best-effort
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -279,7 +279,7 @@ def _filter_to_predicate(f: Filter) -> Optional[tuple[str, str, Any]]:
     if isinstance(f, LessThanOrEqual):
         return (col, "<=", f.value)
     if isinstance(f, In):
-        return (col, "in", list(f.values))
+        return (col, "in", list(f.value))
     return None
 
 

@@ -1,0 +1,115 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+The reference implements none of these (it is a file format,
+/root/reference/src/root.zig:9-16); they are the north-star extensions
+the engine adds on top of the olive scan.  Everything here stays
+JVM-side (built-in pyspark.sql.functions — regexp, split, explode,
+aggregates); there are no Python UDFs, so at 100 TB each operator is a
+scan + at most one shuffle:
+
+- ``pii_redact``           scan-only (per-row regexp, no shuffle)
+- ``stratified_sample``    scan-only (deterministic modulo predicate —
+                           reproducible across runs/engines, unlike
+                           ``df.sample`` whose RNG is partition-layout
+                           dependent)
+- ``vocab_topk``           one shuffle on word (map-side partial agg
+                           shrinks it to |vocab| per partition)
+- ``bigram_topk``          same, on word pairs
+- ``contamination_check``  broadcast hash-semi-join: the benchmark
+                           fingerprint set is tiny (eval suites are
+                           thousands of rows) while the corpus is the
+                           100 TB side — never shuffle the corpus
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PHONE_RE = "555-[0-9]+"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask email/phone patterns; adds ``redacted`` + per-kind match
+    counts (the counts let a pipeline route docs to review queues)."""
+    emails = F.size(F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), F.lit(0)))
+    phones = F.size(F.regexp_extract_all(F.col(text_col), F.lit(PHONE_RE), F.lit(0)))
+    red = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.withColumn("n_emails", emails).withColumn("n_phones", phones) \
+        .withColumn("redacted", red)
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, key_col: str, rates: dict[str, int],
+    default_rate: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep rows with
+    ``key % 100 < rate[stratum]``.  Modulo on a stable key (not rand())
+    makes the sample identical on every run, engine, and partitioning —
+    a requirement for reproducible training mixes."""
+    rate: Column = F.lit(default_rate)
+    for value, r in rates.items():
+        rate = F.when(F.col(stratum_col) == value, F.lit(r)).otherwise(rate)
+    return df.filter((F.col(key_col) % 100) < rate)
+
+
+def words(text_col: str) -> Column:
+    """Whitespace tokenization with empty tokens dropped."""
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 40) -> DataFrame:
+    """Corpus vocabulary histogram, top-k by count (ties broken by word
+    for determinism)."""
+    return (
+        df.select(F.explode(words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(k)
+    )
+
+
+def bigram_topk(df: DataFrame, text_col: str = "text", k: int = 30) -> DataFrame:
+    """Word-bigram histogram, top-k.  Bigrams built with a higher-order
+    array transform (JVM-side), not a UDF."""
+    w = words(text_col)
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+    )
+    return (
+        df.filter(F.size(w) >= 2)
+        .select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(k)
+    )
+
+
+def prefix_fingerprint(text_col: str, n_words: int = 8) -> Column:
+    """Fingerprint = first n words rejoined — catches boilerplate and
+    benchmark leakage that md5-exact matching misses."""
+    return F.array_join(F.slice(F.split(F.col(text_col), " "), 1, n_words), " ")
+
+
+def contamination_check(
+    corpus: DataFrame, benchmark: DataFrame, text_col: str = "text",
+    n_words: int = 8,
+) -> DataFrame:
+    """Count corpus docs per source whose prefix fingerprint appears in
+    the benchmark set.  The benchmark side is broadcast — the corpus
+    (the 100 TB side) is never shuffled."""
+    fp = prefix_fingerprint(text_col, n_words)
+    bench_fp = benchmark.select(fp.alias("h")).distinct()
+    return (
+        corpus.withColumn("h", fp)
+        .join(F.broadcast(bench_fp), "h", "inner")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_contaminated"))
+    )

@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 
 CACHE_ROOT = "/tmp/olive_cache"
-CACHE_VERSION = "v4"  # bump when derived-table definitions change
+CACHE_VERSION = "v5"  # bump when derived-table definitions change
 N_CHUNKS = 16  # files per table = scan parallelism floor (real clusters
 MIN_CHUNK_ROWS = 256  # get this for free from many-file layouts)
 TABLES = (
@@ -156,6 +156,25 @@ def _write_derived(sf_dir: str, out: str) -> None:
         "u64": pa.array(ck_np.astype("uint64") + 2**63, pa.uint64()),
         "t32_s": pa.array((ck_np % 86400).astype("int32"), pa.time32("s")),
         "t64_us": pa.array((ck_np % 86400).astype("int64") * 1_000_000, pa.time64("us")),
+    })})
+
+    # documents_pii — documents with synthetic PII appended (the driver
+    # corpus has no emails/phones); the suffix is a pure function of
+    # doc_id so the oracle rebuilds it in ANSI SQL
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang", "source"])
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    pii = pa.array(
+        [f"{t} contact user{i}@example.com or call 555-0{i % 10000}."
+         for i, t in zip(ids, texts)],
+        pa.string(),
+    )
+    emit("documents_pii", {"documents_pii": pa.table({
+        "doc_id": docs.column("doc_id"),
+        "lang": docs.column("lang"),
+        "source": docs.column("source"),
+        "text_pii": pii,
     })})
 
     # multi — one chunk file holding two named tables

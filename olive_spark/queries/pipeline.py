@@ -1,0 +1,134 @@
+"""Training-data-pipeline query surface: PII redaction, deterministic
+stratified sampling, vocabulary/n-gram statistics, benchmark
+contamination, length percentiles.
+
+All operators are built-in-function compositions (olive_spark.ops.
+curation) — no Python UDFs — and each carries a DuckDB oracle, so the
+driver's hash gate checks exact semantics, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from olive_spark.ops import curation
+from olive_spark.queries import data
+
+
+def llm_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex PII masking over the documents_pii table (synthetic emails/
+    phones appended as a pure function of doc_id — see queries.data)."""
+    df = data.load(spark, sf, "documents_pii", columns=["doc_id", "text_pii"])
+    return curation.pii_redact(df, "text_pii").select(
+        "doc_id", "n_emails", "n_phones", "redacted"
+    )
+
+
+SQL_PII_REDACT = (
+    "SELECT doc_id, "
+    "length(regexp_extract_all(text_pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS n_emails, "
+    "length(regexp_extract_all(text_pii, '555-[0-9]+')) AS n_phones, "
+    "regexp_replace(regexp_replace(text_pii, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'555-[0-9]+', '<PHONE>', 'g') AS redacted "
+    "FROM (SELECT doc_id, text || ' contact user' || doc_id || "
+    "'@example.com or call 555-0' || (doc_id % 10000) || '.' AS text_pii "
+    "FROM documents)"
+)
+
+
+def llm_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language sampling (en kept at 10%, others at
+    50%) — modulo on doc_id, reproducible across engines and runs."""
+    df = data.load(spark, sf, "documents", columns=["doc_id", "lang", "n_chars"])
+    sampled = curation.stratified_sample(
+        df, "lang", "doc_id", {"en": 10}, default_rate=50
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+SQL_STRATIFIED = (
+    "SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sum_chars "
+    "FROM documents "
+    "WHERE doc_id % 100 < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END) "
+    "GROUP BY lang"
+)
+
+
+def llm_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary histogram, top 40 (tie-broken by word)."""
+    df = data.load(spark, sf, "documents", columns=["text"])
+    return curation.vocab_topk(df, "text", k=40)
+
+
+SQL_VOCAB = (
+    "SELECT word, COUNT(*) AS n FROM ("
+    "SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents"
+    ") WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 40"
+)
+
+
+def llm_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-bigram histogram, top 30 — JVM higher-order transform, no
+    UDF."""
+    df = data.load(spark, sf, "documents", columns=["text"])
+    return curation.bigram_topk(df, "text", k=30)
+
+
+SQL_NGRAM = (
+    "SELECT bigram, COUNT(*) AS n FROM ("
+    "SELECT unnest(list_transform(range(2, len(w) + 1), "
+    "i -> w[i - 1] || ' ' || w[i])) AS bigram "
+    "FROM (SELECT list_filter(string_split_regex(text, '\\s+'), "
+    "x -> x <> '') AS w FROM documents) WHERE len(w) >= 2"
+    ") GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30"
+)
+
+
+def llm_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-leakage scan: docs sharing an 8-word prefix fingerprint
+    with the held-out set (doc_id % 11 = 0), counted per source; the
+    benchmark fingerprints broadcast, the corpus never shuffles."""
+    docs = data.load(spark, sf, "documents", columns=["doc_id", "text", "source"])
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    corpus = docs.filter(F.col("doc_id") % 11 != 0)
+    return curation.contamination_check(corpus, bench, "text", n_words=8)
+
+
+SQL_CONTAMINATION = (
+    "SELECT source, COUNT(*) AS n_contaminated FROM documents d "
+    "JOIN (SELECT DISTINCT array_to_string(string_split(text, ' ')[1:8], ' ') AS h "
+    "FROM documents WHERE doc_id % 11 = 0) b "
+    "ON array_to_string(string_split(d.text, ' ')[1:8], ' ') = b.h "
+    "WHERE d.doc_id % 11 <> 0 GROUP BY source"
+)
+
+
+def llm_length_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact length percentiles per language (quality-gate thresholds
+    are usually set from these).  Integer inputs → the interpolated
+    quantiles are exact dyadic fractions, identical in both engines."""
+    df = data.load(spark, sf, "documents", columns=["lang", "n_chars"])
+    return df.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit([0.25, 0.5, 0.75])).alias("pct_chars"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_LENGTH_PCT = (
+    "SELECT lang, quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS pct_chars, "
+    "COUNT(*) AS n FROM documents GROUP BY lang"
+)
+
+
+QUERIES: dict[str, tuple] = {
+    "llm_pii_redact": (llm_pii_redact, SQL_PII_REDACT),
+    "llm_stratified_sample": (llm_stratified_sample, SQL_STRATIFIED),
+    "llm_vocab_topk": (llm_vocab_topk, SQL_VOCAB),
+    "llm_ngram_topk": (llm_ngram_topk, SQL_NGRAM),
+    "llm_contamination": (llm_contamination, SQL_CONTAMINATION),
+    "llm_length_percentiles": (llm_length_percentiles, SQL_LENGTH_PCT),
+}

@@ -113,3 +113,17 @@ def test_unsigned_widening_through_spark(spark, tmp_path):
 def test_read_missing_path_raises(spark, tmp_path):
     with pytest.raises(Exception, match="no .olive files|PATH_NOT_FOUND|not an olive"):
         spark.read.format("olive").load(str(tmp_path / "nope")).collect()
+
+
+def test_in_filter_pushdown(spark, tmp_path):
+    """IN-list predicates reach pushFilters as In(attribute, value) —
+    regression: the tuple field is .value, not .values."""
+    t = pa.table({"k": pa.array(range(100), pa.int64()),
+                  "v": pa.array([i * 2 for i in range(100)], pa.int64())})
+    p = tmp_path / "inpush"
+    p.mkdir()
+    (p / "part-00000.olive").write_bytes(write_chunk({"t": t}))
+    df = spark.read.format("olive").load(str(p))
+    got = df.filter(df.k.isin(3, 7, 99, 1234)).orderBy("k").collect()
+    assert [r["k"] for r in got] == [3, 7, 99]
+    assert [r["v"] for r in got] == [6, 14, 198]
