@@ -124,11 +124,128 @@ SQL_LENGTH_PCT = (
 )
 
 
+def llm_repetition_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repetition gate: distinct-word / total-word ratio
+    per doc (boilerplate and degenerate generations score low).  The
+    ratio is a division of two small ints — bit-identical IEEE doubles
+    in both engines — and the gate keeps docs under 0.5."""
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text", "source"])
+    w = curation.words("text")
+    ratio = F.size(F.array_distinct(w)).cast("double") / F.size(w)
+    return (
+        df.select("doc_id", "source", F.round(ratio, 9).alias("distinct_ratio"))
+        .filter(F.col("distinct_ratio") < 0.5)
+    )
+
+
+SQL_REPETITION = (
+    "SELECT doc_id, source, ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 9) AS distinct_ratio "
+    "FROM (SELECT doc_id, source, "
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w "
+    "FROM documents) WHERE len(list_distinct(w)) < 0.5 * len(w)"
+)
+
+
+def llm_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-capacity sequence packing for training batches: docs in
+    doc_id order are assigned to 4096-token packs by cumulative token
+    count (pack = floor(cumsum_before / capacity)); returns per-pack
+    doc count and token totals.  All integer window math — exact in
+    both engines.  At scale the single global cumsum would serialize;
+    partition-wise packing (pack per shard) is the 100 TB variant, this
+    query pins the windowed-cumsum semantics."""
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    from pyspark.sql.window import Window
+
+    ntok = F.size(curation.words("text"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    toks = df.select("doc_id", ntok.alias("n_tokens"))
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 4096).cast("long"),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+SQL_PACK = (
+    "SELECT pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens, "
+    "MIN(doc_id) AS first_doc FROM ("
+    "SELECT CAST(FLOOR(COALESCE(SUM(n_tokens) OVER "
+    "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS BIGINT) AS pack_id, "
+    "doc_id, n_tokens FROM (SELECT doc_id, "
+    "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens "
+    "FROM documents)"
+    ") GROUP BY pack_id"
+)
+
+
+def llm_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clusters via connected components: docs are linked when
+    they share a HEAD (first 6 words) or TAIL (last 6 words) prefix
+    fingerprint — two overlapping clique families, so real transitive
+    closure is required, not just a GROUP BY.  Spark runs iterative
+    min-label propagation (olive_spark.ops.graph); the oracle computes
+    the same fixpoint with a recursive CTE.  Star edges (doc → group
+    min per fingerprint) keep the edge list linear in corpus size."""
+    from olive_spark.ops.graph import connected_components
+    from pyspark.sql.window import Window
+
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    w = F.split(F.col("text"), " ")
+    head = F.array_join(F.slice(w, 1, 6), " ")
+    tail = F.array_join(
+        F.slice(w, F.greatest(F.lit(1), F.size(w) - 5), 6), " "
+    )
+    edges = None
+    for fp in (head, tail):
+        grp = Window.partitionBy("fp")
+        e = (
+            df.select(F.col("doc_id").alias("src"), fp.alias("fp"))
+            .withColumn("dst", F.min("src").over(grp))
+            .select("src", "dst")
+        )
+        edges = e if edges is None else edges.union(e)
+    cc = connected_components(edges)
+    return (
+        cc.groupBy(F.col("cluster").alias("cluster_id"))
+        .agg(F.count("*").alias("n_docs"), F.max("node").alias("max_doc"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+SQL_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+    "fps AS ("
+    "SELECT doc_id, array_to_string(ws[1:6], ' ') AS fp FROM w "
+    "UNION ALL "
+    "SELECT doc_id, array_to_string(ws[greatest(1, len(ws) - 5):], ' ') AS fp FROM w), "
+    "edges AS ("
+    "SELECT DISTINCT a.doc_id AS src, b.m AS dst FROM fps a "
+    "JOIN (SELECT fp, MIN(doc_id) AS m FROM fps GROUP BY fp) b USING (fp)), "
+    "sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges "
+    "UNION SELECT src, src FROM edges), "
+    "reach(a, b) AS ("
+    "SELECT src, dst FROM sym "
+    "UNION "
+    "SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src) "
+    "SELECT cluster_id, COUNT(*) AS n_docs, MAX(a) AS max_doc FROM ("
+    "SELECT a, MIN(b) AS cluster_id FROM reach GROUP BY a) "
+    "GROUP BY cluster_id HAVING COUNT(*) >= 2"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "llm_pii_redact": (llm_pii_redact, SQL_PII_REDACT),
+    "llm_repetition_ratio": (llm_repetition_ratio, SQL_REPETITION),
+    "llm_pack_sequences": (llm_pack_sequences, SQL_PACK),
     "llm_stratified_sample": (llm_stratified_sample, SQL_STRATIFIED),
     "llm_vocab_topk": (llm_vocab_topk, SQL_VOCAB),
     "llm_ngram_topk": (llm_ngram_topk, SQL_NGRAM),
     "llm_contamination": (llm_contamination, SQL_CONTAMINATION),
     "llm_length_percentiles": (llm_length_percentiles, SQL_LENGTH_PCT),
+    "llm_dedup_clusters": (llm_dedup_clusters, SQL_DEDUP_CLUSTERS),
 }

@@ -1,0 +1,110 @@
+"""Relational coverage, round-2 continuation: full-frame navigation
+windows, histogram bucketing, and a deterministic salted skew join.
+
+The reference implements no relational operators (SURVEY.md §2.6); each
+query here exercises a Spark surface over olive-format scans with an
+exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from olive_spark.queries import data
+from olive_spark.queries.relational import D, _dec
+
+
+def window_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-frame navigation: last_value / nth_value over an unbounded
+    frame plus cume_dist, per user ordered by event time.  cume_dist is
+    a ratio of small ints — IEEE double division is bit-identical in
+    both engines (rounded anyway for the hash)."""
+    df = data.load(spark, sf, "events", columns=["event_id", "user_id", "ts"])
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    wo = Window.partitionBy("user_id").orderBy(tus, F.col("event_id"))
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return df.select(
+        "user_id",
+        "event_id",
+        F.last("event_id").over(wf).alias("last_event"),
+        F.nth_value("event_id", 3).over(wf).alias("third_event"),
+        F.round(F.cume_dist().over(wo), 9).alias("cd"),
+    )
+
+
+SQL_WINDOW_FIRST_LAST = (
+    "SELECT user_id, event_id, "
+    "LAST_VALUE(event_id) OVER wf AS last_event, "
+    "NTH_VALUE(event_id, 3) OVER wf AS third_event, "
+    "ROUND(CUME_DIST() OVER wo, 9) AS cd "
+    "FROM events WINDOW "
+    "wo AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id), "
+    "wf AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+)
+
+
+def agg_histogram_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram of order totals (5000-wide buckets) — the
+    bucketing is exact decimal floor-division, so bucket edges cannot
+    drift between engines the way float multiplication could."""
+    df = data.load(spark, sf, "orders", columns=["o_totalprice"])
+    bucket = F.floor(_dec("o_totalprice") / 5000).cast("long")
+    return (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("decimal(28,2)").alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_AGG_HISTOGRAM = (
+    "SELECT CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) / 5000) AS BIGINT) AS bucket, "
+    "COUNT(*) AS n_orders, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price "
+    "FROM orders GROUP BY 1 ORDER BY bucket"
+)
+
+
+def join_skew_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-mitigated join: events (skewed fact — a few users dominate)
+    ⋈ per-user dimension.  The dimension side is exploded across 8
+    deterministic salt values and the fact side salts on event_id % 8,
+    so one hot user_id fans out over 8 reducers instead of one.  The
+    oracle is the UNSALTED join — salting must be semantically
+    invisible."""
+    ev = data.load(spark, sf, "events", columns=["event_id", "user_id", "value"])
+    users = (
+        data.load(spark, sf, "events", columns=["user_id", "value"])
+        .groupBy("user_id")
+        .agg(F.max("value").alias("user_max"))  # max: order-independent, bit-stable
+    )
+    n_salt = 8
+    dim = users.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    fact = ev.withColumn("salt", (F.col("event_id") % n_salt).cast("int"))
+    joined = fact.join(dim, ["user_id", "salt"])
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("value") == F.col("user_max"), 1).otherwise(0)).alias("n_at_max"),
+    )
+
+
+SQL_JOIN_SKEW = (
+    "SELECT e.user_id, COUNT(*) AS n_events, "
+    "SUM(CASE WHEN e.value = u.user_max THEN 1 ELSE 0 END) AS n_at_max "
+    "FROM events e JOIN (SELECT user_id, MAX(value) AS user_max "
+    "FROM events GROUP BY user_id) u ON e.user_id = u.user_id "
+    "GROUP BY e.user_id"
+)
+
+
+QUERIES: dict[str, tuple] = {
+    "window_first_last": (window_first_last, SQL_WINDOW_FIRST_LAST),
+    "agg_histogram_buckets": (agg_histogram_buckets, SQL_AGG_HISTOGRAM),
+    "join_skew_salted": (join_skew_salted, SQL_JOIN_SKEW),
+}

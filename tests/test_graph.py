@@ -1,0 +1,48 @@
+"""Unit tests pinning connected-components semantics on handcrafted
+graphs (the oracle harness cross-checks a corpus-sized instance against
+a recursive CTE; these pin exact behavior: chains needing >1 round,
+isolated self-loops, label minimality)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+
+
+def _cc(spark, edges):
+    from olive_spark.ops.graph import connected_components
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = connected_components(df).collect()
+    return {r["node"]: r["cluster"] for r in rows}
+
+
+def test_chain_converges_past_one_hop(spark):
+    # 1-2-3-4-5 chain: min label must travel 4 hops
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_two_components_and_self_loop(spark):
+    got = _cc(spark, [(10, 11), (11, 12), (20, 21), (30, 30)])
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30}
+
+
+def test_overlapping_cliques_merge(spark):
+    # {1,2,3} and {3,4,5} share node 3 → one component labeled 1
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {1}
+    assert len(got) == 5
