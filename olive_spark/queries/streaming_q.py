@@ -99,8 +99,59 @@ SQL_STREAM_SESSION = (
 )
 
 
+def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream inner join: click events matched to the
+    same user's view events in the trailing hour.  Time-bounded join
+    condition → both state stores age out past the watermark (bounded
+    memory at 100 TB; an unbounded stream-stream join would retain
+    everything).  Output: matched id pairs, append mode."""
+    path = os.path.join(data.ensure_olive(sf), "events")
+    clicks = streaming.read_stream(spark, path, columns="event_id,user_id,ts,event_type") \
+        .filter(F.col("event_type") == "click")
+    views = streaming.read_stream(spark, path, columns="event_id,user_id,ts,event_type") \
+        .filter(F.col("event_type") == "view")
+    joined = streaming.stream_stream_join(
+        clicks, views, key="user_id", time_col="ts", lookback="1 hour",
+    )
+    out = joined.select(
+        F.col("a.event_id").alias("click_id"),
+        F.col("b.event_id").alias("view_id"),
+        F.col("a.user_id").alias("user_id"),
+    )
+    return streaming.run_available_now(out, output_mode="append")
+
+
+SQL_STREAM_JOIN = (
+    "SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id "
+    "FROM events a JOIN events b ON a.user_id = b.user_id "
+    "AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts "
+    "WHERE a.event_type = 'click' AND b.event_type = 'view'"
+)
+
+
+def stream_dedup_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type) followed by a
+    complete-mode aggregation — two chained stateful operators.  Which
+    physical row survives dedup varies with microbatch order, but the
+    count of distinct keys per event_type is exact and deterministic,
+    so that is the checked output."""
+    path = os.path.join(data.ensure_olive(sf), "events")
+    sdf = streaming.read_stream(spark, path, columns="user_id,event_type")
+    dedup = streaming.stream_dedup(sdf, ["user_id", "event_type"])
+    agg = dedup.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    return streaming.run_available_now(agg, output_mode="complete")
+
+
+SQL_STREAM_DEDUP = (
+    "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+    "FROM events GROUP BY event_type"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "stream_window_counts": (stream_window_counts, SQL_STREAM_WINDOW),
+    "stream_stream_join": (stream_stream_join, SQL_STREAM_JOIN),
+    "stream_dedup_counts": (stream_dedup_counts, SQL_STREAM_DEDUP),
     "stream_session_window": (stream_session_window, SQL_STREAM_SESSION),
     "stream_user_totals": (stream_user_totals, None),
     "stream_olive_sink": (stream_olive_sink, SQL_STREAM_SINK),

@@ -12,6 +12,8 @@ from olive_spark.streaming.ops import (  # noqa: F401
     run_available_now,
     session_windows,
     stateful_user_totals,
+    stream_dedup,
+    stream_stream_join,
     tumbling_counts,
     write_stream_olive,
 )

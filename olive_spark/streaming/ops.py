@@ -101,6 +101,45 @@ def stateful_user_totals(sdf: DataFrame, key: str = "user_id") -> DataFrame:
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    time_col: str = "ts",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: for each left event, right
+    events of the same key within the trailing ``lookback``.  Both sides
+    carry watermarks and the join condition bounds right.ts to a finite
+    range of left.ts, so state for either side is dropped once the
+    watermark passes — bounded memory at any scale (the unbounded
+    alternative would retain every row forever).  Append-only output:
+    the matched id pairs."""
+    a = left.withWatermark(time_col, watermark).alias("a")
+    b = right.withWatermark(time_col, watermark).alias("b")
+    cond = (
+        (F.col(f"a.{key}") == F.col(f"b.{key}"))
+        & (F.col(f"b.{time_col}") >= F.col(f"a.{time_col}") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(f"b.{time_col}") <= F.col(f"a.{time_col}"))
+    )
+    return a.join(b, cond, "inner")
+
+
+def stream_dedup(
+    sdf: DataFrame, subset: list[str], watermark_col: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming dropDuplicates on ``subset``: first arrival per key
+    survives, subsequent ones are dropped across microbatches.  With a
+    watermark column the dedup state ages out (the at-scale mode);
+    without one state grows with distinct keys."""
+    if watermark_col:
+        sdf = sdf.withWatermark(watermark_col, watermark)
+        return sdf.dropDuplicates(subset + [watermark_col])
+    return sdf.dropDuplicates(subset)
+
+
 def run_available_now(
     sdf: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:

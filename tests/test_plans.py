@@ -1,0 +1,109 @@
+"""Physical-plan assertions — the 100 TB contract, checked at sf0.001.
+
+Correctness tests prove the operators compute the right answer; these
+prove the PLANS are the ones that survive a 1000-executor scale-up:
+column pruning reaches the olive scan, small dimensions broadcast
+instead of shuffling, scan-shaped queries have no exchange at all, and
+the corpus side of the contamination check is never shuffled.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_prunes_to_projected_columns(spark):
+    from olive_spark.queries import data
+
+    df = data.load(spark, SF, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    p = plan_of(df)
+    assert "BatchScan olive" in p
+    # the 16-column table must reach the scan as exactly the 2 projected
+    # columns — a full-width ReadSchema means pruning regressed
+    assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>" in p
+
+
+def test_scan_filter_project_has_no_exchange(spark):
+    from olive_spark.queries import data
+
+    df = data.load(spark, SF, "orders", columns=["o_orderkey", "o_totalprice"]) \
+        .filter(F.col("o_totalprice") > 1000)
+    p = plan_of(df)
+    assert "Exchange" not in p, "narrow scan+filter must not shuffle"
+
+
+def test_dimension_joins_broadcast(spark):
+    from olive_spark.queries import ALL_QUERIES
+
+    df = ALL_QUERIES["join_broadcast_dims"][0](spark, SF)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, "dims must broadcast, not sort-merge"
+
+
+def test_contamination_corpus_side_not_shuffled(spark):
+    from olive_spark.queries import ALL_QUERIES
+
+    df = ALL_QUERIES["llm_contamination"][0](spark, SF)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p
+    # exactly one exchange is legitimate: the final per-source groupBy.
+    # A second one would mean the corpus was shuffled for the join.
+    n_exchange = p.count("+- Exchange") + p.count("* Exchange")
+    assert n_exchange <= 2, f"corpus side shuffled for the join:\n{p}"
+
+
+def test_groupby_is_partial_then_final(spark):
+    from olive_spark.queries import data
+
+    df = (
+        data.load(spark, SF, "lineitem", columns=["l_returnflag", "l_quantity"])
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    p = plan_of(df)
+    # map-side combine: a partial_sum aggregate below exactly one
+    # hash-partitioned exchange (node names repeat in formatted output,
+    # so count the partitioning argument, not the node label)
+    assert "partial_sum" in p
+    assert p.count("hashpartitioning") == 1
+
+
+def test_topk_uses_takeordered(spark):
+    from olive_spark.queries import data
+
+    df = (
+        data.load(spark, SF, "orders", columns=["o_orderkey", "o_totalprice"])
+        .orderBy(F.col("o_totalprice").desc())
+        .limit(10)
+    )
+    p = plan_of(df)
+    assert "TakeOrderedAndProject" in p, "top-k must not global-sort"
