@@ -29,6 +29,11 @@ Options:
     chunkRows        max rows per output file (default 1 << 20)
     dictEncode       "true"/"false" — global fsb20/32 dict (default true)
     stats            "true"/"false" — per-page min/max stats (default true)
+    partitionBy      comma-separated columns → hive-style
+                     ``path/col=value/part-*.olive`` layout on write; reads
+                     prune whole directories on =/IN pushed filters
+                     (partition columns stay in the data, the dir name is
+                     a pruning index)
 """
 
 from __future__ import annotations
@@ -172,6 +177,8 @@ class OliveReader(DataSourceReader):
         parts = []
         preds = tuple(self.predicates)
         for fp in files:
+            if preds and _dir_prunable(self.path, fp, preds):
+                continue  # hive-style col=value segment excluded by filter
             if preds and self._file_prunable(fp, preds):
                 continue
             parts.append(OliveInputPartition(fp, self.table, self.columns, preds))
@@ -263,6 +270,35 @@ def _cast_to(tbl: "pa.Table", expected: "pa.Schema") -> "pa.Table":
     )
 
 
+def _dir_prunable(root: str, fp: str, preds) -> bool:
+    """Partition pruning on hive-style ``col=value`` path segments: a
+    file is skipped when an equality/IN predicate on a partition column
+    excludes its directory's value.  String-exact comparison only (the
+    writer encodes values with ``quote(str(v))``); range predicates fall
+    through to chunk-stats pruning."""
+    import urllib.parse
+
+    rel = os.path.relpath(os.path.dirname(fp), root)
+    if rel in (".", ""):
+        return False
+    vals: dict[str, str] = {}
+    for seg in rel.split(os.sep):
+        if "=" in seg:
+            c, v = seg.split("=", 1)
+            vals[c] = urllib.parse.unquote(v)
+    if not vals:
+        return False
+    for col, op, val in preds:
+        got = vals.get(col)
+        if got is None:
+            continue
+        if op == "=" and got != str(val):
+            return True
+        if op == "in" and got not in {str(v) for v in val}:
+            return True
+    return False
+
+
 def _filter_to_predicate(f: Filter) -> Optional[tuple[str, str, Any]]:
     attr = getattr(f, "attribute", None)
     if not attr or len(attr) != 1:
@@ -299,32 +335,39 @@ class OliveWriter(DataSourceArrowWriter):
         self.bias = options.get("compressionbias", options.get("compressionBias", "balanced"))
         self.dict_encode = str(options.get("dictencode", options.get("dictEncode", "true"))).lower() == "true"
         self.stats = str(options.get("stats", "true")).lower() == "true"
+        pb = options.get("partitionby", options.get("partitionBy"))
+        self.partition_by = [c.strip() for c in pb.split(",")] if pb else []
         self.overwrite = overwrite
+
+    def _emit(self, tbl: "pa.Table", subdir: str, files: list) -> None:
+        from olive_spark.format.writer import write_chunk
+
+        blob = write_chunk(
+            {self.table: tbl},
+            page_rows=self.page_rows,
+            compression_bias=self.bias,
+            dict_encode=self.dict_encode,
+            collect_stats=self.stats,
+        )
+        d = os.path.join(self.path, subdir) if subdir else self.path
+        os.makedirs(d, exist_ok=True)
+        fp = os.path.join(d, f"part-{uuid.uuid4().hex}.olive")
+        with open(fp, "wb") as f:
+            f.write(blob)
+        files.append(fp)
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> OliveCommitMessage:
         import pyarrow as pa
 
-        from olive_spark.format.writer import write_chunk
-
         os.makedirs(self.path, exist_ok=True)
         files: list[str] = []
+
+        if self.partition_by:
+            return self._write_partitioned(iterator, files)
+
         buf: list[pa.RecordBatch] = []
         rows = 0
         schema: Optional[pa.Schema] = None
-
-        def emit(tbl: pa.Table) -> None:
-            blob = write_chunk(
-                {self.table: tbl},
-                page_rows=self.page_rows,
-                compression_bias=self.bias,
-                dict_encode=self.dict_encode,
-                collect_stats=self.stats,
-            )
-            fp = os.path.join(self.path, f"part-{uuid.uuid4().hex}.olive")
-            with open(fp, "wb") as f:
-                f.write(blob)
-            files.append(fp)
-
         for batch in iterator:
             schema = schema or batch.schema
             buf.append(batch)
@@ -333,12 +376,52 @@ class OliveWriter(DataSourceArrowWriter):
                 # split on the chunk boundary even inside a large batch —
                 # this is what enforces the 4 GiB data-section cap at scale
                 tbl = pa.Table.from_batches(buf)
-                emit(tbl.slice(0, self.chunk_rows))
+                self._emit(tbl.slice(0, self.chunk_rows), "", files)
                 rest = tbl.slice(self.chunk_rows)
                 buf = rest.to_batches() if rest.num_rows else []
                 rows = rest.num_rows
         if rows:
-            emit(pa.Table.from_batches(buf, schema=schema))
+            self._emit(pa.Table.from_batches(buf, schema=schema), "", files)
+        return OliveCommitMessage(tuple(files))
+
+    def _write_partitioned(self, iterator, files: list) -> OliveCommitMessage:
+        """Hive-style layout: path/col=value/.../part-*.olive, one chunk
+        file set per distinct partition tuple per task.  Partition columns
+        stay IN the data (no virtual-column reconstruction on read); the
+        directory name is a pruning index, not the storage of the value.
+
+        At scale the caller should `df.repartition(*partition_cols)` (or
+        range-partition) before writing so each task holds few distinct
+        tuples — the same discipline Spark's own parquet partitionBy
+        needs."""
+        import urllib.parse
+
+        import pyarrow as pa
+
+        groups: dict[tuple, list] = {}
+        for batch in iterator:
+            tbl = pa.Table.from_batches([batch])
+            # group_by preserves value types; iterate distinct tuples
+            keys = tbl.select(self.partition_by)
+            distinct = keys.group_by(self.partition_by).aggregate([])
+            for row in distinct.to_pylist():
+                mask = None
+                import pyarrow.compute as pc
+
+                for c in self.partition_by:
+                    m = pc.equal(tbl.column(c), pa.scalar(row[c]))
+                    mask = m if mask is None else pc.and_(mask, m)
+                sub = tbl.filter(mask)
+                key = tuple(row[c] for c in self.partition_by)
+                groups.setdefault(key, []).append(sub)
+        for key, tables in groups.items():
+            sub = pa.concat_tables(tables)
+            subdir = "/".join(
+                f"{c}={urllib.parse.quote(str(v), safe='')}"
+                for c, v in zip(self.partition_by, key)
+            )
+            for off in range(0, sub.num_rows, self.chunk_rows):
+                self._emit(sub.slice(off, self.chunk_rows), subdir, files)
         return OliveCommitMessage(tuple(files))
 
     def commit(self, messages) -> None:  # files are final on write

@@ -183,6 +183,30 @@ def _write_derived(sf_dir: str, out: str) -> None:
     emit("multi", {"region": region, "nation": nation})
 
 
+def load_partitioned(spark, sf_dir: str, table: str, partition_by: str,
+                     columns: list[str] | None = None):
+    """Scan ``table`` through a hive-partitioned olive layout, converting
+    once per (table, partition column) into the cache.  Reads prune
+    whole ``col=value`` directories on =/IN filters — the 100 TB path
+    for low-cardinality selective predicates."""
+    from olive_spark.datasource import register_olive
+
+    register_olive(spark)
+    root = ensure_olive(sf_dir)
+    out = os.path.join(root, f"{table}_by_{partition_by}")
+    marker = os.path.join(out, "_PART_OK")
+    if not os.path.exists(marker):
+        df = load(spark, sf_dir, table)
+        df.repartition(partition_by).write.format("olive") \
+            .option("partitionBy", partition_by).mode("append").save(out)
+        with open(marker, "w") as f:
+            f.write("ok")
+    r = spark.read.format("olive")
+    if columns:
+        r = r.option("columns", ",".join(columns))
+    return r.load(out)
+
+
 def load(spark, sf_dir: str, table: str, columns: list[str] | None = None,
          chunk_table: str | None = None):
     """Scan an olive table as a DataFrame (converting/caching on demand)."""

@@ -103,8 +103,37 @@ SQL_JOIN_SKEW = (
 )
 
 
+def scan_partitioned_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Hive-partitioned olive scan: events written once as
+    ``event_type=<v>/part-*.olive``; an IN filter then prunes whole
+    directories before any chunk header is opened (tests prove pruned
+    dirs are never read — a poisoned file in a non-matching partition
+    doesn't fail the scan)."""
+    df = data.load_partitioned(
+        spark, sf, "events", "event_type",
+        columns=["event_type", "user_id", "value"],
+    )
+    return (
+        df.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(D)).cast(D).alias("sum_value"),
+        )
+    )
+
+
+SQL_SCAN_PARTITIONED = (
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value "
+    "FROM events WHERE event_type IN ('click', 'purchase') "
+    "GROUP BY event_type"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "window_first_last": (window_first_last, SQL_WINDOW_FIRST_LAST),
+    "scan_partitioned_pruning": (scan_partitioned_pruning, SQL_SCAN_PARTITIONED),
     "agg_histogram_buckets": (agg_histogram_buckets, SQL_AGG_HISTOGRAM),
     "join_skew_salted": (join_skew_salted, SQL_JOIN_SKEW),
 }

@@ -127,3 +127,88 @@ def test_in_filter_pushdown(spark, tmp_path):
     got = df.filter(df.k.isin(3, 7, 99, 1234)).orderBy("k").collect()
     assert [r["k"] for r in got] == [3, 7, 99]
     assert [r["v"] for r in got] == [6, 14, 198]
+
+
+def test_partitioned_write_roundtrip(spark, tmp_path):
+    t = pa.table({
+        "k": pa.array(range(60), pa.int64()),
+        "cat": pa.array(["a", "b", "c"] * 20, pa.string()),
+    })
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "in.olive").write_bytes(write_chunk({"data": t}))
+    df = spark.read.format("olive").load(str(src))
+    out = tmp_path / "parted"
+    df.write.format("olive").option("partitionBy", "cat").mode("append").save(str(out))
+    dirs = sorted(p.name for p in out.iterdir() if p.is_dir())
+    assert dirs == ["cat=a", "cat=b", "cat=c"]
+    back = spark.read.format("olive").load(str(out))
+    assert back.count() == 60
+    assert sorted(r["k"] for r in back.collect()) == list(range(60))
+
+
+def test_partition_pruning_skips_directories(spark, tmp_path):
+    """Directory pruning must be real: a poisoned file in a non-matching
+    partition proves the reader never opens pruned directories."""
+    out = tmp_path / "pp"
+    for cat in ["a", "b"]:
+        d = out / f"cat={cat}"
+        d.mkdir(parents=True)
+        t = pa.table({
+            "k": pa.array(range(10), pa.int64()),
+            "cat": pa.array([cat] * 10, pa.string()),
+        })
+        (d / "part-0.olive").write_bytes(write_chunk({"data": t}))
+    poison = out / "cat=z"
+    poison.mkdir()
+    (poison / "part-0.olive").write_bytes(b"OLIVEGARBAGE" * 10)
+    df = spark.read.format("olive").load(str(out))
+    got = df.filter(df.cat == "a").collect()
+    assert len(got) == 10 and all(r["cat"] == "a" for r in got)
+    got = df.filter(df.cat.isin("a", "b")).collect()
+    assert len(got) == 20
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    from olive_spark.ops.maintenance import compact
+
+    d = tmp_path / "frag"
+    d.mkdir()
+    for i in range(10):
+        t = pa.table({"k": pa.array(range(i * 50, i * 50 + 50), pa.int64())})
+        (d / f"part-{i}.olive").write_bytes(write_chunk({"data": t}))
+    stats = compact(spark, str(d), target_rows=250)
+    assert stats == {"files_before": 10, "files_after": 2, "rows": 500}
+    back = spark.read.format("olive").load(str(d))
+    assert sorted(r["k"] for r in back.collect()) == list(range(500))
+
+
+def test_compact_sorted_layout_gives_disjoint_file_stats(spark, tmp_path):
+    """After sort_by compaction each file owns a disjoint key interval —
+    the property that makes range predicates prune whole files."""
+    import random
+
+    from olive_spark.datasource.olive_datasource import (
+        _list_chunk_files,
+        _read_header_bytes,
+    )
+    from olive_spark.ops.maintenance import compact
+
+    rng = random.Random(7)
+    vals = list(range(1000))
+    rng.shuffle(vals)
+    d = tmp_path / "sorted"
+    d.mkdir()
+    for i in range(4):
+        t = pa.table({"k": pa.array(vals[i * 250:(i + 1) * 250], pa.int64())})
+        (d / f"part-{i}.olive").write_bytes(write_chunk({"data": t}))
+    compact(spark, str(d), target_rows=250, sort_by="k")
+    ranges = []
+    for fp in _list_chunk_files(str(d)):
+        header, _ = _read_header_bytes(fp)
+        th = header.tables[0]
+        st = th.fields[th.field_names.index("k")].stats
+        ranges.append((min(st["min"]), max(st["max"])))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: {ranges}"
