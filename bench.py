@@ -48,6 +48,13 @@ HEADLINE = [
     "mm_frame_sample",
     "stream_window_counts",
     "stream_olive_sink",
+    "stream_stream_join",
+    "tpch_q9_product_revenue",
+    "tpch_q21_waiting_orders",
+    "scan_partitioned_pruning",
+    "llm_contamination",
+    "llm_pack_sequences",
+    "llm_dedup_clusters",
 ]
 
 

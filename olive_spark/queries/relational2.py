@@ -131,7 +131,43 @@ SQL_SCAN_PARTITIONED = (
 )
 
 
+def scalar_hash_bitwise(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash + bitwise scalar surface: md5 / sha2-256 content hashes
+    (the dedup-pipeline primitives), bit and/or/xor/shift, bit_count,
+    hex.  All JVM-side built-ins."""
+    df = data.load(spark, sf, "customer", columns=["c_custkey", "c_name"])
+    k = F.col("c_custkey")
+    return df.select(
+        "c_custkey",
+        F.md5(F.col("c_name")).alias("h_md5"),
+        F.sha2(F.col("c_name"), 256).alias("h_sha256"),
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(4096)).alias("b_or"),
+        k.bitwiseXOR(F.lit(0x5A5A)).alias("b_xor"),
+        F.shiftleft(k, 3).alias("b_shl"),
+        F.shiftright(k, 2).alias("b_shr"),
+        F.bit_count(k).alias("b_pop"),
+        F.lower(F.hex(k)).alias("k_hex"),
+    )
+
+
+SQL_SCALAR_HASH = (
+    "SELECT c_custkey, "
+    "md5(c_name) AS h_md5, "
+    "sha256(c_name) AS h_sha256, "
+    "c_custkey & 255 AS b_and, "
+    "c_custkey | 4096 AS b_or, "
+    "xor(c_custkey, 23130) AS b_xor, "
+    "c_custkey << 3 AS b_shl, "
+    "c_custkey >> 2 AS b_shr, "
+    "bit_count(c_custkey) AS b_pop, "
+    "lower(hex(c_custkey)) AS k_hex "
+    "FROM customer"
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "scalar_hash_bitwise": (scalar_hash_bitwise, SQL_SCALAR_HASH),
     "window_first_last": (window_first_last, SQL_WINDOW_FIRST_LAST),
     "scan_partitioned_pruning": (scan_partitioned_pruning, SQL_SCAN_PARTITIONED),
     "agg_histogram_buckets": (agg_histogram_buckets, SQL_AGG_HISTOGRAM),
