@@ -65,6 +65,39 @@ def decode_metadata(df: DataFrame, payload_col: str = "payload", id_col: str = "
     return src.mapInPandas(decode, DECODE_SCHEMA)
 
 
+def audio_windows(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
+    window: int = 1024, hop: int = 512,
+) -> DataFrame:
+    """STUB audio windower: treats the payload as 16-bit PCM and computes
+    the strided analysis-window count per clip (the shape every
+    feature-extraction pipeline needs before STFT).  A real deployment
+    decodes with soundfile/librosa here; the sample math is what the
+    oracle reproduces:
+
+        n_samples = n_bytes // 2
+        n_windows = 0 if n_samples < window else (n_samples-window)//hop + 1
+    """
+    import pandas as pd
+
+    src = df.select(id_col, payload_col)
+    schema = "doc_id long, n_samples long, n_windows long"
+
+    def win(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, samples, wins = [], [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                n = (len(p) if p is not None else 0) // 2
+                ids.append(did)
+                samples.append(n)
+                wins.append(0 if n < window else (n - window) // hop + 1)
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_samples": samples, "n_windows": wins}
+            )
+
+    return src.mapInPandas(win, schema)
+
+
 def frame_sample(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
                  every_n: int = 10) -> DataFrame:
     """STUB frame sampler: emits one row per sampled 'frame' with a

@@ -240,8 +240,26 @@ SQL_MM_DECODE = (
 )
 
 
+def mm_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio analysis-window plumbing: payload → strided 1024/512 window
+    counts via Arrow-batched mapInPandas (DSP stubbed; the sample math
+    is reproduced arithmetically by the oracle)."""
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    return multimodal.audio_windows(multimodal.attach_binary_payload(df))
+
+
+SQL_MM_AUDIO = (
+    "SELECT doc_id, "
+    "CAST(strlen(text) // 2 AS BIGINT) AS n_samples, "
+    "CAST(CASE WHEN strlen(text) // 2 < 1024 THEN 0 "
+    "ELSE (strlen(text) // 2 - 1024) // 512 + 1 END AS BIGINT) AS n_windows "
+    "FROM documents"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "llm_dedup_exact": (llm_dedup_exact, SQL_DEDUP_EXACT),
+    "mm_audio_windows": (mm_audio_windows, SQL_MM_AUDIO),
     "llm_dedup_minhash": (llm_dedup_minhash, None),
     "llm_dedup_simhash": (llm_dedup_simhash, None),
     "llm_dedup_ngram": (llm_dedup_ngram, None),

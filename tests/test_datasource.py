@@ -212,3 +212,21 @@ def test_compact_sorted_layout_gives_disjoint_file_stats(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"file ranges overlap: {ranges}"
+
+
+def test_csv_and_json_ingest_to_olive(spark, tmp_path):
+    """Ingest breadth: foreign sources (CSV, JSONL) land in olive via a
+    plain Spark job — the 100 TB ingest path is scan → olive write."""
+    csv = tmp_path / "in.csv"
+    csv.write_text("k,name\n1,alpha\n2,beta\n3,gamma\n")
+    jl = tmp_path / "in.jsonl"
+    jl.write_text('{"k": 4, "name": "delta"}\n{"k": 5, "name": "epsilon"}\n')
+    out = tmp_path / "olive_ingest"
+    spark.read.option("header", "true").option("inferSchema", "true") \
+        .csv(str(csv)).write.format("olive").mode("append").save(str(out))
+    spark.read.json(str(jl)).select("k", "name") \
+        .write.format("olive").mode("append").save(str(out))
+    back = spark.read.format("olive").load(str(out))
+    got = {(r["k"], r["name"]) for r in back.collect()}
+    assert got == {(1, "alpha"), (2, "beta"), (3, "gamma"),
+                   (4, "delta"), (5, "epsilon")}
