@@ -57,6 +57,32 @@ def cosine_expr(a, b):
     return dot / (na * nb)
 
 
+def cosine_range(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Range search: every corpus vector with cos ≥ threshold of each
+    query (radius-neighbor variant of top-k; the k-free API retrieval
+    pipelines want for 'everything this similar').  Queries broadcast,
+    corpus never shuffles."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("corpus_vec")
+    )
+    sim = F.round(cosine_expr(F.col("query_vec"), F.col("corpus_vec")), 6)
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -238,8 +238,74 @@ SQL_DEDUP_CLUSTERS = (
 )
 
 
+def llm_similarity_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Radius-neighbor search: all corpus vectors with cosine ≥ 0.3 of
+    each query vector (vec_id < 3) — the k-free retrieval variant."""
+    from olive_spark.ops import similarity
+
+    corpus = data.load(spark, sf, "embeddings", columns=["vec_id", "embedding"])
+    queries = corpus.filter(F.col("vec_id") < 3)
+    return similarity.cosine_range(corpus, queries, threshold=0.3)
+
+
+SQL_SIMILARITY_RANGE = (
+    "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    "ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+    "CAST(c.embedding AS DOUBLE[])), 6) AS cosine "
+    "FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id "
+    "WHERE q.vec_id < 3 AND ROUND(list_cosine_similarity("
+    "CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) >= 0.3"
+)
+
+
+def llm_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf with LINEAR idf
+    (score = tf · N / df): every input to the score is an exact integer,
+    so the IEEE division is bit-identical across engines — no
+    transcendental log whose last ulp could flip a ranking.  Two-level
+    aggregation: doc-term tf, corpus df, broadcast-joined back."""
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    from pyspark.sql.window import Window
+
+    n_docs = df.count()
+    terms = df.select(
+        "doc_id", F.explode(curation.words("text")).alias("word")
+    )
+    tf = terms.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "word").select(
+        "doc_id", "word",
+        F.round(F.col("tf") * F.lit(float(n_docs)) / F.col("df"), 6).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "word")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "word", "score", "rk")
+    )
+
+
+SQL_TFIDF = (
+    "WITH terms AS (SELECT doc_id, unnest(list_filter("
+    "string_split_regex(text, '\\s+'), x -> x <> '')) AS word FROM documents), "
+    "tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM terms GROUP BY doc_id, word), "
+    "dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word), "
+    "n AS (SELECT COUNT(*) AS n_docs FROM documents) "
+    "SELECT doc_id, word, score, rk FROM ("
+    "SELECT doc_id, word, "
+    "ROUND(tf * (SELECT CAST(n_docs AS DOUBLE) FROM n) / df, 6) AS score, "
+    "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "
+    "ROUND(tf * (SELECT CAST(n_docs AS DOUBLE) FROM n) / df, 6) DESC, word) AS rk "
+    "FROM tf JOIN dfreq USING (word)) "
+    "WHERE rk <= 3 AND doc_id < 100"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "llm_pii_redact": (llm_pii_redact, SQL_PII_REDACT),
+    "llm_similarity_range": (llm_similarity_range, SQL_SIMILARITY_RANGE),
+    "llm_tfidf_topk": (llm_tfidf_topk, SQL_TFIDF),
     "llm_repetition_ratio": (llm_repetition_ratio, SQL_REPETITION),
     "llm_pack_sequences": (llm_pack_sequences, SQL_PACK),
     "llm_stratified_sample": (llm_stratified_sample, SQL_STRATIFIED),
