@@ -29,6 +29,10 @@ Options:
     chunkRows        max rows per output file (default 1 << 20)
     dictEncode       "true"/"false" — global fsb20/32 dict (default true)
     stats            "true"/"false" — per-page min/max stats (default true)
+    mergeSchema      "true" → union column sets across all chunk headers
+                     (schema drift: files written before a column existed
+                     null-fill it at read time); default uses the first
+                     file's schema
     partitionBy      comma-separated columns → hive-style
                      ``path/col=value/part-*.olive`` layout on write; reads
                      prune whole directories on =/IN pushed filters
@@ -213,6 +217,8 @@ class OliveReader(DataSourceReader):
         th = _pick_table(r.header, partition.table)
         pages = select_pages(th, list(partition.predicates)) if partition.predicates else None
         cols = list(partition.columns) if partition.columns else None
+        if cols:  # merged-schema dirs: this file may lack some columns
+            cols = [c for c in cols if c in th.field_names] or None
         tbl = r.read_table(th.name, columns=cols, pages=pages)
         expected = _expected_arrow_schema(self.schema)
         tbl = _cast_to(tbl, expected)
@@ -250,6 +256,10 @@ def _cast_to(tbl: "pa.Table", expected: "pa.Schema") -> "pa.Table":
     fields = []
     for f in expected:
         if f.name not in tbl.column_names:
+            # schema-merged directory: this chunk predates the column —
+            # null-fill so every batch matches the session schema
+            cols.append(pa.nulls(tbl.num_rows, f.type))
+            fields.append(f)
             continue
         col = tbl.column(f.name)
         if col.type != f.type:
@@ -501,22 +511,29 @@ class OliveDataSource(DataSource):
         return "olive"
 
     def schema(self) -> StructType:
-        files = _list_chunk_files(self.options["path"])
-        header, _ = _read_header_bytes(files[0])
-        th = _pick_table(header, self.options.get("table"))
         import pyarrow as pa
 
         from olive_spark.format.types import type_from_json
 
+        files = _list_chunk_files(self.options["path"])
+        merge = str(self.options.get("mergeschema", self.options.get(
+            "mergeSchema", "false"))).lower() == "true"
+        headers = files if merge else files[:1]
+        names: list[str] = []
+        types: dict[str, Any] = {}
+        for fp in headers:
+            header, _ = _read_header_bytes(fp)
+            th = _pick_table(header, self.options.get("table"))
+            for n, tj in zip(th.field_names, th.field_types):
+                if n not in types:
+                    names.append(n)
+                    types[n] = tj
+                # first-writer-wins on type; files missing a column
+                # null-fill at read time (_cast_to)
         cols = self.options.get("columns")
-        names = list(th.field_names)
         keep = [c.strip() for c in cols.split(",")] if cols else names
         arrow = pa.schema(
-            [
-                pa.field(n, type_from_json(tj))
-                for n, tj in zip(names, th.field_types)
-                if n in keep
-            ]
+            [pa.field(n, type_from_json(types[n])) for n in names if n in keep]
         )
         return _spark_schema_from_arrow(arrow)
 

@@ -230,3 +230,24 @@ def test_csv_and_json_ingest_to_olive(spark, tmp_path):
     got = {(r["k"], r["name"]) for r in back.collect()}
     assert got == {(1, "alpha"), (2, "beta"), (3, "gamma"),
                    (4, "delta"), (5, "epsilon")}
+
+
+def test_merge_schema_null_fills_old_files(spark, tmp_path):
+    """Schema drift: a column added later null-fills for chunks written
+    before it existed (mergeSchema=true unions all headers)."""
+    d = tmp_path / "drift"
+    d.mkdir()
+    old = pa.table({"k": pa.array([1, 2], pa.int64())})
+    new = pa.table({"k": pa.array([3, 4], pa.int64()),
+                    "tag": pa.array(["x", "y"], pa.string())})
+    (d / "part-0.olive").write_bytes(write_chunk({"data": old}))
+    (d / "part-1.olive").write_bytes(write_chunk({"data": new}))
+    df = spark.read.format("olive").option("mergeSchema", "true").load(str(d))
+    assert set(df.columns) == {"k", "tag"}
+    got = {(r["k"], r["tag"]) for r in df.collect()}
+    assert got == {(1, None), (2, None), (3, "x"), (4, "y")}
+    # pruned read of only the drifted column still null-fills
+    tags = [r["tag"] for r in spark.read.format("olive")
+            .option("mergeSchema", "true").option("columns", "tag")
+            .load(str(d)).collect()]
+    assert sorted(t or "" for t in tags) == ["", "", "x", "y"]
