@@ -166,7 +166,33 @@ SQL_SCALAR_HASH = (
 )
 
 
+def agg_median_disc(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact median (continuous, interpolated) and discrete percentiles
+    per group over integer quantities — interpolation on ints yields
+    exact dyadic fractions, identical in both engines."""
+    df = data.load(spark, sf, "lineitem", columns=["l_returnflag", "l_quantity"])
+    q = F.col("l_quantity").cast("long")
+    return df.groupBy("l_returnflag").agg(
+        F.median(q).alias("med_qty"),
+        F.percentile_approx(q, 0.5, 2147483647).alias("med_disc"),
+        F.min(q).alias("min_qty"),
+        F.max(q).alias("max_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_AGG_MEDIAN = (
+    "SELECT l_returnflag, "
+    "median(CAST(l_quantity AS BIGINT)) AS med_qty, "
+    "quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS med_disc, "
+    "MIN(CAST(l_quantity AS BIGINT)) AS min_qty, "
+    "MAX(CAST(l_quantity AS BIGINT)) AS max_qty, "
+    "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag"
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "agg_median_disc": (agg_median_disc, SQL_AGG_MEDIAN),
     "scalar_hash_bitwise": (scalar_hash_bitwise, SQL_SCALAR_HASH),
     "window_first_last": (window_first_last, SQL_WINDOW_FIRST_LAST),
     "scan_partitioned_pruning": (scan_partitioned_pruning, SQL_SCAN_PARTITIONED),
