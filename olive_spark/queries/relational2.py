@@ -191,7 +191,44 @@ SQL_AGG_MEDIAN = (
 )
 
 
+def agg_grouped_map_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom grouped-map operator (applyInPandas): per-user median and
+    MAD (median absolute deviation) of event values — the robust-stats
+    pair that z-score outlier gates use.  Median/MAD are
+    order-independent (unlike mean/std whose float summation order
+    varies), so the pandas computation is bit-identical to the oracle's.
+    Pattern cost: one shuffle on the grouping key, Arrow-batched python
+    roundtrip per group partition — the shape every custom per-entity
+    model step takes at scale."""
+    import pandas as pd
+
+    df = data.load(spark, sf, "events", columns=["user_id", "value"])
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = pdf["value"].median()
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]],
+            "med_value": [round(med, 9)],
+            "mad_value": [round((pdf["value"] - med).abs().median(), 9)],
+            "n": [len(pdf)],
+        })
+
+    return df.groupBy("user_id").applyInPandas(
+        mad, "user_id long, med_value double, mad_value double, n long"
+    )
+
+
+SQL_GROUPED_MAD = (
+    "SELECT user_id, ROUND(median(value), 9) AS med_value, "
+    "ROUND(median(ABS(value - med)), 9) AS mad_value, COUNT(*) AS n "
+    "FROM (SELECT user_id, value, "
+    "median(value) OVER (PARTITION BY user_id) AS med FROM events) "
+    "GROUP BY user_id"
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "agg_grouped_map_mad": (agg_grouped_map_mad, SQL_GROUPED_MAD),
     "agg_median_disc": (agg_median_disc, SQL_AGG_MEDIAN),
     "scalar_hash_bitwise": (scalar_hash_bitwise, SQL_SCALAR_HASH),
     "window_first_last": (window_first_last, SQL_WINDOW_FIRST_LAST),
