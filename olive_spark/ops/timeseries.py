@@ -94,6 +94,60 @@ def range_join(
     return left.join(right, cond)
 
 
+def resample_locf(
+    df: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    interval_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Downsample to a fixed grid with last-observation-carried-forward
+    gap filling (the hypertable `time_bucket_gapfill` + `locf` pattern).
+
+    Plan shape: per-key last-in-bucket aggregate (one shuffle), per-key
+    min/max grid bounds derived from the same aggregate (no second scan),
+    `sequence()` + explode to generate the dense grid JVM-side, then a
+    window `last(value, ignorenulls)` carries observations forward.
+    Everything stays keyed on ``key_col`` — grid generation adds no
+    shuffle beyond the aggregate's."""
+    from pyspark.sql.window import Window
+
+    tus = F.unix_micros(F.col(time_col).cast("timestamp"))
+    bucket = (tus - (tus % F.lit(interval_us))).alias("bucket_us")
+    per_bucket = (
+        df.select(F.col(key_col), bucket, F.col(value_col), tus.alias("_t"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(key_col, "bucket_us")
+                .orderBy(F.col("_t").desc(), F.col(value_col).desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(key_col, "bucket_us", F.col(value_col).alias("last_value"))
+    )
+    bounds = per_bucket.groupBy(key_col).agg(
+        F.min("bucket_us").alias("_lo"), F.max("bucket_us").alias("_hi")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(interval_us))
+        ).alias("bucket_us"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per_bucket, [key_col, "bucket_us"], "left")
+        .withColumn("value_locf", F.last("last_value", ignorenulls=True).over(w))
+        .withColumn("is_gap", F.col("last_value").isNull())
+        .select(key_col, "bucket_us", "value_locf", "is_gap")
+    )
+
+
 def sessionize(
     df: DataFrame,
     key: str = "user_id",

@@ -227,7 +227,80 @@ SQL_GROUPED_MAD = (
 )
 
 
+def ts_resample_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style resample: hourly buckets per user with
+    last-observation-carried-forward gap fill (time_bucket_gapfill +
+    locf).  Grid generation is JVM-side sequence()+explode keyed on the
+    user — no shuffle beyond the bucket aggregate."""
+    from olive_spark.ops.timeseries import resample_locf
+
+    df = data.load(spark, sf, "events", columns=["user_id", "ts", "value"])
+    return resample_locf(df, "ts", "user_id", "value", 3_600_000_000)
+
+
+SQL_TS_RESAMPLE = (
+    "WITH b AS (SELECT user_id, "
+    "epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us, value, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) - epoch_us(ts) % 3600000000 "
+    "ORDER BY epoch_us(ts) DESC, value DESC) AS rn FROM events), "
+    "pb AS (SELECT user_id, bucket_us, value AS last_value FROM b WHERE rn = 1), "
+    "bounds AS (SELECT user_id, MIN(bucket_us) AS lo, MAX(bucket_us) AS hi "
+    "FROM pb GROUP BY user_id), "
+    "grid AS (SELECT user_id, unnest(generate_series(lo, hi, 3600000000)) AS bucket_us "
+    "FROM bounds) "
+    "SELECT g.user_id, g.bucket_us, "
+    "LAST_VALUE(pb.last_value IGNORE NULLS) OVER ("
+    "PARTITION BY g.user_id ORDER BY g.bucket_us "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf, "
+    "pb.last_value IS NULL AS is_gap "
+    "FROM grid g LEFT JOIN pb USING (user_id, bucket_us)"
+)
+
+
+def reshape_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot/melt: wide per-part numeric columns to long (attr, val)
+    rows — the inverse of agg_pivot_status."""
+    df = data.load(spark, sf, "part", columns=["p_partkey", "p_size", "p_retailprice"])
+    return df.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retail"),
+    ).unpivot("p_partkey", ["size", "retail"], "attr", "val")
+
+
+SQL_UNPIVOT = (
+    "SELECT p_partkey, attr, val FROM ("
+    "SELECT p_partkey, CAST(p_size AS DOUBLE) AS size, "
+    "CAST(p_retailprice AS DOUBLE) AS retail FROM part) "
+    "UNPIVOT (val FOR attr IN (size, retail))"
+)
+
+
+def agg_conditional_bools(spark: SparkSession, sf: str) -> DataFrame:
+    """count_if / bool_and / bool_or / any_value-free conditional
+    aggregate surface per order priority."""
+    df = data.load(spark, sf, "orders", columns=["o_orderpriority", "o_totalprice", "o_orderstatus"])
+    return df.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 10000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_pos"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_final"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_AGG_CONDITIONAL = (
+    "SELECT o_orderpriority, "
+    "count_if(o_totalprice > 10000) AS n_big, "
+    "bool_and(o_totalprice > 0) AS all_pos, "
+    "bool_or(o_orderstatus = 'F') AS any_final, "
+    "COUNT(*) AS n FROM orders GROUP BY o_orderpriority"
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "ts_resample_locf": (ts_resample_locf, SQL_TS_RESAMPLE),
+    "reshape_unpivot": (reshape_unpivot, SQL_UNPIVOT),
+    "agg_conditional_bools": (agg_conditional_bools, SQL_AGG_CONDITIONAL),
     "agg_grouped_map_mad": (agg_grouped_map_mad, SQL_GROUPED_MAD),
     "agg_median_disc": (agg_median_disc, SQL_AGG_MEDIAN),
     "scalar_hash_bitwise": (scalar_hash_bitwise, SQL_SCALAR_HASH),
