@@ -22,17 +22,37 @@ import shutil
 import uuid
 
 
+def _morton_expr(a, b, bits: int = 16):
+    """Interleave the low ``bits`` of two non-negative int columns into a
+    Morton (Z-order) key — pure JVM shift/and/or expression tree, no UDF."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
 def compact(
     spark,
     path: str,
     target_rows: int = 1 << 20,
     sort_by: str | None = None,
+    zorder_by: "list[str] | None" = None,
     table: str = "data",
 ) -> dict:
     """Rewrite the olive directory at ``path`` into files of
     ``target_rows``; with ``sort_by``, range-partition + sort so page
-    min/max stats are disjoint across files.  Returns {files_before,
-    files_after, rows}."""
+    min/max stats are disjoint across files; with ``zorder_by`` (two
+    columns), cluster on a Morton-interleaved key so range predicates on
+    EITHER column prune files (the multi-dimensional skipping a single
+    sort can't give).  Returns {files_before, files_after, rows}."""
+    from pyspark.sql import functions as F
+
     from olive_spark.datasource import register_olive
     from olive_spark.datasource.olive_datasource import _list_chunk_files
 
@@ -41,7 +61,27 @@ def compact(
     df = spark.read.format("olive").load(path)
     rows = df.count()
     n_files = max(1, math.ceil(rows / target_rows))
-    if sort_by:
+    if zorder_by:
+        if len(zorder_by) != 2:
+            raise ValueError("zorder_by takes exactly two columns")
+        ca, cb = zorder_by
+        # min-max normalize each column to 16-bit rank space (exact
+        # integer arithmetic; one tiny agg broadcast back)
+        bounds = df.agg(
+            F.min(ca).alias("_a_lo"), F.max(ca).alias("_a_hi"),
+            F.min(cb).alias("_b_lo"), F.max(cb).alias("_b_hi"),
+        )
+        df = df.crossJoin(F.broadcast(bounds))
+        span = lambda lo, hi: F.greatest(F.col(hi) - F.col(lo), F.lit(1))  # noqa: E731
+        na = ((F.col(ca) - F.col("_a_lo")) * 65535 / span("_a_lo", "_a_hi")).cast("long")
+        nb = ((F.col(cb) - F.col("_b_lo")) * 65535 / span("_b_lo", "_b_hi")).cast("long")
+        df = (
+            df.withColumn("_z", _morton_expr(na, nb))
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z", "_a_lo", "_a_hi", "_b_lo", "_b_hi")
+        )
+    elif sort_by:
         # repartitionByRange + sortWithinPartitions = globally range-
         # sorted layout: each file owns a disjoint value interval
         df = df.repartitionByRange(n_files, sort_by).sortWithinPartitions(sort_by)

@@ -251,3 +251,46 @@ def test_merge_schema_null_fills_old_files(spark, tmp_path):
             .option("mergeSchema", "true").option("columns", "tag")
             .load(str(d)).collect()]
     assert sorted(t or "" for t in tags) == ["", "", "x", "y"]
+
+
+def test_compact_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering: after a Morton-key rewrite, a narrow range on
+    EITHER column must exclude some files by min/max stats — a plain
+    1-D sort can only ever prune its own sort column."""
+    from olive_spark.datasource.olive_datasource import (
+        _list_chunk_files,
+        _read_header_bytes,
+    )
+    from olive_spark.ops.maintenance import compact
+
+    n = 32
+    t = pa.table({
+        "x": pa.array([i % n for i in range(n * n)], pa.int64()),
+        "y": pa.array([i // n for i in range(n * n)], pa.int64()),
+    })
+    d = tmp_path / "zorder"
+    d.mkdir()
+    (d / "part-0.olive").write_bytes(write_chunk({"data": t}))
+    compact(spark, str(d), target_rows=64, zorder_by=["x", "y"])
+
+    def span(col):
+        out = []
+        for fp in _list_chunk_files(str(d)):
+            header, _ = _read_header_bytes(fp)
+            th = header.tables[0]
+            st = th.fields[th.field_names.index(col)].stats
+            out.append((min(st["min"]), max(st["max"])))
+        return out
+
+    xs, ys = span("x"), span("y")
+    n_files = len(xs)
+    assert n_files == 16
+    # a slice covering the lowest eighth of each axis must exclude
+    # most files on stats alone
+    hit_x = sum(1 for lo, hi in xs if lo <= n // 8)
+    hit_y = sum(1 for lo, hi in ys if lo <= n // 8)
+    assert hit_x <= n_files // 2, f"x stats don't prune: {xs}"
+    assert hit_y <= n_files // 2, f"y stats don't prune: {ys}"
+    # content survives the rewrite
+    back = spark.read.format("olive").load(str(d))
+    assert back.count() == n * n
