@@ -430,7 +430,10 @@ def select_pages(
             break
         if npages is not None:
             break
-    if npages is None or npages <= 1:
+    if npages is None or npages == 0:
+        # npages == 1 is NOT an early-out: disproving the only page is
+        # what lets the scan planner prune the whole FILE (sorted /
+        # z-ordered layouts commonly have one page per chunk)
         return None
     keep = np.ones(npages, dtype=bool)
     by_name = dict(zip(th.field_names, th.fields))

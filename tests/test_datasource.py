@@ -294,3 +294,24 @@ def test_compact_zorder_prunes_both_dimensions(spark, tmp_path):
     # content survives the rewrite
     back = spark.read.format("olive").load(str(d))
     assert back.count() == n * n
+
+
+def test_sorted_layout_prunes_scan_partitions(spark, tmp_path):
+    """File-level stats pruning composes with sorted compaction: a range
+    predicate plans fewer scan partitions than there are files."""
+    from olive_spark.datasource.olive_datasource import OliveReader
+    from olive_spark.ops.maintenance import compact
+
+    d = tmp_path / "pr"
+    d.mkdir()
+    t = pa.table({"k": pa.array(range(1000), pa.int64())})
+    (d / "part-0.olive").write_bytes(write_chunk({"data": t}))
+    compact(spark, str(d), target_rows=250, sort_by="k")
+
+    r = OliveReader({"path": str(d)}, spark.read.format("olive").load(str(d)).schema)
+    r.predicates = [("k", ">=", 900)]
+    parts = r.partitions()
+    assert len(parts) == 1, f"expected 1 surviving file, got {len(parts)}"
+    r2 = OliveReader({"path": str(d)}, spark.read.format("olive").load(str(d)).schema)
+    r2.predicates = [("k", "<", 260)]
+    assert len(r2.partitions()) == 2  # files [0,250) and [250,500)
