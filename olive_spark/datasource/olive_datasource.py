@@ -29,6 +29,13 @@ Options:
     chunkRows        max rows per output file (default 1 << 20)
     dictEncode       "true"/"false" — global fsb20/32 dict (default true)
     stats            "true"/"false" — per-page min/max stats (default true)
+    pushdown         "true" → pushed filters drive file/page pruning at
+                     planning time.  Opt-in: Spark caches one readInfo
+                     per relation, so a pruned plan from a filtered
+                     query would be silently reused by a later
+                     filter-less action on the SAME DataFrame (see
+                     OliveReader.pushFilters).  Enable on relations
+                     loaded fresh per query (queries.data.load does).
     mergeSchema      "true" → union column sets across all chunk headers
                      (schema drift: files written before a column existed
                      null-fill it at read time); default uses the first
@@ -155,7 +162,6 @@ class OliveInputPartition(InputPartition):
     columns: Optional[tuple[str, ...]]
     predicates: tuple[tuple[str, str, Any], ...]
 
-
 class OliveReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType) -> None:
         self.path = options.get("path")
@@ -165,11 +171,30 @@ class OliveReader(DataSourceReader):
         cols = options.get("columns")
         self.columns = tuple(c.strip() for c in cols.split(",")) if cols else None
         self.schema = schema
+        self.pushdown = str(options.get("pushdown", "false")).lower() == "true"
         self.predicates: list[tuple[str, str, Any]] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Record prunable predicates; report every filter unsupported so
-        Spark re-applies them (page skipping is conservative)."""
+        Spark re-applies them (page skipping is conservative).
+
+        Predicate-driven pruning is OPT-IN per relation (``pushdown``
+        option) because of an upstream Spark hazard: PythonDataSourceV2
+        (one instance per loaded relation, shared by every query on that
+        DataFrame) holds a single mutable readInfo slot.  A filtered
+        query overwrites it (PythonScanBuilder.pushFilters →
+        ds.setReadInfo) with our PRUNED partitions; a later FILTER-LESS
+        action on the same DataFrame never triggers pushdown, hits
+        getOrCreateReadInfo's cache, and silently scans the pruned
+        partition list (observed: count()==256 of 500 after a filtered
+        collect()).  Queries that carry filters always re-plan and are
+        always correct; with pushdown enabled a relation must not serve
+        a filter-less action after a filtered one — re-load() instead
+        (olive_spark.queries.data.load creates a fresh relation per
+        call, which is why the query library can opt in safely)."""
+        self.predicates = []
+        if not self.pushdown:
+            return iter(filters)
         for f in filters:
             p = _filter_to_predicate(f)
             if p is not None:
@@ -180,6 +205,10 @@ class OliveReader(DataSourceReader):
         files = _list_chunk_files(self.path)
         parts = []
         preds = tuple(self.predicates)
+        # Consume-and-clear: read() takes predicates from the partition
+        # object, never from self, so clearing can only cost pruning on
+        # a re-plan — never rows.
+        self.predicates = []
         for fp in files:
             if preds and _dir_prunable(self.path, fp, preds):
                 continue  # hive-style col=value segment excluded by filter

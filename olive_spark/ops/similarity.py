@@ -244,3 +244,163 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+def _pq_train_codebooks(sample, m: int, n_cent: int, iters: int = 8):
+    """Deterministic per-subspace k-means: init = first n_cent sample
+    rows (caller passes an id-ordered sample), fixed iteration count,
+    empty clusters re-seeded from the sample cyclically.  numpy only —
+    runs on the driver over a few hundred rows."""
+    import numpy as np
+
+    n, d = sample.shape
+    sub = d // m
+    books = []
+    for j in range(m):
+        x = sample[:, j * sub : (j + 1) * sub]
+        cents = x[:n_cent].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(n_cent):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = x[mask].mean(0)
+                else:
+                    cents[c] = x[c % n]
+        books.append(cents)
+    return books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    query_rows: "list[tuple[int, list[float]]]",
+    k: int = 10,
+    m: int = 16,
+    n_cent: int = 64,
+    refine: int = 10,
+    sample_rows: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization ANN with exact re-rank — the two-stage shape
+    for corpora whose full vectors can't be rescanned per query:
+
+    1. train: driver-side deterministic k-means over an id-ordered
+       sample (m subspaces × n_cent centroids; m·n_cent·(d/m) floats —
+       a few KB — broadcast everywhere)
+    2. encode + ADC scan (mapInArrow): each corpus vector becomes m
+       uint8 codes; per query an asymmetric-distance lookup table makes
+       scoring a table-gather, no float dot products against the corpus
+    3. candidates: per (query, partition) the best k·refine codes
+       survive, then a global top k·refine
+    4. re-rank: candidates join back to their full vectors (broadcast
+       semi-join on id), exact cosine orders the final k
+
+    Approximate recall is the price of never matmul-ing the corpus; the
+    re-rank stage restores exact ordering among survivors.  Defaults
+    (m=16 subspaces of d/16 dims, 64 centroids) are tuned for
+    unstructured/near-random embeddings — the hardest PQ case, where
+    distances concentrate and coarse subspaces lose the signal; real
+    model embeddings have lower intrinsic dimension and tolerate
+    coarser settings."""
+    import numpy as np
+    import pyarrow as pa
+
+    spark = corpus.sparkSession
+
+    def _norm(x):
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return x / n
+
+    # everything is row-normalized: squared L2 on the unit sphere is
+    # 2 - 2cos, so the ADC ordering matches the cosine ordering the
+    # re-rank stage (and the exact baseline) use
+    sample_df = corpus.orderBy(id_col).limit(sample_rows)
+    sample = _norm(np.array(
+        [r[vec_col] for r in sample_df.collect()], dtype=np.float64
+    ))
+    books = _pq_train_codebooks(sample, m, n_cent)
+
+    qids = np.array([q[0] for q in query_rows], dtype=np.int64)
+    qmat = _norm(np.array([q[1] for q in query_rows], dtype=np.float64))
+    bc = spark.sparkContext.broadcast((books, qids, qmat))
+    n_cand = k * refine
+    out_schema = "query_id long, neighbor_id long, adc double"
+
+    def adc_scan(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        books_, qids_, qmat_ = bc.value
+        m_ = len(books_)
+        sub = qmat_.shape[1] // m_
+        # per-query LUT: (m, n_cent) squared-distance tables
+        luts = []
+        for qv in qmat_:
+            lut = np.stack([
+                ((books_[j] - qv[j * sub : (j + 1) * sub]) ** 2).sum(1)
+                for j in range(m_)
+            ])
+            luts.append(lut)
+        best: dict = {}
+        for batch in batches:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            vecs = batch_matrix(batch.column(vec_col))
+            if len(vecs) == 0:
+                continue
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            vecs = vecs / norms
+            # encode: nearest centroid per subspace → (n, m) codes
+            codes = np.empty((len(vecs), m_), dtype=np.int64)
+            for j in range(m_):
+                x = vecs[:, j * sub : (j + 1) * sub]
+                d2 = ((x[:, None, :] - books_[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(1)
+            for qi in range(len(qids_)):
+                # ADC: gather per-subspace distances from the LUT
+                dist = luts[qi][np.arange(m_)[None, :], codes].sum(1)
+                mask = ids != qids_[qi]
+                cid, cd = ids[mask], dist[mask]
+                if len(cid) > n_cand:
+                    part = np.argpartition(cd, n_cand)[:n_cand]
+                    cid, cd = cid[part], cd[part]
+                pid, pd_ = best.get(qi, (None, None))
+                if pid is not None:
+                    cid = np.concatenate([pid, cid])
+                    cd = np.concatenate([pd_, cd])
+                    if len(cid) > n_cand:
+                        part = np.argpartition(cd, n_cand)[:n_cand]
+                        cid, cd = cid[part], cd[part]
+                best[qi] = (cid, cd)
+        for qi, (cid, cd) in best.items():
+            yield pa.RecordBatch.from_pydict({
+                "query_id": np.full(len(cid), qids_[qi]),
+                "neighbor_id": cid,
+                "adc": cd,
+            })
+
+    cands = corpus.select(id_col, vec_col).mapInArrow(adc_scan, out_schema)
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    cands = (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_cand)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank: candidates ⋈ corpus vectors, JVM cosine, final top-k
+    full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("corpus_vec")
+    )
+    qdf = corpus.sparkSession.createDataFrame(
+        [(int(q), list(map(float, v))) for q, v in query_rows],
+        "query_id long, query_vec array<double>",
+    )
+    sim = F.round(cosine_expr(F.col("query_vec"), F.col("corpus_vec")), 6)
+    wf = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        cands.join(full, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

@@ -201,20 +201,33 @@ def load_partitioned(spark, sf_dir: str, table: str, partition_by: str,
             .option("partitionBy", partition_by).mode("append").save(out)
         with open(marker, "w") as f:
             f.write("ok")
-    r = spark.read.format("olive")
+    # pushdown stays on here: partitioned scans exist to demonstrate
+    # directory pruning, and their query plans are single filtered scans
+    # (see load()'s docstring for why multi-scan plans must not opt in)
+    r = spark.read.format("olive").option("pushdown", "true")
     if columns:
         r = r.option("columns", ",".join(columns))
     return r.load(out)
 
 
 def load(spark, sf_dir: str, table: str, columns: list[str] | None = None,
-         chunk_table: str | None = None):
-    """Scan an olive table as a DataFrame (converting/caching on demand)."""
+         chunk_table: str | None = None, pushdown: bool = False):
+    """Scan an olive table as a DataFrame (converting/caching on demand).
+
+    ``pushdown`` (planning-time file/page pruning from pushed filters)
+    is off by default: Spark caches ONE scan plan per loaded relation,
+    so any plan where the relation appears both filtered and unfiltered
+    (self-joins, count()-then-filter, a pushed-through-window filter on
+    one branch of a reused lineage) would silently reuse the pruned
+    partition list for the unfiltered scan (see OliveReader.pushFilters).
+    Opt in only for queries whose whole plan is a single filtered scan."""
     from olive_spark.datasource import register_olive
 
     register_olive(spark)
     path = os.path.join(ensure_olive(sf_dir), table)
     r = spark.read.format("olive")
+    if pushdown:
+        r = r.option("pushdown", "true")
     if columns:
         r = r.option("columns", ",".join(columns))
     if chunk_table:

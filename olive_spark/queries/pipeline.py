@@ -258,6 +258,23 @@ SQL_SIMILARITY_RANGE = (
 )
 
 
+def llm_similarity_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank (ops/similarity.
+    pq_topk): codes + ADC lookup replace corpus dot products; survivors
+    re-rank exactly.  Rows-only check (driver-side k-means isn't
+    ANSI-SQL); the unit test pins recall ≥ 80% of brute force."""
+    from olive_spark.ops import similarity
+
+    # Two separate load() relations: the filtered collect would otherwise
+    # poison the shared readInfo cache of the corpus scan (see
+    # OliveReader.pushFilters on Spark's per-relation plan caching).
+    qdf = data.load(spark, sf, "embeddings", columns=["vec_id", "embedding"])
+    qrows = [(r["vec_id"], r["embedding"])
+             for r in qdf.filter(F.col("vec_id") < 3).collect()]
+    corpus = data.load(spark, sf, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.pq_topk(corpus, qrows, k=10)
+
+
 def llm_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document top-3 terms by tf-idf with LINEAR idf
     (score = tf · N / df): every input to the score is an exact integer,
@@ -305,6 +322,7 @@ SQL_TFIDF = (
 QUERIES: dict[str, tuple] = {
     "llm_pii_redact": (llm_pii_redact, SQL_PII_REDACT),
     "llm_similarity_range": (llm_similarity_range, SQL_SIMILARITY_RANGE),
+    "llm_similarity_pq": (llm_similarity_pq, None),
     "llm_tfidf_topk": (llm_tfidf_topk, SQL_TFIDF),
     "llm_repetition_ratio": (llm_repetition_ratio, SQL_REPETITION),
     "llm_pack_sequences": (llm_pack_sequences, SQL_PACK),

@@ -48,7 +48,9 @@ SQL_SCAN_PROJECTION = "SELECT l_orderkey, l_extendedprice FROM lineitem"
 def scan_filter_pages(spark: SparkSession, sf: str) -> DataFrame:
     """Filter pushdown → page-granular row skipping on row_index_ends
     (reference src/header.zig:41-45, src/write.zig:861-917)."""
-    df = data.load(spark, sf, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    df = data.load(spark, sf, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"],
+                   pushdown=True)  # single filtered scan — safe to prune
     return df.filter(F.col("o_totalprice") > 400000.0).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )

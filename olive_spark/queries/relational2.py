@@ -297,7 +297,36 @@ SQL_AGG_CONDITIONAL = (
 )
 
 
+def join_lateral_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """LATERAL correlated subquery: per region, the top-2 nations by
+    customer count — the per-group-top-n topology where the inner query
+    references the outer row and carries its own ORDER BY/LIMIT."""
+    data.load(spark, sf, "region", columns=["r_regionkey", "r_name"]) \
+        .createOrReplaceTempView("region")
+    data.load(spark, sf, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]) \
+        .createOrReplaceTempView("nation")
+    data.load(spark, sf, "customer", columns=["c_custkey", "c_nationkey"]) \
+        .createOrReplaceTempView("customer")
+    return spark.sql(
+        "SELECT r_name, t.n_name, t.n_cust FROM region, "
+        "LATERAL (SELECT n_name, COUNT(c_custkey) AS n_cust "
+        "FROM nation JOIN customer ON c_nationkey = n_nationkey "
+        "WHERE n_regionkey = r_regionkey "
+        "GROUP BY n_name ORDER BY n_cust DESC, n_name LIMIT 2) t"
+    )
+
+
+SQL_JOIN_LATERAL = (
+    "SELECT r_name, t.n_name, t.n_cust FROM region, "
+    "LATERAL (SELECT n_name, COUNT(c_custkey) AS n_cust "
+    "FROM nation JOIN customer ON c_nationkey = n_nationkey "
+    "WHERE n_regionkey = r_regionkey "
+    "GROUP BY n_name ORDER BY n_cust DESC, n_name LIMIT 2) t"
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "join_lateral_topn": (join_lateral_topn, SQL_JOIN_LATERAL),
     "ts_resample_locf": (ts_resample_locf, SQL_TS_RESAMPLE),
     "reshape_unpivot": (reshape_unpivot, SQL_UNPIVOT),
     "agg_conditional_bools": (agg_conditional_bools, SQL_AGG_CONDITIONAL),

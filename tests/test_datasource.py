@@ -162,11 +162,37 @@ def test_partition_pruning_skips_directories(spark, tmp_path):
     poison = out / "cat=z"
     poison.mkdir()
     (poison / "part-0.olive").write_bytes(b"OLIVEGARBAGE" * 10)
-    df = spark.read.format("olive").load(str(out))
-    got = df.filter(df.cat == "a").collect()
+
+    def load():  # fresh relation per filtered query (pushdown contract)
+        return spark.read.format("olive").option("pushdown", "true").load(str(out))
+
+    got = load().filter("cat = 'a'").collect()
     assert len(got) == 10 and all(r["cat"] == "a" for r in got)
-    got = df.filter(df.cat.isin("a", "b")).collect()
+    got = load().filter("cat in ('a', 'b')").collect()
     assert len(got) == 20
+
+
+def test_no_pushdown_by_default_keeps_reused_relation_correct(spark, tmp_path):
+    """Regression for Spark's per-relation readInfo cache: a filtered
+    action followed by a filter-less action on the SAME DataFrame.  With
+    pruning opt-in left off (the default), the cached plan is always the
+    full scan, so the second action must see every row."""
+    t = pa.table({"k": pa.array(range(500), pa.int64())})
+    d = tmp_path / "reuse"
+    d.mkdir()
+    for i in range(2):
+        (d / f"part-{i}.olive").write_bytes(
+            write_chunk({"data": t.slice(i * 250, 250)}, page_rows=64)
+        )
+    df = spark.read.format("olive").load(str(d))
+    assert df.filter("k < 5").count() == 5
+    assert df.count() == 500  # poisoned-cache symptom would be 250
+
+    # the opted-in path stays correct when each query loads fresh
+    f1 = spark.read.format("olive").option("pushdown", "true").load(str(d))
+    assert f1.filter("k < 5").count() == 5
+    f2 = spark.read.format("olive").option("pushdown", "true").load(str(d))
+    assert f2.count() == 500
 
 
 def test_compact_merges_small_files(spark, tmp_path):
