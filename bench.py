@@ -85,6 +85,18 @@ def main() -> int:
         qs["scan_projection_pruning"](spark, SF_DIR).count()
     except Exception:  # noqa: BLE001
         pass
+    try:
+        # also pre-fork the Python UDF worker pool (mapInArrow et al.
+        # otherwise pay ~2-3 s of one-time worker startup in whichever
+        # timed query happens to hit Python first)
+        def _noop(it):
+            yield from it
+
+        spark.range(1 << 10).repartition(int(CPUS)).mapInArrow(
+            _noop, "id long"
+        ).count()
+    except Exception:  # noqa: BLE001
+        pass
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)

