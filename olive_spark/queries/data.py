@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 
 CACHE_ROOT = "/tmp/olive_cache"
-CACHE_VERSION = "v5"  # bump when derived-table definitions change
+CACHE_VERSION = "v6"  # bump when derived-table definitions change
 N_CHUNKS = 16  # files per table = scan parallelism floor (real clusters
 MIN_CHUNK_ROWS = 256  # get this for free from many-file layouts)
 TABLES = (
@@ -86,10 +86,20 @@ def _write_derived(sf_dir: str, out: str) -> None:
     from olive_spark.format.writer import write_chunk
 
     def emit(name: str, tables: dict) -> None:
+        """Write a derived table, split across chunk files like the main
+        tables — one file would mean one scan partition, serializing
+        every query over the table regardless of cluster size."""
         tdir = os.path.join(out, name)
         os.makedirs(tdir, exist_ok=True)
-        with open(os.path.join(tdir, "part-00000.olive"), "wb") as f:
-            f.write(write_chunk(tables))
+        if len(tables) > 1:  # multi-table chunks stay single-file
+            with open(os.path.join(tdir, "part-00000.olive"), "wb") as f:
+                f.write(write_chunk(tables))
+            return
+        (tname, tbl), = tables.items()
+        rows = max(MIN_CHUNK_ROWS, -(-tbl.num_rows // N_CHUNKS))
+        for idx, off in enumerate(range(0, max(tbl.num_rows, 1), rows)):
+            with open(os.path.join(tdir, f"part-{idx:05d}.olive"), "wb") as f:
+                f.write(write_chunk({tname: tbl.slice(off, rows)}))
 
     # customer_nulls — validity bitmaps through the full write/read path
     import numpy as np
