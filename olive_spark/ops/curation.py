@@ -77,14 +77,17 @@ def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 40) -> DataFrame:
 def bigram_topk(df: DataFrame, text_col: str = "text", k: int = 30) -> DataFrame:
     """Word-bigram histogram, top-k.  Bigrams built with a higher-order
     array transform (JVM-side), not a UDF."""
-    w = words(text_col)
+    # tokenize in its own projection: transform lambdas run interpreted,
+    # and element_at(words(...), i) inside the lambda would re-run the
+    # regex split per bigram slot instead of once per row
+    t = df.select(words(text_col).alias("__w")).filter(F.size("__w") >= 2)
+    wc = F.col("__w")
     pairs = F.transform(
-        F.sequence(F.lit(0), F.size(w) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+        F.sequence(F.lit(0), F.size(wc) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(wc, i + 1), F.element_at(wc, i + 2)),
     )
     return (
-        df.filter(F.size(w) >= 2)
-        .select(F.explode(pairs).alias("bigram"))
+        t.select(F.explode(pairs).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "bigram")

@@ -29,15 +29,38 @@ def connected_components(
 ) -> DataFrame:
     """(src, dst) undirected edge list → (node, cluster) with cluster =
     min node id reachable.  Nodes are whatever appears in the edge list
-    (callers add self-loops for isolated nodes they want labeled)."""
+    (callers add self-loops for isolated nodes they want labeled).
+
+    Two scale-critical choices: the symmetrized edge list is PERSISTED —
+    it is joined every round, and without a cache each round would
+    re-run the upstream pipeline that produced the edges (for dedup
+    that is the whole fingerprint/LSH scan); and convergence is detected
+    by a label-checksum aggregate instead of a second join per round.
+    Labels are monotone non-increasing (the self-loop puts each node's
+    own label into its min), so an unchanged label-sum between rounds
+    is a sound fixpoint witness — one cheap agg replaces a full
+    prop-vs-labels equi-join."""
+    from pyspark import StorageLevel
+
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .union(edges.select(F.col("src").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = sym.groupBy("src").agg(F.min("dst").alias("label")) \
         .withColumnRenamed("src", "node")
+
+    def _checksum(df: DataFrame):
+        # decimal(38,0) sum: overflow-safe for arbitrary long ids
+        row = df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        return (row["s"], row["n"])
+
+    prev = _checksum(labels)
     for i in range(max_iter):
         # propagate: each node adopts the min label among itself and
         # its neighbors' current labels
@@ -49,14 +72,10 @@ def connected_components(
         )
         if checkpoint_every and (i % checkpoint_every == 0):
             prop = prop.localCheckpoint(eager=False)
-        changed = (
-            prop.alias("p")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("p.label") != F.col("l.label"))
-            .limit(1)
-            .count()
-        )
+        cur = _checksum(prop)
         labels = prop
-        if changed == 0:
+        if cur == prev:
             break
+        prev = cur
+    sym.unpersist(blocking=False)
     return labels.select("node", F.col("label").alias("cluster"))

@@ -29,7 +29,9 @@ def stream_window_counts(spark: SparkSession, sf: str) -> DataFrame:
         sdf, time_col="ts", window="1 hour", keys=("event_type",),
         watermark="2 hours", value_col="value",
     )
-    return streaming.run_available_now(agg, output_mode="complete")
+    return streaming.run_available_now(
+        agg, output_mode="complete", state_partitions=8
+    )  # state keys = hours x event_type (hundreds) — 8 stores suffice
 
 
 SQL_STREAM_WINDOW = (
@@ -47,7 +49,9 @@ def stream_user_totals(spark: SparkSession, sf: str) -> DataFrame:
     path = os.path.join(data.ensure_olive(sf), "events")
     sdf = streaming.read_stream(spark, path, columns="user_id,value")
     totals = streaming.stateful_user_totals(sdf, key="user_id")
-    return streaming.run_available_now(totals, output_mode="update")
+    return streaming.run_available_now(
+        totals, output_mode="update", state_partitions=8
+    )  # state keys = distinct user_id
 
 
 def stream_olive_sink(spark: SparkSession, sf: str) -> DataFrame:
@@ -83,7 +87,9 @@ def stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
     sess = streaming.session_windows(
         sdf, time_col="ts", gap="30 minutes", key="user_id", watermark="2 hours"
     )
-    return streaming.run_available_now(sess, output_mode="complete")
+    return streaming.run_available_now(
+        sess, output_mode="complete", state_partitions=8
+    )  # state keys = (user_id, open session)
 
 
 SQL_STREAM_SESSION = (
@@ -118,7 +124,9 @@ def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
         F.col("b.event_id").alias("view_id"),
         F.col("a.user_id").alias("user_id"),
     )
-    return streaming.run_available_now(out, output_mode="append")
+    return streaming.run_available_now(
+        out, output_mode="append", state_partitions=8
+    )  # two stores keyed by user_id; tasks-per-microbatch = 2x this
 
 
 SQL_STREAM_JOIN = (
@@ -139,7 +147,9 @@ def stream_dedup_counts(spark: SparkSession, sf: str) -> DataFrame:
     sdf = streaming.read_stream(spark, path, columns="user_id,event_type")
     dedup = streaming.stream_dedup(sdf, ["user_id", "event_type"])
     agg = dedup.groupBy("event_type").agg(F.count("*").alias("n_users"))
-    return streaming.run_available_now(agg, output_mode="complete")
+    return streaming.run_available_now(
+        agg, output_mode="complete", state_partitions=8
+    )  # dedup store keyed by (user_id, event_type)
 
 
 SQL_STREAM_DEDUP = (

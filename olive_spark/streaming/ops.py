@@ -141,19 +141,40 @@ def stream_dedup(
 
 
 def run_available_now(
-    sdf: DataFrame, output_mode: str = "complete"
+    sdf: DataFrame, output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a
-    memory sink; return the final result as a batch DataFrame."""
+    memory sink; return the final result as a batch DataFrame.
+
+    ``state_partitions`` sizes the stateful-operator shuffle for this
+    query.  Unlike batch, streaming has no AQE to coalesce shuffles, and
+    the partition count is frozen into the checkpoint at first start —
+    so it must be sized to the stateful KEY CARDINALITY (and executor
+    count), not inherited from the batch-oriented session default.
+    Every state-store partition costs a task + store maintenance per
+    microbatch even when nearly empty, so a low-cardinality aggregation
+    (e.g. counts per event_type) wants far fewer partitions than a
+    wide batch join.  The session conf is restored after start.
+    """
     name = f"olive_stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = sdf.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if state_partitions is not None:
+        spark.conf.set(key, str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set(key, prev)
     return sdf.sparkSession.table(name)
 
 
