@@ -98,6 +98,57 @@ def audio_windows(
     return src.mapInPandas(win, schema)
 
 
+def image_resize(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
+    target: int = 64,
+) -> DataFrame:
+    """STUB image resize: aspect-preserving fit into a ``target``-square
+    box.  Source dims come from the deterministic fake decoder
+    (_fake_decode); the resize arithmetic is integer-only so the oracle
+    reproduces it in SQL:
+
+        out_w, out_h = (t, max(1, h*t//w)) if w >= h else (max(1, w*t//h), t)
+        n_thumb_bytes = out_w * out_h          (grayscale stub)
+
+    A real deployment swaps the body for Pillow's ``Image.resize`` —
+    the Arrow-batched mapInPandas shape (binary in, narrow metadata +
+    thumbnail payload out, no shuffle) is the part that carries to
+    100 TB: payloads never leave their scan partitions and only
+    target²-byte thumbnails continue down the pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(id_col, payload_col)
+    schema = (
+        "doc_id long, width int, height int, out_w int, out_h int, "
+        "n_thumb_bytes int"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = np.array(
+                [len(p) if p is not None else 0 for p in pdf[payload_col]],
+                dtype=np.int64,
+            )
+            w = n % 512 + 16
+            h = (n * 7) % 512 + 16
+            wide = w >= h
+            out_w = np.where(wide, target, np.maximum(1, w * target // h))
+            out_h = np.where(wide, np.maximum(1, h * target // w), target)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": w.astype(np.int32),
+                    "height": h.astype(np.int32),
+                    "out_w": out_w.astype(np.int32),
+                    "out_h": out_h.astype(np.int32),
+                    "n_thumb_bytes": (out_w * out_h).astype(np.int32),
+                }
+            )
+
+    return src.mapInPandas(resize, schema)
+
+
 def frame_sample(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
                  every_n: int = 10) -> DataFrame:
     """STUB frame sampler: emits one row per sampled 'frame' with a

@@ -240,6 +240,26 @@ SQL_MM_DECODE = (
 )
 
 
+def mm_image_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Image resize plumbing: payload → aspect-preserving 64-box thumb
+    dims via Arrow-batched mapInPandas (decoder stubbed; integer resize
+    math is reproduced by the oracle)."""
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    return multimodal.image_resize(multimodal.attach_binary_payload(df))
+
+
+SQL_MM_RESIZE = (
+    "WITH d AS (SELECT doc_id, strlen(text) % 512 + 16 AS w, "
+    "(strlen(text) * 7) % 512 + 16 AS h FROM documents) "
+    "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+    "CAST(CASE WHEN w >= h THEN 64 ELSE GREATEST(1, w * 64 // h) END AS INT) AS out_w, "
+    "CAST(CASE WHEN w >= h THEN GREATEST(1, h * 64 // w) ELSE 64 END AS INT) AS out_h, "
+    "CAST((CASE WHEN w >= h THEN 64 ELSE GREATEST(1, w * 64 // h) END) * "
+    "(CASE WHEN w >= h THEN GREATEST(1, h * 64 // w) ELSE 64 END) AS INT) AS n_thumb_bytes "
+    "FROM d"
+)
+
+
 def mm_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
     """Audio analysis-window plumbing: payload → strided 1024/512 window
     counts via Arrow-batched mapInPandas (DSP stubbed; the sample math
@@ -260,6 +280,7 @@ SQL_MM_AUDIO = (
 QUERIES: dict[str, tuple] = {
     "llm_dedup_exact": (llm_dedup_exact, SQL_DEDUP_EXACT),
     "mm_audio_windows": (mm_audio_windows, SQL_MM_AUDIO),
+    "mm_image_resize": (mm_image_resize, SQL_MM_RESIZE),
     "llm_dedup_minhash": (llm_dedup_minhash, None),
     "llm_dedup_simhash": (llm_dedup_simhash, None),
     "llm_dedup_ngram": (llm_dedup_ngram, None),

