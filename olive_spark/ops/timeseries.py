@@ -177,3 +177,68 @@ def sessionize(
         F.min("_tus").alias("t_start_us"),
         (F.max("_tus") - F.min("_tus")).alias("dur_us"),
     )
+
+
+def funnel_depths(
+    df: DataFrame,
+    stages: "list[tuple[str, str]]",
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    window_us: int = 7 * 24 * 3_600_000_000,
+) -> DataFrame:
+    """ClickHouse-style window funnel: per key, how deep into the ordered
+    ``stages`` chain the key progressed, anchored at its FIRST stage-1
+    event, with every later stage required within ``window_us`` of that
+    anchor (greedy earliest-match — deterministic, and equivalent to the
+    chained min-aggregate SQL formulation whenever (key, time) pairs are
+    unique).
+
+    ``stages`` is [(event_type_value, stage_name), ...] in funnel order.
+
+    Plan shape — ONE shuffle total: collect each key's (t, type) events,
+    sort in place (sort_array, JVM-side), then F.aggregate walks the
+    sorted array with a (depth, anchor_t, prev_t) state struct.  The
+    naive alternative is len(stages) self-joins, i.e. len(stages)
+    shuffles of the full event table; this formulation shuffles each
+    event exactly once as a 16-byte pair.  Per-key arrays are bounded by
+    per-key event counts — the same bound any per-key window sort needs.
+    """
+    types = [s[0] for s in stages]
+    evs = df.filter(F.col(type_col).isin(types)).select(
+        F.col(key_col),
+        F.struct(
+            F.unix_micros(F.col(time_col).cast("timestamp")).alias("t"),
+            F.col(type_col).alias("et"),
+        ).alias("e"),
+    )
+    per_key = evs.groupBy(key_col).agg(
+        F.sort_array(F.collect_list("e")).alias("seq")
+    )
+    zero = F.struct(
+        F.lit(0).alias("depth"),
+        F.lit(0).cast("long").alias("anchor"),
+        F.lit(0).cast("long").alias("prev"),
+    )
+
+    def step(acc, e):
+        out = F.when(
+            (acc["depth"] == 0) & (e["et"] == types[0]),
+            F.struct(F.lit(1).alias("depth"), e["t"].alias("anchor"), e["t"].alias("prev")),
+        )
+        for d, t in enumerate(types[1:], start=1):
+            out = out.when(
+                (acc["depth"] == d)
+                & (e["et"] == t)
+                & (e["t"] <= acc["anchor"] + F.lit(window_us)),
+                F.struct(
+                    F.lit(d + 1).alias("depth"),
+                    acc["anchor"].alias("anchor"),
+                    e["t"].alias("prev"),
+                ),
+            )
+        return out.otherwise(acc)
+
+    return per_key.select(
+        key_col, F.aggregate("seq", zero, step)["depth"].alias("depth")
+    )

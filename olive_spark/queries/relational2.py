@@ -325,6 +325,47 @@ SQL_JOIN_LATERAL = (
 )
 
 
+def events_window_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Window funnel (view -> click -> purchase, 7-day window anchored at
+    each user's first view): depth histogram.  Spark side is the
+    single-shuffle sort_array + F.aggregate walk
+    (olive_spark.ops.timeseries.funnel_depths); the oracle is the chained
+    min-aggregate formulation -- equivalent because (user_id, ts) pairs
+    are unique in the testdata (verified at sf0.01/sf0.1)."""
+    from olive_spark.ops.timeseries import funnel_depths
+
+    events = data.load(spark, sf, "events", columns=["user_id", "ts", "event_type"])
+    depths = funnel_depths(
+        events,
+        stages=[("view", "viewed"), ("click", "clicked"), ("purchase", "purchased")],
+    )
+    return (
+        depths.filter(F.col("depth") >= 1)
+        .groupBy("depth")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+SQL_WINDOW_FUNNEL = (
+    "WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "s2 AS (SELECT e.user_id, MIN(epoch_us(ts)) AS t2 FROM events e "
+    "JOIN s1 USING (user_id) WHERE event_type = 'click' "
+    "AND epoch_us(ts) >= t1 AND epoch_us(ts) <= t1 + 604800000000 "
+    "GROUP BY e.user_id), "
+    "s3 AS (SELECT e.user_id, MIN(epoch_us(ts)) AS t3 FROM events e "
+    "JOIN s2 USING (user_id) JOIN s1 USING (user_id) "
+    "WHERE event_type = 'purchase' "
+    "AND epoch_us(ts) >= t2 AND epoch_us(ts) <= t1 + 604800000000 "
+    "GROUP BY e.user_id) "
+    "SELECT depth, COUNT(*) AS n_users FROM ("
+    "SELECT s1.user_id, CASE WHEN t3 IS NOT NULL THEN 3 "
+    "WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth "
+    "FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)) "
+    "GROUP BY depth"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "join_lateral_topn": (join_lateral_topn, SQL_JOIN_LATERAL),
     "ts_resample_locf": (ts_resample_locf, SQL_TS_RESAMPLE),
@@ -337,4 +378,5 @@ QUERIES: dict[str, tuple] = {
     "scan_partitioned_pruning": (scan_partitioned_pruning, SQL_SCAN_PARTITIONED),
     "agg_histogram_buckets": (agg_histogram_buckets, SQL_AGG_HISTOGRAM),
     "join_skew_salted": (join_skew_salted, SQL_JOIN_SKEW),
+    "events_window_funnel": (events_window_funnel, SQL_WINDOW_FUNNEL),
 }

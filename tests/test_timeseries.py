@@ -81,3 +81,34 @@ def test_range_join_bounds(spark):
     )
     # (100, 105): pt in [101, 105) → 101, 104; key 2 excluded
     assert sorted(r["pt"] for r in out.collect()) == [101, 104]
+
+
+def test_funnel_depths_greedy_anchor(spark):
+    from olive_spark.ops.timeseries import funnel_depths
+
+    W = 10 * 60 * 1_000_000  # 10-minute window
+    rows = [
+        # user 1: full chain inside window -> depth 3
+        (1, ts(0), "view"), (1, ts(2), "click"), (1, ts(5), "purchase"),
+        # user 2: click before any view doesn't count; later click ok -> 2
+        (2, ts(0), "click"), (2, ts(1), "view"), (2, ts(3), "click"),
+        # user 3: purchase outside the window from the FIRST view -> 2
+        # (a later view would re-anchor under optimal semantics; greedy
+        # earliest-anchor is the pinned contract)
+        (3, ts(0), "view"), (3, ts(2), "click"),
+        (3, ts(8), "view"), (3, ts(15), "purchase"),
+        # user 4: purchase with no click stays depth 1
+        (4, ts(0), "view"), (4, ts(1), "purchase"),
+        # user 5: no view at all -> depth 0
+        (5, ts(0), "click"), (5, ts(1), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["user_id"]: r["depth"]
+        for r in funnel_depths(
+            df,
+            stages=[("view", "v"), ("click", "c"), ("purchase", "p")],
+            window_us=W,
+        ).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 2, 4: 1, 5: 0}
