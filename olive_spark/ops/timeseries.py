@@ -242,3 +242,34 @@ def funnel_depths(
     return per_key.select(
         key_col, F.aggregate("seq", zero, step)["depth"].alias("depth")
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    bucket_us: int = 7 * 24 * 3_600_000_000,
+    max_offset: int = 4,
+) -> DataFrame:
+    """Cohort retention: users bucketed by their FIRST event's time
+    bucket (the cohort); for each cohort and bucket offset k, how many of
+    the cohort's users were active k buckets later.
+
+    Plan shape: per-key min (one slim shuffle on key), equi-join of the
+    (key, cohort) map back onto the (key, bucket) activity pairs — same
+    join key as the aggregate, so a co-partitioned hash join — then one
+    small (cohort, offset) count-distinct.  Events shuffle as 16-byte
+    pairs, never full rows; distinct-per-(cohort,offset) is bounded by
+    cohort sizes."""
+    tus = F.unix_micros(F.col(time_col).cast("timestamp"))
+    b = (tus - tus % F.lit(bucket_us)).alias("bucket")
+    acts = df.select(F.col(key_col), b).distinct()
+    cohorts = acts.groupBy(key_col).agg(F.min("bucket").alias("cohort"))
+    joined = acts.join(cohorts, key_col)
+    offset = ((F.col("bucket") - F.col("cohort")) / F.lit(bucket_us)).cast("int")
+    return (
+        joined.select(key_col, "cohort", offset.alias("offset"))
+        .filter(F.col("offset") <= max_offset)
+        .groupBy("cohort", "offset")
+        .agg(F.count_distinct(key_col).alias("n_users"))
+    )

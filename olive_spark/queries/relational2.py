@@ -366,6 +366,29 @@ SQL_WINDOW_FUNNEL = (
 )
 
 
+def events_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention over the events table: users grouped by
+    first-activity week, counted when active k weeks later (k <= 4).
+    Spark side shuffles only (user_id, week) pairs
+    (olive_spark.ops.timeseries.cohort_retention)."""
+    from olive_spark.ops.timeseries import cohort_retention
+
+    events = data.load(spark, sf, "events", columns=["user_id", "ts"])
+    return cohort_retention(events)
+
+
+SQL_COHORT_RETENTION = (
+    "WITH acts AS (SELECT DISTINCT user_id, "
+    "epoch_us(ts) - epoch_us(ts) % 604800000000 AS bucket FROM events), "
+    "cohorts AS (SELECT user_id, MIN(bucket) AS cohort FROM acts GROUP BY user_id) "
+    "SELECT cohort, CAST((bucket - cohort) // 604800000000 AS INT) AS offset, "
+    "COUNT(DISTINCT a.user_id) AS n_users "
+    "FROM acts a JOIN cohorts USING (user_id) "
+    "WHERE (bucket - cohort) // 604800000000 <= 4 "
+    "GROUP BY 1, 2"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "join_lateral_topn": (join_lateral_topn, SQL_JOIN_LATERAL),
     "ts_resample_locf": (ts_resample_locf, SQL_TS_RESAMPLE),
@@ -379,4 +402,5 @@ QUERIES: dict[str, tuple] = {
     "agg_histogram_buckets": (agg_histogram_buckets, SQL_AGG_HISTOGRAM),
     "join_skew_salted": (join_skew_salted, SQL_JOIN_SKEW),
     "events_window_funnel": (events_window_funnel, SQL_WINDOW_FUNNEL),
+    "events_cohort_retention": (events_cohort_retention, SQL_COHORT_RETENTION),
 }

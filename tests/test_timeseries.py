@@ -112,3 +112,32 @@ def test_funnel_depths_greedy_anchor(spark):
         ).collect()
     }
     assert got == {1: 3, 2: 2, 3: 2, 4: 1, 5: 0}
+
+
+def test_cohort_retention_offsets(spark):
+    from olive_spark.ops.timeseries import cohort_retention
+
+    B = 1_000_000  # 1-second buckets for the test
+    mk = lambda sec: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+    rows = [
+        # user 1: cohort bucket 0, active at offsets 0, 1, 3
+        (1, mk(0)), (1, mk(1)), (1, mk(3)),
+        # user 2: same cohort, only offset 0 (two events, one bucket)
+        (2, mk(0)), (2, mk(0)),
+        # user 3: later cohort (bucket 5), active offsets 0 and 1
+        (3, mk(5)), (3, mk(6)),
+        # user 4: offset 7 exceeds max_offset=4 -> excluded row
+        (4, mk(0)), (4, mk(7)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["cohort"], r["offset"]): r["n_users"]
+        for r in cohort_retention(
+            df, bucket_us=B, max_offset=4
+        ).collect()
+    }
+    t0 = 1_704_067_200 * 1_000_000  # 2024-01-01 epoch us
+    assert out == {
+        (t0, 0): 3, (t0, 1): 1, (t0, 3): 1,
+        (t0 + 5 * B, 0): 1, (t0 + 5 * B, 1): 1,
+    }
