@@ -107,3 +107,26 @@ def test_topk_uses_takeordered(spark):
     )
     p = plan_of(df)
     assert "TakeOrderedAndProject" in p, "top-k must not global-sort"
+
+
+def test_funnel_is_single_shuffle(spark):
+    from olive_spark.queries import ALL_QUERIES
+
+    df = ALL_QUERIES["events_window_funnel"][0](spark, SF)
+    p = plan_of(df)
+    # one exchange for the per-user collect_list, one for the tiny
+    # (depth, count) aggregate; the n-stage self-join formulation would
+    # show n+1 — a third exchange means the single-pass walk regressed
+    assert p.count("hashpartitioning") <= 2, p
+
+
+def test_cohort_retention_shuffles_slim_pairs(spark):
+    from olive_spark.queries import ALL_QUERIES
+
+    df = ALL_QUERIES["events_cohort_retention"][0](spark, SF)
+    p = plan_of(df)
+    # events must reach their first exchange as (user_id, bucket) pairs —
+    # a ts or event payload column in ReadSchema means the slim projection
+    # regressed
+    assert "ReadSchema: struct<ts:timestamp,user_id:bigint>" in p
+    assert "SortMergeJoin" not in p or "BroadcastHashJoin" not in p
