@@ -29,6 +29,11 @@ Options:
     chunkRows        max rows per output file (default 1 << 20)
     dictEncode       "true"/"false" — global fsb20/32 dict (default true)
     stats            "true"/"false" — per-page min/max stats (default true)
+    bloomColumns     comma-separated columns that get a per-file Bloom
+                     filter in the header; =/IN pushed filters then skip
+                     whole files whose filter disproves the literal
+                     (point lookups on high-cardinality ids, where
+                     min/max can't prune)
     pushdown         "true" → pushed filters drive file/page pruning at
                      planning time.  Opt-in: Spark caches one readInfo
                      per relation, so a pruned plan from a filtered
@@ -222,14 +227,21 @@ class OliveReader(DataSourceReader):
         return parts
 
     def _file_prunable(self, fp: str, preds) -> bool:
-        """File-level pruning on chunk-wide stats (cheap header-only read)."""
+        """File-level pruning on chunk-wide stats (cheap header-only
+        read): min/max page stats disprove ranges, per-file Bloom
+        filters disprove =/IN on high-cardinality columns."""
         try:
-            from olive_spark.format.reader import select_pages
+            from olive_spark.format.reader import (
+                file_prunable_by_bloom,
+                select_pages,
+            )
 
             header, _ = _read_header_bytes(fp)
             th = _pick_table(header, self.table)
             sel = select_pages(th, list(preds))
-            return sel is not None and len(sel) == 0
+            if sel is not None and len(sel) == 0:
+                return True
+            return file_prunable_by_bloom(th, list(preds))
         except Exception:  # noqa: BLE001 — pruning must never break a scan
             return False
 
@@ -374,6 +386,8 @@ class OliveWriter(DataSourceArrowWriter):
         self.bias = options.get("compressionbias", options.get("compressionBias", "balanced"))
         self.dict_encode = str(options.get("dictencode", options.get("dictEncode", "true"))).lower() == "true"
         self.stats = str(options.get("stats", "true")).lower() == "true"
+        bc = options.get("bloomcolumns", options.get("bloomColumns"))
+        self.bloom_columns = [c.strip() for c in bc.split(",") if c.strip()] if bc else []
         pb = options.get("partitionby", options.get("partitionBy"))
         self.partition_by = [c.strip() for c in pb.split(",")] if pb else []
         self.overwrite = overwrite
@@ -387,6 +401,7 @@ class OliveWriter(DataSourceArrowWriter):
             compression_bias=self.bias,
             dict_encode=self.dict_encode,
             collect_stats=self.stats,
+            bloom_columns=self.bloom_columns,
         )
         d = os.path.join(self.path, subdir) if subdir else self.path
         os.makedirs(d, exist_ok=True)

@@ -122,6 +122,7 @@ class ArrayHeader:
     children: list["ArrayHeader"] = field(default_factory=list)
     extra: dict[str, Any] = field(default_factory=dict)
     stats: Optional[dict[str, list[Any]]] = None  # {"min": [...], "max": [...]} per page
+    bloom: Optional[dict[str, Any]] = None  # {"m", "k", "b64"} file-level equality filter
 
     def to_json(self) -> dict[str, Any]:
         out: dict[str, Any] = {"t": self.tag, "n": self.length, "z": self.null_count}
@@ -133,6 +134,8 @@ class ArrayHeader:
             out["x"] = self.extra
         if self.stats is not None:
             out["s"] = self.stats
+        if self.bloom is not None:
+            out["bl"] = self.bloom
         return out
 
     @staticmethod
@@ -154,7 +157,10 @@ class ArrayHeader:
         if not isinstance(extra, dict):
             raise ValidationError("malformed extra")
         stats = j.get("s")
-        return ArrayHeader(tag, n, z, bufs, children, extra, stats)
+        bloom = j.get("bl")
+        if bloom is not None and not isinstance(bloom, dict):
+            raise ValidationError("malformed bloom")
+        return ArrayHeader(tag, n, z, bufs, children, extra, stats, bloom)
 
 
 @dataclass

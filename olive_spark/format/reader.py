@@ -473,3 +473,29 @@ def select_pages(
     if not pruned_any or keep.all():
         return None
     return [int(i) for i in np.nonzero(keep)[0]]
+
+
+def file_prunable_by_bloom(
+    th: TableHeader, predicates: Sequence[tuple[str, str, Any]]
+) -> bool:
+    """True when a per-file Bloom filter PROVES an equality predicate
+    can't match any row of this chunk (min/max handles ranges; bloom
+    handles point lookups on high-cardinality columns).  Conservative:
+    absent/malformed filters and unhashable literals never prune."""
+    from olive_spark.format import bloom as _bloom
+
+    by_name = dict(zip(th.field_names, th.fields))
+    for col, op, value in predicates:
+        f = by_name.get(col)
+        if f is None or f.bloom is None:
+            continue
+        if op == "=" and not _bloom.might_contain(f.bloom, value):
+            return True
+        if (
+            op == "in"
+            and isinstance(value, (list, tuple))
+            and value
+            and all(not _bloom.might_contain(f.bloom, v) for v in value)
+        ):
+            return True
+    return False

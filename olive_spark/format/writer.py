@@ -181,6 +181,7 @@ class ChunkWriter:
         compression_bias: str = "balanced",
         dict_encode: bool = True,
         collect_stats: bool = True,
+        bloom_columns: "tuple[str, ...] | list[str]" = (),
     ) -> None:
         if compression_bias not in ("balanced", "read_optimized"):
             raise ValidationError(f"bad compression bias {compression_bias!r}")
@@ -189,6 +190,7 @@ class ChunkWriter:
         self.data_codec = "zstd" if compression_bias == "balanced" else "lz4_hc"
         self.dict_encode = dict_encode
         self.collect_stats = collect_stats
+        self.bloom_columns = tuple(bloom_columns)
 
     def write(self, tables: dict[str, pa.Table]) -> bytes:
         if not tables:
@@ -234,9 +236,14 @@ class ChunkWriter:
                         f"column {fname!r} length {len(arr)} != table rows {n}"
                     )
                 ftypes.append(type_to_json(arr.type))
-                fields.append(
-                    self._write_array(out, arr, 0, n, grid, ctx, top_level=True)
-                )
+                ah = self._write_array(out, arr, 0, n, grid, ctx, top_level=True)
+                if fname in self.bloom_columns:
+                    # built over LOGICAL values (pre-dict-encode), so
+                    # probes use predicate literals directly
+                    from olive_spark.format.bloom import build_bloom
+
+                    ah.bloom = build_bloom(arr)
+                fields.append(ah)
             theaders.append(TableHeader(name, n, list(t.column_names), ftypes, fields))
 
         header = ChunkHeader(1, theaders, dict20, dict32, len(out.buf))

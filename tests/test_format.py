@@ -345,3 +345,59 @@ def test_data_section_overflow_guard():
 
     with pytest.raises(ValidationError):
         ChunkHeader.from_json_bytes(b'{"v":1,"tables":[],"dss":99999999999999}')
+
+
+# ---------------------------------------------------------------- bloom
+
+def test_bloom_built_only_for_requested_supported_columns():
+    from olive_spark.format.header import ChunkHeader
+
+    t = pa.table({
+        "id": pa.array(range(500), pa.int64()),
+        "name": pa.array([f"u{i}" for i in range(500)], pa.string()),
+        "score": pa.array([float(i) for i in range(500)], pa.float64()),
+    })
+    blob = write_chunk({"t": t}, bloom_columns=["id", "score"])
+    hlen = int.from_bytes(blob[4:8], "little")
+    header = ChunkHeader.from_json_bytes(blob[8 : 8 + hlen])
+    th = header.tables[0]
+    by = dict(zip(th.field_names, th.fields))
+    assert by["id"].bloom is not None
+    assert by["name"].bloom is None  # not requested
+    assert by["score"].bloom is None  # float unsupported → no filter
+    # roundtrip unaffected by the extra header key
+    assert read_all_tables(blob)["t"].equals(t)
+
+
+def test_bloom_no_false_negatives_and_prunes_absent():
+    from olive_spark.format.header import ChunkHeader
+    from olive_spark.format.reader import file_prunable_by_bloom
+
+    ids = [i * 7919 for i in range(2000)]  # high-card, gappy
+    t = pa.table({"id": pa.array(ids, pa.int64()),
+                  "tag": pa.array([f"t{i}" for i in ids], pa.string())})
+    blob = write_chunk({"t": t}, bloom_columns=["id", "tag"])
+    hlen = int.from_bytes(blob[4:8], "little")
+    th = ChunkHeader.from_json_bytes(blob[8 : 8 + hlen]).tables[0]
+    # present values must NEVER prune (no false negatives, hard guarantee)
+    for v in ids[::97]:
+        assert not file_prunable_by_bloom(th, [("id", "=", v)])
+        assert not file_prunable_by_bloom(th, [("tag", "=", f"t{v}")])
+    # absent values prune almost always (fp ~0.8%); deterministic data →
+    # assert the aggregate rate, not any single probe
+    absent = [i * 7919 + 3 for i in range(2000)]
+    pruned = sum(file_prunable_by_bloom(th, [("id", "=", v)]) for v in absent)
+    assert pruned > 1900, f"bloom barely prunes: {pruned}/2000"
+    # IN prunes only when EVERY literal is absent
+    assert file_prunable_by_bloom(th, [("id", "in", [3, 10, 17])])
+    assert not file_prunable_by_bloom(th, [("id", "in", [3, ids[5]])])
+
+
+def test_bloom_malformed_never_prunes():
+    from olive_spark.format.bloom import might_contain
+
+    assert might_contain({}, 1)
+    assert might_contain({"m": 64, "k": 7, "b64": "!!!not-base64"}, 1)
+    assert might_contain({"m": 1 << 20, "k": 7, "b64": "AAAA"}, 1)  # short bitmap
+    assert might_contain({"m": -5, "k": 0, "b64": ""}, 1)
+    assert might_contain({"m": 64, "k": 7, "b64": "AAAAAAAAAA=="}, [1, 2])  # unhashable
