@@ -98,7 +98,9 @@ def _list_chunk_files(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]
     out = []
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        dirs.sort()  # os.walk order is fs-dependent; schema resolution
+        # and streaming offsets both key off the file order, so pin it
         for f in sorted(files):
             if f.endswith(".olive"):
                 out.append(os.path.join(root, f))
@@ -147,6 +149,30 @@ def _widen_type(dt: "pa.DataType") -> "pa.DataType":
         return pa.timestamp("us", tz=dt.tz)
     if pa.types.is_duration(dt) and dt.unit == "ns":
         return pa.duration("us")
+    if pa.types.is_decimal(dt) and dt.bit_width > 128:
+        # decimal256 (reference src/write.zig:151-157): Spark's max
+        # precision is 38 — re-type when the declared precision fits,
+        # reject otherwise (SURVEY.md §1.2 policy: reject by default;
+        # callers needing p>38 should store binary + metadata)
+        if dt.precision <= 38:
+            return pa.decimal128(dt.precision, dt.scale)
+        from olive_spark.format.errors import ValidationError
+
+        raise ValidationError(
+            f"decimal256({dt.precision},{dt.scale}) exceeds Spark's max "
+            "decimal precision (38); rescale the column or store it as "
+            "binary (SURVEY.md §1.2: reject by default)"
+        )
+    if pa.types.is_interval(dt):
+        # interval_month_day_nano (reference src/write.zig:193-197) has
+        # no storable Spark equivalent → lower to a typed struct
+        return pa.struct(
+            [
+                pa.field("months", pa.int32()),
+                pa.field("days", pa.int32()),
+                pa.field("nanos", pa.int64()),
+            ]
+        )
     if pa.types.is_fixed_size_binary(dt):
         return pa.binary()
     if pa.types.is_list(dt) or pa.types.is_large_list(dt):
@@ -304,6 +330,11 @@ def _cast_to(tbl: "pa.Table", expected: "pa.Schema") -> "pa.Table":
             continue
         col = tbl.column(f.name)
         if col.type != f.type:
+            if pa.types.is_interval(col.type) and pa.types.is_struct(f.type):
+                col = _interval_to_struct(col, f.type)
+                cols.append(col)
+                fields.append(f)
+                continue
             try:
                 col = col.cast(f.type)
             except pa.ArrowInvalid:
@@ -318,6 +349,28 @@ def _cast_to(tbl: "pa.Table", expected: "pa.Schema") -> "pa.Table":
     return pa.Table.from_arrays(
         [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
         schema=pa.schema(fields),
+    )
+
+
+def _interval_to_struct(col, struct_type):
+    """month_day_nano interval → {months,days,nanos} struct (Arrow has
+    no built-in cast for it; interval columns are metadata-scale, so the
+    per-value conversion is not a hot path)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.to_pylist()
+    return pa.StructArray.from_arrays(
+        [
+            pa.array([None if v is None else v.months for v in vals], pa.int32()),
+            pa.array([None if v is None else v.days for v in vals], pa.int32()),
+            pa.array(
+                [None if v is None else v.nanoseconds for v in vals], pa.int64()
+            ),
+        ],
+        fields=list(struct_type),
+        mask=pa.array([v is None for v in vals], pa.bool_()),
     )
 
 
@@ -447,35 +500,66 @@ class OliveWriter(DataSourceArrowWriter):
         At scale the caller should `df.repartition(*partition_cols)` (or
         range-partition) before writing so each task holds few distinct
         tuples — the same discipline Spark's own parquet partitionBy
-        needs."""
+        needs.  Each partition key's buffer is flushed as soon as it
+        reaches ``chunk_rows`` (never the whole task input at once), so
+        task memory is bounded by (keys-in-flight × chunk_rows) even for
+        skewed/high-cardinality keys.  Null partition values route to
+        the hive ``__HIVE_DEFAULT_PARTITION__`` directory — they MUST
+        NOT be dropped (an equality mask would silently lose them)."""
         import urllib.parse
 
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         groups: dict[tuple, list] = {}
+        counts: dict[tuple, int] = {}
+        subdirs: dict[tuple, str] = {}
+
+        def flush(key: tuple, final: bool) -> None:
+            sub = pa.concat_tables(groups[key])
+            off = 0
+            while sub.num_rows - off >= self.chunk_rows:
+                self._emit(sub.slice(off, self.chunk_rows), subdirs[key], files)
+                off += self.chunk_rows
+            rest = sub.slice(off)
+            if final and rest.num_rows:
+                self._emit(rest, subdirs[key], files)
+                rest = rest.slice(0, 0)
+            groups[key] = [rest] if rest.num_rows else []
+            counts[key] = rest.num_rows
+
         for batch in iterator:
             tbl = pa.Table.from_batches([batch])
-            # group_by preserves value types; iterate distinct tuples
+            # group_by preserves value types (and keeps null groups);
+            # iterate distinct tuples
             keys = tbl.select(self.partition_by)
             distinct = keys.group_by(self.partition_by).aggregate([])
             for row in distinct.to_pylist():
                 mask = None
-                import pyarrow.compute as pc
-
                 for c in self.partition_by:
-                    m = pc.equal(tbl.column(c), pa.scalar(row[c]))
+                    col = tbl.column(c)
+                    m = (
+                        pc.is_null(col)
+                        if row[c] is None
+                        else pc.equal(col, pa.scalar(row[c]))
+                    )
                     mask = m if mask is None else pc.and_(mask, m)
                 sub = tbl.filter(mask)
                 key = tuple(row[c] for c in self.partition_by)
+                if key not in subdirs:
+                    subdirs[key] = "/".join(
+                        f"{c}=__HIVE_DEFAULT_PARTITION__"
+                        if v is None
+                        else f"{c}={urllib.parse.quote(str(v), safe='')}"
+                        for c, v in zip(self.partition_by, key)
+                    )
                 groups.setdefault(key, []).append(sub)
-        for key, tables in groups.items():
-            sub = pa.concat_tables(tables)
-            subdir = "/".join(
-                f"{c}={urllib.parse.quote(str(v), safe='')}"
-                for c, v in zip(self.partition_by, key)
-            )
-            for off in range(0, sub.num_rows, self.chunk_rows):
-                self._emit(sub.slice(off, self.chunk_rows), subdir, files)
+                counts[key] = counts.get(key, 0) + sub.num_rows
+                if counts[key] >= self.chunk_rows:
+                    flush(key, final=False)
+        for key in groups:
+            if counts[key]:
+                flush(key, final=True)
         return OliveCommitMessage(tuple(files))
 
     def commit(self, messages) -> None:  # files are final on write

@@ -32,6 +32,23 @@ _MERSENNE = (1 << 31) - 1
 _SEED = 0x9E3779B97F4A7C15
 
 
+def _list_offsets_values(la) -> "tuple[np.ndarray, np.ndarray]":
+    """(rebased offsets, exact values) for a possibly-sliced Arrow
+    ListArray.
+
+    ``la.offsets`` of a sliced ListArray are ABSOLUTE indices into the
+    FULL (unsliced) child array, and ``la.values`` returns that full
+    child — so feeding them to ``np.*.reduceat`` directly would (a) make
+    the last segment run past the slice into foreign elements and
+    (b) waste work on leading elements before the slice.  Rebase to the
+    slice window instead: values are truncated to [off[0], off[-1]) and
+    offsets shifted to start at 0."""
+    off = la.offsets.to_numpy().astype(np.int64)
+    vals = la.values.to_numpy(zero_copy_only=False)
+    lo, hi = off[0], off[-1]
+    return off - lo, vals[lo:hi]
+
+
 def _perm_params() -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p."""
     params = []
@@ -127,8 +144,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
         for batch in batches:
             ids = batch.column(0)
             la = batch.column(1)
-            off = la.offsets.to_numpy().astype(np.int64)
-            vals = la.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            off, vals = _list_offsets_values(la)
+            vals = vals.astype(np.int64)
             if len(vals) == 0:
                 sig = np.full((len(ids), _N_PERM), _MERSENNE - 1, dtype=np.int64)
             else:
@@ -250,29 +267,47 @@ def ngram_jaccard_pairs(
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash: JVM hashes tokens (xxhash64), an Arrow-batched
-    Pandas UDF does the vectorized bit vote (the numpy popcount loop is
-    the genuinely non-SQL part)."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("long")
-    def _bit_vote(hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(hashes), dtype=np.int64)
-        for i, hs in enumerate(hashes):
-            if hs is None or len(hs) == 0:
-                continue
-            arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-            votes = bits.sum(axis=0) * 2 - len(arr)  # +1/-1 vote per bit
-            sig = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig.astype(np.int64))
-        return pd.Series(out)
+    """64-bit SimHash: JVM hashes tokens (xxhash64); one vectorized
+    Arrow pass per partition does the bit vote for the whole batch at
+    once — the flattened (total_tokens × 64) bit matrix reduces by the
+    token-list offsets (np.add.reduceat), mirroring minhash_signatures.
+    No per-document or per-bit Python loop."""
+    import pyarrow as pa
 
     toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != "")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    return df.select(F.col(id_col), _bit_vote(hashes).alias("simhash"))
+    hdf = df.select(F.col(id_col), hashes.alias("__h"))
+
+    def vote(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            off, vals = _list_offsets_values(batch.column(1))
+            vals = vals.astype(np.int64)
+            n = len(off) - 1
+            sig = np.zeros(n, dtype=np.int64)
+            lens = np.diff(off)
+            nz = np.nonzero(lens > 0)[0]
+            if nz.size:
+                u = vals.view(np.uint64)
+                bits = (
+                    (u[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                ).astype(np.int64)
+                # reduceat at the nonzero rows' start offsets: empty rows
+                # between them contribute zero length, so each segment
+                # ends exactly at the next nonzero row's start (or the
+                # flattened end for the last one)
+                sums = np.add.reduceat(bits, off[nz], axis=0)
+                votes = sums * 2 - lens[nz][:, None]  # +1/-1 vote per bit
+                sbits = (votes > 0).astype(np.uint64)
+                packed = (sbits << np.arange(64, dtype=np.uint64)).sum(axis=1)
+                sig[nz] = packed.astype(np.uint64).view(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sig, pa.int64())], ["__id", "simhash"]
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    out = hdf.mapInArrow(vote, f"__id {id_type}, simhash long")
+    return out.select(F.col("__id").alias(id_col), "simhash")
 
 
 def simhash_neardup_pairs(

@@ -88,7 +88,8 @@ def compact(
     else:
         df = df.repartition(n_files)
 
-    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    run = uuid.uuid4().hex[:8]
+    tmp = f"{path}.compact-{run}"
     (
         df.write.format("olive")
         .option("table", table)
@@ -96,10 +97,25 @@ def compact(
         .mode("append")
         .save(tmp)
     )
+    # Crash-safe swap, three phases — at no point is the directory empty:
+    # 1. stage replacements into the live dir under non-.olive names
+    #    (invisible to _list_chunk_files);
+    # 2. activate them with atomic renames (readers may briefly see old
+    #    AND new — a transient duplicate beats a lost table);
+    # 3. only then delete the originals.  A crash in 1-2 leaves the old
+    #    files untouched; a crash in 3 leaves a readable superset.
+    staged = []
+    for i, f in enumerate(_list_chunk_files(tmp)):
+        dest = os.path.join(path, f"compact-{run}-{i:05d}.olive.staging")
+        shutil.move(f, dest)
+        staged.append(dest)
+    for dest in staged:
+        os.replace(dest, dest[: -len(".staging")])
     for f in before:
-        os.remove(f)
-    for f in _list_chunk_files(tmp):
-        shutil.move(f, os.path.join(path, os.path.basename(f)))
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass
     shutil.rmtree(tmp, ignore_errors=True)
     after = _list_chunk_files(path)
     return {"files_before": len(before), "files_after": len(after), "rows": rows}

@@ -208,7 +208,10 @@ def ivf_topk(
         .filter(F.col("_rn") == 1)
         .select(F.col("_b").alias("centroid_id"), F.col(vec_col).alias("centroid_vec"))
     )
-    cents_rows = [(r["centroid_id"], r["centroid_vec"]) for r in cents.collect()]
+    cents_rows = sorted(
+        ((r["centroid_id"], r["centroid_vec"]) for r in cents.collect()),
+        key=lambda t: t[0],
+    )
 
     def nearest_buckets(vec, n):
         sims = [
@@ -220,9 +223,41 @@ def ivf_topk(
         ])
         return F.slice(F.reverse(F.array_sort(arr)), 1, n)
 
-    c_assigned = corpus.withColumn(
-        "bucket", nearest_buckets(F.col(vec_col), 1)[0]["cid"]
-    )
+    # Corpus-side centroid assignment: one numpy matmul per Arrow batch
+    # against the broadcast (normalized) centroid matrix.  An expression
+    # tree would re-evaluate an n_centroids-wide cosine per row — fine at
+    # 16 centroids, a scale-killer at real centroid counts.  Tie-break
+    # matches the query-side expression (highest centroid_id wins).
+    import numpy as np
+    import pyarrow as pa
+
+    cids_arr = np.array([c for c, _ in cents_rows], dtype=np.int64)
+    cmat = np.array([v for _, v in cents_rows], dtype=np.float64)
+    cmat = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300)
+    bc = corpus.sparkSession.sparkContext.broadcast((cids_arr, cmat))
+    assign_schema = ", ".join(
+        f"{name} {dtype}" for name, dtype in corpus.dtypes
+    ) + ", bucket int"
+
+    def assign(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        cids_, cmat_ = bc.value
+        for batch in batches:
+            vecs = batch_matrix(batch.column(vec_col))
+            if len(vecs) == 0:
+                bucket = np.zeros(batch.num_rows, dtype=np.int32)
+            else:
+                norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                sims = (vecs / norms) @ cmat_.T  # (n, n_centroids)
+                # argmax picks the FIRST max; reversing columns makes the
+                # highest centroid id win ties, like the sort-based probe
+                rev_am = sims[:, ::-1].argmax(axis=1)
+                bucket = cids_[sims.shape[1] - 1 - rev_am].astype(np.int32)
+            yield batch.append_column(
+                pa.field("bucket", pa.int32()), pa.array(bucket, pa.int32())
+            )
+
+    c_assigned = corpus.mapInArrow(assign, assign_schema)
     q_assigned = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),

@@ -95,14 +95,20 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     Arrow-batched mapInPandas (decoder stubbed deterministically, so the
     oracle reproduces frames + byte slices arithmetically)."""
     df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
-    return multimodal.frame_sample(multimodal.attach_binary_payload(df))
+    frames = multimodal.frame_sample(multimodal.attach_binary_payload(df))
+    # hex-project the binary payload: Spark returns ``bytes`` where
+    # DuckDB's pandas path returns ``bytearray`` — same value, different
+    # repr under the driver's canonicalizer
+    return frames.select(
+        "doc_id", "frame_no", F.lower(F.hex("frame_bytes")).alias("frame_hex")
+    )
 
 
 SQL_MM_FRAMES = (
     # documents.text is pure ASCII in the testdata, so the VARCHAR
     # substring is byte-identical to the Python bytes slice
     "SELECT doc_id, CAST(fi AS INT) AS frame_no, "
-    "encode(substring(text, CAST((fi * 97) % GREATEST(strlen(text), 1) AS INT) + 1, 16)) AS frame_bytes "
+    "lower(hex(encode(substring(text, CAST((fi * 97) % GREATEST(strlen(text), 1) AS INT) + 1, 16)))) AS frame_hex "
     "FROM documents, UNNEST(range(0, strlen(text) % 30 + 1, 10)) AS t(fi)"
 )
 
@@ -216,7 +222,7 @@ SQL_CURATION = (
     "md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM documents), "
     "f AS (SELECT * FROM t WHERE n_tok >= 10 AND len <= 20000), "
     "d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f) "
-    "SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens "
+    "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens "
     "FROM d WHERE rn = 1 GROUP BY lang"
 )
 

@@ -51,7 +51,7 @@ def llm_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_STRATIFIED = (
-    "SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sum_chars "
+    "SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
     "FROM documents "
     "WHERE doc_id % 100 < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END) "
     "GROUP BY lang"
@@ -112,14 +112,24 @@ def llm_length_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     are usually set from these).  Integer inputs → the interpolated
     quantiles are exact dyadic fractions, identical in both engines."""
     df = data.load(spark, sf, "documents", columns=["lang", "n_chars"])
-    return df.groupBy("lang").agg(
-        F.percentile("n_chars", F.lit([0.25, 0.5, 0.75])).alias("pct_chars"),
-        F.count("*").alias("n"),
+    pcts = F.percentile("n_chars", F.lit([0.25, 0.5, 0.75]))
+    return (
+        df.groupBy("lang")
+        .agg(pcts.alias("_pcts"), F.count("*").alias("n"))
+        .select(
+            "lang",
+            F.element_at("_pcts", 1).alias("p25_chars"),
+            F.element_at("_pcts", 2).alias("p50_chars"),
+            F.element_at("_pcts", 3).alias("p75_chars"),
+            "n",
+        )
     )
 
 
 SQL_LENGTH_PCT = (
-    "SELECT lang, quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS pct_chars, "
+    "SELECT lang, quantile_cont(n_chars, 0.25) AS p25_chars, "
+    "quantile_cont(n_chars, 0.5) AS p50_chars, "
+    "quantile_cont(n_chars, 0.75) AS p75_chars, "
     "COUNT(*) AS n FROM documents GROUP BY lang"
 )
 
@@ -172,7 +182,7 @@ def llm_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_PACK = (
-    "SELECT pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens, "
+    "SELECT pack_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, "
     "MIN(doc_id) AS first_doc FROM ("
     "SELECT CAST(FLOOR(COALESCE(SUM(n_tokens) OVER "
     "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS BIGINT) AS pack_id, "

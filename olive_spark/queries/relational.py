@@ -76,11 +76,30 @@ SQL_SCAN_NULLS = (
 
 
 def scan_nested_list(spark: SparkSession, sf: str) -> DataFrame:
-    """List-typed column through olive (reference src/write.zig:604-648)."""
-    return data.load(spark, sf, "embeddings", columns=["vec_id", "embedding"])
+    """List-typed column through olive (reference src/write.zig:604-648).
+    The list is scalarized to a fixed-scale CSV string for the driver's
+    pandas canonicalizer (which cannot sort raw list cells); every
+    element still round-trips the nested offsets+values writers."""
+    df = data.load(spark, sf, "embeddings", columns=["vec_id", "embedding"])
+    return df.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double").cast("decimal(18,6)").cast("string"),
+            ),
+            ",",
+        ).alias("emb_csv"),
+    )
 
 
-SQL_SCAN_NESTED = "SELECT vec_id, embedding FROM embeddings"
+SQL_SCAN_NESTED = (
+    "SELECT vec_id, len(embedding) AS dim, "
+    "array_to_string(list_transform(embedding, "
+    "x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR)), ',') AS emb_csv "
+    "FROM embeddings"
+)
 
 
 def scan_multi_table_chunk(spark: SparkSession, sf: str) -> DataFrame:
@@ -508,8 +527,8 @@ SQL_WINDOW_SESSION = (
     "(PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000 "
     "OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL "
     "THEN 1 ELSE 0 END AS brk FROM events), "
-    "s AS (SELECT user_id, tus, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus "
-    "ROWS UNBOUNDED PRECEDING) AS session_id FROM g) "
+    "s AS (SELECT user_id, tus, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tus "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g) "
     "SELECT user_id, session_id, COUNT(*) AS n_events, MIN(tus) AS t_start_us, "
     "MAX(tus) - MIN(tus) AS dur_us FROM s GROUP BY user_id, session_id"
 )
@@ -600,9 +619,9 @@ def agg_pivot_status(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_AGG_PIVOT = (
     "SELECT o_orderpriority, "
-    "COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS F, "
-    "COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS O, "
-    "COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS P "
+    "CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS F, "
+    "CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS O, "
+    "CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS BIGINT) AS P "
     "FROM orders GROUP BY o_orderpriority"
 )
 
@@ -729,8 +748,8 @@ def scalar_json_events(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_SCALAR_JSON = (
     "SELECT event_type, COUNT(*) AS n, "
-    "SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k, "
-    "SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50 THEN 1 ELSE 0 END) AS n_big "
+    "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+    "CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_big "
     "FROM events GROUP BY event_type"
 )
 
@@ -809,12 +828,26 @@ def agg_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate sketches — the 100 TB path where exact distinct/
     quantiles would shuffle every value: HLL++ distinct + approximate
     percentiles, both map-side-combinable. Rows-only check (sketch
-    estimates differ across engines by design)."""
+    estimates differ across engines by design).  Percentiles come back
+    as scalar p50/p95/p99 columns — the driver canonicalizer cannot
+    sort list-typed cells."""
     df = data.load(spark, sf, "lineitem", columns=["l_returnflag", "l_partkey", "l_extendedprice"])
-    return df.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("nd_parts_approx"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("price_pcts"),
-        F.count("*").alias("n"),
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("nd_parts_approx"),
+            pcts.alias("_pcts"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "nd_parts_approx",
+            F.element_at("_pcts", 1).alias("price_p50"),
+            F.element_at("_pcts", 2).alias("price_p95"),
+            F.element_at("_pcts", 3).alias("price_p99"),
+            "n",
+        )
     )
 
 
@@ -914,7 +947,7 @@ def subquery_correlated_scalar(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_SUBQUERY_SCALAR = (
-    "SELECT c_mktsegment, COUNT(*) AS n_cust, SUM(n_orders) AS sum_orders FROM ("
+    "SELECT c_mktsegment, COUNT(*) AS n_cust, CAST(SUM(n_orders) AS BIGINT) AS sum_orders FROM ("
     "SELECT c_custkey, c_mktsegment, "
     "(SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders "
     "FROM customer) GROUP BY c_mktsegment"
@@ -1243,8 +1276,8 @@ def tpch_q12_shipmode(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_TPCH_Q12 = (
     "SELECT l_returnflag, "
-    "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count, "
-    "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count "
+    "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
     "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
     "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
@@ -1292,14 +1325,16 @@ def agg_collect_sorted(spark: SparkSession, sf: str) -> DataFrame:
     the array-building agg shape feature pipelines use for grouping."""
     df = data.load(spark, sf, "orders", columns=["o_orderstatus", "o_orderpriority"])
     return df.groupBy("o_orderstatus").agg(
-        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities"),
         F.count("*").alias("n"),
     )
 
 
 SQL_AGG_COLLECT = (
     "SELECT o_orderstatus, "
-    "list_sort(list(DISTINCT o_orderpriority)) AS priorities, "
+    "array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities, "
     "COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
 )
 

@@ -96,7 +96,7 @@ def join_skew_salted(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_JOIN_SKEW = (
     "SELECT e.user_id, COUNT(*) AS n_events, "
-    "SUM(CASE WHEN e.value = u.user_max THEN 1 ELSE 0 END) AS n_at_max "
+    "CAST(SUM(CASE WHEN e.value = u.user_max THEN 1 ELSE 0 END) AS BIGINT) AS n_at_max "
     "FROM events e JOIN (SELECT user_id, MAX(value) AS user_max "
     "FROM events GROUP BY user_id) u ON e.user_id = u.user_id "
     "GROUP BY e.user_id"
@@ -290,7 +290,7 @@ def agg_conditional_bools(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_AGG_CONDITIONAL = (
     "SELECT o_orderpriority, "
-    "count_if(o_totalprice > 10000) AS n_big, "
+    "CAST(count_if(o_totalprice > 10000) AS BIGINT) AS n_big, "
     "bool_and(o_totalprice > 0) AS all_pos, "
     "bool_or(o_orderstatus = 'F') AS any_final, "
     "COUNT(*) AS n FROM orders GROUP BY o_orderpriority"

@@ -132,11 +132,16 @@ def stream_dedup(
 ) -> DataFrame:
     """Streaming dropDuplicates on ``subset``: first arrival per key
     survives, subsequent ones are dropped across microbatches.  With a
-    watermark column the dedup state ages out (the at-scale mode);
-    without one state grows with distinct keys."""
+    watermark column, ``dropDuplicatesWithinWatermark`` dedups on the
+    KEY ALONE while letting per-key state age out past the watermark
+    (the at-scale mode — duplicates arriving within the watermark delay
+    are dropped, state is bounded).  Plain ``dropDuplicates(subset +
+    [watermark_col])`` would instead treat each distinct event time as
+    a new key, which is event-level — not key-level — dedup.  Without a
+    watermark column state grows with distinct keys."""
     if watermark_col:
         sdf = sdf.withWatermark(watermark_col, watermark)
-        return sdf.dropDuplicates(subset + [watermark_col])
+        return sdf.dropDuplicatesWithinWatermark(subset)
     return sdf.dropDuplicates(subset)
 
 
