@@ -46,3 +46,28 @@ def test_overlapping_cliques_merge(spark):
     got = _cc(spark, edges)
     assert set(got.values()) == {1}
     assert len(got) == 5
+
+
+def _cc_algo(spark, edges, algorithm, **kw):
+    from olive_spark.ops.graph import connected_components
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = connected_components(df, algorithm=algorithm, **kw).collect()
+    return {r["node"]: r["cluster"] for r in rows}
+
+
+def test_star_and_label_agree_on_long_chain(spark):
+    # 40-node chain: the worst case for diameter-bound propagation and
+    # the case large-star/small-star exists for — star finishes within
+    # the DEFAULT iteration budget (O(log n) rounds), while min-label
+    # needs one round per hop (39 > the default 25; why star is default)
+    edges = [(i, i + 1) for i in range(1, 40)]
+    expect = {i: 1 for i in range(1, 41)}
+    assert _cc_algo(spark, edges, "star") == expect
+    assert _cc_algo(spark, edges, "label", max_iter=45) == expect
+
+
+def test_star_handles_merging_stars_and_singletons(spark):
+    edges = [(5, 9), (9, 2), (2, 7), (100, 100), (50, 60), (60, 40)]
+    got = _cc_algo(spark, edges, "star")
+    assert got == {2: 2, 5: 2, 7: 2, 9: 2, 100: 100, 40: 40, 50: 40, 60: 40}
