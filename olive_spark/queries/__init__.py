@@ -183,6 +183,8 @@ _ORDER = [
     "mm_frame_sample",
     "mm_audio_windows",
     "stream_session_window",
+    "stream_sliding_counts",
+    "stream_static_join",
     "stream_user_totals",
     "stream_stream_join",
     "stream_dedup_counts",

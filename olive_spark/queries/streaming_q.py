@@ -42,6 +42,62 @@ SQL_STREAM_WINDOW = (
 )
 
 
+def stream_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked SLIDING-window (1h window / 15min slide) counts per
+    event_type — each event lands in 4 overlapping windows; complete
+    output mode → final state equals the batch expansion the oracle
+    computes with an explicit window-start UNNEST."""
+    path = os.path.join(data.ensure_olive(sf), "events")
+    sdf = streaming.read_stream(spark, path, columns="ts,event_type,value")
+    agg = streaming.sliding_counts(
+        sdf, time_col="ts", window="1 hour", slide="15 minutes",
+        keys=("event_type",), watermark="2 hours", value_col="value",
+    )
+    return streaming.run_available_now(
+        agg, output_mode="complete", state_partitions=8
+    )  # state keys = 4x hours x event_type
+
+
+SQL_STREAM_SLIDING = (
+    # every event at epoch-µs t belongs to window starts
+    # s ∈ {S·k : t-3600e6 < S·k <= t, S = 900e6}, i.e. 4 slides
+    "SELECT window_start_us, event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value FROM ("
+    "SELECT CAST(s AS BIGINT) AS window_start_us, event_type, value "
+    "FROM events, UNNEST(range("
+    "((epoch_us(ts) - 3600000000) // 900000000 + 1) * 900000000, "
+    "(epoch_us(ts) // 900000000) * 900000000 + 1, 900000000)) AS t(s)"
+    ") GROUP BY 1, 2"
+)
+
+
+def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment join: streaming events joined per
+    microbatch against the static customer dimension (broadcast, no
+    state store), then a complete-mode aggregate per market segment."""
+    path = os.path.join(data.ensure_olive(sf), "events")
+    sdf = streaming.read_stream(spark, path, columns="user_id,value")
+    dim = data.load(spark, sf, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = streaming.stream_static_join(
+        sdf, dim, sdf.user_id == dim.c_custkey
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_value"),
+    )
+    return streaming.run_available_now(
+        agg, output_mode="complete", state_partitions=8
+    )  # state keys = 5 segments
+
+
+SQL_STREAM_STATIC_JOIN = (
+    "SELECT c_mktsegment, COUNT(*) AS n_events, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value "
+    "FROM events JOIN customer ON user_id = c_custkey "
+    "GROUP BY c_mktsegment"
+)
+
+
 def stream_user_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     running per-user totals across microbatches. Rows-only check (float
@@ -160,6 +216,8 @@ SQL_STREAM_DEDUP = (
 
 QUERIES: dict[str, tuple] = {
     "stream_window_counts": (stream_window_counts, SQL_STREAM_WINDOW),
+    "stream_sliding_counts": (stream_sliding_counts, SQL_STREAM_SLIDING),
+    "stream_static_join": (stream_static_join, SQL_STREAM_STATIC_JOIN),
     "stream_stream_join": (stream_stream_join, SQL_STREAM_JOIN),
     "stream_dedup_counts": (stream_dedup_counts, SQL_STREAM_DEDUP),
     "stream_session_window": (stream_session_window, SQL_STREAM_SESSION),

@@ -11,8 +11,10 @@ from olive_spark.streaming.ops import (  # noqa: F401
     read_stream,
     run_available_now,
     session_windows,
+    sliding_counts,
     stateful_user_totals,
     stream_dedup,
+    stream_static_join,
     stream_stream_join,
     tumbling_counts,
     write_stream_olive,

@@ -51,6 +51,51 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    sdf: DataFrame,
+    time_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    keys: tuple = ("event_type",),
+    watermark: str = "2 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked SLIDING-window aggregation: each event lands in
+    window/slide overlapping windows (F.window with a slideDuration).
+    State size scales with (windows in flight × keys), bounded by the
+    watermark; output keys are the window start in epoch µs."""
+    agg = (
+        sdf.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window, slide).alias("w"), *keys)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
+    )
+    return agg.select(
+        F.unix_micros(F.col("w.start").cast("timestamp")).alias("window_start_us"),
+        *keys,
+        "n",
+        "sum_value",
+    )
+
+
+def stream_static_join(
+    sdf: DataFrame,
+    static_df: DataFrame,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static join: every microbatch joins against the (batch)
+    dimension — the enrichment shape.  The static side is re-planned per
+    microbatch (so slowly-changing dims refresh) and needs NO state
+    store at all; Spark broadcasts it when it is under the AQE
+    threshold, which a dimension table should always be."""
+    return sdf.join(F.broadcast(static_df), on, how)
+
+
 def session_windows(
     sdf: DataFrame,
     time_col: str = "ts",

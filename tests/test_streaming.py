@@ -71,3 +71,55 @@ def test_stream_sink_and_incremental_checkpoint(spark, tmp_path_factory):
     got = spark.read.format("olive").load(sink)
     rows = sorted(r["k"] for r in got.collect())
     assert rows == list(range(80)), "each source row exactly once"
+
+
+def _write_ts_part(path: str, idx: int, rows: list[tuple]) -> None:
+    os.makedirs(path, exist_ok=True)
+    t = pa.table({
+        "k": pa.array([r[0] for r in rows], pa.string()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "v": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    with open(os.path.join(path, f"part-{idx:05d}.olive"), "wb") as f:
+        f.write(write_chunk({"data": t}))
+
+
+def test_sliding_counts_overlapping_windows(spark, tmp_path_factory):
+    """One event in a 1h/15m sliding window must appear in exactly 4
+    window rows; counts across overlapping windows must agree."""
+    from olive_spark import streaming
+
+    src = str(tmp_path_factory.mktemp("slide"))
+    base = 1_700_000_000_000_000  # aligned enough; exact starts checked
+    _write_ts_part(src, 0, [("a", base, 1.0), ("a", base + 900_000_000, 2.0)])
+    sdf = streaming.read_stream(spark, src)
+    agg = streaming.sliding_counts(
+        sdf, time_col="ts", window="1 hour", slide="15 minutes",
+        keys=("k",), value_col="v",
+    )
+    out = streaming.run_available_now(agg, output_mode="complete",
+                                      state_partitions=2)
+    rows = {r["window_start_us"]: r["n"] for r in out.collect()}
+    assert sum(rows.values()) == 8, "2 events x 4 overlapping windows"
+    # events 15 min apart share 3 of their 4 windows
+    assert sorted(rows.values()) == [1, 1, 2, 2, 2]
+
+
+def test_stream_static_join_enriches_per_microbatch(spark, tmp_path_factory):
+    from olive_spark import streaming
+
+    src = str(tmp_path_factory.mktemp("sstatic"))
+    _write_part(src, 0, 0, 10)
+    dim = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(10)],
+        "k long, parity string",
+    )
+    sdf = streaming.read_stream(spark, src)
+    joined = streaming.stream_static_join(sdf, dim, "k")
+    from pyspark.sql import functions as F
+
+    agg = joined.groupBy("parity").agg(F.count("*").alias("n"))
+    out = streaming.run_available_now(agg, output_mode="complete",
+                                      state_partitions=2)
+    got = {r["parity"]: r["n"] for r in out.collect()}
+    assert got == {"even": 5, "odd": 5}
