@@ -130,3 +130,27 @@ def test_cohort_retention_shuffles_slim_pairs(spark):
     # regressed
     assert "ReadSchema: struct<ts:timestamp,user_id:bigint>" in p
     assert "SortMergeJoin" not in p or "BroadcastHashJoin" not in p
+
+
+def test_simhash_bit_vote_is_arrow_batched(spark):
+    """SimHash signatures must run as ONE vectorized Arrow pass
+    (MapInArrow), not a row-at-a-time Python UDF."""
+    from olive_spark.ops.dedup import simhash_signatures
+    from olive_spark.queries import data
+
+    df = data.load(spark, SF, "documents", columns=["doc_id", "text"])
+    p = plan_of(simhash_signatures(df))
+    assert "MapInArrow" in p
+    assert "BatchEvalPython" not in p, "row-at-a-time Python UDF crept in"
+
+
+def test_ivf_assignment_is_arrow_batched(spark):
+    """IVF corpus bucket assignment must be the broadcast-matrix Arrow
+    matmul path, not an n_centroids-wide per-row expression tree."""
+    from olive_spark.ops.similarity import ivf_topk
+    from olive_spark.queries import data
+
+    corpus = data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+    queries = corpus.filter(F.col("vec_id") < 2)
+    p = plan_of(ivf_topk(corpus, queries, k=5))
+    assert "MapInArrow" in p
