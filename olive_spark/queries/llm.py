@@ -128,10 +128,35 @@ SQL_TEXT_STATS = (
 
 
 def llm_quality_score(spark: SparkSession, sf: str) -> DataFrame:
-    """Heuristic quality filters (rows-only: array_intersect semantics and
-    double reductions aren't worth chasing bit-exactly in SQL)."""
+    """Heuristic quality filters.  Every ratio is an int/int IEEE
+    division and the word-length mean sums integer-valued doubles —
+    exact in both engines — so the oracle is a full hash check (both
+    engines round half-away-from-zero on doubles, verified)."""
     df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
     return textstats.quality_score(df)
+
+
+def _quality_sql() -> str:
+    from olive_spark.ops.textstats import _STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+    return (
+        "WITH s AS (SELECT doc_id, text, "
+        "CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[]) "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks "
+        "FROM documents) "
+        "SELECT doc_id, "
+        f"ROUND(len(list_intersect(toks, [{sw}])) / GREATEST(len(toks), 1), 4) AS stopword_ratio, "
+        "ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / GREATEST(length(text), 1), 4) AS punct_ratio, "
+        "ROUND((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) / GREATEST(length(text), 1), 4) AS upper_ratio, "
+        "ROUND(CASE WHEN len(toks) > 0 THEN "
+        "list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)), 'sum') / len(toks) "
+        "ELSE 0.0 END, 4) AS mean_word_len "
+        "FROM s"
+    )
+
+
+SQL_QUALITY = _quality_sql()
 
 
 def llm_lang_id(spark: SparkSession, sf: str) -> DataFrame:
@@ -296,7 +321,7 @@ QUERIES: dict[str, tuple] = {
     "llm_similarity_ivf": (llm_similarity_ivf, None),
     "mm_frame_sample": (mm_frame_sample, SQL_MM_FRAMES),
     "llm_text_stats": (llm_text_stats, SQL_TEXT_STATS),
-    "llm_quality_score": (llm_quality_score, None),
+    "llm_quality_score": (llm_quality_score, SQL_QUALITY),
     "llm_lang_id": (llm_lang_id, SQL_LANG_ID),
     "llm_fingerprint": (llm_fingerprint, SQL_FINGERPRINT),
     "llm_token_count": (llm_token_count, SQL_TOKEN_COUNT),
