@@ -100,14 +100,31 @@ SQL_STREAM_STATIC_JOIN = (
 
 def stream_user_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
-    running per-user totals across microbatches. Rows-only check (float
-    accumulation order varies; the row-per-user shape is the contract)."""
+    running per-user totals across microbatches.  Values are quantized
+    to integer cents BEFORE the stateful sum — integer-valued doubles
+    under 2^53 add exactly in any accumulation order, so the final
+    state is deterministic and the DuckDB oracle can hash-check it
+    (a raw float sum would depend on microbatch order)."""
     path = os.path.join(data.ensure_olive(sf), "events")
     sdf = streaming.read_stream(spark, path, columns="user_id,value")
-    totals = streaming.stateful_user_totals(sdf, key="user_id")
-    return streaming.run_available_now(
+    cents = sdf.select(
+        "user_id", F.round(F.col("value") * 100).alias("value")
+    )
+    totals = streaming.stateful_user_totals(cents, key="user_id")
+    out = streaming.run_available_now(
         totals, output_mode="update", state_partitions=8
     )  # state keys = distinct user_id
+    return out.select(
+        "user_id", "n_events",
+        (F.col("total_value") / 100.0).alias("total_value"),
+    )
+
+
+SQL_STREAM_USER_TOTALS = (
+    "SELECT user_id, COUNT(*) AS n_events, "
+    "SUM(ROUND(value * 100)) / 100.0 AS total_value "
+    "FROM events GROUP BY user_id"
+)
 
 
 def stream_olive_sink(spark: SparkSession, sf: str) -> DataFrame:
@@ -221,6 +238,6 @@ QUERIES: dict[str, tuple] = {
     "stream_stream_join": (stream_stream_join, SQL_STREAM_JOIN),
     "stream_dedup_counts": (stream_dedup_counts, SQL_STREAM_DEDUP),
     "stream_session_window": (stream_session_window, SQL_STREAM_SESSION),
-    "stream_user_totals": (stream_user_totals, None),
+    "stream_user_totals": (stream_user_totals, SQL_STREAM_USER_TOTALS),
     "stream_olive_sink": (stream_olive_sink, SQL_STREAM_SINK),
 }
