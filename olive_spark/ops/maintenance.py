@@ -119,3 +119,27 @@ def compact(
     shutil.rmtree(tmp, ignore_errors=True)
     after = _list_chunk_files(path)
     return {"files_before": len(before), "files_after": len(after), "rows": rows}
+
+def vacuum(path: str) -> dict:
+    """Remove debris a crashed ``compact`` can leave behind: orphaned
+    ``*.olive.staging`` files inside the table directory (never visible
+    to readers) and sibling ``<path>.compact-*`` temp write directories.
+    Live ``*.olive`` files are never touched — vacuum after a crash is
+    always safe, whichever phase the compaction died in (if it died
+    mid-delete the table is a readable superset; re-run compact to
+    converge, then vacuum)."""
+    import glob
+
+    removed_staging = 0
+    for f in glob.glob(os.path.join(path, "**", "*.olive.staging"), recursive=True):
+        try:
+            os.remove(f)
+            removed_staging += 1
+        except OSError:
+            pass
+    removed_tmpdirs = 0
+    for d in glob.glob(f"{path}.compact-*"):
+        if os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
+            removed_tmpdirs += 1
+    return {"staging_files": removed_staging, "tmp_dirs": removed_tmpdirs}

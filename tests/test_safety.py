@@ -293,3 +293,60 @@ def test_interval_mdn_lowers_to_struct_in_spark(spark, tmp_path):
     got = spark.read.format("olive").load(str(out)).orderBy("id").collect()
     assert got[0]["iv"].asDict() == {"months": 2, "days": 10, "nanos": 5000}
     assert got[1]["iv"] is None
+
+
+# ------------------------------------------------- registry window guard
+
+
+def test_driver_window_covers_every_family():
+    """The driver's correctness gate checks only the FIRST 50 registry
+    entries; this guard fails if a reorder ever drops a query family out
+    of the checked window."""
+    from olive_spark.queries import ALL_QUERIES
+
+    window = list(ALL_QUERIES)[:50]
+    families = {
+        "scan": ("scan_",),
+        "agg": ("agg_",),
+        "join": ("join_",),
+        "window": ("window_", "dedup_latest"),
+        "timeseries": ("ts_", "events_"),
+        "setop/null": ("setop_", "null_", "reshape_"),
+        "scalar/subquery": ("scalar_", "subquery_"),
+        "tpch": ("tpch_",),
+        "llm-dedup": ("llm_dedup_",),
+        "llm-similarity": ("llm_similarity_",),
+        "llm-text/curation": ("llm_text", "llm_curation", "llm_contamination"),
+        "multimodal": ("mm_",),
+        "streaming": ("stream_",),
+    }
+    missing = [
+        fam for fam, prefixes in families.items()
+        if not any(n.startswith(p) for n in window for p in prefixes)
+    ]
+    assert not missing, f"families missing from the 50-entry window: {missing}"
+
+
+def test_vacuum_cleans_crash_debris_only(spark, tmp_path):
+    """vacuum removes orphaned .staging files and compact temp dirs but
+    never live chunk files."""
+    from olive_spark.ops import maintenance
+
+    path = str(tmp_path / "vac")
+    _make_table(spark, path)
+
+    def boom(*a, **k):
+        raise OSError("simulated crash during activation")
+
+    import pytest as _pytest
+    from unittest import mock
+
+    with mock.patch.object(maintenance.os, "replace", side_effect=boom):
+        with _pytest.raises(OSError):
+            maintenance.compact(spark, path, target_rows=1000)
+    assert any(f.endswith(".staging") for f in os.listdir(path))
+    stats = maintenance.vacuum(path)
+    assert stats["staging_files"] >= 1
+    assert not any(f.endswith(".staging") for f in os.listdir(path))
+    got = spark.read.format("olive").load(path)
+    assert got.count() == 500, "live files untouched by vacuum"
