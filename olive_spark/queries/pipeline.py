@@ -111,19 +111,51 @@ def llm_length_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact length percentiles per language (quality-gate thresholds
     are usually set from these).  Integer inputs → the interpolated
     quantiles are exact dyadic fractions, identical in both engines."""
+    from pyspark.sql.window import Window as W
+
     df = data.load(spark, sf, "documents", columns=["lang", "n_chars"])
-    pcts = F.percentile("n_chars", F.lit([0.25, 0.5, 0.75]))
-    return (
-        df.groupBy("lang")
-        .agg(pcts.alias("_pcts"), F.count("*").alias("n"))
-        .select(
-            "lang",
-            F.element_at("_pcts", 1).alias("p25_chars"),
-            F.element_at("_pcts", 2).alias("p50_chars"),
-            F.element_at("_pcts", 3).alias("p75_chars"),
-            "n",
-        )
+    # Value-histogram order statistics instead of F.percentile: Spark's
+    # exact percentile buffers EVERY group value in executor memory (a
+    # 100 TB hazard); the histogram shuffles only (lang, value, count)
+    # rows, bounded by the distinct-length count.  Type-7 interpolation
+    # x[l] + frac·(x[l+1]−x[l]) with l = floor((n−1)·q) reproduces both
+    # engines' quantile_cont exactly (frac ∈ {0,¼,½,¾} — exact doubles).
+    hist = df.groupBy("lang", F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("cnt")
     )
+    wcum = W.partitionBy("lang").orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy("lang").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    vals = hist.select(
+        "lang", "v", "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    qs = (("p25", 1), ("p50", 2), ("p75", 3))  # quarters
+    aggs = []
+    for name, num in qs:
+        pos = (F.col("n") - 1) * num  # position in units of 1/4
+        idx = F.floor(pos / 4).cast("long")
+        rem = (pos - idx * 4).cast("long")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= idx + 1, F.col("v"))).alias(f"_{name}_lo")
+        )
+        aggs.append(
+            F.min(F.when(F.col("cum") >= idx + 2, F.col("v"))).alias(f"_{name}_hi")
+        )
+        aggs.append(F.first(rem).alias(f"_{name}_rem"))
+    stats = vals.groupBy("lang").agg(*aggs, F.sum("cnt").alias("n"))
+    cols = ["lang"]
+    for name, _num in qs:
+        lo = F.col(f"_{name}_lo").cast("double")
+        hi = F.coalesce(F.col(f"_{name}_hi"), F.col(f"_{name}_lo")).cast("double")
+        frac = F.col(f"_{name}_rem").cast("double") / 4.0
+        cols.append((lo + frac * (hi - lo)).alias(f"{name}_chars"))
+    cols.append("n")
+    return stats.select(*cols)
 
 
 SQL_LENGTH_PCT = (

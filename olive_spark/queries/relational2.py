@@ -167,17 +167,54 @@ SQL_SCALAR_HASH = (
 
 
 def agg_median_disc(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact median (continuous, interpolated) and discrete percentiles
-    per group over integer quantities — interpolation on ints yields
-    exact dyadic fractions, identical in both engines."""
+    """Exact median (continuous, interpolated) and discrete median per
+    group, computed from a VALUE HISTOGRAM rather than Spark's
+    buffer-all-values exact percentile aggregates (F.median /
+    percentile_approx-at-max-accuracy hold every group value in executor
+    memory — a 100 TB hazard).  The histogram path shuffles only
+    (group, value, count) rows, bounded by the distinct-value count, and
+    selects order statistics from the running count:
+
+        disc   = smallest v with cum ≥ floor((n-1)/2)+1    (= DuckDB
+                 quantile_disc's element at index (n-1)//2)
+        median = mean of the elements at (n-1)//2 and n//2
+
+    Interpolation on ints yields exact dyadic fractions, identical in
+    both engines."""
+    from pyspark.sql.window import Window as W
+
     df = data.load(spark, sf, "lineitem", columns=["l_returnflag", "l_quantity"])
     q = F.col("l_quantity").cast("long")
-    return df.groupBy("l_returnflag").agg(
-        F.median(q).alias("med_qty"),
-        F.percentile_approx(q, 0.5, 2147483647).alias("med_disc"),
-        F.min(q).alias("min_qty"),
-        F.max(q).alias("max_qty"),
-        F.count("*").alias("n"),
+    hist = df.groupBy(F.col("l_returnflag"), q.alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    wcum = W.partitionBy("l_returnflag").orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy("l_returnflag").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    vals = hist.select(
+        "l_returnflag", "v", "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    lo = (F.floor((F.col("n") - 1) / 2) + 1).cast("long")
+    hi = (F.floor(F.col("n") / 2) + 1).cast("long")
+    stats = vals.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("cum") >= lo, F.col("v"))).alias("lo_v"),
+        F.min(F.when(F.col("cum") >= hi, F.col("v"))).alias("hi_v"),
+        F.min("v").alias("min_qty"),
+        F.max("v").alias("max_qty"),
+        F.sum("cnt").alias("n"),
+    )
+    return stats.select(
+        "l_returnflag",
+        ((F.col("lo_v") + F.col("hi_v")) / 2.0).alias("med_qty"),
+        F.col("lo_v").alias("med_disc"),
+        "min_qty",
+        "max_qty",
+        "n",
     )
 
 
