@@ -240,22 +240,28 @@ def test_compact_sorted_layout_gives_disjoint_file_stats(spark, tmp_path):
         assert hi1 <= lo2, f"file ranges overlap: {ranges}"
 
 
-def test_csv_and_json_ingest_to_olive(spark, tmp_path):
-    """Ingest breadth: foreign sources (CSV, JSONL) land in olive via a
-    plain Spark job — the 100 TB ingest path is scan → olive write."""
+def test_csv_json_orc_ingest_to_olive(spark, tmp_path):
+    """Ingest breadth: foreign sources (CSV, JSONL, ORC) land in olive
+    via a plain Spark job — the 100 TB ingest path is scan → olive
+    write, distributed like any other query."""
     csv = tmp_path / "in.csv"
     csv.write_text("k,name\n1,alpha\n2,beta\n3,gamma\n")
     jl = tmp_path / "in.jsonl"
     jl.write_text('{"k": 4, "name": "delta"}\n{"k": 5, "name": "epsilon"}\n')
+    orc = tmp_path / "in.orc"
+    spark.createDataFrame([(6, "zeta")], "k long, name string") \
+        .write.orc(str(orc))
     out = tmp_path / "olive_ingest"
     spark.read.option("header", "true").option("inferSchema", "true") \
         .csv(str(csv)).write.format("olive").mode("append").save(str(out))
     spark.read.json(str(jl)).select("k", "name") \
         .write.format("olive").mode("append").save(str(out))
+    spark.read.orc(str(orc)).select("k", "name") \
+        .write.format("olive").mode("append").save(str(out))
     back = spark.read.format("olive").load(str(out))
     got = {(r["k"], r["name"]) for r in back.collect()}
     assert got == {(1, "alpha"), (2, "beta"), (3, "gamma"),
-                   (4, "delta"), (5, "epsilon")}
+                   (4, "delta"), (5, "epsilon"), (6, "zeta")}
 
 
 def test_merge_schema_null_fills_old_files(spark, tmp_path):
