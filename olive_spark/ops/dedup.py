@@ -7,8 +7,9 @@ Every operator is shuffle-aware and designed for 100 TB:
 - MinHash-LSH shuffles only (band_id, band_signature, doc_id) triples,
   then joins bucket-to-bucket — candidate pairs are generated without any
   all-pairs comparison;
-- SimHash uses JVM-side xxhash64 token hashing and a vectorized Arrow
-  Pandas-UDF bit-vote (the only Python in this module, batched);
+- SimHash uses JVM-side xxhash64 token hashing and one vectorized Arrow
+  pass for the bit vote (np.add.reduceat over the flattened bit matrix —
+  no per-document Python);
 - embedding near-dup buckets by LSH random hyperplanes, then verifies
   cosine within buckets only.
 
@@ -18,7 +19,6 @@ All thresholds/seeds are deterministic constants so results are stable.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 # MinHash parameters: 64 permutations → 16 bands × 4 rows (r=4, b=16)
