@@ -92,3 +92,35 @@ def test_hostile_bytes_property(t: pa.Table, data):
         read_chunk(bytes(blob))
     except OliveError:
         pass
+
+
+@given(data=st.data())
+@settings(max_examples=100, deadline=None)
+def test_sliced_list_offsets_property(data):
+    """For ANY slice of ANY list array, the rebased (offsets, values)
+    pair must reproduce exactly the sliced lists — the contract every
+    reduceat consumer (minhash, simhash) depends on."""
+    import numpy as np
+
+    from olive_spark.ops.dedup import _list_offsets_values
+
+    lists = data.draw(
+        st.lists(st.lists(st.integers(-2**40, 2**40), max_size=6), max_size=12)
+    )
+    la = pa.array(lists, pa.list_(pa.int64()))
+    start = data.draw(st.integers(0, len(lists)))
+    length = data.draw(st.integers(0, len(lists) - start))
+    s = la.slice(start, length)
+    off, vals = _list_offsets_values(s)
+    rebuilt = [
+        vals[off[i]:off[i + 1]].tolist() for i in range(len(off) - 1)
+    ]
+    assert rebuilt == lists[start:start + length]
+    if len(vals):
+        # reduceat over non-empty rows gives per-list minima
+        lens = np.diff(off)
+        nz = np.nonzero(lens > 0)[0]
+        if nz.size:
+            mins = np.minimum.reduceat(vals, off[nz])
+            expect = [min(lists[start + i]) for i in nz]
+            assert mins.tolist() == expect
