@@ -16,6 +16,8 @@ file (write to a sibling temp dir, then rename into place).
 
 from __future__ import annotations
 
+import glob
+import json
 import math
 import os
 import shutil
@@ -50,13 +52,33 @@ def compact(
     min/max stats are disjoint across files; with ``zorder_by`` (two
     columns), cluster on a Morton-interleaved key so range predicates on
     EITHER column prune files (the multi-dimensional skipping a single
-    sort can't give).  Returns {files_before, files_after, rows}."""
+    sort can't give).  Returns {files_before, files_after, rows}.
+
+    Isolation contract: ``compact`` assumes a SINGLE writer — no
+    concurrent ``compact``/``vacuum``/write on the same directory.
+    Concurrent *readers* are safe at every point (worst case they
+    briefly see old AND new files during activation — a transient
+    duplicate, never a lost table).  There is no lock; coordinating
+    writers is the caller's job, same as any directory-swap scheme.
+
+    Crash safety: before activation an intent manifest
+    (``compact-<run>.manifest.json``) is written inside the table
+    directory recording originals and replacement names.  If compaction
+    dies after activation but before the originals are deleted,
+    ``vacuum`` (or the next ``compact``, which recovers first) uses the
+    manifest to finish deleting the originals — never re-reading the
+    old+new superset into a rewrite, which would bake the duplicates in
+    permanently."""
     from pyspark.sql import functions as F
 
     from olive_spark.datasource import register_olive
     from olive_spark.datasource.olive_datasource import _list_chunk_files
 
     register_olive(spark)
+    # Finish any interrupted prior compaction FIRST: if a manifest is
+    # pending, the directory may hold old+new duplicates which a naive
+    # re-read would rewrite into the table for good.
+    _recover_pending(path)
     before = _list_chunk_files(path)
     df = spark.read.format("olive").load(path)
     rows = df.count()
@@ -97,18 +119,38 @@ def compact(
         .mode("append")
         .save(tmp)
     )
-    # Crash-safe swap, three phases — at no point is the directory empty:
+    # Crash-safe swap, four phases — at no point is the directory empty:
     # 1. stage replacements into the live dir under non-.olive names
     #    (invisible to _list_chunk_files);
-    # 2. activate them with atomic renames (readers may briefly see old
-    #    AND new — a transient duplicate beats a lost table);
-    # 3. only then delete the originals.  A crash in 1-2 leaves the old
-    #    files untouched; a crash in 3 leaves a readable superset.
+    # 2. write the intent manifest (atomic rename) listing originals +
+    #    replacement names — the recovery point;
+    # 3. activate replacements with atomic renames (readers may briefly
+    #    see old AND new — a transient duplicate beats a lost table);
+    # 4. delete the originals, then the manifest.  A crash in 1-2
+    #    leaves the old files untouched (staged files are inert debris);
+    #    a crash in 3-4 leaves a readable superset PLUS the manifest, so
+    #    vacuum()/the next compact() can finish the originals-delete.
     staged = []
+    finals = []
     for i, f in enumerate(_list_chunk_files(tmp)):
-        dest = os.path.join(path, f"compact-{run}-{i:05d}.olive.staging")
+        final = f"compact-{run}-{i:05d}.olive"
+        dest = os.path.join(path, final + ".staging")
         shutil.move(f, dest)
         staged.append(dest)
+        finals.append(final)
+    manifest = os.path.join(path, f"compact-{run}.manifest.json")
+    payload = json.dumps(
+        {
+            "run": run,
+            "originals": [os.path.relpath(f, path) for f in before],
+            "finals": finals,
+        }
+    )
+    with open(manifest + ".tmp", "w") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(manifest + ".tmp", manifest)
     for dest in staged:
         os.replace(dest, dest[: -len(".staging")])
     for f in before:
@@ -116,21 +158,69 @@ def compact(
             os.remove(f)
         except FileNotFoundError:
             pass
+    os.remove(manifest)
     shutil.rmtree(tmp, ignore_errors=True)
     after = _list_chunk_files(path)
     return {"files_before": len(before), "files_after": len(after), "rows": rows}
 
-def vacuum(path: str) -> dict:
-    """Remove debris a crashed ``compact`` can leave behind: orphaned
-    ``*.olive.staging`` files inside the table directory (never visible
-    to readers) and sibling ``<path>.compact-*`` temp write directories.
-    Live ``*.olive`` files are never touched — vacuum after a crash is
-    always safe, whichever phase the compaction died in (if it died
-    mid-delete the table is a readable superset; re-run compact to
-    converge, then vacuum)."""
-    import glob
 
+def _recover_pending(path: str) -> dict:
+    """Complete any compaction that died between manifest write and
+    cleanup: activate still-staged replacements, delete the listed
+    originals, drop the manifest.  Idempotent; converges to exactly the
+    compacted rows.  A manifest whose replacements are missing (neither
+    staged nor active — manual tampering) is left in place and reported
+    rather than risking an originals-delete that would lose rows."""
+    out = {"manifests_completed": 0, "activated": 0, "originals_deleted": 0,
+           "manifests_skipped": 0}
+    for mf in sorted(glob.glob(os.path.join(path, "compact-*.manifest.json"))):
+        try:
+            with open(mf) as fh:
+                man = json.load(fh)
+        except (OSError, ValueError):
+            out["manifests_skipped"] += 1
+            continue
+        pairs = [
+            (os.path.join(path, final) + ".staging", os.path.join(path, final))
+            for final in man.get("finals", [])
+        ]
+        if not all(os.path.exists(s) or os.path.exists(f) for s, f in pairs):
+            out["manifests_skipped"] += 1
+            continue
+        for spath, fpath in pairs:
+            if os.path.exists(spath):
+                os.replace(spath, fpath)
+                out["activated"] += 1
+        for orig in man.get("originals", []):
+            try:
+                os.remove(os.path.join(path, orig))
+                out["originals_deleted"] += 1
+            except FileNotFoundError:
+                pass
+        os.remove(mf)
+        out["manifests_completed"] += 1
+    return out
+
+
+def vacuum(path: str) -> dict:
+    """Recover from a crashed ``compact`` and remove its debris.
+
+    First completes any pending compaction recorded by an intent
+    manifest (crash after activation: activates still-staged files,
+    deletes the listed originals — so the table converges to exactly
+    the compacted rows, no duplicates).  Then removes orphaned
+    ``*.olive.staging`` files (crash before the manifest existed —
+    never visible to readers) and sibling ``<path>.compact-*`` temp
+    write directories.  Live ``*.olive`` files not named by a manifest
+    are never touched.  Safe whichever phase the compaction died in;
+    single-writer contract as for :func:`compact`."""
+    recovery = _recover_pending(path)
     removed_staging = 0
+    for f in glob.glob(os.path.join(path, "compact-*.manifest.json.tmp")):
+        try:
+            os.remove(f)
+        except OSError:
+            pass
     for f in glob.glob(os.path.join(path, "**", "*.olive.staging"), recursive=True):
         try:
             os.remove(f)
@@ -142,4 +232,8 @@ def vacuum(path: str) -> dict:
         if os.path.isdir(d):
             shutil.rmtree(d, ignore_errors=True)
             removed_tmpdirs += 1
-    return {"staging_files": removed_staging, "tmp_dirs": removed_tmpdirs}
+    return {
+        "staging_files": removed_staging,
+        "tmp_dirs": removed_tmpdirs,
+        **recovery,
+    }

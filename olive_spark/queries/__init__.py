@@ -56,117 +56,48 @@ _RAW: dict[str, tuple] = {
 }
 
 # Driver coverage window: the correctness gate checks the FIRST 50
-# registry entries, so the order below rotates ≥1 representative of
-# every query family (scan/format, agg, join, window, setop, scalar,
-# subquery, TPC-H, llm-dedup, similarity, text, curation, multimodal,
-# time-series, streaming) into the checked window.  Everything stays
-# registered — entries beyond 50 keep bench/pytest coverage.
+# registry entries.  Round-6 rotation: rounds 2–5 value-checked 68 of
+# the 119 queries (CORRECTNESS_r02–r05); this window now holds the 46
+# hash-checkable queries the driver has NEVER seen, the 3 queries whose
+# only recorded checks predate the round-4 decimal-normalization fix
+# (window_running_sum, tpch_q5_local_revenue, tpch_q18_large_orders —
+# re-verified MATCH locally via tests/driver_check.py this round), and
+# 1 proven representative (scan_roundtrip_lineitem, the flagship format
+# round-trip) as a regression canary.  The 5 genuinely-rows-only
+# never-checked queries (LSH/ANN, no SQL oracle) sit at positions
+# 51–55, first in line for the round-7 rotation; the r04/r05-green
+# window follows.  Everything stays registered — entries beyond 50
+# keep bench/pytest coverage.
 _ORDER = [
-    # scan/format layer
+    # proven regression canary (format round-trip, r02–r05 green)
     "scan_roundtrip_lineitem",
-    "scan_projection_pruning",
-    "scan_filter_pages",
-    "scan_nulls_validity",
-    "scan_nested_list",
-    "scan_multi_table_chunk",
-    "scan_partitioned_pruning",
-    "dict_encode_fsb",
-    "compression_codecs",
-    "types_decimal_date",
-    "types_unsigned_time",
-    # aggregation
-    "agg_groupby_sum",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube_events",
-    "agg_grouping_sets",
-    "agg_pivot_status",
-    "agg_approx_sketches",
-    "agg_stats_moments",
-    "agg_collect_sorted",
-    # joins
-    "join_hash_orders_customer",
-    "join_broadcast_dims",
-    "join_semi_anti",
-    "join_asof_event_order",
-    "join_full_outer",
-    "join_range_events",
-    "join_skew_salted",
-    # windows / time-series / events
-    "window_rank_events",
-    "window_sessionize",
-    "dedup_latest_per_key",
-    "ts_resample_locf",
-    "events_window_funnel",
-    "events_cohort_retention",
-    # setops / reshape / null / scalar / subquery
-    "setop_union_except",
-    "null_handling",
-    "reshape_unpivot",
-    "scalar_json_events",
-    "subquery_correlated_scalar",
-    # TPC-H representatives
-    "tpch_q3_shipping",
-    "tpch_q9_product_revenue",
-    "tpch_q21_waiting_orders",
-    # LLM pipeline / multimodal / streaming representatives
-    "llm_dedup_exact",
-    "llm_dedup_minhash",
-    "llm_dedup_clusters",
-    "llm_similarity_topk",
-    "llm_contamination",
-    "llm_curation_pipeline",
-    "llm_text_stats",
-    "mm_image_resize",
-    "stream_window_counts",
-    # ---- beyond the 50-entry driver window ----
+    # --- never driver-checked: aggregation / window / join / scalar ---
     "agg_median_disc",
     "agg_histogram_buckets",
     "agg_conditional_bools",
     "agg_grouped_map_mad",
     "join_lateral_topn",
-    "window_first_last",
-    "window_running_sum",
-    "window_ntile_percent",
-    "window_lead_lag",
-    "window_range_frame",
-    "sort_limit_topk",
-    "setop_intersect",
-    "explode_embeddings",
-    "scalar_functions",
-    "scalar_array_functions",
-    "scalar_map_functions",
-    "scalar_datetime_functions",
-    "scalar_string_advanced",
-    "scalar_hash_bitwise",
-    "join_nested_loop",
     "join_left_right_outer",
-    "subquery_in_uncorrelated",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_revenue",
-    "tpch_q6_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q12_shipmode",
-    "tpch_q14_promo_ratio",
+    "window_first_last",
+    "scalar_hash_bitwise",
+    # --- never driver-checked: TPC-H part 2/3 tail ---
+    "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode",
     "tpch_q13_customer_distribution",
+    "tpch_q14_promo_ratio",
     "tpch_q15_top_supplier",
     "tpch_q16_parts_suppliers",
     "tpch_q17_small_quantity",
     "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
     "tpch_q20_excess_shippers",
-    "llm_dedup_simhash",
-    "llm_dedup_ngram",
-    "llm_dedup_embedding",
+    "tpch_q22_global_sales",
+    # --- never driver-checked: similarity / text / curation ---
     "llm_similarity_arrow",
-    "llm_similarity_ivf",
     "llm_similarity_range",
-    "llm_similarity_pq",
     "llm_tfidf_topk",
     "llm_quality_score",
     "llm_lang_id",
@@ -179,9 +110,11 @@ _ORDER = [
     "llm_vocab_topk",
     "llm_ngram_topk",
     "llm_length_percentiles",
+    # --- never driver-checked: multimodal ---
     "mm_decode_meta",
     "mm_frame_sample",
     "mm_audio_windows",
+    # --- never driver-checked: streaming tail ---
     "stream_session_window",
     "stream_sliding_counts",
     "stream_static_join",
@@ -189,6 +122,84 @@ _ORDER = [
     "stream_stream_join",
     "stream_dedup_counts",
     "stream_olive_sink",
+    # --- only recorded checks predate the r4 decimal fix (d7e84a7);
+    #     re-verified MATCH via tests/driver_check.py this round ---
+    "window_running_sum",
+    "tpch_q5_local_revenue",
+    "tpch_q18_large_orders",
+    # ---- beyond the 50-entry driver window ----
+    # rows-only never-checked (no SQL oracle): next in rotation line
+    "llm_dedup_simhash",
+    "llm_dedup_ngram",
+    "llm_dedup_embedding",
+    "llm_similarity_ivf",
+    "llm_similarity_pq",
+    # r04/r05 driver-green window
+    "scan_projection_pruning",
+    "scan_filter_pages",
+    "scan_nulls_validity",
+    "scan_nested_list",
+    "scan_multi_table_chunk",
+    "scan_partitioned_pruning",
+    "dict_encode_fsb",
+    "compression_codecs",
+    "types_decimal_date",
+    "types_unsigned_time",
+    "agg_groupby_sum",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube_events",
+    "agg_grouping_sets",
+    "agg_pivot_status",
+    "agg_approx_sketches",
+    "agg_stats_moments",
+    "agg_collect_sorted",
+    "join_hash_orders_customer",
+    "join_broadcast_dims",
+    "join_semi_anti",
+    "join_asof_event_order",
+    "join_full_outer",
+    "join_range_events",
+    "join_skew_salted",
+    "window_rank_events",
+    "window_sessionize",
+    "dedup_latest_per_key",
+    "ts_resample_locf",
+    "events_window_funnel",
+    "events_cohort_retention",
+    "setop_union_except",
+    "null_handling",
+    "reshape_unpivot",
+    "scalar_json_events",
+    "subquery_correlated_scalar",
+    "tpch_q3_shipping",
+    "tpch_q9_product_revenue",
+    "tpch_q21_waiting_orders",
+    "llm_dedup_exact",
+    "llm_dedup_minhash",
+    "llm_dedup_clusters",
+    "llm_similarity_topk",
+    "llm_contamination",
+    "llm_curation_pipeline",
+    "llm_text_stats",
+    "mm_image_resize",
+    "stream_window_counts",
+    # r02/r03 driver-green tail
+    "window_ntile_percent",
+    "window_lead_lag",
+    "window_range_frame",
+    "sort_limit_topk",
+    "setop_intersect",
+    "explode_embeddings",
+    "scalar_functions",
+    "scalar_array_functions",
+    "scalar_map_functions",
+    "scalar_datetime_functions",
+    "scalar_string_advanced",
+    "join_nested_loop",
+    "subquery_in_uncorrelated",
+    "tpch_q4_order_priority",
+    "tpch_q6_revenue",
 ]
 
 assert set(_ORDER) == set(_RAW), (

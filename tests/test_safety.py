@@ -133,6 +133,72 @@ def test_compact_failure_during_delete_leaves_readable_superset(
     assert got.select("id").distinct().count() == 500
 
 
+def test_compact_crash_after_activation_recovery_no_duplicates(
+    spark, tmp_path, monkeypatch
+):
+    """Crash after activation but before originals-delete: the table is
+    a readable old+new superset AND the intent manifest survives, so
+    vacuum() converges to exactly the compacted rows — and a re-run of
+    compact() recovers first instead of rewriting the duplicates in."""
+    from olive_spark.ops import maintenance
+
+    path = str(tmp_path / "c4")
+    _make_table(spark, path)
+
+    real_remove = os.remove
+    calls = {"n": 0}
+
+    def crash_on_first_delete(p):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("simulated crash at start of originals-delete")
+        real_remove(p)
+
+    monkeypatch.setattr(maintenance.os, "remove", crash_on_first_delete)
+    with pytest.raises(OSError):
+        maintenance.compact(spark, path, target_rows=1000)
+    # superset state: new files active, all originals still present
+    assert spark.read.format("olive").load(path).count() == 1000
+    manifests = [f for f in os.listdir(path) if f.endswith(".manifest.json")]
+    assert manifests, "intent manifest must survive the crash"
+
+    stats = maintenance.vacuum(path)
+    assert stats["manifests_completed"] == 1
+    assert stats["originals_deleted"] >= 1
+    got = spark.read.format("olive").load(path)
+    assert got.count() == 500, "recovery must remove duplicated originals"
+    assert got.select("id").distinct().count() == 500
+
+
+def test_compact_rerun_after_crash_recovers_first(spark, tmp_path, monkeypatch):
+    """Re-running compact() on a post-crash old+new superset must not
+    bake the duplicates into the rewritten table."""
+    from olive_spark.ops import maintenance
+
+    path = str(tmp_path / "c5")
+    _make_table(spark, path)
+
+    real_remove = os.remove
+    calls = {"n": 0}
+
+    def crash_on_first_delete(p):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("simulated crash at start of originals-delete")
+        real_remove(p)
+
+    monkeypatch.setattr(maintenance.os, "remove", crash_on_first_delete)
+    with pytest.raises(OSError):
+        maintenance.compact(spark, path, target_rows=1000)
+    monkeypatch.undo()
+
+    stats = maintenance.compact(spark, path, target_rows=1000)
+    assert stats["rows"] == 500, "recovery-first compact must see 500 rows"
+    got = spark.read.format("olive").load(path)
+    assert got.count() == 500
+    assert got.select("id").distinct().count() == 500
+
+
 def test_compact_success_roundtrip(spark, tmp_path):
     from olive_spark.ops import maintenance
 
