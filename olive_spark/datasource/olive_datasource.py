@@ -41,6 +41,13 @@ Options:
                      filter-less action on the SAME DataFrame (see
                      OliveReader.pushFilters).  Enable on relations
                      loaded fresh per query (queries.data.load does).
+    maxPartitionBytes  scan bin-packing cap (default 128 MiB): chunk
+                     files are packed into scan partitions like Spark's
+                     native file sources, so many small files don't pay
+                     one Python-worker round trip each
+    openCostInBytes  per-file packing padding (default 128 KiB)
+    scanParallelism  target scan-wave width for packing (default:
+                     $SPARK_GRAFT_CPUS, else this machine's cores)
     mergeSchema      "true" → union column sets across all chunk headers
                      (schema drift: files written before a column existed
                      null-fill it at read time); default uses the first
@@ -82,16 +89,11 @@ if TYPE_CHECKING:
 
 
 def _read_header_bytes(path: str):
-    """Parse just the framed header of one chunk file (cheap: no data pages)."""
-    from olive_spark.format.errors import ValidationError
-    from olive_spark.format.header import MAGIC, ChunkHeader
+    """Parse just the framed header of one chunk file (cheap: no data
+    pages; cached per process — see format.reader.read_header)."""
+    from olive_spark.format.reader import read_header
 
-    with open(path, "rb") as f:
-        pre = f.read(8)
-        if len(pre) < 8 or pre[:4] != MAGIC:
-            raise ValidationError(f"{path}: not an olive file")
-        hlen = int.from_bytes(pre[4:8], "little")
-        return ChunkHeader.from_json_bytes(f.read(hlen)), 8 + hlen
+    return read_header(path)
 
 
 def _list_chunk_files(path: str) -> list[str]:
@@ -111,87 +113,170 @@ def _list_chunk_files(path: str) -> list[str]:
     return out
 
 
-def _spark_schema_from_arrow(schema: "pa.Schema") -> StructType:
-    """Arrow → Spark schema with the SURVEY.md §1.2 widenings applied
-    (no unsigned / f16 / time types in Spark)."""
-    import pyarrow as pa
-    from pyspark.sql.pandas.types import from_arrow_schema
+_SPARK_SIMPLE = {
+    # olive type-JSON name → pyspark.sql.types class name, with the
+    # SURVEY.md §1.2 widenings applied (no unsigned / f16 / time types
+    # in Spark): u8→i16, u16→i32, u32→i64, u64→decimal(20,0),
+    # f16→f32, time32→i32, time64→i64, date64→timestamp,
+    # fsb→binary.  Pure-Spark mapping so planning (schema/partitions
+    # in the Spark driver's plan worker) never imports pyarrow/numpy —
+    # that import was the dominant fixed cost of every warm scan.
+    "null": "NullType",
+    "bool": "BooleanType",
+    "int8": "ByteType",
+    "int16": "ShortType",
+    "int32": "IntegerType",
+    "int64": "LongType",
+    "uint8": "ShortType",
+    "uint16": "IntegerType",
+    "uint32": "LongType",
+    "float16": "FloatType",
+    "float32": "FloatType",
+    "float64": "DoubleType",
+    "binary": "BinaryType",
+    "large_binary": "BinaryType",
+    "utf8": "StringType",
+    "large_utf8": "StringType",
+    "date32": "DateType",
+    "date64": "TimestampType",
+}
 
-    return from_arrow_schema(pa.schema([_widen_field(f) for f in schema]))
 
+def _spark_type_from_type_json(j: Any, decimal256: str = "reject"):
+    """Olive type JSON (format.types.type_to_json) → Spark DataType,
+    matching what the read path produces per batch: read() casts every
+    Arrow batch to ``to_arrow_schema(spark_schema)``, so this mapping
+    and the cast are the two halves of one contract (covered end-to-end
+    by the types_* driver queries and tests/test_safety.py).
 
-def _widen_field(f: "pa.Field") -> "pa.Field":
-    return f.with_type(_widen_type(f.type))
+    ``decimal256``: policy for decimal precision beyond Spark's max of
+    38 (the reference writes decimal256 natively,
+    src/write.zig:151-157): "reject" (default) raises; "binary" maps
+    the column to BinaryType — each value surfaces as its 32-byte
+    big-endian two's-complement unscaled integer (the declared scale
+    stays in the olive header metadata)."""
+    from pyspark.sql import types as T
 
+    if isinstance(j, str):
+        name = _SPARK_SIMPLE.get(j)
+        if name is not None:
+            return getattr(T, name)()
+        if j == "uint64":
+            return T.DecimalType(20, 0)
+        if j == "interval_month_day_nano":
+            # (reference src/write.zig:193-197) no storable Spark
+            # equivalent → lower to a typed struct
+            return T.StructType(
+                [
+                    T.StructField("months", T.IntegerType()),
+                    T.StructField("days", T.IntegerType()),
+                    T.StructField("nanos", T.LongType()),
+                ]
+            )
+        from olive_spark.format.errors import ValidationError
 
-def _widen_type(dt: "pa.DataType") -> "pa.DataType":
-    import pyarrow as pa
+        raise ValidationError(f"unknown olive type name {j!r}")
+    if not isinstance(j, dict) or "t" not in j:
+        from olive_spark.format.errors import ValidationError
 
-    if dt == pa.uint8():
-        return pa.int16()
-    if dt == pa.uint16():
-        return pa.int32()
-    if dt == pa.uint32():
-        return pa.int64()
-    if dt == pa.uint64():
-        return pa.decimal128(20, 0)
-    if dt == pa.float16():
-        return pa.float32()
-    if pa.types.is_time32(dt):
-        return pa.int32()
-    if pa.types.is_time64(dt):
-        return pa.int64()
-    if pa.types.is_date64(dt):
-        return pa.timestamp("ms")
-    if pa.types.is_timestamp(dt) and dt.unit == "ns":
-        # Spark has no nanosecond timestamps (it also refuses to scan
-        # TIMESTAMP(NANOS) parquet outright) — widen to µs
-        return pa.timestamp("us", tz=dt.tz)
-    if pa.types.is_duration(dt) and dt.unit == "ns":
-        return pa.duration("us")
-    if pa.types.is_decimal(dt) and dt.bit_width > 128:
-        # decimal256 (reference src/write.zig:151-157): Spark's max
-        # precision is 38 — re-type when the declared precision fits,
-        # reject otherwise (SURVEY.md §1.2 policy: reject by default;
-        # callers needing p>38 should store binary + metadata)
-        if dt.precision <= 38:
-            return pa.decimal128(dt.precision, dt.scale)
+        raise ValidationError(f"malformed olive type json: {j!r}")
+    t = j["t"]
+    if t == "decimal":
+        p, s = int(j["precision"]), int(j["scale"])
+        if p <= 38:
+            return T.DecimalType(p, s)
+        if decimal256 == "binary":
+            return T.BinaryType()
+        # decimal256 beyond Spark's max precision (reference
+        # src/write.zig:151-157): reject by default (SURVEY.md §1.2;
+        # opt into .option("decimal256", "binary") for raw bytes)
         from olive_spark.format.errors import ValidationError
 
         raise ValidationError(
-            f"decimal256({dt.precision},{dt.scale}) exceeds Spark's max "
+            f"decimal256({p},{s}) exceeds Spark's max "
             "decimal precision (38); rescale the column or store it as "
-            "binary (SURVEY.md §1.2: reject by default)"
+            "binary (SURVEY.md §1.2: reject by default; "
+            ".option('decimal256', 'binary') opts into raw bytes)"
         )
-    if pa.types.is_interval(dt):
-        # interval_month_day_nano (reference src/write.zig:193-197) has
-        # no storable Spark equivalent → lower to a typed struct
-        return pa.struct(
+    if t == "timestamp":
+        return T.TimestampType()
+    if t == "time":
+        return T.IntegerType() if int(j["bits"]) == 32 else T.LongType()
+    if t == "duration":
+        return T.DayTimeIntervalType(0, 3)
+    if t == "fixed_size_binary":
+        return T.BinaryType()
+    if t in ("list", "large_list", "fixed_size_list"):
+        return T.ArrayType(_spark_type_from_type_json(j["item"], decimal256))
+    if t == "struct":
+        return T.StructType(
             [
-                pa.field("months", pa.int32()),
-                pa.field("days", pa.int32()),
-                pa.field("nanos", pa.int64()),
+                T.StructField(
+                    f["name"],
+                    _spark_type_from_type_json(f["type"], decimal256),
+                    f.get("nullable", True),
+                )
+                for f in j["fields"]
             ]
         )
-    if pa.types.is_fixed_size_binary(dt):
-        return pa.binary()
-    if pa.types.is_list(dt) or pa.types.is_large_list(dt):
-        return pa.list_(_widen_type(dt.value_type))
-    if pa.types.is_fixed_size_list(dt):
-        return pa.list_(_widen_type(dt.value_type))
-    if pa.types.is_struct(dt):
-        return pa.struct([_widen_field(dt.field(i)) for i in range(dt.num_fields)])
-    if pa.types.is_map(dt):
-        return pa.map_(_widen_type(dt.key_type), _widen_type(dt.item_type))
-    return dt
+    if t == "map":
+        return T.MapType(
+            _spark_type_from_type_json(j["key"], decimal256),
+            _spark_type_from_type_json(j["value"], decimal256),
+        )
+    from olive_spark.format.errors import ValidationError
+
+    raise ValidationError(f"unknown olive type tag {t!r}")
 
 
 @dataclass
 class OliveInputPartition(InputPartition):
-    file: str
+    files: tuple[str, ...]
     table: Optional[str]
     columns: Optional[tuple[str, ...]]
     predicates: tuple[tuple[str, str, Any], ...]
+
+
+def _pack_files(
+    files: Sequence[str],
+    max_partition_bytes: int,
+    open_cost: int,
+    min_partitions: int,
+) -> list[tuple[str, ...]]:
+    """Bin-pack chunk files into scan partitions the way Spark's native
+    file sources do (maxPartitionBytes / openCostInBytes): each Python
+    DS task carries a fixed worker round-trip cost, so scanning many
+    small files one-per-task is dominated by overhead, while one huge
+    partition serializes the scan.  Target split size =
+    max(openCost, min(maxPartitionBytes, totalBytes/minPartitions)) —
+    small layouts collapse into ~one wave of tasks, 100 TB layouts cap
+    at maxPartitionBytes and fan out to tens of thousands of tasks."""
+    sized = [(f, os.path.getsize(f) + open_cost) for f in files]
+    total = sum(s for _, s in sized)
+    target = max(
+        open_cost + 1,
+        min(max_partition_bytes, -(-total // max(1, min_partitions))),
+    )
+    bins: list[tuple[str, ...]] = []
+    cur: list[str] = []
+    cur_sz = 0
+    for f, s in sized:
+        # the hard cap closes BEFORE adding (a bin never exceeds
+        # maxPartitionBytes unless a single file does); the wave target
+        # closes AFTER adding, so size jitter between files can't split
+        # one intended wave of bins into two
+        if cur and cur_sz + s > max_partition_bytes:
+            bins.append(tuple(cur))
+            cur, cur_sz = [], 0
+        cur.append(f)
+        cur_sz += s
+        if cur_sz >= target:
+            bins.append(tuple(cur))
+            cur, cur_sz = [], 0
+    if cur:
+        bins.append(tuple(cur))
+    return bins
+
 
 class OliveReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType) -> None:
@@ -203,6 +288,19 @@ class OliveReader(DataSourceReader):
         self.columns = tuple(c.strip() for c in cols.split(",")) if cols else None
         self.schema = schema
         self.pushdown = str(options.get("pushdown", "false")).lower() == "true"
+        self.max_partition_bytes = int(
+            options.get("maxpartitionbytes", options.get("maxPartitionBytes", 128 << 20))
+        )
+        self.open_cost = int(
+            options.get("opencostinbytes", options.get("openCostInBytes", 128 << 10))
+        )
+        # target scan waves: the session's core count when the caller
+        # (or the bench/driver env) provides it, else this machine's
+        self.min_partitions = int(
+            options.get("scanparallelism", options.get("scanParallelism", 0))
+            or os.environ.get("SPARK_GRAFT_CPUS", 0)
+            or (os.cpu_count() or 8)
+        )
         self.predicates: list[tuple[str, str, Any]] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -234,7 +332,7 @@ class OliveReader(DataSourceReader):
 
     def partitions(self) -> Sequence[OliveInputPartition]:
         files = _list_chunk_files(self.path)
-        parts = []
+        keep = []
         preds = tuple(self.predicates)
         # Consume-and-clear: read() takes predicates from the partition
         # object, never from self, so clearing can only cost pruning on
@@ -245,12 +343,19 @@ class OliveReader(DataSourceReader):
                 continue  # hive-style col=value segment excluded by filter
             if preds and self._file_prunable(fp, preds):
                 continue
-            parts.append(OliveInputPartition(fp, self.table, self.columns, preds))
-        if not parts:  # fully pruned: keep one partition for an empty scan
-            parts.append(
-                OliveInputPartition(files[0], self.table, self.columns, ((("__none__", "=", 0),)) )
+            keep.append(fp)
+        if not keep:  # fully pruned: keep one partition for an empty scan
+            return [
+                OliveInputPartition(
+                    (files[0],), self.table, self.columns, (("__none__", "=", 0),)
+                )
+            ]
+        return [
+            OliveInputPartition(bin_, self.table, self.columns, preds)
+            for bin_ in _pack_files(
+                keep, self.max_partition_bytes, self.open_cost, self.min_partitions
             )
-        return parts
+        ]
 
     def _file_prunable(self, fp: str, preds) -> bool:
         """File-level pruning on chunk-wide stats (cheap header-only
@@ -276,20 +381,24 @@ class OliveReader(DataSourceReader):
 
         from olive_spark.format.reader import ChunkReader, select_pages
 
+        expected = _expected_arrow_schema(self.schema)
         if partition.predicates and partition.predicates[0][0] == "__none__":
-            expected = _expected_arrow_schema(self.schema)
             yield pa.RecordBatch.from_pylist([], schema=expected)
             return
-        r = ChunkReader.from_path(partition.file)
-        th = _pick_table(r.header, partition.table)
-        pages = select_pages(th, list(partition.predicates)) if partition.predicates else None
-        cols = list(partition.columns) if partition.columns else None
-        if cols:  # merged-schema dirs: this file may lack some columns
-            cols = [c for c in cols if c in th.field_names] or None
-        tbl = r.read_table(th.name, columns=cols, pages=pages)
-        expected = _expected_arrow_schema(self.schema)
-        tbl = _cast_to(tbl, expected)
-        yield from tbl.to_batches(max_chunksize=1 << 16)
+        for fp in partition.files:
+            r = ChunkReader.from_path(fp)
+            th = _pick_table(r.header, partition.table)
+            pages = (
+                select_pages(th, list(partition.predicates))
+                if partition.predicates
+                else None
+            )
+            cols = list(partition.columns) if partition.columns else None
+            if cols:  # merged-schema dirs: this file may lack some columns
+                cols = [c for c in cols if c in th.field_names] or None
+            tbl = r.read_table(th.name, columns=cols, pages=pages)
+            tbl = _cast_to(tbl, expected)
+            yield from tbl.to_batches(max_chunksize=1 << 16)
 
 
 def _pick_table(header, name: Optional[str]):
@@ -335,6 +444,19 @@ def _cast_to(tbl: "pa.Table", expected: "pa.Schema") -> "pa.Table":
                 cols.append(col)
                 fields.append(f)
                 continue
+            if (
+                pa.types.is_decimal(col.type)
+                and col.type.bit_width == 256
+                and col.type.precision > 38
+                and pa.types.is_binary(f.type)
+            ):
+                # decimal256 beyond Spark's precision under
+                # .option("decimal256", "binary"): surface the 32-byte
+                # big-endian two's-complement unscaled integer
+                col = _decimal256_to_binary(col)
+                cols.append(col)
+                fields.append(f)
+                continue
             try:
                 col = col.cast(f.type)
             except pa.ArrowInvalid:
@@ -350,6 +472,26 @@ def _cast_to(tbl: "pa.Table", expected: "pa.Schema") -> "pa.Table":
         [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
         schema=pa.schema(fields),
     )
+
+
+def _decimal256_to_binary(col):
+    """decimal256(p>38) → 32-byte big-endian two's-complement unscaled
+    integer (Java BigInteger byte order, zero/sign-extended to 32 B).
+    Per-value conversion: p>38 decimal columns are checksum/metadata
+    scale, not a hot path — same trade as _interval_to_struct."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    scale = col.type.scale
+    out = []
+    for v in col.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        unscaled = int(v.scaleb(scale))  # exact: v has exactly `scale` places
+        out.append(unscaled.to_bytes(32, "big", signed=True))
+    return pa.array(out, pa.binary())
 
 
 def _interval_to_struct(col, struct_type):
@@ -598,9 +740,11 @@ class OliveStreamReader(DataSourceStreamReader):
         return {"index": len(self._files())}
 
     def partitions(self, start: dict, end: dict) -> Sequence[OliveInputPartition]:
+        # one partition per file: streaming offsets are indices into the
+        # sorted file list, so packing would blur offset boundaries
         files = self._files()[start["index"] : end["index"]]
         return [
-            OliveInputPartition(fp, self._batch.table, self._batch.columns, ())
+            OliveInputPartition((fp,), self._batch.table, self._batch.columns, ())
             for fp in files
         ]
 
@@ -639,9 +783,7 @@ class OliveDataSource(DataSource):
         return "olive"
 
     def schema(self) -> StructType:
-        import pyarrow as pa
-
-        from olive_spark.format.types import type_from_json
+        from pyspark.sql.types import StructField
 
         files = _list_chunk_files(self.options["path"])
         merge = str(self.options.get("mergeschema", self.options.get(
@@ -660,10 +802,14 @@ class OliveDataSource(DataSource):
                 # null-fill at read time (_cast_to)
         cols = self.options.get("columns")
         keep = [c.strip() for c in cols.split(",")] if cols else names
-        arrow = pa.schema(
-            [pa.field(n, type_from_json(types[n])) for n in names if n in keep]
+        d256 = self.options.get("decimal256", "reject").lower()
+        return StructType(
+            [
+                StructField(n, _spark_type_from_type_json(types[n], d256), True)
+                for n in names
+                if n in keep
+            ]
         )
-        return _spark_schema_from_arrow(arrow)
 
     def reader(self, schema: StructType) -> OliveReader:
         return OliveReader(dict(self.options), schema)

@@ -286,6 +286,42 @@ def frame_file(header: ChunkHeader, data_section: bytes) -> bytes:
     return MAGIC + len(hb).to_bytes(4, "little") + hb + data_section
 
 
+# Process-local parsed-header cache keyed by (path, size, mtime_ns).
+# Spark reuses Python workers across tasks and queries, so a warm
+# re-scan of the same files skips the header JSON reparse entirely —
+# at 100 TB a 4 GiB chunk's header (page grid + stats for every column)
+# is the expensive part of opening a file for a narrow read.  Headers
+# are immutable once parsed; chunk files are immutable once written
+# (rewrites change size/mtime), so (size, mtime_ns) invalidates
+# correctly.  Living in this module keeps plan-time callers (Spark
+# driver-side schema/partition planning) free of numpy/pyarrow imports.
+_HEADER_CACHE: dict[tuple, "tuple[ChunkHeader, int]"] = {}
+_HEADER_CACHE_CAP = 1024
+
+
+def read_header(path: str) -> "tuple[ChunkHeader, int]":
+    """Parse just the framed header of one chunk file (no data pages),
+    cached per process.  Returns (header, data_section_offset)."""
+    import os
+
+    st = os.stat(path)
+    key = (path, st.st_size, st.st_mtime_ns)
+    hit = _HEADER_CACHE.get(key)
+    if hit is None:
+        with open(path, "rb") as f:
+            pre = f.read(8)
+            if len(pre) < 8 or pre[:4] != MAGIC:
+                raise ValidationError(f"{path}: not an olive file (bad magic)")
+            hlen = int.from_bytes(pre[4:8], "little")
+            header = ChunkHeader.from_json_bytes(f.read(hlen))
+        if 8 + hlen + header.data_section_size > st.st_size:
+            raise ValidationError(f"{path}: data_section_size exceeds file size")
+        if len(_HEADER_CACHE) >= _HEADER_CACHE_CAP:
+            _HEADER_CACHE.clear()
+        _HEADER_CACHE[key] = hit = (header, 8 + hlen)
+    return hit
+
+
 def read_frame(blob: bytes) -> tuple[ChunkHeader, memoryview]:
     """Parse the file framing; returns (header, data_section view).
 

@@ -41,6 +41,7 @@ from olive_spark.format.header import (
     DictMeta,
     TableHeader,
     read_frame,
+    read_header,
 )
 from olive_spark.format.types import type_from_json
 
@@ -62,14 +63,21 @@ class ChunkReader:
     @classmethod
     def from_path(cls, path: str) -> "ChunkReader":
         """mmap-backed reader: only the byte ranges actually touched
-        (header + selected columns' selected pages) fault in from disk —
-        a narrow projection of a 4 GiB chunk does I/O proportional to the
-        projection, not the file."""
+        (selected columns' selected pages) fault in from disk — a narrow
+        projection of a 4 GiB chunk does I/O proportional to the
+        projection, not the file.  The parsed header comes from the
+        process-local cache (``read_header``), so a reused Spark worker
+        re-opening a file it has seen skips the JSON reparse."""
         import mmap
 
+        header, hoff = read_header(path)
         with open(path, "rb") as f:
             mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
-        r = cls(mm)  # page slices are copied via bytes() before decompress
+        r = cls.__new__(cls)  # skip __init__'s header reparse
+        r.header = header
+        # bounds pre-validated in read_header against the stat'd size
+        r.data = memoryview(mm)[hoff : hoff + header.data_section_size]
+        r._dicts = {}
         r._mmap = mm  # keep alive alongside the views into it
         return r
 

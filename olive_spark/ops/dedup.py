@@ -380,8 +380,16 @@ def embedding_neardup_pairs(
 
         for batch in batches:
             vecs = batch_matrix(batch.column(vec_col))
-            if vecs.ndim != 2 or vecs.shape[0] == 0:
-                bucket = np.zeros(batch.num_rows, dtype=np.int32)
+            if batch.num_rows == 0:
+                bucket = np.zeros(0, dtype=np.int32)
+            elif vecs.ndim != 2 or vecs.shape[0] != batch.num_rows:
+                # ragged/null embeddings can't be hyperplane-hashed;
+                # silently lumping them into one bucket would split
+                # true near-dup pairs across buckets — fail loudly
+                raise ValueError(
+                    f"embedding column {vec_col!r} has ragged or null "
+                    f"vectors; near-dup LSH needs fixed-width embeddings"
+                )
             else:
                 if planes is None or planes.shape[0] != vecs.shape[1]:
                     # deterministic ±1 planes from an integer mix of

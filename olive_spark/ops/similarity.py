@@ -186,6 +186,25 @@ def cosine_topk_arrow(
     )
 
 
+def _centroid_buckets(vecs, num_rows: int, cids, cmat):
+    """Nearest-centroid assignment for one Arrow batch: (n, d) vectors ×
+    broadcast normalized centroid matrix → int32 centroid ids.
+    Zero-row batches return ``cids[0]``-typed emptiness — never the
+    hardcoded bucket 0, which need not be a real centroid id and would
+    silently drop any row that ever reached it via a bucket join."""
+    import numpy as np
+
+    if len(vecs) == 0:
+        return np.full(num_rows, cids[0], dtype=np.int32)
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sims = (vecs / norms) @ cmat.T  # (n, n_centroids)
+    # argmax picks the FIRST max; reversing columns makes the
+    # highest centroid id win ties, like the sort-based probe
+    rev_am = sims[:, ::-1].argmax(axis=1)
+    return cids[sims.shape[1] - 1 - rev_am].astype(np.int32)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -242,17 +261,9 @@ def ivf_topk(
     def assign(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         cids_, cmat_ = bc.value
         for batch in batches:
-            vecs = batch_matrix(batch.column(vec_col))
-            if len(vecs) == 0:
-                bucket = np.zeros(batch.num_rows, dtype=np.int32)
-            else:
-                norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-                norms[norms == 0] = 1.0
-                sims = (vecs / norms) @ cmat_.T  # (n, n_centroids)
-                # argmax picks the FIRST max; reversing columns makes the
-                # highest centroid id win ties, like the sort-based probe
-                rev_am = sims[:, ::-1].argmax(axis=1)
-                bucket = cids_[sims.shape[1] - 1 - rev_am].astype(np.int32)
+            bucket = _centroid_buckets(
+                batch_matrix(batch.column(vec_col)), batch.num_rows, cids_, cmat_
+            )
             yield batch.append_column(
                 pa.field("bucket", pa.int32()), pa.array(bucket, pa.int32())
             )

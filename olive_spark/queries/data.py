@@ -220,6 +220,26 @@ def load_partitioned(spark, sf_dir: str, table: str, partition_by: str,
     return r.load(out)
 
 
+# Resolved-relation cache: every spark.read...load() pays two Python
+# plan-worker round trips (schema(), then partitions() at first action)
+# — a fixed ~0.3-0.5 s per fresh relation that dwarfs the actual scan
+# of warm small tables.  Non-pushdown relations are safe to reuse for
+# the life of a session (their partition list is always the full file
+# set, so the DSv2 readInfo-reuse hazard documented on load() cannot
+# bite); pushdown relations are never cached.  Olive cache dirs are
+# immutable per CACHE_VERSION, so no file-level invalidation is needed.
+#
+# Each key holds a small ROUND-ROBIN POOL, not a single DataFrame:
+# returning the same object twice inside one query makes self-joins
+# ambiguous (two loads of `nation` in TPC-H q7 must be distinct
+# relations or every column reference collides).  Rotation guarantees
+# up to _DF_POOL consecutive loads of one key yield distinct objects —
+# more same-table loads than that in a single query would collide, so
+# keep _DF_POOL ≥ the deepest self-join fan-in in the query surface.
+_DF_CACHE: dict[tuple, dict] = {}
+_DF_POOL = 4
+
+
 def load(spark, sf_dir: str, table: str, columns: list[str] | None = None,
          chunk_table: str | None = None, pushdown: bool = False):
     """Scan an olive table as a DataFrame (converting/caching on demand).
@@ -235,6 +255,24 @@ def load(spark, sf_dir: str, table: str, columns: list[str] | None = None,
 
     register_olive(spark)
     path = os.path.join(ensure_olive(sf_dir), table)
+    key = None
+    slot = None
+    if not pushdown:
+        key = (
+            spark.sparkContext.applicationId,
+            path,
+            tuple(columns) if columns else None,
+            chunk_table,
+        )
+        entry = _DF_CACHE.get(key)
+        if entry is None:
+            if len(_DF_CACHE) > 512:
+                _DF_CACHE.clear()
+            entry = _DF_CACHE[key] = {"pool": [], "calls": 0}
+        slot = entry["calls"] % _DF_POOL
+        entry["calls"] += 1
+        if slot < len(entry["pool"]):
+            return entry["pool"][slot]
     r = spark.read.format("olive")
     if pushdown:
         r = r.option("pushdown", "true")
@@ -242,4 +280,7 @@ def load(spark, sf_dir: str, table: str, columns: list[str] | None = None,
         r = r.option("columns", ",".join(columns))
     if chunk_table:
         r = r.option("table", chunk_table)
-    return r.load(path)
+    df = r.load(path)
+    if key is not None:
+        _DF_CACHE[key]["pool"].append(df)
+    return df

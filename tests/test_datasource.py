@@ -285,6 +285,50 @@ def test_merge_schema_null_fills_old_files(spark, tmp_path):
     assert sorted(t or "" for t in tags) == ["", "", "x", "y"]
 
 
+def test_scan_partitions_bin_pack_small_files(spark, tmp_path):
+    """Many small chunk files pack into ~scanParallelism partitions
+    (each Python DS task costs a worker round trip), while the per-file
+    data still reads back completely."""
+    from olive_spark.datasource.olive_datasource import OliveReader, _pack_files
+
+    d = tmp_path / "packed"
+    d.mkdir()
+    t = pa.table({"x": pa.array(range(100), pa.int64())})
+    for i in range(12):
+        (d / f"part-{i:03d}.olive").write_bytes(write_chunk({"data": t}))
+
+    r = OliveReader(
+        {"path": str(d), "scanParallelism": "4"},
+        spark.read.format("olive").load(str(d)).schema,
+    )
+    parts = r.partitions()
+    assert len(parts) == 4, f"expected 4 packed partitions, got {len(parts)}"
+    assert sum(len(p.files) for p in parts) == 12
+    # a huge maxPartitionBytes with parallelism 1 packs everything
+    assert len(_pack_files([str(d / f) for f in sorted(os.listdir(d))],
+                           128 << 20, 128 << 10, 1)) == 1
+    # data survives packing end-to-end
+    got = spark.read.format("olive").option("scanParallelism", "4").load(str(d))
+    assert got.count() == 1200
+
+
+def test_header_cache_hits_and_invalidates(tmp_path):
+    from olive_spark.format import header as R
+
+    fp = tmp_path / "c.olive"
+    t = pa.table({"x": pa.array(range(10), pa.int64())})
+    fp.write_bytes(write_chunk({"data": t}))
+    R._HEADER_CACHE.clear()
+    h1, off1 = R.read_header(str(fp))
+    assert R.read_header(str(fp))[0] is h1, "second read must hit the cache"
+    # rewrite with different content → (size, mtime) key must invalidate
+    t2 = pa.table({"x": pa.array(range(1000), pa.int64())})
+    fp.write_bytes(write_chunk({"data": t2}))
+    h2, _ = R.read_header(str(fp))
+    assert h2 is not h1
+    assert h2.tables[0].num_rows == 1000
+
+
 def test_compact_zorder_prunes_both_dimensions(spark, tmp_path):
     """Z-order clustering: after a Morton-key rewrite, a narrow range on
     EITHER column must exclude some files by min/max stats — a plain
@@ -340,10 +384,17 @@ def test_sorted_layout_prunes_scan_partitions(spark, tmp_path):
     (d / "part-0.olive").write_bytes(write_chunk({"data": t}))
     compact(spark, str(d), target_rows=250, sort_by="k")
 
-    r = OliveReader({"path": str(d)}, spark.read.format("olive").load(str(d)).schema)
-    r.predicates = [("k", ">=", 900)]
-    parts = r.partitions()
-    assert len(parts) == 1, f"expected 1 surviving file, got {len(parts)}"
-    r2 = OliveReader({"path": str(d)}, spark.read.format("olive").load(str(d)).schema)
-    r2.predicates = [("k", "<", 260)]
-    assert len(r2.partitions()) == 2  # files [0,250) and [250,500)
+    def surviving_files(preds):
+        r = OliveReader(
+            {"path": str(d)}, spark.read.format("olive").load(str(d)).schema
+        )
+        r.predicates = preds
+        return sum(
+            len(p.files)
+            for p in r.partitions()
+            if not (p.predicates and p.predicates[0][0] == "__none__")
+        )
+
+    # partitions may bin-pack several small files; pruning is per-FILE
+    assert surviving_files([("k", ">=", 900)]) == 1
+    assert surviving_files([("k", "<", 260)]) == 2  # files [0,250) and [250,500)

@@ -91,3 +91,16 @@ def test_exact_dedup_groups(spark):
     rows = {r["keep_id"]: r["dup_count"]
             for r in dedup.exact_dedup(df).collect()}
     assert rows == {1: 3, 2: 1}
+
+
+def test_embedding_neardup_rejects_ragged_vectors(spark):
+    """Null/ragged embeddings can't be hyperplane-hashed; lumping them
+    into one bucket would split true near-dup pairs — fail loudly."""
+    from olive_spark.ops import dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="ragged or null"):
+        dedup.embedding_neardup_pairs(df).collect()

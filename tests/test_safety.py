@@ -335,6 +335,31 @@ def test_decimal256_high_precision_rejected_in_spark(spark, tmp_path):
         spark.read.format("olive").load(str(out)).collect()
 
 
+def test_decimal256_binary_fallback_option(spark, tmp_path):
+    """.option("decimal256", "binary"): p>38 columns surface as the
+    32-byte big-endian two's-complement unscaled integer instead of
+    being rejected (the reference writes decimal256 natively,
+    src/write.zig:151-157; this is the opt-in read mapping for values
+    Spark's DecimalType cannot hold)."""
+    big = Decimal("12345678901234567890123456789012345678901234567890.123")
+    t = pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "d": pa.array([big, Decimal("-1.500"), None], pa.decimal256(60, 3)),
+    })
+    out = tmp_path / "d256bin"
+    os.makedirs(out)
+    (out / "part-0.olive").write_bytes(write_chunk({"data": t}))
+    got = spark.read.format("olive").option("decimal256", "binary").load(str(out))
+    assert got.schema["d"].dataType.simpleString() == "binary"
+    rows = {r["k"]: r["d"] for r in got.collect()}
+    assert rows[3] is None
+    assert bytes(rows[1]) == int(big.scaleb(3)).to_bytes(32, "big", signed=True)
+    assert bytes(rows[2]) == (-1500).to_bytes(32, "big", signed=True)
+    # default policy still rejects
+    with pytest.raises(Exception, match="decimal256"):
+        spark.read.format("olive").load(str(out)).collect()
+
+
 def test_interval_mdn_pyarrow_roundtrip():
     mdn = pa.MonthDayNano([1, 15, 3_600_000_000_000])
     t = pa.table({"iv": pa.array([mdn, None], pa.month_day_nano_interval())})
@@ -364,33 +389,38 @@ def test_interval_mdn_lowers_to_struct_in_spark(spark, tmp_path):
 # ------------------------------------------------- registry window guard
 
 
-def test_driver_window_covers_every_family():
+def test_driver_window_rotation_leaves_no_query_unchecked():
     """The driver's correctness gate checks only the FIRST 50 registry
-    entries; this guard fails if a reorder ever drops a query family out
-    of the checked window."""
+    entries, so the window ROTATES across rounds.  Invariant: every
+    registered query is either already value-checked in a recorded
+    CORRECTNESS_r*.json or sits in the current window — the only
+    allowed exceptions are rows-only queries (no SQL oracle), which
+    must occupy the positions right after the window so they are next
+    in the rotation line."""
+    import glob
+    import json
+
     from olive_spark.queries import ALL_QUERIES
 
-    window = list(ALL_QUERIES)[:50]
-    families = {
-        "scan": ("scan_",),
-        "agg": ("agg_",),
-        "join": ("join_",),
-        "window": ("window_", "dedup_latest"),
-        "timeseries": ("ts_", "events_"),
-        "setop/null": ("setop_", "null_", "reshape_"),
-        "scalar/subquery": ("scalar_", "subquery_"),
-        "tpch": ("tpch_",),
-        "llm-dedup": ("llm_dedup_",),
-        "llm-similarity": ("llm_similarity_",),
-        "llm-text/curation": ("llm_text", "llm_curation", "llm_contamination"),
-        "multimodal": ("mm_",),
-        "streaming": ("stream_",),
-    }
-    missing = [
-        fam for fam, prefixes in families.items()
-        if not any(n.startswith(p) for n in window for p in prefixes)
-    ]
-    assert not missing, f"families missing from the 50-entry window: {missing}"
+    names = list(ALL_QUERIES)
+    window = set(names[:50])
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            checked.update(json.load(fh).keys())
+    uncovered = [n for n in names if n not in window and n not in checked]
+    offenders = [n for n in uncovered if ALL_QUERIES[n][1] is not None]
+    assert not offenders, (
+        f"queries with oracles neither driver-checked nor in the current "
+        f"50-entry window: {offenders}"
+    )
+    # rows-only stragglers must be first in line for the next rotation
+    tail = names[50 : 50 + len(uncovered)]
+    assert set(uncovered) <= set(tail), (
+        f"rows-only unchecked queries must sit right after the window: "
+        f"{sorted(set(uncovered) - set(tail))}"
+    )
 
 
 def test_vacuum_cleans_crash_debris_only(spark, tmp_path):

@@ -57,3 +57,23 @@ def test_pq_recall_vs_brute_force(spark):
     # re-rank stage must emit exact cosine ordering among survivors
     for r in approx:
         assert 1 <= r["rk"] <= k
+
+
+def test_centroid_buckets_empty_batch_uses_real_centroid_id():
+    """Zero-row batches must fall back to an ACTUAL centroid id, not a
+    hardcoded 0 — centroid ids are hash-bucket leaders and 0 need not
+    exist, so bucket 0 rows would silently vanish from the bucket join."""
+    import numpy as np
+
+    from olive_spark.ops.similarity import _centroid_buckets
+
+    cids = np.array([3, 7, 11], dtype=np.int64)  # note: no centroid 0
+    cmat = np.eye(3, dtype=np.float64)
+    out = _centroid_buckets(np.zeros((0, 3)), 0, cids, cmat)
+    assert out.dtype == np.int32 and len(out) == 0
+    # non-empty path picks the nearest centroid (and prefers the higher
+    # id on ties, matching the query-side probe expression)
+    vecs = np.array([[1.0, 0.0, 0.0], [0.0, 0.0, 2.0]])
+    assert _centroid_buckets(vecs, 2, cids, cmat).tolist() == [3, 11]
+    tie = np.array([[1.0, 1.0, 0.0]])
+    assert _centroid_buckets(tie, 1, cids, cmat).tolist() == [7]
