@@ -3,8 +3,13 @@
 Image/audio/video payloads are opaque ``binary`` columns plus typed
 metadata structs. The Spark-side plumbing — schema, Arrow batching,
 ``mapInPandas`` UDF signatures, partition-preserving decode — is real and
-tested; the actual codec work is STUBBED deterministically (this container
-ships no image/audio libraries), clearly marked below.
+tested.  Codec work is selected per call: the default ``codec="stub"``
+is deterministic arithmetic (reproducible by the SQL oracles; this
+container ships no image/audio libraries), while ``codec="real"``
+decodes with Pillow / soundfile behind guarded imports that raise a
+clear ImportError when the library is absent.  The stub stays the
+default even where the libraries exist, because the correctness oracles
+pin the stub arithmetic.
 
 At 100 TB the pattern is: binary payloads stay in their scan partitions,
 decode/feature-extract runs as Arrow-batched ``mapInPandas`` (one Python
@@ -21,6 +26,38 @@ from pyspark.sql import DataFrame, functions as F
 DECODE_SCHEMA = (
     "doc_id long, n_bytes int, width int, height int, n_frames int, ok boolean"
 )
+
+
+def _require_pil():
+    """Guarded import of the real image codec.  The stub stays the
+    DEFAULT even when Pillow is installed: every multimodal query's
+    DuckDB oracle reproduces the stub arithmetic, so silently
+    auto-switching codecs would flip correct pipelines to hash-mismatch
+    the moment a library appears on the image."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError as exc:
+        raise ImportError(
+            "codec='real' needs Pillow, which is not installed; "
+            "use the default codec='stub' (deterministic arithmetic) "
+            "or install pillow"
+        ) from exc
+
+
+def _require_soundfile():
+    """Guarded import of the real audio codec (see _require_pil)."""
+    try:
+        import soundfile  # noqa: PLC0415
+
+        return soundfile
+    except ImportError as exc:
+        raise ImportError(
+            "codec='real' needs soundfile, which is not installed; "
+            "use the default codec='stub' (16-bit-PCM byte math) "
+            "or install soundfile"
+        ) from exc
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
@@ -40,10 +77,23 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
 
 
-def decode_metadata(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+def decode_metadata(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
+    codec: str = "stub",
+) -> DataFrame:
     """Arrow-batched decode: mapInPandas over (id, payload) partitions.
-    Binary stays partition-local; output is a narrow metadata table."""
+    Binary stays partition-local; output is a narrow metadata table.
+
+    ``codec="stub"`` (default): deterministic arithmetic the SQL oracle
+    reproduces.  ``codec="real"``: Pillow decode (width/height/n_frames
+    from the actual image bytes; undecodable payloads → ok=false) —
+    raises a clear ImportError where Pillow isn't installed."""
     import pandas as pd
+
+    if codec not in ("stub", "real"):
+        raise ValueError(f"codec must be 'stub' or 'real', got {codec!r}")
+    if codec == "real":
+        _require_pil()  # fail at plan time, not inside executors
 
     src = df.select(id_col, payload_col)
 
@@ -62,26 +112,60 @@ def decode_metadata(df: DataFrame, payload_col: str = "payload", id_col: str = "
                 }
             )
 
-    return src.mapInPandas(decode, DECODE_SCHEMA)
+    def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        Image = _require_pil()
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "n_bytes", "width", "height", "n_frames", "ok")}
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(did)
+                rows["n_bytes"].append(len(p) if p is not None else 0)
+                try:
+                    with Image.open(io.BytesIO(p)) as img:
+                        rows["width"].append(img.width)
+                        rows["height"].append(img.height)
+                        rows["n_frames"].append(getattr(img, "n_frames", 1))
+                        rows["ok"].append(True)
+                except Exception:  # noqa: BLE001 — corrupt payloads are data
+                    rows["width"].append(0)
+                    rows["height"].append(0)
+                    rows["n_frames"].append(0)
+                    rows["ok"].append(False)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(decode_real if codec == "real" else decode, DECODE_SCHEMA)
 
 
 def audio_windows(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
-    window: int = 1024, hop: int = 512,
+    window: int = 1024, hop: int = 512, codec: str = "stub",
 ) -> DataFrame:
-    """STUB audio windower: treats the payload as 16-bit PCM and computes
-    the strided analysis-window count per clip (the shape every
-    feature-extraction pipeline needs before STFT).  A real deployment
-    decodes with soundfile/librosa here; the sample math is what the
-    oracle reproduces:
+    """Audio windower: the strided analysis-window count per clip (the
+    shape every feature-extraction pipeline needs before STFT).
+
+    ``codec="stub"`` (default) treats the payload as 16-bit PCM —
+    sample math the SQL oracle reproduces:
 
         n_samples = n_bytes // 2
         n_windows = 0 if n_samples < window else (n_samples-window)//hop + 1
-    """
+
+    ``codec="real"`` decodes the container with soundfile (n_samples
+    from actual frames; undecodable → 0 samples) — raises a clear
+    ImportError where soundfile isn't installed."""
     import pandas as pd
+
+    if codec not in ("stub", "real"):
+        raise ValueError(f"codec must be 'stub' or 'real', got {codec!r}")
+    if codec == "real":
+        _require_soundfile()  # fail at plan time, not inside executors
 
     src = df.select(id_col, payload_col)
     schema = "doc_id long, n_samples long, n_windows long"
+
+    def n_windows(n_samples: int) -> int:
+        return 0 if n_samples < window else (n_samples - window) // hop + 1
 
     def win(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -90,17 +174,36 @@ def audio_windows(
                 n = (len(p) if p is not None else 0) // 2
                 ids.append(did)
                 samples.append(n)
-                wins.append(0 if n < window else (n - window) // hop + 1)
+                wins.append(n_windows(n))
             yield pd.DataFrame(
                 {"doc_id": ids, "n_samples": samples, "n_windows": wins}
             )
 
-    return src.mapInPandas(win, schema)
+    def win_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        sf_mod = _require_soundfile()
+        for pdf in batches:
+            ids, samples, wins = [], [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    info = sf_mod.info(io.BytesIO(p))
+                    n = int(info.frames)
+                except Exception:  # noqa: BLE001 — corrupt payloads are data
+                    n = 0
+                ids.append(did)
+                samples.append(n)
+                wins.append(n_windows(n))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_samples": samples, "n_windows": wins}
+            )
+
+    return src.mapInPandas(win_real if codec == "real" else win, schema)
 
 
 def image_resize(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
-    target: int = 64,
+    target: int = 64, codec: str = "stub",
 ) -> DataFrame:
     """STUB image resize: aspect-preserving fit into a ``target``-square
     box.  Source dims come from the deterministic fake decoder
@@ -118,11 +221,46 @@ def image_resize(
     import numpy as np
     import pandas as pd
 
+    if codec not in ("stub", "real"):
+        raise ValueError(f"codec must be 'stub' or 'real', got {codec!r}")
+    if codec == "real":
+        _require_pil()  # fail at plan time, not inside executors
+
     src = df.select(id_col, payload_col)
     schema = (
         "doc_id long, width int, height int, out_w int, out_h int, "
         "n_thumb_bytes int"
     )
+
+    def fit(w: int, h: int) -> tuple[int, int]:
+        if w >= h:
+            return target, max(1, h * target // w)
+        return max(1, w * target // h), target
+
+    def resize_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        Image = _require_pil()
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "width", "height", "out_w", "out_h",
+                     "n_thumb_bytes")}
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(did)
+                try:
+                    with Image.open(io.BytesIO(p)) as img:
+                        w, h = img.width, img.height
+                        ow, oh = fit(w, h)
+                        thumb = img.resize((ow, oh))
+                        nb = len(thumb.tobytes())
+                except Exception:  # noqa: BLE001 — corrupt payloads are data
+                    w = h = ow = oh = nb = 0
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["out_w"].append(ow)
+                rows["out_h"].append(oh)
+                rows["n_thumb_bytes"].append(nb)
+            yield pd.DataFrame(rows)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -146,7 +284,7 @@ def image_resize(
                 }
             )
 
-    return src.mapInPandas(resize, schema)
+    return src.mapInPandas(resize_real if codec == "real" else resize, schema)
 
 
 def frame_sample(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",

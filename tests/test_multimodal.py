@@ -58,3 +58,40 @@ def test_image_resize_clamps_to_one_pixel(spark):
     r = image_resize(df).collect()[0]
     assert (r["width"], r["height"]) == (16, 16)
     assert (r["out_w"], r["out_h"]) == (64, 64)
+
+
+def _has_lib(name):
+    try:
+        __import__(name)
+        return True
+    except ImportError:
+        return False
+
+
+def test_real_codec_guarded_import(spark):
+    """codec='real' must either work (library present) or fail at plan
+    time with a clear ImportError naming the missing library — never a
+    mid-job executor crash; and the stub default must stay unaffected."""
+    from olive_spark.ops.multimodal import audio_windows, decode_metadata, image_resize
+
+    df = spark.createDataFrame([(1, b"abcdef" * 100)], ["doc_id", "payload"])
+    if not _has_lib("PIL"):
+        with pytest.raises(ImportError, match="Pillow"):
+            decode_metadata(df, codec="real")
+        with pytest.raises(ImportError, match="Pillow"):
+            image_resize(df, codec="real")
+    else:
+        # payload isn't a real image: real decode flags it, never crashes
+        r = decode_metadata(df, codec="real").collect()[0]
+        assert r["ok"] is False and r["n_bytes"] == 600
+    if not _has_lib("soundfile"):
+        with pytest.raises(ImportError, match="soundfile"):
+            audio_windows(df, codec="real")
+    else:
+        r = audio_windows(df, codec="real").collect()[0]
+        assert r["n_samples"] == 0  # not a decodable container
+    with pytest.raises(ValueError, match="codec"):
+        decode_metadata(df, codec="ffmpeg")
+    # stub defaults still deterministic
+    r = decode_metadata(df).collect()[0]
+    assert (r["width"], r["height"]) == (600 % 512 + 16, (600 * 7) % 512 + 16)
