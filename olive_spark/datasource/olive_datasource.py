@@ -740,12 +740,20 @@ class OliveStreamReader(DataSourceStreamReader):
         return {"index": len(self._files())}
 
     def partitions(self, start: dict, end: dict) -> Sequence[OliveInputPartition]:
-        # one partition per file: streaming offsets are indices into the
-        # sorted file list, so packing would blur offset boundaries
+        # offsets bound the MICROBATCH (indices into the sorted file
+        # list); partitions within one batch can bin-pack freely — the
+        # checkpoint records only the end offset, never partition shapes
         files = self._files()[start["index"] : end["index"]]
+        if not files:
+            return []
         return [
-            OliveInputPartition((fp,), self._batch.table, self._batch.columns, ())
-            for fp in files
+            OliveInputPartition(bin_, self._batch.table, self._batch.columns, ())
+            for bin_ in _pack_files(
+                files,
+                self._batch.max_partition_bytes,
+                self._batch.open_cost,
+                self._batch.min_partitions,
+            )
         ]
 
     def read(self, partition: OliveInputPartition) -> Iterator["pa.RecordBatch"]:
