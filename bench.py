@@ -116,9 +116,9 @@ def main() -> int:
         pass
     # Best-of-N warm per query: single-shot wall-clock is machine-load
     # noise (bit-identical code swung ±3x per query across rounds), so
-    # each query re-runs until steady state — cheap queries get 3 runs,
-    # mid-cost 2, expensive (streaming pipelines) 1 — and the headline
-    # number is the per-query BEST, the least-load-polluted sample.
+    # each query re-runs until steady state — cheap queries (<5s) get 3
+    # runs, everything else 2 — and the headline number is the per-query
+    # BEST, the least-load-polluted sample.
     times: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name in HEADLINE:

@@ -90,8 +90,10 @@ if TYPE_CHECKING:
 
 def _read_header_bytes(path: str):
     """Parse just the framed header of one chunk file (cheap: no data
-    pages; cached per process — see format.reader.read_header)."""
-    from olive_spark.format.reader import read_header
+    pages; cached per process).  Imported from format.header — NOT
+    format.reader — so plan-worker callers (schema/partitions) never
+    pull reader.py's module-level numpy/pyarrow imports."""
+    from olive_spark.format.header import read_header
 
     return read_header(path)
 
@@ -142,7 +144,8 @@ _SPARK_SIMPLE = {
 }
 
 
-def _spark_type_from_type_json(j: Any, decimal256: str = "reject"):
+def _spark_type_from_type_json(j: Any, decimal256: str = "reject",
+                               nested: bool = False):
     """Olive type JSON (format.types.type_to_json) → Spark DataType,
     matching what the read path produces per batch: read() casts every
     Arrow batch to ``to_arrow_schema(spark_schema)``, so this mapping
@@ -186,6 +189,18 @@ def _spark_type_from_type_json(j: Any, decimal256: str = "reject"):
         if p <= 38:
             return T.DecimalType(p, s)
         if decimal256 == "binary":
+            if nested:
+                # _cast_to only converts TOP-LEVEL decimal256 columns;
+                # emitting nested BinaryType here would crash executors
+                # mid-job on an unimplemented Arrow cast — reject at
+                # plan time with a clear error instead
+                from olive_spark.format.errors import ValidationError
+
+                raise ValidationError(
+                    f"decimal256({p},{s}) nested inside list/struct/map "
+                    "is not supported by the 'binary' fallback; flatten "
+                    "the column or rescale to precision <= 38"
+                )
             return T.BinaryType()
         # decimal256 beyond Spark's max precision (reference
         # src/write.zig:151-157): reject by default (SURVEY.md §1.2;
@@ -207,13 +222,15 @@ def _spark_type_from_type_json(j: Any, decimal256: str = "reject"):
     if t == "fixed_size_binary":
         return T.BinaryType()
     if t in ("list", "large_list", "fixed_size_list"):
-        return T.ArrayType(_spark_type_from_type_json(j["item"], decimal256))
+        return T.ArrayType(
+            _spark_type_from_type_json(j["item"], decimal256, nested=True)
+        )
     if t == "struct":
         return T.StructType(
             [
                 T.StructField(
                     f["name"],
-                    _spark_type_from_type_json(f["type"], decimal256),
+                    _spark_type_from_type_json(f["type"], decimal256, nested=True),
                     f.get("nullable", True),
                 )
                 for f in j["fields"]
@@ -221,8 +238,8 @@ def _spark_type_from_type_json(j: Any, decimal256: str = "reject"):
         )
     if t == "map":
         return T.MapType(
-            _spark_type_from_type_json(j["key"], decimal256),
-            _spark_type_from_type_json(j["value"], decimal256),
+            _spark_type_from_type_json(j["key"], decimal256, nested=True),
+            _spark_type_from_type_json(j["value"], decimal256, nested=True),
         )
     from olive_spark.format.errors import ValidationError
 
@@ -489,7 +506,20 @@ def _decimal256_to_binary(col):
         if v is None:
             out.append(None)
             continue
-        unscaled = int(v.scaleb(scale))  # exact: v has exactly `scale` places
+        # exact unscaled integer via the decimal's digit tuple —
+        # Decimal.scaleb would round through the default 28-digit
+        # context and silently corrupt >28-significant-digit values
+        sign, digits, exp = v.as_tuple()
+        unscaled = int("".join(map(str, digits)))
+        shift = exp + scale
+        if shift < 0:
+            raise ValueError(
+                f"decimal value {v} has more fractional digits than its "
+                f"declared scale {scale}"
+            )
+        unscaled *= 10 ** shift
+        if sign:
+            unscaled = -unscaled
         out.append(unscaled.to_bytes(32, "big", signed=True))
     return pa.array(out, pa.binary())
 

@@ -184,7 +184,13 @@ def _recover_pending(path: str) -> dict:
             (os.path.join(path, final) + ".staging", os.path.join(path, final))
             for final in man.get("finals", [])
         ]
-        if not all(os.path.exists(s) or os.path.exists(f) for s, f in pairs):
+        # an empty/missing finals list must NOT pass the guard (all([])
+        # is vacuously true): completing it would delete every original
+        # with zero replacements activated — exactly the loss this
+        # guard exists to prevent
+        if not pairs or not all(
+            os.path.exists(s) or os.path.exists(f) for s, f in pairs
+        ):
             out["manifests_skipped"] += 1
             continue
         for spath, fpath in pairs:

@@ -199,6 +199,29 @@ def test_compact_rerun_after_crash_recovers_first(spark, tmp_path, monkeypatch):
     assert got.select("id").distinct().count() == 500
 
 
+def test_vacuum_skips_manifest_with_empty_finals(spark, tmp_path):
+    """A manifest listing originals but NO replacements (hand-edited,
+    truncated, or from a divergent writer) must be left in place — not
+    'completed' by deleting every original with nothing activated."""
+    import json
+
+    from olive_spark.ops import maintenance
+
+    path = str(tmp_path / "c6")
+    _make_table(spark, path)
+    originals = sorted(
+        os.path.relpath(os.path.join(path, f), path) for f in os.listdir(path)
+    )
+    with open(os.path.join(path, "compact-deadbeef.manifest.json"), "w") as f:
+        json.dump({"run": "deadbeef", "originals": originals, "finals": []}, f)
+
+    stats = maintenance.vacuum(path)
+    assert stats["manifests_completed"] == 0
+    assert stats["manifests_skipped"] == 1
+    assert stats["originals_deleted"] == 0
+    assert spark.read.format("olive").load(path).count() == 500
+
+
 def test_compact_success_roundtrip(spark, tmp_path):
     from olive_spark.ops import maintenance
 
@@ -353,11 +376,33 @@ def test_decimal256_binary_fallback_option(spark, tmp_path):
     assert got.schema["d"].dataType.simpleString() == "binary"
     rows = {r["k"]: r["d"] for r in got.collect()}
     assert rows[3] is None
-    assert bytes(rows[1]) == int(big.scaleb(3)).to_bytes(32, "big", signed=True)
+    # expected unscaled int written digit-exact: Decimal.scaleb would
+    # round through the 28-digit default context and hide corruption
+    big_unscaled = int(
+        "12345678901234567890123456789012345678901234567890123"
+    )
+    assert bytes(rows[1]) == big_unscaled.to_bytes(32, "big", signed=True)
     assert bytes(rows[2]) == (-1500).to_bytes(32, "big", signed=True)
     # default policy still rejects
     with pytest.raises(Exception, match="decimal256"):
         spark.read.format("olive").load(str(out)).collect()
+
+
+def test_decimal256_binary_fallback_rejects_nested(spark, tmp_path):
+    """list<decimal256(p>38)> under the binary option must fail at PLAN
+    time with a clear error — _cast_to only converts top-level columns,
+    so letting the schema through would crash executors mid-job on an
+    unimplemented Arrow cast."""
+    t = pa.table({
+        "xs": pa.array([[Decimal("1.500")]], pa.list_(pa.decimal256(60, 3))),
+    })
+    out = tmp_path / "d256nested"
+    os.makedirs(out)
+    (out / "part-0.olive").write_bytes(write_chunk({"data": t}))
+    with pytest.raises(Exception, match="nested"):
+        spark.read.format("olive").option("decimal256", "binary").load(
+            str(out)
+        ).collect()
 
 
 def test_interval_mdn_pyarrow_roundtrip():
