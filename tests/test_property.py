@@ -124,3 +124,70 @@ def test_sliced_list_offsets_property(data):
             mins = np.minimum.reduceat(vals, off[nz])
             expect = [min(lists[start + i]) for i in nz]
             assert mins.tolist() == expect
+
+
+@given(
+    sizes=st.lists(st.integers(0, 1 << 22), min_size=1, max_size=64),
+    max_pb=st.integers(1 << 16, 1 << 28),
+    open_cost=st.integers(0, 1 << 20),
+    min_parts=st.integers(1, 64),
+)
+@settings(max_examples=200, deadline=None)
+def test_pack_files_partition_invariants(tmp_path_factory, sizes, max_pb,
+                                         open_cost, min_parts):
+    """Bin-packing must (a) assign every file to exactly one bin, in
+    order; (b) never exceed maxPartitionBytes per bin except for a
+    single oversized file; (c) produce at least one bin."""
+    import os
+
+    from olive_spark.datasource.olive_datasource import _pack_files
+
+    d = tmp_path_factory.mktemp("pack")
+    files = []
+    for i, s in enumerate(sizes):
+        p = os.path.join(str(d), f"f{i:03d}")
+        with open(p, "wb") as fh:
+            fh.truncate(s)
+        files.append(p)
+    bins = _pack_files(files, max_pb, open_cost, min_parts)
+    flat = [f for b in bins for f in b]
+    assert flat == files, "every file exactly once, order preserved"
+    assert all(len(b) >= 1 for b in bins)
+    for b in bins:
+        if len(b) > 1:
+            adj = sum(os.path.getsize(f) + open_cost for f in b)
+            # multi-file bins respect the hard cap up to one trailing
+            # file (the wave-target close happens after adding)
+            head = sum(os.path.getsize(f) + open_cost for f in b[:-1])
+            assert head <= max_pb, "bin grew past the cap before closing"
+
+
+@given(
+    digits=st.integers(1, 60),
+    scale=st.integers(0, 10),
+    sign=st.booleans(),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_decimal256_binary_bytes_exact(digits, scale, sign, data):
+    """The binary-fallback bytes must decode back to the EXACT unscaled
+    integer for any precision up to 60 digits — Decimal.scaleb's
+    28-digit context rounding is the regression this pins."""
+    import decimal
+
+    from olive_spark.datasource.olive_datasource import _decimal256_to_binary
+
+    n = data.draw(st.integers(10 ** (digits - 1), 10**digits - 1))
+    if sign:
+        n = -n
+    prec = max(digits + scale, scale + 1)
+    if prec > 76:
+        return  # beyond decimal256
+    with decimal.localcontext() as ctx:
+        ctx.prec = 80
+        v = decimal.Decimal(n).scaleb(-scale)
+    arr = pa.array([v, None], pa.decimal256(min(76, prec), scale))
+    out = _decimal256_to_binary(arr)
+    assert out[1].as_py() is None
+    got = int.from_bytes(out[0].as_py(), "big", signed=True)
+    assert got == n, f"unscaled mismatch: {got} != {n}"
