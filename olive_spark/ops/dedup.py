@@ -426,3 +426,170 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --- Incremental (new-batch vs corpus) dedup -------------------------------
+#
+# The nightly-ingest shape: a modest new batch must be deduplicated
+# against a huge existing corpus.  The exact result is an anti-join on a
+# 128-bit content hash; the Bloom prefilter lets most new rows skip that
+# join entirely.  Blooms are OR-composable, so a corpus bloom can be
+# maintained incrementally (build one per ingested batch, OR into the
+# running corpus bloom) instead of rescanning 100 TB per night.
+
+_BLOOM_K = 7  # ~10 bits/key → k = round(10·ln2) ≈ 7, FPP ≈ 0.8%
+
+
+def _bloom_hashes(text_col: str):
+    """Two independent JVM-side 64-bit hashes for double-hashing Bloom
+    positions.  Kept non-negative so numpy modulo is well-defined."""
+    mask = F.lit(0x7FFFFFFFFFFFFFFF)
+    h1 = F.xxhash64(F.col(text_col)).bitwiseAND(mask)
+    h2 = F.xxhash64(F.lit(17), F.col(text_col)).bitwiseAND(mask)
+    return h1.alias("__h1"), h2.alias("__h2")
+
+
+def _bloom_set_bits(bits: "np.ndarray", h1, h2, m: int) -> None:
+    h1 = h1.astype(np.uint64)
+    h2 = h2.astype(np.uint64)
+    for i in range(_BLOOM_K):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+
+def _bloom_test_bits(bits: "np.ndarray", h1, h2, m: int) -> "np.ndarray":
+    h1 = h1.astype(np.uint64)
+    h2 = h2.astype(np.uint64)
+    hit = np.ones(len(h1), dtype=bool)
+    for i in range(_BLOOM_K):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit &= (word >> (pos & np.uint64(63))).astype(np.uint64) & np.uint64(1) != 0
+    return hit
+
+
+def build_corpus_bloom(
+    corpus_df: DataFrame, text_col: str = "text", expected_items: int = 1 << 20,
+    bits_per_key: int = 10,
+) -> dict:
+    """Distributed Bloom filter over a corpus's content hashes.
+
+    Each scan partition folds its rows into one fixed-size bit array via
+    ``mapInArrow`` (no shuffle of keys at all); the per-partition arrays
+    are OR-merged on the driver — driver traffic is bounded by
+    n_partitions × m/8 bytes, never by corpus rows.  Returns
+    ``{"m": bits, "k": hashes, "bits": np.uint64 array}``.  Blooms with
+    equal ``m`` are OR-composable via :func:`merge_blooms`, which is how
+    a running corpus bloom is maintained across ingests without
+    rescanning the corpus."""
+    import pyarrow as pa
+
+    m = max(256, int(expected_items) * bits_per_key)
+    m = (m + 63) & ~63  # multiple of 64 for the uint64 word array
+
+    def fold(batches):
+        bits = np.zeros(m // 64, dtype=np.uint64)
+        for batch in batches:
+            if batch.num_rows:
+                _bloom_set_bits(
+                    bits, batch.column("__h1").to_numpy(),
+                    batch.column("__h2").to_numpy(), m,
+                )
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([bits.tobytes()], pa.binary())], ["bloom"]
+        )
+
+    rows = (
+        corpus_df.select(*_bloom_hashes(text_col))
+        .mapInArrow(fold, "bloom binary")
+        .collect()
+    )
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    for r in rows:
+        bits |= np.frombuffer(r.bloom, dtype=np.uint64)
+    return {"m": m, "k": _BLOOM_K, "bits": bits}
+
+
+def merge_blooms(a: dict, b: dict) -> dict:
+    """OR-compose two corpus blooms built with the same geometry."""
+    if a["m"] != b["m"] or a["k"] != b["k"]:
+        raise ValueError("bloom geometry mismatch: cannot merge")
+    return {"m": a["m"], "k": a["k"], "bits": a["bits"] | b["bits"]}
+
+
+def incremental_dedup(
+    new_df: DataFrame, corpus_df: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+    bloom: dict | None = None,
+) -> DataFrame:
+    """Rows of ``new_df`` whose content does not already exist in
+    ``corpus_df``, deduplicated within the batch (min id wins).
+    Returns (id_col, content_hash) — exact, regardless of ``bloom``.
+
+    Scale design (100 TB corpus, modest nightly batch):
+
+    - both sides reduce to ``md5(text)`` — the corpus never ships
+      documents into the join, only 16-byte hashes, and the corpus scan
+      prunes to the text column;
+    - the anti-join's new side is pre-aggregated to distinct hashes, so
+      AQE broadcast-joins it against the corpus hash stream when small;
+    - with a ``bloom`` (from :func:`build_corpus_bloom`, broadcast to
+      executors), new rows whose hash is definitely absent bypass the
+      join entirely; only the possibly-duplicate slice joins.  Bloom
+      false positives are removed by the exact confirm join, so the
+      prefilter changes cost, never results.  The bloom is built once
+      per corpus version and OR-updated per ingest (blooms compose),
+      not rebuilt per query.
+    """
+    import pyarrow as pa
+
+    batch = (
+        new_df.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"),
+            *_bloom_hashes(text_col),
+        )
+        .groupBy("content_hash", "__h1", "__h2")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    corpus_hashes = corpus_df.select(F.md5(F.col(text_col)).alias("content_hash"))
+
+    if bloom is None:
+        fresh = batch
+    else:
+        m, bits = bloom["m"], bloom["bits"]
+        bc = new_df.sparkSession.sparkContext.broadcast(bits.tobytes())
+
+        def flag(batches):
+            arr = np.frombuffer(bc.value, dtype=np.uint64)
+            for b in batches:
+                if b.num_rows == 0:
+                    hit = np.zeros(0, dtype=bool)
+                else:
+                    hit = _bloom_test_bits(
+                        arr, b.column("__h1").to_numpy(),
+                        b.column("__h2").to_numpy(), m,
+                    )
+                yield b.append_column("__maybe_dup", pa.array(hit))
+
+        from pyspark import StorageLevel
+
+        id_type = dict(new_df.dtypes)[id_col]
+        # persisted: both the definite-new and the confirm-join branch
+        # read it, and without a persist the upstream hash-agg would
+        # run twice
+        flagged = batch.mapInArrow(
+            flag,
+            f"content_hash string, __h1 long, __h2 long, "
+            f"{id_col} {id_type}, __maybe_dup boolean",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        definite = flagged.filter(~F.col("__maybe_dup"))
+        maybe = flagged.filter(F.col("__maybe_dup")).join(
+            corpus_hashes, "content_hash", "left_anti"
+        )
+        fresh = definite.unionByName(maybe.select(definite.columns))
+        return fresh.select(id_col, "content_hash")
+
+    return fresh.join(corpus_hashes, "content_hash", "left_anti").select(
+        id_col, "content_hash"
+    )

@@ -128,6 +128,9 @@ _ORDER = [
     "tpch_q5_local_revenue",
     "tpch_q18_large_orders",
     # ---- beyond the 50-entry driver window ----
+    # new in r6 (hash-checkable; verified via tests/driver_check.py):
+    # next in rotation line together with the rows-only tail below
+    "llm_dedup_incremental",
     # rows-only never-checked (no SQL oracle): next in rotation line
     "llm_dedup_simhash",
     "llm_dedup_ngram",

@@ -24,6 +24,30 @@ SQL_DEDUP_EXACT = (
 )
 
 
+def llm_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingest dedup: a new batch (doc_id < 200) against an
+    existing corpus (even doc_ids), Bloom-prefiltered with exact
+    anti-join confirmation — output is exact, so the DuckDB oracle is a
+    plain NOT EXISTS on the content hash.  The overlap comes from the
+    splits sharing documents, the realistic re-ingest scenario."""
+    docs = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") < 200)
+    bloom = dedup.build_corpus_bloom(corpus, expected_items=4096)
+    return dedup.incremental_dedup(batch, corpus, bloom=bloom)
+
+
+SQL_DEDUP_INCR = (
+    "WITH corpus AS (SELECT md5(text) AS content_hash FROM documents "
+    "WHERE doc_id % 2 = 0), "
+    "batch AS (SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash "
+    "FROM documents WHERE doc_id < 200 GROUP BY md5(text)) "
+    "SELECT b.doc_id, b.content_hash FROM batch b "
+    "WHERE NOT EXISTS (SELECT 1 FROM corpus c "
+    "WHERE c.content_hash = b.content_hash)"
+)
+
+
 def llm_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (rows-only check: banding + xxhash64
     permutations aren't reproducible in ANSI SQL)."""
@@ -312,6 +336,7 @@ QUERIES: dict[str, tuple] = {
     "llm_dedup_exact": (llm_dedup_exact, SQL_DEDUP_EXACT),
     "mm_audio_windows": (mm_audio_windows, SQL_MM_AUDIO),
     "mm_image_resize": (mm_image_resize, SQL_MM_RESIZE),
+    "llm_dedup_incremental": (llm_dedup_incremental, SQL_DEDUP_INCR),
     "llm_dedup_minhash": (llm_dedup_minhash, None),
     "llm_dedup_simhash": (llm_dedup_simhash, None),
     "llm_dedup_ngram": (llm_dedup_ngram, None),

@@ -104,3 +104,70 @@ def test_embedding_neardup_rejects_ragged_vectors(spark):
     )
     with pytest.raises(Exception, match="ragged or null"):
         dedup.embedding_neardup_pairs(df).collect()
+
+
+def test_incremental_dedup_exact_with_and_without_bloom(spark):
+    """Bloom prefilter must change cost only: same exact result as the
+    plain anti-join, within-batch dups collapse to min id."""
+    from olive_spark.ops import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (13, "delta"), (12, "delta"),
+         (14, "epsilon")],
+        ["doc_id", "text"],
+    )
+    want = {(12, ), (14, )}
+
+    plain = dedup.incremental_dedup(new, corpus)
+    got_plain = {(r["doc_id"],) for r in plain.collect()}
+    assert got_plain == want
+
+    bloom = dedup.build_corpus_bloom(corpus, expected_items=64)
+    pre = dedup.incremental_dedup(new, corpus, bloom=bloom)
+    got_pre = {(r["doc_id"],) for r in pre.collect()}
+    assert got_pre == want
+    assert sorted(plain.columns) == sorted(pre.columns)
+
+
+def test_incremental_dedup_bloom_false_positives_are_confirmed_away(spark):
+    """A deliberately tiny bloom (saturated bits → many false
+    positives) must still yield the exact result via the confirm join."""
+    from olive_spark.ops import dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i}") for i in range(200)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1000 + i, f"new doc {i}") for i in range(50)]
+        + [(2000 + i, f"corpus doc {i}") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    # expected_items far below reality → saturated filter, FPP ~ 1
+    bloom = dedup.build_corpus_bloom(corpus, expected_items=1, bits_per_key=1)
+    out = {r["doc_id"] for r in
+           dedup.incremental_dedup(new, corpus, bloom=bloom).collect()}
+    assert out == {1000 + i for i in range(50)}
+
+
+def test_merge_blooms_composes_corpus_increments(spark):
+    """OR of two batch blooms ≡ bloom of the union — the incremental
+    maintenance path that avoids rescanning the corpus per ingest."""
+    import numpy as np
+
+    from olive_spark.ops import dedup
+
+    a = spark.createDataFrame([(1, "one"), (2, "two")], ["doc_id", "text"])
+    b = spark.createDataFrame([(3, "three"), (4, "four")], ["doc_id", "text"])
+    u = a.unionByName(b)
+    n = 1024
+    ba = dedup.build_corpus_bloom(a, expected_items=n)
+    bb = dedup.build_corpus_bloom(b, expected_items=n)
+    bu = dedup.build_corpus_bloom(u, expected_items=n)
+    merged = dedup.merge_blooms(ba, bb)
+    assert merged["m"] == bu["m"]
+    assert np.array_equal(merged["bits"], bu["bits"])
+    with pytest.raises(ValueError):
+        dedup.merge_blooms(ba, dedup.build_corpus_bloom(a, expected_items=2 * n))
