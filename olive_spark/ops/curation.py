@@ -23,7 +23,7 @@ scan + at most one shuffle:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
 PHONE_RE = "555-[0-9]+"
@@ -115,4 +115,33 @@ def contamination_check(
         .join(F.broadcast(bench_fp), "h", "inner")
         .groupBy("source")
         .agg(F.count("*").alias("n_contaminated"))
+    )
+
+
+def token_budget_mix(
+    df: DataFrame, budget_per_source: int,
+    text_col: str = "text", source_col: str = "source", id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-mixture sampling: per source, take documents in
+    deterministic priority order (longest first, id as tiebreak) until
+    the source's token budget is reached.  The at-scale shape of
+    "up-sample small high-quality sources, cap the crawl dump".
+
+    One shuffle total: token counting is a JVM-side projection on the
+    scan, the running total is a single window over (source) — no
+    iteration, no driver loop.  Skewed source sizes are fine: rows
+    within a source sort by the window, and the budget filter prunes
+    the tail.  Returns (source, doc_id, n_tokens, cum_tokens)."""
+    from olive_spark.ops.textstats import tokens
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col("n_tokens").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(source_col, id_col, n_tok.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_per_source)
     )

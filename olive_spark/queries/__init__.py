@@ -131,6 +131,7 @@ _ORDER = [
     # new in r6 (hash-checkable; verified via tests/driver_check.py):
     # next in rotation line together with the rows-only tail below
     "llm_dedup_incremental",
+    "llm_token_budget_mix",
     # rows-only never-checked (no SQL oracle): next in rotation line
     "llm_dedup_simhash",
     "llm_dedup_ngram",

@@ -361,8 +361,29 @@ SQL_TFIDF = (
 )
 
 
+def llm_token_budget_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-budgeted mixture sampling: longest-first up to
+    800 whitespace tokens per source (ws-token definition shared with
+    llm_token_count).  One window shuffle; exact SQL oracle."""
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text", "source"])
+    return curation.token_budget_mix(df, budget_per_source=800)
+
+
+SQL_TOKEN_BUDGET = (
+    "SELECT source, doc_id, n_tokens, cum_tokens FROM ("
+    "SELECT source, doc_id, n_tokens, "
+    "CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM ("
+    "SELECT source, doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "
+    "ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens "
+    "FROM documents))"
+    " WHERE cum_tokens <= 800"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "llm_pii_redact": (llm_pii_redact, SQL_PII_REDACT),
+    "llm_token_budget_mix": (llm_token_budget_mix, SQL_TOKEN_BUDGET),
     "llm_similarity_range": (llm_similarity_range, SQL_SIMILARITY_RANGE),
     "llm_similarity_pq": (llm_similarity_pq, None),
     "llm_tfidf_topk": (llm_tfidf_topk, SQL_TFIDF),

@@ -92,3 +92,30 @@ def test_contamination_exact_prefix_only(spark):
     got = {(r["source"], r["n_contaminated"])
            for r in contamination_check(corpus, bench, "text", n_words=3).collect()}
     assert got == {("s1", 1)}  # only doc 1 matches the full 3-word prefix
+
+
+def test_token_budget_mix_boundary_and_tiebreak(spark):
+    """Longest-first per source; a doc that would cross the budget is
+    excluded (hard cap, not nearest); equal lengths break ties by id."""
+    from olive_spark.ops import curation
+
+    rows = [
+        # src a: 3+3+2 tokens, budget 6 → the two 3-token docs only;
+        # ids 2 and 1 share length 3 → both kept, cum order by id
+        (1, "one two three", "a"),
+        (2, "uno dos tres", "a"),
+        (3, "pair of", "a"),
+        # src b: single 8-token doc over budget → excluded entirely
+        (4, "a b c d e f g h", "b"),
+        # src c: empty text (0 tokens) + 1 token
+        (5, "", "c"),
+        (6, "solo", "c"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = curation.token_budget_mix(df, budget_per_source=6)
+    got = {(r["source"], r["doc_id"], r["n_tokens"], r["cum_tokens"])
+           for r in out.collect()}
+    assert got == {
+        ("a", 1, 3, 3), ("a", 2, 3, 6),
+        ("c", 6, 1, 1), ("c", 5, 0, 1),
+    }
