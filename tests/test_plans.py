@@ -154,3 +154,32 @@ def test_ivf_assignment_is_arrow_batched(spark):
     queries = corpus.filter(F.col("vec_id") < 2)
     p = plan_of(ivf_topk(corpus, queries, k=5))
     assert "MapInArrow" in p
+
+
+def test_incremental_dedup_bloom_path_is_arrow_batched(spark):
+    """The bloom membership test must be one MapInArrow pass, and the
+    corpus side of the confirm join must reach it as hashes only (text
+    pruned at the scan)."""
+    from olive_spark.ops import dedup
+    from olive_spark.queries import data
+
+    docs = data.load(spark, SF, "documents", columns=["doc_id", "text"])
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = data.load(spark, SF, "documents", columns=["doc_id", "text"]) \
+        .filter(F.col("doc_id") < 100)
+    bloom = dedup.build_corpus_bloom(corpus, expected_items=1024)
+    p = plan_of(dedup.incremental_dedup(batch, corpus, bloom=bloom))
+    assert "MapInArrow" in p
+    assert "BatchEvalPython" not in p, "row-at-a-time Python UDF crept in"
+
+
+def test_token_budget_mix_is_single_window_shuffle(spark):
+    """Token counting must stay a JVM projection on the scan; the only
+    exchange is the per-source window partitioning."""
+    from olive_spark.queries import ALL_QUERIES
+
+    df = ALL_QUERIES["llm_token_budget_mix"][0](spark, SF)
+    p = plan_of(df)
+    assert p.count("hashpartitioning") <= 1, p
+    assert "BatchEvalPython" not in p
+    assert "MapInArrow" not in p, "token counting left the JVM"

@@ -77,3 +77,38 @@ def test_centroid_buckets_empty_batch_uses_real_centroid_id():
     assert _centroid_buckets(vecs, 2, cids, cmat).tolist() == [3, 11]
     tie = np.array([[1.0, 1.0, 0.0]])
     assert _centroid_buckets(tie, 1, cids, cmat).tolist() == [7]
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with a generous probe budget must land most of the exact
+    top-k — pins the bucket-prune + probe pipeline end to end (an
+    assignment/probe mismatch collapses recall toward zero)."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops import similarity
+    from olive_spark.queries import data
+
+    k = 10
+    exact = similarity.cosine_topk(
+        data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"]),
+        data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+        .filter(F.col("vec_id") < 5),
+        k=k,
+    ).collect()
+    approx = similarity.ivf_topk(
+        data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"]),
+        data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+        .filter(F.col("vec_id") < 5),
+        k=k, n_centroids=8, n_probe=6,
+    ).collect()
+
+    def by_query(rows):
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    ex, ap = by_query(exact), by_query(approx)
+    assert set(ex) == set(ap)
+    recalls = [len(ex[q] & ap[q]) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.7, f"recall too low: {recalls}"
