@@ -361,10 +361,18 @@ class OliveReader(DataSourceReader):
         # object, never from self, so clearing can only cost pruning on
         # a re-plan — never rows.
         self.predicates = []
+        manifest: dict = {}
+        if preds and os.path.isdir(self.path):
+            # one read covers the whole directory; per-file header
+            # opens below happen only for files the manifest can't
+            # vouch for (missing/stale entry) or can't disprove
+            from olive_spark.format.manifest import load_manifest
+
+            manifest = load_manifest(self.path)
         for fp in files:
             if preds and _dir_prunable(self.path, fp, preds):
                 continue  # hive-style col=value segment excluded by filter
-            if preds and self._file_prunable(fp, preds):
+            if preds and self._file_prunable(fp, preds, manifest):
                 continue
             keep.append(fp)
         if not keep:  # fully pruned: keep one partition for an empty scan
@@ -380,15 +388,21 @@ class OliveReader(DataSourceReader):
             )
         ]
 
-    def _file_prunable(self, fp: str, preds) -> bool:
-        """File-level pruning on chunk-wide stats (cheap header-only
-        read): min/max page stats disprove ranges, per-file Bloom
-        filters disprove =/IN on high-cardinality columns."""
+    def _file_prunable(self, fp: str, preds, manifest: dict = {}) -> bool:
+        """File-level pruning: the directory manifest's chunk-level
+        min/max first (no file open at all — the 100 TB plan-time
+        path), then the header's page stats and per-file Bloom filters
+        for files the manifest can't vouch for or can't disprove."""
         try:
+            from olive_spark.format.manifest import entry_prunable, lookup
             from olive_spark.format.reader import (
                 file_prunable_by_bloom,
                 select_pages,
             )
+
+            ent = lookup(manifest, self.path, fp)
+            if ent is not None and entry_prunable(ent, list(preds)):
+                return True
 
             header, _ = _read_header_bytes(fp)
             th = _pick_table(header, self.table)
@@ -604,6 +618,9 @@ def _filter_to_predicate(f: Filter) -> Optional[tuple[str, str, Any]]:
 @dataclass
 class OliveCommitMessage(WriterCommitMessage):
     files: tuple[str, ...]
+    # (relpath, size, {"rows", "columns"}) per file — folded into the
+    # directory manifest at driver-side commit (format/manifest.py)
+    summaries: tuple = ()
 
 
 class OliveWriter(DataSourceArrowWriter):
@@ -640,12 +657,19 @@ class OliveWriter(DataSourceArrowWriter):
         with open(fp, "wb") as f:
             f.write(blob)
         files.append(fp)
+        if self.stats:
+            from olive_spark.format.manifest import table_summary
+
+            ent = table_summary(tbl)
+            ent["size"] = len(blob)
+            self._summaries.append((os.path.relpath(fp, self.path), ent))
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> OliveCommitMessage:
         import pyarrow as pa
 
         os.makedirs(self.path, exist_ok=True)
         files: list[str] = []
+        self._summaries: list[tuple] = []
 
         if self.partition_by:
             return self._write_partitioned(iterator, files)
@@ -667,7 +691,7 @@ class OliveWriter(DataSourceArrowWriter):
                 rows = rest.num_rows
         if rows:
             self._emit(pa.Table.from_batches(buf, schema=schema), "", files)
-        return OliveCommitMessage(tuple(files))
+        return OliveCommitMessage(tuple(files), tuple(self._summaries))
 
     def _write_partitioned(self, iterator, files: list) -> OliveCommitMessage:
         """Hive-style layout: path/col=value/.../part-*.olive, one chunk
@@ -738,10 +762,26 @@ class OliveWriter(DataSourceArrowWriter):
         for key in groups:
             if counts[key]:
                 flush(key, final=True)
-        return OliveCommitMessage(tuple(files))
+        return OliveCommitMessage(tuple(files), tuple(self._summaries))
 
-    def commit(self, messages) -> None:  # files are final on write
-        pass
+    def commit(self, messages) -> None:
+        # files are final on write; the commit's job is the manifest —
+        # one atomic read-merge-replace on the driver (advisory planning
+        # metadata: a crash before this point costs pruning, not rows)
+        self._merge_manifest(messages)
+
+    def _merge_manifest(self, messages) -> None:
+        from olive_spark.format.manifest import merge_manifest
+
+        entries = {}
+        for m in messages:
+            if m is not None:
+                for rel, ent in getattr(m, "summaries", ()):
+                    entries[rel] = ent
+        try:
+            merge_manifest(self.path, entries)
+        except OSError:
+            pass  # read-only dir etc. — manifest is optional metadata
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -813,7 +853,7 @@ class OliveStreamWriter(DataSourceStreamArrowWriter):
         return self._batch.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
-        pass
+        self._batch._merge_manifest(messages)
 
     def abort(self, messages, batchId: int) -> None:
         self._batch.abort(messages)

@@ -1,0 +1,160 @@
+"""Table-directory manifest: per-file row counts and chunk-level
+column min/max, maintained at DataSource commit time.
+
+Why this exists: at 100 TB a table is tens of thousands of chunk files,
+and file-level stats pruning through per-file headers costs one I/O per
+file at PLAN time on a fresh driver (the per-process header cache only
+helps warm re-plans).  The manifest is one read for the whole directory
+— the same planning-metadata move Delta/Iceberg make — so a selective
+query prunes most files without opening any of them.
+
+Safety model: entries are ADVISORY.  A file whose entry is missing, or
+whose on-disk size differs from the recorded one, silently falls back
+to the header-read pruning path — so out-of-band writers, a crashed
+commit, or a stale manifest can never change results, only reduce
+pruning.  The manifest itself is replaced atomically (tmp + os.replace)
+under the table's documented single-writer contract; chunk filenames
+are uuid-unique, so a (name, size) match cannot alias different data.
+
+Stats are stored in the same comparison domain as the page stats
+(writer._stats_value): timestamps as epoch-µs ints, dates as epoch
+days, decimals as strings, strings truncated to a 64-char prefix —
+prefix truncation keeps </"="/> disproofs sound because a strictly
+greater/smaller 64-prefix implies the same strict order on the full
+strings, and equal-prefix cases are conservatively kept.
+
+The reference format has no directory layer at all (one chunk per file,
+`/root/reference/src/chunk.zig`); manifests are this engine's
+extension, like the directory scan itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Optional, Sequence
+
+MANIFEST_NAME = "_olive_manifest.json"
+_VERSION = 1
+
+
+def table_summary(tbl) -> dict:
+    """Chunk-level summary of a pyarrow Table: row count + per-column
+    min/max for stats-eligible top-level columns (writer._STATS_OK)."""
+    import pyarrow.compute as pc
+
+    from olive_spark.format.writer import _STATS_OK, _stats_value
+
+    cols: dict[str, dict] = {}
+    for name in tbl.schema.names:
+        col = tbl.column(name)
+        if not any(p(col.type) for p in _STATS_OK):
+            continue
+        try:
+            mm = pc.min_max(col)
+            mn = _stats_value(mm["min"])
+            mx = _stats_value(mm["max"])
+        except Exception:  # noqa: BLE001 — stats must never break a write
+            continue
+        if mn is None or mx is None:
+            continue
+        cols[name] = {"min": mn, "max": mx}
+    return {"rows": tbl.num_rows, "columns": cols}
+
+
+def manifest_path(dirpath: str) -> str:
+    return os.path.join(dirpath, MANIFEST_NAME)
+
+
+def load_manifest(dirpath: str) -> dict:
+    """{relpath: {"size": int, "rows": int, "columns": {...}}} — {} on
+    missing or unreadable (the caller falls back to header pruning)."""
+    try:
+        with open(manifest_path(dirpath), "rb") as f:
+            doc = json.load(f)
+        if doc.get("version") != _VERSION:
+            return {}
+        files = doc.get("files")
+        return files if isinstance(files, dict) else {}
+    except Exception:  # noqa: BLE001
+        return {}
+
+
+def merge_manifest(dirpath: str, new_entries: dict) -> None:
+    """Read-merge-replace: keep existing entries whose files still
+    exist, overlay ``new_entries``, write atomically.  Driver-side only
+    (DSv2 commit), under the table's single-writer contract."""
+    merged = {
+        rel: ent
+        for rel, ent in load_manifest(dirpath).items()
+        if os.path.exists(os.path.join(dirpath, rel))
+    }
+    merged.update(new_entries)
+    doc = {"version": _VERSION, "files": merged}
+    fd, tmp = tempfile.mkstemp(
+        prefix=".manifest-", suffix=".tmp", dir=dirpath
+    )
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(doc, f, separators=(",", ":"))
+        os.replace(tmp, manifest_path(dirpath))
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def lookup(manifest: dict, dirpath: str, fp: str) -> Optional[dict]:
+    """Manifest entry for file ``fp`` iff its recorded size matches the
+    file on disk; None → caller uses the header path."""
+    if not manifest:
+        return None
+    rel = os.path.relpath(fp, dirpath)
+    ent = manifest.get(rel)
+    if not isinstance(ent, dict):
+        return None
+    try:
+        if os.path.getsize(fp) != ent.get("size"):
+            return None
+    except OSError:
+        return None
+    return ent
+
+
+def entry_prunable(
+    entry: dict, predicates: Sequence[tuple[str, str, Any]]
+) -> bool:
+    """True iff the entry's chunk-level min/max PROVE no row matches.
+    Mirrors reader.select_pages semantics at file granularity."""
+    from olive_spark.format.reader import _stats_domain
+
+    cols = entry.get("columns") or {}
+    for col, op, value in predicates:
+        st = cols.get(col)
+        if not isinstance(st, dict):
+            continue
+        mn, mx = st.get("min"), st.get("max")
+        if mn is None or mx is None:
+            continue
+        vals = [_stats_domain(x) for x in (value if op == "in" else [value])]
+        if any(v is None for v in vals):
+            continue
+        try:
+            if op == "=" and (vals[0] < mn or vals[0] > mx):
+                return True
+            if op == "in" and all(v < mn or v > mx for v in vals):
+                return True
+            if op == "<" and mn >= vals[0]:
+                return True
+            if op == "<=" and mn > vals[0]:
+                return True
+            if op == ">" and mx <= vals[0]:
+                return True
+            if op == ">=" and mx < vals[0]:
+                return True
+        except TypeError:
+            continue  # cross-type comparison: keep the file
+    return False

@@ -130,10 +130,17 @@ def compact(
     #    leaves the old files untouched (staged files are inert debris);
     #    a crash in 3-4 leaves a readable superset PLUS the manifest, so
     #    vacuum()/the next compact() can finish the originals-delete.
+    from olive_spark.format.manifest import load_manifest, merge_manifest
+
+    tmp_stats = load_manifest(tmp)  # per-file stats from the DSv2 commit
+    stats_entries: dict = {}
     staged = []
     finals = []
     for i, f in enumerate(_list_chunk_files(tmp)):
         final = f"compact-{run}-{i:05d}.olive"
+        ent = tmp_stats.get(os.path.relpath(f, tmp))
+        if ent is not None:
+            stats_entries[final] = ent  # same bytes, new name — carry over
         dest = os.path.join(path, final + ".staging")
         shutil.move(f, dest)
         staged.append(dest)
@@ -160,6 +167,15 @@ def compact(
             pass
     os.remove(manifest)
     shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        # refresh the stats manifest: deleted originals drop out (their
+        # files are gone), compacted files keep their commit-time stats
+        # under the activated names — sorted/z-ordered compaction plus
+        # the manifest is what lets a 100 TB plan prune files without
+        # opening them
+        merge_manifest(path, stats_entries)
+    except OSError:
+        pass
     after = _list_chunk_files(path)
     return {"files_before": len(before), "files_after": len(after), "rows": rows}
 
@@ -223,6 +239,12 @@ def vacuum(path: str) -> dict:
     recovery = _recover_pending(path)
     removed_staging = 0
     for f in glob.glob(os.path.join(path, "compact-*.manifest.json.tmp")):
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+    # crashed stats-manifest replacements (format/manifest.merge_manifest)
+    for f in glob.glob(os.path.join(path, ".manifest-*.tmp")):
         try:
             os.remove(f)
         except OSError:

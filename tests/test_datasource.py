@@ -398,3 +398,100 @@ def test_sorted_layout_prunes_scan_partitions(spark, tmp_path):
     # partitions may bin-pack several small files; pruning is per-FILE
     assert surviving_files([("k", ">=", 900)]) == 1
     assert surviving_files([("k", "<", 260)]) == 2  # files [0,250) and [250,500)
+
+
+def _surviving(spark, path, preds):
+    from olive_spark.datasource.olive_datasource import OliveReader
+
+    r = OliveReader({"path": path}, spark.read.format("olive").load(path).schema)
+    r.predicates = list(preds)
+    return sum(
+        len(p.files)
+        for p in r.partitions()
+        if not (p.predicates and p.predicates[0][0] == "__none__")
+    )
+
+
+def test_manifest_written_at_commit_and_prunes_without_header_reads(
+    spark, tmp_path, monkeypatch
+):
+    """The directory manifest alone (no per-file header I/O) must prune
+    files at plan time — the 100 TB path where opening every header
+    would cost one I/O per file."""
+    import json
+
+    from olive_spark.datasource import olive_datasource as ds
+    from olive_spark.format.manifest import MANIFEST_NAME
+
+    out = str(tmp_path / "mf")
+    spark.range(0, 2000).coalesce(1).write.format("olive").mode(
+        "append"
+    ).option("chunkRows", 500).save(out)
+
+    mf_path = os.path.join(out, MANIFEST_NAME)
+    assert os.path.exists(mf_path)
+    doc = json.load(open(mf_path))
+    assert len(doc["files"]) == 4
+    ent = next(iter(doc["files"].values()))
+    assert set(ent) >= {"rows", "size", "columns"}
+    assert ent["columns"]["id"]["min"] is not None
+
+    def boom(_):
+        raise AssertionError("header read attempted during planning")
+
+    monkeypatch.setattr(ds, "_read_header_bytes", boom)
+    # disjoint 500-row ranges per file → range predicate must prune via
+    # the manifest alone (header path is booby-trapped above)
+    assert _surviving(spark, out, [("id", ">=", 1500)]) == 1
+    assert _surviving(spark, out, [("id", "<", 400)]) == 1
+    monkeypatch.undo()
+    got = spark.read.format("olive").load(out).filter("id >= 1500").count()
+    assert got == 500
+
+
+def test_manifest_stale_entry_falls_back_to_header(spark, tmp_path):
+    """A manifest whose recorded size mismatches the file on disk must
+    be ignored for that file — out-of-band rewrites can cost pruning,
+    never rows."""
+    import json
+
+    from olive_spark.format.manifest import MANIFEST_NAME
+
+    out = str(tmp_path / "stale")
+    spark.range(0, 1000).coalesce(1).write.format("olive").mode(
+        "append"
+    ).option("chunkRows", 500).save(out)
+    mf_path = os.path.join(out, MANIFEST_NAME)
+    doc = json.load(open(mf_path))
+    for rel, ent in doc["files"].items():
+        # lie aggressively: stats that would prune EVERY query — but
+        # with a wrong size, so lookup() must reject the entry
+        ent["columns"]["id"] = {"min": -2, "max": -1}
+        ent["size"] = ent["size"] + 1
+    json.dump(doc, open(mf_path, "w"))
+    assert spark.read.format("olive").load(out).filter("id >= 900").count() == 100
+
+
+def test_compact_carries_stats_into_manifest(spark, tmp_path, monkeypatch):
+    """Sorted compaction + manifest: the compacted files' stats survive
+    the rename swap, so range plans prune them without header reads."""
+    from olive_spark.datasource import olive_datasource as ds
+    from olive_spark.format.manifest import load_manifest
+    from olive_spark.ops.maintenance import compact
+
+    d = tmp_path / "cm"
+    d.mkdir()
+    t = pa.table({"k": pa.array(range(1000), pa.int64())})
+    (d / "part-0.olive").write_bytes(write_chunk({"data": t}))
+    compact(spark, str(d), target_rows=250, sort_by="k")
+
+    mf = load_manifest(str(d))
+    assert len(mf) == 4 and all(r.startswith("compact-") for r in mf)
+
+    def boom(_):
+        raise AssertionError("header read attempted during planning")
+
+    monkeypatch.setattr(ds, "_read_header_bytes", boom)
+    assert _surviving(spark, str(d), [("k", ">=", 900)]) == 1
+    monkeypatch.undo()
+    assert spark.read.format("olive").load(str(d)).filter("k >= 900").count() == 100
