@@ -191,3 +191,46 @@ def test_decimal256_binary_bytes_exact(digits, scale, sign, data):
     assert out[1].as_py() is None
     got = int.from_bytes(out[0].as_py(), "big", signed=True)
     assert got == n, f"unscaled mismatch: {got} != {n}"
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.integers(-1000, 1000), st.none()), min_size=1, max_size=60
+    ),
+    strs=st.lists(
+        st.one_of(st.text(max_size=80), st.none()), min_size=1, max_size=60
+    ),
+    op=st.sampled_from(["=", "<", "<=", ">", ">=", "in"]),
+    lit=st.integers(-1200, 1200),
+    slit=st.text(max_size=70),
+)
+@settings(max_examples=200, deadline=None)
+def test_manifest_pruning_is_sound(vals, strs, op, lit, slit):
+    """entry_prunable == True must IMPLY zero matching rows — for ints
+    and for strings (whose stats are 64-char prefixes).  The converse
+    (keeping a file with no matches) is allowed; dropping a file with
+    matches is the bug class this pins."""
+    import pyarrow.compute as pc
+
+    from olive_spark.format.manifest import entry_prunable, table_summary
+
+    n = min(len(vals), len(strs))
+    t = pa.table({
+        "x": pa.array(vals[:n], pa.int64()),
+        "s": pa.array(strs[:n], pa.large_string()),
+    })
+    ent = table_summary(t)
+
+    for col, v in (("x", lit), ("s", slit)):
+        value = [v] if op == "in" else v
+        if entry_prunable(ent, [(col, op, value)]):
+            c = pc.drop_null(t.column(col))
+            if op == "=":
+                matches = pc.sum(pc.equal(c, v)).as_py() or 0
+            elif op == "in":
+                matches = pc.sum(pc.is_in(c, value_set=pa.array([v]))).as_py() or 0
+            else:
+                f = {"<": pc.less, "<=": pc.less_equal,
+                     ">": pc.greater, ">=": pc.greater_equal}[op]
+                matches = pc.sum(f(c, v)).as_py() or 0
+            assert matches == 0, (col, op, v, ent)
