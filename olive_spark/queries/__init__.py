@@ -132,6 +132,7 @@ _ORDER = [
     # next in rotation line together with the rows-only tail below
     "llm_dedup_incremental",
     "llm_token_budget_mix",
+    "stream_incremental_dedup",
     # rows-only never-checked (no SQL oracle): next in rotation line
     "llm_dedup_simhash",
     "llm_dedup_ngram",

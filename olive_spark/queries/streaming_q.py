@@ -231,6 +231,34 @@ SQL_STREAM_DEDUP = (
 )
 
 
+def stream_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ingest dedup: the documents stream anti-joined per
+    microbatch against a static corpus's content hashes (even doc_ids)
+    — a stream-static left_anti join with the slim hash side broadcast.
+    Stateless by construction: the static side re-resolves per
+    microbatch and no watermark state accrues, so it runs identically
+    at any stream length — the streaming face of
+    ops.dedup.incremental_dedup (whose Bloom prefilter slots in front
+    of the same join when the corpus hash set outgrows a broadcast)."""
+    path = os.path.join(data.ensure_olive(sf), "documents")
+    sdf = streaming.read_stream(spark, path, columns="doc_id,text")
+    corpus = (
+        data.load(spark, sf, "documents", columns=["doc_id", "text"])
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5(F.col("text")).alias("content_hash"))
+    )
+    hashed = sdf.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+    fresh = hashed.join(F.broadcast(corpus), "content_hash", "left_anti")
+    return streaming.run_available_now(fresh, output_mode="append")
+
+
+SQL_STREAM_INCR_DEDUP = (
+    "SELECT d.doc_id, md5(d.text) AS content_hash FROM documents d "
+    "WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.doc_id % 2 = 0 "
+    "AND md5(c.text) = md5(d.text))"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "stream_window_counts": (stream_window_counts, SQL_STREAM_WINDOW),
     "stream_sliding_counts": (stream_sliding_counts, SQL_STREAM_SLIDING),
@@ -240,4 +268,5 @@ QUERIES: dict[str, tuple] = {
     "stream_session_window": (stream_session_window, SQL_STREAM_SESSION),
     "stream_user_totals": (stream_user_totals, SQL_STREAM_USER_TOTALS),
     "stream_olive_sink": (stream_olive_sink, SQL_STREAM_SINK),
+    "stream_incremental_dedup": (stream_incremental_dedup, SQL_STREAM_INCR_DEDUP),
 }
