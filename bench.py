@@ -55,6 +55,9 @@ HEADLINE = [
     "llm_contamination",
     "llm_pack_sequences",
     "llm_dedup_clusters",
+    "llm_dedup_incremental",
+    "llm_token_budget_mix",
+    "stream_incremental_dedup",
 ]
 
 

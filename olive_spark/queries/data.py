@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 
 CACHE_ROOT = "/tmp/olive_cache"
-CACHE_VERSION = "v6"  # bump when derived-table definitions change
+CACHE_VERSION = "v7"  # bump when derived-table definitions change
 N_CHUNKS = 16  # files per table = scan parallelism floor (real clusters
 MIN_CHUNK_ROWS = 256  # get this for free from many-file layouts)
 TABLES = (
@@ -53,6 +53,7 @@ def ensure_olive(sf_dir: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from olive_spark.format.manifest import merge_manifest, table_summary
     from olive_spark.format.writer import write_chunk
 
     os.makedirs(out, exist_ok=True)
@@ -65,12 +66,18 @@ def ensure_olive(sf_dir: str) -> str:
         pf = pq.ParquetFile(src)
         rows_per_chunk = max(MIN_CHUNK_ROWS, -(-pf.metadata.num_rows // N_CHUNKS))
         idx = 0
+        ents = {}
         for batch in pf.iter_batches(batch_size=rows_per_chunk):
             tbl = pa.Table.from_batches([batch])
             blob = write_chunk({name: tbl})
-            with open(os.path.join(tdir, f"part-{idx:05d}.olive"), "wb") as f:
+            fn = f"part-{idx:05d}.olive"
+            with open(os.path.join(tdir, fn), "wb") as f:
                 f.write(blob)
+            ent = table_summary(tbl)
+            ent["size"] = len(blob)
+            ents[fn] = ent
             idx += 1
+        merge_manifest(tdir, ents)
 
     _write_derived(sf_dir, out)
     with open(marker, "w") as f:
@@ -83,6 +90,7 @@ def _write_derived(sf_dir: str, out: str) -> None:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    from olive_spark.format.manifest import merge_manifest, table_summary
     from olive_spark.format.writer import write_chunk
 
     def emit(name: str, tables: dict) -> None:
@@ -97,9 +105,17 @@ def _write_derived(sf_dir: str, out: str) -> None:
             return
         (tname, tbl), = tables.items()
         rows = max(MIN_CHUNK_ROWS, -(-tbl.num_rows // N_CHUNKS))
+        ents = {}
         for idx, off in enumerate(range(0, max(tbl.num_rows, 1), rows)):
-            with open(os.path.join(tdir, f"part-{idx:05d}.olive"), "wb") as f:
-                f.write(write_chunk({tname: tbl.slice(off, rows)}))
+            sl = tbl.slice(off, rows)
+            blob = write_chunk({tname: sl})
+            fn = f"part-{idx:05d}.olive"
+            with open(os.path.join(tdir, fn), "wb") as f:
+                f.write(blob)
+            ent = table_summary(sl)
+            ent["size"] = len(blob)
+            ents[fn] = ent
+        merge_manifest(tdir, ents)
 
     # customer_nulls — validity bitmaps through the full write/read path
     import numpy as np
