@@ -268,7 +268,17 @@ def _pack_files(
     max(openCost, min(maxPartitionBytes, totalBytes/minPartitions)) —
     small layouts collapse into ~one wave of tasks, 100 TB layouts cap
     at maxPartitionBytes and fan out to tens of thousands of tasks."""
-    sized = [(f, os.path.getsize(f) + open_cost) for f in files]
+    def _size(f: str) -> int:
+        try:
+            return os.path.getsize(f)
+        except OSError:
+            # listed file vanished mid-plan (e.g. a concurrent
+            # compact's originals-delete) — keep it with nominal size
+            # so planning never crashes; if it is still absent at read
+            # time the scan fails there with a clear error
+            return 0
+
+    sized = [(f, _size(f) + open_cost) for f in files]
     total = sum(s for _, s in sized)
     target = max(
         open_cost + 1,
@@ -395,14 +405,17 @@ class OliveReader(DataSourceReader):
         for files the manifest can't vouch for or can't disprove."""
         try:
             from olive_spark.format.manifest import entry_prunable, lookup
-            from olive_spark.format.reader import (
-                file_prunable_by_bloom,
-                select_pages,
-            )
 
             ent = lookup(manifest, self.path, fp)
             if ent is not None and entry_prunable(ent, list(preds)):
                 return True
+
+            # only the header fallback needs the (numpy/pyarrow-heavy)
+            # reader module — manifest-only disproofs never import it
+            from olive_spark.format.reader import (
+                file_prunable_by_bloom,
+                select_pages,
+            )
 
             header, _ = _read_header_bytes(fp)
             th = _pick_table(header, self.table)

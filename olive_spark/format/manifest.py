@@ -18,10 +18,14 @@ are uuid-unique, so a (name, size) match cannot alias different data.
 
 Stats are stored in the same comparison domain as the page stats
 (writer._stats_value): timestamps as epoch-µs ints, dates as epoch
-days, decimals as strings, strings truncated to a 64-char prefix —
-prefix truncation keeps </"="/> disproofs sound because a strictly
-greater/smaller 64-prefix implies the same strict order on the full
-strings, and equal-prefix cases are conservatively kept.
+days, decimals as one-ulp-outward-rounded floats (numeric order —
+string decimals would compare lexicographically and prune matching
+rows), long strings as 64-char bounds (min: plain prefix, a valid
+lower bound; max: prefix with its last code point bumped, a valid
+upper bound).  Filter literals are NEVER truncated — truncating a
+literal changes </> semantics.  stats_disprove below is the single
+shared disproof routine for both this file-level path and the
+page-level path in reader.select_pages.
 
 The reference format has no directory layer at all (one chunk per file,
 `/root/reference/src/chunk.zig`); manifests are this engine's
@@ -39,6 +43,53 @@ MANIFEST_NAME = "_olive_manifest.json"
 _VERSION = 1
 
 
+def _stats_domain(v: Any) -> Any:
+    """Convert a filter literal into the stats comparison domain
+    (counterpart of writer._stats_value; pure stdlib so the plan
+    worker's manifest fast path needs no pyarrow/numpy import).
+    Literals are converted, never truncated or widened — conservatism
+    lives entirely on the stored-stats side."""
+    import datetime
+    import decimal
+
+    if isinstance(v, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    if isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    if isinstance(v, decimal.Decimal):
+        import math
+
+        f = float(v)
+        return f if math.isfinite(f) else None
+    return v
+
+
+def stats_disprove(mn: Any, mx: Any, op: str, vals: list) -> bool:
+    """True iff [mn, mx] PROVES no value can satisfy ``op vals`` —
+    the one soundness-critical comparison, shared by file-level
+    (entry_prunable) and page-level (reader.select_pages) pruning.
+    Conservative on any doubt: cross-type comparisons keep the data."""
+    if mn is None or mx is None:
+        return False
+    try:
+        if op == "=":
+            return vals[0] < mn or vals[0] > mx
+        if op == "in":
+            return all(v < mn or v > mx for v in vals)
+        if op == "<":
+            return mn >= vals[0]
+        if op == "<=":
+            return mn > vals[0]
+        if op == ">":
+            return mx <= vals[0]
+        if op == ">=":
+            return mx < vals[0]
+    except TypeError:
+        return False
+    return False
+
+
 def table_summary(tbl) -> dict:
     """Chunk-level summary of a pyarrow Table: row count + per-column
     min/max for stats-eligible top-level columns (writer._STATS_OK)."""
@@ -53,8 +104,8 @@ def table_summary(tbl) -> dict:
             continue
         try:
             mm = pc.min_max(col)
-            mn = _stats_value(mm["min"])
-            mx = _stats_value(mm["max"])
+            mn = _stats_value(mm["min"], "min")
+            mx = _stats_value(mm["max"], "max")
         except Exception:  # noqa: BLE001 — stats must never break a write
             continue
         if mn is None or mx is None:
@@ -127,34 +178,16 @@ def lookup(manifest: dict, dirpath: str, fp: str) -> Optional[dict]:
 def entry_prunable(
     entry: dict, predicates: Sequence[tuple[str, str, Any]]
 ) -> bool:
-    """True iff the entry's chunk-level min/max PROVE no row matches.
-    Mirrors reader.select_pages semantics at file granularity."""
-    from olive_spark.format.reader import _stats_domain
-
+    """True iff the entry's chunk-level min/max PROVE no row matches
+    (stats_disprove at file granularity)."""
     cols = entry.get("columns") or {}
     for col, op, value in predicates:
         st = cols.get(col)
         if not isinstance(st, dict):
             continue
-        mn, mx = st.get("min"), st.get("max")
-        if mn is None or mx is None:
-            continue
         vals = [_stats_domain(x) for x in (value if op == "in" else [value])]
-        if any(v is None for v in vals):
+        if not vals or any(v is None for v in vals):
             continue
-        try:
-            if op == "=" and (vals[0] < mn or vals[0] > mx):
-                return True
-            if op == "in" and all(v < mn or v > mx for v in vals):
-                return True
-            if op == "<" and mn >= vals[0]:
-                return True
-            if op == "<=" and mn > vals[0]:
-                return True
-            if op == ">" and mx <= vals[0]:
-                return True
-            if op == ">=" and mx < vals[0]:
-                return True
-        except TypeError:
-            continue  # cross-type comparison: keep the file
+        if stats_disprove(st.get("min"), st.get("max"), op, vals):
+            return True
     return False

@@ -404,22 +404,10 @@ def read_all_tables(blob: bytes) -> dict[str, pa.Table]:
 # ---- page selection from pushed-down filters (extension, SURVEY.md §4) ---
 
 
-def _stats_domain(v: Any) -> Any:
-    """Convert a filter literal into the stats comparison domain
-    (mirror of writer._stats_value)."""
-    import datetime
-    import decimal
-
-    if isinstance(v, datetime.datetime):
-        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-        return int((v - epoch).total_seconds() * 1_000_000)
-    if isinstance(v, datetime.date):
-        return (v - datetime.date(1970, 1, 1)).days
-    if isinstance(v, decimal.Decimal):
-        return str(v)
-    if isinstance(v, str):
-        return v[:64]
-    return v
+# literal→stats-domain conversion and the min/max disproof routine are
+# shared with the directory-manifest file pruning path — one soundness
+# surface (see manifest.stats_disprove; literals are never truncated)
+from olive_spark.format.manifest import _stats_domain, stats_disprove  # noqa: E402
 
 
 def select_pages(
@@ -457,27 +445,9 @@ def select_pages(
         if any(v is None for v in vals):
             continue
         for i in range(npages):
-            mn, mx = mins[i], maxs[i]
-            if mn is None or mx is None:
-                continue
-            try:
-                if op == "=" and (vals[0] < mn or vals[0] > mx):
-                    keep[i] = False
-                elif op == "in" and all(v < mn or v > mx for v in vals):
-                    keep[i] = False
-                elif op == "<" and mn >= vals[0]:
-                    keep[i] = False
-                elif op == "<=" and mn > vals[0]:
-                    keep[i] = False
-                elif op == ">" and mx <= vals[0]:
-                    keep[i] = False
-                elif op == ">=" and mx < vals[0]:
-                    keep[i] = False
-                else:
-                    continue
+            if stats_disprove(mins[i], maxs[i], op, vals):
+                keep[i] = False
                 pruned_any = True
-            except TypeError:
-                continue
     if not pruned_any or keep.all():
         return None
     return [int(i) for i in np.nonzero(keep)[0]]

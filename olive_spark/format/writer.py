@@ -141,8 +141,31 @@ _STATS_OK = (
 )
 
 
-def _stats_value(v: Any) -> Any:
-    """Make a min/max scalar JSON-safe; None disables the page's stat."""
+def _string_upper_bound(prefix: str) -> "str | None":
+    """Smallest-effort string that is >= every string starting with
+    ``prefix``: bump the last bumpable code point and cut there (the
+    Parquet-style truncated-max).  None when nothing is bumpable."""
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
+
+
+def _stats_value(v: Any, direction: str) -> Any:
+    """Make a min/max scalar JSON-safe and CONSERVATIVE for pruning;
+    None disables the stat.  ``direction`` is "min" or "max": a stored
+    min must never exceed any value, a stored max must never undercut
+    one, so lossy representations round OUTWARD:
+
+    - long strings: a 64-char prefix is a valid lower bound as-is; for
+      a max the prefix is bumped (last code point +1, then cut) so it
+      upper-bounds every string it truncated — plain prefix truncation
+      of a max would UNDERSTATE it and prune files that contain matches;
+    - decimals: compared as floats (numeric order; strings would be
+      lexicographic and unsound, '9.00' > '10.00'), widened one ulp
+      outward to absorb the decimal→binary rounding.
+    """
     if v is None:
         return None
     obj = v.as_py() if isinstance(v, pa.Scalar) else v
@@ -155,8 +178,11 @@ def _stats_value(v: Any) -> Any:
     if isinstance(obj, int):
         return obj
     if isinstance(obj, str):
-        return obj[:64]
-    # dates/timestamps/decimals → compare in their ordinal/int domain
+        if len(obj) <= 64:
+            return obj
+        pre = obj[:64]
+        return pre if direction == "min" else _string_upper_bound(pre)
+    # dates/timestamps/decimals → compare in an ordinal/numeric domain
     try:
         import datetime
         import decimal
@@ -167,7 +193,13 @@ def _stats_value(v: Any) -> Any:
         if isinstance(obj, datetime.date):
             return (obj - datetime.date(1970, 1, 1)).days
         if isinstance(obj, decimal.Decimal):
-            return str(obj)
+            f = float(obj)
+            if not math.isfinite(f):
+                return None
+            widened = math.nextafter(
+                f, -math.inf if direction == "min" else math.inf
+            )
+            return widened if math.isfinite(widened) else None
     except Exception:  # noqa: BLE001
         return None
     return None
@@ -295,8 +327,8 @@ class ChunkWriter:
             sl = arr.slice(win_off + a, b - a)
             try:
                 mm = pc.min_max(sl)
-                mins.append(_stats_value(mm["min"]))
-                maxs.append(_stats_value(mm["max"]))
+                mins.append(_stats_value(mm["min"], "min"))
+                maxs.append(_stats_value(mm["max"], "max"))
             except Exception:  # noqa: BLE001
                 mins.append(None)
                 maxs.append(None)

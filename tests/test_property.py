@@ -193,23 +193,40 @@ def test_decimal256_binary_bytes_exact(digits, scale, sign, data):
     assert got == n, f"unscaled mismatch: {got} != {n}"
 
 
+# a 2-letter alphabet with lengths straddling the 64-char stats cut so
+# shared-64-prefix collisions (the truncation soundness edge) actually
+# occur, instead of being a 2^-300 coincidence under free-form text
+_adv_str = st.one_of(
+    st.text(max_size=80),
+    st.builds(
+        lambda head, tail: "a" * head + tail,
+        st.integers(60, 68),
+        st.text(alphabet="ab", max_size=4),
+    ),
+)
+
+
 @given(
     vals=st.lists(
         st.one_of(st.integers(-1000, 1000), st.none()), min_size=1, max_size=60
     ),
     strs=st.lists(
-        st.one_of(st.text(max_size=80), st.none()), min_size=1, max_size=60
+        st.one_of(_adv_str, st.none()), min_size=1, max_size=60
     ),
     op=st.sampled_from(["=", "<", "<=", ">", ">=", "in"]),
     lit=st.integers(-1200, 1200),
-    slit=st.text(max_size=70),
+    slit=_adv_str,
+    dscale=st.integers(-3, 3),
 )
-@settings(max_examples=200, deadline=None)
-def test_manifest_pruning_is_sound(vals, strs, op, lit, slit):
-    """entry_prunable == True must IMPLY zero matching rows — for ints
-    and for strings (whose stats are 64-char prefixes).  The converse
-    (keeping a file with no matches) is allowed; dropping a file with
-    matches is the bug class this pins."""
+@settings(max_examples=300, deadline=None)
+def test_manifest_pruning_is_sound(vals, strs, op, lit, slit, dscale):
+    """entry_prunable == True must IMPLY zero matching rows — for ints,
+    decimals (numeric, not lexicographic, order), and strings including
+    the 64-char truncation edge.  The converse (keeping a file with no
+    matches) is allowed; dropping a file with matches is the bug class
+    this pins."""
+    from decimal import Decimal
+
     import pyarrow.compute as pc
 
     from olive_spark.format.manifest import entry_prunable, table_summary
@@ -218,10 +235,15 @@ def test_manifest_pruning_is_sound(vals, strs, op, lit, slit):
     t = pa.table({
         "x": pa.array(vals[:n], pa.int64()),
         "s": pa.array(strs[:n], pa.large_string()),
+        "d": pa.array(
+            [None if v is None else Decimal(v).scaleb(-2) for v in vals[:n]],
+            pa.decimal128(12, 2),
+        ),
     })
     ent = table_summary(t)
+    dlit = Decimal(lit).scaleb(-2) + Decimal(dscale).scaleb(-2)
 
-    for col, v in (("x", lit), ("s", slit)):
+    for col, v in (("x", lit), ("s", slit), ("d", dlit)):
         value = [v] if op == "in" else v
         if entry_prunable(ent, [(col, op, value)]):
             c = pc.drop_null(t.column(col))
@@ -234,3 +256,43 @@ def test_manifest_pruning_is_sound(vals, strs, op, lit, slit):
                      ">": pc.greater, ">=": pc.greater_equal}[op]
                 matches = pc.sum(f(c, v)).as_py() or 0
             assert matches == 0, (col, op, v, ent)
+
+
+def test_stats_pruning_decimal_is_numeric_not_lexicographic():
+    """Regression: decimal stats stored as strings compared '9.00' >
+    '10.00' lexicographically and pruned files containing matches."""
+    from decimal import Decimal
+
+    from olive_spark.format.manifest import entry_prunable, table_summary
+
+    t = pa.table({"d": pa.array(
+        [Decimal("1.00"), Decimal("9.00"), Decimal("10.00")],
+        pa.decimal128(10, 2),
+    )})
+    ent = {"columns": table_summary(t)["columns"]}
+    # 9.00 is IN the file — must never prune
+    assert not entry_prunable(ent, [("d", "=", Decimal("9.00"))])
+    assert not entry_prunable(ent, [("d", ">=", Decimal("10.00"))])
+    assert not entry_prunable(ent, [("d", "<=", Decimal("1.00"))])
+    # 11 is provably outside
+    assert entry_prunable(ent, [("d", ">", Decimal("11.00"))])
+
+
+def test_stats_pruning_long_string_bounds_are_sound():
+    """Regression: a 64-char-prefix-truncated max UNDERSTATES the true
+    max, and truncating the filter literal flips </> semantics — both
+    pruned files that contained matching rows."""
+    from olive_spark.format.manifest import entry_prunable, table_summary
+
+    row = "a" * 65
+    t = pa.table({"s": pa.array([row], pa.large_string())})
+    ent = {"columns": table_summary(t)["columns"]}
+    st = ent["columns"]["s"]
+    assert st["min"] <= row <= st["max"], st  # bounds must bracket the row
+    # row matches both of these — must never prune
+    assert not entry_prunable(ent, [("s", "<", "a" * 64 + "b")])
+    assert not entry_prunable(ent, [("s", ">", "a" * 63)])
+    assert not entry_prunable(ent, [("s", "=", row)])
+    # provably outside (bumped-prefix max is 'a'*63 + 'b')
+    assert entry_prunable(ent, [("s", ">", "b")])
+    assert entry_prunable(ent, [("s", "<", "a")])
