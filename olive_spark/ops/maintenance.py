@@ -24,18 +24,22 @@ import shutil
 import uuid
 
 
-def _morton_expr(a, b, bits: int = 16):
-    """Interleave the low ``bits`` of two non-negative int columns into a
-    Morton (Z-order) key — pure JVM shift/and/or expression tree, no UDF."""
+def _morton_expr(cols, bits: int | None = None):
+    """Interleave the low bits of N non-negative int columns into a
+    Morton (Z-order) key — pure JVM shift/and/or expression tree, no
+    UDF.  Bit budget: 63 // N per column (16 at N=2,3; 15 at N=4), so
+    the key always fits a signed long."""
     from pyspark.sql import functions as F
 
+    n = len(cols)
+    if bits is None:
+        bits = min(16, 63 // n)
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
+        for j, c in enumerate(cols):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), n * i + j)
+            )
     return z
 
 
@@ -49,7 +53,7 @@ def compact(
 ) -> dict:
     """Rewrite the olive directory at ``path`` into files of
     ``target_rows``; with ``sort_by``, range-partition + sort so page
-    min/max stats are disjoint across files; with ``zorder_by`` (two
+    min/max stats are disjoint across files; with ``zorder_by`` (2-4
     columns), cluster on a Morton-interleaved key so range predicates on
     EITHER column prune files (the multi-dimensional skipping a single
     sort can't give).  Returns {files_before, files_after, rows}.
@@ -84,24 +88,29 @@ def compact(
     rows = df.count()
     n_files = max(1, math.ceil(rows / target_rows))
     if zorder_by:
-        if len(zorder_by) != 2:
-            raise ValueError("zorder_by takes exactly two columns")
-        ca, cb = zorder_by
-        # min-max normalize each column to 16-bit rank space (exact
-        # integer arithmetic; one tiny agg broadcast back)
-        bounds = df.agg(
-            F.min(ca).alias("_a_lo"), F.max(ca).alias("_a_hi"),
-            F.min(cb).alias("_b_lo"), F.max(cb).alias("_b_hi"),
-        )
+        if not 2 <= len(zorder_by) <= 4:
+            raise ValueError("zorder_by takes two to four columns")
+        # min-max normalize each column into the per-column bit budget
+        # (exact integer arithmetic; one tiny agg broadcast back)
+        nbits = min(16, 63 // len(zorder_by))
+        top = (1 << nbits) - 1
+        bounds = df.agg(*[
+            x
+            for i, c in enumerate(zorder_by)
+            for x in (F.min(c).alias(f"_lo{i}"), F.max(c).alias(f"_hi{i}"))
+        ])
         df = df.crossJoin(F.broadcast(bounds))
         span = lambda lo, hi: F.greatest(F.col(hi) - F.col(lo), F.lit(1))  # noqa: E731
-        na = ((F.col(ca) - F.col("_a_lo")) * 65535 / span("_a_lo", "_a_hi")).cast("long")
-        nb = ((F.col(cb) - F.col("_b_lo")) * 65535 / span("_b_lo", "_b_hi")).cast("long")
+        norm = [
+            ((F.col(c) - F.col(f"_lo{i}")) * top / span(f"_lo{i}", f"_hi{i}")).cast("long")
+            for i, c in enumerate(zorder_by)
+        ]
+        drop = [x for i in range(len(zorder_by)) for x in (f"_lo{i}", f"_hi{i}")]
         df = (
-            df.withColumn("_z", _morton_expr(na, nb))
+            df.withColumn("_z", _morton_expr(norm, nbits))
             .repartitionByRange(n_files, "_z")
             .sortWithinPartitions("_z")
-            .drop("_z", "_a_lo", "_a_hi", "_b_lo", "_b_hi")
+            .drop("_z", *drop)
         )
     elif sort_by:
         # repartitionByRange + sortWithinPartitions = globally range-

@@ -495,3 +495,44 @@ def test_compact_carries_stats_into_manifest(spark, tmp_path, monkeypatch):
     assert _surviving(spark, str(d), [("k", ">=", 900)]) == 1
     monkeypatch.undo()
     assert spark.read.format("olive").load(str(d)).filter("k >= 900").count() == 100
+
+
+def test_compact_zorder_three_columns_prunes_each_dimension(spark, tmp_path):
+    """N-column Z-order (new in r6): with three interleaved columns, a
+    narrow range on ANY of the three must exclude files on stats."""
+    from olive_spark.datasource.olive_datasource import (
+        _list_chunk_files,
+        _read_header_bytes,
+    )
+    from olive_spark.ops.maintenance import compact
+
+    n = 10
+    rows = [(i % n, (i // n) % n, i // (n * n)) for i in range(n ** 3)]
+    t = pa.table({
+        "x": pa.array([r[0] for r in rows], pa.int64()),
+        "y": pa.array([r[1] for r in rows], pa.int64()),
+        "z": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    d = tmp_path / "z3"
+    d.mkdir()
+    (d / "part-0.olive").write_bytes(write_chunk({"data": t}))
+    compact(spark, str(d), target_rows=125, zorder_by=["x", "y", "z"])
+
+    def spans(col):
+        out = []
+        for fp in _list_chunk_files(str(d)):
+            header, _ = _read_header_bytes(fp)
+            th = header.tables[0]
+            st = th.fields[th.field_names.index(col)].stats
+            out.append((min(st["min"]), max(st["max"])))
+        return out
+
+    n_files = len(_list_chunk_files(str(d)))
+    assert n_files == 8
+    for col in ("x", "y", "z"):
+        hits = sum(1 for lo, hi in spans(col) if lo <= 1)
+        assert hits <= n_files // 2 + 1, f"{col} stats don't prune: {spans(col)}"
+    back = spark.read.format("olive").load(str(d))
+    assert back.count() == n ** 3
+    with pytest.raises(ValueError):
+        compact(spark, str(d), zorder_by=["x"])
