@@ -274,3 +274,58 @@ def vacuum(path: str) -> dict:
         "tmp_dirs": removed_tmpdirs,
         **recovery,
     }
+
+
+def describe(path: str, table: str = "data") -> dict:
+    """Operational summary of an olive table directory: file count,
+    total rows/bytes, and per-column value bounds — answered from the
+    directory manifest when present (one read), with per-file header
+    fallback for unmanifested files.  The 100 TB 'how big is this
+    table' question without a Spark job or a full scan."""
+    from olive_spark.datasource.olive_datasource import (
+        _list_chunk_files,
+        _pick_table,
+        _read_header_bytes,
+    )
+    from olive_spark.format.manifest import load_manifest, lookup
+
+    files = _list_chunk_files(path)
+    manifest = load_manifest(path) if os.path.isdir(path) else {}
+    rows = 0
+    size = 0
+    cols: dict = {}
+
+    def fold(colstats: dict) -> None:
+        for name, st in (colstats or {}).items():
+            mn, mx = st.get("min"), st.get("max")
+            if name not in cols:
+                cols[name] = {"min": mn, "max": mx}
+            else:
+                try:
+                    if mn is not None and (cols[name]["min"] is None or mn < cols[name]["min"]):
+                        cols[name]["min"] = mn
+                    if mx is not None and (cols[name]["max"] is None or mx > cols[name]["max"]):
+                        cols[name]["max"] = mx
+                except TypeError:
+                    cols[name] = {"min": None, "max": None}
+
+    for fp in files:
+        try:
+            size += os.path.getsize(fp)
+        except OSError:
+            continue
+        ent = lookup(manifest, path, fp) if manifest else None
+        if ent is not None:
+            rows += ent.get("rows", 0)
+            fold(ent.get("columns"))
+            continue
+        header, _ = _read_header_bytes(fp)
+        th = _pick_table(header, table)
+        rows += th.num_rows
+        fold({
+            n: {"min": min(f.stats["min"]), "max": max(f.stats["max"])}
+            for n, f in zip(th.field_names, th.fields)
+            if f.stats is not None
+            and all(v is not None for v in f.stats["min"] + f.stats["max"])
+        })
+    return {"files": len(files), "rows": rows, "bytes": size, "columns": cols}

@@ -493,3 +493,22 @@ def test_vacuum_cleans_crash_debris_only(spark, tmp_path):
     assert not any(f.endswith(".staging") for f in os.listdir(path))
     got = spark.read.format("olive").load(path)
     assert got.count() == 500, "live files untouched by vacuum"
+
+
+def test_describe_answers_from_manifest_and_header_fallback(spark, tmp_path):
+    from olive_spark.format.manifest import manifest_path
+    from olive_spark.ops.maintenance import describe
+
+    out = str(tmp_path / "desc")
+    spark.range(0, 2000).selectExpr("id", "id * 2 AS v").coalesce(
+        1
+    ).write.format("olive").mode("append").option("chunkRows", 500).save(out)
+
+    d = describe(out)
+    assert d["files"] == 4 and d["rows"] == 2000 and d["bytes"] > 0
+    assert d["columns"]["id"]["min"] == 0 and d["columns"]["id"]["max"] == 1999
+    assert d["columns"]["v"]["max"] == 3998
+
+    os.remove(manifest_path(out))  # header fallback must agree
+    d2 = describe(out)
+    assert (d2["rows"], d2["columns"]["id"]["max"]) == (2000, 1999)
