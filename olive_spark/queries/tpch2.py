@@ -49,7 +49,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
 SQL_TPCH_Q2 = (
     "WITH partsupp AS (SELECT DISTINCT l_partkey AS ps_partkey, "
     "l_suppkey AS ps_suppkey FROM lineitem) "
-    "SELECT CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal, s_name, n_name, "
+    "SELECT /*+ BROADCAST(nation, region, n2, r2) */ "
+    "CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal, s_name, n_name, "
     "p_partkey, p_brand "
     "FROM part, partsupp, supplier, nation, region "
     "WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey "
@@ -85,7 +86,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_TPCH_Q11 = (
     "WITH nat_value AS ("
-    "SELECT l_partkey AS ps_partkey, "
+    "SELECT /*+ BROADCAST(nation) */ l_partkey AS ps_partkey, "
     "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS part_value "
     "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
     "JOIN nation ON s_nationkey = n_nationkey "
@@ -115,7 +116,8 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_TPCH_Q20 = (
-    "SELECT s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+    "SELECT /*+ BROADCAST(nation) */ s_name "
+    "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
     "WHERE n_name = 'NATION_2' AND s_suppkey IN ("
     "SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey "
     "WHERE p_name LIKE '%gear%' "
@@ -146,7 +148,7 @@ def tpch_q21_waiting_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_TPCH_Q21 = (
-    "SELECT s_name, COUNT(*) AS numwait "
+    "SELECT /*+ BROADCAST(nation) */ s_name, COUNT(*) AS numwait "
     "FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey "
     "JOIN orders ON o_orderkey = l1.l_orderkey "
     "JOIN nation ON s_nationkey = n_nationkey "

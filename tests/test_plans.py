@@ -183,3 +183,15 @@ def test_token_budget_mix_is_single_window_shuffle(spark):
     assert p.count("hashpartitioning") <= 1, p
     assert "BatchEvalPython" not in p
     assert "MapInArrow" not in p, "token counting left the JVM"
+
+
+def test_tpch_sql_queries_broadcast_fixed_dims(spark):
+    """SQL-based TPC-H shapes must broadcast the fixed-cardinality dims
+    (nation/region) via hints: Python DS sources report no size stats,
+    so without the hint the static plan sort-merge-joins a 25-row
+    table against the fact side."""
+    from olive_spark.queries import ALL_QUERIES
+
+    for q in ("tpch_q21_waiting_orders", "tpch_q11_important_stock"):
+        p = plan_of(ALL_QUERIES[q][0](spark, SF))
+        assert "BroadcastHashJoin" in p, f"{q} lost its dim broadcast"
