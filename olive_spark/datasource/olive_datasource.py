@@ -638,6 +638,7 @@ class OliveCommitMessage(WriterCommitMessage):
 
 class OliveWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, schema: StructType, overwrite: bool) -> None:
+        self.schema = schema
         self.path = options.get("path")
         if not self.path:
             raise ValueError("olive: 'path' is required (use .save(path))")
@@ -781,7 +782,28 @@ class OliveWriter(DataSourceArrowWriter):
         # files are final on write; the commit's job is the manifest —
         # one atomic read-merge-replace on the driver (advisory planning
         # metadata: a crash before this point costs pruning, not rows)
+        if not any(m.files for m in messages if m is not None):
+            # every task was empty (filter matched nothing — routine in
+            # big pipelines): persist ONE schema-bearing empty chunk so
+            # the table still round-trips instead of failing on read
+            self._write_empty_table()
         self._merge_manifest(messages)
+
+    def _write_empty_table(self) -> None:
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from olive_spark.format.writer import write_chunk
+
+        empty = pa.table(
+            {f.name: pa.nulls(0, f.type) for f in to_arrow_schema(self.schema)}
+        )
+        blob = write_chunk({self.table: empty}, page_rows=self.page_rows)
+        os.makedirs(self.path, exist_ok=True)
+        fp = os.path.join(self.path, f"part-{uuid.uuid4().hex}.olive")
+        with open(fp, "wb") as f:
+            f.write(blob)
 
     def _merge_manifest(self, messages) -> None:
         from olive_spark.format.manifest import merge_manifest

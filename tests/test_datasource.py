@@ -536,3 +536,21 @@ def test_compact_zorder_three_columns_prunes_each_dimension(spark, tmp_path):
     assert back.count() == n ** 3
     with pytest.raises(ValueError):
         compact(spark, str(d), zorder_by=["x"])
+
+
+def test_all_empty_write_roundtrips_schema(spark, tmp_path):
+    """A write where every task is empty (filter matched nothing —
+    routine at pipeline scale) must still produce a readable table:
+    one schema-bearing empty chunk, zero rows, exact schema."""
+    out = str(tmp_path / "allempty")
+    spark.range(10).selectExpr("id", "cast(id as double) v").filter(
+        "id < 0"
+    ).write.format("olive").mode("append").save(out)
+    got = spark.read.format("olive").load(out)
+    assert got.count() == 0
+    assert got.schema.simpleString() == "struct<id:bigint,v:double>"
+    # appending real rows afterwards works and the empty chunk is benign
+    spark.range(5).selectExpr("id", "cast(id as double) v").write.format(
+        "olive"
+    ).mode("append").save(out)
+    assert spark.read.format("olive").load(out).count() == 5
