@@ -195,3 +195,38 @@ def test_tpch_sql_queries_broadcast_fixed_dims(spark):
     for q in ("tpch_q21_waiting_orders", "tpch_q11_important_stock"):
         p = plan_of(ALL_QUERIES[q][0](spark, SF))
         assert "BroadcastHashJoin" in p, f"{q} lost its dim broadcast"
+
+
+def test_approx_sketches_within_error_bounds(spark):
+    """agg_approx_sketches is rows-only at the driver (sketch estimates
+    differ across engines by design), so pin accuracy HERE: HLL++ with
+    rsd=0.02 must land within 5% of the exact distinct count, and each
+    approximate percentile must sit inside a bracket of true quantiles
+    (p50 within [p40, p60], p95/p99 between a lower true quantile and
+    the max)."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.queries import ALL_QUERIES, data
+
+    got = {r["l_returnflag"]: r
+           for r in ALL_QUERIES["agg_approx_sketches"][0](spark, SF).collect()}
+    df = data.load(spark, SF, "lineitem",
+                   columns=["l_returnflag", "l_partkey", "l_extendedprice"])
+    exact = {
+        r["l_returnflag"]: r
+        for r in df.groupBy("l_returnflag").agg(
+            F.countDistinct("l_partkey").alias("nd"),
+            F.expr("percentile(l_extendedprice, array(0.4, 0.5, 0.6, 0.9))").alias("p"),
+            F.max("l_extendedprice").alias("mx"),
+        ).collect()
+    }
+    assert set(got) == set(exact) and got
+    for k, g in got.items():
+        e = exact[k]
+        assert abs(g["nd_parts_approx"] - e["nd"]) <= max(2, 0.05 * e["nd"]), (
+            k, g["nd_parts_approx"], e["nd"])
+        p = [float(x) for x in e["p"]]
+        mx = float(e["mx"])
+        assert p[0] <= float(g["price_p50"]) <= p[2], (k, g["price_p50"], p)
+        assert p[3] <= float(g["price_p95"]) <= mx, (k, g["price_p95"])
+        assert p[3] <= float(g["price_p99"]) <= mx, (k, g["price_p99"])
