@@ -98,6 +98,17 @@ def _read_header_bytes(path: str):
     return read_header(path)
 
 
+def _chunk_file_name() -> str:
+    """part-<20-digit epoch-µs>-<uuid8>.olive: the zero-padded timestamp
+    makes lexicographic order chronological, so concurrently appended
+    files land at the END of the sorted listing — the property the
+    streaming reader's index offsets depend on (a pure-uuid name could
+    sort into the middle of already-consumed indices)."""
+    import time
+
+    return f"part-{int(time.time() * 1e6):020d}-{uuid.uuid4().hex[:8]}.olive"
+
+
 def _list_chunk_files(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]
@@ -667,7 +678,7 @@ class OliveWriter(DataSourceArrowWriter):
         )
         d = os.path.join(self.path, subdir) if subdir else self.path
         os.makedirs(d, exist_ok=True)
-        fp = os.path.join(d, f"part-{uuid.uuid4().hex}.olive")
+        fp = os.path.join(d, _chunk_file_name())
         with open(fp, "wb") as f:
             f.write(blob)
         files.append(fp)
@@ -801,7 +812,7 @@ class OliveWriter(DataSourceArrowWriter):
         )
         blob = write_chunk({self.table: empty}, page_rows=self.page_rows)
         os.makedirs(self.path, exist_ok=True)
-        fp = os.path.join(self.path, f"part-{uuid.uuid4().hex}.olive")
+        fp = os.path.join(self.path, _chunk_file_name())
         with open(fp, "wb") as f:
             f.write(blob)
 
@@ -847,14 +858,51 @@ class OliveStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"index": 0}
 
+    @staticmethod
+    def _listing_digest(files: "Sequence[str]") -> str:
+        import hashlib
+
+        names = "\n".join(os.path.basename(f) for f in files)
+        return hashlib.sha256(names.encode()).hexdigest()[:16]
+
     def latestOffset(self) -> dict:
-        return {"index": len(self._files())}
+        files = self._files()
+        # the digest lets partitions() verify the directory is still the
+        # append-only log the index offsets assume: timestamp-prefixed
+        # names make appends sort at the END, so the digest of the first
+        # `index` names is invariant under appends but changes on any
+        # delete, rename, or mid-list insertion (compaction, vacuum,
+        # out-of-order writers)
+        return {
+            "index": len(files),
+            "digest": self._listing_digest(files),
+        }
 
     def partitions(self, start: dict, end: dict) -> Sequence[OliveInputPartition]:
         # offsets bound the MICROBATCH (indices into the sorted file
         # list); partitions within one batch can bin-pack freely — the
         # checkpoint records only the end offset, never partition shapes
-        files = self._files()[start["index"] : end["index"]]
+        all_files = self._files()
+        from olive_spark.format.errors import ValidationError
+
+        if end["index"] > len(all_files):
+            raise ValidationError(
+                "streaming source directory shrank below the committed "
+                "offset — files were deleted or rewritten (compact/vacuum "
+                "must not run on a directory being streamed)"
+            )
+        digest = end.get("digest")
+        if digest is not None and (
+            self._listing_digest(all_files[: end["index"]]) != digest
+        ):
+            raise ValidationError(
+                "streaming source directory changed non-append-only: the "
+                f"first {end['index']} files no longer match the "
+                "checkpointed listing — a writer inserted, renamed, or "
+                "replaced files out of order (compact/vacuum on a "
+                "streamed directory?)"
+            )
+        files = all_files[start["index"] : end["index"]]
         if not files:
             return []
         return [

@@ -123,3 +123,49 @@ def test_stream_static_join_enriches_per_microbatch(spark, tmp_path_factory):
                                       state_partitions=2)
     got = {r["parity"]: r["n"] for r in out.collect()}
     assert got == {"even": 5, "odd": 5}
+
+
+def test_stream_offsets_detect_non_append_mutation(tmp_path):
+    """Index offsets assume an append-only log; deleting or renaming a
+    consumed file must raise a clear error, never silently shift the
+    slice onto different data."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from olive_spark.datasource.olive_datasource import OliveStreamReader
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.format.writer import write_chunk
+
+    d = tmp_path / "s"
+    d.mkdir()
+    for i in range(3):
+        t = pa.table({"x": pa.array([i], pa.int64())})
+        (d / f"part-{i:020d}-aaaa.olive").write_bytes(write_chunk({"data": t}))
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    r = OliveStreamReader({"path": str(d)}, StructType([StructField("x", LongType())]))
+    end = r.latestOffset()
+    assert end["index"] == 3 and end["digest"]
+
+    # normal case works
+    parts = r.partitions({"index": 0}, end)
+    assert sum(len(p.files) for p in parts) == 3
+
+    # a deleted file → shrunk directory → hard error
+    (d / f"part-{0:020d}-aaaa.olive").unlink()
+    with _pytest.raises(ValidationError, match="shrank|non-append"):
+        r.partitions({"index": 0}, end)
+
+    # same count but a file inserted mid-list (out-of-order writer,
+    # e.g. a pure-uuid name sorting before consumed indices) → error
+    t = pa.table({"x": pa.array([9], pa.int64())})
+    (d / "part-00000000000000000000-zzzz.olive").write_bytes(
+        write_chunk({"data": t})
+    )
+    with _pytest.raises(ValidationError, match="non-append"):
+        r.partitions({"index": 0}, end)
+
+    # legacy checkpoint offsets (no digest) keep working when valid
+    assert sum(
+        len(p.files) for p in r.partitions({"index": 0}, {"index": 3})
+    ) == 3
