@@ -78,8 +78,11 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -430,6 +433,18 @@ class OliveReader(DataSourceReader):
 
             header, _ = _read_header_bytes(fp)
             th = _pick_table(header, self.table)
+            by_name = dict(zip(th.field_names, th.fields))
+            for col, op, _v in preds:
+                fh = by_name.get(col)
+                if fh is None or fh.null_count is None:
+                    continue
+                if op == "isnull":
+                    if fh.null_count == 0:
+                        return True
+                    continue
+                # all remaining pushed ops are null-rejecting
+                if fh.null_count == th.num_rows and th.num_rows > 0:
+                    return True
             sel = select_pages(th, list(preds))
             if sel is not None and len(sel) == 0:
                 return True
@@ -636,6 +651,12 @@ def _filter_to_predicate(f: Filter) -> Optional[tuple[str, str, Any]]:
         return (col, "<=", f.value)
     if isinstance(f, In):
         return (col, "in", list(f.value))
+    if isinstance(f, StringStartsWith):
+        return (col, "startswith", f.value)
+    if isinstance(f, IsNull):
+        return (col, "isnull", None)
+    if isinstance(f, IsNotNull):
+        return (col, "notnull", None)
     return None
 
 

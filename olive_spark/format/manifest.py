@@ -65,6 +65,18 @@ def _stats_domain(v: Any) -> Any:
     return v
 
 
+def _string_upper_bound(prefix: str) -> "str | None":
+    """Smallest-effort string >= every string starting with ``prefix``:
+    bump the last bumpable code point and cut there.  None when nothing
+    is bumpable.  Used for truncated string maxes AND prefix-predicate
+    ranges (col LIKE 'abc%' matches values in [prefix, bump(prefix)))."""
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
+
+
 def stats_disprove(mn: Any, mx: Any, op: str, vals: list) -> bool:
     """True iff [mn, mx] PROVES no value can satisfy ``op vals`` —
     the one soundness-critical comparison, shared by file-level
@@ -85,6 +97,15 @@ def stats_disprove(mn: Any, mx: Any, op: str, vals: list) -> bool:
             return mx <= vals[0]
         if op == ">=":
             return mx < vals[0]
+        if op == "startswith":
+            # matches live in [prefix, bump(prefix))
+            pre = vals[0]
+            if not isinstance(pre, str):
+                return False
+            if mx < pre:
+                return True
+            up = _string_upper_bound(pre)
+            return up is not None and mn >= up
     except TypeError:
         return False
     return False
@@ -111,7 +132,10 @@ def table_summary(tbl) -> dict:
         if mn is None or mx is None:
             continue
         cols[name] = {"min": mn, "max": mx}
-    return {"rows": tbl.num_rows, "columns": cols}
+    # null counts for EVERY column (cheap; enables IS [NOT] NULL file
+    # pruning regardless of the column's stats eligibility)
+    nulls = {n: tbl.column(n).null_count for n in tbl.schema.names}
+    return {"rows": tbl.num_rows, "columns": cols, "nulls": nulls}
 
 
 def manifest_path(dirpath: str) -> str:
@@ -181,7 +205,20 @@ def entry_prunable(
     """True iff the entry's chunk-level min/max PROVE no row matches
     (stats_disprove at file granularity)."""
     cols = entry.get("columns") or {}
+    nulls = entry.get("nulls") or {}
+    rows = entry.get("rows")
     for col, op, value in predicates:
+        nc = nulls.get(col)
+        if op == "isnull":
+            if nc == 0:
+                return True
+            continue
+        # every other pushed predicate is null-rejecting: a column with
+        # no non-null values cannot satisfy it
+        if nc is not None and rows is not None and nc == rows and rows > 0:
+            return True
+        if op == "notnull":
+            continue
         st = cols.get(col)
         if not isinstance(st, dict):
             continue

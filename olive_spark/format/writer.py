@@ -141,15 +141,7 @@ _STATS_OK = (
 )
 
 
-def _string_upper_bound(prefix: str) -> "str | None":
-    """Smallest-effort string that is >= every string starting with
-    ``prefix``: bump the last bumpable code point and cut there (the
-    Parquet-style truncated-max).  None when nothing is bumpable."""
-    for i in range(len(prefix) - 1, -1, -1):
-        cp = ord(prefix[i])
-        if cp < 0x10FFFF:
-            return prefix[:i] + chr(cp + 1)
-    return None
+from olive_spark.format.manifest import _string_upper_bound  # noqa: E402
 
 
 def _stats_value(v: Any, direction: str) -> Any:

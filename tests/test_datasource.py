@@ -554,3 +554,48 @@ def test_all_empty_write_roundtrips_schema(spark, tmp_path):
         "olive"
     ).mode("append").save(out)
     assert spark.read.format("olive").load(out).count() == 5
+
+
+def test_startswith_and_null_predicates_prune_files(spark, tmp_path):
+    """StringStartsWith prunes via the [prefix, bump(prefix)) range on
+    string stats; IS [NOT] NULL prunes from null counts — manifest
+    first, header null_count as fallback."""
+    import json
+
+    from olive_spark.format.manifest import MANIFEST_NAME
+
+    out = str(tmp_path / "sw")
+    # two files with disjoint string ranges: aaa-* and zzz-*
+    spark.createDataFrame(
+        [(i, f"aaa-{i:03d}") for i in range(100)], "id long, s string"
+    ).coalesce(1).write.format("olive").mode("append").save(out)
+    spark.createDataFrame(
+        [(i, f"zzz-{i:03d}") for i in range(100, 200)], "id long, s string"
+    ).coalesce(1).write.format("olive").mode("append").save(out)
+    # third file: s entirely NULL
+    spark.createDataFrame(
+        [(i, None) for i in range(200, 300)], "id long, s string"
+    ).coalesce(1).write.format("olive").mode("append").save(out)
+
+    assert _surviving(spark, out, [("s", "startswith", "zzz-")]) == 1
+    assert _surviving(spark, out, [("s", "startswith", "mmm")]) == 0, \
+        "aaa/zzz pruned by range, the all-null file by null count"
+    assert _surviving(spark, out, [("s", "notnull", None)]) == 2
+    assert _surviving(spark, out, [("s", "isnull", None)]) == 1
+
+    # header fallback must agree when the manifest is gone
+    os.remove(os.path.join(out, MANIFEST_NAME))
+    assert _surviving(spark, out, [("s", "notnull", None)]) == 2
+    assert _surviving(spark, out, [("s", "isnull", None)]) == 1
+
+    # end-to-end through Spark with pushdown on: results exact
+    df = (
+        spark.read.format("olive")
+        .option("pushdown", "true")
+        .load(out)
+    )
+    assert df.filter("s LIKE 'zzz-%'").count() == 100
+    df2 = spark.read.format("olive").option("pushdown", "true").load(out)
+    assert df2.filter("s IS NULL").count() == 100
+    df3 = spark.read.format("olive").option("pushdown", "true").load(out)
+    assert df3.filter("s IS NOT NULL AND s LIKE 'aaa-00%'").count() == 10

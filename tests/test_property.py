@@ -213,7 +213,7 @@ _adv_str = st.one_of(
     strs=st.lists(
         st.one_of(_adv_str, st.none()), min_size=1, max_size=60
     ),
-    op=st.sampled_from(["=", "<", "<=", ">", ">=", "in"]),
+    op=st.sampled_from(["=", "<", "<=", ">", ">=", "in", "startswith"]),
     lit=st.integers(-1200, 1200),
     slit=_adv_str,
     dscale=st.integers(-3, 3),
@@ -244,6 +244,8 @@ def test_manifest_pruning_is_sound(vals, strs, op, lit, slit, dscale):
     dlit = Decimal(lit).scaleb(-2) + Decimal(dscale).scaleb(-2)
 
     for col, v in (("x", lit), ("s", slit), ("d", dlit)):
+        if op == "startswith" and col != "s":
+            continue
         value = [v] if op == "in" else v
         if entry_prunable(ent, [(col, op, value)]):
             c = pc.drop_null(t.column(col))
@@ -251,6 +253,8 @@ def test_manifest_pruning_is_sound(vals, strs, op, lit, slit, dscale):
                 matches = pc.sum(pc.equal(c, v)).as_py() or 0
             elif op == "in":
                 matches = pc.sum(pc.is_in(c, value_set=pa.array([v]))).as_py() or 0
+            elif op == "startswith":
+                matches = pc.sum(pc.starts_with(c, pattern=v)).as_py() or 0
             else:
                 f = {"<": pc.less, "<=": pc.less_equal,
                      ">": pc.greater, ">=": pc.greater_equal}[op]
