@@ -72,6 +72,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
+    EqualNullSafe,
     EqualTo,
     Filter,
     GreaterThan,
@@ -641,6 +642,9 @@ def _filter_to_predicate(f: Filter) -> Optional[tuple[str, str, Any]]:
     col = attr[0]
     if isinstance(f, EqualTo):
         return (col, "=", f.value)
+    if isinstance(f, EqualNullSafe):
+        # null-safe equal: <=> NULL is IS NULL; <=> v matches only v
+        return (col, "isnull", None) if f.value is None else (col, "=", f.value)
     if isinstance(f, GreaterThan):
         return (col, ">", f.value)
     if isinstance(f, GreaterThanOrEqual):
