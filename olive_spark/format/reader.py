@@ -377,7 +377,17 @@ class ChunkReader:
             except ValueError:
                 raise ValidationError(f"no column {cname!r} in table {th.name!r}")
             dt = type_from_json(th.field_types[i])
-            arrays.append(self._read_array(th.fields[i], dt, pages))
+            arr = self._read_array(th.fields[i], dt, pages)
+            if pages is None and len(arr) != th.fields[i].length:
+                # decoded length is derived from the actual buffers/row
+                # grid; a disagreeing declared length means a corrupt or
+                # forged header (reference validates the same way,
+                # src/read.zig:295-299)
+                raise ValidationError(
+                    f"column {cname!r}: decoded {len(arr)} rows but "
+                    f"header declares {th.fields[i].length}"
+                )
+            arrays.append(arr)
             fields.append(pa.field(cname, dt))
         if not arrays:
             n = self._rows_selected(

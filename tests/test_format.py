@@ -401,3 +401,27 @@ def test_bloom_malformed_never_prunes():
     assert might_contain({"m": 1 << 20, "k": 7, "b64": "AAAA"}, 1)  # short bitmap
     assert might_contain({"m": -5, "k": 0, "b64": ""}, 1)
     assert might_contain({"m": 64, "k": 7, "b64": "AAAAAAAAAA=="}, [1, 2])  # unhashable
+
+
+def test_header_declared_length_mismatch_rejected():
+    """A header whose declared column length disagrees with the decoded
+    data must raise a typed error, not silently serve derived lengths —
+    the reference's post-read array validation (src/read.zig:295-299)."""
+    import copy
+    import json
+    import struct
+
+    import pyarrow as pa
+
+    from olive_spark.format import OliveError, read_all_tables, write_chunk
+
+    t = pa.table({"x": pa.array(range(100), pa.int64())})
+    blob = write_chunk({"data": t})
+    hlen = struct.unpack("<I", blob[4:8])[0]
+    hdr = json.loads(blob[8 : 8 + hlen])
+    data = blob[8 + hlen :]
+    h = copy.deepcopy(hdr)
+    h["tables"][0]["fields"][0]["n"] = 7
+    hb = json.dumps(h).encode()
+    with pytest.raises(OliveError, match="decoded 100 rows"):
+        read_all_tables(b"OLV1" + struct.pack("<I", len(hb)) + hb + data)
