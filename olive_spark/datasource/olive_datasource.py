@@ -61,7 +61,9 @@ Options:
 
 from __future__ import annotations
 
+import json
 import os
+import tempfile
 import uuid
 from dataclasses import dataclass
 from typing import TYPE_CHECKING, Any, Iterator, Optional, Sequence
@@ -952,15 +954,67 @@ class OliveStreamReader(DataSourceStreamReader):
 
 class OliveStreamWriter(DataSourceStreamArrowWriter):
     """Streaming sink: each microbatch's partitions write chunk files via
-    the batch writer; abort removes that batch's files."""
+    the batch writer; abort removes that batch's files.
+
+    Exactly-once: Spark re-executes a microbatch whose epoch failed
+    between task completion and checkpoint commit, and the re-execution
+    calls ``commit`` again with the SAME ``batchId`` — without
+    deduplication every replay appends a second copy of the batch's
+    rows (new uuid chunk names, so filenames never collide).  The sink
+    therefore keeps a per-batch commit log
+    (``_olive_stream_log/<batchId>.json``, atomic tmp+replace, invisible
+    to scans which only list ``*.olive``): a ``commit`` that finds its
+    batchId already logged is a replay, so it deletes the files this
+    execution just wrote and keeps the logged originals.  Same contract
+    as Spark's own FileStreamSink metadata log — which also means the
+    same caveat: the sink directory and the checkpoint must live and die
+    together (re-running with a FRESH checkpoint into an old sink dir
+    re-issues batchIds the log already contains and their output would
+    be discarded — use a fresh sink dir, or ``.option("exactlyOnce",
+    "false")`` to fall back to at-least-once appends)."""
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool) -> None:
         self._batch = OliveWriter(options, schema, overwrite)
+        self._exactly_once = (
+            str(options.get("exactlyonce", options.get("exactlyOnce", "true"))).lower()
+            == "true"
+        )
+        self._log_dir = os.path.join(self._batch.path, "_olive_stream_log")
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> OliveCommitMessage:
         return self._batch.write(iterator)
 
+    def _log_path(self, batchId: int) -> str:
+        return os.path.join(self._log_dir, f"{int(batchId)}.json")
+
     def commit(self, messages, batchId: int) -> None:
+        if self._exactly_once:
+            log = self._log_path(batchId)
+            if os.path.exists(log):
+                # replay of an already-committed epoch: the logged files
+                # are the batch's output; this execution's are duplicates
+                self._batch.abort(messages)
+                return
+            rels = sorted(
+                os.path.relpath(fp, self._batch.path)
+                for m in messages
+                if m is not None
+                for fp in m.files
+            )
+            os.makedirs(self._log_dir, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(
+                prefix=f".batch-{int(batchId)}-", suffix=".tmp", dir=self._log_dir
+            )
+            try:
+                with os.fdopen(fd, "w") as f:
+                    json.dump({"batch_id": int(batchId), "files": rels}, f)
+                os.replace(tmp, log)
+            except BaseException:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+                raise
         self._batch._merge_manifest(messages)
 
     def abort(self, messages, batchId: int) -> None:

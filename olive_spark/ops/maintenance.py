@@ -276,6 +276,69 @@ def vacuum(path: str) -> dict:
     }
 
 
+def vacuum_stream_sink(path: str) -> dict:
+    """Remove crash debris from an olive STREAMING SINK directory.
+
+    A microbatch epoch that dies after its tasks wrote chunk files but
+    before the driver committed the batch leaves those files on disk
+    (on a driver crash no ``abort`` runs), and directory-listing scans
+    see them — phantom rows from an epoch the checkpoint never
+    acknowledged.  The sink's per-batch commit log
+    (``_olive_stream_log/<batchId>.json``, written by
+    ``OliveStreamWriter.commit`` under the default ``exactlyOnce``
+    mode) records the exact committed file set, so any ``*.olive``
+    file no batch log references is uncommitted debris and is removed.
+
+    Contract: only valid on a directory written exclusively by the
+    olive streaming sink with ``exactlyOnce`` enabled, while no query
+    is actively writing (an in-flight epoch's files are not logged yet
+    and would be swept — same stopped-writer requirement as
+    :func:`vacuum`).  A directory with no commit log is left untouched
+    (nothing can be proven to be debris).  Returns
+    ``{"removed", "kept", "batches"}``.
+    """
+    from olive_spark.datasource.olive_datasource import _list_chunk_files
+
+    log_dir = os.path.join(path, "_olive_stream_log")
+    logs = sorted(glob.glob(os.path.join(log_dir, "*.json")))
+    if not logs:
+        return {"removed": 0, "kept": 0, "batches": 0}
+    committed: set = set()
+    batches = 0
+    for lf in logs:
+        try:
+            with open(lf) as fh:
+                doc = json.load(fh)
+        except (OSError, ValueError):
+            # an unreadable log entry means the committed set is NOT
+            # fully known — deleting anything could drop committed rows
+            return {"removed": 0, "kept": 0, "batches": 0,
+                    "error": f"unreadable batch log {os.path.basename(lf)}"}
+        committed.update(doc.get("files", []))
+        batches += 1
+    removed = kept = 0
+    try:
+        files = _list_chunk_files(path)
+    except Exception:  # noqa: BLE001 — empty dir
+        files = []
+    for fp in files:
+        if os.path.relpath(fp, path) in committed:
+            kept += 1
+            continue
+        try:
+            os.remove(fp)
+            removed += 1
+        except OSError:
+            pass
+    # crashed tmp log entries (commit died mid-write) are safe to drop
+    for f in glob.glob(os.path.join(log_dir, ".batch-*.tmp")):
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+    return {"removed": removed, "kept": kept, "batches": batches}
+
+
 def describe(path: str, table: str = "data") -> dict:
     """Operational summary of an olive table directory: file count,
     total rows/bytes, and per-column value bounds — answered from the

@@ -73,6 +73,100 @@ def test_stream_sink_and_incremental_checkpoint(spark, tmp_path_factory):
     assert rows == list(range(80)), "each source row exactly once"
 
 
+def test_stream_sink_replay_is_exactly_once(spark, tmp_path_factory):
+    """Spark re-executes a microbatch whose epoch died between task
+    completion and checkpoint commit, calling sink.commit again with the
+    SAME batchId.  The sink's per-batch commit log must detect the
+    replay and discard the duplicate files — rows exactly once."""
+    src = str(tmp_path_factory.mktemp("rsrc"))
+    sink = str(tmp_path_factory.mktemp("rsink"))
+    ckpt = str(tmp_path_factory.mktemp("rckpt"))
+    from olive_spark import streaming
+
+    _write_part(src, 0, 0, 40)
+    streaming.write_stream_olive(streaming.read_stream(spark, src), sink, ckpt)
+
+    log_dir = os.path.join(sink, "_olive_stream_log")
+    logs = sorted(os.listdir(log_dir))
+    assert logs, "committed batches must be logged"
+    replay_id = int(logs[0].split(".")[0])
+
+    got = spark.read.format("olive").load(sink)
+    before = sorted(r["k"] for r in got.collect())
+    assert before == list(range(40))
+
+    # simulate the replay: same batchId, freshly-written task outputs
+    from olive_spark.datasource.olive_datasource import OliveStreamWriter
+
+    w = OliveStreamWriter({"path": sink}, got.schema, overwrite=False)
+    dup = pa.table({
+        "k": pa.array(list(range(40)), pa.int64()),
+        "v": pa.array([float(x) * 1.5 for x in range(40)], pa.float64()),
+    })
+    msg = w.write(iter(dup.to_batches()))
+    assert all(os.path.exists(fp) for fp in msg.files)
+    w.commit([msg], batchId=replay_id)
+    assert not any(os.path.exists(fp) for fp in msg.files), (
+        "replayed batch's duplicate files must be removed"
+    )
+    after = sorted(
+        r["k"] for r in spark.read.format("olive").load(sink).collect()
+    )
+    assert after == before, "replay must not duplicate rows"
+
+    # a NEW batchId commits normally and extends the log
+    msg2 = w.write(iter(
+        pa.table({
+            "k": pa.array([100], pa.int64()),
+            "v": pa.array([1.0], pa.float64()),
+        }).to_batches()
+    ))
+    w.commit([msg2], batchId=replay_id + 1000)
+    assert os.path.exists(os.path.join(log_dir, f"{replay_id + 1000}.json"))
+    rows = sorted(
+        r["k"] for r in spark.read.format("olive").load(sink).collect()
+    )
+    assert rows == before + [100]
+
+
+def test_vacuum_stream_sink_sweeps_uncommitted_epoch(spark, tmp_path_factory):
+    """Task outputs of an epoch that died before the driver logged the
+    commit are visible phantom rows; vacuum_stream_sink removes exactly
+    those, never logged (committed) files."""
+    src = str(tmp_path_factory.mktemp("vsrc"))
+    sink = str(tmp_path_factory.mktemp("vsink"))
+    ckpt = str(tmp_path_factory.mktemp("vckpt"))
+    from olive_spark import streaming
+    from olive_spark.ops.maintenance import vacuum_stream_sink
+
+    _write_part(src, 0, 0, 30)
+    streaming.write_stream_olive(streaming.read_stream(spark, src), sink, ckpt)
+
+    # simulate the crashed epoch: task files written, commit never ran
+    from olive_spark.datasource.olive_datasource import OliveStreamWriter
+
+    got = spark.read.format("olive").load(sink)
+    w = OliveStreamWriter({"path": sink}, got.schema, overwrite=False)
+    msg = w.write(iter(pa.table({
+        "k": pa.array([777], pa.int64()),
+        "v": pa.array([0.0], pa.float64()),
+    }).to_batches()))
+    assert spark.read.format("olive").load(sink).count() == 31, (
+        "phantom row visible before vacuum"
+    )
+
+    out = vacuum_stream_sink(sink)
+    assert out["removed"] == 1 and out["kept"] >= 1 and out["batches"] >= 1
+    rows = sorted(r["k"] for r in spark.read.format("olive").load(sink).collect())
+    assert rows == list(range(30)), "committed rows intact, phantom gone"
+
+    # a sink dir with no commit log is left untouched
+    bare = str(tmp_path_factory.mktemp("bare"))
+    _write_part(bare, 0, 0, 5)
+    assert vacuum_stream_sink(bare) == {"removed": 0, "kept": 0, "batches": 0}
+    assert spark.read.format("olive").load(bare).count() == 5
+
+
 def _write_ts_part(path: str, idx: int, rows: list[tuple]) -> None:
     os.makedirs(path, exist_ok=True)
     t = pa.table({
