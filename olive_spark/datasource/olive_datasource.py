@@ -875,6 +875,36 @@ class OliveStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, schema: StructType) -> None:
         self._batch = OliveReader(options, schema)
         self.path = options.get("path")
+        # Admission control (maxFilesPerTrigger / maxBytesPerTrigger):
+        # bound how much backlog one microbatch swallows — at scale an
+        # ingest surge can queue thousands of pending chunk files, and
+        # an unbounded batch means an hours-long epoch with no
+        # checkpoint progress (one failure = redo everything).  The
+        # Python DSv2 API has no ReadLimit hook, so the cap lives inside
+        # latestOffset(): advance an internal frontier by at most the
+        # cap per call.  Measured protocol (one reader instance per run;
+        # latestOffset fires BEFORE initialOffset; partitions(start,end)
+        # per batch): the checkpointed offset is never exposed directly,
+        # so when the frontier is still unknown — the very first
+        # latestOffset of a run — the call is UNCAPPED: returning a
+        # capped offset there could land BEHIND the committed offset of
+        # a restarted query, and Spark would then re-read consumed files
+        # (offsets are opaque JSON; there is no monotonicity guard).
+        # Consequently the cap applies from the second microbatch of a
+        # run, and immediately when a crash-replay calls partitions()
+        # first (which reveals the committed range); under
+        # trigger(availableNow=True) Spark captures the first
+        # (uncapped) offset as the run target, so the cap is
+        # effectively ignored there.
+        mf = options.get("maxfilespertrigger", options.get("maxFilesPerTrigger"))
+        mb = options.get("maxbytespertrigger", options.get("maxBytesPerTrigger"))
+        self._max_files = int(mf) if mf is not None else None
+        self._max_bytes = int(mb) if mb is not None else None
+        if self._max_files is not None and self._max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        if self._max_bytes is not None and self._max_bytes < 1:
+            raise ValueError("maxBytesPerTrigger must be >= 1")
+        self._frontier: "int | None" = None
 
     def _files(self) -> list[str]:
         try:
@@ -883,7 +913,36 @@ class OliveStreamReader(DataSourceStreamReader):
             return []
 
     def initialOffset(self) -> dict:
+        # note: the runner calls latestOffset before this, so a fresh
+        # query's first batch is already constructed by the time the
+        # frontier could be seeded here
+        self._frontier = 0 if self._frontier is None else self._frontier
         return {"index": 0}
+
+    def _admit(self, files: "Sequence[str]") -> int:
+        """End index for the next batch under the configured caps."""
+        total = len(files)
+        if (self._max_files is None and self._max_bytes is None) or (
+            self._frontier is None
+        ):
+            return total
+        start = min(self._frontier, total)
+        end = total
+        if self._max_files is not None:
+            end = min(end, start + self._max_files)
+        if self._max_bytes is not None:
+            budget = self._max_bytes
+            i = start
+            while i < end:
+                try:
+                    budget -= os.path.getsize(files[i])
+                except OSError:
+                    pass
+                i += 1
+                if budget <= 0:
+                    break  # always admit >= 1 file so progress is made
+            end = i
+        return max(end, start)
 
     @staticmethod
     def _listing_digest(files: "Sequence[str]") -> str:
@@ -900,9 +959,11 @@ class OliveStreamReader(DataSourceStreamReader):
         # `index` names is invariant under appends but changes on any
         # delete, rename, or mid-list insertion (compaction, vacuum,
         # out-of-order writers)
+        end = self._admit(files)
+        self._frontier = end
         return {
-            "index": len(files),
-            "digest": self._listing_digest(files),
+            "index": end,
+            "digest": self._listing_digest(files[:end]),
         }
 
     def partitions(self, start: dict, end: dict) -> Sequence[OliveInputPartition]:
@@ -929,6 +990,10 @@ class OliveStreamReader(DataSourceStreamReader):
                 "replaced files out of order (compact/vacuum on a "
                 "streamed directory?)"
             )
+        # a restarted query reveals its checkpointed range here before
+        # any latestOffset fires — learn it so the admission cap never
+        # regresses the frontier behind the committed offset
+        self._frontier = max(self._frontier or 0, end["index"])
         files = all_files[start["index"] : end["index"]]
         if not files:
             return []

@@ -219,6 +219,110 @@ def test_stream_static_join_enriches_per_microbatch(spark, tmp_path_factory):
     assert got == {"even": 5, "odd": 5}
 
 
+def test_admission_control_caps_batches(tmp_path):
+    """maxFilesPerTrigger / maxBytesPerTrigger bound each microbatch
+    after the frontier is known, and never regress behind a committed
+    offset revealed by a replayed batch.  Exercises the measured runner
+    protocol directly (latestOffset before initialOffset, partitions
+    per batch)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from olive_spark.datasource.olive_datasource import OliveStreamReader
+
+    d = tmp_path / "adm"
+    d.mkdir()
+    for i in range(8):
+        t = pa.table({"x": pa.array([i], pa.int64())})
+        (d / f"part-{i:020d}-aaaa.olive").write_bytes(write_chunk({"data": t}))
+    schema = StructType([StructField("x", LongType())])
+
+    # fresh run: first latestOffset is uncapped (checkpoint unknown)
+    r = OliveStreamReader({"path": str(d), "maxFilesPerTrigger": "2"}, schema)
+    assert r.latestOffset()["index"] == 8
+
+    # crash-replay run: partitions() reveals the committed range first,
+    # so the cap applies immediately and advances 2 files per batch
+    r2 = OliveStreamReader({"path": str(d), "maxFilesPerTrigger": "2"}, schema)
+    r2.partitions({"index": 0}, {"index": 3})  # replayed pending batch
+    assert r2.latestOffset()["index"] == 5
+    r2.partitions({"index": 3}, {"index": 5})
+    assert r2.latestOffset()["index"] == 7
+    r2.partitions({"index": 5}, {"index": 7})
+    assert r2.latestOffset()["index"] == 8  # caught up
+    assert r2.latestOffset()["index"] == 8  # idle poll: no runaway
+
+    # byte budget admits past the cap boundary but always >= 1 file
+    sz = (d / f"part-{0:020d}-aaaa.olive").stat().st_size
+    r3 = OliveStreamReader(
+        {"path": str(d), "maxBytesPerTrigger": str(sz + 1)}, schema
+    )
+    r3.partitions({"index": 0}, {"index": 0})
+    assert r3.latestOffset()["index"] == 2  # 1 full file + the one that tips
+    r3b = OliveStreamReader({"path": str(d), "maxBytesPerTrigger": "1"}, schema)
+    r3b.partitions({"index": 0}, {"index": 0})
+    assert r3b.latestOffset()["index"] == 1  # progress guaranteed
+
+    # the capped offset's digest still passes the append-only check
+    r4 = OliveStreamReader({"path": str(d), "maxFilesPerTrigger": "3"}, schema)
+    r4.partitions({"index": 0}, {"index": 0})
+    end = r4.latestOffset()
+    assert end["index"] == 3
+    parts = r4.partitions({"index": 0}, end)
+    assert sum(len(p.files) for p in parts) == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="maxFilesPerTrigger"):
+        OliveStreamReader({"path": str(d), "maxFilesPerTrigger": "0"}, schema)
+
+
+def test_admission_control_end_to_end(spark, tmp_path_factory):
+    """Files appended after the first committed batch are consumed in
+    cap-bounded microbatches under a processingTime trigger."""
+    import time
+
+    src = str(tmp_path_factory.mktemp("admsrc"))
+    ckpt = str(tmp_path_factory.mktemp("admckpt"))
+    _write_part(src, 0, 0, 10)
+
+    batches: list[tuple[int, int]] = []
+
+    def sink(df, bid):
+        n = df.count()
+        if n:
+            batches.append((bid, n))
+
+    sdf = (
+        spark.readStream.format("olive")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and sum(n for _, n in batches) < 10:
+            time.sleep(0.5)
+        assert sum(n for _, n in batches) == 10, batches
+        # first batch is uncapped by design; append 3 more files and
+        # each must arrive in its own capped batch
+        for i in range(1, 4):
+            _write_part(src, i, i * 10, i * 10 + 10)
+        deadline = time.time() + 40
+        while time.time() < deadline and sum(n for _, n in batches) < 40:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert sum(n for _, n in batches) == 40, batches
+    capped = [n for _, n in batches[1:]]
+    assert all(n == 10 for n in capped) and len(capped) == 3, batches
+
+
 def test_stream_offsets_detect_non_append_mutation(tmp_path):
     """Index offsets assume an append-only log; deleting or renaming a
     consumed file must raise a clear error, never silently shift the
