@@ -428,6 +428,120 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    sample_rows: int = 256,
+    iters: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then inside
+    each cluster keep only the lowest-id member of every group of
+    embeddings within ``threshold`` cosine of one another.  Near-dup
+    pair ops (:func:`embedding_neardup_pairs`) REPORT duplicates;
+    this op DECIDES retention — the pruning step a curation pipeline
+    actually applies.
+
+    Scale shape:
+    - centroids: deterministic driver-side k-means over the first
+      ``sample_rows`` id-ordered rows (same bounded-sample discipline
+      as PQ codebook training), broadcast as one small matrix;
+    - assignment: one numpy matmul per Arrow batch against the
+      broadcast centroids — vectors never shuffle for assignment;
+    - dedup: one shuffle on cluster id, then an O(m²) within-cluster
+      cosine matrix per group.  Cluster population m ~ N/k is the
+      knob: size ``n_clusters`` proportionally to the corpus (the
+      SemDeDup paper uses ~100k clusters at web scale) so per-group
+      work and memory stay bounded.  Never all-pairs across clusters.
+
+    Returns every input id with its cluster and a ``kept`` flag
+    (row count preserved — callers filter ``kept`` to prune).
+    Deterministic for a fixed input, but k-means is not expressible in
+    ANSI SQL, so driver verification is rows-only; value-level
+    semantics are pinned by unit tests with planted duplicates."""
+    from typing import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    from olive_spark.ops.similarity import (
+        _centroid_buckets,
+        _pq_train_codebooks,
+        batch_matrix,
+    )
+
+    spark = df.sparkSession
+    base = df.select(id_col, vec_col)
+    sample = base.orderBy(id_col).limit(sample_rows).collect()
+    if not sample:
+        id_t = df.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame([], f"{id_col} {id_t}, cluster int, kept boolean")
+    dims = {len(r[vec_col]) if r[vec_col] is not None else -1 for r in sample}
+    if len(dims) != 1 or -1 in dims:
+        raise ValueError(
+            f"embedding column {vec_col!r} has ragged or null vectors; "
+            f"semantic dedup needs fixed-width embeddings"
+        )
+    smat = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    norms = np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-300)
+    # k-means on NORMALIZED vectors: cosine geometry, matching both the
+    # assignment (normalized matmul) and the dedup criterion
+    [cents] = _pq_train_codebooks(
+        smat / norms, m=1, n_cent=min(n_clusters, len(sample)), iters=iters
+    )
+    cmat = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-300)
+    cids = np.arange(cmat.shape[0], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((cids, cmat))
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    vec_t = df.schema[vec_col].dataType.simpleString()
+
+    def assign(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        cids_, cmat_ = bc.value
+        for batch in batches:
+            vecs = batch_matrix(batch.column(vec_col))
+            if batch.num_rows and (vecs.ndim != 2 or vecs.shape[0] != batch.num_rows):
+                raise ValueError(
+                    f"embedding column {vec_col!r} has ragged or null "
+                    f"vectors; semantic dedup needs fixed-width embeddings"
+                )
+            cluster = _centroid_buckets(vecs, batch.num_rows, cids_, cmat_)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col), batch.column(vec_col),
+                 pa.array(cluster, pa.int32())],
+                names=[id_col, vec_col, "cluster"],
+            )
+
+    assigned = base.mapInArrow(
+        assign, f"{id_col} {id_t}, {vec_col} {vec_t}, cluster int"
+    )
+
+    out_schema = f"{id_col} {id_t}, cluster int, kept boolean"
+
+    def prune(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        n = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+        x = x / n
+        sims = x @ x.T
+        # drop a row iff some LOWER-id row in the cluster is within the
+        # threshold: column j of the strict upper triangle holds j's
+        # similarities to all earlier rows
+        dup = np.triu(sims >= threshold, k=1).any(axis=0)
+        return pd.DataFrame({
+            id_col: pdf[id_col],
+            "cluster": pdf["cluster"],
+            "kept": ~dup,
+        })
+
+    return assigned.groupBy("cluster").applyInPandas(prune, out_schema)
+
+
 # --- Incremental (new-batch vs corpus) dedup -------------------------------
 #
 # The nightly-ingest shape: a modest new batch must be deduplicated

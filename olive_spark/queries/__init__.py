@@ -137,6 +137,7 @@ _ORDER = [
     "llm_dedup_simhash",
     "llm_dedup_ngram",
     "llm_dedup_embedding",
+    "llm_dedup_semantic",  # new in r6: SemDeDup retention (rows-only)
     "llm_similarity_ivf",
     "llm_similarity_pq",
     # r04/r05 driver-green window

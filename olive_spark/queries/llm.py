@@ -76,6 +76,18 @@ def llm_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(df, threshold=0.98)
 
 
+def llm_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup retention decisions (ops/dedup.semantic_dedup): k-means
+    clusters + within-cluster cosine pruning over embeddings with
+    planted scaled duplicates.  Scaling preserves cosine exactly, so
+    each planted duplicate shares its original's cluster and MUST come
+    back kept=false — an all-kept result would mean the clustering or
+    pruning is broken.  Rows-only check (k-means isn't ANSI SQL);
+    value-level semantics pinned in tests/test_dedup.py."""
+    df = data.load(spark, sf, "embeddings_dup")
+    return dedup.semantic_dedup(df, threshold=0.98).orderBy("vec_id")
+
+
 def llm_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-k for a deterministic query set (vec_id < 5),
     declarative path — DuckDB oracle via list_cosine_similarity."""
@@ -341,6 +353,7 @@ QUERIES: dict[str, tuple] = {
     "llm_dedup_simhash": (llm_dedup_simhash, None),
     "llm_dedup_ngram": (llm_dedup_ngram, None),
     "llm_dedup_embedding": (llm_dedup_embedding, None),
+    "llm_dedup_semantic": (llm_dedup_semantic, None),
     "llm_similarity_topk": (llm_similarity_topk, SQL_SIMILARITY_TOPK),
     "llm_similarity_arrow": (llm_similarity_arrow, SQL_SIMILARITY_TOPK),
     "llm_similarity_ivf": (llm_similarity_ivf, None),

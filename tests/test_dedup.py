@@ -106,6 +106,63 @@ def test_embedding_neardup_rejects_ragged_vectors(spark):
         dedup.embedding_neardup_pairs(df).collect()
 
 
+def test_semantic_dedup_keeps_one_representative(spark):
+    """SemDeDup semantics on handcrafted vectors: scaled copies (cosine
+    = 1) keep only the lowest id; orthogonal vectors all survive; the
+    kept flag preserves row count."""
+    from olive_spark.ops import dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [2.5, 0.0, 0.0, 0.0]),   # scaled copy of 1 → dropped
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal → kept
+        (4, [0.0, 0.0, 1.0, 0.0]),   # orthogonal → kept
+        (5, [0.0, 0.0, 3.0, 0.0]),   # scaled copy of 4 → dropped
+        (6, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.semantic_dedup(
+        df, n_clusters=4, threshold=0.99, sample_rows=6
+    ).collect()
+    assert len(out) == len(rows), "row count preserved"
+    kept = {r["vec_id"]: r["kept"] for r in out}
+    assert kept == {1: True, 2: False, 3: True, 4: True, 5: False, 6: True}
+    # scaled copies must share their original's cluster
+    cl = {r["vec_id"]: r["cluster"] for r in out}
+    assert cl[1] == cl[2] and cl[4] == cl[5]
+
+
+def test_semantic_dedup_chain_prunes_to_lowest_id(spark):
+    """A chain of mutually-similar vectors collapses to the single
+    lowest-id representative (drop-if-any-earlier-dup rule)."""
+    from olive_spark.ops import dedup
+
+    rows = [
+        (10, [1.0, 0.01, 0.0]),
+        (11, [1.0, 0.02, 0.0]),
+        (12, [1.0, 0.03, 0.0]),
+        (20, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["kept"] for r in dedup.semantic_dedup(
+        df, n_clusters=2, threshold=0.999, sample_rows=4
+    ).collect()}
+    assert out == {10: True, 11: False, 12: False, 20: True}
+
+
+def test_semantic_dedup_rejects_ragged_and_handles_empty(spark):
+    from olive_spark.ops import dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="ragged|null"):
+        dedup.semantic_dedup(df).collect()
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert dedup.semantic_dedup(empty).collect() == []
+
+
 def test_incremental_dedup_exact_with_and_without_bloom(spark):
     """Bloom prefilter must change cost only: same exact result as the
     plain anti-join, within-batch dups collapse to min id."""

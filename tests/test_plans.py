@@ -156,6 +156,20 @@ def test_ivf_assignment_is_arrow_batched(spark):
     assert "MapInArrow" in p
 
 
+def test_semantic_dedup_plan_shape(spark):
+    """SemDeDup: centroid assignment must be the broadcast-matrix Arrow
+    matmul (MapInArrow), within-cluster pruning a grouped-map pandas
+    stage (FlatMapGroupsInPandas) — never a row-at-a-time Python UDF."""
+    from olive_spark.ops.dedup import semantic_dedup
+    from olive_spark.queries import data
+
+    df = data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+    p = plan_of(semantic_dedup(df, n_clusters=4))
+    assert "MapInArrow" in p
+    assert "FlatMapGroupsInPandas" in p
+    assert "BatchEvalPython" not in p, "row-at-a-time Python UDF crept in"
+
+
 def test_incremental_dedup_bloom_path_is_arrow_batched(spark):
     """The bloom membership test must be one MapInArrow pass, and the
     corpus side of the confirm join must reach it as hashes only (text
