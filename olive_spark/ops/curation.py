@@ -95,6 +95,43 @@ def bigram_topk(df: DataFrame, text_col: str = "text", k: int = 30) -> DataFrame
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping ``chunk``-token windows every
+    ``stride`` tokens — the context-window preparation step for
+    training/RAG pipelines (overlap = chunk - stride tokens keeps
+    boundary-spanning context in some window).  One projection +
+    explode, zero shuffles, JVM-only: tokenization happens ONCE per
+    document in its own projection (interpreted higher-order lambdas
+    re-evaluate captured expressions, see bigram_topk), window starts
+    come from ``sequence``, slices stay array ops.  The final short
+    window is kept (training pipelines pad; dropping would lose tail
+    text).  Empty documents yield one empty chunk so row provenance is
+    preserved (callers filter ``n_chunk_tokens > 0`` to drop them)."""
+    if stride < 1 or chunk < 1:
+        raise ValueError("chunk and stride must be >= 1")
+    t = df.select(F.col(id_col), words(text_col).alias("__w"))
+    wc = F.col("__w")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(wc) - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = t.select(
+        F.col(id_col), wc, F.explode(starts).alias("chunk_start")
+    )
+    piece = F.slice(wc, F.col("chunk_start") + 1, chunk)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_start"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )
+
+
 def prefix_fingerprint(text_col: str, n_words: int = 8) -> Column:
     """Fingerprint = first n words rejoined — catches boilerplate and
     benchmark leakage that md5-exact matching misses."""

@@ -95,6 +95,73 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style document-quality rule gate (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): per-document booleans for the canonical
+    repetition-free quality rules plus the combined verdict.  All rules
+    are integer comparisons (ratio thresholds cleared of division:
+    ``sym/words < 0.1`` becomes ``10*sym < words``), so results are
+    bit-stable and the DuckDB oracle hash-matches.  Pure JVM
+    expressions, zero shuffles — a narrow map over the scan.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [3, 10]; symbol-to-word ratio (# or ellipsis) < 0.1; <90% of lines
+    bullet-started; <30% of lines ellipsis-ended; >=80% of words
+    contain an alphabetic character; >=2 of the 8 Gopher stop words
+    present."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    total_wlen = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    n_ell = (
+        (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3
+        + (F.length(t) - F.length(F.regexp_replace(t, r"…", "")))
+    ).cast("long")
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]")))
+    n_ell_end = F.size(
+        F.filter(lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$"))
+    )
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike(r"[A-Za-z]")))
+    gopher_sw = F.array(*[
+        F.lit(w) for w in ["the", "be", "to", "of", "and", "that", "have", "with"]
+    ])
+    n_stop = F.size(F.array_intersect(tokens(F.lower(t)), gopher_sw))
+    sym = n_hash + n_ell
+    rules = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (n_words > 0)
+        & (total_wlen >= 3 * n_words)
+        & (total_wlen <= 10 * n_words),
+        "ok_symbol_ratio": 10 * sym < n_words,
+        "ok_bullet": 10 * n_bullet < 9 * n_lines,
+        "ok_ellipsis": 10 * n_ell_end < 3 * n_lines,
+        "ok_alpha": 5 * n_alpha >= 4 * n_words,
+        "ok_stopwords": n_stop >= 2,
+    }
+    passed = None
+    for c in rules.values():
+        passed = c if passed is None else (passed & c)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        *[c.alias(name) for name, c in rules.items()],
+        passed.alias("passed"),
+    )
+
+
 def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace + BPE-ish token counts (budgeting for LLM training)."""
     t = F.col(text_col)

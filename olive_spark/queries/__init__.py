@@ -133,6 +133,8 @@ _ORDER = [
     "llm_dedup_incremental",
     "llm_token_budget_mix",
     "stream_incremental_dedup",
+    "llm_gopher_rules",
+    "llm_chunk_documents",
     # rows-only never-checked (no SQL oracle): next in rotation line
     "llm_dedup_simhash",
     "llm_dedup_ngram",

@@ -381,7 +381,76 @@ SQL_TOKEN_BUDGET = (
 )
 
 
+def llm_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-quality rule gate (ops/textstats.gopher_rules): canonical
+    Rae-et-al. document filters as integer-exact booleans; ~half the
+    synthetic docs clear the 50-word floor so both branches of every
+    rule are exercised."""
+    from olive_spark.ops import textstats
+
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    return textstats.gopher_rules(df)
+
+
+# Integer-cleared thresholds mirror gopher_rules exactly; tokenization
+# is the same trim + \s+ split with empties dropped on both engines.
+SQL_GOPHER = (
+    "SELECT doc_id, n_words, ok_word_count, ok_mean_word_len, "
+    "ok_symbol_ratio, ok_bullet, ok_ellipsis, ok_alpha, ok_stopwords, "
+    "(ok_word_count AND ok_mean_word_len AND ok_symbol_ratio AND ok_bullet "
+    "AND ok_ellipsis AND ok_alpha AND ok_stopwords) AS passed FROM ("
+    "SELECT doc_id, n_words, "
+    "  (n_words >= 50 AND n_words <= 100000) AS ok_word_count, "
+    "  (n_words > 0 AND total_wlen >= 3*n_words AND total_wlen <= 10*n_words) AS ok_mean_word_len, "
+    "  (10*(n_hash + n_ell) < n_words) AS ok_symbol_ratio, "
+    "  (10*n_bullet < 9*n_lines) AS ok_bullet, "
+    "  (10*n_ell_end < 3*n_lines) AS ok_ellipsis, "
+    "  (5*n_alpha >= 4*n_words) AS ok_alpha, "
+    "  (n_stop >= 2) AS ok_stopwords "
+    "FROM ("
+    "  SELECT doc_id, "
+    "    len(toks) AS n_words, "
+    "    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS total_wlen, "
+    "    length(text) - length(replace(text, '#', '')) AS n_hash, "
+    "    CAST((length(text) - length(replace(text, '...', ''))) / 3 "
+    "      + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS n_ell, "
+    "    len(lines) AS n_lines, "
+    "    len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•]'))) AS n_bullet, "
+    "    len(list_filter(lines, x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$'))) AS n_ell_end, "
+    "    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha, "
+    "    len(list_intersect(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''), "
+    "        ['the','be','to','of','and','that','have','with'])) AS n_stop "
+    "  FROM (SELECT doc_id, text, "
+    "          list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks, "
+    "          string_split(text, chr(10)) AS lines "
+    "        FROM documents)"
+    "))"
+)
+
+
+def llm_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping 64-token / stride-48 context windows over documents
+    (ops/curation.chunk_documents) — one explode, no shuffle; the
+    driver hash-checks every chunk's exact text."""
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    return curation.chunk_documents(df, chunk=64, stride=48)
+
+
+SQL_CHUNKS = (
+    "SELECT doc_id, s AS chunk_start, "
+    "  array_to_string(toks[s+1:s+64], ' ') AS chunk_text, "
+    "  len(toks[s+1:s+64]) AS n_chunk_tokens "
+    "FROM ("
+    "  SELECT doc_id, "
+    "    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks "
+    "  FROM documents), "
+    "  UNNEST(range(0, greatest(len(toks), 1), 48)) AS t(s)"
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "llm_gopher_rules": (llm_gopher_rules, SQL_GOPHER),
+    "llm_chunk_documents": (llm_chunk_documents, SQL_CHUNKS),
     "llm_pii_redact": (llm_pii_redact, SQL_PII_REDACT),
     "llm_token_budget_mix": (llm_token_budget_mix, SQL_TOKEN_BUDGET),
     "llm_similarity_range": (llm_similarity_range, SQL_SIMILARITY_RANGE),

@@ -119,3 +119,47 @@ def test_token_budget_mix_boundary_and_tiebreak(spark):
         ("a", 1, 3, 3), ("a", 2, 3, 6),
         ("c", 6, 1, 1), ("c", 5, 0, 1),
     }
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    """Window starts advance by stride; the short tail window is kept;
+    empty docs yield one empty chunk (provenance preserved)."""
+    from olive_spark.ops import curation
+
+    rows = [(1, "w1 w2 w3 w4 w5"), (2, ""), (3, "only")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["doc_id"], r["chunk_start"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in curation.chunk_documents(df, chunk=3, stride=2).collect()
+    }
+    assert out == {
+        (1, 0): ("w1 w2 w3", 3),
+        (1, 2): ("w3 w4 w5", 3),
+        (1, 4): ("w5", 1),
+        (2, 0): ("", 0),
+        (3, 0): ("only", 1),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stride"):
+        curation.chunk_documents(df, chunk=3, stride=0)
+
+
+def test_gopher_rules_individual_gates(spark):
+    """Each rule flips on its own trigger; pass requires all."""
+    from olive_spark.ops import textstats
+
+    good = ("the cat sat with the dog and that was fine to see " * 6).strip()
+    bullets = "\n".join("- item %d here" % i for i in range(10))
+    no_stop = "alpha beta gamma delta " * 15
+    symbols = ("the cat sat with the dog ### ### ### ### ### "
+               "and that was fine " * 3).strip()
+    rows = [(1, good), (2, bullets), (3, no_stop), (4, symbols)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in textstats.gopher_rules(
+        df, min_words=10
+    ).collect()}
+    assert out[1]["passed"] is True
+    assert out[2]["ok_bullet"] is False and out[2]["passed"] is False
+    assert out[3]["ok_stopwords"] is False and out[3]["passed"] is False
+    assert out[4]["ok_symbol_ratio"] is False and out[4]["passed"] is False
