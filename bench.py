@@ -58,6 +58,9 @@ HEADLINE = [
     "llm_dedup_incremental",
     "llm_token_budget_mix",
     "stream_incremental_dedup",
+    "llm_dedup_semantic",
+    "llm_gopher_rules",
+    "llm_chunk_documents",
 ]
 
 

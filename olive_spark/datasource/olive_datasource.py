@@ -1017,6 +1017,18 @@ class OliveStreamReader(DataSourceStreamReader):
         pass
 
 
+def _load_compacted_log(log_dir: str) -> "dict | None":
+    """The folded stream-sink commit log ({"batches": {id: [files]}}),
+    or None when absent/unreadable (callers then rely on the individual
+    per-batch logs, which are never deleted before being folded in)."""
+    try:
+        with open(os.path.join(log_dir, "compacted.json")) as f:
+            doc = json.load(f)
+        return doc if isinstance(doc.get("batches"), dict) else None
+    except (OSError, ValueError):
+        return None
+
+
 class OliveStreamWriter(DataSourceStreamArrowWriter):
     """Streaming sink: each microbatch's partitions write chunk files via
     the batch writer; abort removes that batch's files.
@@ -1053,34 +1065,99 @@ class OliveStreamWriter(DataSourceStreamArrowWriter):
         return os.path.join(self._log_dir, f"{int(batchId)}.json")
 
     def commit(self, messages, batchId: int) -> None:
-        if self._exactly_once:
-            log = self._log_path(batchId)
-            if os.path.exists(log):
-                # replay of an already-committed epoch: the logged files
-                # are the batch's output; this execution's are duplicates
-                self._batch.abort(messages)
-                return
-            rels = sorted(
-                os.path.relpath(fp, self._batch.path)
-                for m in messages
-                if m is not None
-                for fp in m.files
-            )
-            os.makedirs(self._log_dir, exist_ok=True)
-            fd, tmp = tempfile.mkstemp(
-                prefix=f".batch-{int(batchId)}-", suffix=".tmp", dir=self._log_dir
-            )
-            try:
-                with os.fdopen(fd, "w") as f:
-                    json.dump({"batch_id": int(batchId), "files": rels}, f)
-                os.replace(tmp, log)
-            except BaseException:
-                try:
-                    os.remove(tmp)
-                except OSError:
-                    pass
-                raise
+        if not self._exactly_once:
+            self._batch._merge_manifest(messages)
+            return
+        if self._is_committed(batchId):
+            # replay of an already-committed epoch: the logged files
+            # are the batch's output; this execution's are duplicates
+            self._batch.abort(messages)
+            return
+        # ORDER MATTERS: the log write is the FINAL act.  If anything in
+        # commit fails after the log existed, a later abort() would
+        # delete the batch's files while the log still marks the batch
+        # committed — and the restart's replay would then be discarded
+        # as a duplicate, silently losing the batch.  Manifest first
+        # (advisory: entries for files a subsequent abort removes are
+        # ignored by the size/existence check), then the atomic log
+        # replace, then nothing.
         self._batch._merge_manifest(messages)
+        rels = sorted(
+            os.path.relpath(fp, self._batch.path)
+            for m in messages
+            if m is not None
+            for fp in m.files
+        )
+        os.makedirs(self._log_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            prefix=f".batch-{int(batchId)}-", suffix=".tmp", dir=self._log_dir
+        )
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"batch_id": int(batchId), "files": rels}, f)
+            os.replace(tmp, self._log_path(batchId))
+        except BaseException:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
+        self._maybe_compact_log()
+
+    def _is_committed(self, batchId: int) -> bool:
+        if os.path.exists(self._log_path(batchId)):
+            return True
+        comp = _load_compacted_log(self._log_dir)
+        return comp is not None and str(int(batchId)) in comp.get("batches", {})
+
+    def _maybe_compact_log(self) -> None:
+        """Fold individual per-batch logs into one compacted.json once
+        enough accumulate — a maxFilesPerTrigger=1 stream commits one
+        tiny log per ingested file, and an unbounded directory makes the
+        replay check, listings, and vacuum_stream_sink O(all batches)
+        (Spark's FileStreamSink compacts its metadata log for the same
+        reason).  Single-writer sink ⇒ no coordination needed; the new
+        compacted file is replaced atomically BEFORE the individual
+        logs it swallowed are deleted, so a crash anywhere leaves every
+        batch discoverable (worst case: twice)."""
+        try:
+            singles = [
+                f for f in os.listdir(self._log_dir)
+                if f.endswith(".json") and f != "compacted.json"
+            ]
+        except OSError:
+            return
+        if len(singles) < 128:
+            return
+        comp = _load_compacted_log(self._log_dir) or {"version": 1, "batches": {}}
+        swallowed = []
+        for name in singles:
+            fp = os.path.join(self._log_dir, name)
+            try:
+                with open(fp) as f:
+                    doc = json.load(f)
+                comp["batches"][str(int(doc["batch_id"]))] = doc.get("files", [])
+            except (OSError, ValueError, KeyError, TypeError):
+                continue  # unreadable single log: keep it as-is
+            swallowed.append(fp)
+        fd, tmp = tempfile.mkstemp(
+            prefix=".compacted-", suffix=".tmp", dir=self._log_dir
+        )
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(comp, f, separators=(",", ":"))
+            os.replace(tmp, os.path.join(self._log_dir, "compacted.json"))
+        except BaseException:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
+        for fp in swallowed:
+            try:
+                os.remove(fp)
+            except OSError:
+                pass
 
     def abort(self, messages, batchId: int) -> None:
         self._batch.abort(messages)

@@ -109,16 +109,23 @@ def chunk_documents(
     explode, zero shuffles, JVM-only: tokenization happens ONCE per
     document in its own projection (interpreted higher-order lambdas
     re-evaluate captured expressions, see bigram_topk), window starts
-    come from ``sequence``, slices stay array ops.  The final short
-    window is kept (training pipelines pad; dropping would lose tail
-    text).  Empty documents yield one empty chunk so row provenance is
-    preserved (callers filter ``n_chunk_tokens > 0`` to drop them)."""
+    come from ``sequence``, slices stay array ops.  A final short
+    window survives only when it adds tokens no earlier window covered
+    — a start whose predecessor already reached the document end would
+    be a strict subset of that predecessor (duplicated training text,
+    not tail coverage), so starts stop there.  Empty documents yield
+    one empty chunk so row provenance is preserved (callers filter
+    ``n_chunk_tokens > 0`` to drop them)."""
     if stride < 1 or chunk < 1:
         raise ValueError("chunk and stride must be >= 1")
     t = df.select(F.col(id_col), words(text_col).alias("__w"))
     wc = F.col("__w")
+    # emit start s iff s == 0 or its predecessor stopped short of the
+    # end: s - stride + chunk < size → inclusive bound size-chunk+stride-1
     starts = F.sequence(
-        F.lit(0), F.greatest(F.size(wc) - 1, F.lit(0)), F.lit(stride)
+        F.lit(0),
+        F.greatest(F.size(wc) - chunk + stride - 1, F.lit(0)),
+        F.lit(stride),
     )
     exploded = t.select(
         F.col(id_col), wc, F.explode(starts).alias("chunk_start")

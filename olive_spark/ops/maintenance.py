@@ -299,13 +299,25 @@ def vacuum_stream_sink(path: str) -> dict:
     """
     from olive_spark.datasource.olive_datasource import _list_chunk_files
 
+    from olive_spark.datasource.olive_datasource import _load_compacted_log
+
     log_dir = os.path.join(path, "_olive_stream_log")
     logs = sorted(glob.glob(os.path.join(log_dir, "*.json")))
+    singles = [f for f in logs if os.path.basename(f) != "compacted.json"]
+    has_compacted = len(singles) != len(logs)
     if not logs:
         return {"removed": 0, "kept": 0, "batches": 0}
     committed: set = set()
     batches = 0
-    for lf in logs:
+    if has_compacted:
+        comp = _load_compacted_log(log_dir)
+        if comp is None:
+            return {"removed": 0, "kept": 0, "batches": 0,
+                    "error": "unreadable compacted batch log"}
+        for files in comp["batches"].values():
+            committed.update(files)
+        batches += len(comp["batches"])
+    for lf in singles:
         try:
             with open(lf) as fh:
                 doc = json.load(fh)
@@ -330,12 +342,14 @@ def vacuum_stream_sink(path: str) -> dict:
             removed += 1
         except OSError:
             pass
-    # crashed tmp log entries (commit died mid-write) are safe to drop
-    for f in glob.glob(os.path.join(log_dir, ".batch-*.tmp")):
-        try:
-            os.remove(f)
-        except OSError:
-            pass
+    # crashed tmp log entries (commit/compaction died mid-write) are
+    # safe to drop
+    for pat in (".batch-*.tmp", ".compacted-*.tmp"):
+        for f in glob.glob(os.path.join(log_dir, pat)):
+            try:
+                os.remove(f)
+            except OSError:
+                pass
     return {"removed": removed, "kept": kept, "batches": batches}
 
 

@@ -114,9 +114,27 @@ def gopher_rules(
     [3, 10]; symbol-to-word ratio (# or ellipsis) < 0.1; <90% of lines
     bullet-started; <30% of lines ellipsis-ended; >=80% of words
     contain an alphabetic character; >=2 of the 8 Gopher stop words
-    present."""
+    present.
+
+    Words are whitespace tokens with empties DROPPED (a trailing
+    newline/tab otherwise leaves a boundary "" token that inflates the
+    word count and every per-word denominator — and diverges from the
+    oracle's ``x <> ''`` filter).  Token/line arrays are projected ONCE
+    per row: higher-order functions run interpreted, so every textual
+    re-occurrence of the split would re-run the regex over the full
+    document (see bigram_topk for the same discipline)."""
     t = F.col(text_col)
-    toks = tokens(t)
+    no_empty = lambda arr: F.filter(arr, lambda x: x != "")  # noqa: E731
+    base = df.select(
+        F.col(id_col),
+        t.alias("__t"),
+        no_empty(tokens(t)).alias("__toks"),
+        no_empty(tokens(F.lower(t))).alias("__lt"),
+        F.split(t, r"\n").alias("__lines"),
+    )
+    t = F.col("__t")
+    toks = F.col("__toks")
+    lines = F.col("__lines")
     n_words = F.size(toks)
     total_wlen = F.aggregate(
         F.transform(toks, lambda x: F.length(x).cast("long")),
@@ -128,7 +146,6 @@ def gopher_rules(
         (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3
         + (F.length(t) - F.length(F.regexp_replace(t, r"…", "")))
     ).cast("long")
-    lines = F.split(t, r"\n")
     n_lines = F.size(lines)
     n_bullet = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]")))
     n_ell_end = F.size(
@@ -138,7 +155,7 @@ def gopher_rules(
     gopher_sw = F.array(*[
         F.lit(w) for w in ["the", "be", "to", "of", "and", "that", "have", "with"]
     ])
-    n_stop = F.size(F.array_intersect(tokens(F.lower(t)), gopher_sw))
+    n_stop = F.size(F.array_intersect(F.col("__lt"), gopher_sw))
     sym = n_hash + n_ell
     rules = {
         "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
@@ -154,7 +171,7 @@ def gopher_rules(
     passed = None
     for c in rules.values():
         passed = c if passed is None else (passed & c)
-    return df.select(
+    return base.select(
         F.col(id_col),
         n_words.alias("n_words"),
         *[c.alias(name) for name, c in rules.items()],

@@ -437,6 +437,8 @@ def llm_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_CHUNKS = (
+    # range() is EXCLUSIVE of the stop bound, matching Spark's inclusive
+    # sequence(0, size-chunk+stride-1): starts while s-stride+chunk<size
     "SELECT doc_id, s AS chunk_start, "
     "  array_to_string(toks[s+1:s+64], ' ') AS chunk_text, "
     "  len(toks[s+1:s+64]) AS n_chunk_tokens "
@@ -444,7 +446,7 @@ SQL_CHUNKS = (
     "  SELECT doc_id, "
     "    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks "
     "  FROM documents), "
-    "  UNNEST(range(0, greatest(len(toks), 1), 48)) AS t(s)"
+    "  UNNEST(range(0, greatest(len(toks) - 64 + 48, 1), 48)) AS t(s)"
 )
 
 

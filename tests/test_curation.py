@@ -122,11 +122,13 @@ def test_token_budget_mix_boundary_and_tiebreak(spark):
 
 
 def test_chunk_documents_overlap_and_tail(spark):
-    """Window starts advance by stride; the short tail window is kept;
-    empty docs yield one empty chunk (provenance preserved)."""
+    """Window starts advance by stride; a tail window exists only when
+    it adds uncovered tokens (a start whose predecessor reached the end
+    would be a strict subset — duplicated text); empty docs yield one
+    empty chunk (provenance preserved)."""
     from olive_spark.ops import curation
 
-    rows = [(1, "w1 w2 w3 w4 w5"), (2, ""), (3, "only")]
+    rows = [(1, "w1 w2 w3 w4 w5"), (2, ""), (3, "only"), (4, "a b c d")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {
         (r["doc_id"], r["chunk_start"]): (r["chunk_text"], r["n_chunk_tokens"])
@@ -134,10 +136,11 @@ def test_chunk_documents_overlap_and_tail(spark):
     }
     assert out == {
         (1, 0): ("w1 w2 w3", 3),
-        (1, 2): ("w3 w4 w5", 3),
-        (1, 4): ("w5", 1),
+        (1, 2): ("w3 w4 w5", 3),  # reaches the end; no subset chunk at 4
         (2, 0): ("", 0),
         (3, 0): ("only", 1),
+        (4, 0): ("a b c", 3),
+        (4, 2): ("c d", 2),  # short tail kept: token d was uncovered
     }
     import pytest as _pytest
 
@@ -154,7 +157,8 @@ def test_gopher_rules_individual_gates(spark):
     no_stop = "alpha beta gamma delta " * 15
     symbols = ("the cat sat with the dog ### ### ### ### ### "
                "and that was fine " * 3).strip()
-    rows = [(1, good), (2, bullets), (3, no_stop), (4, symbols)]
+    rows = [(1, good), (2, bullets), (3, no_stop), (4, symbols),
+            (5, good + "\n"), (6, "\t" + good + " \n ")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r["doc_id"]: r.asDict() for r in textstats.gopher_rules(
         df, min_words=10
@@ -163,3 +167,7 @@ def test_gopher_rules_individual_gates(spark):
     assert out[2]["ok_bullet"] is False and out[2]["passed"] is False
     assert out[3]["ok_stopwords"] is False and out[3]["passed"] is False
     assert out[4]["ok_symbol_ratio"] is False and out[4]["passed"] is False
+    # boundary whitespace must not mint empty tokens: same word count
+    # (and same verdict) as the clean doc — the oracle-parity edge
+    assert out[5]["n_words"] == out[1]["n_words"] and out[5]["passed"] is True
+    assert out[6]["n_words"] == out[1]["n_words"] and out[6]["passed"] is True

@@ -129,6 +129,77 @@ def test_stream_sink_replay_is_exactly_once(spark, tmp_path_factory):
     assert rows == before + [100]
 
 
+def test_failed_commit_leaves_no_stale_log(spark, tmp_path_factory):
+    """The batch log is the FINAL act of commit: if commit fails before
+    the log lands, the replay must be treated as new (committed), never
+    discarded as a duplicate — the data-loss ordering bug."""
+    src = str(tmp_path_factory.mktemp("fsrc"))
+    sink = str(tmp_path_factory.mktemp("fsink"))
+    ckpt = str(tmp_path_factory.mktemp("fckpt"))
+    from olive_spark import streaming
+    from olive_spark.datasource.olive_datasource import OliveStreamWriter
+
+    _write_part(src, 0, 0, 10)
+    streaming.write_stream_olive(streaming.read_stream(spark, src), sink, ckpt)
+    got = spark.read.format("olive").load(sink)
+
+    w = OliveStreamWriter({"path": sink}, got.schema, overwrite=False)
+    batch = pa.table({
+        "k": pa.array([500], pa.int64()), "v": pa.array([1.0], pa.float64()),
+    })
+    msg = w.write(iter(batch.to_batches()))
+    # commit epoch 99 fails mid-manifest-merge (before the log write)
+    orig = w._batch._merge_manifest
+    w._batch._merge_manifest = lambda m: (_ for _ in ()).throw(RuntimeError("boom"))
+    with pytest.raises(RuntimeError):
+        w.commit([msg], batchId=99)
+    assert not os.path.exists(w._log_path(99)), (
+        "a failed commit must not leave a committed-looking log"
+    )
+    w._batch._merge_manifest = orig
+    w.abort([msg], batchId=99)  # Spark aborts the failed epoch
+
+    # the replay of epoch 99 must COMMIT (not be discarded as duplicate)
+    msg2 = w.write(iter(batch.to_batches()))
+    w.commit([msg2], batchId=99)
+    rows = sorted(r["k"] for r in spark.read.format("olive").load(sink).collect())
+    assert rows == list(range(10)) + [500], "replayed batch present exactly once"
+
+
+def test_stream_log_compaction_bounds_log_dir(spark, tmp_path_factory):
+    """Individual batch logs fold into compacted.json once 128
+    accumulate; replay detection and vacuum still see folded batches."""
+    sink = str(tmp_path_factory.mktemp("csink"))
+    from olive_spark.datasource.olive_datasource import OliveStreamWriter
+    from olive_spark.ops.maintenance import vacuum_stream_sink
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType([
+        StructField("k", LongType()), StructField("v", DoubleType()),
+    ])
+    w = OliveStreamWriter({"path": sink}, schema, overwrite=False)
+    os.makedirs(sink, exist_ok=True)
+    batch = pa.table({
+        "k": pa.array([1], pa.int64()), "v": pa.array([1.0], pa.float64()),
+    })
+    msg = w.write(iter(batch.to_batches()))
+    w.commit([msg], batchId=0)
+    for bid in range(1, 130):  # metadata-only epochs: all tasks empty
+        w.commit([], batchId=bid)
+    log_dir = os.path.join(sink, "_olive_stream_log")
+    names = os.listdir(log_dir)
+    assert "compacted.json" in names
+    singles = [n for n in names if n != "compacted.json"]
+    assert len(singles) < 128, "individual logs must fold away"
+    # folded batches still count as committed (replay safety)
+    assert w._is_committed(0) and w._is_committed(64)
+    dup = w.write(iter(batch.to_batches()))
+    w.commit([dup], batchId=0)  # replay of folded batch 0
+    assert not any(os.path.exists(fp) for fp in dup.files)
+    out = vacuum_stream_sink(sink)
+    assert out["batches"] >= 130 and out["kept"] == 1 and out["removed"] == 0
+
+
 def test_vacuum_stream_sink_sweeps_uncommitted_epoch(spark, tmp_path_factory):
     """Task outputs of an epoch that died before the driver logged the
     commit are visible phantom rows; vacuum_stream_sink removes exactly
