@@ -135,6 +135,7 @@ _ORDER = [
     "stream_incremental_dedup",
     "llm_gopher_rules",
     "llm_chunk_documents",
+    "scan_bloom_pruning",
     # rows-only never-checked (no SQL oracle): next in rotation line
     "llm_dedup_simhash",
     "llm_dedup_ngram",

@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 
 CACHE_ROOT = "/tmp/olive_cache"
-CACHE_VERSION = "v8"  # bump when derived-table definitions change
+CACHE_VERSION = "v9"  # bump when derived-table definitions change
 N_CHUNKS = 16  # files per table = scan parallelism floor (real clusters
 MIN_CHUNK_ROWS = 256  # get this for free from many-file layouts)
 TABLES = (
@@ -93,7 +93,7 @@ def _write_derived(sf_dir: str, out: str) -> None:
     from olive_spark.format.manifest import merge_manifest, table_summary
     from olive_spark.format.writer import write_chunk
 
-    def emit(name: str, tables: dict) -> None:
+    def emit(name: str, tables: dict, bloom_columns: list | None = None) -> None:
         """Write a derived table, split across chunk files like the main
         tables — one file would mean one scan partition, serializing
         every query over the table regardless of cluster size."""
@@ -108,7 +108,7 @@ def _write_derived(sf_dir: str, out: str) -> None:
         ents = {}
         for idx, off in enumerate(range(0, max(tbl.num_rows, 1), rows)):
             sl = tbl.slice(off, rows)
-            blob = write_chunk({tname: sl})
+            blob = write_chunk({tname: sl}, bloom_columns=bloom_columns or [])
             fn = f"part-{idx:05d}.olive"
             with open(os.path.join(tdir, fn), "wb") as f:
                 f.write(blob)
@@ -207,6 +207,28 @@ def _write_derived(sf_dir: str, out: str) -> None:
     region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
     emit("multi", {"region": region, "nation": nation})
+
+    # documents_hash — md5 content keys with a per-file Bloom filter:
+    # hash values scatter uniformly, so chunk min/max ranges all overlap
+    # and stats pruning is useless — exactly the case the write-side
+    # bloomColumns option exists for (point lookups by content hash at
+    # 100 TB read only the files whose Bloom admits the key).  md5 of
+    # the stringified doc_id so the DuckDB oracle recomputes it exactly.
+    import hashlib
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    ids = docs.column("doc_id").to_pylist()
+    emit(
+        "documents_hash",
+        {"documents_hash": pa.table({
+            "doc_id": docs.column("doc_id"),
+            "h": pa.array(
+                [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+                pa.string(),
+            ),
+        })},
+        bloom_columns=["h"],
+    )
 
 
 def load_partitioned(spark, sf_dir: str, table: str, partition_by: str,

@@ -131,6 +131,33 @@ SQL_SCAN_PARTITIONED = (
 )
 
 
+def scan_bloom_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Point lookups by content hash through per-file Bloom filters
+    (write-side ``bloomColumns`` option; format/bloom.py): md5 values
+    scatter uniformly so every chunk's min/max covers the full range and
+    stats pruning is useless — the Bloom filter is what lets a point
+    lookup at 100 TB open only the files whose filter admits the key.
+    Three present keys + one absent; single filtered scan so pushdown
+    is safe (see data.load)."""
+    import hashlib
+
+    df = data.load(
+        spark, sf, "documents_hash", columns=["doc_id", "h"], pushdown=True
+    )
+    probes = [
+        hashlib.md5(s.encode()).hexdigest()
+        for s in ("7", "42", "123", "no-such-doc")
+    ]
+    return df.filter(F.col("h").isin(probes)).select("doc_id", "h")
+
+
+SQL_SCAN_BLOOM = (
+    "SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents "
+    "WHERE md5(CAST(doc_id AS VARCHAR)) IN "
+    "(md5('7'), md5('42'), md5('123'), md5('no-such-doc'))"
+)
+
+
 def scalar_hash_bitwise(spark: SparkSession, sf: str) -> DataFrame:
     """Hash + bitwise scalar surface: md5 / sha2-256 content hashes
     (the dedup-pipeline primitives), bit and/or/xor/shift, bit_count,
@@ -436,6 +463,7 @@ QUERIES: dict[str, tuple] = {
     "scalar_hash_bitwise": (scalar_hash_bitwise, SQL_SCALAR_HASH),
     "window_first_last": (window_first_last, SQL_WINDOW_FIRST_LAST),
     "scan_partitioned_pruning": (scan_partitioned_pruning, SQL_SCAN_PARTITIONED),
+    "scan_bloom_pruning": (scan_bloom_pruning, SQL_SCAN_BLOOM),
     "agg_histogram_buckets": (agg_histogram_buckets, SQL_AGG_HISTOGRAM),
     "join_skew_salted": (join_skew_salted, SQL_JOIN_SKEW),
     "events_window_funnel": (events_window_funnel, SQL_WINDOW_FUNNEL),

@@ -599,3 +599,44 @@ def test_startswith_and_null_predicates_prune_files(spark, tmp_path):
     assert df2.filter("s IS NULL").count() == 100
     df3 = spark.read.format("olive").option("pushdown", "true").load(out)
     assert df3.filter("s IS NOT NULL AND s LIKE 'aaa-00%'").count() == 10
+
+
+def test_bloom_pruning_skips_files(spark, tmp_path):
+    """File-level Bloom pruning must be real: two chunks with fully
+    OVERLAPPING key ranges (so min/max stats cannot discriminate), the
+    non-matching one poisoned in its data section — a point lookup that
+    only the Bloom filter can prove absent from the poisoned chunk must
+    succeed without ever decoding it."""
+    d = tmp_path / "bloomscan"
+    d.mkdir()
+    even = pa.table({
+        "doc": pa.array(range(0, 20, 2), pa.int64()),
+        "h": pa.array([f"k{i:02d}" for i in range(0, 20, 2)], pa.string()),
+    })
+    odd = pa.table({
+        "doc": pa.array(range(1, 20, 2), pa.int64()),
+        "h": pa.array([f"k{i:02d}" for i in range(1, 20, 2)], pa.string()),
+    })
+    (d / "part-0.olive").write_bytes(
+        write_chunk({"data": even}, bloom_columns=["h"])
+    )
+    blob = write_chunk({"data": odd}, bloom_columns=["h"])
+    # poison the data section tail; the framed header (start of file,
+    # where the bloom lives) stays intact so plan-time pruning still works
+    (d / "part-1.olive").write_bytes(blob[:-40] + b"\xff" * 40)
+
+    def load():
+        return spark.read.format("olive").option("pushdown", "true").load(str(d))
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        load().collect()  # poison is real: decoding part-1 fails
+
+    # k04 lives in part-0; part-1's range k01..k19 contains it, so only
+    # its BLOOM can prove absence — the query succeeds iff bloom pruned
+    got = load().filter("h = 'k04'").collect()
+    assert [(r["doc"], r["h"]) for r in got] == [(4, "k04")]
+
+    # absent-everywhere keys inside both ranges: every file bloom-prunes
+    assert load().filter("h in ('k04x', 'k11z')").collect() == []
