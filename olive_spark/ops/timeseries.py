@@ -273,3 +273,41 @@ def cohort_retention(
         .groupBy("cohort", "offset")
         .agg(F.count_distinct(key_col).alias("n_users"))
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the smoothing
+    aggregate hypertable engines ship built-in and Spark lacks (the
+    recurrence y_t = α·x_t + (1-α)·y_{t-1} is sequential, so no window
+    frame expresses it).
+
+    Plan shape: ONE shuffle (the groupBy), values gathered per key as a
+    time-sorted array, then a JVM left fold (``aggregate`` HOF) seeded
+    with the first element.  Bit-reproducible: the fold order is pinned
+    by the (time, value) struct sort, so the same IEEE operations run
+    in the same order on every engine — DuckDB's ``list_reduce`` over
+    an identically-ordered list yields the identical double.  Per-key
+    state is the key's value array: fine for bounded series (sensors,
+    user sessions); unbounded keys belong on the streaming path
+    (applyInPandasWithState) instead."""
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col(time_col).alias("t"),
+                                F.col(value_col).cast("double").alias("x")))
+    )
+    vals = F.transform(arr, lambda s: s["x"])
+    a = F.lit(float(alpha))
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
+    )
+    return df.groupBy(key_col).agg(
+        F.count("*").alias("n"),
+        F.round(folded, 6).alias("ewma"),
+    )

@@ -136,6 +136,7 @@ _ORDER = [
     "llm_gopher_rules",
     "llm_chunk_documents",
     "scan_bloom_pruning",
+    "ts_ewma_events",
     # rows-only never-checked (no SQL oracle): next in rotation line
     "llm_dedup_simhash",
     "llm_dedup_ngram",

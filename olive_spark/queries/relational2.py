@@ -158,6 +158,29 @@ SQL_SCAN_BLOOM = (
 )
 
 
+def ts_ewma_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user EWMA of event values (ops/timeseries.ewma): sequential
+    recurrence no window frame expresses — one shuffle, JVM left fold
+    over the time-sorted array.  Oracle = DuckDB list_reduce over the
+    identically-ordered list: same IEEE ops in the same order, so the
+    doubles agree bit-for-bit before the final round."""
+    from olive_spark.ops.timeseries import ewma
+
+    df = data.load(spark, sf, "events", columns=["user_id", "ts", "value"])
+    return ewma(df, "user_id", "ts", "value", alpha=0.3)
+
+
+SQL_TS_EWMA = (
+    # list(... ORDER BY t, x) pins the fold order exactly like Spark's
+    # sort_array(struct(t, x)); list_reduce seeds with the first element
+    # like the aggregate-HOF fold seeded with element 1
+    "SELECT user_id, COUNT(*) AS n, "
+    "ROUND(list_reduce(list(value ORDER BY ts, value), "
+    "(acc, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc), 6) AS ewma "
+    "FROM events GROUP BY user_id"
+)
+
+
 def scalar_hash_bitwise(spark: SparkSession, sf: str) -> DataFrame:
     """Hash + bitwise scalar surface: md5 / sha2-256 content hashes
     (the dedup-pipeline primitives), bit and/or/xor/shift, bit_count,
@@ -456,6 +479,7 @@ SQL_COHORT_RETENTION = (
 QUERIES: dict[str, tuple] = {
     "join_lateral_topn": (join_lateral_topn, SQL_JOIN_LATERAL),
     "ts_resample_locf": (ts_resample_locf, SQL_TS_RESAMPLE),
+    "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),
     "reshape_unpivot": (reshape_unpivot, SQL_UNPIVOT),
     "agg_conditional_bools": (agg_conditional_bools, SQL_AGG_CONDITIONAL),
     "agg_grouped_map_mad": (agg_grouped_map_mad, SQL_GROUPED_MAD),

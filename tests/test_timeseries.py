@@ -141,3 +141,31 @@ def test_cohort_retention_offsets(spark):
         (t0, 0): 3, (t0, 1): 1, (t0, 3): 1,
         (t0 + 5 * B, 0): 1, (t0 + 5 * B, 1): 1,
     }
+
+
+def test_ewma_recurrence_and_sort_order(spark):
+    """EWMA folds y = a*x + (1-a)*y over time order, seeded with the
+    first value; a single observation is its own EWMA; ties on the
+    timestamp fold in value order (the determinism contract)."""
+    import datetime as dt
+
+    from olive_spark.ops.timeseries import ewma
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(hours=1), 20.0),
+        (1, t0 + dt.timedelta(hours=2), 30.0),
+        (2, t0, 7.5),
+        # key 3: tied timestamps — value order pins the fold
+        (3, t0, 2.0),
+        (3, t0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {r["user_id"]: (r["n"], r["ewma"])
+           for r in ewma(df, alpha=0.5).collect()}
+    # key 1: y0=10 → y1=0.5*20+0.5*10=15 → y2=0.5*30+0.5*15=22.5
+    assert out[1] == (3, 22.5)
+    assert out[2] == (1, 7.5)
+    # key 3: sorted (ts,value) → seed 1.0, then 0.5*2+0.5*1 = 1.5
+    assert out[3] == (2, 1.5)
