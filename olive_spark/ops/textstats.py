@@ -101,6 +101,8 @@ def gopher_rules(
     id_col: str = "doc_id",
     min_words: int = 50,
     max_words: int = 100_000,
+    min_stopwords: int = 2,
+    keep: tuple = (),
 ) -> DataFrame:
     """Gopher-style document-quality rule gate (Rae et al. 2021,
     arXiv:2112.11446 §A1.1): per-document booleans for the canonical
@@ -122,11 +124,14 @@ def gopher_rules(
     oracle's ``x <> ''`` filter).  Token/line arrays are projected ONCE
     per row: higher-order functions run interpreted, so every textual
     re-occurrence of the split would re-run the regex over the full
-    document (see bigram_topk for the same discipline)."""
+    document (see bigram_topk for the same discipline).  ``keep``
+    passes extra input columns through to the output, so gate→transform
+    pipelines filter on ``passed`` without re-joining the scan."""
     t = F.col(text_col)
     no_empty = lambda arr: F.filter(arr, lambda x: x != "")  # noqa: E731
     base = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         t.alias("__t"),
         no_empty(tokens(t)).alias("__toks"),
         no_empty(tokens(F.lower(t))).alias("__lt"),
@@ -166,13 +171,14 @@ def gopher_rules(
         "ok_bullet": 10 * n_bullet < 9 * n_lines,
         "ok_ellipsis": 10 * n_ell_end < 3 * n_lines,
         "ok_alpha": 5 * n_alpha >= 4 * n_words,
-        "ok_stopwords": n_stop >= 2,
+        "ok_stopwords": n_stop >= min_stopwords,
     }
     passed = None
     for c in rules.values():
         passed = c if passed is None else (passed & c)
     return base.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         n_words.alias("n_words"),
         *[c.alias(name) for name, c in rules.items()],
         passed.alias("passed"),

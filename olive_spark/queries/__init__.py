@@ -137,6 +137,7 @@ _ORDER = [
     "llm_chunk_documents",
     "scan_bloom_pruning",
     "ts_ewma_events",
+    "llm_pretrain_pipeline",
     # rows-only never-checked (no SQL oracle): next in rotation line
     "llm_dedup_simhash",
     "llm_dedup_ngram",

@@ -450,9 +450,83 @@ SQL_CHUNKS = (
 )
 
 
+def llm_pretrain_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite pretraining-prep pipeline, three ops chained in one
+    plan: Gopher-rule gate (passed docs only, text carried through so
+    no re-join of the scan) → 64/48 overlapping context windows →
+    1024-token sequence packing by windowed cumsum over (doc, window)
+    order.  Integer-only outputs; the oracle chains the same three
+    stages in SQL.  The global cumsum pins semantics — partition-wise
+    packing is the 100 TB variant (see llm_pack_sequences)."""
+    from pyspark.sql.window import Window
+
+    from olive_spark.ops import textstats
+
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    # domain-tuned gate: the synthetic corpus is short keyword text, so
+    # the canonical 50-word / 2-stop-word thresholds would pass nothing
+    # (llm_gopher_rules keeps the canonical config; per-rule booleans
+    # are exercised there)
+    gated = (
+        textstats.gopher_rules(df, min_words=30, min_stopwords=1, keep=("text",))
+        .filter(F.col("passed"))
+        .select("doc_id", "text")
+    )
+    chunks = curation.chunk_documents(gated, chunk=64, stride=48)
+    w = (
+        Window.orderBy("doc_id", "chunk_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = chunks.withColumn(
+        "pack_id",
+        F.floor(
+            F.coalesce(F.sum("n_chunk_tokens").over(w), F.lit(0)) / 1024
+        ).cast("long"),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_chunk_tokens").cast("long").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+SQL_PRETRAIN = (
+    "WITH stats AS ("
+    "  SELECT doc_id, text, "
+    "    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks, "
+    "    string_split(text, chr(10)) AS lines "
+    "  FROM documents), "
+    "gated AS ("
+    "  SELECT doc_id, toks FROM stats WHERE "
+    "    len(toks) BETWEEN 30 AND 100000 "
+    "    AND len(toks) > 0 "
+    "    AND CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) "
+    "        BETWEEN 3*len(toks) AND 10*len(toks) "
+    "    AND 10*(length(text) - length(replace(text, '#', '')) "
+    "        + CAST((length(text) - length(replace(text, '...', ''))) / 3 "
+    "          + (length(text) - length(replace(text, '…', ''))) AS BIGINT)) < len(toks) "
+    "    AND 10*len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•]'))) < 9*len(lines) "
+    "    AND 10*len(list_filter(lines, x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$'))) < 3*len(lines) "
+    "    AND 5*len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) >= 4*len(toks) "
+    "    AND len(list_intersect(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''), "
+    "        ['the','be','to','of','and','that','have','with'])) >= 1), "
+    "chunks AS ("
+    "  SELECT doc_id, s AS chunk_start, len(toks[s+1:s+64]) AS n_chunk_tokens "
+    "  FROM gated, UNNEST(range(0, greatest(len(toks) - 64 + 48, 1), 48)) AS t(s)) "
+    "SELECT pack_id, COUNT(*) AS n_chunks, "
+    "  CAST(SUM(n_chunk_tokens) AS BIGINT) AS sum_tokens, "
+    "  MIN(doc_id) AS first_doc FROM ("
+    "  SELECT CAST(FLOOR(COALESCE(SUM(n_chunk_tokens) OVER "
+    "    (ORDER BY doc_id, chunk_start ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "    / 1024) AS BIGINT) AS pack_id, doc_id, n_chunk_tokens FROM chunks"
+    ") GROUP BY pack_id"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "llm_gopher_rules": (llm_gopher_rules, SQL_GOPHER),
     "llm_chunk_documents": (llm_chunk_documents, SQL_CHUNKS),
+    "llm_pretrain_pipeline": (llm_pretrain_pipeline, SQL_PRETRAIN),
     "llm_pii_redact": (llm_pii_redact, SQL_PII_REDACT),
     "llm_token_budget_mix": (llm_token_budget_mix, SQL_TOKEN_BUDGET),
     "llm_similarity_range": (llm_similarity_range, SQL_SIMILARITY_RANGE),
