@@ -61,6 +61,9 @@ HEADLINE = [
     "llm_dedup_semantic",
     "llm_gopher_rules",
     "llm_chunk_documents",
+    "llm_pretrain_pipeline",
+    "scan_bloom_pruning",
+    "ts_ewma_events",
 ]
 
 

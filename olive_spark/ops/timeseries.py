@@ -311,3 +311,64 @@ def ewma(
         F.count("*").alias("n"),
         F.round(folded, 6).alias("ewma"),
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    bucket_us: int = 3_600_000_000,
+    l_id: str = "l_id",
+    r_id: str = "r_id",
+    l_start: str = "l_start",
+    l_end: str = "l_end",
+    r_start: str = "r_start",
+    r_end: str = "r_end",
+) -> DataFrame:
+    """Interval-overlap equi-join: pairs (l, r) with half-open overlap
+    ``l_start < r_end AND r_start < l_end`` (epoch-µs longs).
+
+    The naive formulation is a pure inequality join — Spark can only
+    execute that as a nested-loop over the cross product, quadratic at
+    scale.  Instead both sides explode onto a fixed time grid
+    (``bucket_us`` wide), the join becomes an equi-join on bucket id,
+    and the overlap predicate is a cheap post-filter.  A pair whose
+    intervals share several grid cells would duplicate, so only the
+    FIRST shared cell emits: ``bucket == greatest(floor(l_start/W),
+    floor(r_start/W))`` — exactly-once without any distinct shuffle.
+
+    Scale knobs: grid width trades explode fan-out (long intervals
+    cover many cells) against bucket population (short W = more, smaller
+    cells).  Size W near the median interval length; pathological long
+    intervals belong in a separate coarse pass (the classic two-level
+    grid refinement)."""
+    w = F.lit(int(bucket_us))
+
+    def cells(df, id_c, s_c, e_c):
+        s, e = F.col(s_c), F.col(e_c)
+        first = F.floor(s / w)
+        # half-open end: an interval ending ON a cell boundary does not
+        # reach into that cell
+        last = F.floor((e - 1) / w)
+        return df.select(
+            id_c, s_c, e_c,
+            F.explode(F.sequence(first, F.greatest(last, first))).alias("__cell"),
+        )
+
+    lc = cells(left, l_id, l_start, l_end)
+    rc = cells(right, r_id, r_start, r_end)
+    first_shared = F.greatest(
+        F.floor(F.col(l_start) / w), F.floor(F.col(r_start) / w)
+    )
+    return (
+        lc.join(rc, "__cell")
+        .filter(
+            (F.col(l_start) < F.col(r_end))
+            & (F.col(r_start) < F.col(l_end))
+            & (F.col("__cell") == first_shared)
+        )
+        .select(
+            l_id, r_id,
+            (F.least(F.col(l_end), F.col(r_end))
+             - F.greatest(F.col(l_start), F.col(r_start))).alias("overlap_us"),
+        )
+    )

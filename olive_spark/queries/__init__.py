@@ -128,16 +128,18 @@ _ORDER = [
     "tpch_q5_local_revenue",
     "tpch_q18_large_orders",
     # ---- beyond the 50-entry driver window ----
-    # new in r6 (hash-checkable; verified via tests/driver_check.py):
-    # next in rotation line together with the rows-only tail below
+    # new in r6 (all verified MATCH via the strict tests/driver_check.py
+    # gate mimic at sf0.01): first in line for the round-7 rotation,
+    # together with the rows-only tail below
     "llm_dedup_incremental",
     "llm_token_budget_mix",
     "stream_incremental_dedup",
-    "llm_gopher_rules",
-    "llm_chunk_documents",
-    "scan_bloom_pruning",
-    "ts_ewma_events",
-    "llm_pretrain_pipeline",
+    "llm_gopher_rules",      # r6: Gopher-rule quality gate
+    "llm_chunk_documents",   # r6: overlapping context windows
+    "scan_bloom_pruning",    # r6: per-file Bloom point lookups
+    "ts_ewma_events",        # r6: bit-reproducible EWMA fold
+    "llm_pretrain_pipeline",  # r6: gate→chunk→pack composite
+    "join_interval_overlap",  # r6: grid-bucketed interval join
     # rows-only never-checked (no SQL oracle): next in rotation line
     "llm_dedup_simhash",
     "llm_dedup_ngram",

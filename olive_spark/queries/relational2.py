@@ -181,6 +181,43 @@ SQL_TS_EWMA = (
 )
 
 
+def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-overlap join (ops/timeseries.interval_join): synthetic
+    10-50-minute intervals derived from events, one user population per
+    side.  Grid-bucketed equi-join + first-shared-cell dedup — the
+    inequality-only formulation would be a nested-loop cross product.
+    Oracle = DuckDB's native inequality join over the same intervals."""
+    from olive_spark.ops.timeseries import interval_join
+
+    ev = data.load(spark, sf, "events", columns=["event_id", "user_id", "ts"])
+    us = F.unix_micros(F.col("ts"))
+    dur = (F.lit(1) + F.col("event_id") % 5) * F.lit(600_000_000)
+    iv = ev.select(
+        "event_id", "user_id", us.alias("s"), (us + dur).alias("e")
+    )
+    left = iv.filter(F.col("user_id") < 3).select(
+        F.col("event_id").alias("l_id"), F.col("s").alias("l_start"),
+        F.col("e").alias("l_end"),
+    )
+    right = iv.filter((F.col("user_id") >= 3) & (F.col("user_id") < 6)).select(
+        F.col("event_id").alias("r_id"), F.col("s").alias("r_start"),
+        F.col("e").alias("r_end"),
+    )
+    return interval_join(left, right, bucket_us=600_000_000)
+
+
+SQL_INTERVAL_JOIN = (
+    "WITH iv AS (SELECT event_id, user_id, epoch_us(ts) AS s, "
+    "  epoch_us(ts) + (1 + event_id % 5) * 600000000 AS e FROM events), "
+    "l AS (SELECT event_id AS l_id, s, e FROM iv WHERE user_id < 3), "
+    "r AS (SELECT event_id AS r_id, s AS rs, e AS re FROM iv "
+    "  WHERE user_id >= 3 AND user_id < 6) "
+    "SELECT l_id, r_id, "
+    "least(e, re) - greatest(s, rs) AS overlap_us "
+    "FROM l JOIN r ON s < re AND rs < e"
+)
+
+
 def scalar_hash_bitwise(spark: SparkSession, sf: str) -> DataFrame:
     """Hash + bitwise scalar surface: md5 / sha2-256 content hashes
     (the dedup-pipeline primitives), bit and/or/xor/shift, bit_count,
@@ -480,6 +517,7 @@ QUERIES: dict[str, tuple] = {
     "join_lateral_topn": (join_lateral_topn, SQL_JOIN_LATERAL),
     "ts_resample_locf": (ts_resample_locf, SQL_TS_RESAMPLE),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),
+    "join_interval_overlap": (join_interval_overlap, SQL_INTERVAL_JOIN),
     "reshape_unpivot": (reshape_unpivot, SQL_UNPIVOT),
     "agg_conditional_bools": (agg_conditional_bools, SQL_AGG_CONDITIONAL),
     "agg_grouped_map_mad": (agg_grouped_map_mad, SQL_GROUPED_MAD),

@@ -244,3 +244,40 @@ def test_approx_sketches_within_error_bounds(spark):
         assert p[0] <= float(g["price_p50"]) <= p[2], (k, g["price_p50"], p)
         assert p[3] <= float(g["price_p95"]) <= mx, (k, g["price_p95"])
         assert p[3] <= float(g["price_p99"]) <= mx, (k, g["price_p99"])
+
+
+def test_gopher_rules_is_shuffle_free_scan(spark):
+    """The rule gate is a narrow map: no exchange, no Python eval."""
+    from olive_spark.ops.textstats import gopher_rules
+    from olive_spark.queries import data
+
+    df = data.load(spark, SF, "documents", columns=["doc_id", "text"])
+    p = plan_of(gopher_rules(df))
+    assert "Exchange" not in p, "quality gate must not shuffle"
+    assert "BatchEvalPython" not in p and "MapInArrow" not in p, (
+        "gate must stay JVM-side"
+    )
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    """Tokenize-once projection + explode: no exchange, no Python."""
+    from olive_spark.ops.curation import chunk_documents
+    from olive_spark.queries import data
+
+    df = data.load(spark, SF, "documents", columns=["doc_id", "text"])
+    p = plan_of(chunk_documents(df))
+    assert "Exchange" not in p
+    assert "Generate" in p  # the explode
+    assert "BatchEvalPython" not in p
+
+
+def test_ewma_single_shuffle(spark):
+    """EWMA: exactly one exchange (the groupBy key shuffle), fold stays
+    JVM-side."""
+    from olive_spark.ops.timeseries import ewma
+    from olive_spark.queries import data
+
+    df = data.load(spark, SF, "events", columns=["user_id", "ts", "value"])
+    p = plan_of(ewma(df))
+    assert p.count("Exchange") <= 2, p  # partial+final agg pair max
+    assert "BatchEvalPython" not in p

@@ -169,3 +169,30 @@ def test_ewma_recurrence_and_sort_order(spark):
     assert out[2] == (1, 7.5)
     # key 3: sorted (ts,value) → seed 1.0, then 0.5*2+0.5*1 = 1.5
     assert out[3] == (2, 1.5)
+
+
+def test_interval_join_overlap_semantics(spark):
+    """Half-open overlap: boundary touch is NOT overlap; containment
+    is; a pair spanning many grid cells emits exactly once with the
+    right overlap length."""
+    from olive_spark.ops.timeseries import interval_join
+
+    W = 100  # tiny grid so multi-cell spans are easy to construct
+    left = spark.createDataFrame(
+        [
+            (1, 0, 250),      # spans cells 0,1,2
+            (2, 300, 400),    # touches r20 at 400 — no overlap
+            (3, 1000, 1100),
+        ],
+        "l_id long, l_start long, l_end long",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 50, 1050),   # overlaps 1 (200), 2 (100), 3 (50)
+            (20, 400, 500),   # touches 2 — no overlap
+        ],
+        "r_id long, r_start long, r_end long",
+    )
+    out = {(r["l_id"], r["r_id"]): r["overlap_us"]
+           for r in interval_join(left, right, bucket_us=W).collect()}
+    assert out == {(1, 10): 200, (2, 10): 100, (3, 10): 50}
