@@ -1057,6 +1057,11 @@ class OliveStreamWriter(DataSourceStreamArrowWriter):
             == "true"
         )
         self._log_dir = os.path.join(self._batch.path, "_olive_stream_log")
+        # folded batch ids, loaded lazily ONCE per writer and maintained
+        # by _maybe_compact_log — without it every new-batch commit after
+        # the first compaction would re-parse the O(history) compacted
+        # log just to miss the single-file fast path
+        self._compacted_ids: "set[str] | None" = None
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> OliveCommitMessage:
         return self._batch.write(iterator)
@@ -1102,24 +1107,40 @@ class OliveStreamWriter(DataSourceStreamArrowWriter):
             except OSError:
                 pass
             raise
-        self._maybe_compact_log()
+        # STRICTLY best-effort from here: the batch log is durable, so
+        # nothing after it may raise — a post-log exception would fail
+        # the epoch, abort() would delete the batch's files, and the
+        # replay would then be discarded as a committed duplicate (the
+        # data-loss ordering this commit sequence exists to prevent)
+        try:
+            self._maybe_compact_log()
+        except BaseException:  # noqa: BLE001
+            pass
 
     def _is_committed(self, batchId: int) -> bool:
         if os.path.exists(self._log_path(batchId)):
             return True
-        comp = _load_compacted_log(self._log_dir)
-        return comp is not None and str(int(batchId)) in comp.get("batches", {})
+        if self._compacted_ids is None:
+            comp = _load_compacted_log(self._log_dir)
+            self._compacted_ids = (
+                set(comp["batches"]) if comp is not None else set()
+            )
+        return str(int(batchId)) in self._compacted_ids
 
     def _maybe_compact_log(self) -> None:
         """Fold individual per-batch logs into one compacted.json once
-        enough accumulate — a maxFilesPerTrigger=1 stream commits one
-        tiny log per ingested file, and an unbounded directory makes the
-        replay check, listings, and vacuum_stream_sink O(all batches)
-        (Spark's FileStreamSink compacts its metadata log for the same
-        reason).  Single-writer sink ⇒ no coordination needed; the new
-        compacted file is replaced atomically BEFORE the individual
-        logs it swallowed are deleted, so a crash anywhere leaves every
-        batch discoverable (worst case: twice)."""
+        enough READABLE ones accumulate — a maxFilesPerTrigger=1 stream
+        commits one tiny log per ingested file, and an unbounded
+        directory makes the replay check, listings, and
+        vacuum_stream_sink O(all batches) (Spark's FileStreamSink
+        compacts its metadata log for the same reason).  Single-writer
+        sink ⇒ no coordination needed; the new compacted file is
+        replaced atomically BEFORE the individual logs it swallowed are
+        deleted, so a crash anywhere leaves every batch discoverable
+        (worst case: twice).  Unreadable singles are kept as-is and do
+        NOT count toward the threshold — counting them would make every
+        commit rewrite the full compacted log forever once 128 corrupt
+        entries exist."""
         try:
             singles = [
                 f for f in os.listdir(self._log_dir)
@@ -1129,17 +1150,21 @@ class OliveStreamWriter(DataSourceStreamArrowWriter):
             return
         if len(singles) < 128:
             return
-        comp = _load_compacted_log(self._log_dir) or {"version": 1, "batches": {}}
-        swallowed = []
+        parsed: list[tuple[str, dict]] = []
         for name in singles:
             fp = os.path.join(self._log_dir, name)
             try:
                 with open(fp) as f:
                     doc = json.load(f)
-                comp["batches"][str(int(doc["batch_id"]))] = doc.get("files", [])
+                int(doc["batch_id"])
             except (OSError, ValueError, KeyError, TypeError):
                 continue  # unreadable single log: keep it as-is
-            swallowed.append(fp)
+            parsed.append((fp, doc))
+        if len(parsed) < 128:
+            return
+        comp = _load_compacted_log(self._log_dir) or {"version": 1, "batches": {}}
+        for _, doc in parsed:
+            comp["batches"][str(int(doc["batch_id"]))] = doc.get("files", [])
         fd, tmp = tempfile.mkstemp(
             prefix=".compacted-", suffix=".tmp", dir=self._log_dir
         )
@@ -1153,7 +1178,8 @@ class OliveStreamWriter(DataSourceStreamArrowWriter):
             except OSError:
                 pass
             raise
-        for fp in swallowed:
+        self._compacted_ids = set(comp["batches"])
+        for fp, _ in parsed:
             try:
                 os.remove(fp)
             except OSError:

@@ -121,10 +121,16 @@ def chunk_documents(
     t = df.select(F.col(id_col), words(text_col).alias("__w"))
     wc = F.col("__w")
     # emit start s iff s == 0 or its predecessor stopped short of the
-    # end: s - stride + chunk < size → inclusive bound size-chunk+stride-1
+    # end: s - stride + chunk < size → inclusive bound size-chunk+stride-1.
+    # Clamped to size-1: with stride > chunk (gap sampling) the formula
+    # exceeds the array, which would mint a spurious empty chunk for a
+    # NON-empty document and break the provenance contract below
     starts = F.sequence(
         F.lit(0),
-        F.greatest(F.size(wc) - chunk + stride - 1, F.lit(0)),
+        F.greatest(
+            F.least(F.size(wc) - chunk + stride - 1, F.size(wc) - 1),
+            F.lit(0),
+        ),
         F.lit(stride),
     )
     exploded = t.select(

@@ -297,9 +297,10 @@ def vacuum_stream_sink(path: str) -> dict:
     (nothing can be proven to be debris).  Returns
     ``{"removed", "kept", "batches"}``.
     """
-    from olive_spark.datasource.olive_datasource import _list_chunk_files
-
-    from olive_spark.datasource.olive_datasource import _load_compacted_log
+    from olive_spark.datasource.olive_datasource import (
+        _list_chunk_files,
+        _load_compacted_log,
+    )
 
     log_dir = os.path.join(path, "_olive_stream_log")
     logs = sorted(glob.glob(os.path.join(log_dir, "*.json")))
@@ -308,15 +309,15 @@ def vacuum_stream_sink(path: str) -> dict:
     if not logs:
         return {"removed": 0, "kept": 0, "batches": 0}
     committed: set = set()
-    batches = 0
+    batch_ids: set = set()
     if has_compacted:
         comp = _load_compacted_log(log_dir)
         if comp is None:
             return {"removed": 0, "kept": 0, "batches": 0,
                     "error": "unreadable compacted batch log"}
-        for files in comp["batches"].values():
+        for bid, files in comp["batches"].items():
             committed.update(files)
-        batches += len(comp["batches"])
+            batch_ids.add(str(bid))
     for lf in singles:
         try:
             with open(lf) as fh:
@@ -327,7 +328,10 @@ def vacuum_stream_sink(path: str) -> dict:
             return {"removed": 0, "kept": 0, "batches": 0,
                     "error": f"unreadable batch log {os.path.basename(lf)}"}
         committed.update(doc.get("files", []))
-        batches += 1
+        # a single may duplicate a folded batch (crash between the
+        # compacted replace and the single's delete) — count it once
+        batch_ids.add(str(doc.get("batch_id", os.path.basename(lf))))
+    batches = len(batch_ids)
     removed = kept = 0
     try:
         files = _list_chunk_files(path)

@@ -340,25 +340,33 @@ def interval_join(
     cover many cells) against bucket population (short W = more, smaller
     cells).  Size W near the median interval length; pathological long
     intervals belong in a separate coarse pass (the classic two-level
-    grid refinement)."""
+    grid refinement).
+
+    Cell ids are the cell START values (s - s % W), pure long modulo
+    arithmetic — float division (floor(s / W)) loses integer precision
+    once quotients exceed 2^52-ish and would silently drop boundary
+    pairs.  Timestamps must be non-negative (epoch-µs are)."""
     w = F.lit(int(bucket_us))
+
+    def cell_of(col):
+        return col - col % w
 
     def cells(df, id_c, s_c, e_c):
         s, e = F.col(s_c), F.col(e_c)
-        first = F.floor(s / w)
+        first = cell_of(s)
         # half-open end: an interval ending ON a cell boundary does not
         # reach into that cell
-        last = F.floor((e - 1) / w)
+        last = cell_of(e - 1)
         return df.select(
             id_c, s_c, e_c,
-            F.explode(F.sequence(first, F.greatest(last, first))).alias("__cell"),
+            F.explode(
+                F.sequence(first, F.greatest(last, first), w)
+            ).alias("__cell"),
         )
 
     lc = cells(left, l_id, l_start, l_end)
     rc = cells(right, r_id, r_start, r_end)
-    first_shared = F.greatest(
-        F.floor(F.col(l_start) / w), F.floor(F.col(r_start) / w)
-    )
+    first_shared = F.greatest(cell_of(F.col(l_start)), cell_of(F.col(r_start)))
     return (
         lc.join(rc, "__cell")
         .filter(

@@ -147,6 +147,17 @@ def test_chunk_documents_overlap_and_tail(spark):
     with _pytest.raises(ValueError, match="stride"):
         curation.chunk_documents(df, chunk=3, stride=0)
 
+    # gap sampling (stride > chunk): starts clamp to the array — no
+    # spurious empty chunk for a non-empty doc
+    gap = {
+        (r["doc_id"], r["chunk_start"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in curation.chunk_documents(
+            spark.createDataFrame([(7, "a b c d e f")], ["doc_id", "text"]),
+            chunk=2, stride=4,
+        ).collect()
+    }
+    assert gap == {(7, 0): ("a b", 2), (7, 4): ("e f", 2)}
+
 
 def test_gopher_rules_individual_gates(spark):
     """Each rule flips on its own trigger; pass requires all."""
