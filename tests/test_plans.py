@@ -281,3 +281,16 @@ def test_ewma_single_shuffle(spark):
     p = plan_of(ewma(df))
     assert p.count("Exchange") <= 2, p  # partial+final agg pair max
     assert "BatchEvalPython" not in p
+
+
+def test_interval_join_is_equi_join_not_cartesian(spark):
+    """The grid rewrite must plan as an equi-join on cell id — a
+    CartesianProduct/BroadcastNestedLoopJoin means the inequality
+    predicate leaked into the join condition."""
+    from olive_spark.queries import ALL_QUERIES
+
+    df = ALL_QUERIES["join_interval_overlap"][0](spark, SF)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate" in p  # the grid-cell explode
