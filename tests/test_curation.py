@@ -182,3 +182,39 @@ def test_gopher_rules_individual_gates(spark):
     # (and same verdict) as the clean doc — the oracle-parity edge
     assert out[5]["n_words"] == out[1]["n_words"] and out[5]["passed"] is True
     assert out[6]["n_words"] == out[1]["n_words"] and out[6]["passed"] is True
+
+
+def test_chunk_documents_matches_reference_on_random_docs(spark):
+    """200 seeded random docs across the chunk/stride parameter mix
+    must reproduce a direct Python reference exactly — pins the start
+    bound (no subset tails, no out-of-range starts) over doc lengths
+    straddling every boundary case."""
+    import random
+
+    from olive_spark.ops import curation
+
+    rng = random.Random(7)
+    docs = []
+    for i in range(200):
+        n = rng.choice([0, 1, rng.randrange(0, 200)])
+        docs.append((i, " ".join(f"w{j}" for j in range(n))))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    for chunk, stride in [(64, 48), (3, 2), (5, 5), (2, 4)]:
+        expect = {}
+        for i, text in docs:
+            toks = text.split()
+            size = len(toks)
+            bound = max(min(size - chunk + stride - 1, size - 1), 0)
+            s = 0
+            while s <= bound:
+                piece = toks[s:s + chunk]
+                expect[(i, s)] = (" ".join(piece), len(piece))
+                s += stride
+        got = {
+            (r["doc_id"], r["chunk_start"]): (r["chunk_text"], r["n_chunk_tokens"])
+            for r in curation.chunk_documents(
+                df, chunk=chunk, stride=stride
+            ).collect()
+        }
+        assert got == expect, (chunk, stride)

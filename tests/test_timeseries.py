@@ -196,3 +196,41 @@ def test_interval_join_overlap_semantics(spark):
     out = {(r["l_id"], r["r_id"]): r["overlap_us"]
            for r in interval_join(left, right, bucket_us=W).collect()}
     assert out == {(1, 10): 200, (2, 10): 100, (3, 10): 50}
+
+
+def test_interval_join_matches_bruteforce_on_random_intervals(spark):
+    """300x300 seeded random intervals (lengths from sub-cell to
+    many-cell, boundary-aligned values included) must reproduce the
+    brute-force O(n^2) overlap set exactly — pins cell math, half-open
+    ends, and first-shared-cell dedup across the whole value mix."""
+    import random
+
+    from olive_spark.ops.timeseries import interval_join
+
+    rng = random.Random(42)
+    W = 1000
+
+    def mk(n, base):
+        out = []
+        for i in range(n):
+            # mix: aligned starts, off-by-one boundaries, random
+            s = rng.choice([
+                rng.randrange(0, 50_000),
+                rng.randrange(0, 50) * W,       # cell-aligned
+                rng.randrange(1, 50) * W - 1,   # just below a boundary
+            ])
+            ln = rng.choice([1, rng.randrange(1, 100), rng.randrange(1, 5 * W)])
+            out.append((base + i, s, s + ln))
+        return out
+
+    L, R = mk(300, 10_000), mk(300, 20_000)
+    expect = {
+        (l[0], r[0]): min(l[2], r[2]) - max(l[1], r[1])
+        for l in L for r in R
+        if l[1] < r[2] and r[1] < l[2]
+    }
+    left = spark.createDataFrame(L, "l_id long, l_start long, l_end long")
+    right = spark.createDataFrame(R, "r_id long, r_start long, r_end long")
+    got = {(r["l_id"], r["r_id"]): r["overlap_us"]
+           for r in interval_join(left, right, bucket_us=W).collect()}
+    assert got == expect
