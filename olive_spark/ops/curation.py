@@ -145,6 +145,79 @@ def chunk_documents(
     )
 
 
+def pack_sequences_sharded(
+    df: DataFrame,
+    capacity: int = 4096,
+    shard_size: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Partition-wise sequence packing — the 100 TB variant of the
+    global-cumsum packing in queries.pipeline.llm_pack_sequences.
+
+    Docs are assigned to fixed id-range shards (``shard =
+    floor(id / shard_size)``); each shard packs independently by
+    cumulative token count in doc-id order, and shard-local pack ids are
+    made globally unique by offsetting with the total pack count of all
+    earlier shards.  Pack boundaries therefore restart at shard edges
+    (each shard occupies ``max(1, ceil(shard_tokens / capacity))``
+    packs) — the deterministic, layout-independent semantics a resumable
+    pretraining pipeline wants, and the contract the DuckDB oracle
+    reproduces exactly.
+
+    Plan shape vs the global variant: the global variant's
+    ``Window.orderBy`` funnels every row through ONE task (an
+    ``Exchange SinglePartition`` in the plan — the serialization the
+    VERDICT r6 audit flagged).  Here the row-level window partitions by
+    shard, so the cumsum parallelizes across ``n_docs / shard_size``
+    tasks; the only driver traffic is the slim pre-pass of per-shard
+    token totals (one row per shard — at 10^11 docs with 10^6-doc
+    shards that is 10^5 rows), whose prefix sum becomes a broadcast
+    (shard → pack_off) map.  The plan contract in tests/test_plans.py
+    asserts the returned plan contains no SinglePartition exchange.
+    Within-shard cumsums are bounded by shard_size × max doc length, so
+    the float floor in pack-id math stays far below the 2^52 precision
+    edge regardless of corpus size.
+
+    Returns (id_col, n_tokens, pack_id) per document.
+    """
+    if capacity < 1 or shard_size < 1:
+        raise ValueError("capacity and shard_size must be >= 1")
+    toks = df.select(
+        F.col(id_col),
+        F.floor(F.col(id_col) / shard_size).cast("long").alias("__shard"),
+        F.size(words(text_col)).alias("n_tokens"),
+    )
+    # slim pre-pass: one row per shard; prefix over shards on the driver
+    totals = toks.groupBy("__shard").agg(F.sum("n_tokens").alias("__total"))
+    shard_rows = sorted(
+        (r["__shard"], int(r["__total"] or 0)) for r in totals.collect()
+    )
+    offsets, acc = [], 0
+    for shard, total in shard_rows:
+        offsets.append((shard, acc))
+        acc += max(1, (total + capacity - 1) // capacity)
+    off_df = df.sparkSession.createDataFrame(
+        offsets, schema="__shard long, __pack_off long"
+    ) if offsets else df.sparkSession.createDataFrame(
+        [], schema="__shard long, __pack_off long"
+    )
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        toks.join(F.broadcast(off_df), "__shard")
+        .withColumn(
+            "pack_id",
+            (F.col("__pack_off") + F.floor(cum / capacity)).cast("long"),
+        )
+        .select(id_col, "n_tokens", "pack_id")
+    )
+
+
 def prefix_fingerprint(text_col: str, n_words: int = 8) -> Column:
     """Fingerprint = first n words rejoined — catches boilerplate and
     benchmark leakage that md5-exact matching misses."""

@@ -56,98 +56,59 @@ _RAW: dict[str, tuple] = {
 }
 
 # Driver coverage window: the correctness gate checks the FIRST 50
-# registry entries.  Round-6 rotation: rounds 2–5 value-checked 68 of
-# the 119 queries (CORRECTNESS_r02–r05); this window now holds the 46
-# hash-checkable queries the driver has NEVER seen, the 3 queries whose
-# only recorded checks predate the round-4 decimal-normalization fix
-# (window_running_sum, tpch_q5_local_revenue, tpch_q18_large_orders —
-# re-verified MATCH locally via tests/driver_check.py this round), and
-# 1 proven representative (scan_roundtrip_lineitem, the flagship format
-# round-trip) as a regression canary.  The 5 genuinely-rows-only
-# never-checked queries (LSH/ANN, no SQL oracle) sit at positions
-# 51–55, first in line for the round-7 rotation; the r04/r05-green
-# window follows.  Everything stays registered — entries beyond 50
-# keep bench/pytest coverage.
+# registry entries.  Round-7 rotation (VERDICT r6 task #1): the window
+# now holds the 15 queries that have never appeared in a driver
+# CORRECTNESS window — the 9 r6-new queries (all judge-verified MATCH in
+# the r6 full-sweep) and the 6 rows-only queries (LSH/ANN/SemDeDup, no
+# ANSI-SQL oracle; the driver records the weaker rows-only check) — plus
+# 1 regression canary (scan_roundtrip_lineitem, green r02–r06), padded
+# to 50 with the longest-unchecked driver-green entries: the full
+# r02/r03-era tail (last checked ≥4 rounds ago) and the oldest
+# r04-window entries.  After this window lands green, every registry
+# query has appeared in at least one driver CORRECTNESS window.
+# Everything stays registered — entries beyond 50 keep bench/pytest
+# coverage.
 _ORDER = [
-    # proven regression canary (format round-trip, r02–r05 green)
+    # proven regression canary (format round-trip, r02–r06 green)
     "scan_roundtrip_lineitem",
-    # --- never driver-checked: aggregation / window / join / scalar ---
-    "agg_median_disc",
-    "agg_histogram_buckets",
-    "agg_conditional_bools",
-    "agg_grouped_map_mad",
-    "join_lateral_topn",
-    "join_left_right_outer",
-    "window_first_last",
-    "scalar_hash_bitwise",
-    # --- never driver-checked: TPC-H part 2/3 tail ---
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_ratio",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_suppliers",
-    "tpch_q17_small_quantity",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_excess_shippers",
-    "tpch_q22_global_sales",
-    # --- never driver-checked: similarity / text / curation ---
-    "llm_similarity_arrow",
-    "llm_similarity_range",
-    "llm_tfidf_topk",
-    "llm_quality_score",
-    "llm_lang_id",
-    "llm_fingerprint",
-    "llm_token_count",
-    "llm_pii_redact",
-    "llm_repetition_ratio",
-    "llm_pack_sequences",
-    "llm_stratified_sample",
-    "llm_vocab_topk",
-    "llm_ngram_topk",
-    "llm_length_percentiles",
-    # --- never driver-checked: multimodal ---
-    "mm_decode_meta",
-    "mm_frame_sample",
-    "mm_audio_windows",
-    # --- never driver-checked: streaming tail ---
-    "stream_session_window",
-    "stream_sliding_counts",
-    "stream_static_join",
-    "stream_user_totals",
-    "stream_stream_join",
-    "stream_dedup_counts",
-    "stream_olive_sink",
-    # --- only recorded checks predate the r4 decimal fix (d7e84a7);
-    #     re-verified MATCH via tests/driver_check.py this round ---
-    "window_running_sum",
-    "tpch_q5_local_revenue",
-    "tpch_q18_large_orders",
-    # ---- beyond the 50-entry driver window ----
-    # new in r6 (all verified MATCH via the strict tests/driver_check.py
-    # gate mimic at sf0.01): first in line for the round-7 rotation,
-    # together with the rows-only tail below
+    # --- never driver-checked: new in r6 (judge-verified MATCH via the
+    #     strict tests/driver_check.py full sweep, 0 failures) ---
     "llm_dedup_incremental",
     "llm_token_budget_mix",
     "stream_incremental_dedup",
-    "llm_gopher_rules",      # r6: Gopher-rule quality gate
-    "llm_chunk_documents",   # r6: overlapping context windows
-    "scan_bloom_pruning",    # r6: per-file Bloom point lookups
-    "ts_ewma_events",        # r6: bit-reproducible EWMA fold
+    "llm_gopher_rules",       # r6: Gopher-rule quality gate
+    "llm_chunk_documents",    # r6: overlapping context windows
+    "scan_bloom_pruning",     # r6: per-file Bloom point lookups
+    "ts_ewma_events",         # r6: bit-reproducible EWMA fold
     "llm_pretrain_pipeline",  # r6: gate→chunk→pack composite
     "join_interval_overlap",  # r6: grid-bucketed interval join
-    # rows-only never-checked (no SQL oracle): next in rotation line
+    # --- new in r7 (driver has never seen; local driver_check MATCH) ---
+    "llm_pack_sequences_sharded",  # r7: partition-wise packing
+    # --- never driver-checked: rows-only (no ANSI-SQL oracle; banding /
+    #     recall<1 ANN / k-means semantics pinned by unit tests) ---
     "llm_dedup_simhash",
     "llm_dedup_ngram",
     "llm_dedup_embedding",
-    "llm_dedup_semantic",  # new in r6: SemDeDup retention (rows-only)
+    "llm_dedup_semantic",
     "llm_similarity_ivf",
     "llm_similarity_pq",
-    # r04/r05 driver-green window
+    # --- longest-unchecked: r02/r03-era driver-green tail ---
+    "window_ntile_percent",
+    "window_lead_lag",
+    "window_range_frame",
+    "sort_limit_topk",
+    "setop_intersect",
+    "explode_embeddings",
+    "scalar_functions",
+    "scalar_array_functions",
+    "scalar_map_functions",
+    "scalar_datetime_functions",
+    "scalar_string_advanced",
+    "join_nested_loop",
+    "subquery_in_uncorrelated",
+    "tpch_q4_order_priority",
+    "tpch_q6_revenue",
+    # --- next-longest-unchecked: r04-window entries ---
     "scan_projection_pruning",
     "scan_filter_pages",
     "scan_nulls_validity",
@@ -166,6 +127,8 @@ _ORDER = [
     "agg_pivot_status",
     "agg_approx_sketches",
     "agg_stats_moments",
+    # ---- beyond the 50-entry driver window ----
+    # r04/r05 driver-green remainder
     "agg_collect_sorted",
     "join_hash_orders_customer",
     "join_broadcast_dims",
@@ -197,22 +160,56 @@ _ORDER = [
     "llm_text_stats",
     "mm_image_resize",
     "stream_window_counts",
-    # r02/r03 driver-green tail
-    "window_ntile_percent",
-    "window_lead_lag",
-    "window_range_frame",
-    "sort_limit_topk",
-    "setop_intersect",
-    "explode_embeddings",
-    "scalar_functions",
-    "scalar_array_functions",
-    "scalar_map_functions",
-    "scalar_datetime_functions",
-    "scalar_string_advanced",
-    "join_nested_loop",
-    "subquery_in_uncorrelated",
-    "tpch_q4_order_priority",
-    "tpch_q6_revenue",
+    # r06 driver-green window
+    "agg_median_disc",
+    "agg_histogram_buckets",
+    "agg_conditional_bools",
+    "agg_grouped_map_mad",
+    "join_lateral_topn",
+    "join_left_right_outer",
+    "window_first_last",
+    "scalar_hash_bitwise",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_ratio",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_suppliers",
+    "tpch_q17_small_quantity",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_shippers",
+    "tpch_q22_global_sales",
+    "llm_similarity_arrow",
+    "llm_similarity_range",
+    "llm_tfidf_topk",
+    "llm_quality_score",
+    "llm_lang_id",
+    "llm_fingerprint",
+    "llm_token_count",
+    "llm_pii_redact",
+    "llm_repetition_ratio",
+    "llm_pack_sequences",
+    "llm_stratified_sample",
+    "llm_vocab_topk",
+    "llm_ngram_topk",
+    "llm_length_percentiles",
+    "mm_decode_meta",
+    "mm_frame_sample",
+    "mm_audio_windows",
+    "stream_session_window",
+    "stream_sliding_counts",
+    "stream_static_join",
+    "stream_user_totals",
+    "stream_stream_join",
+    "stream_dedup_counts",
+    "stream_olive_sink",
+    "window_running_sum",
+    "tpch_q5_local_revenue",
+    "tpch_q18_large_orders",
 ]
 
 assert set(_ORDER) == set(_RAW), (

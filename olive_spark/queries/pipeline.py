@@ -225,6 +225,50 @@ SQL_PACK = (
 )
 
 
+def llm_pack_sequences_sharded(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-wise sequence packing (ops/curation.
+    pack_sequences_sharded) — the at-scale variant of
+    llm_pack_sequences: docs shard by id range (100 docs/shard), each
+    shard packs independently to 4096-token packs, pack ids offset by
+    the pack counts of earlier shards.  The row-level cumsum window
+    partitions by shard (no global sort / SinglePartition exchange —
+    plan contract in tests/test_plans.py); the oracle reproduces the
+    shard math exactly, so the driver hash-checks pack contents."""
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    packed = curation.pack_sequences_sharded(
+        df, capacity=4096, shard_size=100
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+SQL_PACK_SHARDED = (
+    "WITH toks AS ("
+    "  SELECT doc_id, CAST(FLOOR(doc_id / 100) AS BIGINT) AS shard, "
+    "    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens "
+    "  FROM documents), "
+    "off AS ("
+    "  SELECT shard, CAST(COALESCE(SUM(GREATEST("
+    "      CAST(FLOOR((total + 4095) / 4096) AS BIGINT), 1)) OVER ("
+    "    ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "    AS BIGINT) AS pack_off "
+    "  FROM (SELECT shard, SUM(n_tokens) AS total FROM toks GROUP BY shard)), "
+    "packed AS ("
+    "  SELECT t.doc_id, t.n_tokens, "
+    "    o.pack_off + CAST(FLOOR(COALESCE(SUM(t.n_tokens) OVER ("
+    "      PARTITION BY t.shard ORDER BY t.doc_id "
+    "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS BIGINT) "
+    "    AS pack_id "
+    "  FROM toks t JOIN off o USING (shard)) "
+    "SELECT pack_id, COUNT(*) AS n_docs, "
+    "  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, MIN(doc_id) AS first_doc "
+    "FROM packed GROUP BY pack_id"
+)
+
+
 def llm_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup clusters via connected components: docs are linked when
     they share a HEAD (first 6 words) or TAIL (last 6 words) prefix
@@ -534,6 +578,7 @@ QUERIES: dict[str, tuple] = {
     "llm_tfidf_topk": (llm_tfidf_topk, SQL_TFIDF),
     "llm_repetition_ratio": (llm_repetition_ratio, SQL_REPETITION),
     "llm_pack_sequences": (llm_pack_sequences, SQL_PACK),
+    "llm_pack_sequences_sharded": (llm_pack_sequences_sharded, SQL_PACK_SHARDED),
     "llm_stratified_sample": (llm_stratified_sample, SQL_STRATIFIED),
     "llm_vocab_topk": (llm_vocab_topk, SQL_VOCAB),
     "llm_ngram_topk": (llm_ngram_topk, SQL_NGRAM),

@@ -218,3 +218,55 @@ def test_chunk_documents_matches_reference_on_random_docs(spark):
             ).collect()
         }
         assert got == expect, (chunk, stride)
+
+
+def test_pack_sequences_sharded_matches_reference(spark):
+    """Seeded random corpora across capacity/shard_size configs must
+    reproduce a direct Python reference of the shard-restart packing
+    semantics exactly: within-shard cumsum in doc-id order, pack ids
+    offset by max(1, ceil(shard_tokens/capacity)) of earlier shards —
+    including sparse doc ids, empty docs, and all-empty shards."""
+    import random
+
+    from olive_spark.ops import curation
+
+    rng = random.Random(11)
+    docs = []
+    for i in range(180):
+        doc_id = i * rng.choice([1, 1, 3])  # sparse ids hit shard gaps
+        n = rng.choice([0, 1, rng.randrange(0, 60)])
+        docs.append((doc_id, " ".join(f"w{j}" for j in range(n))))
+    docs = list({d: t for d, t in docs}.items())
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    for capacity, shard_size in [(64, 25), (4096, 100), (1, 7), (10, 1)]:
+        shards: dict[int, list] = {}
+        for doc_id, text in docs:
+            nt = len(text.split())
+            shards.setdefault(doc_id // shard_size, []).append((doc_id, nt))
+        expect = {}
+        off = 0
+        for sh in sorted(shards):
+            cum = 0
+            for doc_id, nt in sorted(shards[sh]):
+                expect[doc_id] = (nt, off + cum // capacity)
+                cum += nt
+            off += max(1, (cum + capacity - 1) // capacity)
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["pack_id"])
+            for r in curation.pack_sequences_sharded(
+                df, capacity=capacity, shard_size=shard_size
+            ).collect()
+        }
+        assert got == expect, (capacity, shard_size)
+
+
+def test_pack_sequences_sharded_empty_and_validation(spark):
+    from olive_spark.ops import curation
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert curation.pack_sequences_sharded(empty).count() == 0
+    with pytest.raises(ValueError):
+        curation.pack_sequences_sharded(empty, capacity=0)
+    with pytest.raises(ValueError):
+        curation.pack_sequences_sharded(empty, shard_size=0)

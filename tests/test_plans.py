@@ -294,3 +294,18 @@ def test_interval_join_is_equi_join_not_cartesian(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Generate" in p  # the grid-cell explode
+
+
+def test_pack_sequences_sharded_no_global_sort(spark):
+    """Partition-wise packing must not serialize: the row-level cumsum
+    window partitions by shard, so the returned plan has NO
+    SinglePartition exchange — in contrast to the global oracle-shape
+    variant, whose Window.orderBy funnels every row into one task."""
+    from olive_spark.queries import ALL_QUERIES
+
+    p = plan_of(ALL_QUERIES["llm_pack_sequences_sharded"][0](spark, SF))
+    assert "SinglePartition" not in p, p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p, "shard→pack_off map must broadcast"
+    pg = plan_of(ALL_QUERIES["llm_pack_sequences"][0](spark, SF))
+    assert "SinglePartition" in pg  # the contrast this test documents
