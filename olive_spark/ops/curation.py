@@ -249,22 +249,59 @@ def token_budget_mix(
     deterministic priority order (longest first, id as tiebreak) until
     the source's token budget is reached.  The at-scale shape of
     "up-sample small high-quality sources, cap the crawl dump".
+    Returns (source, doc_id, n_tokens, cum_tokens).
 
-    One shuffle total: token counting is a JVM-side projection on the
-    scan, the running total is a single window over (source) — no
-    iteration, no driver loop.  Skewed source sizes are fine: rows
-    within a source sort by the window, and the budget filter prunes
-    the tail.  Returns (source, doc_id, n_tokens, cum_tokens)."""
+    Skew-safe two-phase plan (the r6 audit flagged the original
+    single ``Window.partitionBy(source)`` — it funnels every row of a
+    source into ONE task, and the capped crawl-dump source is exactly
+    the billion-row side):
+
+    1. *Slim histogram*: aggregate to one row per (source, n_tokens)
+       with the bucket's token mass — map-side combine shrinks the
+       shuffle to |sources| × |distinct lengths|.  A per-source window
+       over these AGGREGATED rows computes each bucket's
+       strictly-longer-prefix mass; buckets whose first row would
+       already cross the budget (``before + n_tokens > budget``) are
+       dropped — at 100 TB with budget ≪ corpus this prunes the crawl
+       tail before any row-level sort or wide shuffle.
+    2. *Boundary ranking*: only surviving rows join back (the join
+       shuffle on (source, n_tokens) is reused by the window — no
+       extra exchange) and rank by id WITHIN their (source, n_tokens)
+       bucket; since every row in a bucket has the same length v,
+       ``cum_tokens = before + v·rank`` reproduces the original
+       running sum exactly, and no window ever partitions a raw-row
+       stream by source alone (plan contract in tests/test_plans.py).
+
+    Residual caveat: a single (source, length) pair with billions of
+    rows (fixed-length records) still ranks in one task; such corpora
+    should pre-salt on a secondary key before mixing."""
     from olive_spark.ops.textstats import tokens
 
+    budget = int(budget_per_source)
     n_tok = F.size(tokens(F.col(text_col)))
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(F.col("n_tokens").desc(), F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks = df.select(source_col, id_col, n_tok.alias("n_tokens"))
+    buckets = toks.groupBy(source_col, "n_tokens").agg(
+        F.sum(F.col("n_tokens").cast("long")).alias("__btok")
     )
+    wb = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col("n_tokens").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept = (
+        buckets
+        .withColumn("__before", F.coalesce(F.sum("__btok").over(wb), F.lit(0)))
+        .filter(F.col("__before") + F.col("n_tokens") <= budget)
+        .select(source_col, "n_tokens", "__before")
+    )
+    wr = Window.partitionBy(source_col, "n_tokens").orderBy(id_col)
     return (
-        df.select(source_col, id_col, n_tok.alias("n_tokens"))
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= budget_per_source)
+        toks.join(kept, [source_col, "n_tokens"])
+        .withColumn(
+            "cum_tokens",
+            F.col("__before")
+            + F.col("n_tokens").cast("long") * F.row_number().over(wr),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .select(source_col, id_col, "n_tokens", "cum_tokens")
     )

@@ -187,16 +187,30 @@ def test_incremental_dedup_bloom_path_is_arrow_batched(spark):
     assert "BatchEvalPython" not in p, "row-at-a-time Python UDF crept in"
 
 
-def test_token_budget_mix_is_single_window_shuffle(spark):
-    """Token counting must stay a JVM projection on the scan; the only
-    exchange is the per-source window partitioning."""
+def test_token_budget_mix_skew_safe_plan(spark):
+    """Skew contract (r6 audit): no window may partition a RAW-ROW
+    stream by source alone — the capped crawl-dump source would ride
+    one task.  The row-level ranking window must partition by
+    (source, n_tokens); the only source-only window runs over the
+    aggregated per-(source, length) histogram (__btok), upstream of the
+    budget prune that drops the tail before any row-level sort."""
+    import re
+
     from olive_spark.queries import ALL_QUERIES
 
     df = ALL_QUERIES["llm_token_budget_mix"][0](spark, SF)
     p = plan_of(df)
-    assert p.count("hashpartitioning") <= 1, p
+    assert "SinglePartition" not in p
     assert "BatchEvalPython" not in p
     assert "MapInArrow" not in p, "token counting left the JVM"
+    # raw-row window partitions by BOTH source and n_tokens (n_tokens
+    # directly after source with no sort direction = partition column)
+    assert re.search(
+        r"row_number\(\) windowspecdefinition\(source#\d+, n_tokens#\d+,", p
+    ), p
+    # the slim histogram window (source-only) consumes bucket masses,
+    # and sits before the row-level ranking in the plan
+    assert p.index("sum(__btok") < p.index("row_number()"), p
 
 
 def test_tpch_sql_queries_broadcast_fixed_dims(spark):
