@@ -585,51 +585,88 @@ def _bloom_test_bits(bits: "np.ndarray", h1, h2, m: int) -> "np.ndarray":
 
 def build_corpus_bloom(
     corpus_df: DataFrame, text_col: str = "text", expected_items: int = 1 << 20,
-    bits_per_key: int = 10,
+    bits_per_key: int = 10, n_shards: int = 1,
 ) -> dict:
-    """Distributed Bloom filter over a corpus's content hashes.
+    """Distributed Bloom filter over a corpus's content hashes,
+    hash-prefix-sharded into ``n_shards`` independent bitmaps.
 
-    Each scan partition folds its rows into one fixed-size bit array via
-    ``mapInArrow`` (no shuffle of keys at all); the per-partition arrays
-    are OR-merged on the driver — driver traffic is bounded by
-    n_partitions × m/8 bytes, never by corpus rows.  Returns
-    ``{"m": bits, "k": hashes, "bits": np.uint64 array}``.  Blooms with
-    equal ``m`` are OR-composable via :func:`merge_blooms`, which is how
-    a running corpus bloom is maintained across ingests without
-    rescanning the corpus."""
+    Keys route to shard ``h1 % n_shards``; each shard is a standalone
+    Bloom filter of ``~total_bits / n_shards`` bits, so per-shard FP
+    rate matches the flat filter (each shard sees ~1/n_shards of the
+    keys at the same bits/key).  Returns ``{"m": per-shard bits, "k",
+    "n_shards", "bits": np.uint64 array of shape (n_shards, m/64)}``.
+    Same-geometry blooms OR-compose via :func:`merge_blooms` —
+    shard-wise — which is how a running corpus bloom is maintained
+    across ingests without rescanning the corpus.
+
+    Why shard (r6 audit): one flat bitmap at 10 bits/key is ~1.2 GB at
+    10^9 keys and 12 GB at 10^10 — past single-broadcast and driver
+    comfort.  Sharding bounds every unit of traffic to m/8 bytes:
+
+    - build: ``n_shards == 1`` keeps the shuffle-free per-partition
+      fold; for ``n_shards > 1`` the slim (h1, h2) rows shuffle once on
+      shard id, so each fold task builds only the shard bitmaps it
+      owns (~1 per task when shuffle partitions ≥ n_shards) and the
+      driver ORs one m/8-byte row per (task, shard);
+    - probe: :func:`incremental_dedup` broadcasts each shard
+      SEPARATELY.  Spark broadcasts fetch lazily on first ``.value``
+      access, so an executor materializes only the shards its rows
+      route to — a batch pre-partitioned by ``h1 % n_shards`` touches
+      one shard per task regardless of total bloom size."""
     import pyarrow as pa
 
-    m = max(256, int(expected_items) * bits_per_key)
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    m = max(256, -(-int(expected_items) * bits_per_key // n_shards))
     m = (m + 63) & ~63  # multiple of 64 for the uint64 word array
+    words = m // 64
 
     def fold(batches):
-        bits = np.zeros(m // 64, dtype=np.uint64)
+        shards: dict[int, "np.ndarray"] = {}
         for batch in batches:
-            if batch.num_rows:
-                _bloom_set_bits(
-                    bits, batch.column("__h1").to_numpy(),
-                    batch.column("__h2").to_numpy(), m,
+            if not batch.num_rows:
+                continue
+            h1 = batch.column("__h1").to_numpy()
+            h2 = batch.column("__h2").to_numpy()
+            sh = (h1 % n_shards).astype(np.int32) if n_shards > 1 else None
+            for s in ([0] if sh is None else np.unique(sh)):
+                mask = slice(None) if sh is None else sh == s
+                bits = shards.setdefault(
+                    int(s), np.zeros(words, dtype=np.uint64)
                 )
-        yield pa.RecordBatch.from_arrays(
-            [pa.array([bits.tobytes()], pa.binary())], ["bloom"]
-        )
+                _bloom_set_bits(bits, h1[mask], h2[mask], m)
+        if shards:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(list(shards.keys()), pa.int32()),
+                    pa.array([b.tobytes() for b in shards.values()], pa.binary()),
+                ],
+                ["shard", "bloom"],
+            )
 
-    rows = (
-        corpus_df.select(*_bloom_hashes(text_col))
-        .mapInArrow(fold, "bloom binary")
-        .collect()
-    )
-    bits = np.zeros(m // 64, dtype=np.uint64)
+    hashed = corpus_df.select(*_bloom_hashes(text_col))
+    if n_shards > 1:
+        # one slim shuffle so each fold task owns few shards
+        hashed = hashed.repartition(F.col("__h1") % n_shards)
+    rows = hashed.mapInArrow(fold, "shard int, bloom binary").collect()
+    bits = np.zeros((n_shards, words), dtype=np.uint64)
     for r in rows:
-        bits |= np.frombuffer(r.bloom, dtype=np.uint64)
-    return {"m": m, "k": _BLOOM_K, "bits": bits}
+        bits[r.shard] |= np.frombuffer(r.bloom, dtype=np.uint64)
+    return {"m": m, "k": _BLOOM_K, "n_shards": n_shards, "bits": bits}
 
 
 def merge_blooms(a: dict, b: dict) -> dict:
-    """OR-compose two corpus blooms built with the same geometry."""
-    if a["m"] != b["m"] or a["k"] != b["k"]:
+    """OR-compose two corpus blooms built with the same geometry
+    (per-shard bit count, hash count, shard count) — shard-wise."""
+    if (
+        a["m"] != b["m"] or a["k"] != b["k"]
+        or a.get("n_shards", 1) != b.get("n_shards", 1)
+    ):
         raise ValueError("bloom geometry mismatch: cannot merge")
-    return {"m": a["m"], "k": a["k"], "bits": a["bits"] | b["bits"]}
+    return {
+        "m": a["m"], "k": a["k"], "n_shards": a.get("n_shards", 1),
+        "bits": a["bits"] | b["bits"],
+    }
 
 
 def incremental_dedup(
@@ -671,19 +708,28 @@ def incremental_dedup(
     if bloom is None:
         fresh = batch
     else:
-        m, bits = bloom["m"], bloom["bits"]
-        bc = new_df.sparkSession.sparkContext.broadcast(bits.tobytes())
+        m, nsh = bloom["m"], bloom.get("n_shards", 1)
+        bits = np.atleast_2d(bloom["bits"])
+        sc = new_df.sparkSession.sparkContext
+        # one broadcast PER SHARD: Spark fetches broadcast blocks
+        # lazily on first .value access, so a task only materializes
+        # the shards its rows route to — the whole-corpus bloom never
+        # has to fit in one broadcast (r6 audit: 12 GB at 10^10 keys)
+        bcs = [sc.broadcast(bits[s].tobytes()) for s in range(nsh)]
 
         def flag(batches):
-            arr = np.frombuffer(bc.value, dtype=np.uint64)
             for b in batches:
                 if b.num_rows == 0:
                     hit = np.zeros(0, dtype=bool)
                 else:
-                    hit = _bloom_test_bits(
-                        arr, b.column("__h1").to_numpy(),
-                        b.column("__h2").to_numpy(), m,
-                    )
+                    h1 = b.column("__h1").to_numpy()
+                    h2 = b.column("__h2").to_numpy()
+                    hit = np.zeros(len(h1), dtype=bool)
+                    sh = h1 % nsh if nsh > 1 else None
+                    for s in [0] if sh is None else np.unique(sh):
+                        mask = slice(None) if sh is None else sh == s
+                        arr = np.frombuffer(bcs[int(s)].value, dtype=np.uint64)
+                        hit[mask] = _bloom_test_bits(arr, h1[mask], h2[mask], m)
                 yield b.append_column("__maybe_dup", pa.array(hit))
 
         from pyspark import StorageLevel

@@ -228,3 +228,68 @@ def test_merge_blooms_composes_corpus_increments(spark):
     assert np.array_equal(merged["bits"], bu["bits"])
     with pytest.raises(ValueError):
         dedup.merge_blooms(ba, dedup.build_corpus_bloom(a, expected_items=2 * n))
+
+
+def test_sharded_bloom_equivalent_to_flat(spark):
+    """A 2-shard bloom must behave like the flat bloom where it counts:
+    zero false negatives (every corpus member hits its shard), the
+    shard-wise OR-merge of batch blooms ≡ the union bloom, and
+    incremental_dedup returns the IDENTICAL exact result with flat,
+    sharded, or no prefilter (FPs only ever change cost)."""
+    import numpy as np
+
+    from olive_spark.ops import dedup
+    from olive_spark.ops.dedup import _bloom_test_bits
+
+    corpus = spark.createDataFrame(
+        [(i, f"sharded corpus doc {i}") for i in range(300)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1000 + i, f"fresh doc {i}") for i in range(40)]
+        + [(2000 + i, f"sharded corpus doc {i}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    flat = dedup.build_corpus_bloom(corpus, expected_items=1024)
+    sh = dedup.build_corpus_bloom(corpus, expected_items=1024, n_shards=2)
+    assert sh["n_shards"] == 2 and sh["bits"].shape[0] == 2
+    # per-shard geometry: ~half the flat bits each
+    assert sh["m"] * 2 >= flat["m"]
+
+    # no false negatives: every member's hashes hit its routed shard
+    hrows = corpus.select(*dedup._bloom_hashes("text")).collect()
+    h1 = np.array([r["__h1"] for r in hrows], dtype=np.uint64)
+    h2 = np.array([r["__h2"] for r in hrows], dtype=np.uint64)
+    route = h1 % np.uint64(2)
+    for s in (0, 1):
+        msk = route == s
+        if msk.any():
+            assert _bloom_test_bits(sh["bits"][s], h1[msk], h2[msk], sh["m"]).all()
+
+    # exactness: same rows out regardless of prefilter shape
+    want = {r["doc_id"] for r in dedup.incremental_dedup(new, corpus).collect()}
+    assert want == {1000 + i for i in range(40)}
+    got_flat = {r["doc_id"] for r in
+                dedup.incremental_dedup(new, corpus, bloom=flat).collect()}
+    got_sh = {r["doc_id"] for r in
+              dedup.incremental_dedup(new, corpus, bloom=sh).collect()}
+    assert got_flat == want and got_sh == want
+
+
+def test_sharded_bloom_merge_is_shard_wise(spark):
+    import numpy as np
+
+    from olive_spark.ops import dedup
+
+    a = spark.createDataFrame([(i, f"ingest a {i}") for i in range(50)],
+                              ["doc_id", "text"])
+    b = spark.createDataFrame([(i, f"ingest b {i}") for i in range(50)],
+                              ["doc_id", "text"])
+    u = a.unionByName(b)
+    ba = dedup.build_corpus_bloom(a, expected_items=512, n_shards=4)
+    bb = dedup.build_corpus_bloom(b, expected_items=512, n_shards=4)
+    bu = dedup.build_corpus_bloom(u, expected_items=512, n_shards=4)
+    merged = dedup.merge_blooms(ba, bb)
+    assert np.array_equal(merged["bits"], bu["bits"])
+    with pytest.raises(ValueError):  # shard-count mismatch is geometry
+        dedup.merge_blooms(ba, dedup.build_corpus_bloom(a, expected_items=512))
