@@ -323,60 +323,105 @@ def interval_join(
     l_end: str = "l_end",
     r_start: str = "r_start",
     r_end: str = "r_end",
+    long_threshold_cells: int = 32,
 ) -> DataFrame:
     """Interval-overlap equi-join: pairs (l, r) with half-open overlap
     ``l_start < r_end AND r_start < l_end`` (epoch-µs longs).
 
     The naive formulation is a pure inequality join — Spark can only
     execute that as a nested-loop over the cross product, quadratic at
-    scale.  Instead both sides explode onto a fixed time grid
-    (``bucket_us`` wide), the join becomes an equi-join on bucket id,
-    and the overlap predicate is a cheap post-filter.  A pair whose
-    intervals share several grid cells would duplicate, so only the
-    FIRST shared cell emits: ``bucket == greatest(floor(l_start/W),
-    floor(r_start/W))`` — exactly-once without any distinct shuffle.
+    scale.  Instead intervals explode onto a time grid, the join
+    becomes an equi-join on cell id, and the overlap predicate is a
+    cheap post-filter.  A pair whose intervals share several grid cells
+    would duplicate, so only the FIRST shared cell emits — exactly-once
+    without any distinct shuffle.
 
-    Scale knobs: grid width trades explode fan-out (long intervals
-    cover many cells) against bucket population (short W = more, smaller
-    cells).  Size W near the median interval length; pathological long
-    intervals belong in a separate coarse pass (the classic two-level
-    grid refinement).
+    TWO-LEVEL grid (the classic refinement, r6 audit item): a single
+    fine grid makes one year-long interval explode into 8,760 one-hour
+    cells.  Intervals longer than ``long_threshold_cells`` fine cells
+    are routed to a COARSE grid (``long_threshold_cells × bucket_us``
+    wide) instead.  Pair classes partition exactly — each pair joins in
+    exactly one of three equi-joins, each with its own first-shared-cell
+    dedup, so no pair can duplicate across branches:
 
-    Cell ids are the cell START values (s - s % W), pure long modulo
-    arithmetic — float division (floor(s / W)) loses integer precision
-    once quotients exceed 2^52-ish and would silently drop boundary
-    pairs.  Timestamps must be non-negative (epoch-µs are)."""
-    w = F.lit(int(bucket_us))
+    - short × short on the fine grid (the bulk; small cell buckets);
+    - long_left × all_right on the coarse grid;
+    - short_left × long_right on the coarse grid (long × long already
+      covered by the previous branch).
 
-    def cell_of(col):
-        return col - col % w
+    A long interval of length L now explodes into
+    ``L / (threshold·bucket)`` cells (137 instead of 8,760 for the
+    year/hour/32 case) and short intervals add at most 2 coarse cells
+    in the branches where a long partner might live.  Short rows never
+    equi-join other short rows on coarse cells, so coarse buckets stay
+    linear in cell population × resident long intervals — the
+    quadratic-within-cell trap of simply coarsening the grid.
 
-    def cells(df, id_c, s_c, e_c):
+    Cell ids are the cell START values, computed with ``pmod`` so
+    negative (pre-epoch) timestamps floor toward -∞ like positives —
+    Spark's ``%`` keeps the dividend's sign and would silently
+    misbucket pre-epoch intervals (ADVICE r6).  Integer modulo
+    arithmetic throughout: float division (floor(s / W)) loses
+    precision past 2^52-ish quotients and would drop boundary pairs."""
+    if long_threshold_cells < 1:
+        raise ValueError("long_threshold_cells must be >= 1")
+    fine = int(bucket_us)
+    coarse = fine * int(long_threshold_cells)
+
+    def cell_of(col, width: int):
+        return col - F.pmod(col, F.lit(width))
+
+    def cells(df, id_c, s_c, e_c, width: int):
         s, e = F.col(s_c), F.col(e_c)
-        first = cell_of(s)
+        first = cell_of(s, width)
         # half-open end: an interval ending ON a cell boundary does not
         # reach into that cell
-        last = cell_of(e - 1)
+        last = cell_of(e - 1, width)
         return df.select(
             id_c, s_c, e_c,
             F.explode(
-                F.sequence(first, F.greatest(last, first), w)
+                F.sequence(first, F.greatest(last, first), F.lit(width))
             ).alias("__cell"),
         )
 
-    lc = cells(left, l_id, l_start, l_end)
-    rc = cells(right, r_id, r_start, r_end)
-    first_shared = F.greatest(cell_of(F.col(l_start)), cell_of(F.col(r_start)))
-    return (
-        lc.join(rc, "__cell")
-        .filter(
-            (F.col(l_start) < F.col(r_end))
-            & (F.col(r_start) < F.col(l_end))
-            & (F.col("__cell") == first_shared)
+    def pair(lc, rc, width: int):
+        first_shared = F.greatest(
+            cell_of(F.col(l_start), width), cell_of(F.col(r_start), width)
         )
-        .select(
-            l_id, r_id,
-            (F.least(F.col(l_end), F.col(r_end))
-             - F.greatest(F.col(l_start), F.col(r_start))).alias("overlap_us"),
+        return (
+            lc.join(rc, "__cell")
+            .filter(
+                (F.col(l_start) < F.col(r_end))
+                & (F.col(r_start) < F.col(l_end))
+                & (F.col("__cell") == first_shared)
+            )
+            .select(
+                l_id, r_id,
+                (F.least(F.col(l_end), F.col(r_end))
+                 - F.greatest(F.col(l_start), F.col(r_start))).alias("overlap_us"),
+            )
         )
+
+    def is_long(s_c: str, e_c: str):
+        return (F.col(e_c) - F.col(s_c)) > coarse
+
+    l_short = left.filter(~is_long(l_start, l_end))
+    l_long = left.filter(is_long(l_start, l_end))
+    r_short = right.filter(~is_long(r_start, r_end))
+    r_long = right.filter(is_long(r_start, r_end))
+
+    out = pair(
+        cells(l_short, l_id, l_start, l_end, fine),
+        cells(r_short, r_id, r_start, r_end, fine),
+        fine,
     )
+    out = out.unionByName(pair(
+        cells(l_long, l_id, l_start, l_end, coarse),
+        cells(right, r_id, r_start, r_end, coarse),
+        coarse,
+    ))
+    return out.unionByName(pair(
+        cells(l_short, l_id, l_start, l_end, coarse),
+        cells(r_long, r_id, r_start, r_end, coarse),
+        coarse,
+    ))

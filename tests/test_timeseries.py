@@ -234,3 +234,79 @@ def test_interval_join_matches_bruteforce_on_random_intervals(spark):
     got = {(r["l_id"], r["r_id"]): r["overlap_us"]
            for r in interval_join(left, right, bucket_us=W).collect()}
     assert got == expect
+
+
+def test_interval_join_two_level_long_intervals_and_negatives(spark):
+    """Brute-force parity across the two-level grid's interesting
+    regimes: pathological long intervals (hundreds of fine cells —
+    routed to the coarse grid), mixes straddling the long/short
+    threshold, and pre-epoch (negative) timestamps — pmod cell math
+    must floor toward -inf, where Spark's sign-keeping % misbuckets."""
+    import random
+
+    from olive_spark.ops.timeseries import interval_join
+
+    rng = random.Random(1234)
+    W = 1000
+
+    def mk(n, base, span=(-200_000, 200_000)):
+        out = []
+        for i in range(n):
+            s = rng.choice([
+                rng.randrange(*span),
+                rng.randrange(span[0] // W, span[1] // W) * W,
+                rng.randrange(span[0] // W + 1, span[1] // W) * W - 1,
+            ])
+            ln = rng.choice([
+                1,
+                rng.randrange(1, 100),            # sub-cell
+                rng.randrange(1, 5 * W),          # few cells
+                rng.randrange(30 * W, 34 * W),    # straddles threshold=32
+                rng.randrange(100 * W, 400 * W),  # pathological long
+            ])
+            out.append((base + i, s, s + ln))
+        return out
+
+    for thr in (1, 4, 32):
+        L, R = mk(150, 10_000), mk(150, 20_000)
+        expect = {
+            (l[0], r[0]): min(l[2], r[2]) - max(l[1], r[1])
+            for l in L for r in R
+            if l[1] < r[2] and r[1] < l[2]
+        }
+        left = spark.createDataFrame(L, "l_id long, l_start long, l_end long")
+        right = spark.createDataFrame(R, "r_id long, r_start long, r_end long")
+        got = {(r["l_id"], r["r_id"]): r["overlap_us"]
+               for r in interval_join(
+                   left, right, bucket_us=W, long_threshold_cells=thr
+               ).collect()}
+        assert got == expect, thr
+
+
+def test_interval_join_coarse_pass_bounds_explode_fanout(spark):
+    """A year-long interval on an hour grid must explode into coarse
+    cells (length / (threshold x bucket)), not 8760 fine cells — the
+    fan-out bound that makes pathological intervals survivable."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops.timeseries import interval_join
+
+    HOUR = 3_600_000_000
+    YEAR = 365 * 24 * HOUR
+    left = spark.createDataFrame(
+        [(1, 0, YEAR)], "l_id long, l_start long, l_end long"
+    )
+    right = spark.createDataFrame(
+        [(10, 5 * HOUR, 6 * HOUR)], "r_id long, r_start long, r_end long"
+    )
+    out = interval_join(left, right, bucket_us=HOUR, long_threshold_cells=32)
+    assert [(r["l_id"], r["r_id"], r["overlap_us"]) for r in out.collect()] \
+        == [(1, 10, HOUR)]
+    # explode fan-out of the long side: ceil(8760/32) = 274 coarse cells
+    n_cells = left.select(
+        F.explode(F.sequence(
+            F.lit(0), F.lit(YEAR - 1) - F.pmod(F.lit(YEAR - 1), F.lit(32 * HOUR)),
+            F.lit(32 * HOUR),
+        )).alias("c")
+    ).count()
+    assert n_cells == 274
