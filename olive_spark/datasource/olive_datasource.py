@@ -894,8 +894,28 @@ class OliveStreamReader(DataSourceStreamReader):
         # run, and immediately when a crash-replay calls partitions()
         # first (which reveals the committed range); under
         # trigger(availableNow=True) Spark captures the first
-        # (uncapped) offset as the run target, so the cap is
-        # effectively ignored there.
+        # (uncapped) offset as the run target, so without extra state
+        # the cap is ignored there entirely.
+        #
+        # admissionStateDir closes that hole: when set, partitions()
+        # mirrors each PLANNED end offset to <dir>/frontier.json
+        # (atomic tmp+replace).  Planned is the right moment — Spark's
+        # own WAL pins the range at plan time and a crash replays
+        # exactly it, so the sidecar can never claim an index the
+        # checkpoint won't reach (measured: the source commit()
+        # callback is lazy — it fires just before the NEXT batch is
+        # constructed, so a one-batch availableNow run never sees it).
+        # The next run's first latestOffset then caps FROM the sidecar
+        # instead of swallowing the whole backlog, which (a) fixes the
+        # crash-restart-with-backlog hole for continuous triggers and
+        # (b) makes availableNow catch-up drainable in cap-bounded
+        # epochs: each run processes one capped batch and commits, and
+        # repeating runs until no progress replaces the single giant
+        # epoch (streaming.ops.drain_available_now does the loop).
+        # Like the sink's commit log, the state dir pairs with ONE
+        # query's checkpoint; absence or corruption only means the
+        # first batch of the next run is uncapped (the old behavior),
+        # never data loss or duplication — offsets remain Spark's WAL's.
         mf = options.get("maxfilespertrigger", options.get("maxFilesPerTrigger"))
         mb = options.get("maxbytespertrigger", options.get("maxBytesPerTrigger"))
         self._max_files = int(mf) if mf is not None else None
@@ -904,6 +924,9 @@ class OliveStreamReader(DataSourceStreamReader):
             raise ValueError("maxFilesPerTrigger must be >= 1")
         if self._max_bytes is not None and self._max_bytes < 1:
             raise ValueError("maxBytesPerTrigger must be >= 1")
+        self._state_dir = options.get(
+            "admissionstatedir", options.get("admissionStateDir")
+        )
         self._frontier: "int | None" = None
 
     def _files(self) -> list[str]:
@@ -911,6 +934,30 @@ class OliveStreamReader(DataSourceStreamReader):
             return _list_chunk_files(self.path)
         except Exception:  # noqa: BLE001 — empty dir: no data yet
             return []
+
+    def _frontier_path(self) -> str:
+        return os.path.join(self._state_dir, "frontier.json")
+
+    def _load_frontier(self) -> "int | None":
+        try:
+            with open(self._frontier_path()) as f:
+                doc = json.load(f)
+            idx = doc.get("index") if isinstance(doc, dict) else None
+            return int(idx) if isinstance(idx, int) and idx >= 0 else None
+        except (OSError, ValueError):
+            return None
+
+    def _persist_frontier(self, index: int) -> None:
+        """Best-effort atomic mirror of the last PLANNED offset; a lost
+        write only means the next run's first batch is uncapped."""
+        try:
+            os.makedirs(self._state_dir, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=self._state_dir, suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump({"index": int(index)}, f)
+            os.replace(tmp, self._frontier_path())
+        except OSError:
+            pass
 
     def initialOffset(self) -> dict:
         # note: the runner calls latestOffset before this, so a fresh
@@ -922,9 +969,17 @@ class OliveStreamReader(DataSourceStreamReader):
     def _admit(self, files: "Sequence[str]") -> int:
         """End index for the next batch under the configured caps."""
         total = len(files)
-        if (self._max_files is None and self._max_bytes is None) or (
-            self._frontier is None
-        ):
+        if self._max_files is None and self._max_bytes is None:
+            return total
+        if self._frontier is None and self._state_dir is not None:
+            # sidecar if present; else 0 — with a state dir EVERY batch
+            # is capped, including a fresh query's first (upstream
+            # FileStreamSource parity).  A restart whose sidecar was
+            # lost caps from 0 too; partitions() fails loud (and
+            # re-seeds the sidecar from the committed offset) if that
+            # ever lands behind the checkpoint.
+            self._frontier = self._load_frontier() or 0
+        if self._frontier is None:
             return total
         start = min(self._frontier, total)
         end = total
@@ -961,6 +1016,12 @@ class OliveStreamReader(DataSourceStreamReader):
         # out-of-order writers)
         end = self._admit(files)
         self._frontier = end
+        if self._state_dir is not None:
+            # persist the speculative end too: a capped no-op poll of a
+            # restart whose sidecar lagged still advances the sidecar,
+            # so repeated availableNow runs converge on the checkpoint
+            # instead of re-capping from the same stale index forever
+            self._persist_frontier(end)
         return {
             "index": end,
             "digest": self._listing_digest(files[:end]),
@@ -979,6 +1040,20 @@ class OliveStreamReader(DataSourceStreamReader):
                 "offset — files were deleted or rewritten (compact/vacuum "
                 "must not run on a directory being streamed)"
             )
+        if end["index"] < start["index"]:
+            # a lost/stale admission sidecar made latestOffset cap
+            # BEHIND the committed offset.  Committing this batch would
+            # regress the checkpoint and re-deliver consumed files, so
+            # fail loud — and re-seed the sidecar from the committed
+            # offset first, so the next (re)start caps correctly.
+            if self._state_dir is not None:
+                self._persist_frontier(start["index"])
+            raise ValidationError(
+                "admission sidecar behind the committed offset "
+                f"(planned end {end['index']} < committed {start['index']}) "
+                "— the admissionStateDir was cleared or points at another "
+                "query's state; it has been re-seeded, restart the query"
+            )
         digest = end.get("digest")
         if digest is not None and (
             self._listing_digest(all_files[: end["index"]]) != digest
@@ -994,6 +1069,13 @@ class OliveStreamReader(DataSourceStreamReader):
         # any latestOffset fires — learn it so the admission cap never
         # regresses the frontier behind the committed offset
         self._frontier = max(self._frontier or 0, end["index"])
+        # mirror the PLANNED end offset (not the speculative frontier —
+        # a latestOffset the engine never turned into a batch is not
+        # WAL-pinned): Spark's WAL pins this range at plan time and a
+        # crash replays exactly it, so the next run's first latestOffset
+        # can cap from here instead of eating the backlog
+        if self._state_dir is not None:
+            self._persist_frontier(end["index"])
         files = all_files[start["index"] : end["index"]]
         if not files:
             return []
@@ -1024,7 +1106,11 @@ def _load_compacted_log(log_dir: str) -> "dict | None":
     try:
         with open(os.path.join(log_dir, "compacted.json")) as f:
             doc = json.load(f)
-        return doc if isinstance(doc.get("batches"), dict) else None
+        # a log corrupted into valid non-object JSON (list/string/number)
+        # must take the None path too, not AttributeError out of commit
+        if not isinstance(doc, dict) or not isinstance(doc.get("batches"), dict):
+            return None
+        return doc
     except (OSError, ValueError):
         return None
 

@@ -8,6 +8,7 @@ files per microbatch.
 """
 
 from olive_spark.streaming.ops import (  # noqa: F401
+    drain_available_now,
     read_stream,
     run_available_now,
     session_windows,

@@ -242,3 +242,35 @@ def write_stream_olive(
         w = w.option(k, v)
     q = w.start(path)
     q.awaitTermination()
+
+
+def drain_available_now(
+    start_query, max_runs: int = 1000,
+) -> int:
+    """Drain a capped backlog in bounded epochs: repeatedly start an
+    availableNow query (``start_query() -> StreamingQuery``) and await
+    it, until a run makes no progress.  Returns the number of runs that
+    processed data.
+
+    Why a loop: Spark captures ONE target offset per availableNow run
+    (measured — see OliveStreamReader), so a single run is a single
+    epoch no matter the admission caps.  With ``maxFilesPerTrigger`` +
+    ``admissionStateDir`` on the source, each run's target is capped
+    relative to the previous run's planned offset, so a 100-file
+    backlog at cap 10 drains in 10 runs of one bounded epoch each —
+    checkpoint progress after every run, instead of one giant
+    all-or-nothing epoch (the r6 audit's availableNow hole).
+
+    ``start_query`` must build a fresh query against the SAME
+    checkpoint each call; progress is read from the query's
+    ``lastProgress`` row counts."""
+    runs = 0
+    for _ in range(int(max_runs)):
+        q = start_query()
+        q.awaitTermination()
+        progress = q.lastProgress
+        n = int(progress["numInputRows"]) if progress else 0
+        if n == 0:
+            break
+        runs += 1
+    return runs

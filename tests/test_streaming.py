@@ -438,3 +438,120 @@ def test_stream_offsets_detect_non_append_mutation(tmp_path):
     assert sum(
         len(p.files) for p in r.partitions({"index": 0}, {"index": 3})
     ) == 3
+
+
+def test_admission_state_dir_caps_first_batch_of_next_run(tmp_path):
+    """With admissionStateDir, partitions() mirrors each planned offset
+    to a sidecar, and a NEW reader (next run / restart) caps its FIRST
+    latestOffset from it — closing the first-batch-uncapped hole.
+    Corrupt or foreign sidecars degrade to the old uncapped behavior."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from olive_spark.datasource.olive_datasource import OliveStreamReader
+
+    d = tmp_path / "src"
+    d.mkdir()
+    for i in range(9):
+        t = pa.table({"x": pa.array([i], pa.int64())})
+        (d / f"part-{i:020d}-aaaa.olive").write_bytes(write_chunk({"data": t}))
+    schema = StructType([StructField("x", LongType())])
+    sd = str(tmp_path / "state")
+    opts = {"path": str(d), "maxFilesPerTrigger": "3",
+            "admissionStateDir": sd}
+
+    # run 1: no sidecar yet -> with a state dir even the FIRST call is
+    # capped (from 0 — upstream FileStreamSource parity), and planning
+    # the batch mirrors the planned end to the sidecar
+    r1 = OliveStreamReader(dict(opts), schema)
+    end = r1.latestOffset()
+    assert end["index"] == 3
+    r1.partitions({"index": 0}, {"index": 3})
+    assert _json.load(open(f"{sd}/frontier.json"))["index"] == 3
+
+    # run 2 (fresh reader): first latestOffset caps FROM the sidecar
+    r2 = OliveStreamReader(dict(opts), schema)
+    assert r2.latestOffset()["index"] == 6
+    r2.partitions({"index": 3}, {"index": 6})
+    r3 = OliveStreamReader(dict(opts), schema)
+    assert r3.latestOffset()["index"] == 9
+
+    # replayed pending batch still wins over a lagging sidecar
+    _json.dump({"index": 1}, open(f"{sd}/frontier.json", "w"))
+    r4 = OliveStreamReader(dict(opts), schema)
+    r4.partitions({"index": 1}, {"index": 7})  # WAL range beats sidecar
+    assert r4.latestOffset()["index"] == 9
+
+    # a stale sidecar landing BEHIND the committed offset fails loud in
+    # partitions() and re-seeds the sidecar from the committed offset
+    import pytest as _pytest
+
+    from olive_spark.format.errors import ValidationError
+
+    _json.dump({"index": 1}, open(f"{sd}/frontier.json", "w"))
+    r5 = OliveStreamReader(dict(opts), schema)
+    assert r5.latestOffset()["index"] == 4  # capped from stale 1
+    with _pytest.raises(ValidationError, match="admission sidecar"):
+        r5.partitions({"index": 7}, {"index": 4})
+    assert _json.load(open(f"{sd}/frontier.json"))["index"] == 7
+
+    # corrupted sidecar -> caps from 0, no crash
+    open(f"{sd}/frontier.json", "w").write("[not, an, object]")
+    r6 = OliveStreamReader(dict(opts), schema)
+    assert r6.latestOffset()["index"] == 3
+
+
+def test_available_now_drains_backlog_in_capped_epochs(spark, tmp_path_factory):
+    """The r6 audit scenario: a 100-file backlog with
+    maxFilesPerTrigger=10 + admissionStateDir must process in >= 10
+    bounded epochs under availableNow (one capped epoch per run via
+    drain_available_now), with every row delivered exactly once."""
+    src = str(tmp_path_factory.mktemp("drainsrc"))
+    ckpt = str(tmp_path_factory.mktemp("drainckpt"))
+    state = str(tmp_path_factory.mktemp("drainstate"))
+    for i in range(100):
+        _write_part(src, i, i, i + 1)  # one row per file
+
+    from olive_spark.streaming import drain_available_now
+
+    seen: list[tuple[int, int]] = []
+
+    def sink(df, bid):
+        n = df.count()
+        if n:
+            seen.append((bid, n))
+
+    def start():
+        return (
+            spark.readStream.format("olive")
+            .option("maxFilesPerTrigger", "10")
+            .option("admissionStateDir", state)
+            .load(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    runs = drain_available_now(start)
+    assert runs >= 10, (runs, seen)
+    assert sum(n for _, n in seen) == 100, seen
+    assert max(n for _, n in seen) <= 10, seen  # every epoch bounded
+
+
+def test_compacted_log_corrupt_non_object_json_is_none(tmp_path):
+    """compacted.json corrupted into valid non-object JSON (list/
+    string/number) must take the None fallback, not AttributeError out
+    of commit (ADVICE r6)."""
+    from olive_spark.datasource.olive_datasource import _load_compacted_log
+
+    d = str(tmp_path)
+    for payload in ('[1, 2]', '"oops"', '42', '{"batches": [1]}',
+                    '{"batches": "x"}', '{not json'):
+        with open(f"{d}/compacted.json", "w") as f:
+            f.write(payload)
+        assert _load_compacted_log(d) is None, payload
+    with open(f"{d}/compacted.json", "w") as f:
+        f.write('{"batches": {"0": ["a.olive"]}}')
+    assert _load_compacted_log(d) == {"batches": {"0": ["a.olive"]}}
