@@ -640,3 +640,70 @@ def test_bloom_pruning_skips_files(spark, tmp_path):
 
     # absent-everywhere keys inside both ranges: every file bloom-prunes
     assert load().filter("h in ('k04x', 'k11z')").collect() == []
+
+
+def test_manifest_pruning_beats_header_opens_under_get_latency(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Object-store-shaped plan-time measurement (BASELINE.md row): with
+    a simulated per-open GET latency, pruning a selective filter over an
+    N-file directory must cost ~1 read (the manifest) instead of N
+    header opens.  This is the manifest's design case — at 10-50 ms per
+    GET a 10k-file table plans in one latency instead of minutes."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    import olive_spark.format.manifest as mf
+    from olive_spark.datasource import olive_datasource as ds
+
+    path = str(tmp_path_factory.mktemp("latdir") / "t")
+    n_files = 100
+    (
+        spark.range(10_000).withColumn("x", F.col("id"))
+        .repartition(n_files)
+        .write.format("olive").mode("append").save(path)
+    )
+    assert len([f for f in os.listdir(path) if f.endswith(".olive")]) == n_files
+
+    LAT = 0.01  # simulated object-store GET
+    opens = {"headers": 0, "manifest": 0}
+    real_read = ds._read_header_bytes
+    real_load = mf.load_manifest
+
+    def slow_read(fp):
+        opens["headers"] += 1
+        time.sleep(LAT)
+        return real_read(fp)
+
+    def slow_load(d):
+        opens["manifest"] += 1
+        time.sleep(LAT)
+        return real_load(d)
+
+    monkeypatch.setattr(ds, "_read_header_bytes", slow_read)
+    monkeypatch.setattr(mf, "load_manifest", slow_load)
+
+    def plan_time() -> float:
+        r = ds.OliveReader({"path": path}, None)
+        r.predicates = [("x", "=", -1)]  # disproved by every file's stats
+        t0 = time.perf_counter()
+        parts = r.partitions()
+        dt = time.perf_counter() - t0
+        assert len(parts) == 1  # fully pruned -> one empty-scan partition
+        return dt
+
+    with_manifest = plan_time()
+    assert opens["manifest"] == 1 and opens["headers"] == 0, opens
+
+    # sabotage the manifest: every file falls back to a header open
+    os.rename(mf.manifest_path(path), mf.manifest_path(path) + ".bak")
+    opens["headers"] = 0
+    without_manifest = plan_time()
+    assert opens["headers"] == n_files, opens
+
+    ratio = without_manifest / with_manifest
+    assert ratio > 10, (with_manifest, without_manifest)
+    print(f"\nplan-time {n_files} files @ {LAT*1000:.0f}ms GET: "
+          f"manifest {with_manifest:.3f}s vs headers {without_manifest:.3f}s "
+          f"({ratio:.0f}x)")

@@ -95,3 +95,66 @@ def test_real_codec_guarded_import(spark):
     # stub defaults still deterministic
     r = decode_metadata(df).collect()[0]
     assert (r["width"], r["height"]) == (600 % 512 + 16, (600 * 7) % 512 + 16)
+
+
+def test_real_codec_image_decode_and_resize(spark):
+    """Runs the codec='real' Pillow branch where Pillow exists (skips
+    otherwise): genuine PNG bytes decode to true dimensions, resize
+    preserves aspect, and corrupt payloads surface as ok=false rows
+    rather than task failures."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from olive_spark.ops.multimodal import decode_metadata, image_resize
+
+    def png_bytes(w, h):
+        buf = io.BytesIO()
+        Image.new("L", (w, h)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, png_bytes(100, 40)),
+        (2, png_bytes(30, 90)),
+        (3, b"not an image at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    got = {r["doc_id"]: r for r in decode_metadata(df, codec="real").collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["ok"]) == (100, 40, True)
+    assert (got[2]["width"], got[2]["height"], got[2]["ok"]) == (30, 90, True)
+    assert got[3]["ok"] is False and got[3]["width"] == 0
+
+    rs = {r["doc_id"]: r for r in
+          image_resize(df, target=64, codec="real").collect()}
+    # aspect fit: 100x40 -> 64x25 (h*t//w), 30x90 -> 21x64 (w*t//h)
+    assert (rs[1]["out_w"], rs[1]["out_h"]) == (64, 40 * 64 // 100)
+    assert (rs[2]["out_w"], rs[2]["out_h"]) == (30 * 64 // 90, 64)
+    assert rs[1]["n_thumb_bytes"] == rs[1]["out_w"] * rs[1]["out_h"]  # mode L
+    assert (rs[3]["out_w"], rs[3]["out_h"], rs[3]["n_thumb_bytes"]) == (0, 0, 0)
+
+
+def test_real_codec_audio_windows(spark):
+    """Runs the codec='real' soundfile branch where soundfile exists
+    (skips otherwise): a genuine WAV container reports its true frame
+    count (not the byte-math stub), corrupt payloads yield 0 windows."""
+    sf_mod = pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+
+    from olive_spark.ops.multimodal import audio_windows
+
+    def wav_bytes(n_samples):
+        buf = io.BytesIO()
+        sf_mod.write(buf, np.zeros(n_samples, dtype=np.float32), 16000,
+                     format="WAV", subtype="PCM_16")
+        return buf.getvalue()
+
+    rows = [(1, wav_bytes(5000)), (2, wav_bytes(100)), (3, b"xx")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in
+           audio_windows(df, window=1024, hop=512, codec="real").collect()}
+    assert got[1]["n_samples"] == 5000
+    assert got[1]["n_windows"] == (5000 - 1024) // 512 + 1
+    assert (got[2]["n_samples"], got[2]["n_windows"]) == (100, 0)
+    assert (got[3]["n_samples"], got[3]["n_windows"]) == (0, 0)
