@@ -54,6 +54,8 @@ HEADLINE = [
     "scan_partitioned_pruning",
     "llm_contamination",
     "llm_pack_sequences",
+    "llm_pack_sequences_sharded",  # r7: partition-wise packing
+    "join_interval_overlap",       # r7: two-level grid
     "llm_dedup_clusters",
     "llm_dedup_incremental",
     "llm_token_budget_mix",
