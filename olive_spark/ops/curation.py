@@ -145,6 +145,137 @@ def chunk_documents(
     )
 
 
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    max_overlap_pct: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """N-gram-overlap benchmark decontamination (the GPT-3-appendix /
+    13-gram-style check): for every corpus doc, the fraction of its
+    DISTINCT word n-grams that appear anywhere in the benchmark set;
+    docs over ``max_overlap_pct`` are flagged.  Catches partial and
+    paraphrased-with-shared-spans leakage that the whole-prefix
+    fingerprint of :func:`contamination_check` misses.
+
+    Plan shape (100 TB corpus, small eval suites): the benchmark's
+    distinct n-grams broadcast; the corpus tokenizes once per doc
+    (JVM transform — no UDF), explodes its distinct n-grams, LEFT
+    broadcast-joins the benchmark set, and ONE map-side-combined
+    aggregation on doc id produces total and matched counts together —
+    the corpus is never shuffled except as slim (id, count) pairs, and
+    no second scan or join-back is needed.  The flag compare is
+    integer-cleared (``matched·100 ≥ pct·total``) so the oracle hash is
+    bit-stable.  Docs with fewer than ``n`` tokens have no n-grams and
+    are absent from the output (nothing to leak).
+
+    Returns (id_col, total_ngrams, matched_ngrams, flagged)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def grams(df):
+        t = df.select(F.col(id_col), words(text_col).alias("__w"))
+        wc = F.col("__w")
+        g = F.transform(
+            F.sequence(F.lit(1), F.size(wc) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(wc, i, n)),
+        )
+        return (
+            t.filter(F.size(wc) >= n)
+            .select(F.col(id_col), F.explode(F.array_distinct(g)).alias("__g"))
+        )
+
+    bench = grams(benchmark).select(F.col("__g").alias("__bg")).distinct()
+    joined = grams(corpus).join(
+        F.broadcast(bench), F.col("__g") == F.col("__bg"), "left"
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("total_ngrams"),
+        F.count("__bg").alias("matched_ngrams"),
+    ).withColumn(
+        "flagged",
+        F.col("matched_ngrams") * 100 >= F.lit(int(max_overlap_pct)) * F.col("total_ngrams"),
+    )
+
+
+def dedup_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Intra-document line deduplication (RefinedWeb/CCNet-style
+    repetition removal): keep the FIRST occurrence of each line, drop
+    later repeats, report how much was removed.  ``array_distinct``
+    preserves first-occurrence order, so the whole operator is one
+    scan-local projection — zero shuffles, zero UDFs, trivially
+    100 TB-safe (each doc is handled inside its scan partition).
+
+    Returns (id_col, n_lines, n_unique, cleaned)."""
+    lines = F.split(F.col(text_col), "\n")
+    uniq = F.array_distinct(lines)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(uniq).alias("n_unique"),
+        F.array_join(uniq, "\n").alias("cleaned"),
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate removal: a line appearing in at least
+    ``min_docs`` DISTINCT documents (headers, footers, cookie banners,
+    nav text) is deleted from every document; per-doc line order is
+    preserved for the survivors.
+
+    Plan shape: explode (id, pos, line) once; the frequent-line set is
+    a map-side-combined distinct count on line (slim — the shuffle
+    carries (line, id) pairs once each, and partial aggregation
+    collapses within-partition repeats); survivors re-assemble per doc
+    via sorted collect (bounded by document length, the same per-key
+    bound every whole-doc operator here carries).  The frequent set
+    broadcasts: its size is bounded by total_lines / min_docs, so a
+    meaningful threshold keeps it tiny relative to the corpus.  Docs
+    whose every line was boilerplate drop out of the result (nothing
+    left to train on).
+
+    Returns (id_col, n_kept, cleaned)."""
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+        )
+    )
+    frequent = (
+        lines.groupBy("__line")
+        .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
+        .filter(F.col("__docs") >= min_docs)
+        .select("__line")
+    )
+    kept = lines.join(F.broadcast(frequent), "__line", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
+                    ),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias("cleaned"),
+        )
+    )
+
+
 def pack_sequences_sharded(
     df: DataFrame,
     capacity: int = 4096,

@@ -84,6 +84,9 @@ _ORDER = [
     "join_interval_overlap",  # r6: grid-bucketed interval join
     # --- new in r7 (driver has never seen; local driver_check MATCH) ---
     "llm_pack_sequences_sharded",  # r7: partition-wise packing
+    "llm_decontaminate_ngram",     # r7: GPT-3-style n-gram overlap
+    "llm_dedup_lines",             # r7: intra-doc line dedup
+    "llm_boilerplate_lines",       # r7: cross-doc frequent-line removal
     # --- never driver-checked: rows-only (no ANSI-SQL oracle; banding /
     #     recall<1 ANN / k-means semantics pinned by unit tests) ---
     "llm_dedup_simhash",
@@ -124,11 +127,11 @@ _ORDER = [
     "agg_rollup",
     "agg_cube_events",
     "agg_grouping_sets",
+    # ---- beyond the 50-entry driver window ----
+    # r04/r05 driver-green remainder
     "agg_pivot_status",
     "agg_approx_sketches",
     "agg_stats_moments",
-    # ---- beyond the 50-entry driver window ----
-    # r04/r05 driver-green remainder
     "agg_collect_sorted",
     "join_hash_orders_customer",
     "join_broadcast_dims",

@@ -225,6 +225,103 @@ SQL_PACK = (
 )
 
 
+def llm_decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram-overlap decontamination (ops/curation.ngram_decontaminate,
+    GPT-3-style): fraction of each corpus doc's distinct 3-grams that
+    appear in the held-out set (doc_id % 13 = 0); flagged at >= 10%
+    via the integer-cleared compare.  At sf0.01: 408 of 461 docs have
+    some overlap, 84 flag — both branches live."""
+    docs = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    corpus = docs.filter(F.col("doc_id") % 13 != 0)
+    return curation.ngram_decontaminate(
+        corpus, bench, n=3, max_overlap_pct=10
+    )
+
+
+SQL_DECONTAMINATE = (
+    "WITH tok AS (SELECT doc_id, "
+    "  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w "
+    "  FROM documents), "
+    "gr AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1), "
+    "  i -> array_to_string(w[i:i+2], ' '))) AS gs FROM tok WHERE len(w) >= 3), "
+    "bench AS (SELECT DISTINCT unnest(gs) AS g FROM gr WHERE doc_id % 13 = 0), "
+    "ex AS (SELECT doc_id, unnest(gs) AS g FROM gr WHERE doc_id % 13 <> 0) "
+    "SELECT ex.doc_id, COUNT(*) AS total_ngrams, COUNT(b.g) AS matched_ngrams, "
+    "  (COUNT(b.g) * 100 >= 10 * COUNT(*)) AS flagged "
+    "FROM ex LEFT JOIN bench b ON ex.g = b.g GROUP BY ex.doc_id"
+)
+
+
+def _derived_lines_cols():
+    """Shared derivation for the line-based queries: the synthetic docs
+    are single-line keyword text, so line structure is synthesized as a
+    pure function of (doc_id, text) — reproducible in SQL like the
+    documents_pii derivation: a per-doc-family boilerplate footer
+    (doc_id % 5 → appears in ~20% of docs, twice per doc), the first 8
+    tokens, the footer again, then the remainder."""
+    w = F.split(F.col("text"), " ")
+    footer = F.concat(F.lit("boilerplate footer "),
+                      (F.col("doc_id") % 5).cast("string"))
+    head = F.concat_ws(" ", F.slice(w, 1, 8))
+    rest = F.concat_ws(" ", F.slice(w, 9, F.greatest(F.size(w), F.lit(1))))
+    return F.array_join(F.array(footer, head, footer, rest), "\n")
+
+
+_SQL_LINES_SRC = (
+    "(SELECT doc_id, "
+    "  'boilerplate footer ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || "
+    "  array_to_string(w[1:8], ' ') || chr(10) || "
+    "  'boilerplate footer ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || "
+    "  array_to_string(w[9:], ' ') AS text_lines "
+    "  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))"
+)
+
+
+def llm_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document line dedup (ops/curation.dedup_lines): the
+    injected footer repeats within every doc and must collapse to its
+    first occurrence, order preserved — the driver hash-checks every
+    cleaned document byte-for-byte."""
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    lined = df.select("doc_id", _derived_lines_cols().alias("text_lines"))
+    return curation.dedup_lines(lined, "text_lines")
+
+
+SQL_DEDUP_LINES = (
+    "SELECT doc_id, len(l) AS n_lines, len(u) AS n_unique, "
+    "  array_to_string(u, chr(10)) AS cleaned FROM ("
+    "SELECT doc_id, l, list_filter(l, (x, i) -> list_position(l, x) = i) AS u "
+    "FROM (SELECT doc_id, string_split(text_lines, chr(10)) AS l "
+    f"FROM {_SQL_LINES_SRC}))"
+)
+
+
+def llm_boilerplate_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document boilerplate removal (ops/curation.
+    remove_boilerplate_lines): the injected footers appear in ~100 docs
+    each at sf0.01 (>= min_docs=10, counted per distinct doc despite
+    appearing twice per doc) and are deleted everywhere; the unique
+    head/rest lines survive in order."""
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    lined = df.select("doc_id", _derived_lines_cols().alias("text_lines"))
+    return curation.remove_boilerplate_lines(lined, min_docs=10, text_col="text_lines")
+
+
+SQL_BOILERPLATE = (
+    "WITH lines AS (SELECT doc_id, i AS pos, l[i] AS line FROM ("
+    "  SELECT doc_id, string_split(text_lines, chr(10)) AS l "
+    f"  FROM {_SQL_LINES_SRC}), "
+    "  UNNEST(range(1, len(l) + 1)) AS t(i)), "
+    "freq AS (SELECT line FROM ("
+    "  SELECT line, COUNT(DISTINCT doc_id) AS c FROM lines GROUP BY line) "
+    "  WHERE c >= 10) "
+    "SELECT doc_id, COUNT(*) AS n_kept, "
+    "  array_to_string(list(line ORDER BY pos), chr(10)) AS cleaned "
+    "FROM lines WHERE line NOT IN (SELECT line FROM freq) GROUP BY doc_id"
+)
+
+
 def llm_pack_sequences_sharded(spark: SparkSession, sf: str) -> DataFrame:
     """Partition-wise sequence packing (ops/curation.
     pack_sequences_sharded) — the at-scale variant of
@@ -579,6 +676,9 @@ QUERIES: dict[str, tuple] = {
     "llm_repetition_ratio": (llm_repetition_ratio, SQL_REPETITION),
     "llm_pack_sequences": (llm_pack_sequences, SQL_PACK),
     "llm_pack_sequences_sharded": (llm_pack_sequences_sharded, SQL_PACK_SHARDED),
+    "llm_decontaminate_ngram": (llm_decontaminate_ngram, SQL_DECONTAMINATE),
+    "llm_dedup_lines": (llm_dedup_lines, SQL_DEDUP_LINES),
+    "llm_boilerplate_lines": (llm_boilerplate_lines, SQL_BOILERPLATE),
     "llm_stratified_sample": (llm_stratified_sample, SQL_STRATIFIED),
     "llm_vocab_topk": (llm_vocab_topk, SQL_VOCAB),
     "llm_ngram_topk": (llm_ngram_topk, SQL_NGRAM),

@@ -270,3 +270,83 @@ def test_pack_sequences_sharded_empty_and_validation(spark):
         curation.pack_sequences_sharded(empty, capacity=0)
     with pytest.raises(ValueError):
         curation.pack_sequences_sharded(empty, shard_size=0)
+
+
+def test_ngram_decontaminate_counts_and_flag_boundary(spark):
+    """Distinct n-grams per doc, matched against the benchmark set;
+    integer-cleared flag at the exact boundary; docs shorter than n
+    have nothing to leak and drop out."""
+    from olive_spark.ops import curation
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], ["doc_id", "text"]
+    )  # bench 2-grams: {alpha beta, beta gamma, gamma delta}
+    corpus = spark.createDataFrame(
+        [
+            # 4 distinct 2-grams, 2 matched -> exactly 50% -> flagged at 50
+            (1, "alpha beta gamma x y"),
+            # repeated bigram counted once (distinct): 2 grams, 0 matched
+            (2, "x y x y"),
+            # 1 distinct gram, matched -> 100%
+            (3, "gamma delta"),
+            # shorter than n -> absent
+            (4, "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in curation.ngram_decontaminate(
+        corpus, bench, n=2, max_overlap_pct=50
+    ).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["total_ngrams"], out[1]["matched_ngrams"], out[1]["flagged"]) \
+        == (4, 2, True)  # 2*100 >= 50*4 boundary inclusive
+    assert (out[2]["total_ngrams"], out[2]["matched_ngrams"], out[2]["flagged"]) \
+        == (2, 0, False)
+    assert (out[3]["total_ngrams"], out[3]["matched_ngrams"], out[3]["flagged"]) \
+        == (1, 1, True)
+    with pytest.raises(ValueError):
+        curation.ngram_decontaminate(corpus, bench, n=0)
+
+
+def test_dedup_lines_keeps_first_occurrence_in_order(spark):
+    from olive_spark.ops import curation
+
+    df = spark.createDataFrame(
+        [
+            (1, "b\na\nb\nc\na"),
+            (2, "only"),
+            (3, "x\nx\nx"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in curation.dedup_lines(df).collect()}
+    assert (out[1]["n_lines"], out[1]["n_unique"], out[1]["cleaned"]) \
+        == (5, 3, "b\na\nc")
+    assert (out[2]["n_lines"], out[2]["n_unique"], out[2]["cleaned"]) \
+        == (1, 1, "only")
+    assert (out[3]["n_lines"], out[3]["n_unique"], out[3]["cleaned"]) \
+        == (3, 1, "x")
+
+
+def test_remove_boilerplate_lines_distinct_doc_threshold(spark):
+    """Frequency counts DISTINCT docs (a line twice in one doc counts
+    once); survivors keep order; all-boilerplate docs drop out."""
+    from olive_spark.ops import curation
+
+    rows = [
+        (1, "footer\ncontent one\nfooter"),   # footer x2 = 1 distinct doc
+        (2, "footer\ncontent two"),
+        (3, "content three\nfooter"),
+        (4, "footer"),                        # all-boilerplate -> drops out
+        (5, "rare\nrare"),                    # rare line: only 1 doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in curation.remove_boilerplate_lines(
+        df, min_docs=3
+    ).collect()}
+    assert set(out) == {1, 2, 3, 5}
+    assert (out[1]["n_kept"], out[1]["cleaned"]) == (1, "content one")
+    assert (out[3]["n_kept"], out[3]["cleaned"]) == (1, "content three")
+    assert (out[5]["n_kept"], out[5]["cleaned"]) == (2, "rare\nrare")
+    with pytest.raises(ValueError):
+        curation.remove_boilerplate_lines(df, min_docs=1)

@@ -323,3 +323,34 @@ def test_pack_sequences_sharded_no_global_sort(spark):
     assert "BroadcastHashJoin" in p, "shard→pack_off map must broadcast"
     pg = plan_of(ALL_QUERIES["llm_pack_sequences"][0](spark, SF))
     assert "SinglePartition" in pg  # the contrast this test documents
+
+
+def test_decontaminate_benchmark_broadcasts_corpus_single_agg(spark):
+    """The benchmark n-gram set must broadcast (the corpus is the
+    100 TB side and is never shuffled as text); the only corpus shuffle
+    is the slim per-doc count aggregation."""
+    from olive_spark.queries import ALL_QUERIES
+
+    p = plan_of(ALL_QUERIES["llm_decontaminate_ngram"][0](spark, SF))
+    assert "BroadcastHashJoin" in p, "benchmark set lost its broadcast"
+    assert "SinglePartition" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_dedup_lines_is_shuffle_free_scan(spark):
+    from olive_spark.queries import ALL_QUERIES
+
+    p = plan_of(ALL_QUERIES["llm_dedup_lines"][0](spark, SF))
+    assert "Exchange" not in p, "line dedup must stay scan-local"
+    assert "BatchEvalPython" not in p
+
+
+def test_boilerplate_frequent_set_broadcast_anti_join(spark):
+    from olive_spark.queries import ALL_QUERIES
+
+    p = plan_of(ALL_QUERIES["llm_boilerplate_lines"][0](spark, SF))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, (
+        "frequent-line set must broadcast-anti-join"
+    )
+    assert "SinglePartition" not in p
+    assert "BatchEvalPython" not in p
