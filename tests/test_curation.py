@@ -350,3 +350,103 @@ def test_remove_boilerplate_lines_distinct_doc_threshold(spark):
     assert (out[5]["n_kept"], out[5]["cleaned"]) == (2, "rare\nrare")
     with pytest.raises(ValueError):
         curation.remove_boilerplate_lines(df, min_docs=1)
+
+
+def test_token_budget_mix_matches_bruteforce_on_random_corpora(spark):
+    """Seeded random corpora across budgets must reproduce the direct
+    sequential definition (sort by tokens desc then id, running sum,
+    cut at budget) exactly — pins the two-phase histogram-prune +
+    bucket-rank rewrite, including heavy length ties, zero-token docs,
+    and budgets straddling bucket boundaries."""
+    import random
+
+    from olive_spark.ops import curation
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(300):
+        src = rng.choice(["a", "b", "c"])
+        # heavy ties: lengths drawn from a tiny set, plus empties
+        n = rng.choice([0, 1, 3, 3, 3, 7, 7, 20])
+        rows.append((i, " ".join(f"w{j}" for j in range(n)), src))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    for budget in (0, 5, 21, 100, 10_000):
+        expect = set()
+        by_src: dict[str, list] = {}
+        for i, text, src in rows:
+            by_src.setdefault(src, []).append((len(text.split()), i))
+        for src, docs in by_src.items():
+            cum = 0
+            for n, i in sorted(docs, key=lambda d: (-d[0], d[1])):
+                cum += n
+                if cum <= budget:
+                    expect.add((src, i, n, cum))
+        got = {(r["source"], r["doc_id"], r["n_tokens"], r["cum_tokens"])
+               for r in curation.token_budget_mix(df, budget).collect()}
+        assert got == expect, budget
+
+
+def test_ngram_decontaminate_matches_bruteforce_on_random_docs(spark):
+    import random
+
+    from olive_spark.ops import curation
+
+    rng = random.Random(5)
+    vocab = [f"v{k}" for k in range(8)]  # tiny vocab -> real collisions
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30))))
+            for i in range(120)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    bench_df = df.filter((df.doc_id % 4) == 0)
+    corpus_df = df.filter((df.doc_id % 4) != 0)
+
+    for n, pct in [(2, 50), (3, 10)]:
+        bench_grams = set()
+        for i, t in docs:
+            w = t.split()
+            if i % 4 == 0 and len(w) >= n:
+                bench_grams |= {" ".join(w[j:j + n]) for j in range(len(w) - n + 1)}
+        expect = {}
+        for i, t in docs:
+            w = t.split()
+            if i % 4 == 0 or len(w) < n:
+                continue
+            gs = {" ".join(w[j:j + n]) for j in range(len(w) - n + 1)}
+            m = len(gs & bench_grams)
+            expect[i] = (len(gs), m, m * 100 >= pct * len(gs))
+        got = {r["doc_id"]: (r["total_ngrams"], r["matched_ngrams"], r["flagged"])
+               for r in curation.ngram_decontaminate(
+                   corpus_df, bench_df, n=n, max_overlap_pct=pct
+               ).collect()}
+        assert got == expect, (n, pct)
+
+
+def test_remove_boilerplate_matches_bruteforce_on_random_docs(spark):
+    import random
+
+    from olive_spark.ops import curation
+
+    rng = random.Random(21)
+    pool = [f"line {k}" for k in range(12)]
+    docs = []
+    for i in range(150):
+        n = rng.randrange(1, 6)
+        docs.append((i, "\n".join(rng.choice(pool) for _ in range(n))))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    for min_docs in (2, 20, 1000):
+        counts: dict[str, set] = {}
+        for i, t in docs:
+            for ln in t.split("\n"):
+                counts.setdefault(ln, set()).add(i)
+        frequent = {ln for ln, s in counts.items() if len(s) >= min_docs}
+        expect = {}
+        for i, t in docs:
+            kept = [ln for ln in t.split("\n") if ln not in frequent]
+            if kept:
+                expect[i] = (len(kept), "\n".join(kept))
+        got = {r["doc_id"]: (r["n_kept"], r["cleaned"])
+               for r in curation.remove_boilerplate_lines(
+                   df, min_docs=min_docs
+               ).collect()}
+        assert got == expect, min_docs
