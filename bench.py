@@ -56,6 +56,9 @@ HEADLINE = [
     "llm_pack_sequences",
     "llm_pack_sequences_sharded",  # r7: partition-wise packing
     "join_interval_overlap",       # r7: two-level grid
+    "llm_decontaminate_ngram",     # r7: n-gram overlap decontamination
+    "llm_boilerplate_lines",       # r7: cross-doc boilerplate removal
+    "ts_resample_interpolate",     # r7: gapfill linear interpolation
     "llm_dedup_clusters",
     "llm_dedup_incremental",
     "llm_token_budget_mix",

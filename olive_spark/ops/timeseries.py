@@ -148,6 +148,96 @@ def resample_locf(
     )
 
 
+def resample_interpolate(
+    df: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    interval_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Downsample to a fixed grid with LINEAR-interpolation gap filling
+    (the hypertable ``time_bucket_gapfill`` + ``interpolate`` pattern —
+    the counterpart of :func:`resample_locf` for continuous signals).
+
+    Same plan skeleton as LOCF — per-key last-in-bucket aggregate (one
+    shuffle), per-key grid bounds from that aggregate, ``sequence`` +
+    explode grid, left join — then TWO windows over the keyed grid: a
+    backward pass carries the previous observation's (value, tick) and
+    a forward pass the next observation's; gap ticks evaluate
+    ``prev + (next − prev) · (t − t_prev)/(t_next − t_prev)``.  All
+    tick arithmetic is exact BIGINT subtraction before one double
+    division, and the expression shape is identical in the DuckDB
+    oracle, so the IEEE results are bit-identical and emitted RAW —
+    rounding would reintroduce drift, because the engines disagree on
+    round-half ties (33.0428125 → .042813 in Spark's HALF_UP vs
+    .042812 in DuckDB, measured).  Grid ticks outside the observed range cannot
+    exist (bounds come from the data), and a gap at a key's first/last
+    tick cannot happen for the same reason — every gap has both
+    neighbors.  Everything stays keyed on ``key_col``: the windows
+    reuse the join's partitioning, no extra shuffle."""
+    from pyspark.sql.window import Window
+
+    tus = F.unix_micros(F.col(time_col).cast("timestamp"))
+    bucket = (tus - (tus % F.lit(interval_us))).alias("bucket_us")
+    per_bucket = (
+        df.select(F.col(key_col), bucket, F.col(value_col), tus.alias("_t"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(key_col, "bucket_us")
+                .orderBy(F.col("_t").desc(), F.col(value_col).desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(key_col, "bucket_us", F.col(value_col).alias("last_value"))
+    )
+    bounds = per_bucket.groupBy(key_col).agg(
+        F.min("bucket_us").alias("_lo"), F.max("bucket_us").alias("_hi")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(interval_us))
+        ).alias("bucket_us"),
+    )
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_us")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_tick = F.when(
+        F.col("last_value").isNotNull(), F.col("bucket_us")
+    )
+    joined = (
+        grid.join(per_bucket, [key_col, "bucket_us"], "left")
+        .withColumn("_pv", F.last("last_value", ignorenulls=True).over(wb))
+        .withColumn("_pt", F.last(obs_tick, ignorenulls=True).over(wb))
+        .withColumn("_nv", F.first("last_value", ignorenulls=True).over(wf))
+        .withColumn("_nt", F.first(obs_tick, ignorenulls=True).over(wf))
+    )
+    frac = (
+        (F.col("bucket_us") - F.col("_pt")).cast("double")
+        / (F.col("_nt") - F.col("_pt")).cast("double")
+    )
+    interp = F.when(
+        F.col("last_value").isNotNull(), F.col("last_value").cast("double")
+    ).otherwise(
+        F.col("_pv").cast("double")
+        + (F.col("_nv").cast("double") - F.col("_pv").cast("double")) * frac
+    )
+    return joined.select(
+        key_col,
+        "bucket_us",
+        interp.alias("value_interp"),
+        F.col("last_value").isNull().alias("is_gap"),
+    )
+
+
 def sessionize(
     df: DataFrame,
     key: str = "user_id",

@@ -87,6 +87,7 @@ _ORDER = [
     "llm_decontaminate_ngram",     # r7: GPT-3-style n-gram overlap
     "llm_dedup_lines",             # r7: intra-doc line dedup
     "llm_boilerplate_lines",       # r7: cross-doc frequent-line removal
+    "ts_resample_interpolate",     # r7: gapfill linear interpolation
     # --- never driver-checked: rows-only (no ANSI-SQL oracle; banding /
     #     recall<1 ANN / k-means semantics pinned by unit tests) ---
     "llm_dedup_simhash",
@@ -126,9 +127,9 @@ _ORDER = [
     "agg_distinct",
     "agg_rollup",
     "agg_cube_events",
-    "agg_grouping_sets",
     # ---- beyond the 50-entry driver window ----
     # r04/r05 driver-green remainder
+    "agg_grouping_sets",
     "agg_pivot_status",
     "agg_approx_sketches",
     "agg_stats_moments",

@@ -381,6 +381,51 @@ SQL_TS_RESAMPLE = (
 )
 
 
+def ts_resample_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style resample with LINEAR interpolation across gaps
+    (time_bucket_gapfill + interpolate — ops/timeseries.
+    resample_interpolate): hourly buckets per user; gap ticks evaluate
+    prev + (next-prev)·(t-t_prev)/(t_next-t_prev) with exact BIGINT
+    tick math and one double division, bit-stable vs the oracle."""
+    from olive_spark.ops.timeseries import resample_interpolate
+
+    df = data.load(spark, sf, "events", columns=["user_id", "ts", "value"])
+    return resample_interpolate(df, "ts", "user_id", "value", 3_600_000_000)
+
+
+SQL_TS_INTERP = (
+    "WITH b AS (SELECT user_id, "
+    "epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us, value, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) - epoch_us(ts) % 3600000000 "
+    "ORDER BY epoch_us(ts) DESC, value DESC) AS rn FROM events), "
+    "pb AS (SELECT user_id, bucket_us, value AS last_value FROM b WHERE rn = 1), "
+    "bounds AS (SELECT user_id, MIN(bucket_us) AS lo, MAX(bucket_us) AS hi "
+    "FROM pb GROUP BY user_id), "
+    "grid AS (SELECT user_id, unnest(generate_series(lo, hi, 3600000000)) AS bucket_us "
+    "FROM bounds), "
+    "j AS (SELECT g.user_id, g.bucket_us, pb.last_value, "
+    "LAST_VALUE(pb.last_value IGNORE NULLS) OVER ("
+    "PARTITION BY g.user_id ORDER BY g.bucket_us "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv, "
+    "LAST_VALUE(CASE WHEN pb.last_value IS NOT NULL THEN g.bucket_us END IGNORE NULLS) OVER ("
+    "PARTITION BY g.user_id ORDER BY g.bucket_us "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt, "
+    "FIRST_VALUE(pb.last_value IGNORE NULLS) OVER ("
+    "PARTITION BY g.user_id ORDER BY g.bucket_us "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, "
+    "FIRST_VALUE(CASE WHEN pb.last_value IS NOT NULL THEN g.bucket_us END IGNORE NULLS) OVER ("
+    "PARTITION BY g.user_id ORDER BY g.bucket_us "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt "
+    "FROM grid g LEFT JOIN pb USING (user_id, bucket_us)) "
+    "SELECT user_id, bucket_us, "
+    "CASE WHEN last_value IS NOT NULL THEN CAST(last_value AS DOUBLE) "
+    "ELSE CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE)) * "
+    "(CAST(bucket_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END AS value_interp, "
+    "last_value IS NULL AS is_gap "
+    "FROM j"
+)
+
+
 def reshape_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     """Unpivot/melt: wide per-part numeric columns to long (attr, val)
     rows — the inverse of agg_pivot_status."""
@@ -516,6 +561,7 @@ SQL_COHORT_RETENTION = (
 QUERIES: dict[str, tuple] = {
     "join_lateral_topn": (join_lateral_topn, SQL_JOIN_LATERAL),
     "ts_resample_locf": (ts_resample_locf, SQL_TS_RESAMPLE),
+    "ts_resample_interpolate": (ts_resample_interpolate, SQL_TS_INTERP),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),
     "join_interval_overlap": (join_interval_overlap, SQL_INTERVAL_JOIN),
     "reshape_unpivot": (reshape_unpivot, SQL_UNPIVOT),

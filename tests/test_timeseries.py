@@ -310,3 +310,43 @@ def test_interval_join_coarse_pass_bounds_explode_fanout(spark):
         )).alias("c")
     ).count()
     assert n_cells == 274
+
+
+def test_resample_interpolate_fills_gaps_linearly(spark):
+    """Gap ticks interpolate linearly between the neighboring bucket
+    observations; observed ticks keep their own (last-in-bucket) value;
+    bounds come from the data so every gap has both neighbors."""
+    import datetime as dt
+
+    from olive_spark.ops.timeseries import resample_interpolate
+
+    H = 3_600_000_000
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h, 30, tzinfo=dt.timezone.utc)
+
+    rows = [
+        # user 1: obs at hours 0 and 3 -> gaps at 1, 2 interpolate 10->40
+        (1, t(0), 10.0),
+        (1, t(3), 40.0),
+        # user 1 hour 5: two obs in one bucket -> later one wins
+        (1, t(5).replace(minute=10), 99.0),
+        (1, t(5), 100.0),
+        # user 2: single obs -> single tick, no gaps
+        (2, t(7), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {(r["user_id"], r["bucket_us"]): (r["value_interp"], r["is_gap"])
+           for r in resample_interpolate(df).collect()}
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+               .timestamp() * 1e6)
+    assert out[(1, base + 0 * H)] == (10.0, False)
+    assert out[(1, base + 1 * H)] == (20.0, True)
+    assert out[(1, base + 2 * H)] == (30.0, True)
+    assert out[(1, base + 3 * H)] == (40.0, False)
+    # gap between 3 and 5 interpolates 40 -> 100 (the last obs in
+    # bucket 5 by time wins)
+    assert out[(1, base + 4 * H)] == (70.0, True)
+    assert out[(1, base + 5 * H)] == (100.0, False)
+    assert out[(2, base + 7 * H)] == (5.0, False)
+    assert len(out) == 7
