@@ -354,3 +354,17 @@ def test_boilerplate_frequent_set_broadcast_anti_join(spark):
     )
     assert "SinglePartition" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_resample_interpolate_no_global_window(spark):
+    """Gapfill interpolation must stay keyed end-to-end: every window
+    partitions by user (no SinglePartition anywhere), all work is
+    JVM-side, and the exchange count stays at the LOCF skeleton's
+    (bucket agg, bounds, grid, join sides) — a regression to a global
+    sort or a per-row Python stage would show here."""
+    from olive_spark.queries import ALL_QUERIES
+
+    p = plan_of(ALL_QUERIES["ts_resample_interpolate"][0](spark, SF))
+    assert "SinglePartition" not in p
+    assert "BatchEvalPython" not in p
+    assert p.count("hashpartitioning") <= 5, p
