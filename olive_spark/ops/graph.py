@@ -72,6 +72,10 @@ def _cc_star(edges: DataFrame, max_iter: int, checkpoint_every: int) -> DataFram
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .union(edges.select(F.col("src").alias("a"), F.col("src").alias("b")))
         .distinct()
+        # eager cut of the caller's edge-derivation lineage (scan +
+        # fingerprint window): every round's checksum action would
+        # otherwise recompute it from the source
+        .localCheckpoint(eager=True)
     )
 
     def large_star(e: DataFrame) -> DataFrame:

@@ -88,6 +88,7 @@ _ORDER = [
     "llm_dedup_lines",             # r7: intra-doc line dedup
     "llm_boilerplate_lines",       # r7: cross-doc frequent-line removal
     "ts_resample_interpolate",     # r7: gapfill linear interpolation
+    "llm_dedup_clusters_star",     # r7: O(log n) large/small-star CC
     # --- never driver-checked: rows-only (no ANSI-SQL oracle; banding /
     #     recall<1 ANN / k-means semantics pinned by unit tests) ---
     "llm_dedup_simhash",
@@ -126,9 +127,9 @@ _ORDER = [
     "agg_groupby_sum",
     "agg_distinct",
     "agg_rollup",
-    "agg_cube_events",
     # ---- beyond the 50-entry driver window ----
     # r04/r05 driver-green remainder
+    "agg_cube_events",
     "agg_grouping_sets",
     "agg_pivot_status",
     "agg_approx_sketches",

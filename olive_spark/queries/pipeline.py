@@ -421,6 +421,41 @@ SQL_DEDUP_CLUSTERS = (
 )
 
 
+def llm_dedup_clusters_star(spark: SparkSession, sf: str) -> DataFrame:
+    """Same clustering task as llm_dedup_clusters but through the
+    alternating large-star/small-star algorithm (ops/graph._cc_star,
+    Kiveris et al. "Connected Components in MapReduce" — O(log n)
+    rounds vs min-label's O(diameter)): the 100 TB path for graphs with
+    long chains.  Shares llm_dedup_clusters' recursive-CTE oracle, so
+    the driver value-checks that both algorithms reach the identical
+    fixpoint."""
+    from pyspark.sql.window import Window
+
+    from olive_spark.ops.graph import connected_components
+
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    w = F.split(F.col("text"), " ")
+    head = F.array_join(F.slice(w, 1, 6), " ")
+    tail = F.array_join(
+        F.slice(w, F.greatest(F.lit(1), F.size(w) - 5), 6), " "
+    )
+    edges = None
+    for fp in (head, tail):
+        grp = Window.partitionBy("fp")
+        e = (
+            df.select(F.col("doc_id").alias("src"), fp.alias("fp"))
+            .withColumn("dst", F.min("src").over(grp))
+            .select("src", "dst")
+        )
+        edges = e if edges is None else edges.union(e)
+    cc = connected_components(edges, algorithm="star")
+    return (
+        cc.groupBy(F.col("cluster").alias("cluster_id"))
+        .agg(F.count("*").alias("n_docs"), F.max("node").alias("max_doc"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def llm_similarity_range(spark: SparkSession, sf: str) -> DataFrame:
     """Radius-neighbor search: all corpus vectors with cosine ≥ 0.3 of
     each query vector (vec_id < 3) — the k-free retrieval variant."""
@@ -685,4 +720,5 @@ QUERIES: dict[str, tuple] = {
     "llm_contamination": (llm_contamination, SQL_CONTAMINATION),
     "llm_length_percentiles": (llm_length_percentiles, SQL_LENGTH_PCT),
     "llm_dedup_clusters": (llm_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "llm_dedup_clusters_star": (llm_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
 }
