@@ -58,7 +58,10 @@ HEADLINE = [
     "join_interval_overlap",       # r7: two-level grid
     "llm_decontaminate_ngram",     # r7: n-gram overlap decontamination
     "llm_boilerplate_lines",       # r7: cross-doc boilerplate removal
-    "ts_resample_interpolate",     # r7: gapfill linear interpolation
+    # ts_resample_interpolate / ts_resample_locf are registry-checked
+    # but not headline: they RETURN the dense 1M-row grid at sf0.1, so
+    # bench's collect() would measure driver materialization (20 s),
+    # not the operator (1.2 s warm)
     "llm_dedup_clusters",
     "llm_dedup_incremental",
     "llm_token_budget_mix",
