@@ -583,6 +583,73 @@ def _bloom_test_bits(bits: "np.ndarray", h1, h2, m: int) -> "np.ndarray":
     return hit
 
 
+def fuzzy_pairs(
+    df: DataFrame,
+    name_col: str = "name",
+    id_col: str = "id",
+    max_dist: int = 2,
+) -> DataFrame:
+    """All pairs of rows whose ``name_col`` values are within Levenshtein
+    distance ``max_dist`` — WITHOUT a cartesian product, via symmetric-
+    deletion blocking (the SymSpell scheme): every string explodes into
+    its ≤``max_dist``-deletion variants, candidate pairs come from an
+    EQUI-join on shared variants, and the exact distance filter runs
+    only inside blocks.  The blocking is provably complete — if
+    dist(s, t) ≤ k then some string in Dk(s) ∩ Dk(t) exists, where Dk
+    is the set of ≤k-deletion variants — and the DuckDB oracle (brute-
+    force cross join + levenshtein) verifies that completeness
+    value-for-value.
+
+    100 TB shape: fan-out is ~1 + n + n²/2 variant keys per string
+    (≈120 for 15-char strings at k=2 — bounded by string length, not
+    corpus size), variants are generated JVM-side (nested higher-order
+    transforms, no UDF), the join is a hash equi-join on variant, and
+    only candidate pairs (tiny vs the n² cross product) reach the
+    Levenshtein evaluation.  Skew note: a variant shared by m rows
+    yields m²/2 in-block candidates — degenerate corpora where one
+    string dominates should pre-aggregate to distinct strings first
+    (carrying counts) so blocks stay bounded by distinct-value
+    frequency, not row count.
+
+    Returns (a_id, b_id, dist) with ``a_id < b_id``."""
+    if max_dist not in (1, 2):
+        raise ValueError("symmetric-delete blocking implemented for max_dist in (1, 2)")
+
+    def dels(col: str) -> str:
+        return (
+            f"CASE WHEN length({col}) > 0 THEN "
+            f"transform(sequence(1, length({col})), i -> "
+            f"concat(substring({col}, 1, i-1), substring({col}, i+1, length({col})))) "
+            f"ELSE array() END"
+        )
+
+    d1 = F.expr(dels(name_col))
+    parts = [F.array(F.col(name_col)), d1]
+    if max_dist == 2:
+        parts.append(F.expr(
+            f"flatten(transform({dels(name_col)}, v -> {dels('v')}))"
+        ))
+    keys = F.array_distinct(F.concat(*parts))
+    ex = df.select(
+        F.col(id_col).alias("__id"), F.col(name_col).alias("__name"),
+        F.explode(keys).alias("__k"),
+    )
+    a = ex.select(F.col("__id").alias("a_id"), F.col("__name").alias("a_name"),
+                  "__k")
+    b = ex.select(F.col("__id").alias("b_id"), F.col("__name").alias("b_name"),
+                  "__k")
+    return (
+        a.join(b, "__k")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id",
+            F.levenshtein("a_name", "b_name").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .distinct()
+    )
+
+
 def build_corpus_bloom(
     corpus_df: DataFrame, text_col: str = "text", expected_items: int = 1 << 20,
     bits_per_key: int = 10, n_shards: int = 1,

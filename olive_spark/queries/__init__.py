@@ -89,6 +89,7 @@ _ORDER = [
     "llm_boilerplate_lines",       # r7: cross-doc frequent-line removal
     "ts_resample_interpolate",     # r7: gapfill linear interpolation
     "llm_dedup_clusters_star",     # r7: O(log n) large/small-star CC
+    "join_fuzzy_names",            # r7: symmetric-delete fuzzy join
     # --- never driver-checked: rows-only (no ANSI-SQL oracle; banding /
     #     recall<1 ANN / k-means semantics pinned by unit tests) ---
     "llm_dedup_simhash",
@@ -126,9 +127,9 @@ _ORDER = [
     "types_unsigned_time",
     "agg_groupby_sum",
     "agg_distinct",
-    "agg_rollup",
     # ---- beyond the 50-entry driver window ----
     # r04/r05 driver-green remainder
+    "agg_rollup",
     "agg_cube_events",
     "agg_grouping_sets",
     "agg_pivot_status",

@@ -426,6 +426,30 @@ SQL_TS_INTERP = (
 )
 
 
+def join_fuzzy_names(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy self-join on part names (ops/dedup.fuzzy_pairs): all pairs
+    within Levenshtein distance 2 via symmetric-deletion blocking — an
+    equi-join on shared deletion variants, never a cartesian product.
+    The brute-force cross-join oracle value-checks the blocking's
+    COMPLETENESS: a single missed pair is a hash mismatch.  Restricted
+    to p_partkey < 600 so the oracle's O(n²) side stays cheap at
+    sf0.01."""
+    from olive_spark.ops.dedup import fuzzy_pairs
+
+    df = data.load(spark, sf, "part", columns=["p_partkey", "p_name"]) \
+        .filter(F.col("p_partkey") < 600)
+    return fuzzy_pairs(df, name_col="p_name", id_col="p_partkey", max_dist=2)
+
+
+SQL_FUZZY_NAMES = (
+    "SELECT a.p_partkey AS a_id, b.p_partkey AS b_id, "
+    "CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist "
+    "FROM part a JOIN part b ON a.p_partkey < b.p_partkey "
+    "WHERE a.p_partkey < 600 AND b.p_partkey < 600 "
+    "AND levenshtein(a.p_name, b.p_name) <= 2"
+)
+
+
 def reshape_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     """Unpivot/melt: wide per-part numeric columns to long (attr, val)
     rows — the inverse of agg_pivot_status."""
@@ -562,6 +586,7 @@ QUERIES: dict[str, tuple] = {
     "join_lateral_topn": (join_lateral_topn, SQL_JOIN_LATERAL),
     "ts_resample_locf": (ts_resample_locf, SQL_TS_RESAMPLE),
     "ts_resample_interpolate": (ts_resample_interpolate, SQL_TS_INTERP),
+    "join_fuzzy_names": (join_fuzzy_names, SQL_FUZZY_NAMES),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),
     "join_interval_overlap": (join_interval_overlap, SQL_INTERVAL_JOIN),
     "reshape_unpivot": (reshape_unpivot, SQL_UNPIVOT),

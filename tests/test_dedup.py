@@ -293,3 +293,64 @@ def test_sharded_bloom_merge_is_shard_wise(spark):
     assert np.array_equal(merged["bits"], bu["bits"])
     with pytest.raises(ValueError):  # shard-count mismatch is geometry
         dedup.merge_blooms(ba, dedup.build_corpus_bloom(a, expected_items=512))
+
+
+def test_fuzzy_pairs_distances_and_edges(spark):
+    """Known-distance pairs: exact dup (0), substitution (1),
+    transposition (2 under plain Levenshtein), distance-3 excluded;
+    1-char strings exercise the empty-variant guard."""
+    from olive_spark.ops import dedup
+
+    rows = [
+        (1, "widget"), (2, "widget"),      # 0
+        (3, "widgex"),                     # 1 from widget
+        (4, "widgte"),                     # transposition = 2
+        (5, "gadgets"),                    # 3 from widget -> excluded
+        (6, "a"), (7, "b"),                # 2 (sub is 1... a->b is 1)
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {(r["a_id"], r["b_id"]): r["dist"]
+           for r in dedup.fuzzy_pairs(df, "name", "id", max_dist=2).collect()}
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 1 and got[(2, 3)] == 1
+    assert got[(1, 4)] == 2 and got[(3, 4)] == 2
+    assert (1, 5) not in got and (2, 5) not in got  # dist("widget","gadgets")=3
+    assert got[(6, 7)] == 1
+    with pytest.raises(ValueError):
+        dedup.fuzzy_pairs(df, "name", "id", max_dist=3)
+
+
+def test_fuzzy_pairs_matches_bruteforce_on_random_strings(spark):
+    """Random short strings over a tiny alphabet (so near pairs are
+    dense): the blocked join must equal the O(n^2) reference for both
+    k=1 and k=2 — a single missed pair means the symmetric-delete
+    completeness argument broke."""
+    import random
+
+    from olive_spark.ops import dedup
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(3)
+    rows = [(i, "".join(rng.choice("abc") for _ in range(rng.randrange(1, 7))))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    for k in (1, 2):
+        expect = {}
+        for i, (ia, na) in enumerate(rows):
+            for ib, nb in rows[i + 1:]:
+                d = lev(na, nb)
+                if d <= k:
+                    a, b = min(ia, ib), max(ia, ib)
+                    expect[(a, b)] = d
+        got = {(r["a_id"], r["b_id"]): r["dist"]
+               for r in dedup.fuzzy_pairs(df, "name", "id", max_dist=k).collect()}
+        assert got == expect, k

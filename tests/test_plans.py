@@ -368,3 +368,16 @@ def test_resample_interpolate_no_global_window(spark):
     assert "SinglePartition" not in p
     assert "BatchEvalPython" not in p
     assert p.count("hashpartitioning") <= 5, p
+
+
+def test_fuzzy_join_is_equi_join_not_cartesian(spark):
+    """Symmetric-delete blocking must plan as a hash equi-join on the
+    variant key; a CartesianProduct / nested-loop means the distance
+    predicate leaked into the join itself."""
+    from olive_spark.queries import ALL_QUERIES
+
+    p = plan_of(ALL_QUERIES["join_fuzzy_names"][0](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate" in p  # the deletion-variant explode
+    assert "BatchEvalPython" not in p
