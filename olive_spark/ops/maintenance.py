@@ -410,3 +410,38 @@ def describe(path: str, table: str = "data") -> dict:
             and all(v is not None for v in f.stats["min"] + f.stats["max"])
         })
     return {"files": len(files), "rows": rows, "bytes": size, "columns": cols}
+
+
+def table_checksum(df, cols: "list[str]"):
+    """Order-independent content checksum for migration/replication
+    validation: ``SUM(int64(md5(concat_ws('|', cols))[0:13]))`` plus a
+    row count.  Because the per-row digest is summed, the result is
+    invariant under row order, partitioning, and file layout — the
+    property that lets two engines (or the same table before/after a
+    compact/Z-order rewrite, or an olive copy of a parquet source)
+    be compared with ONE number each, no sorted export, no driver-side
+    row transfer.  13 hex digits (52 bits) keep every per-row term
+    exactly representable, so the oracle can rebuild the identical
+    value digit-by-digit where no hex→int cast exists.
+
+    100 TB shape: a pure map-side-combined aggregate — each task folds
+    its partition into one (sum, count) pair and a single reduce
+    combines them; no shuffle of rows, no ordering anywhere.  Columns
+    must stringify identically across engines: integers, strings,
+    dates are safe; raw doubles are not (formatting differs) — cast
+    them to decimals first.
+
+    Returns a 1-row DataFrame (n_rows, checksum)."""
+    from pyspark.sql import functions as F
+
+    digest = F.md5(F.concat_ws("|", *[F.col(c) for c in cols]))
+    term = F.conv(F.substring(digest, 1, 13), 16, 10).cast("long")
+    # accumulate in decimal(38,0) (rows x 2^52 overflows int64), then
+    # reduce mod the Mersenne prime 2^61-1 back to an exact int64 —
+    # modular arithmetic keeps full sensitivity, no float rounding
+    mersenne = 2305843009213693951
+    total = F.sum(term.cast("decimal(38,0)"))
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        (total % F.lit(mersenne)).cast("long").alias("checksum"),
+    )

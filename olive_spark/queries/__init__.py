@@ -90,6 +90,7 @@ _ORDER = [
     "ts_resample_interpolate",     # r7: gapfill linear interpolation
     "llm_dedup_clusters_star",     # r7: O(log n) large/small-star CC
     "join_fuzzy_names",            # r7: symmetric-delete fuzzy join
+    "scan_table_checksum",         # r7: order-independent content sum
     # --- never driver-checked: rows-only (no ANSI-SQL oracle; banding /
     #     recall<1 ANN / k-means semantics pinned by unit tests) ---
     "llm_dedup_simhash",
@@ -126,9 +127,9 @@ _ORDER = [
     "types_decimal_date",
     "types_unsigned_time",
     "agg_groupby_sum",
-    "agg_distinct",
     # ---- beyond the 50-entry driver window ----
     # r04/r05 driver-green remainder
+    "agg_distinct",
     "agg_rollup",
     "agg_cube_events",
     "agg_grouping_sets",

@@ -450,6 +450,33 @@ SQL_FUZZY_NAMES = (
 )
 
 
+def scan_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-independent table content checksum over lineitem's
+    exact-stringifying columns (ops/maintenance.table_checksum) — the
+    migration-parity primitive: one number per engine per table,
+    invariant under row order / partitioning / file layout, computed as
+    a pure map-side-combined aggregate.  The oracle rebuilds the same
+    md5-prefix integer digit-by-digit (DuckDB has no hex→int cast);
+    13 hex digits keep each term exact in int64."""
+    from olive_spark.ops.maintenance import table_checksum
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_returnflag", "l_linestatus", "l_shipdate"]
+    df = data.load(spark, sf, "lineitem", columns=cols)
+    return table_checksum(df, cols)
+
+
+SQL_TABLE_CHECKSUM = (
+    "SELECT COUNT(*) AS n_rows, CAST(SUM(term) % 2305843009213693951 AS BIGINT) AS checksum FROM ("
+    "SELECT CAST(list_sum(list_transform(range(1, 14), i -> "
+    "  CAST((strpos('0123456789abcdef', substr(h, i, 1)) - 1) AS BIGINT) "
+    "  * CAST(power(16, 13 - i) AS BIGINT))) AS BIGINT) AS term FROM ("
+    "SELECT md5(concat_ws('|', l_orderkey, l_partkey, l_suppkey, "
+    "l_linenumber, l_returnflag, l_linestatus, l_shipdate)) AS h "
+    "FROM lineitem))"
+)
+
+
 def reshape_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     """Unpivot/melt: wide per-part numeric columns to long (attr, val)
     rows — the inverse of agg_pivot_status."""
@@ -587,6 +614,7 @@ QUERIES: dict[str, tuple] = {
     "ts_resample_locf": (ts_resample_locf, SQL_TS_RESAMPLE),
     "ts_resample_interpolate": (ts_resample_interpolate, SQL_TS_INTERP),
     "join_fuzzy_names": (join_fuzzy_names, SQL_FUZZY_NAMES),
+    "scan_table_checksum": (scan_table_checksum, SQL_TABLE_CHECKSUM),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),
     "join_interval_overlap": (join_interval_overlap, SQL_INTERVAL_JOIN),
     "reshape_unpivot": (reshape_unpivot, SQL_UNPIVOT),

@@ -707,3 +707,27 @@ def test_manifest_pruning_beats_header_opens_under_get_latency(
     print(f"\nplan-time {n_files} files @ {LAT*1000:.0f}ms GET: "
           f"manifest {with_manifest:.3f}s vs headers {without_manifest:.3f}s "
           f"({ratio:.0f}x)")
+
+
+def test_table_checksum_order_invariant_value_sensitive(spark):
+    """The migration-parity checksum must be identical across row
+    order / partitioning / layout, and must change when any single
+    value changes."""
+    from olive_spark.ops.maintenance import table_checksum
+
+    rows = [(i, f"name{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    base = table_checksum(df, ["id", "name"]).collect()[0]
+    assert base["n_rows"] == 500
+
+    shuffled = df.repartition(13).sortWithinPartitions("name")
+    again = table_checksum(shuffled, ["id", "name"]).collect()[0]
+    assert (again["n_rows"], again["checksum"]) == (base["n_rows"], base["checksum"])
+
+    import pyspark.sql.functions as F
+
+    mutated = df.withColumn(
+        "name", F.when(F.col("id") == 250, "NAMEX").otherwise(F.col("name"))
+    )
+    diff = table_checksum(mutated, ["id", "name"]).collect()[0]
+    assert diff["checksum"] != base["checksum"]

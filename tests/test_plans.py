@@ -381,3 +381,14 @@ def test_fuzzy_join_is_equi_join_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "Generate" in p  # the deletion-variant explode
     assert "BatchEvalPython" not in p
+
+
+def test_table_checksum_is_partial_final_agg(spark):
+    """The checksum must be a pure map-side-combined aggregate: rows
+    fold per partition, only (sum, count) pairs cross the wire."""
+    from olive_spark.queries import ALL_QUERIES
+
+    p = plan_of(ALL_QUERIES["scan_table_checksum"][0](spark, SF))
+    assert "partial" in p.lower(), p
+    assert "BatchEvalPython" not in p
+    assert p.count("hashpartitioning") == 0, p  # single global reduce only
