@@ -555,3 +555,58 @@ def test_compacted_log_corrupt_non_object_json_is_none(tmp_path):
     with open(f"{d}/compacted.json", "w") as f:
         f.write('{"batches": {"0": ["a.olive"]}}')
     assert _load_compacted_log(d) == {"batches": {"0": ["a.olive"]}}
+
+
+def test_admission_state_dir_restart_backlog_capped_exactly_once(
+    spark, tmp_path_factory
+):
+    """The ADVICE-r6 scenario end-to-end: a query stops with a large
+    backlog, then RESTARTS from its checkpoint — with admissionStateDir
+    the restart's batches (including its first) stay capped, and every
+    row is delivered exactly once across both runs."""
+    import time
+
+    src = str(tmp_path_factory.mktemp("rstsrc"))
+    ckpt = str(tmp_path_factory.mktemp("rstckpt"))
+    state = str(tmp_path_factory.mktemp("rststate"))
+    for i in range(6):
+        _write_part(src, i, i * 10, i * 10 + 10)  # 60 rows, 6 files
+
+    batches: list[int] = []
+
+    def sink(df, bid):
+        n = df.count()
+        if n:
+            batches.append(n)
+
+    def start():
+        return (
+            spark.readStream.format("olive")
+            .option("maxFilesPerTrigger", "2")
+            .option("admissionStateDir", state)
+            .load(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+
+    # run 1: stop after the FIRST batch commits (backlog remains)
+    q = start()
+    deadline = time.time() + 30
+    while time.time() < deadline and not batches:
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+    consumed_run1 = sum(batches)
+    assert batches and batches[0] == 20, batches  # capped first batch
+
+    # run 2 (restart with backlog): all remaining rows, still capped
+    q = start()
+    deadline = time.time() + 40
+    while time.time() < deadline and sum(batches) < 60:
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+    assert sum(batches) == 60, (consumed_run1, batches)
+    assert max(batches) <= 20, batches  # every batch cap-bounded
