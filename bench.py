@@ -58,6 +58,9 @@ HEADLINE = [
     "join_interval_overlap",       # r7: two-level grid
     "llm_decontaminate_ngram",     # r7: n-gram overlap decontamination
     "llm_boilerplate_lines",       # r7: cross-doc boilerplate removal
+    "join_fuzzy_names",            # r7: symmetric-delete fuzzy join
+    "scan_table_checksum",         # r7: migration-parity checksum
+    "scan_time_travel",            # r7: snapshot read
     # ts_resample_interpolate / ts_resample_locf are registry-checked
     # but not headline: they RETURN the dense 1M-row grid at sf0.1, so
     # bench's collect() would measure driver materialization (20 s),

@@ -120,8 +120,12 @@ def _list_chunk_files(path: str) -> list[str]:
         return [path]
     out = []
     for root, dirs, files in os.walk(path):
-        dirs.sort()  # os.walk order is fs-dependent; schema resolution
-        # and streaming offsets both key off the file order, so pin it
+        # os.walk order is fs-dependent; schema resolution and streaming
+        # offsets both key off the file order, so pin it.  `_`-prefixed
+        # dirs (hive convention) are metadata, not data — in particular
+        # _olive_history holds compaction-replaced files that only
+        # snapshot reads may see (they'd double-count in a live scan)
+        dirs[:] = sorted(d for d in dirs if not d.startswith("_"))
         for f in sorted(files):
             if f.endswith(".olive"):
                 out.append(os.path.join(root, f))
@@ -351,6 +355,8 @@ class OliveReader(DataSourceReader):
         else:
             cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0) or (os.cpu_count() or 8))
             self.min_partitions = min(8, cpus)
+        snap = options.get("snapshot")
+        self.snapshot = int(snap) if snap is not None else None
         self.predicates: list[tuple[str, str, Any]] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -381,7 +387,17 @@ class OliveReader(DataSourceReader):
         return iter(filters)
 
     def partitions(self) -> Sequence[OliveInputPartition]:
-        files = _list_chunk_files(self.path)
+        if self.snapshot is not None:
+            # time travel: scan the file list the snapshot log recorded
+            # at that version (live dir, else _olive_history); missing
+            # files fail loud — never a silently partial table
+            from olive_spark.format.snapshots import files_at, resolve_paths
+
+            files = resolve_paths(
+                self.path, files_at(self.path, self.snapshot)
+            )
+        else:
+            files = _list_chunk_files(self.path)
         keep = []
         preds = tuple(self.predicates)
         # Consume-and-clear: read() takes predicates from the partition
@@ -817,17 +833,36 @@ class OliveWriter(DataSourceArrowWriter):
         return OliveCommitMessage(tuple(files), tuple(self._summaries))
 
     def commit(self, messages) -> None:
-        # files are final on write; the commit's job is the manifest —
-        # one atomic read-merge-replace on the driver (advisory planning
-        # metadata: a crash before this point costs pruning, not rows)
-        if not any(m.files for m in messages if m is not None):
+        # files are final on write; the commit's job is the metadata —
+        # one atomic read-merge-replace each for the stats manifest and
+        # the snapshot log on the driver (both advisory: a crash before
+        # this point costs pruning / time travel, not rows)
+        added = [fp for m in messages if m is not None for fp in m.files]
+        if not added:
             # every task was empty (filter matched nothing — routine in
             # big pipelines): persist ONE schema-bearing empty chunk so
             # the table still round-trips instead of failing on read
-            self._write_empty_table()
+            added = [self._write_empty_table()]
         self._merge_manifest(messages)
+        self._log_snapshot(added)
 
-    def _write_empty_table(self) -> None:
+    def _log_snapshot(self, added: "list[str]") -> None:
+        from olive_spark.format.snapshots import append_entry
+
+        try:
+            append_entry(
+                self.path,
+                add=[os.path.relpath(fp, self.path) for fp in added],
+                # overwrite wiped prior files before tasks ran — the
+                # snapshot starts fresh (old versions stay replayable
+                # only while their files survive, i.e. not after an
+                # overwrite: it deletes, by design)
+                reset=self.overwrite,
+            )
+        except OSError:
+            pass  # advisory metadata, same policy as the stats manifest
+
+    def _write_empty_table(self) -> str:
         import pyarrow as pa
 
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -842,6 +877,7 @@ class OliveWriter(DataSourceArrowWriter):
         fp = os.path.join(self.path, _chunk_file_name())
         with open(fp, "wb") as f:
             f.write(blob)
+        return fp
 
     def _merge_manifest(self, messages) -> None:
         from olive_spark.format.manifest import merge_manifest
@@ -1158,6 +1194,7 @@ class OliveStreamWriter(DataSourceStreamArrowWriter):
     def commit(self, messages, batchId: int) -> None:
         if not self._exactly_once:
             self._batch._merge_manifest(messages)
+            self._log_snapshot(messages)
             return
         if self._is_committed(batchId):
             # replay of an already-committed epoch: the logged files
@@ -1202,6 +1239,27 @@ class OliveStreamWriter(DataSourceStreamArrowWriter):
             self._maybe_compact_log()
         except BaseException:  # noqa: BLE001
             pass
+        try:
+            self._log_snapshot(messages)
+        except BaseException:  # noqa: BLE001 — post-log, must not raise
+            pass
+
+    def _log_snapshot(self, messages) -> None:
+        """One snapshot version per committed epoch (advisory; replayed
+        epochs never reach here — their files were aborted)."""
+        from olive_spark.format.snapshots import append_entry
+
+        added = [
+            os.path.relpath(fp, self._batch.path)
+            for m in messages
+            if m is not None
+            for fp in m.files
+        ]
+        if added:
+            try:
+                append_entry(self._batch.path, add=added)
+            except OSError:
+                pass
 
     def _is_committed(self, batchId: int) -> bool:
         if os.path.exists(self._log_path(batchId)):
@@ -1285,7 +1343,14 @@ class OliveDataSource(DataSource):
     def schema(self) -> StructType:
         from pyspark.sql.types import StructField
 
-        files = _list_chunk_files(self.options["path"])
+        snap = self.options.get("snapshot")
+        if snap is not None:
+            from olive_spark.format.snapshots import files_at, resolve_paths
+
+            path = self.options["path"]
+            files = resolve_paths(path, files_at(path, int(snap)))
+        else:
+            files = _list_chunk_files(self.options["path"])
         merge = str(self.options.get("mergeschema", self.options.get(
             "mergeSchema", "false"))).lower() == "true"
         headers = files if merge else files[:1]

@@ -1,0 +1,189 @@
+"""Snapshot log: time travel for olive table directories.
+
+Because chunk files are immutable and writes append new uuid-named
+files, a *snapshot* of a table is nothing more than the file list at a
+commit point.  The log (``_olive_snapshots.json``, atomic tmp+replace
+under the table's documented single-writer contract) records one entry
+per commit — ``add`` names, ``remove`` names (compaction), and a
+``reset`` flag (overwrite) — so any retained version's file list can be
+replayed, and ``.option("snapshot", N)`` scans exactly that list.  The
+same planning-metadata move as Delta/Iceberg's version log, scoped to
+the advisory-sidecar safety model this engine uses everywhere:
+
+- the log is ADVISORY for current-version scans — they keep listing the
+  directory, so a lost or corrupt log never changes present-day
+  results, only removes time travel;
+- files replaced by ``compact(retain_history=True)`` move into
+  ``_olive_history/`` (invisible to directory scans, which skip
+  ``_``-prefixed directories) instead of being deleted, so older
+  snapshots stay reconstructable until ``vacuum(retain_snapshots=K)``
+  expires them;
+- a snapshot whose files were removed without history retention fails
+  LOUD with the missing names — never a silently partial table.
+
+At 100 TB the entries are slim (names only — stats stay in the
+directory manifest) and expiration collapses everything older than the
+retention window into one reset base entry, so the log stays
+O(retained versions + files).
+
+The reference format has no directory layer at all (one chunk per
+file, /root/reference/src/chunk.zig); snapshots are this engine's
+extension, like the directory scan itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+from olive_spark.format.errors import ValidationError
+
+SNAPSHOT_LOG = "_olive_snapshots.json"
+HISTORY_DIR = "_olive_history"
+
+
+def log_path(dirpath: str) -> str:
+    return os.path.join(dirpath, SNAPSHOT_LOG)
+
+
+def load_log(dirpath: str) -> dict:
+    """Tolerant read: absent/corrupt/non-object logs yield an empty log
+    (current-version scans never depend on it — advisory sidecar)."""
+    try:
+        with open(log_path(dirpath)) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        return {"entries": []}
+    if not isinstance(doc, dict) or not isinstance(doc.get("entries"), list):
+        return {"entries": []}
+    return doc
+
+
+def _write_log(dirpath: str, log: dict) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=dirpath, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(log, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, log_path(dirpath))
+
+
+def current_version(dirpath: str) -> int:
+    entries = load_log(dirpath)["entries"]
+    return int(entries[-1]["v"]) if entries else 0
+
+
+def append_entry(
+    dirpath: str, add, remove=(), reset: bool = False,
+) -> int:
+    """Record one commit; returns the new version number.  Single-writer
+    contract (same as the stats manifest): no concurrent appenders."""
+    log = load_log(dirpath)
+    entries = log["entries"]
+    v = int(entries[-1]["v"]) + 1 if entries else 1
+    entry = {
+        "v": v,
+        "ts": time.time(),
+        "add": sorted(add),
+        "remove": sorted(remove),
+    }
+    if reset:
+        entry["reset"] = True
+    entries.append(entry)
+    _write_log(dirpath, log)
+    return v
+
+
+def files_at(dirpath: str, version: int) -> list[str]:
+    """Replay the log up to ``version``; returns sorted relative names."""
+    entries = load_log(dirpath)["entries"]
+    if not entries:
+        raise ValidationError(
+            f"no snapshot log at {dirpath} — the table was written before "
+            "snapshot tracking, or the log was removed"
+        )
+    versions = [int(e["v"]) for e in entries]
+    if int(version) not in versions:
+        raise ValidationError(
+            f"unknown snapshot {version}: log holds versions "
+            f"{versions[0]}..{versions[-1]} "
+            "(older versions may have been expired by vacuum)"
+        )
+    live: set[str] = set()
+    for e in entries:
+        if int(e["v"]) > int(version):
+            break
+        if e.get("reset"):
+            live.clear()
+        live.update(e.get("add", ()))
+        live.difference_update(e.get("remove", ()))
+    return sorted(live)
+
+
+def resolve_paths(dirpath: str, names) -> list[str]:
+    """Map snapshot-relative names to on-disk paths: the live directory
+    first, then ``_olive_history/``.  Missing files fail loud."""
+    out, missing = [], []
+    for n in names:
+        live = os.path.join(dirpath, n)
+        hist = os.path.join(dirpath, HISTORY_DIR, n)
+        if os.path.exists(live):
+            out.append(live)
+        elif os.path.exists(hist):
+            out.append(hist)
+        else:
+            missing.append(n)
+    if missing:
+        raise ValidationError(
+            "snapshot not reconstructable — files were removed without "
+            f"history retention (compact(retain_history=True) keeps them; "
+            f"vacuum(retain_snapshots=K) bounds how long): {missing[:5]}"
+            + ("..." if len(missing) > 5 else "")
+        )
+    return out
+
+
+def expire(dirpath: str, retain: int) -> dict:
+    """Expire all but the last ``retain`` versions: older entries
+    collapse into one reset base entry, and history files referenced
+    ONLY by expired versions are deleted.  Returns
+    {"retained", "expired", "history_deleted"}."""
+    if retain < 1:
+        raise ValueError("retain must be >= 1")
+    log = load_log(dirpath)
+    entries = log["entries"]
+    if not entries:
+        return {"retained": 0, "expired": 0, "history_deleted": 0}
+    keep = entries[-retain:]
+    expired = len(entries) - len(keep)
+    base_v = int(keep[0]["v"])
+    base_files = files_at(dirpath, base_v)
+    referenced: set[str] = set()
+    for e in keep:
+        referenced.update(files_at(dirpath, int(e["v"])))
+    new_entries = [{
+        "v": base_v,
+        "ts": keep[0].get("ts"),
+        "add": base_files,
+        "remove": [],
+        "reset": True,
+    }] + keep[1:]
+    _write_log(dirpath, {"entries": new_entries})
+    hist = os.path.join(dirpath, HISTORY_DIR)
+    deleted = 0
+    if os.path.isdir(hist):
+        for root, _dirs, files in os.walk(hist):
+            for fn in files:
+                fp = os.path.join(root, fn)
+                rel = os.path.relpath(fp, hist)
+                if rel not in referenced:
+                    try:
+                        os.remove(fp)
+                        deleted += 1
+                    except OSError:
+                        pass
+    return {"retained": len(keep), "expired": expired,
+            "history_deleted": deleted}

@@ -43,6 +43,26 @@ def _morton_expr(cols, bits: int | None = None):
     return z
 
 
+def _retire_original(path: str, rel: str, history: bool) -> bool:
+    """Remove a compaction-replaced file from the LIVE listing: deleted
+    outright, or moved into _olive_history/ (invisible to directory
+    scans, still resolvable by snapshot reads) when history retention
+    is on."""
+    src = os.path.join(path, rel)
+    try:
+        if history:
+            from olive_spark.format.snapshots import HISTORY_DIR
+
+            dest = os.path.join(path, HISTORY_DIR, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(src, dest)
+        else:
+            os.remove(src)
+        return True
+    except FileNotFoundError:
+        return False
+
+
 def compact(
     spark,
     path: str,
@@ -50,6 +70,7 @@ def compact(
     sort_by: str | None = None,
     zorder_by: "list[str] | None" = None,
     table: str = "data",
+    retain_history: bool = False,
 ) -> dict:
     """Rewrite the olive directory at ``path`` into files of
     ``target_rows``; with ``sort_by``, range-partition + sort so page
@@ -64,6 +85,11 @@ def compact(
     briefly see old AND new files during activation — a transient
     duplicate, never a lost table).  There is no lock; coordinating
     writers is the caller's job, same as any directory-swap scheme.
+
+    ``retain_history=True`` moves the replaced originals into
+    ``_olive_history/`` instead of deleting them, so snapshot reads of
+    pre-compaction versions (``.option("snapshot", N)``) stay
+    reconstructable until ``vacuum(retain_snapshots=K)`` expires them.
 
     Crash safety: before activation an intent manifest
     (``compact-<run>.manifest.json``) is written inside the table
@@ -155,11 +181,13 @@ def compact(
         staged.append(dest)
         finals.append(final)
     manifest = os.path.join(path, f"compact-{run}.manifest.json")
+    original_rels = [os.path.relpath(f, path) for f in before]
     payload = json.dumps(
         {
             "run": run,
-            "originals": [os.path.relpath(f, path) for f in before],
+            "originals": original_rels,
             "finals": finals,
+            "history": bool(retain_history),
         }
     )
     with open(manifest + ".tmp", "w") as fh:
@@ -169,11 +197,8 @@ def compact(
     os.replace(manifest + ".tmp", manifest)
     for dest in staged:
         os.replace(dest, dest[: -len(".staging")])
-    for f in before:
-        try:
-            os.remove(f)
-        except FileNotFoundError:
-            pass
+    for rel in original_rels:
+        _retire_original(path, rel, retain_history)
     os.remove(manifest)
     shutil.rmtree(tmp, ignore_errors=True)
     try:
@@ -183,6 +208,14 @@ def compact(
         # the manifest is what lets a 100 TB plan prune files without
         # opening them
         merge_manifest(path, stats_entries)
+    except OSError:
+        pass
+    try:
+        # snapshot log: this rewrite is one version — new files in, old
+        # files out (resolvable from _olive_history when retained)
+        from olive_spark.format.snapshots import append_entry
+
+        append_entry(path, add=finals, remove=original_rels)
     except OSError:
         pass
     after = _list_chunk_files(path)
@@ -223,17 +256,23 @@ def _recover_pending(path: str) -> dict:
                 os.replace(spath, fpath)
                 out["activated"] += 1
         for orig in man.get("originals", []):
-            try:
-                os.remove(os.path.join(path, orig))
+            if _retire_original(path, orig, bool(man.get("history"))):
                 out["originals_deleted"] += 1
-            except FileNotFoundError:
-                pass
         os.remove(mf)
+        try:
+            from olive_spark.format.snapshots import append_entry
+
+            append_entry(
+                path, add=man.get("finals", []),
+                remove=man.get("originals", []),
+            )
+        except OSError:
+            pass
         out["manifests_completed"] += 1
     return out
 
 
-def vacuum(path: str) -> dict:
+def vacuum(path: str, retain_snapshots: int = 0) -> dict:
     """Recover from a crashed ``compact`` and remove its debris.
 
     First completes any pending compaction recorded by an intent
@@ -269,11 +308,18 @@ def vacuum(path: str) -> dict:
         if os.path.isdir(d):
             shutil.rmtree(d, ignore_errors=True)
             removed_tmpdirs += 1
-    return {
+    out = {
         "staging_files": removed_staging,
         "tmp_dirs": removed_tmpdirs,
         **recovery,
     }
+    if retain_snapshots > 0:
+        # expire snapshot versions beyond the retention window and drop
+        # _olive_history files only those versions referenced
+        from olive_spark.format.snapshots import expire
+
+        out["snapshots"] = expire(path, retain_snapshots)
+    return out
 
 
 def vacuum_stream_sink(path: str) -> dict:

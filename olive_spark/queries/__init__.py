@@ -91,6 +91,7 @@ _ORDER = [
     "llm_dedup_clusters_star",     # r7: O(log n) large/small-star CC
     "join_fuzzy_names",            # r7: symmetric-delete fuzzy join
     "scan_table_checksum",         # r7: order-independent content sum
+    "scan_time_travel",            # r7: snapshot-log versioned read
     # --- never driver-checked: rows-only (no ANSI-SQL oracle; banding /
     #     recall<1 ANN / k-means semantics pinned by unit tests) ---
     "llm_dedup_simhash",
@@ -126,9 +127,9 @@ _ORDER = [
     "compression_codecs",
     "types_decimal_date",
     "types_unsigned_time",
-    "agg_groupby_sum",
     # ---- beyond the 50-entry driver window ----
     # r04/r05 driver-green remainder
+    "agg_groupby_sum",
     "agg_distinct",
     "agg_rollup",
     "agg_cube_events",

@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 
 CACHE_ROOT = "/tmp/olive_cache"
-CACHE_VERSION = "v9"  # bump when derived-table definitions change
+CACHE_VERSION = "v10"  # bump when derived-table definitions change
 N_CHUNKS = 16  # files per table = scan parallelism floor (real clusters
 MIN_CHUNK_ROWS = 256  # get this for free from many-file layouts)
 TABLES = (
@@ -229,6 +229,24 @@ def _write_derived(sf_dir: str, out: str) -> None:
         })},
         bloom_columns=["h"],
     )
+
+    # events_versioned — a snapshot-logged table with two commit
+    # versions for the time-travel query: v1 holds events with
+    # user_id < 50, v2 appends the rest.  Entries are appended exactly
+    # like the DSv2 writer's commit would.
+    from olive_spark.format.snapshots import append_entry
+
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    vdir = os.path.join(out, "events_versioned")
+    os.makedirs(vdir, exist_ok=True)
+    for idx, part in enumerate((
+        ev.filter(pc.less(ev.column("user_id"), 50)),
+        ev.filter(pc.greater_equal(ev.column("user_id"), 50)),
+    )):
+        fn = f"part-{idx:05d}.olive"
+        with open(os.path.join(vdir, fn), "wb") as f:
+            f.write(write_chunk({"events_versioned": part}))
+        append_entry(vdir, add=[fn])
 
 
 def load_partitioned(spark, sf_dir: str, table: str, partition_by: str,

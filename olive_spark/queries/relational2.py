@@ -477,6 +477,33 @@ SQL_TABLE_CHECKSUM = (
 )
 
 
+def scan_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot read (format/snapshots.py): the derived
+    events_versioned table has two logged commit versions (v1 =
+    user_id < 50, v2 appends the rest); ``.option("snapshot", "1")``
+    must scan exactly v1's file list — the oracle recomputes v1's
+    content from the base events table, so a snapshot that leaked v2
+    rows (or dropped v1 files) hash-mismatches."""
+    import os as _os
+
+    from olive_spark.datasource import register_olive
+
+    register_olive(spark)
+    path = _os.path.join(data.ensure_olive(sf), "events_versioned")
+    df = spark.read.format("olive").option("snapshot", "1").load(path)
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(D)).cast(D).alias("sum_value"),
+    )
+
+
+SQL_TIME_TRAVEL = (
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value "
+    "FROM events WHERE user_id < 50 GROUP BY event_type"
+)
+
+
 def reshape_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     """Unpivot/melt: wide per-part numeric columns to long (attr, val)
     rows — the inverse of agg_pivot_status."""
@@ -615,6 +642,7 @@ QUERIES: dict[str, tuple] = {
     "ts_resample_interpolate": (ts_resample_interpolate, SQL_TS_INTERP),
     "join_fuzzy_names": (join_fuzzy_names, SQL_FUZZY_NAMES),
     "scan_table_checksum": (scan_table_checksum, SQL_TABLE_CHECKSUM),
+    "scan_time_travel": (scan_time_travel, SQL_TIME_TRAVEL),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),
     "join_interval_overlap": (join_interval_overlap, SQL_INTERVAL_JOIN),
     "reshape_unpivot": (reshape_unpivot, SQL_UNPIVOT),

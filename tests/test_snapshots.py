@@ -1,0 +1,184 @@
+"""Snapshot log / time travel over olive directories: versions per
+commit, snapshot reads, overwrite resets, compaction history retention,
+vacuum expiration, and advisory-tolerant degradation."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from olive_spark import register_olive
+
+    register_olive(s)
+    yield s
+
+
+def _write(spark, path, lo, hi, mode="append"):
+    spark.range(lo, hi).withColumnRenamed("id", "k") \
+        .coalesce(1).write.format("olive").mode(mode).save(path)
+
+
+def _read_snapshot(spark, path, version):
+    return (
+        spark.read.format("olive").option("snapshot", str(version)).load(path)
+    )
+
+
+def test_each_commit_is_a_version_and_snapshots_replay(spark, tmp_path_factory):
+    from olive_spark.format import snapshots
+
+    path = str(tmp_path_factory.mktemp("snap") / "t")
+    _write(spark, path, 0, 10)
+    _write(spark, path, 10, 30)
+    _write(spark, path, 30, 35)
+    assert snapshots.current_version(path) == 3
+
+    assert spark.read.format("olive").load(path).count() == 35
+    assert _read_snapshot(spark, path, 1).count() == 10
+    assert _read_snapshot(spark, path, 2).count() == 30
+    assert sorted(r["k"] for r in _read_snapshot(spark, path, 2).collect()) \
+        == list(range(30))
+    assert _read_snapshot(spark, path, 3).count() == 35
+
+
+def test_overwrite_resets_the_snapshot_line(spark, tmp_path_factory):
+    from olive_spark.format import snapshots
+
+    path = str(tmp_path_factory.mktemp("snapov") / "t")
+    _write(spark, path, 0, 10)
+    _write(spark, path, 0, 5, mode="overwrite")
+    assert snapshots.current_version(path) == 2
+    assert spark.read.format("olive").load(path).count() == 5
+    assert _read_snapshot(spark, path, 2).count() == 5
+    # version 1's files were deleted by the overwrite (by design):
+    # reading it fails loud, never returns a partial table
+    with pytest.raises(Exception, match="snapshot"):
+        _read_snapshot(spark, path, 1).count()
+
+
+def test_compact_with_history_keeps_old_snapshots_readable(
+    spark, tmp_path_factory
+):
+    from olive_spark.format import snapshots
+    from olive_spark.ops.maintenance import compact
+
+    path = str(tmp_path_factory.mktemp("snapc") / "t")
+    _write(spark, path, 0, 50)
+    _write(spark, path, 50, 80)
+    res = compact(spark, path, target_rows=100, retain_history=True)
+    assert res["rows"] == 80
+    # live dir: only compacted files; history holds the originals
+    assert os.path.isdir(os.path.join(path, snapshots.HISTORY_DIR))
+    assert spark.read.format("olive").load(path).count() == 80
+
+    # pre-compaction snapshots resolve from history, exactly
+    assert _read_snapshot(spark, path, 1).count() == 50
+    assert sorted(r["k"] for r in _read_snapshot(spark, path, 2).collect()) \
+        == list(range(80))
+    # post-compaction version reads the compacted files
+    v = snapshots.current_version(path)
+    assert _read_snapshot(spark, path, v).count() == 80
+
+
+def test_compact_without_history_fails_old_snapshots_loud(
+    spark, tmp_path_factory
+):
+    from olive_spark.ops.maintenance import compact
+
+    path = str(tmp_path_factory.mktemp("snapnoh") / "t")
+    _write(spark, path, 0, 20)
+    compact(spark, path, target_rows=100)  # originals deleted
+    assert spark.read.format("olive").load(path).count() == 20
+    with pytest.raises(Exception, match="not reconstructable"):
+        _read_snapshot(spark, path, 1).count()
+
+
+def test_vacuum_expires_versions_and_prunes_history(spark, tmp_path_factory):
+    from olive_spark.format import snapshots
+    from olive_spark.ops.maintenance import compact, vacuum
+
+    path = str(tmp_path_factory.mktemp("snapvac") / "t")
+    _write(spark, path, 0, 10)     # v1
+    _write(spark, path, 10, 20)    # v2
+    compact(spark, path, target_rows=100, retain_history=True)  # v3
+    _write(spark, path, 20, 25)    # v4
+    hist = os.path.join(path, snapshots.HISTORY_DIR)
+    n_hist_before = sum(len(fs) for _, _, fs in os.walk(hist))
+    assert n_hist_before > 0
+
+    out = vacuum(path, retain_snapshots=2)  # keep v3, v4
+    assert out["snapshots"]["retained"] == 2
+    assert out["snapshots"]["expired"] == 2
+    # retained versions still replay (v3/v4 reference no history files)
+    assert _read_snapshot(spark, path, 3).count() == 20
+    assert _read_snapshot(spark, path, 4).count() == 25
+    # expired versions are gone from the log
+    with pytest.raises(Exception, match="unknown snapshot"):
+        _read_snapshot(spark, path, 1).count()
+    # history files referenced only by expired versions were deleted
+    n_hist_after = sum(len(fs) for _, _, fs in os.walk(hist)) \
+        if os.path.isdir(hist) else 0
+    assert n_hist_after == 0
+    # the live table is untouched
+    assert spark.read.format("olive").load(path).count() == 25
+
+
+def test_corrupt_log_degrades_to_advisory(spark, tmp_path_factory):
+    """Current-version scans never depend on the log; snapshot reads of
+    a corrupt log fail with a clear error, not a crash."""
+    from olive_spark.format import snapshots
+
+    path = str(tmp_path_factory.mktemp("snapbad") / "t")
+    _write(spark, path, 0, 10)
+    with open(snapshots.log_path(path), "w") as f:
+        f.write("[this, is, not, an, object]")
+    assert spark.read.format("olive").load(path).count() == 10
+    with pytest.raises(Exception, match="no snapshot log"):
+        _read_snapshot(spark, path, 1).count()
+    # next commit restarts the line cleanly: the fresh log's v1 holds
+    # only that commit's files (earlier files predate the new line)
+    _write(spark, path, 10, 12)
+    assert snapshots.current_version(path) == 1
+    assert _read_snapshot(spark, path, 1).count() == 2
+    assert spark.read.format("olive").load(path).count() == 12
+
+
+def test_stream_sink_epochs_are_versions(spark, tmp_path_factory):
+    from olive_spark import streaming
+    from olive_spark.format import snapshots
+
+    import pyarrow as pa
+
+    from olive_spark.format import write_chunk
+
+    src = str(tmp_path_factory.mktemp("snapssrc"))
+    sink = str(tmp_path_factory.mktemp("snapssink") / "t")
+    ckpt = str(tmp_path_factory.mktemp("snapsckpt"))
+
+    def part(idx, lo, hi):
+        t = pa.table({"k": pa.array(list(range(lo, hi)), pa.int64())})
+        with open(os.path.join(src, f"part-{idx:05d}.olive"), "wb") as f:
+            f.write(write_chunk({"data": t}))
+
+    part(0, 0, 40)
+    streaming.write_stream_olive(streaming.read_stream(spark, src), sink, ckpt)
+    v1 = snapshots.current_version(sink)
+    assert v1 >= 1
+    part(1, 40, 60)
+    streaming.write_stream_olive(streaming.read_stream(spark, src), sink, ckpt)
+    assert snapshots.current_version(sink) > v1
+    assert _read_snapshot(spark, sink, v1).count() == 40
+    assert spark.read.format("olive").load(sink).count() == 60
