@@ -491,3 +491,33 @@ def table_checksum(df, cols: "list[str]"):
         F.count("*").alias("n_rows"),
         (total % F.lit(mersenne)).cast("long").alias("checksum"),
     )
+
+
+def snapshot_history(path: str) -> "list[dict]":
+    """Version listing for a snapshot-logged table (the DESCRIBE
+    HISTORY counterpart): one dict per retained version with its
+    timestamp, add/remove counts, kind, and cumulative live-file
+    count — reconstructed from the log only, no directory I/O."""
+    from olive_spark.format.snapshots import load_log
+
+    out = []
+    live: set[str] = set()
+    for e in load_log(path)["entries"]:
+        if e.get("reset"):
+            live.clear()
+            kind = "overwrite"
+        elif e.get("remove"):
+            kind = "compact"
+        else:
+            kind = "append"
+        live.update(e.get("add", ()))
+        live.difference_update(e.get("remove", ()))
+        out.append({
+            "version": int(e["v"]),
+            "ts": e.get("ts"),
+            "kind": kind,
+            "added": len(e.get("add", ())),
+            "removed": len(e.get("remove", ())),
+            "live_files": len(live),
+        })
+    return out

@@ -182,3 +182,19 @@ def test_stream_sink_epochs_are_versions(spark, tmp_path_factory):
     assert snapshots.current_version(sink) > v1
     assert _read_snapshot(spark, sink, v1).count() == 40
     assert spark.read.format("olive").load(sink).count() == 60
+
+
+def test_snapshot_history_listing(spark, tmp_path_factory):
+    from olive_spark.ops.maintenance import compact, snapshot_history
+
+    path = str(tmp_path_factory.mktemp("snaph") / "t")
+    _write(spark, path, 0, 10)
+    _write(spark, path, 10, 20)
+    compact(spark, path, target_rows=100, retain_history=True)
+    _write(spark, path, 0, 3, mode="overwrite")
+    hist = snapshot_history(path)
+    assert [h["kind"] for h in hist] == \
+        ["append", "append", "compact", "overwrite"]
+    assert [h["version"] for h in hist] == [1, 2, 3, 4]
+    assert hist[2]["removed"] == 2 and hist[2]["live_files"] == 1
+    assert hist[3]["live_files"] == 1
