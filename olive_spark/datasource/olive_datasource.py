@@ -847,20 +847,11 @@ class OliveWriter(DataSourceArrowWriter):
         self._log_snapshot(added)
 
     def _log_snapshot(self, added: "list[str]") -> None:
-        from olive_spark.format.snapshots import append_entry
-
-        try:
-            append_entry(
-                self.path,
-                add=[os.path.relpath(fp, self.path) for fp in added],
-                # overwrite wiped prior files before tasks ran — the
-                # snapshot starts fresh (old versions stay replayable
-                # only while their files survive, i.e. not after an
-                # overwrite: it deletes, by design)
-                reset=self.overwrite,
-            )
-        except OSError:
-            pass  # advisory metadata, same policy as the stats manifest
+        # overwrite wiped prior files before tasks ran — the snapshot
+        # starts fresh (old versions stay replayable only while their
+        # files survive, i.e. not after an overwrite: it deletes, by
+        # design)
+        _append_snapshot_entry(self.path, added, reset=self.overwrite)
 
     def _write_empty_table(self) -> str:
         import pyarrow as pa
@@ -964,6 +955,7 @@ class OliveStreamReader(DataSourceStreamReader):
             "admissionstatedir", options.get("admissionStateDir")
         )
         self._frontier: "int | None" = None
+        self._persisted: "int | None" = None  # last sidecar write
 
     def _files(self) -> list[str]:
         try:
@@ -984,14 +976,15 @@ class OliveStreamReader(DataSourceStreamReader):
             return None
 
     def _persist_frontier(self, index: int) -> None:
-        """Best-effort atomic mirror of the last PLANNED offset; a lost
-        write only means the next run's first batch is uncapped."""
+        """Best-effort atomic mirror of the frontier; a lost write only
+        means the next run's first batch is uncapped."""
         try:
             os.makedirs(self._state_dir, exist_ok=True)
             fd, tmp = tempfile.mkstemp(dir=self._state_dir, suffix=".tmp")
             with os.fdopen(fd, "w") as f:
                 json.dump({"index": int(index)}, f)
             os.replace(tmp, self._frontier_path())
+            self._persisted = int(index)
         except OSError:
             pass
 
@@ -1052,11 +1045,20 @@ class OliveStreamReader(DataSourceStreamReader):
         # out-of-order writers)
         end = self._admit(files)
         self._frontier = end
-        if self._state_dir is not None:
-            # persist the speculative end too: a capped no-op poll of a
-            # restart whose sidecar lagged still advances the sidecar,
-            # so repeated availableNow runs converge on the checkpoint
-            # instead of re-capping from the same stale index forever
+        if self._state_dir is not None and end != self._persisted:
+            # Persist the speculative end too (only when it changed —
+            # an idle poll loop must not rewrite the sidecar every
+            # trigger): a capped no-op poll of a restart whose sidecar
+            # lagged still advances the sidecar, so repeated
+            # availableNow runs converge on the checkpoint instead of
+            # re-capping from the same stale index forever.  Trade-off
+            # (documented): this value is not yet WAL-pinned, so a
+            # crash after this write but before Spark logs the batch
+            # leaves the sidecar one cap ahead of committed — the next
+            # run's first batch then spans up to 2x the cap, once.
+            # Bounded and self-correcting; the alternative (planned-
+            # only persistence) permanently stalls availableNow drains
+            # whose sidecar lags the checkpoint.
             self._persist_frontier(end)
         return {
             "index": end,
@@ -1105,12 +1107,12 @@ class OliveStreamReader(DataSourceStreamReader):
         # any latestOffset fires — learn it so the admission cap never
         # regresses the frontier behind the committed offset
         self._frontier = max(self._frontier or 0, end["index"])
-        # mirror the PLANNED end offset (not the speculative frontier —
-        # a latestOffset the engine never turned into a batch is not
-        # WAL-pinned): Spark's WAL pins this range at plan time and a
-        # crash replays exactly it, so the next run's first latestOffset
-        # can cap from here instead of eating the backlog
-        if self._state_dir is not None:
+        # mirror the PLANNED end offset: Spark's WAL pins this range at
+        # plan time and a crash replays exactly it, so the next run's
+        # first latestOffset caps from here instead of eating the
+        # backlog (latestOffset also mirrors its speculative end — see
+        # the trade-off note there)
+        if self._state_dir is not None and end["index"] != self._persisted:
             self._persist_frontier(end["index"])
         files = all_files[start["index"] : end["index"]]
         if not files:
@@ -1132,6 +1134,25 @@ class OliveStreamReader(DataSourceStreamReader):
         pass
 
     def stop(self) -> None:
+        pass
+
+
+def _append_snapshot_entry(
+    table_path: str, added_abs: "list[str]", reset: bool = False,
+) -> None:
+    """Shared best-effort snapshot append for both commit paths (batch
+    writer + streaming sink): map absolute file paths to table-relative
+    names and record one log entry.  Advisory metadata — same swallow
+    policy as the stats manifest."""
+    from olive_spark.format.snapshots import append_entry
+
+    try:
+        append_entry(
+            table_path,
+            add=[os.path.relpath(fp, table_path) for fp in added_abs],
+            reset=reset,
+        )
+    except OSError:
         pass
 
 
@@ -1247,19 +1268,11 @@ class OliveStreamWriter(DataSourceStreamArrowWriter):
     def _log_snapshot(self, messages) -> None:
         """One snapshot version per committed epoch (advisory; replayed
         epochs never reach here — their files were aborted)."""
-        from olive_spark.format.snapshots import append_entry
-
         added = [
-            os.path.relpath(fp, self._batch.path)
-            for m in messages
-            if m is not None
-            for fp in m.files
+            fp for m in messages if m is not None for fp in m.files
         ]
         if added:
-            try:
-                append_entry(self._batch.path, add=added)
-            except OSError:
-                pass
+            _append_snapshot_entry(self._batch.path, added)
 
     def _is_committed(self, batchId: int) -> bool:
         if os.path.exists(self._log_path(batchId)):

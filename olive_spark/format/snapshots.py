@@ -160,10 +160,22 @@ def expire(dirpath: str, retain: int) -> dict:
     keep = entries[-retain:]
     expired = len(entries) - len(keep)
     base_v = int(keep[0]["v"])
-    base_files = files_at(dirpath, base_v)
+    # single forward replay: accumulate the live set once, snapshotting
+    # it at the base version and at every retained version (replaying
+    # the whole log per retained version would be O(retain x entries))
+    keep_versions = {int(e["v"]) for e in keep}
+    live: set[str] = set()
+    base_files: list[str] = []
     referenced: set[str] = set()
-    for e in keep:
-        referenced.update(files_at(dirpath, int(e["v"])))
+    for e in entries:
+        if e.get("reset"):
+            live.clear()
+        live.update(e.get("add", ()))
+        live.difference_update(e.get("remove", ()))
+        if int(e["v"]) == base_v:
+            base_files = sorted(live)
+        if int(e["v"]) in keep_versions:
+            referenced.update(live)
     new_entries = [{
         "v": base_v,
         "ts": keep[0].get("ts"),

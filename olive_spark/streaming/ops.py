@@ -262,15 +262,23 @@ def drain_available_now(
     all-or-nothing epoch (the r6 audit's availableNow hole).
 
     ``start_query`` must build a fresh query against the SAME
-    checkpoint each call; progress is read from the query's
-    ``lastProgress`` row counts."""
+    checkpoint each call.  Progress is OFFSET advancement, not row
+    counts: an epoch that admits only schema-bearing empty chunks
+    (routine — zero-row commits write one, see
+    OliveWriter._write_empty_table) moves the checkpoint while
+    reporting numInputRows == 0, and stopping there would strand the
+    rest of the backlog behind it."""
     runs = 0
+    last_end = None
     for _ in range(int(max_runs)):
         q = start_query()
         q.awaitTermination()
         progress = q.lastProgress
-        n = int(progress["numInputRows"]) if progress else 0
-        if n == 0:
+        end = None
+        if progress and progress.get("sources"):
+            end = progress["sources"][0].get("endOffset")
+        if end is None or end == last_end:
             break
+        last_end = end
         runs += 1
     return runs

@@ -610,3 +610,45 @@ def test_admission_state_dir_restart_backlog_capped_exactly_once(
     q.awaitTermination()
     assert sum(batches) == 60, (consumed_run1, batches)
     assert max(batches) <= 20, batches  # every batch cap-bounded
+
+
+def test_drain_survives_all_empty_epochs(spark, tmp_path_factory):
+    """Progress is offset advancement, not row counts: an epoch that
+    admits only zero-row chunk files must not end the drain with
+    backlog still pending (the schema-only empty chunk is a routine
+    zero-row-commit artifact)."""
+    src = str(tmp_path_factory.mktemp("drainempty"))
+    ckpt = str(tmp_path_factory.mktemp("drainemptyck"))
+    state = str(tmp_path_factory.mktemp("drainemptyst"))
+    os.makedirs(src, exist_ok=True)
+    for i in range(30):
+        lo, hi = (0, 0) if 10 <= i < 20 else (i, i + 1)  # middle 10 empty
+        t = pa.table({
+            "k": pa.array(list(range(lo, hi)), pa.int64()),
+            "v": pa.array([float(x) for x in range(lo, hi)], pa.float64()),
+        })
+        with open(os.path.join(src, f"part-{i:05d}.olive"), "wb") as f:
+            f.write(write_chunk({"data": t}))
+
+    from olive_spark.streaming import drain_available_now
+
+    seen = []
+
+    def sink(df, bid):
+        seen.append(df.count())
+
+    def start():
+        return (
+            spark.readStream.format("olive")
+            .option("maxFilesPerTrigger", "10")
+            .option("admissionStateDir", state)
+            .load(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    runs = drain_available_now(start)
+    assert runs == 3, (runs, seen)
+    assert sum(seen) == 20, seen  # all non-empty rows, exactly once
