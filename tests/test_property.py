@@ -300,3 +300,61 @@ def test_stats_pruning_long_string_bounds_are_sound():
     # provably outside (bumped-prefix max is 'a'*63 + 'b')
     assert entry_prunable(ent, [("s", ">", "b")])
     assert entry_prunable(ent, [("s", "<", "a")])
+
+
+def test_snapshot_log_matches_model_under_random_histories(tmp_path):
+    """Model-based check of the snapshot log: random sequences of
+    append / compact-style replace / overwrite-reset / expire must keep
+    files_at() identical to a plain-Python model at EVERY retained
+    version, and expire must preserve the retained suffix exactly."""
+    import random
+
+    import pytest
+
+    from olive_spark.format import snapshots
+
+    rng = random.Random(77)
+    for trial in range(20):
+        d = str(tmp_path / f"log{trial}")
+        model: list[set] = []  # live set per version (1-indexed)
+        live: set = set()
+        next_file = 0
+
+        def fresh(n):
+            nonlocal next_file
+            out = [f"f{next_file + i}.olive" for i in range(n)]
+            next_file += n
+            return out
+
+        for _step in range(rng.randrange(3, 12)):
+            op = rng.random()
+            if op < 0.55 or not live:  # append
+                add = fresh(rng.randrange(1, 4))
+                snapshots.append_entry(d, add=add)
+                live = live | set(add)
+            elif op < 0.8:  # compact-style replace of a random subset
+                gone = set(rng.sample(sorted(live), rng.randrange(1, len(live) + 1)))
+                add = fresh(1)
+                snapshots.append_entry(d, add=add, remove=sorted(gone))
+                live = (live - gone) | set(add)
+            else:  # overwrite reset
+                add = fresh(rng.randrange(1, 3))
+                snapshots.append_entry(d, add=add, reset=True)
+                live = set(add)
+            model.append(set(live))
+
+        for v, want in enumerate(model, start=1):
+            assert set(snapshots.files_at(d, v)) == want, (trial, v)
+
+        retain = rng.randrange(1, len(model) + 1)
+        snapshots.expire(d, retain)
+        kept = list(range(len(model) - retain + 1, len(model) + 1))
+        for v in kept:
+            assert set(snapshots.files_at(d, v)) == model[v - 1], (trial, v)
+        for v in range(1, kept[0]):
+            with pytest.raises(Exception, match="unknown snapshot"):
+                snapshots.files_at(d, v)
+        # expire is idempotent at the same retention
+        before = snapshots.load_log(d)
+        snapshots.expire(d, retain)
+        assert snapshots.load_log(d) == before, trial
