@@ -954,6 +954,14 @@ class OliveStreamReader(DataSourceStreamReader):
         self._state_dir = options.get(
             "admissionstatedir", options.get("admissionStateDir")
         )
+        # startingSnapshot=N: begin the stream AFTER snapshot N's files
+        # (backfill-then-stream: process version N as a batch, stream
+        # only what arrived since).  Valid for append-only logs, where
+        # a snapshot's files are a PREFIX of the sorted listing —
+        # initialOffset verifies that and fails loud if compaction
+        # reshuffled the listing.
+        ss = options.get("startingsnapshot", options.get("startingSnapshot"))
+        self._starting_snapshot = int(ss) if ss is not None else None
         self._frontier: "int | None" = None
         self._persisted: "int | None" = None  # last sidecar write
 
@@ -993,6 +1001,22 @@ class OliveStreamReader(DataSourceStreamReader):
         # query's first batch is already constructed by the time the
         # frontier could be seeded here
         self._frontier = 0 if self._frontier is None else self._frontier
+        if self._starting_snapshot is not None:
+            from olive_spark.format.errors import ValidationError
+            from olive_spark.format.snapshots import files_at
+
+            snap = files_at(self.path, self._starting_snapshot)
+            current = [
+                os.path.relpath(f, self.path) for f in self._files()
+            ]
+            if current[: len(snap)] != snap:
+                raise ValidationError(
+                    f"startingSnapshot={self._starting_snapshot} is not a "
+                    "prefix of the current listing — the table was "
+                    "compacted or overwritten since; stream from the "
+                    "current state instead"
+                )
+            return {"index": len(snap)}
         return {"index": 0}
 
     def _admit(self, files: "Sequence[str]") -> int:

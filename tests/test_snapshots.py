@@ -198,3 +198,39 @@ def test_snapshot_history_listing(spark, tmp_path_factory):
     assert [h["version"] for h in hist] == [1, 2, 3, 4]
     assert hist[2]["removed"] == 2 and hist[2]["live_files"] == 1
     assert hist[3]["live_files"] == 1
+
+
+def test_stream_starting_snapshot_skips_backfill(spark, tmp_path_factory):
+    """startingSnapshot=N streams only files added AFTER snapshot N —
+    the backfill-then-stream handoff: process version N as a batch,
+    tail the rest.  After compaction reshuffles the listing the option
+    fails loud instead of re-reading or skipping the wrong files."""
+    from olive_spark.ops.maintenance import compact
+
+    path = str(tmp_path_factory.mktemp("snapstream") / "t")
+    _write(spark, path, 0, 40)      # v1 — the backfilled batch
+    _write(spark, path, 40, 55)     # v2
+    _write(spark, path, 55, 60)     # v3
+
+    def run(ckpt):
+        return (
+            spark.readStream.format("olive")
+            .option("startingSnapshot", "1")
+            .load(path)
+            .writeStream.format("memory")
+            .queryName("snap_tail")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = run(str(tmp_path_factory.mktemp("snapstreamck")))
+    q.awaitTermination()
+    rows = sorted(r["k"] for r in spark.table("snap_tail").collect())
+    assert rows == list(range(40, 60)), "only post-snapshot files stream"
+
+    compact(spark, path, target_rows=1000)
+    with pytest.raises(Exception, match="not a prefix"):
+        q2 = run(str(tmp_path_factory.mktemp("snapstreamck2")))
+        q2.awaitTermination()
