@@ -122,10 +122,14 @@ def _list_chunk_files(path: str) -> list[str]:
     for root, dirs, files in os.walk(path):
         # os.walk order is fs-dependent; schema resolution and streaming
         # offsets both key off the file order, so pin it.  `_`-prefixed
-        # dirs (hive convention) are metadata, not data — in particular
-        # _olive_history holds compaction-replaced files that only
-        # snapshot reads may see (they'd double-count in a live scan)
-        dirs[:] = sorted(d for d in dirs if not d.startswith("_"))
+        # dirs are metadata, not data — in particular _olive_history
+        # holds compaction-replaced files that only snapshot reads may
+        # see (they'd double-count in a live scan).  Hive partition
+        # dirs for `_`-named COLUMNS still contain '=' and stay visible
+        # (`_year=2024` is data, `_olive_history` is not)
+        dirs[:] = sorted(
+            d for d in dirs if not (d.startswith("_") and "=" not in d)
+        )
         for f in sorted(files):
             if f.endswith(".olive"):
                 out.append(os.path.join(root, f))
@@ -1002,22 +1006,35 @@ class OliveStreamReader(DataSourceStreamReader):
         # frontier could be seeded here
         self._frontier = 0 if self._frontier is None else self._frontier
         if self._starting_snapshot is not None:
-            from olive_spark.format.errors import ValidationError
-            from olive_spark.format.snapshots import files_at
-
-            snap = files_at(self.path, self._starting_snapshot)
-            current = [
-                os.path.relpath(f, self.path) for f in self._files()
-            ]
-            if current[: len(snap)] != snap:
-                raise ValidationError(
-                    f"startingSnapshot={self._starting_snapshot} is not a "
-                    "prefix of the current listing — the table was "
-                    "compacted or overwritten since; stream from the "
-                    "current state instead"
-                )
-            return {"index": len(snap)}
+            return {"index": self._snapshot_start()}
         return {"index": 0}
+
+    def _snapshot_start(self) -> int:
+        """Validated start index for startingSnapshot: the snapshot's
+        files must be a PREFIX of the current sorted listing (true for
+        append-only logs; compaction/overwrite break it — fail loud,
+        and distinguish an unlistable directory from a reshuffled
+        one)."""
+        from olive_spark.format.errors import ValidationError
+        from olive_spark.format.snapshots import files_at
+
+        snap = files_at(self.path, self._starting_snapshot)
+        current = [os.path.relpath(f, self.path) for f in self._files()]
+        if not current:
+            raise ValidationError(
+                f"startingSnapshot={self._starting_snapshot}: the source "
+                f"directory {self.path} cannot be listed right now "
+                "(empty or transient I/O error) — not a snapshot "
+                "mismatch; retry once the directory is readable"
+            )
+        if current[: len(snap)] != snap:
+            raise ValidationError(
+                f"startingSnapshot={self._starting_snapshot} is not a "
+                "prefix of the current listing — the table was "
+                "compacted or overwritten since; stream from the "
+                "current state instead"
+            )
+        return len(snap)
 
     def _admit(self, files: "Sequence[str]") -> int:
         """End index for the next batch under the configured caps."""
@@ -1032,6 +1049,12 @@ class OliveStreamReader(DataSourceStreamReader):
             # re-seeds the sidecar from the committed offset) if that
             # ever lands behind the checkpoint.
             self._frontier = self._load_frontier() or 0
+        if self._starting_snapshot is not None:
+            # a capped fresh query starts AT the snapshot boundary, not
+            # at 0 — otherwise the first planned end lands below the
+            # initialOffset and the first batch dies on the
+            # behind-committed guard (found by review, live repro)
+            self._frontier = max(self._frontier or 0, self._snapshot_start())
         if self._frontier is None:
             return total
         start = min(self._frontier, total)
@@ -1163,21 +1186,30 @@ class OliveStreamReader(DataSourceStreamReader):
 
 def _append_snapshot_entry(
     table_path: str, added_abs: "list[str]", reset: bool = False,
+    tag: "str | None" = None, max_entries: "int | None" = None,
 ) -> None:
     """Shared best-effort snapshot append for both commit paths (batch
     writer + streaming sink): map absolute file paths to table-relative
-    names and record one log entry.  Advisory metadata — same swallow
-    policy as the stats manifest."""
-    from olive_spark.format.snapshots import append_entry
+    names and record one log entry.  Advisory metadata — but a STALE
+    log is worse than none (every later snapshot would silently omit
+    this commit's files), so an append failure invalidates the log:
+    absent degrades to a loud 'no snapshot log', never a partial
+    table."""
+    from olive_spark.format.snapshots import append_entry, log_path
 
     try:
         append_entry(
             table_path,
             add=[os.path.relpath(fp, table_path) for fp in added_abs],
             reset=reset,
+            tag=tag,
+            max_entries=max_entries,
         )
     except OSError:
-        pass
+        try:
+            os.remove(log_path(table_path))
+        except OSError:
+            pass
 
 
 def _load_compacted_log(log_dir: str) -> "dict | None":
@@ -1236,15 +1268,21 @@ class OliveStreamWriter(DataSourceStreamArrowWriter):
     def _log_path(self, batchId: int) -> str:
         return os.path.join(self._log_dir, f"{int(batchId)}.json")
 
+    # snapshot-log bound for stream sinks: one entry per epoch would
+    # otherwise grow the log with stream age (O(n^2) cumulative rewrite
+    # I/O); past this, the oldest entries collapse into a base entry
+    _SNAPSHOT_MAX_ENTRIES = 1024
+
     def commit(self, messages, batchId: int) -> None:
         if not self._exactly_once:
             self._batch._merge_manifest(messages)
-            self._log_snapshot(messages)
+            self._log_snapshot(messages, batchId)
             return
         if self._is_committed(batchId):
             # replay of an already-committed epoch: the logged files
             # are the batch's output; this execution's are duplicates
             self._batch.abort(messages)
+            self._ensure_snapshot_for_replay(batchId)
             return
         # ORDER MATTERS: the log write is the FINAL act.  If anything in
         # commit fails after the log existed, a later abort() would
@@ -1285,18 +1323,60 @@ class OliveStreamWriter(DataSourceStreamArrowWriter):
         except BaseException:  # noqa: BLE001
             pass
         try:
-            self._log_snapshot(messages)
+            self._log_snapshot(messages, batchId)
         except BaseException:  # noqa: BLE001 — post-log, must not raise
             pass
 
-    def _log_snapshot(self, messages) -> None:
-        """One snapshot version per committed epoch (advisory; replayed
-        epochs never reach here — their files were aborted)."""
+    def _log_snapshot(self, messages, batchId: int) -> None:
+        """One snapshot version per committed epoch, tagged with the
+        batch id so a replay can tell whether the entry ever landed."""
         added = [
             fp for m in messages if m is not None for fp in m.files
         ]
         if added:
-            _append_snapshot_entry(self._batch.path, added)
+            _append_snapshot_entry(
+                self._batch.path, added, tag=f"b{int(batchId)}",
+                max_entries=self._SNAPSHOT_MAX_ENTRIES,
+            )
+
+    def _ensure_snapshot_for_replay(self, batchId: int) -> None:
+        """Close the crash window between the durable batch log and the
+        snapshot append: a replayed epoch whose snapshot entry never
+        landed re-logs it from the batch log's file list (skipped when
+        the tag exists or the files are already live — e.g. absorbed
+        into a collapsed base entry)."""
+        from olive_spark.format import snapshots
+
+        try:
+            tag = f"b{int(batchId)}"
+            if snapshots.has_tag(self._batch.path, tag):
+                return
+            rels = self._committed_files(batchId)
+            if not rels:
+                return
+            cur = snapshots.current_version(self._batch.path)
+            live = set(
+                snapshots.files_at(self._batch.path, cur)
+            ) if cur else set()
+            if set(rels) <= live:
+                return
+            snapshots.append_entry(
+                self._batch.path, add=rels, tag=tag,
+                max_entries=self._SNAPSHOT_MAX_ENTRIES,
+            )
+        except Exception:  # noqa: BLE001 — advisory, replay must not fail
+            pass
+
+    def _committed_files(self, batchId: int) -> "list[str]":
+        try:
+            with open(self._log_path(batchId)) as f:
+                doc = json.load(f)
+            return list(doc.get("files", [])) if isinstance(doc, dict) else []
+        except (OSError, ValueError):
+            comp = _load_compacted_log(self._log_dir)
+            if comp is not None:
+                return list(comp["batches"].get(str(int(batchId)), []))
+            return []
 
     def _is_committed(self, batchId: int) -> bool:
         if os.path.exists(self._log_path(batchId)):

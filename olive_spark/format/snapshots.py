@@ -78,9 +78,18 @@ def current_version(dirpath: str) -> int:
 
 def append_entry(
     dirpath: str, add, remove=(), reset: bool = False,
+    tag: "str | None" = None, max_entries: "int | None" = None,
 ) -> int:
     """Record one commit; returns the new version number.  Single-writer
-    contract (same as the stats manifest): no concurrent appenders."""
+    contract (same as the stats manifest): no concurrent appenders.
+
+    ``tag`` marks the entry with a caller id (the streaming sink uses
+    its batch id, so a replay can tell whether the epoch's entry ever
+    landed).  ``max_entries`` bounds the log: once exceeded, the oldest
+    entries collapse into one reset base entry (versions keep counting
+    — only replayability of the collapsed versions is lost), keeping
+    per-append rewrite cost O(max_entries) for long-lived streams
+    instead of O(stream age)."""
     log = load_log(dirpath)
     entries = log["entries"]
     v = int(entries[-1]["v"]) + 1 if entries else 1
@@ -92,9 +101,50 @@ def append_entry(
     }
     if reset:
         entry["reset"] = True
+    if tag is not None:
+        entry["tag"] = str(tag)
     entries.append(entry)
+    if max_entries is not None and len(entries) > max_entries:
+        entries = _collapse_entries(entries, int(max_entries))
+        log["entries"] = entries
     _write_log(dirpath, log)
     return v
+
+
+def has_tag(dirpath: str, tag: str) -> bool:
+    """Whether any retained entry carries ``tag`` (collapsed base
+    entries keep no tags — absence after collapse is fine, the files
+    are inside the base)."""
+    entries = load_log(dirpath)["entries"]
+    if entries and entries[0].get("base"):
+        # everything at or before the base is accounted for
+        pass
+    return any(e.get("tag") == str(tag) for e in entries)
+
+
+def _collapse_entries(entries: "list[dict]", retain: int) -> "list[dict]":
+    """Collapse all but the last ``retain`` entries into one reset base
+    entry holding the live set at the oldest retained version.  The
+    base is marked ``base: True`` so history listings don't mistake it
+    for a real overwrite."""
+    keep = entries[-retain:]
+    base_v = int(keep[0]["v"])
+    live: set[str] = set()
+    for e in entries:
+        if int(e["v"]) > base_v:
+            break
+        if e.get("reset"):
+            live.clear()
+        live.update(e.get("add", ()))
+        live.difference_update(e.get("remove", ()))
+    return [{
+        "v": base_v,
+        "ts": keep[0].get("ts"),
+        "add": sorted(live),
+        "remove": [],
+        "reset": True,
+        "base": True,
+    }] + keep[1:]
 
 
 def files_at(dirpath: str, version: int) -> list[str]:
@@ -159,31 +209,20 @@ def expire(dirpath: str, retain: int) -> dict:
         return {"retained": 0, "expired": 0, "history_deleted": 0}
     keep = entries[-retain:]
     expired = len(entries) - len(keep)
-    base_v = int(keep[0]["v"])
     # single forward replay: accumulate the live set once, snapshotting
-    # it at the base version and at every retained version (replaying
-    # the whole log per retained version would be O(retain x entries))
+    # it at every retained version (replaying the whole log per
+    # retained version would be O(retain x entries))
     keep_versions = {int(e["v"]) for e in keep}
     live: set[str] = set()
-    base_files: list[str] = []
     referenced: set[str] = set()
     for e in entries:
         if e.get("reset"):
             live.clear()
         live.update(e.get("add", ()))
         live.difference_update(e.get("remove", ()))
-        if int(e["v"]) == base_v:
-            base_files = sorted(live)
         if int(e["v"]) in keep_versions:
             referenced.update(live)
-    new_entries = [{
-        "v": base_v,
-        "ts": keep[0].get("ts"),
-        "add": base_files,
-        "remove": [],
-        "reset": True,
-    }] + keep[1:]
-    _write_log(dirpath, {"entries": new_entries})
+    _write_log(dirpath, {"entries": _collapse_entries(entries, retain)})
     hist = os.path.join(dirpath, HISTORY_DIR)
     deleted = 0
     if os.path.isdir(hist):

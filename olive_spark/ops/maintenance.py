@@ -503,7 +503,12 @@ def snapshot_history(path: str) -> "list[dict]":
     out = []
     live: set[str] = set()
     for e in load_log(path)["entries"]:
-        if e.get("reset"):
+        if e.get("base"):
+            # vacuum/auto-collapse synthesized this reset base — not a
+            # user overwrite, and history audits must not see a phantom
+            live.clear()
+            kind = "vacuum-base"
+        elif e.get("reset"):
             live.clear()
             kind = "overwrite"
         elif e.get("remove"):

@@ -234,3 +234,133 @@ def test_stream_starting_snapshot_skips_backfill(spark, tmp_path_factory):
     with pytest.raises(Exception, match="not a prefix"):
         q2 = run(str(tmp_path_factory.mktemp("snapstreamck2")))
         q2.awaitTermination()
+
+
+def test_starting_snapshot_with_admission_caps(spark, tmp_path_factory):
+    """Review repro: startingSnapshot + maxFilesPerTrigger must not
+    plan a first batch below the snapshot boundary (the frontier seeds
+    at the boundary, so capped batches advance FROM it)."""
+    path = str(tmp_path_factory.mktemp("snapcap") / "t")
+    _write(spark, path, 0, 10)   # v1: 1 file
+    _write(spark, path, 10, 20)  # +1 file
+    _write(spark, path, 20, 30)  # +1 file
+
+    rows = []
+
+    def sink(df, bid):
+        rows.extend(r["k"] for r in df.collect())
+
+    q = (
+        spark.readStream.format("olive")
+        .option("startingSnapshot", "1")
+        .option("maxFilesPerTrigger", "1")
+        .option("admissionStateDir", str(tmp_path_factory.mktemp("snapcapst")))
+        .load(path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("snapcapck")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(rows) == list(range(10, 20)), "one capped batch past v1"
+
+
+def test_underscore_hive_partitions_stay_visible(spark, tmp_path_factory):
+    """Metadata-dir skipping must not hide hive partitions for
+    underscore-named columns: `_year=2024` is data, `_olive_history`
+    is not."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path_factory.mktemp("upart") / "t")
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("_year")
+    )
+    df.write.format("olive").option("partitionBy", "_year") \
+        .mode("append").save(path)
+    got = spark.read.format("olive").load(path)
+    assert got.count() == 20
+    assert sorted(r["_year"] for r in got.select("_year").distinct().collect()) \
+        == [0, 1]
+
+
+def test_replay_relogs_missing_snapshot_entry(spark, tmp_path_factory):
+    """Crash window: the batch log landed but the snapshot append never
+    ran.  The replay must restore the entry from the batch log — and a
+    replay whose entry DID land must not duplicate it."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from olive_spark.datasource.olive_datasource import OliveStreamWriter
+    from olive_spark.format import snapshots
+
+    sink = str(tmp_path_factory.mktemp("relog") / "t")
+    os.makedirs(sink, exist_ok=True)
+    schema = StructType([
+        StructField("k", LongType()), StructField("v", DoubleType()),
+    ])
+    w = OliveStreamWriter({"path": sink}, schema, overwrite=False)
+    batch = pa.table({
+        "k": pa.array([1], pa.int64()), "v": pa.array([1.0], pa.float64()),
+    })
+    msg = w.write(iter(batch.to_batches()))
+    w.commit([msg], batchId=0)
+    assert snapshots.has_tag(sink, "b0")
+    v_before = snapshots.current_version(sink)
+
+    # replay with the entry present: no duplicate version
+    msg_dup = w.write(iter(batch.to_batches()))
+    w.commit([msg_dup], batchId=0)
+    assert snapshots.current_version(sink) == v_before
+
+    # simulate the crash window: drop the snapshot entry, replay again
+    log = snapshots.load_log(sink)
+    log["entries"] = [e for e in log["entries"] if e.get("tag") != "b0"]
+    with open(snapshots.log_path(sink), "w") as f:
+        _json.dump(log, f)
+    msg_dup2 = w.write(iter(batch.to_batches()))
+    w.commit([msg_dup2], batchId=0)
+    assert snapshots.has_tag(sink, "b0"), "replay must restore the entry"
+    cur = snapshots.current_version(sink)
+    live = snapshots.files_at(sink, cur)
+    assert len(live) == 1, "exactly the committed file, once"
+
+
+def test_bounded_log_collapses_into_base(tmp_path):
+    from olive_spark.format import snapshots
+    from olive_spark.ops.maintenance import snapshot_history
+
+    d = str(tmp_path / "bounded")
+    for i in range(10):
+        snapshots.append_entry(d, add=[f"f{i}.olive"], max_entries=4)
+    entries = snapshots.load_log(d)["entries"]
+    assert len(entries) == 4
+    assert entries[0].get("base") is True
+    # versions keep counting; retained versions replay correctly
+    assert snapshots.current_version(d) == 10
+    assert set(snapshots.files_at(d, 10)) == {f"f{i}.olive" for i in range(10)}
+    assert set(snapshots.files_at(d, 7)) == {f"f{i}.olive" for i in range(7)}
+    # the collapsed base is not a phantom overwrite in history
+    kinds = [h["kind"] for h in snapshot_history(d)]
+    assert kinds[0] == "vacuum-base" and "overwrite" not in kinds
+
+
+def test_failed_append_invalidates_log_not_partial(tmp_path, monkeypatch):
+    """If the snapshot append fails, the log must be REMOVED: a stale
+    log would make every later snapshot silently partial, while an
+    absent log fails loud ('no snapshot log')."""
+    from olive_spark.datasource import olive_datasource as ds
+    from olive_spark.format import snapshots
+
+    d = str(tmp_path / "inval")
+    snapshots.append_entry(d, add=["a.olive"])
+    assert os.path.exists(snapshots.log_path(d))
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(snapshots, "append_entry", boom)
+    ds._append_snapshot_entry(d, [os.path.join(d, "b.olive")])
+    assert not os.path.exists(snapshots.log_path(d)), "stale log removed"
