@@ -112,13 +112,12 @@ def append_entry(
 
 
 def has_tag(dirpath: str, tag: str) -> bool:
-    """Whether any retained entry carries ``tag`` (collapsed base
-    entries keep no tags — absence after collapse is fine, the files
-    are inside the base)."""
+    """Whether any retained entry carries ``tag``.  Collapsed base
+    entries keep no tags — callers treating absence as "re-log needed"
+    must also check the files against the live set, since a collapsed
+    entry's files live inside the base (see
+    OliveStreamWriter._ensure_snapshot_for_replay)."""
     entries = load_log(dirpath)["entries"]
-    if entries and entries[0].get("base"):
-        # everything at or before the base is accounted for
-        pass
     return any(e.get("tag") == str(tag) for e in entries)
 
 
