@@ -92,6 +92,7 @@ _ORDER = [
     "join_fuzzy_names",            # r7: symmetric-delete fuzzy join
     "scan_table_checksum",         # r7: order-independent content sum
     "scan_time_travel",            # r7: snapshot-log versioned read
+    "stream_snapshot_tail",        # r7: startingSnapshot stream handoff
     # --- never driver-checked: rows-only (no ANSI-SQL oracle; banding /
     #     recall<1 ANN / k-means semantics pinned by unit tests) ---
     "llm_dedup_simhash",
@@ -126,9 +127,9 @@ _ORDER = [
     "dict_encode_fsb",
     "compression_codecs",
     "types_decimal_date",
-    "types_unsigned_time",
     # ---- beyond the 50-entry driver window ----
     # r04/r05 driver-green remainder
+    "types_unsigned_time",
     "agg_groupby_sum",
     "agg_distinct",
     "agg_rollup",

@@ -259,7 +259,35 @@ SQL_STREAM_INCR_DEDUP = (
 )
 
 
+def stream_snapshot_tail(spark: SparkSession, sf: str) -> DataFrame:
+    """Backfill-then-stream handoff (startingSnapshot): the derived
+    events_versioned table has two logged commit versions (v1 =
+    user_id < 50, v2 appends the rest); tailing with
+    ``startingSnapshot=1`` must stream EXACTLY the post-v1 files — the
+    oracle recomputes v2's content from the base events table, so a
+    tail that re-read the backfill (or skipped part of v2)
+    hash-mismatches."""
+    path = os.path.join(data.ensure_olive(sf), "events_versioned")
+    sdf = streaming.read_stream(spark, path, startingSnapshot="1")
+    agg = sdf.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+        .alias("sum_value"),
+    )
+    return streaming.run_available_now(
+        agg, output_mode="complete", state_partitions=4
+    )
+
+
+SQL_SNAPSHOT_TAIL = (
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value "
+    "FROM events WHERE user_id >= 50 GROUP BY event_type"
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "stream_snapshot_tail": (stream_snapshot_tail, SQL_SNAPSHOT_TAIL),
     "stream_window_counts": (stream_window_counts, SQL_STREAM_WINDOW),
     "stream_sliding_counts": (stream_sliding_counts, SQL_STREAM_SLIDING),
     "stream_static_join": (stream_static_join, SQL_STREAM_STATIC_JOIN),
