@@ -174,14 +174,27 @@ def main() -> int:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+    # Full detail (all samples per query) goes to stderr: useful for a
+    # human reading the log, invisible to the driver's stdout capture.
+    print("# detail " + json.dumps({"runs": runs}), file=sys.stderr)
+    # The driver captures only the last ~2,000 chars of stdout, so the
+    # FINAL stdout line must be a complete JSON object under that limit
+    # (r6/r7 regression: best-of-N "runs" blew past it -> "parsed": null).
+    compact = {k: round(v, 2) for k, v in times.items()}
+    payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": times,
-        "runs": runs,
+        "queries": compact,
         "sf": sf_val,
-    }))
+    }
+    line = json.dumps(payload)
+    if len(line) > 1900:  # hard guard: keep only the slowest queries
+        worst = dict(sorted(compact.items(), key=lambda kv: -kv[1])[:30])
+        payload["queries"] = worst
+        payload["queries_truncated"] = len(compact) - len(worst)
+        line = json.dumps(payload)
+    print(line)
     return 0
 
 

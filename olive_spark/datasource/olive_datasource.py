@@ -361,34 +361,8 @@ class OliveReader(DataSourceReader):
             self.min_partitions = min(8, cpus)
         snap = options.get("snapshot")
         self.snapshot = int(snap) if snap is not None else None
+        self.file_column = options.get("filecolumn", options.get("fileColumn"))
         self.predicates: list[tuple[str, str, Any]] = []
-
-    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Record prunable predicates; report every filter unsupported so
-        Spark re-applies them (page skipping is conservative).
-
-        Predicate-driven pruning is OPT-IN per relation (``pushdown``
-        option) because of an upstream Spark hazard: PythonDataSourceV2
-        (one instance per loaded relation, shared by every query on that
-        DataFrame) holds a single mutable readInfo slot.  A filtered
-        query overwrites it (PythonScanBuilder.pushFilters →
-        ds.setReadInfo) with our PRUNED partitions; a later FILTER-LESS
-        action on the same DataFrame never triggers pushdown, hits
-        getOrCreateReadInfo's cache, and silently scans the pruned
-        partition list (observed: count()==256 of 500 after a filtered
-        collect()).  Queries that carry filters always re-plan and are
-        always correct; with pushdown enabled a relation must not serve
-        a filter-less action after a filtered one — re-load() instead
-        (olive_spark.queries.data.load creates a fresh relation per
-        call, which is why the query library can opt in safely)."""
-        self.predicates = []
-        if not self.pushdown:
-            return iter(filters)
-        for f in filters:
-            p = _filter_to_predicate(f)
-            if p is not None:
-                self.predicates.append(p)
-        return iter(filters)
 
     def partitions(self) -> Sequence[OliveInputPartition]:
         if self.snapshot is not None:
@@ -496,8 +470,64 @@ class OliveReader(DataSourceReader):
             if cols:  # merged-schema dirs: this file may lack some columns
                 cols = [c for c in cols if c in th.field_names] or None
             tbl = r.read_table(th.name, columns=cols, pages=pages)
+            if self.file_column:
+                # table-relative provenance name; snapshot reads that
+                # resolved into _olive_history report the logical name
+                rel = (
+                    os.path.relpath(fp, self.path)
+                    if os.path.isdir(self.path)
+                    else os.path.basename(fp)
+                )
+                hist_prefix = "_olive_history" + os.sep
+                if rel.startswith(hist_prefix):
+                    rel = rel[len(hist_prefix):]
+                tbl = tbl.append_column(
+                    self.file_column,
+                    pa.array([rel] * tbl.num_rows, pa.string()),
+                )
             tbl = _cast_to(tbl, expected)
             yield from tbl.to_batches(max_chunksize=1 << 16)
+
+
+class OlivePushdownReader(OliveReader):
+    """OliveReader variant that implements ``pushFilters``.
+
+    Kept as a SEPARATE class (selected by the ``pushdown`` option in
+    ``OliveDataSource.reader``) because Spark's plan-time worker treats
+    the mere *presence* of an overridden ``pushFilters`` as "pushdown
+    required" and raises ``DATA_SOURCE_PUSHDOWN_DISABLED`` when
+    ``spark.sql.python.filterPushdown.enabled`` is false — even if the
+    method would be a no-op.  With the split, a plain SparkSession with
+    the conf locked/off can still scan olive tables (it just skips
+    planning-time file/page pruning); only relations that explicitly
+    opt in with ``.option("pushdown", "true")`` require the conf, and
+    for those Spark's own error names the exact config line.
+    """
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Record prunable predicates; report every filter unsupported so
+        Spark re-applies them (page skipping is conservative).
+
+        Predicate-driven pruning is OPT-IN per relation (``pushdown``
+        option) because of an upstream Spark hazard: PythonDataSourceV2
+        (one instance per loaded relation, shared by every query on that
+        DataFrame) holds a single mutable readInfo slot.  A filtered
+        query overwrites it (PythonScanBuilder.pushFilters →
+        ds.setReadInfo) with our PRUNED partitions; a later FILTER-LESS
+        action on the same DataFrame never triggers pushdown, hits
+        getOrCreateReadInfo's cache, and silently scans the pruned
+        partition list (observed: count()==256 of 500 after a filtered
+        collect()).  Queries that carry filters always re-plan and are
+        always correct; with pushdown enabled a relation must not serve
+        a filter-less action after a filtered one — re-load() instead
+        (olive_spark.queries.data.load creates a fresh relation per
+        call, which is why the query library can opt in safely)."""
+        self.predicates = []
+        for f in filters:
+            p = _filter_to_predicate(f)
+            if p is not None:
+                self.predicates.append(p)
+        return iter(filters)
 
 
 def _pick_table(header, name: Optional[str]):
@@ -710,6 +740,16 @@ class OliveWriter(DataSourceArrowWriter):
         self.bloom_columns = [c.strip() for c in bc.split(",") if c.strip()] if bc else []
         pb = options.get("partitionby", options.get("partitionBy"))
         self.partition_by = [c.strip() for c in pb.split(",")] if pb else []
+        # bound the snapshot log on the batch path too: every append
+        # rewrites the full JSON log, so an unbounded long-lived table
+        # with frequent small appends pays O(n) per commit (O(n^2)
+        # cumulative).  4096 retained versions ≈ months of hourly
+        # appends; older ones collapse into a reset base (time travel
+        # beyond the window is what vacuum(retain_snapshots=K) is for).
+        self.snapshot_max_entries = int(
+            options.get("snapshotmaxentries",
+                        options.get("snapshotMaxEntries", 4096))
+        )
         self.overwrite = overwrite
 
     def _emit(self, tbl: "pa.Table", subdir: str, files: list) -> None:
@@ -855,7 +895,10 @@ class OliveWriter(DataSourceArrowWriter):
         # starts fresh (old versions stay replayable only while their
         # files survive, i.e. not after an overwrite: it deletes, by
         # design)
-        _append_snapshot_entry(self.path, added, reset=self.overwrite)
+        _append_snapshot_entry(
+            self.path, added, reset=self.overwrite,
+            max_entries=self.snapshot_max_entries,
+        )
 
     def _write_empty_table(self) -> str:
         import pyarrow as pa
@@ -966,6 +1009,7 @@ class OliveStreamReader(DataSourceStreamReader):
         # reshuffled the listing.
         ss = options.get("startingsnapshot", options.get("startingSnapshot"))
         self._starting_snapshot = int(ss) if ss is not None else None
+        self._snapshot_start_idx: "int | None" = None  # validated once
         self._frontier: "int | None" = None
         self._persisted: "int | None" = None  # last sidecar write
 
@@ -1014,7 +1058,15 @@ class OliveStreamReader(DataSourceStreamReader):
         files must be a PREFIX of the current sorted listing (true for
         append-only logs; compaction/overwrite break it — fail loud,
         and distinguish an unlistable directory from a reshuffled
-        one)."""
+        one).
+
+        The validated index is cached after the first success: the
+        boundary is a property of the (immutable) snapshot, so a
+        long-running stream must not replay the log + relist the whole
+        directory on every capped latestOffset — nor die on a transient
+        unlistable blip mid-run once the start was already proven."""
+        if self._snapshot_start_idx is not None:
+            return self._snapshot_start_idx
         from olive_spark.format.errors import ValidationError
         from olive_spark.format.snapshots import files_at
 
@@ -1034,7 +1086,8 @@ class OliveStreamReader(DataSourceStreamReader):
                 "compacted or overwritten since; stream from the "
                 "current state instead"
             )
-        return len(snap)
+        self._snapshot_start_idx = len(snap)
+        return self._snapshot_start_idx
 
     def _admit(self, files: "Sequence[str]") -> int:
         """End index for the next batch under the configured caps."""
@@ -1485,16 +1538,26 @@ class OliveDataSource(DataSource):
         cols = self.options.get("columns")
         keep = [c.strip() for c in cols.split(",")] if cols else names
         d256 = self.options.get("decimal256", "reject").lower()
-        return StructType(
-            [
-                StructField(n, _spark_type_from_type_json(types[n], d256), True)
-                for n in names
-                if n in keep
-            ]
-        )
+        fields = [
+            StructField(n, _spark_type_from_type_json(types[n], d256), True)
+            for n in names
+            if n in keep
+        ]
+        fc = self.options.get("filecolumn", self.options.get("fileColumn"))
+        if fc:
+            # per-row file provenance (the input_file_name() equivalent
+            # Python data sources lack) — the copy-on-write primitive:
+            # merge/delete use it to find which files to rewrite
+            from pyspark.sql.types import StringType
+
+            fields.append(StructField(fc, StringType(), False))
+        return StructType(fields)
 
     def reader(self, schema: StructType) -> OliveReader:
-        return OliveReader(dict(self.options), schema)
+        opts = dict(self.options)
+        if str(opts.get("pushdown", "false")).lower() == "true":
+            return OlivePushdownReader(opts, schema)
+        return OliveReader(opts, schema)
 
     def streamReader(self, schema: StructType) -> OliveStreamReader:
         return OliveStreamReader(dict(self.options), schema)
@@ -1514,11 +1577,19 @@ class OliveDataSource(DataSource):
 
 
 def register_olive(spark) -> None:
-    """Idempotently register the olive data source on a SparkSession."""
+    """Idempotently register the olive data source on a SparkSession.
+
+    Scans work on ANY session: the default ``OliveReader`` does not
+    implement ``pushFilters``, so a session where
+    ``spark.sql.python.filterPushdown.enabled`` is locked off still
+    plans and reads correctly (without planning-time file/page pruning).
+    The conf is set best-effort here so relations that opt in with
+    ``.option("pushdown", "true")`` get pruning; if it cannot be set,
+    only those opt-in relations fail — at plan time, with Spark's
+    ``DATA_SOURCE_PUSHDOWN_DISABLED`` error naming the exact conf.
+    """
     try:
-        # OliveReader.pushFilters requires this SQL conf; it is a runtime
-        # conf, so enable it here rather than demanding a builder config.
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    except Exception:  # noqa: BLE001 — conf may be locked; scan still works
+    except Exception:  # noqa: BLE001 — conf locked: see docstring
         pass
     spark.dataSource.register(OliveDataSource)

@@ -76,6 +76,23 @@ def current_version(dirpath: str) -> int:
     return int(entries[-1]["v"]) if entries else 0
 
 
+def list_live_files(dirpath: str) -> "list[str]":
+    """Relative names of every live ``*.olive`` file under ``dirpath``,
+    with the same walk semantics as directory scans: ``_``-prefixed
+    directories are metadata (``_olive_history`` in particular must
+    never leak into a live listing), but hive partition dirs for
+    ``_``-named columns contain ``=`` and stay visible."""
+    out: list[str] = []
+    for root, dirs, files in os.walk(dirpath):
+        dirs[:] = sorted(
+            d for d in dirs if not (d.startswith("_") and "=" not in d)
+        )
+        for f in sorted(files):
+            if f.endswith(".olive"):
+                out.append(os.path.relpath(os.path.join(root, f), dirpath))
+    return sorted(out)
+
+
 def append_entry(
     dirpath: str, add, remove=(), reset: bool = False,
     tag: "str | None" = None, max_entries: "int | None" = None,
@@ -89,9 +106,30 @@ def append_entry(
     entries collapse into one reset base entry (versions keep counting
     — only replayability of the collapsed versions is lost), keeping
     per-append rewrite cost O(max_entries) for long-lived streams
-    instead of O(stream age)."""
+    instead of O(stream age).
+
+    First-entry seeding: a brand-new log over a directory that ALREADY
+    holds ``.olive`` files not covered by this entry (a table written
+    with raw ``write_chunk``, or a log a prior append failure
+    invalidated) would make every later ``files_at`` silently omit
+    those files — exactly the partial-table read this module promises
+    never to produce.  So a non-reset first append seeds a ``base``
+    entry from the live directory listing first; the commit itself then
+    lands as version 2."""
     log = load_log(dirpath)
     entries = log["entries"]
+    if not entries and not reset:
+        preexisting = sorted(set(list_live_files(dirpath)) - set(add))
+        if preexisting:
+            entries.append({
+                "v": 1,
+                "ts": time.time(),
+                "add": preexisting,
+                "remove": [],
+                "reset": True,
+                "base": True,
+                "seeded": True,
+            })
     v = int(entries[-1]["v"]) + 1 if entries else 1
     entry = {
         "v": v,

@@ -375,6 +375,7 @@ def contamination_check(
 def token_budget_mix(
     df: DataFrame, budget_per_source: int,
     text_col: str = "text", source_col: str = "source", id_col: str = "doc_id",
+    hot_bucket_rows: int = 4_000_000,
 ) -> DataFrame:
     """Training-mixture sampling: per source, take documents in
     deterministic priority order (longest first, id as tiebreak) until
@@ -403,16 +404,30 @@ def token_budget_mix(
        running sum exactly, and no window ever partitions a raw-row
        stream by source alone (plan contract in tests/test_plans.py).
 
-    Residual caveat: a single (source, length) pair with billions of
-    rows (fixed-length records) still ranks in one task; such corpora
-    should pre-salt on a secondary key before mixing."""
+    Hot-bucket auto-mitigation (r7 audit — previously a docstring-only
+    caveat): a single (source, length) pair with billions of rows
+    (fixed-length records) would still rank in one task.  Buckets whose
+    row count exceeds ``hot_bucket_rows`` are routed declaratively (no
+    driver branch, no extra job — the histogram already counts rows)
+    through an EXACT distributed ranking: range-repartition the hot
+    rows on (source, n_tokens, id) — so within a bucket, partition id
+    order IS id order — rank locally within each range partition, and
+    add the bucket's smaller-partition row counts (a |buckets|×|ranges|
+    slim aggregate) as the offset.  ``rank = offset + local_rank``
+    reproduces the single-task window's rank bit-for-bit, so the output
+    (and its oracle hash) is IDENTICAL to the cold path; only the
+    physical parallelism differs.  Cold buckets keep the plain window
+    (no range-sampling pass for the common case's data; the hot branch
+    scans rows only when hot buckets exist)."""
     from olive_spark.ops.textstats import tokens
 
     budget = int(budget_per_source)
+    hot = int(hot_bucket_rows)
     n_tok = F.size(tokens(F.col(text_col)))
     toks = df.select(source_col, id_col, n_tok.alias("n_tokens"))
     buckets = toks.groupBy(source_col, "n_tokens").agg(
-        F.sum(F.col("n_tokens").cast("long")).alias("__btok")
+        F.sum(F.col("n_tokens").cast("long")).alias("__btok"),
+        F.count("*").alias("__bcnt"),
     )
     wb = (
         Window.partitionBy(source_col)
@@ -423,15 +438,51 @@ def token_budget_mix(
         buckets
         .withColumn("__before", F.coalesce(F.sum("__btok").over(wb), F.lit(0)))
         .filter(F.col("__before") + F.col("n_tokens") <= budget)
-        .select(source_col, "n_tokens", "__before")
+        .select(source_col, "n_tokens", "__before", "__bcnt")
     )
+    joined = toks.join(kept, [source_col, "n_tokens"])
+    # cold path: bucket fits in one task — plain per-bucket window
     wr = Window.partitionBy(source_col, "n_tokens").orderBy(id_col)
+    cold = joined.filter(F.col("__bcnt") <= hot).withColumn(
+        "__rank", F.row_number().over(wr).cast("long")
+    )
+    # hot path: exact two-pass distributed ranking (see docstring).
+    # Range partitioning on (source, n_tokens, id) means that within a
+    # bucket, partition id order IS id order, so
+    # global_rank = (bucket rows in lower partitions) + local_rank.
+    try:
+        n_ranges = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001 — conf unreadable: sane default
+        n_ranges = 64
+    ranged = joined.filter(F.col("__bcnt") > hot).repartitionByRange(
+        max(n_ranges, 2), F.col(source_col), F.col("n_tokens"), F.col(id_col)
+    ).withColumn("__pid", F.spark_partition_id())
+    wloc = Window.partitionBy(source_col, "n_tokens", "__pid").orderBy(id_col)
+    woff = (
+        Window.partitionBy(source_col, "n_tokens")
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        ranged.groupBy(source_col, "n_tokens", "__pid")
+        .agg(F.count("*").alias("__pcnt"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__pcnt").over(woff), F.lit(0))
+        )
+        .select(source_col, "n_tokens", "__pid", "__off")
+    )
+    hot_ranked = (
+        ranged.withColumn("__lrank", F.row_number().over(wloc))
+        .join(offs, [source_col, "n_tokens", "__pid"])
+        .withColumn("__rank", F.col("__off") + F.col("__lrank"))
+        .select(source_col, id_col, "n_tokens", "__before", "__bcnt", "__rank")
+    )
     return (
-        toks.join(kept, [source_col, "n_tokens"])
+        cold.select(source_col, id_col, "n_tokens", "__before", "__bcnt", "__rank")
+        .unionByName(hot_ranked)
         .withColumn(
             "cum_tokens",
-            F.col("__before")
-            + F.col("n_tokens").cast("long") * F.row_number().over(wr),
+            F.col("__before") + F.col("n_tokens").cast("long") * F.col("__rank"),
         )
         .filter(F.col("cum_tokens") <= budget)
         .select(source_col, id_col, "n_tokens", "cum_tokens")

@@ -605,11 +605,17 @@ def fuzzy_pairs(
     corpus size), variants are generated JVM-side (nested higher-order
     transforms, no UDF), the join is a hash equi-join on variant, and
     only candidate pairs (tiny vs the n² cross product) reach the
-    Levenshtein evaluation.  Skew note: a variant shared by m rows
-    yields m²/2 in-block candidates — degenerate corpora where one
-    string dominates should pre-aggregate to distinct strings first
-    (carrying counts) so blocks stay bounded by distinct-value
-    frequency, not row count.
+    Levenshtein evaluation.
+
+    Skew-proof by construction (r7 audit — previously a docstring-only
+    caveat): blocking runs over DISTINCT name strings, never rows.  A
+    degenerate corpus where one string appears 10⁸ times would
+    otherwise put 10⁸ rows in every one of its variant blocks (10¹⁶
+    in-block candidates); distinct-first keeps blocks bounded by
+    distinct-value frequency, Levenshtein runs once per distinct name
+    pair, and row multiplicity re-enters only at the end as equi-join
+    expansions that emit exactly the OUTPUT pairs (same-name rows pair
+    at dist 0 via a count>1 self-expansion, no cross product anywhere).
 
     Returns (a_id, b_id, dist) with ``a_id < b_id``."""
     if max_dist not in (1, 2):
@@ -623,29 +629,45 @@ def fuzzy_pairs(
             f"ELSE array() END"
         )
 
-    d1 = F.expr(dels(name_col))
-    parts = [F.array(F.col(name_col)), d1]
+    d1 = F.expr(dels("__name"))
+    parts = [F.array(F.col("__name")), d1]
     if max_dist == 2:
         parts.append(F.expr(
-            f"flatten(transform({dels(name_col)}, v -> {dels('v')}))"
+            f"flatten(transform({dels('__name')}, v -> {dels('v')}))"
         ))
     keys = F.array_distinct(F.concat(*parts))
-    ex = df.select(
-        F.col(id_col).alias("__id"), F.col(name_col).alias("__name"),
-        F.explode(keys).alias("__k"),
+    names = df.select(
+        F.col(id_col).alias("__id"), F.col(name_col).alias("__name")
     )
-    a = ex.select(F.col("__id").alias("a_id"), F.col("__name").alias("a_name"),
-                  "__k")
-    b = ex.select(F.col("__id").alias("b_id"), F.col("__name").alias("b_name"),
-                  "__k")
-    return (
+    dn = names.groupBy("__name").agg(F.count("*").alias("__cnt"))
+    ex = dn.select("__name", F.explode(keys).alias("__k"))
+    a = ex.select(F.col("__name").alias("a_name"), "__k")
+    b = ex.select(F.col("__name").alias("b_name"), "__k")
+    name_pairs = (
         a.join(b, "__k")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id", "b_id",
-            F.levenshtein("a_name", "b_name").alias("dist"),
-        )
+        .filter(F.col("a_name") < F.col("b_name"))
+        .select("a_name", "b_name")
+        .distinct()
+        .withColumn("dist", F.levenshtein("a_name", "b_name"))
         .filter(F.col("dist") <= max_dist)
+    )
+    same = dn.filter(F.col("__cnt") > 1).select(
+        F.col("__name").alias("a_name"),
+        F.col("__name").alias("b_name"),
+        F.lit(0).alias("dist"),
+    )
+    ia = names.select(F.col("__id").alias("__ida"), F.col("__name").alias("a_name"))
+    ib = names.select(F.col("__id").alias("__idb"), F.col("__name").alias("b_name"))
+    return (
+        name_pairs.unionByName(same)
+        .join(ia, "a_name")
+        .join(ib, "b_name")
+        .filter(F.col("__ida") != F.col("__idb"))
+        .select(
+            F.least("__ida", "__idb").alias("a_id"),
+            F.greatest("__ida", "__idb").alias("b_id"),
+            "dist",
+        )
         .distinct()
     )
 

@@ -146,7 +146,49 @@ def compact(
         df = df.repartition(n_files)
 
     run = uuid.uuid4().hex[:8]
-    tmp = f"{path}.compact-{run}"
+    original_rels = [os.path.relpath(f, path) for f in before]
+    _rewrite_and_swap(
+        df, path, original_rels, run,
+        table=table, target_rows=target_rows,
+        retain_history=retain_history, prefix="compact",
+    )
+    after = _list_chunk_files(path)
+    return {"files_before": len(before), "files_after": len(after), "rows": rows}
+
+
+def _rewrite_and_swap(
+    df, path: str, original_rels: "list[str]", run: str,
+    table: str, target_rows: int, retain_history: bool,
+    prefix: str,
+) -> "list[str]":
+    """Write ``df`` as the replacement for ``original_rels`` inside the
+    live table at ``path`` — the crash-safe copy-on-write core shared by
+    ``compact``, ``merge_upsert``, and ``delete_where``.
+
+    Four phases; at no point is the replaced data unreadable:
+    1. write ``df`` to a sibling temp dir, then stage the new files into
+       the live dir under non-.olive names (invisible to scans);
+    2. write the intent manifest (atomic rename) listing originals +
+       replacement names — the recovery point (named compact-*.manifest
+       regardless of caller so _recover_pending/vacuum handle all three
+       operations identically);
+    3. activate replacements with atomic renames (readers may briefly
+       see old AND new — a transient duplicate beats a lost table);
+    4. retire the originals (delete, or move to _olive_history/ under
+       ``retain_history`` so pre-rewrite snapshots stay reconstructable),
+       then drop the manifest.  A crash in 1-2 leaves the old files
+       untouched (staged files are inert debris); a crash in 3-4 leaves
+       a readable superset PLUS the manifest, so vacuum()/the next
+       compact()/merge/delete finishes the originals-retire.
+
+    Afterwards the stats manifest is refreshed (new files keep their
+    commit-time stats under the activated names) and one snapshot-log
+    entry records the whole rewrite as a single version.  Returns the
+    activated relative file names."""
+    from olive_spark.datasource.olive_datasource import _list_chunk_files
+    from olive_spark.format.manifest import load_manifest, merge_manifest
+
+    tmp = f"{path}.compact-{prefix}-{run}"  # vacuum's <path>.compact-* glob
     (
         df.write.format("olive")
         .option("table", table)
@@ -154,25 +196,12 @@ def compact(
         .mode("append")
         .save(tmp)
     )
-    # Crash-safe swap, four phases — at no point is the directory empty:
-    # 1. stage replacements into the live dir under non-.olive names
-    #    (invisible to _list_chunk_files);
-    # 2. write the intent manifest (atomic rename) listing originals +
-    #    replacement names — the recovery point;
-    # 3. activate replacements with atomic renames (readers may briefly
-    #    see old AND new — a transient duplicate beats a lost table);
-    # 4. delete the originals, then the manifest.  A crash in 1-2
-    #    leaves the old files untouched (staged files are inert debris);
-    #    a crash in 3-4 leaves a readable superset PLUS the manifest, so
-    #    vacuum()/the next compact() can finish the originals-delete.
-    from olive_spark.format.manifest import load_manifest, merge_manifest
-
     tmp_stats = load_manifest(tmp)  # per-file stats from the DSv2 commit
     stats_entries: dict = {}
     staged = []
     finals = []
     for i, f in enumerate(_list_chunk_files(tmp)):
-        final = f"compact-{run}-{i:05d}.olive"
+        final = f"{prefix}-{run}-{i:05d}.olive"
         ent = tmp_stats.get(os.path.relpath(f, tmp))
         if ent is not None:
             stats_entries[final] = ent  # same bytes, new name — carry over
@@ -181,7 +210,6 @@ def compact(
         staged.append(dest)
         finals.append(final)
     manifest = os.path.join(path, f"compact-{run}.manifest.json")
-    original_rels = [os.path.relpath(f, path) for f in before]
     payload = json.dumps(
         {
             "run": run,
@@ -202,11 +230,11 @@ def compact(
     os.remove(manifest)
     shutil.rmtree(tmp, ignore_errors=True)
     try:
-        # refresh the stats manifest: deleted originals drop out (their
-        # files are gone), compacted files keep their commit-time stats
-        # under the activated names — sorted/z-ordered compaction plus
-        # the manifest is what lets a 100 TB plan prune files without
-        # opening them
+        # refresh the stats manifest: retired originals drop out (their
+        # files are gone from the live listing), replacements keep their
+        # commit-time stats under the activated names — sorted/z-ordered
+        # layout plus the manifest is what lets a 100 TB plan prune
+        # files without opening them
         merge_manifest(path, stats_entries)
     except OSError:
         pass
@@ -218,8 +246,7 @@ def compact(
         append_entry(path, add=finals, remove=original_rels)
     except OSError:
         pass
-    after = _list_chunk_files(path)
-    return {"files_before": len(before), "files_after": len(after), "rows": rows}
+    return finals
 
 
 def _recover_pending(path: str) -> dict:
@@ -270,6 +297,223 @@ def _recover_pending(path: str) -> dict:
             pass
         out["manifests_completed"] += 1
     return out
+
+
+def merge_upsert(
+    spark,
+    path: str,
+    source,
+    key_cols: "list[str]",
+    table: str = "data",
+    retain_history: bool = True,
+    target_rows: int = 1 << 20,
+) -> dict:
+    """``MERGE INTO`` (upsert) on a snapshot-logged olive table: rows of
+    ``source`` whose ``key_cols`` match an existing row REPLACE it; the
+    rest are inserted.  Copy-on-write: only files that actually contain
+    a matched key are rewritten; untouched files keep their bytes, their
+    stats-manifest entries, and their page/Bloom indexes.  The whole
+    merge lands as ONE snapshot version (adds + removes), so
+    ``.option("snapshot", pre_merge_version)`` still reads the exact
+    pre-merge table while ``retain_history=True`` (the default here,
+    unlike compact, because merge destroys row content — compaction only
+    rearranges it).
+
+    100 TB shape: phase 1 discovers affected files with a key-column-
+    pruned scan (``columns`` option: only the keys and the provenance
+    column leave the reader) semi-joined against the source — a slim
+    shuffle of keys, never of documents; the collected result is FILE
+    NAMES (bounded by file count, the same driver-side footprint as
+    Delta/Iceberg's MERGE file pruning).  Phase 2 rewrites only the
+    affected files: survivors anti-join the source on keys, union the
+    full source, and write — work proportional to data actually
+    touched, not table size.  A source touching every file degrades to
+    a full rewrite, which is what MERGE means in that case.
+
+    Constraints: single writer (same contract as :func:`compact`);
+    ``source`` must be unique on ``key_cols`` (enforced — a duplicate
+    key would make the replacement row nondeterministic, the same error
+    Delta raises); hive-partitioned layouts are supported but rewritten
+    files land at the table root (partition columns remain IN the data,
+    so results are identical; directory pruning is lost for rewritten
+    rows until the next partitioned compaction).
+
+    The reference format is batch-only with no directory/update layer
+    (/root/reference/src/root.zig:9-16); MERGE is this engine's
+    lakehouse extension, built on the snapshot log
+    (olive_spark/format/snapshots.py).
+
+    Returns {files_rewritten, files_added, rows_after_in_rewritten,
+    inserted_only (bool), version}."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.datasource import register_olive
+    from olive_spark.datasource.olive_datasource import _list_chunk_files
+    from olive_spark.format.snapshots import current_version
+
+    register_olive(spark)
+    _recover_pending(path)
+    fc = "_olive_file"
+    if fc in source.columns:
+        raise ValueError(f"source must not carry the provenance column {fc!r}")
+    full = spark.read.format("olive").option("table", table).load(path)
+    cols = full.columns
+    missing = [k for k in key_cols if k not in cols]
+    if missing:
+        raise ValueError(f"key columns not in table: {missing}")
+    extra = [c for c in cols if c not in source.columns]
+    if extra:
+        raise ValueError(f"source is missing table columns: {extra}")
+    # align source to the table's column order and (widened) types
+    src = source.select(
+        *[F.col(c).cast(full.schema[c].dataType).alias(c) for c in cols]
+    )
+    n_src = src.count()
+    if n_src == 0:
+        v = current_version(path)
+        return {
+            "files_rewritten": 0,
+            "files_added": 0,
+            "rows_after_in_rewritten": 0,
+            "inserted_only": True,
+            "version": v,
+            "pre_version": v,
+        }
+    n_keys = src.select(*key_cols).distinct().count()
+    if n_keys != n_src:
+        raise ValueError(
+            f"source has duplicate keys on {key_cols} ({n_src} rows, "
+            f"{n_keys} distinct) — each target row must match at most one "
+            "source row"
+        )
+    # phase 1: affected-file discovery on a key-pruned relation — at
+    # 100 TB this scan moves only the key columns + a file name
+    slim = (
+        spark.read.format("olive")
+        .option("table", table)
+        .option("columns", ",".join(key_cols))
+        .option("fileColumn", fc)
+        .load(path)
+    )
+    affected = sorted(
+        r[0]
+        for r in slim.join(src.select(*key_cols), key_cols, "left_semi")
+        .select(fc)
+        .distinct()
+        .collect()
+    )
+    pre_version = current_version(path)
+    if not affected:
+        # pure insert: a plain append commit (its own snapshot entry)
+        src.write.format("olive").option("table", table).mode("append").save(path)
+        return {
+            "files_rewritten": 0,
+            "files_added": len(_list_chunk_files(path)),
+            "rows_after_in_rewritten": n_src,
+            "inserted_only": True,
+            "version": current_version(path),
+            "pre_version": pre_version,
+        }
+    # phase 2: rewrite only the affected files
+    tagged = (
+        spark.read.format("olive")
+        .option("table", table)
+        .option("fileColumn", fc)
+        .load(path)
+    )
+    survivors = (
+        tagged.filter(F.col(fc).isin(affected))
+        .join(src.select(*key_cols), key_cols, "left_anti")
+        .drop(fc)
+    )
+    merged = survivors.unionByName(src)
+    rows = merged.count()
+    n_files = max(1, math.ceil(rows / target_rows))
+    run = uuid.uuid4().hex[:8]
+    finals = _rewrite_and_swap(
+        merged.repartition(n_files), path, affected, run,
+        table=table, target_rows=target_rows,
+        retain_history=retain_history, prefix="merge",
+    )
+    return {
+        "files_rewritten": len(affected),
+        "files_added": len(finals),
+        "rows_after_in_rewritten": rows,
+        "inserted_only": False,
+        "version": current_version(path),
+        "pre_version": pre_version,
+    }
+
+
+def delete_where(
+    spark,
+    path: str,
+    condition: str,
+    table: str = "data",
+    retain_history: bool = True,
+    target_rows: int = 1 << 20,
+) -> dict:
+    """``DELETE FROM ... WHERE condition`` on a snapshot-logged olive
+    table: copy-on-write rewrite of exactly the files that contain a
+    matching row (SQL expression string; NULL condition keeps the row,
+    per SQL DELETE semantics).  Files with no match keep their bytes and
+    metadata; the whole delete is ONE snapshot version, and
+    ``retain_history=True`` keeps the pre-delete version readable via
+    ``.option("snapshot", N)`` until vacuum expires it.
+
+    100 TB shape: discovery is a scan + filter + distinct over file
+    names (the filter prunes pages/files via stats where the condition
+    allows), collecting only FILE NAMES; the rewrite touches only
+    affected files.  Same single-writer contract as :func:`compact`.
+
+    Returns {files_rewritten, files_added, rows_deleted, version}."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.datasource import register_olive
+    from olive_spark.format.snapshots import current_version
+
+    register_olive(spark)
+    _recover_pending(path)
+    fc = "_olive_file"
+    tagged = (
+        spark.read.format("olive")
+        .option("table", table)
+        .option("fileColumn", fc)
+        .load(path)
+    )
+    cond = F.expr(condition)
+    hits = tagged.filter(cond).groupBy(fc).count().collect()
+    affected = sorted(r[0] for r in hits)
+    n_deleted = int(sum(r[1] for r in hits))
+    pre_version = current_version(path)
+    if not affected:
+        return {
+            "files_rewritten": 0,
+            "files_added": 0,
+            "rows_deleted": 0,
+            "version": pre_version,
+            "pre_version": pre_version,
+        }
+    survivors = (
+        tagged.filter(F.col(fc).isin(affected))
+        .filter(~F.coalesce(cond, F.lit(False)))
+        .drop(fc)
+    )
+    rows = survivors.count()
+    n_files = max(1, math.ceil(rows / target_rows))
+    run = uuid.uuid4().hex[:8]
+    finals = _rewrite_and_swap(
+        survivors.repartition(n_files), path, affected, run,
+        table=table, target_rows=target_rows,
+        retain_history=retain_history, prefix="delete",
+    )
+    return {
+        "files_rewritten": len(affected),
+        "files_added": len(finals),
+        "rows_deleted": n_deleted,
+        "version": current_version(path),
+        "pre_version": pre_version,
+    }
 
 
 def vacuum(path: str, retain_snapshots: int = 0) -> dict:
@@ -504,10 +748,12 @@ def snapshot_history(path: str) -> "list[dict]":
     live: set[str] = set()
     for e in load_log(path)["entries"]:
         if e.get("base"):
-            # vacuum/auto-collapse synthesized this reset base — not a
-            # user overwrite, and history audits must not see a phantom
+            # synthesized reset base — not a user overwrite, and history
+            # audits must not see a phantom; "seed" = first log entry
+            # covering files that predate snapshot tracking,
+            # "vacuum-base" = collapse of expired versions
             live.clear()
-            kind = "vacuum-base"
+            kind = "seed-base" if e.get("seeded") else "vacuum-base"
         elif e.get("reset"):
             live.clear()
             kind = "overwrite"

@@ -22,6 +22,37 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+def _bounded_series(arr: Column, max_series: "int | None", op: str) -> Column:
+    """Runtime size guard for per-key gathered series (``collect_list``
+    ops buffer ONE key's whole series in one task).  Past ``max_series``
+    elements the right tool is the streaming path
+    (``applyInPandasWithState``) or a pre-bucketed variant, so fail loud
+    at execution time — JVM-side ``assert_true`` inside the same
+    expression, no extra job, no driver count — instead of letting the
+    executor die on an opaque OOM a few hundred MB later.  ``None``
+    disables the guard."""
+    if max_series is None:
+        return arr
+    lim = int(max_series)
+    # CASE WHEN with raise_error in the else branch: short-circuit
+    # semantics evaluate the error only for an oversized key, and the
+    # branches are genuinely different expressions so Catalyst's
+    # SimplifyConditionals cannot fold the guard away (it does fold
+    # `when(assert_true(c).isNull(), arr).otherwise(arr)` — both
+    # branches equal — which silently disables the check).
+    return F.when(F.size(arr) <= F.lit(lim), arr).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"{op}: a single key gathered %s series rows "
+                f"(max_series={lim}) — an unbounded key belongs on the "
+                "streaming path (applyInPandasWithState) or raise "
+                "max_series explicitly",
+                F.size(arr),
+            )
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -276,6 +307,7 @@ def funnel_depths(
     time_col: str = "ts",
     type_col: str = "event_type",
     window_us: int = 7 * 24 * 3_600_000_000,
+    max_series: "int | None" = 4_000_000,
 ) -> DataFrame:
     """ClickHouse-style window funnel: per key, how deep into the ordered
     ``stages`` chain the key progressed, anchored at its FIRST stage-1
@@ -292,7 +324,9 @@ def funnel_depths(
     naive alternative is len(stages) self-joins, i.e. len(stages)
     shuffles of the full event table; this formulation shuffles each
     event exactly once as a 16-byte pair.  Per-key arrays are bounded by
-    per-key event counts — the same bound any per-key window sort needs.
+    per-key event counts — the same bound any per-key window sort needs —
+    and a JVM-side ``max_series`` guard fails loud (with a pointer to the
+    streaming path) if one key's series exceeds it, instead of OOMing.
     """
     types = [s[0] for s in stages]
     evs = df.filter(F.col(type_col).isin(types)).select(
@@ -303,7 +337,9 @@ def funnel_depths(
         ).alias("e"),
     )
     per_key = evs.groupBy(key_col).agg(
-        F.sort_array(F.collect_list("e")).alias("seq")
+        _bounded_series(
+            F.sort_array(F.collect_list("e")), max_series, "funnel_depths"
+        ).alias("seq")
     )
     zero = F.struct(
         F.lit(0).alias("depth"),
@@ -371,6 +407,7 @@ def ewma(
     time_col: str = "ts",
     value_col: str = "value",
     alpha: float = 0.3,
+    max_series: "int | None" = 4_000_000,
 ) -> DataFrame:
     """Per-key exponentially weighted moving average — the smoothing
     aggregate hypertable engines ship built-in and Spark lacks (the
@@ -385,10 +422,15 @@ def ewma(
     an identically-ordered list yields the identical double.  Per-key
     state is the key's value array: fine for bounded series (sensors,
     user sessions); unbounded keys belong on the streaming path
-    (applyInPandasWithState) instead."""
-    arr = F.sort_array(
-        F.collect_list(F.struct(F.col(time_col).alias("t"),
-                                F.col(value_col).cast("double").alias("x")))
+    (applyInPandasWithState) instead — the JVM-side ``max_series`` guard
+    enforces that boundary at execution time (loud error naming the
+    offending size, not an executor OOM)."""
+    arr = _bounded_series(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(time_col).alias("t"),
+                                    F.col(value_col).cast("double").alias("x")))
+        ),
+        max_series, "ewma",
     )
     vals = F.transform(arr, lambda s: s["x"])
     a = F.lit(float(alpha))

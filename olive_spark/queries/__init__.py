@@ -93,6 +93,9 @@ _ORDER = [
     "scan_table_checksum",         # r7: order-independent content sum
     "scan_time_travel",            # r7: snapshot-log versioned read
     "stream_snapshot_tail",        # r7: startingSnapshot stream handoff
+    # --- new in r8 ---
+    "scan_after_merge_upsert",     # r8: MERGE INTO copy-on-write parity
+    "scan_merge_time_travel",      # r8: pre-merge snapshot still exact
     # --- never driver-checked: rows-only (no ANSI-SQL oracle; banding /
     #     recall<1 ANN / k-means semantics pinned by unit tests) ---
     "llm_dedup_simhash",

@@ -636,6 +636,115 @@ SQL_COHORT_RETENTION = (
 )
 
 
+def _ensure_orders_merged(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) a snapshot-logged ``orders_merged`` table
+    and run a deterministic MERGE + DELETE against it:
+
+      v1  base: orders (o_orderkey, o_custkey, o_orderstatus,
+          o_totalprice) appended through the DSv2 writer
+      v2  merge_upsert keyed on o_orderkey — customers with
+          o_custkey % 10 = 0 get o_totalprice + 1000 (updates), and the
+          % 10 = 5 orders are re-inserted at o_orderkey + 900_000_000
+          with doubled price (inserts) — ONE copy-on-write version
+      v3  delete_where o_orderstatus = 'P'
+
+    Every transform is a pure function of the base table, so the DuckDB
+    oracle reconstructs the exact post-merge state from the parquet
+    ``orders`` view in plain SQL; retain_history keeps v1 readable for
+    the time-travel parity query.  The reference format has no
+    update/delete layer (batch-only, /root/reference/src/root.zig:9-16);
+    MERGE/DELETE are this engine's lakehouse extension
+    (olive_spark/ops/maintenance.py)."""
+    import os as _os
+
+    from olive_spark.datasource import register_olive
+    from olive_spark.ops.maintenance import delete_where, merge_upsert
+
+    register_olive(spark)
+    out = _os.path.join(data.ensure_olive(sf), "orders_merged")
+    marker = _os.path.join(out, "_MERGE_OK")
+    if _os.path.exists(marker):
+        return out
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    base = data.load(spark, sf, "orders", columns=cols)
+    base.write.format("olive").option("table", "orders_merged") \
+        .mode("append").save(out)
+    updates = base.filter(F.col("o_custkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    inserts = base.filter(F.col("o_custkey") % 10 == 5).select(
+        (F.col("o_orderkey") + F.lit(900_000_000)).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") * F.lit(2.0)).alias("o_totalprice"),
+    )
+    merge_upsert(spark, out, updates.unionByName(inserts),
+                 key_cols=["o_orderkey"], table="orders_merged")
+    delete_where(spark, out, "o_orderstatus = 'P'", table="orders_merged")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def scan_after_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Post-MERGE state parity: aggregate the orders_merged table after
+    upsert (v2) + delete (v3) — the oracle recomputes the same state
+    from the base orders view with anti-join + union + filter SQL, so
+    a merge that lost a survivor row, double-applied an update, leaked
+    a deleted row, or dropped an untouched file hash-mismatches."""
+    path = _ensure_orders_merged(spark, sf)
+    df = spark.read.format("olive").option("table", "orders_merged").load(path)
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(D)).cast(D).alias("sum_price"),
+        F.sum(F.col("o_orderkey")).alias("sum_keys"),
+    )
+
+
+SQL_AFTER_MERGE = (
+    "WITH src AS ("
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice "
+    "FROM orders WHERE o_custkey % 10 = 0 "
+    "UNION ALL "
+    "SELECT o_orderkey + 900000000, o_custkey, o_orderstatus, o_totalprice * 2 "
+    "FROM orders WHERE o_custkey % 10 = 5), "
+    "merged AS ("
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+    "WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src) "
+    "UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice FROM src) "
+    "SELECT o_orderstatus, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys "
+    "FROM merged WHERE NOT (o_orderstatus = 'P') "
+    "GROUP BY o_orderstatus"
+)
+
+
+def scan_merge_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-MERGE snapshot parity: after the copy-on-write merge (v2)
+    and delete (v3), ``.option("snapshot", "1")`` must reproduce the
+    ORIGINAL base table exactly — rewritten originals are served from
+    _olive_history (retain_history), so a merge that vacuumed or
+    mislabeled a retired file breaks this hash."""
+    path = _ensure_orders_merged(spark, sf)
+    df = (
+        spark.read.format("olive").option("table", "orders_merged")
+        .option("snapshot", "1").load(path)
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(D)).cast(D).alias("sum_price"),
+        F.sum(F.col("o_orderkey")).alias("sum_keys"),
+    )
+
+
+SQL_MERGE_TIME_TRAVEL = (
+    "SELECT o_orderstatus, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys "
+    "FROM orders GROUP BY o_orderstatus"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "join_lateral_topn": (join_lateral_topn, SQL_JOIN_LATERAL),
     "ts_resample_locf": (ts_resample_locf, SQL_TS_RESAMPLE),
@@ -643,6 +752,8 @@ QUERIES: dict[str, tuple] = {
     "join_fuzzy_names": (join_fuzzy_names, SQL_FUZZY_NAMES),
     "scan_table_checksum": (scan_table_checksum, SQL_TABLE_CHECKSUM),
     "scan_time_travel": (scan_time_travel, SQL_TIME_TRAVEL),
+    "scan_after_merge_upsert": (scan_after_merge_upsert, SQL_AFTER_MERGE),
+    "scan_merge_time_travel": (scan_merge_time_travel, SQL_MERGE_TIME_TRAVEL),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),
     "join_interval_overlap": (join_interval_overlap, SQL_INTERVAL_JOIN),
     "reshape_unpivot": (reshape_unpivot, SQL_UNPIVOT),

@@ -276,7 +276,13 @@ def drain_available_now(
         progress = q.lastProgress
         end = None
         if progress and progress.get("sources"):
-            end = progress["sources"][0].get("endOffset")
+            # ALL sources, as a tuple: in a multi-source query (e.g. a
+            # stream-stream join of two olive sources) source 0 can be
+            # fully drained while source 1 still has backlog — stopping
+            # on source 0 alone would strand it
+            end = tuple(
+                s.get("endOffset") for s in progress["sources"]
+            )
         if end is None or end == last_end:
             break
         last_end = end

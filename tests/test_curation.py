@@ -450,3 +450,35 @@ def test_remove_boilerplate_matches_bruteforce_on_random_docs(spark):
                    df, min_docs=min_docs
                ).collect()}
         assert got == expect, min_docs
+
+
+def test_token_budget_mix_hot_bucket_path_is_exact(spark):
+    """Hot-bucket auto-mitigation (r7 audit): force the hot branch by
+    setting hot_bucket_rows below a fixed-length bucket's row count.
+    The range-partitioned two-pass ranking must reproduce the cold
+    single-task window's output EXACTLY (same kept set, same
+    cum_tokens), including a budget boundary that falls mid-bucket,
+    and the plan must carry the RangePartitioning exchange that gives
+    the hot bucket its parallelism."""
+    from olive_spark.ops import curation
+
+    # one degenerate 400-row bucket (crawl, 5 tokens each) + a small
+    # varied source that stays on the cold path next to it
+    rows = [(i, "w x y z q", "crawl") for i in range(400)]
+    rows += [(1000 + i, " ".join(["x"] * (3 * i + 1)), "books")
+             for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    cold = curation.token_budget_mix(df, 1000)  # default: nothing hot
+    hot = curation.token_budget_mix(df, 1000, hot_bucket_rows=50)
+    cold_rows = sorted(map(tuple, cold.collect()))
+    hot_rows = sorted(map(tuple, hot.collect()))
+    assert hot_rows == cold_rows
+    # budget boundary mid-bucket: exactly 200 of the 400 crawl docs
+    assert sum(1 for r in hot_rows if r[0] == "crawl") == 200
+    # lowest-id docs win the tiebreak, with exact running sums
+    crawl = [r for r in hot_rows if r[0] == "crawl"]
+    assert {r[1] for r in crawl} == set(range(200))
+    assert {r[3] for r in crawl} == {5 * k for k in range(1, 201)}
+    plan = hot._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), "hot branch lost its range exchange"

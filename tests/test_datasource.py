@@ -195,6 +195,32 @@ def test_no_pushdown_by_default_keeps_reused_relation_correct(spark, tmp_path):
     assert f2.count() == 500
 
 
+def test_scan_works_with_filter_pushdown_conf_disabled(spark, tmp_path):
+    """A session where spark.sql.python.filterPushdown.enabled is off
+    (locked, old deployment) must still scan olive: the default reader
+    does not implement pushFilters, so Spark never raises
+    DATA_SOURCE_PUSHDOWN_DISABLED.  Only .option("pushdown","true")
+    relations require the conf, and they fail loud at plan time with
+    Spark's error naming the exact conf line (r7 verdict item 3)."""
+    t = pa.table({"k": pa.array(range(100), pa.int64())})
+    d = tmp_path / "noconf"
+    d.mkdir()
+    (d / "part-0.olive").write_bytes(write_chunk({"data": t}))
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        df = spark.read.format("olive").load(str(d))
+        assert df.count() == 100
+        assert df.filter("k < 7").count() == 7  # post-scan filter still applies
+        # opt-in pruning without the conf: loud plan-time failure, not silence
+        bad = spark.read.format("olive").option("pushdown", "true").load(str(d))
+        with pytest.raises(Exception, match="PUSHDOWN_DISABLED|filterPushdown"):
+            bad.filter("k < 7").count()
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
 def test_compact_merges_small_files(spark, tmp_path):
     from olive_spark.ops.maintenance import compact
 

@@ -354,3 +354,25 @@ def test_fuzzy_pairs_matches_bruteforce_on_random_strings(spark):
         got = {(r["a_id"], r["b_id"]): r["dist"]
                for r in dedup.fuzzy_pairs(df, "name", "id", max_dist=k).collect()}
         assert got == expect, k
+
+
+def test_fuzzy_pairs_degenerate_duplicate_heavy_corpus(spark):
+    """Skew-proofing (r7 audit): blocking now runs over DISTINCT names,
+    so a corpus dominated by ONE repeated string must still produce the
+    full exact pair set — m duplicate rows contribute m(m-1)/2 dist-0
+    pairs via the count>1 expansion plus m pairs per near-variant,
+    never m² in-block candidates."""
+    from olive_spark.ops import dedup
+
+    rows = [(i, "alpha") for i in range(50)]          # dominant dup
+    rows += [(100, "alphb"), (101, "alpah"), (102, "zzzz")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {(r["a_id"], r["b_id"]): r["dist"]
+           for r in dedup.fuzzy_pairs(df, "name", "id", max_dist=2).collect()}
+    dup_pairs = {(a, b) for (a, b), d in got.items() if d == 0}
+    assert dup_pairs == {(a, b) for a in range(50) for b in range(50) if a < b}
+    assert all(got[(i, 100)] == 1 for i in range(50))   # alpha->alphb
+    assert all(got[(i, 101)] == 2 for i in range(50))   # transposition
+    assert (100, 101) in got                            # variant-variant
+    assert not any(102 in p for p in got)               # far string alone
+    assert len(got) == 50 * 49 // 2 + 50 + 50 + 1

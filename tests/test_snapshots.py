@@ -148,11 +148,14 @@ def test_corrupt_log_degrades_to_advisory(spark, tmp_path_factory):
     assert spark.read.format("olive").load(path).count() == 10
     with pytest.raises(Exception, match="no snapshot log"):
         _read_snapshot(spark, path, 1).count()
-    # next commit restarts the line cleanly: the fresh log's v1 holds
-    # only that commit's files (earlier files predate the new line)
+    # next commit restarts the line WITHOUT losing coverage: the fresh
+    # log seeds a base entry (v1) from the files that predate it, so
+    # the commit's snapshot (v2) is the full table — never a silently
+    # partial file list (r7 ADVICE)
     _write(spark, path, 10, 12)
-    assert snapshots.current_version(path) == 1
-    assert _read_snapshot(spark, path, 1).count() == 2
+    assert snapshots.current_version(path) == 2
+    assert _read_snapshot(spark, path, 1).count() == 10
+    assert _read_snapshot(spark, path, 2).count() == 12
     assert spark.read.format("olive").load(path).count() == 12
 
 
@@ -345,6 +348,49 @@ def test_bounded_log_collapses_into_base(tmp_path):
     # the collapsed base is not a phantom overwrite in history
     kinds = [h["kind"] for h in snapshot_history(d)]
     assert kinds[0] == "vacuum-base" and "overwrite" not in kinds
+
+
+def test_first_append_seeds_preexisting_files(spark, tmp_path):
+    """A new log over a directory that already holds .olive files (raw
+    write_chunk table, or a log invalidated by an earlier append
+    failure) must cover them: the first append seeds a base entry from
+    the live listing, so no later snapshot silently omits them."""
+    import pyarrow as pa
+
+    from olive_spark.format import snapshots
+    from olive_spark.format.writer import write_chunk
+
+    d = tmp_path / "pre"
+    d.mkdir()
+    t = pa.table({"k": pa.array(range(40), pa.int64())})
+    (d / "legacy-0.olive").write_bytes(write_chunk({"data": t}))
+    _write(spark, str(d), 100, 110)  # first logged commit
+    log = snapshots.load_log(str(d))["entries"]
+    assert log[0].get("seeded") is True and log[0].get("base") is True
+    assert "legacy-0.olive" in log[0]["add"]
+    # snapshot 2 (the commit) sees legacy + new; history labels the seed
+    got = _read_snapshot(spark, str(d), 2)
+    assert got.count() == 50
+    from olive_spark.ops.maintenance import snapshot_history
+
+    assert snapshot_history(str(d))[0]["kind"] == "seed-base"
+
+
+def test_batch_append_log_is_bounded_by_default(spark, tmp_path):
+    """The batch writer bounds the snapshot log (ADVICE r7: unbounded
+    O(n) rewrite per commit).  With the option set low, old versions
+    collapse into a base and the log stays at the cap."""
+    from olive_spark.format import snapshots
+
+    d = str(tmp_path / "cap")
+    for i in range(8):
+        spark.range(i * 10, i * 10 + 10).withColumnRenamed("id", "k") \
+            .coalesce(1).write.format("olive") \
+            .option("snapshotMaxEntries", "3").mode("append").save(d)
+    entries = snapshots.load_log(d)["entries"]
+    assert len(entries) == 3
+    assert snapshots.current_version(d) == 8
+    assert spark.read.format("olive").option("snapshot", "8").load(d).count() == 80
 
 
 def test_failed_append_invalidates_log_not_partial(tmp_path, monkeypatch):

@@ -350,3 +350,32 @@ def test_resample_interpolate_fills_gaps_linearly(spark):
     assert out[(1, base + 5 * H)] == (100.0, False)
     assert out[(2, base + 7 * H)] == (5.0, False)
     assert len(out) == 7
+
+
+def test_ewma_and_funnel_max_series_guard(spark):
+    """The collect_list size guard (r7 audit): a key whose gathered
+    series exceeds max_series must fail LOUD at execution with the
+    streaming-path pointer — not ride into an executor OOM — and the
+    guard must be free when disabled or under the limit."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops.timeseries import ewma, funnel_depths
+
+    rows = [(f"u{i % 3}", float(i), float(i)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+
+    ok = ewma(df, max_series=20).collect()       # 20 rows/key: at limit
+    assert len(ok) == 3
+    assert ewma(df, max_series=None).count() == 3  # guard disabled
+
+    with pytest.raises(Exception, match="max_series"):
+        ewma(df, max_series=10).collect()
+
+    ev = df.withColumn("event_type", F.lit("view"))
+    assert funnel_depths(
+        ev, [("view", "s1")], max_series=20
+    ).count() == 3
+    with pytest.raises(Exception, match="max_series"):
+        funnel_depths(ev, [("view", "s1")], max_series=10).collect()
