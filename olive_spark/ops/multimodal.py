@@ -287,6 +287,96 @@ def image_resize(
     return src.mapInPandas(resize_real if codec == "real" else resize, schema)
 
 
+def decode_png_meta(
+    df: DataFrame, payload_col: str = "png", id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL image decode, no external libraries: parse actual PNG bytes
+    with the stdlib-only codec (ops/media_codecs.py — chunk walk,
+    CRC-32 verification, zlib inflate, scanline filter reconstruction)
+    and emit (width, height, bit_depth, px_sum, ok).  Malformed
+    payloads are data, not errors: ok=false, zeros.
+
+    Same 100 TB shape as the stub path: payloads stay in their scan
+    partitions, decode is Arrow-batched ``mapInPandas``, and only the
+    narrow metadata row continues down the pipeline."""
+    import pandas as pd
+
+    from olive_spark.ops.media_codecs import png_decode_gray
+
+    src = df.select(id_col, payload_col)
+    schema = "doc_id long, width int, height int, bit_depth int, px_sum long, ok boolean"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "width", "height", "bit_depth", "px_sum", "ok")}
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(did)
+                try:
+                    w, h, d, s = png_decode_gray(p if p is not None else b"")
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["bit_depth"].append(d)
+                    rows["px_sum"].append(s)
+                    rows["ok"].append(True)
+                except Exception:  # noqa: BLE001 — corrupt payloads are data
+                    rows["width"].append(0)
+                    rows["height"].append(0)
+                    rows["bit_depth"].append(0)
+                    rows["px_sum"].append(0)
+                    rows["ok"].append(False)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(decode, schema)
+
+
+def decode_wav_meta(
+    df: DataFrame, payload_col: str = "wav", id_col: str = "doc_id",
+    window: int = 256, hop: int = 128,
+) -> DataFrame:
+    """REAL audio decode via the stdlib ``wave`` RIFF parser
+    (ops/media_codecs.py): (n_frames, n_channels, framerate,
+    sample_sum) from the actual PCM stream, plus the strided
+    analysis-window count over decoded frames.  Malformed payloads →
+    ok=false, zeros.  Arrow-batched mapInPandas, partition-local."""
+    import pandas as pd
+
+    from olive_spark.ops.media_codecs import wav_decode_info
+
+    src = df.select(id_col, payload_col)
+    schema = (
+        "doc_id long, n_frames long, n_channels int, framerate int, "
+        "sample_sum long, n_windows long, ok boolean"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "n_frames", "n_channels", "framerate",
+                     "sample_sum", "n_windows", "ok")}
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(did)
+                try:
+                    nf, ch, rate, ssum = wav_decode_info(
+                        p if p is not None else b""
+                    )
+                    nw = 0 if nf < window else (nf - window) // hop + 1
+                    rows["n_frames"].append(nf)
+                    rows["n_channels"].append(ch)
+                    rows["framerate"].append(rate)
+                    rows["sample_sum"].append(ssum)
+                    rows["n_windows"].append(nw)
+                    rows["ok"].append(True)
+                except Exception:  # noqa: BLE001 — corrupt payloads are data
+                    for k in ("n_frames", "n_channels", "framerate",
+                              "sample_sum", "n_windows"):
+                        rows[k].append(0)
+                    rows["ok"].append(False)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(decode, schema)
+
+
 def frame_sample(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
                  every_n: int = 10) -> DataFrame:
     """STUB frame sampler: emits one row per sampled 'frame' with a

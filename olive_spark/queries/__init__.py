@@ -96,6 +96,8 @@ _ORDER = [
     # --- new in r8 ---
     "scan_after_merge_upsert",     # r8: MERGE INTO copy-on-write parity
     "scan_merge_time_travel",      # r8: pre-merge snapshot still exact
+    "mm_decode_png_real",          # r8: real PNG decode, exact oracle
+    "mm_audio_wav_real",           # r8: real WAV decode, exact oracle
     # --- never driver-checked: rows-only (no ANSI-SQL oracle; banding /
     #     recall<1 ANN / k-means semantics pinned by unit tests) ---
     "llm_dedup_simhash",

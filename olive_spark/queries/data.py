@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 
 CACHE_ROOT = "/tmp/olive_cache"
-CACHE_VERSION = "v10"  # bump when derived-table definitions change
+CACHE_VERSION = "v11"  # bump when derived-table definitions change
 N_CHUNKS = 16  # files per table = scan parallelism floor (real clusters
 MIN_CHUNK_ROWS = 256  # get this for free from many-file layouts)
 TABLES = (
@@ -229,6 +229,38 @@ def _write_derived(sf_dir: str, out: str) -> None:
         })},
         bloom_columns=["h"],
     )
+
+    # documents_media — REAL planted media bytes, one PNG + one WAV per
+    # document, every byte a pure function of doc_id (gradient pixels
+    # v(x,y) = (doc_id+x+2y) % 256; PCM samples v(i) = (doc_id+i) % 201
+    # - 100) so a DuckDB oracle recomputes the full decode output
+    # integer-exactly.  The PNGs alternate Sub/Up scanline filters and
+    # carry CRCs; the WAVs are stdlib-written RIFF PCM16 — decoding them
+    # (ops/media_codecs.py) is a genuine codec path, not byte
+    # arithmetic.
+    from olive_spark.ops.media_codecs import png_encode_gray, wav_encode_pcm16
+
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"]).column("doc_id").to_pylist()
+    pngs, wavs = [], []
+    for i in ids:
+        w = i % 48 + 4
+        h = (i * 3) % 48 + 4
+        pngs.append(png_encode_gray(
+            [bytes(((i + x + 2 * y) % 256) for x in range(w))
+             for y in range(h)]
+        ))
+        nf = i % 1000 + 100
+        ch = i % 2 + 1
+        rate = 8000 + (i % 3) * 4000
+        wavs.append(wav_encode_pcm16(
+            [((i + k) % 201) - 100 for k in range(nf * ch)], ch, rate
+        ))
+    emit("documents_media", {"documents_media": pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "png": pa.array(pngs, pa.binary()),
+        "wav": pa.array(wavs, pa.binary()),
+    })})
 
     # events_versioned — a snapshot-logged table with two commit
     # versions for the time-travel query: v1 holds events with

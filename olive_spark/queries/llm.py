@@ -344,8 +344,61 @@ SQL_MM_AUDIO = (
 )
 
 
+def mm_decode_png_real(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL-codec image decode, driver-gated: the documents_media table
+    carries actual PNG bytes (Sub/Up-filtered scanlines, CRC-bearing
+    chunks, zlib IDAT — planted at fixture time as a pure function of
+    doc_id, queries/data.py), and this query decodes them with the
+    stdlib-only PNG decoder (ops/media_codecs.py).  The oracle
+    recomputes width/height/bit_depth AND the decoded pixel sum
+    integer-exactly from doc_id — a decoder that skips CRCs, mis-parses
+    a chunk, or botches filter reconstruction hash-mismatches here, not
+    just in a skip-marked unit test."""
+    df = data.load(spark, sf, "documents_media", columns=["doc_id", "png"])
+    return multimodal.decode_png_meta(df)
+
+
+SQL_MM_PNG_REAL = (
+    "SELECT doc_id, "
+    "CAST(doc_id % 48 + 4 AS INT) AS width, "
+    "CAST((doc_id * 3) % 48 + 4 AS INT) AS height, "
+    "CAST(8 AS INT) AS bit_depth, "
+    "CAST(list_sum(flatten(list_transform(range(0, (doc_id * 3) % 48 + 4), "
+    "y -> list_transform(range(0, doc_id % 48 + 4), "
+    "x -> (doc_id + x + 2 * y) % 256)))) AS BIGINT) AS px_sum, "
+    "TRUE AS ok "
+    "FROM documents"
+)
+
+
+def mm_audio_wav_real(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL-codec audio decode, driver-gated: documents_media's wav
+    column holds stdlib-written RIFF/WAVE PCM16 files; this query
+    parses the container (frames, channels, rate) and sums the decoded
+    int16 stream.  The oracle recomputes all of it from doc_id — a
+    parser that drops frames or misreads the fmt chunk hash-mismatches."""
+    df = data.load(spark, sf, "documents_media", columns=["doc_id", "wav"])
+    return multimodal.decode_wav_meta(df)
+
+
+SQL_MM_WAV_REAL = (
+    "SELECT doc_id, "
+    "CAST(doc_id % 1000 + 100 AS BIGINT) AS n_frames, "
+    "CAST(doc_id % 2 + 1 AS INT) AS n_channels, "
+    "CAST(8000 + (doc_id % 3) * 4000 AS INT) AS framerate, "
+    "CAST(list_sum(list_transform(range(0, (doc_id % 1000 + 100) * (doc_id % 2 + 1)), "
+    "i -> (doc_id + i) % 201 - 100)) AS BIGINT) AS sample_sum, "
+    "CAST(CASE WHEN doc_id % 1000 + 100 < 256 THEN 0 "
+    "ELSE (doc_id % 1000 + 100 - 256) // 128 + 1 END AS BIGINT) AS n_windows, "
+    "TRUE AS ok "
+    "FROM documents"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "llm_dedup_exact": (llm_dedup_exact, SQL_DEDUP_EXACT),
+    "mm_decode_png_real": (mm_decode_png_real, SQL_MM_PNG_REAL),
+    "mm_audio_wav_real": (mm_audio_wav_real, SQL_MM_WAV_REAL),
     "mm_audio_windows": (mm_audio_windows, SQL_MM_AUDIO),
     "mm_image_resize": (mm_image_resize, SQL_MM_RESIZE),
     "llm_dedup_incremental": (llm_dedup_incremental, SQL_DEDUP_INCR),

@@ -158,3 +158,100 @@ def test_real_codec_audio_windows(spark):
     assert got[1]["n_windows"] == (5000 - 1024) // 512 + 1
     assert (got[2]["n_samples"], got[2]["n_windows"]) == (100, 0)
     assert (got[3]["n_samples"], got[3]["n_windows"]) == (0, 0)
+
+
+def test_png_codec_roundtrip_and_corruption():
+    """Stdlib PNG codec (ops/media_codecs.py): encode/decode roundtrip
+    across sizes incl. 1-wide/1-tall edges, and every corrupted byte in
+    the chunked region must raise (CRC or structure), never return
+    wrong pixels silently."""
+    from olive_spark.ops.media_codecs import png_decode_gray, png_encode_gray
+
+    for w, h, seed in ((1, 1, 0), (1, 7, 3), (9, 1, 5), (48, 51, 123)):
+        rows = [bytes((seed + x + 2 * y) % 256 for x in range(w))
+                for y in range(h)]
+        blob = png_encode_gray(rows)
+        exp_sum = sum(sum(r) for r in rows)
+        assert png_decode_gray(blob) == (w, h, 8, exp_sum)
+
+    blob = png_encode_gray([bytes((x * 7) % 256 for x in range(16))] * 8)
+    for pos in range(8, len(blob)):  # every byte after the signature
+        bad = bytearray(blob)
+        bad[pos] ^= 0x41
+        try:
+            got = png_decode_gray(bytes(bad))
+        except ValueError:
+            continue  # caught by CRC / structure validation — correct
+        raise AssertionError(f"byte {pos} flip silently accepted: {got}")
+
+
+def test_png_decoder_reconstructs_average_and_paeth():
+    """The decoder must handle ALL five PNG filter types; the encoder
+    only emits Sub/Up, so build Average(3)- and Paeth(4)-filtered
+    scanlines by hand (forward-filtering known pixels per the spec) and
+    check exact reconstruction."""
+    import struct
+    import zlib
+
+    from olive_spark.ops.media_codecs import _PNG_SIG, _chunk, png_decode_gray
+
+    w, h = 7, 4
+    px = [[(11 * x + 29 * y + 3) % 256 for x in range(w)] for y in range(h)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for y in range(h):
+        ftype = 3 if y % 2 == 0 else 4
+        raw.append(ftype)
+        for x in range(w):
+            cur = px[y][x]
+            left = px[y][x - 1] if x else 0
+            up = px[y - 1][x] if y else 0
+            ul = px[y - 1][x - 1] if x and y else 0
+            pred = (left + up) // 2 if ftype == 3 else paeth(left, up, ul)
+            raw.append((cur - pred) & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    blob = (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+    assert png_decode_gray(blob) == (w, h, 8, sum(map(sum, px)))
+
+
+def test_wav_codec_roundtrip_and_truncation():
+    from olive_spark.ops.media_codecs import wav_decode_info, wav_encode_pcm16
+
+    samples = [((i * 37) % 201) - 100 for i in range(300)]
+    blob = wav_encode_pcm16(samples, 2, 16000)
+    assert wav_decode_info(blob) == (150, 2, 16000, sum(samples))
+    with pytest.raises(Exception):
+        wav_decode_info(blob[:40])  # truncated inside the data chunk
+    with pytest.raises(Exception):
+        wav_decode_info(b"RIFFgarbage")
+
+
+def test_decode_png_wav_meta_spark_with_corrupt_rows(spark):
+    """The Spark operators must decode real payloads per-row and mark
+    undecodable rows ok=false instead of failing the batch."""
+    from olive_spark.ops.media_codecs import png_encode_gray, wav_encode_pcm16
+    from olive_spark.ops.multimodal import decode_png_meta, decode_wav_meta
+
+    png_ok = png_encode_gray([bytes(range(10))] * 3)
+    wav_ok = wav_encode_pcm16([5, -5, 10, -10], 1, 8000)
+    rows = [(1, png_ok, wav_ok), (2, b"not a png", b"not a wav"),
+            (3, None, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "png", "wav"])
+
+    got_png = {r["doc_id"]: r for r in decode_png_meta(df).collect()}
+    assert (got_png[1]["width"], got_png[1]["height"],
+            got_png[1]["px_sum"], got_png[1]["ok"]) == (10, 3, 135, True)
+    assert got_png[2]["ok"] is False and got_png[3]["ok"] is False
+
+    got_wav = {r["doc_id"]: r for r in decode_wav_meta(df).collect()}
+    assert (got_wav[1]["n_frames"], got_wav[1]["n_channels"],
+            got_wav[1]["framerate"], got_wav[1]["sample_sum"],
+            got_wav[1]["ok"]) == (4, 1, 8000, 0, True)
+    assert got_wav[2]["ok"] is False and got_wav[3]["ok"] is False
