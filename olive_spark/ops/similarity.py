@@ -205,19 +205,13 @@ def _centroid_buckets(vecs, num_rows: int, cids, cmat):
     return cids[sims.shape[1] - 1 - rev_am].astype(np.int32)
 
 
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """IVF-style ANN: deterministic coarse centroids (first row of every
-    id-hash bucket — cheap, reproducible), corpus assigned to nearest
-    centroid, queries probe the ``n_probe`` nearest buckets. Recall < 1
-    by design; the 100 TB shape (bucket-pruned scan) is the point."""
+def _ivf_train_assign(
+    corpus: DataFrame, n_centroids: int, vec_col: str, id_col: str,
+):
+    """IVF build phase: deterministic coarse centroids (first row of
+    every id-hash bucket — cheap, reproducible) and the corpus with a
+    nearest-centroid ``bucket`` column.  Returns (cents_rows,
+    c_assigned) — the two artifacts :func:`build_ivf_index` persists."""
     cents = (
         corpus.withColumn("_b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids)))
         .withColumn(
@@ -231,16 +225,6 @@ def ivf_topk(
         ((r["centroid_id"], r["centroid_vec"]) for r in cents.collect()),
         key=lambda t: t[0],
     )
-
-    def nearest_buckets(vec, n):
-        sims = [
-            (cid, cosine_expr(vec, F.array([F.lit(float(x)) for x in cvec])))
-            for cid, cvec in cents_rows
-        ]
-        arr = F.array(*[
-            F.struct(s.alias("sim"), F.lit(cid).alias("cid")) for cid, s in sims
-        ])
-        return F.slice(F.reverse(F.array_sort(arr)), 1, n)
 
     # Corpus-side centroid assignment: one numpy matmul per Arrow batch
     # against the broadcast (normalized) centroid matrix.  An expression
@@ -268,14 +252,44 @@ def ivf_topk(
                 pa.field("bucket", pa.int32()), pa.array(bucket, pa.int32())
             )
 
-    c_assigned = corpus.mapInArrow(assign, assign_schema)
-    q_assigned = queries.select(
+    return cents_rows, corpus.mapInArrow(assign, assign_schema)
+
+
+def _ivf_q_assigned(
+    queries: DataFrame, cents_rows, n_probe: int, vec_col: str, id_col: str,
+) -> DataFrame:
+    """Query-side probe assignment: one row per (query, probed bucket),
+    buckets ranked by centroid cosine via a JVM expression tree (exact
+    and shared by the trained and persisted paths, so both produce
+    bit-identical probe sets)."""
+
+    def nearest_buckets(vec, n):
+        sims = [
+            (cid, cosine_expr(vec, F.array([F.lit(float(x)) for x in cvec])))
+            for cid, cvec in cents_rows
+        ]
+        arr = F.array(*[
+            F.struct(s.alias("sim"), F.lit(cid).alias("cid")) for cid, s in sims
+        ])
+        return F.slice(F.reverse(F.array_sort(arr)), 1, n)
+
+    return queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
         F.explode(
             F.transform(nearest_buckets(F.col(vec_col), n_probe), lambda s: s["cid"])
         ).alias("bucket"),
     )
+
+
+def _ivf_probe(
+    c_assigned: DataFrame, q_assigned: DataFrame,
+    k: int, vec_col: str, id_col: str,
+) -> DataFrame:
+    """IVF query phase over a bucketed corpus (freshly assigned or
+    loaded from a persisted index): equi-join on bucket with the slim
+    probe set broadcast, score only in-bucket candidates, per-query
+    top-k."""
     sim = F.round(cosine_expr(F.col("query_vec"), F.col(vec_col)), 6)
     scored = (
         c_assigned.join(F.broadcast(q_assigned), "bucket")
@@ -290,6 +304,156 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: deterministic coarse centroids, corpus assigned to
+    nearest centroid, queries probe the ``n_probe`` nearest buckets.
+    Recall < 1 by design; the 100 TB shape (bucket-pruned scan) is the
+    point.  Trains per call — for an ingest pipeline that queries the
+    same corpus repeatedly, persist once with :func:`build_ivf_index`
+    and serve with :func:`ivf_topk_indexed`."""
+    cents_rows, c_assigned = _ivf_train_assign(
+        corpus, n_centroids, vec_col, id_col
+    )
+    q_assigned = _ivf_q_assigned(queries, cents_rows, n_probe, vec_col, id_col)
+    return _ivf_probe(c_assigned, q_assigned, k, vec_col, id_col)
+
+
+_IVF_META = "_ivf_meta.json"
+
+
+def build_ivf_index(
+    spark,
+    corpus: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    corpus_version: "int | None" = None,
+) -> dict:
+    """Persist an IVF index as olive tables so later queries skip
+    training AND skip the full-corpus assignment pass:
+
+        index_dir/centroids/    (centroid_id, centroid_vec) — tiny
+        index_dir/assignments/  corpus rows + their bucket — the
+                                inverted lists, written bucket-hive-
+                                partitioned so an n_probe query scans
+                                ONLY the probed buckets' directories
+        index_dir/_ivf_meta.json  geometry + the corpus snapshot
+                                version the index was built from
+
+    ``corpus_version`` keys the artifact to the snapshot log of the
+    source table (olive_spark.format.snapshots.current_version):
+    :func:`ivf_topk_indexed` refuses a stale index loudly when the
+    caller passes the corpus's CURRENT version — the same
+    build-once/validate-on-read contract as the incremental-dedup
+    Bloom sidecar.  Returns the meta dict."""
+    import json
+    import os
+
+    from olive_spark.datasource import register_olive
+
+    register_olive(spark)
+    cents_rows, c_assigned = _ivf_train_assign(
+        corpus, n_centroids, vec_col, id_col
+    )
+    (
+        c_assigned.write.format("olive")
+        .option("table", "assignments")
+        .option("partitionBy", "bucket")
+        .mode("overwrite")
+        .save(os.path.join(index_dir, "assignments"))
+    )
+    cents_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents_rows],
+        "centroid_id int, centroid_vec array<double>",
+    )
+    (
+        cents_df.coalesce(1).write.format("olive")
+        .option("table", "centroids")
+        .mode("overwrite")
+        .save(os.path.join(index_dir, "centroids"))
+    )
+    meta = {
+        "n_centroids": int(n_centroids),
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "corpus_version": corpus_version,
+    }
+    tmp = os.path.join(index_dir, _IVF_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, _IVF_META))
+    return meta
+
+
+def ivf_topk_indexed(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    expect_corpus_version: "int | None" = None,
+) -> DataFrame:
+    """Serve IVF top-k from a persisted index (:func:`build_ivf_index`)
+    — no training, no corpus assignment pass; identical results to
+    :func:`ivf_topk` with the same geometry over the same corpus.
+
+    ``expect_corpus_version`` (pass the source table's CURRENT snapshot
+    version) fails loud if the corpus advanced since the index was
+    built — a silently stale index returns confidently wrong neighbors,
+    the worst failure mode an ANN serving path has."""
+    import json
+    import os
+
+    from olive_spark.datasource import register_olive
+
+    register_olive(spark)
+    with open(os.path.join(index_dir, _IVF_META)) as f:
+        meta = json.load(f)
+    if (
+        expect_corpus_version is not None
+        and meta.get("corpus_version") != expect_corpus_version
+    ):
+        raise ValueError(
+            f"stale IVF index at {index_dir}: built from corpus version "
+            f"{meta.get('corpus_version')}, current is "
+            f"{expect_corpus_version} — rebuild with build_ivf_index"
+        )
+    cents = spark.read.format("olive").load(os.path.join(index_dir, "centroids"))
+    cents_rows = sorted(
+        ((r["centroid_id"], r["centroid_vec"]) for r in cents.collect()),
+        key=lambda t: t[0],
+    )
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    q_assigned = _ivf_q_assigned(queries, cents_rows, n_probe, vec_col, id_col)
+    # Directory-pruned inverted-list scan: the probe set is tiny (it is
+    # broadcast anyway), so evaluating it once up front costs one small
+    # job and yields the literal probed-bucket list; pushing that IN
+    # filter into the hive-partitioned assignments scan skips every
+    # unprobed bucket=... directory at PLAN time — the point of an IVF
+    # index at 100 TB (n_probe/n_centroids of the corpus is read, not
+    # all of it).  The filter is exactly the join's bucket set, so
+    # results are identical to the unpruned join.
+    buckets = sorted(
+        r["bucket"] for r in q_assigned.select("bucket").distinct().collect()
+    )
+    c_assigned = (
+        spark.read.format("olive")
+        .option("pushdown", "true")
+        .load(os.path.join(index_dir, "assignments"))
+        .filter(F.col("bucket").isin(buckets))
+    )
+    return _ivf_probe(c_assigned, q_assigned, k, vec_col, id_col)
 
 
 def _pq_train_codebooks(sample, m: int, n_cent: int, iters: int = 8):

@@ -98,6 +98,7 @@ _ORDER = [
     "scan_merge_time_travel",      # r8: pre-merge snapshot still exact
     "mm_decode_png_real",          # r8: real PNG decode, exact oracle
     "mm_audio_wav_real",           # r8: real WAV decode, exact oracle
+    "llm_similarity_ivf_persisted",  # r8: ANN from a persisted index
     # --- never driver-checked: rows-only (no ANSI-SQL oracle; banding /
     #     recall<1 ANN / k-means semantics pinned by unit tests) ---
     "llm_dedup_simhash",

@@ -112,3 +112,58 @@ def test_ivf_recall_vs_brute_force(spark):
     assert set(ex) == set(ap)
     recalls = [len(ex[q] & ap[q]) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.7, f"recall too low: {recalls}"
+
+
+def test_persisted_ivf_index_parity_no_retrain_and_stale_guard(spark, tmp_path):
+    """build_ivf_index → ivf_topk_indexed must (a) return exactly the
+    per-call-trained ivf_topk result, (b) never re-train or rewrite the
+    index on later calls (training monkeypatched to explode; index
+    files untouched), (c) refuse a stale corpus version loudly."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops import similarity
+    from olive_spark.queries import data
+
+    corpus = data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+    queries = corpus.filter(F.col("vec_id") < 5)
+    direct = sorted(map(tuple, similarity.ivf_topk(corpus, queries, k=10).collect()))
+
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(spark, corpus, idx, corpus_version=7)
+    got1 = sorted(map(tuple, similarity.ivf_topk_indexed(
+        spark, idx, queries, k=10, expect_corpus_version=7
+    ).collect()))
+    assert got1 == direct
+
+    # second call: loaded path only — training must not run, and the
+    # index artifact must not be rewritten
+    state = {
+        p: os.path.getmtime(os.path.join(r, p))
+        for r, _, fs in os.walk(idx) for p in fs
+    }
+
+    def boom(*a, **kw):  # noqa: ANN002, ANN003
+        raise AssertionError("ivf_topk_indexed re-trained the index")
+
+    orig = similarity._ivf_train_assign
+    similarity._ivf_train_assign = boom
+    try:
+        got2 = sorted(map(tuple, similarity.ivf_topk_indexed(
+            spark, idx, queries, k=10, expect_corpus_version=7
+        ).collect()))
+    finally:
+        similarity._ivf_train_assign = orig
+    assert got2 == direct
+    after = {
+        p: os.path.getmtime(os.path.join(r, p))
+        for r, _, fs in os.walk(idx) for p in fs
+    }
+    assert after == state, "serving a query mutated the index artifact"
+
+    with pytest.raises(ValueError, match="stale IVF index"):
+        similarity.ivf_topk_indexed(
+            spark, idx, queries, k=10, expect_corpus_version=8
+        )
