@@ -56,33 +56,25 @@ _RAW: dict[str, tuple] = {
 }
 
 # Driver coverage window: the correctness gate checks the FIRST 50
-# registry entries.  Round-7 rotation (VERDICT r6 task #1): the window
-# now holds the 15 queries that have never appeared in a driver
-# CORRECTNESS window — the 9 r6-new queries (all judge-verified MATCH in
-# the r6 full-sweep) and the 6 rows-only queries (LSH/ANN/SemDeDup, no
-# ANSI-SQL oracle; the driver records the weaker rows-only check) — plus
-# 1 regression canary (scan_roundtrip_lineitem, green r02–r06), padded
-# to 50 with the longest-unchecked driver-green entries: the full
-# r02/r03-era tail (last checked ≥4 rounds ago) and the oldest
-# r04-window entries.  After this window lands green, every registry
-# query has appeared in at least one driver CORRECTNESS window.
-# Everything stays registered — entries beyond 50 keep bench/pytest
-# coverage.
+# registry entries.  Round-8 rotation (VERDICT r7 task #8): cumulative
+# coverage is complete (every registry query has appeared in some
+# driver CORRECTNESS window, r2–r7), so the window now leads with the
+# 6 r8-new queries (never driver-checked; local driver_check MATCH /
+# rows-only-sane), re-checks the 10 r7-new queries that have appeared
+# exactly once, keeps the regression canary, and fills to 50 with the
+# longest-unchecked entries — the r04/r05-era windows, last checked 3-4
+# rounds ago — keeping ≥1 per query family.  Everything stays
+# registered; entries beyond 50 keep bench/pytest coverage.
 _ORDER = [
-    # proven regression canary (format round-trip, r02–r06 green)
+    # proven regression canary (format round-trip, r02–r07 green)
     "scan_roundtrip_lineitem",
-    # --- never driver-checked: new in r6 (judge-verified MATCH via the
-    #     strict tests/driver_check.py full sweep, 0 failures) ---
-    "llm_dedup_incremental",
-    "llm_token_budget_mix",
-    "stream_incremental_dedup",
-    "llm_gopher_rules",       # r6: Gopher-rule quality gate
-    "llm_chunk_documents",    # r6: overlapping context windows
-    "scan_bloom_pruning",     # r6: per-file Bloom point lookups
-    "ts_ewma_events",         # r6: bit-reproducible EWMA fold
-    "llm_pretrain_pipeline",  # r6: gate→chunk→pack composite
-    "join_interval_overlap",  # r6: grid-bucketed interval join
-    # --- new in r7 (driver has never seen; local driver_check MATCH) ---
+    # --- new in r8 (never driver-checked) ---
+    "scan_after_merge_upsert",     # r8: MERGE INTO copy-on-write parity
+    "scan_merge_time_travel",      # r8: pre-merge snapshot still exact
+    "mm_decode_png_real",          # r8: real PNG decode, exact oracle
+    "mm_audio_wav_real",           # r8: real WAV decode, exact oracle
+    "llm_similarity_ivf_persisted",  # r8: ANN from a persisted index (rows-only)
+    # --- r7-new, driver-checked exactly once (r07) ---
     "llm_pack_sequences_sharded",  # r7: partition-wise packing
     "llm_decontaminate_ngram",     # r7: GPT-3-style n-gram overlap
     "llm_dedup_lines",             # r7: intra-doc line dedup
@@ -93,21 +85,58 @@ _ORDER = [
     "scan_table_checksum",         # r7: order-independent content sum
     "scan_time_travel",            # r7: snapshot-log versioned read
     "stream_snapshot_tail",        # r7: startingSnapshot stream handoff
-    # --- new in r8 ---
-    "scan_after_merge_upsert",     # r8: MERGE INTO copy-on-write parity
-    "scan_merge_time_travel",      # r8: pre-merge snapshot still exact
-    "mm_decode_png_real",          # r8: real PNG decode, exact oracle
-    "mm_audio_wav_real",           # r8: real WAV decode, exact oracle
-    "llm_similarity_ivf_persisted",  # r8: ANN from a persisted index
-    # --- never driver-checked: rows-only (no ANSI-SQL oracle; banding /
-    #     recall<1 ANN / k-means semantics pinned by unit tests) ---
+    # --- longest-unchecked: r04/r05-window entries (≥1 per family) ---
+    "types_unsigned_time",
+    "agg_groupby_sum",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube_events",
+    "agg_grouping_sets",
+    "agg_approx_sketches",         # rows-only (sketch estimates)
+    "join_hash_orders_customer",
+    "join_broadcast_dims",
+    "join_semi_anti",
+    "join_asof_event_order",
+    "join_range_events",
+    "join_skew_salted",
+    "window_rank_events",
+    "window_sessionize",
+    "dedup_latest_per_key",
+    "ts_resample_locf",
+    "events_window_funnel",
+    "events_cohort_retention",
+    "setop_union_except",
+    "scalar_json_events",
+    "subquery_correlated_scalar",
+    "tpch_q3_shipping",
+    "tpch_q9_product_revenue",
+    "tpch_q21_waiting_orders",
+    "llm_dedup_exact",
+    "llm_dedup_minhash",           # rows-only (LSH banding)
+    "llm_dedup_clusters",
+    "llm_similarity_topk",
+    "llm_contamination",
+    "llm_curation_pipeline",
+    "llm_text_stats",
+    "mm_image_resize",
+    "stream_window_counts",
+    # ---- beyond the 50-entry driver window ----
+    # r07-window entries (all green r07)
+    "llm_dedup_incremental",
+    "llm_token_budget_mix",
+    "stream_incremental_dedup",
+    "llm_gopher_rules",
+    "llm_chunk_documents",
+    "scan_bloom_pruning",
+    "ts_ewma_events",
+    "llm_pretrain_pipeline",
+    "join_interval_overlap",
     "llm_dedup_simhash",
     "llm_dedup_ngram",
     "llm_dedup_embedding",
     "llm_dedup_semantic",
     "llm_similarity_ivf",
     "llm_similarity_pq",
-    # --- longest-unchecked: r02/r03-era driver-green tail ---
     "window_ntile_percent",
     "window_lead_lag",
     "window_range_frame",
@@ -123,7 +152,6 @@ _ORDER = [
     "subquery_in_uncorrelated",
     "tpch_q4_order_priority",
     "tpch_q6_revenue",
-    # --- next-longest-unchecked: r04-window entries ---
     "scan_projection_pruning",
     "scan_filter_pages",
     "scan_nulls_validity",
@@ -133,49 +161,13 @@ _ORDER = [
     "dict_encode_fsb",
     "compression_codecs",
     "types_decimal_date",
-    # ---- beyond the 50-entry driver window ----
-    # r04/r05 driver-green remainder
-    "types_unsigned_time",
-    "agg_groupby_sum",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube_events",
-    "agg_grouping_sets",
+    # r04/r05/r06 driver-green remainder
     "agg_pivot_status",
-    "agg_approx_sketches",
     "agg_stats_moments",
     "agg_collect_sorted",
-    "join_hash_orders_customer",
-    "join_broadcast_dims",
-    "join_semi_anti",
-    "join_asof_event_order",
     "join_full_outer",
-    "join_range_events",
-    "join_skew_salted",
-    "window_rank_events",
-    "window_sessionize",
-    "dedup_latest_per_key",
-    "ts_resample_locf",
-    "events_window_funnel",
-    "events_cohort_retention",
-    "setop_union_except",
     "null_handling",
     "reshape_unpivot",
-    "scalar_json_events",
-    "subquery_correlated_scalar",
-    "tpch_q3_shipping",
-    "tpch_q9_product_revenue",
-    "tpch_q21_waiting_orders",
-    "llm_dedup_exact",
-    "llm_dedup_minhash",
-    "llm_dedup_clusters",
-    "llm_similarity_topk",
-    "llm_contamination",
-    "llm_curation_pipeline",
-    "llm_text_stats",
-    "mm_image_resize",
-    "stream_window_counts",
-    # r06 driver-green window
     "agg_median_disc",
     "agg_histogram_buckets",
     "agg_conditional_bools",
