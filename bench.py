@@ -75,6 +75,11 @@ HEADLINE = [
     "llm_pretrain_pipeline",
     "scan_bloom_pruning",
     "ts_ewma_events",
+    "scan_after_merge_upsert",     # r8: MERGE copy-on-write state
+    "scan_merge_time_travel",      # r8: pre-merge snapshot read
+    "mm_decode_png_real",          # r8: real PNG decode
+    "mm_audio_wav_real",           # r8: real WAV decode
+    "llm_similarity_ivf_persisted",  # r8: ANN from persisted index
 ]
 
 

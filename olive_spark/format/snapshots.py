@@ -149,6 +149,36 @@ def append_entry(
     return v
 
 
+def ensure_seeded(dirpath: str) -> bool:
+    """Seed a base entry from the CURRENT live listing when no log
+    exists yet; returns True if a base was written.
+
+    Rewrite operations (merge/delete/compact) must call this BEFORE
+    retiring any file: their ``append_entry`` runs only after the
+    originals left the live directory, so first-append auto-seeding at
+    that point would capture a post-rewrite listing and record a base
+    that silently omits the replaced files — exactly the partial
+    ``files_at`` read this module promises never to produce (r8
+    review finding)."""
+    log = load_log(dirpath)
+    if log["entries"]:
+        return False
+    pre = list_live_files(dirpath)
+    if not pre:
+        return False
+    log["entries"].append({
+        "v": 1,
+        "ts": time.time(),
+        "add": pre,
+        "remove": [],
+        "reset": True,
+        "base": True,
+        "seeded": True,
+    })
+    _write_log(dirpath, log)
+    return True
+
+
 def has_tag(dirpath: str, tag: str) -> bool:
     """Whether any retained entry carries ``tag``.  Collapsed base
     entries keep no tags — callers treating absence as "re-log needed"

@@ -409,16 +409,21 @@ def token_budget_mix(
     (fixed-length records) would still rank in one task.  Buckets whose
     row count exceeds ``hot_bucket_rows`` are routed declaratively (no
     driver branch, no extra job — the histogram already counts rows)
-    through an EXACT distributed ranking: range-repartition the hot
-    rows on (source, n_tokens, id) — so within a bucket, partition id
-    order IS id order — rank locally within each range partition, and
-    add the bucket's smaller-partition row counts (a |buckets|×|ranges|
-    slim aggregate) as the offset.  ``rank = offset + local_rank``
-    reproduces the single-task window's rank bit-for-bit, so the output
-    (and its oracle hash) is IDENTICAL to the cold path; only the
-    physical parallelism differs.  Cold buckets keep the plain window
-    (no range-sampling pass for the common case's data; the hot branch
-    scans rows only when hot buckets exist)."""
+    through an EXACT distributed ranking: rows split into id-range
+    groups ``grp = floor(id / W)`` — a pure function of the row, so
+    every re-evaluation of the lineage agrees on it (spark_partition_id
+    after repartitionByRange would NOT: the two consumers below may
+    compile to separate exchanges with independently sampled bounds) —
+    monotone in id, so within a bucket, group order IS id order.  Rank
+    locally within each (source, n_tokens, grp), then add the bucket's
+    lower-group row counts (a slim one-row-per-group aggregate) as the
+    offset.  ``rank = offset + local_rank`` reproduces the single-task
+    window's rank bit-for-bit, so the output (and its oracle hash) is
+    IDENTICAL to the cold path; only the physical parallelism differs.
+    Cold buckets keep the plain window.  The id-range scheme needs a
+    numeric ``id_col`` (ours are); non-numeric ids fall back to the
+    cold path with a warning in the plan (group 0 for all rows =
+    single-task, same as before r8)."""
     from olive_spark.ops.textstats import tokens
 
     budget = int(budget_per_source)
@@ -447,33 +452,42 @@ def token_budget_mix(
         "__rank", F.row_number().over(wr).cast("long")
     )
     # hot path: exact two-pass distributed ranking (see docstring).
-    # Range partitioning on (source, n_tokens, id) means that within a
-    # bucket, partition id order IS id order, so
-    # global_rank = (bucket rows in lower partitions) + local_rank.
-    try:
-        n_ranges = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:  # noqa: BLE001 — conf unreadable: sane default
-        n_ranges = 64
-    ranged = joined.filter(F.col("__bcnt") > hot).repartitionByRange(
-        max(n_ranges, 2), F.col(source_col), F.col("n_tokens"), F.col(id_col)
-    ).withColumn("__pid", F.spark_partition_id())
-    wloc = Window.partitionBy(source_col, "n_tokens", "__pid").orderBy(id_col)
+    # __grp = floor(id / W) is deterministic per row AND monotone in id,
+    # so global_rank = (bucket rows in lower groups) + local_rank, and
+    # the two consumers of `hot_rows` below cannot disagree on grouping
+    # the way a physical-partition id could.
+    from pyspark.sql.types import IntegralType, NumericType
+
+    id_type = df.schema[id_col].dataType
+    grp_w = max(1, hot // 64)  # ≤ hot/64 unique ids per ranking task
+    if isinstance(id_type, IntegralType):
+        # integer `div` truncates toward zero — still monotone
+        # non-decreasing in id, and exact for the full int64 range
+        # (a double cast would lose ids beyond 2^53)
+        grp = F.expr(f"`{id_col}` div {grp_w}")
+    elif isinstance(id_type, NumericType):
+        grp = F.floor(F.col(id_col).cast("double") / F.lit(grp_w)).cast("long")
+    else:  # non-numeric id: single group = pre-r8 single-task
+        # behavior, documented fallback
+        grp = F.lit(0).cast("long")
+    hot_rows = joined.filter(F.col("__bcnt") > hot).withColumn("__grp", grp)
+    wloc = Window.partitionBy(source_col, "n_tokens", "__grp").orderBy(id_col)
     woff = (
         Window.partitionBy(source_col, "n_tokens")
-        .orderBy("__pid")
+        .orderBy("__grp")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = (
-        ranged.groupBy(source_col, "n_tokens", "__pid")
+        hot_rows.groupBy(source_col, "n_tokens", "__grp")
         .agg(F.count("*").alias("__pcnt"))
         .withColumn(
             "__off", F.coalesce(F.sum("__pcnt").over(woff), F.lit(0))
         )
-        .select(source_col, "n_tokens", "__pid", "__off")
+        .select(source_col, "n_tokens", "__grp", "__off")
     )
     hot_ranked = (
-        ranged.withColumn("__lrank", F.row_number().over(wloc))
-        .join(offs, [source_col, "n_tokens", "__pid"])
+        hot_rows.withColumn("__lrank", F.row_number().over(wloc))
+        .join(offs, [source_col, "n_tokens", "__grp"])
         .withColumn("__rank", F.col("__off") + F.col("__lrank"))
         .select(source_col, id_col, "n_tokens", "__before", "__bcnt", "__rank")
     )

@@ -109,6 +109,7 @@ def compact(
     # pending, the directory may hold old+new duplicates which a naive
     # re-read would rewrite into the table for good.
     _recover_pending(path)
+    _seed_snapshot_log(path)
     before = _list_chunk_files(path)
     df = spark.read.format("olive").load(path)
     rows = df.count()
@@ -154,6 +155,22 @@ def compact(
     )
     after = _list_chunk_files(path)
     return {"files_before": len(before), "files_after": len(after), "rows": rows}
+
+
+def _seed_snapshot_log(path: str) -> None:
+    """Seed the snapshot log from the live listing BEFORE a rewrite op
+    touches any file: `_rewrite_and_swap` appends its entry only after
+    the originals are retired, so relying on append_entry's first-entry
+    auto-seed there would record a post-rewrite base that silently
+    omits the replaced files (r8 review finding).  Best-effort like the
+    rest of the advisory log — an unwritable log loses time travel,
+    never correctness."""
+    from olive_spark.format.snapshots import ensure_seeded
+
+    try:
+        ensure_seeded(path)
+    except OSError:
+        pass
 
 
 def _rewrite_and_swap(
@@ -353,6 +370,7 @@ def merge_upsert(
 
     register_olive(spark)
     _recover_pending(path)
+    _seed_snapshot_log(path)
     fc = "_olive_file"
     if fc in source.columns:
         raise ValueError(f"source must not carry the provenance column {fc!r}")
@@ -361,14 +379,32 @@ def merge_upsert(
     missing = [k for k in key_cols if k not in cols]
     if missing:
         raise ValueError(f"key columns not in table: {missing}")
-    extra = [c for c in cols if c not in source.columns]
-    if extra:
-        raise ValueError(f"source is missing table columns: {extra}")
-    # align source to the table's column order and (widened) types
-    src = source.select(
-        *[F.col(c).cast(full.schema[c].dataType).alias(c) for c in cols]
-    )
-    n_src = src.count()
+    lacking = [c for c in cols if c not in source.columns]
+    if lacking:
+        raise ValueError(f"source is missing table columns: {lacking}")
+    surplus = [c for c in source.columns if c not in cols]
+    if surplus:
+        raise ValueError(
+            f"source carries columns not in the table: {surplus} — "
+            "drop them (or evolve the table schema) explicitly"
+        )
+    # types must match EXACTLY: a silent cast under non-ANSI defaults
+    # turns an incompatible value into NULL, replacing matched rows
+    # with corrupt data — the caller casts deliberately or not at all
+    mismatched = [
+        (c, str(source.schema[c].dataType), str(full.schema[c].dataType))
+        for c in cols
+        if source.schema[c].dataType != full.schema[c].dataType
+    ]
+    if mismatched:
+        raise ValueError(
+            "source column types differ from the table "
+            f"(col, source, table): {mismatched} — cast explicitly"
+        )
+    src = source.select(*cols)  # table column order
+    n_src, n_keys = src.agg(
+        F.count("*"), F.count_distinct(*[F.col(k) for k in key_cols])
+    ).first()
     if n_src == 0:
         v = current_version(path)
         return {
@@ -379,7 +415,6 @@ def merge_upsert(
             "version": v,
             "pre_version": v,
         }
-    n_keys = src.select(*key_cols).distinct().count()
     if n_keys != n_src:
         raise ValueError(
             f"source has duplicate keys on {key_cols} ({n_src} rows, "
@@ -405,10 +440,11 @@ def merge_upsert(
     pre_version = current_version(path)
     if not affected:
         # pure insert: a plain append commit (its own snapshot entry)
+        n_before = len(_list_chunk_files(path))
         src.write.format("olive").option("table", table).mode("append").save(path)
         return {
             "files_rewritten": 0,
-            "files_added": len(_list_chunk_files(path)),
+            "files_added": len(_list_chunk_files(path)) - n_before,
             "rows_after_in_rewritten": n_src,
             "inserted_only": True,
             "version": current_version(path),
@@ -426,15 +462,22 @@ def merge_upsert(
         .join(src.select(*key_cols), key_cols, "left_anti")
         .drop(fc)
     )
-    merged = survivors.unionByName(src)
-    rows = merged.count()
-    n_files = max(1, math.ceil(rows / target_rows))
-    run = uuid.uuid4().hex[:8]
-    finals = _rewrite_and_swap(
-        merged.repartition(n_files), path, affected, run,
-        table=table, target_rows=target_rows,
-        retain_history=retain_history, prefix="merge",
-    )
+    # persist: the rewrite dataset is needed twice (count to size the
+    # output files, then the write) — at 100 TB recomputing the
+    # scan+anti-join+union for the write would double the most
+    # expensive phase; the persisted set is bounded by touched data
+    merged = survivors.unionByName(src).persist()
+    try:
+        rows = merged.count()
+        n_files = max(1, math.ceil(rows / target_rows))
+        run = uuid.uuid4().hex[:8]
+        finals = _rewrite_and_swap(
+            merged.repartition(n_files), path, affected, run,
+            table=table, target_rows=target_rows,
+            retain_history=retain_history, prefix="merge",
+        )
+    finally:
+        merged.unpersist()
     return {
         "files_rewritten": len(affected),
         "files_added": len(finals),
@@ -474,6 +517,7 @@ def delete_where(
 
     register_olive(spark)
     _recover_pending(path)
+    _seed_snapshot_log(path)
     fc = "_olive_file"
     tagged = (
         spark.read.format("olive")
@@ -498,15 +542,19 @@ def delete_where(
         tagged.filter(F.col(fc).isin(affected))
         .filter(~F.coalesce(cond, F.lit(False)))
         .drop(fc)
+        .persist()  # needed twice: count to size files, then the write
     )
-    rows = survivors.count()
-    n_files = max(1, math.ceil(rows / target_rows))
-    run = uuid.uuid4().hex[:8]
-    finals = _rewrite_and_swap(
-        survivors.repartition(n_files), path, affected, run,
-        table=table, target_rows=target_rows,
-        retain_history=retain_history, prefix="delete",
-    )
+    try:
+        rows = survivors.count()
+        n_files = max(1, math.ceil(rows / target_rows))
+        run = uuid.uuid4().hex[:8]
+        finals = _rewrite_and_swap(
+            survivors.repartition(n_files), path, affected, run,
+            table=table, target_rows=target_rows,
+            retain_history=retain_history, prefix="delete",
+        )
+    finally:
+        survivors.unpersist()
     return {
         "files_rewritten": len(affected),
         "files_added": len(finals),

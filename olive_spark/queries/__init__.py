@@ -59,7 +59,7 @@ _RAW: dict[str, tuple] = {
 # registry entries.  Round-8 rotation (VERDICT r7 task #8): cumulative
 # coverage is complete (every registry query has appeared in some
 # driver CORRECTNESS window, r2–r7), so the window now leads with the
-# 6 r8-new queries (never driver-checked; local driver_check MATCH /
+# 5 r8-new queries (never driver-checked; local driver_check MATCH /
 # rows-only-sane), re-checks the 10 r7-new queries that have appeared
 # exactly once, keeps the regression canary, and fills to 50 with the
 # longest-unchecked entries — the r04/r05-era windows, last checked 3-4

@@ -665,6 +665,13 @@ def _ensure_orders_merged(spark: SparkSession, sf: str) -> str:
     marker = _os.path.join(out, "_MERGE_OK")
     if _os.path.exists(marker):
         return out
+    if _os.path.exists(out):
+        # a prior build crashed before its marker: re-running from the
+        # top against the half-built dir would append a second full
+        # base copy and bake duplicates in — rebuild from scratch
+        import shutil as _shutil
+
+        _shutil.rmtree(out)
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
     base = data.load(spark, sf, "orders", columns=cols)
     base.write.format("olive").option("table", "orders_merged") \

@@ -455,11 +455,12 @@ def test_remove_boilerplate_matches_bruteforce_on_random_docs(spark):
 def test_token_budget_mix_hot_bucket_path_is_exact(spark):
     """Hot-bucket auto-mitigation (r7 audit): force the hot branch by
     setting hot_bucket_rows below a fixed-length bucket's row count.
-    The range-partitioned two-pass ranking must reproduce the cold
+    The id-range-grouped two-pass ranking must reproduce the cold
     single-task window's output EXACTLY (same kept set, same
     cum_tokens), including a budget boundary that falls mid-bucket,
-    and the plan must carry the RangePartitioning exchange that gives
-    the hot bucket its parallelism."""
+    and the plan's hot-branch ranking window must partition by the
+    deterministic __grp column (never by physical partition id — see
+    the r8 review: spark_partition_id disagrees across re-evaluations)."""
     from olive_spark.ops import curation
 
     # one degenerate 400-row bucket (crawl, 5 tokens each) + a small
@@ -481,4 +482,5 @@ def test_token_budget_mix_hot_bucket_path_is_exact(spark):
     assert {r[1] for r in crawl} == set(range(200))
     assert {r[3] for r in crawl} == {5 * k for k in range(1, 201)}
     plan = hot._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower(), "hot branch lost its range exchange"
+    assert "__grp" in plan, "hot branch lost its id-range grouping"
+    assert "SparkPartitionID" not in plan, "nondeterministic partition id in ranking"

@@ -230,3 +230,67 @@ def test_file_column_option_reports_per_row_provenance(spark, tmp_path):
     assert sum(per_file.values()) == 100
     assert all(f.endswith(".olive") for f in per_file)
     assert len(per_file) >= 2
+
+
+def test_rewrite_on_logless_table_seeds_full_pre_state(spark, tmp_path):
+    """r8 review finding: a table that predates snapshot tracking (raw
+    write_chunk files, no log) must get its base seeded from the
+    PRE-rewrite listing — seeding at append_entry time (after the
+    originals were retired) would record a base that silently omits the
+    replaced files, i.e. time travel to v1 would return a partial
+    table."""
+    import pyarrow as pa
+
+    from olive_spark.format.writer import write_chunk
+    from olive_spark.ops.maintenance import delete_where
+
+    path = str(tmp_path / "raw")
+    os.makedirs(path)
+    for i in range(3):  # three files, no snapshot log anywhere
+        t = pa.table({"k": list(range(i * 10, i * 10 + 10))})
+        with open(os.path.join(path, f"part-{i:05d}.olive"), "wb") as f:
+            f.write(write_chunk({"data": t}))
+
+    out = delete_where(spark, path, "k % 2 = 0")
+    assert out["rows_deleted"] == 15 and out["files_rewritten"] == 3
+
+    # current state: odds only
+    assert sorted(
+        r["k"] for r in spark.read.format("olive").load(path).collect()
+    ) == [k for k in range(30) if k % 2]
+    # time travel to the seeded base: the FULL pre-delete table
+    v1 = spark.read.format("olive").option("snapshot", "1").load(path)
+    assert sorted(r["k"] for r in v1.collect()) == list(range(30))
+
+
+def test_merge_rejects_type_mismatch_and_surplus_columns(spark, tmp_path):
+    """Silent casts corrupt replaced rows to NULL under non-ANSI
+    defaults; surplus source columns must not vanish silently."""
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=100, files=2)
+    bad_type = spark.range(5).selectExpr(
+        "id AS k", "cast(id AS string) AS v", "cast(0 as int) AS grp"
+    )
+    with pytest.raises(ValueError, match="types differ"):
+        merge_upsert(spark, path, bad_type, ["k"])
+    surplus = spark.range(5).selectExpr(
+        "id AS k", "id * 10 AS v", "cast(0 as int) AS grp", "id AS extra"
+    )
+    with pytest.raises(ValueError, match="not in the table"):
+        merge_upsert(spark, path, surplus, ["k"])
+
+
+def test_merge_pure_insert_reports_added_files_only(spark, tmp_path):
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=100, files=4)
+    src = spark.range(1000, 1005).selectExpr(
+        "id AS k", "id * 10 AS v", "cast(1 as int) AS grp"
+    )
+    out = merge_upsert(spark, path, src, ["k"])
+    assert out["inserted_only"] is True
+    assert out["files_rewritten"] == 0
+    assert 1 <= out["files_added"] <= 4, out  # the NEW files, not the table total
