@@ -406,30 +406,40 @@ def token_budget_mix(
 
     Hot-bucket auto-mitigation (r7 audit — previously a docstring-only
     caveat): a single (source, length) pair with billions of rows
-    (fixed-length records) would still rank in one task.  Buckets whose
-    row count exceeds ``hot_bucket_rows`` are routed declaratively (no
-    driver branch, no extra job — the histogram already counts rows)
-    through an EXACT distributed ranking: rows split into id-range
-    groups ``grp = floor(id / W)`` — a pure function of the row, so
-    every re-evaluation of the lineage agrees on it (spark_partition_id
-    after repartitionByRange would NOT: the two consumers below may
-    compile to separate exchanges with independently sampled bounds) —
-    monotone in id, so within a bucket, group order IS id order.  Rank
-    locally within each (source, n_tokens, grp), then add the bucket's
+    (fixed-length records) would still rank in one task.  Rows carry a
+    deterministic id-range group ``__grp`` — ``floor(id / W)`` for
+    buckets over ``hot_bucket_rows`` rows, the constant 0 for cold
+    buckets — and ONE unified two-pass ranking runs for all of them:
+    rank locally within (source, n_tokens, grp), add the bucket's
     lower-group row counts (a slim one-row-per-group aggregate) as the
-    offset.  ``rank = offset + local_rank`` reproduces the single-task
-    window's rank bit-for-bit, so the output (and its oracle hash) is
-    IDENTICAL to the cold path; only the physical parallelism differs.
-    Cold buckets keep the plain window.  The id-range scheme needs a
-    numeric ``id_col`` (ours are); non-numeric ids fall back to the
-    cold path with a warning in the plan (group 0 for all rows =
-    single-task, same as before r8)."""
+    offset.  Cold buckets have a single group, so offset = 0 and the
+    local rank IS the r6/r7 single-window rank; hot buckets split into
+    ≤ hot/64-id groups that rank in parallel.  ``grp`` is a pure
+    function of the row, so every evaluation of the lineage agrees on
+    it (a ``spark_partition_id`` after ``repartitionByRange`` would
+    not: the offsets and ranking consumers may compile to separate
+    exchanges with independently sampled bounds — r8 review finding);
+    it is monotone in id (integral ids use exact integer ``div``), so
+    within a bucket, group order IS id order and
+    ``rank = offset + local_rank`` reproduces the single-task window's
+    rank bit-for-bit — output and oracle hash identical, only physical
+    parallelism differs.  Non-numeric ids get group 0 everywhere (the
+    pre-r8 single-task-per-bucket behavior, documented fallback).
+
+    The slim (source, id, n_tokens) projection is persisted for the
+    plan's lifetime: the histogram, the offsets aggregate, and the
+    ranking each consume it, and re-tokenizing the corpus three times
+    would triple the dominant cost (measured 2.9× at sf0.1).  It is a
+    3-column row per document (disk-spillable; Spark evicts LRU), the
+    same footprint any multi-pass consumer of a derived column pays."""
     from olive_spark.ops.textstats import tokens
+
+    from pyspark.sql.types import IntegralType, NumericType
 
     budget = int(budget_per_source)
     hot = int(hot_bucket_rows)
     n_tok = F.size(tokens(F.col(text_col)))
-    toks = df.select(source_col, id_col, n_tok.alias("n_tokens"))
+    toks = df.select(source_col, id_col, n_tok.alias("n_tokens")).persist()
     buckets = toks.groupBy(source_col, "n_tokens").agg(
         F.sum(F.col("n_tokens").cast("long")).alias("__btok"),
         F.count("*").alias("__bcnt"),
@@ -445,32 +455,26 @@ def token_budget_mix(
         .filter(F.col("__before") + F.col("n_tokens") <= budget)
         .select(source_col, "n_tokens", "__before", "__bcnt")
     )
-    joined = toks.join(kept, [source_col, "n_tokens"])
-    # cold path: bucket fits in one task — plain per-bucket window
-    wr = Window.partitionBy(source_col, "n_tokens").orderBy(id_col)
-    cold = joined.filter(F.col("__bcnt") <= hot).withColumn(
-        "__rank", F.row_number().over(wr).cast("long")
-    )
-    # hot path: exact two-pass distributed ranking (see docstring).
-    # __grp = floor(id / W) is deterministic per row AND monotone in id,
-    # so global_rank = (bucket rows in lower groups) + local_rank, and
-    # the two consumers of `hot_rows` below cannot disagree on grouping
-    # the way a physical-partition id could.
-    from pyspark.sql.types import IntegralType, NumericType
-
+    # unified exact ranking (see docstring): __grp is a deterministic,
+    # monotone-in-id pure function of the row — constant 0 for cold
+    # buckets (single group = the r6/r7 single-window rank), id ranges
+    # of width W for hot ones
     id_type = df.schema[id_col].dataType
     grp_w = max(1, hot // 64)  # ≤ hot/64 unique ids per ranking task
     if isinstance(id_type, IntegralType):
         # integer `div` truncates toward zero — still monotone
         # non-decreasing in id, and exact for the full int64 range
         # (a double cast would lose ids beyond 2^53)
-        grp = F.expr(f"`{id_col}` div {grp_w}")
+        sub = F.expr(f"`{id_col}` div {grp_w}")
     elif isinstance(id_type, NumericType):
-        grp = F.floor(F.col(id_col).cast("double") / F.lit(grp_w)).cast("long")
+        sub = F.floor(F.col(id_col).cast("double") / F.lit(grp_w)).cast("long")
     else:  # non-numeric id: single group = pre-r8 single-task
         # behavior, documented fallback
-        grp = F.lit(0).cast("long")
-    hot_rows = joined.filter(F.col("__bcnt") > hot).withColumn("__grp", grp)
+        sub = F.lit(0).cast("long")
+    joined = toks.join(kept, [source_col, "n_tokens"]).withColumn(
+        "__grp",
+        F.when(F.col("__bcnt") > hot, sub).otherwise(F.lit(0)).cast("long"),
+    )
     wloc = Window.partitionBy(source_col, "n_tokens", "__grp").orderBy(id_col)
     woff = (
         Window.partitionBy(source_col, "n_tokens")
@@ -478,25 +482,21 @@ def token_budget_mix(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = (
-        hot_rows.groupBy(source_col, "n_tokens", "__grp")
+        joined.groupBy(source_col, "n_tokens", "__grp")
         .agg(F.count("*").alias("__pcnt"))
         .withColumn(
             "__off", F.coalesce(F.sum("__pcnt").over(woff), F.lit(0))
         )
         .select(source_col, "n_tokens", "__grp", "__off")
     )
-    hot_ranked = (
-        hot_rows.withColumn("__lrank", F.row_number().over(wloc))
-        .join(offs, [source_col, "n_tokens", "__grp"])
-        .withColumn("__rank", F.col("__off") + F.col("__lrank"))
-        .select(source_col, id_col, "n_tokens", "__before", "__bcnt", "__rank")
-    )
     return (
-        cold.select(source_col, id_col, "n_tokens", "__before", "__bcnt", "__rank")
-        .unionByName(hot_ranked)
+        joined.withColumn("__lrank", F.row_number().over(wloc))
+        .join(offs, [source_col, "n_tokens", "__grp"])
         .withColumn(
             "cum_tokens",
-            F.col("__before") + F.col("n_tokens").cast("long") * F.col("__rank"),
+            F.col("__before")
+            + F.col("n_tokens").cast("long")
+            * (F.col("__off") + F.col("__lrank")),
         )
         .filter(F.col("cum_tokens") <= budget)
         .select(source_col, id_col, "n_tokens", "cum_tokens")

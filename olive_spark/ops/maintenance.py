@@ -324,6 +324,7 @@ def merge_upsert(
     table: str = "data",
     retain_history: bool = True,
     target_rows: int = 1 << 20,
+    latest_by: "str | None" = None,
 ) -> dict:
     """``MERGE INTO`` (upsert) on a snapshot-logged olive table: rows of
     ``source`` whose ``key_cols`` match an existing row REPLACE it; the
@@ -335,6 +336,18 @@ def merge_upsert(
     pre-merge table while ``retain_history=True`` (the default here,
     unlike compact, because merge destroys row content — compaction only
     rearranges it).
+
+    ``latest_by`` switches matched-row semantics from "source replaces
+    unconditionally" to LATEST-WINS conflict resolution: per key, the
+    row with the greatest ``latest_by`` value among existing + source
+    survives (a tie prefers the source row — update semantics).  This
+    is the CDC/stream-upsert mode: the outcome is a pure function of
+    the key's maximum-sequence row, so applying a change stream in ANY
+    batch partitioning — one merge or fifty microbatches — converges to
+    the identical table (see streaming.foreach_batch_upsert).  With
+    ``latest_by``, duplicate source keys are allowed (resolved by the
+    sequence); (key, latest_by) must still be unique or the winner
+    would be nondeterministic — enforced.
 
     100 TB shape: phase 1 discovers affected files with a key-column-
     pruned scan (``columns`` option: only the keys and the provenance
@@ -363,6 +376,7 @@ def merge_upsert(
     Returns {files_rewritten, files_added, rows_after_in_rewritten,
     inserted_only (bool), version}."""
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     from olive_spark.datasource import register_olive
     from olive_spark.datasource.olive_datasource import _list_chunk_files
@@ -401,9 +415,12 @@ def merge_upsert(
             "source column types differ from the table "
             f"(col, source, table): {mismatched} — cast explicitly"
         )
+    if latest_by is not None and latest_by not in cols:
+        raise ValueError(f"latest_by column {latest_by!r} not in table")
     src = source.select(*cols)  # table column order
+    uniq = key_cols if latest_by is None else [*key_cols, latest_by]
     n_src, n_keys = src.agg(
-        F.count("*"), F.count_distinct(*[F.col(k) for k in key_cols])
+        F.count("*"), F.count_distinct(*[F.col(k) for k in uniq])
     ).first()
     if n_src == 0:
         v = current_version(path)
@@ -416,10 +433,26 @@ def merge_upsert(
             "pre_version": v,
         }
     if n_keys != n_src:
+        if latest_by is None:
+            raise ValueError(
+                f"source has duplicate keys on {key_cols} ({n_src} rows, "
+                f"{n_keys} distinct) — each target row must match at most "
+                "one source row, or pass latest_by= for latest-wins "
+                "resolution"
+            )
         raise ValueError(
-            f"source has duplicate keys on {key_cols} ({n_src} rows, "
-            f"{n_keys} distinct) — each target row must match at most one "
-            "source row"
+            f"source has duplicate ({key_cols}, {latest_by}) tuples "
+            f"({n_src} rows, {n_keys} distinct) — the latest-wins winner "
+            "would be nondeterministic"
+        )
+    if latest_by is not None:
+        # intra-source resolution first: only each key's newest row
+        # participates (the rest could never win)
+        ws = Window.partitionBy(*key_cols).orderBy(F.col(latest_by).desc())
+        src = (
+            src.withColumn("__rn", F.row_number().over(ws))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
         )
     # phase 1: affected-file discovery on a key-pruned relation — at
     # 100 TB this scan moves only the key columns + a file name
@@ -457,16 +490,29 @@ def merge_upsert(
         .option("fileColumn", fc)
         .load(path)
     )
-    survivors = (
-        tagged.filter(F.col(fc).isin(affected))
-        .join(src.select(*key_cols), key_cols, "left_anti")
-        .drop(fc)
-    )
+    existing = tagged.filter(F.col(fc).isin(affected)).drop(fc)
+    if latest_by is None:
+        merged = existing.join(
+            src.select(*key_cols), key_cols, "left_anti"
+        ).unionByName(src)
+    else:
+        # latest-wins: per key, the greatest latest_by among existing +
+        # incoming survives; equal sequence prefers the incoming row
+        wm = Window.partitionBy(*key_cols).orderBy(
+            F.col(latest_by).desc(), F.col("__src").desc()
+        )
+        merged = (
+            existing.withColumn("__src", F.lit(0))
+            .unionByName(src.withColumn("__src", F.lit(1)))
+            .withColumn("__rn", F.row_number().over(wm))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
     # persist: the rewrite dataset is needed twice (count to size the
     # output files, then the write) — at 100 TB recomputing the
     # scan+anti-join+union for the write would double the most
     # expensive phase; the persisted set is bounded by touched data
-    merged = survivors.unionByName(src).persist()
+    merged = merged.persist()
     try:
         rows = merged.count()
         n_files = max(1, math.ceil(rows / target_rows))

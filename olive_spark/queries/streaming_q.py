@@ -286,8 +286,63 @@ SQL_SNAPSHOT_TAIL = (
 )
 
 
+def stream_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming CDC upsert (the lakehouse MERGE loop): a target table
+    starts as the latest %3==0 order per customer; the full orders
+    directory is then tailed as a CAPPED stream (maxFilesPerTrigger +
+    admissionStateDir → several bounded epochs) and every microbatch is
+    MERGEd copy-on-write with latest-wins resolution on o_orderkey
+    (streaming.stream_upsert_available_now →
+    ops.maintenance.merge_upsert(latest_by=)).  Latest-wins makes the
+    final table a pure function of each customer's max-orderkey row —
+    independent of how the admission caps partition the stream into
+    batches — so the oracle is a plain ROW_NUMBER window over orders.
+    Returns the per-customer winner rows."""
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    src = os.path.join(data.ensure_olive(sf), "orders")
+    run = uuid.uuid4().hex[:12]
+    target = os.path.join(tempfile.gettempdir(), f"olive_cdc_tgt_{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"olive_cdc_ckpt_{run}")
+    from pyspark.sql.window import Window as W
+
+    base = (
+        data.load(spark, sf, "orders", columns=cols)
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    base.write.format("olive").option("table", "data").mode("append").save(target)
+    sdf = streaming.read_stream(
+        spark, src, columns=",".join(cols),
+        maxFilesPerTrigger="8", admissionStateDir=ckpt + "_adm",
+    ).filter(F.col("o_orderkey") % 3 != 0)
+    streaming.stream_upsert_available_now(
+        sdf, target, ["o_custkey"], ckpt, latest_by="o_orderkey"
+    )
+    final = spark.read.format("olive").load(target)
+    return final.select(
+        "o_custkey", "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+
+
+SQL_STREAM_MERGE = (
+    "SELECT o_custkey, o_orderkey, o_orderstatus, "
+    "CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderkey DESC) AS rn FROM orders) WHERE rn = 1"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "stream_snapshot_tail": (stream_snapshot_tail, SQL_SNAPSHOT_TAIL),
+    "stream_merge_upsert": (stream_merge_upsert, SQL_STREAM_MERGE),
     "stream_window_counts": (stream_window_counts, SQL_STREAM_WINDOW),
     "stream_sliding_counts": (stream_sliding_counts, SQL_STREAM_SLIDING),
     "stream_static_join": (stream_static_join, SQL_STREAM_STATIC_JOIN),

@@ -9,6 +9,7 @@ files per microbatch.
 
 from olive_spark.streaming.ops import (  # noqa: F401
     drain_available_now,
+    foreach_batch_upsert,
     read_stream,
     run_available_now,
     session_windows,
@@ -17,6 +18,7 @@ from olive_spark.streaming.ops import (  # noqa: F401
     stream_dedup,
     stream_static_join,
     stream_stream_join,
+    stream_upsert_available_now,
     tumbling_counts,
     write_stream_olive,
 )

@@ -244,6 +244,75 @@ def write_stream_olive(
     q.awaitTermination()
 
 
+def foreach_batch_upsert(
+    target_path: str,
+    key_cols: "list[str]",
+    table: str = "data",
+    latest_by: "str | None" = None,
+    retain_history: bool = False,
+):
+    """``foreachBatch`` function that MERGEs every microbatch into a
+    snapshot-logged olive table (ops.maintenance.merge_upsert) — the
+    streaming leg of the lakehouse CDC story: tail a change stream,
+    upsert each batch copy-on-write, one snapshot version per batch.
+
+    Pass ``latest_by`` (a sequence/timestamp column) for latest-wins
+    conflict resolution; the final table is then a pure function of
+    each key's maximum-sequence row, so ANY batch partitioning of the
+    same change stream — one availableNow epoch or fifty capped
+    microbatches — converges to the identical table (exactly-once not
+    required: a replayed batch re-merges rows that already won or
+    already lost, both no-ops).  Without ``latest_by``, a key that
+    appears in two microbatches resolves by batch order — fine for
+    append-mostly streams, nondeterministic under admission-cap
+    changes; prefer ``latest_by`` for oracle-checked pipelines.
+
+    ``retain_history`` defaults off here (unlike batch merge): a
+    per-batch version trail over a long stream multiplies storage;
+    turn it on for short audited backfills."""
+    from olive_spark.ops.maintenance import merge_upsert
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            merge_upsert(
+                batch_df.sparkSession, target_path, batch_df, key_cols,
+                table=table, retain_history=retain_history,
+                latest_by=latest_by,
+            )
+
+    return apply
+
+
+def stream_upsert_available_now(
+    sdf: DataFrame,
+    target_path: str,
+    key_cols: "list[str]",
+    checkpoint: str,
+    table: str = "data",
+    latest_by: "str | None" = None,
+) -> int:
+    """Drain a (capped) stream into a target table via per-microbatch
+    MERGE, in bounded availableNow epochs; returns the number of runs
+    that made progress.  Combine with ``maxFilesPerTrigger`` +
+    ``admissionStateDir`` on the source so every batch — and therefore
+    every copy-on-write rewrite — is bounded."""
+
+    def start():
+        return (
+            sdf.writeStream.foreachBatch(
+                foreach_batch_upsert(
+                    target_path, key_cols, table=table, latest_by=latest_by
+                )
+            )
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return drain_available_now(start)
+
+
 def drain_available_now(
     start_query, max_runs: int = 1000,
 ) -> int:

@@ -294,3 +294,70 @@ def test_merge_pure_insert_reports_added_files_only(spark, tmp_path):
     assert out["inserted_only"] is True
     assert out["files_rewritten"] == 0
     assert 1 <= out["files_added"] <= 4, out  # the NEW files, not the table total
+
+
+def test_merge_latest_wins_resolution(spark, tmp_path):
+    """latest_by: per key the greatest sequence wins across existing +
+    source (tie prefers source); duplicate source keys resolve by
+    sequence; duplicate (key, seq) rejected."""
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, 5, f"base{k}") for k in range(6)], ["k", "seq", "val"]
+    )
+    base.repartition(2).write.format("olive").mode("append").save(path)
+
+    src = spark.createDataFrame(
+        [(3, 7, "newer"), (3, 6, "older-dup"),  # dup key: seq 7 wins
+         (4, 3, "stale"),                       # loses to existing seq 5
+         (5, 5, "tie"),                         # tie: source wins
+         (99, 1, "insert")],
+        ["k", "seq", "val"],
+    )
+    merge_upsert(spark, path, src, ["k"], latest_by="seq")
+    got = {r["k"]: (r["seq"], r["val"])
+           for r in spark.read.format("olive").load(path).collect()}
+    assert got[3] == (7, "newer")
+    assert got[4] == (5, "base4")
+    assert got[5] == (5, "tie")
+    assert got[99] == (1, "insert")
+    assert got[0] == (5, "base0") and len(got) == 7
+
+    with pytest.raises(ValueError, match="nondeterministic"):
+        dup = spark.createDataFrame([(1, 9, "a"), (1, 9, "b")],
+                                    ["k", "seq", "val"])
+        merge_upsert(spark, path, dup, ["k"], latest_by="seq")
+
+
+def test_merge_latest_wins_batch_boundary_independence(spark, tmp_path):
+    """The CDC contract: applying the same change rows in ANY batch
+    split/order converges to the identical table — what makes the
+    streaming foreachBatch upsert oracle-checkable."""
+    from olive_spark.ops.maintenance import merge_upsert
+
+    changes = [(k, s, f"v{k}-{s}") for k in range(8) for s in (1, 4, 9)]
+    import random
+    rng = random.Random(42)
+
+    finals = []
+    for split in range(3):
+        path = str(tmp_path / f"t{split}")
+        spark.createDataFrame(
+            [(k, 0, f"base{k}") for k in range(4)], ["k", "seq", "val"]
+        ).write.format("olive").mode("append").save(path)
+        rows = changes[:]
+        rng.shuffle(rows)
+        cut1, cut2 = sorted((rng.randrange(1, len(rows)),
+                             rng.randrange(1, len(rows))))
+        batches = [rows[:cut1], rows[cut1:cut2], rows[cut2:]]
+        for b in batches:
+            if b:
+                merge_upsert(
+                    spark, path,
+                    spark.createDataFrame(b, ["k", "seq", "val"]),
+                    ["k"], latest_by="seq",
+                )
+        finals.append(_rows(spark.read.format("olive").load(path)))
+    assert finals[0] == finals[1] == finals[2]
+    assert (0, 9, "v0-9") in finals[0]  # max seq won everywhere
