@@ -226,11 +226,15 @@ def _ivf_train_assign(
         key=lambda t: t[0],
     )
 
-    # Corpus-side centroid assignment: one numpy matmul per Arrow batch
-    # against the broadcast (normalized) centroid matrix.  An expression
-    # tree would re-evaluate an n_centroids-wide cosine per row — fine at
-    # 16 centroids, a scale-killer at real centroid counts.  Tie-break
-    # matches the query-side expression (highest centroid_id wins).
+    return cents_rows, _ivf_assign(corpus, cents_rows, vec_col)
+
+
+def _ivf_assign(corpus: DataFrame, cents_rows, vec_col: str) -> DataFrame:
+    """Corpus-side centroid assignment: one numpy matmul per Arrow batch
+    against the broadcast (normalized) centroid matrix.  An expression
+    tree would re-evaluate an n_centroids-wide cosine per row — fine at
+    16 centroids, a scale-killer at real centroid counts.  Tie-break
+    matches the query-side expression (highest centroid_id wins)."""
     import numpy as np
     import pyarrow as pa
 
@@ -252,7 +256,7 @@ def _ivf_train_assign(
                 pa.field("bucket", pa.int32()), pa.array(bucket, pa.int32())
             )
 
-    return cents_rows, corpus.mapInArrow(assign, assign_schema)
+    return corpus.mapInArrow(assign, assign_schema)
 
 
 def _ivf_q_assigned(
@@ -364,7 +368,7 @@ def build_ivf_index(
 
     register_olive(spark)
     cents_rows, c_assigned = _ivf_train_assign(
-        corpus, n_centroids, vec_col, id_col
+        corpus.select(id_col, vec_col), n_centroids, vec_col, id_col
     )
     (
         c_assigned.write.format("olive")
@@ -389,6 +393,57 @@ def build_ivf_index(
         "id_col": id_col,
         "corpus_version": corpus_version,
     }
+    tmp = os.path.join(index_dir, _IVF_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, _IVF_META))
+    return meta
+
+
+def append_ivf_index(
+    spark,
+    new_rows: DataFrame,
+    index_dir: str,
+    corpus_version: "int | None" = None,
+) -> dict:
+    """Incrementally extend a persisted IVF index with newly ingested
+    vectors: assign them to the EXISTING centroids (no re-train — the
+    coarse geometry is frozen; that is what makes the append cheap and
+    the old inverted lists immutable), append the new rows into the
+    bucket-partitioned assignments table, and advance the meta's
+    ``corpus_version`` so serving with the new corpus version succeeds
+    and serving with a stale expectation still fails loud.
+
+    100 TB shape: the nightly-ingest path — only the NEW batch is
+    scanned and written; existing lists keep their files.  Centroid
+    drift is the standard IVF trade: frozen centroids degrade recall
+    gradually as the distribution shifts; rebuild with
+    :func:`build_ivf_index` when it matters.  Returns the updated meta."""
+    import json
+    import os
+
+    from olive_spark.datasource import register_olive
+
+    register_olive(spark)
+    with open(os.path.join(index_dir, _IVF_META)) as f:
+        meta = json.load(f)
+    cents = spark.read.format("olive").load(os.path.join(index_dir, "centroids"))
+    cents_rows = sorted(
+        ((r["centroid_id"], r["centroid_vec"]) for r in cents.collect()),
+        key=lambda t: t[0],
+    )
+    assigned = _ivf_assign(
+        new_rows.select(meta["id_col"], meta["vec_col"]), cents_rows,
+        meta["vec_col"],
+    )
+    (
+        assigned.write.format("olive")
+        .option("table", "assignments")
+        .option("partitionBy", "bucket")
+        .mode("append")
+        .save(os.path.join(index_dir, "assignments"))
+    )
+    meta["corpus_version"] = corpus_version
     tmp = os.path.join(index_dir, _IVF_META + ".tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)

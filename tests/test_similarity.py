@@ -167,3 +167,42 @@ def test_persisted_ivf_index_parity_no_retrain_and_stale_guard(spark, tmp_path):
         similarity.ivf_topk_indexed(
             spark, idx, queries, k=10, expect_corpus_version=8
         )
+
+
+def test_append_ivf_index_incremental(spark, tmp_path):
+    """append_ivf_index: build on the first half of the corpus, append
+    the second half — no re-train (frozen centroids), only the new
+    batch scanned/written — then serving must equal the one-shot path
+    over the full corpus (valid because each id-hash bucket's min id
+    lies in the first half, so the frozen centroids equal the full-
+    corpus ones — asserted), and a stale corpus version must refuse."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops import similarity
+    from olive_spark.queries import data
+
+    corpus = data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+    half1 = corpus.filter(F.col("vec_id") < 250)
+    half2 = corpus.filter(F.col("vec_id") >= 250)
+    queries = corpus.filter(F.col("vec_id") < 5)
+
+    c_half, _ = similarity._ivf_train_assign(half1, 16, "embedding", "vec_id")
+    c_full, _ = similarity._ivf_train_assign(corpus, 16, "embedding", "vec_id")
+    assert c_half == c_full, "test premise: centroid seeds must coincide"
+
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(spark, half1, idx, corpus_version=1)
+    similarity.append_ivf_index(spark, half2, idx, corpus_version=2)
+
+    with pytest.raises(ValueError, match="stale IVF index"):
+        similarity.ivf_topk_indexed(spark, idx, queries, k=10,
+                                    expect_corpus_version=1)
+
+    got = sorted(map(tuple, similarity.ivf_topk_indexed(
+        spark, idx, queries, k=10, expect_corpus_version=2
+    ).collect()))
+    direct = sorted(map(tuple, similarity.ivf_topk(
+        corpus, queries, k=10
+    ).collect()))
+    assert got == direct
