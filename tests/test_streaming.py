@@ -652,3 +652,48 @@ def test_drain_survives_all_empty_epochs(spark, tmp_path_factory):
     runs = drain_available_now(start)
     assert runs == 3, (runs, seen)
     assert sum(seen) == 20, seen  # all non-empty rows, exactly once
+
+
+def test_drain_multi_source_keeps_going_until_all_drained(spark, tmp_path_factory):
+    """ADVICE r7: drain_available_now must compare ALL sources'
+    endOffsets — in a two-source union where source A is tiny and
+    source B has a deep capped backlog, stopping when A stops moving
+    would strand B's tail."""
+    src_a = str(tmp_path_factory.mktemp("ms_a"))
+    src_b = str(tmp_path_factory.mktemp("ms_b"))
+    ckpt = str(tmp_path_factory.mktemp("ms_ckpt"))
+    st_a = str(tmp_path_factory.mktemp("ms_sta"))
+    st_b = str(tmp_path_factory.mktemp("ms_stb"))
+    _write_part(src_a, 0, 0, 1)          # ONE file: drained in run 1
+    for i in range(12):                  # deep backlog, cap 2 -> 6 runs
+        _write_part(src_b, i, 100 + i, 100 + i + 1)
+
+    from olive_spark.streaming import drain_available_now
+
+    seen: list[int] = []
+
+    def sink(df, bid):
+        seen.append(df.count())
+
+    def start():
+        a = (
+            spark.readStream.format("olive")
+            .option("admissionStateDir", st_a)
+            .option("maxFilesPerTrigger", "2").load(src_a)
+        )
+        b = (
+            spark.readStream.format("olive")
+            .option("admissionStateDir", st_b)
+            .option("maxFilesPerTrigger", "2").load(src_b)
+        )
+        return (
+            a.unionByName(b)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    runs = drain_available_now(start)
+    assert runs >= 6, (runs, seen)
+    assert sum(seen) == 13, seen  # every row from BOTH sources, once
