@@ -347,7 +347,13 @@ def merge_upsert(
     the identical table (see streaming.foreach_batch_upsert).  With
     ``latest_by``, duplicate source keys are allowed (resolved by the
     sequence); (key, latest_by) must still be unique or the winner
-    would be nondeterministic — enforced.
+    would be nondeterministic — enforced, as are non-null keys and
+    sequences.  Rows that cannot win (their sequence is below the
+    key's stored maximum) are pruned before file discovery, so an
+    all-stale replayed batch is a clean no-op — no rewrite, no new
+    version; and only SOURCE-TOUCHED keys are collapsed to one winner —
+    duplicate-key rows the source never mentioned pass through a
+    rewrite untouched.
 
     100 TB shape: phase 1 discovers affected files with a key-column-
     pruned scan (``columns`` option: only the keys and the provenance
@@ -419,9 +425,20 @@ def merge_upsert(
         raise ValueError(f"latest_by column {latest_by!r} not in table")
     src = source.select(*cols)  # table column order
     uniq = key_cols if latest_by is None else [*key_cols, latest_by]
-    n_src, n_keys = src.agg(
-        F.count("*"), F.count_distinct(*[F.col(k) for k in uniq])
+    n_src, n_keys, *nonnull = src.agg(
+        F.count("*"),
+        F.count_distinct(*[F.col(k) for k in uniq]),
+        *[F.count(F.col(c)).alias(f"nn_{c}") for c in uniq],
     ).first()
+    nulled = [c for c, nn in zip(uniq, nonnull) if nn != n_src]
+    if n_src and nulled:
+        # count_distinct silently drops tuples containing NULL, which
+        # would surface as a bogus "duplicate keys" error; and a NULL
+        # key/sequence has no meaningful match/ordering anyway
+        raise ValueError(
+            f"source has NULLs in {nulled} — keys and the latest_by "
+            "sequence must be non-null"
+        )
     if n_src == 0:
         v = current_version(path)
         return {
@@ -455,30 +472,59 @@ def merge_upsert(
             .drop("__rn")
         )
     # phase 1: affected-file discovery on a key-pruned relation — at
-    # 100 TB this scan moves only the key columns + a file name
+    # 100 TB this scan moves only the key (+ sequence) columns and a
+    # file name.  With latest_by, the batch is first pruned to rows
+    # that can actually WIN (src seq >= the key's stored max — ties go
+    # to the source): a losing row must not mark files affected (an
+    # all-stale replayed CDC batch then rewrites nothing) and must not
+    # reach phase 2 at all — unioned in naively, a loser whose stored
+    # winner sits in an UNAFFECTED file would insert as a duplicate.
+    slim_cols = key_cols if latest_by is None else [*key_cols, latest_by]
     slim = (
         spark.read.format("olive")
         .option("table", table)
-        .option("columns", ",".join(key_cols))
+        .option("columns", ",".join(slim_cols))
         .option("fileColumn", fc)
         .load(path)
     )
+    if latest_by is not None:
+        stored_max = slim.groupBy(*key_cols).agg(
+            F.max(latest_by).alias("__max_seq")
+        )
+        src = (
+            src.join(stored_max, key_cols, "left")
+            .filter(
+                F.col("__max_seq").isNull()
+                | (F.col(latest_by) >= F.col("__max_seq"))
+            )
+            .drop("__max_seq")
+        )
+    hits = slim.join(src.select(*key_cols), key_cols, "left_semi")
     affected = sorted(
-        r[0]
-        for r in slim.join(src.select(*key_cols), key_cols, "left_semi")
-        .select(fc)
-        .distinct()
-        .collect()
+        r[0] for r in hits.select(fc).distinct().collect()
     )
     pre_version = current_version(path)
     if not affected:
-        # pure insert: a plain append commit (its own snapshot entry)
+        # pure insert: a plain append commit (its own snapshot entry).
+        # With latest_by the batch may have shrunk (intra-source dedup,
+        # all-stale rows dropped) — count what actually lands; an
+        # entirely-stale batch is a clean no-op, not an empty commit.
+        n_insert = src.count() if latest_by is not None else n_src
+        if n_insert == 0:
+            return {
+                "files_rewritten": 0,
+                "files_added": 0,
+                "rows_after_in_rewritten": 0,
+                "inserted_only": True,
+                "version": pre_version,
+                "pre_version": pre_version,
+            }
         n_before = len(_list_chunk_files(path))
         src.write.format("olive").option("table", table).mode("append").save(path)
         return {
             "files_rewritten": 0,
             "files_added": len(_list_chunk_files(path)) - n_before,
-            "rows_after_in_rewritten": n_src,
+            "rows_after_in_rewritten": n_insert,
             "inserted_only": True,
             "version": current_version(path),
             "pre_version": pre_version,
@@ -496,17 +542,25 @@ def merge_upsert(
             src.select(*key_cols), key_cols, "left_anti"
         ).unionByName(src)
     else:
-        # latest-wins: per key, the greatest latest_by among existing +
-        # incoming survives; equal sequence prefers the incoming row
+        # latest-wins: per SOURCE-TOUCHED key, the greatest latest_by
+        # among existing + incoming survives (equal sequence prefers
+        # the incoming row).  Bystander rows — keys in an affected file
+        # the source never mentioned — pass through untouched: ranking
+        # them too would silently collapse legal duplicate-key rows the
+        # MERGE was never asked about (r8 second-review finding).
+        skeys = src.select(*key_cols)
+        bystanders = existing.join(skeys, key_cols, "left_anti")
+        contested = existing.join(skeys, key_cols, "left_semi")
         wm = Window.partitionBy(*key_cols).orderBy(
             F.col(latest_by).desc(), F.col("__src").desc()
         )
         merged = (
-            existing.withColumn("__src", F.lit(0))
+            contested.withColumn("__src", F.lit(0))
             .unionByName(src.withColumn("__src", F.lit(1)))
             .withColumn("__rn", F.row_number().over(wm))
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__src")
+            .unionByName(bystanders)
         )
     # persist: the rewrite dataset is needed twice (count to size the
     # output files, then the write) — at 100 TB recomputing the

@@ -333,6 +333,27 @@ def ivf_topk(
 
 
 _IVF_META = "_ivf_meta.json"
+_IVF_PENDING = "_ivf_append.pending"
+
+
+def _load_centroids(spark, index_dir: str):
+    import os
+
+    cents = spark.read.format("olive").load(os.path.join(index_dir, "centroids"))
+    return sorted(
+        ((r["centroid_id"], r["centroid_vec"]) for r in cents.collect()),
+        key=lambda t: t[0],
+    )
+
+
+def _write_meta(index_dir: str, meta: dict) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(index_dir, _IVF_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, _IVF_META))
 
 
 def build_ivf_index(
@@ -361,7 +382,6 @@ def build_ivf_index(
     caller passes the corpus's CURRENT version — the same
     build-once/validate-on-read contract as the incremental-dedup
     Bloom sidecar.  Returns the meta dict."""
-    import json
     import os
 
     from olive_spark.datasource import register_olive
@@ -393,10 +413,12 @@ def build_ivf_index(
         "id_col": id_col,
         "corpus_version": corpus_version,
     }
-    tmp = os.path.join(index_dir, _IVF_META + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(index_dir, _IVF_META))
+    _write_meta(index_dir, meta)
+    # a full rebuild supersedes any interrupted incremental append
+    try:
+        os.remove(os.path.join(index_dir, _IVF_PENDING))
+    except FileNotFoundError:
+        pass
     return meta
 
 
@@ -404,7 +426,7 @@ def append_ivf_index(
     spark,
     new_rows: DataFrame,
     index_dir: str,
-    corpus_version: "int | None" = None,
+    corpus_version: "int | None",
 ) -> dict:
     """Incrementally extend a persisted IVF index with newly ingested
     vectors: assign them to the EXISTING centroids (no re-train — the
@@ -418,7 +440,19 @@ def append_ivf_index(
     scanned and written; existing lists keep their files.  Centroid
     drift is the standard IVF trade: frozen centroids degrade recall
     gradually as the distribution shifts; rebuild with
-    :func:`build_ivf_index` when it matters.  Returns the updated meta."""
+    :func:`build_ivf_index` when it matters.
+
+    ``corpus_version`` is REQUIRED (pass None deliberately to opt out
+    of version keying): defaulting would silently erase the stored
+    version and with it the staleness protection.  The append is
+    guarded by a ``_ivf_append.pending`` marker written before the
+    list append and cleared after the meta advances: a crash in
+    between would otherwise leave extended lists under the OLD
+    version — the stale check would pass on a wrong index — so
+    :func:`ivf_topk_indexed` refuses while the marker exists (rebuild
+    with :func:`build_ivf_index` to recover; a retried append cannot
+    know whether the interrupted one committed).  Returns the updated
+    meta."""
     import json
     import os
 
@@ -427,15 +461,14 @@ def append_ivf_index(
     register_olive(spark)
     with open(os.path.join(index_dir, _IVF_META)) as f:
         meta = json.load(f)
-    cents = spark.read.format("olive").load(os.path.join(index_dir, "centroids"))
-    cents_rows = sorted(
-        ((r["centroid_id"], r["centroid_vec"]) for r in cents.collect()),
-        key=lambda t: t[0],
-    )
+    cents_rows = _load_centroids(spark, index_dir)
     assigned = _ivf_assign(
         new_rows.select(meta["id_col"], meta["vec_col"]), cents_rows,
         meta["vec_col"],
     )
+    pending = os.path.join(index_dir, _IVF_PENDING)
+    with open(pending, "w") as f:
+        f.write(json.dumps({"to_version": corpus_version}))
     (
         assigned.write.format("olive")
         .option("table", "assignments")
@@ -444,10 +477,8 @@ def append_ivf_index(
         .save(os.path.join(index_dir, "assignments"))
     )
     meta["corpus_version"] = corpus_version
-    tmp = os.path.join(index_dir, _IVF_META + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(index_dir, _IVF_META))
+    _write_meta(index_dir, meta)
+    os.remove(pending)
     return meta
 
 
@@ -473,6 +504,12 @@ def ivf_topk_indexed(
     from olive_spark.datasource import register_olive
 
     register_olive(spark)
+    if os.path.exists(os.path.join(index_dir, _IVF_PENDING)):
+        raise ValueError(
+            f"IVF index at {index_dir} has an interrupted append "
+            "(_ivf_append.pending): its lists may be extended beyond "
+            "the recorded corpus version — rebuild with build_ivf_index"
+        )
     with open(os.path.join(index_dir, _IVF_META)) as f:
         meta = json.load(f)
     if (
@@ -484,11 +521,7 @@ def ivf_topk_indexed(
             f"{meta.get('corpus_version')}, current is "
             f"{expect_corpus_version} — rebuild with build_ivf_index"
         )
-    cents = spark.read.format("olive").load(os.path.join(index_dir, "centroids"))
-    cents_rows = sorted(
-        ((r["centroid_id"], r["centroid_vec"]) for r in cents.collect()),
-        key=lambda t: t[0],
-    )
+    cents_rows = _load_centroids(spark, index_dir)
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     q_assigned = _ivf_q_assigned(queries, cents_rows, n_probe, vec_col, id_col)
     # Directory-pruned inverted-list scan: the probe set is tiny (it is

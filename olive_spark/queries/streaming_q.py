@@ -297,34 +297,50 @@ def stream_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     final table a pure function of each customer's max-orderkey row —
     independent of how the admission caps partition the stream into
     batches — so the oracle is a plain ROW_NUMBER window over orders.
-    Returns the per-customer winner rows."""
+    Returns the per-customer winner rows.
+
+    The pipeline runs ONCE per cache (build-once marker, like
+    _ensure_orders_merged) under the olive cache dir — an ephemeral
+    /tmp target per call would re-copy the orders table every
+    invocation and never reclaim it."""
+    import shutil
+
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
     src = os.path.join(data.ensure_olive(sf), "orders")
-    run = uuid.uuid4().hex[:12]
-    target = os.path.join(tempfile.gettempdir(), f"olive_cdc_tgt_{run}")
-    ckpt = os.path.join(tempfile.gettempdir(), f"olive_cdc_ckpt_{run}")
-    from pyspark.sql.window import Window as W
+    root = os.path.join(data.ensure_olive(sf), "orders_cdc")
+    target = os.path.join(root, "table")
+    marker = os.path.join(root, "_CDC_OK")
+    if not os.path.exists(marker):
+        if os.path.exists(root):
+            shutil.rmtree(root)  # half-built from a crashed run
+        from pyspark.sql.window import Window as W
 
-    base = (
-        data.load(spark, sf, "orders", columns=cols)
-        .filter(F.col("o_orderkey") % 3 == 0)
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                W.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
-            ),
+        base = (
+            data.load(spark, sf, "orders", columns=cols)
+            .filter(F.col("o_orderkey") % 3 == 0)
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    W.partitionBy("o_custkey")
+                    .orderBy(F.col("o_orderkey").desc())
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
         )
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    base.write.format("olive").option("table", "data").mode("append").save(target)
-    sdf = streaming.read_stream(
-        spark, src, columns=",".join(cols),
-        maxFilesPerTrigger="8", admissionStateDir=ckpt + "_adm",
-    ).filter(F.col("o_orderkey") % 3 != 0)
-    streaming.stream_upsert_available_now(
-        sdf, target, ["o_custkey"], ckpt, latest_by="o_orderkey"
-    )
+        base.write.format("olive").option("table", "data") \
+            .mode("append").save(target)
+        sdf = streaming.read_stream(
+            spark, src, columns=",".join(cols),
+            maxFilesPerTrigger="8",
+            admissionStateDir=os.path.join(root, "adm"),
+        ).filter(F.col("o_orderkey") % 3 != 0)
+        streaming.stream_upsert_available_now(
+            sdf, target, ["o_custkey"], os.path.join(root, "ckpt"),
+            latest_by="o_orderkey",
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
     final = spark.read.format("olive").load(target)
     return final.select(
         "o_custkey", "o_orderkey", "o_orderstatus",

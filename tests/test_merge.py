@@ -361,3 +361,62 @@ def test_merge_latest_wins_batch_boundary_independence(spark, tmp_path):
         finals.append(_rows(spark.read.format("olive").load(path)))
     assert finals[0] == finals[1] == finals[2]
     assert (0, 9, "v0-9") in finals[0]  # max seq won everywhere
+
+
+def test_merge_latest_wins_preserves_bystander_duplicates(spark, tmp_path):
+    """r8 second-review finding: ranking must collapse only keys the
+    SOURCE touches — duplicate-key rows that share an affected file but
+    were never mentioned by the merge must survive intact."""
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    rows = [(3, 1, "target-old"), (7, 1, "dup-a"), (7, 2, "dup-b")]
+    spark.createDataFrame(rows, ["k", "seq", "val"]).coalesce(1) \
+        .write.format("olive").mode("append").save(path)  # ONE shared file
+
+    src = spark.createDataFrame([(3, 5, "newer")], ["k", "seq", "val"])
+    out = merge_upsert(spark, path, src, ["k"], latest_by="seq")
+    assert out["files_rewritten"] == 1
+    got = _rows(spark.read.format("olive").load(path))
+    assert got == [(3, 5, "newer"), (7, 1, "dup-a"), (7, 2, "dup-b")]
+
+
+def test_merge_latest_wins_stale_batch_is_noop(spark, tmp_path):
+    """An all-stale replayed batch must not rewrite anything — no new
+    files, no new snapshot version."""
+    from olive_spark.format.snapshots import current_version
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(k, 9, f"v{k}") for k in range(5)], ["k", "seq", "val"]
+    ).write.format("olive").mode("append").save(path)
+    v = current_version(path)
+
+    stale = spark.createDataFrame(
+        [(1, 2, "old"), (3, 5, "older")], ["k", "seq", "val"]
+    )
+    out = merge_upsert(spark, path, stale, ["k"], latest_by="seq")
+    assert out == {
+        "files_rewritten": 0, "files_added": 0,
+        "rows_after_in_rewritten": 0, "inserted_only": True,
+        "version": v, "pre_version": v,
+    }
+    got = {r["k"]: r["val"] for r in spark.read.format("olive").load(path).collect()}
+    assert got == {k: f"v{k}" for k in range(5)}
+
+
+def test_merge_rejects_null_keys_and_sequences(spark, tmp_path):
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=20, files=1)
+    null_seq = spark.createDataFrame(
+        [(1, None, 0)], "k long, v long, grp int"
+    ).selectExpr("k", "v", "grp")
+    # latest_by=v with a NULL sequence: loud, not a bogus duplicate error
+    with pytest.raises(ValueError, match="NULL"):
+        merge_upsert(spark, path, null_seq, ["k"], latest_by="v")
+    null_key = spark.createDataFrame([(None, 5, 0)], "k long, v long, grp int")
+    with pytest.raises(ValueError, match="NULL"):
+        merge_upsert(spark, path, null_key, ["k"])

@@ -206,3 +206,32 @@ def test_append_ivf_index_incremental(spark, tmp_path):
         corpus, queries, k=10
     ).collect()))
     assert got == direct
+
+
+def test_ivf_append_crash_window_refuses_serving(spark, tmp_path):
+    """A pending-append marker (crash between the list append and the
+    meta advance) must make serving refuse loudly — the lists may hold
+    vectors beyond the recorded corpus version, so the stale check
+    alone would pass on a wrong index.  A full rebuild clears it."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops import similarity
+    from olive_spark.queries import data
+
+    corpus = data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+    queries = corpus.filter(F.col("vec_id") < 3)
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(spark, corpus, idx, corpus_version=1)
+
+    with open(os.path.join(idx, "_ivf_append.pending"), "w") as f:
+        f.write("{}")
+    with pytest.raises(ValueError, match="interrupted append"):
+        similarity.ivf_topk_indexed(spark, idx, queries, k=5,
+                                    expect_corpus_version=1)
+    similarity.build_ivf_index(spark, corpus, idx, corpus_version=2)
+    assert similarity.ivf_topk_indexed(
+        spark, idx, queries, k=5, expect_corpus_version=2
+    ).count() > 0
