@@ -336,14 +336,31 @@ _IVF_META = "_ivf_meta.json"
 _IVF_PENDING = "_ivf_append.pending"
 
 
-def _load_centroids(spark, index_dir: str):
+_CENTROID_CACHE: dict = {}
+
+
+def _load_centroids(spark, index_dir: str, mtime_key: float = 0.0):
+    """Collect the (tiny) centroid table, memoized per (app, dir, meta
+    mtime): every fresh Python-DSv2 relation costs two plan-worker
+    round trips, which dominates serving a small index.  The meta
+    file's mtime keys the entry, so a rebuild/append (which rewrites
+    meta) naturally invalidates it; centroids are immutable between
+    meta writes."""
     import os
 
+    key = (spark.sparkContext.applicationId, index_dir, mtime_key)
+    hit = _CENTROID_CACHE.get(key)
+    if hit is not None:
+        return hit
     cents = spark.read.format("olive").load(os.path.join(index_dir, "centroids"))
-    return sorted(
+    rows = sorted(
         ((r["centroid_id"], r["centroid_vec"]) for r in cents.collect()),
         key=lambda t: t[0],
     )
+    if len(_CENTROID_CACHE) > 64:
+        _CENTROID_CACHE.clear()
+    _CENTROID_CACHE[key] = rows
+    return rows
 
 
 def _write_meta(index_dir: str, meta: dict) -> None:
@@ -461,7 +478,10 @@ def append_ivf_index(
     register_olive(spark)
     with open(os.path.join(index_dir, _IVF_META)) as f:
         meta = json.load(f)
-    cents_rows = _load_centroids(spark, index_dir)
+    cents_rows = _load_centroids(
+        spark, index_dir,
+        os.path.getmtime(os.path.join(index_dir, _IVF_META)),
+    )
     assigned = _ivf_assign(
         new_rows.select(meta["id_col"], meta["vec_col"]), cents_rows,
         meta["vec_col"],
@@ -521,7 +541,10 @@ def ivf_topk_indexed(
             f"{meta.get('corpus_version')}, current is "
             f"{expect_corpus_version} — rebuild with build_ivf_index"
         )
-    cents_rows = _load_centroids(spark, index_dir)
+    cents_rows = _load_centroids(
+        spark, index_dir,
+        os.path.getmtime(os.path.join(index_dir, _IVF_META)),
+    )
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     q_assigned = _ivf_q_assigned(queries, cents_rows, n_probe, vec_col, id_col)
     # Directory-pruned inverted-list scan: the probe set is tiny (it is
