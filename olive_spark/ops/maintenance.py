@@ -114,6 +114,13 @@ def compact(
     df = spark.read.format("olive").load(path)
     rows = df.count()
     n_files = max(1, math.ceil(rows / target_rows))
+    part_cols = _detect_partition_cols(path)
+    if part_cols and zorder_by:
+        raise ValueError(
+            "zorder compaction flattens the layout and is not supported "
+            f"on a hive-partitioned table (detected {part_cols}); "
+            "compact without zorder_by to preserve directory pruning"
+        )
     if zorder_by:
         if not 2 <= len(zorder_by) <= 4:
             raise ValueError("zorder_by takes two to four columns")
@@ -140,9 +147,18 @@ def compact(
             .drop("_z", *drop)
         )
     elif sort_by:
-        # repartitionByRange + sortWithinPartitions = globally range-
-        # sorted layout: each file owns a disjoint value interval
-        df = df.repartitionByRange(n_files, sort_by).sortWithinPartitions(sort_by)
+        if part_cols:
+            # per-partition-dir sorted files: range-sorting across the
+            # whole table would scatter every hive key over every task
+            df = df.repartition(n_files, *part_cols) \
+                .sortWithinPartitions(*part_cols, sort_by)
+        else:
+            # repartitionByRange + sortWithinPartitions = globally
+            # range-sorted layout: each file owns a disjoint interval
+            df = df.repartitionByRange(n_files, sort_by) \
+                .sortWithinPartitions(sort_by)
+    elif part_cols:
+        df = df.repartition(n_files, *part_cols)
     else:
         df = df.repartition(n_files)
 
@@ -152,6 +168,7 @@ def compact(
         df, path, original_rels, run,
         table=table, target_rows=target_rows,
         retain_history=retain_history, prefix="compact",
+        partition_by=part_cols,
     )
     after = _list_chunk_files(path)
     return {"files_before": len(before), "files_after": len(after), "rows": rows}
@@ -173,10 +190,35 @@ def _seed_snapshot_log(path: str) -> None:
         pass
 
 
+def _detect_partition_cols(path: str) -> "list[str] | None":
+    """Infer a table's hive partition column sequence from its live
+    chunk-file layout: every file must sit under the same
+    ``col=value/...`` chain.  Returns None for flat or mixed layouts —
+    rewrite ops then fall back to root placement rather than guess."""
+    from olive_spark.datasource.olive_datasource import _list_chunk_files
+
+    try:
+        rels = [os.path.relpath(f, path) for f in _list_chunk_files(path)]
+    except OSError:
+        return None
+    if not rels:
+        return None
+    seqs = set()
+    for r in rels:
+        parts = r.split(os.sep)[:-1]
+        if not parts or not all("=" in p for p in parts):
+            return None
+        seqs.add(tuple(p.split("=", 1)[0] for p in parts))
+    if len(seqs) != 1:
+        return None
+    return list(seqs.pop())
+
+
 def _rewrite_and_swap(
     df, path: str, original_rels: "list[str]", run: str,
     table: str, target_rows: int, retain_history: bool,
-    prefix: str,
+    prefix: str, partition_by: "list[str] | None" = None,
+    empty: bool = False,
 ) -> "list[str]":
     """Write ``df`` as the replacement for ``original_rels`` inside the
     live table at ``path`` — the crash-safe copy-on-write core shared by
@@ -201,31 +243,50 @@ def _rewrite_and_swap(
     Afterwards the stats manifest is refreshed (new files keep their
     commit-time stats under the activated names) and one snapshot-log
     entry records the whole rewrite as a single version.  Returns the
-    activated relative file names."""
+    activated relative file names.
+
+    ``partition_by`` preserves a hive layout across the rewrite: the
+    replacement is written partitioned and each new file is staged and
+    activated INSIDE its ``col=value/…`` directory, so =/IN directory
+    pruning keeps working on rewritten data (previously merge/delete/
+    compact flattened rewritten rows to the table root — a documented
+    r8 gap).  Recovery and vacuum already handle sub-directory rels
+    (``**/*.olive.staging`` glob, makedirs on history moves)."""
     from olive_spark.datasource.olive_datasource import _list_chunk_files
     from olive_spark.format.manifest import load_manifest, merge_manifest
 
     tmp = f"{path}.compact-{prefix}-{run}"  # vacuum's <path>.compact-* glob
-    (
-        df.write.format("olive")
-        .option("table", table)
-        .option("chunkRows", target_rows)
-        .mode("append")
-        .save(tmp)
-    )
-    tmp_stats = load_manifest(tmp)  # per-file stats from the DSv2 commit
     stats_entries: dict = {}
     staged = []
     finals = []
-    for i, f in enumerate(_list_chunk_files(tmp)):
-        final = f"{prefix}-{run}-{i:05d}.olive"
-        ent = tmp_stats.get(os.path.relpath(f, tmp))
-        if ent is not None:
-            stats_entries[final] = ent  # same bytes, new name — carry over
-        dest = os.path.join(path, final + ".staging")
-        shutil.move(f, dest)
-        staged.append(dest)
-        finals.append(final)
+    if not empty:
+        w = (
+            df.write.format("olive")
+            .option("table", table)
+            .option("chunkRows", target_rows)
+        )
+        if partition_by:
+            w = w.option("partitionBy", ",".join(partition_by))
+        w.mode("append").save(tmp)
+        tmp_stats = load_manifest(tmp)  # per-file stats from the commit
+        for i, f in enumerate(_list_chunk_files(tmp)):
+            rel = os.path.relpath(f, tmp)
+            sub = os.path.dirname(rel)
+            final = os.path.join(sub, f"{prefix}-{run}-{i:05d}.olive") if sub \
+                else f"{prefix}-{run}-{i:05d}.olive"
+            ent = tmp_stats.get(rel)
+            if ent is not None:
+                stats_entries[final] = ent  # same bytes, new name — carry over
+            dest = os.path.join(path, final + ".staging")
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            shutil.move(f, dest)
+            staged.append(dest)
+            finals.append(final)
+    # ``empty`` (every row of the replaced files was deleted): no
+    # replacement is written at all — the writer's zero-row path would
+    # emit a schema sentinel file at the table ROOT, planting a stray
+    # flat file into hive layouts; a remove-only manifest + snapshot
+    # entry expresses "these files are gone" crash-safely instead.
     manifest = os.path.join(path, f"compact-{run}.manifest.json")
     payload = json.dumps(
         {
@@ -369,10 +430,10 @@ def merge_upsert(
     Constraints: single writer (same contract as :func:`compact`);
     ``source`` must be unique on ``key_cols`` (enforced — a duplicate
     key would make the replacement row nondeterministic, the same error
-    Delta raises); hive-partitioned layouts are supported but rewritten
-    files land at the table root (partition columns remain IN the data,
-    so results are identical; directory pruning is lost for rewritten
-    rows until the next partitioned compaction).
+    Delta raises).  Hive-partitioned layouts are PRESERVED: the
+    partition column chain is auto-detected from the live layout and
+    rewritten/inserted files land inside their ``col=value/…``
+    directories, so =/IN directory pruning keeps working after a merge.
 
     The reference format is batch-only with no directory/update layer
     (/root/reference/src/root.zig:9-16); MERGE is this engine's
@@ -520,7 +581,11 @@ def merge_upsert(
                 "pre_version": pre_version,
             }
         n_before = len(_list_chunk_files(path))
-        src.write.format("olive").option("table", table).mode("append").save(path)
+        iw = src.write.format("olive").option("table", table)
+        part_cols = _detect_partition_cols(path)
+        if part_cols:  # inserts land inside their col=value dirs too
+            iw = iw.option("partitionBy", ",".join(part_cols))
+        iw.mode("append").save(path)
         return {
             "files_rewritten": 0,
             "files_added": len(_list_chunk_files(path)) - n_before,
@@ -567,14 +632,20 @@ def merge_upsert(
     # scan+anti-join+union for the write would double the most
     # expensive phase; the persisted set is bounded by touched data
     merged = merged.persist()
+    part_cols = _detect_partition_cols(path)
     try:
         rows = merged.count()
         n_files = max(1, math.ceil(rows / target_rows))
         run = uuid.uuid4().hex[:8]
+        out_df = (
+            merged.repartition(n_files, *part_cols)
+            if part_cols else merged.repartition(n_files)
+        )
         finals = _rewrite_and_swap(
-            merged.repartition(n_files), path, affected, run,
+            out_df, path, affected, run,
             table=table, target_rows=target_rows,
             retain_history=retain_history, prefix="merge",
+            partition_by=part_cols,
         )
     finally:
         merged.unpersist()
@@ -607,7 +678,9 @@ def delete_where(
     100 TB shape: discovery is a scan + filter + distinct over file
     names (the filter prunes pages/files via stats where the condition
     allows), collecting only FILE NAMES; the rewrite touches only
-    affected files.  Same single-writer contract as :func:`compact`.
+    affected files.  Same single-writer contract as :func:`compact`;
+    hive-partitioned layouts are preserved (rewritten survivors land
+    back inside their ``col=value/…`` directories).
 
     Returns {files_rewritten, files_added, rows_deleted, version}."""
     from pyspark.sql import functions as F
@@ -644,14 +717,28 @@ def delete_where(
         .drop(fc)
         .persist()  # needed twice: count to size files, then the write
     )
+    part_cols = _detect_partition_cols(path)
     try:
         rows = survivors.count()
+        # every row of every affected file deleted: write no
+        # replacement (remove-only rewrite) — UNLESS that would empty
+        # the whole table, where the zero-row write's schema sentinel
+        # is exactly what keeps the directory scannable
+        from olive_spark.datasource.olive_datasource import _list_chunk_files
+
+        wipe_all = rows == 0 and len(affected) >= len(_list_chunk_files(path))
         n_files = max(1, math.ceil(rows / target_rows))
         run = uuid.uuid4().hex[:8]
+        out_df = (
+            survivors.repartition(n_files, *part_cols)
+            if part_cols else survivors.repartition(n_files)
+        )
         finals = _rewrite_and_swap(
-            survivors.repartition(n_files), path, affected, run,
+            out_df, path, affected, run,
             table=table, target_rows=target_rows,
             retain_history=retain_history, prefix="delete",
+            partition_by=part_cols,
+            empty=(rows == 0 and not wipe_all),
         )
     finally:
         survivors.unpersist()

@@ -420,3 +420,100 @@ def test_merge_rejects_null_keys_and_sequences(spark, tmp_path):
     null_key = spark.createDataFrame([(None, 5, 0)], "k long, v long, grp int")
     with pytest.raises(ValueError, match="NULL"):
         merge_upsert(spark, path, null_key, ["k"])
+
+
+def test_rewrites_preserve_hive_partition_layout(spark, tmp_path):
+    """merge/delete/compact on a hive-partitioned table must keep every
+    rewritten (and inserted) file INSIDE its col=value directory — the
+    r8 gap where copy-on-write flattened rewritten rows to the table
+    root, silently losing =/IN directory pruning — and time travel to
+    the pre-mutation version must still be exact."""
+    from olive_spark.ops.maintenance import (
+        compact, delete_where, merge_upsert,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(400).selectExpr(
+        "id AS k", "id * 10 AS v", "cast(id % 4 as int) AS grp"
+    )
+    df.repartition(4, "grp").write.format("olive") \
+        .option("partitionBy", "grp").mode("append").save(path)
+
+    def layout_ok():
+        import glob as g
+        files = [f for f in g.glob(os.path.join(path, "**", "*.olive"),
+                                   recursive=True)
+                 if "_olive_history" not in f]
+        assert files
+        bad = [f for f in files
+               if "grp=" not in os.path.relpath(f, path).split(os.sep)[0]]
+        assert not bad, bad
+
+    src = spark.createDataFrame(
+        [(k, k * 100, k % 4) for k in range(390, 410)],
+        "k long, v long, grp int",
+    )
+    out = merge_upsert(spark, path, src, ["k"])
+    assert out["files_rewritten"] >= 1
+    layout_ok()
+
+    out = delete_where(spark, path, "k % 2 = 1")
+    assert out["rows_deleted"] > 0
+    layout_ok()
+
+    compact(spark, path, target_rows=1000)
+    layout_ok()
+
+    got = _rows(spark.read.format("olive").load(path))
+    expect = sorted(
+        [(k, k * 10, k % 4) for k in range(390) if k % 2 == 0]
+        + [(k, k * 100, k % 4) for k in range(390, 410) if k % 2 == 0]
+    )
+    assert got == expect
+    # pre-merge snapshot (v1) still reads the original 400 rows exactly
+    v1 = spark.read.format("olive").option("snapshot", "1").load(path)
+    assert _rows(v1) == sorted((k, k * 10, k % 4) for k in range(400))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        compact(spark, path, zorder_by=["k", "v"])
+
+
+def test_delete_everything_keeps_table_scannable(spark, tmp_path):
+    """Deleting every row must not leave an empty unreadable directory:
+    the zero-row schema sentinel is kept exactly (and only) for the
+    wipe-the-whole-table case."""
+    from olive_spark.ops.maintenance import delete_where
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=50, files=2)
+    out = delete_where(spark, path, "k >= 0")
+    assert out["rows_deleted"] == 50
+    got = spark.read.format("olive").load(path)
+    assert got.count() == 0
+    assert got.columns == ["k", "v", "grp"]
+
+
+def test_delete_emptying_one_partition_writes_no_root_sentinel(spark, tmp_path):
+    """A delete that wipes some files (but not the table) must be a
+    remove-only rewrite — no zero-row sentinel planted at the table
+    root of a hive layout."""
+    import glob as g
+
+    from olive_spark.ops.maintenance import delete_where
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr(
+        "id AS k", "id * 10 AS v", "cast(id % 2 as int) AS grp"
+    )
+    df.repartition(2, "grp").write.format("olive") \
+        .option("partitionBy", "grp").mode("append").save(path)
+    out = delete_where(spark, path, "grp = 1")
+    assert out["rows_deleted"] == 50 and out["files_added"] == 0
+    live = [os.path.relpath(f, path)
+            for f in g.glob(os.path.join(path, "**", "*.olive"), recursive=True)
+            if "_olive_history" not in f]
+    assert live and all(r.startswith("grp=0") for r in live), live
+    assert sorted(r["k"] for r in
+                  spark.read.format("olive").load(path).collect()) \
+        == [k for k in range(100) if k % 2 == 0]
