@@ -80,6 +80,8 @@ HEADLINE = [
     "mm_decode_png_real",          # r8: real PNG decode
     "mm_audio_wav_real",           # r8: real WAV decode
     "llm_similarity_ivf_persisted",  # r8: ANN from persisted index
+    "scan_merge_partitioned",      # r8: hive layout survives MERGE
+    "stream_merge_upsert",         # r8: streaming CDC latest-wins MERGE
 ]
 
 

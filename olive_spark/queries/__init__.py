@@ -71,6 +71,7 @@ _ORDER = [
     # --- new in r8 (never driver-checked) ---
     "scan_after_merge_upsert",     # r8: MERGE INTO copy-on-write parity
     "scan_merge_time_travel",      # r8: pre-merge snapshot still exact
+    "scan_merge_partitioned",      # r8: hive layout survives MERGE/DELETE
     "mm_decode_png_real",          # r8: real PNG decode, exact oracle
     "mm_audio_wav_real",           # r8: real WAV decode, exact oracle
     "llm_similarity_ivf_persisted",  # r8: ANN from a persisted index (rows-only)

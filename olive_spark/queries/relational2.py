@@ -692,6 +692,76 @@ def _ensure_orders_merged(spark: SparkSession, sf: str) -> str:
     return out
 
 
+def _ensure_orders_merged_part(spark: SparkSession, sf: str) -> str:
+    """Like _ensure_orders_merged, but over a HIVE-PARTITIONED layout
+    (partitionBy o_orderstatus): v1 base partitioned write, v2
+    merge_upsert (orderkey % 5 == 0 get o_totalprice * 2 — exact in
+    doubles; a .1 product would hit the engines' round-half-tie
+    disagreement at the decimal cast), v3
+    delete_where ('F' orders with orderkey % 7 == 3).  Rewrites must
+    preserve the col=value layout (ops/maintenance._rewrite_and_swap
+    partition_by; pytest asserts the layout, this query's oracle
+    asserts the content)."""
+    import os as _os
+
+    from olive_spark.datasource import register_olive
+    from olive_spark.ops.maintenance import delete_where, merge_upsert
+
+    register_olive(spark)
+    out = _os.path.join(data.ensure_olive(sf), "orders_merged_part")
+    marker = _os.path.join(out, "_MERGE_OK")
+    if _os.path.exists(marker):
+        return out
+    if _os.path.exists(out):
+        import shutil as _shutil
+
+        _shutil.rmtree(out)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = data.load(spark, sf, "orders", columns=cols)
+    base.repartition("o_orderstatus").write.format("olive") \
+        .option("table", "orders_merged_part") \
+        .option("partitionBy", "o_orderstatus").mode("append").save(out)
+    updates = base.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * F.lit(2.0)
+    )
+    merge_upsert(spark, out, updates, key_cols=["o_orderkey"],
+                 table="orders_merged_part")
+    delete_where(spark, out, "o_orderstatus = 'F' AND o_orderkey % 7 = 3",
+                 table="orders_merged_part")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def scan_merge_partitioned(spark: SparkSession, sf: str) -> DataFrame:
+    """Post-MERGE/DELETE parity on a hive-partitioned table: the layout
+    survives both copy-on-write rewrites (pytest contract) and the
+    content matches the oracle's reconstruction from the base orders
+    view — a rewrite that dropped a partition directory, double-applied
+    the update inside one, or leaked deleted rows hash-mismatches."""
+    path = _ensure_orders_merged_part(spark, sf)
+    df = spark.read.format("olive") \
+        .option("table", "orders_merged_part").load(path)
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(D)).cast(D).alias("sum_price"),
+        F.sum("o_orderkey").alias("sum_keys"),
+    )
+
+
+SQL_MERGE_PARTITIONED = (
+    "WITH merged AS ("
+    "SELECT o_orderkey, o_orderstatus, "
+    "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 "
+    "ELSE o_totalprice END AS o_totalprice FROM orders) "
+    "SELECT o_orderstatus, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys "
+    "FROM merged WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 3) "
+    "GROUP BY o_orderstatus"
+)
+
+
 def scan_after_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """Post-MERGE state parity: aggregate the orders_merged table after
     upsert (v2) + delete (v3) — the oracle recomputes the same state
@@ -761,6 +831,7 @@ QUERIES: dict[str, tuple] = {
     "scan_time_travel": (scan_time_travel, SQL_TIME_TRAVEL),
     "scan_after_merge_upsert": (scan_after_merge_upsert, SQL_AFTER_MERGE),
     "scan_merge_time_travel": (scan_merge_time_travel, SQL_MERGE_TIME_TRAVEL),
+    "scan_merge_partitioned": (scan_merge_partitioned, SQL_MERGE_PARTITIONED),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),
     "join_interval_overlap": (join_interval_overlap, SQL_INTERVAL_JOIN),
     "reshape_unpivot": (reshape_unpivot, SQL_UNPIVOT),
