@@ -149,21 +149,25 @@ def append_entry(
     return v
 
 
-def ensure_seeded(dirpath: str) -> bool:
-    """Seed a base entry from the CURRENT live listing when no log
-    exists yet; returns True if a base was written.
+def ensure_seeded(dirpath: str, files: "list[str] | None" = None) -> bool:
+    """Seed a base entry from the CURRENT live listing (or an explicit
+    ``files`` list) when no log exists yet; returns True if a base was
+    written.
 
     Rewrite operations (merge/delete/compact) must call this BEFORE
     retiring any file: their ``append_entry`` runs only after the
     originals left the live directory, so first-append auto-seeding at
     that point would capture a post-rewrite listing and record a base
     that silently omits the replaced files — exactly the partial
-    ``files_at`` read this module promises never to produce (r8
-    review finding)."""
+    ``files_at`` read this module promises never to produce (r8 review
+    finding).  Crash recovery passes ``files`` explicitly: there the
+    pre-rewrite set must be RECONSTRUCTED (live minus activated
+    replacements, plus the recovery manifest's originals) because the
+    crash may already have activated some files."""
     log = load_log(dirpath)
     if log["entries"]:
         return False
-    pre = list_live_files(dirpath)
+    pre = sorted(files) if files is not None else list_live_files(dirpath)
     if not pre:
         return False
     log["entries"].append({

@@ -294,6 +294,7 @@ def _rewrite_and_swap(
             "originals": original_rels,
             "finals": finals,
             "history": bool(retain_history),
+            "empty": bool(empty),
         }
     )
     with open(manifest + ".tmp", "w") as fh:
@@ -350,12 +351,34 @@ def _recover_pending(path: str) -> dict:
         # an empty/missing finals list must NOT pass the guard (all([])
         # is vacuously true): completing it would delete every original
         # with zero replacements activated — exactly the loss this
-        # guard exists to prevent
-        if not pairs or not all(
-            os.path.exists(s) or os.path.exists(f) for s, f in pairs
+        # guard exists to prevent.  EXCEPTION: a manifest explicitly
+        # marked "empty" is an intentional remove-only rewrite (a
+        # delete that wiped every row of its affected files) — zero
+        # replacements IS its correct completion.
+        if not man.get("empty") and (
+            not pairs
+            or not all(
+                os.path.exists(s) or os.path.exists(f) for s, f in pairs
+            )
         ):
             out["manifests_skipped"] += 1
             continue
+        # log-less table (raw write_chunk files) whose rewrite crashed:
+        # seed the base from the reconstructed PRE-rewrite listing
+        # (live minus activated finals, plus the manifest's originals)
+        # before retirement — seeding later would record a partial base
+        try:
+            from olive_spark.format.snapshots import (
+                ensure_seeded, list_live_files,
+            )
+
+            ensure_seeded(path, files=sorted(
+                (set(list_live_files(path))
+                 - set(man.get("finals", [])))
+                | set(man.get("originals", []))
+            ))
+        except OSError:
+            pass
         for spath, fpath in pairs:
             if os.path.exists(spath):
                 os.replace(spath, fpath)

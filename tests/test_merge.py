@@ -517,3 +517,47 @@ def test_delete_emptying_one_partition_writes_no_root_sentinel(spark, tmp_path):
     assert sorted(r["k"] for r in
                   spark.read.format("olive").load(path).collect()) \
         == [k for k in range(100) if k % 2 == 0]
+
+
+def test_recover_completes_remove_only_manifest_and_seeds_log(spark, tmp_path):
+    """Crash recovery for the two r8 rewrite refinements: an 'empty'
+    (remove-only) manifest must be COMPLETED by recovery (the
+    no-replacements loss-guard exempts it — zero replacements IS its
+    correct completion), and recovery on a log-less table must seed the
+    snapshot base from the reconstructed PRE-rewrite file set, not the
+    post-retirement listing."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from olive_spark.format.snapshots import files_at
+    from olive_spark.ops.maintenance import snapshot_history
+    from olive_spark.format.writer import write_chunk
+    from olive_spark.ops.maintenance import _recover_pending
+
+    path = str(tmp_path / "raw")
+    os.makedirs(path)
+    for i in range(3):  # log-less table: three raw chunk files
+        t = pa.table({"k": list(range(i * 10, i * 10 + 10))})
+        with open(os.path.join(path, f"part-{i:05d}.olive"), "wb") as f:
+            f.write(write_chunk({"data": t}))
+
+    # simulate a delete that wiped part-00001 entirely, crashed right
+    # after writing its remove-only manifest (before retirement)
+    man = {"run": "deadbeef", "originals": ["part-00001.olive"],
+           "finals": [], "history": True, "empty": True}
+    with open(os.path.join(path, "compact-deadbeef.manifest.json"), "w") as f:
+        f.write(_json.dumps(man))
+
+    out = _recover_pending(path)
+    assert out["manifests_completed"] == 1
+    assert out["originals_deleted"] == 1
+    # live table lost exactly that file's rows
+    got = sorted(r["k"] for r in spark.read.format("olive").load(path).collect())
+    assert got == [k for k in range(30) if not 10 <= k < 20]
+    # the seeded base covers the FULL pre-rewrite set (incl. the
+    # retired original), so v1 time travel is complete
+    assert sorted(os.path.basename(f) for f in files_at(path, 1)) == [
+        "part-00000.olive", "part-00001.olive", "part-00002.olive"]
+    kinds = [h["kind"] for h in snapshot_history(path)]
+    assert kinds[0] == "seed-base", kinds
