@@ -111,19 +111,23 @@ def compact(
     _recover_pending(path)
     _seed_snapshot_log(path)
     before = _list_chunk_files(path)
-    df = spark.read.format("olive").load(path)
-    rows = df.count()
-    n_files = max(1, math.ceil(rows / target_rows))
-    part_cols = _detect_partition_cols(path)
+    # argument validation BEFORE any scan: a bad zorder request on a
+    # 100 TB table must not pay a full count first
+    part_cols = _detect_partition_cols_from_rels(
+        [os.path.relpath(f, path) for f in before]
+    )
     if part_cols and zorder_by:
         raise ValueError(
             "zorder compaction flattens the layout and is not supported "
             f"on a hive-partitioned table (detected {part_cols}); "
             "compact without zorder_by to preserve directory pruning"
         )
+    if zorder_by and not 2 <= len(zorder_by) <= 4:
+        raise ValueError("zorder_by takes two to four columns")
+    df = spark.read.format("olive").load(path)
+    rows = df.count()
+    n_files = max(1, math.ceil(rows / target_rows))
     if zorder_by:
-        if not 2 <= len(zorder_by) <= 4:
-            raise ValueError("zorder_by takes two to four columns")
         # min-max normalize each column into the per-column bit budget
         # (exact integer arithmetic; one tiny agg broadcast back)
         nbits = min(16, 63 // len(zorder_by))
@@ -201,6 +205,10 @@ def _detect_partition_cols(path: str) -> "list[str] | None":
         rels = [os.path.relpath(f, path) for f in _list_chunk_files(path)]
     except OSError:
         return None
+    return _detect_partition_cols_from_rels(rels)
+
+
+def _detect_partition_cols_from_rels(rels: "list[str]") -> "list[str] | None":
     if not rels:
         return None
     seqs = set()
@@ -212,6 +220,16 @@ def _detect_partition_cols(path: str) -> "list[str] | None":
     if len(seqs) != 1:
         return None
     return list(seqs.pop())
+
+
+def _shape_for_write(df, n_files: int, part_cols: "list[str] | None"):
+    """Output-file shaping shared by merge/delete rewrites: hash on the
+    partition columns when a hive layout is being preserved (keys
+    co-located → bounded files per partition dir), plain repartition
+    otherwise.  compact() shapes its own df (sort/z-order layouts)."""
+    if part_cols:
+        return df.repartition(n_files, *part_cols)
+    return df.repartition(n_files)
 
 
 def _rewrite_and_swap(
@@ -272,6 +290,16 @@ def _rewrite_and_swap(
         for i, f in enumerate(_list_chunk_files(tmp)):
             rel = os.path.relpath(f, tmp)
             sub = os.path.dirname(rel)
+            if not sub and partition_by:
+                # a root file from a partitioned write is the writer's
+                # zero-row schema sentinel (it carries no partition
+                # tuple).  Park it under the hive null-partition chain:
+                # a ROOT file would poison _detect_partition_cols into
+                # "mixed layout" and silently flatten every later
+                # rewrite (r8 third-review repro)
+                sub = os.sep.join(
+                    f"{c}=__HIVE_DEFAULT_PARTITION__" for c in partition_by
+                )
             final = os.path.join(sub, f"{prefix}-{run}-{i:05d}.olive") if sub \
                 else f"{prefix}-{run}-{i:05d}.olive"
             ent = tmp_stats.get(rel)
@@ -604,8 +632,13 @@ def merge_upsert(
                 "pre_version": pre_version,
             }
         n_before = len(_list_chunk_files(path))
-        iw = src.write.format("olive").option("table", table)
         part_cols = _detect_partition_cols(path)
+        ins = src
+        if part_cols:
+            # co-locate keys so the partitioned append emits bounded
+            # files per col=value dir, not one per (task, value)
+            ins = src.repartition(*part_cols)
+        iw = ins.write.format("olive").option("table", table)
         if part_cols:  # inserts land inside their col=value dirs too
             iw = iw.option("partitionBy", ",".join(part_cols))
         iw.mode("append").save(path)
@@ -660,12 +693,8 @@ def merge_upsert(
         rows = merged.count()
         n_files = max(1, math.ceil(rows / target_rows))
         run = uuid.uuid4().hex[:8]
-        out_df = (
-            merged.repartition(n_files, *part_cols)
-            if part_cols else merged.repartition(n_files)
-        )
         finals = _rewrite_and_swap(
-            out_df, path, affected, run,
+            _shape_for_write(merged, n_files, part_cols), path, affected, run,
             table=table, target_rows=target_rows,
             retain_history=retain_history, prefix="merge",
             partition_by=part_cols,
@@ -752,12 +781,9 @@ def delete_where(
         wipe_all = rows == 0 and len(affected) >= len(_list_chunk_files(path))
         n_files = max(1, math.ceil(rows / target_rows))
         run = uuid.uuid4().hex[:8]
-        out_df = (
-            survivors.repartition(n_files, *part_cols)
-            if part_cols else survivors.repartition(n_files)
-        )
         finals = _rewrite_and_swap(
-            out_df, path, affected, run,
+            _shape_for_write(survivors, n_files, part_cols), path, affected,
+            run,
             table=table, target_rows=target_rows,
             retain_history=retain_history, prefix="delete",
             partition_by=part_cols,

@@ -339,16 +339,20 @@ _IVF_PENDING = "_ivf_append.pending"
 _CENTROID_CACHE: dict = {}
 
 
-def _load_centroids(spark, index_dir: str, mtime_key: float = 0.0):
-    """Collect the (tiny) centroid table, memoized per (app, dir, meta
-    mtime): every fresh Python-DSv2 relation costs two plan-worker
-    round trips, which dominates serving a small index.  The meta
-    file's mtime keys the entry, so a rebuild/append (which rewrites
-    meta) naturally invalidates it; centroids are immutable between
-    meta writes."""
+def _load_centroids(spark, index_dir: str, build_key: str):
+    """Collect the (tiny) centroid table, memoized per (app, dir,
+    build_id): every fresh Python-DSv2 relation costs two plan-worker
+    round trips, which dominates serving a small index.  The key is
+    the meta's ``build_id`` nonce — minted fresh by every
+    ``build_ivf_index`` — NOT the meta file's mtime: on a
+    coarse-granularity filesystem a rebuild within one mtime quantum
+    would serve STALE centroids against new assignments, the silent
+    wrong-neighbors failure this index is built to refuse.  Appends
+    keep the build_id (centroids are frozen across appends), so the
+    cache stays valid through them."""
     import os
 
-    key = (spark.sparkContext.applicationId, index_dir, mtime_key)
+    key = (spark.sparkContext.applicationId, index_dir, build_key)
     hit = _CENTROID_CACHE.get(key)
     if hit is not None:
         return hit
@@ -424,11 +428,17 @@ def build_ivf_index(
         .mode("overwrite")
         .save(os.path.join(index_dir, "centroids"))
     )
+    import uuid
+
     meta = {
         "n_centroids": int(n_centroids),
         "vec_col": vec_col,
         "id_col": id_col,
         "corpus_version": corpus_version,
+        # fresh nonce per build: content-keys the centroid memo (and any
+        # future cached artifact) — mtime would alias rebuilds within
+        # one filesystem time quantum
+        "build_id": uuid.uuid4().hex,
     }
     _write_meta(index_dir, meta)
     # a full rebuild supersedes any interrupted incremental append
@@ -479,8 +489,7 @@ def append_ivf_index(
     with open(os.path.join(index_dir, _IVF_META)) as f:
         meta = json.load(f)
     cents_rows = _load_centroids(
-        spark, index_dir,
-        os.path.getmtime(os.path.join(index_dir, _IVF_META)),
+        spark, index_dir, meta.get("build_id", "")
     )
     assigned = _ivf_assign(
         new_rows.select(meta["id_col"], meta["vec_col"]), cents_rows,
@@ -542,8 +551,7 @@ def ivf_topk_indexed(
             f"{expect_corpus_version} — rebuild with build_ivf_index"
         )
     cents_rows = _load_centroids(
-        spark, index_dir,
-        os.path.getmtime(os.path.join(index_dir, _IVF_META)),
+        spark, index_dir, meta.get("build_id", "")
     )
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     q_assigned = _ivf_q_assigned(queries, cents_rows, n_probe, vec_col, id_col)

@@ -561,3 +561,44 @@ def test_recover_completes_remove_only_manifest_and_seeds_log(spark, tmp_path):
         "part-00000.olive", "part-00001.olive", "part-00002.olive"]
     kinds = [h["kind"] for h in snapshot_history(path)]
     assert kinds[0] == "seed-base", kinds
+
+
+def test_wipe_all_on_partitioned_table_keeps_layout_detectable(spark, tmp_path):
+    """r8 third-review repro: wiping a partitioned table parked the
+    zero-row sentinel at the ROOT, so _detect_partition_cols saw a
+    mixed layout forever and every later rewrite silently flattened.
+    The sentinel must live under the hive null-partition chain, and a
+    re-append + merge must stay partitioned."""
+    import glob as g
+
+    from olive_spark.ops.maintenance import (
+        _detect_partition_cols, delete_where, merge_upsert,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(40).selectExpr(
+        "id AS k", "id * 10 AS v", "cast(id % 2 as int) AS grp"
+    )
+    df.repartition(2, "grp").write.format("olive") \
+        .option("partitionBy", "grp").mode("append").save(path)
+
+    out = delete_where(spark, path, "k >= 0")  # wipe everything
+    assert out["rows_deleted"] == 40
+    assert spark.read.format("olive").load(path).count() == 0
+    live = [os.path.relpath(f, path)
+            for f in g.glob(os.path.join(path, "**", "*.olive"), recursive=True)
+            if "_olive_history" not in f]
+    assert all(os.sep in r and r.split(os.sep)[0].startswith("grp=")
+               for r in live), live
+    assert _detect_partition_cols(path) == ["grp"]
+
+    df.repartition(2, "grp").write.format("olive") \
+        .option("partitionBy", "grp").mode("append").save(path)
+    src = spark.createDataFrame([(1, 999, 1)], "k long, v long, grp int")
+    merge_upsert(spark, path, src, ["k"])
+    live = [os.path.relpath(f, path)
+            for f in g.glob(os.path.join(path, "**", "*.olive"), recursive=True)
+            if "_olive_history" not in f]
+    assert all("grp=" in r.split(os.sep)[0] for r in live), live
+    got = {r["k"]: r["v"] for r in spark.read.format("olive").load(path).collect()}
+    assert got[1] == 999 and got[0] == 0 and len(got) == 40
