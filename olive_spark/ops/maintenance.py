@@ -428,6 +428,52 @@ def _recover_pending(path: str) -> dict:
     return out
 
 
+TOMBSTONES_DIR = "_olive_tombstones"
+
+
+def _read_tombstones(spark, path: str, key_cols: "list[str]"):
+    """Load the retained-tombstone table (key cols + ``__seq``) if one
+    exists; None otherwise.  Lives in an underscore directory, so it is
+    invisible to table scans."""
+    tdir = os.path.join(path, TOMBSTONES_DIR)
+    if not os.path.isdir(tdir):
+        return None
+    try:
+        return spark.read.format("olive").load(tdir)
+    except Exception:  # noqa: BLE001 — empty/corrupt sidecar: no floor
+        return None
+
+
+def _record_tombstones(df, path: str) -> None:
+    """Append winning tombstones (key cols + ``__seq``) to the sidecar.
+    Appended AFTER the rewrite commits: a crash in between only loses
+    the floor for that batch, and a replay of the same batch re-applies
+    the delete (row already gone) and re-records it — self-healing."""
+    if df.isEmpty():
+        return
+    (
+        df.write.format("olive")
+        .option("table", "tombstones")
+        .mode("append")
+        .save(os.path.join(path, TOMBSTONES_DIR))
+    )
+
+
+def clear_tombstones(path: str) -> int:
+    """Drop ALL retained tombstones — call once the upstream feed
+    guarantees no change older than every retained tombstone can still
+    arrive (e.g. the CDC source's low-watermark passed them).  After
+    clearing, a replayed stale update for a deleted key would
+    resurrect it, which is why this is explicit and caller-driven.
+    Returns the number of tombstone files removed."""
+    tdir = os.path.join(path, TOMBSTONES_DIR)
+    if not os.path.isdir(tdir):
+        return 0
+    n = sum(1 for _, _, fs in os.walk(tdir) for f in fs if f.endswith(".olive"))
+    shutil.rmtree(tdir, ignore_errors=True)
+    return n
+
+
 def merge_upsert(
     spark,
     path: str,
@@ -437,6 +483,7 @@ def merge_upsert(
     retain_history: bool = True,
     target_rows: int = 1 << 20,
     latest_by: "str | None" = None,
+    delete_col: "str | None" = None,
 ) -> dict:
     """``MERGE INTO`` (upsert) on a snapshot-logged olive table: rows of
     ``source`` whose ``key_cols`` match an existing row REPLACE it; the
@@ -466,6 +513,26 @@ def merge_upsert(
     version; and only SOURCE-TOUCHED keys are collapsed to one winner —
     duplicate-key rows the source never mentioned pass through a
     rewrite untouched.
+
+    ``delete_col`` names a BOOLEAN source column marking TOMBSTONES —
+    the ``WHEN MATCHED … THEN DELETE`` leg a real change stream needs
+    (row deletions travel in the same feed as upserts).  A tombstone
+    whose key matches removes the row instead of replacing it; an
+    unmatched tombstone is a no-op (nothing to delete), never an
+    insert.  The flag is CDC metadata, NOT a table column (enforced).
+    Composes with ``latest_by``: the tombstone carries a sequence like
+    any change — if it wins the per-key resolution the key is gone, if
+    a later upsert outranks it the row survives.  Winning tombstones
+    are RETAINED (key + sequence, in the scan-invisible
+    ``_olive_tombstones/`` sidecar) and floor later batches' stale
+    prune: a deleted row leaves no sequence in the table, so without
+    the retained floor an out-of-order update replayed in a LATER
+    batch would look brand-new and resurrect the key (caught by the
+    batch-boundary property test) — with it, delete-bearing streams
+    keep the full batch-partitioning-independence guarantee.
+    Tombstones accumulate one slim row per winning delete;
+    :func:`clear_tombstones` drops them once the upstream feed's
+    low-watermark guarantees no older change can still arrive.
 
     100 TB shape: phase 1 discovers affected files with a key-column-
     pruned scan (``columns`` option: only the keys and the provenance
@@ -514,7 +581,21 @@ def merge_upsert(
     lacking = [c for c in cols if c not in source.columns]
     if lacking:
         raise ValueError(f"source is missing table columns: {lacking}")
-    surplus = [c for c in source.columns if c not in cols]
+    if delete_col is not None:
+        from pyspark.sql.types import BooleanType
+
+        if delete_col not in source.columns:
+            raise ValueError(f"delete_col {delete_col!r} not in source")
+        if delete_col in cols:
+            raise ValueError(
+                f"delete_col {delete_col!r} is a table column — the "
+                "tombstone flag is CDC metadata and must not collide"
+            )
+        if not isinstance(source.schema[delete_col].dataType, BooleanType):
+            raise ValueError(f"delete_col {delete_col!r} must be boolean")
+    surplus = [
+        c for c in source.columns if c not in cols and c != delete_col
+    ]
     if surplus:
         raise ValueError(
             f"source carries columns not in the table: {surplus} — "
@@ -535,7 +616,12 @@ def merge_upsert(
         )
     if latest_by is not None and latest_by not in cols:
         raise ValueError(f"latest_by column {latest_by!r} not in table")
-    src = source.select(*cols)  # table column order
+    sel = [F.col(c) for c in cols]  # table column order
+    if delete_col is not None:
+        sel.append(
+            F.coalesce(F.col(delete_col), F.lit(False)).alias("__del")
+        )
+    src = source.select(*sel)
     uniq = key_cols if latest_by is None else [*key_cols, latest_by]
     n_src, n_keys, *nonnull = src.agg(
         F.count("*"),
@@ -611,6 +697,27 @@ def merge_upsert(
             )
             .drop("__max_seq")
         )
+        if delete_col is not None:
+            # TOMBSTONE RETENTION: a winning delete removes the row, so
+            # its sequence vanishes from the table — without a retained
+            # floor, an out-of-order update REPLAYED IN A LATER BATCH
+            # would look brand-new and resurrect the key (found by the
+            # batch-boundary property test).  Retained tombstone maxima
+            # prune such updates exactly like stored rows do; a genuine
+            # later update (seq above the tombstone) still resurrects.
+            tomb = _read_tombstones(spark, path, key_cols)
+            if tomb is not None:
+                tmax = tomb.groupBy(*key_cols).agg(
+                    F.max("__seq").alias("__tomb_seq")
+                )
+                src = (
+                    src.join(tmax, key_cols, "left")
+                    .filter(
+                        F.col("__tomb_seq").isNull()
+                        | (F.col(latest_by) > F.col("__tomb_seq"))
+                    )
+                    .drop("__tomb_seq")
+                )
     hits = slim.join(src.select(*key_cols), key_cols, "left_semi")
     affected = sorted(
         r[0] for r in hits.select(fc).distinct().collect()
@@ -618,10 +725,27 @@ def merge_upsert(
     pre_version = current_version(path)
     if not affected:
         # pure insert: a plain append commit (its own snapshot entry).
-        # With latest_by the batch may have shrunk (intra-source dedup,
-        # all-stale rows dropped) — count what actually lands; an
-        # entirely-stale batch is a clean no-op, not an empty commit.
-        n_insert = src.count() if latest_by is not None else n_src
+        # The batch may have shrunk (intra-source dedup, all-stale rows
+        # dropped, unmatched tombstones — deleting a row that does not
+        # exist is a no-op, never an insert) — count what actually
+        # lands; an entirely-shrunk batch is a clean no-op, not an
+        # empty commit.
+        ins = src
+        if delete_col is not None:
+            ins = src.filter(~F.col("__del")).drop("__del")
+            if latest_by is not None:
+                # even with nothing to delete, the tombstone's sequence
+                # must floor future out-of-order updates for its key
+                _record_tombstones(
+                    src.filter(F.col("__del"))
+                    .select(*key_cols, F.col(latest_by).alias("__seq")),
+                    path,
+                )
+        n_insert = (
+            ins.count()
+            if latest_by is not None or delete_col is not None
+            else n_src
+        )
         if n_insert == 0:
             return {
                 "files_rewritten": 0,
@@ -633,11 +757,10 @@ def merge_upsert(
             }
         n_before = len(_list_chunk_files(path))
         part_cols = _detect_partition_cols(path)
-        ins = src
         if part_cols:
             # co-locate keys so the partitioned append emits bounded
             # files per col=value dir, not one per (task, value)
-            ins = src.repartition(*part_cols)
+            ins = ins.repartition(*part_cols)
         iw = ins.write.format("olive").option("table", table)
         if part_cols:  # inserts land inside their col=value dirs too
             iw = iw.option("partitionBy", ",".join(part_cols))
@@ -658,10 +781,18 @@ def merge_upsert(
         .load(path)
     )
     existing = tagged.filter(F.col(fc).isin(affected)).drop(fc)
+    new_tombs = None
     if latest_by is None:
+        # matched keys vanish via the anti-join; only non-tombstone
+        # source rows come back (a matched tombstone = WHEN MATCHED
+        # THEN DELETE)
+        live_src = (
+            src.filter(~F.col("__del")).drop("__del")
+            if delete_col is not None else src
+        )
         merged = existing.join(
             src.select(*key_cols), key_cols, "left_anti"
-        ).unionByName(src)
+        ).unionByName(live_src)
     else:
         # latest-wins: per SOURCE-TOUCHED key, the greatest latest_by
         # among existing + incoming survives (equal sequence prefers
@@ -672,17 +803,25 @@ def merge_upsert(
         skeys = src.select(*key_cols)
         bystanders = existing.join(skeys, key_cols, "left_anti")
         contested = existing.join(skeys, key_cols, "left_semi")
+        if delete_col is not None:
+            contested = contested.withColumn("__del", F.lit(False))
         wm = Window.partitionBy(*key_cols).orderBy(
             F.col(latest_by).desc(), F.col("__src").desc()
         )
-        merged = (
+        ranked = (
             contested.withColumn("__src", F.lit(0))
             .unionByName(src.withColumn("__src", F.lit(1)))
             .withColumn("__rn", F.row_number().over(wm))
             .filter(F.col("__rn") == 1)
-            .drop("__rn", "__src")
-            .unionByName(bystanders)
         )
+        if delete_col is not None:
+            # a tombstone that WON the resolution deletes the key; its
+            # sequence is retained (recorded after the rewrite lands)
+            new_tombs = ranked.filter(
+                (F.col("__src") == 1) & F.col("__del")
+            ).select(*key_cols, F.col(latest_by).alias("__seq"))
+            ranked = ranked.filter(~F.col("__del")).drop("__del")
+        merged = ranked.drop("__rn", "__src").unionByName(bystanders)
     # persist: the rewrite dataset is needed twice (count to size the
     # output files, then the write) — at 100 TB recomputing the
     # scan+anti-join+union for the write would double the most
@@ -699,6 +838,8 @@ def merge_upsert(
             retain_history=retain_history, prefix="merge",
             partition_by=part_cols,
         )
+        if new_tombs is not None:
+            _record_tombstones(new_tombs, path)
     finally:
         merged.unpersist()
     return {

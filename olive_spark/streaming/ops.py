@@ -250,11 +250,15 @@ def foreach_batch_upsert(
     table: str = "data",
     latest_by: "str | None" = None,
     retain_history: bool = False,
+    delete_col: "str | None" = None,
 ):
     """``foreachBatch`` function that MERGEs every microbatch into a
     snapshot-logged olive table (ops.maintenance.merge_upsert) — the
     streaming leg of the lakehouse CDC story: tail a change stream,
     upsert each batch copy-on-write, one snapshot version per batch.
+
+    ``delete_col`` marks tombstone rows (WHEN MATCHED THEN DELETE) so
+    row deletions ride the same change stream as upserts.
 
     Pass ``latest_by`` (a sequence/timestamp column) for latest-wins
     conflict resolution; the final table is then a pure function of
@@ -277,7 +281,7 @@ def foreach_batch_upsert(
             merge_upsert(
                 batch_df.sparkSession, target_path, batch_df, key_cols,
                 table=table, retain_history=retain_history,
-                latest_by=latest_by,
+                latest_by=latest_by, delete_col=delete_col,
             )
 
     return apply

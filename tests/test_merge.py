@@ -602,3 +602,90 @@ def test_wipe_all_on_partitioned_table_keeps_layout_detectable(spark, tmp_path):
     assert all("grp=" in r.split(os.sep)[0] for r in live), live
     got = {r["k"]: r["v"] for r in spark.read.format("olive").load(path).collect()}
     assert got[1] == 999 and got[0] == 0 and len(got) == 40
+
+
+def test_merge_tombstones_unconditional(spark, tmp_path):
+    """delete_col without latest_by: matched tombstones remove the row,
+    unmatched tombstones are no-ops (never inserts), upserts in the
+    same batch apply normally; the flag must be boolean and must not
+    collide with a table column."""
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=20, files=2)
+    src = spark.createDataFrame(
+        [(3, 0, 0, True),        # matched tombstone -> row 3 gone
+         (500, 0, 0, True),      # unmatched tombstone -> no-op
+         (5, 555, 0, False),     # plain update
+         (600, 606, 0, False)],  # plain insert
+        "k long, v long, grp int, _deleted boolean",
+    )
+    merge_upsert(spark, path, src, ["k"], delete_col="_deleted")
+    got = {r["k"]: r["v"] for r in spark.read.format("olive").load(path).collect()}
+    assert 3 not in got and 500 not in got
+    assert got[5] == 555 and got[600] == 606
+    assert len(got) == 20  # 20 - 1 deleted + 1 inserted
+
+    with pytest.raises(ValueError, match="must be boolean"):
+        bad = spark.createDataFrame([(1, 1, 0, 1)],
+                                    "k long, v long, grp int, _deleted long")
+        merge_upsert(spark, path, bad, ["k"], delete_col="_deleted")
+    with pytest.raises(ValueError, match="table column"):
+        merge_upsert(spark, path, src.drop("_deleted"), ["k"], delete_col="v")
+
+
+def test_merge_tombstones_latest_wins_sequenced(spark, tmp_path):
+    """delete_col + latest_by: the tombstone is a sequenced change —
+    it deletes only when it WINS the per-key resolution, and the final
+    state stays batch-boundary independent."""
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t0")
+    spark.createDataFrame(
+        [(k, 5, f"base{k}") for k in range(6)], ["k", "seq", "val"]
+    ).write.format("olive").mode("append").save(path)
+
+    src = spark.createDataFrame(
+        [(1, 9, "x", True),    # winning tombstone -> key 1 deleted
+         (2, 3, "x", True),    # stale tombstone -> key 2 survives
+         (3, 7, "upd", False),
+         (4, 8, "x", True), (4, 9, "resurrect", False)],  # delete then re-add
+        "k long, seq long, val string, _deleted boolean",
+    )
+    merge_upsert(spark, path, src, ["k"], latest_by="seq",
+                 delete_col="_deleted")
+    got = {r["k"]: (r["seq"], r["val"])
+           for r in spark.read.format("olive").load(path).collect()}
+    assert 1 not in got
+    assert got[2] == (5, "base2")
+    assert got[3] == (7, "upd")
+    assert got[4] == (9, "resurrect")
+    assert got[0] == (5, "base0") and len(got) == 5
+
+    # batch-boundary independence with tombstones in the mix
+    import random
+    rng = random.Random(7)
+    rows = [(k, s, f"v{k}-{s}", (k + s) % 3 == 0)
+            for k in range(6) for s in (1, 4, 9)]
+    finals = []
+    for split in range(3):
+        p2 = str(tmp_path / f"t{split + 1}")
+        spark.createDataFrame(
+            [(k, 0, f"base{k}") for k in range(6)], ["k", "seq", "val"]
+        ).write.format("olive").mode("append").save(p2)
+        shuffled = rows[:]
+        rng.shuffle(shuffled)
+        cut = rng.randrange(1, len(shuffled))
+        for b in (shuffled[:cut], shuffled[cut:]):
+            merge_upsert(
+                spark, p2,
+                spark.createDataFrame(
+                    b, "k long, seq long, val string, _deleted boolean"),
+                ["k"], latest_by="seq", delete_col="_deleted",
+            )
+        finals.append(_rows(spark.read.format("olive").load(p2)))
+    assert finals[0] == finals[1] == finals[2]
+    # per-key ground truth: max seq is 9; key deleted iff (k+9)%3==0
+    for k in range(6):
+        present = any(r[0] == k for r in finals[0])
+        assert present == ((k + 9) % 3 != 0), (k, finals[0])
