@@ -689,3 +689,77 @@ def test_merge_tombstones_latest_wins_sequenced(spark, tmp_path):
     for k in range(6):
         present = any(r[0] == k for r in finals[0])
         assert present == ((k + 9) % 3 != 0), (k, finals[0])
+
+
+def test_merge_cdc_model_random_histories(spark, tmp_path):
+    """Model-based check (the snapshot log has one; the CDC surface
+    deserves one too): random histories of sequenced CDC batches
+    (upserts + tombstones), predicate deletes, and compactions applied
+    to BOTH the olive table and an in-memory dict model that encodes
+    the documented semantics — per key the batch's max-seq change wins
+    against the stored row (ties to the batch) and against the
+    retained tombstone floor (strictly above resurrects); predicate
+    deletes remove rows without flooring; compaction changes nothing.
+    Any divergence at any step is a semantics bug."""
+    import random
+
+    from olive_spark.ops.maintenance import (
+        compact, delete_where, merge_upsert,
+    )
+
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"m{seed}")
+        base = [(k, 0, f"b{k}") for k in range(8)]
+        spark.createDataFrame(base, ["k", "seq", "val"]).repartition(2) \
+            .write.format("olive").mode("append").save(path)
+        model = {k: (s, v) for k, s, v in base}
+        floor: dict[int, int] = {}
+
+        for step in range(6):
+            op = rng.choice(["cdc", "cdc", "cdc", "delete", "compact"])
+            if op == "cdc":
+                seen = set()
+                rows = []
+                for _ in range(rng.randrange(1, 7)):
+                    k = rng.randrange(0, 12)
+                    s = rng.randrange(1, 20)
+                    if (k, s) in seen:
+                        continue
+                    seen.add((k, s))
+                    rows.append((k, s, f"v{k}-{s}", rng.random() < 0.3))
+                if not rows:
+                    continue
+                merge_upsert(
+                    spark, path,
+                    spark.createDataFrame(
+                        rows, "k long, seq long, val string, _d boolean"),
+                    ["k"], latest_by="seq", delete_col="_d",
+                )
+                best: dict[int, tuple] = {}
+                for k, s, v, d in rows:
+                    if k not in best or s > best[k][0]:
+                        best[k] = (s, v, d)
+                for k, (s, v, d) in best.items():
+                    stored = model.get(k)
+                    wins = (stored is not None and s >= stored[0]) or (
+                        stored is None and s > floor.get(k, -1)
+                    )
+                    if not wins:
+                        continue
+                    if d:
+                        model.pop(k, None)
+                        floor[k] = s
+                    else:
+                        model[k] = (s, v)
+            elif op == "delete":
+                m, r = rng.choice([(2, 0), (3, 1), (5, 2)])
+                delete_where(spark, path, f"k % {m} = {r}")
+                for k in [k for k in model if k % m == r]:
+                    model.pop(k)
+            else:
+                compact(spark, path, target_rows=50)
+
+            got = {r["k"]: (r["seq"], r["val"])
+                   for r in spark.read.format("olive").load(path).collect()}
+            assert got == model, (seed, step, op, got, model)
