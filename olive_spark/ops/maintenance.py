@@ -433,30 +433,78 @@ TOMBSTONES_DIR = "_olive_tombstones"
 
 def _read_tombstones(spark, path: str, key_cols: "list[str]"):
     """Load the retained-tombstone table (key cols + ``__seq``) if one
-    exists; None otherwise.  Lives in an underscore directory, so it is
+    exists; None when the sidecar is absent or holds no chunk files.
+    A sidecar that EXISTS but cannot be read, or whose schema doesn't
+    match this table's keys, raises: silently proceeding with no floor
+    would quietly re-enable the stale-update resurrection the sidecar
+    guards against.  Lives in an underscore directory, so it is
     invisible to table scans."""
     tdir = os.path.join(path, TOMBSTONES_DIR)
     if not os.path.isdir(tdir):
         return None
-    try:
-        return spark.read.format("olive").load(tdir)
-    except Exception:  # noqa: BLE001 — empty/corrupt sidecar: no floor
+    if not any(
+        f.endswith(".olive") for _, _, fs in os.walk(tdir) for f in fs
+    ):
         return None
+    df = spark.read.format("olive").load(tdir)
+    expected = set(key_cols) | {"__seq"}
+    if set(df.columns) != expected:
+        raise ValueError(
+            f"tombstone sidecar at {tdir} has columns {df.columns}, "
+            f"expected {sorted(expected)} — was the table's key set "
+            "changed between merges?"
+        )
+    return df
 
 
-def _record_tombstones(df, path: str) -> None:
-    """Append winning tombstones (key cols + ``__seq``) to the sidecar.
-    Appended AFTER the rewrite commits: a crash in between only loses
-    the floor for that batch, and a replay of the same batch re-applies
-    the delete (row already gone) and re-records it — self-healing."""
-    if df.isEmpty():
+def _record_tombstones(rows, key_cols: "list[str]", spark, path: str) -> None:
+    """Append winning tombstones (COLLECTED (key…, seq) tuples — they
+    are computed before the rewrite retires the files their lineage
+    reads, and are bounded by the batch's winning deletes) to the
+    sidecar, then compact it once it fragments.  Written AFTER the
+    rewrite commits: recording first would floor updates for a delete
+    that never landed; a crash in between only loses this batch's
+    floor, and a replay re-applies the delete and re-records it —
+    self-healing."""
+    if not rows:
         return
+    tdir = os.path.join(path, TOMBSTONES_DIR)
+    df = spark.createDataFrame(rows, [*key_cols, "__seq"])
     (
-        df.write.format("olive")
+        df.coalesce(1).write.format("olive")
         .option("table", "tombstones")
+        .option("snapshotMaxEntries", "64")
         .mode("append")
-        .save(os.path.join(path, TOMBSTONES_DIR))
+        .save(tdir)
     )
+    # keep the sidecar bounded for long-lived streams: past the
+    # threshold, rewrite it as one file of per-key maxima.  The new
+    # file is appended FIRST (maxima semantics make old files a
+    # harmless superset during the overlap), then the old files drop —
+    # crash-safe without a manifest.
+    files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(tdir) for f in fs if f.endswith(".olive")
+    )
+    if len(files) > 64:
+        from pyspark.sql import functions as F
+
+        maxima = (
+            spark.read.format("olive").load(tdir)
+            .groupBy(*key_cols).agg(F.max("__seq").alias("__seq"))
+        )
+        (
+            maxima.coalesce(1).write.format("olive")
+            .option("table", "tombstones")
+            .option("snapshotMaxEntries", "64")
+            .mode("append")
+            .save(tdir)
+        )
+        for f in files:  # the pre-compaction fragments only
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
 
 
 def clear_tombstones(path: str) -> int:
@@ -697,27 +745,29 @@ def merge_upsert(
             )
             .drop("__max_seq")
         )
-        if delete_col is not None:
-            # TOMBSTONE RETENTION: a winning delete removes the row, so
-            # its sequence vanishes from the table — without a retained
-            # floor, an out-of-order update REPLAYED IN A LATER BATCH
-            # would look brand-new and resurrect the key (found by the
-            # batch-boundary property test).  Retained tombstone maxima
-            # prune such updates exactly like stored rows do; a genuine
-            # later update (seq above the tombstone) still resurrects.
-            tomb = _read_tombstones(spark, path, key_cols)
-            if tomb is not None:
-                tmax = tomb.groupBy(*key_cols).agg(
-                    F.max("__seq").alias("__tomb_seq")
+        # TOMBSTONE RETENTION: a winning delete removes the row, so its
+        # sequence vanishes from the table — without a retained floor,
+        # an out-of-order update REPLAYED IN A LATER BATCH would look
+        # brand-new and resurrect the key (found by the batch-boundary
+        # property test).  Retained tombstone maxima prune such updates
+        # exactly like stored rows do; a genuine later update (seq
+        # above the tombstone) still resurrects.  The floor applies to
+        # EVERY sequenced merge once the sidecar exists — not only to
+        # batches that carry delete_col themselves, or a delete-free
+        # replay batch would slip past it (fourth-review finding).
+        tomb = _read_tombstones(spark, path, key_cols)
+        if tomb is not None:
+            tmax = tomb.groupBy(*key_cols).agg(
+                F.max("__seq").alias("__tomb_seq")
+            )
+            src = (
+                src.join(tmax, key_cols, "left")
+                .filter(
+                    F.col("__tomb_seq").isNull()
+                    | (F.col(latest_by) > F.col("__tomb_seq"))
                 )
-                src = (
-                    src.join(tmax, key_cols, "left")
-                    .filter(
-                        F.col("__tomb_seq").isNull()
-                        | (F.col(latest_by) > F.col("__tomb_seq"))
-                    )
-                    .drop("__tomb_seq")
-                )
+                .drop("__tomb_seq")
+            )
     hits = slim.join(src.select(*key_cols), key_cols, "left_semi")
     affected = sorted(
         r[0] for r in hits.select(fc).distinct().collect()
@@ -731,48 +781,61 @@ def merge_upsert(
         # lands; an entirely-shrunk batch is a clean no-op, not an
         # empty commit.
         ins = src
+        tomb_rows: list = []
+        persisted = None
         if delete_col is not None:
-            ins = src.filter(~F.col("__del")).drop("__del")
+            # one materialization of the pruned batch (persist — the
+            # lineage re-runs the stored-max + floor joins otherwise),
+            # splitting inserts from tombstones-to-retain (collected:
+            # bounded by the batch's tombstones)
+            persisted = src.persist()
             if latest_by is not None:
-                # even with nothing to delete, the tombstone's sequence
-                # must floor future out-of-order updates for its key
-                _record_tombstones(
-                    src.filter(F.col("__del"))
-                    .select(*key_cols, F.col(latest_by).alias("__seq")),
-                    path,
-                )
-        n_insert = (
-            ins.count()
-            if latest_by is not None or delete_col is not None
-            else n_src
-        )
-        if n_insert == 0:
+                # even with nothing to delete, the tombstone's
+                # sequence must floor future out-of-order updates
+                tomb_rows = [
+                    tuple(r)
+                    for r in persisted.filter(F.col("__del"))
+                    .select(*key_cols, F.col(latest_by).alias("__seq"))
+                    .collect()
+                ]
+            ins = persisted.filter(~F.col("__del")).drop("__del")
+            n_insert = ins.count()
+        else:
+            n_insert = src.count() if latest_by is not None else n_src
+        try:
+            if n_insert == 0:
+                _record_tombstones(tomb_rows, key_cols, spark, path)
+                return {
+                    "files_rewritten": 0,
+                    "files_added": 0,
+                    "rows_after_in_rewritten": 0,
+                    "inserted_only": True,
+                    "version": pre_version,
+                    "pre_version": pre_version,
+                }
+            n_before = len(_list_chunk_files(path))
+            part_cols = _detect_partition_cols(path)
+            if part_cols:
+                # co-locate keys so the partitioned append emits
+                # bounded files per col=value dir, not one per
+                # (task, value)
+                ins = ins.repartition(*part_cols)
+            iw = ins.write.format("olive").option("table", table)
+            if part_cols:  # inserts land inside their col=value dirs
+                iw = iw.option("partitionBy", ",".join(part_cols))
+            iw.mode("append").save(path)
+            _record_tombstones(tomb_rows, key_cols, spark, path)
             return {
                 "files_rewritten": 0,
-                "files_added": 0,
-                "rows_after_in_rewritten": 0,
+                "files_added": len(_list_chunk_files(path)) - n_before,
+                "rows_after_in_rewritten": n_insert,
                 "inserted_only": True,
-                "version": pre_version,
+                "version": current_version(path),
                 "pre_version": pre_version,
             }
-        n_before = len(_list_chunk_files(path))
-        part_cols = _detect_partition_cols(path)
-        if part_cols:
-            # co-locate keys so the partitioned append emits bounded
-            # files per col=value dir, not one per (task, value)
-            ins = ins.repartition(*part_cols)
-        iw = ins.write.format("olive").option("table", table)
-        if part_cols:  # inserts land inside their col=value dirs too
-            iw = iw.option("partitionBy", ",".join(part_cols))
-        iw.mode("append").save(path)
-        return {
-            "files_rewritten": 0,
-            "files_added": len(_list_chunk_files(path)) - n_before,
-            "rows_after_in_rewritten": n_insert,
-            "inserted_only": True,
-            "version": current_version(path),
-            "pre_version": pre_version,
-        }
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
     # phase 2: rewrite only the affected files
     tagged = (
         spark.read.format("olive")
@@ -830,6 +893,14 @@ def merge_upsert(
     part_cols = _detect_partition_cols(path)
     try:
         rows = merged.count()
+        tomb_rows = []
+        if new_tombs is not None:
+            # COLLECT before the swap: the lineage scans the affected
+            # originals, which the swap is about to retire — a lazy
+            # plan executed afterwards would re-read a different table
+            # (fourth-review finding).  Bounded by the batch's winning
+            # deletes; recorded only after the rewrite lands.
+            tomb_rows = [tuple(r) for r in new_tombs.collect()]
         n_files = max(1, math.ceil(rows / target_rows))
         run = uuid.uuid4().hex[:8]
         finals = _rewrite_and_swap(
@@ -838,8 +909,7 @@ def merge_upsert(
             retain_history=retain_history, prefix="merge",
             partition_by=part_cols,
         )
-        if new_tombs is not None:
-            _record_tombstones(new_tombs, path)
+        _record_tombstones(tomb_rows, key_cols, spark, path)
     finally:
         merged.unpersist()
     return {

@@ -294,6 +294,7 @@ def stream_upsert_available_now(
     checkpoint: str,
     table: str = "data",
     latest_by: "str | None" = None,
+    delete_col: "str | None" = None,
 ) -> int:
     """Drain a (capped) stream into a target table via per-microbatch
     MERGE, in bounded availableNow epochs; returns the number of runs
@@ -305,7 +306,8 @@ def stream_upsert_available_now(
         return (
             sdf.writeStream.foreachBatch(
                 foreach_batch_upsert(
-                    target_path, key_cols, table=table, latest_by=latest_by
+                    target_path, key_cols, table=table, latest_by=latest_by,
+                    delete_col=delete_col,
                 )
             )
             .option("checkpointLocation", checkpoint)

@@ -763,3 +763,41 @@ def test_merge_cdc_model_random_histories(spark, tmp_path):
             got = {r["k"]: (r["seq"], r["val"])
                    for r in spark.read.format("olive").load(path).collect()}
             assert got == model, (seed, step, op, got, model)
+
+
+def test_tombstone_floor_applies_to_delete_free_merges(spark, tmp_path):
+    """Fourth-review finding: once a key is deleted (floor retained),
+    a later sequenced merge WITHOUT delete_col carrying a stale update
+    must still be pruned — gating the floor on the current batch's
+    delete_col would let any delete-free replay batch resurrect the
+    key.  A genuinely newer update still lands."""
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(k, 5, f"b{k}") for k in range(4)], ["k", "seq", "val"]
+    ).write.format("olive").mode("append").save(path)
+
+    merge_upsert(
+        spark, path,
+        spark.createDataFrame([(1, 10, "x", True)],
+                              "k long, seq long, val string, _d boolean"),
+        ["k"], latest_by="seq", delete_col="_d",
+    )
+    # stale update in a delete-free batch: must NOT resurrect
+    merge_upsert(
+        spark, path,
+        spark.createDataFrame([(1, 7, "stale")], ["k", "seq", "val"]),
+        ["k"], latest_by="seq",
+    )
+    ks = {r["k"] for r in spark.read.format("olive").load(path).collect()}
+    assert 1 not in ks
+    # genuinely newer update in a delete-free batch: resurrects
+    merge_upsert(
+        spark, path,
+        spark.createDataFrame([(1, 11, "fresh")], ["k", "seq", "val"]),
+        ["k"], latest_by="seq",
+    )
+    got = {r["k"]: (r["seq"], r["val"])
+           for r in spark.read.format("olive").load(path).collect()}
+    assert got[1] == (11, "fresh")
