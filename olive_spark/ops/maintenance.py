@@ -429,6 +429,7 @@ def _recover_pending(path: str) -> dict:
 
 
 TOMBSTONES_DIR = "_olive_tombstones"
+_TOMBSTONE_COMPACT_THRESHOLD = 64  # sidecar fragments before rewrite
 
 
 def _read_tombstones(spark, path: str, key_cols: "list[str]"):
@@ -486,7 +487,7 @@ def _record_tombstones(rows, key_cols: "list[str]", spark, path: str) -> None:
         os.path.join(r, f)
         for r, _, fs in os.walk(tdir) for f in fs if f.endswith(".olive")
     )
-    if len(files) > 64:
+    if len(files) > _TOMBSTONE_COMPACT_THRESHOLD:
         from pyspark.sql import functions as F
 
         maxima = (

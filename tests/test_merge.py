@@ -801,3 +801,37 @@ def test_tombstone_floor_applies_to_delete_free_merges(spark, tmp_path):
     got = {r["k"]: (r["seq"], r["val"])
            for r in spark.read.format("olive").load(path).collect()}
     assert got[1] == (11, "fresh")
+
+
+def test_tombstone_sidecar_compacts_and_floors_survive(spark, tmp_path, monkeypatch):
+    """The sidecar must stay bounded for long-lived streams: past the
+    fragment threshold it rewrites into per-key maxima — and every
+    floor must survive the compaction (a lost floor = resurrection)."""
+    import glob as g
+
+    from olive_spark.ops import maintenance
+    from olive_spark.ops.maintenance import merge_upsert
+
+    monkeypatch.setattr(maintenance, "_TOMBSTONE_COMPACT_THRESHOLD", 3)
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(k, 0, f"b{k}") for k in range(8)], ["k", "seq", "val"]
+    ).write.format("olive").mode("append").save(path)
+
+    for i, k in enumerate((0, 1, 2, 3, 4, 5)):  # six delete batches
+        merge_upsert(
+            spark, path,
+            spark.createDataFrame([(k, 10 + i, "x", True)],
+                                  "k long, seq long, val string, _d boolean"),
+            ["k"], latest_by="seq", delete_col="_d",
+        )
+    tdir = os.path.join(path, "_olive_tombstones")
+    frags = g.glob(os.path.join(tdir, "**", "*.olive"), recursive=True)
+    assert len(frags) <= 4, frags  # compacted, not 6 fragments
+    # every floor survives: stale updates for all six keys stay dead
+    stale = spark.createDataFrame(
+        [(k, 9, "stale") for k in range(6)], ["k", "seq", "val"]
+    )
+    merge_upsert(spark, path, stale, ["k"], latest_by="seq")
+    ks = sorted(r["k"] for r in spark.read.format("olive").load(path).collect())
+    assert ks == [6, 7], ks
