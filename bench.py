@@ -82,6 +82,7 @@ HEADLINE = [
     "llm_similarity_ivf_persisted",  # r8: ANN from persisted index
     "scan_merge_partitioned",      # r8: hive layout survives MERGE
     "stream_merge_upsert",         # r8: streaming CDC latest-wins MERGE
+    "scan_merge_cdc_tombstones",   # r8: sequenced WHEN-MATCHED-DELETE
 ]
 
 

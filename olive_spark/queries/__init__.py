@@ -59,7 +59,7 @@ _RAW: dict[str, tuple] = {
 # registry entries.  Round-8 rotation (VERDICT r7 task #8): cumulative
 # coverage is complete (every registry query has appeared in some
 # driver CORRECTNESS window, r2–r7), so the window now leads with the
-# 5 r8-new queries (never driver-checked; local driver_check MATCH /
+# 9 r8-new queries (never driver-checked; local driver_check MATCH /
 # rows-only-sane), re-checks the 10 r7-new queries that have appeared
 # exactly once, keeps the regression canary, and fills to 50 with the
 # longest-unchecked entries — the r04/r05-era windows, last checked 3-4
@@ -72,6 +72,7 @@ _ORDER = [
     "scan_after_merge_upsert",     # r8: MERGE INTO copy-on-write parity
     "scan_merge_time_travel",      # r8: pre-merge snapshot still exact
     "scan_merge_partitioned",      # r8: hive layout survives MERGE/DELETE
+    "scan_merge_cdc_tombstones",   # r8: sequenced WHEN-MATCHED-DELETE
     "mm_decode_png_real",          # r8: real PNG decode, exact oracle
     "mm_audio_wav_real",           # r8: real WAV decode, exact oracle
     "llm_similarity_ivf_persisted",  # r8: ANN from a persisted index (rows-only)

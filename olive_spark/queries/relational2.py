@@ -762,6 +762,89 @@ SQL_MERGE_PARTITIONED = (
 )
 
 
+def _ensure_orders_cdc_tomb(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) a CDC table exercising sequenced
+    tombstones: base = each customer's latest EVEN-orderkey order; one
+    merge_upsert(latest_by=o_orderkey, delete_col) applies every
+    ODD-orderkey order as a change, with customers ≡0 (mod 5) flagged
+    as tombstones.  Per customer the max-orderkey change wins — an
+    upsert replaces, a winning tombstone deletes — all reconstructable
+    in plain SQL over the base orders view."""
+    import os as _os
+
+    from olive_spark.datasource import register_olive
+    from olive_spark.ops.maintenance import merge_upsert
+
+    register_olive(spark)
+    out = _os.path.join(data.ensure_olive(sf), "orders_cdc_tomb")
+    marker = _os.path.join(out, "_CDC_OK")
+    if _os.path.exists(marker):
+        return out
+    if _os.path.exists(out):
+        import shutil as _shutil
+
+        _shutil.rmtree(out)
+    from pyspark.sql.window import Window as W
+
+    cols = ["o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = data.load(spark, sf, "orders", columns=cols)
+    base = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    base.write.format("olive").option("table", "data").mode("append").save(out)
+    batch = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "_deleted", F.col("o_custkey") % 5 == 0
+    )
+    merge_upsert(spark, out, batch, ["o_custkey"],
+                 latest_by="o_orderkey", delete_col="_deleted")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def scan_merge_cdc_tombstones(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequenced-tombstone CDC parity (merge_upsert latest_by +
+    delete_col): per customer, the max-orderkey change wins — upserts
+    replace, winning tombstones delete the key.  The oracle replays
+    the same resolution as one window over the base orders view, so a
+    tombstone that failed to delete, deleted the wrong row, or leaked
+    into the table as data hash-mismatches."""
+    path = _ensure_orders_cdc_tomb(spark, sf)
+    df = spark.read.format("olive").load(path)
+    return df.select(
+        "o_custkey", "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast(D).alias("price"),
+    )
+
+
+SQL_MERGE_CDC_TOMB = (
+    "WITH base AS ("
+    "SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, FALSE AS del, "
+    "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn "
+    "FROM orders WHERE o_orderkey % 2 = 0), "
+    "changes AS ("
+    "SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, "
+    "o_custkey % 5 = 0 AS del FROM orders WHERE o_orderkey % 2 = 1), "
+    "allc AS ("
+    "SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, del "
+    "FROM base WHERE rn = 1 "
+    "UNION ALL SELECT * FROM changes), "
+    "w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderkey DESC) AS rn FROM allc) "
+    "SELECT o_custkey, o_orderkey, o_orderstatus, "
+    "CAST(o_totalprice AS DECIMAL(18,2)) AS price "
+    "FROM w WHERE rn = 1 AND NOT del"
+)
+
+
 def scan_after_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """Post-MERGE state parity: aggregate the orders_merged table after
     upsert (v2) + delete (v3) — the oracle recomputes the same state
@@ -832,6 +915,7 @@ QUERIES: dict[str, tuple] = {
     "scan_after_merge_upsert": (scan_after_merge_upsert, SQL_AFTER_MERGE),
     "scan_merge_time_travel": (scan_merge_time_travel, SQL_MERGE_TIME_TRAVEL),
     "scan_merge_partitioned": (scan_merge_partitioned, SQL_MERGE_PARTITIONED),
+    "scan_merge_cdc_tombstones": (scan_merge_cdc_tombstones, SQL_MERGE_CDC_TOMB),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),
     "join_interval_overlap": (join_interval_overlap, SQL_INTERVAL_JOIN),
     "reshape_unpivot": (reshape_unpivot, SQL_UNPIVOT),
