@@ -83,6 +83,7 @@ HEADLINE = [
     "scan_merge_partitioned",      # r8: hive layout survives MERGE
     "stream_merge_upsert",         # r8: streaming CDC latest-wins MERGE
     "scan_merge_cdc_tombstones",   # r8: sequenced WHEN-MATCHED-DELETE
+    "scan_merge_conditional_evolve",  # r8: WHEN-MATCHED-AND + schema evolution
 ]
 
 

@@ -1523,9 +1523,27 @@ class OliveDataSource(DataSource):
             files = _list_chunk_files(self.options["path"])
         merge = str(self.options.get("mergeschema", self.options.get(
             "mergeSchema", "false"))).lower() == "true"
-        headers = files if merge else files[:1]
         names: list[str] = []
         types: dict[str, Any] = {}
+        # the schema sidecar (written by schema-evolving MERGE) is the
+        # directory-level authority: without it a first-file header read
+        # silently drops columns only newer files carry.  Seeded first so
+        # its order wins; mergeSchema=true still unions any extra header
+        # columns on top.  Snapshot (time-travel) reads also use it —
+        # latest-schema-wins, pre-evolution files null-fill (_cast_to).
+        from olive_spark.format.table_schema import read_table_schema
+
+        side = read_table_schema(
+            self.options["path"], self.options.get("table")
+        )
+        if side is not None:
+            for n, tj in zip(*side):
+                if n not in types:
+                    names.append(n)
+                    types[n] = tj
+        headers = (
+            files if merge else ([] if side is not None else files[:1])
+        )
         for fp in headers:
             header, _ = _read_header_bytes(fp)
             th = _pick_table(header, self.options.get("table"))

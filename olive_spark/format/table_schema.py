@@ -1,0 +1,130 @@
+"""Table-schema sidecar: the directory-level schema authority for
+evolved olive tables.
+
+The olive format is self-describing per FILE (every chunk header carries
+its own field names/types — reference src/header.zig:131-134), but the
+reference has no DIRECTORY concept, so "the table's schema" after a
+schema-evolving mutation is undefined there.  Without an authority, a
+directory scan derives the schema from the FIRST listed file
+(olive_datasource.OliveDataSource.schema), which silently drops columns
+that only newer files carry — the exact failure mode
+``merge_upsert(evolve_schema=True)`` must not have.
+
+``_olive_schema.json`` fixes that: one plan-time GET that pins the
+table's current column set and order.  It is written ONLY by
+schema-evolving operations (atomic tmp+rename, single-writer contract —
+same as the snapshot log); when present it wins over the first-file
+header, and ``mergeSchema=true`` unions any extra header columns on top
+of it.  Older files simply null-fill the columns they predate
+(olive_datasource._cast_to), so no rewrite of untouched data is ever
+needed — the same latest-schema-wins model Delta/Iceberg use for
+add-column evolution, minus their per-version schema history (time
+travel here reads old snapshots THROUGH the current schema; documented
+in merge_upsert).
+
+At 100 TB this matters twice over: evolution is O(1) in table size (no
+data rewrite, one small JSON write), and plan time stays one GET instead
+of a header read per file (the mergeSchema fallback) — the same
+object-store argument as the stats manifest (format/manifest.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from olive_spark.format.errors import ValidationError
+
+SCHEMA_SIDECAR = "_olive_schema.json"
+_SIDECAR_VERSION = 1
+
+
+def sidecar_path(path: str) -> str:
+    return os.path.join(path, SCHEMA_SIDECAR)
+
+
+def read_table_schema(path: str, table: "str | None"):
+    """Return ``(field_names, field_types_json)`` for ``table`` from the
+    sidecar, or ``None`` when the directory has no sidecar or the
+    sidecar does not cover ``table`` (multi-table chunks evolve
+    per-table).  ``table=None`` mirrors the scan default (single-table
+    directories): it resolves only when the sidecar has exactly one
+    entry, else falls back to the header path (which raises the
+    set-a-table error for multi-table chunks).  A sidecar that exists
+    but cannot be parsed raises loudly — silently falling back to the
+    first-file header would reintroduce the dropped-column hole the
+    sidecar exists to close."""
+    p = sidecar_path(path)
+    try:
+        with open(p, "rb") as f:
+            raw = f.read()
+    except FileNotFoundError:
+        return None
+    except OSError as e:
+        raise ValidationError(f"unreadable schema sidecar {p}: {e}")
+    try:
+        doc = json.loads(raw)
+        tables = doc["tables"]
+        if table is None:
+            if len(tables) != 1:
+                return None
+            entry = next(iter(tables.values()))
+        else:
+            entry = tables.get(table)
+        if entry is None:
+            return None
+        names = entry["fnames"]
+        types = entry["ftypes"]
+        if (
+            not isinstance(names, list)
+            or not isinstance(types, list)
+            or len(names) != len(types)
+            or not all(isinstance(n, str) and n for n in names)
+        ):
+            raise KeyError("malformed table entry")
+        return list(names), list(types)
+    except (KeyError, TypeError, ValueError) as e:
+        raise ValidationError(f"corrupt schema sidecar {p}: {e}")
+
+
+def write_table_schema(
+    path: str, table: str, field_names: list, field_types: list
+) -> None:
+    """Record ``table``'s current schema in the sidecar (atomic
+    tmp+rename; other tables' entries are preserved).  Caller holds the
+    single-writer contract."""
+    if len(field_names) != len(field_types):
+        raise ValidationError("field name/type count mismatch")
+    p = sidecar_path(path)
+    doc: dict = {"version": _SIDECAR_VERSION, "tables": {}}
+    try:
+        with open(p, "rb") as f:
+            old = json.loads(f.read())
+        if isinstance(old.get("tables"), dict):
+            doc["tables"] = old["tables"]
+    except FileNotFoundError:
+        pass
+    except (OSError, ValueError, TypeError):
+        # a corrupt sidecar is replaced wholesale — the new write IS
+        # the current truth for this table, and read_table_schema
+        # already failed loudly for everyone in between
+        pass
+    doc["tables"][table] = {
+        "fnames": list(field_names),
+        "ftypes": list(field_types),
+    }
+    blob = json.dumps(doc, separators=(",", ":")).encode()
+    fd, tmp = tempfile.mkstemp(dir=path, prefix=".schema-", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(blob)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise

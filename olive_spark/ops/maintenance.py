@@ -16,9 +16,11 @@ file (write to a sibling temp dir, then rename into place).
 
 from __future__ import annotations
 
+import functools
 import glob
 import json
 import math
+import operator
 import os
 import shutil
 import uuid
@@ -523,6 +525,22 @@ def clear_tombstones(path: str) -> int:
     return n
 
 
+def _update_schema_sidecar(path: str, table: str, sample_file: str) -> None:
+    """Point the directory's schema authority at the evolved column set,
+    read back from a just-written file's header — authoritative by
+    construction (the writer already validated and ordered it), no
+    second Spark→olive type mapping to drift."""
+    from olive_spark.datasource.olive_datasource import (
+        _pick_table,
+        _read_header_bytes,
+    )
+    from olive_spark.format.table_schema import write_table_schema
+
+    header, _ = _read_header_bytes(sample_file)
+    th = _pick_table(header, table)
+    write_table_schema(path, th.name, th.field_names, th.field_types)
+
+
 def merge_upsert(
     spark,
     path: str,
@@ -533,6 +551,8 @@ def merge_upsert(
     target_rows: int = 1 << 20,
     latest_by: "str | None" = None,
     delete_col: "str | None" = None,
+    update_condition: "str | None" = None,
+    evolve_schema: bool = False,
 ) -> dict:
     """``MERGE INTO`` (upsert) on a snapshot-logged olive table: rows of
     ``source`` whose ``key_cols`` match an existing row REPLACE it; the
@@ -582,6 +602,34 @@ def merge_upsert(
     Tombstones accumulate one slim row per winning delete;
     :func:`clear_tombstones` drops them once the upstream feed's
     low-watermark guarantees no older change can still arrive.
+
+    ``update_condition`` is the ``WHEN MATCHED AND <cond> THEN UPDATE``
+    leg: a SQL boolean expression over the aliases ``t`` (the existing
+    row) and ``s`` (the source row), e.g. ``"s.price > t.price"``.
+    Matched target rows where it holds are replaced; where it is false
+    or NULL the target row is KEPT and that source row is dropped (it
+    was matched, so it must not insert).  Unmatched source rows still
+    insert unconditionally.  Per-ROW semantics: with (legal) duplicate
+    target keys each duplicate is judged against the source row
+    independently — replaced duplicates collapse into the one source
+    row, kept duplicates survive beside it.  Mutually exclusive with
+    ``latest_by``/``delete_col`` (sequence resolution IS the condition
+    there).  File discovery stays key-based, so a file whose matched
+    rows all fail the condition is rewritten byte-identical — correct,
+    just unpruned; evaluating ``t``-referencing conditions at discovery
+    time would need the full rows the slim scan exists to avoid.
+
+    ``evolve_schema=True`` is add-column schema evolution: source
+    columns beyond the table's schema become NEW table columns
+    (appended in source order) instead of raising.  O(1) in table size —
+    untouched files are NOT rewritten; they null-fill the new columns at
+    read time (datasource._cast_to), and the directory's schema
+    authority moves to the ``_olive_schema.json`` sidecar
+    (format/table_schema.py) so a default scan sees the evolved column
+    set no matter which file it planned from.  Latest-schema-wins, like
+    Delta/Iceberg add-column: time travel to pre-evolution snapshots
+    reads old data THROUGH the current schema (new columns all-NULL)
+    rather than replaying per-version schemas.
 
     100 TB shape: phase 1 discovers affected files with a key-column-
     pruned scan (``columns`` option: only the keys and the provenance
@@ -642,14 +690,29 @@ def merge_upsert(
             )
         if not isinstance(source.schema[delete_col].dataType, BooleanType):
             raise ValueError(f"delete_col {delete_col!r} must be boolean")
+    if update_condition is not None:
+        if latest_by is not None or delete_col is not None:
+            raise ValueError(
+                "update_condition is mutually exclusive with latest_by/"
+                "delete_col — sequenced CDC resolves matches by "
+                "sequence, not by predicate"
+            )
+        if not isinstance(update_condition, str) or not update_condition.strip():
+            raise ValueError("update_condition must be a non-empty SQL string")
     surplus = [
         c for c in source.columns if c not in cols and c != delete_col
     ]
-    if surplus:
+    new_cols: list = []
+    if surplus and not evolve_schema:
         raise ValueError(
             f"source carries columns not in the table: {surplus} — "
-            "drop them (or evolve the table schema) explicitly"
+            "drop them, or pass evolve_schema=True to add them"
         )
+    if evolve_schema and surplus:
+        bad = [c for c in surplus if c.startswith("_olive")]
+        if bad:
+            raise ValueError(f"reserved column names: {bad}")
+        new_cols = [c for c in source.columns if c in set(surplus)]
     # types must match EXACTLY: a silent cast under non-ANSI defaults
     # turns an incompatible value into NULL, replacing matched rows
     # with corrupt data — the caller casts deliberately or not at all
@@ -665,7 +728,8 @@ def merge_upsert(
         )
     if latest_by is not None and latest_by not in cols:
         raise ValueError(f"latest_by column {latest_by!r} not in table")
-    sel = [F.col(c) for c in cols]  # table column order
+    all_cols = [*cols, *new_cols]  # evolved table column order
+    sel = [F.col(c) for c in all_cols]
     if delete_col is not None:
         sel.append(
             F.coalesce(F.col(delete_col), F.lit(False)).alias("__del")
@@ -814,7 +878,7 @@ def merge_upsert(
                     "version": pre_version,
                     "pre_version": pre_version,
                 }
-            n_before = len(_list_chunk_files(path))
+            before_files = set(_list_chunk_files(path))
             part_cols = _detect_partition_cols(path)
             if part_cols:
                 # co-locate keys so the partitioned append emits
@@ -825,10 +889,15 @@ def merge_upsert(
             if part_cols:  # inserts land inside their col=value dirs
                 iw = iw.option("partitionBy", ",".join(part_cols))
             iw.mode("append").save(path)
+            added = [
+                f for f in _list_chunk_files(path) if f not in before_files
+            ]
+            if new_cols and added:
+                _update_schema_sidecar(path, table, added[0])
             _record_tombstones(tomb_rows, key_cols, spark, path)
             return {
                 "files_rewritten": 0,
-                "files_added": len(_list_chunk_files(path)) - n_before,
+                "files_added": len(added),
                 "rows_after_in_rewritten": n_insert,
                 "inserted_only": True,
                 "version": current_version(path),
@@ -845,8 +914,45 @@ def merge_upsert(
         .load(path)
     )
     existing = tagged.filter(F.col(fc).isin(affected)).drop(fc)
+    for c in new_cols:
+        # evolution: pre-evolution rows in rewritten files get NULL for
+        # the new columns (untouched files null-fill at read instead)
+        existing = existing.withColumn(
+            c, F.lit(None).cast(src.schema[c].dataType)
+        )
     new_tombs = None
-    if latest_by is None:
+    if update_condition is not None:
+        # WHEN MATCHED AND <cond> THEN UPDATE, judged per target row.
+        # Split first so the pair join touches only matched rows; the
+        # condition sees the full (t, s) pair — exactly Delta's
+        # whenMatchedUpdate(condition=...) surface.
+        skeys = src.select(*key_cols)
+        unmatched_t = existing.join(skeys, key_cols, "left_anti")
+        matched_t = existing.join(skeys, key_cols, "left_semi")
+        on = functools.reduce(
+            operator.and_,
+            [F.col(f"t.{k}") == F.col(f"s.{k}") for k in key_cols],
+        )
+        pairs = matched_t.alias("t").join(src.alias("s"), on, "inner")
+        holds = F.coalesce(F.expr(update_condition), F.lit(False))
+        kept_t = pairs.filter(~holds).select(
+            *[F.col(f"t.{c}").alias(c) for c in all_cols]
+        )
+        replaced_keys = (
+            pairs.filter(holds)
+            .select(*[F.col(f"t.{k}").alias(k) for k in key_cols])
+            .distinct()
+        )
+        # a matched source row lands iff it replaced >= 1 target row;
+        # unmatched source rows are the WHEN NOT MATCHED inserts
+        # (affected files contain every matched key, so anti-joining
+        # `existing`'s keys is exact)
+        inserts = src.join(existing.select(*key_cols), key_cols, "left_anti")
+        src_landing = src.join(
+            replaced_keys, key_cols, "left_semi"
+        ).unionByName(inserts)
+        merged = unmatched_t.unionByName(kept_t).unionByName(src_landing)
+    elif latest_by is None:
         # matched keys vanish via the anti-join; only non-tombstone
         # source rows come back (a matched tombstone = WHEN MATCHED
         # THEN DELETE)
@@ -910,6 +1016,10 @@ def merge_upsert(
             retain_history=retain_history, prefix="merge",
             partition_by=part_cols,
         )
+        if new_cols and finals:
+            _update_schema_sidecar(
+                path, table, os.path.join(path, finals[0])
+            )
         _record_tombstones(tomb_rows, key_cols, spark, path)
     finally:
         merged.unpersist()

@@ -430,11 +430,21 @@ def build_ivf_index(
     )
     import uuid
 
+    # drift baseline: mean vector-to-assigned-centroid cosine, measured
+    # on the PERSISTED lists (read-back doubles as a write check).  One
+    # extra aggregate over data this build already wrote; ivf_index_drift
+    # compares tonight's lists against it to decide when frozen
+    # centroids have degraded enough to re-train.
+    train_tightness, _, _ = _assignment_tightness(
+        spark.read.format("olive").load(os.path.join(index_dir, "assignments")),
+        cents_df, vec_col,
+    )
     meta = {
         "n_centroids": int(n_centroids),
         "vec_col": vec_col,
         "id_col": id_col,
         "corpus_version": corpus_version,
+        "train_tightness": train_tightness,
         # fresh nonce per build: content-keys the centroid memo (and any
         # future cached artifact) — mtime would alias rebuilds within
         # one filesystem time quantum
@@ -509,6 +519,102 @@ def append_ivf_index(
     _write_meta(index_dir, meta)
     os.remove(pending)
     return meta
+
+
+def _assignment_tightness(assigned: DataFrame, cents_df: DataFrame, vec_col: str):
+    """Mean cosine of each vector to its ASSIGNED centroid, plus the
+    per-bucket breakdown (tiny: one row per centroid).  The quantization
+    statistic IVF recall tracks — computed JVM-side (cosine_expr over a
+    broadcast centroid join), one pass, no Python in the loop."""
+    j = assigned.join(
+        F.broadcast(cents_df),
+        assigned["bucket"] == cents_df["centroid_id"],
+    )
+    per_bucket = (
+        j.groupBy("bucket")
+        .agg(
+            F.avg(
+                cosine_expr(F.col(vec_col), F.col("centroid_vec"))
+            ).alias("tightness"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    total = sum(r["n"] for r in per_bucket)
+    if total == 0:
+        return None, [], 0
+    overall = sum(r["tightness"] * r["n"] for r in per_bucket) / total
+    return float(overall), per_bucket, int(total)
+
+
+def ivf_index_drift(
+    spark, index_dir: str, rebuild_threshold: float = 0.05
+) -> dict:
+    """Centroid-drift gauge for a persisted IVF index: how much worse
+    the frozen centroids quantize TODAY's inverted lists than they did
+    the corpus they were trained on.
+
+    :func:`build_ivf_index` records the build-time mean
+    vector-to-assigned-centroid cosine (``train_tightness``) in the
+    meta; appends assign new vectors to the frozen centroids
+    (:func:`append_ivf_index`), so as the ingest distribution shifts,
+    the current mean drops below the baseline.  ``drift`` = train −
+    current (cosine units); ``rebuild_recommended`` fires when it
+    exceeds ``rebuild_threshold`` (default 0.05 — at cosines ≈0.7-0.9 a
+    0.05 mean drop is a large recall regression in practice; tune per
+    corpus).  Also reports the WORST bucket — drift usually
+    concentrates where new content lands, and one collapsed bucket can
+    hide inside a healthy mean.
+
+    One aggregate pass over the assignments table (bucket-partitioned
+    scan + broadcast centroid join, no shuffle of vectors) — at 100 TB
+    this is the cheap nightly health check that decides when to pay for
+    a :func:`build_ivf_index` re-train; nothing here mutates the index.
+
+    Returns {train_tightness, current_tightness, drift,
+    rebuild_recommended, n_rows, worst_bucket: {bucket, tightness, n}}.
+    Raises if the index predates drift tracking (no recorded baseline —
+    rebuild once to record it)."""
+    import json
+    import os
+
+    from olive_spark.datasource import register_olive
+
+    register_olive(spark)
+    with open(os.path.join(index_dir, _IVF_META)) as f:
+        meta = json.load(f)
+    train = meta.get("train_tightness")
+    if train is None:
+        raise ValueError(
+            f"IVF index at {index_dir} has no train_tightness baseline "
+            "(built before drift tracking) — rebuild with build_ivf_index "
+            "to record it"
+        )
+    cents_df = spark.read.format("olive").load(
+        os.path.join(index_dir, "centroids")
+    )
+    assigned = spark.read.format("olive").load(
+        os.path.join(index_dir, "assignments")
+    )
+    current, per_bucket, n_rows = _assignment_tightness(
+        assigned, cents_df, meta["vec_col"]
+    )
+    if current is None:
+        raise ValueError(f"IVF index at {index_dir} has no assignments")
+    worst = min(per_bucket, key=lambda r: r["tightness"])
+    drift = float(train) - current
+    return {
+        "train_tightness": float(train),
+        "current_tightness": current,
+        "drift": drift,
+        "rebuild_recommended": drift > rebuild_threshold,
+        "n_rows": n_rows,
+        "worst_bucket": {
+            "bucket": int(worst["bucket"]),
+            "tightness": float(worst["tightness"]),
+            "n": int(worst["n"]),
+        },
+    }
 
 
 def ivf_topk_indexed(

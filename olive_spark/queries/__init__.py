@@ -77,6 +77,7 @@ _ORDER = [
     "mm_audio_wav_real",           # r8: real WAV decode, exact oracle
     "llm_similarity_ivf_persisted",  # r8: ANN from a persisted index (rows-only)
     "stream_merge_upsert",         # r8: streaming CDC latest-wins MERGE
+    "scan_merge_conditional_evolve",  # r8: WHEN-MATCHED-AND + add-column evolution
     # --- r7-new, driver-checked exactly once (r07) ---
     "llm_pack_sequences_sharded",  # r7: partition-wise packing
     "llm_decontaminate_ngram",     # r7: GPT-3-style n-gram overlap

@@ -879,6 +879,108 @@ SQL_AFTER_MERGE = (
 )
 
 
+def _ensure_orders_merged_cond(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) a table exercising CONDITIONAL merge plus
+    ADD-COLUMN schema evolution in one commit:
+
+      v1  base: orders (o_orderkey, o_custkey, o_totalprice)
+      v2  merge_upsert(update_condition="s.o_totalprice > t.o_totalprice",
+          evolve_schema=True) with a source of
+            updates: every %3==0 order, price shifted +500 for even
+                     custkeys (condition HOLDS -> replace) and -500 for
+                     odd ones (condition fails -> target KEPT, source
+                     row dropped), plus a NEW o_priority column
+            inserts: %3==1, custkey%10==7 orders re-keyed +900M
+                     (unmatched -> insert regardless of condition)
+
+    Post-state is a pure function of the base orders view, so the
+    DuckDB oracle replays the WHEN MATCHED AND leg as a LEFT JOIN CASE;
+    kept/untouched rows must read the evolved o_priority column as NULL
+    (schema sidecar + read-time null-fill, format/table_schema.py)."""
+    import os as _os
+
+    from olive_spark.datasource import register_olive
+    from olive_spark.ops.maintenance import merge_upsert
+
+    register_olive(spark)
+    out = _os.path.join(data.ensure_olive(sf), "orders_merged_cond")
+    marker = _os.path.join(out, "_MERGE_OK")
+    if _os.path.exists(marker):
+        return out
+    if _os.path.exists(out):
+        import shutil as _shutil
+
+        _shutil.rmtree(out)
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    base = data.load(spark, sf, "orders", columns=cols)
+    base.write.format("olive").option("table", "orders_merged_cond") \
+        .mode("append").save(out)
+    updates = base.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") + F.when(
+            F.col("o_custkey") % 2 == 0, F.lit(500.0)
+        ).otherwise(F.lit(-500.0))).alias("o_totalprice"),
+        (F.col("o_orderkey") % 5).cast("int").alias("o_priority"),
+    )
+    inserts = base.filter(
+        (F.col("o_orderkey") % 3 == 1) & (F.col("o_custkey") % 10 == 7)
+    ).select(
+        (F.col("o_orderkey") + F.lit(900_000_000)).alias("o_orderkey"),
+        "o_custkey", "o_totalprice",
+        F.lit(-1).cast("int").alias("o_priority"),
+    )
+    merge_upsert(
+        spark, out, updates.unionByName(inserts), key_cols=["o_orderkey"],
+        table="orders_merged_cond",
+        update_condition="s.o_totalprice > t.o_totalprice",
+        evolve_schema=True,
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def scan_merge_conditional_evolve(spark: SparkSession, sf: str) -> DataFrame:
+    """WHEN-MATCHED-AND conditional merge + add-column evolution parity:
+    group the post-merge table by the EVOLVED column — updates carry
+    their o_priority, kept/untouched rows read it as NULL through the
+    schema sidecar, inserts carry -1.  A merge that replaced a
+    condition-failing row, inserted a matched-but-kept source row, or a
+    sidecar/null-fill bug that misread the evolved column all
+    hash-mismatch against the oracle's LEFT-JOIN-CASE replay."""
+    path = _ensure_orders_merged_cond(spark, sf)
+    df = spark.read.format("olive") \
+        .option("table", "orders_merged_cond").load(path)
+    return df.groupBy("o_priority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(D)).cast(D).alias("sum_price"),
+        F.sum("o_orderkey").alias("sum_keys"),
+    )
+
+
+SQL_MERGE_COND_EVOLVE = (
+    "WITH upd AS ("
+    "SELECT o_orderkey, "
+    "o_totalprice + CASE WHEN o_custkey % 2 = 0 THEN 500.0 ELSE -500.0 END "
+    "AS o_totalprice, CAST(o_orderkey % 5 AS INT) AS o_priority "
+    "FROM orders WHERE o_orderkey % 3 = 0), "
+    "merged AS ("
+    "SELECT t.o_orderkey, "
+    "CASE WHEN u.o_totalprice > t.o_totalprice THEN u.o_totalprice "
+    "ELSE t.o_totalprice END AS o_totalprice, "
+    "CASE WHEN u.o_totalprice > t.o_totalprice THEN u.o_priority "
+    "ELSE NULL END AS o_priority "
+    "FROM orders t LEFT JOIN upd u USING (o_orderkey) "
+    "UNION ALL "
+    "SELECT o_orderkey + 900000000, o_totalprice, CAST(-1 AS INT) "
+    "FROM orders WHERE o_orderkey % 3 = 1 AND o_custkey % 10 = 7) "
+    "SELECT o_priority, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys "
+    "FROM merged GROUP BY o_priority"
+)
+
+
 def scan_merge_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     """Pre-MERGE snapshot parity: after the copy-on-write merge (v2)
     and delete (v3), ``.option("snapshot", "1")`` must reproduce the
@@ -914,6 +1016,9 @@ QUERIES: dict[str, tuple] = {
     "scan_time_travel": (scan_time_travel, SQL_TIME_TRAVEL),
     "scan_after_merge_upsert": (scan_after_merge_upsert, SQL_AFTER_MERGE),
     "scan_merge_time_travel": (scan_merge_time_travel, SQL_MERGE_TIME_TRAVEL),
+    "scan_merge_conditional_evolve": (
+        scan_merge_conditional_evolve, SQL_MERGE_COND_EVOLVE,
+    ),
     "scan_merge_partitioned": (scan_merge_partitioned, SQL_MERGE_PARTITIONED),
     "scan_merge_cdc_tombstones": (scan_merge_cdc_tombstones, SQL_MERGE_CDC_TOMB),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),

@@ -835,3 +835,118 @@ def test_tombstone_sidecar_compacts_and_floors_survive(spark, tmp_path, monkeypa
     merge_upsert(spark, path, stale, ["k"], latest_by="seq")
     ks = sorted(r["k"] for r in spark.read.format("olive").load(path).collect())
     assert ks == [6, 7], ks
+
+
+def test_merge_update_condition_per_row(spark, tmp_path):
+    """WHEN MATCHED AND <cond> THEN UPDATE: matched rows replace only
+    where the t/s predicate holds; matched-but-false source rows are
+    DROPPED (matched rows never insert); unmatched rows insert."""
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=100, files=2)  # (k, v=k*10, grp=k%7)
+    # source: keys 90..109; v = 1500 — for matched keys the condition
+    # s.v > t.v holds only when 1500 > k*10, i.e. k < 150 (all matched
+    # keys) ... use a mixed threshold instead: v = k*10 for even k
+    # (never greater -> keep target), 9999 for odd k (replace)
+    src = spark.range(90, 110).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 2 = 0 THEN id * 10 ELSE 9999 END AS v",
+        "cast(55 as int) AS grp",
+    )
+    out = merge_upsert(
+        spark, path, src, ["k"], update_condition="s.v > t.v"
+    )
+    assert out["inserted_only"] is False
+    got = _rows(spark.read.format("olive").load(path))
+    expected = sorted(
+        [(k, k * 10, k % 7) for k in range(0, 100) if k % 2 == 0]      # kept (matched, cond false) + untouched
+        + [(k, k * 10, k % 7) for k in range(0, 90) if k % 2 == 1]     # untouched odds below 90
+        + [(k, 9999, 55) for k in range(90, 100) if k % 2 == 1]        # replaced
+        + [(k, k * 10 if k % 2 == 0 else 9999, 55) for k in range(100, 110)]  # inserts (unmatched, land regardless)
+    )
+    assert got == expected
+
+
+def test_merge_update_condition_null_keeps_target_and_excludes_cdc(spark, tmp_path):
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=20, files=1)
+    src = spark.range(5).selectExpr(
+        "id AS k", "cast(NULL as bigint) AS v", "cast(1 as int) AS grp"
+    )
+    # s.v is NULL -> condition NULL -> keep target (SQL WHEN MATCHED AND)
+    merge_upsert(spark, path, src, ["k"], update_condition="s.v > t.v")
+    got = _rows(spark.read.format("olive").load(path))
+    assert got == sorted((k, k * 10, k % 7) for k in range(20))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        merge_upsert(spark, path, src, ["k"],
+                     update_condition="s.v > t.v", latest_by="v")
+    with pytest.raises(ValueError, match="non-empty"):
+        merge_upsert(spark, path, src, ["k"], update_condition="  ")
+
+
+def test_merge_evolve_schema_adds_column(spark, tmp_path):
+    """evolve_schema=True: surplus source columns become table columns;
+    untouched files are NOT rewritten and null-fill on read; the schema
+    sidecar makes the DEFAULT scan see the union regardless of file
+    listing order."""
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=100, files=4)
+    src = spark.range(96, 104).selectExpr(
+        "id AS k", "id * 100 AS v", "cast(9 as int) AS grp",
+        "concat('tag', id) AS label",
+    )
+    out = merge_upsert(spark, path, src, ["k"], evolve_schema=True)
+    assert 1 <= out["files_rewritten"] < 4  # copy-on-write held
+    df = spark.read.format("olive").load(path)  # default scan, no mergeSchema
+    assert df.columns == ["k", "v", "grp", "label"]
+    rows = {r["k"]: (r["v"], r["grp"], r["label"]) for r in df.collect()}
+    assert rows[0] == (0, 0, None)              # untouched file, null-filled
+    assert rows[100] == (10000, 9, "tag100")    # insert carries the new col
+    assert rows[96] == (9600, 9, "tag96")       # update carries the new col
+    # column pruning + filters still work on the evolved column
+    sub = (
+        spark.read.format("olive").option("columns", "k,label").load(path)
+        .filter("label = 'tag97'")
+    )
+    assert [tuple(r) for r in sub.collect()] == [(97, "tag97")]
+
+
+def test_merge_evolve_pure_insert_and_time_travel(spark, tmp_path):
+    """Insert-only evolution still records the sidecar; time travel to
+    the pre-evolution snapshot reads old data THROUGH the new schema
+    (new column all-NULL) — latest-schema-wins."""
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=10, files=1)
+    src = spark.range(100, 103).selectExpr(
+        "id AS k", "id AS v", "cast(1 as int) AS grp", "id * 2 AS w"
+    )
+    out = merge_upsert(spark, path, src, ["k"], evolve_schema=True)
+    assert out["inserted_only"] is True
+    df = spark.read.format("olive").load(path)
+    assert df.columns == ["k", "v", "grp", "w"]
+    assert df.filter("w IS NOT NULL").count() == 3
+    old = spark.read.format("olive").option("snapshot", "1").load(path)
+    assert old.columns == ["k", "v", "grp", "w"]
+    assert old.count() == 10 and old.filter("w IS NOT NULL").count() == 0
+
+
+def test_merge_without_evolve_still_rejects_surplus(spark, tmp_path):
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=10, files=1)
+    src = spark.range(3).selectExpr(
+        "id AS k", "id AS v", "cast(1 as int) AS grp", "id AS extra"
+    )
+    with pytest.raises(ValueError, match="evolve_schema"):
+        merge_upsert(spark, path, src, ["k"])
+    with pytest.raises(ValueError, match="reserved"):
+        bad = src.withColumnRenamed("extra", "_olive_x")
+        merge_upsert(spark, path, bad, ["k"], evolve_schema=True)

@@ -235,3 +235,71 @@ def test_ivf_append_crash_window_refuses_serving(spark, tmp_path):
     assert similarity.ivf_topk_indexed(
         spark, idx, queries, k=5, expect_corpus_version=2
     ).count() > 0
+
+
+def test_ivf_index_drift_gauge(spark, tmp_path):
+    """ivf_index_drift: fresh index reports ~zero drift; appending a
+    shifted distribution (each vector orthogonalized against its best
+    frozen centroid — its assigned-centroid cosine provably drops to at
+    most its former SECOND-best) lowers the mean and trips
+    rebuild_recommended at a threshold below the measured drift; an
+    index without a recorded baseline refuses loudly."""
+    import json
+    import os
+
+    import numpy as np
+    import pytest
+
+    from olive_spark.ops import similarity
+    from olive_spark.queries import data
+
+    corpus = data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(spark, corpus, idx, corpus_version=1)
+    d0 = similarity.ivf_index_drift(spark, idx)
+    assert abs(d0["drift"]) < 1e-9 and d0["rebuild_recommended"] is False
+    assert d0["n_rows"] == corpus.count()
+    assert -1.0 <= d0["worst_bucket"]["tightness"] <= d0["current_tightness"]
+
+    cents = sorted(
+        ((r["centroid_id"], np.array(r["centroid_vec"], dtype=float))
+         for r in spark.read.format("olive")
+         .load(os.path.join(idx, "centroids")).collect()),
+        key=lambda t: t[0],
+    )
+    cmat = np.array([v for _, v in cents])
+    cmat = cmat / np.maximum(
+        np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300
+    )
+    shifted_rows = []
+    for r in corpus.collect():
+        v = np.array(r["embedding"], dtype=float)
+        nv = v / max(np.linalg.norm(v), 1e-300)
+        best = cmat[(cmat @ nv).argmax()]
+        w = v - (v @ best) * best  # kill the assigned-centroid component
+        if np.linalg.norm(w) < 1e-9:
+            w = np.roll(best, 1) - best * (np.roll(best, 1) @ best)
+        shifted_rows.append(
+            (int(r["vec_id"]) + 1_000_000, [float(x) for x in w])
+        )
+    shifted = spark.createDataFrame(
+        shifted_rows, "vec_id bigint, embedding array<double>"
+    )
+    similarity.append_ivf_index(spark, shifted, idx, corpus_version=2)
+    d1 = similarity.ivf_index_drift(spark, idx)
+    assert d1["current_tightness"] < d1["train_tightness"]
+    assert d1["drift"] > 1e-6
+    assert d1["n_rows"] == 2 * d0["n_rows"]
+    d2 = similarity.ivf_index_drift(
+        spark, idx, rebuild_threshold=d1["drift"] / 2
+    )
+    assert d2["rebuild_recommended"] is True
+
+    meta_p = os.path.join(idx, "_ivf_meta.json")
+    with open(meta_p) as f:
+        meta = json.load(f)
+    meta.pop("train_tightness")
+    with open(meta_p, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="no train_tightness baseline"):
+        similarity.ivf_index_drift(spark, idx)
