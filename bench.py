@@ -84,6 +84,7 @@ HEADLINE = [
     "stream_merge_upsert",         # r8: streaming CDC latest-wins MERGE
     "scan_merge_cdc_tombstones",   # r8: sequenced WHEN-MATCHED-DELETE
     "scan_merge_conditional_evolve",  # r8: WHEN-MATCHED-AND + schema evolution
+    "scan_changes_feed",           # r8: snapshot-diff change data feed
 ]
 
 

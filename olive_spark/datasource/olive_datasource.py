@@ -57,6 +57,11 @@ Options:
                      prune whole directories on =/IN pushed filters
                      (partition columns stay in the data, the dir name is
                      a pruning index)
+    files            comma-separated snapshot-relative chunk names →
+                     scan exactly these files (resolved live-then-
+                     _olive_history/).  The snapshot-DIFF primitive:
+                     ops.changes.read_changes scans only the files two
+                     versions disagree on.  Exclusive with ``snapshot``
 """
 
 from __future__ import annotations
@@ -361,11 +366,27 @@ class OliveReader(DataSourceReader):
             self.min_partitions = min(8, cpus)
         snap = options.get("snapshot")
         self.snapshot = int(snap) if snap is not None else None
+        fl = options.get("files")
+        self.files_opt = (
+            [n.strip() for n in fl.split(",") if n.strip()]
+            if fl is not None else None
+        )
+        if self.files_opt is not None and not self.files_opt:
+            raise ValueError("olive: 'files' option must list >=1 file")
+        if self.files_opt is not None and self.snapshot is not None:
+            raise ValueError("olive: 'files' and 'snapshot' are exclusive")
         self.file_column = options.get("filecolumn", options.get("fileColumn"))
         self.predicates: list[tuple[str, str, Any]] = []
 
     def partitions(self) -> Sequence[OliveInputPartition]:
-        if self.snapshot is not None:
+        if self.files_opt is not None:
+            # explicit file-set scan (snapshot-relative names, resolved
+            # live-then-history): the snapshot-DIFF primitive — change
+            # feeds read exactly the files two versions disagree on
+            from olive_spark.format.snapshots import resolve_paths
+
+            files = resolve_paths(self.path, self.files_opt)
+        elif self.snapshot is not None:
             # time travel: scan the file list the snapshot log recorded
             # at that version (live dir, else _olive_history); missing
             # files fail loud — never a silently partial table
@@ -1514,7 +1535,15 @@ class OliveDataSource(DataSource):
         from pyspark.sql.types import StructField
 
         snap = self.options.get("snapshot")
-        if snap is not None:
+        fl = self.options.get("files")
+        if fl is not None:
+            from olive_spark.format.snapshots import resolve_paths
+
+            files = resolve_paths(
+                self.options["path"],
+                [n.strip() for n in fl.split(",") if n.strip()],
+            )
+        elif snap is not None:
             from olive_spark.format.snapshots import files_at, resolve_paths
 
             path = self.options["path"]
@@ -1591,6 +1620,15 @@ class OliveDataSource(DataSource):
                     fn.endswith(".olive") for _, _, fs in os.walk(path) for fn in fs
                 ) else []:
                     os.remove(f)
+                # the schema sidecar describes the files just wiped; a
+                # stale one would pin the OLD column set and make every
+                # post-overwrite default scan null-fill silently
+                from olive_spark.format.table_schema import sidecar_path
+
+                try:
+                    os.remove(sidecar_path(path))
+                except OSError:
+                    pass
         return OliveWriter(dict(self.options), schema, overwrite)
 
 

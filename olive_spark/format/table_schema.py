@@ -59,7 +59,10 @@ def read_table_schema(path: str, table: "str | None"):
     try:
         with open(p, "rb") as f:
             raw = f.read()
-    except FileNotFoundError:
+    except (FileNotFoundError, NotADirectoryError):
+        # no sidecar — including the single-FILE scan mode, where
+        # ``path`` is a chunk file and path/_olive_schema.json is not
+        # a thing that could exist
         return None
     except OSError as e:
         raise ValidationError(f"unreadable schema sidecar {p}: {e}")
@@ -101,15 +104,21 @@ def write_table_schema(
     try:
         with open(p, "rb") as f:
             old = json.loads(f.read())
-        if isinstance(old.get("tables"), dict):
-            doc["tables"] = old["tables"]
+        if not isinstance(old.get("tables"), dict):
+            raise ValueError("missing tables map")
+        doc["tables"] = old["tables"]
     except FileNotFoundError:
         pass
-    except (OSError, ValueError, TypeError):
-        # a corrupt sidecar is replaced wholesale — the new write IS
-        # the current truth for this table, and read_table_schema
-        # already failed loudly for everyone in between
-        pass
+    except (OSError, ValueError, TypeError) as e:
+        # replacing a corrupt sidecar wholesale would silently DROP the
+        # other tables' evolution entries in a multi-table directory —
+        # their reads would then succeed via the first-file-header
+        # fallback with evolved columns missing.  Fail loud; deleting
+        # the sidecar is an explicit operator decision.
+        raise ValidationError(
+            f"corrupt schema sidecar {p}: {e} — delete it explicitly "
+            "to reset (other tables' evolved schemas live in it too)"
+        )
     doc["tables"][table] = {
         "fnames": list(field_names),
         "ftypes": list(field_types),

@@ -525,6 +525,45 @@ def clear_tombstones(path: str) -> int:
     return n
 
 
+def _seed_evolved_sidecar(path, table, src_schema, new_cols) -> None:
+    """Record the evolved column set in the sidecar BEFORE any evolved
+    data lands.  Crash ordering: sidecar-first means a crash between
+    sidecar and data leaves a declared column that no file carries yet —
+    every read null-fills it, visibly and harmlessly.  Data-first would
+    leave committed evolved files whose new column silently VANISHES
+    from any scan that plans off an older file's header — the exact
+    hole the sidecar exists to close (and _recover_pending, which only
+    finishes file swaps, could not repair it).  Types for the new
+    columns come from the Arrow mapping of the source schema; the
+    post-write :func:`_update_schema_sidecar` reconciles them against
+    the actually-written header (authoritative, idempotent)."""
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from olive_spark.datasource.olive_datasource import (
+        _list_chunk_files,
+        _pick_table,
+        _read_header_bytes,
+    )
+    from olive_spark.format.table_schema import (
+        read_table_schema,
+        write_table_schema,
+    )
+    from olive_spark.format.types import type_to_json
+
+    side = read_table_schema(path, table)
+    if side is not None:
+        names, types = side
+    else:
+        header, _ = _read_header_bytes(_list_chunk_files(path)[0])
+        th = _pick_table(header, table)
+        names, types = list(th.field_names), list(th.field_types)
+    for c in new_cols:
+        if c not in names:
+            names.append(c)
+            types.append(type_to_json(to_arrow_type(src_schema[c].dataType)))
+    write_table_schema(path, table, names, types)
+
+
 def _update_schema_sidecar(path: str, table: str, sample_file: str) -> None:
     """Point the directory's schema authority at the evolved column set,
     read back from a just-written file's header — authoritative by
@@ -709,10 +748,17 @@ def merge_upsert(
             "drop them, or pass evolve_schema=True to add them"
         )
     if evolve_schema and surplus:
-        bad = [c for c in surplus if c.startswith("_olive")]
+        # "__"-prefixed names are the merge machinery's own working
+        # namespace (__del/__src/__rn/__seq…): evolving one in would
+        # collide with a LATER merge's internal aliases and die with an
+        # ambiguous-column AnalysisException mid-operation
+        bad = [
+            c for c in surplus
+            if c.startswith("_olive") or c.startswith("__")
+        ]
         if bad:
             raise ValueError(f"reserved column names: {bad}")
-        new_cols = [c for c in source.columns if c in set(surplus)]
+        new_cols = list(surplus)  # already in source-column order
     # types must match EXACTLY: a silent cast under non-ANSI defaults
     # turns an incompatible value into NULL, replacing matched rows
     # with corrupt data — the caller casts deliberately or not at all
@@ -888,6 +934,8 @@ def merge_upsert(
             iw = ins.write.format("olive").option("table", table)
             if part_cols:  # inserts land inside their col=value dirs
                 iw = iw.option("partitionBy", ",".join(part_cols))
+            if new_cols:  # sidecar BEFORE data: see _seed_evolved_sidecar
+                _seed_evolved_sidecar(path, table, src.schema, new_cols)
             iw.mode("append").save(path)
             added = [
                 f for f in _list_chunk_files(path) if f not in before_files
@@ -1010,6 +1058,8 @@ def merge_upsert(
             tomb_rows = [tuple(r) for r in new_tombs.collect()]
         n_files = max(1, math.ceil(rows / target_rows))
         run = uuid.uuid4().hex[:8]
+        if new_cols:  # sidecar BEFORE data: see _seed_evolved_sidecar
+            _seed_evolved_sidecar(path, table, src.schema, new_cols)
         finals = _rewrite_and_swap(
             _shape_for_write(merged, n_files, part_cols), path, affected, run,
             table=table, target_rows=target_rows,

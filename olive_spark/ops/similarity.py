@@ -47,14 +47,23 @@ def batch_matrix(col) -> "np.ndarray":  # noqa: F821
     return np.asarray(col.to_pylist(), dtype=np.float64)
 
 
-def cosine_expr(a, b):
-    """cos(a, b) as a JVM expression over two array columns (double math)."""
+def cosine_expr(a, b, zero_as: "float | None" = None):
+    """cos(a, b) as a JVM expression over two array columns (double math).
+
+    ``zero_as``: value to yield when either vector has zero norm —
+    required wherever a corpus may contain dead/padding vectors, because
+    the raw division raises DIVIDE_BY_ZERO under Spark's ANSI default
+    (and yields NULL otherwise, silently mis-weighting averages).  The
+    default (None) keeps the raw division for callers whose inputs are
+    known non-degenerate and whose oracles expect plain `/` semantics."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
     dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda s, x: s + x * x))
     nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda s, x: s + x * x))
-    return dot / (na * nb)
+    if zero_as is None:
+        return dot / (na * nb)
+    return F.coalesce(F.try_divide(dot, na * nb), F.lit(float(zero_as)))
 
 
 def cosine_range(
@@ -408,6 +417,20 @@ def build_ivf_index(
     from olive_spark.datasource import register_olive
 
     register_olive(spark)
+    # rebuild crash window: assignments/centroids are overwritten BELOW
+    # but the meta (with its fresh build_id + version) lands LAST — a
+    # crash in between would leave new lists under the OLD meta, whose
+    # version check PASSES against a stale expectation and whose
+    # build_id-keyed centroid memo can serve stale centroids against
+    # the new lists.  The pending marker (which ivf_topk_indexed and
+    # ivf_index_drift refuse to read through) covers the whole rebuild;
+    # it is removed only after the meta is committed.
+    import json as _json
+
+    pending = os.path.join(index_dir, _IVF_PENDING)
+    os.makedirs(index_dir, exist_ok=True)
+    with open(pending, "w") as f:
+        f.write(_json.dumps({"op": "rebuild", "to_version": corpus_version}))
     cents_rows, c_assigned = _ivf_train_assign(
         corpus.select(id_col, vec_col), n_centroids, vec_col, id_col
     )
@@ -451,9 +474,10 @@ def build_ivf_index(
         "build_id": uuid.uuid4().hex,
     }
     _write_meta(index_dir, meta)
-    # a full rebuild supersedes any interrupted incremental append
+    # the meta is committed: clear the rebuild marker (which also
+    # supersedes any interrupted incremental append's marker)
     try:
-        os.remove(os.path.join(index_dir, _IVF_PENDING))
+        os.remove(pending)
     except FileNotFoundError:
         pass
     return meta
@@ -496,6 +520,13 @@ def append_ivf_index(
     from olive_spark.datasource import register_olive
 
     register_olive(spark)
+    pending = os.path.join(index_dir, _IVF_PENDING)
+    if os.path.exists(pending):
+        raise ValueError(
+            f"IVF index at {index_dir} has an interrupted append/rebuild "
+            "(_ivf_append.pending) — appending onto it would extend "
+            "inconsistent lists; rebuild with build_ivf_index"
+        )
     with open(os.path.join(index_dir, _IVF_META)) as f:
         meta = json.load(f)
     cents_rows = _load_centroids(
@@ -505,7 +536,6 @@ def append_ivf_index(
         new_rows.select(meta["id_col"], meta["vec_col"]), cents_rows,
         meta["vec_col"],
     )
-    pending = os.path.join(index_dir, _IVF_PENDING)
     with open(pending, "w") as f:
         f.write(json.dumps({"to_version": corpus_version}))
     (
@@ -533,8 +563,13 @@ def _assignment_tightness(assigned: DataFrame, cents_df: DataFrame, vec_col: str
     per_bucket = (
         j.groupBy("bucket")
         .agg(
+            # zero_as=0.0: a dead/padding vector scores 0 to its
+            # centroid — same treatment _centroid_buckets gives it at
+            # assignment time; the raw division would raise
+            # DIVIDE_BY_ZERO under the ANSI default mid-build
             F.avg(
-                cosine_expr(F.col(vec_col), F.col("centroid_vec"))
+                cosine_expr(F.col(vec_col), F.col("centroid_vec"),
+                            zero_as=0.0)
             ).alias("tightness"),
             F.count("*").alias("n"),
         )
@@ -581,6 +616,13 @@ def ivf_index_drift(
     from olive_spark.datasource import register_olive
 
     register_olive(spark)
+    if os.path.exists(os.path.join(index_dir, _IVF_PENDING)):
+        raise ValueError(
+            f"IVF index at {index_dir} has an interrupted append/rebuild "
+            "(_ivf_append.pending): a drift gauge over half-written "
+            "lists would report health for a corrupt-window index — "
+            "rebuild with build_ivf_index"
+        )
     with open(os.path.join(index_dir, _IVF_META)) as f:
         meta = json.load(f)
     train = meta.get("train_tightness")
@@ -641,9 +683,9 @@ def ivf_topk_indexed(
     register_olive(spark)
     if os.path.exists(os.path.join(index_dir, _IVF_PENDING)):
         raise ValueError(
-            f"IVF index at {index_dir} has an interrupted append "
-            "(_ivf_append.pending): its lists may be extended beyond "
-            "the recorded corpus version — rebuild with build_ivf_index"
+            f"IVF index at {index_dir} has an interrupted append/rebuild "
+            "(_ivf_append.pending): its lists may not match the recorded "
+            "meta — rebuild with build_ivf_index"
         )
     with open(os.path.join(index_dir, _IVF_META)) as f:
         meta = json.load(f)

@@ -78,6 +78,7 @@ _ORDER = [
     "llm_similarity_ivf_persisted",  # r8: ANN from a persisted index (rows-only)
     "stream_merge_upsert",         # r8: streaming CDC latest-wins MERGE
     "scan_merge_conditional_evolve",  # r8: WHEN-MATCHED-AND + add-column evolution
+    "scan_changes_feed",           # r8: CDF — net row changes between snapshots
     # --- r7-new, driver-checked exactly once (r07) ---
     "llm_pack_sequences_sharded",  # r7: partition-wise packing
     "llm_decontaminate_ngram",     # r7: GPT-3-style n-gram overlap

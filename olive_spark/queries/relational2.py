@@ -1007,6 +1007,56 @@ SQL_MERGE_TIME_TRAVEL = (
 )
 
 
+def scan_changes_feed(spark: SparkSession, sf: str) -> DataFrame:
+    """Change-data-feed parity (ops.changes.read_changes): the NET
+    row-level changes between the orders_merged table's base version
+    and its post-merge/post-delete head, labeled insert / delete /
+    update_pre+postimage by key membership.  The oracle recomputes the
+    same feed as two EXCEPT ALL multiset differences between the
+    reconstructed post-state and the base view — a diff that leaked a
+    moved-but-identical row, dropped a delete, or mislabeled an update
+    hash-mismatches.  Snapshot-diff cost is bounded by REWRITTEN files
+    (the reader's `files` option scans only what the versions disagree
+    on), never table size."""
+    from olive_spark.ops.changes import read_changes
+
+    path = _ensure_orders_merged(spark, sf)
+    df = read_changes(
+        spark, path, since=1, table="orders_merged",
+        key_cols=["o_orderkey"],
+    )
+    return df.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").alias("price"), "_change_type",
+    )
+
+
+SQL_CHANGES_FEED = (
+    "WITH src AS ("
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice "
+    "FROM orders WHERE o_custkey % 10 = 0 "
+    "UNION ALL "
+    "SELECT o_orderkey + 900000000, o_custkey, o_orderstatus, o_totalprice * 2 "
+    "FROM orders WHERE o_custkey % 10 = 5), "
+    "post AS ("
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders "
+    "WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src) "
+    "UNION ALL SELECT * FROM src), "
+    "postf AS (SELECT * FROM post WHERE o_orderstatus <> 'P'), "
+    "base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), "
+    "ins AS (SELECT * FROM postf EXCEPT ALL SELECT * FROM base), "
+    "del AS (SELECT * FROM base EXCEPT ALL SELECT * FROM postf), "
+    "upd AS (SELECT o_orderkey FROM ins INTERSECT SELECT o_orderkey FROM del) "
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS price, "
+    "CASE WHEN o_orderkey IN (SELECT o_orderkey FROM upd) "
+    "THEN 'update_postimage' ELSE 'insert' END AS _change_type FROM ins "
+    "UNION ALL "
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS price, "
+    "CASE WHEN o_orderkey IN (SELECT o_orderkey FROM upd) "
+    "THEN 'update_preimage' ELSE 'delete' END AS _change_type FROM del"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "join_lateral_topn": (join_lateral_topn, SQL_JOIN_LATERAL),
     "ts_resample_locf": (ts_resample_locf, SQL_TS_RESAMPLE),
@@ -1019,6 +1069,7 @@ QUERIES: dict[str, tuple] = {
     "scan_merge_conditional_evolve": (
         scan_merge_conditional_evolve, SQL_MERGE_COND_EVOLVE,
     ),
+    "scan_changes_feed": (scan_changes_feed, SQL_CHANGES_FEED),
     "scan_merge_partitioned": (scan_merge_partitioned, SQL_MERGE_PARTITIONED),
     "scan_merge_cdc_tombstones": (scan_merge_cdc_tombstones, SQL_MERGE_CDC_TOMB),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),

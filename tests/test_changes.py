@@ -1,0 +1,176 @@
+"""Change data feed (ops.changes.read_changes): row-level snapshot
+diffs over the snapshot log — inserts/deletes/updates between retained
+versions, with moved-but-identical rows cancelling out."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from olive_spark import register_olive
+
+    register_olive(s)
+    yield s
+
+
+def _mk_table(spark, path, n=200, files=4):
+    df = spark.range(n).selectExpr(
+        "id AS k", "id * 10 AS v", "cast(id % 7 as int) AS grp"
+    )
+    (
+        df.repartition(files).write.format("olive")
+        .option("chunkRows", max(1, n // files)).mode("append").save(path)
+    )
+
+
+def _snapshot_rows(spark, path, version):
+    df = (
+        spark.read.format("olive").option("snapshot", str(version)).load(path)
+    )
+    return Counter(tuple(r) for r in df.collect())
+
+
+def _changes(df):
+    ins = Counter(
+        tuple(r)[:-1] for r in df.collect() if r["_change_type"] in
+        ("insert", "update_postimage")
+    )
+    dels = Counter(
+        tuple(r)[:-1] for r in df.collect() if r["_change_type"] in
+        ("delete", "update_preimage")
+    )
+    return ins, dels
+
+
+def test_read_changes_matches_state_diff(spark, tmp_path):
+    """Net changes between two versions must equal the multiset diff of
+    the two snapshot states — for a history mixing updates, inserts,
+    and a predicate delete."""
+    from olive_spark.ops.changes import read_changes
+    from olive_spark.ops.maintenance import delete_where, merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    src = spark.range(190, 210).selectExpr(
+        "id AS k", "id * 100 AS v", "cast(50 as int) AS grp"
+    )
+    merge_upsert(spark, path, src, ["k"])          # v2
+    delete_where(spark, path, "grp = 3")           # v3
+
+    s1, s3 = _snapshot_rows(spark, path, 1), _snapshot_rows(spark, path, 3)
+    got_ins, got_del = _changes(read_changes(spark, path, since=1))
+    assert got_ins == s3 - s1
+    assert got_del == s1 - s3
+    # intermediate range: only the merge's delta
+    s2 = _snapshot_rows(spark, path, 2)
+    got_ins2, got_del2 = _changes(
+        read_changes(spark, path, since=1, until=2)
+    )
+    assert got_ins2 == s2 - s1 and got_del2 == s1 - s2
+
+
+def test_read_changes_key_labels_updates(spark, tmp_path):
+    from olive_spark.ops.changes import read_changes
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=100, files=2)
+    src = spark.range(95, 105).selectExpr(
+        "id AS k", "id * 100 AS v", "cast(9 as int) AS grp"
+    )
+    merge_upsert(spark, path, src, ["k"])
+    df = read_changes(spark, path, since=1, key_cols=["k"])
+    by_type = Counter(r["_change_type"] for r in df.collect())
+    # keys 95..99 were replaced (pre+post images), 100..104 inserted
+    assert by_type == {
+        "update_preimage": 5, "update_postimage": 5, "insert": 5,
+    }
+    rows = {(r["k"], r["_change_type"]) for r in df.collect()}
+    assert (97, "update_preimage") in rows
+    assert (97, "update_postimage") in rows
+    assert (102, "insert") in rows
+
+
+def test_compaction_yields_empty_change_feed(spark, tmp_path):
+    """Rows that merely MOVE between files (compaction rewrite) must
+    cancel in the multiset diff — a change feed that reports a whole
+    table as churn after compaction is useless."""
+    from olive_spark.format.snapshots import current_version
+    from olive_spark.ops.changes import read_changes
+    from olive_spark.ops.maintenance import compact
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=200, files=4)
+    v0 = current_version(path)
+    compact(spark, path, target_rows=1000, retain_history=True)
+    assert current_version(path) > v0
+    assert read_changes(spark, path, since=v0).count() == 0
+
+
+def test_read_changes_same_version_and_validation(spark, tmp_path):
+    from olive_spark.ops.changes import read_changes
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=20, files=1)
+    df = read_changes(spark, path, since=1, until=1)
+    assert df.count() == 0 and df.columns == ["k", "v", "grp", "_change_type"]
+    with pytest.raises(ValueError, match="must be >="):
+        read_changes(spark, path, since=5, until=1)
+
+
+def test_read_changes_refuses_vacuumed_history(spark, tmp_path):
+    """A diff that cannot resolve a removed file must fail loud, never
+    return a partial feed."""
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops.changes import read_changes
+    from olive_spark.ops.maintenance import merge_upsert, vacuum
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=100, files=2)
+    src = spark.range(5).selectExpr(
+        "id AS k", "id * 100 AS v", "cast(9 as int) AS grp"
+    )
+    merge_upsert(spark, path, src, ["k"], retain_history=False)
+    with pytest.raises(ValidationError, match="not reconstructable"):
+        read_changes(spark, path, since=1).count()
+
+
+def test_files_option_scans_exact_set_and_validates(spark, tmp_path):
+    import glob
+    import os
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=100, files=4)
+    rels = sorted(
+        os.path.relpath(f, path)
+        for f in glob.glob(os.path.join(path, "*.olive"))
+    )
+    counts = {
+        rel: spark.read.format("olive").option("files", rel)
+        .load(path).count()
+        for rel in rels
+    }
+    assert sum(counts.values()) == 100  # the files partition the table
+    two = (
+        spark.read.format("olive")
+        .option("files", ",".join(rels[:2])).load(path)
+    )
+    assert two.count() == counts[rels[0]] + counts[rels[1]]
+    with pytest.raises(Exception, match="exclusive"):
+        (
+            spark.read.format("olive").option("files", rels[0])
+            .option("snapshot", "1").load(path).count()
+        )

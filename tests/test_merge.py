@@ -950,3 +950,93 @@ def test_merge_without_evolve_still_rejects_surplus(spark, tmp_path):
     with pytest.raises(ValueError, match="reserved"):
         bad = src.withColumnRenamed("extra", "_olive_x")
         merge_upsert(spark, path, bad, ["k"], evolve_schema=True)
+
+
+def test_evolve_sidecar_lands_before_data(spark, tmp_path, monkeypatch):
+    """Crash ordering: the evolved schema sidecar must be committed
+    BEFORE the rewrite lands, so a crash in between leaves a declared
+    (null-filled, visible) column — never committed evolved files whose
+    column silently vanishes behind an older file's header."""
+    from olive_spark.ops import maintenance
+    from olive_spark.format.table_schema import read_table_schema
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=50, files=2)
+    src = spark.range(40, 45).selectExpr(
+        "id AS k", "id AS v", "cast(1 as int) AS grp", "id * 3 AS w"
+    )
+
+    def boom(*a, **kw):  # noqa: ANN002, ANN003
+        raise RuntimeError("crash before swap")
+
+    monkeypatch.setattr(maintenance, "_rewrite_and_swap", boom)
+    with pytest.raises(RuntimeError, match="crash before swap"):
+        maintenance.merge_upsert(spark, path, src, ["k"], evolve_schema=True)
+    side = read_table_schema(path, "data")
+    assert side is not None and side[0] == ["k", "v", "grp", "w"]
+    df = spark.read.format("olive").load(path)  # table still readable
+    assert df.columns == ["k", "v", "grp", "w"]
+    assert df.count() == 50 and df.filter("w IS NOT NULL").count() == 0
+
+
+def test_overwrite_drops_stale_schema_sidecar(spark, tmp_path):
+    """mode('overwrite') must not leave the old evolved schema pinned:
+    a stale sidecar would make every post-overwrite default scan show
+    the OLD columns, all NULL."""
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=20, files=1)
+    src = spark.range(5).selectExpr(
+        "id AS k", "id AS v", "cast(1 as int) AS grp", "id AS lbl"
+    )
+    merge_upsert(spark, path, src, ["k"], evolve_schema=True)
+    assert spark.read.format("olive").load(path).columns == \
+        ["k", "v", "grp", "lbl"]
+    spark.range(3).selectExpr("id AS a", "id * 2 AS b") \
+        .write.format("olive").mode("overwrite").save(path)
+    df = spark.read.format("olive").load(path)
+    assert df.columns == ["a", "b"]
+    assert df.count() == 3
+
+
+def test_single_file_scan_unaffected_by_sidecar_probe(spark, tmp_path):
+    """Single-FILE loads (path is a chunk file, not a directory) must
+    not die probing path/_olive_schema.json (NotADirectoryError)."""
+    import glob
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=10, files=1)
+    f = glob.glob(os.path.join(path, "*.olive"))[0]
+    df = spark.read.format("olive").load(f)
+    assert df.count() == 10 and df.columns == ["k", "v", "grp"]
+
+
+def test_corrupt_sidecar_fails_loud_on_read_and_write(spark, tmp_path):
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.format.table_schema import (
+        read_table_schema, write_table_schema, sidecar_path,
+    )
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=10, files=1)
+    with open(sidecar_path(path), "w") as f:
+        f.write("{ not json")
+    with pytest.raises(ValidationError, match="corrupt schema sidecar"):
+        read_table_schema(path, "data")
+    # an evolving write must not replace it wholesale (other tables'
+    # entries would be silently dropped) — fail loud instead
+    with pytest.raises(ValidationError, match="delete it explicitly"):
+        write_table_schema(path, "data", ["k"], [{"t": "i64"}])
+
+
+def test_evolve_rejects_merge_internal_namespace(spark, tmp_path):
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=10, files=1)
+    src = spark.range(3).selectExpr(
+        "id AS k", "id AS v", "cast(1 as int) AS grp", "id AS __del"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        merge_upsert(spark, path, src, ["k"], evolve_schema=True)

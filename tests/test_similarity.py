@@ -303,3 +303,37 @@ def test_ivf_index_drift_gauge(spark, tmp_path):
         json.dump(meta, f)
     with pytest.raises(ValueError, match="no train_tightness baseline"):
         similarity.ivf_index_drift(spark, idx)
+
+
+def test_ivf_build_survives_zero_vectors_and_drift_refuses_pending(spark, tmp_path):
+    """A dead/padding (all-zero) vector must not crash the build-time
+    tightness pass (ANSI divide-by-zero) — it scores 0 to its centroid,
+    matching assignment-time treatment; and the drift gauge / append
+    must refuse an index with an interrupted append/rebuild marker."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops import similarity
+    from olive_spark.queries import data
+
+    corpus = data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+    dead = corpus.limit(1).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.0).alias("embedding"),
+    )
+    idx = str(tmp_path / "ivf")
+    meta = similarity.build_ivf_index(
+        spark, corpus.unionByName(dead), idx, corpus_version=1
+    )
+    assert meta["train_tightness"] is not None
+    d0 = similarity.ivf_index_drift(spark, idx)
+    assert d0["n_rows"] == corpus.count() + 1
+
+    with open(os.path.join(idx, "_ivf_append.pending"), "w") as f:
+        f.write("{}")
+    with pytest.raises(ValueError, match="interrupted append/rebuild"):
+        similarity.ivf_index_drift(spark, idx)
+    with pytest.raises(ValueError, match="interrupted append/rebuild"):
+        similarity.append_ivf_index(spark, dead, idx, corpus_version=2)
