@@ -85,6 +85,8 @@ HEADLINE = [
     "scan_merge_cdc_tombstones",   # r8: sequenced WHEN-MATCHED-DELETE
     "scan_merge_conditional_evolve",  # r8: WHEN-MATCHED-AND + schema evolution
     "scan_changes_feed",           # r8: snapshot-diff change data feed
+    "llm_domain_cap",              # r8: skew-safe per-domain quota cap
+    "scan_changes_by_commit",      # r8: per-commit CDF granularity
 ]
 
 

@@ -339,7 +339,14 @@ class OliveReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType) -> None:
         self.path = options.get("path")
         if not self.path:
-            raise ValueError("olive: 'path' is required (use .load(path))")
+            raise ValueError(
+                "olive: 'path' is required (use .load(path)).  If this "
+                "scan came from SQL on a CATALOG table (CREATE TABLE … "
+                "USING olive), note that this Spark version does not "
+                "forward catalog storage options to Python data source "
+                "scans — use CREATE TEMPORARY VIEW t USING olive "
+                "OPTIONS (path '…') instead, which forwards them"
+            )
         self.table = options.get("table")
         cols = options.get("columns")
         self.columns = tuple(c.strip() for c in cols.split(",")) if cols else None
@@ -910,6 +917,35 @@ class OliveWriter(DataSourceArrowWriter):
             added = [self._write_empty_table()]
         self._merge_manifest(messages)
         self._log_snapshot(added)
+        self._sync_schema_sidecar(added)
+
+    def _sync_schema_sidecar(self, added: "list[str]") -> None:
+        # an EVOLVED table's schema authority is the sidecar; a plain
+        # append that carries columns beyond it would otherwise commit
+        # data the sidecar hides from every default scan — the same
+        # silently-dropped-column hole evolution closed.  Only extends
+        # an EXISTING sidecar (no sidecar → first-file-header semantics
+        # are unchanged); types come from a written file's header, the
+        # same authority merge's evolution reconciles against.
+        from olive_spark.format.table_schema import (
+            read_table_schema,
+            write_table_schema,
+        )
+
+        side = read_table_schema(self.path, self.table)
+        if side is None:
+            return
+        names, types = side
+        written = [f.name for f in self.schema.fields]
+        if all(c in names for c in written):
+            return
+        header, _ = _read_header_bytes(added[0])
+        th = _pick_table(header, self.table)
+        for n, tj in zip(th.field_names, th.field_types):
+            if n not in names:
+                names.append(n)
+                types.append(tj)
+        write_table_schema(self.path, th.name, names, types)
 
     def _log_snapshot(self, added: "list[str]") -> None:
         # overwrite wiped prior files before tasks ran — the snapshot
@@ -1525,7 +1561,19 @@ class OliveStreamWriter(DataSourceStreamArrowWriter):
 
 
 class OliveDataSource(DataSource):
-    """spark.read.format("olive") / df.write.format("olive")."""
+    """spark.read.format("olive") / df.write.format("olive"), and the
+    SQL DDL surface: ``CREATE TABLE t USING olive OPTIONS (path '…')``
+    then ``SELECT``/``INSERT INTO`` work on any session with
+    register_olive — catalog DDL hands the location through as a
+    ``file:`` URI, normalized here once for every reader/writer path."""
+
+    def __init__(self, options) -> None:
+        p = options.get("path")
+        if p and p.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            options["path"] = unquote(urlparse(p).path)
+        super().__init__(options)
 
     @classmethod
     def name(cls) -> str:
@@ -1629,6 +1677,15 @@ class OliveDataSource(DataSource):
                     os.remove(sidecar_path(path))
                 except OSError:
                     pass
+                # same staleness class for CDC tombstones: retained
+                # sequence floors from the WIPED table would silently
+                # drop rows from the fresh table's sequenced merges
+                import shutil as _shutil
+
+                _shutil.rmtree(
+                    os.path.join(path, "_olive_tombstones"),
+                    ignore_errors=True,
+                )
         return OliveWriter(dict(self.options), schema, overwrite)
 
 

@@ -92,17 +92,26 @@ def read_changes(
             .load(path)
         )
 
-    full = spark.read.format("olive").option("table", table).load(path)
-    empty = full.limit(0)
     df_add = scan(sorted(f1 - f0))
     df_rem = scan(sorted(f0 - f1))
+    # any side carries the same sidecar-seeded session schema as the
+    # live table; plan the extra full relation ONLY when both sides are
+    # empty (per-relation plan cost is the Python-DS framework tax)
+    some = df_add if df_add is not None else df_rem
+    if some is None:
+        some = spark.read.format("olive").option("table", table).load(path)
+    cols = some.columns
+    reserved = [CHANGE_COL] + (["__upd"] if key_cols else [])
+    clash = [c for c in reserved if c in cols]
+    if clash:
+        raise ValueError(
+            f"table columns collide with change-feed internals: {clash}"
+        )
+    empty = some.limit(0)
     if df_add is None and df_rem is None:
         return empty.withColumn(CHANGE_COL, F.lit("insert")).limit(0)
     df_add = df_add if df_add is not None else empty
     df_rem = df_rem if df_rem is not None else empty
-    cols = full.columns
-    if CHANGE_COL in cols:
-        raise ValueError(f"table already has a {CHANGE_COL} column")
     base_ins = df_add.exceptAll(df_rem)
     base_del = df_rem.exceptAll(df_add)
     if not key_cols:
@@ -134,3 +143,54 @@ def read_changes(
     return label(base_ins, "update_postimage", "insert").unionByName(
         label(base_del, "update_preimage", "delete")
     )
+
+
+def read_changes_by_commit(
+    spark,
+    path: str,
+    since: int,
+    until: "int | None" = None,
+    table: str = "data",
+    key_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Per-COMMIT change feed: like :func:`read_changes`, but each
+    change row carries the ``_commit_version`` that produced it — the
+    granularity an audit trail or downstream CDC replayer needs (the
+    endpoint diff deliberately nets out intermediate churn).
+
+    Built as one endpoint diff per consecutive retained version pair in
+    ``(since, until]``, unioned.  Each pair's cost is bounded by that
+    commit's rewritten files; the union plans two relations per commit,
+    so for ranges spanning MANY commits prefer :func:`read_changes`
+    (net) or window the range.  Versions collapsed out of the log by
+    ``snapshotMaxEntries``/vacuum fail loud in ``files_at``."""
+    from olive_spark.datasource import register_olive
+    from olive_spark.format.snapshots import current_version, load_log
+
+    register_olive(spark)
+    v1 = int(until) if until is not None else current_version(path)
+    v0 = int(since)
+    if v1 < v0:
+        raise ValueError(f"until ({v1}) must be >= since ({v0})")
+    versions = sorted(
+        int(e["v"]) for e in load_log(path)["entries"]
+        if v0 <= int(e["v"]) <= v1
+    )
+    if not versions or versions[0] != v0:
+        # files_at raises the canonical unknown-snapshot error
+        from olive_spark.format.snapshots import files_at
+
+        files_at(path, v0)
+    out = None
+    for prev, cur in zip(versions, versions[1:]):
+        step = read_changes(
+            spark, path, since=prev, until=cur, table=table,
+            key_cols=key_cols,
+        ).withColumn("_commit_version", F.lit(cur))
+        out = step if out is None else out.unionByName(step)
+    if out is None:  # since == until: empty feed with the full schema
+        return (
+            read_changes(spark, path, since=v0, until=v0, table=table)
+            .withColumn("_commit_version", F.lit(v0)).limit(0)
+        )
+    return out

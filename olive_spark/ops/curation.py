@@ -57,6 +57,49 @@ def stratified_sample(
     return df.filter((F.col(key_col) % 100) < rate)
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_col: str,
+    descending: bool = True,
+    tiebreak_col: "str | None" = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Keep at most ``n`` rows per ``group_col`` value, preferring the
+    best ``order_col`` (ties broken by ``tiebreak_col`` ascending for a
+    deterministic, engine-reproducible cut) — the per-domain quota cap
+    every crawl-curation pipeline applies (C4/RefinedWeb cap docs per
+    registered domain so megasites don't dominate the mix).
+
+    Skew-safe by construction: a single ``Window.partitionBy(group)``
+    would serialize a hot domain (10⁸ rows of one site → one task).
+    Instead phase 1 ranks within (group, salt) — ``n_salts`` parallel
+    tasks per group, each keeping its local top-``n`` — and phase 2
+    re-ranks only those ≤ ``n_salts × n`` survivors per group.  Exact:
+    the global top-``n`` of a group is contained in the union of its
+    per-salt top-``n``s.  Two narrow shuffles, output identical to the
+    naive single window (pytest-pinned).
+
+    Requires a non-null ``tiebreak_col`` unique within a group (any
+    stable id) when exactness under ``order_col`` ties matters."""
+    tb = tiebreak_col or order_col
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    salt = F.pmod(F.xxhash64(F.col(tb)), F.lit(n_salts))
+    w1 = Window.partitionBy(F.col(group_col), salt).orderBy(oc, F.col(tb))
+    local = (
+        df.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(oc, F.col(tb))
+    return (
+        local.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
 def words(text_col: str) -> Column:
     """Whitespace tokenization with empty tokens dropped."""
     return F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")

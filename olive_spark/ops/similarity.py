@@ -277,8 +277,12 @@ def _ivf_q_assigned(
     bit-identical probe sets)."""
 
     def nearest_buckets(vec, n):
+        # zero_as=0.0: a zero-norm QUERY vector (or a zero centroid —
+        # hash-bucket leaders are arbitrary corpus rows) must rank
+        # buckets at similarity 0, not raise ANSI DIVIDE_BY_ZERO
         sims = [
-            (cid, cosine_expr(vec, F.array([F.lit(float(x)) for x in cvec])))
+            (cid, cosine_expr(vec, F.array([F.lit(float(x)) for x in cvec]),
+                              zero_as=0.0))
             for cid, cvec in cents_rows
         ]
         arr = F.array(*[
@@ -302,8 +306,12 @@ def _ivf_probe(
     """IVF query phase over a bucketed corpus (freshly assigned or
     loaded from a persisted index): equi-join on bucket with the slim
     probe set broadcast, score only in-bucket candidates, per-query
-    top-k."""
-    sim = F.round(cosine_expr(F.col("query_vec"), F.col(vec_col)), 6)
+    top-k.  zero_as=0.0: the build path admits dead (zero-norm)
+    vectors into the lists — the raw division would turn them into a
+    per-query ANSI DIVIDE_BY_ZERO crash at serve time."""
+    sim = F.round(
+        cosine_expr(F.col("query_vec"), F.col(vec_col), zero_as=0.0), 6
+    )
     scored = (
         c_assigned.join(F.broadcast(q_assigned), "bucket")
         .filter(F.col("query_id") != F.col(id_col))

@@ -699,7 +699,39 @@ SQL_PRETRAIN = (
 )
 
 
+def llm_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain quota cap (curation.cap_per_group): keep the 20
+    longest docs per source, ties broken by doc_id — the C4/RefinedWeb
+    megasite guard.  The Spark side runs the SKEW-SAFE two-phase
+    (salted local top-n, then re-rank survivors); the oracle is the
+    naive single window, so the phases' exactness — not just the row
+    count — is what the hash checks."""
+    df = data.load(
+        spark, sf, "documents", columns=["doc_id", "source", "n_chars"]
+    )
+    kept = curation.cap_per_group(
+        df, "source", 20, "n_chars", descending=True, tiebreak_col="doc_id"
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+SQL_DOMAIN_CAP = (
+    "WITH ranked AS (SELECT doc_id, source, n_chars, "
+    "ROW_NUMBER() OVER (PARTITION BY source "
+    "ORDER BY n_chars DESC, doc_id) AS rn FROM documents) "
+    "SELECT source, COUNT(*) AS n, "
+    "CAST(SUM(doc_id) AS BIGINT) AS sum_ids, "
+    "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+    "FROM ranked WHERE rn <= 20 GROUP BY source"
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "llm_domain_cap": (llm_domain_cap, SQL_DOMAIN_CAP),
     "llm_gopher_rules": (llm_gopher_rules, SQL_GOPHER),
     "llm_chunk_documents": (llm_chunk_documents, SQL_CHUNKS),
     "llm_pretrain_pipeline": (llm_pretrain_pipeline, SQL_PRETRAIN),

@@ -1057,6 +1057,52 @@ SQL_CHANGES_FEED = (
 )
 
 
+def scan_changes_by_commit(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-COMMIT change feed parity (ops.changes.read_changes_by_commit):
+    every change row carries the snapshot version that produced it, so
+    the v2 MERGE churn the net feed cancels against the v3 DELETE stays
+    visible here.  The oracle rebuilds each commit's delta as its own
+    EXCEPT ALL pair over the reconstructed states — a feed that merged
+    commits, mislabeled a version, or leaked intermediate-file rows
+    hash-mismatches."""
+    from olive_spark.ops.changes import read_changes_by_commit
+
+    path = _ensure_orders_merged(spark, sf)
+    df = read_changes_by_commit(spark, path, since=1, table="orders_merged")
+    return df.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+        "_change_type", "_commit_version",
+    )
+
+
+SQL_CHANGES_BY_COMMIT = (
+    "WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), "
+    "src AS ("
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice "
+    "FROM orders WHERE o_custkey % 10 = 0 "
+    "UNION ALL "
+    "SELECT o_orderkey + 900000000, o_custkey, o_orderstatus, o_totalprice * 2 "
+    "FROM orders WHERE o_custkey % 10 = 5), "
+    "post2 AS ("
+    "SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src) "
+    "UNION ALL SELECT * FROM src), "
+    "post3 AS (SELECT * FROM post2 WHERE NOT (o_orderstatus = 'P')) "
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS price, "
+    "'insert' AS _change_type, CAST(2 AS INT) AS _commit_version "
+    "FROM (SELECT * FROM post2 EXCEPT ALL SELECT * FROM base) "
+    "UNION ALL "
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'delete', CAST(2 AS INT) "
+    "FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM post2) "
+    "UNION ALL "
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'insert', CAST(3 AS INT) "
+    "FROM (SELECT * FROM post3 EXCEPT ALL SELECT * FROM post2) "
+    "UNION ALL "
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'delete', CAST(3 AS INT) "
+    "FROM (SELECT * FROM post2 EXCEPT ALL SELECT * FROM post3)"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "join_lateral_topn": (join_lateral_topn, SQL_JOIN_LATERAL),
     "ts_resample_locf": (ts_resample_locf, SQL_TS_RESAMPLE),
@@ -1070,6 +1116,7 @@ QUERIES: dict[str, tuple] = {
         scan_merge_conditional_evolve, SQL_MERGE_COND_EVOLVE,
     ),
     "scan_changes_feed": (scan_changes_feed, SQL_CHANGES_FEED),
+    "scan_changes_by_commit": (scan_changes_by_commit, SQL_CHANGES_BY_COMMIT),
     "scan_merge_partitioned": (scan_merge_partitioned, SQL_MERGE_PARTITIONED),
     "scan_merge_cdc_tombstones": (scan_merge_cdc_tombstones, SQL_MERGE_CDC_TOMB),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),

@@ -1,0 +1,128 @@
+"""OliveTable: the one-stop handle for a snapshot-logged olive table.
+
+Every capability here exists as a standalone function (the facade adds
+no behavior — it binds ``(spark, path, table)`` once and delegates), but
+a lakehouse user coming from Delta expects a ``DeltaTable``-shaped
+object: ``DeltaTable.forPath(spark, p).history()`` maps to
+``OliveTable(spark, p).history()``, ``.merge(...)`` to ``.merge(...)``,
+and so on — see docs/MIGRATION.md.  The reference format has no
+directory/update layer at all (/root/reference/src/root.zig:9-16); this
+is the ergonomic surface over the engine's lakehouse extensions.
+
+    t = OliveTable(spark, "/data/events")
+    t.df().where(...)                       # current version
+    t.time_travel(7)                        # any retained version
+    t.merge(batch, ["event_id"], latest_by="seq", delete_col="_del")
+    t.changes(since=7, key_cols=["event_id"])   # CDF
+    t.delete_where("ts < '2020-01-01'")
+    t.compact(sort_by="ts"); t.vacuum(retain_snapshots=3)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+class OliveTable:
+    def __init__(self, spark, path: str, table: str = "data") -> None:
+        from olive_spark.datasource import register_olive
+
+        self.spark = spark
+        self.path = path
+        self.table = table
+        register_olive(spark)
+
+    def _reader(self, **options):
+        r = self.spark.read.format("olive").option("table", self.table)
+        for k, v in options.items():
+            r = r.option(k, v)
+        return r
+
+    def df(self, **options) -> DataFrame:
+        """Current-version DataFrame; options pass through to the reader
+        (``pushdown``, ``columns``, ``mergeSchema``, ...)."""
+        return self._reader(**options).load(self.path)
+
+    toDF = df  # DeltaTable spelling
+
+    def time_travel(self, version: int, **options) -> DataFrame:
+        return self._reader(snapshot=str(int(version)), **options).load(self.path)
+
+    def version(self) -> int:
+        from olive_spark.format.snapshots import current_version
+
+        return current_version(self.path)
+
+    def history(self) -> "list[dict]":
+        from olive_spark.ops.maintenance import snapshot_history
+
+        return snapshot_history(self.path)
+
+    def describe(self) -> dict:
+        from olive_spark.ops.maintenance import describe
+
+        return describe(self.path, table=self.table)
+
+    def checksum(self, cols: "list[str] | None" = None) -> dict:
+        """Order-independent content checksum (migration parity proof),
+        materialized: ``{"n_rows": int, "checksum": int}``.  Raw double
+        columns stringify differently across engines — cast to decimal
+        first (see ops.maintenance.table_checksum)."""
+        from olive_spark.ops.maintenance import table_checksum
+
+        df = self.df()
+        row = table_checksum(df, cols or df.columns).first()
+        return {"n_rows": row["n_rows"], "checksum": row["checksum"]}
+
+    def changes(
+        self,
+        since: int,
+        until: "int | None" = None,
+        key_cols: "list[str] | None" = None,
+        by_commit: bool = False,
+    ) -> DataFrame:
+        from olive_spark.ops.changes import (
+            read_changes,
+            read_changes_by_commit,
+        )
+
+        fn = read_changes_by_commit if by_commit else read_changes
+        return fn(
+            self.spark, self.path, since=since, until=until,
+            table=self.table, key_cols=key_cols,
+        )
+
+    def merge(self, source: DataFrame, key_cols: "list[str]", **kw) -> dict:
+        """merge_upsert with this table bound; kwargs pass through
+        (``latest_by``, ``delete_col``, ``update_condition``,
+        ``evolve_schema``, ``retain_history``, ...)."""
+        from olive_spark.ops.maintenance import merge_upsert
+
+        return merge_upsert(
+            self.spark, self.path, source, key_cols, table=self.table, **kw
+        )
+
+    def delete_where(self, condition: str, **kw) -> dict:
+        from olive_spark.ops.maintenance import delete_where
+
+        return delete_where(
+            self.spark, self.path, condition, table=self.table, **kw
+        )
+
+    def compact(self, **kw) -> dict:
+        from olive_spark.ops.maintenance import compact
+
+        return compact(self.spark, self.path, table=self.table, **kw)
+
+    def vacuum(self, **kw) -> dict:
+        from olive_spark.ops.maintenance import vacuum
+
+        return vacuum(self.path, **kw)
+
+    def clear_tombstones(self) -> int:
+        from olive_spark.ops.maintenance import clear_tombstones
+
+        return clear_tombstones(self.path)
+
+    def __repr__(self) -> str:  # pragma: no cover - cosmetic
+        return f"OliveTable(path={self.path!r}, table={self.table!r})"

@@ -174,3 +174,80 @@ def test_files_option_scans_exact_set_and_validates(spark, tmp_path):
             spark.read.format("olive").option("files", rels[0])
             .option("snapshot", "1").load(path).count()
         )
+
+
+def test_read_changes_rejects_reserved_column_collisions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.range(5).selectExpr("id AS k", "'x' AS _change_type") \
+        .write.format("olive").mode("append").save(path)
+    from olive_spark.ops.changes import read_changes
+
+    # the guard must hold even for an empty (same-version) range
+    with pytest.raises(ValueError, match="collide"):
+        read_changes(spark, path, since=1, until=1)
+    path2 = str(tmp_path / "t2")
+    spark.range(5).selectExpr("id AS k", "true AS __upd") \
+        .write.format("olive").mode("append").save(path2)
+    with pytest.raises(ValueError, match="collide"):
+        read_changes(spark, path2, since=1, key_cols=["k"])
+
+
+def test_read_changes_by_commit_labels_versions(spark, tmp_path):
+    """Per-commit granularity: each change row carries the version that
+    produced it, and intermediate churn the endpoint diff nets out IS
+    visible here."""
+    from olive_spark.ops.changes import read_changes_by_commit
+    from olive_spark.ops.maintenance import delete_where, merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=50, files=1)
+    src = spark.range(40, 45).selectExpr(
+        "id AS k", "id * 100 AS v", "cast(9 as int) AS grp"
+    )
+    merge_upsert(spark, path, src, ["k"])          # v2: 5 updates
+    delete_where(spark, path, "k >= 40 AND k < 45")  # v3: delete them again
+    df = read_changes_by_commit(spark, path, since=1)
+    per = Counter(
+        (r["_commit_version"], r["_change_type"]) for r in df.collect()
+    )
+    assert per[(2, "insert")] == 5 and per[(2, "delete")] == 5  # the update pair
+    assert per[(3, "delete")] == 5
+    # endpoint diff nets the v2 churn: only the 5 original rows deleted
+    from olive_spark.ops.changes import read_changes
+
+    net = Counter(r["_change_type"] for r in read_changes(
+        spark, path, since=1
+    ).collect())
+    assert net == {"delete": 5}
+    empty = read_changes_by_commit(spark, path, since=3, until=3)
+    assert empty.count() == 0 and "_commit_version" in empty.columns
+
+
+def test_olive_table_facade_end_to_end(spark, tmp_path):
+    """OliveTable binds (spark, path, table) once and must behave
+    exactly like the standalone functions it delegates to."""
+    from olive_spark import OliveTable
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=100, files=2)
+    t = OliveTable(spark, path)
+    assert t.version() == 1 and t.df().count() == 100
+    src = spark.range(95, 110).selectExpr(
+        "id AS k", "id * 100 AS v", "cast(9 as int) AS grp"
+    )
+    out = t.merge(src, ["k"])
+    assert out["version"] == 2 and t.df().count() == 110
+    t.delete_where("grp = 9")
+    assert t.version() == 3
+    assert t.time_travel(1).count() == 100
+    ch = t.changes(since=1, until=2, key_cols=["k"])
+    assert ch.filter("_change_type = 'update_preimage'").count() == 5
+    # net v1->v3: the deletes at v3 swallow the update postimages, so
+    # the touched originals surface as plain deletes
+    net = t.changes(since=1, key_cols=["k"])
+    assert Counter(r["_change_type"] for r in net.collect()) == {"delete": 5}
+    hist = t.history()
+    assert [h["version"] for h in hist][-1] == 3
+    assert t.checksum() == t.checksum()  # deterministic
+    t.compact(target_rows=1000, retain_history=True)
+    assert t.df().count() == t.time_travel(3).count()

@@ -484,3 +484,25 @@ def test_token_budget_mix_hot_bucket_path_is_exact(spark):
     plan = hot._jdf.queryExecution().executedPlan().toString()
     assert "__grp" in plan, "hot branch lost its id-range grouping"
     assert "SparkPartitionID" not in plan, "nondeterministic partition id in ranking"
+
+
+def test_cap_per_group_matches_naive_window(spark):
+    """Two-phase salted cap must be EXACT: identical kept set to the
+    naive single window, including order-column ties."""
+    from pyspark.sql import Window, functions as F
+
+    from olive_spark.ops.curation import cap_per_group
+
+    df = spark.range(2000).selectExpr(
+        "id", "concat('d', id % 7) AS dom", "cast(id % 13 AS int) AS score"
+    )
+    got = cap_per_group(df, "dom", 5, "score", tiebreak_col="id")
+    w = Window.partitionBy("dom").orderBy(F.col("score").desc(), F.col("id"))
+    want = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5).drop("rn")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # groups smaller than the cap survive whole
+    tiny = spark.range(3).selectExpr("id", "'x' AS dom", "cast(1 as int) AS score")
+    assert cap_per_group(tiny, "dom", 10, "score", tiebreak_col="id").count() == 3

@@ -757,3 +757,28 @@ def test_table_checksum_order_invariant_value_sensitive(spark):
     )
     diff = table_checksum(mutated, ["id", "name"]).collect()[0]
     assert diff["checksum"] != base["checksum"]
+
+
+def test_sql_ddl_temp_view_surface(spark, tmp_path):
+    """The SQL surface: CREATE TEMPORARY VIEW … USING olive OPTIONS
+    (path …) forwards options through Spark's Python-DS flow (catalog
+    CREATE TABLE does NOT in this Spark version — its scan arrives
+    with empty options; the reader's error says so).  file: URIs from
+    DDL resolution are normalized."""
+    path = str(tmp_path / "t")
+    spark.range(7).selectExpr("id AS k", "id * 2 AS v") \
+        .write.format("olive").mode("append").save(path)
+    spark.sql(
+        f"CREATE TEMPORARY VIEW olive_ddl_v USING olive "
+        f"OPTIONS (path '{path}')"
+    )
+    try:
+        got = spark.sql(
+            "SELECT COUNT(*) AS n, SUM(v) AS s FROM olive_ddl_v"
+        ).first()
+        assert (got["n"], got["s"]) == (7, 42)
+        # file:-prefixed path (what catalog DDL hands schema()) works
+        df = spark.read.format("olive").load("file:" + path)
+        assert df.count() == 7
+    finally:
+        spark.catalog.dropTempView("olive_ddl_v")

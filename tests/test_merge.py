@@ -1040,3 +1040,59 @@ def test_evolve_rejects_merge_internal_namespace(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="reserved"):
         merge_upsert(spark, path, src, ["k"], evolve_schema=True)
+
+
+def test_overwrite_drops_stale_tombstone_floors(spark, tmp_path):
+    """mode('overwrite') starts a NEW table: retained tombstone floors
+    from the wiped one must not silently drop the fresh table's
+    sequenced merge rows."""
+    import os
+
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    base = spark.range(10).selectExpr("id AS k", "id AS v", "id AS seq")
+    base.write.format("olive").mode("append").save(path)
+    tomb = spark.range(5).selectExpr(
+        "id AS k", "id AS v", "id + 1000 AS seq", "true AS _deleted"
+    )
+    merge_upsert(spark, path, tomb, ["k"], latest_by="seq",
+                 delete_col="_deleted")
+    assert os.path.isdir(os.path.join(path, "_olive_tombstones"))
+    # fresh table in the same directory
+    base.write.format("olive").mode("overwrite").save(path)
+    assert not os.path.isdir(os.path.join(path, "_olive_tombstones"))
+    resurrect = spark.range(5).selectExpr(
+        "id AS k", "id * 7 AS v", "id + 100 AS seq"  # below old floors
+    )
+    merge_upsert(spark, path, resurrect, ["k"], latest_by="seq")
+    got = spark.read.format("olive").load(path).filter("k < 5")
+    assert {r["v"] for r in got.collect()} == {0, 7, 14, 21, 28}
+
+
+def test_plain_append_extends_evolved_sidecar(spark, tmp_path):
+    """After evolution, a PLAIN writer append carrying yet another new
+    column must extend the sidecar — otherwise the schema authority
+    hides committed data from every default scan."""
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=20, files=1)
+    src = spark.range(3).selectExpr(
+        "id AS k", "id AS v", "cast(1 as int) AS grp", "id AS w1"
+    )
+    merge_upsert(spark, path, src, ["k"], evolve_schema=True)
+    spark.range(100, 103).selectExpr(
+        "id AS k", "id AS v", "cast(2 as int) AS grp",
+        "id AS w1", "id * 2 AS w2",
+    ).write.format("olive").mode("append").save(path)
+    df = spark.read.format("olive").load(path)
+    assert df.columns == ["k", "v", "grp", "w1", "w2"]
+    assert df.filter("w2 IS NOT NULL").count() == 3
+    # a table with NO sidecar keeps first-file-header semantics
+    path2 = str(tmp_path / "t2")
+    _mk_table(spark, path2, n=10, files=1)
+    spark.range(5).selectExpr("id AS k", "id AS v", "cast(1 as int) AS grp",
+                              "id AS extra") \
+        .write.format("olive").mode("append").save(path2)
+    assert spark.read.format("olive").load(path2).columns == ["k", "v", "grp"]

@@ -331,6 +331,19 @@ def test_ivf_build_survives_zero_vectors_and_drift_refuses_pending(spark, tmp_pa
     d0 = similarity.ivf_index_drift(spark, idx)
     assert d0["n_rows"] == corpus.count() + 1
 
+    # SERVING must also survive the dead vector (its bucket's cosines
+    # evaluate with zero_as=0.0, not a raw ANSI divide) — including a
+    # zero-norm QUERY vector
+    got = similarity.ivf_topk_indexed(
+        spark, idx, corpus.filter(F.col("vec_id") < 3), k=5,
+        expect_corpus_version=1,
+    )
+    assert got.count() == 15
+    zq = dead.select(F.col("vec_id"), F.col("embedding"))
+    assert similarity.ivf_topk_indexed(
+        spark, idx, zq, k=3, expect_corpus_version=1
+    ).count() == 3
+
     with open(os.path.join(idx, "_ivf_append.pending"), "w") as f:
         f.write("{}")
     with pytest.raises(ValueError, match="interrupted append/rebuild"):
