@@ -915,9 +915,13 @@ class OliveWriter(DataSourceArrowWriter):
             # big pipelines): persist ONE schema-bearing empty chunk so
             # the table still round-trips instead of failing on read
             added = [self._write_empty_table()]
+        # sidecar BEFORE the snapshot commit (same crash ordering as
+        # maintenance._seed_evolved_sidecar): a declared-but-dataless
+        # column null-fills harmlessly; committed data behind a stale
+        # sidecar vanishes from every default scan
+        self._sync_schema_sidecar(added)
         self._merge_manifest(messages)
         self._log_snapshot(added)
-        self._sync_schema_sidecar(added)
 
     def _sync_schema_sidecar(self, added: "list[str]") -> None:
         # an EVOLVED table's schema authority is the sidecar; a plain
@@ -1384,6 +1388,17 @@ class OliveStreamWriter(DataSourceStreamArrowWriter):
     _SNAPSHOT_MAX_ENTRIES = 1024
 
     def commit(self, messages, batchId: int) -> None:
+        files = [
+            fp for m in messages if m is not None for fp in m.files
+        ]
+        if files:
+            # evolved-table hole, streaming edition: a microbatch that
+            # carries columns beyond the schema sidecar must extend it
+            # or default scans hide the committed columns.  BEFORE the
+            # manifest/epoch log (sidecar-first crash ordering, same as
+            # the batch writer): a failure here fails the epoch cleanly
+            # — files unlogged, abort removes them
+            self._batch._sync_schema_sidecar(files)
         if not self._exactly_once:
             self._batch._merge_manifest(messages)
             self._log_snapshot(messages, batchId)
@@ -1562,10 +1577,13 @@ class OliveStreamWriter(DataSourceStreamArrowWriter):
 
 class OliveDataSource(DataSource):
     """spark.read.format("olive") / df.write.format("olive"), and the
-    SQL DDL surface: ``CREATE TABLE t USING olive OPTIONS (path '…')``
-    then ``SELECT``/``INSERT INTO`` work on any session with
-    register_olive — catalog DDL hands the location through as a
-    ``file:`` URI, normalized here once for every reader/writer path."""
+    SQL DDL surface: ``CREATE TEMPORARY VIEW t USING olive OPTIONS
+    (path '…')`` then plain ``spark.sql`` — the temp-view flow forwards
+    options end-to-end.  Catalog ``CREATE TABLE … USING olive`` reads
+    are NOT usable in this Spark version (the catalog scan arrives with
+    EMPTY options; OliveReader raises an error naming the temp-view
+    form).  DDL resolution hands locations through as ``file:`` URIs,
+    normalized here once for every reader/writer path."""
 
     def __init__(self, options) -> None:
         p = options.get("path")
@@ -1682,8 +1700,10 @@ class OliveDataSource(DataSource):
                 # drop rows from the fresh table's sequenced merges
                 import shutil as _shutil
 
+                from olive_spark.ops.maintenance import TOMBSTONES_DIR
+
                 _shutil.rmtree(
-                    os.path.join(path, "_olive_tombstones"),
+                    os.path.join(path, TOMBSTONES_DIR),
                     ignore_errors=True,
                 )
         return OliveWriter(dict(self.options), schema, overwrite)

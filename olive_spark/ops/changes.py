@@ -28,7 +28,8 @@ live-then-history).
 Semantics are NET (endpoint) changes: a row inserted after ``since``
 and deleted again before ``until`` is not reported — exactly what an
 incremental consumer reconciling v0→v1 state needs.  For per-commit
-granularity, walk ``snapshot_history`` and diff consecutive versions.
+granularity, :func:`read_changes_by_commit` labels each change row
+with the version that produced it.
 """
 
 from __future__ import annotations
@@ -36,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 CHANGE_COL = "_change_type"
+COMMIT_COL = "_commit_version"
 
 
 def read_changes(
@@ -176,21 +178,32 @@ def read_changes_by_commit(
         int(e["v"]) for e in load_log(path)["entries"]
         if v0 <= int(e["v"]) <= v1
     )
-    if not versions or versions[0] != v0:
-        # files_at raises the canonical unknown-snapshot error
+    if not versions or versions[0] != v0 or versions[-1] != v1:
+        # an out-of-range endpoint must fail loud, not silently
+        # truncate the audit feed; files_at raises the canonical
+        # unknown-snapshot error for whichever bound is bad
         from olive_spark.format.snapshots import files_at
 
         files_at(path, v0)
+        files_at(path, v1)
+    cols = (
+        spark.read.format("olive").option("table", table).load(path).columns
+    )
+    if COMMIT_COL in cols:
+        raise ValueError(
+            f"table columns collide with change-feed internals: "
+            f"['{COMMIT_COL}']"
+        )
     out = None
     for prev, cur in zip(versions, versions[1:]):
         step = read_changes(
             spark, path, since=prev, until=cur, table=table,
             key_cols=key_cols,
-        ).withColumn("_commit_version", F.lit(cur))
+        ).withColumn(COMMIT_COL, F.lit(cur))
         out = step if out is None else out.unionByName(step)
     if out is None:  # since == until: empty feed with the full schema
         return (
             read_changes(spark, path, since=v0, until=v0, table=table)
-            .withColumn("_commit_version", F.lit(v0)).limit(0)
+            .withColumn(COMMIT_COL, F.lit(v0)).limit(0)
         )
     return out

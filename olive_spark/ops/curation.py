@@ -83,6 +83,11 @@ def cap_per_group(
 
     Requires a non-null ``tiebreak_col`` unique within a group (any
     stable id) when exactness under ``order_col`` ties matters."""
+    if "__rn" in df.columns:
+        raise ValueError(
+            "cap_per_group uses '__rn' internally — rename the input "
+            "column (it would be silently destroyed otherwise)"
+        )
     tb = tiebreak_col or order_col
     oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
     salt = F.pmod(F.xxhash64(F.col(tb)), F.lit(n_salts))

@@ -404,3 +404,161 @@ def frame_sample(df: DataFrame, payload_col: str = "payload", id_col: str = "doc
             )
 
     return src.mapInPandas(sample, schema)
+
+
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def _stub_pixels(payload: bytes, side: int) -> "object":
+    """STUB pixel decode: tile the payload bytes into a side x side
+    grayscale image (repeat to fill, like the other stub codecs a
+    container without Pillow uses).  Content-sensitive by construction:
+    payloads differing in one byte differ in a handful of pixels, so
+    near-identical payloads land at small Hamming distance — which is
+    what the planted-pair tests pin."""
+    import numpy as np
+
+    n = side * side
+    raw = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    reps = -(-n // len(raw))
+    return np.tile(raw, reps)[:n].reshape(side, side).astype(np.float64)
+
+
+def _dct_matrix(n: int) -> "object":
+    """Orthonormal DCT-II basis (the JPEG/pHash transform), built once
+    per executor and applied as two matmuls — no scipy dependency."""
+    import numpy as np
+
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * x + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def phash64(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
+    codec: str = "stub", img_size: int = 32, hash_size: int = 8,
+) -> DataFrame:
+    """64-bit perceptual hash (pHash) per binary payload: decode to
+    ``img_size``² grayscale, 2-D DCT, keep the top-left ``hash_size``²
+    low-frequency block, threshold against its median (DC term
+    excluded) → one bit per coefficient.  Perceptually-close images
+    agree on most low-frequency signs, so near-duplicates land at small
+    Hamming distance — the image-side analogue of MinHash for text.
+
+    ``codec="stub"`` (default): deterministic byte-tiling decode the
+    tests pin (this container has no image libs); ``codec="real"``:
+    Pillow ``convert("L").resize(...)``.  Arrow-batched mapInPandas;
+    the DCT is two (32×32)·(32×32) matmuls per image against a
+    per-executor cached basis — microseconds; payloads never shuffle,
+    only (id, 64-bit hash) leaves the scan."""
+    import pandas as pd
+
+    if codec not in ("stub", "real"):
+        raise ValueError(f"codec must be 'stub' or 'real', got {codec!r}")
+    if codec == "real":
+        _require_pil()
+
+    src = df.select(id_col, payload_col)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+
+        dct = _dct_matrix(img_size)
+        Image = _require_pil() if codec == "real" else None
+        for pdf in batches:
+            ids, hashes = [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                if codec == "real":
+                    try:
+                        with Image.open(io.BytesIO(p)) as img:
+                            g = np.asarray(
+                                img.convert("L").resize((img_size, img_size)),
+                                dtype=np.float64,
+                            )
+                    except Exception:  # noqa: BLE001 — corrupt payload
+                        g = np.zeros((img_size, img_size))
+                else:
+                    g = _stub_pixels(p, img_size)
+                coeffs = (dct @ g @ dct.T)[:hash_size, :hash_size]
+                flat = coeffs.flatten()
+                med = np.median(flat[1:])  # DC term excluded
+                bits = flat > med
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                # two's-complement into int64 for Spark's LongType
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                ids.append(did)
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return src.mapInPandas(compute, PHASH_SCHEMA)
+
+
+def phash_pairs(
+    hashes: DataFrame, max_hamming: int = 6, n_bands: int = 8,
+) -> DataFrame:
+    """All (a_id, b_id, hamming) pairs of pHashes within ``max_hamming``
+    bits — WITHOUT an all-pairs product, via band blocking: split the
+    64-bit hash into ``n_bands`` byte bands; two hashes within
+    ``max_hamming < n_bands`` MUST agree on at least one whole band
+    (pigeonhole), so candidates come from an equi-join on
+    (band_index, band_value) and only candidates pay the exact
+    ``bit_count(xor)`` check — the same blocked-join shape as the
+    MinHash-LSH text path (ops/dedup.py).
+
+    100 TB shape: the shuffle key is (band, byte) over slim (id, hash)
+    rows — 8 rows per image, never pixels; the exact filter is a JVM
+    ``bit_count`` expression.  Requires ``max_hamming < n_bands`` or
+    completeness breaks (enforced)."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"band blocking is complete only for max_hamming < n_bands "
+            f"({max_hamming} >= {n_bands}) — raise n_bands"
+        )
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = hashes.select(
+        F.col("doc_id"),
+        F.col("phash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("phash"), i * width)
+                    .bitwiseAND(F.lit(mask)).alias("val"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band", "b.val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

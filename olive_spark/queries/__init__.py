@@ -81,6 +81,7 @@ _ORDER = [
     "scan_changes_feed",           # r8: CDF — net row changes between snapshots
     "llm_domain_cap",              # r8: skew-safe per-domain quota cap
     "scan_changes_by_commit",      # r8: per-commit CDF granularity
+    "mm_phash_pairs",              # r8: DCT pHash + band-blocked pairs (rows-only)
     # --- r7-new, driver-checked exactly once (r07) ---
     "llm_pack_sequences_sharded",  # r7: partition-wise packing
     "llm_decontaminate_ngram",     # r7: GPT-3-style n-gram overlap

@@ -328,6 +328,35 @@ SQL_MM_DECODE = (
 )
 
 
+def mm_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash image near-dup (ops.multimodal.phash64 +
+    phash_pairs): payload → 32² stub decode → 2-D DCT → 64-bit sign
+    hash; pairs via byte-band blocking (pigeonhole-complete for
+    hamming < bands) + exact JVM bit_count filter — the image-side
+    MinHash.  Rows-only: the DCT is not ANSI-SQL-expressible; the
+    corpus plants its own duplicates (texts are unique in the raw
+    table): every doc_id % 101 == 0 re-appears at +10⁷ byte-identical
+    (must pair at hamming 0) and at +2·10⁷ with one byte flipped
+    (must pair within the radius) — 0 pairs would mean broken banding
+    (pytest pins the planted-pair semantics and the completeness
+    guard)."""
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    planted = df.filter(F.col("doc_id") % 101 == 0)
+    corpus = df.unionByName(
+        planted.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    ).unionByName(
+        planted.select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"),
+            F.concat(F.lit("x"), F.substring(F.col("text"), 2, 1 << 20))
+            .alias("text"),  # flip the first byte, keep the length
+        )
+    )
+    hashes = multimodal.phash64(multimodal.attach_binary_payload(corpus))
+    return multimodal.phash_pairs(hashes, max_hamming=6).orderBy(
+        "a_id", "b_id"
+    )
+
+
 def mm_image_resize(spark: SparkSession, sf: str) -> DataFrame:
     """Image resize plumbing: payload → aspect-preserving 64-box thumb
     dims via Arrow-batched mapInPandas (decoder stubbed; integer resize
@@ -418,6 +447,7 @@ SQL_MM_WAV_REAL = (
 
 QUERIES: dict[str, tuple] = {
     "llm_dedup_exact": (llm_dedup_exact, SQL_DEDUP_EXACT),
+    "mm_phash_pairs": (mm_phash_pairs, None),
     "mm_decode_png_real": (mm_decode_png_real, SQL_MM_PNG_REAL),
     "mm_audio_wav_real": (mm_audio_wav_real, SQL_MM_WAV_REAL),
     "mm_audio_windows": (mm_audio_windows, SQL_MM_AUDIO),

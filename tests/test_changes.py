@@ -251,3 +251,18 @@ def test_olive_table_facade_end_to_end(spark, tmp_path):
     assert t.checksum() == t.checksum()  # deterministic
     t.compact(target_rows=1000, retain_history=True)
     assert t.df().count() == t.time_travel(3).count()
+
+
+def test_by_commit_validates_until_and_reserved_column(spark, tmp_path):
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops.changes import read_changes_by_commit
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=20, files=1)
+    with pytest.raises(ValidationError, match="unknown snapshot"):
+        read_changes_by_commit(spark, path, since=1, until=99)
+    path2 = str(tmp_path / "t2")
+    spark.range(5).selectExpr("id AS k", "cast(7 as int) AS _commit_version") \
+        .write.format("olive").mode("append").save(path2)
+    with pytest.raises(ValueError, match="collide"):
+        read_changes_by_commit(spark, path2, since=1)

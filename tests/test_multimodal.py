@@ -255,3 +255,75 @@ def test_decode_png_wav_meta_spark_with_corrupt_rows(spark):
             got_wav[1]["framerate"], got_wav[1]["sample_sum"],
             got_wav[1]["ok"]) == (4, 1, 8000, 0, True)
     assert got_wav[2]["ok"] is False and got_wav[3]["ok"] is False
+
+
+def test_phash_planted_near_dups(spark):
+    """pHash: an exact payload copy hashes identically (hamming 0), a
+    one-byte flip stays within a small Hamming radius, and unrelated
+    payloads do NOT pair at max_hamming=6; band blocking finds exactly
+    the planted neighborhood, no all-pairs scan."""
+    import os
+    import random
+
+    from olive_spark.ops.multimodal import phash64, phash_pairs
+
+    rnd = random.Random(7)
+    base = bytes(rnd.randrange(256) for _ in range(1024))
+    flip = bytearray(base)
+    flip[100] ^= 0x04
+    rows = [
+        (0, base),
+        (1, base),              # exact dup of 0
+        (2, bytes(flip)),       # near dup of 0/1
+        (3, bytes(rnd.randrange(256) for _ in range(1024))),
+        (4, bytes(rnd.randrange(256) for _ in range(900))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = phash64(df)
+    got = {r["doc_id"]: r["phash"] for r in hashes.collect()}
+    assert got[0] == got[1]
+    pairs = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in phash_pairs(hashes, max_hamming=6).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 6
+    assert (1, 2) in pairs
+    assert all(3 not in p and 4 not in p for p in pairs)
+    # completeness guard: blocking can't promise recall at ham >= bands
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hamming < n_bands"):
+        phash_pairs(hashes, max_hamming=8, n_bands=8)
+
+
+def test_phash_real_codec_roundtrip(spark):
+    """codec='real': two renderings of the same planted gradient PNG
+    (one with a tiny corner change) pair at small Hamming distance.
+    Skips where Pillow is absent (stub path covers those containers)."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from olive_spark.ops.multimodal import phash64, phash_pairs
+
+    def png(tweak: int) -> bytes:
+        img = Image.new("L", (64, 64))
+        img.putdata([(x + y) % 256 for y in range(64) for x in range(64)])
+        if tweak:
+            img.putpixel((0, 0), tweak)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(0, png(0)), (1, png(0)), (2, png(200))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = phash64(df, codec="real")
+    pairs = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in phash_pairs(hashes, max_hamming=6).collect()
+    }
+    assert pairs[(0, 1)] == 0 and (0, 2) in pairs

@@ -697,3 +697,34 @@ def test_drain_multi_source_keeps_going_until_all_drained(spark, tmp_path_factor
     runs = drain_available_now(start)
     assert runs >= 6, (runs, seen)
     assert sum(seen) == 13, seen  # every row from BOTH sources, once
+
+
+def test_stream_sink_extends_evolved_sidecar(spark, tmp_path_factory):
+    """A microbatch carrying columns beyond the schema sidecar must
+    extend it (before the epoch commits), or default scans hide the
+    committed streaming columns on an evolved table."""
+    from pyspark.sql import functions as F
+
+    from olive_spark import streaming
+    from olive_spark.format.table_schema import read_table_schema
+    from olive_spark.ops.maintenance import merge_upsert
+
+    sink = str(tmp_path_factory.mktemp("esink"))
+    ckpt = str(tmp_path_factory.mktemp("eckpt"))
+    spark.range(10).selectExpr("id AS k", "id * 1.5 AS v") \
+        .write.format("olive").mode("append").save(sink)
+    ev = spark.range(3).selectExpr("id AS k", "id * 1.5 AS v", "id AS w1")
+    merge_upsert(spark, sink, ev, ["k"], evolve_schema=True)
+    assert read_table_schema(sink, "data")[0] == ["k", "v", "w1"]
+
+    src = str(tmp_path_factory.mktemp("esrc"))
+    _write_part(src, 0, 100, 105)
+    sdf = streaming.read_stream(spark, src).select(
+        "k", "v", (F.col("k") * 2).alias("w1"),
+        F.lit("streamed").alias("w2"),
+    )
+    streaming.write_stream_olive(sdf, sink, ckpt)
+    df = spark.read.format("olive").load(sink)
+    assert df.columns == ["k", "v", "w1", "w2"]
+    assert df.filter("w2 = 'streamed'").count() == 5
+    assert read_table_schema(sink, "data")[0] == ["k", "v", "w1", "w2"]
