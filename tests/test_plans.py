@@ -392,3 +392,68 @@ def test_table_checksum_is_partial_final_agg(spark):
     assert "partial" in p.lower(), p
     assert "BatchEvalPython" not in p
     assert p.count("hashpartitioning") == 0, p  # single global reduce only
+
+
+def test_cap_per_group_is_two_phase_salted_window(spark):
+    """cap_per_group must rank in TWO phases — first over (group, salt),
+    then over group on the survivors — so one hot domain never
+    serializes into a single task; and never plan Python in the loop."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops.curation import cap_per_group
+
+    df = spark.range(1000).selectExpr(
+        "id", "concat('d', id % 5) AS dom", "cast(id % 13 AS int) AS score"
+    )
+    p = plan_of(cap_per_group(df, "dom", 5, "score", tiebreak_col="id"))
+    assert p.count("Window") >= 2, p
+    assert "pmod" in p and "xxhash64" in p, p  # the salt key
+    assert "BatchEvalPython" not in p
+
+
+def test_phash_pairs_is_banded_equi_join(spark):
+    """phash_pairs must plan the candidate step as a hash equi-join on
+    the (band, value) key — a cartesian/nested-loop would mean the
+    Hamming predicate leaked into the join."""
+    from olive_spark.ops.multimodal import phash_pairs
+
+    hashes = spark.range(200).selectExpr(
+        "id AS doc_id", "CAST(id * 2654435761 AS LONG) AS phash"
+    )
+    p = plan_of(phash_pairs(hashes, max_hamming=4))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "bit_count" in p, p  # exact filter stays a JVM expression
+    assert "BatchEvalPython" not in p
+
+
+def test_read_changes_scans_only_diff_files(spark, tmp_path):
+    """The CDF plan's relations must be the explicit diff file-sets:
+    the number of scan partitions is bounded by the files the versions
+    disagree on, not the table's file count."""
+    from olive_spark import register_olive
+    from olive_spark.datasource.olive_datasource import _list_chunk_files
+    from olive_spark.ops.changes import read_changes
+    from olive_spark.ops.maintenance import merge_upsert
+
+    register_olive(spark)
+    path = str(tmp_path / "t")
+    df = spark.range(1000).selectExpr(
+        "id AS k", "id * 10 AS v", "cast(id % 7 as int) AS grp"
+    )
+    df.repartition(8).write.format("olive").option("chunkRows", 125) \
+        .mode("append").save(path)
+    n_before = len(_list_chunk_files(path))
+    src = spark.range(3).selectExpr(
+        "id AS k", "id AS v", "cast(1 as int) AS grp"
+    )
+    out = merge_upsert(spark, path, src, ["k"])
+    feed = read_changes(spark, path, since=1)
+    p = plan_of(feed)
+    # the touched-file names appear in the plan's relations; untouched
+    # part files must not (filter on the merge prefix vs part prefix)
+    assert out["files_rewritten"] < n_before
+    assert feed.count() > 0
+    assert p.count(".olive") <= 4 * (
+        out["files_rewritten"] + out["files_added"]
+    ), p

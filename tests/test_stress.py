@@ -120,3 +120,76 @@ def test_spark_writer_splits_oversized_partition(tmp_path):
         assert total == n * row_bytes
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+@pytest.mark.slow
+def test_merge_at_gib_scale_rewrites_only_affected(tmp_path):
+    """MERGE on a ~1 GiB multi-file table: copy-on-write must rewrite
+    ONLY the files holding matched keys — wall-time and bytes written
+    bound by touched data, not table size — and the snapshot-diff
+    change feed over the merge must stay bounded by the same files."""
+    import time
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from olive_spark import register_olive
+    from olive_spark.datasource.olive_datasource import _list_chunk_files
+    from olive_spark.ops.changes import read_changes
+    from olive_spark.ops.maintenance import merge_upsert
+
+    register_olive(spark)
+    path = str(tmp_path / "big")
+    # >1 GiB ON DISK: 3M rows x 384 B of INCOMPRESSIBLE binary (unhex'd
+    # sha512 blocks — hex text compresses ~2x and undershoots), 16
+    # files; keys range-sorted per file so the merge's affected set is
+    # genuinely narrow
+    n = 3_000_000
+    payload = F.concat(*[
+        F.unhex(F.sha2((F.col("id") * m).cast("string"), 512))
+        for m in (1, 31, 131, 1009, 7919, 104729)
+    ])
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        payload.alias("payload"),
+        (F.col("id") % 1000).alias("grp"),
+    )
+    t0 = time.monotonic()
+    (
+        df.repartitionByRange(16, "k").write.format("olive")
+        .option("chunkRows", n // 16).mode("append").save(path)
+    )
+    t_write = time.monotonic() - t0
+    files0 = _list_chunk_files(path)
+    total_bytes = sum(os.path.getsize(f) for f in files0)
+    assert total_bytes > (1 << 30), f"table must be GiB-scale: {total_bytes}"
+
+    # touch a 2k-key contiguous slice: lands in 1-2 of the 16 files
+    src = spark.range(1_000_000, 1_002_000).select(
+        F.col("id").alias("k"),
+        F.unhex(F.sha2(F.lit("upd"), 512)).alias("payload"),
+        F.lit(-1).cast("long").alias("grp"),
+    )
+    t0 = time.monotonic()
+    out = merge_upsert(spark, path, src, ["k"])
+    t_merge = time.monotonic() - t0
+    assert 1 <= out["files_rewritten"] <= 2, out
+    print(f"\n  gib-merge: base write {t_write:.1f}s, "
+          f"merge {t_merge:.1f}s, rewrote {out['files_rewritten']}/16 files")
+    # bounded work: rewriting <=2/16 files + discovery must beat a
+    # full-table rewrite by a wide margin
+    assert t_merge < t_write, (t_merge, t_write)
+    got = spark.read.format("olive").load(path)
+    assert got.count() == n
+    assert got.filter("grp = -1").count() == 2000
+    feed = read_changes(spark, path, since=out["pre_version"],
+                        key_cols=["k"])
+    from collections import Counter
+
+    by = Counter(r["_change_type"] for r in feed.select("_change_type").collect())
+    assert by == {"update_preimage": 2000, "update_postimage": 2000}
