@@ -87,6 +87,9 @@ HEADLINE = [
     "scan_changes_feed",           # r8: snapshot-diff change data feed
     "llm_domain_cap",              # r8: skew-safe per-domain quota cap
     "scan_changes_by_commit",      # r8: per-commit CDF granularity
+    "ts_anomaly_zscore",           # r8: rolling z-score outliers
+    "llm_word_entropy",            # r8: word-entropy quality signal
+    "scan_merge_conditional_delete",  # r8: conditional-delete merge leg
 ]
 
 

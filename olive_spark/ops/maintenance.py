@@ -591,6 +591,7 @@ def merge_upsert(
     latest_by: "str | None" = None,
     delete_col: "str | None" = None,
     update_condition: "str | None" = None,
+    delete_condition: "str | None" = None,
     evolve_schema: bool = False,
 ) -> dict:
     """``MERGE INTO`` (upsert) on a snapshot-logged olive table: rows of
@@ -657,6 +658,17 @@ def merge_upsert(
     rows all fail the condition is rewritten byte-identical — correct,
     just unpruned; evaluating ``t``-referencing conditions at discovery
     time would need the full rows the slim scan exists to avoid.
+
+    ``delete_condition`` is the ``WHEN MATCHED AND <cond> THEN DELETE``
+    leg (same ``t``/``s`` aliases), judged BEFORE the update leg —
+    fixed clause order, like writing Delta's whenMatchedDelete first:
+    a matched target row where it holds is removed; the remaining
+    matched rows fall through to the update leg (``update_condition``
+    if given, else the standard unconditional replace).  A source row
+    whose every matched target row was deleted is consumed — matched
+    rows never insert.  Composes with ``update_condition``; mutually
+    exclusive with ``latest_by``/``delete_col`` (predicate deletes vs
+    sequenced tombstones are different protocols).
 
     ``evolve_schema=True`` is add-column schema evolution: source
     columns beyond the table's schema become NEW table columns
@@ -729,15 +741,20 @@ def merge_upsert(
             )
         if not isinstance(source.schema[delete_col].dataType, BooleanType):
             raise ValueError(f"delete_col {delete_col!r} must be boolean")
-    if update_condition is not None:
+    for cname, cval in (
+        ("update_condition", update_condition),
+        ("delete_condition", delete_condition),
+    ):
+        if cval is None:
+            continue
         if latest_by is not None or delete_col is not None:
             raise ValueError(
-                "update_condition is mutually exclusive with latest_by/"
+                f"{cname} is mutually exclusive with latest_by/"
                 "delete_col — sequenced CDC resolves matches by "
                 "sequence, not by predicate"
             )
-        if not isinstance(update_condition, str) or not update_condition.strip():
-            raise ValueError("update_condition must be a non-empty SQL string")
+        if not isinstance(cval, str) or not cval.strip():
+            raise ValueError(f"{cname} must be a non-empty SQL string")
     surplus = [
         c for c in source.columns if c not in cols and c != delete_col
     ]
@@ -969,11 +986,12 @@ def merge_upsert(
             c, F.lit(None).cast(src.schema[c].dataType)
         )
     new_tombs = None
-    if update_condition is not None:
-        # WHEN MATCHED AND <cond> THEN UPDATE, judged per target row.
+    if update_condition is not None or delete_condition is not None:
+        # WHEN MATCHED AND <cond> THEN DELETE / THEN UPDATE, judged per
+        # target row, delete leg first (fixed clause order, like
+        # writing Delta's whenMatchedDelete before whenMatchedUpdate).
         # Split first so the pair join touches only matched rows; the
-        # condition sees the full (t, s) pair — exactly Delta's
-        # whenMatchedUpdate(condition=...) surface.
+        # conditions see the full (t, s) pair.
         skeys = src.select(*key_cols)
         unmatched_t = existing.join(skeys, key_cols, "left_anti")
         matched_t = existing.join(skeys, key_cols, "left_semi")
@@ -982,12 +1000,21 @@ def merge_upsert(
             [F.col(f"t.{k}") == F.col(f"s.{k}") for k in key_cols],
         )
         pairs = matched_t.alias("t").join(src.alias("s"), on, "inner")
-        holds = F.coalesce(F.expr(update_condition), F.lit(False))
-        kept_t = pairs.filter(~holds).select(
+        del_holds = (
+            F.coalesce(F.expr(delete_condition), F.lit(False))
+            if delete_condition is not None else F.lit(False)
+        )
+        # no update_condition = the standard unconditional UPDATE leg
+        # for whatever the delete leg did not consume
+        upd_holds = ~del_holds & (
+            F.coalesce(F.expr(update_condition), F.lit(False))
+            if update_condition is not None else F.lit(True)
+        )
+        kept_t = pairs.filter(~del_holds & ~upd_holds).select(
             *[F.col(f"t.{c}").alias(c) for c in all_cols]
         )
         replaced_keys = (
-            pairs.filter(holds)
+            pairs.filter(upd_holds)
             .select(*[F.col(f"t.{k}").alias(k) for k in key_cols])
             .distinct()
         )

@@ -59,12 +59,13 @@ _RAW: dict[str, tuple] = {
 # registry entries.  Round-8 rotation (VERDICT r7 task #8): cumulative
 # coverage is complete (every registry query has appeared in some
 # driver CORRECTNESS window, r2–r7), so the window now leads with the
-# 9 r8-new queries (never driver-checked; local driver_check MATCH /
+# 16 r8-new queries (never driver-checked; local driver_check MATCH /
 # rows-only-sane), re-checks the 10 r7-new queries that have appeared
 # exactly once, keeps the regression canary, and fills to 50 with the
 # longest-unchecked entries — the r04/r05-era windows, last checked 3-4
-# rounds ago — keeping ≥1 per query family.  Everything stays
-# registered; entries beyond 50 keep bench/pytest coverage.
+# rounds ago — keeping ≥1 per query family (audited: 15 families in
+# the first 50).  Everything stays registered; entries beyond 50 keep
+# bench/pytest coverage.
 _ORDER = [
     # proven regression canary (format round-trip, r02–r07 green)
     "scan_roundtrip_lineitem",
@@ -82,6 +83,9 @@ _ORDER = [
     "llm_domain_cap",              # r8: skew-safe per-domain quota cap
     "scan_changes_by_commit",      # r8: per-commit CDF granularity
     "mm_phash_pairs",              # r8: DCT pHash + band-blocked pairs (rows-only)
+    "ts_anomaly_zscore",           # r8: rolling z-score outliers, bounded frame
+    "llm_word_entropy",            # r8: per-doc Shannon word entropy deciles
+    "scan_merge_conditional_delete",  # r8: WHEN-MATCHED-AND-DELETE leg
     # --- r7-new, driver-checked exactly once (r07) ---
     "llm_pack_sequences_sharded",  # r7: partition-wise packing
     "llm_decontaminate_ngram",     # r7: GPT-3-style n-gram overlap

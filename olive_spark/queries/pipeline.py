@@ -730,8 +730,51 @@ SQL_DOMAIN_CAP = (
 )
 
 
+def llm_word_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution — the
+    repetition/gibberish quality signal (a doc that repeats one token
+    scores ~0 bits; diverse prose scores high).  Computed as
+    log2(n) − Σ cnt·log2(cnt)/n from one explode + two aggregations —
+    map-side partial combine shrinks the (doc, word) shuffle to
+    distinct pairs; no UDFs.  Output bucketed to one row per entropy
+    decile for a stable small frame."""
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    words = df.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    per_word = words.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    ent = per_word.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.log2("cnt")).alias("s"),
+    ).select(
+        "doc_id",
+        F.round(F.log2("n") - F.col("s") / F.col("n"), 6).alias("entropy"),
+    )
+    return ent.groupBy(
+        F.floor(F.col("entropy")).cast("int").alias("bits_floor")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+SQL_WORD_ENTROPY = (
+    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), "
+    "pw AS (SELECT doc_id, w, COUNT(*) AS cnt FROM w WHERE w <> '' "
+    "GROUP BY doc_id, w), "
+    "ent AS (SELECT doc_id, "
+    "ROUND(LOG2(SUM(cnt)) - SUM(cnt * LOG2(cnt)) / SUM(cnt), 6) AS entropy "
+    "FROM pw GROUP BY doc_id) "
+    "SELECT CAST(FLOOR(entropy) AS INT) AS bits_floor, COUNT(*) AS n_docs, "
+    "CAST(SUM(doc_id) AS BIGINT) AS sum_ids "
+    "FROM ent GROUP BY 1"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "llm_domain_cap": (llm_domain_cap, SQL_DOMAIN_CAP),
+    "llm_word_entropy": (llm_word_entropy, SQL_WORD_ENTROPY),
     "llm_gopher_rules": (llm_gopher_rules, SQL_GOPHER),
     "llm_chunk_documents": (llm_chunk_documents, SQL_CHUNKS),
     "llm_pretrain_pipeline": (llm_pretrain_pipeline, SQL_PRETRAIN),

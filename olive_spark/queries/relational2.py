@@ -1007,6 +1007,82 @@ SQL_MERGE_TIME_TRAVEL = (
 )
 
 
+def _ensure_orders_merged_del(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) a table exercising the WHEN MATCHED AND
+    <cond> THEN DELETE leg with the unconditional-update fall-through:
+    base = orders (o_orderkey, o_custkey, o_totalprice); one merge
+    whose source is every %3==0 order with price shifted +500 for even
+    custkeys and −500 for odd ones, with
+    ``delete_condition="s.o_totalprice < t.o_totalprice"`` — so the
+    odd-custkey matches are DELETED and the even-custkey matches fall
+    through to the standard replace."""
+    import os as _os
+
+    from olive_spark.datasource import register_olive
+    from olive_spark.ops.maintenance import merge_upsert
+
+    register_olive(spark)
+    out = _os.path.join(data.ensure_olive(sf), "orders_merged_del")
+    marker = _os.path.join(out, "_MERGE_OK")
+    if _os.path.exists(marker):
+        return out
+    if _os.path.exists(out):
+        import shutil as _shutil
+
+        _shutil.rmtree(out)
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    base = data.load(spark, sf, "orders", columns=cols)
+    base.write.format("olive").option("table", "orders_merged_del") \
+        .mode("append").save(out)
+    src = base.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") + F.when(
+            F.col("o_custkey") % 2 == 0, F.lit(500.0)
+        ).otherwise(F.lit(-500.0))).alias("o_totalprice"),
+    )
+    merge_upsert(
+        spark, out, src, key_cols=["o_orderkey"], table="orders_merged_del",
+        delete_condition="s.o_totalprice < t.o_totalprice",
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def scan_merge_conditional_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """WHEN-MATCHED-AND-DELETE parity: odd-custkey matches must vanish,
+    even-custkey matches must carry the replaced (+500) price, and
+    everything unmatched must survive byte-identical — the oracle
+    replays the clause order as a LEFT-JOIN CASE with a WHERE for the
+    delete leg."""
+    path = _ensure_orders_merged_del(spark, sf)
+    df = spark.read.format("olive") \
+        .option("table", "orders_merged_del").load(path)
+    return df.groupBy((F.col("o_custkey") % 10).alias("ck_mod")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(D)).cast(D).alias("sum_price"),
+        F.sum("o_orderkey").alias("sum_keys"),
+    )
+
+
+SQL_MERGE_COND_DELETE = (
+    "WITH upd AS ("
+    "SELECT o_orderkey, o_custkey, "
+    "o_totalprice + CASE WHEN o_custkey % 2 = 0 THEN 500.0 ELSE -500.0 END "
+    "AS o_totalprice FROM orders WHERE o_orderkey % 3 = 0), "
+    "merged AS ("
+    "SELECT t.o_orderkey, t.o_custkey, "
+    "CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice "
+    "ELSE t.o_totalprice END AS o_totalprice "
+    "FROM orders t LEFT JOIN upd u USING (o_orderkey) "
+    "WHERE u.o_orderkey IS NULL OR u.o_totalprice >= t.o_totalprice) "
+    "SELECT CAST(o_custkey % 10 AS BIGINT) AS ck_mod, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys "
+    "FROM merged GROUP BY 1"
+)
+
+
 def scan_changes_feed(spark: SparkSession, sf: str) -> DataFrame:
     """Change-data-feed parity (ops.changes.read_changes): the NET
     row-level changes between the orders_merged table's base version
@@ -1103,6 +1179,53 @@ SQL_CHANGES_BY_COMMIT = (
 )
 
 
+def ts_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling z-score anomaly detection per user: 20-row trailing mean
+    and variance (computed as avg(x²)−avg(x)² with IDENTICAL expression
+    shape in both engines — window frames iterate rows in ORDER, so the
+    double math is bit-reproducible where stddev_samp's
+    engine-specific accumulation would not be), z emitted for rows with
+    a full warm-up frame.  One shuffle on user_id; the frame is a
+    bounded ROWS window, so state per key is 20 values at any scale."""
+    ev = data.load(
+        spark, sf, "events", columns=["event_id", "user_id", "ts", "value"]
+    )
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(tus, F.col("event_id"))
+        .rowsBetween(-19, 0)
+    )
+    avg = F.avg("value").over(w)
+    avg2 = F.avg(F.col("value") * F.col("value")).over(w)
+    n = F.count("*").over(w)
+    var = F.greatest(avg2 - avg * avg, F.lit(0.0))
+    z = (F.col("value") - avg) / F.sqrt(var + F.lit(1e-9))
+    return (
+        ev.select(
+            "user_id", "event_id",
+            F.round(z, 6).alias("z"),
+            n.alias("n_frame"),
+        )
+        .filter(F.col("n_frame") == 20)
+        .drop("n_frame")
+    )
+
+
+SQL_TS_ANOMALY = (
+    "WITH t AS (SELECT user_id, event_id, value, "
+    "AVG(value) OVER w AS a, "
+    "AVG(value * value) OVER w AS a2, "
+    "COUNT(*) OVER w AS n_frame "
+    "FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id "
+    "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) "
+    "SELECT user_id, event_id, "
+    "ROUND((value - a) / SQRT(GREATEST(a2 - a * a, 0.0) + 1e-9), 6) AS z "
+    "FROM t WHERE n_frame = 20"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "join_lateral_topn": (join_lateral_topn, SQL_JOIN_LATERAL),
     "ts_resample_locf": (ts_resample_locf, SQL_TS_RESAMPLE),
@@ -1117,6 +1240,10 @@ QUERIES: dict[str, tuple] = {
     ),
     "scan_changes_feed": (scan_changes_feed, SQL_CHANGES_FEED),
     "scan_changes_by_commit": (scan_changes_by_commit, SQL_CHANGES_BY_COMMIT),
+    "ts_anomaly_zscore": (ts_anomaly_zscore, SQL_TS_ANOMALY),
+    "scan_merge_conditional_delete": (
+        scan_merge_conditional_delete, SQL_MERGE_COND_DELETE,
+    ),
     "scan_merge_partitioned": (scan_merge_partitioned, SQL_MERGE_PARTITIONED),
     "scan_merge_cdc_tombstones": (scan_merge_cdc_tombstones, SQL_MERGE_CDC_TOMB),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),

@@ -1096,3 +1096,50 @@ def test_plain_append_extends_evolved_sidecar(spark, tmp_path):
                               "id AS extra") \
         .write.format("olive").mode("append").save(path2)
     assert spark.read.format("olive").load(path2).columns == ["k", "v", "grp"]
+
+
+def test_merge_delete_condition_leg(spark, tmp_path):
+    """WHEN MATCHED AND <cond> THEN DELETE: matched rows where the
+    delete predicate holds vanish; the rest fall through to the update
+    leg (conditional or unconditional); consumed source rows never
+    insert; unmatched rows still insert."""
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=100, files=2)  # (k, v=k*10, grp=k%7)
+    src = spark.range(90, 105).selectExpr(
+        "id AS k", "id AS v", "cast(1 as int) AS grp"
+    )
+    # delete matched rows with even k; replace the odd ones; insert 100+
+    merge_upsert(spark, path, src, ["k"], delete_condition="t.k % 2 = 0")
+    got = _rows(spark.read.format("olive").load(path))
+    expected = sorted(
+        [(k, k * 10, k % 7) for k in range(90)]
+        + [(k, k, 1) for k in range(90, 100) if k % 2 == 1]   # replaced
+        + [(k, k, 1) for k in range(100, 105)]                # inserted
+    )
+    assert got == expected
+
+    # composition: delete leg first, then conditional update
+    path2 = str(tmp_path / "t2")
+    _mk_table(spark, path2, n=50, files=1)
+    src2 = spark.range(40, 50).selectExpr(
+        "id AS k", "CASE WHEN id % 3 = 0 THEN 9999 ELSE id END AS v",
+        "cast(2 as int) AS grp",
+    )
+    merge_upsert(
+        spark, path2, src2, ["k"],
+        delete_condition="t.k % 2 = 0",
+        update_condition="s.v > t.v",
+    )
+    got2 = _rows(spark.read.format("olive").load(path2))
+    expected2 = sorted(
+        [(k, k * 10, k % 7) for k in range(40)]
+        + [(k, 9999, 2) for k in range(40, 50) if k % 2 == 1 and k % 3 == 0]
+        + [(k, k * 10, k % 7) for k in range(40, 50)
+           if k % 2 == 1 and k % 3 != 0]  # kept: update cond false
+    )
+    assert got2 == expected2
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        merge_upsert(spark, path2, src2, ["k"],
+                     delete_condition="t.k % 2 = 0", latest_by="v")
