@@ -636,6 +636,33 @@ SQL_COHORT_RETENTION = (
 )
 
 
+def _build_once(spark: SparkSession, sf: str, name: str, marker_name: str,
+                build_fn) -> str:
+    """Build-once protocol shared by every derived-table fixture in
+    this module: probe the completion marker, and if a PRIOR build
+    crashed before writing it, rebuild from scratch — re-running a
+    builder against a half-built dir would append a second full base
+    copy and bake duplicates into the cached table.  One copy of the
+    protocol; the builders supply only their table construction."""
+    import os as _os
+
+    from olive_spark.datasource import register_olive
+
+    register_olive(spark)
+    out = _os.path.join(data.ensure_olive(sf), name)
+    marker = _os.path.join(out, marker_name)
+    if _os.path.exists(marker):
+        return out
+    if _os.path.exists(out):
+        import shutil as _shutil
+
+        _shutil.rmtree(out)
+    build_fn(out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
 def _ensure_orders_merged(spark: SparkSession, sf: str) -> str:
     """Build (once per cache) a snapshot-logged ``orders_merged`` table
     and run a deterministic MERGE + DELETE against it:
@@ -655,41 +682,27 @@ def _ensure_orders_merged(spark: SparkSession, sf: str) -> str:
     update/delete layer (batch-only, /root/reference/src/root.zig:9-16);
     MERGE/DELETE are this engine's lakehouse extension
     (olive_spark/ops/maintenance.py)."""
-    import os as _os
-
-    from olive_spark.datasource import register_olive
     from olive_spark.ops.maintenance import delete_where, merge_upsert
 
-    register_olive(spark)
-    out = _os.path.join(data.ensure_olive(sf), "orders_merged")
-    marker = _os.path.join(out, "_MERGE_OK")
-    if _os.path.exists(marker):
-        return out
-    if _os.path.exists(out):
-        # a prior build crashed before its marker: re-running from the
-        # top against the half-built dir would append a second full
-        # base copy and bake duplicates in — rebuild from scratch
-        import shutil as _shutil
+    def build(out: str) -> None:
+        cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        base = data.load(spark, sf, "orders", columns=cols)
+        base.write.format("olive").option("table", "orders_merged") \
+            .mode("append").save(out)
+        updates = base.filter(F.col("o_custkey") % 10 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        )
+        inserts = base.filter(F.col("o_custkey") % 10 == 5).select(
+            (F.col("o_orderkey") + F.lit(900_000_000)).alias("o_orderkey"),
+            "o_custkey", "o_orderstatus",
+            (F.col("o_totalprice") * F.lit(2.0)).alias("o_totalprice"),
+        )
+        merge_upsert(spark, out, updates.unionByName(inserts),
+                     key_cols=["o_orderkey"], table="orders_merged")
+        delete_where(spark, out, "o_orderstatus = 'P'",
+                     table="orders_merged")
 
-        _shutil.rmtree(out)
-    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
-    base = data.load(spark, sf, "orders", columns=cols)
-    base.write.format("olive").option("table", "orders_merged") \
-        .mode("append").save(out)
-    updates = base.filter(F.col("o_custkey") % 10 == 0).withColumn(
-        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
-    )
-    inserts = base.filter(F.col("o_custkey") % 10 == 5).select(
-        (F.col("o_orderkey") + F.lit(900_000_000)).alias("o_orderkey"),
-        "o_custkey", "o_orderstatus",
-        (F.col("o_totalprice") * F.lit(2.0)).alias("o_totalprice"),
-    )
-    merge_upsert(spark, out, updates.unionByName(inserts),
-                 key_cols=["o_orderkey"], table="orders_merged")
-    delete_where(spark, out, "o_orderstatus = 'P'", table="orders_merged")
-    with open(marker, "w") as f:
-        f.write("ok")
-    return out
+    return _build_once(spark, sf, "orders_merged", "_MERGE_OK", build)
 
 
 def _ensure_orders_merged_part(spark: SparkSession, sf: str) -> str:
@@ -702,35 +715,24 @@ def _ensure_orders_merged_part(spark: SparkSession, sf: str) -> str:
     preserve the col=value layout (ops/maintenance._rewrite_and_swap
     partition_by; pytest asserts the layout, this query's oracle
     asserts the content)."""
-    import os as _os
-
-    from olive_spark.datasource import register_olive
     from olive_spark.ops.maintenance import delete_where, merge_upsert
 
-    register_olive(spark)
-    out = _os.path.join(data.ensure_olive(sf), "orders_merged_part")
-    marker = _os.path.join(out, "_MERGE_OK")
-    if _os.path.exists(marker):
-        return out
-    if _os.path.exists(out):
-        import shutil as _shutil
+    def build(out: str) -> None:
+        cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        base = data.load(spark, sf, "orders", columns=cols)
+        base.repartition("o_orderstatus").write.format("olive") \
+            .option("table", "orders_merged_part") \
+            .option("partitionBy", "o_orderstatus").mode("append").save(out)
+        updates = base.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * F.lit(2.0)
+        )
+        merge_upsert(spark, out, updates, key_cols=["o_orderkey"],
+                     table="orders_merged_part")
+        delete_where(spark, out,
+                     "o_orderstatus = 'F' AND o_orderkey % 7 = 3",
+                     table="orders_merged_part")
 
-        _shutil.rmtree(out)
-    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
-    base = data.load(spark, sf, "orders", columns=cols)
-    base.repartition("o_orderstatus").write.format("olive") \
-        .option("table", "orders_merged_part") \
-        .option("partitionBy", "o_orderstatus").mode("append").save(out)
-    updates = base.filter(F.col("o_orderkey") % 5 == 0).withColumn(
-        "o_totalprice", F.col("o_totalprice") * F.lit(2.0)
-    )
-    merge_upsert(spark, out, updates, key_cols=["o_orderkey"],
-                 table="orders_merged_part")
-    delete_where(spark, out, "o_orderstatus = 'F' AND o_orderkey % 7 = 3",
-                 table="orders_merged_part")
-    with open(marker, "w") as f:
-        f.write("ok")
-    return out
+    return _build_once(spark, sf, "orders_merged_part", "_MERGE_OK", build)
 
 
 def scan_merge_partitioned(spark: SparkSession, sf: str) -> DataFrame:
@@ -770,44 +772,34 @@ def _ensure_orders_cdc_tomb(spark: SparkSession, sf: str) -> str:
     as tombstones.  Per customer the max-orderkey change wins — an
     upsert replaces, a winning tombstone deletes — all reconstructable
     in plain SQL over the base orders view."""
-    import os as _os
-
-    from olive_spark.datasource import register_olive
     from olive_spark.ops.maintenance import merge_upsert
 
-    register_olive(spark)
-    out = _os.path.join(data.ensure_olive(sf), "orders_cdc_tomb")
-    marker = _os.path.join(out, "_CDC_OK")
-    if _os.path.exists(marker):
-        return out
-    if _os.path.exists(out):
-        import shutil as _shutil
+    def build(out: str) -> None:
+        from pyspark.sql.window import Window as W
 
-        _shutil.rmtree(out)
-    from pyspark.sql.window import Window as W
-
-    cols = ["o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice"]
-    orders = data.load(spark, sf, "orders", columns=cols)
-    base = (
-        orders.filter(F.col("o_orderkey") % 2 == 0)
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                W.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
-            ),
+        cols = ["o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice"]
+        orders = data.load(spark, sf, "orders", columns=cols)
+        base = (
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    W.partitionBy("o_custkey")
+                    .orderBy(F.col("o_orderkey").desc())
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
         )
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    base.write.format("olive").option("table", "data").mode("append").save(out)
-    batch = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
-        "_deleted", F.col("o_custkey") % 5 == 0
-    )
-    merge_upsert(spark, out, batch, ["o_custkey"],
-                 latest_by="o_orderkey", delete_col="_deleted")
-    with open(marker, "w") as f:
-        f.write("ok")
-    return out
+        base.write.format("olive").option("table", "data") \
+            .mode("append").save(out)
+        batch = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+            "_deleted", F.col("o_custkey") % 5 == 0
+        )
+        merge_upsert(spark, out, batch, ["o_custkey"],
+                     latest_by="o_orderkey", delete_col="_deleted")
+
+    return _build_once(spark, sf, "orders_cdc_tomb", "_CDC_OK", build)
 
 
 def scan_merge_cdc_tombstones(spark: SparkSession, sf: str) -> DataFrame:
@@ -897,47 +889,35 @@ def _ensure_orders_merged_cond(spark: SparkSession, sf: str) -> str:
     DuckDB oracle replays the WHEN MATCHED AND leg as a LEFT JOIN CASE;
     kept/untouched rows must read the evolved o_priority column as NULL
     (schema sidecar + read-time null-fill, format/table_schema.py)."""
-    import os as _os
-
-    from olive_spark.datasource import register_olive
     from olive_spark.ops.maintenance import merge_upsert
 
-    register_olive(spark)
-    out = _os.path.join(data.ensure_olive(sf), "orders_merged_cond")
-    marker = _os.path.join(out, "_MERGE_OK")
-    if _os.path.exists(marker):
-        return out
-    if _os.path.exists(out):
-        import shutil as _shutil
+    def build(out: str) -> None:
+        cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+        base = data.load(spark, sf, "orders", columns=cols)
+        base.write.format("olive").option("table", "orders_merged_cond") \
+            .mode("append").save(out)
+        updates = base.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey", "o_custkey",
+            (F.col("o_totalprice") + F.when(
+                F.col("o_custkey") % 2 == 0, F.lit(500.0)
+            ).otherwise(F.lit(-500.0))).alias("o_totalprice"),
+            (F.col("o_orderkey") % 5).cast("int").alias("o_priority"),
+        )
+        inserts = base.filter(
+            (F.col("o_orderkey") % 3 == 1) & (F.col("o_custkey") % 10 == 7)
+        ).select(
+            (F.col("o_orderkey") + F.lit(900_000_000)).alias("o_orderkey"),
+            "o_custkey", "o_totalprice",
+            F.lit(-1).cast("int").alias("o_priority"),
+        )
+        merge_upsert(
+            spark, out, updates.unionByName(inserts),
+            key_cols=["o_orderkey"], table="orders_merged_cond",
+            update_condition="s.o_totalprice > t.o_totalprice",
+            evolve_schema=True,
+        )
 
-        _shutil.rmtree(out)
-    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
-    base = data.load(spark, sf, "orders", columns=cols)
-    base.write.format("olive").option("table", "orders_merged_cond") \
-        .mode("append").save(out)
-    updates = base.filter(F.col("o_orderkey") % 3 == 0).select(
-        "o_orderkey", "o_custkey",
-        (F.col("o_totalprice") + F.when(
-            F.col("o_custkey") % 2 == 0, F.lit(500.0)
-        ).otherwise(F.lit(-500.0))).alias("o_totalprice"),
-        (F.col("o_orderkey") % 5).cast("int").alias("o_priority"),
-    )
-    inserts = base.filter(
-        (F.col("o_orderkey") % 3 == 1) & (F.col("o_custkey") % 10 == 7)
-    ).select(
-        (F.col("o_orderkey") + F.lit(900_000_000)).alias("o_orderkey"),
-        "o_custkey", "o_totalprice",
-        F.lit(-1).cast("int").alias("o_priority"),
-    )
-    merge_upsert(
-        spark, out, updates.unionByName(inserts), key_cols=["o_orderkey"],
-        table="orders_merged_cond",
-        update_condition="s.o_totalprice > t.o_totalprice",
-        evolve_schema=True,
-    )
-    with open(marker, "w") as f:
-        f.write("ok")
-    return out
+    return _build_once(spark, sf, "orders_merged_cond", "_MERGE_OK", build)
 
 
 def scan_merge_conditional_evolve(spark: SparkSession, sf: str) -> DataFrame:
@@ -1016,37 +996,26 @@ def _ensure_orders_merged_del(spark: SparkSession, sf: str) -> str:
     ``delete_condition="s.o_totalprice < t.o_totalprice"`` — so the
     odd-custkey matches are DELETED and the even-custkey matches fall
     through to the standard replace."""
-    import os as _os
-
-    from olive_spark.datasource import register_olive
     from olive_spark.ops.maintenance import merge_upsert
 
-    register_olive(spark)
-    out = _os.path.join(data.ensure_olive(sf), "orders_merged_del")
-    marker = _os.path.join(out, "_MERGE_OK")
-    if _os.path.exists(marker):
-        return out
-    if _os.path.exists(out):
-        import shutil as _shutil
+    def build(out: str) -> None:
+        cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+        base = data.load(spark, sf, "orders", columns=cols)
+        base.write.format("olive").option("table", "orders_merged_del") \
+            .mode("append").save(out)
+        src = base.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey", "o_custkey",
+            (F.col("o_totalprice") + F.when(
+                F.col("o_custkey") % 2 == 0, F.lit(500.0)
+            ).otherwise(F.lit(-500.0))).alias("o_totalprice"),
+        )
+        merge_upsert(
+            spark, out, src, key_cols=["o_orderkey"],
+            table="orders_merged_del",
+            delete_condition="s.o_totalprice < t.o_totalprice",
+        )
 
-        _shutil.rmtree(out)
-    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
-    base = data.load(spark, sf, "orders", columns=cols)
-    base.write.format("olive").option("table", "orders_merged_del") \
-        .mode("append").save(out)
-    src = base.filter(F.col("o_orderkey") % 3 == 0).select(
-        "o_orderkey", "o_custkey",
-        (F.col("o_totalprice") + F.when(
-            F.col("o_custkey") % 2 == 0, F.lit(500.0)
-        ).otherwise(F.lit(-500.0))).alias("o_totalprice"),
-    )
-    merge_upsert(
-        spark, out, src, key_cols=["o_orderkey"], table="orders_merged_del",
-        delete_condition="s.o_totalprice < t.o_totalprice",
-    )
-    with open(marker, "w") as f:
-        f.write("ok")
-    return out
+    return _build_once(spark, sf, "orders_merged_del", "_MERGE_OK", build)
 
 
 def scan_merge_conditional_delete(spark: SparkSession, sf: str) -> DataFrame:
