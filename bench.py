@@ -90,6 +90,8 @@ HEADLINE = [
     "ts_anomaly_zscore",           # r8: rolling z-score outliers
     "llm_word_entropy",            # r8: word-entropy quality signal
     "scan_merge_conditional_delete",  # r8: conditional-delete merge leg
+    "scan_incremental_matview",    # r8: delta-fold continuous aggregate
+    "llm_neardup_incremental",     # r8: persisted LSH index probe
 ]
 
 

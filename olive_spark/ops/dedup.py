@@ -167,6 +167,29 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return out.select(F.col("__id").alias(id_col), "minhash")
 
 
+def band_hashes(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band_id, band_hash) triples from a minhash-signature frame:
+    the LSH banding surface.  ONE definition shared by the in-memory
+    self-join (minhash_lsh_pairs) and the persisted index
+    (lsh_index.py) — a probe computed with a different band hash than
+    the stored index would silently find nothing."""
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band_id"),
+                    F.xxhash64(*[
+                        F.col("minhash")[bi * _ROWS + r]
+                        for r in range(_ROWS)
+                    ]).alias("band_hash"),
+                )
+                for bi in range(_BANDS)
+            ])
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     threshold: float = 0.5,
@@ -189,18 +212,7 @@ def minhash_lsh_pairs(
     # triples — the 64-long signatures would be replicated 16× through
     # the shuffle otherwise; they re-attach from the persisted cache
     # after the candidate set (small by construction) is deduplicated
-    bands = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bi).alias("band_id"),
-                    F.xxhash64(*[F.col("minhash")[bi * _ROWS + r] for r in range(_ROWS)]).alias("band_hash"),
-                )
-                for bi in range(_BANDS)
-            ])
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash")
+    bands = band_hashes(sigs, id_col)
 
     a = bands.alias("a")
     b = bands.alias("b")

@@ -55,6 +55,47 @@ def llm_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(df, threshold=0.5)
 
 
+def llm_neardup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental NEAR-dup against a PERSISTED MinHash-LSH index
+    (ops/lsh_index.py) — the near-dup counterpart of the exact
+    llm_dedup_incremental: the corpus' signatures + band hashes are
+    built ONCE per cache and every later call only signs the probe
+    batch and equi-joins band triples (the corpus text is never
+    re-read).  Probe batch = re-keyed copies of doc_id % 4 == 1
+    documents, so identity-level matches are guaranteed and the result
+    is a deterministic function of the fixture.  Rows-only (banding +
+    xxhash64 permutations aren't ANSI SQL); probe parity with the
+    in-memory LSH self-join is pinned exactly by
+    tests/test_lsh_index.py::test_probe_matches_inmemory_lsh."""
+    import os as _os
+
+    from olive_spark.ops import lsh_index
+
+    docs = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    index_dir = _os.path.join(data.ensure_olive(sf), "lsh_index_documents")
+    if not _os.path.exists(_os.path.join(index_dir, "_lsh_meta.json")):
+        lsh_index.build_lsh_index(spark, docs, index_dir)
+    batch = docs.filter(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    pairs = lsh_index.probe_index(spark, batch, index_dir, threshold=0.5)
+    # per-probe-doc summary: bounded rows; best = (max jaccard, min
+    # corpus_id at that jaccard) via one struct-max — deterministic
+    return pairs.groupBy("query_id").agg(
+        F.count("*").alias("n_matches"),
+        F.max(
+            F.struct(
+                F.col("jaccard_est").alias("j"),
+                (-F.col("corpus_id")).alias("nc"),
+            )
+        ).alias("__best"),
+    ).select(
+        "query_id", "n_matches",
+        F.col("__best.j").alias("best_jaccard"),
+        (-F.col("__best.nc")).alias("best_corpus_id"),
+    )
+
+
 def llm_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only)."""
     df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
@@ -454,6 +495,7 @@ QUERIES: dict[str, tuple] = {
     "mm_image_resize": (mm_image_resize, SQL_MM_RESIZE),
     "llm_dedup_incremental": (llm_dedup_incremental, SQL_DEDUP_INCR),
     "llm_dedup_minhash": (llm_dedup_minhash, None),
+    "llm_neardup_incremental": (llm_neardup_incremental, None),
     "llm_dedup_simhash": (llm_dedup_simhash, None),
     "llm_dedup_ngram": (llm_dedup_ngram, None),
     "llm_dedup_embedding": (llm_dedup_embedding, None),

@@ -1052,6 +1052,91 @@ SQL_MERGE_COND_DELETE = (
 )
 
 
+def _ensure_orders_matview(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) an incrementally-maintained materialized
+    aggregate (ops/matview.py) over its own snapshot-logged copy of
+    orders:
+
+      v1  base src table + FULL view build (group by o_orderstatus:
+          count(*), decimal sum of o_totalprice, sum of o_orderkey)
+      v2  merge_upsert — the same deterministic update/insert transform
+          as _ensure_orders_merged
+      v3  delete_where o_orderstatus = 'P' — empties the whole 'P'
+          group, so the refresh must DROP its view row, not zero it
+      --  ONE delta-mode refresh folding the v1→v3 net change feed into
+          the stored values; the source is never rescanned
+          (tests/test_matview.py proves that mechanically by moving
+          untouched source files away mid-refresh)
+
+    Sums are decimal, so the incremental fold is exact and the final
+    view must be BIT-IDENTICAL to the oracle's from-scratch aggregation
+    of the reconstructed post-merge state (same oracle SQL as
+    scan_after_merge_upsert — identical final state, but here the
+    result comes off the maintained view, not a table scan).  The
+    reference format is batch-only (/root/reference/src/root.zig:9-16);
+    continuous aggregates are this engine's lakehouse extension."""
+    from olive_spark.ops.maintenance import delete_where, merge_upsert
+    from olive_spark.ops.matview import refresh_matview
+
+    def build(out: str) -> None:
+        import os as _os
+        import shutil as _shutil
+
+        view = out + "_view"
+        if _os.path.exists(view):
+            _shutil.rmtree(view)
+        cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        base = data.load(spark, sf, "orders", columns=cols)
+        base.write.format("olive").option("table", "mv_src") \
+            .mode("append").save(out)
+        aggs = {
+            "n": "count(*)",
+            "sum_price": "sum(CAST(o_totalprice AS DECIMAL(18,2)))",
+            "sum_keys": "sum(o_orderkey)",
+        }
+        refresh_matview(spark, out, view, group_cols=["o_orderstatus"],
+                        aggs=aggs, src_table="mv_src",
+                        mv_table="orders_mv")
+        updates = base.filter(F.col("o_custkey") % 10 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        )
+        inserts = base.filter(F.col("o_custkey") % 10 == 5).select(
+            (F.col("o_orderkey") + F.lit(900_000_000)).alias("o_orderkey"),
+            "o_custkey", "o_orderstatus",
+            (F.col("o_totalprice") * F.lit(2.0)).alias("o_totalprice"),
+        )
+        merge_upsert(spark, out, updates.unionByName(inserts),
+                     key_cols=["o_orderkey"], table="mv_src")
+        delete_where(spark, out, "o_orderstatus = 'P'", table="mv_src")
+        st = refresh_matview(spark, out, view,
+                             group_cols=["o_orderstatus"], aggs=aggs,
+                             src_table="mv_src", mv_table="orders_mv")
+        assert st["mode"] == "delta", st
+
+    return _build_once(spark, sf, "orders_mv_src", "_MV_OK", build)
+
+
+def scan_incremental_matview(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-materialized-view parity: read the MAINTAINED view
+    (full build at v1, one delta-mode refresh folding the merge+delete
+    net change feed) and compare it against the oracle's from-scratch
+    aggregation of the final state.  A fold that double-applied a
+    change, missed a rewritten file, kept the emptied 'P' group, or
+    drifted the decimal sum by a cent hash-mismatches."""
+    path = _ensure_orders_matview(spark, sf)
+    df = spark.read.format("olive") \
+        .option("table", "orders_mv").load(path + "_view")
+    return df.select(
+        "o_orderstatus", "n",
+        F.col("sum_price").cast(D).alias("sum_price"), "sum_keys",
+    )
+
+
+# identical final state as scan_after_merge_upsert, reached through the
+# maintained view instead of a table scan
+SQL_INCREMENTAL_MATVIEW = SQL_AFTER_MERGE
+
+
 def scan_changes_feed(spark: SparkSession, sf: str) -> DataFrame:
     """Change-data-feed parity (ops.changes.read_changes): the NET
     row-level changes between the orders_merged table's base version
@@ -1214,6 +1299,9 @@ QUERIES: dict[str, tuple] = {
         scan_merge_conditional_delete, SQL_MERGE_COND_DELETE,
     ),
     "scan_merge_partitioned": (scan_merge_partitioned, SQL_MERGE_PARTITIONED),
+    "scan_incremental_matview": (
+        scan_incremental_matview, SQL_INCREMENTAL_MATVIEW,
+    ),
     "scan_merge_cdc_tombstones": (scan_merge_cdc_tombstones, SQL_MERGE_CDC_TOMB),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),
     "join_interval_overlap": (join_interval_overlap, SQL_INTERVAL_JOIN),
