@@ -92,6 +92,7 @@ HEADLINE = [
     "scan_merge_conditional_delete",  # r8: conditional-delete merge leg
     "scan_incremental_matview",    # r8: delta-fold continuous aggregate
     "llm_neardup_incremental",     # r8: persisted LSH index probe
+    "llm_keyword_search",          # r8: inverted-index term search
 ]
 
 

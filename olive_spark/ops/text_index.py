@@ -1,0 +1,208 @@
+"""Persisted keyword inverted index over a document corpus: exact
+multi-term search without re-scanning document text.
+
+Layout:
+
+    index_dir/postings/   (token, doc_id) — one row per DISTINCT token
+                          per document, range-CLUSTERED by token
+    index_dir/_text_meta.json
+
+The postings table is written ``repartitionByRange(token) +
+sortWithinPartitions(token, id)``, so each file owns a contiguous token
+range: a term lookup prunes to the files whose [min, max] token stats
+straddle the term (format/manifest.py) and the per-file token Bloom
+(``bloomColumns``) kills the range stragglers — at 100 TB a search
+reads a few postings files, never the corpus.  AND semantics are a
+group-count over the term-filtered postings (a slim (token, id)
+shuffle); the matched ids then semi-join back to whatever document
+table the caller wants hydrated — ids-only until the last step.
+
+This is the classic distributed inverted-index shape (term-partitioned
+postings lists — e.g. Zobel & Moffat, "Inverted files for text search
+engines", ACM Computing Surveys 2006); the reference format has no
+search layer (/root/reference/src/root.zig:9-16).
+
+Tokenization is the engine's standard ``\\s+``-split lowercase
+(shared with ops/dedup.py shingling and ops/textstats.py counting), so
+index hits agree with what those operators see as tokens.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+
+_TEXT_META = "_text_meta.json"
+
+
+def _tokens(text_col: str):
+    return F.array_distinct(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    )
+
+
+def _meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, _TEXT_META)
+
+
+def load_meta(index_dir: str) -> dict:
+    p = _meta_path(index_dir)
+    if not os.path.exists(p):
+        raise ValueError(
+            f"no text index at {index_dir} (missing {_TEXT_META})"
+        )
+    with open(p, "r") as f:
+        return json.load(f)
+
+
+def _write_meta(index_dir: str, meta: dict) -> None:
+    tmp = _meta_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _meta_path(index_dir))
+
+
+def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+
+
+def _write_postings(postings: DataFrame, path: str, id_col: str,
+                    n_files: int) -> None:
+    (
+        postings.repartitionByRange(n_files, "token")
+        .sortWithinPartitions("token", id_col)
+        .write.format("olive").option("bloomColumns", "token")
+        .mode("append").save(path)
+    )
+
+
+def build_text_index(
+    spark,
+    docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_files: int = 16,
+) -> dict:
+    """Create the index from scratch.  ``n_files`` sets the token-range
+    granularity — more files = finer pruning; size it so a file is a
+    few hundred MB at your corpus scale."""
+    if os.path.exists(_meta_path(index_dir)):
+        raise ValueError(
+            f"text index already exists at {index_dir} — use append_text_index"
+        )
+    from olive_spark.datasource import register_olive
+
+    register_olive(spark)
+    os.makedirs(index_dir, exist_ok=True)
+    _write_postings(
+        _postings(docs, text_col, id_col),
+        os.path.join(index_dir, "postings"), id_col, n_files,
+    )
+    n = docs.count()
+    meta = {
+        "id_col": id_col, "n_docs": int(n), "n_files": int(n_files),
+        "build_id": uuid.uuid4().hex,
+    }
+    _write_meta(index_dir, meta)
+    return meta
+
+
+def append_text_index(
+    spark,
+    new_docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Add new documents (idempotent on already-indexed ids).  Appended
+    postings land token-clustered among THEMSELVES; interleaving with
+    the existing token ranges degrades pruning gradually — run
+    ops.maintenance.compact(sort_by=["token"]) on the postings dir to
+    restore a single global clustering."""
+    from olive_spark.datasource import register_olive
+
+    register_olive(spark)
+    meta = load_meta(index_dir)
+    if meta["id_col"] != id_col:
+        raise ValueError(f"index id_col is {meta['id_col']!r}, got {id_col!r}")
+    path = os.path.join(index_dir, "postings")
+    indexed = (
+        spark.read.format("olive").load(path)
+        .select(F.col(id_col)).distinct()
+    )
+    fresh = new_docs.join(indexed, id_col, "left_anti")
+    n_new = fresh.count()
+    if n_new:
+        _write_postings(
+            _postings(fresh, text_col, id_col), path, id_col,
+            max(1, meta["n_files"] // 4),
+        )
+    meta["n_docs"] = int(meta["n_docs"]) + int(n_new)
+    meta["build_id"] = uuid.uuid4().hex
+    _write_meta(index_dir, meta)
+    return {**meta, "appended": int(n_new)}
+
+
+def search_tokens(
+    spark,
+    index_dir: str,
+    terms: "list[str]",
+    mode: str = "all",
+) -> DataFrame:
+    """Document ids whose token set matches ``terms`` — ``all`` (AND)
+    or ``any`` (OR).  Terms are normalized with the index's own
+    tokenizer rule (lowercase; a term containing whitespace is
+    rejected — this is a token index, not a phrase index)."""
+    from olive_spark.datasource import register_olive
+
+    register_olive(spark)
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    norm = [t.strip().lower() for t in terms]
+    if any((not t) or any(c.isspace() for c in t) for t in norm):
+        raise ValueError(
+            f"terms must be single non-empty tokens, got {terms!r} — "
+            "for phrases, AND the tokens and post-filter the text"
+        )
+    if mode not in ("all", "any"):
+        raise ValueError(f"unknown mode {mode!r}")
+    norm = sorted(set(norm))
+    meta = load_meta(index_dir)
+    id_col = meta["id_col"]
+    postings = spark.read.format("olive").load(
+        os.path.join(index_dir, "postings")
+    )
+    # isin on the clustered token column: min/max stats prune whole
+    # files, the token Bloom kills range stragglers (plan-contract
+    # tested); postings rows are distinct by construction
+    hits = postings.filter(F.col("token").isin(norm))
+    if mode == "any":
+        return hits.select(id_col).distinct()
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count_distinct("token").alias("__nt"))
+        .filter(F.col("__nt") == len(norm))
+        .select(id_col)
+    )
+
+
+def search_docs(
+    spark,
+    docs: DataFrame,
+    index_dir: str,
+    terms: "list[str]",
+    mode: str = "all",
+) -> DataFrame:
+    """``docs`` rows whose ids match the term search — the hydration
+    join is a left_semi on ids, so document payloads never shuffle."""
+    meta = load_meta(index_dir)
+    ids = search_tokens(spark, index_dir, terms, mode)
+    return docs.join(ids, meta["id_col"], "left_semi")

@@ -96,6 +96,44 @@ def llm_neardup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def llm_keyword_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact multi-term keyword search served from the persisted
+    inverted index (ops/text_index.py): postings (token, doc_id) are
+    token-range-clustered olive files with per-file token Blooms, built
+    once per cache; every later call reads only the files whose token
+    stats straddle the terms — the corpus text is never re-scanned.
+    Output is EXACT (AND + OR of literal tokens), so the DuckDB oracle
+    is a plain tokenize-and-filter over the documents view — an index
+    that dropped a posting file, double-counted a token, or diverged
+    from the engine's \\s+-lowercase tokenizer hash-mismatches."""
+    import os as _os
+
+    from olive_spark.ops import text_index
+
+    docs = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    index_dir = _os.path.join(data.ensure_olive(sf), "text_index_documents")
+    if not _os.path.exists(_os.path.join(index_dir, "_text_meta.json")):
+        text_index.build_text_index(spark, docs, index_dir)
+    both = text_index.search_tokens(
+        spark, index_dir, ["vector", "customer"], "all"
+    ).withColumn("match_kind", F.lit("both"))
+    either = text_index.search_tokens(
+        spark, index_dir, ["vector", "customer"], "any"
+    ).withColumn("match_kind", F.lit("either"))
+    return both.unionByName(either)
+
+
+SQL_KEYWORD_SEARCH = (
+    "WITH toks AS (SELECT doc_id, "
+    "regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents) "
+    "SELECT doc_id, 'both' AS match_kind FROM toks "
+    "WHERE list_contains(t, 'vector') AND list_contains(t, 'customer') "
+    "UNION ALL "
+    "SELECT doc_id, 'either' AS match_kind FROM toks "
+    "WHERE list_contains(t, 'vector') OR list_contains(t, 'customer')"
+)
+
+
 def llm_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only)."""
     df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
@@ -496,6 +534,7 @@ QUERIES: dict[str, tuple] = {
     "llm_dedup_incremental": (llm_dedup_incremental, SQL_DEDUP_INCR),
     "llm_dedup_minhash": (llm_dedup_minhash, None),
     "llm_neardup_incremental": (llm_neardup_incremental, None),
+    "llm_keyword_search": (llm_keyword_search, SQL_KEYWORD_SEARCH),
     "llm_dedup_simhash": (llm_dedup_simhash, None),
     "llm_dedup_ngram": (llm_dedup_ngram, None),
     "llm_dedup_embedding": (llm_dedup_embedding, None),

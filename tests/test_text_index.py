@@ -1,0 +1,146 @@
+"""Keyword inverted index (ops.text_index): search parity with a
+Python reference, AND/OR semantics, token-range file pruning on the
+clustered postings layout, idempotent appends."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from olive_spark import register_olive
+
+    register_olive(s)
+    yield s
+
+
+def _tokens_of(i: int) -> "list[str]":
+    # deterministic 12-token docs over a 100-term vocabulary
+    return [f"w{((i * 37 + j * 11) % 100):02d}" for j in range(12)]
+
+
+@pytest.fixture(scope="module")
+def docs_rows():
+    return [(i, " ".join(_tokens_of(i))) for i in range(200)]
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _ref_search(rows, terms, mode):
+    out = []
+    for i, text in rows:
+        toks = set(text.split())
+        hit = (
+            all(t in toks for t in terms)
+            if mode == "all" else any(t in toks for t in terms)
+        )
+        if hit:
+            out.append(i)
+    return sorted(out)
+
+
+def test_search_parity_and_or(spark, tmp_path, docs_rows):
+    from olive_spark.ops.text_index import build_text_index, search_tokens
+
+    idx = str(tmp_path / "idx")
+    meta = build_text_index(spark, _frame(spark, docs_rows), idx, n_files=4)
+    assert meta["n_docs"] == 200
+    for terms, mode in [
+        (["w00"], "all"),
+        (["w13", "w57"], "all"),
+        (["w13", "w57"], "any"),
+        (["w01", "w02", "w03"], "all"),
+        (["w01", "w02", "w03"], "any"),
+        (["nosuchtoken"], "all"),
+    ]:
+        got = sorted(
+            r["doc_id"]
+            for r in search_tokens(spark, idx, terms, mode).collect()
+        )
+        assert got == _ref_search(docs_rows, terms, mode), (terms, mode)
+
+
+def test_search_docs_hydration(spark, tmp_path, docs_rows):
+    from olive_spark.ops.text_index import build_text_index, search_docs
+
+    idx = str(tmp_path / "idx")
+    docs = _frame(spark, docs_rows)
+    build_text_index(spark, docs, idx, n_files=4)
+    out = search_docs(spark, docs, idx, ["w13", "w57"], "all").collect()
+    want = set(_ref_search(docs_rows, ["w13", "w57"], "all"))
+    assert {r["doc_id"] for r in out} == want
+    assert all(r["text"] == dict(docs_rows)[r["doc_id"]] for r in out)
+
+
+def test_token_range_pruning(spark, tmp_path, docs_rows):
+    """The clustered postings layout must let a single-term lookup skip
+    most files on token min/max stats + Bloom — the property that makes
+    the index cheaper than a corpus scan at 100 TB."""
+    from olive_spark.ops.text_index import build_text_index
+    from tests.test_datasource import _surviving
+
+    idx = str(tmp_path / "idx")
+    build_text_index(spark, _frame(spark, docs_rows), idx, n_files=8)
+    postings = f"{idx}/postings"
+    import os
+
+    n_files = sum(1 for f in os.listdir(postings) if f.endswith(".olive"))
+    assert n_files >= 4
+    lo = _surviving(spark, postings, [("token", "in", ["w03"])])
+    hi = _surviving(spark, postings, [("token", "in", ["w97"])])
+    none = _surviving(spark, postings, [("token", "in", ["zzz_absent"])])
+    assert lo <= max(1, n_files // 4), (lo, n_files)
+    assert hi <= max(1, n_files // 4), (hi, n_files)
+    assert none == 0
+
+
+def test_append_idempotent(spark, tmp_path, docs_rows):
+    from olive_spark.ops.text_index import (
+        append_text_index,
+        build_text_index,
+        search_tokens,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_text_index(spark, _frame(spark, docs_rows), idx, n_files=4)
+    extra = [(1000 + i, f"zebra{i:02d} w00 shared") for i in range(5)]
+    st = append_text_index(spark, _frame(spark, extra), idx)
+    assert st["appended"] == 5
+    st = append_text_index(spark, _frame(spark, extra), idx)
+    assert st["appended"] == 0
+    got = {
+        r["doc_id"]
+        for r in search_tokens(spark, idx, ["shared"], "all").collect()
+    }
+    assert got == {1000 + i for i in range(5)}
+    # appended docs join the existing term space too
+    got = {
+        r["doc_id"]
+        for r in search_tokens(spark, idx, ["w00"], "all").collect()
+    }
+    assert {1000 + i for i in range(5)} <= got
+
+
+def test_term_validation(spark, tmp_path, docs_rows):
+    from olive_spark.ops.text_index import build_text_index, search_tokens
+
+    idx = str(tmp_path / "idx")
+    build_text_index(spark, _frame(spark, docs_rows[:10]), idx, n_files=2)
+    with pytest.raises(ValueError, match="non-empty"):
+        search_tokens(spark, idx, [], "all")
+    with pytest.raises(ValueError, match="single non-empty tokens"):
+        search_tokens(spark, idx, ["two words"], "all")
+    with pytest.raises(ValueError, match="mode"):
+        search_tokens(spark, idx, ["w00"], "phrase")
