@@ -93,6 +93,7 @@ HEADLINE = [
     "scan_incremental_matview",    # r8: delta-fold continuous aggregate
     "llm_neardup_incremental",     # r8: persisted LSH index probe
     "llm_keyword_search",          # r8: inverted-index term search
+    "llm_bm25_search",             # r8: BM25 ranking off the same index
 ]
 
 

@@ -68,9 +68,25 @@ def _write_meta(index_dir: str, meta: dict) -> None:
 
 
 def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    return docs.select(
-        F.col(id_col), F.explode(_tokens(text_col)).alias("token")
-    ).filter(F.col("token") != "")
+    """(id, token, tf, dl): term frequency + document length ride along
+    in each posting row (denormalized — repeating the small dl int per
+    posting compresses to nothing and saves the doc-length join every
+    ranked search would otherwise pay).  The explode + groupBy shuffles
+    (id, token) pairs once at BUILD time; searches never re-derive."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ex = (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.size(F.filter(F.col("__toks"), lambda t: t != "")).alias("dl"),
+            F.explode("__toks").alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    return ex.groupBy(id_col, "token").agg(
+        F.count("*").cast("int").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
 
 
 def _write_postings(postings: DataFrame, path: str, id_col: str,
@@ -102,13 +118,18 @@ def build_text_index(
 
     register_olive(spark)
     os.makedirs(index_dir, exist_ok=True)
-    _write_postings(
-        _postings(docs, text_col, id_col),
-        os.path.join(index_dir, "postings"), id_col, n_files,
-    )
-    n = docs.count()
+    p = _postings(docs, text_col, id_col).persist()
+    try:
+        n, total = p.agg(
+            F.count_distinct(F.col(id_col)), F.sum("tf")
+        ).first()
+        _write_postings(p, os.path.join(index_dir, "postings"), id_col,
+                        n_files)
+    finally:
+        p.unpersist()
     meta = {
-        "id_col": id_col, "n_docs": int(n), "n_files": int(n_files),
+        "id_col": id_col, "n_docs": int(n or 0),
+        "n_tokens": int(total or 0), "n_files": int(n_files),
         "build_id": uuid.uuid4().hex,
     }
     _write_meta(index_dir, meta)
@@ -139,16 +160,21 @@ def append_text_index(
         .select(F.col(id_col)).distinct()
     )
     fresh = new_docs.join(indexed, id_col, "left_anti")
-    n_new = fresh.count()
-    if n_new:
-        _write_postings(
-            _postings(fresh, text_col, id_col), path, id_col,
-            max(1, meta["n_files"] // 4),
-        )
-    meta["n_docs"] = int(meta["n_docs"]) + int(n_new)
+    p = _postings(fresh, text_col, id_col).persist()
+    try:
+        n_new, t_new = p.agg(
+            F.count_distinct(F.col(id_col)), F.sum("tf")
+        ).first()
+        n_new, t_new = int(n_new or 0), int(t_new or 0)
+        if n_new:
+            _write_postings(p, path, id_col, max(1, meta["n_files"] // 4))
+    finally:
+        p.unpersist()
+    meta["n_docs"] = int(meta["n_docs"]) + n_new
+    meta["n_tokens"] = int(meta.get("n_tokens", 0)) + t_new
     meta["build_id"] = uuid.uuid4().hex
     _write_meta(index_dir, meta)
-    return {**meta, "appended": int(n_new)}
+    return {**meta, "appended": n_new}
 
 
 def search_tokens(
@@ -164,17 +190,9 @@ def search_tokens(
     from olive_spark.datasource import register_olive
 
     register_olive(spark)
-    if not terms:
-        raise ValueError("terms must be non-empty")
-    norm = [t.strip().lower() for t in terms]
-    if any((not t) or any(c.isspace() for c in t) for t in norm):
-        raise ValueError(
-            f"terms must be single non-empty tokens, got {terms!r} — "
-            "for phrases, AND the tokens and post-filter the text"
-        )
+    norm = _normalize_terms(terms)
     if mode not in ("all", "any"):
         raise ValueError(f"unknown mode {mode!r}")
-    norm = sorted(set(norm))
     meta = load_meta(index_dir)
     id_col = meta["id_col"]
     postings = spark.read.format("olive").load(
@@ -192,6 +210,106 @@ def search_tokens(
         .filter(F.col("__nt") == len(norm))
         .select(id_col)
     )
+
+
+def _normalize_terms(terms: "list[str]") -> "list[str]":
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    norm = [t.strip().lower() for t in terms]
+    if any((not t) or any(c.isspace() for c in t) for t in norm):
+        raise ValueError(
+            f"terms must be single non-empty tokens, got {terms!r} — "
+            "for phrases, AND the tokens and post-filter the text"
+        )
+    return sorted(set(norm))
+
+
+def search_bm25(
+    spark,
+    index_dir: str,
+    terms: "list[str]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 (Robertson/Spärck Jones probabilistic
+    ranking — the standard Okapi formulation) over the indexed corpus:
+
+        idf(t)     = ln(1 + (N − df + 0.5)/(df + 0.5))
+        score(d)   = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+
+    N and avgdl come from the index meta; df(t) aggregates over the
+    SAME term-filtered postings the scoring reads (one file-pruned
+    scan, persisted).  df is collected to the driver — bounded by
+    len(terms), never by corpus.  Scores are rounded to ``round_to``
+    decimals and tie-broken by id so the ranking is deterministic and
+    reproducible cross-engine.  Returns (id, score, n_terms_hit)."""
+    from olive_spark.datasource import register_olive
+
+    register_olive(spark)
+    norm = _normalize_terms(terms)
+    meta = load_meta(index_dir)
+    id_col = meta["id_col"]
+    n_docs = int(meta["n_docs"])
+    if not n_docs:
+        raise ValueError(f"index at {index_dir} is empty")
+    if "n_tokens" not in meta:
+        raise ValueError(
+            "index predates tf/dl postings — rebuild with this version"
+        )
+    avgdl = float(meta["n_tokens"]) / float(n_docs)
+    hits = spark.read.format("olive").load(
+        os.path.join(index_dir, "postings")
+    ).filter(F.col("token").isin(norm)).persist()
+    try:
+        import math
+
+        dfs = {
+            r["token"]: r["df"]
+            for r in hits.groupBy("token")
+            .agg(F.count("*").alias("df")).collect()
+        }
+        idf = {
+            t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            for t, df in dfs.items()
+        }
+        if not idf:
+            return (
+                hits.select(
+                    F.col(id_col),
+                    F.lit(0.0).alias("score"),
+                    F.lit(0).alias("n_terms_hit"),
+                ).limit(0)
+            )
+        idf_expr = F.create_map(
+            *[x for t, v in sorted(idf.items())
+              for x in (F.lit(t), F.lit(float(v)))]
+        )
+        tf = F.col("tf").cast("double")
+        dl = F.col("dl").cast("double")
+        part = (
+            idf_expr[F.col("token")]
+            * tf * F.lit(k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl
+                                 / F.lit(avgdl)))
+        )
+        scored = (
+            hits.withColumn("__s", part)
+            .groupBy(id_col)
+            .agg(
+                F.round(F.sum("__s"), round_to).alias("score"),
+                F.count("*").cast("int").alias("n_terms_hit"),
+            )
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k)
+        )
+        # top-k is tiny: materialize before unpersisting the hits the
+        # plan reads
+        rows = scored.collect()
+        return spark.createDataFrame(rows, scored.schema)
+    finally:
+        hits.unpersist()
 
 
 def search_docs(

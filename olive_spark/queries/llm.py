@@ -134,6 +134,53 @@ SQL_KEYWORD_SEARCH = (
 )
 
 
+def llm_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25-ranked keyword search from the persisted inverted index
+    (ops/text_index.search_bm25): tf/dl ride in the postings rows, N
+    and avgdl in the index meta, df aggregates over the same
+    file-pruned term scan the scoring reads.  The oracle replays the
+    Okapi formula in DuckDB SQL over the documents view; scores are
+    rounded to 4 decimals with (score, doc_id) tie-break so the top-k
+    is deterministic and cross-engine stable."""
+    import os as _os
+
+    from olive_spark.ops import text_index
+
+    docs = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    index_dir = _os.path.join(data.ensure_olive(sf), "text_index_documents")
+    if not _os.path.exists(_os.path.join(index_dir, "_text_meta.json")):
+        text_index.build_text_index(spark, docs, index_dir)
+    return text_index.search_bm25(
+        spark, index_dir, ["vector", "stream"], k=25
+    )
+
+
+SQL_BM25_SEARCH = (
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+    "x -> x <> '') AS t FROM documents), "
+    "stats AS (SELECT COUNT(*) AS n, SUM(len(t)) * 1.0 / COUNT(*) AS avgdl "
+    "FROM toks), "
+    "tf AS (SELECT doc_id, len(t) AS dl, "
+    "len(list_filter(t, x -> x = 'vector')) AS tf_v, "
+    "len(list_filter(t, x -> x = 'stream')) AS tf_s FROM toks), "
+    "dfs AS (SELECT COUNT(*) FILTER (tf_v > 0) AS df_v, "
+    "COUNT(*) FILTER (tf_s > 0) AS df_s FROM tf) "
+    "SELECT doc_id, score, n_terms_hit FROM ("
+    "SELECT doc_id, "
+    "ROUND("
+    "  CASE WHEN tf_v > 0 THEN ln(1 + (n - df_v + 0.5)/(df_v + 0.5)) "
+    "    * tf_v * 2.2 / (tf_v + 1.2 * (0.25 + 0.75 * dl / avgdl)) "
+    "  ELSE 0 END + "
+    "  CASE WHEN tf_s > 0 THEN ln(1 + (n - df_s + 0.5)/(df_s + 0.5)) "
+    "    * tf_s * 2.2 / (tf_s + 1.2 * (0.25 + 0.75 * dl / avgdl)) "
+    "  ELSE 0 END, 4) AS score, "
+    "CAST((tf_v > 0) AS INT) + CAST((tf_s > 0) AS INT) AS n_terms_hit "
+    "FROM tf, stats, dfs WHERE tf_v > 0 OR tf_s > 0) "
+    "ORDER BY score DESC, doc_id LIMIT 25"
+)
+
+
 def llm_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only)."""
     df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
@@ -535,6 +582,7 @@ QUERIES: dict[str, tuple] = {
     "llm_dedup_minhash": (llm_dedup_minhash, None),
     "llm_neardup_incremental": (llm_neardup_incremental, None),
     "llm_keyword_search": (llm_keyword_search, SQL_KEYWORD_SEARCH),
+    "llm_bm25_search": (llm_bm25_search, SQL_BM25_SEARCH),
     "llm_dedup_simhash": (llm_dedup_simhash, None),
     "llm_dedup_ngram": (llm_dedup_ngram, None),
     "llm_dedup_embedding": (llm_dedup_embedding, None),

@@ -133,6 +133,78 @@ def test_append_idempotent(spark, tmp_path, docs_rows):
     assert {1000 + i for i in range(5)} <= got
 
 
+def _ref_bm25(rows, terms, k1=1.2, b=0.75, k=10, round_to=4):
+    import math
+    from collections import Counter
+
+    docs = {i: text.split() for i, text in rows}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    dfs = {
+        t: sum(1 for toks in docs.values() if t in toks) for t in terms
+    }
+    out = []
+    for i, toks in docs.items():
+        tfc = Counter(toks)
+        s, hit = 0.0, 0
+        for t in terms:
+            tf = tfc.get(t, 0)
+            if not tf or not dfs[t]:
+                continue
+            hit += 1
+            idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            dl = len(toks)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        if hit:
+            out.append((i, round(s, round_to), hit))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:k]
+
+
+def test_bm25_matches_reference(spark, tmp_path):
+    from olive_spark.ops.text_index import build_text_index, search_bm25
+
+    # skewed term frequencies: doc i repeats "hot" i%5 times
+    rows = [
+        (i, " ".join(
+            _tokens_of(i) + ["hot"] * (i % 5) + ["warm"] * (i % 3)
+        ))
+        for i in range(60)
+    ]
+    idx = str(tmp_path / "idx")
+    build_text_index(spark, _frame(spark, rows), idx, n_files=4)
+    got = [
+        (r["doc_id"], r["score"], r["n_terms_hit"])
+        for r in search_bm25(spark, idx, ["hot", "warm"], k=15).collect()
+    ]
+    assert got == _ref_bm25(rows, ["hot", "warm"], k=15)
+    # absent term contributes nothing but present terms still rank
+    got = [
+        (r["doc_id"], r["score"], r["n_terms_hit"])
+        for r in search_bm25(spark, idx, ["hot", "zz_absent"], k=5).collect()
+    ]
+    assert got == _ref_bm25(rows, ["hot", "zz_absent"], k=5)
+
+
+def test_bm25_after_append_uses_updated_stats(spark, tmp_path, docs_rows):
+    from olive_spark.ops.text_index import (
+        append_text_index,
+        build_text_index,
+        search_bm25,
+    )
+
+    rows = [(i, t + " rare" * (i == 7)) for i, t in docs_rows[:50]]
+    idx = str(tmp_path / "idx")
+    build_text_index(spark, _frame(spark, rows), idx, n_files=4)
+    extra = [(900, "rare rare rare filler pad")]
+    append_text_index(spark, _frame(spark, extra), idx)
+    got = [
+        (r["doc_id"], r["score"], r["n_terms_hit"])
+        for r in search_bm25(spark, idx, ["rare"], k=5).collect()
+    ]
+    assert got == _ref_bm25(rows + extra, ["rare"], k=5)
+
+
 def test_term_validation(spark, tmp_path, docs_rows):
     from olive_spark.ops.text_index import build_text_index, search_tokens
 
