@@ -200,13 +200,16 @@ def search_tokens(
     )
     # isin on the clustered token column: min/max stats prune whole
     # files, the token Bloom kills range stragglers (plan-contract
-    # tested); postings rows are distinct by construction
+    # tested).  Postings are UNIQUE per (id, token) — the build groupBy
+    # guarantees it and appends anti-join already-indexed ids — so the
+    # AND check is a plain count, not count_distinct (which would plan
+    # a second expansion shuffle for nothing; plan-contract tested)
     hits = postings.filter(F.col("token").isin(norm))
     if mode == "any":
         return hits.select(id_col).distinct()
     return (
         hits.groupBy(id_col)
-        .agg(F.count_distinct("token").alias("__nt"))
+        .agg(F.count("*").alias("__nt"))
         .filter(F.col("__nt") == len(norm))
         .select(id_col)
     )

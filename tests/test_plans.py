@@ -457,3 +457,52 @@ def test_read_changes_scans_only_diff_files(spark, tmp_path):
     assert p.count(".olive") <= 4 * (
         out["files_rewritten"] + out["files_added"]
     ), p
+
+
+def test_probe_lsh_index_is_banded_equi_join(spark, tmp_path):
+    """The persisted-index probe must stay bucketed: band triples
+    equi-join (never cartesian), signatures computed by ONE Arrow pass
+    on the query side only, and no row-at-a-time Python eval."""
+    from olive_spark.ops.lsh_index import build_lsh_index, probe_index
+
+    docs = spark.range(40).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(0, 19), "
+        "j -> concat('w', (id * 37 + j * 11) % 100))) AS text",
+    )
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(spark, docs, idx)
+    probe = probe_index(spark, docs.limit(5), idx, threshold=0.5)
+    p = plan_of(probe)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p, "row-at-a-time Python UDF crept in"
+    # signature passes: the probe signs the QUERY batch once — the
+    # MapInArrow lives under the persisted InMemoryRelation, whose
+    # definition the formatted plan repeats at each of its two cache
+    # references (bands + jaccard re-attach), so the NODE count is <= 3
+    # textual hits; the stored side must come off the olive tables
+    assert 1 <= p.count("MapInArrow") <= 3, p
+    assert "InMemoryTableScan" in p, "query signatures must be cached"
+    assert p.count("BatchScan olive") >= 2  # bands + sigs relations
+
+
+def test_search_tokens_single_slim_shuffle(spark, tmp_path):
+    """AND-mode term search: one postings scan feeding one aggregation
+    — the only exchange moves (token, id) rows that survived the term
+    filter, and nothing touches Python row evaluation."""
+    from olive_spark.ops.text_index import build_text_index, search_tokens
+
+    docs = spark.range(60).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(0, 11), "
+        "j -> concat('w', (id * 37 + j * 11) % 100))) AS text",
+    )
+    idx = str(tmp_path / "tix")
+    build_text_index(spark, docs, idx, n_files=4)
+    out = search_tokens(spark, idx, ["w13", "w57"], "all")
+    p = plan_of(out)
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # partial agg before the exchange, final after: exactly one shuffle
+    assert p.count("Exchange") <= 2, p
+    assert "BatchScan olive" in p
