@@ -276,14 +276,15 @@ def incremental_neardup(
         F.col("doc_a").alias("matched_id"),
         "jaccard_est", F.lit("batch").alias("source"),
     )
-    dup_pairs = vs_corpus.unionByName(intra_kept).persist()
+    # localCheckpoint TRUNCATES the lineage before the append mutates
+    # the index both frames read: a mere persist() could silently
+    # RECOMPUTE against the post-append index after cache eviction /
+    # executor loss (every survivor would then self-match at 1.0) —
+    # with the checkpoint, block loss fails loud instead of lying
+    dup_pairs = vs_corpus.unionByName(intra_kept).localCheckpoint()
     survivors = new_docs.join(
         dup_pairs.select(id_col).distinct(), id_col, "left_anti"
-    ).persist()
-    # materialize both BEFORE the append mutates the index the lineage
-    # reads
-    dup_pairs.count()
-    survivors.count()
+    ).localCheckpoint()
     if append_survivors:
         append_index(spark, survivors, index_dir, text_col, id_col)
     return survivors, dup_pairs

@@ -109,7 +109,13 @@ def build_text_index(
 ) -> dict:
     """Create the index from scratch.  ``n_files`` sets the token-range
     granularity — more files = finer pruning; size it so a file is a
-    few hundred MB at your corpus scale."""
+    few hundred MB at your corpus scale.
+
+    Documents with NO tokens (empty/whitespace text) produce no
+    postings and are deliberately excluded from ``n_docs``/``avgdl``:
+    they can never match a term, and counting them would only deflate
+    every BM25 length normalization.  Same rule on append — a
+    tokenless doc is retried by the next append rather than counted."""
     if os.path.exists(_meta_path(index_dir)):
         raise ValueError(
             f"text index already exists at {index_dir} — use append_text_index"
