@@ -94,6 +94,7 @@ HEADLINE = [
     "llm_neardup_incremental",     # r8: persisted LSH index probe
     "llm_keyword_search",          # r8: inverted-index term search
     "llm_bm25_search",             # r8: BM25 ranking off the same index
+    "stream_matview",              # r8: per-epoch continuous aggregate
 ]
 
 

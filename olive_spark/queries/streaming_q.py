@@ -356,9 +356,73 @@ SQL_STREAM_MERGE = (
 )
 
 
+def stream_matview(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuously-maintained aggregate (the streaming leg of
+    ops/matview.py): a src table starts as the %3==0 orders and a
+    materialized GROUP BY o_orderstatus view is FULL-built over it;
+    the remaining orders then arrive as a CAPPED stream through the
+    exactly-once olive sink (maxFilesPerTrigger + admissionStateDir →
+    several bounded epochs), and after EVERY epoch the view is
+    delta-refreshed from that commit's change feed
+    (streaming.stream_matview_available_now).  Every order lands
+    exactly once, and decimal folding is exact, so the final view must
+    hash-match the oracle's one-shot GROUP BY over the full orders
+    view — a refresh that double-folded a replayed epoch, missed a
+    commit, or drifted a cent fails the gate.
+
+    Runs ONCE per cache (build-once marker, like stream_merge_upsert);
+    later calls only read the maintained view."""
+    import shutil
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    src = os.path.join(data.ensure_olive(sf), "orders")
+    root = os.path.join(data.ensure_olive(sf), "orders_mv_stream")
+    table = os.path.join(root, "table")
+    view = os.path.join(root, "view")
+    marker = os.path.join(root, "_MV_STREAM_OK")
+    if not os.path.exists(marker):
+        if os.path.exists(root):
+            shutil.rmtree(root)  # half-built from a crashed run
+        base = data.load(spark, sf, "orders", columns=cols) \
+            .filter(F.col("o_orderkey") % 3 == 0)
+        base.write.format("olive").option("table", "data") \
+            .mode("append").save(table)
+        sdf = streaming.read_stream(
+            spark, src, columns=",".join(cols),
+            maxFilesPerTrigger="8",
+            admissionStateDir=os.path.join(root, "adm"),
+        ).filter(F.col("o_orderkey") % 3 != 0)
+        streaming.stream_matview_available_now(
+            sdf, table, os.path.join(root, "ckpt"), view,
+            group_cols=["o_orderstatus"],
+            aggs={
+                "n": "count(*)",
+                "sum_price": "sum(CAST(o_totalprice AS DECIMAL(18,2)))",
+                "sum_keys": "sum(o_orderkey)",
+            },
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    df = spark.read.format("olive").option("table", "matview").load(view)
+    return df.select(
+        "o_orderstatus", "n",
+        F.col("sum_price").cast("decimal(18,2)").alias("sum_price"),
+        "sum_keys",
+    )
+
+
+SQL_STREAM_MATVIEW = (
+    "SELECT o_orderstatus, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys "
+    "FROM orders GROUP BY o_orderstatus"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "stream_snapshot_tail": (stream_snapshot_tail, SQL_SNAPSHOT_TAIL),
     "stream_merge_upsert": (stream_merge_upsert, SQL_STREAM_MERGE),
+    "stream_matview": (stream_matview, SQL_STREAM_MATVIEW),
     "stream_window_counts": (stream_window_counts, SQL_STREAM_WINDOW),
     "stream_sliding_counts": (stream_sliding_counts, SQL_STREAM_SLIDING),
     "stream_static_join": (stream_static_join, SQL_STREAM_STATIC_JOIN),

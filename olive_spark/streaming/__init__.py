@@ -16,6 +16,7 @@ from olive_spark.streaming.ops import (  # noqa: F401
     sliding_counts,
     stateful_user_totals,
     stream_dedup,
+    stream_matview_available_now,
     stream_static_join,
     stream_stream_join,
     stream_upsert_available_now,

@@ -319,8 +319,59 @@ def stream_upsert_available_now(
     return drain_available_now(start)
 
 
+def stream_matview_available_now(
+    sdf: DataFrame,
+    src_path: str,
+    checkpoint: str,
+    mv_path: str,
+    group_cols: "list[str]",
+    aggs: "dict[str, str]",
+    src_table: str = "data",
+    mv_table: str = "matview",
+    mode: str = "auto",
+) -> int:
+    """The continuous-aggregate loop: drain a (capped) stream into a
+    snapshot-logged olive table through the EXACTLY-ONCE sink, and
+    delta-refresh a materialized aggregate (ops.matview) after every
+    bounded epoch — so the view tracks the table while the backlog is
+    still draining, and each refresh folds only that epoch's commit.
+
+    Replay-safe by construction, with no foreachBatch txn bookkeeping:
+    the sink's per-batch commit log already deduplicates re-run epochs,
+    and refresh_matview is idempotent on its own snapshot-version
+    cursor — a crash anywhere re-converges on the next call.  Combine
+    with ``maxFilesPerTrigger`` + ``admissionStateDir`` on the source
+    so every epoch (and therefore every refresh's change feed) is
+    bounded.  Returns the number of epochs that processed data."""
+    from olive_spark.ops.matview import refresh_matview
+
+    spark = sdf.sparkSession
+
+    def refresh():
+        refresh_matview(
+            spark, src_path, mv_path, group_cols=group_cols, aggs=aggs,
+            src_table=src_table, mv_table=mv_table, mode=mode,
+        )
+
+    # the view must exist BEFORE the stream so epoch refreshes are
+    # incremental folds, not one deferred full build
+    refresh()
+
+    def start():
+        return (
+            sdf.writeStream.format("olive")
+            .option("table", src_table)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start(src_path)
+        )
+
+    return drain_available_now(start, on_epoch=refresh)
+
+
 def drain_available_now(
-    start_query, max_runs: int = 1000,
+    start_query, max_runs: int = 1000, on_epoch=None,
 ) -> int:
     """Drain a capped backlog in bounded epochs: repeatedly start an
     availableNow query (``start_query() -> StreamingQuery``) and await
@@ -342,7 +393,11 @@ def drain_available_now(
     (routine — zero-row commits write one, see
     OliveWriter._write_empty_table) moves the checkpoint while
     reporting numInputRows == 0, and stopping there would strand the
-    rest of the backlog behind it."""
+    rest of the backlog behind it.
+
+    ``on_epoch`` (optional callable, no args) runs after every epoch
+    that made progress — the hook the continuous-aggregate loop uses to
+    refresh a matview per commit."""
     runs = 0
     last_end = None
     for _ in range(int(max_runs)):
@@ -362,4 +417,6 @@ def drain_available_now(
             break
         last_end = end
         runs += 1
+        if on_epoch is not None:
+            on_epoch()
     return runs
