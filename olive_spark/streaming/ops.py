@@ -329,6 +329,7 @@ def stream_matview_available_now(
     src_table: str = "data",
     mv_table: str = "matview",
     mode: str = "auto",
+    max_runs: int = 1000,
 ) -> int:
     """The continuous-aggregate loop: drain a (capped) stream into a
     snapshot-logged olive table through the EXACTLY-ONCE sink, and
@@ -367,7 +368,7 @@ def stream_matview_available_now(
             .start(src_path)
         )
 
-    return drain_available_now(start, on_epoch=refresh)
+    return drain_available_now(start, max_runs=max_runs, on_epoch=refresh)
 
 
 def drain_available_now(

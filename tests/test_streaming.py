@@ -728,3 +728,67 @@ def test_stream_sink_extends_evolved_sidecar(spark, tmp_path_factory):
     assert df.columns == ["k", "v", "w1", "w2"]
     assert df.filter("w2 = 'streamed'").count() == 5
     assert read_table_schema(sink, "data")[0] == ["k", "v", "w1", "w2"]
+
+
+def test_stream_matview_partial_then_resume_parity(spark, tmp_path_factory):
+    """The continuous-aggregate loop (stream_matview_available_now):
+    after an INTERRUPTED drain (max_runs cap — the crash stand-in) the
+    view must equal the aggregate of exactly what landed so far, and a
+    resumed drain against the same checkpoint must converge the view to
+    the full-data aggregate with no double-folded epoch."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.streaming import stream_matview_available_now
+
+    backlog = str(tmp_path_factory.mktemp("mvbacklog"))
+    root = tmp_path_factory.mktemp("mvroot")
+    table, view, ckpt = str(root / "t"), str(root / "v"), str(root / "ck")
+    state = str(root / "adm")
+    for i in range(12):
+        _write_part(backlog, i, i * 10, (i + 1) * 10)  # 10 rows/file
+    # seed the target table (the view needs an existing source) with
+    # the SAME schema the stream sinks — including the grp column
+    spark.range(5).selectExpr(
+        "id AS k", "cast(-1.0 as double) AS v",
+        "cast(id % 4 as int) AS grp",
+    ).write.format("olive").mode("append").save(table)
+    aggs = {"n": "count(*)", "sum_v": "sum(v)"}
+
+    def sdf():
+        return (
+            spark.readStream.format("olive")
+            .option("maxFilesPerTrigger", "3")
+            .option("admissionStateDir", state)
+            .load(backlog)
+            .withColumn("grp", (F.col("k") % 4).cast("int"))
+        )
+
+    def view_rows():
+        return sorted(
+            tuple(r) for r in spark.read.format("olive")
+            .option("table", "matview").load(view).collect()
+        )
+
+    def expect():
+        cur = spark.read.format("olive").load(table)
+        return sorted(
+            tuple(r)
+            for r in cur.groupBy("grp")
+            .agg(F.expr("count(*)").alias("n"),
+                 F.expr("sum(v)").alias("sum_v")).collect()
+        )
+
+    runs1 = stream_matview_available_now(
+        sdf(), table, ckpt, view, group_cols=["grp"], aggs=aggs,
+        max_runs=2,
+    )
+    assert runs1 == 2
+    assert view_rows() == expect(), "partial view must match partial data"
+
+    runs2 = stream_matview_available_now(
+        sdf(), table, ckpt, view, group_cols=["grp"], aggs=aggs,
+    )
+    assert runs2 >= 1, "resume must keep draining the backlog"
+    assert view_rows() == expect()
+    total = spark.read.format("olive").load(table).count()
+    assert total == 5 + 120, total
