@@ -95,6 +95,7 @@ HEADLINE = [
     "llm_keyword_search",          # r8: inverted-index term search
     "llm_bm25_search",             # r8: BM25 ranking off the same index
     "stream_matview",              # r8: per-epoch continuous aggregate
+    "scan_expectations_gate",      # r8: gate + quarantine sidecar
 ]
 
 

@@ -1137,6 +1137,89 @@ def scan_incremental_matview(spark: SparkSession, sf: str) -> DataFrame:
 SQL_INCREMENTAL_MATVIEW = SQL_AFTER_MERGE
 
 
+def _ensure_orders_gated(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) an expectations-gated ingest of orders
+    (ops/expectations.py — the DLT-style CONSTRAINT … ON VIOLATION
+    surface): one pass evaluates three named rules and routes rows —
+
+      price_sane    o_totalprice < 400000      ON VIOLATION quarantine
+      status_known  o_orderstatus <> 'P'       ON VIOLATION drop
+      key_warn      o_orderkey % 10 <> 7       warn (counted, passes)
+
+    Disposition is the strictest failed action, so a huge 'P' order
+    quarantines (with both rule names in _failed_rules) rather than
+    dropping.  Survivors land in <dir>/, quarantined rows + labels in
+    <dir>/_olive_quarantine/ — both snapshot-logged."""
+    from olive_spark.ops.expectations import write_with_expectations
+
+    def build(out: str) -> None:
+        cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        base = data.load(spark, sf, "orders", columns=cols)
+        write_with_expectations(
+            spark, base, out,
+            rules={
+                "price_sane": ("o_totalprice < 400000", "quarantine"),
+                "status_known": ("o_orderstatus <> 'P'", "drop"),
+                "key_warn": ("o_orderkey % 10 <> 7", "warn"),
+            },
+            table="orders_gated",
+        )
+
+    return _build_once(spark, sf, "orders_gated", "_GATE_OK", build)
+
+
+def scan_expectations_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Expectations-gate parity: aggregate BOTH sides of the gate (the
+    landed table and the quarantine sidecar, labeled) — the oracle
+    reconstructs each side from the base orders view with the
+    disposition rules as plain predicates, so a gate that dropped a
+    quarantine-bound row, let a 'P' order land, or mislabeled a side
+    hash-mismatches.  The quarantine side also checks _failed_rules
+    fan-out by summing the label-array size."""
+    path = _ensure_orders_gated(spark, sf)
+    main = spark.read.format("olive") \
+        .option("table", "orders_gated").load(path)
+    q = spark.read.format("olive").option("table", "quarantine") \
+        .load(path + "/_olive_quarantine")
+    m = main.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(D)).cast(D).alias("sum_price"),
+        F.sum("o_orderkey").alias("sum_keys"),
+    ).withColumn("side", F.lit("main")).withColumn(
+        "n_rule_labels", F.lit(None).cast("long")
+    )
+    qq = q.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(D)).cast(D).alias("sum_price"),
+        F.sum("o_orderkey").alias("sum_keys"),
+        F.sum(F.size("_failed_rules")).alias("n_rule_labels"),
+    ).withColumn("side", F.lit("quarantine"))
+    return m.unionByName(qq)
+
+
+SQL_EXPECTATIONS_GATE = (
+    "WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
+    "o_totalprice, "
+    "NOT (o_totalprice < 400000) AS f_price, "
+    "NOT (o_orderstatus <> 'P') AS f_status, "
+    "NOT (o_orderkey % 10 <> 7) AS f_key FROM orders) "
+    "SELECT o_orderstatus, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys, "
+    "CAST(NULL AS BIGINT) AS n_rule_labels, 'main' AS side "
+    "FROM src WHERE NOT f_price AND NOT f_status "
+    "GROUP BY o_orderstatus "
+    "UNION ALL "
+    "SELECT o_orderstatus, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys, "
+    "CAST(SUM(CAST(f_price AS INT) + CAST(f_status AS INT) "
+    "+ CAST(f_key AS INT)) AS BIGINT) AS n_rule_labels, "
+    "'quarantine' AS side "
+    "FROM src WHERE f_price GROUP BY o_orderstatus"
+)
+
+
 def scan_changes_feed(spark: SparkSession, sf: str) -> DataFrame:
     """Change-data-feed parity (ops.changes.read_changes): the NET
     row-level changes between the orders_merged table's base version
@@ -1302,6 +1385,7 @@ QUERIES: dict[str, tuple] = {
     "scan_incremental_matview": (
         scan_incremental_matview, SQL_INCREMENTAL_MATVIEW,
     ),
+    "scan_expectations_gate": (scan_expectations_gate, SQL_EXPECTATIONS_GATE),
     "scan_merge_cdc_tombstones": (scan_merge_cdc_tombstones, SQL_MERGE_CDC_TOMB),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),
     "join_interval_overlap": (join_interval_overlap, SQL_INTERVAL_JOIN),
