@@ -96,6 +96,7 @@ HEADLINE = [
     "llm_bm25_search",             # r8: BM25 ranking off the same index
     "stream_matview",              # r8: per-epoch continuous aggregate
     "scan_expectations_gate",      # r8: gate + quarantine sidecar
+    "llm_graph_pagerank",          # r8: power-iteration authority
 ]
 
 

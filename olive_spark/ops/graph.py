@@ -168,3 +168,85 @@ def _cc_label(edges: DataFrame, max_iter: int, checkpoint_every: int) -> DataFra
         prev = cur
     sym.unpersist(blocking=False)
     return labels.select("node", F.col("label").alias("cluster"))
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1.0e-6,
+) -> DataFrame:
+    """(src, dst) DIRECTED edge list → (node, rank): standard power
+    iteration (Page/Brin; the Google matrix with uniform teleport and
+    dangling-mass redistribution), the authority score a curation
+    pipeline uses to weight domains/documents by link structure.
+
+    rank' = (1−d)/N + d·(Σ_in rank/outdeg + dangling_mass/N)
+
+    100 TB shape per round: ranks are a slim (node, rank) frame; the
+    contribution join shuffles them against an edge list that carries
+    its out-degree (computed once, persisted), the sum is a partial→
+    final groupBy on dst, and the dangling mass is one anti-join
+    aggregate of the same slim frame.  Lineage is cut every round with
+    localCheckpoint; iteration stops at ``tol`` total L1 change or
+    ``max_iter``.  Ranks sum to 1 (±float error) at every step.
+
+    Parallel edges contribute once (deduplicated — PageRank on a
+    simple graph); self-loops count like any edge."""
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).dropDuplicates(["src", "dst"])
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct().persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("__deg"))
+    links = e.join(outdeg, "src").persist()
+    links.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    base = (1.0 - damping) / n
+    for _ in range(int(max_iter)):
+        contrib = (
+            links.join(ranks, links["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("__deg")).alias("__c"),
+            )
+            .groupBy("node").agg(F.sum("__c").alias("__in"))
+        )
+        # dangling nodes (no out-edges) spread their rank uniformly
+        dang = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            .agg(F.sum("rank")).collect()[0][0] or 0.0
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__in"), F.lit(0.0))
+                       + F.lit(dang / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        delta = (
+            new_ranks.join(
+                ranks.select("node", F.col("rank").alias("__old")), "node"
+            )
+            .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    links.unpersist()
+    nodes.unpersist()
+    return ranks

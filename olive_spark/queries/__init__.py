@@ -59,7 +59,7 @@ _RAW: dict[str, tuple] = {
 # registry entries.  Round-8 rotation (VERDICT r7 task #8): cumulative
 # coverage is complete (every registry query has appeared in some
 # driver CORRECTNESS window, r2–r7), so the window now leads with the
-# 22 r8-new queries (never driver-checked; local driver_check MATCH /
+# 23 r8-new queries (never driver-checked; local driver_check MATCH /
 # rows-only-sane), re-checks the 10 r7-new queries that have appeared
 # exactly once, keeps the regression canary, and fills to 50 with the
 # longest-unchecked entries — the r04/r05-era windows, last checked 3-4
@@ -92,6 +92,7 @@ _ORDER = [
     "llm_bm25_search",             # r8: BM25 ranking off the same index
     "stream_matview",              # r8: per-epoch continuous aggregate
     "scan_expectations_gate",      # r8: DLT-style gate + quarantine sidecar
+    "llm_graph_pagerank",          # r8: power-iteration authority (rows-only)
     # --- r7-new, driver-checked exactly once (r07) ---
     "llm_pack_sequences_sharded",  # r7: partition-wise packing
     "llm_decontaminate_ngram",     # r7: GPT-3-style n-gram overlap
@@ -109,7 +110,6 @@ _ORDER = [
     "agg_approx_sketches",         # rows-only (sketch estimates)
     "join_hash_orders_customer",
     "join_broadcast_dims",
-    "join_asof_event_order",
     "join_skew_salted",
     "window_rank_events",
     "window_sessionize",
@@ -129,6 +129,7 @@ _ORDER = [
     "agg_distinct",
     "join_semi_anti",
     "join_range_events",
+    "join_asof_event_order",
     "agg_grouping_sets",
     "tpch_q9_product_revenue",
     "tpch_q21_waiting_orders",

@@ -96,6 +96,33 @@ def llm_neardup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def llm_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Authority scoring for curation weighting (ops/graph.pagerank):
+    power-iteration PageRank over a deterministic pseudo link graph on
+    the documents table (each doc links to three affine-mapped ids —
+    hubs, chains, and dangling sinks all arise).  Returns the top 50
+    (node, rank) with ranks rounded to 6 decimals, (rank, node)
+    tie-broken.  Rows-only: iterative float fixpoints aren't ANSI SQL;
+    value parity is pinned against a numpy reference implementation in
+    tests/test_graph.py."""
+    from olive_spark.ops.graph import pagerank
+
+    docs = data.load(spark, sf, "documents", columns=["doc_id"])
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    src = F.col("doc_id")
+    edges = None
+    for a, b in ((7, 3), (13, 11), (29, 17)):
+        leg = docs.select(
+            src.alias("src"), ((src * a + b) % n).alias("dst")
+        )
+        edges = leg if edges is None else edges.unionByName(leg)
+    pr = pagerank(edges, max_iter=15)
+    return (
+        pr.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node").limit(50)
+    )
+
+
 def llm_keyword_search(spark: SparkSession, sf: str) -> DataFrame:
     """Exact multi-term keyword search served from the persisted
     inverted index (ops/text_index.py): postings (token, doc_id) are
@@ -583,6 +610,7 @@ QUERIES: dict[str, tuple] = {
     "llm_neardup_incremental": (llm_neardup_incremental, None),
     "llm_keyword_search": (llm_keyword_search, SQL_KEYWORD_SEARCH),
     "llm_bm25_search": (llm_bm25_search, SQL_BM25_SEARCH),
+    "llm_graph_pagerank": (llm_graph_pagerank, None),
     "llm_dedup_simhash": (llm_dedup_simhash, None),
     "llm_dedup_ngram": (llm_dedup_ngram, None),
     "llm_dedup_embedding": (llm_dedup_embedding, None),

@@ -71,3 +71,64 @@ def test_star_handles_merging_stars_and_singletons(spark):
     edges = [(5, 9), (9, 2), (2, 7), (100, 100), (50, 60), (60, 40)]
     got = _cc_algo(spark, edges, "star")
     assert got == {2: 2, 5: 2, 7: 2, 9: 2, 100: 100, 40: 40, 50: 40, 60: 40}
+
+
+def _numpy_pagerank(edge_list, damping=0.85, iters=60):
+    import numpy as np
+
+    nodes = sorted({x for e in edge_list for x in e})
+    ix = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    simple = sorted(set(edge_list))
+    for s, d in simple:
+        out.setdefault(s, []).append(d)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nr = np.full(n, (1.0 - damping) / n)
+        dang = sum(r[ix[v]] for v in nodes if v not in out)
+        nr += damping * dang / n
+        for s, ds in out.items():
+            share = damping * r[ix[s]] / len(ds)
+            for d in ds:
+                nr[ix[d]] += share
+        r = nr
+    return {v: r[ix[v]] for v in nodes}
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    """Power iteration parity on a graph mixing a hub, a chain, a
+    dangling sink, and parallel edges (deduplicated)."""
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 1), (3, 1), (4, 1),  # hub
+        (5, 6), (6, 7), (7, 8),                          # chain -> sink 8
+        (2, 5), (2, 5),                                  # parallel edge
+        (9, 9),                                          # self loop
+        (3, 9),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from olive_spark.ops.graph import pagerank
+
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, max_iter=60, tol=1e-12).collect()
+    }
+    want = _numpy_pagerank(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    """A directed cycle has the uniform stationary distribution."""
+    n = 8
+    df = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    from olive_spark.ops.graph import pagerank
+
+    got = [r["rank"] for r in pagerank(df, max_iter=40).collect()]
+    assert len(got) == n
+    for v in got:
+        assert abs(v - 1.0 / n) < 1e-9
