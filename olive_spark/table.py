@@ -124,5 +124,30 @@ class OliveTable:
 
         return clear_tombstones(self.path)
 
+    def append_gated(
+        self, df: DataFrame, rules: "dict[str, tuple[str, str]]",
+    ) -> dict:
+        """Append ``df`` through a data-quality expectations gate
+        (ops.expectations.write_with_expectations): named SQL rules
+        with warn/drop/quarantine actions; quarantined rows + their
+        failure labels land in ``<path>/_olive_quarantine/``."""
+        from olive_spark.ops.expectations import write_with_expectations
+
+        return write_with_expectations(
+            self.spark, df, self.path, rules, table=self.table
+        )
+
+    def quarantine(self, **options) -> DataFrame:
+        """The quarantine sidecar as a DataFrame (rows that failed a
+        quarantine-action rule, with ``_failed_rules`` labels)."""
+        import os
+
+        from olive_spark.ops.expectations import QUARANTINE_DIR
+
+        r = self.spark.read.format("olive").option("table", "quarantine")
+        for k, v in options.items():
+            r = r.option(k, v)
+        return r.load(os.path.join(self.path, QUARANTINE_DIR))
+
     def __repr__(self) -> str:  # pragma: no cover - cosmetic
         return f"OliveTable(path={self.path!r}, table={self.table!r})"

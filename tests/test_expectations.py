@@ -131,3 +131,16 @@ def test_apply_only_no_write(spark):
     assert p == [1, 5]
     m = obs.get
     assert m["_rows_in"] == 6 and m["price_positive"] == 3
+
+
+def test_olive_table_facade_gate(spark, tmp_path):
+    """OliveTable.append_gated / .quarantine delegate to the gate and
+    sidecar with the handle's binding."""
+    from olive_spark import OliveTable
+
+    t = OliveTable(spark, str(tmp_path / "t"))
+    st = t.append_gated(_batch(spark), RULES)
+    assert st["rows_written"] == 2 and st["rows_quarantined"] == 3
+    assert sorted(r["id"] for r in t.df().collect()) == [1, 5]
+    q = t.quarantine()
+    assert q.count() == 3 and "_failed_rules" in q.columns
