@@ -1385,6 +1385,56 @@ def describe(path: str, table: str = "data") -> dict:
     return {"files": len(files), "rows": rows, "bytes": size, "columns": cols}
 
 
+def count_rows(
+    path: str, table: str = "data", snapshot: "int | None" = None,
+) -> int:
+    """Metadata-only row count — the answer to the one structural
+    Python-DSv2 perf gap (a `df.count()` pays the per-relation
+    framework round-trip that native parquet's metadata count skips).
+    No Spark job, no data pages: resolve the live (or ``snapshot``)
+    file list, take per-file rows from the directory stats manifest
+    (ONE read per directory — the same object-store plan-time path as
+    file pruning), and open headers only for files the manifest can't
+    vouch for (hand-written chunks, history-resolved retired files).
+
+    Trust model matches file pruning's: a manifest entry describes the
+    single table its writer committed, so it is authoritative for that
+    directory's scan table; directories holding hand-written
+    multi-table chunks have no manifest and take the header path,
+    where the named table is picked explicitly."""
+    from olive_spark.datasource.olive_datasource import (
+        _pick_table,
+        _read_header_bytes,
+    )
+    from olive_spark.format.manifest import load_manifest
+    from olive_spark.format.snapshots import (
+        files_at,
+        list_live_files,
+        resolve_paths,
+    )
+
+    names = (
+        files_at(path, int(snapshot)) if snapshot is not None
+        else sorted(list_live_files(path))
+    )
+    paths = resolve_paths(path, names)
+    man = load_manifest(path)
+    total = 0
+    for name, fp in zip(names, paths):
+        # a manifest entry is keyed by relpath and describes THOSE
+        # bytes whether the file is live or history-resolved; rewrite
+        # swaps prune entries for replaced names, so a present entry is
+        # never stale
+        ent = man.get(name)
+        rows = ent.get("rows") if isinstance(ent, dict) else None
+        if isinstance(rows, int):
+            total += rows
+            continue
+        header, _ = _read_header_bytes(fp)
+        total += _pick_table(header, table).num_rows
+    return total
+
+
 def table_checksum(df, cols: "list[str]"):
     """Order-independent content checksum for migration/replication
     validation: ``SUM(int64(md5(concat_ws('|', cols))[0:13]))`` plus a

@@ -124,6 +124,15 @@ class OliveTable:
 
         return clear_tombstones(self.path)
 
+    def count_rows(self, snapshot: "int | None" = None) -> int:
+        """Metadata-only row count (ops.maintenance.count_rows): one
+        manifest read + header opens only for unvouched files — no
+        Spark job, so it skips the per-relation Python-DS round-trip a
+        `df().count()` pays."""
+        from olive_spark.ops.maintenance import count_rows
+
+        return count_rows(self.path, table=self.table, snapshot=snapshot)
+
     def append_gated(
         self, df: DataFrame, rules: "dict[str, tuple[str, str]]",
     ) -> dict:

@@ -266,3 +266,41 @@ def test_by_commit_validates_until_and_reserved_column(spark, tmp_path):
         .write.format("olive").mode("append").save(path2)
     with pytest.raises(ValueError, match="collide"):
         read_changes_by_commit(spark, path2, since=1)
+
+
+def test_count_rows_metadata_only(spark, tmp_path):
+    """count_rows must equal df.count() across appends, a MERGE
+    rewrite, hive partitioning, snapshot time travel, and a deleted
+    manifest (header fallback) — without running a Spark job."""
+    from olive_spark import OliveTable
+    from olive_spark.ops.maintenance import count_rows, merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=300, files=3)
+    _mk_table(spark, path, n=100, files=1)  # second append commit
+    t = OliveTable(spark, path)
+    assert t.count_rows() == t.df().count() == 400
+
+    src = spark.range(5).selectExpr(
+        "id AS k", "id AS v", "cast(1 as int) AS grp"
+    )
+    merge_upsert(spark, path, src, ["k"])
+    assert t.count_rows() == t.df().count()
+    v1 = 1
+    assert t.count_rows(snapshot=v1) == t.time_travel(v1).count()
+
+    # header fallback: no manifest at all
+    import os
+
+    mf = os.path.join(path, "_olive_manifest.json")
+    if os.path.exists(mf):
+        os.remove(mf)
+    assert count_rows(path) == t.df().count()
+
+    # hive-partitioned layout
+    p2 = str(tmp_path / "p")
+    spark.range(120).selectExpr(
+        "id AS k", "cast(id % 3 as int) AS part"
+    ).write.format("olive").option("partitionBy", "part") \
+        .mode("append").save(p2)
+    assert count_rows(p2) == 120
