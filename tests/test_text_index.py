@@ -216,3 +216,39 @@ def test_term_validation(spark, tmp_path, docs_rows):
         search_tokens(spark, idx, ["two words"], "all")
     with pytest.raises(ValueError, match="mode"):
         search_tokens(spark, idx, ["w00"], "phrase")
+
+
+def test_compact_restores_token_clustering(spark, tmp_path, docs_rows):
+    """Appends land token-clustered only among themselves; after
+    several appends a term lookup touches extra files.  compact(
+    sort_by=["token"]) must restore ONE global clustering — pruning
+    tightens back to the single-file bound."""
+    from olive_spark.ops.maintenance import compact
+    from olive_spark.ops.text_index import (
+        append_text_index,
+        build_text_index,
+        search_tokens,
+    )
+    from tests.test_datasource import _surviving
+
+    idx = str(tmp_path / "idx")
+    build_text_index(spark, _frame(spark, docs_rows[:100]), idx, n_files=8)
+    # three appends, each spanning the full token range
+    for b in range(3):
+        extra = [(2000 + b * 100 + i, t) for i, t in docs_rows[100 + b * 30: 130 + b * 30]]
+        append_text_index(spark, _frame(spark, extra), idx)
+    postings = f"{idx}/postings"
+    before = _surviving(spark, postings, [("token", "in", ["w03"])])
+    assert before >= 3, "appends should have degraded pruning"
+    want = sorted(
+        r["doc_id"]
+        for r in search_tokens(spark, idx, ["w03"], "all").collect()
+    )
+    compact(spark, postings, sort_by="token", target_rows=400)
+    after = _surviving(spark, postings, [("token", "in", ["w03"])])
+    assert after <= 2, (before, after)
+    got = sorted(
+        r["doc_id"]
+        for r in search_tokens(spark, idx, ["w03"], "all").collect()
+    )
+    assert got == want, "compaction must not change search results"
