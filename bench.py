@@ -97,6 +97,7 @@ HEADLINE = [
     "stream_matview",              # r8: per-epoch continuous aggregate
     "scan_expectations_gate",      # r8: gate + quarantine sidecar
     "llm_graph_pagerank",          # r8: power-iteration authority
+    "scan_after_update_where",     # r8: predicate UPDATE parity
 ]
 
 

@@ -1199,6 +1199,129 @@ def delete_where(
     }
 
 
+def update_where(
+    spark,
+    path: str,
+    set_exprs: "dict[str, str]",
+    condition: str,
+    table: str = "data",
+    retain_history: bool = True,
+    target_rows: int = 1 << 20,
+) -> dict:
+    """``UPDATE … SET col = expr, … WHERE condition`` on a
+    snapshot-logged olive table — the predicate-UPDATE sibling of
+    :func:`delete_where` (keyed updates go through
+    :func:`merge_upsert`).  Copy-on-write rewrite of exactly the files
+    containing a matching row; non-matching rows inside those files
+    pass through byte-equal; untouched files keep their bytes, stats,
+    and indexes.  One snapshot version; ``retain_history=True`` keeps
+    the pre-update version readable.
+
+    SQL UPDATE semantics, deliberately: every SET expression sees the
+    ORIGINAL row (simultaneous assignment — ``{"a": "b", "b": "a"}``
+    swaps), and a NULL condition leaves the row unchanged.  A SET
+    expression whose type differs from the column's is rejected (cast
+    explicitly) — the same no-silent-casts rule as MERGE.
+
+    100 TB shape: discovery is one file-name aggregate over a scan the
+    condition prunes via stats/Bloom where possible; the rewrite
+    touches only affected files and preserves hive layouts.  Same
+    single-writer contract as :func:`compact`.
+
+    Returns {files_rewritten, files_added, rows_updated, version,
+    pre_version}."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.datasource import register_olive
+    from olive_spark.format.snapshots import current_version
+
+    if not set_exprs:
+        raise ValueError("set_exprs must be non-empty")
+    register_olive(spark)
+    _recover_pending(path)
+    _seed_snapshot_log(path)
+    fc = "_olive_file"
+    tagged = (
+        spark.read.format("olive")
+        .option("table", table)
+        .option("fileColumn", fc)
+        .load(path)
+    )
+    cols = [c for c in tagged.columns if c != fc]
+    missing = [c for c in set_exprs if c not in cols]
+    if missing:
+        raise ValueError(f"SET columns not in table: {missing}")
+    # type check on a zero-row probe: the rewrite must not change the
+    # table schema (a silently-cast corrupt value is worse than an
+    # error — same rule as merge_upsert)
+    probe = tagged.limit(0).select(
+        *[F.expr(e).alias(c) for c, e in set_exprs.items()]
+    )
+    want = {f.name: f.dataType for f in tagged.schema.fields}
+    bad = [
+        (f.name, str(f.dataType), str(want[f.name]))
+        for f in probe.schema.fields
+        if f.dataType != want[f.name]
+    ]
+    if bad:
+        raise ValueError(
+            "SET expression types differ from the column "
+            f"(col, expr, table): {bad} — cast explicitly"
+        )
+    cond = F.expr(condition)
+    hits = tagged.filter(cond).groupBy(fc).count().collect()
+    affected = sorted(r[0] for r in hits)
+    n_updated = int(sum(r[1] for r in hits))
+    pre_version = current_version(path)
+    if not affected:
+        return {
+            "files_rewritten": 0,
+            "files_added": 0,
+            "rows_updated": 0,
+            "version": pre_version,
+            "pre_version": pre_version,
+        }
+    upd = F.coalesce(cond, F.lit(False))
+    # ONE select: every SET expression reads the ORIGINAL columns
+    # (simultaneous assignment), matched rows take the expression,
+    # others pass through
+    rewritten = (
+        tagged.filter(F.col(fc).isin(affected))
+        .select(
+            *[
+                (
+                    F.when(upd, F.expr(set_exprs[c]))
+                    .otherwise(F.col(c)).alias(c)
+                    if c in set_exprs else F.col(c)
+                )
+                for c in cols
+            ]
+        )
+        .persist()
+    )
+    part_cols = _detect_partition_cols(path)
+    try:
+        rows = rewritten.count()
+        n_files = max(1, math.ceil(rows / target_rows))
+        run = uuid.uuid4().hex[:8]
+        finals = _rewrite_and_swap(
+            _shape_for_write(rewritten, n_files, part_cols), path, affected,
+            run,
+            table=table, target_rows=target_rows,
+            retain_history=retain_history, prefix="update",
+            partition_by=part_cols,
+        )
+    finally:
+        rewritten.unpersist()
+    return {
+        "files_rewritten": len(affected),
+        "files_added": len(finals),
+        "rows_updated": n_updated,
+        "version": current_version(path),
+        "pre_version": pre_version,
+    }
+
+
 def vacuum(path: str, retain_snapshots: int = 0) -> dict:
     """Recover from a crashed ``compact`` and remove its debris.
 

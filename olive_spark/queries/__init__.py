@@ -59,7 +59,7 @@ _RAW: dict[str, tuple] = {
 # registry entries.  Round-8 rotation (VERDICT r7 task #8): cumulative
 # coverage is complete (every registry query has appeared in some
 # driver CORRECTNESS window, r2–r7), so the window now leads with the
-# 23 r8-new queries (never driver-checked; local driver_check MATCH /
+# 24 r8-new queries (never driver-checked; local driver_check MATCH /
 # rows-only-sane), re-checks the 10 r7-new queries that have appeared
 # exactly once, keeps the regression canary, and fills to 50 with the
 # longest-unchecked entries — the r04/r05-era windows, last checked 3-4
@@ -93,6 +93,7 @@ _ORDER = [
     "stream_matview",              # r8: per-epoch continuous aggregate
     "scan_expectations_gate",      # r8: DLT-style gate + quarantine sidecar
     "llm_graph_pagerank",          # r8: power-iteration authority (rows-only)
+    "scan_after_update_where",     # r8: predicate UPDATE copy-on-write parity
     # --- r7-new, driver-checked exactly once (r07) ---
     "llm_pack_sequences_sharded",  # r7: partition-wise packing
     "llm_decontaminate_ngram",     # r7: GPT-3-style n-gram overlap
@@ -111,7 +112,6 @@ _ORDER = [
     "join_hash_orders_customer",
     "join_broadcast_dims",
     "join_skew_salted",
-    "window_rank_events",
     "window_sessionize",
     "dedup_latest_per_key",
     "ts_resample_locf",
@@ -130,6 +130,7 @@ _ORDER = [
     "join_semi_anti",
     "join_range_events",
     "join_asof_event_order",
+    "window_rank_events",
     "agg_grouping_sets",
     "tpch_q9_product_revenue",
     "tpch_q21_waiting_orders",

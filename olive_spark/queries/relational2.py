@@ -1220,6 +1220,66 @@ SQL_EXPECTATIONS_GATE = (
 )
 
 
+def _ensure_orders_updated(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) a table exercising predicate UPDATE
+    (ops/maintenance.update_where — the UPDATE…SET…WHERE sibling of
+    delete_where): base = orders; one update_where with TWO
+    simultaneous SET expressions —
+
+      SET o_totalprice = o_totalprice + 250.0,
+          o_orderstatus = 'U'
+      WHERE o_custkey % 13 = 5 AND o_orderstatus <> 'P'
+
+    Copy-on-write rewrite of only the files holding a match; the state
+    is a pure function of the base orders view so the oracle replays
+    it as a CASE."""
+    from olive_spark.ops.maintenance import update_where
+
+    def build(out: str) -> None:
+        cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        base = data.load(spark, sf, "orders", columns=cols)
+        base.write.format("olive").option("table", "orders_updated") \
+            .mode("append").save(out)
+        update_where(
+            spark, out,
+            {"o_totalprice": "o_totalprice + 250.0",
+             "o_orderstatus": "'U'"},
+            "o_custkey % 13 = 5 AND o_orderstatus <> 'P'",
+            table="orders_updated",
+        )
+
+    return _build_once(spark, sf, "orders_updated", "_UPD_OK", build)
+
+
+def scan_after_update_where(spark: SparkSession, sf: str) -> DataFrame:
+    """Predicate-UPDATE parity: aggregate the post-update table by
+    status — an update that rewrote an unmatched row, skipped a
+    matched file, or evaluated the SET against already-updated values
+    hash-mismatches the oracle's CASE replay."""
+    path = _ensure_orders_updated(spark, sf)
+    df = spark.read.format("olive") \
+        .option("table", "orders_updated").load(path)
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(D)).cast(D).alias("sum_price"),
+        F.sum("o_orderkey").alias("sum_keys"),
+    )
+
+
+SQL_AFTER_UPDATE = (
+    "WITH upd AS (SELECT o_orderkey, "
+    "CASE WHEN o_custkey % 13 = 5 AND o_orderstatus <> 'P' "
+    "THEN 'U' ELSE o_orderstatus END AS o_orderstatus, "
+    "CASE WHEN o_custkey % 13 = 5 AND o_orderstatus <> 'P' "
+    "THEN o_totalprice + 250.0 ELSE o_totalprice END AS o_totalprice "
+    "FROM orders) "
+    "SELECT o_orderstatus, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys "
+    "FROM upd GROUP BY o_orderstatus"
+)
+
+
 def scan_changes_feed(spark: SparkSession, sf: str) -> DataFrame:
     """Change-data-feed parity (ops.changes.read_changes): the NET
     row-level changes between the orders_merged table's base version
@@ -1386,6 +1446,7 @@ QUERIES: dict[str, tuple] = {
         scan_incremental_matview, SQL_INCREMENTAL_MATVIEW,
     ),
     "scan_expectations_gate": (scan_expectations_gate, SQL_EXPECTATIONS_GATE),
+    "scan_after_update_where": (scan_after_update_where, SQL_AFTER_UPDATE),
     "scan_merge_cdc_tombstones": (scan_merge_cdc_tombstones, SQL_MERGE_CDC_TOMB),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),
     "join_interval_overlap": (join_interval_overlap, SQL_INTERVAL_JOIN),

@@ -109,6 +109,18 @@ class OliveTable:
             self.spark, self.path, condition, table=self.table, **kw
         )
 
+    def update_where(
+        self, set_exprs: "dict[str, str]", condition: str, **kw
+    ) -> dict:
+        """UPDATE … SET … WHERE with this table bound (simultaneous
+        assignment; SET types must match the columns)."""
+        from olive_spark.ops.maintenance import update_where
+
+        return update_where(
+            self.spark, self.path, set_exprs, condition,
+            table=self.table, **kw
+        )
+
     def compact(self, **kw) -> dict:
         from olive_spark.ops.maintenance import compact
 

@@ -1143,3 +1143,106 @@ def test_merge_delete_condition_leg(spark, tmp_path):
     with pytest.raises(ValueError, match="mutually exclusive"):
         merge_upsert(spark, path2, src2, ["k"],
                      delete_condition="t.k % 2 = 0", latest_by="v")
+
+
+def test_update_where_basic_and_simultaneous(spark, tmp_path):
+    """Predicate UPDATE: matched rows transform with ALL SET
+    expressions reading the ORIGINAL row (simultaneous assignment —
+    the k/v swap proves it), unmatched rows byte-pass-through, and
+    untouched files are not rewritten."""
+    from olive_spark.datasource.olive_datasource import _list_chunk_files
+    from olive_spark.ops.maintenance import update_where
+
+    path = str(tmp_path / "t")
+    # range-cluster so the predicate hits a file subset
+    spark.range(1000).selectExpr(
+        "id AS k", "id * 10 AS v", "cast(id % 7 as int) AS grp"
+    ).repartitionByRange(4, "k").sortWithinPartitions("k") \
+        .write.format("olive").option("chunkRows", 250) \
+        .mode("append").save(path)
+    before_files = set(_list_chunk_files(path))
+
+    st = update_where(
+        spark, path, {"v": "v + 1000", "grp": "cast(grp + 1 as int)"},
+        "k < 100",
+    )
+    assert st["rows_updated"] == 100
+    assert st["files_rewritten"] == 1, st
+    kept = before_files & set(_list_chunk_files(path))
+    assert len(kept) == 3, "untouched files must keep their bytes"
+
+    got = _rows(spark.read.format("olive").load(path))
+    want = sorted(
+        (k, k * 10 + (1000 if k < 100 else 0),
+         k % 7 + (1 if k < 100 else 0))
+        for k in range(1000)
+    )
+    assert got == want
+
+    # simultaneous swap: a <- b, b <- a
+    st = update_where(
+        spark, path, {"k": "v", "v": "k"}, "k >= 990",
+    )
+    assert st["rows_updated"] == 10
+    df = spark.read.format("olive").load(path)
+    assert df.filter("k = 9950 AND v = 995").count() == 1
+
+    # time travel: v1 is the original table
+    orig = spark.read.format("olive").option("snapshot", "1").load(path)
+    assert orig.filter("v >= 1000 AND k < 100").count() == 0
+
+
+def test_update_where_null_condition_and_types(spark, tmp_path):
+    from olive_spark.ops.maintenance import update_where
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k long, v double"
+    ).write.format("olive").mode("append").save(path)
+    # NULL condition (v > 15 is NULL for k=2) keeps the row unchanged
+    st = update_where(spark, path, {"v": "v * 2"}, "v > 15")
+    assert st["rows_updated"] == 1
+    got = _rows(spark.read.format("olive").load(path))
+    assert got == [(1, 10.0), (2, None), (3, 60.0)]
+
+    with pytest.raises(ValueError, match="cast explicitly"):
+        update_where(spark, path, {"v": "'text'"}, "k = 1")
+    with pytest.raises(ValueError, match="not in table"):
+        update_where(spark, path, {"zz": "1"}, "k = 1")
+
+
+def test_update_where_moves_rows_across_partitions(spark, tmp_path):
+    """Updating a hive partition column must MOVE the row into its new
+    col=value directory (and directory pruning keeps working)."""
+    import os
+
+    from olive_spark.ops.maintenance import update_where
+
+    path = str(tmp_path / "p")
+    spark.range(90).selectExpr(
+        "id AS k", "concat('s', cast(id % 3 as string)) AS part"
+    ).write.format("olive").option("partitionBy", "part") \
+        .mode("append").save(path)
+    st = update_where(
+        spark, path, {"part": "'s9'"}, "part = 's0' AND k < 9",
+    )
+    assert st["rows_updated"] == 3
+    df = spark.read.format("olive").load(path)
+    assert df.filter("part = 's9'").count() == 3
+    assert df.count() == 90
+    assert os.path.isdir(os.path.join(path, "part=s9"))
+    moved = sorted(
+        r["k"] for r in df.filter("part = 's9'").collect()
+    )
+    assert moved == [0, 3, 6]
+
+
+def test_facade_update_where(spark, tmp_path):
+    from olive_spark import OliveTable
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=100, files=2)
+    t = OliveTable(spark, path)
+    st = t.update_where({"v": "v + 5"}, "k % 2 = 0")
+    assert st["rows_updated"] == 50
+    assert t.df().filter("k = 0 AND v = 5").count() == 1
