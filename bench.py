@@ -98,6 +98,7 @@ HEADLINE = [
     "scan_expectations_gate",      # r8: gate + quarantine sidecar
     "llm_graph_pagerank",          # r8: power-iteration authority
     "scan_after_update_where",     # r8: predicate UPDATE parity
+    "llm_train_split",             # r8: seeded hash split
 ]
 
 

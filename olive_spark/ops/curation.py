@@ -568,3 +568,57 @@ def token_budget_mix(
         .filter(F.col("cum_tokens") <= budget)
         .select(source_col, id_col, "n_tokens", "cum_tokens")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: "dict[str, float]",
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds ``split_col``
+    with the weight-proportional split name, decided by a seeded
+    md5 of the row key — identical on every run, engine, partitioning,
+    and cluster size (the reproducibility contract a training-data
+    pipeline needs; rand()-based splitSQL or randomSplit() give a
+    different answer per run and per partition layout).
+
+    Mechanics: bucket = first 8 hex chars of md5("<key>:<seed>"),
+    compared LEXICOGRAPHICALLY against cumulative-weight thresholds
+    rendered as zero-padded hex — fixed-width lowercase hex orders
+    identically to its numeric value, and md5 hex is identical across
+    Spark/DuckDB/Python, so an oracle can replay the exact assignment.
+    Pure projection: no shuffle, no UDF, whole-stage codegen.
+
+    ``weights`` must sum to 1 (±1e-9); dict order fixes the interval
+    order, so the same dict always yields the same assignment.  A new
+    ``seed`` re-deals every row."""
+    if len(weights) < 2:
+        raise ValueError("need at least two splits")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive: {weights}")
+    tot = sum(weights.values())
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {tot}")
+    if split_col in df.columns:
+        raise ValueError(f"column {split_col!r} already exists")
+    h = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.col(key_col).cast("string"), F.lit(str(int(seed)))
+            )
+        ),
+        1, 8,
+    )
+    names = list(weights)
+    acc, col = 0.0, None
+    for name in names[:-1]:
+        acc += weights[name]
+        cut = format(int(acc * (1 << 32)), "08x")
+        col = (
+            F.when(h < F.lit(cut), F.lit(name)) if col is None
+            else col.when(h < F.lit(cut), F.lit(name))
+        )
+    col = col.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, col)

@@ -37,6 +37,59 @@ SQL_PII_REDACT = (
 )
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SEED = 42
+
+
+def _split_cuts() -> "list[tuple[str, str]]":
+    """Cumulative hex thresholds, computed with the SAME accumulation
+    loop as ops.curation.hash_split so the oracle can never drift from
+    the operator by a floating-point ulp."""
+    names = list(_SPLIT_WEIGHTS)
+    acc, cuts = 0.0, []
+    for n in names[:-1]:
+        acc += _SPLIT_WEIGHTS[n]
+        cuts.append((n, format(int(acc * (1 << 32)), "08x")))
+    return cuts
+
+
+def llm_train_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Seeded hash train/val/test assignment
+    (ops.curation.hash_split): split decided by the first 8 md5-hex
+    chars of "<doc_id>:<seed>" against cumulative-weight thresholds —
+    identical on every run/engine/partitioning, which is the whole
+    point (randomSplit() re-deals per run and per layout).  md5 hex is
+    engine-portable, so the oracle replays the EXACT assignment in
+    DuckDB; the aggregate checks counts AND membership (sum of ids)
+    per split."""
+    from olive_spark.ops.curation import hash_split
+
+    docs = data.load(spark, sf, "documents", columns=["doc_id"])
+    out = hash_split(docs, "doc_id", _SPLIT_WEIGHTS, seed=_SPLIT_SEED)
+    return out.groupBy("split").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+def _sql_train_split() -> str:
+    cuts = _split_cuts()
+    case = "CASE"
+    for n, c in cuts:
+        case += f" WHEN hx < '{c}' THEN '{n}'"
+    case += f" ELSE '{list(_SPLIT_WEIGHTS)[-1]}' END"
+    return (
+        "WITH h AS (SELECT doc_id, "
+        f"substring(md5(CAST(doc_id AS VARCHAR) || ':{_SPLIT_SEED}'), 1, 8)"
+        " AS hx FROM documents) "
+        f"SELECT split, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids "
+        f"FROM (SELECT doc_id, {case} AS split FROM h) GROUP BY split"
+    )
+
+
+SQL_TRAIN_SPLIT = _sql_train_split()
+
+
 def llm_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic per-language sampling (en kept at 10%, others at
     50%) — modulo on doc_id, reproducible across engines and runs."""
@@ -790,6 +843,7 @@ QUERIES: dict[str, tuple] = {
     "llm_dedup_lines": (llm_dedup_lines, SQL_DEDUP_LINES),
     "llm_boilerplate_lines": (llm_boilerplate_lines, SQL_BOILERPLATE),
     "llm_stratified_sample": (llm_stratified_sample, SQL_STRATIFIED),
+    "llm_train_split": (llm_train_split, SQL_TRAIN_SPLIT),
     "llm_vocab_topk": (llm_vocab_topk, SQL_VOCAB),
     "llm_ngram_topk": (llm_ngram_topk, SQL_NGRAM),
     "llm_contamination": (llm_contamination, SQL_CONTAMINATION),

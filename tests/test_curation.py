@@ -506,3 +506,55 @@ def test_cap_per_group_matches_naive_window(spark):
     # groups smaller than the cap survive whole
     tiny = spark.range(3).selectExpr("id", "'x' AS dom", "cast(1 as int) AS score")
     assert cap_per_group(tiny, "dom", 10, "score", tiebreak_col="id").count() == 3
+
+
+class TestHashSplit:
+    def test_matches_python_reference_and_proportions(self, spark):
+        import hashlib
+
+        from olive_spark.ops.curation import hash_split
+
+        df = spark.range(5000).selectExpr("id AS k")
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+        got = {
+            r["k"]: r["split"]
+            for r in hash_split(df, "k", weights, seed=7).collect()
+        }
+        cuts = []
+        acc = 0.0
+        names = list(weights)
+        for n in names[:-1]:
+            acc += weights[n]
+            cuts.append((n, format(int(acc * (1 << 32)), "08x")))
+        def ref(k):
+            h = hashlib.md5(f"{k}:7".encode()).hexdigest()[:8]
+            for n, c in cuts:
+                if h < c:
+                    return n
+            return names[-1]
+        assert got == {k: ref(k) for k in range(5000)}
+        from collections import Counter
+
+        frac = Counter(got.values())
+        assert abs(frac["train"] / 5000 - 0.8) < 0.02
+        assert abs(frac["val"] / 5000 - 0.1) < 0.01
+
+    def test_seed_changes_assignment_weights_validated(self, spark):
+        import pytest as _pytest
+
+        from olive_spark.ops.curation import hash_split
+
+        df = spark.range(500).selectExpr("id AS k")
+        w = {"a": 0.5, "b": 0.5}
+        s0 = {r["k"]: r["split"] for r in hash_split(df, "k", w, 0).collect()}
+        s1 = {r["k"]: r["split"] for r in hash_split(df, "k", w, 1).collect()}
+        assert s0 != s1, "a new seed must re-deal"
+        # determinism: same call twice -> identical
+        again = {r["k"]: r["split"] for r in hash_split(df, "k", w, 0).collect()}
+        assert again == s0
+        with _pytest.raises(ValueError, match="sum to 1"):
+            hash_split(df, "k", {"a": 0.5, "b": 0.6})
+        with _pytest.raises(ValueError, match="two splits"):
+            hash_split(df, "k", {"a": 1.0})
+        with _pytest.raises(ValueError, match="already exists"):
+            hash_split(df.selectExpr("k", "'x' AS split"), "k", w)
