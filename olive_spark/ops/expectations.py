@@ -145,17 +145,24 @@ def write_with_expectations(
     {rows_in, rows_written, rows_quarantined, rows_dropped,
     failed_counts: {rule: n}}.
 
-    The two writes are two jobs over one gate projection; at scale the
-    quarantine side is expected to be a sliver, and a clean batch
-    skips the quarantine write entirely (no empty commit)."""
+    The two writes are two jobs over one gate projection, QUARANTINE
+    FIRST (crash-ordering rationale inline below); a clean batch's
+    quarantine commit is a zero-row schema sentinel, so the sidecar is
+    always readable once the gate has run."""
     import os
 
     from olive_spark.datasource import register_olive
 
     register_olive(spark)
     passed, quarantined, obs = apply_expectations(df, rules)
-    passed.write.format("olive").option("table", table) \
-        .mode("append").save(path)
+    # QUARANTINE FIRST: the sidecar holds the rows the gate exists to
+    # preserve for triage.  A crash between the two commits then leaves
+    # quarantine landed and the main append missing — the re-run
+    # appends survivors once and at worst re-appends quarantine rows
+    # (duplicate triage noise, deduplicable by key), never silently
+    # LOSES the bad rows, which main-first would.
+    quarantined.write.format("olive").option("table", "quarantine") \
+        .mode("append").save(os.path.join(path, QUARANTINE_DIR))
     # every stat comes from the one observe pass the gate already paid
     # for — no rescans of either side
     counts = obs.get
@@ -163,9 +170,8 @@ def write_with_expectations(
     n_drop = int(counts.get("_rows_dropped", 0) or 0)
     n_quar = int(counts.get("_rows_quarantined", 0) or 0)
     failed = {n: int(counts.get(n, 0) or 0) for n in rules}
-    if n_quar:
-        quarantined.write.format("olive").option("table", "quarantine") \
-            .mode("append").save(os.path.join(path, QUARANTINE_DIR))
+    passed.write.format("olive").option("table", table) \
+        .mode("append").save(path)
     return {
         "rows_in": rows_in,
         "rows_written": rows_in - n_drop - n_quar,

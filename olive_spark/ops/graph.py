@@ -204,10 +204,20 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        out = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint()
+        nodes.unpersist()
+        return out
     outdeg = e.groupBy("src").agg(F.count("*").alias("__deg"))
     links = e.join(outdeg, "src").persist()
     links.count()
+    # the DANGLING NODE SET is static — materialize it once; deriving
+    # it per round through `outdeg`'s unpersisted lineage re-ran the
+    # full edge dedup + degree shuffle every iteration (measured: the
+    # dominant cost of the whole loop at 5k nodes / 15 rounds)
+    dangling = nodes.join(
+        outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist()
+    dangling.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     base = (1.0 - damping) / n
     for _ in range(int(max_iter)):
@@ -221,7 +231,7 @@ def pagerank(
         )
         # dangling nodes (no out-edges) spread their rank uniformly
         dang = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            ranks.join(dangling, "node", "left_semi")
             .agg(F.sum("rank")).collect()[0][0] or 0.0
         )
         new_ranks = (
@@ -248,5 +258,6 @@ def pagerank(
         if delta is not None and delta < tol:
             break
     links.unpersist()
+    dangling.unpersist()
     nodes.unpersist()
     return ranks

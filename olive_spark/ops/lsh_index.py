@@ -102,6 +102,14 @@ def build_lsh_index(
             f"LSH index already exists at {index_dir} — use append_index"
         )
     os.makedirs(index_dir, exist_ok=True)
+    # meta is the completion marker: legs left by a build that crashed
+    # before writing it would be double-appended by the rebuild
+    import shutil
+
+    for leg in ("sigs", "bands"):
+        d = os.path.join(index_dir, leg)
+        if os.path.exists(d):
+            shutil.rmtree(d)
     from olive_spark.datasource import register_olive
 
     register_olive(spark)
@@ -165,7 +173,12 @@ def append_index(
             _append(band_hashes(new_sigs, id_col), bands_path)
     finally:
         new_sigs.unpersist()
-    meta["n_docs"] = int(meta["n_docs"]) + int(n_new)
+    # recompute from the stored sigs rather than folding the delta in:
+    # self-heals any count drift from a crash between a prior append's
+    # data commit and meta write
+    meta["n_docs"] = int(
+        spark.read.format("olive").load(sigs_path).count()
+    )
     meta["build_id"] = uuid.uuid4().hex
     _write_meta(index_dir, meta)
     return {**meta, "appended": int(n_new), "healed": int(n_healed)}

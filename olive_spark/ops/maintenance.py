@@ -1529,7 +1529,7 @@ def count_rows(
         _pick_table,
         _read_header_bytes,
     )
-    from olive_spark.format.manifest import load_manifest
+    from olive_spark.format.manifest import load_manifest, lookup
     from olive_spark.format.snapshots import (
         files_at,
         list_live_files,
@@ -1543,12 +1543,14 @@ def count_rows(
     paths = resolve_paths(path, names)
     man = load_manifest(path)
     total = 0
-    for name, fp in zip(names, paths):
-        # a manifest entry is keyed by relpath and describes THOSE
-        # bytes whether the file is live or history-resolved; rewrite
-        # swaps prune entries for replaced names, so a present entry is
-        # never stale
-        ent = man.get(name)
+    for fp in paths:
+        # the same size-validated lookup the pruning path uses: an
+        # entry is trusted only while the on-disk bytes still match its
+        # recorded size (a hand-replaced or half-synced chunk falls
+        # back to its header instead of returning stale rows);
+        # history-resolved paths never match a manifest relpath and
+        # take the header path too
+        ent = lookup(man, path, fp)
         rows = ent.get("rows") if isinstance(ent, dict) else None
         if isinstance(rows, int):
             total += rows

@@ -38,12 +38,6 @@ from pyspark.sql import DataFrame, functions as F
 _TEXT_META = "_text_meta.json"
 
 
-def _tokens(text_col: str):
-    return F.array_distinct(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    )
-
-
 def _meta_path(index_dir: str) -> str:
     return os.path.join(index_dir, _TEXT_META)
 
@@ -124,13 +118,21 @@ def build_text_index(
 
     register_olive(spark)
     os.makedirs(index_dir, exist_ok=True)
+    pdir = os.path.join(index_dir, "postings")
+    if os.path.exists(pdir):
+        # a prior build crashed between the postings commit and the
+        # meta write (meta is the completion marker): rebuilding over
+        # the half-landed copy would append a SECOND posting per
+        # (id, token) and silently zero out every AND search
+        import shutil
+
+        shutil.rmtree(pdir)
     p = _postings(docs, text_col, id_col).persist()
     try:
         n, total = p.agg(
             F.count_distinct(F.col(id_col)), F.sum("tf")
         ).first()
-        _write_postings(p, os.path.join(index_dir, "postings"), id_col,
-                        n_files)
+        _write_postings(p, pdir, id_col, n_files)
     finally:
         p.unpersist()
     meta = {
@@ -168,16 +170,23 @@ def append_text_index(
     fresh = new_docs.join(indexed, id_col, "left_anti")
     p = _postings(fresh, text_col, id_col).persist()
     try:
-        n_new, t_new = p.agg(
-            F.count_distinct(F.col(id_col)), F.sum("tf")
-        ).first()
-        n_new, t_new = int(n_new or 0), int(t_new or 0)
+        n_new = int(p.agg(F.count_distinct(F.col(id_col))).first()[0] or 0)
         if n_new:
             _write_postings(p, path, id_col, max(1, meta["n_files"] // 4))
     finally:
         p.unpersist()
-    meta["n_docs"] = int(meta["n_docs"]) + n_new
-    meta["n_tokens"] = int(meta.get("n_tokens", 0)) + t_new
+    # meta stats are RECOMPUTED from the stored postings, not folded in
+    # incrementally: a prior append that crashed between its postings
+    # commit and its meta write would otherwise undercount
+    # n_docs/n_tokens FOREVER (the anti-join skips its docs as already
+    # indexed), silently skewing every future BM25 idf/avgdl — the
+    # one-aggregate re-derivation self-heals that drift at every append
+    stored = spark.read.format("olive").load(path)
+    n, total = stored.agg(
+        F.count_distinct(F.col(id_col)), F.sum("tf")
+    ).first()
+    meta["n_docs"] = int(n or 0)
+    meta["n_tokens"] = int(total or 0)
     meta["build_id"] = uuid.uuid4().hex
     _write_meta(index_dir, meta)
     return {**meta, "appended": n_new}

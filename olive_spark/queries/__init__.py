@@ -59,7 +59,7 @@ _RAW: dict[str, tuple] = {
 # registry entries.  Round-8 rotation (VERDICT r7 task #8): cumulative
 # coverage is complete (every registry query has appeared in some
 # driver CORRECTNESS window, r2–r7), so the window now leads with the
-# 24 r8-new queries (never driver-checked; local driver_check MATCH /
+# 25 r8-new queries (never driver-checked; local driver_check MATCH /
 # rows-only-sane), re-checks the 10 r7-new queries that have appeared
 # exactly once, keeps the regression canary, and fills to 50 with the
 # longest-unchecked entries — the r04/r05-era windows, last checked 3-4
@@ -117,9 +117,8 @@ _ORDER = [
     "dedup_latest_per_key",
     "ts_resample_locf",
     "events_window_funnel",
-    "events_cohort_retention",
-    "setop_union_except",
     "scalar_json_events",
+    "setop_union_except",
     "subquery_correlated_scalar",
     "tpch_q3_shipping",
     # ---- beyond the 50-entry driver window (the r8-new additions
@@ -133,6 +132,7 @@ _ORDER = [
     "join_asof_event_order",
     "window_rank_events",
     "agg_grouping_sets",
+    "events_cohort_retention",
     "tpch_q9_product_revenue",
     "tpch_q21_waiting_orders",
     "llm_dedup_exact",

@@ -183,9 +183,13 @@ def llm_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_BM25_SEARCH = (
-    "WITH toks AS (SELECT doc_id, "
+    # len(t) > 0 everywhere: the index deliberately excludes tokenless
+    # documents from N/avgdl (build_text_index docstring) — an oracle
+    # counting ALL docs would diverge the moment the corpus held a
+    # whitespace-only text
+    "WITH toks AS (SELECT doc_id, t FROM (SELECT doc_id, "
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
-    "x -> x <> '') AS t FROM documents), "
+    "x -> x <> '') AS t FROM documents) WHERE len(t) > 0), "
     "stats AS (SELECT COUNT(*) AS n, SUM(len(t)) * 1.0 / COUNT(*) AS avgdl "
     "FROM toks), "
     "tf AS (SELECT doc_id, len(t) AS dl, "

@@ -1198,11 +1198,14 @@ def scan_expectations_gate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_EXPECTATIONS_GATE = (
+    # NOT COALESCE(cond, FALSE): the gate treats a NULL expectation as
+    # a FAILURE (expectations.py NULL-fails semantics) — a bare
+    # NOT(cond) would silently drop NULL-failing rows from BOTH sides
     "WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
     "o_totalprice, "
-    "NOT (o_totalprice < 400000) AS f_price, "
-    "NOT (o_orderstatus <> 'P') AS f_status, "
-    "NOT (o_orderkey % 10 <> 7) AS f_key FROM orders) "
+    "NOT COALESCE(o_totalprice < 400000, FALSE) AS f_price, "
+    "NOT COALESCE(o_orderstatus <> 'P', FALSE) AS f_status, "
+    "NOT COALESCE(o_orderkey % 10 <> 7, FALSE) AS f_key FROM orders) "
     "SELECT o_orderstatus, COUNT(*) AS n, "
     "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price, "
     "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys, "

@@ -69,9 +69,10 @@ def test_dispositions_and_counts(spark, tmp_path):
     }
 
 
-def test_clean_batch_no_quarantine_commit(spark, tmp_path):
-    import os
-
+def test_clean_batch_empty_quarantine_sentinel(spark, tmp_path):
+    """A clean batch commits a zero-row quarantine sentinel (the
+    quarantine-first crash ordering makes the sidecar the first write),
+    so .quarantine() is always readable once the gate has run."""
     from olive_spark.ops.expectations import write_with_expectations
 
     path = str(tmp_path / "t")
@@ -81,7 +82,9 @@ def test_clean_batch_no_quarantine_commit(spark, tmp_path):
     )
     st = write_with_expectations(spark, clean, path, RULES)
     assert st["rows_written"] == 2 and st["rows_quarantined"] == 0
-    assert not os.path.exists(st["quarantine_path"])
+    q = spark.read.format("olive").option("table", "quarantine") \
+        .load(st["quarantine_path"])
+    assert q.count() == 0 and "_failed_rules" in q.columns
 
 
 def test_quarantine_repair_reingest(spark, tmp_path):

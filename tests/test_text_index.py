@@ -252,3 +252,52 @@ def test_compact_restores_token_clustering(spark, tmp_path, docs_rows):
         for r in search_tokens(spark, idx, ["w03"], "all").collect()
     )
     assert got == want, "compaction must not change search results"
+
+
+def test_build_crash_before_meta_rebuilds_clean(spark, tmp_path, docs_rows):
+    """A build that crashed between the postings commit and the meta
+    write must be REBUILT from scratch — appending over the half-landed
+    copy would double every posting and zero out all AND searches."""
+    import os
+    import shutil
+
+    from olive_spark.ops.text_index import build_text_index, search_tokens
+
+    idx = str(tmp_path / "idx")
+    build_text_index(spark, _frame(spark, docs_rows[:50]), idx, n_files=2)
+    # simulate the crash: meta gone, postings left behind
+    os.remove(os.path.join(idx, "_text_meta.json"))
+    build_text_index(spark, _frame(spark, docs_rows[:50]), idx, n_files=2)
+    got = sorted(
+        r["doc_id"]
+        for r in search_tokens(spark, idx, ["w13", "w57"], "all").collect()
+    )
+    assert got == _ref_search(docs_rows[:50], ["w13", "w57"], "all")
+    shutil.rmtree(idx)
+
+
+def test_append_crash_meta_drift_self_heals(spark, tmp_path, docs_rows):
+    """Meta stats recompute from the stored postings at every append,
+    so a crash between a prior append's data commit and meta write
+    cannot skew BM25's N/avgdl forever."""
+    import json
+    import os
+
+    from olive_spark.ops.text_index import (
+        append_text_index,
+        build_text_index,
+        load_meta,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_text_index(spark, _frame(spark, docs_rows[:40]), idx, n_files=2)
+    true_meta = load_meta(idx)
+    # simulate stale-meta drift from a crashed append
+    bad = dict(true_meta)
+    bad["n_docs"], bad["n_tokens"] = 1, 1
+    json.dump(bad, open(os.path.join(idx, "_text_meta.json"), "w"))
+    st = append_text_index(
+        spark, _frame(spark, [(5000, "w00 w01 w02")]), idx
+    )
+    assert st["n_docs"] == 41
+    assert st["n_tokens"] == true_meta["n_tokens"] + 3
