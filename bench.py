@@ -99,6 +99,7 @@ HEADLINE = [
     "llm_graph_pagerank",          # r8: power-iteration authority
     "scan_after_update_where",     # r8: predicate UPDATE parity
     "llm_train_split",             # r8: seeded hash split
+    "scan_after_restore",          # r8: RESTORE TO VERSION + append
 ]
 
 

@@ -57,7 +57,16 @@ def _retire_original(path: str, rel: str, history: bool) -> bool:
 
             dest = os.path.join(path, HISTORY_DIR, rel)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
-            os.replace(src, dest)
+            # restore() re-activates history files by HARDLINK, so src
+            # and dest may already be the same inode — POSIX rename()
+            # over itself is a silent no-op that would leave the live
+            # name in place; drop the live link instead
+            if os.path.exists(dest) and os.path.samestat(
+                os.stat(src), os.stat(dest)
+            ):
+                os.remove(src)
+            else:
+                os.replace(src, dest)
         else:
             os.remove(src)
         return True
@@ -1372,6 +1381,124 @@ def vacuum(path: str, retain_snapshots: int = 0) -> dict:
     return out
 
 
+def _manifest_entry_from_header(path: str, rel: str, table: str) -> "dict | None":
+    """Rebuild a stats-manifest entry for an EXISTING chunk file from
+    its framed header (no data pages): rows from the table header,
+    file-level min/max as the fold of the per-page stats.  Null counts
+    are not recoverable from the header, so the entry omits ``nulls``
+    (IS NULL file pruning simply doesn't apply to it).  None when the
+    header carries no usable stats."""
+    from olive_spark.datasource.olive_datasource import (
+        _pick_table,
+        _read_header_bytes,
+    )
+
+    fp = os.path.join(path, rel)
+    try:
+        header, _ = _read_header_bytes(fp)
+        th = _pick_table(header, table)
+        cols = {
+            n: {"min": min(f.stats["min"]), "max": max(f.stats["max"])}
+            for n, f in zip(th.field_names, th.fields)
+            if f.stats is not None
+            and all(v is not None for v in f.stats["min"] + f.stats["max"])
+        }
+        return {
+            "rows": th.num_rows,
+            "columns": cols,
+            "size": os.path.getsize(fp),
+        }
+    except Exception:  # noqa: BLE001 — stats rebuild must never fail a restore
+        return None
+
+
+def restore(path: str, version: int, table: str = "data") -> dict:
+    """RESTORE the table to snapshot ``version``: the target version's
+    file set becomes the live set through ONE new commit — history is
+    preserved (the restore is itself a snapshot entry, tagged
+    ``restore:<version>``, so it can be time-traveled past or undone by
+    a further restore), and no data is rewritten.
+
+    Mechanics: files the target names that a later rewrite retired into
+    ``_olive_history/`` are re-activated by HARDLINK into the live tree
+    (copy fallback across filesystems) — the history name stays valid,
+    so older snapshots that also reference the file keep resolving;
+    files added after ``version`` retire INTO history (always retained:
+    a restore must be restorable).  Crash safety reuses the compaction
+    intent manifest: links are staged as ``.staging``, the manifest
+    lists finals+originals, and activation/retirement/log-append run
+    after it lands — a crash at any point either leaves invisible
+    stagings (vacuum sweeps them) or a manifest `_recover_pending`
+    completes.  Fails loud (ValidationError) when the target version's
+    files were vacuumed away.
+
+    The stats manifest gets entries for re-activated files rebuilt from
+    their headers, keeping plan-time file pruning manifest-only (one
+    read) instead of one header GET per restored file per query.
+    Reference n/a: the format is batch-only (src/root.zig:9-16);
+    parity target is Delta's RESTORE TABLE ... TO VERSION AS OF."""
+    from olive_spark.format.manifest import merge_manifest
+    from olive_spark.format.snapshots import (
+        append_entry,
+        current_version,
+        files_at,
+        resolve_paths,
+    )
+
+    _recover_pending(path)
+    target = files_at(path, int(version))
+    head = current_version(path)
+    cur = set(files_at(path, head))
+    add = sorted(set(target) - cur)
+    remove = sorted(cur - set(target))
+    if not add and not remove:
+        return {"version": head, "restored_to": int(version),
+                "reactivated": 0, "retired": 0}
+    # validate BEFORE touching anything: every re-activated file must
+    # still exist (live elsewhere is impossible — it's not in `cur` —
+    # so this resolves from _olive_history and fails loud if vacuumed)
+    srcs = resolve_paths(path, add)
+    for rel, src in zip(add, srcs):
+        stag = os.path.join(path, rel) + ".staging"
+        os.makedirs(os.path.dirname(stag), exist_ok=True)
+        try:
+            if os.path.exists(stag):
+                os.remove(stag)  # debris from a crashed earlier restore
+            os.link(src, stag)
+        except OSError:
+            shutil.copy2(src, stag)
+    run = uuid.uuid4().hex[:8]
+    manifest = os.path.join(path, f"compact-{run}.manifest.json")
+    doc = {
+        "originals": remove,
+        "finals": add,
+        "history": True,
+        "op": "restore",
+        "empty": not add,
+    }
+    with open(manifest + ".tmp", "w") as fh:
+        json.dump(doc, fh)
+    os.replace(manifest + ".tmp", manifest)
+    for rel in add:
+        final = os.path.join(path, rel)
+        os.replace(final + ".staging", final)
+    for rel in remove:
+        _retire_original(path, rel, history=True)
+    os.remove(manifest)
+    new_v = append_entry(
+        path, add=add, remove=remove, tag=f"restore:{int(version)}"
+    )
+    entries = {}
+    for rel in add:
+        ent = _manifest_entry_from_header(path, rel, table)
+        if ent is not None:
+            entries[rel] = ent
+    if entries:
+        merge_manifest(path, entries)
+    return {"version": new_v, "restored_to": int(version),
+            "reactivated": len(add), "retired": len(remove)}
+
+
 def vacuum_stream_sink(path: str) -> dict:
     """Remove crash debris from an olive STREAMING SINK directory.
 
@@ -1615,18 +1742,23 @@ def snapshot_history(path: str) -> "list[dict]":
         elif e.get("reset"):
             live.clear()
             kind = "overwrite"
+        elif str(e.get("tag", "")).startswith("restore:"):
+            kind = "restore"
         elif e.get("remove"):
             kind = "compact"
         else:
             kind = "append"
         live.update(e.get("add", ()))
         live.difference_update(e.get("remove", ()))
-        out.append({
+        rec = {
             "version": int(e["v"]),
             "ts": e.get("ts"),
             "kind": kind,
             "added": len(e.get("add", ())),
             "removed": len(e.get("remove", ())),
             "live_files": len(live),
-        })
+        }
+        if e.get("tag") is not None:
+            rec["tag"] = e["tag"]
+        out.append(rec)
     return out

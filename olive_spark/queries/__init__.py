@@ -94,6 +94,7 @@ _ORDER = [
     "scan_expectations_gate",      # r8: DLT-style gate + quarantine sidecar
     "llm_graph_pagerank",          # r8: power-iteration authority (rows-only)
     "scan_after_update_where",     # r8: predicate UPDATE copy-on-write parity
+    "scan_after_restore",          # r8: RESTORE TO VERSION, then append
     "llm_train_split",             # r8: engine-portable seeded hash split
     # --- r7-new, driver-checked exactly once (r07) ---
     "llm_pack_sequences_sharded",  # r7: partition-wise packing

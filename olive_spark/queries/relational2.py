@@ -1283,6 +1283,83 @@ SQL_AFTER_UPDATE = (
 )
 
 
+def _ensure_orders_restored(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) a table proving RESTORE TO VERSION
+    (ops/maintenance.restore) end-to-end:
+
+      v1  base: orders (o_orderkey, o_custkey, o_orderstatus,
+          o_totalprice)
+      v2  update_where: SET o_totalprice += 400 WHERE o_custkey % 7 = 2
+      v3  delete_where: o_orderstatus = 'F'
+      v4  RESTORE to v1 — re-activates the rewritten files from
+          _olive_history, retires the v2/v3 rewrites (no data rewrite)
+      v5  plain append: the %10==3 orders re-keyed +800M, price +7
+
+    The final live state is base ∪ appended — a pure function of the
+    parquet orders view, so the oracle needs no knowledge of v2-v4: if
+    the restore missed a file (deleted 'F' rows stay gone), failed to
+    undo the update (+400 prices linger), or left a retired file live
+    (duplicate rows double every count), the hash mismatches.  The
+    post-restore append proves a restored table is a fully working
+    table, not a frozen snapshot."""
+    from olive_spark.ops.maintenance import (
+        delete_where,
+        restore,
+        update_where,
+    )
+
+    def build(out: str) -> None:
+        cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        base = data.load(spark, sf, "orders", columns=cols)
+        base.write.format("olive").option("table", "orders_restored") \
+            .mode("append").save(out)
+        update_where(
+            spark, out, {"o_totalprice": "o_totalprice + 400.0"},
+            "o_custkey % 7 = 2", table="orders_restored",
+        )
+        delete_where(spark, out, "o_orderstatus = 'F'",
+                     table="orders_restored")
+        restore(out, 1, table="orders_restored")
+        extra = base.filter(F.col("o_custkey") % 10 == 3).select(
+            (F.col("o_orderkey") + F.lit(800_000_000)).alias("o_orderkey"),
+            "o_custkey", "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(7.0)).alias("o_totalprice"),
+        )
+        extra.write.format("olive").option("table", "orders_restored") \
+            .mode("append").save(out)
+
+    return _build_once(spark, sf, "orders_restored", "_RESTORE_OK", build)
+
+
+def scan_after_restore(spark: SparkSession, sf: str) -> DataFrame:
+    """Post-RESTORE state parity: aggregate the orders_restored table
+    after update+delete+RESTORE(v1)+append — the oracle reconstructs
+    the same state from the base orders view alone (see
+    _ensure_orders_restored for exactly what each failure mode would
+    do to the hash)."""
+    path = _ensure_orders_restored(spark, sf)
+    df = spark.read.format("olive") \
+        .option("table", "orders_restored").load(path)
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(D)).cast(D).alias("sum_price"),
+        F.sum(F.col("o_orderkey")).alias("sum_keys"),
+    )
+
+
+SQL_AFTER_RESTORE = (
+    "WITH final AS ("
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+    "UNION ALL "
+    "SELECT o_orderkey + 800000000, o_orderstatus, o_totalprice + 7.0 "
+    "FROM orders WHERE o_custkey % 10 = 3) "
+    "SELECT o_orderstatus, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys "
+    "FROM final GROUP BY o_orderstatus"
+)
+
+
 def scan_changes_feed(spark: SparkSession, sf: str) -> DataFrame:
     """Change-data-feed parity (ops.changes.read_changes): the NET
     row-level changes between the orders_merged table's base version
@@ -1450,6 +1527,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "scan_expectations_gate": (scan_expectations_gate, SQL_EXPECTATIONS_GATE),
     "scan_after_update_where": (scan_after_update_where, SQL_AFTER_UPDATE),
+    "scan_after_restore": (scan_after_restore, SQL_AFTER_RESTORE),
     "scan_merge_cdc_tombstones": (scan_merge_cdc_tombstones, SQL_MERGE_CDC_TOMB),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),
     "join_interval_overlap": (join_interval_overlap, SQL_INTERVAL_JOIN),

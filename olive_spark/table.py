@@ -121,6 +121,14 @@ class OliveTable:
             table=self.table, **kw
         )
 
+    def restore(self, version: int) -> dict:
+        """RESTORE to snapshot ``version`` as a new commit (no data
+        rewrite; retired files re-activate from history, later files
+        retire into it — see ops.maintenance.restore)."""
+        from olive_spark.ops.maintenance import restore
+
+        return restore(self.path, version, table=self.table)
+
     def compact(self, **kw) -> dict:
         from olive_spark.ops.maintenance import compact
 
