@@ -100,6 +100,7 @@ HEADLINE = [
     "scan_after_update_where",     # r8: predicate UPDATE parity
     "llm_train_split",             # r8: seeded hash split
     "scan_after_restore",          # r8: RESTORE TO VERSION + append
+    "stream_cdc_pump",             # r8: cursor-resumed CDC delivery
 ]
 
 

@@ -373,6 +373,17 @@ class OliveReader(DataSourceReader):
             self.min_partitions = min(8, cpus)
         snap = options.get("snapshot")
         self.snapshot = int(snap) if snap is not None else None
+        stag = options.get("snapshottag", options.get("snapshotTag"))
+        if stag is not None:
+            if self.snapshot is not None:
+                raise ValueError(
+                    "olive: 'snapshot' and 'snapshotTag' are exclusive"
+                )
+            # resolve at PLAN time so a re-tag between plan and execute
+            # cannot split one query across two versions
+            from olive_spark.format.snapshots import version_for_tag
+
+            self.snapshot = version_for_tag(self.path, stag)
         fl = options.get("files")
         self.files_opt = (
             [n.strip() for n in fl.split(",") if n.strip()]
@@ -1601,6 +1612,13 @@ class OliveDataSource(DataSource):
         from pyspark.sql.types import StructField
 
         snap = self.options.get("snapshot")
+        stag = self.options.get(
+            "snapshottag", self.options.get("snapshotTag")
+        )
+        if snap is None and stag is not None:
+            from olive_spark.format.snapshots import version_for_tag
+
+            snap = version_for_tag(self.options["path"], stag)
         fl = self.options.get("files")
         if fl is not None:
             from olive_spark.format.snapshots import resolve_paths

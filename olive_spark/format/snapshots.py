@@ -293,7 +293,21 @@ def expire(dirpath: str, retain: int) -> dict:
         live.difference_update(e.get("remove", ()))
         if int(e["v"]) in keep_versions:
             referenced.update(live)
-    _write_log(dirpath, {"entries": _collapse_entries(entries, retain)})
+    new_log = {"entries": _collapse_entries(entries, retain)}
+    # tags are ALIASES, not retention pins: one naming an expired
+    # version is dropped with it (kept tags keep resolving — the
+    # collapsed base carries the oldest retained version's files)
+    tags = log.get("tags")
+    tags_dropped = 0
+    if isinstance(tags, dict):
+        kept_tags = {
+            k: v for k, v in tags.items()
+            if isinstance(v, int) and v in keep_versions
+        }
+        tags_dropped = len(tags) - len(kept_tags)
+        if kept_tags:
+            new_log["tags"] = kept_tags
+    _write_log(dirpath, new_log)
     hist = os.path.join(dirpath, HISTORY_DIR)
     deleted = 0
     if os.path.isdir(hist):
@@ -308,4 +322,58 @@ def expire(dirpath: str, retain: int) -> dict:
                     except OSError:
                         pass
     return {"retained": len(keep), "expired": expired,
-            "history_deleted": deleted}
+            "history_deleted": deleted, "tags_dropped": tags_dropped}
+
+
+def tag_version(
+    dirpath: str, name: str, version: "int | None" = None
+) -> int:
+    """Name a retained snapshot (default: the current version) so time
+    travel can address it symbolically: ``.option("snapshotTag", name)``
+    reads the tagged version.  Tags live in the log's ``tags`` map —
+    naming creates NO new commit, re-naming moves the tag (latest call
+    wins), and a tag is an ALIAS, not a retention pin: ``expire`` drops
+    tags whose version it collapses.  Single-writer, like every log
+    mutation."""
+    log = load_log(dirpath)
+    v = int(version) if version is not None else current_version(dirpath)
+    # validates v is a retained version (raises the canonical error)
+    files_at(dirpath, v)
+    tags = log.get("tags")
+    if not isinstance(tags, dict):
+        tags = {}
+    tags[str(name)] = v
+    log["tags"] = tags
+    _write_log(dirpath, log)
+    return v
+
+
+def delete_version_tag(dirpath: str, name: str) -> bool:
+    """Remove a snapshot tag; returns whether it existed."""
+    log = load_log(dirpath)
+    tags = log.get("tags")
+    if not isinstance(tags, dict) or str(name) not in tags:
+        return False
+    del tags[str(name)]
+    if tags:
+        log["tags"] = tags
+    else:
+        log.pop("tags", None)
+    _write_log(dirpath, log)
+    return True
+
+
+def list_version_tags(dirpath: str) -> "dict[str, int]":
+    tags = load_log(dirpath).get("tags")
+    return dict(tags) if isinstance(tags, dict) else {}
+
+
+def version_for_tag(dirpath: str, name: str) -> int:
+    """Resolve a snapshot tag to its version; loud on unknown tags."""
+    tags = list_version_tags(dirpath)
+    if str(name) not in tags:
+        known = sorted(tags) or "(none)"
+        raise ValidationError(
+            f"unknown snapshot tag {name!r} at {dirpath} — known: {known}"
+        )
+    return int(tags[str(name)])

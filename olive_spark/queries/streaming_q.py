@@ -419,7 +419,87 @@ SQL_STREAM_MATVIEW = (
 )
 
 
+def stream_cdc_pump(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental CDC delivery end-to-end (ops.changes.pump_changes —
+    the streaming leg of the change feed): the orders_merged fixture's
+    three commits (base append, MERGE, DELETE) are pumped one commit at
+    a time into a downstream ``cdc_audit`` olive table, with the cursor
+    sidecar proving resume — the first pump call is capped at 2 commits,
+    a second call delivers the rest from the persisted cursor.  Backfill
+    from version 0 makes v1 arrive as a synthetic all-insert batch, so
+    the audit table is a pure function of the base orders view: the
+    oracle replays v1 as base inserts plus each commit's EXCEPT ALL
+    delta.  A pump that skipped a commit, re-delivered one (cursor not
+    advancing), or mislabeled the backfill batch hash-mismatches."""
+    import shutil
+
+    from olive_spark.ops.changes import pump_changes
+    from olive_spark.queries.relational2 import _ensure_orders_merged
+
+    src_path = _ensure_orders_merged(spark, sf)
+    root = os.path.join(data.ensure_olive(sf), "orders_cdc_pump")
+    audit = os.path.join(root, "audit")
+    marker = os.path.join(root, "_PUMP_OK")
+    if not os.path.exists(marker):
+        if os.path.exists(root):
+            shutil.rmtree(root)
+
+        def apply_fn(df, v):
+            df.withColumn("_commit_version", F.lit(int(v))) \
+                .write.format("olive").option("table", "cdc_audit") \
+                .mode("append").save(audit)
+
+        state = os.path.join(root, "state")
+        out1 = pump_changes(
+            spark, src_path, state, apply_fn, table="orders_merged",
+            starting_version=0, max_commits_per_run=2,
+        )
+        out2 = pump_changes(
+            spark, src_path, state, apply_fn, table="orders_merged"
+        )
+        assert (out1["applied"], out2["applied"]) == (2, 1), (out1, out2)
+        with open(marker, "w") as f:
+            f.write("ok")
+    feed = spark.read.format("olive").option("table", "cdc_audit") \
+        .load(audit)
+    return feed.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+        "_change_type", "_commit_version",
+    )
+
+
+SQL_CDC_PUMP = (
+    "WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), "
+    "src AS ("
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice "
+    "FROM orders WHERE o_custkey % 10 = 0 "
+    "UNION ALL "
+    "SELECT o_orderkey + 900000000, o_custkey, o_orderstatus, o_totalprice * 2 "
+    "FROM orders WHERE o_custkey % 10 = 5), "
+    "post2 AS ("
+    "SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src) "
+    "UNION ALL SELECT * FROM src), "
+    "post3 AS (SELECT * FROM post2 WHERE NOT (o_orderstatus = 'P')) "
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS price, "
+    "'insert' AS _change_type, CAST(1 AS INT) AS _commit_version FROM base "
+    "UNION ALL "
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'insert', CAST(2 AS INT) "
+    "FROM (SELECT * FROM post2 EXCEPT ALL SELECT * FROM base) "
+    "UNION ALL "
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'delete', CAST(2 AS INT) "
+    "FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM post2) "
+    "UNION ALL "
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'insert', CAST(3 AS INT) "
+    "FROM (SELECT * FROM post3 EXCEPT ALL SELECT * FROM post2) "
+    "UNION ALL "
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'delete', CAST(3 AS INT) "
+    "FROM (SELECT * FROM post2 EXCEPT ALL SELECT * FROM post3)"
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "stream_cdc_pump": (stream_cdc_pump, SQL_CDC_PUMP),
     "stream_snapshot_tail": (stream_snapshot_tail, SQL_SNAPSHOT_TAIL),
     "stream_merge_upsert": (stream_merge_upsert, SQL_STREAM_MERGE),
     "stream_matview": (stream_matview, SQL_STREAM_MATVIEW),

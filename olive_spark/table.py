@@ -121,6 +121,21 @@ class OliveTable:
             table=self.table, **kw
         )
 
+    def tag(self, name: str, version: "int | None" = None) -> int:
+        """Name a retained snapshot (default: current) for symbolic
+        time travel; returns the tagged version."""
+        from olive_spark.format.snapshots import tag_version
+
+        return tag_version(self.path, name, version)
+
+    def tags(self) -> "dict[str, int]":
+        from olive_spark.format.snapshots import list_version_tags
+
+        return list_version_tags(self.path)
+
+    def time_travel_tag(self, name: str, **options) -> DataFrame:
+        return self._reader(snapshotTag=name, **options).load(self.path)
+
     def restore(self, version: int) -> dict:
         """RESTORE to snapshot ``version`` as a new commit (no data
         rewrite; retired files re-activate from history, later files

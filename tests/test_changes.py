@@ -304,3 +304,115 @@ def test_count_rows_metadata_only(spark, tmp_path):
     ).write.format("olive").option("partitionBy", "part") \
         .mode("append").save(p2)
     assert count_rows(p2) == 120
+
+
+def _mutate_twice(spark, path):
+    """merge (update+insert) at v2, delete at v3."""
+    from olive_spark.ops.maintenance import delete_where, merge_upsert
+
+    src = spark.range(195, 205).selectExpr(
+        "id AS k", "id * 100 AS v", "cast(99 as int) AS grp"
+    )
+    merge_upsert(spark, path, src, ["k"])
+    delete_where(spark, path, "grp = 3")
+
+
+def test_pump_changes_backfill_matches_by_commit(spark, tmp_path):
+    """Backfill-from-0 pump: v1 arrives as a synthetic all-insert batch,
+    later commits as their real diffs; the union must reproduce v1's
+    state plus read_changes_by_commit over (1, head]."""
+    from olive_spark.ops.changes import pump_changes, read_changes_by_commit
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    _mutate_twice(spark, path)
+    got = []
+
+    def apply_fn(df, v):
+        got.append((v, Counter(tuple(r) for r in df.collect())))
+
+    out = pump_changes(
+        spark, path, str(tmp_path / "s"), apply_fn, starting_version=0
+    )
+    assert out["applied"] == 3 and out["cursor"] == 3
+    assert [v for v, _ in got] == [1, 2, 3]
+    base = Counter(
+        (*t, "insert") for t in _snapshot_rows(spark, path, 1)
+    )
+    assert got[0][1] == base
+    bc = read_changes_by_commit(spark, path, since=1)
+    for v in (2, 3):
+        want = Counter(
+            tuple(r)[:-1] for r in bc.collect() if r["_commit_version"] == v
+        )
+        assert got[v - 1][1] == want
+
+
+def test_pump_changes_resumes_and_caps(spark, tmp_path):
+    """max_commits_per_run bounds each call; the cursor resumes across
+    calls, and a crashed apply re-delivers exactly its commit."""
+    from olive_spark.ops.changes import pump_changes
+
+    path = str(tmp_path / "t")
+    state = str(tmp_path / "s")
+    _mk_table(spark, path)
+    _mutate_twice(spark, path)
+    seen = []
+
+    def ok(df, v):
+        seen.append(v)
+
+    out = pump_changes(spark, path, state, ok,
+                       starting_version=0, max_commits_per_run=1)
+    assert out == {"applied": 1, "cursor": 1} and seen == [1]
+
+    def boom(df, v):
+        seen.append(v)
+        raise RuntimeError("consumer died")
+
+    with pytest.raises(RuntimeError):
+        pump_changes(spark, path, state, boom)
+    assert seen == [1, 2]
+    # cursor did NOT advance past the failed commit: 2 re-delivers
+    out = pump_changes(spark, path, state, ok)
+    assert seen == [1, 2, 2, 3] and out["cursor"] == 3
+    # nothing new: a further call is a no-op
+    assert pump_changes(spark, path, state, ok)["applied"] == 0
+
+
+def test_pump_changes_default_start_skips_history(spark, tmp_path):
+    """Default seed = current version: only commits made AFTER the
+    first call flow."""
+    from olive_spark.ops.changes import pump_changes
+    from olive_spark.ops.maintenance import delete_where
+
+    path = str(tmp_path / "t")
+    state = str(tmp_path / "s")
+    _mk_table(spark, path)
+    _mutate_twice(spark, path)
+    seen = []
+    out = pump_changes(spark, path, state, lambda df, v: seen.append(v))
+    assert out["applied"] == 0 and seen == []
+    delete_where(spark, path, "grp = 5")
+    out = pump_changes(spark, path, state, lambda df, v: seen.append(v))
+    assert out["applied"] == 1 and seen == [4]
+
+
+def test_pump_changes_expired_cursor_fails_loud(spark, tmp_path):
+    import json
+    import os
+
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.format.snapshots import expire
+    from olive_spark.ops.changes import pump_changes
+
+    path = str(tmp_path / "t")
+    state = str(tmp_path / "s")
+    _mk_table(spark, path)
+    _mutate_twice(spark, path)
+    os.makedirs(state)
+    with open(os.path.join(state, "cdc_cursor.json"), "w") as f:
+        json.dump({"version": 1}, f)
+    expire(path, retain=1)  # v1/v2 collapse away; cursor 1 is stale
+    with pytest.raises(ValidationError):
+        pump_changes(spark, path, state, lambda df, v: None)

@@ -410,3 +410,55 @@ def test_failed_append_invalidates_log_not_partial(tmp_path, monkeypatch):
     monkeypatch.setattr(snapshots, "append_entry", boom)
     ds._append_snapshot_entry(d, [os.path.join(d, "b.olive")])
     assert not os.path.exists(snapshots.log_path(d)), "stale log removed"
+
+
+def test_snapshot_tags_resolve_and_expire(spark, tmp_path_factory):
+    """Tags: symbolic time travel (.option snapshotTag / OliveTable),
+    latest-call-wins re-tagging, loud unknown-tag errors, and expiry
+    dropping tags whose version collapsed."""
+    import pytest as _pytest
+
+    from olive_spark import OliveTable
+    from olive_spark.format import snapshots
+    from olive_spark.format.errors import ValidationError
+
+    path = str(tmp_path_factory.mktemp("tags") / "t")
+    _write(spark, path, 0, 10)
+    _write(spark, path, 10, 30)
+    _write(spark, path, 30, 35)
+
+    t = OliveTable(spark, path)
+    assert t.tag("baseline", 1) == 1
+    assert t.tag("latest") == 3  # default: current version
+    assert t.tags() == {"baseline": 1, "latest": 3}
+
+    assert t.time_travel_tag("baseline").count() == 10
+    assert spark.read.format("olive").option(
+        "snapshotTag", "latest"
+    ).load(path).count() == 35
+
+    # re-tag moves (latest call wins)
+    snapshots.tag_version(path, "baseline", 2)
+    assert t.time_travel_tag("baseline").count() == 30
+
+    # through the DSv2 plan path Spark wraps the ValidationError; the
+    # tag name + known list must survive into the surfaced message
+    with _pytest.raises(Exception, match="unknown snapshot tag 'nope'"):
+        t.time_travel_tag("nope").collect()
+    with _pytest.raises(ValidationError):
+        snapshots.tag_version(path, "bad", 99)  # unknown version
+    with _pytest.raises(Exception, match="exclusive"):
+        spark.read.format("olive").option("snapshot", "1") \
+            .option("snapshotTag", "latest").load(path).collect()
+
+    # expire past v2: 'baseline'(v2) survives via the collapsed base,
+    # a tag on a dropped version would vanish — tag v1 first to prove
+    snapshots.tag_version(path, "gone", 1)
+    out = snapshots.expire(path, retain=2)
+    assert out["tags_dropped"] == 1
+    assert snapshots.list_version_tags(path) == {"baseline": 2, "latest": 3}
+    assert t.time_travel_tag("baseline").count() == 30
+
+    assert snapshots.delete_version_tag(path, "latest")
+    assert not snapshots.delete_version_tag(path, "latest")
+    assert snapshots.list_version_tags(path) == {"baseline": 2}
