@@ -101,6 +101,7 @@ HEADLINE = [
     "llm_train_split",             # r8: seeded hash split
     "scan_after_restore",          # r8: RESTORE TO VERSION + append
     "stream_cdc_pump",             # r8: cursor-resumed CDC delivery
+    "scan_after_drop_column",      # r8: metadata-only DROP COLUMN
 ]
 
 

@@ -790,6 +790,26 @@ class OliveWriter(DataSourceArrowWriter):
                         options.get("snapshotMaxEntries", 4096))
         )
         self.overwrite = overwrite
+        # DROP COLUMN tombstones: an append carrying a dropped name
+        # would resurface OLD files' values under it (the projection is
+        # by name) — refuse at plan time, before any file lands.
+        # Overwrite resets the table (and its sidecar), so it is exempt.
+        if not overwrite and self.path and os.path.isdir(self.path):
+            from olive_spark.format.table_schema import (
+                read_dropped_columns,
+            )
+
+            tomb = set(read_dropped_columns(self.path, self.table))
+            bad = sorted(
+                f.name for f in schema.fields if f.name in tomb
+            )
+            if bad:
+                raise ValueError(
+                    f"olive: columns {bad} were DROPped from table "
+                    f"{self.table!r}: old files still hold their values, "
+                    "so appending the name would resurface stale data — "
+                    "use a new name, or overwrite/rewrite the table"
+                )
 
     def _emit(self, tbl: "pa.Table", subdir: str, files: list) -> None:
         from olive_spark.format.writer import write_chunk
@@ -1657,11 +1677,22 @@ class OliveDataSource(DataSource):
         headers = (
             files if merge else ([] if side is not None else files[:1])
         )
+        tomb: set = set()
+        if headers and side is not None:
+            # DROP COLUMN tombstones: mergeSchema's header union must
+            # not resurrect a dropped column out of old files
+            from olive_spark.format.table_schema import (
+                read_dropped_columns,
+            )
+
+            tomb = set(read_dropped_columns(
+                self.options["path"], self.options.get("table")
+            ))
         for fp in headers:
             header, _ = _read_header_bytes(fp)
             th = _pick_table(header, self.options.get("table"))
             for n, tj in zip(th.field_names, th.field_types):
-                if n not in types:
+                if n not in types and n not in tomb:
                     names.append(n)
                     types[n] = tj
                 # first-writer-wins on type; files missing a column

@@ -91,12 +91,40 @@ def read_table_schema(path: str, table: "str | None"):
         raise ValidationError(f"corrupt schema sidecar {p}: {e}")
 
 
+def read_dropped_columns(path: str, table: "str | None") -> "list[str]":
+    """Names DROP COLUMN has tombstoned for ``table`` (empty when none,
+    or no sidecar).  A dropped name is a TOMBSTONE, not a free slot:
+    old files still hold its values, so re-adding the same name would
+    silently resurface them where fresh NULLs are expected — writers
+    refuse it.  ``table=None`` resolves like read_table_schema."""
+    p = sidecar_path(path)
+    try:
+        with open(p, "rb") as f:
+            doc = json.loads(f.read())
+        tables = doc["tables"]
+        if table is None:
+            if len(tables) != 1:
+                return []
+            entry = next(iter(tables.values()))
+        else:
+            entry = tables.get(table)
+        dropped = (entry or {}).get("dropped")
+        return [d for d in dropped if isinstance(d, str)] if dropped else []
+    except (OSError, ValueError, TypeError, KeyError):
+        # read_table_schema is the loud path for corrupt sidecars; this
+        # accessor only augments it
+        return []
+
+
 def write_table_schema(
-    path: str, table: str, field_names: list, field_types: list
+    path: str, table: str, field_names: list, field_types: list,
+    dropped: "list[str] | None" = None,
 ) -> None:
     """Record ``table``'s current schema in the sidecar (atomic
-    tmp+rename; other tables' entries are preserved).  Caller holds the
-    single-writer contract."""
+    tmp+rename; other tables' entries are preserved).  ``dropped``
+    replaces the table's tombstone list when given; otherwise an
+    existing list is PRESERVED (evolution/appends must not erase drop
+    tombstones).  Caller holds the single-writer contract."""
     if len(field_names) != len(field_types):
         raise ValidationError("field name/type count mismatch")
     p = sidecar_path(path)
@@ -119,10 +147,15 @@ def write_table_schema(
             f"corrupt schema sidecar {p}: {e} — delete it explicitly "
             "to reset (other tables' evolved schemas live in it too)"
         )
+    if dropped is None:
+        prev = doc["tables"].get(table)
+        dropped = (prev or {}).get("dropped") or []
     doc["tables"][table] = {
         "fnames": list(field_names),
         "ftypes": list(field_types),
     }
+    if dropped:
+        doc["tables"][table]["dropped"] = list(dropped)
     blob = json.dumps(doc, separators=(",", ":")).encode()
     fd, tmp = tempfile.mkstemp(dir=path, prefix=".schema-", suffix=".tmp")
     try:

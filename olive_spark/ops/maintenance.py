@@ -25,6 +25,8 @@ import os
 import shutil
 import uuid
 
+from olive_spark.format.errors import ValidationError
+
 
 def _morton_expr(cols, bits: int | None = None):
     """Interleave the low bits of N non-negative int columns into a
@@ -554,6 +556,7 @@ def _seed_evolved_sidecar(path, table, src_schema, new_cols) -> None:
         _read_header_bytes,
     )
     from olive_spark.format.table_schema import (
+        read_dropped_columns,
         read_table_schema,
         write_table_schema,
     )
@@ -566,6 +569,14 @@ def _seed_evolved_sidecar(path, table, src_schema, new_cols) -> None:
         header, _ = _read_header_bytes(_list_chunk_files(path)[0])
         th = _pick_table(header, table)
         names, types = list(th.field_names), list(th.field_types)
+    tomb = set(read_dropped_columns(path, table))
+    resurrect = [c for c in new_cols if c in tomb]
+    if resurrect:
+        raise ValidationError(
+            f"columns {resurrect} were DROPped from {table!r}: old files "
+            "still hold their values, so re-adding the name would "
+            "resurface stale data — use a new name, or rewrite the table"
+        )
     for c in new_cols:
         if c not in names:
             names.append(c)
@@ -1329,6 +1340,71 @@ def update_where(
         "version": current_version(path),
         "pre_version": pre_version,
     }
+
+
+def drop_column(path: str, column: str, table: str = "data") -> dict:
+    """DROP COLUMN as metadata-only evolution: the column leaves the
+    schema-sidecar authority (one small JSON write — no file is
+    rewritten), so every scan stops projecting it; old files keep the
+    bytes but the per-file projection (_cast_to) ignores columns the
+    scan schema doesn't name.  The inverse of add-column evolution,
+    under the same latest-schema-wins model.
+
+    The name is TOMBSTONED, not freed: old files still hold values
+    under it, so a later append/merge re-introducing the same name
+    would silently resurface stale data where fresh NULLs are expected
+    — writers and schema evolution refuse tombstoned names (rename the
+    new column, or rewrite the table).  Dropping a hive PARTITION
+    column is refused: the value lives in the directory layout that
+    pruning and rewrites depend on.  Like rename, resurrecting a
+    dropped name safely needs column-mapping IDs (Delta/Iceberg) —
+    out of scope, documented.
+
+    Reference n/a (no directory/schema layer, src/root.zig:9-16)."""
+    from olive_spark.datasource.olive_datasource import (
+        _list_chunk_files,
+        _pick_table,
+        _read_header_bytes,
+    )
+    from olive_spark.format.table_schema import (
+        read_dropped_columns,
+        read_table_schema,
+        write_table_schema,
+    )
+
+    side = read_table_schema(path, table)
+    if side is None:
+        files = _list_chunk_files(path)
+        if not files:
+            raise ValidationError(f"no olive files at {path}")
+        header, _ = _read_header_bytes(files[0])
+        th = _pick_table(header, table)
+        names, types = list(th.field_names), list(th.field_types)
+        table = th.name  # resolve table=None-style defaults to the real name
+    else:
+        names, types = side
+    if column not in names:
+        raise ValidationError(
+            f"cannot drop {column!r}: not a column of {table!r} "
+            f"(columns: {names})"
+        )
+    if len(names) == 1:
+        raise ValidationError("cannot drop the only column of a table")
+    part_cols = _detect_partition_cols(path) or []
+    if column in part_cols:
+        raise ValidationError(
+            f"cannot drop hive partition column {column!r}: its values "
+            "live in the directory layout (col=value/) that pruning and "
+            "rewrites depend on"
+        )
+    idx = names.index(column)
+    names.pop(idx)
+    types.pop(idx)
+    dropped = read_dropped_columns(path, table)
+    if column not in dropped:
+        dropped.append(column)
+    write_table_schema(path, table, names, types, dropped=dropped)
+    return {"dropped": column, "columns": names}
 
 
 def vacuum(path: str, retain_snapshots: int = 0) -> dict:

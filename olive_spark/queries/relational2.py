@@ -1360,6 +1360,61 @@ SQL_AFTER_RESTORE = (
 )
 
 
+def _ensure_orders_dropped(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) a table proving DROP COLUMN end-to-end:
+    v1 = orders with FOUR columns (incl. o_orderstatus); then
+    drop_column("o_orderstatus") — metadata-only, old files keep the
+    bytes — and a post-drop APPEND of the %10==4 orders re-keyed +700M
+    written WITHOUT the dropped column.  The final table must read as
+    exactly three columns over all files (old files' status bytes
+    ignored by the name projection)."""
+    from olive_spark.ops.maintenance import drop_column
+
+    def build(out: str) -> None:
+        cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        base = data.load(spark, sf, "orders", columns=cols)
+        base.write.format("olive").option("table", "orders_dropped") \
+            .mode("append").save(out)
+        drop_column(out, "o_orderstatus", table="orders_dropped")
+        extra = base.filter(F.col("o_custkey") % 10 == 4).select(
+            (F.col("o_orderkey") + F.lit(700_000_000)).alias("o_orderkey"),
+            "o_custkey", "o_totalprice",
+        )
+        extra.write.format("olive").option("table", "orders_dropped") \
+            .mode("append").save(out)
+
+    return _build_once(spark, sf, "orders_dropped", "_DROP_OK", build)
+
+
+def scan_after_drop_column(spark: SparkSession, sf: str) -> DataFrame:
+    """DROP COLUMN parity: aggregate the post-drop table and pin the
+    surviving column set IN THE VALUES (the ``cols`` witness) — a drop
+    that left the column in the schema, hid the wrong one, or broke
+    post-drop appends hash-mismatches the pure base-table oracle."""
+    path = _ensure_orders_dropped(spark, sf)
+    df = spark.read.format("olive") \
+        .option("table", "orders_dropped").load(path)
+    return df.groupBy((F.col("o_custkey") % 5).alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(D)).cast(D).alias("sum_price"),
+        F.sum(F.col("o_orderkey")).alias("sum_keys"),
+    ).withColumn("cols", F.lit(",".join(sorted(df.columns))))
+
+
+SQL_AFTER_DROP = (
+    "WITH final AS ("
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+    "UNION ALL "
+    "SELECT o_orderkey + 700000000, o_custkey, o_totalprice "
+    "FROM orders WHERE o_custkey % 10 = 4) "
+    "SELECT o_custkey % 5 AS bucket, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys, "
+    "'o_custkey,o_orderkey,o_totalprice' AS cols "
+    "FROM final GROUP BY o_custkey % 5"
+)
+
+
 def scan_changes_feed(spark: SparkSession, sf: str) -> DataFrame:
     """Change-data-feed parity (ops.changes.read_changes): the NET
     row-level changes between the orders_merged table's base version
@@ -1528,6 +1583,7 @@ QUERIES: dict[str, tuple] = {
     "scan_expectations_gate": (scan_expectations_gate, SQL_EXPECTATIONS_GATE),
     "scan_after_update_where": (scan_after_update_where, SQL_AFTER_UPDATE),
     "scan_after_restore": (scan_after_restore, SQL_AFTER_RESTORE),
+    "scan_after_drop_column": (scan_after_drop_column, SQL_AFTER_DROP),
     "scan_merge_cdc_tombstones": (scan_merge_cdc_tombstones, SQL_MERGE_CDC_TOMB),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),
     "join_interval_overlap": (join_interval_overlap, SQL_INTERVAL_JOIN),

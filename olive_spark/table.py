@@ -121,6 +121,14 @@ class OliveTable:
             table=self.table, **kw
         )
 
+    def drop_column(self, column: str) -> dict:
+        """DROP COLUMN: metadata-only (sidecar) evolution — no file
+        rewrite; the name is tombstoned against silent re-adds (see
+        ops.maintenance.drop_column)."""
+        from olive_spark.ops.maintenance import drop_column
+
+        return drop_column(self.path, column, table=self.table)
+
     def tag(self, name: str, version: "int | None" = None) -> int:
         """Name a retained snapshot (default: current) for symbolic
         time travel; returns the tagged version."""

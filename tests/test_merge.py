@@ -1246,3 +1246,78 @@ def test_facade_update_where(spark, tmp_path):
     st = t.update_where({"v": "v + 5"}, "k % 2 = 0")
     assert st["rows_updated"] == 50
     assert t.df().filter("k = 0 AND v = 5").count() == 1
+
+
+def test_drop_column_hides_everywhere(spark, tmp_path):
+    """DROP COLUMN: metadata-only — the column leaves default scans,
+    snapshot reads, and mergeSchema unions; appends without it work;
+    re-adding the name is refused at plan time (append AND evolving
+    merge); partition columns and the last column are refused."""
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops.maintenance import drop_column, merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=100, files=2)
+    out = drop_column(path, "v")
+    assert out == {"dropped": "v", "columns": ["k", "grp"]}
+
+    got = spark.read.format("olive").load(path)
+    assert got.columns == ["k", "grp"] and got.count() == 100
+    # snapshot read: latest-schema-wins, dropped column hidden there too
+    tt = spark.read.format("olive").option("snapshot", "1").load(path)
+    assert tt.columns == ["k", "grp"]
+    # mergeSchema=true must NOT resurrect it out of old headers
+    ms = spark.read.format("olive").option("mergeSchema", "true").load(path)
+    assert ms.columns == ["k", "grp"]
+
+    # appends without the column keep working
+    spark.range(100, 110).selectExpr(
+        "id AS k", "cast(id % 7 as int) AS grp"
+    ).write.format("olive").mode("append").save(path)
+    assert spark.read.format("olive").load(path).count() == 110
+
+    # resurrection refused: plain append...
+    with pytest.raises(Exception, match="DROPped"):
+        spark.range(5).selectExpr(
+            "id AS k", "id AS v", "cast(0 as int) AS grp"
+        ).write.format("olive").mode("append").save(path)
+    # ...and schema-evolving merge
+    src = spark.range(3).selectExpr(
+        "id AS k", "cast(1 as int) AS grp", "id AS v"
+    )
+    with pytest.raises(ValidationError, match="DROPped"):
+        merge_upsert(spark, path, src, ["k"], evolve_schema=True)
+
+    # guards
+    with pytest.raises(ValidationError, match="not a column"):
+        drop_column(path, "nope")
+    drop_column(path, "grp")
+    with pytest.raises(ValidationError, match="only column"):
+        drop_column(path, "k")
+
+
+def test_drop_column_refuses_partition_column(spark, tmp_path):
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops.maintenance import drop_column
+
+    path = str(tmp_path / "p")
+    spark.range(60).selectExpr(
+        "id AS k", "cast(id % 3 as int) AS part"
+    ).write.format("olive").option("partitionBy", "part") \
+        .mode("append").save(path)
+    with pytest.raises(ValidationError, match="partition column"):
+        drop_column(path, "part")
+
+
+def test_drop_column_facade_and_overwrite_resets(spark, tmp_path):
+    from olive_spark import OliveTable
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=50, files=2)
+    t = OliveTable(spark, path)
+    t.drop_column("v")
+    assert t.df().columns == ["k", "grp"]
+    # overwrite resets the table AND its tombstones: v is writable again
+    spark.range(5).selectExpr("id AS k", "id AS v").write.format("olive") \
+        .mode("overwrite").save(path)
+    assert sorted(t.df().columns) == ["k", "v"]
