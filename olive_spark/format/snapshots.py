@@ -145,6 +145,18 @@ def append_entry(
     if max_entries is not None and len(entries) > max_entries:
         entries = _collapse_entries(entries, int(max_entries))
         log["entries"] = entries
+        # tags of collapsed versions die with them (same rule as
+        # expire): a dead tag would list in tags() but resolve to the
+        # generic unknown-snapshot error
+        tags = log.get("tags")
+        if isinstance(tags, dict):
+            kept_versions = {int(e["v"]) for e in entries}
+            kept = {k: tv for k, tv in tags.items()
+                    if isinstance(tv, int) and tv in kept_versions}
+            if kept:
+                log["tags"] = kept
+            else:
+                log.pop("tags", None)
     _write_log(dirpath, log)
     return v
 

@@ -256,16 +256,36 @@ def pump_changes(
     from olive_spark.datasource import register_olive
     from olive_spark.format.snapshots import current_version, load_log
 
+    from olive_spark.format.errors import ValidationError
+
     register_olive(spark)
     cursor_path = os.path.join(state_dir, _CDC_CURSOR)
     cursor: "int | None" = None
     try:
         with open(cursor_path) as f:
             doc = json.load(f)
-        if isinstance(doc, dict) and isinstance(doc.get("version"), int):
+        if isinstance(doc, dict) and isinstance(doc.get("version"), int) \
+                and not isinstance(doc.get("version"), bool):
             cursor = int(doc["version"])
-    except (OSError, ValueError):
-        pass
+        else:
+            # an EXISTING cursor that doesn't parse must fail loud:
+            # reseeding from the head would silently skip every commit
+            # between the consumer's real position and now — the exact
+            # 'never silently partial' hole this feed promises to close
+            raise ValidationError(
+                f"unreadable CDC cursor {cursor_path}: {doc!r} — refusing "
+                "to reseed (that would skip undelivered commits); repair "
+                "or remove the file after reconciling the consumer"
+            )
+    except FileNotFoundError:
+        pass  # fresh consumer — seeded below
+    except (OSError, ValueError) as e:
+        raise ValidationError(
+            f"unreadable CDC cursor {cursor_path}: {e} — refusing to "
+            "reseed (that would skip undelivered commits); repair or "
+            "remove the file after reconciling the consumer"
+        )
+
     def _persist(v: int) -> None:
         os.makedirs(state_dir, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=state_dir, suffix=".tmp")
@@ -273,6 +293,15 @@ def pump_changes(
             json.dump({"version": int(v)}, f)
         os.replace(tmp, cursor_path)
 
+    entries = sorted(int(e["v"]) for e in load_log(path)["entries"])
+    if not entries:
+        # every other snapshot consumer fails loud here (files_at);
+        # a silent applied=0 loop would look configured while being
+        # pointed at a log-less table or a mistyped path
+        raise ValidationError(
+            f"no snapshot log at {path} — the table was written before "
+            "snapshot tracking, or the path is wrong; CDC needs the log"
+        )
     if cursor is None:
         cursor = (
             int(starting_version) if starting_version is not None
@@ -283,15 +312,12 @@ def pump_changes(
         # head next time and silently skip every commit in between
         _persist(cursor)
 
-    entries = sorted(int(e["v"]) for e in load_log(path)["entries"])
     pending = [v for v in entries if v > cursor]
     if pending and 0 < cursor < entries[0]:
         # the cursor's version was collapsed out of the log: the
         # cursor→head diff is gone, and treating the oldest retained
         # snapshot as all-inserts would re-deliver rows the consumer
         # already applied.  CDC past retention is unrecoverable.
-        from olive_spark.format.errors import ValidationError
-
         raise ValidationError(
             f"CDC cursor {cursor} predates the oldest retained snapshot "
             f"{entries[0]} (vacuum/snapshotMaxEntries expired it) — the "

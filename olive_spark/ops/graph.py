@@ -211,7 +211,7 @@ def pagerank(
     spark = edges.sparkSession
     saved_p = spark.conf.get("spark.sql.shuffle.partitions")
     raw_n = edges.count()
-    scoped_p = max(2, min(int(saved_p), raw_n // 250_000 + 1))
+    scoped_p = min(int(saved_p), max(2, raw_n // 250_000 + 1))
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(scoped_p))
         return _pagerank_body(edges, damping, max_iter, tol)

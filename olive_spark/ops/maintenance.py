@@ -431,9 +431,13 @@ def _recover_pending(path: str) -> dict:
         try:
             from olive_spark.format.snapshots import append_entry
 
+            # a recovered restore must land with the same tag the
+            # crash-free path writes — history consumers key restore
+            # commits off it (snapshot_history kind, facade tests)
             append_entry(
                 path, add=man.get("finals", []),
                 remove=man.get("originals", []),
+                tag=man.get("tag"),
             )
         except OSError:
             pass
@@ -1457,6 +1461,19 @@ def vacuum(path: str, retain_snapshots: int = 0) -> dict:
     return out
 
 
+def _header_file_stats(th) -> dict:
+    """File-level min/max per column as the fold of a table header's
+    per-page stats; columns with incomplete stats are omitted.  The ONE
+    place the page-stats→file-stats rule lives (manifest rebuild and
+    describe's header fallback both use it)."""
+    return {
+        n: {"min": min(f.stats["min"]), "max": max(f.stats["max"])}
+        for n, f in zip(th.field_names, th.fields)
+        if f.stats is not None
+        and all(v is not None for v in f.stats["min"] + f.stats["max"])
+    }
+
+
 def _manifest_entry_from_header(path: str, rel: str, table: str) -> "dict | None":
     """Rebuild a stats-manifest entry for an EXISTING chunk file from
     its framed header (no data pages): rows from the table header,
@@ -1473,15 +1490,9 @@ def _manifest_entry_from_header(path: str, rel: str, table: str) -> "dict | None
     try:
         header, _ = _read_header_bytes(fp)
         th = _pick_table(header, table)
-        cols = {
-            n: {"min": min(f.stats["min"]), "max": max(f.stats["max"])}
-            for n, f in zip(th.field_names, th.fields)
-            if f.stats is not None
-            and all(v is not None for v in f.stats["min"] + f.stats["max"])
-        }
         return {
             "rows": th.num_rows,
-            "columns": cols,
+            "columns": _header_file_stats(th),
             "size": os.path.getsize(fp),
         }
     except Exception:  # noqa: BLE001 — stats rebuild must never fail a restore
@@ -1550,6 +1561,7 @@ def restore(path: str, version: int, table: str = "data") -> dict:
         "finals": add,
         "history": True,
         "op": "restore",
+        "tag": f"restore:{int(version)}",
         "empty": not add,
     }
     with open(manifest + ".tmp", "w") as fh:
@@ -1702,12 +1714,7 @@ def describe(path: str, table: str = "data") -> dict:
         header, _ = _read_header_bytes(fp)
         th = _pick_table(header, table)
         rows += th.num_rows
-        fold({
-            n: {"min": min(f.stats["min"]), "max": max(f.stats["max"])}
-            for n, f in zip(th.field_names, th.fields)
-            if f.stats is not None
-            and all(v is not None for v in f.stats["min"] + f.stats["max"])
-        })
+        fold(_header_file_stats(th))
     return {"files": len(files), "rows": rows, "bytes": size, "columns": cols}
 
 

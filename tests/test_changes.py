@@ -416,3 +416,34 @@ def test_pump_changes_expired_cursor_fails_loud(spark, tmp_path):
     expire(path, retain=1)  # v1/v2 collapse away; cursor 1 is stale
     with pytest.raises(ValidationError):
         pump_changes(spark, path, state, lambda df, v: None)
+
+
+def test_pump_changes_fails_loud_on_bad_cursor_and_no_log(spark, tmp_path):
+    import json
+    import os
+
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops.changes import pump_changes
+
+    # log-less directory: silent applied=0 would look configured
+    empty = str(tmp_path / "nolog")
+    os.makedirs(empty)
+    with pytest.raises(ValidationError, match="no snapshot log"):
+        pump_changes(spark, empty, str(tmp_path / "s0"), lambda df, v: None)
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    # corrupt cursor file: reseeding would skip undelivered commits
+    state = str(tmp_path / "s1")
+    os.makedirs(state)
+    with open(os.path.join(state, "cdc_cursor.json"), "w") as f:
+        f.write("{not json")
+    with pytest.raises(ValidationError, match="unreadable CDC cursor"):
+        pump_changes(spark, path, state, lambda df, v: None)
+    # wrong type: same refusal
+    state2 = str(tmp_path / "s2")
+    os.makedirs(state2)
+    with open(os.path.join(state2, "cdc_cursor.json"), "w") as f:
+        json.dump({"version": "3"}, f)
+    with pytest.raises(ValidationError, match="unreadable CDC cursor"):
+        pump_changes(spark, path, state2, lambda df, v: None)

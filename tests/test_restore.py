@@ -164,10 +164,16 @@ def test_restore_crash_before_activation_recovers(spark, tmp_path):
         os.link(src, os.path.join(path, rel) + ".staging")
     with open(os.path.join(path, "compact-deadbeef.manifest.json"), "w") as f:
         json.dump({"originals": remove, "finals": add, "history": True,
-                   "op": "restore"}, f)
+                   "op": "restore", "tag": "restore:1"}, f)
     out = _recover_pending(path)
     assert out["manifests_completed"] == 1
     assert _rows(spark.read.format("olive").load(path)) == base
+    # the recovered commit carries the same tag the crash-free path
+    # writes, so history classifies it as a restore
+    from olive_spark.ops.maintenance import snapshot_history
+
+    hist = snapshot_history(path)
+    assert hist[-1]["kind"] == "restore" and hist[-1]["tag"] == "restore:1"
 
 
 def test_facade_restore(spark, tmp_path):

@@ -462,3 +462,24 @@ def test_snapshot_tags_resolve_and_expire(spark, tmp_path_factory):
     assert snapshots.delete_version_tag(path, "latest")
     assert not snapshots.delete_version_tag(path, "latest")
     assert snapshots.list_version_tags(path) == {"baseline": 2}
+
+
+def test_bounded_log_collapse_drops_stale_tags(tmp_path):
+    """snapshotMaxEntries collapse must drop tags of collapsed versions
+    exactly like expire does — a dead tag would list in tags() but
+    resolve to the generic unknown-snapshot error."""
+    from olive_spark.format import snapshots
+
+    d = str(tmp_path / "t")
+    import os
+
+    os.makedirs(d)
+    for i in range(3):
+        open(os.path.join(d, f"f{i}.olive"), "wb").write(b"x")
+        snapshots.append_entry(d, [f"f{i}.olive"])
+    snapshots.tag_version(d, "old", 1)
+    snapshots.tag_version(d, "new", 3)
+    # collapse to the last 2 entries: v1 folds into the base
+    open(os.path.join(d, "f3.olive"), "wb").write(b"x")
+    snapshots.append_entry(d, ["f3.olive"], max_entries=2)
+    assert snapshots.list_version_tags(d) == {"new": 3}
