@@ -304,9 +304,11 @@ def test_stats_pruning_long_string_bounds_are_sound():
 
 def test_snapshot_log_matches_model_under_random_histories(tmp_path):
     """Model-based check of the snapshot log: random sequences of
-    append / compact-style replace / overwrite-reset / expire must keep
-    files_at() identical to a plain-Python model at EVERY retained
-    version, and expire must preserve the retained suffix exactly."""
+    append / compact-style replace / overwrite-reset / RESTORE-shaped
+    commits / tagging / expire must keep files_at() identical to a
+    plain-Python model at EVERY retained version, tags must resolve to
+    exactly the versions the model tagged, and expire must preserve the
+    retained suffix (and only its tags) exactly."""
     import random
 
     import pytest
@@ -317,6 +319,7 @@ def test_snapshot_log_matches_model_under_random_histories(tmp_path):
     for trial in range(20):
         d = str(tmp_path / f"log{trial}")
         model: list[set] = []  # live set per version (1-indexed)
+        tags: dict = {}  # name -> version, mirror of the log's map
         live: set = set()
         next_file = 0
 
@@ -328,23 +331,38 @@ def test_snapshot_log_matches_model_under_random_histories(tmp_path):
 
         for _step in range(rng.randrange(3, 12)):
             op = rng.random()
-            if op < 0.55 or not live:  # append
+            if op < 0.5 or not live:  # append
                 add = fresh(rng.randrange(1, 4))
                 snapshots.append_entry(d, add=add)
                 live = live | set(add)
-            elif op < 0.8:  # compact-style replace of a random subset
+            elif op < 0.7:  # compact-style replace of a random subset
                 gone = set(rng.sample(sorted(live), rng.randrange(1, len(live) + 1)))
                 add = fresh(1)
                 snapshots.append_entry(d, add=add, remove=sorted(gone))
                 live = (live - gone) | set(add)
+            elif op < 0.85 and model:  # RESTORE-shaped commit
+                tv = rng.randrange(1, len(model) + 1)
+                target = model[tv - 1]
+                snapshots.append_entry(
+                    d, add=sorted(target - live),
+                    remove=sorted(live - target), tag=f"restore:{tv}",
+                )
+                live = set(target)
             else:  # overwrite reset
                 add = fresh(rng.randrange(1, 3))
                 snapshots.append_entry(d, add=add, reset=True)
                 live = set(add)
             model.append(set(live))
+            if rng.random() < 0.3:  # name the version just committed
+                name = f"t{trial}_{_step}"
+                snapshots.tag_version(d, name, version=len(model))
+                tags[name] = len(model)
 
         for v, want in enumerate(model, start=1):
             assert set(snapshots.files_at(d, v)) == want, (trial, v)
+        assert snapshots.list_version_tags(d) == tags, trial
+        for name, tv in tags.items():
+            assert snapshots.version_for_tag(d, name) == tv
 
         retain = rng.randrange(1, len(model) + 1)
         snapshots.expire(d, retain)
@@ -354,6 +372,11 @@ def test_snapshot_log_matches_model_under_random_histories(tmp_path):
         for v in range(1, kept[0]):
             with pytest.raises(Exception, match="unknown snapshot"):
                 snapshots.files_at(d, v)
+        # tags survive expire iff their version did
+        kept_set = set(kept)
+        assert snapshots.list_version_tags(d) == {
+            k: v for k, v in tags.items() if v in kept_set
+        }, trial
         # expire is idempotent at the same retention
         before = snapshots.load_log(d)
         snapshots.expire(d, retain)
