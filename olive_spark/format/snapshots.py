@@ -337,6 +337,33 @@ def expire(dirpath: str, retain: int) -> dict:
             "history_deleted": deleted, "tags_dropped": tags_dropped}
 
 
+def expire_older_than(
+    dirpath: str, max_age_seconds: float, now: "float | None" = None
+) -> dict:
+    """Time-based retention (the ``VACUUM ... RETAIN n HOURS`` shape):
+    expire every version whose commit timestamp is older than
+    ``max_age_seconds``, always keeping at least the current one.
+    Retention is the longest SUFFIX of entries newer than the cutoff —
+    the log replays forward, so a mid-history entry can't be kept
+    without everything after it; an entry missing a timestamp
+    (hand-edited log) counts as old.  Delegates to :func:`expire`
+    for the collapse + history pruning + tag drop."""
+    entries = load_log(dirpath)["entries"]
+    if not entries:
+        return {"retained": 0, "expired": 0, "history_deleted": 0,
+                "tags_dropped": 0}
+    cutoff = (time.time() if now is None else float(now)) \
+        - float(max_age_seconds)
+    retain = 0
+    for e in reversed(entries):
+        ts = e.get("ts")
+        if isinstance(ts, (int, float)) and float(ts) >= cutoff:
+            retain += 1
+        else:
+            break
+    return expire(dirpath, max(1, retain))
+
+
 def tag_version(
     dirpath: str, name: str, version: "int | None" = None
 ) -> int:

@@ -1411,7 +1411,10 @@ def drop_column(path: str, column: str, table: str = "data") -> dict:
     return {"dropped": column, "columns": names}
 
 
-def vacuum(path: str, retain_snapshots: int = 0) -> dict:
+def vacuum(
+    path: str, retain_snapshots: int = 0,
+    retain_hours: "float | None" = None,
+) -> dict:
     """Recover from a crashed ``compact`` and remove its debris.
 
     First completes any pending compaction recorded by an intent
@@ -1452,12 +1455,29 @@ def vacuum(path: str, retain_snapshots: int = 0) -> dict:
         "tmp_dirs": removed_tmpdirs,
         **recovery,
     }
+    if retain_hours is not None:
+        # time-based retention (VACUUM ... RETAIN n HOURS): expire
+        # versions older than the cutoff, minimum the current one;
+        # composes with retain_snapshots as the STRICTER of the two
+        from olive_spark.format.snapshots import expire_older_than
+
+        out["snapshots"] = expire_older_than(
+            path, float(retain_hours) * 3600.0
+        )
     if retain_snapshots > 0:
         # expire snapshot versions beyond the retention window and drop
         # _olive_history files only those versions referenced
         from olive_spark.format.snapshots import expire
 
-        out["snapshots"] = expire(path, retain_snapshots)
+        stats = expire(path, retain_snapshots)
+        if "snapshots" in out:
+            for k, v in stats.items():
+                out["snapshots"][k] = (
+                    out["snapshots"].get(k, 0) + v if k != "retained"
+                    else v
+                )
+        else:
+            out["snapshots"] = stats
     return out
 
 

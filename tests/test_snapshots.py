@@ -483,3 +483,47 @@ def test_bounded_log_collapse_drops_stale_tags(tmp_path):
     open(os.path.join(d, "f3.olive"), "wb").write(b"x")
     snapshots.append_entry(d, ["f3.olive"], max_entries=2)
     assert snapshots.list_version_tags(d) == {"new": 3}
+
+
+def test_time_based_retention(tmp_path):
+    """expire_older_than keeps the longest suffix newer than the cutoff
+    (minimum the head) and drops tags with their versions; vacuum's
+    retain_hours drives the same path."""
+    import json
+    import os
+    import time as _time
+
+    from olive_spark.format import snapshots
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    now = _time.time()
+    for i, age_h in enumerate([100, 50, 2, 1]):  # v1..v4, hours old
+        open(os.path.join(d, f"f{i}.olive"), "wb").write(b"x")
+        snapshots.append_entry(d, [f"f{i}.olive"])
+        log = snapshots.load_log(d)
+        log["entries"][-1]["ts"] = now - age_h * 3600
+        snapshots._write_log(d, log)
+    snapshots.tag_version(d, "old", 1)
+    snapshots.tag_version(d, "fresh", 4)
+
+    out = snapshots.expire_older_than(d, 24 * 3600, now=now)
+    assert out["retained"] == 2 and out["expired"] == 2
+    assert out["tags_dropped"] == 1
+    assert snapshots.list_version_tags(d) == {"fresh": 4}
+    assert set(snapshots.files_at(d, 4)) == {f"f{i}.olive" for i in range(4)}
+
+    # head is always kept even when older than the cutoff
+    out = snapshots.expire_older_than(d, 1.0, now=now + 10 * 3600)
+    assert out["retained"] == 1
+
+    # vacuum plumbs retain_hours through
+    from olive_spark.ops.maintenance import vacuum
+
+    d2 = str(tmp_path / "t2")
+    os.makedirs(d2)
+    for i in range(3):
+        open(os.path.join(d2, f"g{i}.olive"), "wb").write(b"x")
+        snapshots.append_entry(d2, [f"g{i}.olive"])
+    res = vacuum(d2, retain_hours=1.0)
+    assert res["snapshots"]["retained"] == 3  # all fresh — nothing expires
