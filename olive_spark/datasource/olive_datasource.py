@@ -779,6 +779,22 @@ class OliveWriter(DataSourceArrowWriter):
         self.bloom_columns = [c.strip() for c in bc.split(",") if c.strip()] if bc else []
         pb = options.get("partitionby", options.get("partitionBy"))
         self.partition_by = [c.strip() for c in pb.split(",")] if pb else []
+        # write-time clustering: sort every chunk on these columns
+        # before it lands, so the per-page min/max grid is tight from
+        # the first write (compact(sort_by=...) is the maintenance-time
+        # equivalent; CROSS-file clustering still needs an upstream
+        # repartitionByRange, same discipline as partitionBy)
+        sb = options.get("sortby", options.get("sortBy"))
+        self.sort_by = (
+            [c.strip() for c in sb.split(",") if c.strip()] if sb else []
+        )
+        missing = [c for c in self.sort_by
+                   if c not in {f.name for f in schema.fields}]
+        if missing:
+            raise ValueError(
+                f"olive: sortBy columns {missing} not in the written "
+                f"schema {[f.name for f in schema.fields]}"
+            )
         # bound the snapshot log on the batch path too: every append
         # rewrites the full JSON log, so an unbounded long-lived table
         # with frequent small appends pays O(n) per commit (O(n^2)
@@ -814,6 +830,8 @@ class OliveWriter(DataSourceArrowWriter):
     def _emit(self, tbl: "pa.Table", subdir: str, files: list) -> None:
         from olive_spark.format.writer import write_chunk
 
+        if self.sort_by:
+            tbl = tbl.sort_by([(c, "ascending") for c in self.sort_by])
         blob = write_chunk(
             {self.table: tbl},
             page_rows=self.page_rows,

@@ -782,3 +782,55 @@ def test_sql_ddl_temp_view_surface(spark, tmp_path):
         assert df.count() == 7
     finally:
         spark.catalog.dropTempView("olive_ddl_v")
+
+
+def test_sortby_write_time_clustering(spark, tmp_path):
+    """.option("sortBy", col): every chunk lands sorted on the column,
+    so the per-page stats grid prunes point lookups to ~1 page where an
+    unsorted write leaves the value smeared across every page."""
+    from olive_spark.datasource.olive_datasource import (
+        _list_chunk_files,
+        _pick_table,
+        _read_header_bytes,
+    )
+    from olive_spark.format.reader import select_pages
+
+    df = spark.range(100_000).selectExpr(
+        "cast(hash(id) % 1000 as long) AS v", "id AS k"
+    ).coalesce(1)
+
+    def pages_for(path, val):
+        total = hit = 0
+        for fp in _list_chunk_files(path):
+            header, _ = _read_header_bytes(fp)
+            th = _pick_table(header, "data")
+            sel = select_pages(th, [("v", "=", val)])
+            n_pages = len(th.fields[0].stats["min"])
+            total += n_pages
+            hit += n_pages if sel is None else len(sel)
+        return hit, total
+
+    unsorted = str(tmp_path / "u")
+    df.write.format("olive").option("pageRows", "4096") \
+        .mode("append").save(unsorted)
+    clustered = str(tmp_path / "c")
+    df.write.format("olive").option("pageRows", "4096") \
+        .option("sortBy", "v").mode("append").save(clustered)
+
+    # identical content
+    a = sorted(tuple(r) for r in spark.read.format("olive").load(unsorted).collect())
+    b = sorted(tuple(r) for r in spark.read.format("olive").load(clustered).collect())
+    assert a == b
+
+    hit_u, total = pages_for(unsorted, 123)
+    hit_c, total_c = pages_for(clustered, 123)
+    assert total == total_c and total >= 20
+    assert hit_u == total, "hash-smeared values should defeat pruning"
+    assert hit_c <= 2, f"clustered write should pin the value to ~1 page, got {hit_c}"
+
+    # unknown sort column fails at plan time
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="sortBy"):
+        df.write.format("olive").option("sortBy", "nope") \
+            .mode("append").save(str(tmp_path / "x"))
