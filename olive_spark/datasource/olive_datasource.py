@@ -777,6 +777,12 @@ class OliveWriter(DataSourceArrowWriter):
         self.stats = str(options.get("stats", "true")).lower() == "true"
         bc = options.get("bloomcolumns", options.get("bloomColumns"))
         self.bloom_columns = [c.strip() for c in bc.split(",") if c.strip()] if bc else []
+        # opt-in per-file HLL NDV sketches in the manifest entry
+        # (format/ndv.py — metadata-only approx COUNT DISTINCT)
+        nc = options.get("ndvcolumns", options.get("ndvColumns"))
+        self.ndv_columns = (
+            [c.strip() for c in nc.split(",") if c.strip()] if nc else []
+        )
         pb = options.get("partitionby", options.get("partitionBy"))
         self.partition_by = [c.strip() for c in pb.split(",")] if pb else []
         # write-time clustering: sort every chunk on these columns
@@ -851,6 +857,14 @@ class OliveWriter(DataSourceArrowWriter):
 
             ent = table_summary(tbl)
             ent["size"] = len(blob)
+            if self.ndv_columns:
+                from olive_spark.format import ndv
+
+                ent["ndv"] = {
+                    c: ndv.encode(ndv.sketch_from_array(tbl.column(c)))
+                    for c in self.ndv_columns
+                    if c in tbl.column_names
+                }
             self._summaries.append((os.path.relpath(fp, self.path), ent))
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> OliveCommitMessage:

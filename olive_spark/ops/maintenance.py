@@ -1790,6 +1790,56 @@ def count_rows(
     return total
 
 
+def approx_distinct(
+    path: str, column: str, table: str = "data",
+    snapshot: "int | None" = None,
+) -> int:
+    """Metadata-only approx COUNT(DISTINCT column): merge the per-file
+    HLL sketches the writer recorded under ``.option("ndvColumns",...)``
+    (format/ndv.py) and estimate — no Spark job, ±~3 % at p=10.  Files
+    the manifest can't vouch for (hand-written chunks, history-resolved
+    snapshot reads, pre-sketch writes) fall back to reading JUST that
+    column from the file and sketching it here — still no Spark job,
+    and the fallback sketch merges identically.  The
+    ``count_rows``/``describe`` sibling for the planner's other
+    favorite statistic."""
+    from olive_spark.datasource.olive_datasource import _pick_table
+    from olive_spark.format import ndv
+    from olive_spark.format.manifest import load_manifest, lookup
+    from olive_spark.format.reader import ChunkReader
+    from olive_spark.format.snapshots import (
+        files_at,
+        list_live_files,
+        resolve_paths,
+    )
+
+    names = (
+        files_at(path, int(snapshot)) if snapshot is not None
+        else sorted(list_live_files(path))
+    )
+    paths = resolve_paths(path, names)
+    man = load_manifest(path)
+    blobs = []
+    for fp in paths:
+        ent = lookup(man, path, fp)
+        enc = (ent or {}).get("ndv", {}).get(column)
+        if isinstance(enc, str):
+            blobs.append(ndv.decode(enc))
+            continue
+        r = ChunkReader.from_path(fp)
+        th = _pick_table(r.header, table)
+        if column not in th.field_names:
+            raise ValidationError(
+                f"approx_distinct: {column!r} is not a column of "
+                f"{th.name!r} (columns: {list(th.field_names)})"
+            )
+        tbl = r.read_table(th.name, columns=[column])
+        blobs.append(ndv.sketch_from_array(tbl.column(column)))
+    if not blobs:
+        return 0
+    return ndv.estimate(ndv.merge_sketches(blobs))
+
+
 def table_checksum(df, cols: "list[str]"):
     """Order-independent content checksum for migration/replication
     validation: ``SUM(int64(md5(concat_ws('|', cols))[0:13]))`` plus a

@@ -167,6 +167,18 @@ class OliveTable:
 
         return clear_tombstones(self.path)
 
+    def approx_distinct(
+        self, column: str, snapshot: "int | None" = None
+    ) -> int:
+        """Metadata-only approx COUNT(DISTINCT column) from the
+        manifest's HLL sketches (±~3 %); see
+        ops.maintenance.approx_distinct."""
+        from olive_spark.ops.maintenance import approx_distinct
+
+        return approx_distinct(
+            self.path, column, table=self.table, snapshot=snapshot
+        )
+
     def count_rows(self, snapshot: "int | None" = None) -> int:
         """Metadata-only row count (ops.maintenance.count_rows): one
         manifest read + header opens only for unvouched files — no
