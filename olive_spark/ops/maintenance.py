@@ -191,6 +191,42 @@ def compact(
     return {"files_before": len(before), "files_after": len(after), "rows": rows}
 
 
+def compact_if_needed(
+    spark,
+    path: str,
+    small_bytes: int = 32 << 20,
+    min_small_files: int = 16,
+    **compact_kwargs,
+) -> dict:
+    """OPTIMIZE-style auto trigger: run :func:`compact` only when the
+    directory has accumulated at least ``min_small_files`` files under
+    ``small_bytes`` — the small-file buildup every per-epoch streaming
+    sink and frequent-small-append pipeline produces, which at 100 TB
+    turns into task-per-tiny-file scan overhead and manifest bloat.
+    The check is one directory listing + one stat per file (no Spark
+    job); a no-op returns {"compacted": False, "small_files": n} so a
+    scheduler can call this after every epoch/batch for free.
+    ``compact_kwargs`` pass through (sort_by, zorder_by, target_rows,
+    retain_history, table...)."""
+    from olive_spark.datasource.olive_datasource import _list_chunk_files
+
+    files = _list_chunk_files(path) if os.path.isdir(path) else []
+    small = 0
+    for fp in files:
+        try:
+            if os.path.getsize(fp) < int(small_bytes):
+                small += 1
+        except OSError:
+            continue
+    if small < int(min_small_files):
+        return {"compacted": False, "small_files": small,
+                "files": len(files)}
+    out = compact(spark, path, **compact_kwargs)
+    out["compacted"] = True
+    out["small_files"] = small
+    return out
+
+
 def _seed_snapshot_log(path: str) -> None:
     """Seed the snapshot log from the live listing BEFORE a rewrite op
     touches any file: `_rewrite_and_swap` appends its entry only after

@@ -1321,3 +1321,23 @@ def test_drop_column_facade_and_overwrite_resets(spark, tmp_path):
     spark.range(5).selectExpr("id AS k", "id AS v").write.format("olive") \
         .mode("overwrite").save(path)
     assert sorted(t.df().columns) == ["k", "v"]
+
+
+def test_compact_if_needed_triggers_on_small_file_buildup(spark, tmp_path):
+    from olive_spark.ops.maintenance import compact_if_needed
+
+    path = str(tmp_path / "t")
+    # 20 tiny files (one per append)
+    for i in range(20):
+        spark.range(i * 10, i * 10 + 10).selectExpr("id AS k") \
+            .coalesce(1).write.format("olive").mode("append").save(path)
+    out = compact_if_needed(spark, path, min_small_files=16)
+    assert out["compacted"] is True and out["small_files"] == 20
+    assert out["files_after"] < out["files_before"]
+    assert spark.read.format("olive").load(path).count() == 200
+    # now under threshold: no-op, no Spark job
+    out2 = compact_if_needed(spark, path, min_small_files=16)
+    assert out2 == {"compacted": False,
+                    "small_files": out2["small_files"],
+                    "files": out2["files"]}
+    assert out2["files"] < 16
