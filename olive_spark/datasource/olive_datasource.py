@@ -783,6 +783,15 @@ class OliveWriter(DataSourceArrowWriter):
         self.ndv_columns = (
             [c.strip() for c in nc.split(",") if c.strip()] if nc else []
         )
+        bad_ndv = [c for c in self.ndv_columns
+                   if c not in {f.name for f in schema.fields}]
+        if bad_ndv:
+            # a typo'd column would otherwise be silently skipped per
+            # chunk and surface months later as a query-time error
+            raise ValueError(
+                f"olive: ndvColumns {bad_ndv} not in the written "
+                f"schema {[f.name for f in schema.fields]}"
+            )
         pb = options.get("partitionby", options.get("partitionBy"))
         self.partition_by = [c.strip() for c in pb.split(",")] if pb else []
         # write-time clustering: sort every chunk on these columns
@@ -1696,9 +1705,9 @@ class OliveDataSource(DataSource):
         # its order wins; mergeSchema=true still unions any extra header
         # columns on top.  Snapshot (time-travel) reads also use it —
         # latest-schema-wins, pre-evolution files null-fill (_cast_to).
-        from olive_spark.format.table_schema import read_table_schema
+        from olive_spark.format.table_schema import read_schema_and_dropped
 
-        side = read_table_schema(
+        side, dropped = read_schema_and_dropped(
             self.options["path"], self.options.get("table")
         )
         if side is not None:
@@ -1709,17 +1718,9 @@ class OliveDataSource(DataSource):
         headers = (
             files if merge else ([] if side is not None else files[:1])
         )
-        tomb: set = set()
-        if headers and side is not None:
-            # DROP COLUMN tombstones: mergeSchema's header union must
-            # not resurrect a dropped column out of old files
-            from olive_spark.format.table_schema import (
-                read_dropped_columns,
-            )
-
-            tomb = set(read_dropped_columns(
-                self.options["path"], self.options.get("table")
-            ))
+        # DROP COLUMN tombstones: mergeSchema's header union must not
+        # resurrect a dropped column out of old files
+        tomb = set(dropped) if side is not None else set()
         for fp in headers:
             header, _ = _read_header_bytes(fp)
             th = _pick_table(header, self.options.get("table"))

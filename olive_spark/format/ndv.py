@@ -33,17 +33,30 @@ _ALPHA = 0.7213 / (1.0 + 1.079 / M)  # standard HLL bias constant, m>=128
 
 def sketch_from_array(arr) -> bytes:
     """HLL registers (M bytes) for a pyarrow Array/ChunkedArray.
-    Nulls are ignored (NDV counts values, like COUNT(DISTINCT))."""
+    Nulls are ignored (NDV counts values, like COUNT(DISTINCT)).
+
+    Nulls are dropped ARROW-side, before the pandas conversion: a
+    nullable int64 chunk would otherwise convert to float64 while a
+    null-free chunk of the same column converts to int64, and pandas
+    hashes int64 5 and float64 5.0 differently — per-file sketches of
+    the same logical column would then disagree on shared values and
+    the merged estimate double-counts (and ints above 2^53 would
+    collapse).  Dictionary arrays hash their decoded values, so
+    encoded and plain files sketch identically."""
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.cast(arr.type.value_type)
+    arr = pc.drop_null(arr)
+    regs = np.zeros(M, dtype=np.uint8)
+    if len(arr) == 0:
+        return regs.tobytes()
     s = arr.to_pandas()
     if isinstance(s, pd.DataFrame):  # never for flat columns
         raise TypeError("sketch_from_array expects a flat column")
-    s = s.dropna()
-    regs = np.zeros(M, dtype=np.uint8)
-    if len(s) == 0:
-        return regs.tobytes()
     h = pd.util.hash_pandas_object(s, index=False).to_numpy(
         dtype=np.uint64, copy=False
     )

@@ -44,17 +44,12 @@ def sidecar_path(path: str) -> str:
     return os.path.join(path, SCHEMA_SIDECAR)
 
 
-def read_table_schema(path: str, table: "str | None"):
-    """Return ``(field_names, field_types_json)`` for ``table`` from the
-    sidecar, or ``None`` when the directory has no sidecar or the
-    sidecar does not cover ``table`` (multi-table chunks evolve
-    per-table).  ``table=None`` mirrors the scan default (single-table
-    directories): it resolves only when the sidecar has exactly one
-    entry, else falls back to the header path (which raises the
-    set-a-table error for multi-table chunks).  A sidecar that exists
-    but cannot be parsed raises loudly — silently falling back to the
-    first-file header would reintroduce the dropped-column hole the
-    sidecar exists to close."""
+def _table_entry(path: str, table: "str | None") -> "dict | None":
+    """The raw sidecar entry for ``table``: None when there is no
+    sidecar or it doesn't cover the table; loud ValidationError when a
+    sidecar exists but cannot be parsed — every consumer (schema
+    authority AND drop tombstones) must fail rather than silently
+    degrade on corruption."""
     p = sidecar_path(path)
     try:
         with open(p, "rb") as f:
@@ -72,23 +67,58 @@ def read_table_schema(path: str, table: "str | None"):
         if table is None:
             if len(tables) != 1:
                 return None
-            entry = next(iter(tables.values()))
-        else:
-            entry = tables.get(table)
-        if entry is None:
-            return None
-        names = entry["fnames"]
-        types = entry["ftypes"]
-        if (
-            not isinstance(names, list)
-            or not isinstance(types, list)
-            or len(names) != len(types)
-            or not all(isinstance(n, str) and n for n in names)
-        ):
-            raise KeyError("malformed table entry")
-        return list(names), list(types)
+            return next(iter(tables.values()))
+        return tables.get(table)
     except (KeyError, TypeError, ValueError) as e:
         raise ValidationError(f"corrupt schema sidecar {p}: {e}")
+
+
+def _entry_schema(entry: dict, path: str):
+    names = entry.get("fnames")
+    types = entry.get("ftypes")
+    if (
+        not isinstance(names, list)
+        or not isinstance(types, list)
+        or len(names) != len(types)
+        or not all(isinstance(n, str) and n for n in names)
+    ):
+        raise ValidationError(
+            f"corrupt schema sidecar {sidecar_path(path)}: "
+            "malformed table entry"
+        )
+    return list(names), list(types)
+
+
+def read_table_schema(path: str, table: "str | None"):
+    """Return ``(field_names, field_types_json)`` for ``table`` from the
+    sidecar, or ``None`` when the directory has no sidecar or the
+    sidecar does not cover ``table`` (multi-table chunks evolve
+    per-table).  ``table=None`` mirrors the scan default (single-table
+    directories): it resolves only when the sidecar has exactly one
+    entry, else falls back to the header path (which raises the
+    set-a-table error for multi-table chunks).  A sidecar that exists
+    but cannot be parsed raises loudly — silently falling back to the
+    first-file header would reintroduce the dropped-column hole the
+    sidecar exists to close."""
+    entry = _table_entry(path, table)
+    if entry is None:
+        return None
+    return _entry_schema(entry, path)
+
+
+def read_schema_and_dropped(path: str, table: "str | None"):
+    """One parse for both sidecar facts: ``((names, types) | None,
+    dropped_names)`` — the plan-time path reads the file once instead
+    of once per consumer."""
+    entry = _table_entry(path, table)
+    if entry is None:
+        return None, []
+    return _entry_schema(entry, path), _entry_dropped(entry)
+
+
+def _entry_dropped(entry: "dict | None") -> "list[str]":
+    dropped = (entry or {}).get("dropped")
+    return [d for d in dropped if isinstance(d, str)] if dropped else []
 
 
 def read_dropped_columns(path: str, table: "str | None") -> "list[str]":
@@ -96,24 +126,10 @@ def read_dropped_columns(path: str, table: "str | None") -> "list[str]":
     or no sidecar).  A dropped name is a TOMBSTONE, not a free slot:
     old files still hold its values, so re-adding the same name would
     silently resurface them where fresh NULLs are expected — writers
-    refuse it.  ``table=None`` resolves like read_table_schema."""
-    p = sidecar_path(path)
-    try:
-        with open(p, "rb") as f:
-            doc = json.loads(f.read())
-        tables = doc["tables"]
-        if table is None:
-            if len(tables) != 1:
-                return []
-            entry = next(iter(tables.values()))
-        else:
-            entry = tables.get(table)
-        dropped = (entry or {}).get("dropped")
-        return [d for d in dropped if isinstance(d, str)] if dropped else []
-    except (OSError, ValueError, TypeError, KeyError):
-        # read_table_schema is the loud path for corrupt sidecars; this
-        # accessor only augments it
-        return []
+    refuse it.  ``table=None`` resolves like read_table_schema.
+    Corrupt sidecars raise (via _table_entry): returning [] there
+    would silently disarm the resurrection guard."""
+    return _entry_dropped(_table_entry(path, table))
 
 
 def write_table_schema(

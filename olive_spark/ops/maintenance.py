@@ -210,7 +210,12 @@ def compact_if_needed(
     retain_history, table...)."""
     from olive_spark.datasource.olive_datasource import _list_chunk_files
 
-    files = _list_chunk_files(path) if os.path.isdir(path) else []
+    try:
+        files = _list_chunk_files(path) if os.path.isdir(path) else []
+    except Exception:  # noqa: BLE001 — empty sink dir (metadata only,
+        # no epoch committed yet): the scheduler's first call must be a
+        # no-op, not a crash
+        files = []
     small = 0
     for fp in files:
         try:

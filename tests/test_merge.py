@@ -1341,3 +1341,32 @@ def test_compact_if_needed_triggers_on_small_file_buildup(spark, tmp_path):
                     "small_files": out2["small_files"],
                     "files": out2["files"]}
     assert out2["files"] < 16
+
+
+def test_corrupt_sidecar_keeps_tombstone_guard_armed(spark, tmp_path):
+    """A corrupt schema sidecar must fail appends loud, not silently
+    return 'no tombstones' and let a dropped column resurrect."""
+    import os
+
+    from olive_spark.ops.maintenance import drop_column
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=50, files=2)
+    drop_column(path, "v")
+    with open(os.path.join(path, "_olive_schema.json"), "w") as f:
+        f.write("{broken")
+    with pytest.raises(Exception, match="sidecar"):
+        spark.range(5).selectExpr(
+            "id AS k", "id AS v", "cast(0 as int) AS grp"
+        ).write.format("olive").mode("append").save(path)
+
+
+def test_compact_if_needed_noop_on_empty_dir(spark, tmp_path):
+    import os
+
+    from olive_spark.ops.maintenance import compact_if_needed
+
+    path = str(tmp_path / "empty")
+    os.makedirs(path)
+    out = compact_if_needed(spark, path)
+    assert out["compacted"] is False and out["files"] == 0

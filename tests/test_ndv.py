@@ -95,3 +95,40 @@ def test_approx_distinct_from_manifest(spark, tmp_path):
 
     with pytest.raises(ValidationError, match="not a column"):
         approx_distinct(path, "nope")
+
+
+def test_sketch_dtype_stable_across_null_presence():
+    """The same logical values must sketch identically whether or not
+    their chunk contains nulls (nullable int64 -> pandas float64 would
+    otherwise hash differently and double-count on merge), and whether
+    or not the array is dictionary-encoded."""
+    import pyarrow as pa
+
+    from olive_spark.format import ndv
+
+    plain = ndv.sketch_from_array(pa.array([1, 2, 3], type=pa.int64()))
+    withnull = ndv.sketch_from_array(
+        pa.array([1, 2, 3, None], type=pa.int64())
+    )
+    assert plain == withnull
+    merged = ndv.merge_sketches([plain, withnull])
+    assert ndv.estimate(merged) == 3
+
+    big = 1 << 60  # would collapse under a float64 conversion
+    a = ndv.sketch_from_array(pa.array([big, big + 1], type=pa.int64()))
+    b = ndv.sketch_from_array(
+        pa.array([big, big + 1, None], type=pa.int64())
+    )
+    assert ndv.estimate(ndv.merge_sketches([a, b])) == 2
+
+    d = pa.array(["x", "y", "x"]).dictionary_encode()
+    assert ndv.sketch_from_array(d) == ndv.sketch_from_array(
+        pa.array(["x", "y", "x"])
+    )
+
+
+def test_ndv_columns_validated_at_plan_time(spark, tmp_path):
+    df = spark.range(10).selectExpr("id AS k")
+    with pytest.raises(Exception, match="ndvColumns"):
+        df.write.format("olive").option("ndvColumns", "nope") \
+            .mode("append").save(str(tmp_path / "x"))
