@@ -102,6 +102,7 @@ HEADLINE = [
     "scan_after_restore",          # r8: RESTORE TO VERSION + append
     "stream_cdc_pump",             # r8: cursor-resumed CDC delivery
     "scan_after_drop_column",      # r8: metadata-only DROP COLUMN
+    "llm_unigram_lm_score",        # r8: corpus-unigram LM scoring
 ]
 
 

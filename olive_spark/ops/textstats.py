@@ -185,6 +185,48 @@ def gopher_rules(
     )
 
 
+def unigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-unigram language-model scoring — the CCNet-style curation
+    signal: train a Laplace-smoothed unigram model on the WHOLE corpus
+    and score every document by mean negative log-likelihood per token,
+    ``nll = −avg ln((cnt_w + 1) / (N + V))``.  Prose near the corpus
+    mode scores low; gibberish, OOV-heavy, and off-distribution docs
+    score high — the standard cheap proxy for "looks like the reference
+    corpus" used to rank crawl text before an expensive model pass.
+
+    Plan shape at 100 TB: one explode; the vocabulary count is a
+    map-side-combined word agg (vocab-sized, not corpus-sized); the
+    scalar (N, V) totals ride along as a broadcast 1-row aggregate; the
+    score join shuffles (doc, word) pairs against the vocab — AQE
+    broadcasts the vocab side when it fits.  No UDFs, no driver state."""
+    t = F.col(text_col)
+    words = df.select(
+        F.col(id_col), F.explode(F.split(t, " ")).alias("__w")
+    ).filter(F.col("__w") != "")
+    wc = words.groupBy("__w").agg(F.count("*").alias("__cnt"))
+    totals = wc.agg(
+        F.sum("__cnt").alias("__n"), F.count("*").alias("__v")
+    )
+    return (
+        words.join(wc, "__w")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                -F.avg(
+                    F.log(
+                        (F.col("__cnt") + F.lit(1.0))
+                        / (F.col("__n") + F.col("__v"))
+                    )
+                ),
+                6,
+            ).alias("nll")
+        )
+    )
+
+
 def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace + BPE-ish token counts (budgeting for LLM training)."""
     t = F.col(text_col)

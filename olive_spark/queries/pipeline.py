@@ -825,8 +825,43 @@ SQL_WORD_ENTROPY = (
 )
 
 
+def llm_unigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-unigram LM curation scoring (ops/textstats.
+    unigram_lm_score — the CCNet-style 'looks like the corpus' signal):
+    Laplace-smoothed unigram NLL per document, bucketed to one row per
+    integer NLL for a stable small frame (per-term ln of integer ratios
+    is bit-identical across engines; the avg's summation-order jitter
+    sits ~1e-13 under the 1e-6 rounding)."""
+    from olive_spark.ops.textstats import unigram_lm_score
+
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    sc = unigram_lm_score(df)
+    return sc.groupBy(
+        F.floor(F.col("nll") * 4).cast("int").alias("nll_q")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+    )
+
+
+SQL_UNIGRAM_LM = (
+    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), "
+    "t AS (SELECT doc_id, w FROM w WHERE w <> ''), "
+    "wc AS (SELECT w, COUNT(*) AS cnt FROM t GROUP BY w), "
+    "s AS (SELECT SUM(cnt) AS n, COUNT(*) AS v FROM wc), "
+    "sc AS (SELECT doc_id, ROUND(-AVG(LN((cnt + 1.0) / (n + v))), 6) AS nll "
+    "FROM t JOIN wc USING (w) CROSS JOIN s GROUP BY doc_id) "
+    "SELECT CAST(FLOOR(nll * 4) AS INT) AS nll_q, COUNT(*) AS n_docs, "
+    "CAST(SUM(doc_id) AS BIGINT) AS sum_ids, "
+    "ROUND(AVG(nll), 4) AS avg_nll "
+    "FROM sc GROUP BY 1"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "llm_domain_cap": (llm_domain_cap, SQL_DOMAIN_CAP),
+    "llm_unigram_lm_score": (llm_unigram_lm_score, SQL_UNIGRAM_LM),
     "llm_word_entropy": (llm_word_entropy, SQL_WORD_ENTROPY),
     "llm_gopher_rules": (llm_gopher_rules, SQL_GOPHER),
     "llm_chunk_documents": (llm_chunk_documents, SQL_CHUNKS),

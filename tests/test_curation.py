@@ -558,3 +558,18 @@ class TestHashSplit:
             hash_split(df, "k", {"a": 1.0})
         with _pytest.raises(ValueError, match="already exists"):
             hash_split(df.selectExpr("k", "'x' AS split"), "k", w)
+
+
+def test_unigram_lm_score_orders_common_vs_rare(spark):
+    """A doc made of corpus-frequent words must score (NLL) lower than
+    one made of corpus-rare words; Laplace smoothing keeps every score
+    finite."""
+    from olive_spark.ops.textstats import unigram_lm_score
+
+    rows = [(0, "the the the the the the")]          # very common
+    rows += [(i, "the cat sat on the mat") for i in range(1, 40)]
+    rows += [(99, "zyx qwv jkl")]                    # singletons
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["nll"] for r in unigram_lm_score(df).collect()}
+    assert got[0] < got[1] < got[99]
+    assert all(v == v and v > 0 for v in got.values())  # finite, positive
