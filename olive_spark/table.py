@@ -121,6 +121,24 @@ class OliveTable:
             table=self.table, **kw
         )
 
+    def pump_changes(self, state_dir: str, apply_fn, **kw) -> dict:
+        """Cursor-resumed per-commit CDC delivery bound to this table
+        (ops.changes.pump_changes); kwargs pass through (key_cols,
+        starting_version, max_commits_per_run)."""
+        from olive_spark.ops.changes import pump_changes
+
+        return pump_changes(
+            self.spark, self.path, state_dir, apply_fn,
+            table=self.table, **kw
+        )
+
+    def compact_if_needed(self, **kw) -> dict:
+        """OPTIMIZE-style small-file auto trigger
+        (ops.maintenance.compact_if_needed); no-op below threshold."""
+        from olive_spark.ops.maintenance import compact_if_needed
+
+        return compact_if_needed(self.spark, self.path, table=self.table, **kw)
+
     def drop_column(self, column: str) -> dict:
         """DROP COLUMN: metadata-only (sidecar) evolution — no file
         rewrite; the name is tombstoned against silent re-adds (see

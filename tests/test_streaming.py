@@ -792,3 +792,40 @@ def test_stream_matview_partial_then_resume_parity(spark, tmp_path_factory):
     assert view_rows() == expect()
     total = spark.read.format("olive").load(table).count()
     assert total == 5 + 120, total
+
+
+def test_sink_epochs_compose_with_auto_compact(spark, tmp_path_factory):
+    """The small-file story end-to-end: many tiny sink epochs build up
+    one file each; compact_if_needed declines below threshold, triggers
+    above it, and the compacted sink still reads exactly once-delivered
+    rows with a coherent snapshot log."""
+    from olive_spark import streaming
+    from olive_spark.format import snapshots
+    from olive_spark.ops.maintenance import compact_if_needed
+
+    src = str(tmp_path_factory.mktemp("acsrc"))
+    sink = str(tmp_path_factory.mktemp("acsink"))
+    ckpt = str(tmp_path_factory.mktemp("acckpt"))
+
+    results = []
+    for i in range(6):
+        _write_part(src, i, i * 10, (i + 1) * 10)
+        streaming.write_stream_olive(
+            streaming.read_stream(spark, src), sink, ckpt
+        )
+        results.append(compact_if_needed(spark, sink, min_small_files=5))
+
+    # declines while under 5 files, triggers at the 5th epoch, and the
+    # post-compaction buildup starts over (so the last epoch declines)
+    assert [r["compacted"] for r in results] == [
+        False, False, False, False, True, False
+    ]
+    assert results[4]["files_after"] < results[4]["files_before"]
+    got = sorted(r["k"] for r in spark.read.format("olive").load(sink).collect())
+    assert got == list(range(60))
+    # the compaction landed as a snapshot version like any rewrite
+    hist_kinds = {e["kind"] for e in __import__(
+        "olive_spark.ops.maintenance", fromlist=["snapshot_history"]
+    ).snapshot_history(sink)}
+    assert "compact" in hist_kinds
+    assert snapshots.current_version(sink) >= 7
