@@ -28,6 +28,29 @@ import uuid
 from olive_spark.format.errors import ValidationError
 
 
+def _locked(path_arg: int):
+    """Wrap a mutation op in the table's advisory write lock
+    (format/lock.py): two concurrent mutators fail loud naming the
+    holder instead of interleaving snapshot-log rewrites.  Reentrant,
+    so composed ops (restore → recovery, compact_if_needed → compact,
+    facade → op) acquire once."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            path = kwargs.get("path")
+            if path is None and len(args) > path_arg:
+                path = args[path_arg]
+            from olive_spark.format.lock import table_write_lock
+
+            with table_write_lock(path):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
 def _morton_expr(cols, bits: int | None = None):
     """Interleave the low bits of N non-negative int columns into a
     Morton (Z-order) key — pure JVM shift/and/or expression tree, no
@@ -76,6 +99,7 @@ def _retire_original(path: str, rel: str, history: bool) -> bool:
         return False
 
 
+@_locked(1)
 def compact(
     spark,
     path: str,
@@ -645,6 +669,7 @@ def _update_schema_sidecar(path: str, table: str, sample_file: str) -> None:
     write_table_schema(path, th.name, th.field_names, th.field_types)
 
 
+@_locked(1)
 def merge_upsert(
     spark,
     path: str,
@@ -1175,6 +1200,7 @@ def merge_upsert(
     }
 
 
+@_locked(1)
 def delete_where(
     spark,
     path: str,
@@ -1264,6 +1290,7 @@ def delete_where(
     }
 
 
+@_locked(1)
 def update_where(
     spark,
     path: str,
@@ -1387,6 +1414,7 @@ def update_where(
     }
 
 
+@_locked(0)
 def drop_column(path: str, column: str, table: str = "data") -> dict:
     """DROP COLUMN as metadata-only evolution: the column leaves the
     schema-sidecar authority (one small JSON write — no file is
@@ -1452,6 +1480,7 @@ def drop_column(path: str, column: str, table: str = "data") -> dict:
     return {"dropped": column, "columns": names}
 
 
+@_locked(0)
 def vacuum(
     path: str, retain_snapshots: int = 0,
     retain_hours: "float | None" = None,
@@ -1560,6 +1589,7 @@ def _manifest_entry_from_header(path: str, rel: str, table: str) -> "dict | None
         return None
 
 
+@_locked(0)
 def restore(path: str, version: int, table: str = "data") -> dict:
     """RESTORE the table to snapshot ``version``: the target version's
     file set becomes the live set through ONE new commit — history is

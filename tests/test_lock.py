@@ -1,0 +1,88 @@
+"""Advisory single-writer lock (format/lock.py): loud concurrent-mutator
+refusal, TTL staleness steal, reentrancy, release-on-exception."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from olive_spark import register_olive
+
+    register_olive(s)
+    yield s
+
+
+def test_lock_blocks_foreign_holder_and_steals_stale(tmp_path):
+    from olive_spark.format import lock
+    from olive_spark.format.errors import ValidationError
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    # a live foreign holder (other pid): loud refusal naming it
+    with open(os.path.join(d, lock.LOCK_NAME), "w") as f:
+        json.dump({"pid": 99999999, "host": "elsewhere",
+                   "ts": time.time(), "ttl": 600}, f)
+    with pytest.raises(ValidationError, match="write-locked by pid 99999999"):
+        lock.acquire(d)
+    # a stale one (ttl passed): stolen silently
+    with open(os.path.join(d, lock.LOCK_NAME), "w") as f:
+        json.dump({"pid": 99999999, "host": "elsewhere",
+                   "ts": time.time() - 1000, "ttl": 600}, f)
+    lock.acquire(d)
+    doc = json.load(open(os.path.join(d, lock.LOCK_NAME)))
+    assert doc["pid"] == os.getpid()
+    lock.release(d)
+    assert not os.path.exists(os.path.join(d, lock.LOCK_NAME))
+
+
+def test_lock_is_reentrant(tmp_path):
+    from olive_spark.format import lock
+
+    d = str(tmp_path / "t")
+    with lock.table_write_lock(d):
+        with lock.table_write_lock(d):  # composed ops re-enter
+            assert os.path.exists(os.path.join(d, lock.LOCK_NAME))
+        assert os.path.exists(os.path.join(d, lock.LOCK_NAME))
+    assert not os.path.exists(os.path.join(d, lock.LOCK_NAME))
+
+
+def test_mutations_hold_and_release_the_lock(spark, tmp_path):
+    """Ops refuse while a foreign writer holds the table; the lock is
+    gone after a successful op AND after one that raised."""
+    from olive_spark.format import lock
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops.maintenance import delete_where, drop_column
+
+    path = str(tmp_path / "t")
+    spark.range(100).selectExpr("id AS k", "id*2 AS v").coalesce(2) \
+        .write.format("olive").mode("append").save(path)
+
+    with open(os.path.join(path, lock.LOCK_NAME), "w") as f:
+        json.dump({"pid": 99999999, "host": "elsewhere",
+                   "ts": time.time(), "ttl": 600}, f)
+    with pytest.raises(ValidationError, match="write-locked"):
+        delete_where(spark, path, "k < 10")
+    os.remove(os.path.join(path, lock.LOCK_NAME))
+
+    delete_where(spark, path, "k < 10")
+    assert not os.path.exists(os.path.join(path, lock.LOCK_NAME))
+    assert spark.read.format("olive").load(path).count() == 90
+
+    # an op that raises still releases
+    with pytest.raises(ValidationError):
+        drop_column(path, "nope")
+    assert not os.path.exists(os.path.join(path, lock.LOCK_NAME))
