@@ -121,6 +121,13 @@ class OliveTable:
             table=self.table, **kw
         )
 
+    def lock(self, ttl: float = 600.0):
+        """``with t.lock():`` — hold the table's advisory write lock
+        across a multi-op sequence (each op re-enters it)."""
+        from olive_spark.format.lock import table_write_lock
+
+        return table_write_lock(self.path, ttl)
+
     def pump_changes(self, state_dir: str, apply_fn, **kw) -> dict:
         """Cursor-resumed per-commit CDC delivery bound to this table
         (ops.changes.pump_changes); kwargs pass through (key_cols,

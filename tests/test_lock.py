@@ -86,3 +86,21 @@ def test_mutations_hold_and_release_the_lock(spark, tmp_path):
     with pytest.raises(ValidationError):
         drop_column(path, "nope")
     assert not os.path.exists(os.path.join(path, lock.LOCK_NAME))
+
+
+def test_facade_lock_spans_multi_op_sequence(spark, tmp_path):
+    import os as _os
+
+    from olive_spark import OliveTable
+    from olive_spark.format import lock
+
+    path = str(tmp_path / "t")
+    spark.range(50).selectExpr("id AS k", "id AS v").coalesce(1) \
+        .write.format("olive").mode("append").save(path)
+    t = OliveTable(spark, path)
+    with t.lock():
+        t.delete_where("k < 5")
+        t.update_where({"v": "v + 1"}, "k >= 45")
+        assert _os.path.exists(_os.path.join(path, lock.LOCK_NAME))
+    assert not _os.path.exists(_os.path.join(path, lock.LOCK_NAME))
+    assert t.df().count() == 45
