@@ -103,6 +103,7 @@ HEADLINE = [
     "stream_cdc_pump",             # r8: cursor-resumed CDC delivery
     "scan_after_drop_column",      # r8: metadata-only DROP COLUMN
     "llm_unigram_lm_score",        # r8: corpus-unigram LM scoring
+    "scan_hidden_partition_pruning",  # r8: days(ts) hidden partitioning
 ]
 
 

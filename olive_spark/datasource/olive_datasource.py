@@ -422,15 +422,22 @@ class OliveReader(DataSourceReader):
         # a re-plan — never rows.
         self.predicates = []
         manifest: dict = {}
+        transforms: "list | None" = None
         if preds and os.path.isdir(self.path):
             # one read covers the whole directory; per-file header
             # opens below happen only for files the manifest can't
             # vouch for (missing/stale entry) or can't disprove
             from olive_spark.format.manifest import load_manifest
+            from olive_spark.format.partition import read_sidecar
 
             manifest = load_manifest(self.path)
+            # hidden-partition spec (one GET): source-column predicates
+            # map onto directory intervals/buckets below
+            transforms = read_sidecar(self.path)
         for fp in files:
-            if preds and _dir_prunable(self.path, fp, preds):
+            if preds and _dir_prunable(
+                self.path, fp, preds, transforms
+            ):
                 continue  # hive-style col=value segment excluded by filter
             if preds and self._file_prunable(fp, preds, manifest):
                 continue
@@ -697,12 +704,17 @@ def _interval_to_struct(col, struct_type):
     )
 
 
-def _dir_prunable(root: str, fp: str, preds) -> bool:
+def _dir_prunable(
+    root: str, fp: str, preds, transforms: "list | None" = None
+) -> bool:
     """Partition pruning on hive-style ``col=value`` path segments: a
     file is skipped when an equality/IN predicate on a partition column
-    excludes its directory's value.  String-exact comparison only (the
-    writer encodes values with ``quote(str(v))``); range predicates fall
-    through to chunk-stats pruning."""
+    excludes its directory's value (string-exact — the writer encodes
+    with ``quote(str(v))``; range predicates fall through to chunk-stats
+    pruning), or when a HIDDEN-partition transform proves the source
+    column's predicate can't reach this directory's derived value
+    (format/partition.transform_dir_prunable — interval overlap for
+    days/months/hours, bucket membership for bucket(N))."""
     import urllib.parse
 
     rel = os.path.relpath(os.path.dirname(fp), root)
@@ -723,6 +735,10 @@ def _dir_prunable(root: str, fp: str, preds) -> bool:
             return True
         if op == "in" and got not in {str(v) for v in val}:
             return True
+    if transforms:
+        from olive_spark.format.partition import transform_dir_prunable
+
+        return transform_dir_prunable(vals, preds, transforms)
     return False
 
 
@@ -793,7 +809,27 @@ class OliveWriter(DataSourceArrowWriter):
                 f"schema {[f.name for f in schema.fields]}"
             )
         pb = options.get("partitionby", options.get("partitionBy"))
-        self.partition_by = [c.strip() for c in pb.split(",")] if pb else []
+        if pb:
+            from olive_spark.format.partition import parse_spec
+
+            self.partition_transforms = parse_spec(pb)
+            # dir keys: for identity entries this is the column itself,
+            # so the classic hive path is unchanged; transforms group
+            # on a derived column that is dropped before data lands
+            self.partition_by = [t["dir"] for t in self.partition_transforms]
+            field_names = {f.name for f in schema.fields}
+            bad_src = [
+                t["col"] for t in self.partition_transforms
+                if t["col"] not in field_names
+            ]
+            if bad_src:
+                raise ValueError(
+                    f"olive: partitionBy source columns {bad_src} not in "
+                    f"the written schema {sorted(field_names)}"
+                )
+        else:
+            self.partition_transforms = []
+            self.partition_by = []
         # write-time clustering: sort every chunk on these columns
         # before it lands, so the per-page min/max grid is tight from
         # the first write (compact(sort_by=...) is the maintenance-time
@@ -942,8 +978,22 @@ class OliveWriter(DataSourceArrowWriter):
             groups[key] = [rest] if rest.num_rows else []
             counts[key] = rest.num_rows
 
+        from olive_spark.format.partition import derive_array
+
+        hidden = [
+            t["dir"] for t in self.partition_transforms
+            if t["kind"] != "identity"
+        ]
         for batch in iterator:
             tbl = pa.Table.from_batches([batch])
+            # hidden-partition transforms: the derived dir value rides
+            # as a TEMP column for grouping/naming and is dropped before
+            # data lands — queries only ever see the source column
+            for t in self.partition_transforms:
+                if t["kind"] != "identity":
+                    tbl = tbl.append_column(
+                        t["dir"], derive_array(tbl, t)
+                    )
             # group_by preserves value types (and keeps null groups);
             # iterate distinct tuples
             keys = tbl.select(self.partition_by)
@@ -959,6 +1009,8 @@ class OliveWriter(DataSourceArrowWriter):
                     )
                     mask = m if mask is None else pc.and_(mask, m)
                 sub = tbl.filter(mask)
+                if hidden:
+                    sub = sub.drop_columns(hidden)
                 key = tuple(row[c] for c in self.partition_by)
                 if key not in subdirs:
                     subdirs[key] = "/".join(
@@ -992,6 +1044,15 @@ class OliveWriter(DataSourceArrowWriter):
         # column null-fills harmlessly; committed data behind a stale
         # sidecar vanishes from every default scan
         self._sync_schema_sidecar(added)
+        if any(
+            t["kind"] != "identity" for t in self.partition_transforms
+        ):
+            # record the hidden-partition spec so scans can map source-
+            # column predicates onto directory intervals; conflicting
+            # re-specs fail loud inside write_sidecar
+            from olive_spark.format.partition import write_sidecar
+
+            write_sidecar(self.path, self.partition_transforms)
         self._merge_manifest(messages)
         self._log_snapshot(added)
 
@@ -1775,6 +1836,16 @@ class OliveDataSource(DataSource):
 
                 try:
                     os.remove(sidecar_path(path))
+                except OSError:
+                    pass
+                # and the hidden-partition spec: the fresh table may use
+                # a different (or no) layout
+                from olive_spark.format.partition import (
+                    sidecar_path as _psp,
+                )
+
+                try:
+                    os.remove(_psp(path))
                 except OSError:
                     pass
                 # same staleness class for CDC tombstones: retained

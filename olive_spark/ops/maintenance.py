@@ -51,6 +51,26 @@ def _locked(path_arg: int):
     return deco
 
 
+def _refuse_hidden_partitions(path: str, op: str) -> None:
+    """v1 boundary for hidden partitioning (format/partition.py):
+    rewrite ops reconstruct hive layouts from DATA columns, which
+    derived dir values don't have — refuse loudly rather than write a
+    layout-breaking rewrite.  Appends, scans, transform pruning, time
+    travel, restore and vacuum all work on these tables."""
+    from olive_spark.format.partition import has_transforms, read_sidecar
+
+    ts = read_sidecar(path) if os.path.isdir(path) else None
+    if ts and has_transforms(ts):
+        hidden = [t["dir"] for t in ts if t["kind"] != "identity"]
+        raise ValidationError(
+            f"{op} on a hidden-partitioned table (transforms {hidden}) "
+            "is not supported: its rewrite would have to re-derive "
+            "partition values the data doesn't store — rewrite support "
+            "is future work; append/scan/prune/time-travel/restore/"
+            "vacuum all work"
+        )
+
+
 def _morton_expr(cols, bits: int | None = None):
     """Interleave the low bits of N non-negative int columns into a
     Morton (Z-order) key — pure JVM shift/and/or expression tree, no
@@ -145,6 +165,7 @@ def compact(
     # Finish any interrupted prior compaction FIRST: if a manifest is
     # pending, the directory may hold old+new duplicates which a naive
     # re-read would rewrite into the table for good.
+    _refuse_hidden_partitions(path, "compact")
     _recover_pending(path)
     _seed_snapshot_log(path)
     before = _list_chunk_files(path)
@@ -806,6 +827,7 @@ def merge_upsert(
     from olive_spark.format.snapshots import current_version
 
     register_olive(spark)
+    _refuse_hidden_partitions(path, "merge_upsert")
     _recover_pending(path)
     _seed_snapshot_log(path)
     fc = "_olive_file"
@@ -1231,6 +1253,7 @@ def delete_where(
     from olive_spark.format.snapshots import current_version
 
     register_olive(spark)
+    _refuse_hidden_partitions(path, "delete_where")
     _recover_pending(path)
     _seed_snapshot_log(path)
     fc = "_olive_file"
@@ -1330,6 +1353,7 @@ def update_where(
     if not set_exprs:
         raise ValueError("set_exprs must be non-empty")
     register_olive(spark)
+    _refuse_hidden_partitions(path, "update_where")
     _recover_pending(path)
     _seed_snapshot_log(path)
     fc = "_olive_file"
@@ -1469,6 +1493,14 @@ def drop_column(path: str, column: str, table: str = "data") -> dict:
             f"cannot drop hive partition column {column!r}: its values "
             "live in the directory layout (col=value/) that pruning and "
             "rewrites depend on"
+        )
+    from olive_spark.format.partition import read_sidecar
+
+    tspec = read_sidecar(path) or []
+    if column in {t["col"] for t in tspec if t["kind"] != "identity"}:
+        raise ValidationError(
+            f"cannot drop {column!r}: it is the source of a hidden "
+            "partition transform — the directory layout derives from it"
         )
     idx = names.index(column)
     names.pop(idx)

@@ -131,6 +131,60 @@ SQL_SCAN_PARTITIONED = (
 )
 
 
+def _ensure_events_hidden(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) the events table under HIDDEN day
+    partitioning (format/partition.py): ``partitionBy=days(ts)`` lays
+    out ``ts_day=YYYY-MM-DD/`` dirs derived from the ts column — no
+    synthetic day column in the data."""
+
+    def build(out: str) -> None:
+        cols = ["event_id", "ts", "user_id", "event_type", "value"]
+        ev = data.load(spark, sf, "events", columns=cols)
+        ev.repartition(4).write.format("olive") \
+            .option("table", "events_hidden") \
+            .option("partitionBy", "days(ts)").mode("append").save(out)
+
+    return _build_once(spark, sf, "events_hidden", "_HIDDEN_OK", build)
+
+
+def scan_hidden_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Hidden-partition pruning parity: a ts-RANGE filter on the
+    days(ts)-partitioned events table — the scan maps the source-column
+    predicates onto ``ts_day`` directory intervals and skips the other
+    ~27 day dirs at plan time (interval soundness pytest-pinned in
+    tests/test_hidden_partition.py); results must equal plain SQL over
+    the unpartitioned view, including rows at both window boundaries."""
+    path = _ensure_events_hidden(spark, sf)
+    df = spark.read.format("olive") \
+        .option("table", "events_hidden") \
+        .option("pushdown", "true").load(path)
+    lo = "2024-01-10 00:00:00"
+    hi = "2024-01-13 00:00:00"
+    return (
+        df.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("sum_ids"),
+            F.sum(F.col("value").cast(D)).cast(D).alias("sum_value"),
+        )
+    )
+
+
+SQL_HIDDEN_PARTITION = (
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(event_id) AS BIGINT) AS sum_ids, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value "
+    "FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-13 00:00:00' "
+    "GROUP BY event_type"
+)
+
+
 def scan_bloom_pruning(spark: SparkSession, sf: str) -> DataFrame:
     """Point lookups by content hash through per-file Bloom filters
     (write-side ``bloomColumns`` option; format/bloom.py): md5 values
@@ -1584,6 +1638,9 @@ QUERIES: dict[str, tuple] = {
     "scan_after_update_where": (scan_after_update_where, SQL_AFTER_UPDATE),
     "scan_after_restore": (scan_after_restore, SQL_AFTER_RESTORE),
     "scan_after_drop_column": (scan_after_drop_column, SQL_AFTER_DROP),
+    "scan_hidden_partition_pruning": (
+        scan_hidden_partition_pruning, SQL_HIDDEN_PARTITION,
+    ),
     "scan_merge_cdc_tombstones": (scan_merge_cdc_tombstones, SQL_MERGE_CDC_TOMB),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),
     "join_interval_overlap": (join_interval_overlap, SQL_INTERVAL_JOIN),

@@ -1,0 +1,226 @@
+"""Hidden partitioning (format/partition.py): days/months/hours/bucket
+transforms derive the directory layout from a data column; scans prune
+directories from predicates on the SOURCE column; the derived value is
+never a data column."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from olive_spark import register_olive
+
+    register_olive(s)
+    yield s
+
+
+def _mk_events(spark, path, ndays=6):
+    df = spark.range(ndays * 100).selectExpr(
+        "id AS k",
+        f"timestamp_micros(cast(1700000000000000 + (id % {ndays}) * 86400000000 "
+        "+ (id * 1000000) as long)) AS ts",
+        "cast(id % 37 as long) AS uid",
+    )
+    df.coalesce(1).write.format("olive") \
+        .option("partitionBy", "days(ts)").mode("append").save(path)
+    return df
+
+
+def _scan_files(spark, path, *preds):
+    """Files a pushed-down scan would read (via the reader's planner)."""
+    from olive_spark.datasource.olive_datasource import OlivePushdownReader
+
+    sch = spark.read.format("olive").load(path).schema
+    r = OlivePushdownReader({"path": path, "pushdown": "true"}, sch)
+    r.predicates = list(preds)
+    parts = r.partitions()
+    return [fp for p in parts for fp in p.files
+            if not (p.predicates and p.predicates[0][0] == "__none__")]
+
+
+def test_days_transform_layout_roundtrip_and_pruning(spark, tmp_path):
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    df = _mk_events(spark, path)
+
+    # layout: ts_day=YYYY-MM-DD dirs; the derived column is NOT in the data
+    days = sorted(d for d in os.listdir(path) if d.startswith("ts_day="))
+    assert len(days) == 6
+    got = spark.read.format("olive").load(path)
+    assert sorted(got.columns) == ["k", "ts", "uid"]
+    assert got.count() == 600
+    assert sorted(r["k"] for r in got.collect()) == list(range(600))
+
+    # directory pruning from predicates on ts (the SOURCE column)
+    base = dt.datetime(2023, 11, 14, 22, 13, 20)  # epoch 1700000000 UTC
+    all_files = _scan_files(spark, path)
+    one_day = _scan_files(
+        spark, path, ("ts", ">=", base + dt.timedelta(days=2)),
+        ("ts", "<", base + dt.timedelta(days=3)),
+    )
+    assert len(one_day) < len(all_files)
+    day_dirs = {os.path.basename(os.path.dirname(f)) for f in one_day}
+    assert len(day_dirs) <= 2  # the window straddles two dir days
+
+    # and a full SQL filter returns exact rows (pruning is sound)
+    from pyspark.sql import functions as F
+
+    win = got.filter(
+        (F.col("ts") >= F.lit(base + dt.timedelta(days=2)))
+        & (F.col("ts") < F.lit(base + dt.timedelta(days=3)))
+    ).count()
+    expect = df.filter(
+        (F.col("ts") >= F.lit(base + dt.timedelta(days=2)))
+        & (F.col("ts") < F.lit(base + dt.timedelta(days=3)))
+    ).count()
+    assert win == expect > 0
+
+
+def test_bucket_transform_prunes_equality(spark, tmp_path):
+    path = str(tmp_path / "b")
+    spark.range(1000).selectExpr("id AS k", "cast(id as long) AS uid") \
+        .coalesce(1).write.format("olive") \
+        .option("partitionBy", "bucket(8, uid)").mode("append").save(path)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("uid_bucket8="))
+    assert len(dirs) == 8
+    got = spark.read.format("olive").load(path)
+    assert sorted(got.columns) == ["k", "uid"]
+    assert got.count() == 1000
+
+    pruned = _scan_files(spark, path, ("uid", "=", 13))
+    assert {os.path.basename(os.path.dirname(f)) for f in pruned} \
+        == {"uid_bucket8=5"}
+    assert got.filter("uid = 13").count() == 1
+
+
+def test_hidden_partition_guards(spark, tmp_path):
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops.maintenance import (
+        compact,
+        delete_where,
+        drop_column,
+        merge_upsert,
+        restore,
+        update_where,
+    )
+
+    path = str(tmp_path / "g")
+    _mk_events(spark, path, ndays=2)
+
+    src = spark.range(3).selectExpr(
+        "id AS k",
+        "timestamp_micros(1700000000000000) AS ts",
+        "cast(0 as long) AS uid",
+    )
+    for op in (
+        lambda: merge_upsert(spark, path, src, ["k"]),
+        lambda: delete_where(spark, path, "k < 5"),
+        lambda: update_where(spark, path, {"uid": "uid + 1"}, "k < 5"),
+        lambda: compact(spark, path),
+    ):
+        with pytest.raises(ValidationError, match="hidden-partitioned"):
+            op()
+    with pytest.raises(ValidationError, match="hidden partition transform"):
+        drop_column(path, "ts")
+
+    # restore works: appends are commits like any other
+    spark.range(5).selectExpr(
+        "id + 10000 AS k",
+        "timestamp_micros(1700000000000000) AS ts",
+        "cast(1 as long) AS uid",
+    ).coalesce(1).write.format("olive") \
+        .option("partitionBy", "days(ts)").mode("append").save(path)
+    assert spark.read.format("olive").load(path).count() == 205
+    out = restore(path, 1)
+    assert out["restored_to"] == 1
+    assert spark.read.format("olive").load(path).count() == 200
+
+    # conflicting spec on later appends fails loud
+    with pytest.raises(Exception, match="partition spec conflict"):
+        spark.range(3).selectExpr(
+            "id AS k",
+            "timestamp_micros(1700000000000000) AS ts",
+            "cast(0 as long) AS uid",
+        ).write.format("olive").option("partitionBy", "months(ts)") \
+            .mode("append").save(path)
+
+
+def test_transform_spec_parsing_and_validation(spark, tmp_path):
+    from olive_spark.format.partition import parse_spec
+
+    assert parse_spec("days(ts),region") == [
+        {"kind": "days", "col": "ts", "dir": "ts_day"},
+        {"kind": "identity", "col": "region", "dir": "region"},
+    ]
+    assert parse_spec("bucket(16, uid)") == [
+        {"kind": "bucket", "col": "uid", "n": 16, "dir": "uid_bucket16"},
+    ]
+    with pytest.raises(ValueError, match="bad partitionBy"):
+        parse_spec("weeks(ts)")
+    # unknown source column fails at plan time
+    with pytest.raises(Exception, match="source columns"):
+        spark.range(3).selectExpr("id AS k").write.format("olive") \
+            .option("partitionBy", "days(nope)") \
+            .mode("append").save(str(tmp_path / "x"))
+    # non-integral bucket column fails in the first task
+    with pytest.raises(Exception, match="integral"):
+        spark.range(3).selectExpr(
+            "cast(id as string) AS s", "id AS k"
+        ).coalesce(1).write.format("olive") \
+            .option("partitionBy", "bucket(4, s)") \
+            .mode("append").save(str(tmp_path / "y"))
+
+
+def test_transform_interval_pruning_unit():
+    """Pure-unit coverage of the interval math: boundaries at µs
+    resolution, months across year ends, conservative fall-through."""
+    import datetime as dt
+
+    from olive_spark.format.partition import transform_dir_prunable
+
+    tfs = [{"kind": "days", "col": "ts", "dir": "ts_day"}]
+    d = {"ts_day": "2024-02-28"}
+    lo = dt.datetime(2024, 2, 28)
+    hi = dt.datetime(2024, 2, 29)
+
+    assert transform_dir_prunable(d, [("ts", "<", lo)], tfs)
+    assert not transform_dir_prunable(d, [("ts", "<=", lo)], tfs)
+    assert transform_dir_prunable(
+        d, [("ts", ">=", hi)], tfs
+    )
+    assert not transform_dir_prunable(
+        d, [("ts", ">", hi - dt.timedelta(microseconds=2))], tfs
+    )
+    assert transform_dir_prunable(
+        d, [("ts", "=", hi)], tfs
+    )
+    assert not transform_dir_prunable(
+        d, [("ts", "=", lo + dt.timedelta(hours=5))], tfs
+    )
+    # december -> january month rollover
+    m = [{"kind": "months", "col": "ts", "dir": "ts_month"}]
+    dv = {"ts_month": "2023-12"}
+    assert not transform_dir_prunable(
+        dv, [("ts", "<", dt.datetime(2024, 1, 1))], m
+    )
+    assert transform_dir_prunable(
+        dv, [("ts", ">=", dt.datetime(2024, 1, 1))], m
+    )
+    # unparseable dir value: conservative keep
+    assert not transform_dir_prunable(
+        {"ts_day": "garbage"}, [("ts", "=", lo)], tfs
+    )
