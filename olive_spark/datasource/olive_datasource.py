@@ -432,8 +432,14 @@ class OliveReader(DataSourceReader):
 
             manifest = load_manifest(self.path)
             # hidden-partition spec (one GET): source-column predicates
-            # map onto directory intervals/buckets below
-            transforms = read_sidecar(self.path)
+            # map onto directory intervals/buckets below; the col index
+            # is built once here, not per listed file
+            from olive_spark.format.partition import (
+                build_transform_index,
+            )
+
+            side = read_sidecar(self.path)
+            transforms = build_transform_index(side) if side else None
         for fp in files:
             if preds and _dir_prunable(
                 self.path, fp, preds, transforms
@@ -738,7 +744,10 @@ def _dir_prunable(
     if transforms:
         from olive_spark.format.partition import transform_dir_prunable
 
-        return transform_dir_prunable(vals, preds, transforms)
+        try:
+            return transform_dir_prunable(vals, preds, transforms)
+        except Exception:  # noqa: BLE001 — pruning must never break a scan
+            return False
     return False
 
 
@@ -826,6 +835,18 @@ class OliveWriter(DataSourceArrowWriter):
                 raise ValueError(
                     f"olive: partitionBy source columns {bad_src} not in "
                     f"the written schema {sorted(field_names)}"
+                )
+            clash = [
+                t["dir"] for t in self.partition_transforms
+                if t["kind"] != "identity" and t["dir"] in field_names
+            ]
+            if clash:
+                # appending the derived temp column would duplicate the
+                # name and crash deep inside a task — refuse at plan time
+                raise ValueError(
+                    f"olive: partitionBy derived dir keys {clash} collide "
+                    "with data columns of the same name — rename the "
+                    "column or the transform source"
                 )
         else:
             self.partition_transforms = []
@@ -1044,17 +1065,24 @@ class OliveWriter(DataSourceArrowWriter):
         # column null-fills harmlessly; committed data behind a stale
         # sidecar vanishes from every default scan
         self._sync_schema_sidecar(added)
-        if any(
-            t["kind"] != "identity" for t in self.partition_transforms
-        ):
-            # record the hidden-partition spec so scans can map source-
-            # column predicates onto directory intervals; conflicting
-            # re-specs fail loud inside write_sidecar
-            from olive_spark.format.partition import write_sidecar
-
-            write_sidecar(self.path, self.partition_transforms)
+        self._sync_partition_sidecar()
         self._merge_manifest(messages)
         self._log_snapshot(added)
+
+    def _sync_partition_sidecar(self) -> None:
+        # record the hidden-partition spec so scans can map source-
+        # column predicates onto directory intervals (and maintenance
+        # ops know to refuse rewrites); conflicting re-specs fail loud
+        # inside write_sidecar.  Shared by the batch AND stream commit
+        # paths — a stream-written hidden table without the sidecar
+        # would silently bypass both pruning and the rewrite refusal.
+        from olive_spark.format.partition import (
+            has_transforms,
+            write_sidecar,
+        )
+
+        if has_transforms(self.partition_transforms):
+            write_sidecar(self.path, self.partition_transforms)
 
     def _sync_schema_sidecar(self, added: "list[str]") -> None:
         # an EVOLVED table's schema authority is the sidecar; a plain
@@ -1532,6 +1560,10 @@ class OliveStreamWriter(DataSourceStreamArrowWriter):
             # the batch writer): a failure here fails the epoch cleanly
             # — files unlogged, abort removes them
             self._batch._sync_schema_sidecar(files)
+            # hidden-partition spec, streaming edition: without it a
+            # stream-written days(ts) table would silently skip both
+            # transform pruning AND the rewrite-op refusal
+            self._batch._sync_partition_sidecar()
         if not self._exactly_once:
             self._batch._merge_manifest(messages)
             self._log_snapshot(messages, batchId)

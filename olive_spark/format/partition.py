@@ -75,6 +75,13 @@ def parse_spec(spec: str) -> "list[dict]":
     for part in parts:
         if not part.strip():
             continue
+        if "(" not in part:
+            # bare column name = classic hive identity — ANY legal
+            # column name (hyphens, dots, …), exactly as before
+            # transforms existed
+            c = part.strip()
+            out.append({"kind": "identity", "col": c, "dir": c})
+            continue
         m = _SPEC_RE.match(part)
         if not m:
             raise ValueError(
@@ -82,15 +89,17 @@ def parse_spec(spec: str) -> "list[dict]":
                 "column name, days(col), months(col), hours(col), or "
                 "bucket(N, col)"
             )
-        kind, tcol, bn, bcol, plain = m.groups()
-        if plain:
-            out.append({"kind": "identity", "col": plain, "dir": plain})
-        elif kind:
+        kind, tcol, bn, bcol, _plain = m.groups()
+        if kind:
             out.append({
                 "kind": kind, "col": tcol,
                 "dir": f"{tcol}_{_KIND_SUFFIX[kind]}",
             })
         else:
+            if int(bn) < 1:
+                raise ValueError(
+                    f"olive: bucket({bn}, {bcol}) — N must be >= 1"
+                )
             out.append({
                 "kind": "bucket", "col": bcol, "n": int(bn),
                 "dir": f"{bcol}_bucket{bn}",
@@ -122,13 +131,15 @@ def derive_array(tbl, t: dict):
                 f"column, got {col.type}"
             )
         n = pa.scalar(t["n"], col.type)
-        # pmod: a true modulus for negative values too
-        m = pc.subtract(col, pc.multiply(
-            pc.floor(pc.divide(pc.cast(col, pa.float64()),
-                               pc.cast(n, pa.float64()))).cast(col.type),
-            n,
-        ))
-        return pc.cast(m, pa.int64())
+        # EXACT integer pmod (no float round-trip — snowflake IDs and
+        # 64-bit hashes exceed float64's 2^53 exact range): truncating
+        # integer divide, then sign fixup for negative values
+        q = pc.divide(col, n)
+        r = pc.subtract(col, pc.multiply(q, n))
+        r = pc.if_else(
+            pc.less(r, pa.scalar(0, col.type)), pc.add(r, n), r
+        )
+        return pc.cast(r, pa.int64())
     if pa.types.is_date(col.type):
         col = pc.cast(col, pa.timestamp("us"))
     if not pa.types.is_timestamp(col.type):
@@ -136,6 +147,11 @@ def derive_array(tbl, t: dict):
             f"olive: {t['kind']}({t['col']}) needs a timestamp/date "
             f"column, got {col.type}"
         )
+    if col.type.tz not in (None, "UTC", "+00:00"):
+        # dir values and scan-side intervals are BOTH UTC; a session-tz
+        # array would format wall time in that zone and silently shift
+        # rows across day boundaries relative to pruning
+        col = pc.cast(col, pa.timestamp(col.type.unit, tz="UTC"))
     return pc.strftime(col, format=_FMT[t["kind"]])
 
 
@@ -162,14 +178,48 @@ def write_sidecar(dirpath: str, transforms: "list[dict]") -> None:
     os.replace(tmp, sidecar_path(dirpath))
 
 
+_KINDS = {"identity", "days", "months", "hours", "bucket"}
+
+
+def _valid_transform(t) -> bool:
+    if not isinstance(t, dict):
+        return False
+    if t.get("kind") not in _KINDS:
+        return False
+    if not (isinstance(t.get("col"), str) and isinstance(t.get("dir"), str)):
+        return False
+    if t["kind"] == "bucket" and not (
+        isinstance(t.get("n"), int) and t["n"] >= 1
+    ):
+        return False
+    return True
+
+
 def read_sidecar(dirpath: str) -> "list[dict] | None":
+    """The recorded transform spec, or None when missing OR malformed —
+    the sidecar is ADVISORY: a corrupt spec degrades to no transform
+    pruning (and no rewrite refusal), never to a crashed scan."""
     try:
         with open(sidecar_path(dirpath)) as f:
             doc = json.load(f)
         ts = doc.get("transforms")
-        return ts if isinstance(ts, list) else None
+        if not isinstance(ts, list) or not all(
+            _valid_transform(t) for t in ts
+        ):
+            return None
+        return ts
     except (OSError, ValueError):
         return None
+
+
+def build_transform_index(transforms: "list[dict]") -> "dict[str, list]":
+    """{source_col: [transform, …]} for the non-identity entries —
+    built ONCE per plan, not once per listed file."""
+    by_col: dict = {}
+    for t in transforms:
+        if t["kind"] != "identity":
+            by_col.setdefault(t["col"], []).append(t)
+    return by_col
 
 
 def _to_epoch_us(v) -> "int | None":
@@ -214,15 +264,17 @@ def _dir_interval_us(kind: str, value: str) -> "tuple[int, int] | None":
 
 
 def transform_dir_prunable(
-    dir_vals: "dict[str, str]", preds, transforms: "list[dict]"
+    dir_vals: "dict[str, str]", preds, transforms
 ) -> bool:
     """True iff a predicate on a SOURCE column proves this directory's
     derived value can't hold a matching row.  Conservative: unknown
-    ops/values/kinds keep the directory."""
-    by_col: dict = {}
-    for t in transforms:
-        if t["kind"] != "identity":
-            by_col.setdefault(t["col"], []).append(t)
+    ops/values/kinds keep the directory.  ``transforms`` may be the raw
+    list or a prebuilt :func:`build_transform_index` (pass the index
+    from per-file loops)."""
+    by_col = (
+        transforms if isinstance(transforms, dict)
+        else build_transform_index(transforms)
+    )
     if not by_col:
         return False
     for col, op, val in preds:

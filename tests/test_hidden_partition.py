@@ -224,3 +224,100 @@ def test_transform_interval_pruning_unit():
     assert not transform_dir_prunable(
         {"ts_day": "garbage"}, [("ts", "=", lo)], tfs
     )
+
+
+def test_review_fixes_bucket_exactness_tz_and_validation(spark, tmp_path):
+    import pyarrow as pa
+
+    from olive_spark.format.partition import (
+        derive_array,
+        parse_spec,
+        read_sidecar,
+    )
+
+    # exact pmod beyond float64's 2^53 range (snowflake-ID class)
+    big = (1 << 60) + 7
+    t = {"kind": "bucket", "col": "x", "n": 8, "dir": "x_bucket8"}
+    tbl = pa.table({"x": pa.array([big, -big, 5, -5], pa.int64())})
+    got = derive_array(tbl, t).to_pylist()
+    assert got == [big % 8, (-big) % 8, 5, 3]
+
+    # non-UTC tz-aware arrays format their UTC day, not wall time
+    import datetime as dt
+
+    ts = pa.array(
+        [dt.datetime(2024, 1, 10, 3, 0, tzinfo=dt.timezone.utc)],
+        pa.timestamp("us", tz="America/New_York"),
+    )
+    d = derive_array(
+        pa.table({"ts": ts}), {"kind": "days", "col": "ts", "dir": "ts_day"}
+    ).to_pylist()
+    assert d == ["2024-01-10"]  # NY wall time would say 2024-01-09
+
+    # bare identity names keep full hive generality (hyphens etc.)
+    assert parse_spec("my-col.x")[0] == {
+        "kind": "identity", "col": "my-col.x", "dir": "my-col.x",
+    }
+    with pytest.raises(ValueError, match="N must be >= 1"):
+        parse_spec("bucket(0, uid)")
+
+    # corrupt-but-valid-JSON sidecar degrades to None (advisory)
+    import json
+    import os
+
+    d2 = str(tmp_path / "c")
+    os.makedirs(d2)
+    with open(os.path.join(d2, "_olive_partition.json"), "w") as f:
+        json.dump({"version": 1, "transforms": [{"col": "ts"}]}, f)
+    assert read_sidecar(d2) is None
+
+    # derived dir key colliding with a data column: plan-time refusal
+    with pytest.raises(Exception, match="collide"):
+        spark.range(3).selectExpr(
+            "timestamp_micros(1700000000000000) AS ts",
+            "'x' AS ts_day",
+        ).write.format("olive").option("partitionBy", "days(ts)") \
+            .mode("append").save(str(tmp_path / "z"))
+
+
+def test_stream_written_hidden_table_records_spec(spark, tmp_path):
+    """A STREAM-written days(ts) table must carry the spec sidecar, so
+    transform pruning works and rewrite ops refuse — same as batch."""
+    import pyarrow as pa
+
+    from olive_spark import streaming
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.format.partition import read_sidecar
+    from olive_spark.format.writer import write_chunk
+    from olive_spark.ops.maintenance import delete_where
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    t = pa.table({
+        "k": pa.array(list(range(100)), pa.int64()),
+        "ts": pa.array(
+            [1700000000000000 + (i % 3) * 86400000000 for i in range(100)],
+            pa.timestamp("us"),
+        ),
+    })
+    with open(os.path.join(src, "part-00000.olive"), "wb") as f:
+        f.write(write_chunk({"data": t}))
+
+    sdf = streaming.read_stream(spark, src)
+    (
+        sdf.writeStream.format("olive")
+        .option("checkpointLocation", ckpt)
+        .option("partitionBy", "days(ts)")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(sink)
+        .awaitTermination()
+    )
+    assert read_sidecar(sink) is not None
+    dirs = [d for d in os.listdir(sink) if d.startswith("ts_day=")]
+    assert len(dirs) == 3
+    assert spark.read.format("olive").load(sink).count() == 100
+    with pytest.raises(ValidationError, match="hidden-partitioned"):
+        delete_where(spark, sink, "k < 5")
