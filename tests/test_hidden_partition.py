@@ -321,3 +321,62 @@ def test_stream_written_hidden_table_records_spec(spark, tmp_path):
     assert spark.read.format("olive").load(sink).count() == 100
     with pytest.raises(ValidationError, match="hidden-partitioned"):
         delete_where(spark, sink, "k < 5")
+
+
+def test_year_of_day_dirs_prunes_to_predicate_window(spark, tmp_path):
+    """Scale shape: 365 day directories, a 3-day predicate window —
+    plan-time keeps only the window's files, and the pruned 362 dirs
+    never have a header opened (monkeypatched counter)."""
+    import datetime as dt
+    import json
+    import os
+
+    import pyarrow as pa
+
+    from olive_spark.datasource import olive_datasource as ds
+    from olive_spark.format.writer import write_chunk
+
+    path = str(tmp_path / "y")
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    for i in range(365):
+        day = (base + dt.timedelta(days=i)).strftime("%Y-%m-%d")
+        d = os.path.join(path, f"ts_day={day}")
+        os.makedirs(d)
+        t = pa.table({
+            "k": pa.array([i], pa.int64()),
+            "ts": pa.array(
+                [int((base + dt.timedelta(days=i, hours=12)
+                      ).timestamp() * 1e6)],
+                pa.timestamp("us"),
+            ),
+        })
+        with open(os.path.join(d, "part-00000.olive"), "wb") as f:
+            f.write(write_chunk({"data": t}))
+    with open(os.path.join(path, "_olive_partition.json"), "w") as f:
+        json.dump({"version": 1, "transforms": [
+            {"kind": "days", "col": "ts", "dir": "ts_day"},
+        ]}, f)
+
+    opened = []
+    orig = ds._read_header_bytes
+
+    def counting(fp):
+        opened.append(fp)
+        return orig(fp)
+
+    sch = spark.read.format("olive").load(path).schema
+    r = ds.OlivePushdownReader({"path": path, "pushdown": "true"}, sch)
+    r.predicates = [
+        ("ts", ">=", base.replace(tzinfo=None) + dt.timedelta(days=100)),
+        ("ts", "<", base.replace(tzinfo=None) + dt.timedelta(days=103)),
+    ]
+    import unittest.mock as mock
+
+    with mock.patch.object(ds, "_read_header_bytes", counting):
+        parts = r.partitions()
+    kept = [fp for p in parts for fp in p.files
+            if not (p.predicates and p.predicates[0][0] == "__none__")]
+    assert len(kept) == 3, f"expected the 3-day window, got {len(kept)}"
+    assert len(set(opened)) <= 3, (
+        f"pruned dirs must never open a header, opened {len(set(opened))}"
+    )
