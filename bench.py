@@ -104,6 +104,7 @@ HEADLINE = [
     "scan_after_drop_column",      # r8: metadata-only DROP COLUMN
     "llm_unigram_lm_score",        # r8: corpus-unigram LM scoring
     "scan_hidden_partition_pruning",  # r8: days(ts) hidden partitioning
+    "scan_bucket_partition_pruning",  # r8: bucket pmod pruning
 ]
 
 

@@ -99,6 +99,7 @@ _ORDER = [
     "scan_after_drop_column",      # r8: metadata-only DROP COLUMN + append
     "llm_unigram_lm_score",        # r8: corpus-unigram LM curation scoring
     "scan_hidden_partition_pruning",  # r8: days(ts) hidden partitioning
+    "scan_bucket_partition_pruning",  # r8: bucket(8, user_id) pmod pruning
     "llm_train_split",             # r8: engine-portable seeded hash split
     # --- r7-new, driver-checked exactly once (r07) ---
     "llm_pack_sequences_sharded",  # r7: partition-wise packing

@@ -185,6 +185,52 @@ SQL_HIDDEN_PARTITION = (
 )
 
 
+def _ensure_events_bucketed(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) events under hidden BUCKET partitioning:
+    ``partitionBy=bucket(8, user_id)`` → ``user_id_bucket8=K/`` dirs
+    derived as pmod(user_id, 8), no synthetic column in the data."""
+
+    def build(out: str) -> None:
+        cols = ["event_id", "user_id", "event_type", "value"]
+        ev = data.load(spark, sf, "events", columns=cols)
+        ev.repartition(4).write.format("olive") \
+            .option("table", "events_bucketed") \
+            .option("partitionBy", "bucket(8, user_id)") \
+            .mode("append").save(out)
+
+    return _build_once(spark, sf, "events_bucketed", "_BUCKET_OK", build)
+
+
+def scan_bucket_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Hidden bucket-partition parity: user_id point/IN lookups on the
+    bucket(8, user_id) layout — the scan prunes to pmod-matching bucket
+    dirs at plan time (membership math pytest-pinned); results must
+    equal plain SQL over the unbucketed view, including a user whose
+    bucket collides with another requested user's."""
+    path = _ensure_events_bucketed(spark, sf)
+    df = spark.read.format("olive") \
+        .option("table", "events_bucketed") \
+        .option("pushdown", "true").load(path)
+    return (
+        df.filter(F.col("user_id").isin(7, 15, 42))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("sum_ids"),
+            F.sum(F.col("value").cast(D)).cast(D).alias("sum_value"),
+        )
+    )
+
+
+SQL_BUCKET_PARTITION = (
+    "SELECT user_id, event_type, COUNT(*) AS n, "
+    "CAST(SUM(event_id) AS BIGINT) AS sum_ids, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value "
+    "FROM events WHERE user_id IN (7, 15, 42) "
+    "GROUP BY user_id, event_type"
+)
+
+
 def scan_bloom_pruning(spark: SparkSession, sf: str) -> DataFrame:
     """Point lookups by content hash through per-file Bloom filters
     (write-side ``bloomColumns`` option; format/bloom.py): md5 values
@@ -1640,6 +1686,9 @@ QUERIES: dict[str, tuple] = {
     "scan_after_drop_column": (scan_after_drop_column, SQL_AFTER_DROP),
     "scan_hidden_partition_pruning": (
         scan_hidden_partition_pruning, SQL_HIDDEN_PARTITION,
+    ),
+    "scan_bucket_partition_pruning": (
+        scan_bucket_partition_pruning, SQL_BUCKET_PARTITION,
     ),
     "scan_merge_cdc_tombstones": (scan_merge_cdc_tombstones, SQL_MERGE_CDC_TOMB),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),
