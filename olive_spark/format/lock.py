@@ -10,11 +10,26 @@ interleaving snapshot-log rewrites into silent corruption.
 Mechanics: ``_olive_lock.json`` created with O_EXCL (atomic on POSIX
 filesystems — the NFS/object-store caveat is documented, not hidden:
 advisory means a byzantine writer that skips the API can still race).
-The lock carries owner/pid/host/ts/ttl; a holder that crashed leaves a
-STALE lock which later acquirers steal once the TTL passes.  Reentrant
-within a process (same pid+host re-acquires freely, with a depth
-count), because ops compose — restore() calls _recover_pending(),
-OliveTable.lock() callers call ops that lock.
+The lock carries owner pid/host/a random instance token/ts/ttl.
+
+Staleness: a holder that crashed leaves a lock which later acquirers
+steal once its TTL passes — BY ATOMIC RENAME to a unique name, never
+by deleting the live path (two stealers racing a remove could delete
+the winner's brand-new lock; a rename can only move the stale file
+once).  An unreadable/zero-byte lock (crash mid-write) goes stale by
+file MTIME.  A same-host holder whose pid is still alive is NEVER
+stolen regardless of TTL (liveness probe); cross-host staleness is
+TTL-only, so set ``ttl`` above your longest mutation — there is no
+heartbeat, and a live cross-host holder that outruns its TTL can be
+stolen (documented limit of any heartbeat-less advisory lock).
+
+Reentrancy is per (process, thread) and token-checked: composed ops on
+the SAME thread re-acquire freely (restore → recovery, facade → op,
+``with t.lock():`` blocks), while a second thread in the same process
+is refused like any foreign writer — two threads mutating one table is
+exactly the corruption case.  Pid-reuse and shared-hostname clusters
+can't false-reclaim: reclaim requires the on-disk token to be one this
+process wrote.
 
 Plain DSv2 appends do NOT take the lock: append commits are the hot
 path and their snapshot-log append is last-entry-wins monotone; the
@@ -28,15 +43,19 @@ from __future__ import annotations
 import json
 import os
 import socket
+import threading
 import time
+import uuid
 
 from olive_spark.format.errors import ValidationError
 
 LOCK_NAME = "_olive_lock.json"
-DEFAULT_TTL = 600.0
+DEFAULT_TTL = 3600.0
 
-# pid -> {path: depth} reentrancy bookkeeping for this process
-_held: dict = {}
+# (thread_id, abspath) -> depth; abspath -> token written by this process
+_guard = threading.Lock()
+_depth: dict = {}
+_tokens: dict = {}
 
 
 def _lock_path(dirpath: str) -> str:
@@ -44,6 +63,7 @@ def _lock_path(dirpath: str) -> str:
 
 
 def _read(dirpath: str) -> "dict | None":
+    """None = no lock file; {} = unreadable (crash mid-write)."""
     try:
         with open(_lock_path(dirpath)) as f:
             doc = json.load(f)
@@ -51,90 +71,150 @@ def _read(dirpath: str) -> "dict | None":
     except FileNotFoundError:
         return None
     except (OSError, ValueError):
-        return {}  # unreadable → treat as foreign, steal only via TTL
+        return {}
+
+
+def _is_stale(dirpath: str, cur: dict) -> bool:
+    ts = cur.get("ts")
+    ttl = cur.get("ttl", DEFAULT_TTL)
+    if not isinstance(ts, (int, float)) or not isinstance(
+        ttl, (int, float)
+    ):
+        # unreadable/garbage content: age by file mtime under the
+        # default TTL — a crash between create and flush must not
+        # block the table forever
+        try:
+            ts = os.path.getmtime(_lock_path(dirpath))
+        except OSError:
+            return False  # vanished: the acquire loop re-reads
+        ttl = DEFAULT_TTL
+    if time.time() - float(ts) <= float(ttl):
+        return False
+    # TTL passed — but never steal from a live same-host process: a
+    # long mutation outrunning its TTL is alive, not crashed
+    if cur.get("host") == socket.gethostname() and isinstance(
+        cur.get("pid"), int
+    ):
+        try:
+            os.kill(cur["pid"], 0)
+            return False  # alive
+        except ProcessLookupError:
+            return True
+        except PermissionError:
+            return False  # exists under another uid: alive
+    return True
+
+
+def _steal(dirpath: str) -> None:
+    """Move the stale lock aside ATOMICALLY: rename can only succeed
+    for one stealer (the loser gets FileNotFoundError and re-enters the
+    acquire loop, now seeing the winner's fresh lock)."""
+    p = _lock_path(dirpath)
+    aside = p + f".stale-{uuid.uuid4().hex[:8]}"
+    try:
+        os.rename(p, aside)
+    except FileNotFoundError:
+        return
+    try:
+        os.remove(aside)
+    except OSError:
+        pass
 
 
 def acquire(dirpath: str, ttl: float = DEFAULT_TTL) -> None:
-    """Take (or re-enter) the table write lock; raises ValidationError
-    naming the holder when another live writer has it."""
+    """Take (or re-enter, same thread) the table write lock; raises
+    ValidationError naming the holder when another live writer has it."""
     os.makedirs(dirpath, exist_ok=True)
-    me = (os.getpid(), socket.gethostname())
-    key = os.path.abspath(dirpath)
-    depth = _held.setdefault(me, {})
-    if depth.get(key, 0) > 0:
-        depth[key] += 1
-        return
+    key = (threading.get_ident(), os.path.abspath(dirpath))
+    tkey = os.path.abspath(dirpath)
+    with _guard:
+        if _depth.get(key, 0) > 0:
+            _depth[key] += 1
+            return
     p = _lock_path(dirpath)
-    for _ in range(2):  # second pass after a stale steal
+    me_host = socket.gethostname()
+    for _ in range(3):
+        token = uuid.uuid4().hex
         try:
             fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "w") as f:
                 json.dump({
-                    "pid": me[0], "host": me[1],
+                    "pid": os.getpid(), "host": me_host, "token": token,
                     "ts": time.time(), "ttl": float(ttl),
                 }, f)
-            depth[key] = 1
+                f.flush()
+                os.fsync(f.fileno())
+            with _guard:
+                _depth[key] = 1
+                _tokens[tkey] = token
             return
         except FileExistsError:
             cur = _read(dirpath)
             if cur is None:
                 continue  # released between exists and read — retry
-            if (
-                cur.get("pid") == me[0]
-                and cur.get("host") == me[1]
-            ):
-                # our pid wrote it but this process lost the in-memory
-                # depth (e.g. a prior crash-in-op within the same
-                # process after an exception escaped release) — reclaim
-                depth[key] = 1
+            with _guard:
+                ours = _tokens.get(tkey)
+                held_by_other_thread = any(
+                    k[1] == tkey and d > 0 and k != key
+                    for k, d in _depth.items()
+                )
+            if ours is not None and cur.get("token") == ours:
+                if held_by_other_thread:
+                    # ANOTHER thread of this process is mid-mutation:
+                    # that is the corruption case, not a reclaim
+                    raise ValidationError(
+                        f"table at {dirpath} is write-locked by another "
+                        f"thread of this process (pid {os.getpid()}) — "
+                        "two in-process mutators corrupt the snapshot "
+                        "log; serialize them"
+                    )
+                # this process wrote the lock but lost its depth entry
+                # (an exception escaped release) — reclaim on THIS
+                # thread; token match means no pid-reuse or
+                # hostname-twin can hit this branch
+                with _guard:
+                    _depth[key] = 1
                 return
-            ts = cur.get("ts")
-            cur_ttl = cur.get("ttl", DEFAULT_TTL)
-            if (
-                isinstance(ts, (int, float))
-                and time.time() - float(ts) > float(cur_ttl)
-            ):
-                # stale: holder crashed; remove and retry the O_EXCL
-                # create (two stealers can both remove — only one wins
-                # the create)
-                try:
-                    os.remove(p)
-                except FileNotFoundError:
-                    pass
+            if _is_stale(dirpath, cur):
+                _steal(dirpath)
                 continue
+            age = time.time() - float(cur.get("ts") or time.time())
             raise ValidationError(
                 f"table at {dirpath} is write-locked by "
                 f"pid {cur.get('pid')} on {cur.get('host')} "
-                f"(age {time.time() - float(ts or 0):.0f}s, "
-                f"ttl {cur_ttl}s) — concurrent mutations corrupt the "
-                "snapshot log; wait, or remove _olive_lock.json if the "
-                "holder is known dead"
+                f"(age {age:.0f}s, ttl {cur.get('ttl', DEFAULT_TTL)}s) — "
+                "concurrent mutations corrupt the snapshot log; wait, or "
+                "remove _olive_lock.json if the holder is known dead"
             )
     raise ValidationError(
-        f"could not acquire write lock at {dirpath} (lost two steal "
+        f"could not acquire write lock at {dirpath} (lost three steal "
         "races) — retry"
     )
 
 
 def release(dirpath: str) -> None:
-    me = (os.getpid(), socket.gethostname())
-    key = os.path.abspath(dirpath)
-    depth = _held.get(me, {})
-    n = depth.get(key, 0)
-    if n > 1:
-        depth[key] = n - 1
-        return
-    depth.pop(key, None)
+    key = (threading.get_ident(), os.path.abspath(dirpath))
+    tkey = os.path.abspath(dirpath)
+    with _guard:
+        n = _depth.get(key, 0)
+        if n > 1:
+            _depth[key] = n - 1
+            return
+        _depth.pop(key, None)
+        ours = _tokens.get(tkey)
     cur = _read(dirpath)
-    if cur and cur.get("pid") == me[0] and cur.get("host") == me[1]:
+    if cur and ours is not None and cur.get("token") == ours:
         try:
             os.remove(_lock_path(dirpath))
         except FileNotFoundError:
             pass
+        with _guard:
+            _tokens.pop(tkey, None)
 
 
 class table_write_lock:
-    """``with table_write_lock(path):`` — reentrant advisory lock."""
+    """``with table_write_lock(path):`` — reentrant (same thread)
+    advisory lock."""
 
     def __init__(self, dirpath: str, ttl: float = DEFAULT_TTL) -> None:
         self.dirpath = dirpath

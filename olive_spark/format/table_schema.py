@@ -67,8 +67,14 @@ def _table_entry(path: str, table: "str | None") -> "dict | None":
         if table is None:
             if len(tables) != 1:
                 return None
-            return next(iter(tables.values()))
-        return tables.get(table)
+            entry = next(iter(tables.values()))
+        else:
+            entry = tables.get(table)
+        if entry is not None and not isinstance(entry, dict):
+            # a wrong-typed entry is corruption, not absence — falling
+            # through would surface as a raw AttributeError downstream
+            raise TypeError(f"table entry is {type(entry).__name__}")
+        return entry
     except (KeyError, TypeError, ValueError) as e:
         raise ValidationError(f"corrupt schema sidecar {p}: {e}")
 
@@ -118,7 +124,16 @@ def read_schema_and_dropped(path: str, table: "str | None"):
 
 def _entry_dropped(entry: "dict | None") -> "list[str]":
     dropped = (entry or {}).get("dropped")
-    return [d for d in dropped if isinstance(d, str)] if dropped else []
+    if not isinstance(dropped, list):
+        # a string here would silently tombstone its CHARACTERS; a
+        # non-list is corruption — fail like every other sidecar fault
+        if dropped is not None:
+            raise ValidationError(
+                f"corrupt schema sidecar: 'dropped' is "
+                f"{type(dropped).__name__}, expected a list"
+            )
+        return []
+    return [d for d in dropped if isinstance(d, str)]
 
 
 def read_dropped_columns(path: str, table: "str | None") -> "list[str]":

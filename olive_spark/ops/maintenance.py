@@ -140,8 +140,10 @@ def compact(
     concurrent ``compact``/``vacuum``/write on the same directory.
     Concurrent *readers* are safe at every point (worst case they
     briefly see old AND new files during activation — a transient
-    duplicate, never a lost table).  There is no lock; coordinating
-    writers is the caller's job, same as any directory-swap scheme.
+    duplicate, never a lost table).  Mutation-vs-mutation is enforced
+    by the table's advisory write lock (format/lock.py, held for the
+    op's duration via @_locked); coordinating plain APPENDERS remains
+    the caller's job, same as any directory-swap scheme.
 
     ``retain_history=True`` moves the replaced originals into
     ``_olive_history/`` instead of deleting them, so snapshot reads of
@@ -257,9 +259,10 @@ def compact_if_needed(
 
     try:
         files = _list_chunk_files(path) if os.path.isdir(path) else []
-    except Exception:  # noqa: BLE001 — empty sink dir (metadata only,
-        # no epoch committed yet): the scheduler's first call must be a
-        # no-op, not a crash
+    except ValidationError:
+        # empty sink dir (metadata only, no epoch committed yet): the
+        # scheduler's first call must be a no-op, not a crash — but
+        # only THAT case; real listing faults surface
         files = []
     small = 0
     for fp in files:

@@ -104,3 +104,81 @@ def test_facade_lock_spans_multi_op_sequence(spark, tmp_path):
         assert _os.path.exists(_os.path.join(path, lock.LOCK_NAME))
     assert not _os.path.exists(_os.path.join(path, lock.LOCK_NAME))
     assert t.df().count() == 45
+
+
+def test_corrupt_lock_goes_stale_by_mtime(tmp_path):
+    """A zero-byte/garbage lock (crash mid-write) must not block the
+    table forever: it ages by file mtime under the default TTL."""
+    import os
+    import time
+
+    from olive_spark.format import lock
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    p = os.path.join(d, lock.LOCK_NAME)
+    open(p, "w").close()  # zero-byte
+    old = time.time() - lock.DEFAULT_TTL - 100
+    os.utime(p, (old, old))
+    lock.acquire(d)  # stolen via mtime staleness
+    lock.release(d)
+    assert not os.path.exists(p)
+    # fresh garbage is NOT stale: blocks loud
+    open(p, "w").write("{broken")
+    import pytest as _pytest
+
+    from olive_spark.format.errors import ValidationError
+
+    with _pytest.raises(ValidationError, match="write-locked"):
+        lock.acquire(d)
+
+
+def test_live_same_host_holder_never_stolen(tmp_path):
+    """TTL passing does NOT steal from a live same-host pid (a long
+    mutation outrunning its TTL is alive, not crashed) — and a live
+    lock with OUR pid but a foreign token (pid reuse) is not reclaimed."""
+    import json
+    import os
+    import socket
+    import time
+
+    import pytest as _pytest
+
+    from olive_spark.format import lock
+    from olive_spark.format.errors import ValidationError
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    with open(os.path.join(d, lock.LOCK_NAME), "w") as f:
+        json.dump({"pid": os.getpid(), "host": socket.gethostname(),
+                   "token": "someone-elses", "ts": time.time() - 99999,
+                   "ttl": 60}, f)
+    with _pytest.raises(ValidationError, match="write-locked"):
+        lock.acquire(d)
+
+
+def test_second_thread_is_refused(tmp_path):
+    """Reentrancy is per-thread: a second thread mutating the same
+    table is the corruption case and must be refused loudly."""
+    import os
+    import threading
+
+    from olive_spark.format import lock
+    from olive_spark.format.errors import ValidationError
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    got = []
+
+    def other():
+        try:
+            lock.acquire(d, ttl=60)
+            got.append("acquired")
+        except ValidationError:
+            got.append("refused")
+
+    with lock.table_write_lock(d, ttl=60):
+        t = threading.Thread(target=other)
+        t.start()
+        t.join()
+    assert got == ["refused"]
