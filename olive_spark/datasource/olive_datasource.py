@@ -877,6 +877,12 @@ class OliveWriter(DataSourceArrowWriter):
             options.get("snapshotmaxentries",
                         options.get("snapshotMaxEntries", 4096))
         )
+        # opt-in snapshot-entry tag for this commit: lets a caller
+        # (e.g. matview refresh via merge_upsert's pure-insert path)
+        # later tell whether THIS append landed, for crash recovery
+        self.commit_tag = options.get(
+            "committag", options.get("commitTag")
+        )
         self.overwrite = overwrite
         # DROP COLUMN tombstones: an append carrying a dropped name
         # would resurface OLD files' values under it (the projection is
@@ -1119,6 +1125,7 @@ class OliveWriter(DataSourceArrowWriter):
         # design)
         _append_snapshot_entry(
             self.path, added, reset=self.overwrite,
+            tag=self.commit_tag,
             max_entries=self.snapshot_max_entries,
         )
 

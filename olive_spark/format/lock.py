@@ -204,9 +204,37 @@ def release(dirpath: str) -> None:
         ours = _tokens.get(tkey)
     cur = _read(dirpath)
     if cur and ours is not None and cur.get("token") == ours:
+        # Release by RENAME-then-unlink, mirroring _steal: a plain
+        # os.remove after the token read is non-atomic — a cross-host
+        # stealer taking over a TTL-expired lock between the read and
+        # the remove would have ITS fresh lock deleted, letting a third
+        # writer acquire concurrently.  rename can only move the live
+        # path once; we re-verify the token on the moved file and
+        # restore (non-clobbering os.link) if we displaced a stealer.
+        p = _lock_path(dirpath)
+        aside = p + f".rel-{uuid.uuid4().hex[:8]}"
         try:
-            os.remove(_lock_path(dirpath))
+            os.rename(p, aside)
         except FileNotFoundError:
+            with _guard:
+                _tokens.pop(tkey, None)
+            return
+        moved_ours = True
+        try:
+            with open(aside) as f:
+                moved_ours = json.load(f).get("token") == ours
+        except (OSError, ValueError):
+            pass  # unreadable: treat as ours (we matched pre-rename)
+        if not moved_ours:
+            # we displaced a stealer's fresh lock — put it back without
+            # clobbering anything a third writer created meanwhile
+            try:
+                os.link(aside, p)
+            except OSError:
+                pass
+        try:
+            os.remove(aside)
+        except OSError:
             pass
         with _guard:
             _tokens.pop(tkey, None)

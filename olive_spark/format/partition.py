@@ -47,12 +47,13 @@ PARTITION_SIDECAR = "_olive_partition.json"
 
 _SPEC_RE = re.compile(
     r"^\s*(?:(days|months|hours)\s*\(\s*(\w+)\s*\)"
-    r"|bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
+    r"|(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
     r"|(\w+))\s*$"
 )
 
 _KIND_SUFFIX = {"days": "day", "months": "month", "hours": "hour"}
 _FMT = {"days": "%Y-%m-%d", "months": "%Y-%m", "hours": "%Y-%m-%d-%H"}
+_N_KIND_DIR = {"bucket": "bucket", "truncate": "trunc"}
 
 
 def parse_spec(spec: str) -> "list[dict]":
@@ -86,10 +87,10 @@ def parse_spec(spec: str) -> "list[dict]":
         if not m:
             raise ValueError(
                 f"olive: bad partitionBy entry {part!r} — expected a "
-                "column name, days(col), months(col), hours(col), or "
-                "bucket(N, col)"
+                "column name, days(col), months(col), hours(col), "
+                "bucket(N, col), or truncate(W, col)"
             )
-        kind, tcol, bn, bcol, _plain = m.groups()
+        kind, tcol, nkind, bn, bcol, _plain = m.groups()
         if kind:
             out.append({
                 "kind": kind, "col": tcol,
@@ -98,11 +99,11 @@ def parse_spec(spec: str) -> "list[dict]":
         else:
             if int(bn) < 1:
                 raise ValueError(
-                    f"olive: bucket({bn}, {bcol}) — N must be >= 1"
+                    f"olive: {nkind}({bn}, {bcol}) — N must be >= 1"
                 )
             out.append({
-                "kind": "bucket", "col": bcol, "n": int(bn),
-                "dir": f"{bcol}_bucket{bn}",
+                "kind": nkind, "col": bcol, "n": int(bn),
+                "dir": f"{bcol}_{_N_KIND_DIR[nkind]}{bn}",
             })
     if not out:
         raise ValueError("olive: empty partitionBy spec")
@@ -116,6 +117,52 @@ def has_transforms(transforms: "list[dict]") -> bool:
     return any(t["kind"] != "identity" for t in transforms)
 
 
+def spec_to_string(transforms: "list[dict]") -> str:
+    """Inverse of :func:`parse_spec` — the ``partitionBy`` option string
+    that reproduces this spec.  Rewrite ops (merge/delete/update/
+    compact) hand it to the writer so rewritten/inserted rows re-derive
+    their dir values from the SAME transforms the table was laid out
+    with."""
+    parts = []
+    for t in transforms:
+        if t["kind"] == "identity":
+            parts.append(t["col"])
+        elif t["kind"] in ("bucket", "truncate"):
+            parts.append(f"{t['kind']}({t['n']}, {t['col']})")
+        else:
+            parts.append(f"{t['kind']}({t['col']})")
+    return ",".join(parts)
+
+
+def shaping_columns(transforms: "list[dict]"):
+    """PySpark Column expressions that co-locate rows by their derived
+    dir value — the ``repartition`` keys rewrite ops use so a
+    partitioned write emits bounded files per directory instead of one
+    per (task, dir).  Shaping is advisory (a grouping mismatch vs
+    :func:`derive_array` costs extra files, never wrong dirs — the
+    writer re-derives per row), so plain JVM expressions suffice."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for t in transforms:
+        c = F.col(t["col"])
+        if t["kind"] == "identity":
+            cols.append(c)
+        elif t["kind"] == "bucket":
+            cols.append(F.pmod(c, F.lit(t["n"])))
+        elif t["kind"] == "truncate":
+            # string-prefix grouping covers both column types: for ints
+            # it splits some dirs across groups (advisory — a few more
+            # files, never a wrong dir; the writer re-derives per row)
+            cols.append(F.substring(c.cast("string"), 1, t["n"]))
+        else:  # days/months/hours — truncate the instant
+            unit = {"days": "day", "months": "month", "hours": "hour"}[
+                t["kind"]
+            ]
+            cols.append(F.date_trunc(unit, c))
+    return cols
+
+
 def derive_array(tbl, t: dict):
     """The dir-value array for one transform over a pyarrow table."""
     import pyarrow as pa
@@ -124,6 +171,26 @@ def derive_array(tbl, t: dict):
     col = tbl.column(t["col"])
     if t["kind"] == "identity":
         return col
+    if t["kind"] == "truncate":
+        w = t["n"]
+        if pa.types.is_integer(col.type):
+            # Iceberg truncate semantics: floor to a multiple of W
+            # (exact integer arithmetic, same rationale as bucket)
+            n = pa.scalar(w, col.type)
+            q = pc.divide(col, n)
+            r = pc.subtract(col, pc.multiply(q, n))
+            r = pc.if_else(
+                pc.less(r, pa.scalar(0, col.type)), pc.add(r, n), r
+            )
+            return pc.cast(pc.subtract(col, r), pa.int64())
+        if pa.types.is_string(col.type) or pa.types.is_large_string(
+            col.type
+        ):
+            return pc.utf8_slice_codeunits(col, 0, w)
+        raise ValueError(
+            f"olive: truncate({w}, {t['col']}) needs an integral or "
+            f"string column, got {col.type}"
+        )
     if t["kind"] == "bucket":
         if not pa.types.is_integer(col.type):
             raise ValueError(
@@ -178,7 +245,7 @@ def write_sidecar(dirpath: str, transforms: "list[dict]") -> None:
     os.replace(tmp, sidecar_path(dirpath))
 
 
-_KINDS = {"identity", "days", "months", "hours", "bucket"}
+_KINDS = {"identity", "days", "months", "hours", "bucket", "truncate"}
 
 
 def _valid_transform(t) -> bool:
@@ -188,7 +255,7 @@ def _valid_transform(t) -> bool:
         return False
     if not (isinstance(t.get("col"), str) and isinstance(t.get("dir"), str)):
         return False
-    if t["kind"] == "bucket" and not (
+    if t["kind"] in ("bucket", "truncate") and not (
         isinstance(t.get("n"), int) and t["n"] >= 1
     ):
         return False
@@ -222,18 +289,35 @@ def build_transform_index(transforms: "list[dict]") -> "dict[str, list]":
     return by_col
 
 
-def _to_epoch_us(v) -> "int | None":
-    """Pushed predicate value → epoch microseconds (UTC).  Naive
-    datetimes are UTC by this engine's convention (session tz is pinned
-    UTC everywhere timestamps are hash-oracled)."""
+def _to_epoch_us(v) -> "tuple[int, int] | None":
+    """Pushed predicate value → CLOSED epoch-µs interval ``[lo, hi]``
+    of its possible absolute instants.
+
+    Spark's ``TimestampType.fromInternal`` materializes filter literals
+    as NAIVE datetimes in the PROCESS-LOCAL timezone (not UTC, not
+    ``spark.sql.session.timeZone``), so a naive value must be read back
+    through the local tz to recover the absolute epoch — treating it as
+    UTC shifts pruning by the host's UTC offset and silently DROPS
+    matching rows on non-UTC hosts.  ``datetime.timestamp()`` applies
+    exactly that local interpretation.  Around a DST fold the naive
+    wall-clock is ambiguous by the transition width; we evaluate both
+    ``fold=0``/``fold=1`` readings and return their span, and callers
+    prune only when the WHOLE span is excluded — ambiguity costs a
+    little pruning, never a dropped row."""
     if isinstance(v, _dt.datetime):
         if v.tzinfo is None:
-            v = v.replace(tzinfo=_dt.timezone.utc)
-        return int(v.timestamp() * 1_000_000)
+            lo = int(v.replace(fold=0).timestamp() * 1_000_000)
+            hi = int(v.replace(fold=1).timestamp() * 1_000_000)
+            return (min(lo, hi), max(lo, hi))
+        u = int(v.timestamp() * 1_000_000)
+        return (u, u)
     if isinstance(v, _dt.date):
-        return int(_dt.datetime(
+        # DateType literals are calendar days; dir values for date
+        # columns are formatted from the raw day (UTC-midnight epoch)
+        u = int(_dt.datetime(
             v.year, v.month, v.day, tzinfo=_dt.timezone.utc
         ).timestamp() * 1_000_000)
+        return (u, u)
     return None
 
 
@@ -261,6 +345,72 @@ def _dir_interval_us(kind: str, value: str) -> "tuple[int, int] | None":
     except ValueError:
         return None
     return (int(start.timestamp() * 1e6), int(end.timestamp() * 1e6))
+
+
+def _truncate_prunable(raw: str, w: int, op: str, val) -> bool:
+    """Pruning for ``truncate(W, col)`` dirs.  Integer dirs cover the
+    discrete interval ``[d, d+W)``; string dirs cover exactly the
+    strings whose first-W-codeunit prefix equals the dir value.
+    Conservative on every type/op mismatch."""
+    def one(v) -> bool:
+        if isinstance(v, bool):
+            return False
+        if isinstance(v, int):
+            try:
+                d = int(raw)
+            except ValueError:
+                return False
+            # max int in the dir is d + w - 1 (discrete values)
+            if op == "=":
+                return not (d <= v < d + w)
+            if op == ">":
+                return d + w - 1 <= v
+            if op == ">=":
+                return d + w - 1 < v
+            if op == "<":
+                return d >= v
+            if op == "<=":
+                return d > v
+            return False
+        if isinstance(v, str):
+            p = raw  # dir value = the W-codeunit prefix
+            if op == "=":
+                return v[:w] != p
+            # strings with prefix p: minimum is p itself; unbounded
+            # above within the prefix — '<'/'<=' prune off the minimum,
+            # '>'/'>=' only when p orders strictly below v's prefix
+            # region (first difference inside the prefix decides)
+            if op == "<":
+                return p >= v
+            if op == "<=":
+                return p > v
+            if op in (">", ">="):
+                head = v[:len(p)]
+                return p != head and p < head
+            return False
+        return False
+
+    if op == "in":
+        try:
+            vals = list(val)
+        except TypeError:
+            return False
+
+        def one_eq(v):
+            if isinstance(v, bool):
+                return False
+            if isinstance(v, int):
+                try:
+                    d = int(raw)
+                except ValueError:
+                    return False
+                return not (d <= v < d + w)
+            if isinstance(v, str):
+                return v[:w] != raw
+            return False
+
+        return bool(vals) and all(one_eq(v) for v in vals)
+    return one(val)
 
 
 def transform_dir_prunable(
@@ -295,28 +445,40 @@ def transform_dir_prunable(
                 ):
                     return True
                 continue
+            if t["kind"] == "truncate":
+                if _truncate_prunable(raw, t["n"], op, val):
+                    return True
+                continue
             iv = _dir_interval_us(t["kind"], raw)
             if iv is None:
                 continue
             s, e = iv
+            # dir covers instants in [s, e); the END IS EXCLUSIVE with
+            # no resolution assumption — sub-µs (timestamp[ns]) rows in
+            # the last µs of a day/hour exceed e-1µs, so '>' / '>='
+            # prune only when the literal reaches e itself.  Literal
+            # spans (lo, hi) from _to_epoch_us prune only when EVERY
+            # possible reading excludes the dir.
             if op == "in":
-                us = [_to_epoch_us(v) for v in val]
-                if all(u is not None and not (s <= u < e) for u in us):
+                spans = [_to_epoch_us(v) for v in val]
+                if all(
+                    sp is not None and (sp[1] < s or sp[0] >= e)
+                    for sp in spans
+                ):
                     return True
                 continue
-            u = _to_epoch_us(val)
-            if u is None:
+            sp = _to_epoch_us(val)
+            if sp is None:
                 continue
-            if op == "=" and not (s <= u < e):
+            lo, hi = sp
+            if op == "=" and (hi < s or lo >= e):
                 return True
-            # interval end is exclusive at µs resolution: max value in
-            # the dir is e-1
-            if op == ">" and e - 1 <= u:
+            if op == ">" and lo >= e:
                 return True
-            if op == ">=" and e - 1 < u:
+            if op == ">=" and lo >= e:
                 return True
-            if op == "<" and s >= u:
+            if op == "<" and hi <= s:
                 return True
-            if op == "<=" and s > u:
+            if op == "<=" and hi < s:
                 return True
     return False

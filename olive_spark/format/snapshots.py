@@ -39,6 +39,7 @@ import tempfile
 import time
 
 from olive_spark.format.errors import ValidationError
+from olive_spark.format.lock import table_write_lock
 
 SNAPSHOT_LOG = "_olive_snapshots.json"
 HISTORY_DIR = "_olive_history"
@@ -286,6 +287,15 @@ def expire(dirpath: str, retain: int) -> dict:
     {"retained", "expired", "history_deleted"}."""
     if retain < 1:
         raise ValueError("retain must be >= 1")
+    # full log read-modify-write: must hold the table lock, or an
+    # expire racing compact/merge/restore writes back a pre-op entry
+    # list and silently loses that op's commit (reentrant, so facade
+    # composition with ops that already hold it stays safe)
+    with table_write_lock(dirpath):
+        return _expire_locked(dirpath, retain)
+
+
+def _expire_locked(dirpath: str, retain: int) -> dict:
     log = load_log(dirpath)
     entries = log["entries"]
     if not entries:
@@ -372,33 +382,42 @@ def tag_version(
     reads the tagged version.  Tags live in the log's ``tags`` map —
     naming creates NO new commit, re-naming moves the tag (latest call
     wins), and a tag is an ALIAS, not a retention pin: ``expire`` drops
-    tags whose version it collapses.  Single-writer, like every log
-    mutation."""
-    log = load_log(dirpath)
-    v = int(version) if version is not None else current_version(dirpath)
-    # validates v is a retained version (raises the canonical error)
-    files_at(dirpath, v)
-    tags = log.get("tags")
-    if not isinstance(tags, dict):
-        tags = {}
-    tags[str(name)] = v
-    log["tags"] = tags
-    _write_log(dirpath, log)
+    tags whose version it collapses.  Taken under the table write
+    lock: a tag is a full log read-modify-write, and one racing a
+    compact/merge/restore commit would write back the pre-op entry
+    list, losing that op (the lock is reentrant, so facade composition
+    stays safe)."""
+    with table_write_lock(dirpath):
+        log = load_log(dirpath)
+        v = (
+            int(version) if version is not None
+            else current_version(dirpath)
+        )
+        # validates v is a retained version (raises the canonical error)
+        files_at(dirpath, v)
+        tags = log.get("tags")
+        if not isinstance(tags, dict):
+            tags = {}
+        tags[str(name)] = v
+        log["tags"] = tags
+        _write_log(dirpath, log)
     return v
 
 
 def delete_version_tag(dirpath: str, name: str) -> bool:
-    """Remove a snapshot tag; returns whether it existed."""
-    log = load_log(dirpath)
-    tags = log.get("tags")
-    if not isinstance(tags, dict) or str(name) not in tags:
-        return False
-    del tags[str(name)]
-    if tags:
-        log["tags"] = tags
-    else:
-        log.pop("tags", None)
-    _write_log(dirpath, log)
+    """Remove a snapshot tag; returns whether it existed.  Locked for
+    the same read-modify-write reason as :func:`tag_version`."""
+    with table_write_lock(dirpath):
+        log = load_log(dirpath)
+        tags = log.get("tags")
+        if not isinstance(tags, dict) or str(name) not in tags:
+            return False
+        del tags[str(name)]
+        if tags:
+            log["tags"] = tags
+        else:
+            log.pop("tags", None)
+        _write_log(dirpath, log)
     return True
 
 

@@ -51,24 +51,56 @@ def _locked(path_arg: int):
     return deco
 
 
-def _refuse_hidden_partitions(path: str, op: str) -> None:
-    """v1 boundary for hidden partitioning (format/partition.py):
-    rewrite ops reconstruct hive layouts from DATA columns, which
-    derived dir values don't have — refuse loudly rather than write a
-    layout-breaking rewrite.  Appends, scans, transform pruning, time
-    travel, restore and vacuum all work on these tables."""
-    from olive_spark.format.partition import has_transforms, read_sidecar
+def _partition_layout(
+    path: str, rels: "list[str] | None" = None
+) -> "dict | None":
+    """The table's partition layout, for rewrite ops to PRESERVE:
 
-    ts = read_sidecar(path) if os.path.isdir(path) else None
-    if ts and has_transforms(ts):
-        hidden = [t["dir"] for t in ts if t["kind"] != "identity"]
-        raise ValidationError(
-            f"{op} on a hidden-partitioned table (transforms {hidden}) "
-            "is not supported: its rewrite would have to re-derive "
-            "partition values the data doesn't store — rewrite support "
-            "is future work; append/scan/prune/time-travel/restore/"
-            "vacuum all work"
-        )
+    - hidden/transform layouts (``days(ts)``, ``bucket(N,col)``,
+      ``truncate(W,col)``): the ``_olive_partition.json`` sidecar is
+      authoritative — the rewrite hands its spec string back to the
+      writer, which re-derives every rewritten/inserted row's dir value
+      from the data (the dirs store DERIVED values the rows don't
+      carry, so layout can never be reconstructed from ``col=value``
+      chains alone);
+    - classic hive identity layouts: detected from the ``col=value``
+      directory chain as before.
+
+    Returns ``{"spec", "dirs", "shape", "hidden"}`` — ``spec`` is the
+    writer's ``partitionBy`` option, ``dirs`` the directory key names
+    (zero-row sentinel placement), ``shape`` the repartition keys
+    (Column expressions grouping by derived dir value) — or None for
+    flat tables.  A hidden table whose sidecar was lost degrades to the
+    detected chain, whose dir keys are not data columns; the writer
+    then fails LOUD at plan time instead of silently flattening."""
+    from olive_spark.format.partition import (
+        has_transforms,
+        read_sidecar,
+        shaping_columns,
+        spec_to_string,
+    )
+
+    side = read_sidecar(path) if os.path.isdir(path) else None
+    if side and has_transforms(side):
+        return {
+            "spec": spec_to_string(side),
+            "dirs": [t["dir"] for t in side],
+            "shape": shaping_columns(side),
+            "hidden": True,
+        }
+    cols = (
+        _detect_partition_cols_from_rels(rels)
+        if rels is not None
+        else _detect_partition_cols(path)
+    )
+    if not cols:
+        return None
+    return {
+        "spec": ",".join(cols),
+        "dirs": list(cols),
+        "shape": list(cols),
+        "hidden": False,
+    }
 
 
 def _morton_expr(cols, bits: int | None = None):
@@ -167,19 +199,18 @@ def compact(
     # Finish any interrupted prior compaction FIRST: if a manifest is
     # pending, the directory may hold old+new duplicates which a naive
     # re-read would rewrite into the table for good.
-    _refuse_hidden_partitions(path, "compact")
     _recover_pending(path)
     _seed_snapshot_log(path)
     before = _list_chunk_files(path)
     # argument validation BEFORE any scan: a bad zorder request on a
     # 100 TB table must not pay a full count first
-    part_cols = _detect_partition_cols_from_rels(
-        [os.path.relpath(f, path) for f in before]
+    layout = _partition_layout(
+        path, rels=[os.path.relpath(f, path) for f in before]
     )
-    if part_cols and zorder_by:
+    if layout and zorder_by:
         raise ValueError(
             "zorder compaction flattens the layout and is not supported "
-            f"on a hive-partitioned table (detected {part_cols}); "
+            f"on a partitioned table (detected {layout['dirs']}); "
             "compact without zorder_by to preserve directory pruning"
         )
     if zorder_by and not 2 <= len(zorder_by) <= 4:
@@ -211,18 +242,18 @@ def compact(
             .drop("_z", *drop)
         )
     elif sort_by:
-        if part_cols:
+        if layout:
             # per-partition-dir sorted files: range-sorting across the
-            # whole table would scatter every hive key over every task
-            df = df.repartition(n_files, *part_cols) \
-                .sortWithinPartitions(*part_cols, sort_by)
+            # whole table would scatter every dir's keys over every task
+            df = df.repartition(n_files, *layout["shape"]) \
+                .sortWithinPartitions(*layout["shape"], sort_by)
         else:
             # repartitionByRange + sortWithinPartitions = globally
             # range-sorted layout: each file owns a disjoint interval
             df = df.repartitionByRange(n_files, sort_by) \
                 .sortWithinPartitions(sort_by)
-    elif part_cols:
-        df = df.repartition(n_files, *part_cols)
+    elif layout:
+        df = df.repartition(n_files, *layout["shape"])
     else:
         df = df.repartition(n_files)
 
@@ -232,7 +263,7 @@ def compact(
         df, path, original_rels, run,
         table=table, target_rows=target_rows,
         retain_history=retain_history, prefix="compact",
-        partition_by=part_cols,
+        layout=layout,
     )
     after = _list_chunk_files(path)
     return {"files_before": len(before), "files_after": len(after), "rows": rows}
@@ -324,21 +355,23 @@ def _detect_partition_cols_from_rels(rels: "list[str]") -> "list[str] | None":
     return list(seqs.pop())
 
 
-def _shape_for_write(df, n_files: int, part_cols: "list[str] | None"):
-    """Output-file shaping shared by merge/delete rewrites: hash on the
-    partition columns when a hive layout is being preserved (keys
-    co-located → bounded files per partition dir), plain repartition
-    otherwise.  compact() shapes its own df (sort/z-order layouts)."""
-    if part_cols:
-        return df.repartition(n_files, *part_cols)
+def _shape_for_write(df, n_files: int, layout: "dict | None"):
+    """Output-file shaping shared by merge/delete/update rewrites: hash
+    on the layout's shaping keys when one is being preserved (derived
+    dir values co-located → bounded files per partition dir; for
+    identity layouts these are the columns themselves), plain
+    repartition otherwise.  compact() shapes its own df (sort/z-order
+    layouts)."""
+    if layout:
+        return df.repartition(n_files, *layout["shape"])
     return df.repartition(n_files)
 
 
 def _rewrite_and_swap(
     df, path: str, original_rels: "list[str]", run: str,
     table: str, target_rows: int, retain_history: bool,
-    prefix: str, partition_by: "list[str] | None" = None,
-    empty: bool = False,
+    prefix: str, layout: "dict | None" = None,
+    empty: bool = False, commit_tag: "str | None" = None,
 ) -> "list[str]":
     """Write ``df`` as the replacement for ``original_rels`` inside the
     live table at ``path`` — the crash-safe copy-on-write core shared by
@@ -365,13 +398,20 @@ def _rewrite_and_swap(
     entry records the whole rewrite as a single version.  Returns the
     activated relative file names.
 
-    ``partition_by`` preserves a hive layout across the rewrite: the
-    replacement is written partitioned and each new file is staged and
-    activated INSIDE its ``col=value/…`` directory, so =/IN directory
-    pruning keeps working on rewritten data (previously merge/delete/
-    compact flattened rewritten rows to the table root — a documented
-    r8 gap).  Recovery and vacuum already handle sub-directory rels
-    (``**/*.olive.staging`` glob, makedirs on history moves)."""
+    ``layout`` (from :func:`_partition_layout`) preserves a partitioned
+    layout across the rewrite: the replacement is written with the
+    layout's ``partitionBy`` spec — identity hive chains verbatim,
+    hidden transforms re-derived per row by the writer — and each new
+    file is staged and activated INSIDE its ``key=value/…`` directory,
+    so directory pruning (=/IN for hive, interval/bucket/prefix for
+    transforms) keeps working on rewritten data.  Recovery and vacuum
+    already handle sub-directory rels (``**/*.olive.staging`` glob,
+    makedirs on history moves).
+
+    ``commit_tag`` rides the intent manifest AND the snapshot-log
+    entry, so callers (matview refresh) can tell whether THIS rewrite's
+    commit landed — including when _recover_pending finished it after a
+    crash."""
     from olive_spark.datasource.olive_datasource import _list_chunk_files
     from olive_spark.format.manifest import load_manifest, merge_manifest
 
@@ -385,14 +425,14 @@ def _rewrite_and_swap(
             .option("table", table)
             .option("chunkRows", target_rows)
         )
-        if partition_by:
-            w = w.option("partitionBy", ",".join(partition_by))
+        if layout:
+            w = w.option("partitionBy", layout["spec"])
         w.mode("append").save(tmp)
         tmp_stats = load_manifest(tmp)  # per-file stats from the commit
         for i, f in enumerate(_list_chunk_files(tmp)):
             rel = os.path.relpath(f, tmp)
             sub = os.path.dirname(rel)
-            if not sub and partition_by:
+            if not sub and layout:
                 # a root file from a partitioned write is the writer's
                 # zero-row schema sentinel (it carries no partition
                 # tuple).  Park it under the hive null-partition chain:
@@ -400,7 +440,8 @@ def _rewrite_and_swap(
                 # "mixed layout" and silently flatten every later
                 # rewrite (r8 third-review repro)
                 sub = os.sep.join(
-                    f"{c}=__HIVE_DEFAULT_PARTITION__" for c in partition_by
+                    f"{c}=__HIVE_DEFAULT_PARTITION__"
+                    for c in layout["dirs"]
                 )
             final = os.path.join(sub, f"{prefix}-{run}-{i:05d}.olive") if sub \
                 else f"{prefix}-{run}-{i:05d}.olive"
@@ -425,6 +466,7 @@ def _rewrite_and_swap(
             "finals": finals,
             "history": bool(retain_history),
             "empty": bool(empty),
+            "tag": commit_tag,
         }
     )
     with open(manifest + ".tmp", "w") as fh:
@@ -452,7 +494,8 @@ def _rewrite_and_swap(
         # files out (resolvable from _olive_history when retained)
         from olive_spark.format.snapshots import append_entry
 
-        append_entry(path, add=finals, remove=original_rels)
+        append_entry(path, add=finals, remove=original_rels,
+                     tag=commit_tag)
     except OSError:
         pass
     return finals
@@ -707,6 +750,7 @@ def merge_upsert(
     update_condition: "str | None" = None,
     delete_condition: "str | None" = None,
     evolve_schema: bool = False,
+    commit_tag: "str | None" = None,
 ) -> dict:
     """``MERGE INTO`` (upsert) on a snapshot-logged olive table: rows of
     ``source`` whose ``key_cols`` match an existing row REPLACE it; the
@@ -810,10 +854,18 @@ def merge_upsert(
     Constraints: single writer (same contract as :func:`compact`);
     ``source`` must be unique on ``key_cols`` (enforced — a duplicate
     key would make the replacement row nondeterministic, the same error
-    Delta raises).  Hive-partitioned layouts are PRESERVED: the
-    partition column chain is auto-detected from the live layout and
-    rewritten/inserted files land inside their ``col=value/…``
-    directories, so =/IN directory pruning keeps working after a merge.
+    Delta raises).  Partitioned layouts are PRESERVED — classic hive
+    chains (auto-detected from the live layout) and HIDDEN transform
+    layouts (``days(ts)``/``bucket(N,col)``/``truncate(W,col)``, read
+    from the partition sidecar): rewritten and inserted files land
+    inside their derived ``key=value/…`` directories because the writer
+    re-derives each row's dir value from the spec, so directory pruning
+    keeps working after a merge.  ``days(ts)`` + CDC MERGE — the
+    canonical 100 TB event-table combination — composes.
+
+    ``commit_tag`` rides the merge's snapshot-log entry (rewrite or
+    pure-insert commit alike) so a caller can later tell whether THIS
+    merge landed — matview refresh keys its crash recovery off it.
 
     The reference format is batch-only with no directory/update layer
     (/root/reference/src/root.zig:9-16); MERGE is this engine's
@@ -830,7 +882,6 @@ def merge_upsert(
     from olive_spark.format.snapshots import current_version
 
     register_olive(spark)
-    _refuse_hidden_partitions(path, "merge_upsert")
     _recover_pending(path)
     _seed_snapshot_log(path)
     fc = "_olive_file"
@@ -1057,15 +1108,17 @@ def merge_upsert(
                     "pre_version": pre_version,
                 }
             before_files = set(_list_chunk_files(path))
-            part_cols = _detect_partition_cols(path)
-            if part_cols:
-                # co-locate keys so the partitioned append emits
-                # bounded files per col=value dir, not one per
-                # (task, value)
-                ins = ins.repartition(*part_cols)
+            layout = _partition_layout(path)
+            if layout:
+                # co-locate derived dir values so the partitioned
+                # append emits bounded files per directory, not one
+                # per (task, value)
+                ins = ins.repartition(*layout["shape"])
             iw = ins.write.format("olive").option("table", table)
-            if part_cols:  # inserts land inside their col=value dirs
-                iw = iw.option("partitionBy", ",".join(part_cols))
+            if layout:  # inserts land inside their key=value dirs
+                iw = iw.option("partitionBy", layout["spec"])
+            if commit_tag is not None:
+                iw = iw.option("commitTag", commit_tag)
             if new_cols:  # sidecar BEFORE data: see _seed_evolved_sidecar
                 _seed_evolved_sidecar(path, table, src.schema, new_cols)
             iw.mode("append").save(path)
@@ -1187,7 +1240,7 @@ def merge_upsert(
     # scan+anti-join+union for the write would double the most
     # expensive phase; the persisted set is bounded by touched data
     merged = merged.persist()
-    part_cols = _detect_partition_cols(path)
+    layout = _partition_layout(path)
     try:
         rows = merged.count()
         tomb_rows = []
@@ -1203,10 +1256,10 @@ def merge_upsert(
         if new_cols:  # sidecar BEFORE data: see _seed_evolved_sidecar
             _seed_evolved_sidecar(path, table, src.schema, new_cols)
         finals = _rewrite_and_swap(
-            _shape_for_write(merged, n_files, part_cols), path, affected, run,
+            _shape_for_write(merged, n_files, layout), path, affected, run,
             table=table, target_rows=target_rows,
             retain_history=retain_history, prefix="merge",
-            partition_by=part_cols,
+            layout=layout, commit_tag=commit_tag,
         )
         if new_cols and finals:
             _update_schema_sidecar(
@@ -1256,7 +1309,6 @@ def delete_where(
     from olive_spark.format.snapshots import current_version
 
     register_olive(spark)
-    _refuse_hidden_partitions(path, "delete_where")
     _recover_pending(path)
     _seed_snapshot_log(path)
     fc = "_olive_file"
@@ -1285,7 +1337,7 @@ def delete_where(
         .drop(fc)
         .persist()  # needed twice: count to size files, then the write
     )
-    part_cols = _detect_partition_cols(path)
+    layout = _partition_layout(path)
     try:
         rows = survivors.count()
         # every row of every affected file deleted: write no
@@ -1298,11 +1350,11 @@ def delete_where(
         n_files = max(1, math.ceil(rows / target_rows))
         run = uuid.uuid4().hex[:8]
         finals = _rewrite_and_swap(
-            _shape_for_write(survivors, n_files, part_cols), path, affected,
+            _shape_for_write(survivors, n_files, layout), path, affected,
             run,
             table=table, target_rows=target_rows,
             retain_history=retain_history, prefix="delete",
-            partition_by=part_cols,
+            layout=layout,
             empty=(rows == 0 and not wipe_all),
         )
     finally:
@@ -1356,7 +1408,6 @@ def update_where(
     if not set_exprs:
         raise ValueError("set_exprs must be non-empty")
     register_olive(spark)
-    _refuse_hidden_partitions(path, "update_where")
     _recover_pending(path)
     _seed_snapshot_log(path)
     fc = "_olive_file"
@@ -1418,17 +1469,17 @@ def update_where(
         )
         .persist()
     )
-    part_cols = _detect_partition_cols(path)
+    layout = _partition_layout(path)
     try:
         rows = rewritten.count()
         n_files = max(1, math.ceil(rows / target_rows))
         run = uuid.uuid4().hex[:8]
         finals = _rewrite_and_swap(
-            _shape_for_write(rewritten, n_files, part_cols), path, affected,
+            _shape_for_write(rewritten, n_files, layout), path, affected,
             run,
             table=table, target_rows=target_rows,
             retain_history=retain_history, prefix="update",
-            partition_by=part_cols,
+            layout=layout,
         )
     finally:
         rewritten.unpersist()

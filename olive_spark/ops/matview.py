@@ -39,12 +39,15 @@ re-partitioned Spark aggregation; use decimal specs where exact parity
 matters.
 
 Crash safety: refresh records a ``pending`` marker (target source
-version + the view's version BEFORE applying) in the state sidecar
-before merging, and finalizes after.  Re-running after a crash between
-those points checks whether the view's version advanced: if yes the
-merge landed and the marker finalizes; if no the delta is recomputed
-from the unchanged ``src_version`` — either way no double-fold
-(tests/test_matview.py crash-injection test).
+version + a unique COMMIT TAG for the apply) in the state sidecar
+before merging; the merge stamps that tag on its snapshot-log entry,
+and the marker finalizes after.  Re-running after a crash between
+those points checks whether the TAG appears in the view's snapshot
+history: if yes the merge landed and the marker finalizes; if no the
+delta is recomputed from the unchanged ``src_version`` — either way no
+double-fold, and an UNRELATED commit on the view directory (compact,
+vacuum log seeding) between crash and re-run cannot be mistaken for
+the merge (tests/test_matview.py crash-injection tests).
 """
 
 from __future__ import annotations
@@ -231,9 +234,22 @@ def refresh_matview(
 
     pending = state.get("pending")
     if pending:
-        # a prior refresh crashed between merge and finalize: the view
-        # version tells whether the merge landed
-        if current_version(mv_path) > pending["mv_version_before"]:
+        # a prior refresh crashed between merge and finalize.  "Did the
+        # merge land?" is answered by the pending apply's COMMIT TAG in
+        # the view's snapshot history — a bare version-advance check
+        # would mistake any unrelated commit on the view directory
+        # (compact, vacuum log seeding) for the merge and permanently
+        # skip the [since, until] change window (r8 advice finding).
+        # Legacy pending markers (no tag recorded) keep the old
+        # version-advance heuristic rather than double-folding.
+        from olive_spark.format.snapshots import has_tag
+
+        tag = pending.get("tag")
+        if tag is not None:
+            landed = has_tag(mv_path, tag)
+        else:
+            landed = current_version(mv_path) > pending["mv_version_before"]
+        if landed:
             state["src_version"] = pending["until"]
         state.pop("pending")
         _save_state(mv_path, state)
@@ -332,13 +348,21 @@ def refresh_matview(
                 "changed_groups": 0, "dropped_groups": 0,
                 "view_version": current_version(mv_path),
             }
+        # the tag names this specific apply (uuid-scoped, not just the
+        # until-version: two crashed attempts at the same window must
+        # not read each other's commits)
+        import uuid as _uuid
+
+        apply_tag = f"matview:{cur}:{_uuid.uuid4().hex[:8]}"
         state["pending"] = {
             "until": cur, "mv_version_before": current_version(mv_path),
+            "tag": apply_tag,
         }
         _save_state(mv_path, state)
         merge_upsert(
             spark, mv_path, apply_src, key_cols=list(group_cols),
             table=mv_table, delete_col="_mv_drop", retain_history=True,
+            commit_tag=apply_tag,
         )
         state.pop("pending")
         state["src_version"] = cur

@@ -107,47 +107,114 @@ def test_bucket_transform_prunes_equality(spark, tmp_path):
     assert got.filter("uid = 13").count() == 1
 
 
-def test_hidden_partition_guards(spark, tmp_path):
-    from olive_spark.format.errors import ValidationError
+def _assert_days_layout(path):
+    """Every live chunk file sits inside a ts_day= dir (no root strays —
+    a root file would flatten the layout and break transform pruning)."""
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        for f in files:
+            if f.endswith(".olive"):
+                assert os.path.basename(root).startswith("ts_day="), \
+                    f"stray file outside a day dir: {os.path.join(root, f)}"
+
+
+def test_hidden_partition_merge_upsert(spark, tmp_path):
+    """MERGE on a days(ts) layout — the canonical 100 TB event-table
+    combination: rewritten AND inserted rows re-derive their day dirs
+    from the spec, time travel still reads the pre-merge table, and
+    transform pruning keeps working on post-merge files."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "m")
+    _mk_events(spark, path)  # 600 rows over 6 day dirs
+    base = dt.datetime(2023, 11, 14, 22, 13, 20)  # epoch 1700000000 UTC
+
+    # 3 updates (existing keys, uid bumped) + 2 inserts on NEW days
+    src = spark.createDataFrame(
+        [
+            (0, base, 900),
+            (1, base + dt.timedelta(days=1), 901),
+            (7, base + dt.timedelta(days=1), 902),
+            (10_000, base + dt.timedelta(days=30), 903),
+            (10_001, base + dt.timedelta(days=31), 904),
+        ],
+        "k long, ts timestamp, uid long",
+    )
+    out = merge_upsert(spark, path, src, ["k"])
+    assert out["files_rewritten"] >= 1
+    got = spark.read.format("olive").load(path)
+    assert got.count() == 602
+    assert sorted(
+        r["uid"] for r in got.filter("k in (0, 1, 7)").collect()
+    ) == [900, 901, 902]
+    _assert_days_layout(path)
+    # inserted rows created their own day dirs
+    days = {d for d in os.listdir(path) if d.startswith("ts_day=")}
+    assert "ts_day=2023-12-14" in days and "ts_day=2023-12-15" in days
+
+    # time travel: the pre-merge version is intact
+    pre = (
+        spark.read.format("olive")
+        .option("snapshot", out["pre_version"]).load(path)
+    )
+    assert pre.count() == 600
+    assert pre.filter("k = 0").first()["uid"] == 0
+
+    # transform pruning still prunes post-merge files
+    all_files = _scan_files(spark, path)
+    one_day = _scan_files(
+        spark, path,
+        ("ts", ">=", base + dt.timedelta(days=30)),
+        ("ts", "<", base + dt.timedelta(days=31)),
+    )
+    assert 0 < len(one_day) < len(all_files)
+    assert got.filter(
+        (F.col("ts") >= F.lit(base + dt.timedelta(days=30)))
+        & (F.col("ts") < F.lit(base + dt.timedelta(days=31)))
+    ).count() == 1
+
+
+def test_hidden_partition_delete_update_compact(spark, tmp_path):
     from olive_spark.ops.maintenance import (
         compact,
         delete_where,
-        drop_column,
-        merge_upsert,
         restore,
         update_where,
     )
 
     path = str(tmp_path / "g")
-    _mk_events(spark, path, ndays=2)
+    _mk_events(spark, path, ndays=3)  # 300 rows
 
-    src = spark.range(3).selectExpr(
-        "id AS k",
-        "timestamp_micros(1700000000000000) AS ts",
-        "cast(0 as long) AS uid",
-    )
-    for op in (
-        lambda: merge_upsert(spark, path, src, ["k"]),
-        lambda: delete_where(spark, path, "k < 5"),
-        lambda: update_where(spark, path, {"uid": "uid + 1"}, "k < 5"),
-        lambda: compact(spark, path),
-    ):
-        with pytest.raises(ValidationError, match="hidden-partitioned"):
-            op()
-    with pytest.raises(ValidationError, match="hidden partition transform"):
-        drop_column(path, "ts")
+    out = delete_where(spark, path, "k < 30")
+    assert out["rows_deleted"] == 30
+    got = spark.read.format("olive").load(path)
+    assert got.count() == 270
+    _assert_days_layout(path)
 
-    # restore works: appends are commits like any other
-    spark.range(5).selectExpr(
-        "id + 10000 AS k",
-        "timestamp_micros(1700000000000000) AS ts",
-        "cast(1 as long) AS uid",
-    ).coalesce(1).write.format("olive") \
-        .option("partitionBy", "days(ts)").mode("append").save(path)
-    assert spark.read.format("olive").load(path).count() == 205
+    out = update_where(spark, path, {"uid": "uid + 1000"}, "k < 60")
+    assert out["rows_updated"] == 30
+    got = spark.read.format("olive").load(path)
+    assert got.filter("uid >= 1000").count() == 30
+    _assert_days_layout(path)
+
+    out = compact(spark, path, target_rows=1000)
+    assert out["rows"] == 270
+    got = spark.read.format("olive").load(path)
+    assert got.count() == 270
+    _assert_days_layout(path)
+
+    # restore across the mutations still works
     out = restore(path, 1)
     assert out["restored_to"] == 1
-    assert spark.read.format("olive").load(path).count() == 200
+    assert spark.read.format("olive").load(path).count() == 300
+
+    # zorder still refuses (it flattens any layout)
+    with pytest.raises(ValueError, match="zorder"):
+        compact(spark, path, zorder_by=["k", "uid"])
 
     # conflicting spec on later appends fails loud
     with pytest.raises(Exception, match="partition spec conflict"):
@@ -157,6 +224,16 @@ def test_hidden_partition_guards(spark, tmp_path):
             "cast(0 as long) AS uid",
         ).write.format("olive").option("partitionBy", "months(ts)") \
             .mode("append").save(path)
+
+
+def test_hidden_partition_drop_source_refused(spark, tmp_path):
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops.maintenance import drop_column
+
+    path = str(tmp_path / "d")
+    _mk_events(spark, path, ndays=2)
+    with pytest.raises(ValidationError, match="hidden"):
+        drop_column(path, "ts")
 
 
 def test_transform_spec_parsing_and_validation(spark, tmp_path):
@@ -282,11 +359,11 @@ def test_review_fixes_bucket_exactness_tz_and_validation(spark, tmp_path):
 
 def test_stream_written_hidden_table_records_spec(spark, tmp_path):
     """A STREAM-written days(ts) table must carry the spec sidecar, so
-    transform pruning works and rewrite ops refuse — same as batch."""
+    transform pruning works and rewrite ops preserve the layout — same
+    as batch."""
     import pyarrow as pa
 
     from olive_spark import streaming
-    from olive_spark.format.errors import ValidationError
     from olive_spark.format.partition import read_sidecar
     from olive_spark.format.writer import write_chunk
     from olive_spark.ops.maintenance import delete_where
@@ -319,8 +396,10 @@ def test_stream_written_hidden_table_records_spec(spark, tmp_path):
     dirs = [d for d in os.listdir(sink) if d.startswith("ts_day=")]
     assert len(dirs) == 3
     assert spark.read.format("olive").load(sink).count() == 100
-    with pytest.raises(ValidationError, match="hidden-partitioned"):
-        delete_where(spark, sink, "k < 5")
+    out = delete_where(spark, sink, "k < 5")
+    assert out["rows_deleted"] == 5
+    assert spark.read.format("olive").load(sink).count() == 95
+    _assert_days_layout(sink)
 
 
 def test_year_of_day_dirs_prunes_to_predicate_window(spark, tmp_path):
@@ -380,3 +459,127 @@ def test_year_of_day_dirs_prunes_to_predicate_window(spark, tmp_path):
     assert len(set(opened)) <= 3, (
         f"pruned dirs must never open a header, opened {len(set(opened))}"
     )
+
+
+def test_truncate_transform_layout_and_pruning(spark, tmp_path):
+    """truncate(W, col): Iceberg-style prefix/floor dirs for string IDs
+    and integral ranges, with =/IN and range pruning."""
+    path = str(tmp_path / "tr")
+    spark.range(1000).selectExpr(
+        "id AS k", "concat('doc-', lpad(cast(id as string), 4, '0')) AS doc"
+    ).coalesce(1).write.format("olive") \
+        .option("partitionBy", "truncate(6, doc)").mode("append").save(path)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("doc_trunc6="))
+    assert len(dirs) == 10  # doc-0 .. doc-9 prefixes (6 codeunits)
+    got = spark.read.format("olive").load(path)
+    assert sorted(got.columns) == ["doc", "k"]
+    assert got.count() == 1000
+
+    pruned = _scan_files(spark, path, ("doc", "=", "doc-0123"))
+    assert {os.path.basename(os.path.dirname(f)) for f in pruned} \
+        == {"doc_trunc6=doc-01"}
+    assert got.filter("doc = 'doc-0123'").count() == 1
+    # range: doc < 'doc-02' keeps only the doc-00/doc-01 dirs
+    lt = _scan_files(spark, path, ("doc", "<", "doc-02"))
+    assert {os.path.basename(os.path.dirname(f)) for f in lt} \
+        == {"doc_trunc6=doc-00", "doc_trunc6=doc-01"}
+
+    # integral truncate: floor-to-multiple dirs, range pruning
+    ipath = str(tmp_path / "ti")
+    spark.range(100).selectExpr("id AS k", "cast(id as long) AS v") \
+        .coalesce(1).write.format("olive") \
+        .option("partitionBy", "truncate(25, v)").mode("append").save(ipath)
+    idirs = sorted(d for d in os.listdir(ipath) if d.startswith("v_trunc25="))
+    assert len(idirs) == 4
+    igot = spark.read.format("olive").load(ipath)
+    eq = _scan_files(spark, ipath, ("v", "=", 60))
+    assert {os.path.basename(os.path.dirname(f)) for f in eq} \
+        == {"v_trunc25=50"}
+    gt = _scan_files(spark, ipath, ("v", ">", 74))
+    assert {os.path.basename(os.path.dirname(f)) for f in gt} \
+        == {"v_trunc25=75"}
+    assert igot.filter("v > 74").count() == 25
+
+    # mutations preserve the truncate layout
+    from olive_spark.ops.maintenance import delete_where
+
+    out = delete_where(spark, ipath, "v < 10")
+    assert out["rows_deleted"] == 10
+    assert spark.read.format("olive").load(ipath).count() == 90
+    for root, dirs2, files in os.walk(ipath):
+        dirs2[:] = [d for d in dirs2 if not d.startswith("_")]
+        for f in files:
+            if f.endswith(".olive"):
+                assert os.path.basename(root).startswith("v_trunc25=")
+
+
+def test_transform_pruning_non_utc_host_tz(spark, tmp_path):
+    """Spark's filter pushdown materializes timestamp literals as NAIVE
+    datetimes in the PROCESS-LOCAL timezone.  On a non-UTC host,
+    interpreting them as UTC would shift day-interval pruning by the
+    offset and silently DROP matching rows (r8 advice, medium).  The
+    pruning path must read naive values back through the local tz."""
+    import datetime as dt
+    import time
+
+    from olive_spark.format.partition import transform_dir_prunable
+
+    tfs = [{"kind": "days", "col": "ts", "dir": "ts_day"}]
+    d = {"ts_day": "2024-06-15"}  # UTC interval [06-15T00:00, 06-16T00:00)
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"  # UTC-4 in June (EDT)
+    time.tzset()
+    try:
+        # 2024-06-15T21:00 EDT == 2024-06-16T01:00 UTC — OUTSIDE the
+        # dir's UTC day.  Spark hands the literal to us as this naive
+        # local value; treating it as UTC would KEEP a prunable dir on
+        # '=' (lost pruning) and, worse, PRUNE the dir for a '>' bound
+        # that its last UTC hours still satisfy.
+        late_local = dt.datetime(2024, 6, 15, 21, 0, 0)
+        assert transform_dir_prunable(d, [("ts", "=", late_local)], tfs)
+        # 2024-06-15T19:00 EDT == 2024-06-15T23:00 UTC — inside the day:
+        # must NOT prune equality, and  '>' must keep the dir (the last
+        # UTC hour of the day exceeds the literal)
+        inside_local = dt.datetime(2024, 6, 15, 19, 0, 0)
+        assert not transform_dir_prunable(d, [("ts", "=", inside_local)], tfs)
+        assert not transform_dir_prunable(d, [("ts", ">", inside_local)], tfs)
+        # 2024-06-16T01:00 EDT == 2024-06-16T05:00 UTC — a '>' bound
+        # past the whole UTC day: prunable
+        past_local = dt.datetime(2024, 6, 16, 1, 0, 0)
+        assert transform_dir_prunable(d, [("ts", ">", past_local)], tfs)
+        assert transform_dir_prunable(d, [("ts", ">=", past_local)], tfs)
+        # '<' at 2024-06-14T20:00 EDT == 06-15T00:00 UTC: everything in
+        # the dir is >= the literal instant -> prunable
+        lt_local = dt.datetime(2024, 6, 14, 20, 0, 0)
+        assert transform_dir_prunable(d, [("ts", "<", lt_local)], tfs)
+        assert not transform_dir_prunable(d, [("ts", "<=", lt_local)], tfs)
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+
+
+def test_transform_pruning_exclusive_end_no_us_assumption():
+    """'>' / '>=' prune only when the literal reaches the interval END:
+    timestamp[ns] rows can live in the last microsecond of a day, so
+    the old e-1us max-value assumption wrongly pruned them (r8 advice).
+    """
+    import datetime as dt
+
+    from olive_spark.format.partition import transform_dir_prunable
+
+    tfs = [{"kind": "days", "col": "ts", "dir": "ts_day"}]
+    d = {"ts_day": "2024-06-15"}
+    end_minus_1us = dt.datetime(
+        2024, 6, 15, 23, 59, 59, 999999, tzinfo=dt.timezone.utc
+    )
+    end = dt.datetime(2024, 6, 16, tzinfo=dt.timezone.utc)
+    # a ns-resolution row at 23:59:59.9999995 satisfies ts > end-1us:
+    # the dir must be KEPT for that predicate
+    assert not transform_dir_prunable(d, [("ts", ">", end_minus_1us)], tfs)
+    assert not transform_dir_prunable(d, [("ts", ">=", end_minus_1us)], tfs)
+    assert transform_dir_prunable(d, [("ts", ">", end)], tfs)
+    assert transform_dir_prunable(d, [("ts", ">=", end)], tfs)

@@ -182,3 +182,48 @@ def test_second_thread_is_refused(tmp_path):
         t.start()
         t.join()
     assert got == ["refused"]
+
+
+def test_release_never_deletes_a_stealers_fresh_lock(tmp_path):
+    """r8 advice: release() was read-token-then-remove — a stealer
+    taking over a TTL-expired lock between the read and the remove had
+    its FRESH lock deleted, opening the table to a third concurrent
+    writer.  After the rename-based release, a lock whose on-disk token
+    no longer matches ours must survive our release untouched."""
+    import json
+    import os
+
+    from olive_spark.format import lock
+
+    d = str(tmp_path / "t")
+    lock.acquire(d, ttl=60)
+    # simulate a stealer replacing our (TTL-expired, in its view) lock
+    # with its own fresh one just before our release runs
+    p = os.path.join(d, lock.LOCK_NAME)
+    stolen = {"pid": 99999, "host": "other-host",
+              "token": "stealer-token", "ts": 9e12, "ttl": 60}
+    with open(p, "w") as f:
+        json.dump(stolen, f)
+    lock.release(d)
+    # the stealer's lock must still be there, byte-meaningful
+    with open(p) as f:
+        cur = json.load(f)
+    assert cur["token"] == "stealer-token"
+    # and no rel-* debris left behind
+    assert not [n for n in os.listdir(d) if ".rel-" in n]
+
+
+def test_release_happy_path_removes_lock(tmp_path):
+    import os
+
+    from olive_spark.format import lock
+
+    d = str(tmp_path / "t")
+    lock.acquire(d, ttl=60)
+    assert os.path.exists(os.path.join(d, lock.LOCK_NAME))
+    lock.release(d)
+    assert not os.path.exists(os.path.join(d, lock.LOCK_NAME))
+    assert not [n for n in os.listdir(d) if ".rel-" in n]
+    # re-acquire works after release
+    lock.acquire(d, ttl=60)
+    lock.release(d)

@@ -246,6 +246,44 @@ def test_crash_between_merge_and_finalize_no_double_fold(spark, tmp_path):
     assert _view_rows(spark, mv) == _recompute(spark, src, AGGS_DELTA)
 
 
+def test_unrelated_view_commit_does_not_fake_pending_finalize(
+    spark, tmp_path
+):
+    """r8 advice: pending recovery used to treat ANY view-version
+    advance past mv_version_before as 'the merge landed'.  An unrelated
+    commit on the view directory (here: a compact) between the crash
+    and the re-run would then skip the [since, until] window forever —
+    the view silently missing those source changes.  The tagged-commit
+    check must recompute instead."""
+    from olive_spark.format.snapshots import current_version
+    from olive_spark.ops.maintenance import compact
+    from olive_spark.ops.matview import STATE_FILE
+
+    src, mv = str(tmp_path / "src"), str(tmp_path / "mv")
+    _mk_src(spark, src)
+    _refresh(spark, src, mv, AGGS_DELTA)
+    sp = os.path.join(mv, STATE_FILE)
+
+    # mutate the source, then simulate a crash BEFORE the merge ran:
+    # pending written (with its unique tag), nothing applied
+    _mutate_update(spark, src)
+    state = json.load(open(sp))
+    state["pending"] = {
+        "until": current_version(src),
+        "mv_version_before": current_version(mv),
+        "tag": "matview:crashed:deadbeef",  # never committed
+    }
+    json.dump(state, open(sp, "w"))
+
+    # an UNRELATED commit advances the view's version past
+    # mv_version_before — the old heuristic would finalize on this
+    compact(spark, mv, table="matview", target_rows=1 << 20)
+    assert current_version(mv) > state["pending"]["mv_version_before"]
+
+    _refresh(spark, src, mv, AGGS_DELTA)
+    assert _view_rows(spark, mv) == _recompute(spark, src, AGGS_DELTA)
+
+
 def test_spec_validation(spark, tmp_path):
     from olive_spark.ops.matview import refresh_matview
 

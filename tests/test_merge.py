@@ -475,7 +475,7 @@ def test_rewrites_preserve_hive_partition_layout(spark, tmp_path):
     assert _rows(v1) == sorted((k, k * 10, k % 4) for k in range(400))
 
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="hive-partitioned"):
+    with _pytest.raises(ValueError, match="on a partitioned table"):
         compact(spark, path, zorder_by=["k", "v"])
 
 
