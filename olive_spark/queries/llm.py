@@ -26,15 +26,25 @@ SQL_DEDUP_EXACT = (
 
 def llm_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental ingest dedup: a new batch (doc_id < 200) against an
-    existing corpus (even doc_ids), Bloom-prefiltered with exact
-    anti-join confirmation — output is exact, so the DuckDB oracle is a
-    plain NOT EXISTS on the content hash.  The overlap comes from the
-    splits sharing documents, the realistic re-ingest scenario."""
+    existing corpus (even doc_ids), prefiltered by the PERSISTED
+    sharded Bloom index (ops/bloom_index.py — built once per cache, no
+    bitmap ever on the driver) with exact anti-join confirmation —
+    output is exact, so the DuckDB oracle is a plain NOT EXISTS on the
+    content hash.  The overlap comes from the splits sharing documents,
+    the realistic re-ingest scenario."""
+    import os as _os
+
+    from olive_spark.ops import bloom_index
+
     docs = data.load(spark, sf, "documents", columns=["doc_id", "text"])
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") < 200)
-    bloom = dedup.build_corpus_bloom(corpus, expected_items=4096)
-    return dedup.incremental_dedup(batch, corpus, bloom=bloom)
+    index_dir = _os.path.join(data.ensure_olive(sf), "bloom_index_documents")
+    if not _os.path.exists(_os.path.join(index_dir, "_bloom_meta.json")):
+        bloom_index.build_bloom_index(
+            spark, corpus, index_dir, expected_items=4096, n_shards=4
+        )
+    return bloom_index.probe_bloom_index(spark, batch, corpus, index_dir)
 
 
 SQL_DEDUP_INCR = (
