@@ -13,4 +13,4 @@ Layout:
 __version__ = "0.1.0"
 
 from olive_spark.datasource import register_olive  # noqa: E402,F401
-from olive_spark.table import OliveTable  # noqa: E402,F401
+from olive_spark.table import OliveTable, register_table  # noqa: E402,F401

@@ -394,6 +394,18 @@ class OliveReader(DataSourceReader):
         if self.files_opt is not None and self.snapshot is not None:
             raise ValueError("olive: 'files' and 'snapshot' are exclusive")
         self.file_column = options.get("filecolumn", options.get("fileColumn"))
+        # RENAME COLUMN read mapping ({current: [old names, newest
+        # first]}): loaded once at plan time, ships to workers with the
+        # pickled reader; read() projects a renamed column out of
+        # pre-rename files under its stored name.  Missing/non-dir path
+        # = no renames; a CORRUPT sidecar raises at plan time via the
+        # schema path, so best-effort here can't hide corruption.
+        try:
+            from olive_spark.format.table_schema import read_renames
+
+            self.renames = read_renames(self.path, self.table)
+        except Exception:  # noqa: BLE001 — schema() already failed loud
+            self.renames = {}
         self.predicates: list[tuple[str, str, Any]] = []
 
     def partitions(self) -> Sequence[OliveInputPartition]:
@@ -513,15 +525,35 @@ class OliveReader(DataSourceReader):
         for fp in partition.files:
             r = ChunkReader.from_path(fp)
             th = _pick_table(r.header, partition.table)
-            pages = (
-                select_pages(th, list(partition.predicates))
-                if partition.predicates
-                else None
-            )
+            # RENAME mapping for THIS file: a current name the file
+            # lacks may live under a pre-rename alias (metadata-only
+            # rename never rewrites data) — stored_name -> current_name
+            remap: dict[str, str] = {}
+            if self.renames:
+                fields = set(th.field_names)
+                for cur, olds in self.renames.items():
+                    if cur in fields:
+                        continue
+                    for o in olds:
+                        if o in fields:
+                            remap[o] = cur
+                            break
+            preds = list(partition.predicates) if partition.predicates else []
+            if remap and preds:
+                # page-stat pruning keys off STORED names in old files
+                back = {cur: old for old, cur in remap.items()}
+                preds = [(back.get(c, c), op, v) for c, op, v in preds]
+            pages = select_pages(th, preds) if preds else None
             cols = list(partition.columns) if partition.columns else None
             if cols:  # merged-schema dirs: this file may lack some columns
+                back = {cur: old for old, cur in remap.items()}
+                cols = [back.get(c, c) for c in cols]
                 cols = [c for c in cols if c in th.field_names] or None
             tbl = r.read_table(th.name, columns=cols, pages=pages)
+            if remap:
+                tbl = tbl.rename_columns(
+                    [remap.get(n, n) for n in tbl.column_names]
+                )
             if self.file_column:
                 # table-relative provenance name; snapshot reads that
                 # resolved into _olive_history report the logical name

@@ -24,15 +24,23 @@ Supported transforms (spec grammar is the ``partitionBy`` option):
 - a bare column name keeps the classic hive behavior (value stored in
   the data, string-equality dir pruning).
 
+Supported transforms also include (r9):
+- ``truncate(W, col)`` — Iceberg truncate: integral columns floor to a
+  multiple of W (dir value = the floor), string columns keep their
+  first W codeunits (dir value = the prefix).  Equality/IN and range
+  predicates prune both kinds.
+
 The transform spec is recorded in ``_olive_partition.json`` (written
 at commit, idempotent) so the SCAN knows how to interpret directory
 values; a missing/corrupt sidecar degrades to no transform pruning —
 never wrong results, only fewer skipped directories (the same advisory
 model as the stats manifest).  Mutations (merge/delete/update/compact)
-on transform-partitioned tables are REFUSED loudly in v1: their
-rewrite path reconstructs hive layouts from data columns, which hidden
-values don't have.  Reference n/a (no directory layer,
-/root/reference/src/root.zig:9-16).
+PRESERVE transform layouts (r9 — the v1 refusal is lifted): the
+rewrite hands this sidecar's spec back to the writer, which re-derives
+every rewritten/inserted row's dir value from the data
+(ops/maintenance._partition_layout); ``respec_partitions`` migrates a
+table to a new spec as one snapshot version.  Reference n/a (no
+directory layer, /root/reference/src/root.zig:9-16).
 """
 
 from __future__ import annotations
@@ -237,6 +245,27 @@ def write_sidecar(dirpath: str, transforms: "list[dict]") -> None:
                 f"olive: partition spec conflict at {dirpath}: "
                 f"recorded {existing}, writing {transforms}"
             )
+        return
+    doc = {"version": 1, "transforms": transforms}
+    fd, tmp = tempfile.mkstemp(dir=dirpath, prefix=".part-", suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, sidecar_path(dirpath))
+
+
+def replace_sidecar(dirpath: str, transforms: "list[dict]") -> None:
+    """Point the directory at a NEW transform spec — the partition
+    re-spec migration's metadata step (ops/maintenance.respec_partitions
+    holds the table lock and rewrites the data; plain writes must keep
+    using :func:`write_sidecar`, whose conflict check is what stops two
+    specs drifting apart).  An identity-only spec REMOVES the sidecar —
+    a stale transform entry would claim dir keys the layout no longer
+    has."""
+    if not has_transforms(transforms):
+        try:
+            os.remove(sidecar_path(dirpath))
+        except FileNotFoundError:
+            pass
         return
     doc = {"version": 1, "transforms": transforms}
     fd, tmp = tempfile.mkstemp(dir=dirpath, prefix=".part-", suffix=".tmp")

@@ -136,6 +136,35 @@ def _entry_dropped(entry: "dict | None") -> "list[str]":
     return [d for d in dropped if isinstance(d, str)]
 
 
+def _entry_renames(entry: "dict | None") -> "dict[str, list[str]]":
+    renames = (entry or {}).get("renames")
+    if renames is None:
+        return {}
+    if not isinstance(renames, dict):
+        raise ValidationError(
+            f"corrupt schema sidecar: 'renames' is "
+            f"{type(renames).__name__}, expected a map"
+        )
+    out: dict[str, list[str]] = {}
+    for new, olds in renames.items():
+        if not isinstance(new, str) or not isinstance(olds, list):
+            raise ValidationError(
+                "corrupt schema sidecar: malformed renames entry"
+            )
+        out[new] = [o for o in olds if isinstance(o, str)]
+    return out
+
+
+def read_renames(path: str, table: "str | None") -> "dict[str, list[str]]":
+    """RENAME COLUMN history for ``table``: ``{current_name: [older
+    names, newest first]}``.  The read path uses it to project a
+    renamed column out of files written before the rename (the data
+    still sits under the old name — rename is metadata-only); the old
+    names are ALSO drop-tombstoned, so writers can't reintroduce them.
+    Corrupt sidecars raise, same as every sidecar consumer."""
+    return _entry_renames(_table_entry(path, table))
+
+
 def read_dropped_columns(path: str, table: "str | None") -> "list[str]":
     """Names DROP COLUMN has tombstoned for ``table`` (empty when none,
     or no sidecar).  A dropped name is a TOMBSTONE, not a free slot:
@@ -150,12 +179,14 @@ def read_dropped_columns(path: str, table: "str | None") -> "list[str]":
 def write_table_schema(
     path: str, table: str, field_names: list, field_types: list,
     dropped: "list[str] | None" = None,
+    renames: "dict[str, list[str]] | None" = None,
 ) -> None:
     """Record ``table``'s current schema in the sidecar (atomic
-    tmp+rename; other tables' entries are preserved).  ``dropped``
-    replaces the table's tombstone list when given; otherwise an
-    existing list is PRESERVED (evolution/appends must not erase drop
-    tombstones).  Caller holds the single-writer contract."""
+    tmp+rename; other tables' entries are preserved).  ``dropped`` /
+    ``renames`` replace the table's tombstone list / rename map when
+    given; otherwise existing values are PRESERVED (evolution/appends
+    must not erase drop tombstones or rename history).  Caller holds
+    the single-writer contract."""
     if len(field_names) != len(field_types):
         raise ValidationError("field name/type count mismatch")
     p = sidecar_path(path)
@@ -178,15 +209,21 @@ def write_table_schema(
             f"corrupt schema sidecar {p}: {e} — delete it explicitly "
             "to reset (other tables' evolved schemas live in it too)"
         )
+    prev = doc["tables"].get(table)
     if dropped is None:
-        prev = doc["tables"].get(table)
         dropped = (prev or {}).get("dropped") or []
+    if renames is None:
+        renames = _entry_renames(prev if isinstance(prev, dict) else None)
     doc["tables"][table] = {
         "fnames": list(field_names),
         "ftypes": list(field_types),
     }
     if dropped:
         doc["tables"][table]["dropped"] = list(dropped)
+    if renames:
+        doc["tables"][table]["renames"] = {
+            k: list(v) for k, v in renames.items()
+        }
     blob = json.dumps(doc, separators=(",", ":")).encode()
     fd, tmp = tempfile.mkstemp(dir=path, prefix=".schema-", suffix=".tmp")
     try:

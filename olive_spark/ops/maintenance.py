@@ -311,6 +311,90 @@ def compact_if_needed(
     return out
 
 
+@_locked(1)
+def respec_partitions(
+    spark,
+    path: str,
+    new_spec: str,
+    table: str = "data",
+    target_rows: int = 1 << 20,
+    retain_history: bool = True,
+) -> dict:
+    """Migrate the table to a NEW partition spec (Iceberg's
+    partition-spec evolution, eagerly materialized): the whole table is
+    rewritten into the new layout as ONE copy-on-write snapshot
+    version, then the partition sidecar is repointed.  ``new_spec``
+    takes the same grammar as the writer's ``partitionBy`` option —
+    ``days(ts)``, ``bucket(N,col)``, ``truncate(W,col)``, identity
+    column names, or any comma-separated mix; an identity-only (or
+    single-dir classic hive) spec REMOVES the transform sidecar.
+
+    Eager (rewrite now) rather than Iceberg's lazy (spec per file,
+    scan-time union): this engine's scan plans transform pruning off
+    ONE sidecar spec, and at 100 TB a one-time rewrite that restores
+    uniform pruning beats forever carrying per-file spec dispatch.
+    ``retain_history=True`` (default) keeps every pre-respec snapshot
+    readable — time travel ACROSS the spec change works because
+    snapshot reads resolve file names, not directory semantics.
+
+    Crash ordering: the sidecar is repointed only AFTER the rewrite's
+    snapshot entry lands.  A crash in between leaves new-layout dirs
+    under the old spec — transform pruning just no-ops on them (dir
+    keys don't match; conservative, never wrong), and re-running
+    respec_partitions converges.
+
+    Returns {files_before, files_after, rows, version}."""
+    from olive_spark.datasource import register_olive
+    from olive_spark.datasource.olive_datasource import _list_chunk_files
+    from olive_spark.format.partition import (
+        has_transforms,
+        parse_spec,
+        replace_sidecar,
+        shaping_columns,
+        spec_to_string,
+    )
+    from olive_spark.format.snapshots import current_version
+
+    register_olive(spark)
+    transforms = parse_spec(new_spec)  # validates the grammar up front
+    _recover_pending(path)
+    _seed_snapshot_log(path)
+    before = _list_chunk_files(path)
+    original_rels = [os.path.relpath(f, path) for f in before]
+    df = spark.read.format("olive").option("table", table).load(path)
+    bad = [
+        t["col"] for t in transforms if t["col"] not in df.columns
+    ]
+    if bad:
+        raise ValueError(
+            f"respec source columns {bad} not in table columns "
+            f"{df.columns}"
+        )
+    layout = {
+        "spec": spec_to_string(transforms),
+        "dirs": [t["dir"] for t in transforms],
+        "shape": shaping_columns(transforms),
+        "hidden": has_transforms(transforms),
+    }
+    rows = df.count()
+    n_files = max(1, math.ceil(rows / target_rows))
+    run = uuid.uuid4().hex[:8]
+    _rewrite_and_swap(
+        df.repartition(n_files, *layout["shape"]), path, original_rels,
+        run, table=table, target_rows=target_rows,
+        retain_history=retain_history, prefix="respec",
+        layout=layout,
+    )
+    replace_sidecar(path, transforms)
+    after = _list_chunk_files(path)
+    return {
+        "files_before": len(before),
+        "files_after": len(after),
+        "rows": rows,
+        "version": current_version(path),
+    }
+
+
 def _seed_snapshot_log(path: str) -> None:
     """Seed the snapshot log from the live listing BEFORE a rewrite op
     touches any file: `_rewrite_and_swap` appends its entry only after
@@ -1564,6 +1648,92 @@ def drop_column(path: str, column: str, table: str = "data") -> dict:
         dropped.append(column)
     write_table_schema(path, table, names, types, dropped=dropped)
     return {"dropped": column, "columns": names}
+
+
+@_locked(0)
+def rename_column(
+    path: str, old: str, new: str, table: str = "data"
+) -> dict:
+    """RENAME COLUMN as metadata-only evolution (one small JSON write,
+    no file rewritten): the sidecar's schema authority swaps the name
+    in place, its ``renames`` map records ``{new: [old, ...older]}`` so
+    the READ path projects the column out of pre-rename files (their
+    bytes still sit under the old name — olive_datasource maps the name
+    per file at scan time), and the old name is drop-TOMBSTONED so a
+    later append/merge reintroducing it cannot resurface stale values
+    beside the renamed column.  Rename chains flatten (a→b→c keeps
+    [b, a] as read aliases); latest-schema-wins, so time travel reads
+    old snapshots through the CURRENT names, like add/drop evolution.
+
+    Renaming a hive partition column or a hidden-transform source is
+    refused — the directory layout spells the old name.
+
+    Reference n/a (no directory/schema layer, src/root.zig:9-16)."""
+    from olive_spark.datasource.olive_datasource import (
+        _list_chunk_files,
+        _pick_table,
+        _read_header_bytes,
+    )
+    from olive_spark.format.table_schema import (
+        read_dropped_columns,
+        read_renames,
+        read_table_schema,
+        write_table_schema,
+    )
+
+    if not new or new.startswith("__") or new.startswith("_olive"):
+        raise ValidationError(
+            f"invalid new column name {new!r}: empty and '__'/'_olive'-"
+            "prefixed names are reserved"
+        )
+    side = read_table_schema(path, table)
+    if side is None:
+        files = _list_chunk_files(path)
+        if not files:
+            raise ValidationError(f"no olive files at {path}")
+        header, _ = _read_header_bytes(files[0])
+        th = _pick_table(header, table)
+        names, types = list(th.field_names), list(th.field_types)
+        table = th.name
+    else:
+        names, types = side
+    if old not in names:
+        raise ValidationError(
+            f"cannot rename {old!r}: not a column of {table!r} "
+            f"(columns: {names})"
+        )
+    if new in names:
+        raise ValidationError(
+            f"cannot rename {old!r} to {new!r}: the name is taken"
+        )
+    dropped = read_dropped_columns(path, table)
+    if new in dropped:
+        raise ValidationError(
+            f"cannot rename to {new!r}: the name was DROPped and old "
+            "files still hold its values — pick another name"
+        )
+    part_cols = _detect_partition_cols(path) or []
+    from olive_spark.format.partition import read_sidecar
+
+    tspec = read_sidecar(path) or []
+    transform_srcs = {t["col"] for t in tspec if t["kind"] != "identity"}
+    if old in part_cols or old in transform_srcs:
+        raise ValidationError(
+            f"cannot rename {old!r}: the directory layout spells it "
+            "(hive partition column or hidden-transform source) — "
+            "respec_partitions first"
+        )
+    names[names.index(old)] = new
+    renames = read_renames(path, table)
+    # chain flatten: aliases of the old name become aliases of the new
+    aliases = [old] + renames.pop(old, [])
+    renames[new] = aliases
+    if old not in dropped:
+        dropped.append(old)  # resurrection guard, same as DROP
+    write_table_schema(
+        path, table, names, types, dropped=dropped, renames=renames
+    )
+    return {"renamed": {old: new}, "columns": names}
 
 
 @_locked(0)

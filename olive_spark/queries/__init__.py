@@ -100,6 +100,11 @@ _ORDER = [
     "llm_unigram_lm_score",        # r8: corpus-unigram LM curation scoring
     "scan_hidden_partition_pruning",  # r8: days(ts) hidden partitioning
     "scan_bucket_partition_pruning",  # r8: bucket(8, user_id) pmod pruning
+    "scan_merge_hidden_partition",    # r9: MERGE+DELETE on days(ts) layout
+    "scan_truncate_partition_pruning",  # r9: truncate(16, user_id) ranges
+    "scan_after_respec",              # r9: partition-spec evolution + mutate
+    "scan_after_rename_column",       # r9: metadata-only RENAME COLUMN
+    "scan_table_by_name",             # r9: register_table + plain SQL
     "llm_train_split",             # r8: engine-portable seeded hash split
     # --- r7-new, driver-checked exactly once (r07) ---
     "llm_pack_sequences_sharded",  # r7: partition-wise packing

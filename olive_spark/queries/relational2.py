@@ -231,6 +231,309 @@ SQL_BUCKET_PARTITION = (
 )
 
 
+def _ensure_events_truncated(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) events under ``truncate(16, user_id)``
+    hidden partitioning: dirs ``user_id_trunc16=0,16,...,144`` hold the
+    Iceberg floor-to-multiple ranges — no synthetic column in the
+    data."""
+
+    def build(out: str) -> None:
+        cols = ["event_id", "user_id", "event_type", "value"]
+        ev = data.load(spark, sf, "events", columns=cols)
+        ev.repartition(4).write.format("olive") \
+            .option("table", "events_truncated") \
+            .option("partitionBy", "truncate(16, user_id)") \
+            .mode("append").save(out)
+
+    return _build_once(spark, sf, "events_truncated", "_TRUNC_OK", build)
+
+
+def scan_truncate_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Hidden truncate-partition parity (r9): a user_id RANGE filter on
+    the truncate(16, user_id) layout — dirs cover [d, d+16), so the
+    40..55 window prunes to the 32/48 dirs at plan time (range math
+    pytest-pinned in tests/test_hidden_partition.py); results must
+    equal plain SQL over the unpartitioned view, including both range
+    boundaries."""
+    path = _ensure_events_truncated(spark, sf)
+    df = spark.read.format("olive") \
+        .option("table", "events_truncated") \
+        .option("pushdown", "true").load(path)
+    return (
+        df.filter((F.col("user_id") >= 40) & (F.col("user_id") <= 55))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("sum_ids"),
+            F.sum(F.col("value").cast(D)).cast(D).alias("sum_value"),
+        )
+    )
+
+
+SQL_TRUNCATE_PARTITION = (
+    "SELECT user_id, event_type, COUNT(*) AS n, "
+    "CAST(SUM(event_id) AS BIGINT) AS sum_ids, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value "
+    "FROM events WHERE user_id >= 40 AND user_id <= 55 "
+    "GROUP BY user_id, event_type"
+)
+
+
+def _ensure_events_hidden_merged(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) a days(ts) hidden-partitioned events
+    table and run MERGE + DELETE against it — the combination r8
+    refused (rewrites on transform layouts):
+
+      v1  base: events written with ``partitionBy=days(ts)``
+      v2  merge_upsert keyed on event_id — %7==0 events get value+1000
+          (updates, same day dirs), and %7==3 events re-insert at
+          event_id+900M with ts shifted +40 days (inserts landing in
+          BRAND-NEW February day dirs the writer derives from the spec)
+      v3  delete_where event_id % 13 = 0 on the original keys
+
+    Every transform is a pure function of the base events view, so the
+    DuckDB oracle replays it in plain SQL; layout preservation (no file
+    outside a ts_day dir, post-merge transform pruning) is pinned by
+    tests/test_hidden_partition.py."""
+    from olive_spark.ops.maintenance import delete_where, merge_upsert
+
+    def build(out: str) -> None:
+        cols = ["event_id", "ts", "user_id", "event_type", "value"]
+        ev = data.load(spark, sf, "events", columns=cols)
+        ev.repartition(4).write.format("olive") \
+            .option("table", "data") \
+            .option("partitionBy", "days(ts)").mode("append").save(out)
+        updates = ev.filter(F.col("event_id") % 7 == 0).withColumn(
+            "value", F.col("value") + 1000
+        )
+        inserts = ev.filter(F.col("event_id") % 7 == 3).select(
+            (F.col("event_id") + 900_000_000).alias("event_id"),
+            (F.col("ts") + F.expr("INTERVAL 40 DAYS")).alias("ts"),
+            "user_id", "event_type",
+            (F.col("value") * 2).alias("value"),
+        )
+        merge_upsert(spark, out, updates.unionByName(inserts), ["event_id"])
+        delete_where(
+            spark, out, "event_id % 13 = 0 AND event_id < 900000000"
+        )
+
+    return _build_once(spark, sf, "events_hidden_merged", "_HMERGE_OK", build)
+
+
+def scan_merge_hidden_partition(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE + DELETE on a days(ts) HIDDEN-partitioned table (r9 — the
+    canonical 100 TB event-table combination, mutually exclusive with
+    hidden layouts until this round): the rewrite re-derives every
+    rewritten/inserted row's day dir from the transform spec.  The scan
+    filters a ts window straddling original-January and inserted-
+    February dirs THROUGH transform pruning (pushdown on), so a rewrite
+    that flattened the layout, misplaced an inserted row's dir, lost a
+    bystander row, or broke post-merge pruning hash-mismatches against
+    the oracle's plain-SQL replay over the base events view."""
+    path = _ensure_events_hidden_merged(spark, sf)
+    df = spark.read.format("olive") \
+        .option("table", "data") \
+        .option("pushdown", "true").load(path)
+    lo = "2024-01-20 00:00:00"
+    hi = "2024-02-25 00:00:00"
+    return (
+        df.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("sum_ids"),
+            F.sum(F.col("value").cast(D)).cast(D).alias("sum_value"),
+        )
+    )
+
+
+SQL_MERGE_HIDDEN_PARTITION = (
+    "WITH src AS ("
+    "SELECT event_id, ts, user_id, event_type, value + 1000 AS value "
+    "FROM events WHERE event_id % 7 = 0 "
+    "UNION ALL "
+    "SELECT event_id + 900000000, ts + INTERVAL 40 DAY, user_id, "
+    "event_type, value * 2 FROM events WHERE event_id % 7 = 3), "
+    "merged AS ("
+    "SELECT event_id, ts, user_id, event_type, value FROM events "
+    "WHERE event_id NOT IN (SELECT event_id FROM src) "
+    "UNION ALL SELECT * FROM src), "
+    "final AS (SELECT * FROM merged "
+    "WHERE NOT (event_id % 13 = 0 AND event_id < 900000000)) "
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(event_id) AS BIGINT) AS sum_ids, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value "
+    "FROM final WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' "
+    "AND ts < TIMESTAMP '2024-02-25 00:00:00' "
+    "GROUP BY event_type"
+)
+
+
+def _ensure_orders_respec(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) a table exercising partition-spec
+    EVOLUTION (ops/maintenance.respec_partitions):
+
+      v1  orders written under classic hive ``o_orderstatus`` dirs
+      v2  respec_partitions -> ``bucket(8, o_custkey)`` hidden layout
+          (one copy-on-write rewrite; sidecar repointed)
+      v3  delete_where o_orderkey % 9 = 4 — a mutation on the POST-
+          respec layout, proving the migrated table is fully mutable
+
+    Content is a pure function of the base orders view (respec moves
+    bytes, never changes rows), so the oracle replays only the
+    delete."""
+    from olive_spark.ops.maintenance import delete_where, respec_partitions
+
+    def build(out: str) -> None:
+        cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        base = data.load(spark, sf, "orders", columns=cols)
+        base.repartition("o_orderstatus").write.format("olive") \
+            .option("table", "data") \
+            .option("partitionBy", "o_orderstatus").mode("append").save(out)
+        respec_partitions(spark, out, "bucket(8, o_custkey)")
+        delete_where(spark, out, "o_orderkey % 9 = 4")
+
+    return _build_once(spark, sf, "orders_respec", "_RESPEC_OK", build)
+
+
+def scan_after_respec(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-spec evolution parity (r9): orders migrated from hive
+    o_orderstatus dirs to a bucket(8, o_custkey) hidden layout, then
+    mutated in place.  A custkey IN probe exercises bucket pruning on
+    the MIGRATED layout (pushdown on); a respec that lost/duplicated
+    rows, left stale dirs live, or broke post-migration pruning
+    hash-mismatches the oracle's replay over the base orders view."""
+    path = _ensure_orders_respec(spark, sf)
+    df = spark.read.format("olive") \
+        .option("table", "data") \
+        .option("pushdown", "true").load(path)
+    return (
+        df.filter(F.col("o_custkey").isin(7, 40, 101))
+        .groupBy("o_custkey", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("sum_keys"),
+            F.sum(F.col("o_totalprice").cast(D)).cast(D).alias("sum_price"),
+        )
+    )
+
+
+SQL_AFTER_RESPEC = (
+    "SELECT o_custkey, o_orderstatus, COUNT(*) AS n, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+    "AS sum_price "
+    "FROM orders WHERE o_custkey IN (7, 40, 101) "
+    "AND NOT (o_orderkey % 9 = 4) "
+    "GROUP BY o_custkey, o_orderstatus"
+)
+
+
+def _ensure_orders_renamed(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) a table exercising metadata-only RENAME
+    COLUMN (ops/maintenance.rename_column):
+
+      v1  orders (o_orderkey, o_custkey, o_totalprice)
+      --  rename o_totalprice -> price (no rewrite: old files keep the
+          bytes under the old name; reads map per file)
+      v2  append NEW-name rows: %10==1 custkeys re-keyed +900M with
+          price*3 — the table now mixes pre-rename and post-rename
+          files
+      v3  update_where price = price + 1000 WHERE o_orderkey % 11 = 0 —
+          a copy-on-write rewrite THROUGH the mapping (affected old
+          files re-land under the new name)
+
+    All reconstructable from the base orders view in plain SQL."""
+    from olive_spark.ops.maintenance import rename_column, update_where
+
+    def build(out: str) -> None:
+        cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+        base = data.load(spark, sf, "orders", columns=cols)
+        base.repartition(4).write.format("olive") \
+            .option("table", "data").mode("append").save(out)
+        rename_column(out, "o_totalprice", "price")
+        extra = base.filter(F.col("o_custkey") % 10 == 1).select(
+            (F.col("o_orderkey") + 900_000_000).alias("o_orderkey"),
+            "o_custkey",
+            (F.col("o_totalprice") * 3).alias("price"),
+        )
+        extra.write.format("olive").option("table", "data") \
+            .mode("append").save(out)
+        update_where(
+            spark, out, {"price": "price + 1000"}, "o_orderkey % 11 = 0"
+        )
+
+    return _build_once(spark, sf, "orders_renamed", "_RENAME_OK", build)
+
+
+def scan_after_rename_column(spark: SparkSession, sf: str) -> DataFrame:
+    """RENAME COLUMN parity (r9): pre-rename files project the renamed
+    column out of their stored (old) name at read time, post-rename
+    appends and a copy-on-write UPDATE through the mapping mix in the
+    same scan.  A rename that null-filled old files, leaked the old
+    name, or double-applied the update hash-mismatches the oracle."""
+    path = _ensure_orders_renamed(spark, sf)
+    df = spark.read.format("olive").option("table", "data").load(path)
+    return df.groupBy((F.col("o_custkey") % 10).alias("ck_mod")).agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").alias("sum_keys"),
+        F.sum(F.col("price").cast(D)).cast(D).alias("sum_price"),
+    )
+
+
+SQL_AFTER_RENAME = (
+    "WITH renamed AS ("
+    "SELECT o_orderkey, o_custkey, o_totalprice AS price FROM orders "
+    "UNION ALL "
+    "SELECT o_orderkey + 900000000, o_custkey, o_totalprice * 3 "
+    "FROM orders WHERE o_custkey % 10 = 1), "
+    "updated AS ("
+    "SELECT o_orderkey, o_custkey, "
+    "CASE WHEN o_orderkey % 11 = 0 THEN price + 1000 ELSE price END "
+    "AS price FROM renamed) "
+    "SELECT o_custkey % 10 AS ck_mod, COUNT(*) AS n, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys, "
+    "CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+    "AS sum_price "
+    "FROM updated GROUP BY o_custkey % 10"
+)
+
+
+def scan_table_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    """Name-addressed SQL (r9, olive_spark.register_table): the orders
+    olive directory registers as a temporary view backed by the olive
+    data source, and the query is PLAIN SQL against the name — the
+    ergonomic surface path users coming from catalog tables expect
+    (the Python-DSv2 catalog boundary is documented on
+    register_table)."""
+    from olive_spark.table import register_table
+
+    data.load(spark, sf, "orders")  # materialize the olive cache dir
+    import os as _os
+
+    path = _os.path.join(data.ensure_olive(sf), "orders")
+    register_table(spark, "orders_named_r9", path, table="orders")
+    return spark.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n, "
+        "SUM(o_orderkey) AS sum_keys, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+        "AS sum_price "
+        "FROM orders_named_r9 GROUP BY o_orderstatus"
+    )
+
+
+SQL_TABLE_BY_NAME = (
+    "SELECT o_orderstatus, COUNT(*) AS n, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+    "AS sum_price "
+    "FROM orders GROUP BY o_orderstatus"
+)
+
+
 def scan_bloom_pruning(spark: SparkSession, sf: str) -> DataFrame:
     """Point lookups by content hash through per-file Bloom filters
     (write-side ``bloomColumns`` option; format/bloom.py): md5 values
@@ -1690,6 +1993,17 @@ QUERIES: dict[str, tuple] = {
     "scan_bucket_partition_pruning": (
         scan_bucket_partition_pruning, SQL_BUCKET_PARTITION,
     ),
+    "scan_truncate_partition_pruning": (
+        scan_truncate_partition_pruning, SQL_TRUNCATE_PARTITION,
+    ),
+    "scan_merge_hidden_partition": (
+        scan_merge_hidden_partition, SQL_MERGE_HIDDEN_PARTITION,
+    ),
+    "scan_after_respec": (scan_after_respec, SQL_AFTER_RESPEC),
+    "scan_after_rename_column": (
+        scan_after_rename_column, SQL_AFTER_RENAME,
+    ),
+    "scan_table_by_name": (scan_table_by_name, SQL_TABLE_BY_NAME),
     "scan_merge_cdc_tombstones": (scan_merge_cdc_tombstones, SQL_MERGE_CDC_TOMB),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),
     "join_interval_overlap": (join_interval_overlap, SQL_INTERVAL_JOIN),

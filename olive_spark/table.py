@@ -154,6 +154,31 @@ class OliveTable:
 
         return drop_column(self.path, column, table=self.table)
 
+    def rename_column(self, old: str, new: str) -> dict:
+        """RENAME COLUMN: metadata-only (sidecar) evolution — old files
+        keep their bytes under the old name and the read path maps it
+        per file (see ops.maintenance.rename_column)."""
+        from olive_spark.ops.maintenance import rename_column
+
+        return rename_column(self.path, old, new, table=self.table)
+
+    def respec_partitions(self, new_spec: str, **kw) -> dict:
+        """Migrate to a new partition spec (one copy-on-write snapshot
+        version; see ops.maintenance.respec_partitions)."""
+        from olive_spark.ops.maintenance import respec_partitions
+
+        return respec_partitions(
+            self.spark, self.path, new_spec, table=self.table, **kw
+        )
+
+    def register(self, name: str) -> "OliveTable":
+        """Name-address this table for plain SQL:
+        ``t.register("events")`` → ``spark.sql("SELECT ... FROM
+        events")``.  See :func:`register_table` for the semantics and
+        the Python-DSv2 catalog boundary."""
+        register_table(self.spark, name, self.path, table=self.table)
+        return self
+
     def tag(self, name: str, version: "int | None" = None) -> int:
         """Name a retained snapshot (default: current) for symbolic
         time travel; returns the tagged version."""
@@ -240,3 +265,48 @@ class OliveTable:
 
     def __repr__(self) -> str:  # pragma: no cover - cosmetic
         return f"OliveTable(path={self.path!r}, table={self.table!r})"
+
+
+def register_table(
+    spark, name: str, path: str, table: str = "data", **options
+) -> None:
+    """Name-address an olive table for plain SQL: creates a TEMPORARY
+    VIEW backed by the olive data source (``CREATE OR REPLACE TEMPORARY
+    VIEW name USING olive OPTIONS (...)``), so
+    ``spark.sql(f"SELECT ... FROM {name}")`` works everywhere a path
+    did.  Extra ``options`` pass through to the reader (``snapshot``,
+    ``pushdown``, ``columns``...).
+
+    The Python-DSv2 catalog boundary, honestly:
+
+    - Python data sources cannot implement a full Spark CATALOG, so
+      ``CREATE TABLE ... USING olive`` + persistent metastore entries
+      are out of scope — this Spark version does not even forward
+      catalog storage options to Python data source scans (the reader
+      raises a pointed error for that shape).  Temporary views are
+      session-scoped: re-register per session.
+    - Spark resolves the view to a cached DSv2 relation, which pins
+      the reader instance — and with it the FILE LIST — at
+      registration time (``REFRESH TABLE`` does not re-instantiate
+      Python readers; measured).  After a write to the table, call
+      register_table again (one cheap SQL statement) to see it.
+      Mutation facades that take paths (OliveTable) always replan.
+
+    See docs/MIGRATION.md.
+    """
+    from olive_spark.datasource import register_olive
+
+    register_olive(spark)
+    if not name.replace("_", "").isalnum():
+        raise ValueError(
+            f"invalid view name {name!r}: letters/digits/underscores"
+        )
+    opts = {"path": path, "table": table, **options}
+    rendered = ", ".join(
+        f"{k} '{str(v)}'" for k, v in opts.items()
+        if v is not None
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {name} "
+        f"USING olive OPTIONS ({rendered})"
+    )

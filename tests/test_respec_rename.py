@@ -1,0 +1,251 @@
+"""Partition-spec evolution (ops.maintenance.respec_partitions) and
+metadata-only column RENAME (ops.maintenance.rename_column +
+olive_datasource's per-file name mapping)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from olive_spark import register_olive
+
+    register_olive(s)
+    yield s
+
+
+def _dirs(path, prefix):
+    return sorted(
+        d for d in os.listdir(path)
+        if d.startswith(prefix) and "=" in d
+    )
+
+
+def _mk_days_table(spark, path, ndays=4):
+    df = spark.range(ndays * 50).selectExpr(
+        "id AS k",
+        f"timestamp_micros(cast(1700000000000000 + (id % {ndays}) "
+        "* 86400000000 as long)) AS ts",
+        "cast(id % 16 as long) AS uid",
+    )
+    df.coalesce(1).write.format("olive") \
+        .option("partitionBy", "days(ts)").mode("append").save(path)
+    return df
+
+
+def test_respec_days_to_bucket(spark, tmp_path):
+    from olive_spark.format.partition import read_sidecar
+    from olive_spark.ops.maintenance import respec_partitions
+
+    path = str(tmp_path / "t")
+    _mk_days_table(spark, path)
+    assert _dirs(path, "ts_day=")
+    pre_rows = sorted(
+        tuple(r) for r in spark.read.format("olive").load(path).collect()
+    )
+
+    out = respec_partitions(spark, path, "bucket(4, uid)")
+    assert out["rows"] == 200
+    # new layout on disk, old dirs gone from the live tree
+    assert _dirs(path, "uid_bucket4=") == [
+        f"uid_bucket4={i}" for i in range(4)
+    ]
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        for f in files:
+            if f.endswith(".olive"):
+                assert "uid_bucket4=" in root
+    # sidecar repointed
+    side = read_sidecar(path)
+    assert side == [
+        {"kind": "bucket", "col": "uid", "n": 4, "dir": "uid_bucket4"},
+    ]
+    # content identical
+    post = sorted(
+        tuple(r) for r in spark.read.format("olive").load(path).collect()
+    )
+    assert post == pre_rows
+
+    # bucket pruning works on the new layout
+    from olive_spark.datasource.olive_datasource import OlivePushdownReader
+
+    sch = spark.read.format("olive").load(path).schema
+    r = OlivePushdownReader({"path": path, "pushdown": "true"}, sch)
+    r.predicates = [("uid", "=", 5)]
+    kept = [
+        fp for p in r.partitions() for fp in p.files
+        if not (p.predicates and p.predicates[0][0] == "__none__")
+    ]
+    assert kept and all("uid_bucket4=1" in fp for fp in kept)
+
+
+def test_respec_time_travel_across_spec_change(spark, tmp_path):
+    from olive_spark.ops.maintenance import respec_partitions
+
+    path = str(tmp_path / "t")
+    df = _mk_days_table(spark, path)
+    want = sorted(tuple(r) for r in df.collect())
+    respec_partitions(spark, path, "bucket(4, uid)")
+    # v1 (pre-respec) still reads exactly, THROUGH the new spec
+    v1 = spark.read.format("olive").option("snapshot", 1).load(path)
+    assert sorted(tuple(r) for r in v1.collect()) == want
+
+
+def test_respec_to_identity_removes_sidecar(spark, tmp_path):
+    from olive_spark.format.partition import read_sidecar
+    from olive_spark.ops.maintenance import respec_partitions
+
+    path = str(tmp_path / "t")
+    _mk_days_table(spark, path)
+    respec_partitions(spark, path, "uid")
+    assert read_sidecar(path) is None
+    assert _dirs(path, "uid=")
+    assert spark.read.format("olive").load(path).count() == 200
+    # classic hive mutations keep working post-respec
+    from olive_spark.ops.maintenance import delete_where
+
+    out = delete_where(spark, path, "k < 10")
+    assert out["rows_deleted"] == 10
+
+
+def test_respec_validates_columns(spark, tmp_path):
+    from olive_spark.ops.maintenance import respec_partitions
+
+    path = str(tmp_path / "t")
+    _mk_days_table(spark, path)
+    with pytest.raises(ValueError, match="not in table"):
+        respec_partitions(spark, path, "days(nope)")
+
+
+def test_rename_column_reads_old_files(spark, tmp_path):
+    from olive_spark.ops.maintenance import rename_column
+
+    path = str(tmp_path / "t")
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v") \
+        .coalesce(2).write.format("olive").mode("append").save(path)
+    out = rename_column(path, "v", "val")
+    assert out["renamed"] == {"v": "val"}
+
+    got = spark.read.format("olive").load(path)
+    assert sorted(got.columns) == ["k", "val"]
+    rows = sorted((r["k"], r["val"]) for r in got.collect())
+    assert rows == [(i, i * 2) for i in range(100)]
+
+    # filters + column pruning through the mapping
+    assert got.filter("val = 50").count() == 1
+    assert got.select("val").count() == 100
+
+    # appends under the NEW name mix with old files transparently
+    spark.range(100, 120).selectExpr("id AS k", "id * 2 AS val") \
+        .coalesce(1).write.format("olive").mode("append").save(path)
+    got2 = spark.read.format("olive").load(path)
+    assert sorted((r["k"], r["val"]) for r in got2.collect()) == [
+        (i, i * 2) for i in range(120)
+    ]
+
+    # the OLD name is tombstoned: an append carrying it is refused
+    with pytest.raises(Exception, match="DROPped"):
+        spark.range(5).selectExpr("id AS k", "id AS v") \
+            .write.format("olive").mode("append").save(path)
+
+
+def test_rename_chain_and_validation(spark, tmp_path):
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops.maintenance import rename_column
+
+    path = str(tmp_path / "t")
+    spark.range(50).selectExpr("id AS k", "id * 3 AS a") \
+        .coalesce(1).write.format("olive").mode("append").save(path)
+    rename_column(path, "a", "b")
+    # mid-chain files carry 'b'
+    spark.range(50, 80).selectExpr("id AS k", "id * 3 AS b") \
+        .coalesce(1).write.format("olive").mode("append").save(path)
+    rename_column(path, "b", "c")
+    got = spark.read.format("olive").load(path)
+    assert sorted(got.columns) == ["c", "k"]
+    assert sorted((r["k"], r["c"]) for r in got.collect()) == [
+        (i, i * 3) for i in range(80)
+    ]
+
+    with pytest.raises(ValidationError, match="not a column"):
+        rename_column(path, "nope", "x")
+    with pytest.raises(ValidationError, match="taken"):
+        rename_column(path, "c", "k")
+    with pytest.raises(ValidationError, match="reserved"):
+        rename_column(path, "c", "__x")
+    # renaming TO a tombstoned (old) name is refused
+    with pytest.raises(ValidationError, match="DROPped"):
+        rename_column(path, "c", "a")
+
+
+def test_rename_survives_merge_rewrite(spark, tmp_path):
+    """A MERGE after a rename rewrites affected old files under the new
+    name; untouched old files keep mapping at read."""
+    from olive_spark.ops.maintenance import merge_upsert, rename_column
+
+    path = str(tmp_path / "t")
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v") \
+        .repartition(4).write.format("olive").mode("append").save(path)
+    rename_column(path, "v", "val")
+    src = spark.createDataFrame(
+        [(5, 999), (200, 400)], "k long, val long"
+    )
+    merge_upsert(spark, path, src, ["k"])
+    got = spark.read.format("olive").load(path)
+    rows = dict((r["k"], r["val"]) for r in got.collect())
+    assert rows[5] == 999 and rows[200] == 400 and rows[7] == 14
+    assert len(rows) == 101
+
+
+def test_rename_partition_column_refused(spark, tmp_path):
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops.maintenance import rename_column
+
+    path = str(tmp_path / "t")
+    _mk_days_table(spark, path)
+    with pytest.raises(ValidationError, match="directory layout"):
+        rename_column(path, "ts", "event_ts")
+
+
+def test_register_table_named_sql(spark, tmp_path):
+    from olive_spark import register_table
+    from olive_spark.table import OliveTable
+
+    path = str(tmp_path / "t")
+    spark.range(60).selectExpr("id AS k", "id * 2 AS v") \
+        .write.format("olive").mode("append").save(path)
+    register_table(spark, "r9_named", path)
+    got = spark.sql(
+        "SELECT count(*) AS n, sum(v) AS s FROM r9_named"
+    ).first()
+    assert (got["n"], got["s"]) == (60, sum(i * 2 for i in range(60)))
+
+    # the view pins the file list at registration (documented DSv2
+    # boundary); re-registering picks up later writes
+    spark.range(60, 80).selectExpr("id AS k", "id * 2 AS v") \
+        .write.format("olive").mode("append").save(path)
+    register_table(spark, "r9_named", path)
+    assert spark.sql("SELECT count(*) AS n FROM r9_named").first()["n"] == 80
+
+    # facade spelling + reader options pass through
+    OliveTable(spark, path).register("r9_named2")
+    assert spark.sql("SELECT count(*) FROM r9_named2").first()[0] == 80
+    register_table(spark, "r9_named_v1", path, snapshot="1")
+    assert spark.sql(
+        "SELECT count(*) FROM r9_named_v1"
+    ).first()[0] == 60
+
+    with pytest.raises(ValueError, match="invalid view name"):
+        register_table(spark, "bad-name", path)
