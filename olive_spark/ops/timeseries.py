@@ -327,6 +327,9 @@ def funnel_depths(
     per-key event counts — the same bound any per-key window sort needs —
     and a JVM-side ``max_series`` guard fails loud (with a pointer to the
     streaming path) if one key's series exceeds it, instead of OOMing.
+    For keys that CAN exceed the guard, :func:`funnel_depths_chained`
+    computes the same depths with bounded aggregation state (no
+    gathered arrays) at the cost of len(stages) sequential jobs.
     """
     types = [s[0] for s in stages]
     evs = df.filter(F.col(type_col).isin(types)).select(
@@ -367,6 +370,150 @@ def funnel_depths(
 
     return per_key.select(
         key_col, F.aggregate("seq", zero, step)["depth"].alias("depth")
+    )
+
+
+def funnel_depths_chained(
+    df: DataFrame,
+    stages: "list[tuple[str, str]]",
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    window_us: int = 7 * 24 * 3_600_000_000,
+) -> DataFrame:
+    """The UNBOUNDED-KEY scale path for :func:`funnel_depths`: the
+    chained min-aggregate formulation — no per-key gathered array, so
+    per-task memory is bounded by aggregation state (a few longs per
+    key) no matter how pathological one key's event count is.
+
+    Semantics: identical to the array-walk whenever a key's (time)
+    values are unique across its stage events (greedy earliest-match
+    from the first stage-1 anchor) — parity pinned by a randomized
+    test.  With duplicate timestamps the walk breaks ties by the sorted
+    array's struct order (time, then event-type string) while this
+    formulation admits any same-instant event — the same caveat the
+    SQL-oracle equivalence of funnel_depths already documents.
+
+    Plan shape: stage i's events are filtered BEFORE its aggregation,
+    so each event row enters exactly one slim (key, t) aggregate;
+    stage i ≥ 2 equi-joins the per-key stage-(i-1) match time (one row
+    per key) back onto its own events.  len(stages) sequential jobs of
+    bounded-memory hash aggregates instead of one job whose state is a
+    whole per-key series: the right trade once a key can exceed the
+    array guard (:func:`_bounded_series`)."""
+    types = [s[0] for s in stages]
+    tus = F.unix_micros(F.col(time_col).cast("timestamp"))
+    evs = df.filter(F.col(type_col).isin(types)).select(
+        F.col(key_col), tus.alias("t"), F.col(type_col).alias("et")
+    )
+    # anchor: first stage-1 event per key
+    cur = (
+        evs.filter(F.col("et") == types[0])
+        .groupBy(key_col)
+        .agg(F.min("t").alias("m1"))
+        .withColumn("anchor", F.col("m1"))
+    )
+    for i, t in enumerate(types[1:], start=2):
+        nxt = (
+            evs.filter(F.col("et") == t)
+            .join(cur.select(key_col, f"m{i-1}", "anchor"), key_col)
+            .filter(
+                (F.col("t") >= F.col(f"m{i-1}"))
+                & (F.col("t") <= F.col("anchor") + F.lit(window_us))
+            )
+            .groupBy(key_col)
+            .agg(F.min("t").alias(f"m{i}"))
+        )
+        cur = cur.join(nxt, key_col, "left")
+    # depth = highest i with m_i non-null (progression is monotone)
+    depth = F.lit(0)
+    for i in range(1, len(types) + 1):
+        depth = F.when(F.col(f"m{i}").isNotNull(), F.lit(i)).otherwise(depth)
+    # re-attach keys that had events but never hit stage 1
+    keys = evs.select(key_col).distinct()
+    hit = cur.select(key_col, depth.alias("depth"))
+    return keys.join(hit, key_col, "left").select(
+        key_col, F.coalesce(F.col("depth"), F.lit(0)).alias("depth")
+    )
+
+
+def ewma_chunked(
+    df: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    chunk: int = 65_536,
+) -> DataFrame:
+    """The UNBOUNDED-KEY scale path for :func:`ewma`: per-task memory is
+    bounded by ``chunk`` elements instead of one key's whole series.
+
+    Math: the EWMA recurrence is an affine map — a whole chunk of
+    values composes to ``y_out = A·y_in + B`` with ``A = (1-α)^k`` and
+    ``B`` the chunk's own fold seeded from 0 — so a key's series splits
+    into rank-ordered chunks, each chunk folds independently (gathered
+    array bounded by ``chunk``), and the per-key combine folds the FEW
+    (A, B) summaries in chunk order.  Three slim hash shuffles (rank
+    window, chunk aggregate, summary combine); task state bounded by
+    chunk size at every point — no per-key series ever gathers whole.
+
+    Not bit-identical to the sequential fold (FP re-association: A·y+B
+    groups operations differently); agreement is ~1e-12 relative —
+    pinned by the parity test.  Use :func:`ewma` where bit-stable
+    cross-engine parity matters and series fit the guard."""
+    a = float(alpha)
+    # tie-break matches ewma()'s struct(t, x) sort: (time, value)
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(time_col).cast("timestamp"),
+        F.col(value_col).cast("double"),
+    )
+    ranked = df.select(
+        F.col(key_col),
+        F.col(time_col),
+        F.col(value_col).cast("double").alias("x"),
+        ((F.row_number().over(w) - 1) / F.lit(chunk)).cast("long")
+        .alias("__chunk"),
+        ((F.row_number().over(w) - 1) % F.lit(chunk)).alias("__pos"),
+    )
+    # per (key, chunk): ordered in-chunk fold seeded from 0, plus A
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("__pos").alias("p"),
+                                F.col("x").alias("x")))
+    )
+    al = F.lit(a)
+    fold0 = F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda acc, s: al * s["x"] + (F.lit(1.0) - al) * acc,
+    )
+    seg = ranked.groupBy(key_col, "__chunk").agg(
+        F.count("*").alias("k"),
+        fold0.alias("B"),
+        F.min_by("x", "__pos").alias("x0"),
+    ).withColumn("A", F.pow(F.lit(1.0 - a), F.col("k")))
+    # per key: fold the few chunk summaries in order.  Chunk 0 seeds
+    # with its first RAW value (y_1 = x_1), matching ewma()'s seeding:
+    # its exact fold is x0·(1-α)^(k-1) + fold-from-0 of the tail — but
+    # expressing the tail-refold cheaply: B0 computed from 0 differs
+    # from the seeded fold by (x0 - α·x0)·(1-α)^(k-1) = x0·(1-α)^k.
+    combined = F.aggregate(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("__chunk").alias("c"), F.col("A").alias("A"),
+            F.col("B").alias("B"), F.col("x0").alias("x0"),
+        ))),
+        F.struct(F.lit(True).alias("first"), F.lit(0.0).alias("y")),
+        lambda acc, s: F.struct(
+            F.lit(False).alias("first"),
+            F.when(
+                acc["first"],
+                # seed correction: y = B + x0·(1-α)^k
+                s["B"] + s["x0"] * s["A"],
+            ).otherwise(s["A"] * acc["y"] + s["B"]).alias("y"),
+        ),
+    )["y"]
+    return seg.groupBy(key_col).agg(
+        F.sum("k").alias("n"),
+        F.round(combined, 6).alias("ewma"),
     )
 
 
@@ -422,9 +569,10 @@ def ewma(
     an identically-ordered list yields the identical double.  Per-key
     state is the key's value array: fine for bounded series (sensors,
     user sessions); unbounded keys belong on the streaming path
-    (applyInPandasWithState) instead — the JVM-side ``max_series`` guard
-    enforces that boundary at execution time (loud error naming the
-    offending size, not an executor OOM)."""
+    (applyInPandasWithState) or :func:`ewma_chunked` (affine segment
+    composition, task memory bounded by chunk size) — the JVM-side
+    ``max_series`` guard enforces that boundary at execution time (loud
+    error naming the offending size, not an executor OOM)."""
     arr = _bounded_series(
         F.sort_array(
             F.collect_list(F.struct(F.col(time_col).alias("t"),

@@ -56,85 +56,45 @@ _RAW: dict[str, tuple] = {
 }
 
 # Driver coverage window: the correctness gate checks the FIRST 50
-# registry entries.  Round-8 rotation (VERDICT r7 task #8): cumulative
-# coverage is complete (every registry query has appeared in some
-# driver CORRECTNESS window, r2–r7), so the window now leads with the
-# 25 r8-new queries (never driver-checked; local driver_check MATCH /
-# rows-only-sane), re-checks the 10 r7-new queries that have appeared
-# exactly once, keeps the regression canary, and fills to 50 with the
-# longest-unchecked entries — the r04/r05-era windows, last checked 3-4
-# rounds ago — keeping ≥1 per query family (audited: 15 families in
-# the first 50).  Everything stays registered; entries beyond 50 keep
-# bench/pytest coverage.
+# registry entries.  Round-9 rotation (VERDICT r8 task #8): the window
+# leads with the 6 r9-new/rewired queries, re-checks the 8 r8-green
+# queries whose code paths r9 changed (rewrite layout plumbing, matview
+# recovery, partition epoch math, schema sidecar), keeps the canary,
+# and fills with the LONGEST-unchecked entries — the full 32-query
+# r05-era cohort (last driver-checked 4 rounds ago) plus 3 r06-era
+# samples — keeping ≥1 per query family.  Cumulative coverage stays
+# complete: every registry query has appeared in some driver window
+# r2–r9 with zero real failures on its latest appearance; entries
+# beyond 50 keep bench/pytest coverage.
 _ORDER = [
-    # proven regression canary (format round-trip, r02–r07 green)
+    # proven regression canary (format round-trip, r02-r08 green)
     "scan_roundtrip_lineitem",
-    # --- new in r8 (never driver-checked) ---
-    "scan_after_merge_upsert",     # r8: MERGE INTO copy-on-write parity
-    "scan_merge_time_travel",      # r8: pre-merge snapshot still exact
-    "scan_merge_partitioned",      # r8: hive layout survives MERGE/DELETE
-    "scan_merge_cdc_tombstones",   # r8: sequenced WHEN-MATCHED-DELETE
-    "mm_decode_png_real",          # r8: real PNG decode, exact oracle
-    "mm_audio_wav_real",           # r8: real WAV decode, exact oracle
-    "llm_similarity_ivf_persisted",  # r8: ANN from a persisted index (rows-only)
-    "stream_merge_upsert",         # r8: streaming CDC latest-wins MERGE
-    "scan_merge_conditional_evolve",  # r8: WHEN-MATCHED-AND + add-column evolution
-    "scan_changes_feed",           # r8: CDF — net row changes between snapshots
-    "llm_domain_cap",              # r8: skew-safe per-domain quota cap
-    "scan_changes_by_commit",      # r8: per-commit CDF granularity
-    "mm_phash_pairs",              # r8: DCT pHash + band-blocked pairs (rows-only)
-    "ts_anomaly_zscore",           # r8: rolling z-score outliers, bounded frame
-    "llm_word_entropy",            # r8: per-doc Shannon word entropy deciles
-    "scan_merge_conditional_delete",  # r8: WHEN-MATCHED-AND-DELETE leg
-    "scan_incremental_matview",    # r8: delta-fold continuous aggregate
-    "llm_neardup_incremental",     # r8: persisted LSH index probe (rows-only)
-    "llm_keyword_search",          # r8: inverted-index exact term search
-    "llm_bm25_search",             # r8: BM25 ranking off the same index
-    "stream_matview",              # r8: per-epoch continuous aggregate
-    "scan_expectations_gate",      # r8: DLT-style gate + quarantine sidecar
-    "llm_graph_pagerank",          # r8: power-iteration authority (rows-only)
-    "scan_after_update_where",     # r8: predicate UPDATE copy-on-write parity
-    "scan_after_restore",          # r8: RESTORE TO VERSION, then append
-    "stream_cdc_pump",             # r8: cursor-resumed per-commit CDC delivery
-    "scan_after_drop_column",      # r8: metadata-only DROP COLUMN + append
-    "llm_unigram_lm_score",        # r8: corpus-unigram LM curation scoring
-    "scan_hidden_partition_pruning",  # r8: days(ts) hidden partitioning
-    "scan_bucket_partition_pruning",  # r8: bucket(8, user_id) pmod pruning
-    "scan_merge_hidden_partition",    # r9: MERGE+DELETE on days(ts) layout
-    "scan_truncate_partition_pruning",  # r9: truncate(16, user_id) ranges
-    "scan_after_respec",              # r9: partition-spec evolution + mutate
-    "scan_after_rename_column",       # r9: metadata-only RENAME COLUMN
-    "scan_table_by_name",             # r9: register_table + plain SQL
-    "llm_train_split",             # r8: engine-portable seeded hash split
-    # --- r7-new, driver-checked exactly once (r07) ---
-    "llm_pack_sequences_sharded",  # r7: partition-wise packing
-    "llm_decontaminate_ngram",     # r7: GPT-3-style n-gram overlap
-    "llm_dedup_lines",             # r7: intra-doc line dedup
-    "llm_boilerplate_lines",       # r7: cross-doc frequent-line removal
-    "ts_resample_interpolate",     # r7: gapfill linear interpolation
-    "llm_dedup_clusters_star",     # r7: O(log n) large/small-star CC
-    "join_fuzzy_names",            # r7: symmetric-delete fuzzy join
-    "scan_table_checksum",         # r7: order-independent content sum
-    "scan_time_travel",            # r7: snapshot-log versioned read
-    "stream_snapshot_tail",        # r7: startingSnapshot stream handoff
-    # --- longest-unchecked: r04/r05-window entries (≥1 per family) ---
-    "types_unsigned_time",
-    "agg_groupby_sum",
-    "agg_approx_sketches",         # rows-only (sketch estimates)
-    "join_hash_orders_customer",
-    "join_broadcast_dims",
-    "join_skew_salted",
-    "window_sessionize",
-    "dedup_latest_per_key",
+    # --- new or rewired in r9 (never driver-checked in this form) ---
+    "scan_merge_hidden_partition",  # r9: MERGE+DELETE on a days(ts) layout
+    "scan_truncate_partition_pruning",  # r9: truncate(W,col) range pruning
+    "scan_after_respec",  # r9: partition-spec evolution + post-respec mutate
+    "scan_after_rename_column",  # r9: metadata-only RENAME, per-file mapping
+    "scan_table_by_name",  # r9: register_table + plain SQL
+    "llm_dedup_incremental",  # r9: REWIRED to the persisted sharded Bloom index
+    "events_window_funnel_chained",  # r9: unbounded-key funnel scale path
+    # --- r8-green queries whose CODE PATHS r9 touched (merge/
+    # delete/update rewrite layout, matview recovery, partition
+    # epoch math, schema sidecar) — regression re-checks ---
+    "scan_after_merge_upsert",
+    "scan_merge_partitioned",
+    "scan_merge_cdc_tombstones",
+    "scan_incremental_matview",
+    "scan_after_update_where",
+    "scan_after_drop_column",
+    "scan_hidden_partition_pruning",
+    "scan_bucket_partition_pruning",
+    # --- longest-unchecked: last driver-checked in the r05 window ---
     "ts_resample_locf",
     "events_window_funnel",
     "scalar_json_events",
     "setop_union_except",
     "subquery_correlated_scalar",
     "tpch_q3_shipping",
-    # ---- beyond the 50-entry driver window (the r8-new additions
-    # above displaced these from the checked first 50; all were green
-    # in earlier windows and keep bench/pytest coverage) ----
     "agg_cube_events",
     "agg_rollup",
     "agg_distinct",
@@ -147,7 +107,7 @@ _ORDER = [
     "tpch_q9_product_revenue",
     "tpch_q21_waiting_orders",
     "llm_dedup_exact",
-    "llm_dedup_minhash",           # rows-only (LSH banding)
+    "llm_dedup_minhash",
     "llm_dedup_clusters",
     "llm_similarity_topk",
     "llm_contamination",
@@ -155,8 +115,60 @@ _ORDER = [
     "llm_text_stats",
     "mm_image_resize",
     "stream_window_counts",
-    # r07-window entries (all green r07)
-    "llm_dedup_incremental",
+    "agg_pivot_status",
+    "agg_stats_moments",
+    "agg_collect_sorted",
+    "join_full_outer",
+    "null_handling",
+    "reshape_unpivot",
+    # --- r06-window sample (next-oldest; family fill) ---
+    "agg_median_disc",
+    "window_first_last",
+    # ---- beyond the 50-entry driver window: everything below was
+    # green in its latest window (r06-r08) and keeps bench/pytest
+    # coverage; cumulative driver coverage over rounds stays complete ----
+    "scalar_hash_bitwise",
+    "scan_merge_time_travel",
+    "mm_decode_png_real",
+    "mm_audio_wav_real",
+    "llm_similarity_ivf_persisted",
+    "stream_merge_upsert",
+    "scan_merge_conditional_evolve",
+    "scan_changes_feed",
+    "llm_domain_cap",
+    "scan_changes_by_commit",
+    "mm_phash_pairs",
+    "ts_anomaly_zscore",
+    "llm_word_entropy",
+    "scan_merge_conditional_delete",
+    "llm_neardup_incremental",
+    "llm_keyword_search",
+    "llm_bm25_search",
+    "stream_matview",
+    "scan_expectations_gate",
+    "llm_graph_pagerank",
+    "scan_after_restore",
+    "stream_cdc_pump",
+    "llm_unigram_lm_score",
+    "llm_train_split",
+    "llm_pack_sequences_sharded",
+    "llm_decontaminate_ngram",
+    "llm_dedup_lines",
+    "llm_boilerplate_lines",
+    "ts_resample_interpolate",
+    "llm_dedup_clusters_star",
+    "join_fuzzy_names",
+    "scan_table_checksum",
+    "scan_time_travel",
+    "stream_snapshot_tail",
+    "types_unsigned_time",
+    "agg_groupby_sum",
+    "agg_approx_sketches",
+    "join_hash_orders_customer",
+    "join_broadcast_dims",
+    "join_skew_salted",
+    "window_sessionize",
+    "dedup_latest_per_key",
     "llm_token_budget_mix",
     "stream_incremental_dedup",
     "llm_gopher_rules",
@@ -195,21 +207,11 @@ _ORDER = [
     "dict_encode_fsb",
     "compression_codecs",
     "types_decimal_date",
-    # r04/r05/r06 driver-green remainder
-    "agg_pivot_status",
-    "agg_stats_moments",
-    "agg_collect_sorted",
-    "join_full_outer",
-    "null_handling",
-    "reshape_unpivot",
-    "agg_median_disc",
     "agg_histogram_buckets",
     "agg_conditional_bools",
     "agg_grouped_map_mad",
     "join_lateral_topn",
     "join_left_right_outer",
-    "window_first_last",
-    "scalar_hash_bitwise",
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",

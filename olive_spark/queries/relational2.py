@@ -1016,6 +1016,30 @@ SQL_WINDOW_FUNNEL = (
 )
 
 
+def events_window_funnel_chained(spark: SparkSession, sf: str) -> DataFrame:
+    """The same funnel through the UNBOUNDED-KEY scale path (r9 —
+    ops/timeseries.funnel_depths_chained: chained min-aggregates, no
+    per-key gathered arrays, bounded aggregation state): depths are
+    integers, so the chained plan must hash-match the identical oracle
+    the array walk matches — driver-gated proof the two formulations
+    agree on real data, not just the randomized pytest fixture."""
+    from olive_spark.ops.timeseries import funnel_depths_chained
+
+    events = data.load(
+        spark, sf, "events", columns=["user_id", "ts", "event_type"]
+    )
+    depths = funnel_depths_chained(
+        events,
+        stages=[("view", "viewed"), ("click", "clicked"),
+                ("purchase", "purchased")],
+    )
+    return (
+        depths.filter(F.col("depth") >= 1)
+        .groupBy("depth")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 def events_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Weekly cohort retention over the events table: users grouped by
     first-activity week, counted when active k weeks later (k <= 4).
@@ -2018,5 +2042,8 @@ QUERIES: dict[str, tuple] = {
     "agg_histogram_buckets": (agg_histogram_buckets, SQL_AGG_HISTOGRAM),
     "join_skew_salted": (join_skew_salted, SQL_JOIN_SKEW),
     "events_window_funnel": (events_window_funnel, SQL_WINDOW_FUNNEL),
+    "events_window_funnel_chained": (
+        events_window_funnel_chained, SQL_WINDOW_FUNNEL,
+    ),
     "events_cohort_retention": (events_cohort_retention, SQL_COHORT_RETENTION),
 }

@@ -379,3 +379,86 @@ def test_ewma_and_funnel_max_series_guard(spark):
     ).count() == 3
     with pytest.raises(Exception, match="max_series"):
         funnel_depths(ev, [("view", "s1")], max_series=10).collect()
+
+
+def test_funnel_chained_matches_array_walk(spark):
+    """funnel_depths_chained (the unbounded-key scale path: chained
+    min-aggregates, no gathered arrays) must compute the same depths as
+    the array walk on unique (key, time) data — including randomized
+    event streams."""
+    import random
+
+    from olive_spark.ops.timeseries import (
+        funnel_depths,
+        funnel_depths_chained,
+    )
+
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1)
+    rng = random.Random(7)
+    types = ["view", "click", "purchase"]
+    rows = []
+    for u in range(60):
+        n = rng.randint(1, 12)
+        ts_pool = rng.sample(range(0, 3_000), n)
+        for t in ts_pool:
+            rows.append((u, base + _dt.timedelta(seconds=t * 30),
+                         rng.choice(types)))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    stages = [("view", "v"), ("click", "c"), ("purchase", "p")]
+    W = 10 * 60 * 1_000_000
+    walk = {
+        r["user_id"]: r["depth"]
+        for r in funnel_depths(df, stages=stages, window_us=W).collect()
+    }
+    chained = {
+        r["user_id"]: r["depth"]
+        for r in funnel_depths_chained(
+            df, stages=stages, window_us=W
+        ).collect()
+    }
+    assert chained == walk
+    assert set(walk.values()) & {0, 1, 2, 3}  # non-trivial fixture
+
+
+def test_ewma_chunked_matches_sequential(spark):
+    """ewma_chunked (affine segment composition, task memory bounded by
+    chunk size) must agree with the sequential fold to FP re-association
+    tolerance — with chunk smaller than the series so multiple segments
+    actually compose, and chunk boundaries landing mid-series."""
+    import math
+    import random
+
+    from olive_spark.ops.timeseries import ewma, ewma_chunked
+
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1)
+    rng = random.Random(11)
+    rows = []
+    for u in range(10):
+        n = rng.randint(5, 97)  # not a multiple of chunk
+        for i in range(n):
+            rows.append((u, base + _dt.timedelta(seconds=i),
+                         rng.uniform(-100, 100)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    seq = {r["user_id"]: (r["n"], r["ewma"])
+           for r in ewma(df, alpha=0.3).collect()}
+    chk = {r["user_id"]: (r["n"], r["ewma"])
+           for r in ewma_chunked(df, alpha=0.3, chunk=16).collect()}
+    assert set(seq) == set(chk)
+    for u in seq:
+        assert seq[u][0] == chk[u][0]
+        assert math.isclose(seq[u][1], chk[u][1], rel_tol=1e-9, abs_tol=1e-9), (
+            u, seq[u], chk[u],
+        )
+    # degenerate: single-element series seeds correctly (y = x0)
+    one = spark.createDataFrame(
+        [(99, _dt.datetime(2024, 1, 1), 42.5)],
+        "user_id long, ts timestamp, value double",
+    )
+    got = ewma_chunked(one, alpha=0.3, chunk=4).collect()[0]
+    assert (got["n"], got["ewma"]) == (1, 42.5)
