@@ -2062,7 +2062,20 @@ def describe(path: str, table: str = "data") -> dict:
         th = _pick_table(header, table)
         rows += th.num_rows
         fold(_header_file_stats(th))
-    return {"files": len(files), "rows": rows, "bytes": size, "columns": cols}
+    out = {"files": len(files), "rows": rows, "bytes": size,
+           "columns": cols}
+    # partition layout, so "what is this table" answers include the
+    # spec users must preserve (or respec) when reorganizing
+    from olive_spark.format.partition import read_sidecar, spec_to_string
+
+    side = read_sidecar(path) if os.path.isdir(path) else None
+    if side:
+        out["partition_spec"] = spec_to_string(side)
+    else:
+        cols_detected = _detect_partition_cols(path)
+        if cols_detected:
+            out["partition_spec"] = ",".join(cols_detected)
+    return out
 
 
 def count_rows(

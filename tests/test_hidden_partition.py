@@ -583,3 +583,91 @@ def test_transform_pruning_exclusive_end_no_us_assumption():
     assert not transform_dir_prunable(d, [("ts", ">=", end_minus_1us)], tfs)
     assert transform_dir_prunable(d, [("ts", ">", end)], tfs)
     assert transform_dir_prunable(d, [("ts", ">=", end)], tfs)
+
+
+def test_streaming_cdc_merge_into_hidden_partition(spark, tmp_path):
+    """The canonical 100 TB event-table pipeline end-to-end: a change
+    stream MERGEs per microbatch (foreach_batch_upsert, latest-wins +
+    tombstones) into a days(ts) HIDDEN-partitioned target — the two r8
+    flagship features that were mutually exclusive until r9.  The final
+    table must match a latest-wins replay, keep every file inside a day
+    dir, and keep transform pruning alive."""
+    import datetime as dt
+    import pyarrow as pa
+
+    from olive_spark import streaming
+    from olive_spark.format.writer import write_chunk
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    base_us = 1700000000000000
+    # target seeded with 50 keys over 2 day dirs
+    spark.range(50).selectExpr(
+        "id AS k",
+        f"timestamp_micros(cast({base_us} + (id % 2) * 86400000000 "
+        "as long)) AS ts",
+        "cast(0 as long) AS seq",
+        "cast(id as long) AS v",
+    ).coalesce(1).write.format("olive") \
+        .option("partitionBy", "days(ts)").mode("append").save(tgt)
+
+    # change stream: updates for k<20 (seq 2, day shifted +3), stale
+    # updates for k in [20,30) (seq 0 ties -> source wins at equal seq?
+    # no: latest-wins tie prefers source; use seq -1 so they LOSE),
+    # tombstones for k in [40,50) (seq 3), inserts k in [100,110)
+    rows = []
+    for k in range(20):
+        rows.append((k, base_us + 3 * 86400000000, 2, k + 1000, False))
+    for k in range(20, 30):
+        rows.append((k, base_us, -1, 9999, False))
+    for k in range(40, 50):
+        rows.append((k, base_us, 3, 0, True))
+    for k in range(100, 110):
+        rows.append((k, base_us + 10 * 86400000000, 1, k, False))
+    t = pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "seq": pa.array([r[2] for r in rows], pa.int64()),
+        "v": pa.array([r[3] for r in rows], pa.int64()),
+        "_del": pa.array([r[4] for r in rows], pa.bool_()),
+    })
+    with open(os.path.join(src, "part-00000.olive"), "wb") as f:
+        f.write(write_chunk({"data": t}))
+
+    sdf = streaming.read_stream(spark, src)
+    from olive_spark.streaming.ops import foreach_batch_upsert
+
+    q = (
+        sdf.writeStream.foreachBatch(
+            foreach_batch_upsert(
+                tgt, ["k"], latest_by="seq", delete_col="_del",
+                retain_history=True,
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.format("olive").load(tgt)
+    rows_by_k = {r["k"]: r for r in got.collect()}
+    # 50 seed - 10 tombstoned + 10 inserted, updates applied, stale lost
+    assert len(rows_by_k) == 50, sorted(rows_by_k)[:5]
+    assert all(rows_by_k[k]["v"] == k + 1000 for k in range(20))
+    assert all(rows_by_k[k]["v"] == k for k in range(20, 30))  # stale lost
+    assert all(k not in rows_by_k for k in range(40, 50))
+    assert all(rows_by_k[k]["v"] == k for k in range(100, 110))
+    _assert_days_layout(tgt)
+    # updated rows MOVED to their new day dir; inserts created theirs
+    days = {d for d in os.listdir(tgt) if d.startswith("ts_day=")}
+    assert "ts_day=2023-11-17" in days  # base+3d
+    assert "ts_day=2023-11-24" in days  # base+10d
+    # transform pruning still prunes post-CDC files
+    lo = dt.datetime(2023, 11, 24)
+    all_files = _scan_files(spark, tgt)
+    one = _scan_files(spark, tgt, ("ts", ">=", lo))
+    assert 0 < len(one) < len(all_files)

@@ -227,3 +227,46 @@ def test_release_happy_path_removes_lock(tmp_path):
     # re-acquire works after release
     lock.acquire(d, ttl=60)
     lock.release(d)
+
+
+def test_tag_and_expire_respect_the_table_lock(tmp_path):
+    """r8 advice: tag_version/delete_version_tag/expire are full
+    snapshot-log read-modify-writes — under a FOREIGN holder they must
+    refuse (not silently write back a pre-op entry list), while a
+    same-thread holder composes reentrantly."""
+    import json
+    import os
+    import socket
+    import time
+
+    import pytest as _pytest
+
+    from olive_spark.format import lock, snapshots
+    from olive_spark.format.errors import ValidationError
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    snapshots.append_entry(d, add=["a.olive"])
+
+    # foreign live holder: all three mutations refuse loudly
+    with open(os.path.join(d, lock.LOCK_NAME), "w") as f:
+        json.dump({"pid": 1, "host": "other-host",
+                   "token": "foreign", "ts": time.time(), "ttl": 600}, f)
+    with _pytest.raises(ValidationError, match="write-locked"):
+        snapshots.tag_version(d, "x")
+    with _pytest.raises(ValidationError, match="write-locked"):
+        snapshots.delete_version_tag(d, "x")
+    with _pytest.raises(ValidationError, match="write-locked"):
+        snapshots.expire(d, 1)
+    os.remove(os.path.join(d, lock.LOCK_NAME))
+
+    # reentrant composition: tagging inside a held lock works
+    with lock.table_write_lock(d):
+        v = snapshots.tag_version(d, "baseline")
+    assert v == 1
+    assert snapshots.list_version_tags(d) == {"baseline": 1}
+    assert snapshots.delete_version_tag(d, "baseline") is True
+    out = snapshots.expire(d, 1)
+    assert out["retained"] == 1
+    # no lock debris left behind
+    assert not os.path.exists(os.path.join(d, lock.LOCK_NAME))
