@@ -160,13 +160,26 @@ def compact(
     zorder_by: "list[str] | None" = None,
     table: str = "data",
     retain_history: bool = False,
+    where: "str | None" = None,
 ) -> dict:
     """Rewrite the olive directory at ``path`` into files of
     ``target_rows``; with ``sort_by``, range-partition + sort so page
     min/max stats are disjoint across files; with ``zorder_by`` (2-4
     columns), cluster on a Morton-interleaved key so range predicates on
     EITHER column prune files (the multi-dimensional skipping a single
-    sort can't give).  Returns {files_before, files_after, rows}.
+    sort can't give).  On a PARTITIONED table (hive or hidden
+    transforms) both sort and z-order cluster WITHIN each partition dir
+    — the layout and its directory pruning are preserved, and the
+    clustered key tightens page stats inside every dir's files (the
+    Delta OPTIMIZE ZORDER shape).
+
+    ``where`` (r9) scopes the rewrite to the files containing a
+    matching row — Delta's ``OPTIMIZE ... WHERE``: at 100 TB you
+    compact yesterday's partition, never the table.  Discovery is one
+    file-name aggregate; non-matching files keep their bytes, stats,
+    and names, and the scoped rewrite still lands as ONE snapshot
+    version.  Returns {files_before, files_after, rows} (plus
+    ``files_matched: 0`` on a no-match no-op).
 
     Isolation contract: ``compact`` assumes a SINGLE writer — no
     concurrent ``compact``/``vacuum``/write on the same directory.
@@ -207,15 +220,38 @@ def compact(
     layout = _partition_layout(
         path, rels=[os.path.relpath(f, path) for f in before]
     )
-    if layout and zorder_by:
-        raise ValueError(
-            "zorder compaction flattens the layout and is not supported "
-            f"on a partitioned table (detected {layout['dirs']}); "
-            "compact without zorder_by to preserve directory pruning"
-        )
     if zorder_by and not 2 <= len(zorder_by) <= 4:
         raise ValueError("zorder_by takes two to four columns")
-    df = spark.read.format("olive").load(path)
+    if where is not None:
+        # scoped OPTIMIZE (Delta's `OPTIMIZE ... WHERE`): restrict the
+        # rewrite to the FILES that contain a matching row — discovery
+        # is one file-name aggregate (same shape as delete_where's);
+        # at 100 TB you compact yesterday's partition, never the
+        # table.  Untouched files keep their bytes, stats, and names.
+        fc = "_olive_file"
+        tagged = (
+            spark.read.format("olive")
+            .option("table", table)
+            .option("fileColumn", fc)
+            .load(path)
+        )
+        affected = sorted(
+            r[0]
+            for r in tagged.filter(F.expr(where))
+            .select(fc).distinct().collect()
+        )
+        if not affected:
+            return {"files_before": len(before), "files_after": len(before),
+                    "rows": 0, "files_matched": 0}
+        before = [os.path.join(path, rel) for rel in affected]
+        df = (
+            spark.read.format("olive")
+            .option("table", table)
+            .option("files", ",".join(affected))
+            .load(path)
+        )
+    else:
+        df = spark.read.format("olive").load(path)
     rows = df.count()
     n_files = max(1, math.ceil(rows / target_rows))
     if zorder_by:
@@ -235,12 +271,26 @@ def compact(
             for i, c in enumerate(zorder_by)
         ]
         drop = [x for i in range(len(zorder_by)) for x in (f"_lo{i}", f"_hi{i}")]
-        df = (
-            df.withColumn("_z", _morton_expr(norm, nbits))
-            .repartitionByRange(n_files, "_z")
-            .sortWithinPartitions("_z")
-            .drop("_z", *drop)
-        )
+        z = df.withColumn("_z", _morton_expr(norm, nbits))
+        if layout:
+            # Delta's OPTIMIZE ZORDER on a partitioned table: cluster
+            # WITHIN each partition dir (global z-ranging would scatter
+            # every dir's rows over every task and flatten nothing —
+            # the layout is preserved by the partitioned write; the
+            # z-sort tightens page stats inside each dir's files).
+            # Global min/max bounds are fine: normalization is
+            # monotone, so within-dir z-order is unaffected.
+            df = (
+                z.repartition(n_files, *layout["shape"])
+                .sortWithinPartitions(*layout["shape"], "_z")
+                .drop("_z", *drop)
+            )
+        else:
+            df = (
+                z.repartitionByRange(n_files, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z", *drop)
+            )
     elif sort_by:
         if layout:
             # per-partition-dir sorted files: range-sorting across the

@@ -834,3 +834,54 @@ def test_sortby_write_time_clustering(spark, tmp_path):
     with _pytest.raises(Exception, match="sortBy"):
         df.write.format("olive").option("sortBy", "nope") \
             .mode("append").save(str(tmp_path / "x"))
+
+
+def test_compact_zorder_within_partition_dirs(spark, tmp_path):
+    """r9: z-order compaction on a PARTITIONED table clusters WITHIN
+    each dir (Delta OPTIMIZE ZORDER shape): layout + directory pruning
+    survive, and inside every dir a narrow range on either z column
+    excludes some of that dir's files by min/max stats."""
+    import os as _os
+
+    from olive_spark.datasource.olive_datasource import (
+        _list_chunk_files,
+        _read_header_bytes,
+    )
+    from olive_spark.ops.maintenance import compact
+
+    n = 32
+    df = spark.range(2 * n * n).selectExpr(
+        f"cast(id % 2 as int) AS grp",
+        f"cast((id div 2) % {n} as long) AS x",
+        f"cast((id div 2) div {n} as long) AS y",
+    )
+    d = str(tmp_path / "zp")
+    df.repartition(2, "grp").write.format("olive") \
+        .option("partitionBy", "grp").mode("append").save(d)
+    compact(spark, d, target_rows=128, zorder_by=["x", "y"])
+
+    # layout preserved: every live file inside a grp= dir
+    files = _list_chunk_files(d)
+    assert files and all(
+        "grp=" in _os.path.relpath(f, d).split(_os.sep)[0] for f in files
+    )
+    # per dir: both axes prune on file stats
+    for g in (0, 1):
+        sub = [f for f in files if f"grp={g}" in f]
+        assert len(sub) >= 4, sub
+
+        def span(col):
+            out = []
+            for fp in sub:
+                header, _ = _read_header_bytes(fp)
+                th = header.tables[0]
+                st = th.fields[th.field_names.index(col)].stats
+                out.append((min(st["min"]), max(st["max"])))
+            return out
+
+        for col in ("x", "y"):
+            spans = span(col)
+            hit = sum(1 for lo, hi in spans if lo <= n // 8)
+            assert hit <= len(spans) // 2 + 1, (g, col, spans)
+    back = spark.read.format("olive").load(d)
+    assert back.count() == 2 * n * n

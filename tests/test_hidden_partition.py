@@ -212,9 +212,11 @@ def test_hidden_partition_delete_update_compact(spark, tmp_path):
     assert out["restored_to"] == 1
     assert spark.read.format("olive").load(path).count() == 300
 
-    # zorder still refuses (it flattens any layout)
-    with pytest.raises(ValueError, match="zorder"):
-        compact(spark, path, zorder_by=["k", "uid"])
+    # zorder within partition dirs (r9): layout survives, content exact
+    out = compact(spark, path, zorder_by=["k", "uid"], target_rows=1000)
+    assert out["rows"] == 300
+    _assert_days_layout(path)
+    assert spark.read.format("olive").load(path).count() == 300
 
     # conflicting spec on later appends fails loud
     with pytest.raises(Exception, match="partition spec conflict"):
@@ -671,3 +673,62 @@ def test_streaming_cdc_merge_into_hidden_partition(spark, tmp_path):
     all_files = _scan_files(spark, tgt)
     one = _scan_files(spark, tgt, ("ts", ">=", lo))
     assert 0 < len(one) < len(all_files)
+
+
+def test_compact_where_scopes_to_matching_dirs(spark, tmp_path):
+    """compact(where=...) — Delta's OPTIMIZE ... WHERE: only files with
+    a matching row are rewritten; other dirs keep their exact file
+    names (proof no bytes moved), and the whole op is one snapshot
+    version.  Works on a hidden days(ts) layout via the same predicate
+    the user would query with."""
+    import datetime as dt
+
+    from olive_spark.format.snapshots import current_version
+    from olive_spark.ops.maintenance import compact
+
+    path = str(tmp_path / "cw")
+    # 3 day dirs, MANY small files in each (one per append)
+    base = dt.datetime(2023, 11, 14, 22, 13, 20)
+    for i in range(4):
+        spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "id AS k",
+            "timestamp_micros(cast(1700000000000000 + (id % 3) "
+            "* 86400000000 as long)) AS ts",
+        ).coalesce(1).write.format("olive") \
+            .option("partitionBy", "days(ts)").mode("append").save(path)
+
+    def files_by_day():
+        out = {}
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith("_")]
+            for f in files:
+                if f.endswith(".olive"):
+                    out.setdefault(os.path.basename(root), set()).add(f)
+        return out
+
+    pre = files_by_day()
+    assert all(len(v) == 4 for v in pre.values()), pre
+    v_before = current_version(path)
+
+    # compact ONLY day 2's files
+    lo = base + dt.timedelta(days=2)
+    out = compact(
+        spark, path, target_rows=1 << 20,
+        where=f"ts >= timestamp'{lo.isoformat(sep=' ')}'",
+    )
+    assert out["rows"] == 133  # ids with id % 3 == 2 over 0..399
+    post = files_by_day()
+    day_dirs = sorted(pre)
+    untouched = day_dirs[:2]
+    target = day_dirs[2]
+    for d in untouched:  # exact same file names: nothing rewritten
+        assert post[d] == pre[d], d
+    assert len(post[target]) == 1  # 4 small files folded into one
+    assert current_version(path) == v_before + 1  # one snapshot version
+    got = spark.read.format("olive").load(path)
+    assert got.count() == 400
+
+    # no-match predicate: clean no-op, no new version
+    out = compact(spark, path, where="ts >= timestamp'2030-01-01'")
+    assert out.get("files_matched") == 0
+    assert current_version(path) == v_before + 1

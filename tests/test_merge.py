@@ -474,9 +474,11 @@ def test_rewrites_preserve_hive_partition_layout(spark, tmp_path):
     v1 = spark.read.format("olive").option("snapshot", "1").load(path)
     assert _rows(v1) == sorted((k, k * 10, k % 4) for k in range(400))
 
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="on a partitioned table"):
-        compact(spark, path, zorder_by=["k", "v"])
+    # zorder on a partitioned table clusters WITHIN each dir (r9 —
+    # previously refused): layout must survive and content stay exact
+    compact(spark, path, zorder_by=["k", "v"], target_rows=1000)
+    layout_ok()
+    assert _rows(spark.read.format("olive").load(path)) == expect
 
 
 def test_delete_everything_keeps_table_scannable(spark, tmp_path):
