@@ -262,6 +262,8 @@ def probe_bloom_index(
     ).load(d)
 
     id_type = dict(new_df.dtypes)[id_col]
+    from pyspark import StorageLevel
+
     batch = (
         new_df.select(
             F.col(id_col),
@@ -271,7 +273,16 @@ def probe_bloom_index(
         .groupBy("content_hash", "__h1", "__h2")
         .agg(F.min(id_col).alias(id_col))
         .withColumn("__shard", F.pmod(F.col("__h1"), F.lit(nsh)).cast("int"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # only ROUTED shards enter the cogroup: a modest batch touches few
+    # of a big index's shards, and the cogroup would otherwise shuffle
+    # EVERY shard's bitmap bytes per probe.  The routed-id collect is
+    # bounded by n_shards (ints, not bitmaps).
+    routed = [
+        r[0] for r in batch.select("__shard").distinct().collect()
+    ]
+    shards = shards.filter(F.col("shard").isin(routed))
 
     def flag(key, batch_pdf: "pd.DataFrame", shard_pdf: "pd.DataFrame"):
         h1 = batch_pdf["__h1"].to_numpy()
@@ -289,8 +300,6 @@ def probe_bloom_index(
         out = batch_pdf[["content_hash", id_col]].copy()
         out["__maybe_dup"] = hit
         return out
-
-    from pyspark import StorageLevel
 
     flagged = (
         batch.groupBy("__shard")

@@ -229,12 +229,7 @@ def compact(
         # at 100 TB you compact yesterday's partition, never the
         # table.  Untouched files keep their bytes, stats, and names.
         fc = "_olive_file"
-        tagged = (
-            spark.read.format("olive")
-            .option("table", table)
-            .option("fileColumn", fc)
-            .load(path)
-        )
+        tagged = _discovery_scan(spark, path, table, fc)
         affected = sorted(
             r[0]
             for r in tagged.filter(F.expr(where))
@@ -443,6 +438,32 @@ def respec_partitions(
         "rows": rows,
         "version": current_version(path),
     }
+
+
+def _discovery_scan(spark, path: str, table: str, fc: str):
+    """The affected-file discovery relation shared by predicate
+    mutations (compact(where)/delete_where/update_where): a fresh
+    fileColumn-tagged scan that opts into plan-time pushdown pruning
+    when the session allows it (``spark.sql.python.filterPushdown
+    .enabled``) — on a partitioned 100 TB table the discovery then
+    prunes whole dirs/files instead of reading everything to learn
+    nothing matched.  Safe: a file the planner prunes contains no
+    matching row by construction, and each mutation builds its own
+    single-scan relation, so the DSv2 readInfo-reuse hazard (documented
+    in olive_datasource) cannot bite."""
+    r = (
+        spark.read.format("olive")
+        .option("table", table)
+        .option("fileColumn", fc)
+    )
+    try:
+        if str(spark.conf.get(
+            "spark.sql.python.filterPushdown.enabled", "false"
+        )).lower() == "true":
+            r = r.option("pushdown", "true")
+    except Exception:  # noqa: BLE001 — conf shape differs on Connect
+        pass
+    return r.load(path)
 
 
 def _seed_snapshot_log(path: str) -> None:
@@ -1446,14 +1467,15 @@ def delete_where(
     _recover_pending(path)
     _seed_snapshot_log(path)
     fc = "_olive_file"
-    tagged = (
-        spark.read.format("olive")
-        .option("table", table)
-        .option("fileColumn", fc)
-        .load(path)
-    )
     cond = F.expr(condition)
-    hits = tagged.filter(cond).groupBy(fc).count().collect()
+    # discovery on its own (possibly pushdown-pruned) relation; the
+    # rewrite below uses a FRESH plain relation — re-filtering one
+    # pushdown relation with a different predicate risks the DSv2
+    # readInfo-reuse hazard (see _discovery_scan)
+    hits = (
+        _discovery_scan(spark, path, table, fc)
+        .filter(cond).groupBy(fc).count().collect()
+    )
     affected = sorted(r[0] for r in hits)
     n_deleted = int(sum(r[1] for r in hits))
     pre_version = current_version(path)
@@ -1465,6 +1487,12 @@ def delete_where(
             "version": pre_version,
             "pre_version": pre_version,
         }
+    tagged = (
+        spark.read.format("olive")
+        .option("table", table)
+        .option("fileColumn", fc)
+        .load(path)
+    )
     survivors = (
         tagged.filter(F.col(fc).isin(affected))
         .filter(~F.coalesce(cond, F.lit(False)))
@@ -1573,7 +1601,13 @@ def update_where(
             f"(col, expr, table): {bad} — cast explicitly"
         )
     cond = F.expr(condition)
-    hits = tagged.filter(cond).groupBy(fc).count().collect()
+    # discovery on its own (possibly pushdown-pruned) relation — the
+    # rewrite keeps using the plain `tagged` relation (see
+    # _discovery_scan for the readInfo-reuse rationale)
+    hits = (
+        _discovery_scan(spark, path, table, fc)
+        .filter(cond).groupBy(fc).count().collect()
+    )
     affected = sorted(r[0] for r in hits)
     n_updated = int(sum(r[1] for r in hits))
     pre_version = current_version(path)
