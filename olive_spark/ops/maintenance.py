@@ -1120,12 +1120,29 @@ def merge_upsert(
         )
     src = source.select(*sel)
     uniq = key_cols if latest_by is None else [*key_cols, latest_by]
-    n_src, n_keys, *nonnull = src.agg(
-        F.count("*"),
-        F.count_distinct(*[F.col(k) for k in uniq]),
-        *[F.count(F.col(c)).alias(f"nn_{c}") for c in uniq],
+    # source KEY BOUNDS ride the same validation aggregate (no extra
+    # job): Delta-style merge file pruning — discovery later filters
+    # the key-pruned scan to [min, max] per key column, so with
+    # pushdown the planner drops files whose stats exclude the batch
+    # entirely (a CDC batch touching recent days never opens January)
+    from pyspark.sql.types import AtomicType
+
+    boundable = [
+        k for k in key_cols
+        if isinstance(full.schema[k].dataType, AtomicType)
+    ]
+    stats = src.agg(
+        F.count("*").alias("__n"),
+        F.count_distinct(*[F.col(k) for k in uniq]).alias("__nk"),
+        *[F.count(F.col(c)).alias(f"__nn_{c}") for c in uniq],
+        *[
+            x for k in boundable
+            for x in (F.min(k).alias(f"__lo_{k}"),
+                      F.max(k).alias(f"__hi_{k}"))
+        ],
     ).first()
-    nulled = [c for c, nn in zip(uniq, nonnull) if nn != n_src]
+    n_src, n_keys = stats["__n"], stats["__nk"]
+    nulled = [c for c in uniq if stats[f"__nn_{c}"] != n_src]
     if n_src and nulled:
         # count_distinct silently drops tuples containing NULL, which
         # would surface as a bogus "duplicate keys" error; and a NULL
@@ -1175,13 +1192,32 @@ def merge_upsert(
     # reach phase 2 at all — unioned in naively, a loser whose stored
     # winner sits in an UNAFFECTED file would insert as a duplicate.
     slim_cols = key_cols if latest_by is None else [*key_cols, latest_by]
-    slim = (
+    slim_r = (
         spark.read.format("olive")
         .option("table", table)
         .option("columns", ",".join(slim_cols))
         .option("fileColumn", fc)
-        .load(path)
     )
+    try:
+        if str(spark.conf.get(
+            "spark.sql.python.filterPushdown.enabled", "false"
+        )).lower() == "true":
+            slim_r = slim_r.option("pushdown", "true")
+    except Exception:  # noqa: BLE001 — conf shape differs on Connect
+        pass
+    slim = slim_r.load(path)
+    # merge file pruning: rows outside the source's per-key-column
+    # [min, max] box can't match any source key — with pushdown the
+    # planner drops whole files on their stats, and the filter is a
+    # plain re-applied predicate otherwise (never wrong, only unpruned).
+    # Both discovery actions (stored_max, hits) share the SAME filters,
+    # so the DSv2 readInfo reuse stays consistent.
+    for k in boundable:
+        lo, hi = stats[f"__lo_{k}"], stats[f"__hi_{k}"]
+        if lo is not None and hi is not None:
+            slim = slim.filter(
+                (F.col(k) >= F.lit(lo)) & (F.col(k) <= F.lit(hi))
+            )
     if latest_by is not None:
         stored_max = slim.groupBy(*key_cols).agg(
             F.max(latest_by).alias("__max_seq")
