@@ -398,14 +398,13 @@ class OliveReader(DataSourceReader):
         # first]}): loaded once at plan time, ships to workers with the
         # pickled reader; read() projects a renamed column out of
         # pre-rename files under its stored name.  Missing/non-dir path
-        # = no renames; a CORRUPT sidecar raises at plan time via the
-        # schema path, so best-effort here can't hide corruption.
-        try:
-            from olive_spark.format.table_schema import read_renames
+        # = no renames ({}); a CORRUPT sidecar (including a malformed
+        # 'renames' map) raises LOUD here — swallowing it would
+        # silently null-fill every renamed column out of old files
+        # (r9 review finding).
+        from olive_spark.format.table_schema import read_renames
 
-            self.renames = read_renames(self.path, self.table)
-        except Exception:  # noqa: BLE001 — schema() already failed loud
-            self.renames = {}
+        self.renames = read_renames(self.path, self.table)
         self.predicates: list[tuple[str, str, Any]] = []
 
     def partitions(self) -> Sequence[OliveInputPartition]:
@@ -538,15 +537,14 @@ class OliveReader(DataSourceReader):
                         if o in fields:
                             remap[o] = cur
                             break
+            back = {cur: old for old, cur in remap.items()}
             preds = list(partition.predicates) if partition.predicates else []
-            if remap and preds:
+            if back and preds:
                 # page-stat pruning keys off STORED names in old files
-                back = {cur: old for old, cur in remap.items()}
                 preds = [(back.get(c, c), op, v) for c, op, v in preds]
             pages = select_pages(th, preds) if preds else None
             cols = list(partition.columns) if partition.columns else None
             if cols:  # merged-schema dirs: this file may lack some columns
-                back = {cur: old for old, cur in remap.items()}
                 cols = [back.get(c, c) for c in cols]
                 cols = [c for c in cols if c in th.field_names] or None
             tbl = r.read_table(th.name, columns=cols, pages=pages)

@@ -48,13 +48,25 @@ def _stats_domain(v: Any) -> Any:
     (counterpart of writer._stats_value; pure stdlib so the plan
     worker's manifest fast path needs no pyarrow/numpy import).
     Literals are converted, never truncated or widened — conservatism
-    lives entirely on the stored-stats side."""
+    lives entirely on the stored-stats side.
+
+    NAIVE datetimes are read through the PROCESS-LOCAL timezone, the
+    same convention as format.partition._to_epoch_us: Spark's
+    ``TimestampType.fromInternal`` materializes pushed literals as
+    naive local datetimes, so the old treat-as-UTC conversion shifted
+    stats pruning by the host's UTC offset on non-UTC hosts — wrongly
+    pruning pages/files whose rows match (r9 review finding; the
+    directory-pruning twin was the r8 advice item).  DST-ambiguous
+    values return a ``(lo, hi)`` SPAN tuple; :func:`stats_disprove`
+    prunes only when every reading is excluded."""
     import datetime
     import decimal
 
     if isinstance(v, datetime.datetime):
-        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-        return int((v - epoch).total_seconds() * 1_000_000)
+        from olive_spark.format.partition import _to_epoch_us
+
+        lo, hi = _to_epoch_us(v)
+        return lo if lo == hi else (lo, hi)
     if isinstance(v, datetime.date):
         return (v - datetime.date(1970, 1, 1)).days
     if isinstance(v, decimal.Decimal):
@@ -81,22 +93,35 @@ def stats_disprove(mn: Any, mx: Any, op: str, vals: list) -> bool:
     """True iff [mn, mx] PROVES no value can satisfy ``op vals`` —
     the one soundness-critical comparison, shared by file-level
     (entry_prunable) and page-level (reader.select_pages) pruning.
-    Conservative on any doubt: cross-type comparisons keep the data."""
+    Conservative on any doubt: cross-type comparisons keep the data.
+
+    A literal may be a ``(lo, hi)`` SPAN tuple (DST-ambiguous naive
+    timestamp, see :func:`_stats_domain`): pruning requires EVERY
+    possible reading to be excluded."""
     if mn is None or mx is None:
         return False
+
+    def span(v):
+        return v if isinstance(v, tuple) else (v, v)
+
     try:
         if op == "=":
-            return vals[0] < mn or vals[0] > mx
+            lo, hi = span(vals[0])
+            return hi < mn or lo > mx
         if op == "in":
-            return all(v < mn or v > mx for v in vals)
+            return all(
+                s[1] < mn or s[0] > mx for s in (span(v) for v in vals)
+            )
         if op == "<":
-            return mn >= vals[0]
+            # col < u for some stored value exists unless mn >= u for
+            # EVERY reading of u
+            return mn >= span(vals[0])[1]
         if op == "<=":
-            return mn > vals[0]
+            return mn > span(vals[0])[1]
         if op == ">":
-            return mx <= vals[0]
+            return mx <= span(vals[0])[0]
         if op == ">=":
-            return mx < vals[0]
+            return mx < span(vals[0])[0]
         if op == "startswith":
             # matches live in [prefix, bump(prefix))
             pre = vals[0]

@@ -51,8 +51,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from olive_spark.ops.dedup import (
     _BLOOM_K,
+    _bloom_fold_fn,
     _bloom_hashes,
-    _bloom_set_bits,
     _bloom_test_bits,
 )
 
@@ -90,36 +90,10 @@ def _write_meta(index_dir: str, meta: dict) -> None:
 
 def _shard_partials(df: DataFrame, text_col: str, m: int, n_shards: int):
     """(shard, bloom) rows — one row per shard, each built by the ONE
-    reduce task that owns it after the slim hash shuffle."""
-    import pyarrow as pa
-
-    words = m // 64
-
-    def fold(batches):
-        shards: dict[int, "np.ndarray"] = {}
-        for batch in batches:
-            if not batch.num_rows:
-                continue
-            h1 = batch.column("__h1").to_numpy()
-            h2 = batch.column("__h2").to_numpy()
-            sh = (h1 % n_shards).astype(np.int64)
-            for s in np.unique(sh):
-                mask = sh == s
-                bits = shards.setdefault(
-                    int(s), np.zeros(words, dtype=np.uint64)
-                )
-                _bloom_set_bits(bits, h1[mask], h2[mask], m)
-        if shards:
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(list(shards.keys()), pa.int32()),
-                    pa.array(
-                        [b.tobytes() for b in shards.values()], pa.binary()
-                    ),
-                ],
-                ["shard", "bloom"],
-            )
-
+    reduce task that owns it after the slim hash shuffle.  The fold is
+    the SAME function the in-memory build_corpus_bloom uses
+    (dedup._bloom_fold_fn), so the two paths cannot drift bit-wise."""
+    fold = _bloom_fold_fn(m, n_shards)
     hashed = df.select(*_bloom_hashes(text_col))
     # one slim shuffle: every key of a shard lands in one task, so each
     # shard's bitmap is built exactly once and never re-merged
@@ -311,6 +285,12 @@ def probe_bloom_index(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # materialize the (batch-sized) flag result so the upstream hash
+    # aggregate can be RELEASED before returning: both downstream
+    # branches read `flagged`; keeping `batch` cached too would leak
+    # one extra cached frame per probe call in a long-lived session
+    flagged.count()
+    batch.unpersist()
     corpus_hashes = corpus_df.select(
         F.md5(F.col(text_col)).alias("content_hash")
     )

@@ -584,6 +584,47 @@ def _bloom_set_bits(bits: "np.ndarray", h1, h2, m: int) -> None:
                          np.uint64(1) << (pos & np.uint64(63)))
 
 
+def _bloom_fold_fn(m: int, n_shards: int):
+    """The Arrow-batch shard fold SHARED by the in-memory corpus bloom
+    (:func:`build_corpus_bloom`) and the persisted index
+    (ops/bloom_index._shard_partials): routes each (h1, h2) row to
+    shard ``h1 % n_shards`` and sets its bits in that shard's bitmap,
+    yielding one (shard, bloom) RecordBatch per task.  One definition,
+    so the two paths cannot drift — their bit-identical parity is a
+    pinned contract (tests/test_bloom_index.py)."""
+    import pyarrow as pa
+
+    words = m // 64
+
+    def fold(batches):
+        shards: dict[int, "np.ndarray"] = {}
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            h1 = batch.column("__h1").to_numpy()
+            h2 = batch.column("__h2").to_numpy()
+            sh = (h1 % n_shards).astype(np.int64)
+            for s in np.unique(sh):
+                mask = sh == s
+                bits = shards.setdefault(
+                    int(s), np.zeros(words, dtype=np.uint64)
+                )
+                _bloom_set_bits(bits, h1[mask], h2[mask], m)
+        if shards:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(list(shards.keys()), pa.int32()),
+                    pa.array(
+                        [b.tobytes() for b in shards.values()],
+                        pa.binary(),
+                    ),
+                ],
+                ["shard", "bloom"],
+            )
+
+    return fold
+
+
 def _bloom_test_bits(bits: "np.ndarray", h1, h2, m: int) -> "np.ndarray":
     h1 = h1.astype(np.uint64)
     h2 = h2.astype(np.uint64)
@@ -714,36 +755,12 @@ def build_corpus_bloom(
       access, so an executor materializes only the shards its rows
       route to — a batch pre-partitioned by ``h1 % n_shards`` touches
       one shard per task regardless of total bloom size."""
-    import pyarrow as pa
-
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     m = max(256, -(-int(expected_items) * bits_per_key // n_shards))
     m = (m + 63) & ~63  # multiple of 64 for the uint64 word array
     words = m // 64
-
-    def fold(batches):
-        shards: dict[int, "np.ndarray"] = {}
-        for batch in batches:
-            if not batch.num_rows:
-                continue
-            h1 = batch.column("__h1").to_numpy()
-            h2 = batch.column("__h2").to_numpy()
-            sh = (h1 % n_shards).astype(np.int32) if n_shards > 1 else None
-            for s in ([0] if sh is None else np.unique(sh)):
-                mask = slice(None) if sh is None else sh == s
-                bits = shards.setdefault(
-                    int(s), np.zeros(words, dtype=np.uint64)
-                )
-                _bloom_set_bits(bits, h1[mask], h2[mask], m)
-        if shards:
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(list(shards.keys()), pa.int32()),
-                    pa.array([b.tobytes() for b in shards.values()], pa.binary()),
-                ],
-                ["shard", "bloom"],
-            )
+    fold = _bloom_fold_fn(m, n_shards)
 
     hashed = corpus_df.select(*_bloom_hashes(text_col))
     if n_shards > 1:

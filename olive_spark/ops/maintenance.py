@@ -215,6 +215,7 @@ def compact(
     _recover_pending(path)
     _seed_snapshot_log(path)
     before = _list_chunk_files(path)
+    n_before_total = len(before)  # whole-table count, even when scoped
     # argument validation BEFORE any scan: a bad zorder request on a
     # 100 TB table must not pay a full count first
     layout = _partition_layout(
@@ -238,6 +239,7 @@ def compact(
         if not affected:
             return {"files_before": len(before), "files_after": len(before),
                     "rows": 0, "files_matched": 0}
+        n_matched = len(affected)
         before = [os.path.join(path, rel) for rel in affected]
         df = (
             spark.read.format("olive")
@@ -246,6 +248,7 @@ def compact(
             .load(path)
         )
     else:
+        n_matched = None
         df = spark.read.format("olive").load(path)
     rows = df.count()
     n_files = max(1, math.ceil(rows / target_rows))
@@ -311,7 +314,11 @@ def compact(
         layout=layout,
     )
     after = _list_chunk_files(path)
-    return {"files_before": len(before), "files_after": len(after), "rows": rows}
+    out = {"files_before": n_before_total, "files_after": len(after),
+           "rows": rows}
+    if n_matched is not None:
+        out["files_matched"] = n_matched
+    return out
 
 
 def compact_if_needed(
@@ -440,7 +447,10 @@ def respec_partitions(
     }
 
 
-def _discovery_scan(spark, path: str, table: str, fc: str):
+def _discovery_scan(
+    spark, path: str, table: str, fc: str,
+    columns: "list[str] | None" = None,
+):
     """The affected-file discovery relation shared by predicate
     mutations (compact(where)/delete_where/update_where): a fresh
     fileColumn-tagged scan that opts into plan-time pushdown pruning
@@ -456,6 +466,8 @@ def _discovery_scan(spark, path: str, table: str, fc: str):
         .option("table", table)
         .option("fileColumn", fc)
     )
+    if columns:
+        r = r.option("columns", ",".join(columns))
     try:
         if str(spark.conf.get(
             "spark.sql.python.filterPushdown.enabled", "false"
@@ -1125,11 +1137,20 @@ def merge_upsert(
     # the key-pruned scan to [min, max] per key column, so with
     # pushdown the planner drops files whose stats exclude the batch
     # entirely (a CDC batch touching recent days never opens January)
-    from pyspark.sql.types import AtomicType
+    from pyspark.sql.types import AtomicType, TimestampNTZType, TimestampType
 
+    # timestamps are EXCLUDED: the collected min/max round-trips
+    # Spark-internal -> naive local datetime (fromInternal, fold-aware)
+    # -> F.lit (mktime, fold-unaware), which can shift by the DST
+    # transition width on non-UTC hosts and row-level-exclude stored
+    # rows that genuinely match (r9 review finding).  Dates and other
+    # atomic types round-trip exactly.
     boundable = [
         k for k in key_cols
         if isinstance(full.schema[k].dataType, AtomicType)
+        and not isinstance(
+            full.schema[k].dataType, (TimestampType, TimestampNTZType)
+        )
     ]
     stats = src.agg(
         F.count("*").alias("__n"),
@@ -1192,20 +1213,7 @@ def merge_upsert(
     # reach phase 2 at all — unioned in naively, a loser whose stored
     # winner sits in an UNAFFECTED file would insert as a duplicate.
     slim_cols = key_cols if latest_by is None else [*key_cols, latest_by]
-    slim_r = (
-        spark.read.format("olive")
-        .option("table", table)
-        .option("columns", ",".join(slim_cols))
-        .option("fileColumn", fc)
-    )
-    try:
-        if str(spark.conf.get(
-            "spark.sql.python.filterPushdown.enabled", "false"
-        )).lower() == "true":
-            slim_r = slim_r.option("pushdown", "true")
-    except Exception:  # noqa: BLE001 — conf shape differs on Connect
-        pass
-    slim = slim_r.load(path)
+    slim = _discovery_scan(spark, path, table, fc, columns=slim_cols)
     # merge file pruning: rows outside the source's per-key-column
     # [min, max] box can't match any source key — with pushdown the
     # planner drops whole files on their stats, and the filter is a
@@ -1842,6 +1850,16 @@ def rename_column(
             f"cannot rename {old!r}: the directory layout spells it "
             "(hive partition column or hidden-transform source) — "
             "respec_partitions first"
+        )
+    dir_keys = {t["dir"] for t in tspec if t["kind"] != "identity"}
+    if new in dir_keys:
+        # a data column named like a derived dir key would collide with
+        # _dir_prunable's string-equality pruning: a predicate on the
+        # renamed DATA column would match the dir's DERIVED values and
+        # silently prune wrong (r9 review finding)
+        raise ValidationError(
+            f"cannot rename to {new!r}: it is a hidden-partition dir "
+            f"key of this table (dir keys: {sorted(dir_keys)})"
         )
     names[names.index(old)] = new
     renames = read_renames(path, table)

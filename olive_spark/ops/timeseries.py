@@ -418,7 +418,12 @@ def funnel_depths_chained(
             evs.filter(F.col("et") == t)
             .join(cur.select(key_col, f"m{i-1}", "anchor"), key_col)
             .filter(
-                (F.col("t") >= F.col(f"m{i-1}"))
+                # STRICT: the walk consumes the matched event, so the
+                # next stage matches a strictly-later event — with
+                # unique per-key timestamps that is exactly t > m_{i-1}
+                # (>= would let one event satisfy two consecutive
+                # REPEATED stage types; r9 review finding)
+                (F.col("t") > F.col(f"m{i-1}"))
                 & (F.col("t") <= F.col("anchor") + F.lit(window_us))
             )
             .groupBy(key_col)

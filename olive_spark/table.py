@@ -139,6 +139,14 @@ class OliveTable:
             table=self.table, **kw
         )
 
+    def optimize(self, **kw) -> dict:
+        """Delta's spelling of compact: ``t.optimize(zorder_by=[...],
+        where="day = ...")`` — see ops.maintenance.compact (within-dir
+        clustering on partitioned tables, file-scoped ``where``)."""
+        from olive_spark.ops.maintenance import compact
+
+        return compact(self.spark, self.path, table=self.table, **kw)
+
     def compact_if_needed(self, **kw) -> dict:
         """OPTIMIZE-style small-file auto trigger
         (ops.maintenance.compact_if_needed); no-op below threshold."""
@@ -302,8 +310,11 @@ def register_table(
             f"invalid view name {name!r}: letters/digits/underscores"
         )
     opts = {"path": path, "table": table, **options}
+    # SQL-escape option values (a path with a quote must not break or
+    # reshape the statement)
     rendered = ", ".join(
-        f"{k} '{str(v)}'" for k, v in opts.items()
+        f"{k} '{str(v).replace(chr(39), chr(39) * 2)}'"
+        for k, v in opts.items()
         if v is not None
     )
     spark.sql(

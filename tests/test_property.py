@@ -463,3 +463,54 @@ def test_transform_pruning_is_sound(data, kind, op):
         assert not transform_dir_prunable(dirs, preds, [t]), (
             t, x, preds, dirs,
         )
+
+
+def test_stats_pruning_naive_timestamps_local_tz():
+    """r9 review finding (the stats-path twin of the r8 directory-
+    pruning advice): naive pushed timestamp literals are PROCESS-LOCAL
+    (Spark fromInternal), so _stats_domain must read them through the
+    local tz — treating them as UTC shifts page/file pruning by the
+    host offset and silently drops matching rows on non-UTC hosts."""
+    import datetime as dt
+    import os
+    import time
+
+    from olive_spark.format.manifest import _stats_domain, stats_disprove
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"  # UTC-4 in June (EDT)
+    time.tzset()
+    try:
+        # stored stats: epoch-us for a file covering
+        # [2024-06-16T00:30Z, 2024-06-16T02:00Z]
+        mn = int(dt.datetime(2024, 6, 16, 0, 30,
+                             tzinfo=dt.timezone.utc).timestamp() * 1e6)
+        mx = int(dt.datetime(2024, 6, 16, 2, 0,
+                             tzinfo=dt.timezone.utc).timestamp() * 1e6)
+        # pushed literal: naive LOCAL 2024-06-15T21:00 EDT == 01:00Z —
+        # INSIDE the file's range.  Under the old UTC reading it became
+        # 21:00Z (> mx) and `>` pruning dropped the file.
+        lit = dt.datetime(2024, 6, 15, 21, 0, 0)
+        v = _stats_domain(lit)
+        assert not stats_disprove(mn, mx, ">", [v])
+        assert not stats_disprove(mn, mx, "=", [v])
+        assert not stats_disprove(mn, mx, "in", [v])
+        # and a literal genuinely past the file still prunes
+        past = _stats_domain(dt.datetime(2024, 6, 15, 23, 0, 0))  # 03:00Z
+        assert stats_disprove(mn, mx, ">", [past])
+        assert stats_disprove(mn, mx, ">=", [past])
+        # DST fold span: 2024-11-03T01:30 EST/EDT is ambiguous (05:30Z
+        # or 06:30Z) — a file covering only one reading must be KEPT
+        fold_lit = _stats_domain(dt.datetime(2024, 11, 3, 1, 30, 0))
+        assert isinstance(fold_lit, tuple) and fold_lit[0] < fold_lit[1]
+        mn2 = int(dt.datetime(2024, 11, 3, 6, 0,
+                              tzinfo=dt.timezone.utc).timestamp() * 1e6)
+        mx2 = int(dt.datetime(2024, 11, 3, 7, 0,
+                              tzinfo=dt.timezone.utc).timestamp() * 1e6)
+        assert not stats_disprove(mn2, mx2, "=", [fold_lit])
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()

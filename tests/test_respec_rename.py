@@ -249,3 +249,16 @@ def test_register_table_named_sql(spark, tmp_path):
 
     with pytest.raises(ValueError, match="invalid view name"):
         register_table(spark, "bad-name", path)
+
+
+def test_rename_to_hidden_dir_key_refused(spark, tmp_path):
+    """A data column renamed to a transform DIR KEY (e.g. 'ts_day')
+    would collide with directory pruning's string-equality match and
+    silently prune on real-data predicates — refused (r9 review)."""
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops.maintenance import rename_column
+
+    path = str(tmp_path / "t")
+    _mk_days_table(spark, path, ndays=2)
+    with pytest.raises(ValidationError, match="dir key"):
+        rename_column(path, "uid", "ts_day")

@@ -423,6 +423,29 @@ def test_funnel_chained_matches_array_walk(spark):
     assert chained == walk
     assert set(walk.values()) & {0, 1, 2, 3}  # non-trivial fixture
 
+    # REPEATED stage types (ClickHouse-style 'view -> view -> click'):
+    # one event must not satisfy two consecutive identical stages —
+    # the chained form needs strict t > m_{i-1} (r9 review finding)
+    rep_stages = [("view", "a"), ("view", "b"), ("click", "c")]
+    walk_r = {
+        r["user_id"]: r["depth"]
+        for r in funnel_depths(df, stages=rep_stages, window_us=W).collect()
+    }
+    chained_r = {
+        r["user_id"]: r["depth"]
+        for r in funnel_depths_chained(
+            df, stages=rep_stages, window_us=W
+        ).collect()
+    }
+    assert chained_r == walk_r
+    one_view = spark.createDataFrame(
+        [(1, base, "view")], "user_id long, ts timestamp, event_type string"
+    )
+    got1 = funnel_depths_chained(
+        one_view, stages=rep_stages, window_us=W
+    ).collect()
+    assert [(r["user_id"], r["depth"]) for r in got1] == [(1, 1)]
+
 
 def test_ewma_chunked_matches_sequential(spark):
     """ewma_chunked (affine segment composition, task memory bounded by
