@@ -107,6 +107,11 @@ HEADLINE = [
     "scan_bucket_partition_pruning",  # r8: bucket pmod pruning
     "scan_merge_hidden_partition",    # r9: MERGE+DELETE on days(ts) layout
     "scan_truncate_partition_pruning",  # r9: truncate(W,col) range pruning
+    "scan_after_respec",              # r9: partition-spec evolution
+    "scan_after_rename_column",       # r9: metadata-only RENAME mapping
+    "scan_table_by_name",             # r9: named temp view + plain SQL
+    "llm_dedup_index_update",         # r9: bloom index append+compact+probe
+    "events_window_funnel_chained",   # r9: unbounded-key funnel scale path
 ]
 
 

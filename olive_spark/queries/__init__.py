@@ -76,6 +76,7 @@ _ORDER = [
     "scan_after_rename_column",  # r9: metadata-only RENAME, per-file mapping
     "scan_table_by_name",  # r9: register_table + plain SQL
     "llm_dedup_incremental",  # r9: REWIRED to the persisted sharded Bloom index
+    "llm_dedup_index_update",  # r9: bloom index append+compact lifecycle
     "events_window_funnel_chained",  # r9: unbounded-key funnel scale path
     # --- r8-green queries whose CODE PATHS r9 touched (merge/
     # delete/update rewrite layout, matview recovery, partition
@@ -123,10 +124,10 @@ _ORDER = [
     "reshape_unpivot",
     # --- r06-window sample (next-oldest; family fill) ---
     "agg_median_disc",
-    "window_first_last",
     # ---- beyond the 50-entry driver window: everything below was
     # green in its latest window (r06-r08) and keeps bench/pytest
     # coverage; cumulative driver coverage over rounds stays complete ----
+    "window_first_last",
     "scalar_hash_bitwise",
     "scan_merge_time_travel",
     "mm_decode_png_real",

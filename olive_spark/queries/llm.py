@@ -58,6 +58,50 @@ SQL_DEDUP_INCR = (
 )
 
 
+def llm_dedup_index_update(spark: SparkSession, sf: str) -> DataFrame:
+    """The persisted Bloom index's per-ingest LIFECYCLE, driver-gated
+    (r9): build over the even-id corpus, APPEND the %3==0 documents'
+    shard partials (Bloom OR-composition as a table append — the
+    merge_blooms replacement), COMPACT back to one row per shard (a
+    copy-on-write MERGE version), then probe doc_id < 300 against the
+    grown corpus.  Output stays exact (the index only prunes the
+    confirm join), so the oracle is plain NOT EXISTS over the unioned
+    corpus — an append that dropped a shard row, a compact that OR'd
+    wrong, or a probe that skipped the confirm join hash-mismatches."""
+    import os as _os
+
+    from olive_spark.ops import bloom_index
+
+    docs = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    corpus_a = docs.filter(F.col("doc_id") % 2 == 0)
+    corpus_b = docs.filter(
+        (F.col("doc_id") % 2 != 0) & (F.col("doc_id") % 3 == 0)
+    )
+    batch = docs.filter(F.col("doc_id") < 300)
+    index_dir = _os.path.join(
+        data.ensure_olive(sf), "bloom_index_lifecycle"
+    )
+    if not _os.path.exists(_os.path.join(index_dir, "_bloom_meta.json")):
+        bloom_index.build_bloom_index(
+            spark, corpus_a, index_dir, expected_items=4096, n_shards=4
+        )
+        bloom_index.append_bloom_index(spark, corpus_b, index_dir)
+        bloom_index.compact_bloom_index(spark, index_dir)
+    corpus = corpus_a.unionByName(corpus_b)
+    return bloom_index.probe_bloom_index(spark, batch, corpus, index_dir)
+
+
+SQL_DEDUP_INDEX_UPDATE = (
+    "WITH corpus AS (SELECT md5(text) AS content_hash FROM documents "
+    "WHERE doc_id % 2 = 0 OR doc_id % 3 = 0), "
+    "batch AS (SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash "
+    "FROM documents WHERE doc_id < 300 GROUP BY md5(text)) "
+    "SELECT b.doc_id, b.content_hash FROM batch b "
+    "WHERE NOT EXISTS (SELECT 1 FROM corpus c "
+    "WHERE c.content_hash = b.content_hash)"
+)
+
+
 def llm_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (rows-only check: banding + xxhash64
     permutations aren't reproducible in ANSI SQL)."""
@@ -620,6 +664,9 @@ QUERIES: dict[str, tuple] = {
     "mm_audio_windows": (mm_audio_windows, SQL_MM_AUDIO),
     "mm_image_resize": (mm_image_resize, SQL_MM_RESIZE),
     "llm_dedup_incremental": (llm_dedup_incremental, SQL_DEDUP_INCR),
+    "llm_dedup_index_update": (
+        llm_dedup_index_update, SQL_DEDUP_INDEX_UPDATE,
+    ),
     "llm_dedup_minhash": (llm_dedup_minhash, None),
     "llm_neardup_incremental": (llm_neardup_incremental, None),
     "llm_keyword_search": (llm_keyword_search, SQL_KEYWORD_SEARCH),
