@@ -371,6 +371,7 @@ def respec_partitions(
     table: str = "data",
     target_rows: int = 1 << 20,
     retain_history: bool = True,
+    sort_by: "str | None" = None,
 ) -> dict:
     """Migrate the table to a NEW partition spec (Iceberg's
     partition-spec evolution, eagerly materialized): the whole table is
@@ -388,6 +389,10 @@ def respec_partitions(
     ``retain_history=True`` (default) keeps every pre-respec snapshot
     readable — time travel ACROSS the spec change works because
     snapshot reads resolve file names, not directory semantics.
+
+    ``sort_by`` clusters rows within each new partition dir during the
+    SAME rewrite (the migration already pays the full scan, so the
+    clustering is free relative to a follow-up compact).
 
     Crash ordering: the sidecar is repointed only AFTER the rewrite's
     snapshot entry lands.  A crash in between leaves new-layout dirs
@@ -431,8 +436,13 @@ def respec_partitions(
     rows = df.count()
     n_files = max(1, math.ceil(rows / target_rows))
     run = uuid.uuid4().hex[:8]
+    shaped = df.repartition(n_files, *layout["shape"])
+    if sort_by:
+        # one rewrite buys both the new layout AND within-dir
+        # clustering — the migration is already paying the full scan
+        shaped = shaped.sortWithinPartitions(*layout["shape"], sort_by)
     _rewrite_and_swap(
-        df.repartition(n_files, *layout["shape"]), path, original_rels,
+        shaped, path, original_rels,
         run, table=table, target_rows=target_rows,
         retain_history=retain_history, prefix="respec",
         layout=layout,

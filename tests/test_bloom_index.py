@@ -203,3 +203,56 @@ def test_build_refuses_overwrite_and_geometry_drift(spark, tmp_path):
     json.dump(meta, open(mp, "w"))
     with pytest.raises(ValueError, match="k="):
         bloom_index.load_meta(idx)
+
+
+def test_lifecycle_model_random_sequences(spark, tmp_path):
+    """Model test: a random build/append/append/compact/probe sequence
+    over disjoint-vocabulary corpora must always return exactly the
+    NOT-IN-union set (exactness is the contract; the index only prunes
+    the confirm join).  Deterministic seeds, three sequences."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops import bloom_index
+
+    for seed in (3, 17, 29):
+        rng = random.Random(seed)
+        idx = str(tmp_path / f"m{seed}")
+        parts = []
+        for j in range(rng.randint(1, 3)):
+            lo = j * 1000
+            n = rng.randint(20, 120)
+            parts.append(
+                spark.range(lo, lo + n).selectExpr(
+                    "id AS doc_id",
+                    f"concat('s{seed}-', cast(id as string)) AS text",
+                )
+            )
+        bloom_index.build_bloom_index(
+            spark, parts[0], idx,
+            expected_items=512, n_shards=rng.choice([1, 2, 8]),
+        )
+        for p in parts[1:]:
+            bloom_index.append_bloom_index(spark, p, idx)
+            if rng.random() < 0.5:
+                bloom_index.compact_bloom_index(spark, idx)
+        corpus = parts[0]
+        for p in parts[1:]:
+            corpus = corpus.unionByName(p)
+        # batch: half known texts (re-keyed), half brand-new
+        known = corpus.limit(30).select(
+            (F.col("doc_id") + 900_000).alias("doc_id"), "text"
+        )
+        new = spark.range(50).selectExpr(
+            "id + 500000 AS doc_id",
+            f"concat('new{seed}-', cast(id as string)) AS text",
+        )
+        batch = known.unionByName(new)
+        got = sorted(
+            r["doc_id"]
+            for r in bloom_index.probe_bloom_index(
+                spark, batch, corpus, idx
+            ).collect()
+        )
+        assert got == sorted(500000 + i for i in range(50)), (seed, got[:5])

@@ -262,3 +262,40 @@ def test_rename_to_hidden_dir_key_refused(spark, tmp_path):
     _mk_days_table(spark, path, ndays=2)
     with pytest.raises(ValidationError, match="dir key"):
         rename_column(path, "uid", "ts_day")
+
+
+def test_respec_with_sort_by_clusters_within_dirs(spark, tmp_path):
+    """respec(sort_by=...) buys within-dir clustering in the SAME
+    rewrite: post-migration files' page stats on the sort column are
+    tight enough that a point lookup prunes pages."""
+    from olive_spark.datasource.olive_datasource import (
+        _list_chunk_files,
+        _read_header_bytes,
+    )
+    from olive_spark.ops.maintenance import respec_partitions
+
+    path = str(tmp_path / "t")
+    # scrambled k within each future bucket
+    spark.range(4000).selectExpr(
+        "((id * 2654435761) % 4096) AS k",
+        "cast(id % 4 as long) AS uid",
+        f"timestamp_micros(cast(1700000000000000 + (id % 4) "
+        "* 86400000000 as long)) AS ts",
+    ).coalesce(1).write.format("olive") \
+        .option("partitionBy", "days(ts)").mode("append").save(path)
+
+    out = respec_partitions(
+        spark, path, "bucket(4, uid)", sort_by="k", target_rows=500,
+    )
+    assert out["rows"] == 4000
+    # within every file, k is contiguous-ish: min/max spans are
+    # disjoint enough that each file covers << the full k range
+    spans = []
+    for fp in _list_chunk_files(path):
+        header, _ = _read_header_bytes(fp)
+        th = header.tables[0]
+        st = th.fields[th.field_names.index("k")].stats
+        spans.append(max(st["max"]) - min(st["min"]))
+    full = 4096
+    tight = sum(1 for s in spans if s < full * 0.8)
+    assert tight >= len(spans) // 2, spans
