@@ -111,6 +111,7 @@ HEADLINE = [
     "scan_after_rename_column",       # r9: metadata-only RENAME mapping
     "scan_table_by_name",             # r9: named temp view + plain SQL
     "llm_dedup_index_update",         # r9: bloom index append+compact+probe
+    "scan_after_clone",               # r9: shallow clone + isolated mutate
     "events_window_funnel_chained",   # r9: unbounded-key funnel scale path
 ]
 

@@ -1885,6 +1885,96 @@ def rename_column(
 
 
 @_locked(0)
+def clone_table(
+    path: str, dst: str, version: "int | None" = None,
+) -> dict:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``): a
+    new table directory whose files are HARDLINKS to the source's —
+    zero data copied, metadata fresh.  The cheap dev-branch / backup
+    verb a 100 TB lakehouse needs (on an object store the link step
+    becomes a server-side copy; locally it is one inode link per file).
+
+    Safe because chunk files are IMMUTABLE: source mutations rewrite
+    via copy-on-write (new names) and retire originals by rename/unlink
+    — neither touches the clone's links — and vice versa.  The clone
+    starts its own snapshot history at version 1 (a seeded base of the
+    cloned file list); source history does NOT travel (shallow).
+
+    ``version`` clones a retained SNAPSHOT instead of the live state —
+    a time-travel clone (files resolve through ``_olive_history``).
+    Copies the schema/partition sidecars, the retained-tombstone
+    sidecar, and the matching stats-manifest entries, so scans,
+    pruning, and future sequenced merges behave identically on the
+    clone.  Held under the SOURCE's write lock for a consistent file
+    list; refuses a destination that already holds olive files."""
+    import shutil as _shutil
+
+    from olive_spark.datasource.olive_datasource import _list_chunk_files
+    from olive_spark.format.manifest import load_manifest, merge_manifest
+    from olive_spark.format.partition import PARTITION_SIDECAR
+    from olive_spark.format.snapshots import (
+        ensure_seeded,
+        files_at,
+        resolve_paths,
+    )
+    from olive_spark.format.table_schema import SCHEMA_SIDECAR
+
+    dst = os.path.abspath(dst)
+    if os.path.abspath(path) == dst:
+        raise ValidationError("clone destination equals the source")
+    if os.path.isdir(dst) and any(
+        f.endswith(".olive")
+        for _, _, fs in os.walk(dst) for f in fs
+    ):
+        raise ValidationError(
+            f"clone destination {dst} already holds olive files — "
+            "refusing to mix tables"
+        )
+    _recover_pending(path)
+    if version is not None:
+        rels = files_at(path, int(version))
+        srcs = resolve_paths(path, rels)
+    else:
+        srcs = _list_chunk_files(path)
+        rels = [os.path.relpath(f, path) for f in srcs]
+    os.makedirs(dst, exist_ok=True)
+    linked = copied = 0
+    for rel, src_fp in zip(rels, srcs):
+        out = os.path.join(dst, rel)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        try:
+            os.link(src_fp, out)
+            linked += 1
+        except OSError:
+            _shutil.copy2(src_fp, out)  # cross-device fallback
+            copied += 1
+    # metadata: schema + partition sidecars verbatim; manifest entries
+    # only for the cloned files (stats stay advisory); tombstone
+    # sidecar so sequenced merges keep their stale-update floor
+    for name in (SCHEMA_SIDECAR, PARTITION_SIDECAR):
+        sp = os.path.join(path, name)
+        if os.path.exists(sp):
+            _shutil.copy2(sp, os.path.join(dst, name))
+    tdir = os.path.join(path, TOMBSTONES_DIR)
+    if os.path.isdir(tdir):
+        _shutil.copytree(
+            tdir, os.path.join(dst, TOMBSTONES_DIR), dirs_exist_ok=True
+        )
+    try:
+        man = load_manifest(path)
+        keep = {r: man[r] for r in rels if r in man}
+        if keep:
+            merge_manifest(dst, keep)
+    except OSError:
+        pass  # advisory, same as everywhere
+    ensure_seeded(dst, files=sorted(rels))
+    return {
+        "files": len(rels), "linked": linked, "copied": copied,
+        "version_cloned": version, "dst": dst,
+    }
+
+
+@_locked(0)
 def vacuum(
     path: str, retain_snapshots: int = 0,
     retain_hours: "float | None" = None,

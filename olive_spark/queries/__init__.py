@@ -73,6 +73,7 @@ _ORDER = [
     "scan_merge_hidden_partition",  # r9: MERGE+DELETE on a days(ts) layout
     "scan_truncate_partition_pruning",  # r9: truncate(W,col) range pruning
     "scan_after_respec",  # r9: partition-spec evolution + post-respec mutate
+    "scan_after_clone",  # r9: shallow clone + isolated mutate
     "scan_after_rename_column",  # r9: metadata-only RENAME, per-file mapping
     "scan_table_by_name",  # r9: register_table + plain SQL
     "llm_dedup_incremental",  # r9: REWIRED to the persisted sharded Bloom index
@@ -122,11 +123,10 @@ _ORDER = [
     "join_full_outer",
     "null_handling",
     "reshape_unpivot",
-    # --- r06-window sample (next-oldest; family fill) ---
-    "agg_median_disc",
     # ---- beyond the 50-entry driver window: everything below was
     # green in its latest window (r06-r08) and keeps bench/pytest
     # coverage; cumulative driver coverage over rounds stays complete ----
+    "agg_median_disc",
     "window_first_last",
     "scalar_hash_bitwise",
     "scan_merge_time_travel",

@@ -502,6 +502,66 @@ SQL_AFTER_RENAME = (
 )
 
 
+def _ensure_orders_cloned(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) a SHALLOW CLONE exercise
+    (ops/maintenance.clone_table): base orders table -> clone
+    (hardlinked files, fresh history) -> DELETE on the CLONE only.
+    The clone's post-state is a pure function of the base orders view;
+    isolation (the source keeps all rows while the clone mutates) is
+    additionally asserted here at build time — a clone that shared
+    mutable state with its source would fail the count check."""
+    import os as _os
+
+    from olive_spark.ops.maintenance import clone_table, delete_where
+
+    def build(out: str) -> None:
+        src = out + "__src"
+        import shutil as _shutil
+
+        if _os.path.exists(src):
+            _shutil.rmtree(src)
+        cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        base = data.load(spark, sf, "orders", columns=cols)
+        base.repartition(4).write.format("olive").option("table", "data") \
+            .mode("append").save(src)
+        n = spark.read.format("olive").load(src).count()
+        clone_table(src, out)
+        delete_where(spark, out, "o_orderkey % 6 = 1")
+        post_src = spark.read.format("olive").load(src).count()
+        if post_src != n:
+            raise AssertionError(
+                f"clone mutation leaked into the source: {post_src} != {n}"
+            )
+
+    return _build_once(spark, sf, "orders_cloned", "_CLONE_OK", build)
+
+
+def scan_after_clone(spark: SparkSession, sf: str) -> DataFrame:
+    """Shallow-clone parity (r9): the clone reads exactly the source
+    state it was taken from, minus the delete applied to the CLONE
+    alone (copy-on-write on hardlinked files — the source is count-
+    checked unchanged at fixture build).  A clone that lost files,
+    shared rewrites with its source, or double-counted hardlinked
+    bytes hash-mismatches the oracle's base-table replay."""
+    path = _ensure_orders_cloned(spark, sf)
+    df = spark.read.format("olive").option("table", "data").load(path)
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").alias("sum_keys"),
+        F.sum(F.col("o_totalprice").cast(D)).cast(D).alias("sum_price"),
+    )
+
+
+SQL_AFTER_CLONE = (
+    "SELECT o_orderstatus, COUNT(*) AS n, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+    "AS sum_price "
+    "FROM orders WHERE NOT (o_orderkey % 6 = 1) "
+    "GROUP BY o_orderstatus"
+)
+
+
 def scan_table_by_name(spark: SparkSession, sf: str) -> DataFrame:
     """Name-addressed SQL (r9, olive_spark.register_table): the orders
     olive directory registers as a temporary view backed by the olive
@@ -2024,6 +2084,7 @@ QUERIES: dict[str, tuple] = {
         scan_merge_hidden_partition, SQL_MERGE_HIDDEN_PARTITION,
     ),
     "scan_after_respec": (scan_after_respec, SQL_AFTER_RESPEC),
+    "scan_after_clone": (scan_after_clone, SQL_AFTER_CLONE),
     "scan_after_rename_column": (
         scan_after_rename_column, SQL_AFTER_RENAME,
     ),

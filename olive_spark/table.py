@@ -139,6 +139,14 @@ class OliveTable:
             table=self.table, **kw
         )
 
+    def clone(self, dst: str, version: "int | None" = None) -> dict:
+        """SHALLOW CLONE into ``dst`` — hardlinked files, fresh
+        metadata/history; ``version`` clones a retained snapshot
+        (see ops.maintenance.clone_table)."""
+        from olive_spark.ops.maintenance import clone_table
+
+        return clone_table(self.path, dst, version=version)
+
     def optimize(self, **kw) -> dict:
         """Delta's spelling of compact: ``t.optimize(zorder_by=[...],
         where="day = ...")`` — see ops.maintenance.compact (within-dir
