@@ -61,13 +61,30 @@ def table_hash(cols: dict[str, list]) -> tuple[int, str, str]:
     return nrows, ",".join(names), h
 
 
+def _utc_wall(v):
+    """Spark collect() materializes TimestampType as naive datetimes in
+    the PROCESS-LOCAL timezone (fromInternal), while DuckDB yields the
+    stored UTC wall value — on a non-UTC host the two render the same
+    instant differently and hash-mismatch even though the engines
+    agree.  Normalize Spark's values back to UTC wall (fromInternal
+    sets ``fold``, so DST-ambiguous walls convert exactly)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        # naive = local wall (astimezone attaches local); aware = as-is
+        return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    if isinstance(v, (list, tuple)):
+        return [_utc_wall(x) for x in v]
+    return v
+
+
 def spark_result(df) -> dict[str, list]:
     rows = df.collect()
     cols: dict[str, list] = {c: [] for c in df.columns}
     for r in rows:
         d = r.asDict()
         for c in df.columns:
-            cols[c].append(d[c])
+            cols[c].append(_utc_wall(d[c]))
     return cols
 
 
