@@ -506,3 +506,63 @@ def test_search_tokens_single_slim_shuffle(spark, tmp_path):
     # partial agg before the exchange, final after: exactly one shuffle
     assert p.count("Exchange") <= 2, p
     assert "BatchScan olive" in p
+
+
+def test_funnel_chained_no_gathered_arrays(spark):
+    """The unbounded-key funnel scale path must never gather per-key
+    series: no collect_list/sort_array anywhere in the plan, and the
+    per-stage aggregates stay partial->final hash aggregates."""
+    from olive_spark.ops.timeseries import funnel_depths_chained
+
+    df = spark.range(200).selectExpr(
+        "id % 20 AS user_id",
+        "timestamp_micros(1700000000000000 + id * 1000000) AS ts",
+        "CASE WHEN id % 3 = 0 THEN 'view' WHEN id % 3 = 1 THEN 'click' "
+        "ELSE 'purchase' END AS event_type",
+    )
+    p = plan_of(funnel_depths_chained(
+        df, stages=[("view", "v"), ("click", "c"), ("purchase", "p")],
+    ))
+    assert "collect_list" not in p and "sort_array" not in p
+    assert "HashAggregate" in p
+    assert "Cartesian" not in p
+
+
+def test_ewma_chunked_no_single_partition(spark):
+    """ewma_chunked's rank window partitions BY KEY (never a global
+    single-partition window), and the only gathered arrays are the
+    rank-chunk groups."""
+    from olive_spark.ops.timeseries import ewma_chunked
+
+    df = spark.range(500).selectExpr(
+        "id % 10 AS user_id",
+        "timestamp_micros(1700000000000000 + id * 1000000) AS ts",
+        "cast(id as double) AS value",
+    )
+    p = plan_of(ewma_chunked(df, chunk=64))
+    assert "SinglePartition" not in p
+    assert "Cartesian" not in p
+
+
+def test_bloom_probe_routed_shards_only(spark, tmp_path):
+    """The probe plan filters the shard table to the batch's ROUTED
+    shard ids before the cogroup — a big index's unrouted shard bytes
+    must never enter the shuffle."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops import bloom_index
+
+    docs = spark.range(300).selectExpr(
+        "id AS doc_id", "concat('t', cast(id as string)) AS text"
+    )
+    idx = str(tmp_path / "bi")
+    bloom_index.build_bloom_index(
+        spark, docs, idx, expected_items=512, n_shards=8
+    )
+    # a single-row batch routes to exactly one shard
+    batch = docs.limit(1)
+    df = bloom_index.probe_bloom_index(spark, batch, docs, idx)
+    p = plan_of(df)
+    assert "FlatMapCoGroupsInPandas" in p
+    # the shard-side scan carries the routed-IN filter
+    assert "shard" in p and ("IN (" in p or "In(" in p or "= " in p)
