@@ -1920,8 +1920,19 @@ def clone_table(
     from olive_spark.format.table_schema import SCHEMA_SIDECAR
 
     dst = os.path.abspath(dst)
-    if os.path.abspath(path) == dst:
+    src_abs = os.path.abspath(path)
+    if src_abs == dst:
         raise ValidationError("clone destination equals the source")
+    # a nested clone would leak: dst inside src puts the clone's .olive
+    # files into every SOURCE directory scan (and vice versa)
+    if (
+        dst.startswith(src_abs + os.sep)
+        or src_abs.startswith(dst + os.sep)
+    ):
+        raise ValidationError(
+            "clone destination must not nest inside the source (or "
+            f"vice versa): {src_abs} vs {dst}"
+        )
     if os.path.isdir(dst) and any(
         f.endswith(".olive")
         for _, _, fs in os.walk(dst) for f in fs

@@ -116,3 +116,14 @@ def test_clone_carries_sidecars_and_refuses_nonempty(spark, tmp_path):
         clone_table(src, dst)
     with pytest.raises(ValidationError, match="equals the source"):
         clone_table(src, src)
+
+
+def test_clone_refuses_nested_destination(spark, tmp_path):
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops.maintenance import clone_table
+
+    src = str(tmp_path / "src")
+    spark.range(10).selectExpr("id AS k").write.format("olive") \
+        .mode("append").save(src)
+    with pytest.raises(ValidationError, match="nest"):
+        clone_table(src, os.path.join(src, "branch"))
