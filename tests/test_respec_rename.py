@@ -299,3 +299,23 @@ def test_respec_with_sort_by_clusters_within_dirs(spark, tmp_path):
     full = 4096
     tight = sum(1 for s in spans if s < full * 0.8)
     assert tight >= len(spans) // 2, spans
+
+
+def test_rename_time_travel_reads_through_current_names(spark, tmp_path):
+    """Latest-schema-wins: a pre-rename snapshot reads THROUGH the
+    current (renamed) column names, with values mapped out of the old
+    files — same model as add/drop evolution."""
+    from olive_spark.ops.maintenance import merge_upsert, rename_column
+
+    path = str(tmp_path / "t")
+    spark.range(50).selectExpr("id AS k", "id * 2 AS v") \
+        .coalesce(1).write.format("olive").mode("append").save(path)
+    rename_column(path, "v", "val")
+    merge_upsert(
+        spark, path,
+        spark.createDataFrame([(1, 111)], "k long, val long"), ["k"],
+    )
+    v1 = spark.read.format("olive").option("snapshot", 1).load(path)
+    assert sorted(v1.columns) == ["k", "val"]
+    rows = dict((r["k"], r["val"]) for r in v1.collect())
+    assert rows[1] == 2 and len(rows) == 50  # pre-merge values, new name
