@@ -62,6 +62,19 @@ Options:
                      _olive_history/).  The snapshot-DIFF primitive:
                      ops.changes.read_changes scans only the files two
                      versions disagree on.  Exclusive with ``snapshot``
+    posColumn        append each row's RAW position within its chunk
+                     file (int64, page-selection- and DV-independent) —
+                     the merge-on-read primitive: deletion vectors
+                     record these positions (format/deletion.py)
+    dvs              JSON {target_rel: [dv names]} overriding the
+                     deletion-vector state to fold ("{}" disables
+                     folding).  Default: the snapshot's DV state for
+                     time-travel scans, the live _olive_dv/ directory
+                     otherwise.  ops.changes passes per-version state
+    dvMode           "drop" (default: deleted positions are removed) |
+                     "select" (ONLY the listed positions are returned —
+                     the change feed's DV-diff delete reader; files
+                     with no dvs entry yield no rows)
 """
 
 from __future__ import annotations
@@ -131,9 +144,13 @@ def _list_chunk_files(path: str) -> list[str]:
         # holds compaction-replaced files that only snapshot reads may
         # see (they'd double-count in a live scan).  Hive partition
         # dirs for `_`-named COLUMNS still contain '=' and stay visible
-        # (`_year=2024` is data, `_olive_history` is not)
+        # (`_year=2024` is data, `_olive_history` is not).  `.`-prefixed
+        # dirs are uncommitted staging (executor-side tombstone writes)
+        # and are never data.
         dirs[:] = sorted(
-            d for d in dirs if not (d.startswith("_") and "=" not in d)
+            d for d in dirs
+            if not (d.startswith("_") and "=" not in d)
+            and not d.startswith(".")
         )
         for f in sorted(files):
             if f.endswith(".olive"):
@@ -282,6 +299,10 @@ class OliveInputPartition(InputPartition):
     table: Optional[str]
     columns: Optional[tuple[str, ...]]
     predicates: tuple[tuple[str, str, Any], ...]
+    # deletion vectors for THIS partition's files: ((abs file path,
+    # (abs dv paths, ...)), ...) — empty for DV-less tables, so every
+    # pre-DV construction site (streaming) stays valid
+    dvs: tuple = ()
 
 
 def _pack_files(
@@ -394,6 +415,16 @@ class OliveReader(DataSourceReader):
         if self.files_opt is not None and self.snapshot is not None:
             raise ValueError("olive: 'files' and 'snapshot' are exclusive")
         self.file_column = options.get("filecolumn", options.get("fileColumn"))
+        self.pos_column = options.get("poscolumn", options.get("posColumn"))
+        dvs = options.get("dvs")
+        self.dvs_opt = json.loads(dvs) if dvs is not None else None
+        if self.dvs_opt is not None and not isinstance(self.dvs_opt, dict):
+            raise ValueError("olive: 'dvs' must be a JSON object")
+        self.dv_select = str(
+            options.get("dvmode", options.get("dvMode", "drop"))
+        ).lower() == "select"
+        if self.dv_select and self.dvs_opt is None:
+            raise ValueError("olive: dvMode=select requires the 'dvs' map")
         # RENAME COLUMN read mapping ({current: [old names, newest
         # first]}): loaded once at plan time, ships to workers with the
         # pickled reader; read() projects a renamed column out of
@@ -465,12 +496,50 @@ class OliveReader(DataSourceReader):
                     (files[0],), self.table, self.columns, (("__none__", "=", 0),)
                 )
             ]
+        dv_map = self._dv_paths_for(keep)
         return [
-            OliveInputPartition(bin_, self.table, self.columns, preds)
+            OliveInputPartition(
+                bin_, self.table, self.columns, preds,
+                dvs=tuple((f, dv_map[f]) for f in bin_ if f in dv_map),
+            )
             for bin_ in _pack_files(
                 keep, self.max_partition_bytes, self.open_cost, self.min_partitions
             )
         ]
+
+    def _dv_paths_for(self, files) -> "dict[str, tuple[str, ...]]":
+        """{abs chunk path: (abs DV paths, ...)} under the scan's DV
+        state: the explicit ``dvs`` option when given (the change feed
+        passes per-version state), else the snapshot's replayed state
+        for time travel, else the live ``_olive_dv/`` directory — the
+        same directory-is-authority rule as the file listing, so a lost
+        snapshot log can never resurrect deleted rows."""
+        if not os.path.isdir(self.path):
+            return {}
+        if self.dvs_opt is not None:
+            state = {str(t): list(n) for t, n in self.dvs_opt.items()}
+        elif self.snapshot is not None:
+            from olive_spark.format.snapshots import dv_state_at
+
+            state = dv_state_at(self.path, self.snapshot)
+        else:
+            from olive_spark.format.deletion import list_dvs
+
+            state = list_dvs(self.path)
+        if not state:
+            return {}
+        from olive_spark.format.deletion import resolve_dv_paths
+
+        hist_prefix = "_olive_history" + os.sep
+        out: dict[str, tuple[str, ...]] = {}
+        for fp in files:
+            rel = os.path.relpath(fp, self.path)
+            if rel.startswith(hist_prefix):
+                rel = rel[len(hist_prefix):]
+            names = state.get(rel)
+            if names:
+                out[fp] = tuple(resolve_dv_paths(self.path, names))
+        return out
 
     def _file_prunable(self, fp: str, preds, manifest: dict = {}) -> bool:
         """File-level pruning: the directory manifest's chunk-level
@@ -513,6 +582,7 @@ class OliveReader(DataSourceReader):
             return False
 
     def read(self, partition: OliveInputPartition) -> Iterator["pa.RecordBatch"]:
+        import numpy as np
         import pyarrow as pa
 
         from olive_spark.format.reader import ChunkReader, select_pages
@@ -521,6 +591,7 @@ class OliveReader(DataSourceReader):
         if partition.predicates and partition.predicates[0][0] == "__none__":
             yield pa.RecordBatch.from_pylist([], schema=expected)
             return
+        dv_lookup = dict(partition.dvs) if partition.dvs else {}
         for fp in partition.files:
             r = ChunkReader.from_path(fp)
             th = _pick_table(r.header, partition.table)
@@ -552,6 +623,32 @@ class OliveReader(DataSourceReader):
                 tbl = tbl.rename_columns(
                     [remap.get(n, n) for n in tbl.column_names]
                 )
+            # deletion vectors / raw positions: positions index the
+            # file's shared row grid, page-selection-aware, so a DV
+            # written against the full file folds correctly into any
+            # pruned read (format/deletion.py)
+            dv_paths = dv_lookup.get(fp)
+            pos = None
+            if dv_paths or self.pos_column or self.dv_select:
+                pos = _file_positions(th, pages)
+            if self.dv_select:
+                # change-feed DV-diff mode: ONLY the listed positions
+                from olive_spark.format.deletion import union_positions
+
+                if not dv_paths:
+                    continue
+                sel = union_positions(dv_paths).astype("int64")
+                mask = np.isin(pos, sel)
+                tbl = tbl.filter(pa.array(mask))
+                pos = pos[mask]
+            elif dv_paths:
+                from olive_spark.format.deletion import union_positions
+
+                deleted = union_positions(dv_paths).astype("int64")
+                mask = ~np.isin(pos, deleted)
+                if not mask.all():
+                    tbl = tbl.filter(pa.array(mask))
+                    pos = pos[mask]
             if self.file_column:
                 # table-relative provenance name; snapshot reads that
                 # resolved into _olive_history report the logical name
@@ -566,6 +663,10 @@ class OliveReader(DataSourceReader):
                 tbl = tbl.append_column(
                     self.file_column,
                     pa.array([rel] * tbl.num_rows, pa.string()),
+                )
+            if self.pos_column:
+                tbl = tbl.append_column(
+                    self.pos_column, pa.array(pos, pa.int64())
                 )
             tbl = _cast_to(tbl, expected)
             yield from tbl.to_batches(max_chunksize=1 << 16)
@@ -610,6 +711,36 @@ class OlivePushdownReader(OliveReader):
             if p is not None:
                 self.predicates.append(p)
         return iter(filters)
+
+
+def _file_positions(th, pages):
+    """Raw row positions (within the file's shared row grid) of the
+    rows a read with ``pages`` selection returns, in read order.  The
+    grid comes from any buffer's ``row_index_ends`` — all buffers of a
+    chunk share it (reference src/header.zig:41-45)."""
+    import numpy as np
+
+    from olive_spark.format import buffers as B
+
+    ends = None
+    for f in th.fields:
+        for b in f.buffers.values():
+            ends = b.row_index_ends
+            break
+        if ends is not None:
+            break
+    if ends is None:
+        # bufferless table (all-null columns / zero-row sentinel): no
+        # grid, but also nothing a page selection could have pruned
+        return np.arange(th.num_rows, dtype=np.int64)
+    if pages is None:
+        return np.arange(ends[-1] if ends else 0, dtype=np.int64)
+    starts = B.grid_starts(ends)
+    if not pages:
+        return np.zeros(0, np.int64)
+    return np.concatenate(
+        [np.arange(starts[i], ends[i], dtype=np.int64) for i in pages]
+    )
 
 
 def _pick_table(header, name: Optional[str]):
@@ -1876,6 +2007,13 @@ class OliveDataSource(DataSource):
             from pyspark.sql.types import StringType
 
             fields.append(StructField(fc, StringType(), False))
+        pc = self.options.get("poscolumn", self.options.get("posColumn"))
+        if pc:
+            # raw row position within the chunk file — the merge-on-read
+            # primitive: deletion vectors record these positions
+            from pyspark.sql.types import LongType
+
+            fields.append(StructField(pc, LongType(), False))
         return StructType(fields)
 
     def reader(self, schema: StructType) -> OliveReader:

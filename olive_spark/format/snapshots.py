@@ -86,7 +86,9 @@ def list_live_files(dirpath: str) -> "list[str]":
     out: list[str] = []
     for root, dirs, files in os.walk(dirpath):
         dirs[:] = sorted(
-            d for d in dirs if not (d.startswith("_") and "=" not in d)
+            d for d in dirs
+            if not (d.startswith("_") and "=" not in d)
+            and not d.startswith(".")
         )
         for f in sorted(files):
             if f.endswith(".olive"):
@@ -97,6 +99,7 @@ def list_live_files(dirpath: str) -> "list[str]":
 def append_entry(
     dirpath: str, add, remove=(), reset: bool = False,
     tag: "str | None" = None, max_entries: "int | None" = None,
+    dv_add=(), dv_remove=(),
 ) -> int:
     """Record one commit; returns the new version number.  Single-writer
     contract (same as the stats manifest): no concurrent appenders.
@@ -122,7 +125,7 @@ def append_entry(
     if not entries and not reset:
         preexisting = sorted(set(list_live_files(dirpath)) - set(add))
         if preexisting:
-            entries.append({
+            base = {
                 "v": 1,
                 "ts": time.time(),
                 "add": preexisting,
@@ -130,7 +133,20 @@ def append_entry(
                 "reset": True,
                 "base": True,
                 "seeded": True,
-            })
+            }
+            # pre-existing deletion vectors belong to the seeded base:
+            # a time travel to the base must fold them, never
+            # resurrect the deleted rows (format/deletion.py)
+            dv_seed = _live_dv_state(dirpath)
+            new_names = {d for _, d in dv_add}
+            dv_seed = {
+                t: [n for n in names if n not in new_names]
+                for t, names in dv_seed.items()
+            }
+            dv_seed = {t: n for t, n in dv_seed.items() if n}
+            if dv_seed:
+                base["dv_base"] = dv_seed
+            entries.append(base)
     v = int(entries[-1]["v"]) + 1 if entries else 1
     entry = {
         "v": v,
@@ -142,6 +158,10 @@ def append_entry(
         entry["reset"] = True
     if tag is not None:
         entry["tag"] = str(tag)
+    if dv_add:
+        entry["dv_add"] = sorted([t, d] for t, d in dv_add)
+    if dv_remove:
+        entry["dv_remove"] = sorted([t, d] for t, d in dv_remove)
     entries.append(entry)
     if max_entries is not None and len(entries) > max_entries:
         entries = _collapse_entries(entries, int(max_entries))
@@ -162,7 +182,50 @@ def append_entry(
     return v
 
 
-def ensure_seeded(dirpath: str, files: "list[str] | None" = None) -> bool:
+def _live_dv_state(dirpath: str) -> "dict[str, list[str]]":
+    """Current deletion-vector state from the directory (advisory-log
+    seeding only; lazy import keeps log reads cheap when no DVs exist)."""
+    try:
+        from olive_spark.format.deletion import list_dvs
+
+        return list_dvs(dirpath)
+    except Exception:  # noqa: BLE001 — seeding must never fail a commit
+        return {}
+
+
+def _apply_entry(e: dict, live: set, dv: "dict[str, list[str]]") -> None:
+    """Fold one log entry into the (files, DV) replay state — the ONE
+    place entry semantics live (files_at / dv_state_at / collapse /
+    expire all replay through it).  A removed file's DVs die with it;
+    a reset clears both; ``dv_base`` (collapsed base entries) replaces
+    the DV map wholesale."""
+    if e.get("reset"):
+        live.clear()
+        dv.clear()
+    live.update(e.get("add", ()))
+    for r in e.get("remove", ()):
+        live.discard(r)
+        dv.pop(r, None)
+    base = e.get("dv_base")
+    if isinstance(base, dict):
+        dv.clear()
+        dv.update({t: list(n) for t, n in base.items()})
+    for t, d in e.get("dv_add", ()):
+        cur = dv.setdefault(t, [])
+        if d not in cur:
+            cur.append(d)
+    for t, d in e.get("dv_remove", ()):
+        cur = dv.get(t)
+        if cur and d in cur:
+            cur.remove(d)
+            if not cur:
+                dv.pop(t, None)
+
+
+def ensure_seeded(
+    dirpath: str, files: "list[str] | None" = None,
+    dv: "dict[str, list[str]] | None" = None,
+) -> bool:
     """Seed a base entry from the CURRENT live listing (or an explicit
     ``files`` list) when no log exists yet; returns True if a base was
     written.
@@ -183,7 +246,7 @@ def ensure_seeded(dirpath: str, files: "list[str] | None" = None) -> bool:
     pre = sorted(files) if files is not None else list_live_files(dirpath)
     if not pre:
         return False
-    log["entries"].append({
+    base = {
         "v": 1,
         "ts": time.time(),
         "add": pre,
@@ -191,7 +254,11 @@ def ensure_seeded(dirpath: str, files: "list[str] | None" = None) -> bool:
         "reset": True,
         "base": True,
         "seeded": True,
-    })
+    }
+    dv_seed = dv if dv is not None else _live_dv_state(dirpath)
+    if dv_seed:
+        base["dv_base"] = {t: sorted(n) for t, n in dv_seed.items() if n}
+    log["entries"].append(base)
     _write_log(dirpath, log)
     return True
 
@@ -214,25 +281,26 @@ def _collapse_entries(entries: "list[dict]", retain: int) -> "list[dict]":
     keep = entries[-retain:]
     base_v = int(keep[0]["v"])
     live: set[str] = set()
+    dv: dict[str, list[str]] = {}
     for e in entries:
         if int(e["v"]) > base_v:
             break
-        if e.get("reset"):
-            live.clear()
-        live.update(e.get("add", ()))
-        live.difference_update(e.get("remove", ()))
-    return [{
+        _apply_entry(e, live, dv)
+    base = {
         "v": base_v,
         "ts": keep[0].get("ts"),
         "add": sorted(live),
         "remove": [],
         "reset": True,
         "base": True,
-    }] + keep[1:]
+    }
+    if dv:
+        base["dv_base"] = {t: sorted(n) for t, n in dv.items() if n}
+    return [base] + keep[1:]
 
 
-def files_at(dirpath: str, version: int) -> list[str]:
-    """Replay the log up to ``version``; returns sorted relative names."""
+def _state_at(dirpath: str, version: int):
+    """Replay the log up to ``version``: (sorted file names, DV map)."""
     entries = load_log(dirpath)["entries"]
     if not entries:
         raise ValidationError(
@@ -247,14 +315,23 @@ def files_at(dirpath: str, version: int) -> list[str]:
             "(older versions may have been expired by vacuum)"
         )
     live: set[str] = set()
+    dv: dict[str, list[str]] = {}
     for e in entries:
         if int(e["v"]) > int(version):
             break
-        if e.get("reset"):
-            live.clear()
-        live.update(e.get("add", ()))
-        live.difference_update(e.get("remove", ()))
-    return sorted(live)
+        _apply_entry(e, live, dv)
+    return sorted(live), {t: sorted(n) for t, n in dv.items() if n}
+
+
+def files_at(dirpath: str, version: int) -> list[str]:
+    """Replay the log up to ``version``; returns sorted relative names."""
+    return _state_at(dirpath, version)[0]
+
+
+def dv_state_at(dirpath: str, version: int) -> "dict[str, list[str]]":
+    """Deletion-vector state AS OF ``version``: {target_rel: [dv names]}
+    (names resolve live-then-history via deletion.resolve_dv_paths)."""
+    return _state_at(dirpath, version)[1]
 
 
 def resolve_paths(dirpath: str, names) -> list[str]:
@@ -307,14 +384,16 @@ def _expire_locked(dirpath: str, retain: int) -> dict:
     # retained version would be O(retain x entries))
     keep_versions = {int(e["v"]) for e in keep}
     live: set[str] = set()
+    dv: dict[str, list[str]] = {}
     referenced: set[str] = set()
     for e in entries:
-        if e.get("reset"):
-            live.clear()
-        live.update(e.get("add", ()))
-        live.difference_update(e.get("remove", ()))
+        _apply_entry(e, live, dv)
         if int(e["v"]) in keep_versions:
             referenced.update(live)
+            # DV files a retained version still folds must survive the
+            # history prune alongside the chunk files they mask
+            for names in dv.values():
+                referenced.update(names)
     new_log = {"entries": _collapse_entries(entries, retain)}
     # tags are ALIASES, not retention pins: one naming an expired
     # version is dropped with it (kept tags keep resolving — the

@@ -65,9 +65,13 @@ def read_changes(
     latest-schema-wins — pre-evolution rows null-fill evolved columns,
     and a column added between the versions shows as NULL→value
     updates only where row content actually changed)."""
+    import json as _json
+
     from olive_spark.datasource import register_olive
+    from olive_spark.format.deletion import resolve_dv_paths
     from olive_spark.format.snapshots import (
         current_version,
+        dv_state_at,
         files_at,
         resolve_paths,
     )
@@ -79,23 +83,62 @@ def read_changes(
         raise ValueError(f"until ({v1}) must be >= since ({v0})")
     f0 = set(files_at(path, v0))
     f1 = set(files_at(path, v1))
+    dv0 = dv_state_at(path, v0)
+    dv1 = dv_state_at(path, v1)
 
-    def scan(names: "list[str]") -> "DataFrame | None":
+    def scan(
+        names: "list[str]", dvs: "dict[str, list[str]]",
+        dv_mode: str = "drop",
+    ) -> "DataFrame | None":
         if not names:
             return None
         # resolve on the driver FIRST: a removed file whose history was
         # vacuumed must raise the native ValidationError here, not a
         # wrapped plan-worker error mid-scan (and never a partial feed)
         resolve_paths(path, names)
+        resolve_dv_paths(path, [n for v in dvs.values() for n in v])
         return (
             spark.read.format("olive")
             .option("table", table)
             .option("files", ",".join(sorted(names)))
+            # EXPLICIT per-version DV state: the default (live
+            # directory) would fold TODAY's deletes into a historical
+            # side and corrupt the diff
+            .option("dvs", _json.dumps(dvs))
+            .option("dvMode", dv_mode)
             .load(path)
         )
 
-    df_add = scan(sorted(f1 - f0))
-    df_rem = scan(sorted(f0 - f1))
+    added_names = sorted(f1 - f0)
+    removed_names = sorted(f0 - f1)
+    df_add = scan(
+        added_names, {t: dv1[t] for t in dv1 if t in f1 - f0}
+    )
+    df_rem = scan(
+        removed_names, {t: dv0[t] for t in dv0 if t in f0 - f1}
+    )
+    # merge-on-read deletes: a DV added to a file BOTH versions share
+    # changes rows without changing the file list — the rows at the
+    # new DV positions (dv1 minus dv0; disjoint by construction, a DV
+    # is computed over a folding scan) are deletes in this window
+    dv_diff: dict[str, list[str]] = {}
+    for t in f0 & f1:
+        fresh = [n for n in dv1.get(t, []) if n not in set(dv0.get(t, []))]
+        if fresh:
+            dv_diff[t] = fresh
+    if dv_diff:
+        dv_del = scan(sorted(dv_diff), dv_diff, dv_mode="select")
+        df_rem = dv_del if df_rem is None else df_rem.unionByName(dv_del)
+    # the reverse direction (RESTORE undoing a DV): rows a dropped DV
+    # un-deletes on a shared file are inserts in this window
+    dv_undo: dict[str, list[str]] = {}
+    for t in f0 & f1:
+        undone = [n for n in dv0.get(t, []) if n not in set(dv1.get(t, []))]
+        if undone:
+            dv_undo[t] = undone
+    if dv_undo:
+        dv_ins = scan(sorted(dv_undo), dv_undo, dv_mode="select")
+        df_add = dv_ins if df_add is None else df_add.unionByName(dv_ins)
     # any side carries the same sidecar-seeded session schema as the
     # live table; plan the extra full relation ONLY when both sides are
     # empty (per-relation plan cost is the Python-DS framework tax)

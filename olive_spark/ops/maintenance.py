@@ -126,7 +126,15 @@ def _retire_original(path: str, rel: str, history: bool) -> bool:
     """Remove a compaction-replaced file from the LIVE listing: deleted
     outright, or moved into _olive_history/ (invisible to directory
     scans, still resolvable by snapshot reads) when history retention
-    is on."""
+    is on.  The file's deletion vectors retire WITH it — a live DV for
+    a retired file would be dead weight, and a retained one lets
+    pre-rewrite snapshots keep folding (format/deletion.py)."""
+    try:
+        from olive_spark.format.deletion import retire_target_dvs
+
+        retire_target_dvs(path, rel, history)
+    except OSError:
+        pass  # advisory cleanup; the data-file retire below is the op
     src = os.path.join(path, rel)
     try:
         if history:
@@ -549,6 +557,7 @@ def _rewrite_and_swap(
     table: str, target_rows: int, retain_history: bool,
     prefix: str, layout: "dict | None" = None,
     empty: bool = False, commit_tag: "str | None" = None,
+    dv_add: "list[tuple[str, str]] | None" = None,
 ) -> "list[str]":
     """Write ``df`` as the replacement for ``original_rels`` inside the
     live table at ``path`` — the crash-safe copy-on-write core shared by
@@ -588,7 +597,15 @@ def _rewrite_and_swap(
     ``commit_tag`` rides the intent manifest AND the snapshot-log
     entry, so callers (matview refresh) can tell whether THIS rewrite's
     commit landed — including when _recover_pending finished it after a
-    crash."""
+    crash.
+
+    ``dv_add`` [(target_rel, dv_rel), ...] folds a MERGE-ON-READ leg
+    into the SAME commit: each listed deletion vector must already be
+    staged at ``<path>/<dv_rel>.staging`` (written executor-side); it
+    is activated with the file swap, recorded in the intent manifest
+    (so recovery finishes it), and lands in the one snapshot entry —
+    a mixed rewrite-some-files / DV-others mutation is still exactly
+    one version."""
     from olive_spark.datasource.olive_datasource import _list_chunk_files
     from olive_spark.format.manifest import load_manifest, merge_manifest
 
@@ -644,6 +661,7 @@ def _rewrite_and_swap(
             "history": bool(retain_history),
             "empty": bool(empty),
             "tag": commit_tag,
+            "dv_add": [list(p) for p in (dv_add or [])],
         }
     )
     with open(manifest + ".tmp", "w") as fh:
@@ -653,6 +671,10 @@ def _rewrite_and_swap(
     os.replace(manifest + ".tmp", manifest)
     for dest in staged:
         os.replace(dest, dest[: -len(".staging")])
+    for _t, dv_rel in (dv_add or []):
+        stag = os.path.join(path, dv_rel) + ".staging"
+        if os.path.exists(stag):
+            os.replace(stag, os.path.join(path, dv_rel))
     for rel in original_rels:
         _retire_original(path, rel, retain_history)
     os.remove(manifest)
@@ -672,7 +694,7 @@ def _rewrite_and_swap(
         from olive_spark.format.snapshots import append_entry
 
         append_entry(path, add=finals, remove=original_rels,
-                     tag=commit_tag)
+                     tag=commit_tag, dv_add=tuple(dv_add or ()))
     except OSError:
         pass
     return finals
@@ -733,6 +755,20 @@ def _recover_pending(path: str) -> dict:
             if os.path.exists(spath):
                 os.replace(spath, fpath)
                 out["activated"] += 1
+        for _t, dv_rel in man.get("dv_add", []):
+            stag = os.path.join(path, dv_rel) + ".staging"
+            if os.path.exists(stag):
+                os.replace(stag, os.path.join(path, dv_rel))
+                out["activated"] += 1
+        for _t, dv_rel in man.get("dv_remove", []):
+            # RESTORE undoing post-version DVs: retire them to history
+            # (idempotent — retire_dv_file no-ops on an absent live file)
+            try:
+                from olive_spark.format.deletion import retire_dv_file
+
+                retire_dv_file(path, dv_rel, history=True)
+            except OSError:
+                pass
         for orig in man.get("originals", []):
             if _retire_original(path, orig, bool(man.get("history"))):
                 out["originals_deleted"] += 1
@@ -747,6 +783,8 @@ def _recover_pending(path: str) -> dict:
                 path, add=man.get("finals", []),
                 remove=man.get("originals", []),
                 tag=man.get("tag"),
+                dv_add=[tuple(p) for p in man.get("dv_add", [])],
+                dv_remove=[tuple(p) for p in man.get("dv_remove", [])],
             )
         except OSError:
             pass
@@ -769,9 +807,7 @@ def _read_tombstones(spark, path: str, key_cols: "list[str]"):
     tdir = os.path.join(path, TOMBSTONES_DIR)
     if not os.path.isdir(tdir):
         return None
-    if not any(
-        f.endswith(".olive") for _, _, fs in os.walk(tdir) for f in fs
-    ):
+    if not _tombstone_files(tdir):
         return None
     df = spark.read.format("olive").load(tdir)
     expected = set(key_cols) | {"__seq"}
@@ -784,54 +820,117 @@ def _read_tombstones(spark, path: str, key_cols: "list[str]"):
     return df
 
 
-def _record_tombstones(rows, key_cols: "list[str]", spark, path: str) -> None:
-    """Append winning tombstones (COLLECTED (key…, seq) tuples — they
-    are computed before the rewrite retires the files their lineage
-    reads, and are bounded by the batch's winning deletes) to the
-    sidecar, then compact it once it fragments.  Written AFTER the
-    rewrite commits: recording first would floor updates for a delete
-    that never landed; a crash in between only loses this batch's
-    floor, and a replay re-applies the delete and re-records it —
-    self-healing."""
-    if not rows:
+def _tombstone_files(tdir: str) -> "list[str]":
+    """Committed tombstone chunk files — `.`-prefixed staging subdirs
+    (uncommitted executor writes) are invisible until activation."""
+    out = []
+    for r, dirs, fs in os.walk(tdir):
+        dirs[:] = [d for d in dirs if not d.startswith(".")]
+        out.extend(os.path.join(r, f) for f in fs if f.endswith(".olive"))
+    return sorted(out)
+
+
+def _stage_tombstones(tombs_df, path: str, run: str) -> "str | None":
+    """Materialize winning tombstones ((key…, __seq) rows) EXECUTOR-SIDE
+    into a dot-staging subdir of the sidecar — the lineage reads the
+    merge's original files, so it must run BEFORE the swap retires
+    them, and the positions/keys never funnel through the driver (the
+    pre-r10 path collected them — a full-table CDC purge batch then
+    bottlenecked on one process).  The staging dir is invisible to
+    every tombstone read (dot-prefixed); a crash before activation
+    leaves inert debris that vacuum sweeps.  Returns the staging dir,
+    or None when the frame wrote no rows."""
+    stage = os.path.join(path, TOMBSTONES_DIR, f".staging-{run}")
+    (
+        tombs_df.write.format("olive")
+        .option("table", "tombstones")
+        .mode("append")
+        .save(stage)
+    )
+    # the writer's zero-row schema sentinel means "no tombstones" —
+    # drop the stage rather than activate an empty file
+    from olive_spark.datasource.olive_datasource import (
+        _pick_table,
+        _read_header_bytes,
+    )
+
+    any_rows = False
+    for r, _dirs, fs in os.walk(stage):
+        for f in fs:
+            if not f.endswith(".olive"):
+                continue
+            header, _ = _read_header_bytes(os.path.join(r, f))
+            if _pick_table(header, "tombstones").num_rows > 0:
+                any_rows = True
+    if not any_rows:
+        shutil.rmtree(stage, ignore_errors=True)
+        return None
+    return stage
+
+
+def _activate_tombstones(
+    spark, path: str, stage: "str | None", key_cols: "list[str]",
+) -> None:
+    """Commit staged tombstones AFTER the rewrite lands (recording
+    first would floor updates for a delete that never landed; a crash
+    in between only loses this batch's floor, and a replay re-applies
+    the delete and re-stages it — self-healing, same contract as the
+    pre-r10 collected path).  Activation is rename-only; afterwards the
+    sidecar compacts once it fragments."""
+    if stage is None:
         return
     tdir = os.path.join(path, TOMBSTONES_DIR)
-    df = spark.createDataFrame(rows, [*key_cols, "__seq"])
+    run = os.path.basename(stage)[len(".staging-"):]
+    i = 0
+    for r, _dirs, fs in os.walk(stage):
+        for f in sorted(fs):
+            if not f.endswith(".olive"):
+                continue
+            src = os.path.join(r, f)
+            try:
+                from olive_spark.datasource.olive_datasource import (
+                    _pick_table,
+                    _read_header_bytes,
+                )
+
+                header, _off = _read_header_bytes(src)
+                if _pick_table(header, "tombstones").num_rows == 0:
+                    continue  # schema sentinel, not data
+            except Exception:  # noqa: BLE001 — keep the file, be safe
+                pass
+            os.replace(src, os.path.join(tdir, f"tomb-{run}-{i:04d}.olive"))
+            i += 1
+    shutil.rmtree(stage, ignore_errors=True)
+    _compact_tombstones_if_needed(spark, tdir, key_cols)
+
+
+def _compact_tombstones_if_needed(spark, tdir: str, key_cols) -> None:
+    """Keep the sidecar bounded for long-lived streams: past the
+    threshold, rewrite it as one file of per-key maxima.  The new file
+    is appended FIRST (maxima semantics make old files a harmless
+    superset during the overlap), then the old files drop — crash-safe
+    without a manifest."""
+    files = _tombstone_files(tdir)
+    if len(files) <= _TOMBSTONE_COMPACT_THRESHOLD:
+        return
+    from pyspark.sql import functions as F
+
+    maxima = (
+        spark.read.format("olive").load(tdir)
+        .groupBy(*key_cols).agg(F.max("__seq").alias("__seq"))
+    )
     (
-        df.coalesce(1).write.format("olive")
+        maxima.coalesce(1).write.format("olive")
         .option("table", "tombstones")
         .option("snapshotMaxEntries", "64")
         .mode("append")
         .save(tdir)
     )
-    # keep the sidecar bounded for long-lived streams: past the
-    # threshold, rewrite it as one file of per-key maxima.  The new
-    # file is appended FIRST (maxima semantics make old files a
-    # harmless superset during the overlap), then the old files drop —
-    # crash-safe without a manifest.
-    files = sorted(
-        os.path.join(r, f)
-        for r, _, fs in os.walk(tdir) for f in fs if f.endswith(".olive")
-    )
-    if len(files) > _TOMBSTONE_COMPACT_THRESHOLD:
-        from pyspark.sql import functions as F
-
-        maxima = (
-            spark.read.format("olive").load(tdir)
-            .groupBy(*key_cols).agg(F.max("__seq").alias("__seq"))
-        )
-        (
-            maxima.coalesce(1).write.format("olive")
-            .option("table", "tombstones")
-            .option("snapshotMaxEntries", "64")
-            .mode("append")
-            .save(tdir)
-        )
-        for f in files:  # the pre-compaction fragments only
-            try:
-                os.remove(f)
-            except FileNotFoundError:
-                pass
+    for f in files:  # the pre-compaction fragments only
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass
 
 
 def clear_tombstones(path: str) -> int:
@@ -928,6 +1027,8 @@ def merge_upsert(
     delete_condition: "str | None" = None,
     evolve_schema: bool = False,
     commit_tag: "str | None" = None,
+    strategy: str = "auto",
+    dv_threshold: float = 0.2,
 ) -> dict:
     """``MERGE INTO`` (upsert) on a snapshot-logged olive table: rows of
     ``source`` whose ``key_cols`` match an existing row REPLACE it; the
@@ -1022,11 +1123,29 @@ def merge_upsert(
     column leave the reader) semi-joined against the source — a slim
     shuffle of keys, never of documents; the collected result is FILE
     NAMES (bounded by file count, the same driver-side footprint as
-    Delta/Iceberg's MERGE file pruning).  Phase 2 rewrites only the
-    affected files: survivors anti-join the source on keys, union the
-    full source, and write — work proportional to data actually
-    touched, not table size.  A source touching every file degrades to
-    a full rewrite, which is what MERGE means in that case.
+    Delta/Iceberg's MERGE file pruning).  Phase 2 resolves the merge
+    over only the affected files — work proportional to data actually
+    touched, not table size.
+
+    ``strategy`` picks the physical mutation per affected file, from
+    that file's DYING rows (target rows the resolution does not keep):
+
+    - "auto" (default): a file whose dying fraction is ≤
+      ``dv_threshold`` gets a merge-on-read DELETION VECTOR (the dying
+      positions land in a tiny ``_olive_dv/`` sidecar, the file's bytes
+      are untouched, replacement rows append as new files —
+      write cost ∝ changed rows, the Delta-DV shape a trickle-CDC
+      workload needs); heavier files take the classic copy-on-write
+      rewrite; a file with NO dying rows (every matched row failed its
+      condition / bystander-only) is left completely untouched.
+    - "dv": force DVs for every affected file with dying rows.
+    - "rewrite": the pre-r10 behavior — every affected file is
+      rewritten (including byte-identical ones), no dying-set job runs.
+
+    Whatever the mix, the whole merge lands as ONE snapshot version
+    (file adds + removes + DV adds share the commit and the crash-
+    recovery manifest), and a merge that changes nothing anywhere is a
+    clean no-op (no new version).
 
     Constraints: single writer (same contract as :func:`compact`);
     ``source`` must be unique on ``key_cols`` (enforced — a duplicate
@@ -1058,6 +1177,8 @@ def merge_upsert(
     from olive_spark.datasource.olive_datasource import _list_chunk_files
     from olive_spark.format.snapshots import current_version
 
+    if strategy not in ("auto", "dv", "rewrite"):
+        raise ValueError("strategy must be 'auto', 'dv', or 'rewrite'")
     register_olive(spark)
     _recover_pending(path)
     _seed_snapshot_log(path)
@@ -1284,30 +1405,29 @@ def merge_upsert(
         # lands; an entirely-shrunk batch is a clean no-op, not an
         # empty commit.
         ins = src
-        tomb_rows: list = []
+        tomb_stage = None
         persisted = None
         if delete_col is not None:
             # one materialization of the pruned batch (persist — the
             # lineage re-runs the stored-max + floor joins otherwise),
-            # splitting inserts from tombstones-to-retain (collected:
-            # bounded by the batch's tombstones)
+            # splitting inserts from tombstones-to-retain (staged
+            # EXECUTOR-SIDE — sequences never funnel through the driver)
             persisted = src.persist()
             if latest_by is not None:
                 # even with nothing to delete, the tombstone's
                 # sequence must floor future out-of-order updates
-                tomb_rows = [
-                    tuple(r)
-                    for r in persisted.filter(F.col("__del"))
-                    .select(*key_cols, F.col(latest_by).alias("__seq"))
-                    .collect()
-                ]
+                tomb_stage = _stage_tombstones(
+                    persisted.filter(F.col("__del"))
+                    .select(*key_cols, F.col(latest_by).alias("__seq")),
+                    path, uuid.uuid4().hex[:8],
+                )
             ins = persisted.filter(~F.col("__del")).drop("__del")
             n_insert = ins.count()
         else:
             n_insert = src.count() if latest_by is not None else n_src
         try:
             if n_insert == 0:
-                _record_tombstones(tomb_rows, key_cols, spark, path)
+                _activate_tombstones(spark, path, tomb_stage, key_cols)
                 return {
                     "files_rewritten": 0,
                     "files_added": 0,
@@ -1336,7 +1456,7 @@ def merge_upsert(
             ]
             if new_cols and added:
                 _update_schema_sidecar(path, table, added[0])
-            _record_tombstones(tomb_rows, key_cols, spark, path)
+            _activate_tombstones(spark, path, tomb_stage, key_cols)
             return {
                 "files_rewritten": 0,
                 "files_added": len(added),
@@ -1348,14 +1468,25 @@ def merge_upsert(
         finally:
             if persisted is not None:
                 persisted.unpersist()
-    # phase 2: rewrite only the affected files
+    # phase 2: resolve the merge over the affected files.  Every
+    # surviving TARGET row carries its provenance (__file, __pos raw
+    # grid position) through the resolution; a target row that does NOT
+    # survive is "dying" — the per-file dying set is what either
+    # becomes a deletion vector (merge-on-read, small fractions) or
+    # drives the copy-on-write rewrite, decided per file below.
+    pc = "_olive_pos"
     tagged = (
         spark.read.format("olive")
         .option("table", table)
         .option("fileColumn", fc)
+        .option("posColumn", pc)
         .load(path)
     )
-    existing = tagged.filter(F.col(fc).isin(affected)).drop(fc)
+    existing = (
+        tagged.filter(F.col(fc).isin(affected))
+        .withColumnRenamed(fc, "__file")
+        .withColumnRenamed(pc, "__pos")
+    )
     for c in new_cols:
         # evolution: pre-evolution rows in rewritten files get NULL for
         # the new columns (untouched files null-fill at read instead)
@@ -1388,7 +1519,9 @@ def merge_upsert(
             if update_condition is not None else F.lit(True)
         )
         kept_t = pairs.filter(~del_holds & ~upd_holds).select(
-            *[F.col(f"t.{c}").alias(c) for c in all_cols]
+            *[F.col(f"t.{c}").alias(c) for c in all_cols],
+            F.col("t.__file").alias("__file"),
+            F.col("t.__pos").alias("__pos"),
         )
         replaced_keys = (
             pairs.filter(upd_holds)
@@ -1403,7 +1536,11 @@ def merge_upsert(
         src_landing = src.join(
             replaced_keys, key_cols, "left_semi"
         ).unionByName(inserts)
-        merged = unmatched_t.unionByName(kept_t).unionByName(src_landing)
+        # source-landed rows have no provenance (allowMissingColumns
+        # null-fills __file/__pos) — they are the rows to WRITE
+        merged = unmatched_t.unionByName(kept_t).unionByName(
+            src_landing, allowMissingColumns=True
+        )
     elif latest_by is None:
         # matched keys vanish via the anti-join; only non-tombstone
         # source rows come back (a matched tombstone = WHEN MATCHED
@@ -1414,7 +1551,7 @@ def merge_upsert(
         )
         merged = existing.join(
             src.select(*key_cols), key_cols, "left_anti"
-        ).unionByName(live_src)
+        ).unionByName(live_src, allowMissingColumns=True)
     else:
         # latest-wins: per SOURCE-TOUCHED key, the greatest latest_by
         # among existing + incoming survives (equal sequence prefers
@@ -1432,7 +1569,10 @@ def merge_upsert(
         )
         ranked = (
             contested.withColumn("__src", F.lit(0))
-            .unionByName(src.withColumn("__src", F.lit(1)))
+            .unionByName(
+                src.withColumn("__src", F.lit(1)),
+                allowMissingColumns=True,  # src rows: null provenance
+            )
             .withColumn("__rn", F.row_number().over(wm))
             .filter(F.col("__rn") == 1)
         )
@@ -1444,47 +1584,222 @@ def merge_upsert(
             ).select(*key_cols, F.col(latest_by).alias("__seq"))
             ranked = ranked.filter(~F.col("__del")).drop("__del")
         merged = ranked.drop("__rn", "__src").unionByName(bystanders)
-    # persist: the rewrite dataset is needed twice (count to size the
-    # output files, then the write) — at 100 TB recomputing the
-    # scan+anti-join+union for the write would double the most
-    # expensive phase; the persisted set is bounded by touched data
+    # persist: the resolved dataset is needed several times (count,
+    # dying-set anti-join, the write) — at 100 TB recomputing the
+    # scan+anti-join+union each time would multiply the most expensive
+    # phase; the persisted set is bounded by touched data
     merged = merged.persist()
     layout = _partition_layout(path)
     try:
         rows = merged.count()
-        tomb_rows = []
-        if new_tombs is not None:
-            # COLLECT before the swap: the lineage scans the affected
-            # originals, which the swap is about to retire — a lazy
-            # plan executed afterwards would re-read a different table
-            # (fourth-review finding).  Bounded by the batch's winning
-            # deletes; recorded only after the rewrite lands.
-            tomb_rows = [tuple(r) for r in new_tombs.collect()]
-        n_files = max(1, math.ceil(rows / target_rows))
         run = uuid.uuid4().hex[:8]
+        tomb_stage = None
+        if new_tombs is not None:
+            # MATERIALIZE before the swap: the lineage scans the
+            # affected originals, which the swap is about to retire — a
+            # lazy plan executed afterwards would re-read a different
+            # table (fourth-review finding).  Staged EXECUTOR-SIDE into
+            # a dot-subdir of the sidecar (pre-r10 this collected every
+            # winning delete to the driver — a full-table CDC purge
+            # batch funneled through one process); activated only
+            # after the rewrite lands.
+            tomb_stage = _stage_tombstones(new_tombs, path, run)
+        dv_files: list[str] = []
+        dv_add: list[tuple[str, str]] = []
+        if strategy == "rewrite":
+            # exact pre-r10 copy-on-write behavior, no dying-set job
+            rw_files = list(affected)
+        else:
+            # DYING set: target rows of affected files that did NOT
+            # survive the resolution — exactly what a deletion vector
+            # can mask.  One slim scan (a single key column rides along
+            # for validity; fc/pos are synthesized) anti-joined against
+            # the survivors' provenance; both sides bounded by touched
+            # data.
+            aff_pos = (
+                spark.read.format("olive")
+                .option("table", table)
+                .option("fileColumn", fc)
+                .option("posColumn", pc)
+                .option("columns", key_cols[0])
+                .option("files", ",".join(affected))
+                .load(path)
+                .select(F.col(fc), F.col(pc))
+            )
+            survivors_pos = (
+                merged.filter(F.col("__file").isNotNull())
+                .select(
+                    F.col("__file").alias(fc), F.col("__pos").alias(pc)
+                )
+            )
+            dying = aff_pos.join(survivors_pos, [fc, pc], "left_anti")
+            dying_counts = {
+                r[0]: int(r[1])
+                for r in dying.groupBy(fc).count().collect()
+            }
+            # per-file strategy: a file none of whose rows die is left
+            # untouched entirely (bytes, stats, and indexes survive);
+            # small dying fractions get a DV; the rest rewrite
+            if strategy == "dv":
+                dv_files = [f for f in affected if dying_counts.get(f)]
+                rw_files = []
+            else:
+                from olive_spark.format.manifest import load_manifest
+
+                man = load_manifest(path) if os.path.isdir(path) else {}
+                rw_files = []
+                for rel in affected:
+                    d = dying_counts.get(rel, 0)
+                    if d == 0:
+                        continue
+                    total = _file_rows(path, rel, table, man)
+                    if total and d <= dv_threshold * total:
+                        dv_files.append(rel)
+                    else:
+                        rw_files.append(rel)
+            if dv_files:
+                staged = _stage_dv_positions(
+                    dying.filter(F.col(fc).isin(dv_files)), fc, pc,
+                    path, run,
+                )
+                dv_add = [(f, dv) for f, dv, _n in staged]
+        # the write set: every source-landed row (null provenance) plus
+        # survivors of rewrite-classed files; DV-classed and untouched
+        # files keep their survivors in place
+        rewrite_df = merged.filter(
+            F.col("__file").isNull()
+            | (F.col("__file").isin(rw_files) if rw_files else F.lit(False))
+        ).drop("__file", "__pos")
+        rw_rows = rewrite_df.count()
+        if rw_rows == 0 and not rw_files and not dv_add:
+            # nothing changed anywhere (every matched row failed its
+            # condition): clean no-op, no commit
+            _activate_tombstones(spark, path, tomb_stage, key_cols)
+            return {
+                "files_rewritten": 0,
+                "files_added": 0,
+                "files_dv": 0,
+                "rows_after_in_rewritten": 0,
+                "inserted_only": False,
+                "version": pre_version,
+                "pre_version": pre_version,
+            }
         if new_cols:  # sidecar BEFORE data: see _seed_evolved_sidecar
             _seed_evolved_sidecar(path, table, src.schema, new_cols)
+        from olive_spark.datasource.olive_datasource import _list_chunk_files
+
+        wipe_all = (
+            rw_rows == 0 and not dv_files
+            and len(rw_files) >= len(_list_chunk_files(path))
+        )
+        n_files = max(1, math.ceil(rw_rows / target_rows))
         finals = _rewrite_and_swap(
-            _shape_for_write(merged, n_files, layout), path, affected, run,
+            _shape_for_write(rewrite_df, n_files, layout)
+            if (rw_rows or wipe_all) else None,
+            path, rw_files, run,
             table=table, target_rows=target_rows,
             retain_history=retain_history, prefix="merge",
             layout=layout, commit_tag=commit_tag,
+            empty=(rw_rows == 0 and not wipe_all),
+            dv_add=dv_add,
         )
         if new_cols and finals:
             _update_schema_sidecar(
                 path, table, os.path.join(path, finals[0])
             )
-        _record_tombstones(tomb_rows, key_cols, spark, path)
+        _activate_tombstones(spark, path, tomb_stage, key_cols)
     finally:
         merged.unpersist()
     return {
-        "files_rewritten": len(affected),
+        "files_rewritten": len(rw_files),
         "files_added": len(finals),
+        "files_dv": len(dv_files),
         "rows_after_in_rewritten": rows,
         "inserted_only": False,
         "version": current_version(path),
         "pre_version": pre_version,
     }
+
+
+def _file_rows(path: str, rel: str, table: str, man: dict) -> "int | None":
+    """Raw row count of one chunk file: manifest entry first (no file
+    open), header fallback.  None when neither is readable."""
+    from olive_spark.format.manifest import lookup
+
+    ent = lookup(man, path, os.path.join(path, rel))
+    rows = ent.get("rows") if isinstance(ent, dict) else None
+    if isinstance(rows, int):
+        return rows
+    try:
+        from olive_spark.datasource.olive_datasource import (
+            _pick_table,
+            _read_header_bytes,
+        )
+
+        header, _ = _read_header_bytes(os.path.join(path, rel))
+        return _pick_table(header, table).num_rows
+    except Exception:  # noqa: BLE001 — unknown size: caller rewrites
+        return None
+
+
+def _stage_dv_positions(
+    positions_df, fc: str, pc: str, path: str, run: str,
+) -> "list[tuple[str, str, int]]":
+    """Stage one deletion vector per distinct file of ``positions_df``
+    (a (file rel, raw position) relation) — written straight from
+    executors (the position list never funnels through the driver;
+    only (file, dv_name, count) triples come back).  Positions are raw
+    row-grid indices from a ``posColumn`` scan that folds existing DVs
+    first, so a new DV never re-marks an already-deleted row and DV
+    files compose by plain union (format/deletion.py)."""
+
+    def write_group(pdf):
+        import os as _os
+
+        import numpy as _np
+        import pandas as _pd
+
+        from olive_spark.format import deletion as _D
+
+        rel = pdf[fc].iloc[0]
+        dv_rel = _os.path.join(_D.DV_DIR, rel, f"{run}.dv")
+        dest = _os.path.join(path, dv_rel) + ".staging"
+        _os.makedirs(_os.path.dirname(dest), exist_ok=True)
+        blob = _D.encode_dv(rel, pdf[pc].to_numpy(_np.uint64))
+        with open(dest, "wb") as f:
+            f.write(blob)
+        return _pd.DataFrame(
+            {"file": [rel], "dv": [dv_rel], "n": [len(pdf)]}
+        )
+
+    out = (
+        positions_df.groupBy(fc)
+        .applyInPandas(write_group, "file string, dv string, n long")
+        .collect()  # one slim row per affected file, never positions
+    )
+    return [(r["file"], r["dv"], int(r["n"])) for r in out]
+
+
+def _write_dvs_for(
+    spark, path: str, table: str, condition: str,
+    dv_files: "list[str]", run: str,
+) -> "list[tuple[str, str, int]]":
+    """delete_where's DV leg: positions of rows matching ``condition``
+    in ``dv_files``, staged executor-side via _stage_dv_positions."""
+    from pyspark.sql import functions as F
+
+    fc, pc = "_olive_file", "_olive_pos"
+    scan = (
+        spark.read.format("olive")
+        .option("table", table)
+        .option("fileColumn", fc)
+        .option("posColumn", pc)
+        .option("files", ",".join(dv_files))
+        .load(path)
+    )
+    return _stage_dv_positions(
+        scan.filter(F.expr(condition)).select(fc, pc), fc, pc, path, run,
+    )
 
 
 @_locked(1)
@@ -1495,28 +1810,49 @@ def delete_where(
     table: str = "data",
     retain_history: bool = True,
     target_rows: int = 1 << 20,
+    mode: str = "auto",
+    dv_threshold: float = 0.2,
 ) -> dict:
     """``DELETE FROM ... WHERE condition`` on a snapshot-logged olive
-    table: copy-on-write rewrite of exactly the files that contain a
-    matching row (SQL expression string; NULL condition keeps the row,
-    per SQL DELETE semantics).  Files with no match keep their bytes and
-    metadata; the whole delete is ONE snapshot version, and
-    ``retain_history=True`` keeps the pre-delete version readable via
-    ``.option("snapshot", N)`` until vacuum expires it.
+    table (SQL expression string; NULL condition keeps the row, per SQL
+    DELETE semantics).  Two physical strategies per affected file:
 
-    100 TB shape: discovery is a scan + filter + distinct over file
-    names (the filter prunes pages/files via stats where the condition
-    allows), collecting only FILE NAMES; the rewrite touches only
-    affected files.  Same single-writer contract as :func:`compact`;
-    hive-partitioned layouts are preserved (rewritten survivors land
-    back inside their ``col=value/…`` directories).
+    - **merge-on-read (deletion vector)**: a tiny ``_olive_dv/`` sidecar
+      records the deleted row POSITIONS; the file's bytes are untouched
+      and scans fold the positions out (format/deletion.py).  Write
+      cost ∝ deleted rows, not file size — the Delta-DV / Iceberg-
+      positional-delete shape a trickle-delete workload needs at 100 TB
+      (a 1-row delete no longer rewrites a 1 GiB file).
+    - **copy-on-write (rewrite)**: the file is rewritten without the
+      matching rows, as before.  Right when most of a file dies — a DV
+      masking 90% of a file leaves 90% dead bytes every scan still
+      pages through until ``compact`` materializes them.
 
-    Returns {files_rewritten, files_added, rows_deleted, version}."""
+    ``mode``: "auto" (default) picks PER FILE by deleted fraction —
+    files where matched/total ≤ ``dv_threshold`` get a DV, the rest
+    rewrite; "dv" forces DVs; "rewrite" forces the classic rewrite.
+    Either way the whole delete lands as ONE snapshot version (DV adds
+    and file swaps share the commit), ``retain_history=True`` keeps the
+    pre-delete version readable via ``.option("snapshot", N)``, and
+    ``compact`` later materializes DVs (its folding scan never sees the
+    deleted rows, and retiring the originals retires their DVs).
+
+    100 TB shape: discovery is a scan + filter + count over file names
+    (stats/Bloom-pruned where the condition allows), collecting only
+    FILE NAMES + counts; DV positions are written straight from
+    executors; rewrites touch only rewrite-classed files.  Same
+    single-writer contract as :func:`compact`; partitioned layouts are
+    preserved.
+
+    Returns {files_rewritten, files_added, files_dv, rows_deleted,
+    version, pre_version}."""
     from pyspark.sql import functions as F
 
     from olive_spark.datasource import register_olive
     from olive_spark.format.snapshots import current_version
 
+    if mode not in ("auto", "dv", "rewrite"):
+        raise ValueError("mode must be 'auto', 'dv', or 'rewrite'")
     register_olive(spark)
     _recover_pending(path)
     _seed_snapshot_log(path)
@@ -1537,8 +1873,53 @@ def delete_where(
         return {
             "files_rewritten": 0,
             "files_added": 0,
+            "files_dv": 0,
             "rows_deleted": 0,
             "version": pre_version,
+            "pre_version": pre_version,
+        }
+    # per-file strategy: DV when the deleted fraction is small (the
+    # matched counts fold existing DVs; totals are raw file rows, so
+    # the fraction slightly UNDER-estimates on already-DV'd files —
+    # biased toward another DV, which compact resolves)
+    matched = {r[0]: int(r[1]) for r in hits}
+    if mode == "rewrite":
+        dv_files, rw_files = [], list(affected)
+    elif mode == "dv":
+        dv_files, rw_files = list(affected), []
+    else:
+        from olive_spark.format.manifest import load_manifest
+
+        man = load_manifest(path) if os.path.isdir(path) else {}
+        dv_files, rw_files = [], []
+        for rel in affected:
+            total = _file_rows(path, rel, table, man)
+            if total and matched[rel] <= dv_threshold * total:
+                dv_files.append(rel)
+            else:
+                rw_files.append(rel)
+    run = uuid.uuid4().hex[:8]
+    dv_add: list[tuple[str, str]] = []
+    if dv_files:
+        staged = _write_dvs_for(
+            spark, path, table, condition, dv_files, run
+        )
+        dv_add = [(f, dv) for f, dv, _n in staged]
+    if not rw_files:
+        # pure merge-on-read commit: no file moves at all — the swap
+        # core still provides the intent manifest + one-version entry
+        _rewrite_and_swap(
+            None, path, [], run,
+            table=table, target_rows=target_rows,
+            retain_history=retain_history, prefix="delete",
+            layout=None, empty=True, dv_add=dv_add,
+        )
+        return {
+            "files_rewritten": 0,
+            "files_added": 0,
+            "files_dv": len(dv_files),
+            "rows_deleted": n_deleted,
+            "version": current_version(path),
             "pre_version": pre_version,
         }
     tagged = (
@@ -1548,7 +1929,7 @@ def delete_where(
         .load(path)
     )
     survivors = (
-        tagged.filter(F.col(fc).isin(affected))
+        tagged.filter(F.col(fc).isin(rw_files))
         .filter(~F.coalesce(cond, F.lit(False)))
         .drop(fc)
         .persist()  # needed twice: count to size files, then the write
@@ -1562,22 +1943,26 @@ def delete_where(
         # is exactly what keeps the directory scannable
         from olive_spark.datasource.olive_datasource import _list_chunk_files
 
-        wipe_all = rows == 0 and len(affected) >= len(_list_chunk_files(path))
+        wipe_all = (
+            rows == 0 and not dv_files
+            and len(rw_files) >= len(_list_chunk_files(path))
+        )
         n_files = max(1, math.ceil(rows / target_rows))
-        run = uuid.uuid4().hex[:8]
         finals = _rewrite_and_swap(
-            _shape_for_write(survivors, n_files, layout), path, affected,
+            _shape_for_write(survivors, n_files, layout), path, rw_files,
             run,
             table=table, target_rows=target_rows,
             retain_history=retain_history, prefix="delete",
             layout=layout,
             empty=(rows == 0 and not wipe_all),
+            dv_add=dv_add,
         )
     finally:
         survivors.unpersist()
     return {
-        "files_rewritten": len(affected),
+        "files_rewritten": len(rw_files),
         "files_added": len(finals),
+        "files_dv": len(dv_files),
         "rows_deleted": n_deleted,
         "version": current_version(path),
         "pre_version": pre_version,
@@ -1943,11 +2328,17 @@ def clone_table(
         )
     _recover_pending(path)
     if version is not None:
+        from olive_spark.format.snapshots import dv_state_at
+
         rels = files_at(path, int(version))
         srcs = resolve_paths(path, rels)
+        dv_state = dv_state_at(path, int(version))
     else:
+        from olive_spark.format.deletion import list_dvs
+
         srcs = _list_chunk_files(path)
         rels = [os.path.relpath(f, path) for f in srcs]
+        dv_state = list_dvs(path)
     os.makedirs(dst, exist_ok=True)
     linked = copied = 0
     for rel, src_fp in zip(rels, srcs):
@@ -1959,6 +2350,20 @@ def clone_table(
         except OSError:
             _shutil.copy2(src_fp, out)  # cross-device fallback
             copied += 1
+    # deletion vectors travel with their files (a clone without them
+    # would resurrect every DV-deleted row); resolved live-then-history
+    # like the chunk files themselves
+    if dv_state:
+        from olive_spark.format.deletion import resolve_dv_paths
+
+        dv_names = [n for names in dv_state.values() for n in names]
+        for n, src_fp in zip(dv_names, resolve_dv_paths(path, dv_names)):
+            out = os.path.join(dst, n)
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            try:
+                os.link(src_fp, out)
+            except OSError:
+                _shutil.copy2(src_fp, out)
     # metadata: schema + partition sidecars verbatim; manifest entries
     # only for the cloned files (stats stay advisory); tombstone
     # sidecar so sequenced merges keep their stale-update floor
@@ -2014,14 +2419,22 @@ def vacuum(
             os.remove(f)
         except OSError:
             pass
-    for f in glob.glob(os.path.join(path, "**", "*.olive.staging"), recursive=True):
-        try:
-            os.remove(f)
-            removed_staging += 1
-        except OSError:
-            pass
+    for pat in ("*.olive.staging", "*.dv.staging"):
+        for f in glob.glob(os.path.join(path, "**", pat), recursive=True):
+            try:
+                os.remove(f)
+                removed_staging += 1
+            except OSError:
+                pass
     removed_tmpdirs = 0
     for d in glob.glob(f"{path}.compact-*"):
+        if os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
+            removed_tmpdirs += 1
+    # crashed executor-side tombstone stages (merge died between the
+    # stage write and activation): dot-prefixed, invisible to reads,
+    # safe to drop — the replay re-applies the delete and re-stages
+    for d in glob.glob(os.path.join(path, TOMBSTONES_DIR, ".staging-*")):
         if os.path.isdir(d):
             shutil.rmtree(d, ignore_errors=True)
             removed_tmpdirs += 1
@@ -2128,20 +2541,46 @@ def restore(path: str, version: int, table: str = "data") -> dict:
         resolve_paths,
     )
 
+    from olive_spark.format.deletion import list_dvs
+    from olive_spark.format.snapshots import dv_state_at
+
     _recover_pending(path)
     target = files_at(path, int(version))
     head = current_version(path)
     cur = set(files_at(path, head))
     add = sorted(set(target) - cur)
     remove = sorted(cur - set(target))
-    if not add and not remove:
+    # deletion-vector delta: the restored version's DV state must come
+    # back with its files — DVs it folded re-activate (from history),
+    # DVs added since (on files that stay live) retire.  For files in
+    # `remove`, replay drops their DV state automatically and
+    # _retire_original retires the physical DV files.
+    dv_target = dv_state_at(path, int(version))
+    dv_live = list_dvs(path)
+    removed_set = set(remove)
+    dv_add: list[tuple[str, str]] = []
+    dv_remove: list[tuple[str, str]] = []
+    for t, names in dv_target.items():
+        live_names = set(dv_live.get(t, []))
+        dv_add.extend((t, n) for n in names if n not in live_names)
+    for t, names in dv_live.items():
+        if t in removed_set:
+            continue  # dies with the file removal
+        want = set(dv_target.get(t, []))
+        dv_remove.extend((t, n) for n in names if n not in want)
+    if not add and not remove and not dv_add and not dv_remove:
         return {"version": head, "restored_to": int(version),
                 "reactivated": 0, "retired": 0}
     # validate BEFORE touching anything: every re-activated file must
     # still exist (live elsewhere is impossible — it's not in `cur` —
     # so this resolves from _olive_history and fails loud if vacuumed)
     srcs = resolve_paths(path, add)
-    for rel, src in zip(add, srcs):
+    from olive_spark.format.deletion import resolve_dv_paths
+
+    dv_srcs = resolve_dv_paths(path, [n for _t, n in dv_add])
+    for rel, src in zip(
+        add + [n for _t, n in dv_add], srcs + dv_srcs
+    ):
         stag = os.path.join(path, rel) + ".staging"
         os.makedirs(os.path.dirname(stag), exist_ok=True)
         try:
@@ -2159,18 +2598,25 @@ def restore(path: str, version: int, table: str = "data") -> dict:
         "op": "restore",
         "tag": f"restore:{int(version)}",
         "empty": not add,
+        "dv_add": [list(p) for p in dv_add],
+        "dv_remove": [list(p) for p in dv_remove],
     }
     with open(manifest + ".tmp", "w") as fh:
         json.dump(doc, fh)
     os.replace(manifest + ".tmp", manifest)
-    for rel in add:
+    for rel in add + [n for _t, n in dv_add]:
         final = os.path.join(path, rel)
         os.replace(final + ".staging", final)
+    from olive_spark.format.deletion import retire_dv_file
+
+    for _t, dv_rel in dv_remove:
+        retire_dv_file(path, dv_rel, history=True)
     for rel in remove:
         _retire_original(path, rel, history=True)
     os.remove(manifest)
     new_v = append_entry(
-        path, add=add, remove=remove, tag=f"restore:{int(version)}"
+        path, add=add, remove=remove, tag=f"restore:{int(version)}",
+        dv_add=dv_add, dv_remove=dv_remove,
     )
     entries = {}
     for rel in add:
@@ -2311,8 +2757,21 @@ def describe(path: str, table: str = "data") -> dict:
         th = _pick_table(header, table)
         rows += th.num_rows
         fold(_header_file_stats(th))
+    # deletion vectors mask rows without touching file bytes: subtract
+    # their header counts (min/max bounds stay conservative-valid)
+    dv_deleted = 0
+    try:
+        from olive_spark.format.deletion import deleted_count, list_dvs
+
+        for dv_names in list_dvs(path).values():
+            dv_deleted += deleted_count(path, dv_names)
+    except Exception:  # noqa: BLE001 — describe stays best-effort
+        dv_deleted = 0
+    rows -= dv_deleted
     out = {"files": len(files), "rows": rows, "bytes": size,
            "columns": cols}
+    if dv_deleted:
+        out["dv_deleted_rows"] = dv_deleted
     # partition layout, so "what is this table" answers include the
     # spec users must preserve (or respec) when reorganizing
     from olive_spark.format.partition import read_sidecar, spec_to_string
@@ -2362,6 +2821,18 @@ def count_rows(
     paths = resolve_paths(path, names)
     man = load_manifest(path)
     total = 0
+    # deletion vectors: header counts (per-file caps in the DV header,
+    # payload never read) subtract from the raw per-file rows — same
+    # DV-state source as the scan (snapshot replay / live directory)
+    from olive_spark.format.deletion import deleted_count, list_dvs
+    from olive_spark.format.snapshots import dv_state_at
+
+    dv_state = (
+        dv_state_at(path, int(snapshot)) if snapshot is not None
+        else list_dvs(path)
+    )
+    for dv_names in dv_state.values():
+        total -= deleted_count(path, dv_names)
     for fp in paths:
         # the same size-validated lookup the pruning path uses: an
         # entry is trusted only while the on-disk bytes still match its

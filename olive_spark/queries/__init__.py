@@ -69,6 +69,10 @@ _RAW: dict[str, tuple] = {
 _ORDER = [
     # proven regression canary (format round-trip, r02-r08 green)
     "scan_roundtrip_lineitem",
+    # --- new in r10: merge-on-read deletion vectors ---
+    "scan_after_dv_delete",   # r10: DV delete, zero files rewritten
+    "scan_dv_time_travel",    # r10: per-version DV state folding
+    "scan_dv_changes_feed",   # r10: CDF over DV commits
     # --- new or rewired in r9 (never driver-checked in this form) ---
     "scan_merge_hidden_partition",  # r9: MERGE+DELETE on a days(ts) layout
     "scan_truncate_partition_pruning",  # r9: truncate(W,col) range pruning

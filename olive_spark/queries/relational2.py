@@ -2045,6 +2045,112 @@ SQL_TS_ANOMALY = (
 )
 
 
+def _ensure_orders_dv(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) a table exercising MERGE-ON-READ deletes
+    (deletion vectors, format/deletion.py):
+
+      v1  base: orders (o_orderkey, o_custkey, o_orderstatus,
+          o_totalprice), 4 chunk files
+      v2  delete_where(o_orderkey % 97 = 3, mode="dv") — positions land
+          in _olive_dv/ sidecars, ZERO data files rewritten
+      v3  delete_where(o_orderkey % 97 = 11, mode="dv") — a second DV
+          per file composes by union
+
+    The builder asserts no data file was rewritten (files_dv > 0,
+    files_rewritten == 0), so a silent fallback to copy-on-write cannot
+    masquerade as DV coverage.  Post-state is a pure function of the
+    base orders view — the DuckDB oracle replays the deletes as WHERE
+    NOT IN, so a scan that failed to fold a DV (resurrected rows) or
+    over-folded (lost rows) hash-mismatches."""
+    from olive_spark.ops.maintenance import delete_where
+
+    def build(out: str) -> None:
+        cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        base = data.load(spark, sf, "orders", columns=cols)
+        base.repartition(4).write.format("olive") \
+            .option("table", "orders_dv").mode("append").save(out)
+        r2 = delete_where(
+            spark, out, "o_orderkey % 97 = 3", table="orders_dv",
+            mode="dv",
+        )
+        r3 = delete_where(
+            spark, out, "o_orderkey % 97 = 11", table="orders_dv",
+            mode="dv",
+        )
+        assert r2["files_dv"] > 0 and r2["files_rewritten"] == 0, r2
+        assert r3["files_dv"] > 0 and r3["files_rewritten"] == 0, r3
+
+    return _build_once(spark, sf, "orders_dv", "_DV_OK", build)
+
+
+def scan_after_dv_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """Merge-on-read DELETE parity: aggregate the orders_dv table after
+    two deletion-vector commits — no data file was rewritten (the
+    builder asserts it), so every deleted row is masked purely by the
+    _olive_dv/ position sidecars folded in at scan time.  A DV the scan
+    skipped, double-applied, or misaligned against the row grid
+    hash-mismatches the oracle's WHERE-NOT replay."""
+    path = _ensure_orders_dv(spark, sf)
+    df = spark.read.format("olive").option("table", "orders_dv").load(path)
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(D)).cast(D).alias("sum_price"),
+        F.sum(F.col("o_orderkey")).alias("sum_keys"),
+    )
+
+
+SQL_AFTER_DV_DELETE = (
+    "SELECT o_orderstatus, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys "
+    "FROM orders WHERE o_orderkey % 97 NOT IN (3, 11) "
+    "GROUP BY o_orderstatus"
+)
+
+
+def scan_dv_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Time travel ACROSS deletion-vector commits: snapshot 2 must fold
+    exactly the FIRST DV (v2's delete applied, v3's not) — the snapshot
+    log's per-version DV state, not the live directory, drives the
+    folding.  A reader using live DV state here would drop v3's rows
+    too and hash-mismatch."""
+    path = _ensure_orders_dv(spark, sf)
+    df = (
+        spark.read.format("olive").option("table", "orders_dv")
+        .option("snapshot", "2").load(path)
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_orderkey")).alias("sum_keys"),
+    )
+
+
+SQL_DV_TIME_TRAVEL = (
+    "SELECT o_orderstatus, COUNT(*) AS n, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys "
+    "FROM orders WHERE o_orderkey % 97 <> 3 "
+    "GROUP BY o_orderstatus"
+)
+
+
+def scan_dv_changes_feed(spark: SparkSession, sf: str) -> DataFrame:
+    """Change feed over DV commits: a deletion-vector delete changes
+    rows WITHOUT changing the file list, so the diff must come from the
+    per-version DV state (new DV positions read back in select mode).
+    v1→v3 nets both DV deletes; each row surfaces as a 'delete'."""
+    from olive_spark.ops.changes import read_changes
+
+    path = _ensure_orders_dv(spark, sf)
+    ch = read_changes(spark, path, since=1, until=3, table="orders_dv")
+    return ch.select("o_orderkey", "_change_type")
+
+
+SQL_DV_CHANGES_FEED = (
+    "SELECT o_orderkey, 'delete' AS _change_type "
+    "FROM orders WHERE o_orderkey % 97 IN (3, 11)"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "join_lateral_topn": (join_lateral_topn, SQL_JOIN_LATERAL),
     "ts_resample_locf": (ts_resample_locf, SQL_TS_RESAMPLE),
@@ -2090,6 +2196,9 @@ QUERIES: dict[str, tuple] = {
     ),
     "scan_table_by_name": (scan_table_by_name, SQL_TABLE_BY_NAME),
     "scan_merge_cdc_tombstones": (scan_merge_cdc_tombstones, SQL_MERGE_CDC_TOMB),
+    "scan_after_dv_delete": (scan_after_dv_delete, SQL_AFTER_DV_DELETE),
+    "scan_dv_time_travel": (scan_dv_time_travel, SQL_DV_TIME_TRAVEL),
+    "scan_dv_changes_feed": (scan_dv_changes_feed, SQL_DV_CHANGES_FEED),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),
     "join_interval_overlap": (join_interval_overlap, SQL_INTERVAL_JOIN),
     "reshape_unpivot": (reshape_unpivot, SQL_UNPIVOT),

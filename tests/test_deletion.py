@@ -1,0 +1,512 @@
+"""Deletion vectors (format/deletion.py + the merge-on-read leg of
+ops.maintenance.delete_where): tiny positional sidecars instead of
+whole-file rewrites, folded out at scan time, materialized by compact,
+versioned by the snapshot log, diffed by the change feed.
+
+The reference format is batch-only with no mutation layer
+(/root/reference/src/root.zig:9-16); DVs are this engine's lakehouse
+extension — parity target is Delta deletion vectors / Iceberg
+positional deletes."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from olive_spark import register_olive
+
+    register_olive(s)
+    yield s
+
+
+def _mk(spark, path, n=1000, files=2):
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(n).withColumn("v", F.col("id") * 2)
+        .coalesce(files).write.format("olive")
+        .option("table", "data").mode("append").save(str(path))
+    )
+
+
+def _scan(spark, path, **opts):
+    r = spark.read.format("olive")
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load(str(path))
+
+
+# ---- file format ------------------------------------------------------
+
+
+def test_dv_roundtrip_and_header_count(tmp_path):
+    from olive_spark.format import deletion as D
+
+    pos = np.array([5, 1, 99, 5, 1_000_000], dtype=np.uint64)
+    blob = D.encode_dv("part-x.olive", pos)
+    fp = tmp_path / "a.dv"
+    fp.write_bytes(blob)
+    assert D.read_count(str(fp)) == 4  # deduped
+    got = D.read_positions(str(fp))
+    assert got.tolist() == [1, 5, 99, 1_000_000]
+
+
+def test_dv_hostile_bytes(tmp_path):
+    from olive_spark.format import deletion as D
+    from olive_spark.format.errors import OliveError
+
+    fp = tmp_path / "bad.dv"
+    fp.write_bytes(b"NOTADV")
+    with pytest.raises(OliveError):
+        D.read_count(str(fp))
+    # count/payload mismatch fails loud, never a silent partial mask
+    good = D.encode_dv("t", np.array([1, 2, 3], dtype=np.uint64))
+    fp2 = tmp_path / "trunc.dv"
+    fp2.write_bytes(good[:-3])
+    with pytest.raises(Exception):
+        D.read_positions(str(fp2))
+
+
+# ---- delete_where strategies -----------------------------------------
+
+
+def test_small_delete_takes_dv_and_moves_no_files(spark, tmp_path):
+    from olive_spark.ops.maintenance import delete_where
+
+    path = tmp_path / "t"
+    _mk(spark, path)
+    before = sorted(glob.glob(str(path / "*.olive")))
+    sizes = {f: os.path.getsize(f) for f in before}
+    r = delete_where(spark, str(path), "id % 100 = 7")
+    assert r["files_dv"] == 2 and r["files_rewritten"] == 0
+    assert r["rows_deleted"] == 10
+    after = sorted(glob.glob(str(path / "*.olive")))
+    assert after == before  # zero data-file churn
+    assert all(os.path.getsize(f) == sizes[f] for f in after)
+    df = _scan(spark, path)
+    assert df.count() == 990
+    assert df.filter("id = 7").count() == 0
+    assert df.filter("id = 8").count() == 1
+    # write cost ∝ deleted rows: the DV sidecars are tiny vs the data
+    dv_bytes = sum(
+        os.path.getsize(f)
+        for f in glob.glob(str(path / "_olive_dv" / "**" / "*.dv"),
+                           recursive=True)
+    )
+    assert 0 < dv_bytes < min(sizes.values()) // 10
+
+
+def test_large_delete_takes_rewrite(spark, tmp_path):
+    from olive_spark.ops.maintenance import delete_where
+
+    path = tmp_path / "t"
+    _mk(spark, path)
+    r = delete_where(spark, str(path), "id >= 300")
+    assert r["files_dv"] == 0 and r["files_rewritten"] >= 1
+    assert _scan(spark, path).count() == 300
+
+
+def test_mode_forced_dv_and_rewrite(spark, tmp_path):
+    from olive_spark.ops.maintenance import delete_where
+
+    p1 = tmp_path / "dv"
+    _mk(spark, p1)
+    r = delete_where(spark, str(p1), "id >= 300", mode="dv")
+    assert r["files_dv"] == 2 and r["files_rewritten"] == 0
+    assert _scan(spark, p1).count() == 300
+    p2 = tmp_path / "rw"
+    _mk(spark, p2)
+    r2 = delete_where(spark, str(p2), "id % 100 = 7", mode="rewrite")
+    assert r2["files_dv"] == 0 and r2["files_rewritten"] == 2
+    assert _scan(spark, p2).count() == 990
+    assert not os.path.isdir(str(p2 / "_olive_dv"))
+
+
+def test_successive_dvs_compose(spark, tmp_path):
+    from olive_spark.ops.maintenance import count_rows, delete_where
+
+    path = tmp_path / "t"
+    _mk(spark, path)
+    delete_where(spark, str(path), "id % 100 = 7")
+    delete_where(spark, str(path), "id % 100 = 13")
+    df = _scan(spark, path)
+    assert df.count() == 980
+    assert df.filter("id IN (7, 13, 107, 113)").count() == 0
+    assert count_rows(str(path)) == 980
+    # a second DV on the same file never re-marks already-deleted
+    # positions (computed over a folding scan): counts stay exact
+    from olive_spark.format import deletion as D
+
+    state = D.list_dvs(str(path))
+    total = sum(
+        D.read_count(os.path.join(str(path), n))
+        for names in state.values() for n in names
+    )
+    assert total == 20
+
+
+def test_dv_under_filter_pushdown(spark, tmp_path):
+    """Page selection composes with DV folding: positions are raw grid
+    indices, so a pruned read still drops exactly the DV'd rows."""
+    from olive_spark.ops.maintenance import delete_where
+
+    path = tmp_path / "t"
+    (
+        spark.range(0, 10000).selectExpr("id", "id * 2 AS v")
+        .coalesce(1).write.format("olive")
+        .option("pageRows", "1000").mode("append").save(str(path))
+    )
+    delete_where(spark, str(path), "id = 4500")
+    df = _scan(spark, path, pushdown="true").filter("id >= 4000 AND id < 5000")
+    assert df.count() == 999
+    assert df.filter("id = 4500").count() == 0
+
+
+# ---- snapshot log / time travel ---------------------------------------
+
+
+def test_time_travel_across_dv_commits(spark, tmp_path):
+    from olive_spark.ops.maintenance import count_rows, delete_where
+
+    path = tmp_path / "t"
+    _mk(spark, path)
+    delete_where(spark, str(path), "id % 100 = 7")    # v2
+    delete_where(spark, str(path), "id % 100 = 13")   # v3
+    assert _scan(spark, path, snapshot=1).count() == 1000
+    assert _scan(spark, path, snapshot=2).count() == 990
+    assert _scan(spark, path, snapshot=3).count() == 980
+    assert _scan(spark, path, snapshot=2).filter("id = 7").count() == 0
+    assert _scan(spark, path, snapshot=2).filter("id = 13").count() == 1
+    assert count_rows(str(path), snapshot=2) == 990
+
+
+def test_compact_materializes_dvs(spark, tmp_path):
+    from olive_spark.ops.maintenance import compact, delete_where
+
+    path = tmp_path / "t"
+    _mk(spark, path)
+    delete_where(spark, str(path), "id % 100 = 7")   # v2 (DV)
+    compact(spark, str(path), target_rows=1000, retain_history=True)
+    # live DVs are gone (materialized); scan result unchanged
+    assert not glob.glob(
+        str(path / "_olive_dv" / "**" / "*.dv"), recursive=True
+    )
+    assert _scan(spark, path).count() == 990
+    # pre-compaction snapshot still folds its DV (from history)
+    assert _scan(spark, path, snapshot=2).count() == 990
+    assert _scan(spark, path, snapshot=1).count() == 1000
+
+
+def test_restore_undoes_and_reinstates_dvs(spark, tmp_path):
+    from olive_spark.ops.maintenance import delete_where, restore
+
+    path = tmp_path / "t"
+    _mk(spark, path)
+    delete_where(spark, str(path), "id % 100 = 7")    # v2
+    delete_where(spark, str(path), "id % 100 = 13")   # v3
+    restore(str(path), 2)                             # v4: undo v3's DV
+    assert _scan(spark, path).count() == 990
+    assert _scan(spark, path).filter("id = 13").count() == 1
+    restore(str(path), 3)                             # v5: re-apply it
+    assert _scan(spark, path).count() == 980
+    restore(str(path), 1)                             # v6: no DVs at all
+    assert _scan(spark, path).count() == 1000
+    assert not glob.glob(
+        str(path / "_olive_dv" / "**" / "*.dv"), recursive=True
+    )
+
+
+def test_vacuum_expire_keeps_referenced_dvs(spark, tmp_path):
+    from olive_spark.ops.maintenance import (
+        compact,
+        delete_where,
+        vacuum,
+    )
+
+    path = tmp_path / "t"
+    _mk(spark, path)
+    delete_where(spark, str(path), "id % 100 = 7")    # v2 (DV)
+    compact(spark, str(path), target_rows=1000, retain_history=True)  # v3
+    delete_where(spark, str(path), "id % 100 = 13")   # v4 (DV)
+    # retain the last 3 versions (v2..v4): v2's DV lives in history and
+    # must survive the prune
+    vacuum(str(path), retain_snapshots=3)
+    assert _scan(spark, path, snapshot=2).count() == 990
+    # expire down to 1: history DVs for dropped versions are deleted
+    vacuum(str(path), retain_snapshots=1)
+    # the plan worker wraps the native ValidationError in Spark's
+    # AnalysisException — match on the canonical message instead
+    with pytest.raises(Exception, match="unknown snapshot"):
+        _scan(spark, path, snapshot=2).count()
+
+
+# ---- change feed ------------------------------------------------------
+
+
+def test_cdf_emits_dv_deletes(spark, tmp_path):
+    from olive_spark.ops.changes import read_changes
+    from olive_spark.ops.maintenance import delete_where
+
+    path = tmp_path / "t"
+    _mk(spark, path, n=500, files=1)
+    delete_where(spark, str(path), "id % 50 = 3")  # v2: 10 rows via DV
+    ch = read_changes(spark, str(path), since=1, until=2).collect()
+    assert len(ch) == 10
+    assert all(r["_change_type"] == "delete" for r in ch)
+    assert sorted(r["id"] for r in ch) == [
+        3, 53, 103, 153, 203, 253, 303, 353, 403, 453
+    ]
+
+
+def test_cdf_dv_then_compact_nets_out(spark, tmp_path):
+    """Endpoint diff across DV commit + compaction reports only the
+    real row changes (moved rows cancel in the multiset diff)."""
+    from olive_spark.ops.changes import read_changes
+    from olive_spark.ops.maintenance import compact, delete_where
+
+    path = tmp_path / "t"
+    _mk(spark, path, n=500, files=2)
+    delete_where(spark, str(path), "id % 50 = 3")            # v2
+    compact(spark, str(path), target_rows=500,
+            retain_history=True)                             # v3
+    ch = read_changes(spark, str(path), since=1, until=3).collect()
+    assert len(ch) == 10
+    assert all(r["_change_type"] == "delete" for r in ch)
+
+
+def test_cdf_restore_emits_dv_inserts(spark, tmp_path):
+    from olive_spark.ops.changes import read_changes
+    from olive_spark.ops.maintenance import delete_where, restore
+
+    path = tmp_path / "t"
+    _mk(spark, path, n=500, files=1)
+    delete_where(spark, str(path), "id % 50 = 3")  # v2
+    restore(str(path), 1)                          # v3: DV undone
+    ch = read_changes(spark, str(path), since=2, until=3).collect()
+    assert len(ch) == 10
+    assert all(r["_change_type"] == "insert" for r in ch)
+
+
+# ---- clone / crash recovery / misc ------------------------------------
+
+
+def test_clone_carries_dvs(spark, tmp_path):
+    from olive_spark.ops.maintenance import clone_table, delete_where
+
+    path = tmp_path / "t"
+    _mk(spark, path)
+    delete_where(spark, str(path), "id % 100 = 7")     # v2
+    delete_where(spark, str(path), "id % 100 = 13")    # v3
+    dst = tmp_path / "clone"
+    clone_table(str(path), str(dst))
+    assert _scan(spark, dst).count() == 980
+    # time-travel clone: the DV state AS OF the version travels
+    dst2 = tmp_path / "clone_v2"
+    clone_table(str(path), str(dst2), version=2)
+    assert _scan(spark, dst2).count() == 990
+
+
+def test_crash_recovery_activates_staged_dvs(spark, tmp_path):
+    """A delete that died between DV staging + intent manifest and the
+    commit is finished by _recover_pending (the next mutation's first
+    act): staged DVs activate, the entry lands once."""
+    from olive_spark.format import deletion as D
+    from olive_spark.format.snapshots import current_version, dv_state_at
+    from olive_spark.ops.maintenance import _recover_pending
+
+    path = tmp_path / "t"
+    _mk(spark, path, files=1)
+    rel = os.path.relpath(
+        glob.glob(str(path / "*.olive"))[0], str(path)
+    )
+    from olive_spark.format.snapshots import ensure_seeded
+
+    ensure_seeded(str(path))
+    dv_rel = os.path.join(D.DV_DIR, rel, "deadbeef.dv")
+    stag = os.path.join(str(path), dv_rel) + ".staging"
+    os.makedirs(os.path.dirname(stag), exist_ok=True)
+    with open(stag, "wb") as f:
+        f.write(D.encode_dv(rel, np.array([0, 1], dtype=np.uint64)))
+    man = os.path.join(str(path), "compact-deadbeef.manifest.json")
+    with open(man, "w") as f:
+        json.dump({
+            "run": "deadbeef", "originals": [], "finals": [],
+            "history": True, "empty": True, "tag": None,
+            "dv_add": [[rel, dv_rel]],
+        }, f)
+    out = _recover_pending(str(path))
+    assert out["manifests_completed"] == 1
+    assert _scan(spark, path).count() == 998
+    v = current_version(str(path))
+    assert dv_state_at(str(path), v) == {rel: [dv_rel]}
+    # idempotent: nothing pending afterwards
+    assert _recover_pending(str(path))["manifests_completed"] == 0
+
+
+def test_vacuum_sweeps_orphan_dv_staging(spark, tmp_path):
+    from olive_spark.ops.maintenance import vacuum
+
+    path = tmp_path / "t"
+    _mk(spark, path, files=1)
+    orphan = path / "_olive_dv" / "x.olive" / "dead.dv.staging"
+    os.makedirs(os.path.dirname(str(orphan)), exist_ok=True)
+    with open(str(orphan), "wb") as f:
+        f.write(b"junk")
+    out = vacuum(str(path))
+    assert out["staging_files"] >= 1
+    assert not os.path.exists(str(orphan))
+
+
+def test_dv_on_partitioned_layout(spark, tmp_path):
+    """DVs are per-file and layout-independent: a hive-partitioned
+    table's small delete DVs inside the key=value dirs, pruning and
+    results intact."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops.maintenance import delete_where
+
+    path = tmp_path / "t"
+    (
+        spark.range(0, 400)
+        .withColumn("grp", (F.col("id") % 4).cast("int"))
+        .repartition("grp")
+        .write.format("olive").option("partitionBy", "grp")
+        .mode("append").save(str(path))
+    )
+    r = delete_where(spark, str(path), "id % 100 = 1")
+    assert r["files_dv"] >= 1 and r["files_rewritten"] == 0
+    df = _scan(spark, path)
+    assert df.count() == 396
+    assert df.filter("grp = 1").count() == 96
+
+
+# ---- merge-on-read MERGE ------------------------------------------------
+
+
+def test_merge_small_upsert_takes_dv(spark, tmp_path):
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = tmp_path / "t"
+    _mk(spark, path)
+    before = sorted(glob.glob(str(path / "*.olive")))
+    src = spark.createDataFrame(
+        [(3, 999), (400, 888), (950, 777), (2000, 1)], ["id", "v"]
+    )
+    r = merge_upsert(spark, str(path), src, key_cols=["id"])
+    assert r["files_dv"] >= 1 and r["files_rewritten"] == 0, r
+    # originals untouched; only the insert landed as a new file
+    after = set(glob.glob(str(path / "*.olive")))
+    assert set(before) <= after
+    df = spark.read.format("olive").load(str(path))
+    assert df.count() == 1001
+    got = {x.id: x.v for x in df.filter(
+        "id IN (3, 400, 950, 2000, 10)").collect()}
+    assert got == {3: 999, 400: 888, 950: 777, 2000: 1, 10: 20}
+    # time travel to pre-merge
+    old = spark.read.format("olive").option("snapshot", "1").load(str(path))
+    assert old.count() == 1000
+    assert old.filter("id = 3 AND v = 6").count() == 1
+
+
+def test_merge_dv_cdf_updates(spark, tmp_path):
+    from olive_spark.ops.changes import read_changes
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = tmp_path / "t"
+    _mk(spark, path, n=500, files=1)
+    src = spark.createDataFrame([(5, 111), (7, 222), (9000, 1)], ["id", "v"])
+    r = merge_upsert(spark, str(path), src, key_cols=["id"])
+    assert r["files_dv"] == 1, r
+    ch = read_changes(
+        spark, str(path), since=1, until=2, key_cols=["id"]
+    ).collect()
+    kinds = {}
+    for row in ch:
+        kinds[row["_change_type"]] = kinds.get(row["_change_type"], 0) + 1
+    assert kinds == {
+        "update_preimage": 2, "update_postimage": 2, "insert": 1
+    }, kinds
+
+
+def test_merge_latest_wins_dv_and_tombstone_floor(spark, tmp_path):
+    """CDC merge (latest_by + delete_col) through the DV path: winning
+    deletes mask positions, their sequences floor later stale updates
+    via the EXECUTOR-STAGED tombstone sidecar (no driver collect)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = tmp_path / "t"
+    (
+        spark.range(0, 200)
+        .selectExpr("id AS k", "id*10 AS v", "cast(0 as long) AS seq")
+        .coalesce(1).write.format("olive").mode("append").save(str(path))
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "k long, v long, seq long, is_del boolean"
+        )
+
+    r1 = merge_upsert(
+        spark, str(path), batch([(5, 0, 10, True), (7, 777, 11, False)]),
+        key_cols=["k"], latest_by="seq", delete_col="is_del",
+    )
+    assert r1["files_dv"] == 1 and r1["files_rewritten"] == 0, r1
+    df = spark.read.format("olive").load(str(path))
+    assert df.count() == 199
+    assert df.filter("k = 7 AND v = 777").count() == 1
+    # stale update for the deleted key: floored by the retained
+    # tombstone, a clean no-op
+    r2 = merge_upsert(
+        spark, str(path), batch([(5, 555, 9, False)]),
+        key_cols=["k"], latest_by="seq", delete_col="is_del",
+    )
+    assert r2["version"] == r2["pre_version"]
+    assert spark.read.format("olive").load(str(path)).filter(
+        "k = 5").count() == 0
+    # genuinely newer update resurrects
+    merge_upsert(
+        spark, str(path), batch([(5, 556, 20, False)]),
+        key_cols=["k"], latest_by="seq", delete_col="is_del",
+    )
+    assert spark.read.format("olive").load(str(path)).filter(
+        "k = 5 AND v = 556").count() == 1
+    # no uncommitted staging debris
+    assert not glob.glob(str(path / "_olive_tombstones" / ".staging-*"))
+
+
+def test_merge_condition_all_fail_is_noop(spark, tmp_path):
+    """A conditional merge where every matched row fails the update
+    condition and nothing inserts: NO file is touched and NO version is
+    committed (pre-r10 rewrote affected files byte-identical)."""
+    from olive_spark.format.snapshots import current_version
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = tmp_path / "t"
+    _mk(spark, path, n=100, files=1)
+    v0 = current_version(str(path))
+    src = spark.createDataFrame([(5, 0), (7, 0)], ["id", "v"])  # v too low
+    r = merge_upsert(
+        spark, str(path), src, key_cols=["id"],
+        update_condition="s.v > t.v",
+    )
+    assert r["files_rewritten"] == 0 and r["files_dv"] == 0, r
+    assert r["version"] == v0
+    assert spark.read.format("olive").load(str(path)).count() == 100

@@ -53,7 +53,9 @@ def test_merge_updates_and_inserts(spark, tmp_path):
         "id AS k", "id * 100 AS v", "cast(99 as int) AS grp"
     )
     out = merge_upsert(spark, path, src, ["k"])
-    assert out["files_rewritten"] >= 1
+    # auto strategy: a 10-key merge may land as deletion vectors
+    # (merge-on-read) instead of rewrites — either way files changed
+    assert out["files_rewritten"] + out["files_dv"] >= 1
     got = spark.read.format("olive").load(path)
     expected = sorted(
         [(k, k * 10, k % 7) for k in range(990)]
@@ -453,11 +455,13 @@ def test_rewrites_preserve_hive_partition_layout(spark, tmp_path):
         [(k, k * 100, k % 4) for k in range(390, 410)],
         "k long, v long, grp int",
     )
-    out = merge_upsert(spark, path, src, ["k"])
+    # strategy="rewrite": this test verifies the REWRITE path keeps
+    # the hive layout (the DV path never moves files at all)
+    out = merge_upsert(spark, path, src, ["k"], strategy="rewrite")
     assert out["files_rewritten"] >= 1
     layout_ok()
 
-    out = delete_where(spark, path, "k % 2 = 1")
+    out = delete_where(spark, path, "k % 2 = 1", mode="rewrite")
     assert out["rows_deleted"] > 0
     layout_ok()
 
@@ -600,7 +604,8 @@ def test_wipe_all_on_partitioned_table_keeps_layout_detectable(spark, tmp_path):
     merge_upsert(spark, path, src, ["k"])
     live = [os.path.relpath(f, path)
             for f in g.glob(os.path.join(path, "**", "*.olive"), recursive=True)
-            if "_olive_history" not in f]
+            if "_olive_history" not in f and "_olive_dv" not in f
+            and os.path.isfile(f)]
     assert all("grp=" in r.split(os.sep)[0] for r in live), live
     got = {r["k"]: r["v"] for r in spark.read.format("olive").load(path).collect()}
     assert got[1] == 999 and got[0] == 0 and len(got) == 40
@@ -903,7 +908,9 @@ def test_merge_evolve_schema_adds_column(spark, tmp_path):
         "concat('tag', id) AS label",
     )
     out = merge_upsert(spark, path, src, ["k"], evolve_schema=True)
-    assert 1 <= out["files_rewritten"] < 4  # copy-on-write held
+    # copy-on-write held: ≤ the affected subset mutated (rewrite or
+    # merge-on-read DV), never the whole table
+    assert 1 <= out["files_rewritten"] + out["files_dv"] < 4
     df = spark.read.format("olive").load(path)  # default scan, no mergeSchema
     assert df.columns == ["k", "v", "grp", "label"]
     rows = {r["k"]: (r["v"], r["grp"], r["label"]) for r in df.collect()}
