@@ -1029,6 +1029,8 @@ def merge_upsert(
     commit_tag: "str | None" = None,
     strategy: str = "auto",
     dv_threshold: float = 0.2,
+    not_matched_by_source_delete: bool = False,
+    not_matched_by_source_condition: "str | None" = None,
 ) -> dict:
     """``MERGE INTO`` (upsert) on a snapshot-logged olive table: rows of
     ``source`` whose ``key_cols`` match an existing row REPLACE it; the
@@ -1094,6 +1096,23 @@ def merge_upsert(
     rows all fail the condition is rewritten byte-identical — correct,
     just unpruned; evaluating ``t``-referencing conditions at discovery
     time would need the full rows the slim scan exists to avoid.
+
+    ``not_matched_by_source_delete=True`` is the third Delta clause
+    family — ``WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE``:
+    target rows whose key the source never mentions are REMOVED (where
+    the optional ``not_matched_by_source_condition``, a SQL boolean
+    over plain target columns, holds — NULL keeps the row, SQL DELETE
+    semantics).  This is the full-snapshot-sync verb: merge the new
+    complete snapshot with all three clauses and the table converges
+    to it exactly — matched rows update, new rows insert, vanished
+    rows delete.  Composes with ``update_condition``/
+    ``delete_condition``; mutually exclusive with ``latest_by``/
+    ``delete_col`` (a sequenced CDC batch is incremental by
+    definition — rows absent from it are simply unchanged).  Note the
+    discovery cost is inherent to the semantics: every file holding
+    any unmatched row is affected (Delta pays the same); the per-file
+    strategy still leaves zero-dying files untouched and masks small
+    dying sets with deletion vectors.
 
     ``delete_condition`` is the ``WHEN MATCHED AND <cond> THEN DELETE``
     leg (same ``t``/``s`` aliases), judged BEFORE the update leg —
@@ -1219,6 +1238,21 @@ def merge_upsert(
             )
         if not isinstance(cval, str) or not cval.strip():
             raise ValueError(f"{cname} must be a non-empty SQL string")
+    if not_matched_by_source_condition is not None \
+            and not not_matched_by_source_delete:
+        raise ValueError(
+            "not_matched_by_source_condition requires "
+            "not_matched_by_source_delete=True"
+        )
+    if not_matched_by_source_delete and (
+        latest_by is not None or delete_col is not None
+    ):
+        raise ValueError(
+            "not_matched_by_source_delete is mutually exclusive with "
+            "latest_by/delete_col — a sequenced CDC batch is "
+            "incremental, rows absent from it are unchanged; "
+            "full-snapshot sync uses plain or conditional merge"
+        )
     surplus = [
         c for c in source.columns if c not in cols and c != delete_col
     ]
@@ -1303,7 +1337,10 @@ def merge_upsert(
             f"source has NULLs in {nulled} — keys and the latest_by "
             "sequence must be non-null"
         )
-    if n_src == 0:
+    if n_src == 0 and not not_matched_by_source_delete:
+        # an EMPTY source with the NOT MATCHED BY SOURCE clause is a
+        # legitimate full wipe (sync to an empty snapshot) and falls
+        # through; without it there is nothing to do
         v = current_version(path)
         return {
             "files_rewritten": 0,
@@ -1396,6 +1433,19 @@ def merge_upsert(
     affected = sorted(
         r[0] for r in hits.select(fc).distinct().collect()
     )
+    if not_matched_by_source_delete:
+        # the NMBS leg affects every file holding an UNMATCHED row that
+        # passes the clause condition — discovered on its own
+        # full-column relation (the condition may reference any target
+        # column; the source-bounds filter above must NOT apply: keys
+        # outside the source's range are precisely the unmatched ones)
+        anti = _discovery_scan(spark, path, table, fc).join(
+            src.select(*key_cols), key_cols, "left_anti"
+        )
+        if not_matched_by_source_condition is not None:
+            anti = anti.filter(F.expr(not_matched_by_source_condition))
+        nmbs_files = [r[0] for r in anti.select(fc).distinct().collect()]
+        affected = sorted(set(affected) | set(nmbs_files))
     pre_version = current_version(path)
     if not affected:
         # pure insert: a plain append commit (its own snapshot entry).
@@ -1494,6 +1544,18 @@ def merge_upsert(
             c, F.lit(None).cast(src.schema[c].dataType)
         )
     new_tombs = None
+    # WHEN NOT MATCHED BY SOURCE THEN DELETE: unmatched target rows
+    # where the clause condition holds (unconditional when absent) do
+    # not survive; NULL condition keeps the row (SQL DELETE semantics)
+    if not_matched_by_source_delete:
+        nmbs_keep = ~F.coalesce(
+            F.expr(not_matched_by_source_condition)
+            if not_matched_by_source_condition is not None
+            else F.lit(True),
+            F.lit(False),
+        )
+    else:
+        nmbs_keep = None
     if update_condition is not None or delete_condition is not None:
         # WHEN MATCHED AND <cond> THEN DELETE / THEN UPDATE, judged per
         # target row, delete leg first (fixed clause order, like
@@ -1502,6 +1564,8 @@ def merge_upsert(
         # conditions see the full (t, s) pair.
         skeys = src.select(*key_cols)
         unmatched_t = existing.join(skeys, key_cols, "left_anti")
+        if nmbs_keep is not None:
+            unmatched_t = unmatched_t.filter(nmbs_keep)
         matched_t = existing.join(skeys, key_cols, "left_semi")
         on = functools.reduce(
             operator.and_,
@@ -1549,9 +1613,14 @@ def merge_upsert(
             src.filter(~F.col("__del")).drop("__del")
             if delete_col is not None else src
         )
-        merged = existing.join(
+        unmatched_t = existing.join(
             src.select(*key_cols), key_cols, "left_anti"
-        ).unionByName(live_src, allowMissingColumns=True)
+        )
+        if nmbs_keep is not None:
+            unmatched_t = unmatched_t.filter(nmbs_keep)
+        merged = unmatched_t.unionByName(
+            live_src, allowMissingColumns=True
+        )
     else:
         # latest-wins: per SOURCE-TOUCHED key, the greatest latest_by
         # among existing + incoming survives (equal sequence prefers
@@ -1964,6 +2033,136 @@ def delete_where(
         "files_added": len(finals),
         "files_dv": len(dv_files),
         "rows_deleted": n_deleted,
+        "version": current_version(path),
+        "pre_version": pre_version,
+    }
+
+
+@_locked(1)
+def replace_where(
+    spark,
+    path: str,
+    source,
+    condition: str,
+    table: str = "data",
+    retain_history: bool = True,
+    target_rows: int = 1 << 20,
+) -> dict:
+    """``INSERT OVERWRITE ... WHERE condition`` (Delta's
+    ``replaceWhere``): atomically replace every stored row matching
+    ``condition`` with the rows of ``source`` — the
+    re-materialize-one-partition verb batch pipelines need (recompute
+    yesterday's slice, swap it in).  Pre-r10 this took delete_where +
+    append as TWO commits with a torn state between them; here the
+    whole replacement is ONE staged-swap snapshot version (the same
+    crash-safe core as compact/merge: new files stage invisibly, an
+    intent manifest makes recovery finish the swap, old files retire
+    after activation).
+
+    Two loud-error guards, both Delta-parity:
+
+    - every ``source`` row must itself satisfy ``condition`` (a row
+      outside the replaced region would silently survive the NEXT
+      replace of its real region);
+    - ``condition`` must be FILE-ALIGNED: every file containing a
+      matching row must contain ONLY matching rows (after folding its
+      deletion vectors).  On a hive/hidden-partitioned table a
+      partition predicate (``ds = '2024-01-01'``, ``grp IN (1,2)``)
+      always is; a row-level predicate that straddles files raises
+      with the offending files — use delete_where + append (or MERGE)
+      for row-level surgery.
+
+    100 TB shape: discovery is one file-name aggregate (directory/
+    stats-pruned); validation rides the same counts; the rewrite
+    touches only replaced files and the partitioned layout is
+    preserved.  Returns {files_replaced, files_added, rows_replaced,
+    rows_written, version, pre_version}."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.datasource import register_olive
+    from olive_spark.format.snapshots import current_version
+
+    register_olive(spark)
+    _recover_pending(path)
+    _seed_snapshot_log(path)
+    fc = "_olive_file"
+    cond = F.expr(condition)
+    # guard 1: every source row must satisfy the predicate
+    stats = source.agg(
+        F.count("*").alias("__n"),
+        F.count(F.when(~F.coalesce(cond, F.lit(False)), 1)).alias("__bad"),
+    ).first()
+    n_written = int(stats["__n"])
+    if int(stats["__bad"]):
+        raise ValidationError(
+            f"replace_where: {stats['__bad']} of {n_written} source rows "
+            f"do not satisfy {condition!r} — rows written outside the "
+            "replaced region would silently survive the next replace; "
+            "filter the source or widen the predicate"
+        )
+    # discovery + guard 2 (file alignment): matched rows per file vs the
+    # file's LIVE rows (raw rows minus its deletion-vector count)
+    hits = (
+        _discovery_scan(spark, path, table, fc)
+        .filter(cond).groupBy(fc).count().collect()
+    )
+    matched = {r[0]: int(r[1]) for r in hits}
+    affected = sorted(matched)
+    pre_version = current_version(path)
+    if affected:
+        from olive_spark.format.deletion import list_dvs, read_count
+        from olive_spark.format.manifest import load_manifest
+
+        man = load_manifest(path) if os.path.isdir(path) else {}
+        dv_state = list_dvs(path)
+        misaligned = []
+        for rel in affected:
+            total = _file_rows(path, rel, table, man)
+            if total is None:
+                misaligned.append((rel, matched[rel], None))
+                continue
+            live = total - sum(
+                read_count(os.path.join(path, n))
+                for n in dv_state.get(rel, [])
+            )
+            if matched[rel] != live:
+                misaligned.append((rel, matched[rel], live))
+        if misaligned:
+            raise ValidationError(
+                "replace_where: predicate is not file-aligned — these "
+                "files hold BOTH matching and non-matching rows "
+                "(file, matched, live): "
+                f"{misaligned[:5]}{'...' if len(misaligned) > 5 else ''}; "
+                "replaceWhere swaps whole files — use a partition-"
+                "aligned predicate, or delete_where + append for "
+                "row-level surgery"
+            )
+    rows_replaced = int(sum(matched.values()))
+    layout = _partition_layout(path)
+    run = uuid.uuid4().hex[:8]
+    n_files = max(1, math.ceil(max(n_written, 1) / target_rows))
+    from olive_spark.datasource.olive_datasource import _list_chunk_files
+
+    # replacing every file with nothing: keep the zero-row schema
+    # sentinel write so the directory stays scannable (same rule as
+    # delete_where's wipe-all)
+    wipe_all = (
+        n_written == 0 and len(affected) >= len(_list_chunk_files(path))
+    )
+    finals = _rewrite_and_swap(
+        _shape_for_write(source, n_files, layout)
+        if (n_written or wipe_all) else None,
+        path, affected, run,
+        table=table, target_rows=target_rows,
+        retain_history=retain_history, prefix="replace",
+        layout=layout,
+        empty=(n_written == 0 and not wipe_all),
+    )
+    return {
+        "files_replaced": len(affected),
+        "files_added": len(finals),
+        "rows_replaced": rows_replaced,
+        "rows_written": n_written,
         "version": current_version(path),
         "pre_version": pre_version,
     }

@@ -2133,6 +2133,135 @@ SQL_DV_TIME_TRAVEL = (
 )
 
 
+def _ensure_orders_sync(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) a table exercising ``WHEN NOT MATCHED BY
+    SOURCE [AND cond] THEN DELETE`` (the third Delta merge clause
+    family, r10):
+
+      v1  base: orders (o_orderkey, o_custkey, o_orderstatus,
+          o_totalprice)
+      v2  merge keyed on o_orderkey, source = every %3==0 order with
+          price+100, with not_matched_by_source_delete and condition
+          ``o_orderstatus = 'O'`` — matched rows take the bumped price,
+          unmatched 'O' rows are DELETED, unmatched non-'O' rows pass
+          through untouched.
+
+    Post-state is a pure function of the base orders view; the oracle
+    replays the clause as a CASE + filter."""
+    from olive_spark.ops.maintenance import merge_upsert
+
+    def build(out: str) -> None:
+        cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        base = data.load(spark, sf, "orders", columns=cols)
+        base.repartition(4).write.format("olive") \
+            .option("table", "orders_sync").mode("append").save(out)
+        src = base.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+        )
+        merge_upsert(
+            spark, out, src, key_cols=["o_orderkey"], table="orders_sync",
+            not_matched_by_source_delete=True,
+            not_matched_by_source_condition="o_orderstatus = 'O'",
+        )
+
+    return _build_once(spark, sf, "orders_sync", "_SYNC_OK", build)
+
+
+def scan_merge_not_matched_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """NOT-MATCHED-BY-SOURCE merge parity: aggregate the synced table —
+    matched rows carry the bumped price, unmatched 'O' rows are gone,
+    unmatched non-'O' rows survive unchanged.  A clause that deleted
+    too much (ignored the condition), too little (kept unmatched 'O'
+    rows), or replaced an unmatched row hash-mismatches the oracle's
+    anti-join replay."""
+    path = _ensure_orders_sync(spark, sf)
+    df = spark.read.format("olive").option("table", "orders_sync").load(path)
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(D)).cast(D).alias("sum_price"),
+        F.sum(F.col("o_orderkey")).alias("sum_keys"),
+    )
+
+
+SQL_MERGE_NMBS = (
+    "WITH merged AS ("
+    "SELECT o_orderkey, o_orderstatus, "
+    "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0 "
+    "ELSE o_totalprice END AS o_totalprice "
+    "FROM orders "
+    "WHERE o_orderkey % 3 = 0 OR NOT (o_orderstatus = 'O')) "
+    "SELECT o_orderstatus, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys "
+    "FROM merged GROUP BY o_orderstatus"
+)
+
+
+def _ensure_orders_replaced(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) a table exercising ``replaceWhere``
+    (Delta's INSERT OVERWRITE ... WHERE, r10):
+
+      v1  base: orders hive-partitioned by o_orderstatus
+      v2  replace_where(o_orderstatus = 'F') with the recomputed 'F'
+          slice (price doubled) — ONE staged-swap commit; 'O'/'P'
+          partitions keep their exact bytes.
+
+    The builder asserts whole files swapped (files_replaced > 0) and
+    the oracle replays the swap as a UNION of untouched + recomputed
+    slices."""
+    from olive_spark.ops.maintenance import replace_where
+
+    def build(out: str) -> None:
+        cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        base = data.load(spark, sf, "orders", columns=cols)
+        base.repartition("o_orderstatus").write.format("olive") \
+            .option("table", "orders_replaced") \
+            .option("partitionBy", "o_orderstatus") \
+            .mode("append").save(out)
+        new = base.filter(F.col("o_orderstatus") == "F").withColumn(
+            "o_totalprice", F.col("o_totalprice") * F.lit(2.0)
+        )
+        r = replace_where(
+            spark, out, new, "o_orderstatus = 'F'",
+            table="orders_replaced",
+        )
+        assert r["files_replaced"] > 0, r
+
+    return _build_once(spark, sf, "orders_replaced", "_REPL_OK", build)
+
+
+def scan_after_replace_where(spark: SparkSession, sf: str) -> DataFrame:
+    """replaceWhere parity: aggregate the table after one atomic
+    partition overwrite — the 'F' slice carries doubled prices, the
+    other partitions are byte-untouched.  A replace that leaked old
+    'F' rows, dropped new ones, or touched another partition
+    hash-mismatches the oracle's union replay."""
+    path = _ensure_orders_replaced(spark, sf)
+    df = (
+        spark.read.format("olive")
+        .option("table", "orders_replaced").load(path)
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(D)).cast(D).alias("sum_price"),
+        F.sum(F.col("o_orderkey")).alias("sum_keys"),
+    )
+
+
+SQL_AFTER_REPLACE_WHERE = (
+    "WITH merged AS ("
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+    "WHERE o_orderstatus <> 'F' "
+    "UNION ALL "
+    "SELECT o_orderkey, o_orderstatus, o_totalprice * 2.0 FROM orders "
+    "WHERE o_orderstatus = 'F') "
+    "SELECT o_orderstatus, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys "
+    "FROM merged GROUP BY o_orderstatus"
+)
+
+
 def scan_dv_changes_feed(spark: SparkSession, sf: str) -> DataFrame:
     """Change feed over DV commits: a deletion-vector delete changes
     rows WITHOUT changing the file list, so the diff must come from the
@@ -2197,6 +2326,12 @@ QUERIES: dict[str, tuple] = {
     "scan_table_by_name": (scan_table_by_name, SQL_TABLE_BY_NAME),
     "scan_merge_cdc_tombstones": (scan_merge_cdc_tombstones, SQL_MERGE_CDC_TOMB),
     "scan_after_dv_delete": (scan_after_dv_delete, SQL_AFTER_DV_DELETE),
+    "scan_merge_not_matched_by_source": (
+        scan_merge_not_matched_by_source, SQL_MERGE_NMBS,
+    ),
+    "scan_after_replace_where": (
+        scan_after_replace_where, SQL_AFTER_REPLACE_WHERE,
+    ),
     "scan_dv_time_travel": (scan_dv_time_travel, SQL_DV_TIME_TRAVEL),
     "scan_dv_changes_feed": (scan_dv_changes_feed, SQL_DV_CHANGES_FEED),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),

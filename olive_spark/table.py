@@ -109,6 +109,17 @@ class OliveTable:
             self.spark, self.path, condition, table=self.table, **kw
         )
 
+    def replace_where(self, source: DataFrame, condition: str, **kw) -> dict:
+        """INSERT OVERWRITE … WHERE (Delta's replaceWhere) with this
+        table bound: atomically swap every row matching ``condition``
+        for ``source``, as ONE staged-swap commit."""
+        from olive_spark.ops.maintenance import replace_where
+
+        return replace_where(
+            self.spark, self.path, source, condition,
+            table=self.table, **kw
+        )
+
     def update_where(
         self, set_exprs: "dict[str, str]", condition: str, **kw
     ) -> dict:

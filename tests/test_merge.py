@@ -1379,3 +1379,205 @@ def test_compact_if_needed_noop_on_empty_dir(spark, tmp_path):
     os.makedirs(path)
     out = compact_if_needed(spark, path)
     assert out["compacted"] is False and out["files"] == 0
+
+
+def test_merge_not_matched_by_source_delete(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE — full-snapshot sync:
+    after the three-clause merge the table equals the source snapshot
+    exactly (matched update, unmatched-source insert, unmatched-target
+    delete)."""
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=1000, files=4)
+    # the new full snapshot: keys 0..499 (values bumped), plus 2000..2004
+    src = spark.range(0, 500).selectExpr(
+        "id AS k", "id * 100 AS v", "cast(id % 7 as int) AS grp"
+    ).unionByName(spark.range(2000, 2005).selectExpr(
+        "id AS k", "id AS v", "cast(0 as int) AS grp"
+    ))
+    out = merge_upsert(
+        spark, path, src, ["k"], not_matched_by_source_delete=True,
+    )
+    assert out["files_rewritten"] + out["files_dv"] >= 1
+    got = _rows(spark.read.format("olive").load(path))
+    expect = sorted(
+        [(k, k * 100, k % 7) for k in range(500)]
+        + [(k, k, 0) for k in range(2000, 2005)]
+    )
+    assert got == expect
+    # one version; time travel to the pre-sync state is exact
+    old = spark.read.format("olive").option(
+        "snapshot", str(out["pre_version"])).load(path)
+    assert old.count() == 1000
+
+
+def test_merge_nmbs_conditional_and_dv(spark, tmp_path):
+    """Conditional NMBS delete: only unmatched target rows passing the
+    condition die; a small dying set lands as deletion vectors."""
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=1000, files=2)
+    # source matches everything except keys 990..999; condition kills
+    # only the even unmatched ones
+    src = spark.range(0, 990).selectExpr(
+        "id AS k", "id * 10 AS v", "cast(id % 7 as int) AS grp"
+    )
+    out = merge_upsert(
+        spark, path, src, ["k"],
+        update_condition="s.v > t.v",  # never true: v identical
+        not_matched_by_source_delete=True,
+        not_matched_by_source_condition="k % 2 = 0",
+    )
+    # nothing matched-changed, only 5 unmatched evens die -> DV path
+    assert out["files_dv"] >= 1 and out["files_rewritten"] == 0, out
+    got = spark.read.format("olive").load(path)
+    assert got.count() == 995
+    assert got.filter("k IN (990, 992, 994, 996, 998)").count() == 0
+    assert got.filter("k IN (991, 993, 995, 997, 999)").count() == 5
+
+
+def test_merge_nmbs_empty_source_wipes(spark, tmp_path):
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=50, files=1)
+    src = spark.range(0).selectExpr(
+        "id AS k", "id AS v", "cast(0 as int) AS grp"
+    )
+    out = merge_upsert(
+        spark, path, src, ["k"], not_matched_by_source_delete=True,
+    )
+    assert spark.read.format("olive").load(path).count() == 0
+    assert out["files_rewritten"] == 1
+
+
+def test_merge_nmbs_validation(spark, tmp_path):
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=10, files=1)
+    src = spark.range(0, 2).selectExpr(
+        "id AS k", "id AS v", "cast(0 as int) AS grp",
+        "cast(1 as long) AS seq"
+    )
+    with pytest.raises(ValueError, match="requires"):
+        merge_upsert(spark, path, src.drop("seq"), ["k"],
+                     not_matched_by_source_condition="k > 5")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        merge_upsert(spark, path, src, ["k"], latest_by="seq",
+                     not_matched_by_source_delete=True)
+
+
+def test_replace_where_partition_swap(spark, tmp_path):
+    """replaceWhere: re-materialize one partition as ONE commit —
+    replaced rows gone, new rows in, other partitions byte-untouched,
+    time travel to the pre-replace state exact."""
+    import glob as g
+
+    from olive_spark.ops.maintenance import replace_where
+
+    path = str(tmp_path / "t")
+    df = spark.range(400).selectExpr(
+        "id AS k", "id * 10 AS v", "cast(id % 4 as int) AS grp"
+    )
+    df.repartition(4, "grp").write.format("olive") \
+        .option("partitionBy", "grp").mode("append").save(path)
+    untouched_before = {
+        f: os.path.getsize(f)
+        for f in g.glob(os.path.join(path, "grp=2", "*.olive"))
+    }
+    new = spark.range(1000, 1050).selectExpr(
+        "id AS k", "id AS v", "cast(1 as int) AS grp"
+    )
+    out = replace_where(spark, path, new, "grp = 1")
+    assert out["files_replaced"] >= 1 and out["rows_replaced"] == 100
+    assert out["rows_written"] == 50
+    got = spark.read.format("olive").load(path)
+    assert got.count() == 350
+    assert got.filter("grp = 1").count() == 50
+    assert got.filter("grp = 1 AND k < 1000").count() == 0
+    # other partitions: identical files, identical bytes
+    assert {
+        f: os.path.getsize(f)
+        for f in g.glob(os.path.join(path, "grp=2", "*.olive"))
+    } == untouched_before
+    # one version; pre-replace snapshot exact
+    old = spark.read.format("olive").option(
+        "snapshot", str(out["pre_version"])).load(path)
+    assert old.count() == 400
+    # new files landed INSIDE grp=1 (layout preserved)
+    live = [os.path.relpath(f, path)
+            for f in g.glob(os.path.join(path, "**", "*.olive"),
+                            recursive=True)
+            if "_olive_history" not in f and os.path.isfile(f)]
+    assert all(r.split(os.sep)[0].startswith("grp=") for r in live), live
+
+
+def test_replace_where_refuses_nonaligned_predicate(spark, tmp_path):
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops.maintenance import replace_where
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=100, files=1)  # one file, mixed keys
+    new = spark.range(0, 5).selectExpr(
+        "id AS k", "id AS v", "cast(0 as int) AS grp"
+    )
+    with pytest.raises(ValidationError, match="not file-aligned"):
+        replace_where(spark, path, new, "k < 5")
+
+
+def test_replace_where_refuses_out_of_region_source(spark, tmp_path):
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops.maintenance import replace_where
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr(
+        "id AS k", "id AS v", "cast(id % 2 as int) AS grp"
+    )
+    df.repartition(2, "grp").write.format("olive") \
+        .option("partitionBy", "grp").mode("append").save(path)
+    bad = spark.range(0, 4).selectExpr(
+        "id AS k", "id AS v", "cast(id % 2 as int) AS grp"  # grp 0 AND 1
+    )
+    with pytest.raises(ValidationError, match="do not satisfy"):
+        replace_where(spark, path, bad, "grp = 1")
+
+
+def test_replace_where_empty_region_is_append(spark, tmp_path):
+    """No stored rows match: replaceWhere degrades to an atomic append
+    of the new region."""
+    from olive_spark.ops.maintenance import replace_where
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr(
+        "id AS k", "id AS v", "cast(id % 2 as int) AS grp"
+    )
+    df.repartition(2, "grp").write.format("olive") \
+        .option("partitionBy", "grp").mode("append").save(path)
+    new = spark.range(500, 510).selectExpr(
+        "id AS k", "id AS v", "cast(7 as int) AS grp"
+    )
+    out = replace_where(spark, path, new, "grp = 7")
+    assert out["files_replaced"] == 0 and out["rows_replaced"] == 0
+    got = spark.read.format("olive").load(path)
+    assert got.count() == 110 and got.filter("grp = 7").count() == 10
+
+
+def test_replace_where_empty_source_clears_region(spark, tmp_path):
+    from olive_spark.ops.maintenance import replace_where
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr(
+        "id AS k", "id AS v", "cast(id % 2 as int) AS grp"
+    )
+    df.repartition(2, "grp").write.format("olive") \
+        .option("partitionBy", "grp").mode("append").save(path)
+    empty = spark.range(0).selectExpr(
+        "id AS k", "id AS v", "cast(1 as int) AS grp"
+    )
+    out = replace_where(spark, path, empty, "grp = 1")
+    assert out["rows_replaced"] == 50 and out["rows_written"] == 0
+    got = spark.read.format("olive").load(path)
+    assert got.count() == 50 and got.filter("grp = 1").count() == 0
