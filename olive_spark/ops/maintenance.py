@@ -2372,6 +2372,153 @@ def drop_column(path: str, column: str, table: str = "data") -> dict:
     return {"dropped": column, "columns": names}
 
 
+#: value-preserving widenings between olive primitive type names —
+#: every cast here is exact for all values of the source type, so the
+#: read-time cast (datasource._cast_to) can never corrupt or NULL a
+#: stored value (the same legality table as Iceberg type promotion)
+_WIDEN_OK: dict = {
+    "int8": {"int16", "int32", "int64"},
+    "int16": {"int32", "int64"},
+    "int32": {"int64"},
+    "uint8": {"int16", "int32", "int64"},
+    "uint16": {"int32", "int64"},
+    "uint32": {"int64"},
+    "float16": {"float32", "float64"},
+    "float32": {"float64"},
+}
+
+_TYPE_ALIASES = {
+    "smallint": "int16", "short": "int16",
+    "int": "int32", "integer": "int32",
+    "bigint": "int64", "long": "int64",
+    "float": "float32", "real": "float32",
+    "double": "float64",
+}
+
+
+def _parse_widen_target(new_type: str):
+    """User type string → olive type JSON: primitive names (olive or
+    Spark DDL aliases) and ``decimal(p,s)``."""
+    import re
+
+    t = str(new_type).strip().lower()
+    t = _TYPE_ALIASES.get(t, t)
+    m = re.fullmatch(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+    if m:
+        return {"t": "decimal", "precision": int(m.group(1)),
+                "scale": int(m.group(2)), "bits": 128}
+    return t
+
+
+@_locked(0)
+def widen_column(
+    path: str, column: str, new_type: str, table: str = "data",
+) -> dict:
+    """Metadata-only TYPE WIDENING (Iceberg type promotion): change a
+    column's type to a strictly wider one — int8/16/32 up to int64,
+    float32→float64, decimal precision growth at the same scale —
+    without rewriting a byte of data.  The schema sidecar
+    (format/table_schema.py) becomes the type authority; every scan
+    casts each file's STORED type to it at read time
+    (datasource._cast_to), which is exact for every legal widening.
+    New appends write the widened type natively; old and new files
+    coexist, both casting to the sidecar type.
+
+    Refused LOUDLY (the caller rewrites instead):
+
+    - narrowing or cross-kind casts (int64→int32, string→int,
+      int→decimal, decimal scale changes) — read-time cast could
+      corrupt or NULL stored values;
+    - decimal precision beyond 38 (Spark's cap);
+    - a column that is a hidden-partition TRANSFORM source
+      (``bucket(N,col)``/``truncate``): the derived directory value
+      hashes the stored representation, so widening would route the
+      same value to different directories before/after.
+
+    Time travel reads pre-widening snapshots THROUGH the current
+    (widened) schema — the same latest-schema-wins rule as add-column
+    evolution.  One sidecar write, O(1) in table size.
+
+    The reference format has no directory or evolution layer
+    (/root/reference/src/root.zig:9-16); parity target is Iceberg's
+    ``ALTER TABLE ... ALTER COLUMN ... TYPE``.
+
+    Returns {column, from, to}."""
+    from olive_spark.datasource.olive_datasource import (
+        _list_chunk_files,
+        _pick_table,
+        _read_header_bytes,
+    )
+    from olive_spark.format.partition import read_sidecar
+    from olive_spark.format.table_schema import (
+        read_table_schema,
+        write_table_schema,
+    )
+
+    target = _parse_widen_target(new_type)
+    side = read_table_schema(path, table)
+    if side is not None:
+        names, types = side
+    else:
+        header, _ = _read_header_bytes(_list_chunk_files(path)[0])
+        th = _pick_table(header, table)
+        names, types = list(th.field_names), list(th.field_types)
+    if column not in names:
+        raise ValidationError(
+            f"no column {column!r} in table {table!r} (have {names})"
+        )
+    pside = read_sidecar(path) if os.path.isdir(path) else None
+    for t in pside or []:
+        if t.get("col") == column and t.get("kind") != "identity":
+            raise ValidationError(
+                f"column {column!r} is the source of partition "
+                f"transform {t.get('kind')!r} — widening would change "
+                "how its values route to directories; respec_partitions "
+                "first, or rewrite the table"
+            )
+    i = names.index(column)
+    cur = types[i]
+    if isinstance(cur, dict) and cur.get("t") == "decimal":
+        if not (isinstance(target, dict) and target.get("t") == "decimal"):
+            raise ValidationError(
+                f"cannot widen decimal column {column!r} to "
+                f"{new_type!r} — only decimal precision growth at the "
+                "same scale is metadata-safe"
+            )
+        p0, s0 = int(cur["precision"]), int(cur["scale"])
+        p1, s1 = int(target["precision"]), int(target["scale"])
+        if s1 != s0 or p1 <= p0:
+            raise ValidationError(
+                f"decimal({p0},{s0}) can only widen to decimal(p,{s0}) "
+                f"with p > {p0} (got decimal({p1},{s1})) — a scale "
+                "change is a value rewrite, not metadata"
+            )
+        if p1 > 38:
+            raise ValidationError(
+                f"decimal({p1},{s1}) exceeds Spark's max precision (38)"
+            )
+        new_json: object = {
+            "t": "decimal", "precision": p1, "scale": s1, "bits": 128,
+        }
+    else:
+        if not isinstance(cur, str) or not isinstance(target, str):
+            raise ValidationError(
+                f"cannot widen {column!r} from {cur!r} to {new_type!r} "
+                "— only primitive int/float widenings and decimal "
+                "precision growth are metadata-safe"
+            )
+        if target not in _WIDEN_OK.get(cur, ()):  # narrowing/cross-kind
+            raise ValidationError(
+                f"cannot widen {column!r} from {cur!r} to {target!r} — "
+                f"legal targets: {sorted(_WIDEN_OK.get(cur, ()))} or a "
+                "full rewrite"
+            )
+        new_json = target
+    types[i] = new_json
+    write_table_schema(path, table, names, types)
+    return {"column": column, "from": cur, "to": new_json}
+
+
 @_locked(0)
 def rename_column(
     path: str, old: str, new: str, table: str = "data"

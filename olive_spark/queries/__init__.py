@@ -75,6 +75,7 @@ _ORDER = [
     "scan_dv_changes_feed",   # r10: CDF over DV commits
     "scan_merge_not_matched_by_source",  # r10: third Delta merge clause
     "scan_after_replace_where",  # r10: atomic partition overwrite
+    "scan_after_widen_column",  # r10: metadata-only type widening
     # --- new or rewired in r9 (never driver-checked in this form) ---
     "scan_merge_hidden_partition",  # r9: MERGE+DELETE on a days(ts) layout
     "scan_truncate_partition_pruning",  # r9: truncate(W,col) range pruning

@@ -2262,6 +2262,76 @@ SQL_AFTER_REPLACE_WHERE = (
 )
 
 
+def _ensure_orders_widened(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) a table exercising metadata-only TYPE
+    WIDENING (Iceberg type promotion, r10):
+
+      v1  base: orders with o_custkey DOWNCAST to int32 and
+          o_totalprice to float32 (so the stored files carry the narrow
+          types)
+      --  widen_column(o_custkey → bigint), widen_column(o_totalprice →
+          double): sidecar-only, zero data rewrite
+      v2  append two rows whose o_custkey only fits int64
+
+    Every scan casts the narrow stored files to the widened types at
+    read; the oracle replays the union with plain casts."""
+    from olive_spark.ops.maintenance import widen_column
+
+    def build(out: str) -> None:
+        base = data.load(
+            spark, sf, "orders",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        ).select(
+            "o_orderkey",
+            F.col("o_custkey").cast("int").alias("o_custkey"),
+            F.col("o_totalprice").cast("float").alias("o_totalprice"),
+        )
+        base.coalesce(2).write.format("olive") \
+            .option("table", "orders_widened").mode("append").save(out)
+        widen_column(out, "o_custkey", "bigint", table="orders_widened")
+        widen_column(out, "o_totalprice", "double", table="orders_widened")
+        wide = spark.createDataFrame(
+            [(900_000_001, 1 << 40, 1.5), (900_000_002, (1 << 40) + 1, 2.5)],
+            "o_orderkey long, o_custkey long, o_totalprice double",
+        )
+        wide.write.format("olive").option("table", "orders_widened") \
+            .mode("append").save(out)
+
+    return _build_once(spark, sf, "orders_widened", "_WIDE_OK", build)
+
+
+def scan_after_widen_column(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-widening parity: aggregate the widened table — narrow-file
+    rows cast exactly to the widened types, wide appended rows keep
+    values beyond the old type's range.  A widening that corrupted a
+    cast, dropped the sidecar authority, or rejected the wide append
+    hash-mismatches the oracle's cast replay.  float32 values widen
+    bit-exactly to double, so even the float sums hash-match."""
+    path = _ensure_orders_widened(spark, sf)
+    df = (
+        spark.read.format("olive")
+        .option("table", "orders_widened").load(path)
+    )
+    return df.groupBy((F.col("o_orderkey") % 7).alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum("o_custkey").alias("sum_cust"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+SQL_AFTER_WIDEN = (
+    "WITH widened AS ("
+    "SELECT o_orderkey, CAST(CAST(o_custkey AS INT) AS BIGINT) AS o_custkey, "
+    "CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS o_totalprice FROM orders "
+    "UNION ALL SELECT 900000001, 1099511627776, 1.5 "
+    "UNION ALL SELECT 900000002, 1099511627777, 2.5) "
+    "SELECT o_orderkey % 7 AS bucket, COUNT(*) AS n, "
+    "CAST(SUM(o_custkey) AS BIGINT) AS sum_cust, "
+    "ROUND(SUM(o_totalprice), 2) AS sum_price "
+    "FROM widened GROUP BY o_orderkey % 7"
+)
+
+
 def scan_dv_changes_feed(spark: SparkSession, sf: str) -> DataFrame:
     """Change feed over DV commits: a deletion-vector delete changes
     rows WITHOUT changing the file list, so the diff must come from the
@@ -2332,6 +2402,7 @@ QUERIES: dict[str, tuple] = {
     "scan_after_replace_where": (
         scan_after_replace_where, SQL_AFTER_REPLACE_WHERE,
     ),
+    "scan_after_widen_column": (scan_after_widen_column, SQL_AFTER_WIDEN),
     "scan_dv_time_travel": (scan_dv_time_travel, SQL_DV_TIME_TRAVEL),
     "scan_dv_changes_feed": (scan_dv_changes_feed, SQL_DV_CHANGES_FEED),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),

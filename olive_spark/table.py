@@ -181,6 +181,13 @@ class OliveTable:
 
         return drop_column(self.path, column, table=self.table)
 
+    def widen_column(self, column: str, new_type: str) -> dict:
+        """Metadata-only type widening (int up-widening, float32→
+        float64, decimal precision growth) — no data rewrite."""
+        from olive_spark.ops.maintenance import widen_column
+
+        return widen_column(self.path, column, new_type, table=self.table)
+
     def rename_column(self, old: str, new: str) -> dict:
         """RENAME COLUMN: metadata-only (sidecar) evolution — old files
         keep their bytes under the old name and the read path maps it

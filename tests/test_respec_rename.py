@@ -319,3 +319,113 @@ def test_rename_time_travel_reads_through_current_names(spark, tmp_path):
     assert sorted(v1.columns) == ["k", "val"]
     rows = dict((r["k"], r["val"]) for r in v1.collect())
     assert rows[1] == 2 and len(rows) == 50  # pre-merge values, new name
+
+
+# ---- type widening (r10) ----------------------------------------------
+
+
+def test_widen_int_column_metadata_only(spark, tmp_path):
+    """int32→int64 widening: no data rewrite, old files cast at read,
+    new appends write the wide type natively, filters/joins see long."""
+    import glob
+    import os
+
+    from olive_spark.ops.maintenance import widen_column
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr(
+        "cast(id AS int) AS k", "id * 10 AS v"
+    )
+    df.coalesce(1).write.format("olive").mode("append").save(path)
+    before = {f: os.path.getsize(f)
+              for f in glob.glob(os.path.join(path, "*.olive"))}
+    out = widen_column(path, "k", "bigint")
+    assert out["from"] == "int32" and out["to"] == "int64"
+    # zero data churn
+    assert {f: os.path.getsize(f)
+            for f in glob.glob(os.path.join(path, "*.olive"))} == before
+    got = spark.read.format("olive").load(path)
+    assert dict(got.dtypes)["k"] == "bigint"
+    assert got.count() == 100
+    # append values that only fit the wide type
+    spark.createDataFrame(
+        [(2**40, 1), (2**41, 2)], "k long, v long"
+    ).write.format("olive").mode("append").save(path)
+    got = spark.read.format("olive").load(path)
+    assert got.count() == 102
+    assert got.filter("k > 2000000000").count() == 2
+    assert got.agg({"k": "sum"}).first()[0] == sum(range(100)) + 2**40 + 2**41
+
+
+def test_widen_decimal_precision_and_float(spark, tmp_path):
+    from olive_spark.ops.maintenance import widen_column
+
+    path = str(tmp_path / "t")
+    spark.sql(
+        "SELECT CAST(1.25 AS DECIMAL(6,2)) AS d, CAST(1.5 AS FLOAT) AS f"
+    ).write.format("olive").mode("append").save(path)
+    widen_column(path, "d", "decimal(20,2)")
+    widen_column(path, "f", "double")
+    got = spark.read.format("olive").load(path)
+    assert dict(got.dtypes) == {"d": "decimal(20,2)", "f": "double"}
+    row = got.first()
+    assert float(row["d"]) == 1.25 and row["f"] == 1.5
+
+
+def test_widen_refusals(spark, tmp_path):
+    import pytest as _pytest
+
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops.maintenance import widen_column
+
+    path = str(tmp_path / "t")
+    spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS k, CAST(1.0 AS DOUBLE) AS x, "
+        "CAST(2.5 AS DECIMAL(10,2)) AS d, 's' AS s"
+    ).write.format("olive").mode("append").save(path)
+    with _pytest.raises(ValidationError, match="legal targets"):
+        widen_column(path, "k", "int")          # narrowing
+    with _pytest.raises(ValidationError, match="legal targets"):
+        widen_column(path, "x", "float")        # narrowing
+    with _pytest.raises(ValidationError):
+        widen_column(path, "s", "bigint")       # cross-kind
+    with _pytest.raises(ValidationError, match="scale"):
+        widen_column(path, "d", "decimal(20,4)")  # scale change
+    with _pytest.raises(ValidationError, match="precision"):
+        widen_column(path, "d", "decimal(40,2)")  # beyond Spark cap
+    with _pytest.raises(ValidationError, match="no column"):
+        widen_column(path, "zzz", "bigint")
+
+
+def test_widen_refuses_transform_source(spark, tmp_path):
+    import pytest as _pytest
+
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops.maintenance import widen_column
+
+    path = str(tmp_path / "t")
+    df = spark.range(50).selectExpr("cast(id AS int) AS k", "id AS v")
+    df.coalesce(1).write.format("olive") \
+        .option("partitionBy", "bucket(4,k)").mode("append").save(path)
+    with _pytest.raises(ValidationError, match="partition"):
+        widen_column(path, "k", "bigint")
+
+
+def test_widen_then_merge_and_time_travel(spark, tmp_path):
+    """Widening composes with MERGE (source must carry the widened
+    type) and time travel reads pre-widening data through the new
+    schema."""
+    from olive_spark.ops.maintenance import merge_upsert, widen_column
+
+    path = str(tmp_path / "t")
+    spark.range(50).selectExpr("cast(id AS int) AS k", "id AS v") \
+        .coalesce(1).write.format("olive").mode("append").save(path)
+    widen_column(path, "k", "bigint")
+    src = spark.createDataFrame([(3, 999), (2**40, 1)], "k long, v long")
+    merge_upsert(spark, path, src, key_cols=["k"])
+    got = spark.read.format("olive").load(path)
+    assert got.count() == 51
+    assert got.filter("k = 3 AND v = 999").count() == 1
+    old = spark.read.format("olive").option("snapshot", "1").load(path)
+    assert dict(old.dtypes)["k"] == "bigint"   # latest-schema-wins
+    assert old.count() == 50
