@@ -31,11 +31,16 @@ exactly the corruption case.  Pid-reuse and shared-hostname clusters
 can't false-reclaim: reclaim requires the on-disk token to be one this
 process wrote.
 
-Plain DSv2 appends do NOT take the lock: append commits are the hot
-path and their snapshot-log append is last-entry-wins monotone; the
-documented contract for concurrent APPENDERS stays "coordinate
-externally", while mutation-vs-mutation — the corruption case — is
-enforced here.
+Plain DSv2 appends do NOT take this long table lock.  Since r10 they
+are safe to run concurrently anyway: chunk files never collide (uuid
+names) and every metadata read-modify-write — snapshot log, stats
+manifest, schema sidecar — runs under the short blocking
+:class:`metadata_commit_lock` below, so concurrent appenders both land
+their commits (optimistic concurrency, Delta-style: the micro-lock IS
+the compare-and-swap a filesystem lacks).  Mutation-vs-mutation — the
+corruption case — stays enforced by this table lock; an append landing
+mid-mutation interleaves safely in the log (a mutation only removes
+files it discovered, never the append's new ones).
 """
 
 from __future__ import annotations
@@ -62,10 +67,10 @@ def _lock_path(dirpath: str) -> str:
     return os.path.join(dirpath, LOCK_NAME)
 
 
-def _read(dirpath: str) -> "dict | None":
+def _read_lock_file(p: str) -> "dict | None":
     """None = no lock file; {} = unreadable (crash mid-write)."""
     try:
-        with open(_lock_path(dirpath)) as f:
+        with open(p) as f:
             doc = json.load(f)
         return doc if isinstance(doc, dict) else {}
     except FileNotFoundError:
@@ -74,7 +79,11 @@ def _read(dirpath: str) -> "dict | None":
         return {}
 
 
-def _is_stale(dirpath: str, cur: dict) -> bool:
+def _read(dirpath: str) -> "dict | None":
+    return _read_lock_file(_lock_path(dirpath))
+
+
+def _lock_file_stale(p: str, cur: dict) -> bool:
     ts = cur.get("ts")
     ttl = cur.get("ttl", DEFAULT_TTL)
     if not isinstance(ts, (int, float)) or not isinstance(
@@ -84,7 +93,7 @@ def _is_stale(dirpath: str, cur: dict) -> bool:
         # default TTL — a crash between create and flush must not
         # block the table forever
         try:
-            ts = os.path.getmtime(_lock_path(dirpath))
+            ts = os.path.getmtime(p)
         except OSError:
             return False  # vanished: the acquire loop re-reads
         ttl = DEFAULT_TTL
@@ -105,11 +114,14 @@ def _is_stale(dirpath: str, cur: dict) -> bool:
     return True
 
 
-def _steal(dirpath: str) -> None:
+def _is_stale(dirpath: str, cur: dict) -> bool:
+    return _lock_file_stale(_lock_path(dirpath), cur)
+
+
+def _steal_lock_file(p: str) -> None:
     """Move the stale lock aside ATOMICALLY: rename can only succeed
     for one stealer (the loser gets FileNotFoundError and re-enters the
     acquire loop, now seeing the winner's fresh lock)."""
-    p = _lock_path(dirpath)
     aside = p + f".stale-{uuid.uuid4().hex[:8]}"
     try:
         os.rename(p, aside)
@@ -119,6 +131,10 @@ def _steal(dirpath: str) -> None:
         os.remove(aside)
     except OSError:
         pass
+
+
+def _steal(dirpath: str) -> None:
+    _steal_lock_file(_lock_path(dirpath))
 
 
 def acquire(dirpath: str, ttl: float = DEFAULT_TTL) -> None:
@@ -254,3 +270,111 @@ class table_write_lock:
 
     def __exit__(self, *exc) -> None:
         release(self.dirpath)
+
+
+COMMIT_LOCK_NAME = "_olive_commit_lock.json"
+COMMIT_TTL = 30.0
+COMMIT_TIMEOUT = 120.0
+
+
+class metadata_commit_lock:
+    """Short BLOCKING lock serializing only metadata read-modify-writes
+    (snapshot log, stats manifest, schema sidecar) — the optimistic-
+    concurrency primitive that lets plain APPENDS run concurrently:
+
+    - chunk files never conflict (uuid names), so an append's only
+      shared state is its metadata commit — a millisecond-scale JSON
+      read-merge-replace;
+    - every metadata RMW (from appenders AND from mutations, whose
+      table lock stays held for the op's duration) takes this lock for
+      just that window, so two processes appending at once BOTH land
+      their snapshot entries instead of last-write-wins losing one —
+      Delta's commit-retry, realized as a bounded wait on a micro-lock
+      (a filesystem has no atomic compare-and-swap to retry against;
+      the O_EXCL create IS the CAS);
+    - contention blocks with backoff up to ``timeout`` (default 120 s
+      — generous: the critical section is one small-file rewrite),
+      then fails loud naming the holder; crashed holders are stolen by
+      TTL with the same same-host-liveness rules as the table lock.
+
+    NOT reentrant and never held across a Spark job — acquire, rewrite
+    one JSON file, release.  Lock ordering: table lock (long) →
+    commit lock (micro); nothing acquires the table lock while holding
+    this one, so there is no deadlock cycle.
+    """
+
+    def __init__(
+        self, dirpath: str, ttl: float = COMMIT_TTL,
+        timeout: float = COMMIT_TIMEOUT,
+    ) -> None:
+        self.path = os.path.join(dirpath, COMMIT_LOCK_NAME)
+        self.dirpath = dirpath
+        self.ttl = float(ttl)
+        self.timeout = float(timeout)
+        self.token: "str | None" = None
+
+    def __enter__(self) -> "metadata_commit_lock":
+        os.makedirs(self.dirpath, exist_ok=True)
+        deadline = time.time() + self.timeout
+        delay = 0.005
+        while True:
+            token = uuid.uuid4().hex
+            try:
+                fd = os.open(
+                    self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                with os.fdopen(fd, "w") as f:
+                    json.dump({
+                        "pid": os.getpid(),
+                        "host": socket.gethostname(),
+                        "token": token,
+                        "ts": time.time(),
+                        "ttl": self.ttl,
+                    }, f)
+                self.token = token
+                return self
+            except FileExistsError:
+                cur = _read_lock_file(self.path)
+                if cur is None:
+                    continue  # released between exists and read
+                if _lock_file_stale(self.path, cur):
+                    _steal_lock_file(self.path)
+                    continue
+                if time.time() >= deadline:
+                    raise ValidationError(
+                        f"metadata commit lock at {self.dirpath} held "
+                        f"by pid {cur.get('pid')} on {cur.get('host')} "
+                        f"for over {self.timeout:.0f}s — the holder is "
+                        "alive but wedged mid-commit; investigate, or "
+                        f"remove {COMMIT_LOCK_NAME} if it is known dead"
+                    )
+                time.sleep(delay)
+                delay = min(delay * 2, 0.25)
+
+    def __exit__(self, *exc) -> None:
+        if self.token is None:
+            return
+        # rename-then-unlink, same displaced-stealer protocol as the
+        # table lock's release
+        aside = self.path + f".rel-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(self.path, aside)
+        except FileNotFoundError:
+            self.token = None
+            return
+        moved_ours = True
+        try:
+            with open(aside) as f:
+                moved_ours = json.load(f).get("token") == self.token
+        except (OSError, ValueError):
+            pass
+        if not moved_ours:
+            try:
+                os.link(aside, self.path)
+            except OSError:
+                pass
+        try:
+            os.remove(aside)
+        except OSError:
+            pass
+        self.token = None

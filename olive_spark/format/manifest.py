@@ -184,7 +184,16 @@ def load_manifest(dirpath: str) -> dict:
 def merge_manifest(dirpath: str, new_entries: dict) -> None:
     """Read-merge-replace: keep existing entries whose files still
     exist, overlay ``new_entries``, write atomically.  Driver-side only
-    (DSv2 commit), under the table's single-writer contract."""
+    (DSv2 commit); the RMW runs under the metadata COMMIT lock
+    (format/lock.metadata_commit_lock) so concurrent appenders don't
+    last-write-wins each other's stats entries."""
+    from olive_spark.format.lock import metadata_commit_lock
+
+    with metadata_commit_lock(dirpath):
+        _merge_manifest_locked(dirpath, new_entries)
+
+
+def _merge_manifest_locked(dirpath: str, new_entries: dict) -> None:
     merged = {
         rel: ent
         for rel, ent in load_manifest(dirpath).items()

@@ -119,7 +119,27 @@ def append_entry(
     those files — exactly the partial-table read this module promises
     never to produce.  So a non-reset first append seeds a ``base``
     entry from the live directory listing first; the commit itself then
-    lands as version 2."""
+    lands as version 2.
+
+    Concurrency (r10): the read-merge-replace runs under the metadata
+    COMMIT lock (format/lock.metadata_commit_lock), so two processes
+    appending at once both land their entries — chunk files never
+    conflict (uuid names), and this micro-critical-section is the only
+    shared state.  Mutations still hold the long table lock for their
+    whole op; their entries take the same commit lock here, so an
+    append landing mid-mutation interleaves safely in the log."""
+    from olive_spark.format.lock import metadata_commit_lock
+
+    with metadata_commit_lock(dirpath):
+        return _append_entry_locked(
+            dirpath, add, remove, reset, tag, max_entries,
+            dv_add, dv_remove,
+        )
+
+
+def _append_entry_locked(
+    dirpath, add, remove, reset, tag, max_entries, dv_add, dv_remove,
+) -> int:
     log = load_log(dirpath)
     entries = log["entries"]
     if not entries and not reset:
@@ -240,6 +260,13 @@ def ensure_seeded(
     pre-rewrite set must be RECONSTRUCTED (live minus activated
     replacements, plus the recovery manifest's originals) because the
     crash may already have activated some files."""
+    from olive_spark.format.lock import metadata_commit_lock
+
+    with metadata_commit_lock(dirpath):
+        return _ensure_seeded_locked(dirpath, files, dv)
+
+
+def _ensure_seeded_locked(dirpath, files=None, dv=None) -> bool:
     log = load_log(dirpath)
     if log["entries"]:
         return False
@@ -373,6 +400,13 @@ def expire(dirpath: str, retain: int) -> dict:
 
 
 def _expire_locked(dirpath: str, retain: int) -> dict:
+    from olive_spark.format.lock import metadata_commit_lock
+
+    with metadata_commit_lock(dirpath):
+        return _expire_commit(dirpath, retain)
+
+
+def _expire_commit(dirpath: str, retain: int) -> dict:
     log = load_log(dirpath)
     entries = log["entries"]
     if not entries:
@@ -466,7 +500,9 @@ def tag_version(
     compact/merge/restore commit would write back the pre-op entry
     list, losing that op (the lock is reentrant, so facade composition
     stays safe)."""
-    with table_write_lock(dirpath):
+    from olive_spark.format.lock import metadata_commit_lock
+
+    with table_write_lock(dirpath), metadata_commit_lock(dirpath):
         log = load_log(dirpath)
         v = (
             int(version) if version is not None
@@ -486,7 +522,9 @@ def tag_version(
 def delete_version_tag(dirpath: str, name: str) -> bool:
     """Remove a snapshot tag; returns whether it existed.  Locked for
     the same read-modify-write reason as :func:`tag_version`."""
-    with table_write_lock(dirpath):
+    from olive_spark.format.lock import metadata_commit_lock
+
+    with table_write_lock(dirpath), metadata_commit_lock(dirpath):
         log = load_log(dirpath)
         tags = log.get("tags")
         if not isinstance(tags, dict) or str(name) not in tags:

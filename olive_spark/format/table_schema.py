@@ -189,6 +189,20 @@ def write_table_schema(
     the single-writer contract."""
     if len(field_names) != len(field_types):
         raise ValidationError("field name/type count mismatch")
+    # the RMW runs under the metadata commit lock: two concurrent
+    # appends each extending the sidecar with different new columns
+    # must both land (format/lock.metadata_commit_lock)
+    from olive_spark.format.lock import metadata_commit_lock
+
+    with metadata_commit_lock(path):
+        _write_table_schema_locked(
+            path, table, field_names, field_types, dropped, renames
+        )
+
+
+def _write_table_schema_locked(
+    path, table, field_names, field_types, dropped=None, renames=None,
+) -> None:
     p = sidecar_path(path)
     doc: dict = {"version": _SIDECAR_VERSION, "tables": {}}
     try:
