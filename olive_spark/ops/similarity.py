@@ -889,3 +889,331 @@ def pq_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+# ---- persisted product-quantization index (r10) -------------------------
+
+_PQ_META = "_pq_meta.json"
+_PQ_PENDING = "_pq_build.pending"
+
+
+def _codes_matrix(col, m: int):
+    """Arrow binary column of m-byte PQ codes → (n, m) uint8 matrix,
+    zero-copy off the values buffer (validated uniform stride)."""
+    import numpy as np
+    import pyarrow as pa
+
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(a) == 0:
+        return np.zeros((0, m), np.uint8)
+    off = np.frombuffer(a.buffers()[1], np.int32)[
+        a.offset : a.offset + len(a) + 1
+    ]
+    if not (np.diff(off) == m).all():
+        raise ValueError("PQ codes column has non-uniform code width")
+    data = np.frombuffer(a.buffers()[2], np.uint8)
+    return data[off[0] : off[-1]].reshape(-1, m)
+
+
+def build_pq_index(
+    spark,
+    corpus: DataFrame,
+    index_dir: str,
+    m: int = 16,
+    n_cent: int = 64,
+    sample_rows: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    corpus_version: "int | None" = None,
+    ivf_centroids: "int | None" = None,
+) -> dict:
+    """Persist a product-quantization index as olive tables — the
+    memory-bounded ANN shape for corpora whose full vectors can't be
+    rescanned per query (10^9 vectors × d floats don't fit; 10^9 × m
+    BYTES of codes do):
+
+        index_dir/codebooks/  (subspace, centroid, vec) — m·n_cent
+                              sub-vectors, a few KB, trained once on an
+                              id-ordered sample (same deterministic
+                              k-means as :func:`pq_topk`)
+        index_dir/codes/      (id, codes binary[m]) — every corpus
+                              vector encoded ONCE at build time; queries
+                              never re-encode the corpus (the whole win
+                              over per-call :func:`pq_topk`)
+        index_dir/_pq_meta.json  geometry + corpus snapshot version +
+                              build_id nonce
+
+    ``ivf_centroids=N`` composes IVF-PQ: a coarse N-centroid layer
+    (trained like :func:`build_ivf_index`) bucket-hive-partitions the
+    codes table, so an ``n_probe`` query scans only the probed
+    ``bucket=`` directories — dir-pruned IO on top of code-compressed
+    IO, the standard billion-scale layout (codes stay raw-vector PQ,
+    not residual PQ: one codebook serves every bucket, and the re-rank
+    stage restores exact ordering either way; documented deviation from
+    Faiss's residual encoding).
+
+    Crash safety and staleness mirror the IVF index: a pending marker
+    covers the whole build, and ``corpus_version`` keys the artifact to
+    the source table's snapshot version.  Returns the meta dict."""
+    import json as _json
+    import os
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+
+    from olive_spark.datasource import register_olive
+
+    register_olive(spark)
+    if n_cent > 256:
+        raise ValueError("n_cent must fit uint8 codes (<= 256)")
+    pending = os.path.join(index_dir, _PQ_PENDING)
+    os.makedirs(index_dir, exist_ok=True)
+    with open(pending, "w") as f:
+        f.write(_json.dumps({"op": "build", "to_version": corpus_version}))
+
+    def _norm(x):
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return x / n
+
+    sample_df = corpus.orderBy(id_col).limit(sample_rows)
+    sample = _norm(np.array(
+        [r[vec_col] for r in sample_df.collect()], dtype=np.float64
+    ))
+    d = sample.shape[1]
+    books = _pq_train_codebooks(sample, m, n_cent)
+    cents_rows = None
+    if ivf_centroids:
+        # coarse layer: deterministic first-N-sample centroids, same
+        # geometry rule as _ivf_train_assign's trainer
+        cmat = sample[: int(ivf_centroids)]
+        cents_rows = [
+            (int(i), [float(x) for x in v]) for i, v in enumerate(cmat)
+        ]
+    bc = spark.sparkContext.broadcast(
+        (books, np.array([v for _c, v in cents_rows])
+         if cents_rows else None)
+    )
+    out_schema = (
+        f"{id_col} long, codes binary" + (", bucket int" if cents_rows else "")
+    )
+
+    def encode(batches):
+        books_, cmat_ = bc.value
+        m_ = len(books_)
+        sub = d // m_
+        for batch in batches:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            vecs = batch_matrix(batch.column(vec_col))
+            if len(vecs) == 0:
+                continue
+            vecs = _norm(np.asarray(vecs, np.float64))
+            codes = np.empty((len(vecs), m_), dtype=np.uint8)
+            for j in range(m_):
+                x = vecs[:, j * sub : (j + 1) * sub]
+                d2 = ((x[:, None, :] - books_[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(1)
+            cols = {
+                id_col: pa.array(ids, pa.int64()),
+                "codes": pa.array(
+                    [c.tobytes() for c in codes], pa.binary()
+                ),
+            }
+            if cmat_ is not None:
+                sims = _norm(vecs) @ _norm(cmat_).T
+                cols["bucket"] = pa.array(
+                    sims.argmax(1).astype(np.int32), pa.int32()
+                )
+            yield pa.RecordBatch.from_pydict(cols)
+
+    codes_df = corpus.select(id_col, vec_col).mapInArrow(encode, out_schema)
+    w = codes_df.write.format("olive").option("table", "codes")
+    if cents_rows:
+        w = w.option("partitionBy", "bucket")
+    w.mode("overwrite").save(os.path.join(index_dir, "codes"))
+    book_rows = [
+        (int(j), int(c), [float(x) for x in books[j][c]])
+        for j in range(m) for c in range(n_cent)
+    ]
+    (
+        spark.createDataFrame(
+            book_rows, "subspace int, centroid int, vec array<double>"
+        )
+        .coalesce(1).write.format("olive").option("table", "codebooks")
+        .mode("overwrite").save(os.path.join(index_dir, "codebooks"))
+    )
+    if cents_rows:
+        (
+            spark.createDataFrame(
+                cents_rows, "centroid_id int, centroid_vec array<double>"
+            )
+            .coalesce(1).write.format("olive").option("table", "centroids")
+            .mode("overwrite").save(os.path.join(index_dir, "centroids"))
+        )
+    meta = {
+        "m": int(m), "n_cent": int(n_cent), "dims": int(d),
+        "vec_col": vec_col, "id_col": id_col,
+        "ivf_centroids": int(ivf_centroids) if ivf_centroids else None,
+        "corpus_version": corpus_version,
+        "build_id": uuid.uuid4().hex,
+    }
+    tmp = os.path.join(index_dir, _PQ_META + ".tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, _PQ_META))
+    os.remove(pending)
+    return meta
+
+
+def pq_topk_indexed(
+    spark,
+    index_dir: str,
+    corpus: DataFrame,
+    query_rows: "list[tuple[int, list[float]]]",
+    k: int = 10,
+    refine: int = 10,
+    n_probe: int = 4,
+    expect_corpus_version: "int | None" = None,
+) -> DataFrame:
+    """Serve PQ top-k from a persisted index (:func:`build_pq_index`):
+    the ADC scan reads m-byte CODES, never corpus vectors — no
+    training, no re-encode; with an IVF-PQ index the probed-bucket IN
+    filter additionally dir-prunes the codes scan at plan time.
+    ``corpus`` supplies full vectors ONLY for the exact re-rank of the
+    k·refine survivors (a semi-join-sized read).  Same result contract
+    as :func:`pq_topk` with the same geometry (parity pinned in
+    tests/test_similarity.py); ``expect_corpus_version`` refuses a
+    stale index loudly."""
+    import json as _json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from olive_spark.datasource import register_olive
+
+    register_olive(spark)
+    if os.path.exists(os.path.join(index_dir, _PQ_PENDING)):
+        raise ValueError(
+            f"PQ index at {index_dir} has an interrupted build "
+            "(_pq_build.pending) — rebuild with build_pq_index"
+        )
+    with open(os.path.join(index_dir, _PQ_META)) as f:
+        meta = _json.load(f)
+    if (
+        expect_corpus_version is not None
+        and meta.get("corpus_version") != expect_corpus_version
+    ):
+        raise ValueError(
+            f"stale PQ index at {index_dir}: built from corpus version "
+            f"{meta.get('corpus_version')}, current is "
+            f"{expect_corpus_version} — rebuild with build_pq_index"
+        )
+    m, n_cent, d = meta["m"], meta["n_cent"], meta["dims"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    brows = (
+        spark.read.format("olive")
+        .load(os.path.join(index_dir, "codebooks")).collect()
+    )
+    books = [np.zeros((n_cent, d // m)) for _ in range(m)]
+    for r in brows:
+        books[r["subspace"]][r["centroid"]] = np.array(r["vec"])
+
+    def _norm(x):
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return x / n
+
+    qids = np.array([q[0] for q in query_rows], dtype=np.int64)
+    qmat = _norm(np.array([q[1] for q in query_rows], dtype=np.float64))
+    codes_scan = spark.read.format("olive").option("pushdown", "true")
+    if meta.get("ivf_centroids"):
+        cents = (
+            spark.read.format("olive")
+            .load(os.path.join(index_dir, "centroids")).collect()
+        )
+        cmat = _norm(np.array(
+            [r["centroid_vec"] for r in
+             sorted(cents, key=lambda r: r["centroid_id"])]
+        ))
+        sims = qmat @ cmat.T
+        probe = min(int(n_probe), sims.shape[1])
+        buckets = sorted({
+            int(b) for row in sims.argsort(1)[:, ::-1][:, :probe]
+            for b in row
+        })
+        codes = codes_scan.load(os.path.join(index_dir, "codes")).filter(
+            F.col("bucket").isin(buckets)
+        )
+    else:
+        codes = codes_scan.load(os.path.join(index_dir, "codes"))
+    bc = spark.sparkContext.broadcast((books, qids, qmat))
+    n_cand = k * refine
+    sub = d // m
+
+    def adc_scan(batches):
+        books_, qids_, qmat_ = bc.value
+        luts = []
+        for qv in qmat_:
+            luts.append(np.stack([
+                ((books_[j] - qv[j * sub : (j + 1) * sub]) ** 2).sum(1)
+                for j in range(m)
+            ]))
+        best: dict = {}
+        for batch in batches:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            codes_ = _codes_matrix(batch.column("codes"), m).astype(np.int64)
+            if len(codes_) == 0:
+                continue
+            for qi in range(len(qids_)):
+                dist = luts[qi][np.arange(m)[None, :], codes_].sum(1)
+                mask = ids != qids_[qi]
+                cid, cd = ids[mask], dist[mask]
+                if len(cid) > n_cand:
+                    part = np.argpartition(cd, n_cand)[:n_cand]
+                    cid, cd = cid[part], cd[part]
+                pid, pd_ = best.get(qi, (None, None))
+                if pid is not None:
+                    cid = np.concatenate([pid, cid])
+                    cd = np.concatenate([pd_, cd])
+                    if len(cid) > n_cand:
+                        part = np.argpartition(cd, n_cand)[:n_cand]
+                        cid, cd = cid[part], cd[part]
+                best[qi] = (cid, cd)
+        for qi, (cid, cd) in best.items():
+            yield pa.RecordBatch.from_pydict({
+                "query_id": np.full(len(cid), qids_[qi]),
+                "neighbor_id": cid,
+                "adc": cd,
+            })
+
+    cands = codes.select(id_col, "codes").mapInArrow(
+        adc_scan, "query_id long, neighbor_id long, adc double"
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    cands = (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_cand)
+        .select("query_id", "neighbor_id")
+    )
+    full = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("corpus_vec"),
+    )
+    qdf = spark.createDataFrame(
+        [(int(q), list(map(float, v))) for q, v in query_rows],
+        "query_id long, query_vec array<double>",
+    )
+    sim = F.round(cosine_expr(F.col("query_vec"), F.col("corpus_vec")), 6)
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        cands.join(full, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

@@ -76,6 +76,7 @@ _ORDER = [
     "scan_merge_not_matched_by_source",  # r10: third Delta merge clause
     "scan_after_replace_where",  # r10: atomic partition overwrite
     "scan_after_widen_column",  # r10: metadata-only type widening
+    "llm_similarity_pq_persisted",  # r10: persisted IVF-PQ index (rows-only)
     # --- new or rewired in r9 (never driver-checked in this form) ---
     "scan_merge_hidden_partition",  # r9: MERGE+DELETE on a days(ts) layout
     "scan_truncate_partition_pruning",  # r9: truncate(W,col) range pruning

@@ -358,6 +358,36 @@ def llm_similarity_ivf_persisted(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def llm_similarity_pq_persisted(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ ANN served from a PERSISTED index (rows-only like the
+    other recall<1 ANN entries; result-parity with in-memory pq_topk
+    and the recall floor are pinned by tests/test_similarity.py).  The
+    index — driver-trained codebooks + every corpus vector encoded ONCE
+    into m-byte codes, bucket-hive-partitioned under a coarse IVF layer
+    — is built once per cache (ops/similarity.build_pq_index); serving
+    reads codes (never corpus vectors) from only the probed bucket=…
+    directories, then re-ranks the survivors exactly.  The
+    memory-bounded ANN shape for 10^9-vector corpora."""
+    import os as _os
+
+    corpus = data.load(spark, sf, "embeddings", columns=["vec_id", "embedding"])
+    index_dir = _os.path.join(data.ensure_olive(sf), "pq_index_embeddings")
+    if not _os.path.exists(_os.path.join(index_dir, "_pq_meta.json")):
+        similarity.build_pq_index(
+            spark, corpus, index_dir, corpus_version=1, ivf_centroids=8,
+        )
+    qdf = data.load(spark, sf, "embeddings", columns=["vec_id", "embedding"])
+    qrows = [
+        (r["vec_id"], r["embedding"])
+        for r in qdf.filter(F.col("vec_id") < 5).collect()
+    ]
+    corpus2 = data.load(spark, sf, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.pq_topk_indexed(
+        spark, index_dir, corpus2, qrows, k=10, n_probe=6,
+        expect_corpus_version=1,
+    )
+
+
 def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal frame sampling: binary payload → per-frame rows via
     Arrow-batched mapInPandas (decoder stubbed deterministically, so the
@@ -680,6 +710,7 @@ QUERIES: dict[str, tuple] = {
     "llm_similarity_arrow": (llm_similarity_arrow, SQL_SIMILARITY_TOPK),
     "llm_similarity_ivf": (llm_similarity_ivf, None),
     "llm_similarity_ivf_persisted": (llm_similarity_ivf_persisted, None),
+    "llm_similarity_pq_persisted": (llm_similarity_pq_persisted, None),
     "mm_frame_sample": (mm_frame_sample, SQL_MM_FRAMES),
     "llm_text_stats": (llm_text_stats, SQL_TEXT_STATS),
     "llm_quality_score": (llm_quality_score, SQL_QUALITY),

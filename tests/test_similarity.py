@@ -350,3 +350,118 @@ def test_ivf_build_survives_zero_vectors_and_drift_refuses_pending(spark, tmp_pa
         similarity.ivf_index_drift(spark, idx)
     with pytest.raises(ValueError, match="interrupted append/rebuild"):
         similarity.append_ivf_index(spark, dead, idx, corpus_version=2)
+
+
+def test_pq_persisted_parity_and_recall(spark, tmp_path):
+    """Persisted PQ index (r10): identical results to the in-memory
+    pq_topk under the same geometry (same deterministic codebooks, same
+    stored codes), recall floor held, stale-version and pending-marker
+    refusals loud."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops import similarity
+    from olive_spark.queries import data
+
+    qdf = data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+    qrows = [(r["vec_id"], r["embedding"])
+             for r in qdf.filter(F.col("vec_id") < 5).collect()]
+    k = 10
+    index_dir = str(tmp_path / "pq_index")
+    corpus = data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+    meta = similarity.build_pq_index(
+        spark, corpus, index_dir, corpus_version=7
+    )
+    assert meta["corpus_version"] == 7 and meta["ivf_centroids"] is None
+    corpus2 = data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+    served = similarity.pq_topk_indexed(
+        spark, index_dir, corpus2, qrows, k=k, expect_corpus_version=7,
+    ).collect()
+    corpus3 = data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+    inmem = similarity.pq_topk(corpus3, qrows, k=k).collect()
+    key = lambda r: (r["query_id"], r["rk"])  # noqa: E731
+    assert sorted([(r["query_id"], r["rk"], r["neighbor_id"])
+                   for r in served]) == \
+        sorted([(r["query_id"], r["rk"], r["neighbor_id"]) for r in inmem])
+    # recall floor vs exact
+    corpus4 = data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+    exact = similarity.cosine_topk(
+        corpus4,
+        data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+        .filter(F.col("vec_id") < 5),
+        k=k,
+    ).collect()
+
+    def by_query(rows):
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    ex, ap = by_query(exact), by_query(served)
+    recalls = [len(ex[q] & ap[q]) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    # staleness: wrong expected version refuses
+    with pytest.raises(ValueError, match="stale PQ index"):
+        similarity.pq_topk_indexed(
+            spark, index_dir, corpus2, qrows, k=k,
+            expect_corpus_version=8,
+        )
+    # interrupted build refuses
+    with open(os.path.join(index_dir, "_pq_build.pending"), "w") as f:
+        json.dump({"op": "build"}, f)
+    with pytest.raises(ValueError, match="interrupted build"):
+        similarity.pq_topk_indexed(spark, index_dir, corpus2, qrows, k=k)
+    os.remove(os.path.join(index_dir, "_pq_build.pending"))
+
+
+def test_ivf_pq_composition_prunes_and_recalls(spark, tmp_path):
+    """IVF-PQ: the coarse bucket layer dir-prunes the codes scan (the
+    codes table is bucket-hive-partitioned) while PQ codes bound memory;
+    recall floor holds at moderate probe width."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops import similarity
+    from olive_spark.queries import data
+
+    qdf = data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+    qrows = [(r["vec_id"], r["embedding"])
+             for r in qdf.filter(F.col("vec_id") < 5).collect()]
+    k = 10
+    index_dir = str(tmp_path / "ivfpq_index")
+    corpus = data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+    meta = similarity.build_pq_index(
+        spark, corpus, index_dir, corpus_version=1, ivf_centroids=8,
+    )
+    assert meta["ivf_centroids"] == 8
+    # codes table is bucket-partitioned on disk
+    assert glob.glob(os.path.join(index_dir, "codes", "bucket=*")), (
+        os.listdir(os.path.join(index_dir, "codes"))
+    )
+    corpus2 = data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+    served = similarity.pq_topk_indexed(
+        spark, index_dir, corpus2, qrows, k=k, n_probe=6,
+        expect_corpus_version=1,
+    ).collect()
+    corpus3 = data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+    exact = similarity.cosine_topk(
+        corpus3,
+        data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+        .filter(F.col("vec_id") < 5),
+        k=k,
+    ).collect()
+
+    def by_query(rows):
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    ex, ap = by_query(exact), by_query(served)
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
