@@ -113,6 +113,12 @@ HEADLINE = [
     "llm_dedup_index_update",         # r9: bloom index append+compact+probe
     "scan_after_clone",               # r9: shallow clone + isolated mutate
     "events_window_funnel_chained",   # r9: unbounded-key funnel scale path
+    "scan_after_dv_delete",           # r10: merge-on-read deletion vectors
+    "scan_dv_changes_feed",           # r10: CDF over DV commits
+    "scan_merge_not_matched_by_source",  # r10: full-snapshot-sync merge
+    "scan_after_replace_where",       # r10: atomic partition overwrite
+    "scan_after_widen_column",        # r10: metadata-only type widening
+    "llm_similarity_pq_persisted",    # r10: persisted IVF-PQ ANN
 ]
 
 

@@ -56,49 +56,84 @@ _RAW: dict[str, tuple] = {
 }
 
 # Driver coverage window: the correctness gate checks the FIRST 50
-# registry entries.  Round-9 rotation (VERDICT r8 task #8): the window
-# leads with the 6 r9-new/rewired queries, re-checks the 8 r8-green
-# queries whose code paths r9 changed (rewrite layout plumbing, matview
-# recovery, partition epoch math, schema sidecar), keeps the canary,
-# and fills with the LONGEST-unchecked entries — the full 32-query
-# r05-era cohort (last driver-checked 4 rounds ago) plus 3 r06-era
-# samples — keeping ≥1 per query family.  Cumulative coverage stays
+# registry entries.  Round-10 rotation (VERDICT r9 task #8): the window
+# leads with the 7 r10-new queries (deletion vectors, NOT MATCHED BY
+# SOURCE, replaceWhere, type widening, persisted PQ), re-checks the 12
+# r9-green queries whose code paths r10 rewired (merge provenance
+# threading + per-file DV strategy, executor-side tombstones,
+# commit-lock metadata RMWs, snapshot replay, CDF DV diffing,
+# restore/clone DV state), keeps the canary, and fills with the
+# LONGEST-unchecked entries — the r02-r04 cohort (TPC-H parts 2/3,
+# scalar/array/map/datetime families, last driver-checked 6+ rounds
+# ago) — keeping ≥1 per query family.  Cumulative coverage stays
 # complete: every registry query has appeared in some driver window
-# r2–r9 with zero real failures on its latest appearance; entries
+# r2–r10 with zero real failures on its latest appearance; entries
 # beyond 50 keep bench/pytest coverage.
 _ORDER = [
-    # proven regression canary (format round-trip, r02-r08 green)
     "scan_roundtrip_lineitem",
-    # --- new in r10: merge-on-read deletion vectors ---
-    "scan_after_dv_delete",   # r10: DV delete, zero files rewritten
-    "scan_dv_time_travel",    # r10: per-version DV state folding
-    "scan_dv_changes_feed",   # r10: CDF over DV commits
-    "scan_merge_not_matched_by_source",  # r10: third Delta merge clause
-    "scan_after_replace_where",  # r10: atomic partition overwrite
-    "scan_after_widen_column",  # r10: metadata-only type widening
-    "llm_similarity_pq_persisted",  # r10: persisted IVF-PQ index (rows-only)
-    # --- new or rewired in r9 (never driver-checked in this form) ---
-    "scan_merge_hidden_partition",  # r9: MERGE+DELETE on a days(ts) layout
-    "scan_truncate_partition_pruning",  # r9: truncate(W,col) range pruning
-    "scan_after_respec",  # r9: partition-spec evolution + post-respec mutate
-    "scan_after_clone",  # r9: shallow clone + isolated mutate
-    "scan_after_rename_column",  # r9: metadata-only RENAME, per-file mapping
-    "scan_table_by_name",  # r9: register_table + plain SQL
-    "llm_dedup_incremental",  # r9: REWIRED to the persisted sharded Bloom index
-    "llm_dedup_index_update",  # r9: bloom index append+compact lifecycle
-    "events_window_funnel_chained",  # r9: unbounded-key funnel scale path
-    # --- r8-green queries whose CODE PATHS r9 touched (merge/
-    # delete/update rewrite layout, matview recovery, partition
-    # epoch math, schema sidecar) — regression re-checks ---
+    "scan_after_dv_delete",
+    "scan_dv_time_travel",
+    "scan_dv_changes_feed",
+    "scan_merge_not_matched_by_source",
+    "scan_after_replace_where",
+    "scan_after_widen_column",
+    "llm_similarity_pq_persisted",
     "scan_after_merge_upsert",
-    "scan_merge_partitioned",
     "scan_merge_cdc_tombstones",
+    "scan_merge_partitioned",
+    "scan_merge_conditional_evolve",
+    "scan_merge_conditional_delete",
+    "scan_merge_hidden_partition",
+    "scan_changes_feed",
+    "scan_changes_by_commit",
+    "scan_after_restore",
+    "scan_after_clone",
     "scan_incremental_matview",
+    "stream_merge_upsert",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q12_shipmode",
+    "tpch_q14_promo_ratio",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_shippers",
+    "tpch_q22_global_sales",
+    "scalar_functions",
+    "scalar_array_functions",
+    "scalar_map_functions",
+    "scalar_datetime_functions",
+    "scalar_string_advanced",
+    "window_ntile_percent",
+    "window_lead_lag",
+    "window_range_frame",
+    "sort_limit_topk",
+    "setop_intersect",
+    "explode_embeddings",
+    "join_nested_loop",
+    "subquery_in_uncorrelated",
+    "agg_groupby_sum",
+    "llm_dedup_lines",
+    "llm_quality_score",
+    "mm_decode_meta",
+    "ts_ewma_events",
+    # ---- beyond the 50-entry driver window: everything below was
+    # green in its latest window (r06-r09) and keeps bench/pytest
+    # coverage; cumulative driver coverage over rounds stays complete ----
+    "scan_truncate_partition_pruning",
+    "scan_after_respec",
+    "scan_after_rename_column",
+    "scan_table_by_name",
+    "llm_dedup_incremental",
+    "llm_dedup_index_update",
+    "events_window_funnel_chained",
     "scan_after_update_where",
     "scan_after_drop_column",
     "scan_hidden_partition_pruning",
     "scan_bucket_partition_pruning",
-    # --- longest-unchecked: last driver-checked in the r05 window ---
     "ts_resample_locf",
     "events_window_funnel",
     "scalar_json_events",
@@ -131,9 +166,6 @@ _ORDER = [
     "join_full_outer",
     "null_handling",
     "reshape_unpivot",
-    # ---- beyond the 50-entry driver window: everything below was
-    # green in its latest window (r06-r08) and keeps bench/pytest
-    # coverage; cumulative driver coverage over rounds stays complete ----
     "agg_median_disc",
     "window_first_last",
     "scalar_hash_bitwise",
@@ -141,28 +173,21 @@ _ORDER = [
     "mm_decode_png_real",
     "mm_audio_wav_real",
     "llm_similarity_ivf_persisted",
-    "stream_merge_upsert",
-    "scan_merge_conditional_evolve",
-    "scan_changes_feed",
     "llm_domain_cap",
-    "scan_changes_by_commit",
     "mm_phash_pairs",
     "ts_anomaly_zscore",
     "llm_word_entropy",
-    "scan_merge_conditional_delete",
     "llm_neardup_incremental",
     "llm_keyword_search",
     "llm_bm25_search",
     "stream_matview",
     "scan_expectations_gate",
     "llm_graph_pagerank",
-    "scan_after_restore",
     "stream_cdc_pump",
     "llm_unigram_lm_score",
     "llm_train_split",
     "llm_pack_sequences_sharded",
     "llm_decontaminate_ngram",
-    "llm_dedup_lines",
     "llm_boilerplate_lines",
     "ts_resample_interpolate",
     "llm_dedup_clusters_star",
@@ -171,7 +196,6 @@ _ORDER = [
     "scan_time_travel",
     "stream_snapshot_tail",
     "types_unsigned_time",
-    "agg_groupby_sum",
     "agg_approx_sketches",
     "join_hash_orders_customer",
     "join_broadcast_dims",
@@ -183,7 +207,6 @@ _ORDER = [
     "llm_gopher_rules",
     "llm_chunk_documents",
     "scan_bloom_pruning",
-    "ts_ewma_events",
     "llm_pretrain_pipeline",
     "join_interval_overlap",
     "llm_dedup_simhash",
@@ -192,19 +215,6 @@ _ORDER = [
     "llm_dedup_semantic",
     "llm_similarity_ivf",
     "llm_similarity_pq",
-    "window_ntile_percent",
-    "window_lead_lag",
-    "window_range_frame",
-    "sort_limit_topk",
-    "setop_intersect",
-    "explode_embeddings",
-    "scalar_functions",
-    "scalar_array_functions",
-    "scalar_map_functions",
-    "scalar_datetime_functions",
-    "scalar_string_advanced",
-    "join_nested_loop",
-    "subquery_in_uncorrelated",
     "tpch_q4_order_priority",
     "tpch_q6_revenue",
     "scan_projection_pruning",
@@ -221,24 +231,13 @@ _ORDER = [
     "agg_grouped_map_mad",
     "join_lateral_topn",
     "join_left_right_outer",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
     "tpch_q11_important_stock",
-    "tpch_q12_shipmode",
     "tpch_q13_customer_distribution",
-    "tpch_q14_promo_ratio",
     "tpch_q15_top_supplier",
     "tpch_q16_parts_suppliers",
-    "tpch_q17_small_quantity",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_excess_shippers",
-    "tpch_q22_global_sales",
     "llm_similarity_arrow",
     "llm_similarity_range",
     "llm_tfidf_topk",
-    "llm_quality_score",
     "llm_lang_id",
     "llm_fingerprint",
     "llm_token_count",
@@ -249,7 +248,6 @@ _ORDER = [
     "llm_vocab_topk",
     "llm_ngram_topk",
     "llm_length_percentiles",
-    "mm_decode_meta",
     "mm_frame_sample",
     "mm_audio_windows",
     "stream_session_window",
@@ -260,8 +258,6 @@ _ORDER = [
     "stream_dedup_counts",
     "stream_olive_sink",
     "window_running_sum",
-    "tpch_q5_local_revenue",
-    "tpch_q18_large_orders",
 ]
 
 assert set(_ORDER) == set(_RAW), (
