@@ -510,3 +510,40 @@ def test_merge_condition_all_fail_is_noop(spark, tmp_path):
     assert r["files_rewritten"] == 0 and r["files_dv"] == 0, r
     assert r["version"] == v0
     assert spark.read.format("olive").load(str(path)).count() == 100
+
+
+def test_scoped_compact_materializes_dv(spark, tmp_path):
+    """compact(where=...) over DV'd files: the scoped rewrite reads
+    through the folding scan (never resurrects masked rows) and retires
+    the originals' DVs with them."""
+    from olive_spark.ops.maintenance import compact, delete_where
+
+    path = tmp_path / "t"
+    _mk(spark, path, n=1000, files=2)
+    delete_where(spark, str(path), "id % 100 = 7")  # DVs on both files
+    out = compact(
+        spark, str(path), target_rows=1000, where="id < 500",
+        retain_history=True,
+    )
+    assert out["files_matched"] >= 1
+    df = _scan(spark, path)
+    assert df.count() == 990
+    assert df.filter("id IN (7, 107, 907)").count() == 0
+
+
+def test_cdf_by_commit_over_dv(spark, tmp_path):
+    from olive_spark.ops.changes import read_changes_by_commit
+    from olive_spark.ops.maintenance import delete_where
+
+    path = tmp_path / "t"
+    _mk(spark, path, n=300, files=1)
+    delete_where(spark, str(path), "id % 100 = 1")   # v2: 3 rows
+    delete_where(spark, str(path), "id % 100 = 2")   # v3: 3 rows
+    ch = read_changes_by_commit(spark, str(path), since=1).collect()
+    got = {}
+    for r in ch:
+        got.setdefault(r["_commit_version"], []).append(int(r["id"]))
+    assert {v: sorted(ids) for v, ids in got.items()} == {
+        2: [1, 101, 201], 3: [2, 102, 202]
+    }
+    assert all(r["_change_type"] == "delete" for r in ch)

@@ -566,3 +566,86 @@ def test_bloom_probe_routed_shards_only(spark, tmp_path):
     assert "FlatMapCoGroupsInPandas" in p
     # the shard-side scan carries the routed-IN filter
     assert "shard" in p and ("IN (" in p or "In(" in p or "= " in p)
+
+
+def test_pq_indexed_scans_only_probed_buckets(spark, tmp_path):
+    """The persisted IVF-PQ serve plan filters the bucket-partitioned
+    codes table to the PROBED buckets (hive dir pruning at plan time) —
+    an unprobed bucket's code bytes must never enter the ADC scan."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops import similarity
+    from olive_spark.queries import data
+
+    corpus = data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+    idx = str(tmp_path / "pq")
+    similarity.build_pq_index(
+        spark, corpus, idx, corpus_version=1, ivf_centroids=8,
+    )
+    qdf = data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+    qrows = [(r["vec_id"], r["embedding"])
+             for r in qdf.filter(F.col("vec_id") < 2).collect()]
+    corpus2 = data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+    df = similarity.pq_topk_indexed(
+        spark, idx, corpus2, qrows, k=5, n_probe=2, expect_corpus_version=1,
+    )
+    p = plan_of(df)
+    # the codes scan carries the probed-bucket IN filter (2 queries ×
+    # n_probe=2 ≤ 4 of 8 buckets) and stays Arrow-batched
+    assert "bucket" in p and ("IN (" in p or "In(" in p or "isin" in p), p
+    assert "MapInArrow" in p or "PythonMapInArrow" in p, p
+    assert "BatchEvalPython" not in p
+
+
+def test_dv_positions_stage_is_grouped_map_not_collect(spark, tmp_path):
+    """delete_where's DV leg stages positions via a grouped-map over
+    (file, pos) — positions are written executor-side; the only
+    driver-bound rows are one (file, dv, count) triple per file."""
+    from olive_spark.ops.maintenance import _write_dvs_for
+
+    path = str(tmp_path / "t")
+    spark.range(1000).selectExpr("id", "id*2 AS v").coalesce(1) \
+        .write.format("olive").mode("append").save(path)
+    import glob
+    import os
+
+    rel = os.path.relpath(glob.glob(os.path.join(path, "*.olive"))[0], path)
+    # build the SAME positions relation the DV leg groups over and
+    # assert the plan shape (the staging itself is exercised elsewhere)
+    fc, pc = "_olive_file", "_olive_pos"
+    scan = (
+        spark.read.format("olive")
+        .option("fileColumn", fc).option("posColumn", pc)
+        .option("files", rel).load(path)
+    )
+    from pyspark.sql import functions as F
+
+    grouped = (
+        scan.filter(F.expr("id % 100 = 3")).select(fc, pc)
+        .groupBy(fc).agg(F.count("*").alias("n"))
+    )
+    p = plan_of(grouped)
+    assert "BatchScan olive" in p
+    assert "CartesianProduct" not in p and "SinglePartition" not in p
+
+
+def test_nmbs_discovery_is_anti_join_not_cartesian(spark, tmp_path):
+    """NOT MATCHED BY SOURCE discovery: unmatched target rows come from
+    a key anti-join — never a cartesian or broadcast-nested-loop of
+    table × source."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    spark.range(500).selectExpr("id AS k", "id AS v").coalesce(2) \
+        .write.format("olive").mode("append").save(path)
+    src = spark.range(0, 400).selectExpr("id AS k")
+    fc = "_olive_file"
+    anti = (
+        spark.read.format("olive").option("fileColumn", fc).load(path)
+        .join(src, ["k"], "left_anti")
+        .filter(F.expr("v % 2 = 0"))
+        .select(fc).distinct()
+    )
+    p = plan_of(anti)
+    assert "CartesianProduct" not in p
+    assert "LeftAnti" in p
