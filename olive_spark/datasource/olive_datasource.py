@@ -1607,8 +1607,17 @@ class OliveStreamReader(DataSourceStreamReader):
         files = all_files[start["index"] : end["index"]]
         if not files:
             return []
+        # deletion vectors: fold the CURRENT DV state at batch plan
+        # time — a DV'd row must not re-enter the stream (the listing
+        # digest doesn't change on a DV commit, so without this the
+        # deleted rows would silently flow).  DVs added after a file's
+        # batch was planned don't retro-apply, per stream semantics.
+        dv_map = self._batch._dv_paths_for(files)
         return [
-            OliveInputPartition(bin_, self._batch.table, self._batch.columns, ())
+            OliveInputPartition(
+                bin_, self._batch.table, self._batch.columns, (),
+                dvs=tuple((f, dv_map[f]) for f in bin_ if f in dv_map),
+            )
             for bin_ in _pack_files(
                 files,
                 self._batch.max_partition_bytes,

@@ -547,3 +547,26 @@ def test_cdf_by_commit_over_dv(spark, tmp_path):
         2: [1, 101, 201], 3: [2, 102, 202]
     }
     assert all(r["_change_type"] == "delete" for r in ch)
+
+
+def test_streaming_source_folds_dvs(spark, tmp_path):
+    """A DV commit doesn't change the source file listing (the digest
+    guard can't see it), so the streaming source folds the CURRENT DV
+    state at batch plan time — deleted rows never enter the stream."""
+    from olive_spark.ops.maintenance import delete_where
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    _mk(spark, src, n=100, files=1)
+    delete_where(spark, src, "id % 10 = 3")
+    q = (
+        spark.readStream.format("olive").load(src)
+        .writeStream.format("olive")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True).start(out)
+    )
+    q.awaitTermination(120)
+    got = spark.read.format("olive").load(out)
+    assert got.count() == 90
+    assert got.filter("id % 10 = 3").count() == 0
