@@ -2177,15 +2177,23 @@ def update_where(
     table: str = "data",
     retain_history: bool = True,
     target_rows: int = 1 << 20,
+    mode: str = "auto",
+    dv_threshold: float = 0.2,
 ) -> dict:
     """``UPDATE … SET col = expr, … WHERE condition`` on a
     snapshot-logged olive table — the predicate-UPDATE sibling of
     :func:`delete_where` (keyed updates go through
-    :func:`merge_upsert`).  Copy-on-write rewrite of exactly the files
-    containing a matching row; non-matching rows inside those files
-    pass through byte-equal; untouched files keep their bytes, stats,
-    and indexes.  One snapshot version; ``retain_history=True`` keeps
-    the pre-update version readable.
+    :func:`merge_upsert`).  Per affected file, either a copy-on-write
+    rewrite (non-matching rows pass through byte-equal) or — ``mode``
+    "auto"/"dv", matched fraction ≤ ``dv_threshold`` — MERGE-ON-READ:
+    the matched rows' positions land in a deletion-vector sidecar and
+    their UPDATED copies append as new rows, so a 1-row update of a
+    1 GiB file writes bytes ∝ the update, not the file
+    (format/deletion.py; the Delta-DV update shape).  Untouched files
+    keep their bytes, stats, and indexes either way; the whole update
+    is ONE snapshot version (DV adds + file swaps + appended copies
+    share the commit); ``retain_history=True`` keeps the pre-update
+    version readable.
 
     SQL UPDATE semantics, deliberately: every SET expression sees the
     ORIGINAL row (simultaneous assignment — ``{"a": "b", "b": "a"}``
@@ -2207,6 +2215,8 @@ def update_where(
 
     if not set_exprs:
         raise ValueError("set_exprs must be non-empty")
+    if mode not in ("auto", "dv", "rewrite"):
+        raise ValueError("mode must be 'auto', 'dv', or 'rewrite'")
     register_olive(spark)
     _recover_pending(path)
     _seed_snapshot_log(path)
@@ -2253,45 +2263,80 @@ def update_where(
         return {
             "files_rewritten": 0,
             "files_added": 0,
+            "files_dv": 0,
             "rows_updated": 0,
             "version": pre_version,
             "pre_version": pre_version,
         }
+    # per-file strategy: same split as delete_where
+    matched = {r[0]: int(r[1]) for r in hits}
+    if mode == "rewrite":
+        dv_files, rw_files = [], list(affected)
+    elif mode == "dv":
+        dv_files, rw_files = list(affected), []
+    else:
+        from olive_spark.format.manifest import load_manifest
+
+        man = load_manifest(path) if os.path.isdir(path) else {}
+        dv_files, rw_files = [], []
+        for rel in affected:
+            total = _file_rows(path, rel, table, man)
+            if total and matched[rel] <= dv_threshold * total:
+                dv_files.append(rel)
+            else:
+                rw_files.append(rel)
+    run = uuid.uuid4().hex[:8]
+    dv_add: list[tuple[str, str]] = []
+    if dv_files:
+        # DV leg: matched positions mask out the PRE-update rows...
+        dv_add = [
+            (f, dv) for f, dv, _n in _write_dvs_for(
+                spark, path, table, condition, dv_files, run
+            )
+        ]
     upd = F.coalesce(cond, F.lit(False))
-    # ONE select: every SET expression reads the ORIGINAL columns
-    # (simultaneous assignment), matched rows take the expression,
-    # others pass through
-    rewritten = (
-        tagged.filter(F.col(fc).isin(affected))
-        .select(
-            *[
-                (
-                    F.when(upd, F.expr(set_exprs[c]))
-                    .otherwise(F.col(c)).alias(c)
-                    if c in set_exprs else F.col(c)
-                )
-                for c in cols
-            ]
+    set_cols = [
+        (
+            F.when(upd, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+            if c in set_exprs else F.col(c)
         )
+        for c in cols
+    ]
+    # write set: rewrite-classed files in full (ONE select — every SET
+    # expression reads the ORIGINAL columns, simultaneous assignment;
+    # matched rows take the expression, others pass through) ...
+    parts = []
+    if rw_files:
+        parts.append(
+            tagged.filter(F.col(fc).isin(rw_files)).select(*set_cols)
+        )
+    if dv_files:
+        # ...plus the UPDATED COPIES of DV-masked rows, appended as new
+        # data (their originals vanish behind the deletion vector)
+        parts.append(
+            tagged.filter(F.col(fc).isin(dv_files))
+            .filter(upd).select(*set_cols)
+        )
+    rewritten = functools.reduce(lambda a, b: a.unionByName(b), parts) \
         .persist()
-    )
     layout = _partition_layout(path)
     try:
         rows = rewritten.count()
         n_files = max(1, math.ceil(rows / target_rows))
-        run = uuid.uuid4().hex[:8]
         finals = _rewrite_and_swap(
-            _shape_for_write(rewritten, n_files, layout), path, affected,
+            _shape_for_write(rewritten, n_files, layout), path, rw_files,
             run,
             table=table, target_rows=target_rows,
             retain_history=retain_history, prefix="update",
             layout=layout,
+            dv_add=dv_add,
         )
     finally:
         rewritten.unpersist()
     return {
-        "files_rewritten": len(affected),
+        "files_rewritten": len(rw_files),
         "files_added": len(finals),
+        "files_dv": len(dv_files),
         "rows_updated": n_updated,
         "version": current_version(path),
         "pre_version": pre_version,

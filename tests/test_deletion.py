@@ -570,3 +570,57 @@ def test_streaming_source_folds_dvs(spark, tmp_path):
     got = spark.read.format("olive").load(out)
     assert got.count() == 90
     assert got.filter("id % 10 = 3").count() == 0
+
+
+def test_update_where_small_takes_dv(spark, tmp_path):
+    """Merge-on-read UPDATE: matched rows mask behind a DV, their
+    updated copies append — original file bytes untouched; time travel
+    and CDF see the update as delete+insert of the same rows."""
+    from olive_spark.ops.changes import read_changes
+    from olive_spark.ops.maintenance import update_where
+
+    path = tmp_path / "t"
+    _mk(spark, path, n=1000, files=1)
+    import os as _os
+
+    before = {
+        f: _os.path.getsize(f) for f in glob.glob(str(path / "*.olive"))
+    }
+    r = update_where(
+        spark, str(path), {"v": "v + 1000000"}, "id % 100 = 7",
+    )
+    assert r["files_dv"] == 1 and r["files_rewritten"] == 0, r
+    # original file untouched; copies landed as a new file
+    assert all(
+        _os.path.getsize(f) == sz for f, sz in before.items()
+    )
+    df = _scan(spark, path)
+    assert df.count() == 1000
+    assert df.filter("id = 7").first()["v"] == 14 + 1000000
+    assert df.filter("id = 8").first()["v"] == 16
+    # one version; pre-update snapshot exact
+    old = _scan(spark, path, snapshot=r["pre_version"])
+    assert old.filter("id = 7").first()["v"] == 14
+    # CDF: update surfaces as update_pre/postimage with key knowledge
+    ch = read_changes(
+        spark, str(path), since=r["pre_version"], until=r["version"],
+        key_cols=["id"],
+    ).collect()
+    kinds = {}
+    for row in ch:
+        kinds[row["_change_type"]] = kinds.get(row["_change_type"], 0) + 1
+    assert kinds == {"update_preimage": 10, "update_postimage": 10}, kinds
+
+
+def test_update_where_rewrite_mode_unchanged(spark, tmp_path):
+    from olive_spark.ops.maintenance import update_where
+
+    path = tmp_path / "t"
+    _mk(spark, path, n=100, files=1)
+    r = update_where(
+        spark, str(path), {"v": "v * 2"}, "id < 50", mode="rewrite",
+    )
+    assert r["files_rewritten"] == 1 and r["files_dv"] == 0
+    df = _scan(spark, path)
+    assert df.filter("id = 1").first()["v"] == 4
+    assert df.filter("id = 99").first()["v"] == 198
