@@ -3350,6 +3350,8 @@ def snapshot_history(path: str) -> "list[dict]":
             kind = "restore"
         elif e.get("remove"):
             kind = "compact"
+        elif e.get("dv_add") and not e.get("add"):
+            kind = "dv-delete"  # pure merge-on-read commit
         else:
             kind = "append"
         live.update(e.get("add", ()))
@@ -3362,6 +3364,10 @@ def snapshot_history(path: str) -> "list[dict]":
             "removed": len(e.get("remove", ())),
             "live_files": len(live),
         }
+        if e.get("dv_add"):
+            rec["dv_added"] = len(e["dv_add"])
+        if e.get("dv_remove"):
+            rec["dv_removed"] = len(e["dv_remove"])
         if e.get("tag") is not None:
             rec["tag"] = e["tag"]
         out.append(rec)
