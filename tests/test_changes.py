@@ -143,7 +143,10 @@ def test_read_changes_refuses_vacuumed_history(spark, tmp_path):
     src = spark.range(5).selectExpr(
         "id AS k", "id * 100 AS v", "cast(9 as int) AS grp"
     )
-    merge_upsert(spark, path, src, ["k"], retain_history=False)
+    # rewrite strategy: the refusal under test is a RETIRED file whose
+    # history was never kept (the DV strategy retires nothing)
+    merge_upsert(spark, path, src, ["k"], retain_history=False,
+                 strategy="rewrite")
     with pytest.raises(ValidationError, match="not reconstructable"):
         read_changes(spark, path, since=1).count()
 

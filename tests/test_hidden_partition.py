@@ -144,7 +144,10 @@ def test_hidden_partition_merge_upsert(spark, tmp_path):
         ],
         "k long, ts timestamp, uid long",
     )
-    out = merge_upsert(spark, path, src, ["k"])
+    # rewrite strategy: the contract under test is that REWRITTEN rows
+    # re-derive their day dirs (the DV strategy never moves rows;
+    # DV-on-partitioned-layout is covered in tests/test_deletion.py)
+    out = merge_upsert(spark, path, src, ["k"], strategy="rewrite")
     assert out["files_rewritten"] >= 1
     got = spark.read.format("olive").load(path)
     assert got.count() == 602

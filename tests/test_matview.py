@@ -185,6 +185,15 @@ def test_delta_never_rescans_untouched_source_files(spark, tmp_path):
     v1 = current_version(src)
     assert v1 > v0
     diff = set(files_at(src, v0)) ^ set(files_at(src, v1))
+    # r10 merge-on-read: a DV commit changes rows WITHOUT changing the
+    # file list — its TARGET file is "touched" (the delta refresh reads
+    # the new DV positions from it), so it must stay in place
+    from olive_spark.format.snapshots import dv_state_at
+
+    dv0, dv1 = dv_state_at(src, v0), dv_state_at(src, v1)
+    diff |= {
+        t for t in set(dv0) | set(dv1) if dv0.get(t) != dv1.get(t)
+    }
     untouched = [
         f for f in os.listdir(src)
         if f.endswith(".olive") and f not in diff

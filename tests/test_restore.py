@@ -46,14 +46,17 @@ def _rows(df):
 
 
 def _mutate(spark, path):
-    """merge (update+insert) then delete: two commits past the base."""
+    """merge (update+insert) then delete: two commits past the base.
+    Pinned to the copy-on-write strategy — these tests exercise
+    file-reactivation restore; DV restore is covered in
+    tests/test_deletion.py."""
     from olive_spark.ops.maintenance import delete_where, merge_upsert
 
     src = spark.range(995, 1005).selectExpr(
         "id AS k", "id * 100 AS v", "cast(99 as int) AS grp"
     )
-    merge_upsert(spark, path, src, ["k"])
-    delete_where(spark, path, "grp = 3")
+    merge_upsert(spark, path, src, ["k"], strategy="rewrite")
+    delete_where(spark, path, "grp = 3", mode="rewrite")
 
 
 def test_restore_returns_exact_base_state(spark, tmp_path):

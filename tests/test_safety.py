@@ -149,9 +149,16 @@ def test_compact_crash_after_activation_recovery_no_duplicates(
     calls = {"n": 0}
 
     def crash_on_first_delete(p):
-        calls["n"] += 1
-        if calls["n"] == 1:
-            raise OSError("simulated crash at start of originals-delete")
+        # crash on the first CHUNK-FILE delete specifically: since r10
+        # the commit micro-lock's release also calls os.remove (on its
+        # own lock file, OSError-tolerant), so a blanket first-call
+        # crash would be absorbed before the originals-delete
+        if str(p).endswith(".olive"):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise OSError(
+                    "simulated crash at start of originals-delete"
+                )
         real_remove(p)
 
     monkeypatch.setattr(maintenance.os, "remove", crash_on_first_delete)
@@ -182,9 +189,16 @@ def test_compact_rerun_after_crash_recovers_first(spark, tmp_path, monkeypatch):
     calls = {"n": 0}
 
     def crash_on_first_delete(p):
-        calls["n"] += 1
-        if calls["n"] == 1:
-            raise OSError("simulated crash at start of originals-delete")
+        # crash on the first CHUNK-FILE delete specifically: since r10
+        # the commit micro-lock's release also calls os.remove (on its
+        # own lock file, OSError-tolerant), so a blanket first-call
+        # crash would be absorbed before the originals-delete
+        if str(p).endswith(".olive"):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise OSError(
+                    "simulated crash at start of originals-delete"
+                )
         real_remove(p)
 
     monkeypatch.setattr(maintenance.os, "remove", crash_on_first_delete)
