@@ -204,7 +204,12 @@ def test_hidden_partition_delete_update_compact(spark, tmp_path):
     assert got.filter("uid >= 1000").count() == 30
     _assert_days_layout(path)
 
-    out = compact(spark, path, target_rows=1000)
+    # retain_history: restore(1) below needs the pre-compact files —
+    # pre-r10 the CoW delete/update incidentally stashed the base files
+    # into history; the DV strategy leaves them LIVE until this compact
+    # retires them, so restore-ability must be asked for explicitly
+    # (the documented contract)
+    out = compact(spark, path, target_rows=1000, retain_history=True)
     assert out["rows"] == 270
     got = spark.read.format("olive").load(path)
     assert got.count() == 270
