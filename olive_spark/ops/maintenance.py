@@ -126,16 +126,22 @@ def _retire_original(path: str, rel: str, history: bool) -> bool:
     """Remove a compaction-replaced file from the LIVE listing: deleted
     outright, or moved into _olive_history/ (invisible to directory
     scans, still resolvable by snapshot reads) when history retention
-    is on.  The file's deletion vectors retire WITH it — a live DV for
-    a retired file would be dead weight, and a retained one lets
-    pre-rewrite snapshots keep folding (format/deletion.py)."""
-    try:
-        from olive_spark.format.deletion import retire_target_dvs
-
-        retire_target_dvs(path, rel, history)
-    except OSError:
-        pass  # advisory cleanup; the data-file retire below is the op
+    is on.  The file's deletion vectors retire WITH it — AFTER the file
+    itself: a crash between the two then leaves orphan DVs for a dead
+    file (harmless — scans consult DVs only for live files; vacuum
+    sweeps the orphans), whereas DV-first would leave a LIVE file whose
+    mask vanished, silently resurrecting its deleted rows
+    (format/deletion.py)."""
     src = os.path.join(path, rel)
+
+    def _retire_dvs() -> None:
+        try:
+            from olive_spark.format.deletion import retire_target_dvs
+
+            retire_target_dvs(path, rel, history)
+        except OSError:
+            pass  # advisory cleanup; the data-file retire is the op
+
     try:
         if history:
             from olive_spark.format.snapshots import HISTORY_DIR
@@ -154,8 +160,10 @@ def _retire_original(path: str, rel: str, history: bool) -> bool:
                 os.replace(src, dest)
         else:
             os.remove(src)
+        _retire_dvs()
         return True
     except FileNotFoundError:
+        _retire_dvs()  # re-run after a crash: file gone, DVs may remain
         return False
 
 
@@ -2829,9 +2837,27 @@ def vacuum(
         if os.path.isdir(d):
             shutil.rmtree(d, ignore_errors=True)
             removed_tmpdirs += 1
+    # orphan deletion vectors: a crash between a file's retire and its
+    # DVs' retire (the file-first ordering that can never resurrect
+    # rows) leaves live DVs for a dead file — invisible to scans (DVs
+    # are consulted per live file) but dead weight; move them to
+    # history so pre-rewrite snapshots keep folding, and let expire
+    # prune them with their versions
+    orphan_dvs = 0
+    try:
+        from olive_spark.format.deletion import list_dvs, retire_target_dvs
+        from olive_spark.format.snapshots import list_live_files
+
+        live = set(list_live_files(path))
+        for t in list(list_dvs(path)):
+            if t not in live:
+                orphan_dvs += retire_target_dvs(path, t, history=True)
+    except OSError:
+        pass
     out = {
         "staging_files": removed_staging,
         "tmp_dirs": removed_tmpdirs,
+        "orphan_dvs": orphan_dvs,
         **recovery,
     }
     if retain_hours is not None:

@@ -624,3 +624,24 @@ def test_update_where_rewrite_mode_unchanged(spark, tmp_path):
     df = _scan(spark, path)
     assert df.filter("id = 1").first()["v"] == 4
     assert df.filter("id = 99").first()["v"] == 198
+
+
+def test_retire_order_never_resurrects_and_vacuum_sweeps_orphans(
+    spark, tmp_path
+):
+    """Crash-window ordering: a file retires BEFORE its DVs, so no
+    interleaving can leave a live file with its mask gone (resurrected
+    rows); the opposite residue — orphan DVs for a dead file — is harmless
+    and vacuum moves it to history."""
+    from olive_spark.format import deletion as D
+    from olive_spark.ops.maintenance import delete_where, vacuum
+
+    path = tmp_path / "t"
+    _mk(spark, path, n=200, files=1)
+    delete_where(spark, str(path), "id % 20 = 3")  # DV, 10 rows
+    rel = next(iter(D.list_dvs(str(path))))
+    # simulate the crash residue: data file gone, DVs left live
+    os.remove(str(path / rel))
+    out = vacuum(str(path))
+    assert out["orphan_dvs"] == 1, out
+    assert not D.list_dvs(str(path))
