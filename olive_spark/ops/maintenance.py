@@ -177,6 +177,7 @@ def compact(
     table: str = "data",
     retain_history: bool = False,
     where: "str | None" = None,
+    files: "list[str] | None" = None,
 ) -> dict:
     """Rewrite the olive directory at ``path`` into files of
     ``target_rows``; with ``sort_by``, range-partition + sort so page
@@ -196,6 +197,14 @@ def compact(
     and names, and the scoped rewrite still lands as ONE snapshot
     version.  Returns {files_before, files_after, rows} (plus
     ``files_matched: 0`` on a no-match no-op).
+
+    ``files`` (r10) scopes the rewrite to an EXPLICIT live-file list
+    instead — the deletion-vector GC verb: ``compact_if_needed``
+    passes the DV-heavy files so their masked rows are materialized
+    away without a predicate (or a whole-table pass).  Exclusive with
+    ``where``; unknown names fail loud.  Like every compact, the
+    folding scan means DVs are materialized and the originals' DVs
+    retire with them.
 
     Isolation contract: ``compact`` assumes a SINGLE writer — no
     concurrent ``compact``/``vacuum``/write on the same directory.
@@ -239,7 +248,28 @@ def compact(
     )
     if zorder_by and not 2 <= len(zorder_by) <= 4:
         raise ValueError("zorder_by takes two to four columns")
-    if where is not None:
+    if files is not None and where is not None:
+        raise ValueError("'files' and 'where' are exclusive")
+    if files is not None:
+        live = {os.path.relpath(f, path) for f in before}
+        unknown = sorted(set(files) - live)
+        if unknown:
+            raise ValidationError(
+                f"compact(files=...): not live files: {unknown[:5]}"
+            )
+        affected = sorted(set(files))
+        if not affected:
+            return {"files_before": len(before), "files_after": len(before),
+                    "rows": 0, "files_matched": 0}
+        n_matched = len(affected)
+        before = [os.path.join(path, rel) for rel in affected]
+        df = (
+            spark.read.format("olive")
+            .option("table", table)
+            .option("files", ",".join(affected))
+            .load(path)
+        )
+    elif where is not None:
         # scoped OPTIMIZE (Delta's `OPTIMIZE ... WHERE`): restrict the
         # rewrite to the FILES that contain a matching row — discovery
         # is one file-name aggregate (same shape as delete_where's);
@@ -342,18 +372,28 @@ def compact_if_needed(
     path: str,
     small_bytes: int = 32 << 20,
     min_small_files: int = 16,
+    max_dv_fraction: "float | None" = 0.5,
+    table: str = "data",
     **compact_kwargs,
 ) -> dict:
-    """OPTIMIZE-style auto trigger: run :func:`compact` only when the
-    directory has accumulated at least ``min_small_files`` files under
-    ``small_bytes`` — the small-file buildup every per-epoch streaming
-    sink and frequent-small-append pipeline produces, which at 100 TB
-    turns into task-per-tiny-file scan overhead and manifest bloat.
-    The check is one directory listing + one stat per file (no Spark
-    job); a no-op returns {"compacted": False, "small_files": n} so a
-    scheduler can call this after every epoch/batch for free.
+    """OPTIMIZE-style auto trigger, two independent policies:
+
+    - **small-file GC**: run :func:`compact` when at least
+      ``min_small_files`` files sit under ``small_bytes`` — the
+      buildup every per-epoch streaming sink and frequent-small-append
+      pipeline produces, which at 100 TB turns into task-per-tiny-file
+      scan overhead and manifest bloat;
+    - **deletion-vector GC** (r10): files whose DV-masked fraction
+      exceeds ``max_dv_fraction`` get a SCOPED ``compact(files=...)``
+      that materializes the masks away — a trickle-delete workload
+      otherwise accretes dead bytes every scan still pages through
+      (None disables the policy).
+
+    Both checks are one directory listing + per-file stats / DV header
+    counts (no Spark job); a no-op returns {"compacted": False, ...}
+    so a scheduler can call this after every epoch/batch for free.
     ``compact_kwargs`` pass through (sort_by, zorder_by, target_rows,
-    retain_history, table...)."""
+    retain_history...)."""
     from olive_spark.datasource.olive_datasource import _list_chunk_files
 
     try:
@@ -370,13 +410,40 @@ def compact_if_needed(
                 small += 1
         except OSError:
             continue
-    if small < int(min_small_files):
-        return {"compacted": False, "small_files": small,
-                "files": len(files)}
-    out = compact(spark, path, **compact_kwargs)
-    out["compacted"] = True
-    out["small_files"] = small
-    return out
+    dv_heavy: list[str] = []
+    if max_dv_fraction is not None and os.path.isdir(path):
+        try:
+            from olive_spark.format.deletion import list_dvs, read_count
+            from olive_spark.format.manifest import load_manifest
+
+            man = load_manifest(path)
+            for rel, names in list_dvs(path).items():
+                total = _file_rows(path, rel, table, man)
+                if not total:
+                    continue
+                masked = sum(
+                    read_count(os.path.join(path, n)) for n in names
+                )
+                if masked > float(max_dv_fraction) * total:
+                    dv_heavy.append(rel)
+        except OSError:
+            dv_heavy = []
+    if small >= int(min_small_files):
+        out = compact(spark, path, table=table, **compact_kwargs)
+        out["compacted"] = True
+        out["small_files"] = small
+        return out
+    if dv_heavy:
+        out = compact(
+            spark, path, table=table, files=sorted(dv_heavy),
+            **compact_kwargs,
+        )
+        out["compacted"] = True
+        out["small_files"] = small
+        out["dv_heavy_files"] = len(dv_heavy)
+        return out
+    return {"compacted": False, "small_files": small,
+            "files": len(files)}
 
 
 @_locked(1)

@@ -645,3 +645,27 @@ def test_retire_order_never_resurrects_and_vacuum_sweeps_orphans(
     out = vacuum(str(path))
     assert out["orphan_dvs"] == 1, out
     assert not D.list_dvs(str(path))
+
+
+def test_compact_if_needed_dv_gc(spark, tmp_path):
+    """DV garbage collection: a file whose masked fraction passes the
+    threshold gets a SCOPED materializing compact; light files and
+    DV-less tables no-op."""
+    from olive_spark.format import deletion as D
+    from olive_spark.ops.maintenance import compact_if_needed, delete_where
+
+    path = tmp_path / "t"
+    _mk(spark, path, n=400, files=2)  # 2 files x 200 rows
+    # mask 60% of one file's rows (force DV past the auto threshold)
+    delete_where(spark, str(path), "id < 120", mode="dv")
+    out = compact_if_needed(spark, str(path), max_dv_fraction=0.5)
+    assert out["compacted"] is True and out.get("dv_heavy_files") == 1, out
+    # the heavy file's DVs are materialized away; the light file (0
+    # masked) kept its bytes
+    assert not D.list_dvs(str(path))
+    df = _scan(spark, path)
+    assert df.count() == 280
+    assert df.filter("id < 120").count() == 0
+    # second call: nothing to do
+    out2 = compact_if_needed(spark, str(path), max_dv_fraction=0.5)
+    assert out2["compacted"] is False
