@@ -1112,13 +1112,25 @@ def pq_topk_indexed(
         )
     m, n_cent, d = meta["m"], meta["n_cent"], meta["dims"]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    brows = (
-        spark.read.format("olive")
-        .load(os.path.join(index_dir, "codebooks")).collect()
+    # codebooks are tiny (m·n_cent sub-vectors) but each fresh DSv2
+    # relation costs two plan-worker round trips — memoize per (app,
+    # dir, build_id), the same content-keyed scheme as _load_centroids
+    ckey = (
+        spark.sparkContext.applicationId, index_dir,
+        "pq:" + meta.get("build_id", ""),
     )
-    books = [np.zeros((n_cent, d // m)) for _ in range(m)]
-    for r in brows:
-        books[r["subspace"]][r["centroid"]] = np.array(r["vec"])
+    books = _CENTROID_CACHE.get(ckey)
+    if books is None:
+        brows = (
+            spark.read.format("olive")
+            .load(os.path.join(index_dir, "codebooks")).collect()
+        )
+        books = [np.zeros((n_cent, d // m)) for _ in range(m)]
+        for r in brows:
+            books[r["subspace"]][r["centroid"]] = np.array(r["vec"])
+        if len(_CENTROID_CACHE) > 64:
+            _CENTROID_CACHE.clear()
+        _CENTROID_CACHE[ckey] = books
 
     def _norm(x):
         n = np.linalg.norm(x, axis=1, keepdims=True)
