@@ -669,3 +669,47 @@ def test_compact_if_needed_dv_gc(spark, tmp_path):
     # second call: nothing to do
     out2 = compact_if_needed(spark, str(path), max_dv_fraction=0.5)
     assert out2["compacted"] is False
+
+
+def test_merge_dv_on_hidden_partition_layout(spark, tmp_path):
+    """days(ts) + CDC-style small MERGE through the DV path: the DV
+    sidecars nest under the target's day dir, inserts land partitioned,
+    transform pruning and time travel keep working."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from olive_spark.ops.maintenance import merge_upsert
+
+    path = tmp_path / "t"
+    base = dt.datetime(2023, 11, 14, 12, 0, 0)
+    rows = [
+        (k, base + dt.timedelta(days=k % 3), k * 10) for k in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v long")
+    df.repartition(3).write.format("olive") \
+        .option("partitionBy", "days(ts)").mode("append").save(str(path))
+    src = spark.createDataFrame(
+        [(0, base, 999), (5000, base + dt.timedelta(days=40), 1)],
+        "k long, ts timestamp, v long",
+    )
+    r = merge_upsert(spark, str(path), src, key_cols=["k"])
+    assert r["files_dv"] >= 1 and r["files_rewritten"] == 0, r
+    got = spark.read.format("olive").load(str(path))
+    assert got.count() == 301
+    assert got.filter("k = 0").first()["v"] == 999
+    # insert created its own day dir; DV sidecars nest under day dirs
+    import glob as g
+
+    assert any("ts_day=2023-12-24" in d for d in os.listdir(str(path)))
+    dvs = g.glob(str(path / "_olive_dv" / "ts_day=*" / "*" / "*.dv"))
+    assert dvs, os.listdir(str(path / "_olive_dv"))
+    # time travel to pre-merge
+    assert spark.read.format("olive").option(
+        "snapshot", str(r["pre_version"])).load(str(path)).count() == 300
+    # transform pruning still serves the day the DV lives in correctly
+    day = got.filter(
+        "ts >= timestamp'2023-11-14 00:00:00' AND "
+        "ts < timestamp'2023-11-15 00:00:00'"
+    )
+    assert day.filter("k = 0").first()["v"] == 999
