@@ -2531,6 +2531,78 @@ def _parse_widen_target(new_type: str):
 
 
 @_locked(0)
+def add_column(
+    path: str, column: str, col_type: str, table: str = "data",
+) -> dict:
+    """Metadata-only ADD COLUMN — the explicit-DDL form of the
+    evolution ``merge_upsert(evolve_schema=True)`` performs implicitly:
+    the schema sidecar gains the column (one small JSON write, no file
+    rewritten); every existing file null-fills it at read
+    (datasource._cast_to); appends may carry it or not.  Completes the
+    no-rewrite DDL family with drop_column / rename_column /
+    widen_column.
+
+    ``col_type`` accepts the same primitive grammar as widen_column
+    (olive names or Spark DDL aliases, ``decimal(p,s)``) plus
+    ``string``/``binary``/``boolean``/``date``/``timestamp``.
+    Re-adding a DROPped or renamed-away name is refused (old files
+    still hold its values — resurrection tombstones); so are reserved
+    prefixes.  Returns {column, type}."""
+    from olive_spark.datasource.olive_datasource import (
+        _list_chunk_files,
+        _pick_table,
+        _read_header_bytes,
+    )
+    from olive_spark.format.table_schema import (
+        read_dropped_columns,
+        read_table_schema,
+        write_table_schema,
+    )
+
+    if column.startswith("_olive") or column.startswith("__"):
+        raise ValidationError(f"reserved column name: {column!r}")
+    extra = {
+        "string": "utf8", "varchar": "utf8", "text": "utf8",
+        "binary": "binary", "bytes": "binary",
+        "boolean": "bool", "bool": "bool",
+        "date": "date32",
+    }
+    t = str(col_type).strip().lower()
+    if t in extra:
+        tj: object = extra[t]
+    elif t == "timestamp":
+        tj = {"t": "timestamp", "unit": "us", "tz": "UTC"}
+    else:
+        tj = _parse_widen_target(col_type)
+        if isinstance(tj, str) and tj not in (
+            "int8", "int16", "int32", "int64", "float32", "float64",
+        ):
+            raise ValidationError(
+                f"unsupported ADD COLUMN type {col_type!r} — primitives, "
+                "decimal(p,s), string, binary, boolean, date, timestamp"
+            )
+    side = read_table_schema(path, table)
+    if side is not None:
+        names, types = side
+    else:
+        header, _ = _read_header_bytes(_list_chunk_files(path)[0])
+        th = _pick_table(header, table)
+        names, types = list(th.field_names), list(th.field_types)
+    if column in names:
+        raise ValidationError(f"column {column!r} already exists")
+    if column in set(read_dropped_columns(path, table)):
+        raise ValidationError(
+            f"column {column!r} was DROPped: old files still hold its "
+            "values, so re-adding the name would resurface stale data — "
+            "use a new name, or rewrite the table"
+        )
+    names.append(column)
+    types.append(tj)
+    write_table_schema(path, table, names, types)
+    return {"column": column, "type": tj}
+
+
+@_locked(0)
 def widen_column(
     path: str, column: str, new_type: str, table: str = "data",
 ) -> dict:

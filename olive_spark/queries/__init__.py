@@ -120,6 +120,7 @@ _ORDER = [
     "llm_quality_score",
     "mm_decode_meta",
     "ts_ewma_events",
+    "scan_after_add_column",  # r10: metadata-only ADD COLUMN DDL
     # ---- beyond the 50-entry driver window: everything below was
     # green in its latest window (r06-r09) and keeps bench/pytest
     # coverage; cumulative driver coverage over rounds stays complete ----

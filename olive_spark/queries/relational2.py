@@ -2332,6 +2332,67 @@ SQL_AFTER_WIDEN = (
 )
 
 
+def _ensure_orders_added_col(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) a table exercising metadata-only ADD
+    COLUMN (r10, the explicit-DDL form of add-column evolution):
+
+      v1  base: orders (o_orderkey, o_totalprice)
+      --  add_column(o_channel string): sidecar-only
+      v2  append the %5==0 orders re-keyed +900M carrying the column
+
+    Old files null-fill o_channel at read; the oracle replays the union
+    with a literal NULL."""
+    from olive_spark.ops.maintenance import add_column
+
+    def build(out: str) -> None:
+        base = data.load(
+            spark, sf, "orders", columns=["o_orderkey", "o_totalprice"]
+        )
+        base.coalesce(2).write.format("olive") \
+            .option("table", "orders_added").mode("append").save(out)
+        add_column(out, "o_channel", "string", table="orders_added")
+        extra = base.filter(F.col("o_orderkey") % 5 == 0).select(
+            (F.col("o_orderkey") + F.lit(900_000_000)).alias("o_orderkey"),
+            "o_totalprice",
+            F.lit("web").alias("o_channel"),
+        )
+        extra.write.format("olive").option("table", "orders_added") \
+            .mode("append").save(out)
+
+    return _build_once(spark, sf, "orders_added", "_ADD_OK", build)
+
+
+def scan_after_add_column(spark: SparkSession, sf: str) -> DataFrame:
+    """ADD COLUMN parity: group by the added column — pre-DDL rows read
+    it as NULL through the sidecar authority, post-DDL appends carry
+    values.  A sidecar that failed to declare the column (hidden data)
+    or a null-fill that corrupted the cast hash-mismatches."""
+    path = _ensure_orders_added_col(spark, sf)
+    df = (
+        spark.read.format("olive")
+        .option("table", "orders_added").load(path)
+    )
+    return df.groupBy("o_channel").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(D)).cast(D).alias("sum_price"),
+        F.sum("o_orderkey").alias("sum_keys"),
+    )
+
+
+SQL_AFTER_ADD_COLUMN = (
+    "WITH unioned AS ("
+    "SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_channel "
+    "FROM orders "
+    "UNION ALL "
+    "SELECT o_orderkey + 900000000, o_totalprice, 'web' FROM orders "
+    "WHERE o_orderkey % 5 = 0) "
+    "SELECT o_channel, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys "
+    "FROM unioned GROUP BY o_channel"
+)
+
+
 def scan_dv_changes_feed(spark: SparkSession, sf: str) -> DataFrame:
     """Change feed over DV commits: a deletion-vector delete changes
     rows WITHOUT changing the file list, so the diff must come from the
@@ -2403,6 +2464,7 @@ QUERIES: dict[str, tuple] = {
         scan_after_replace_where, SQL_AFTER_REPLACE_WHERE,
     ),
     "scan_after_widen_column": (scan_after_widen_column, SQL_AFTER_WIDEN),
+    "scan_after_add_column": (scan_after_add_column, SQL_AFTER_ADD_COLUMN),
     "scan_dv_time_travel": (scan_dv_time_travel, SQL_DV_TIME_TRAVEL),
     "scan_dv_changes_feed": (scan_dv_changes_feed, SQL_DV_CHANGES_FEED),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),

@@ -181,6 +181,13 @@ class OliveTable:
 
         return drop_column(self.path, column, table=self.table)
 
+    def add_column(self, column: str, col_type: str) -> dict:
+        """Metadata-only ADD COLUMN: existing files null-fill at read,
+        no rewrite."""
+        from olive_spark.ops.maintenance import add_column
+
+        return add_column(self.path, column, col_type, table=self.table)
+
     def widen_column(self, column: str, new_type: str) -> dict:
         """Metadata-only type widening (int up-widening, float32→
         float64, decimal precision growth) — no data rewrite."""

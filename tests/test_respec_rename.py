@@ -429,3 +429,40 @@ def test_widen_then_merge_and_time_travel(spark, tmp_path):
     old = spark.read.format("olive").option("snapshot", "1").load(path)
     assert dict(old.dtypes)["k"] == "bigint"   # latest-schema-wins
     assert old.count() == 50
+
+
+def test_add_column_metadata_only(spark, tmp_path):
+    """ADD COLUMN: sidecar-only; old files null-fill, appends may carry
+    it, refusals loud (existing/dropped/reserved/unsupported)."""
+    import pytest as _pytest
+
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops.maintenance import add_column, drop_column
+
+    path = str(tmp_path / "t")
+    spark.range(20).selectExpr("id AS k", "id AS v").coalesce(1) \
+        .write.format("olive").mode("append").save(path)
+    out = add_column(path, "label", "string")
+    assert out["type"] == "utf8"
+    add_column(path, "score", "double")
+    df = spark.read.format("olive").load(path)
+    assert df.columns == ["k", "v", "label", "score"]
+    assert df.filter("label IS NULL").count() == 20
+    # appends carrying the column land; older files keep null-filling
+    spark.createDataFrame(
+        [(100, 1, "x", 0.5)], "k long, v long, label string, score double"
+    ).write.format("olive").mode("append").save(path)
+    df = spark.read.format("olive").load(path)
+    assert df.count() == 21
+    assert df.filter("label = 'x'").count() == 1
+    assert df.filter("label IS NULL").count() == 20
+    # refusals
+    with _pytest.raises(ValidationError, match="already exists"):
+        add_column(path, "v", "bigint")
+    with _pytest.raises(ValidationError, match="reserved"):
+        add_column(path, "__x", "bigint")
+    with _pytest.raises(ValidationError, match="unsupported"):
+        add_column(path, "m", "map<string,int>")
+    drop_column(path, "label")
+    with _pytest.raises(ValidationError, match="DROPped"):
+        add_column(path, "label", "string")
