@@ -3418,7 +3418,13 @@ def approx_distinct(
     column from the file and sketching it here — still no Spark job,
     and the fallback sketch merges identically.  The
     ``count_rows``/``describe`` sibling for the planner's other
-    favorite statistic."""
+    favorite statistic.
+
+    Deletion vectors are NOT folded (the sketches are per-file and a
+    mask can't subtract from an HLL): on a DV'd table the estimate is
+    an UPPER bound until ``compact`` materializes the masks — fine for
+    the planner use (NDV guides join strategy, where over-estimating
+    is the safe direction)."""
     from olive_spark.datasource.olive_datasource import _pick_table
     from olive_spark.format import ndv
     from olive_spark.format.manifest import load_manifest, lookup

@@ -121,6 +121,7 @@ _ORDER = [
     "mm_decode_meta",
     "ts_ewma_events",
     "scan_after_add_column",  # r10: metadata-only ADD COLUMN DDL
+    "scan_dv_gc",  # r10: max_dv_fraction auto-materialization lifecycle
     # ---- beyond the 50-entry driver window: everything below was
     # green in its latest window (r06-r09) and keeps bench/pytest
     # coverage; cumulative driver coverage over rounds stays complete ----

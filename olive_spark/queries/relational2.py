@@ -2393,6 +2393,80 @@ SQL_AFTER_ADD_COLUMN = (
 )
 
 
+def _ensure_orders_dv_gc(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) a table exercising the DV GARBAGE
+    COLLECTION lifecycle (r10):
+
+      v1  base: orders (o_orderkey, o_totalprice), 2 files
+      v2  delete_where(o_orderkey % 3 = 0, mode="dv") — ~33% of every
+          file masked (past the GC threshold)
+      v3  compact_if_needed(max_dv_fraction=0.25) — the auto trigger
+          classifies both files DV-heavy and materializes the masks
+          away in a SCOPED compact
+
+    The builder asserts the trigger fired and no live DV remains; the
+    oracle is the plain WHERE replay, so a GC that resurrected masked
+    rows or dropped survivors hash-mismatches."""
+    from olive_spark.ops.maintenance import compact_if_needed, delete_where
+
+    def build(out: str) -> None:
+        import glob as _g
+
+        base = data.load(
+            spark, sf, "orders", columns=["o_orderkey", "o_totalprice"]
+        )
+        base.coalesce(2).write.format("olive") \
+            .option("table", "orders_dv_gc").mode("append").save(out)
+        r = delete_where(
+            spark, out, "o_orderkey % 3 = 0", table="orders_dv_gc",
+            mode="dv",
+        )
+        assert r["files_dv"] == 2, r
+        g = compact_if_needed(
+            spark, out, max_dv_fraction=0.25, table="orders_dv_gc",
+            retain_history=True,
+        )
+        assert g["compacted"] and g.get("dv_heavy_files") == 2, g
+        assert not _g.glob(
+            _os_path_join(out, "_olive_dv", "**", "*.dv"), recursive=True
+        ), "GC must materialize every live DV"
+
+    return _build_once(spark, sf, "orders_dv_gc", "_DVGC_OK", build)
+
+
+def _os_path_join(*parts: str) -> str:
+    import os as _os
+
+    return _os.path.join(*parts)
+
+
+def scan_dv_gc(spark: SparkSession, sf: str) -> DataFrame:
+    """DV garbage-collection parity: aggregate the table after a heavy
+    DV delete was auto-materialized by compact_if_needed's
+    max_dv_fraction trigger — results must equal the plain-WHERE
+    oracle, and time travel to the pre-GC DV'd version must too (the
+    retired files and their DVs live in history)."""
+    path = _ensure_orders_dv_gc(spark, sf)
+    df = (
+        spark.read.format("olive")
+        .option("table", "orders_dv_gc").load(path)
+    )
+    return df.groupBy((F.col("o_orderkey") % 7).alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(D)).cast(D).alias("sum_price"),
+        F.sum("o_orderkey").alias("sum_keys"),
+    )
+
+
+SQL_DV_GC = (
+    "SELECT o_orderkey % 7 AS bucket, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys "
+    "FROM orders WHERE o_orderkey % 3 <> 0 "
+    "GROUP BY o_orderkey % 7"
+)
+
+
 def scan_dv_changes_feed(spark: SparkSession, sf: str) -> DataFrame:
     """Change feed over DV commits: a deletion-vector delete changes
     rows WITHOUT changing the file list, so the diff must come from the
@@ -2465,6 +2539,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "scan_after_widen_column": (scan_after_widen_column, SQL_AFTER_WIDEN),
     "scan_after_add_column": (scan_after_add_column, SQL_AFTER_ADD_COLUMN),
+    "scan_dv_gc": (scan_dv_gc, SQL_DV_GC),
     "scan_dv_time_travel": (scan_dv_time_travel, SQL_DV_TIME_TRAVEL),
     "scan_dv_changes_feed": (scan_dv_changes_feed, SQL_DV_CHANGES_FEED),
     "ts_ewma_events": (ts_ewma_events, SQL_TS_EWMA),
