@@ -713,3 +713,81 @@ def test_merge_dv_on_hidden_partition_layout(spark, tmp_path):
         "ts < timestamp'2023-11-15 00:00:00'"
     )
     assert day.filter("k = 0").first()["v"] == 999
+
+
+def test_snapshot_replay_with_dvs_matches_model(tmp_path):
+    """Randomized model check of the log replay DV folding: a random
+    interleaving of appends, removes, DV adds, DV removes, resets, and
+    log COLLAPSES (max_entries) must reproduce the reference model's
+    (files, DV) state at every retained version — the replay is what
+    time travel, CDF, restore, and clone all stand on."""
+    import random
+
+    from olive_spark.format.snapshots import (
+        append_entry,
+        dv_state_at,
+        files_at,
+        load_log,
+    )
+
+    rng = random.Random(20260815)
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    # reference model per committed version
+    live: set = set()
+    dv: dict = {}
+    states: dict = {}
+    next_file = 0
+    next_dv = 0
+    first = True
+    for _step in range(120):
+        op = rng.random()
+        add, remove, dv_add, dv_remove, reset = [], [], [], [], False
+        if first or op < 0.35:
+            add = [f"part-{next_file:04d}.olive"]
+            next_file += 1
+        elif op < 0.5 and live:
+            remove = [rng.choice(sorted(live))]
+        elif op < 0.75 and live:
+            t = rng.choice(sorted(live))
+            dv_add = [(t, f"_olive_dv/{t}/{next_dv:04d}.dv")]
+            next_dv += 1
+        elif op < 0.85 and dv:
+            t = rng.choice(sorted(dv))
+            dv_remove = [(t, rng.choice(dv[t]))]
+        elif op < 0.9:
+            reset = True
+            add = [f"part-{next_file:04d}.olive"]
+            next_file += 1
+        else:
+            add = [f"part-{next_file:04d}.olive"]
+            next_file += 1
+        # occasional collapse bounds the log like long-lived streams do
+        max_entries = rng.choice([None, None, None, 10, 25])
+        v = append_entry(
+            path, add=add, remove=remove, reset=reset,
+            dv_add=dv_add, dv_remove=dv_remove, max_entries=max_entries,
+        )
+        first = False
+        # fold into the model (same semantics the engine promises)
+        if reset:
+            live.clear(); dv.clear()
+        live.update(add)
+        for r in remove:
+            live.discard(r); dv.pop(r, None)
+        for t, d in dv_add:
+            dv.setdefault(t, []).append(d)
+        for t, d in dv_remove:
+            if t in dv and d in dv[t]:
+                dv[t].remove(d)
+                if not dv[t]:
+                    del dv[t]
+        states[v] = (
+            sorted(live), {t: sorted(n) for t, n in dv.items()}
+        )
+        # every RETAINED version must replay to the model's state
+        retained = [int(e["v"]) for e in load_log(path)["entries"]]
+        for rv in retained:
+            want_files, want_dv = states[rv]
+            assert files_at(path, rv) == want_files, (rv, "files")
+            assert dv_state_at(path, rv) == want_dv, (rv, "dv")
