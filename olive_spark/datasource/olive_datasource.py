@@ -637,14 +637,16 @@ class OliveReader(DataSourceReader):
 
                 if not dv_paths:
                     continue
-                sel = union_positions(dv_paths).astype("int64")
+                sel = union_positions(dv_paths, th.name).astype("int64")
                 mask = np.isin(pos, sel)
                 tbl = tbl.filter(pa.array(mask))
                 pos = pos[mask]
             elif dv_paths:
                 from olive_spark.format.deletion import union_positions
 
-                deleted = union_positions(dv_paths).astype("int64")
+                # table-scoped fold: a DV written against another table
+                # of a multi-table chunk must not drop this table's rows
+                deleted = union_positions(dv_paths, th.name).astype("int64")
                 mask = ~np.isin(pos, deleted)
                 if not mask.all():
                     tbl = tbl.filter(pa.array(mask))

@@ -61,15 +61,26 @@ def target_dir(path: str, target_rel: str) -> str:
     return os.path.join(path, DV_DIR, target_rel)
 
 
-def encode_dv(target_rel: str, positions: "np.ndarray") -> bytes:
+def encode_dv(
+    target_rel: str, positions: "np.ndarray", table: "str | None" = None,
+) -> bytes:
     """Serialize sorted unique uint64 row positions (zstd, the same
-    codec surface the chunk pages use — format/compression.py)."""
+    codec surface the chunk pages use — format/compression.py).
+
+    ``table`` scopes the DV to ONE table of the target chunk: DVs are
+    keyed by target file on disk, but a hand-written multi-table chunk
+    has an independent row grid per table, so a DV against one table's
+    grid must not fold into scans of the others (r10 advice).  Readers
+    skip DVs whose recorded table differs from the scan's; DVs without
+    the field (pre-r11) apply to any table, preserving old behavior on
+    the single-table directories the mutation layer writes."""
     from olive_spark.format.compression import compress
 
     pos = np.unique(np.asarray(positions, dtype=np.uint64))
-    header = json.dumps(
-        {"target": target_rel, "count": int(len(pos))}
-    ).encode()
+    doc: dict = {"target": target_rel, "count": int(len(pos))}
+    if table is not None:
+        doc["table"] = table
+    header = json.dumps(doc).encode()
     payload = compress("zstd", pos.astype("<u8").tobytes())
     return _MAGIC + struct.pack("<I", len(header)) + header + payload
 
@@ -97,6 +108,18 @@ def read_count(fp: str) -> int:
     return int(_read_header(fp)[0]["count"])
 
 
+def dv_applies_to(fp: str, table: "str | None") -> bool:
+    """Whether the DV at ``fp`` applies to scans of ``table`` (header-
+    only read).  A DV without a recorded table applies to any table
+    (pre-r11 files, single-table mutation paths); with one, only to
+    the matching table — a multi-table chunk has one row grid per
+    table, so cross-table folding would drop wrong rows."""
+    if table is None:
+        return True
+    rec = _read_header(fp)[0].get("table")
+    return rec is None or rec == table
+
+
 def read_positions(fp: str) -> "np.ndarray":
     from olive_spark.format.compression import decompress
 
@@ -114,9 +137,15 @@ def read_positions(fp: str) -> "np.ndarray":
     return pos.astype(np.uint64)
 
 
-def union_positions(paths) -> "np.ndarray":
-    """Sorted unique union of several DV files' positions."""
-    parts = [read_positions(p) for p in paths]
+def union_positions(paths, table: "str | None" = None) -> "np.ndarray":
+    """Sorted unique union of several DV files' positions.  With
+    ``table``, DVs recorded against a DIFFERENT table of the target
+    chunk are skipped (see dv_applies_to)."""
+    parts = [
+        read_positions(p)
+        for p in paths
+        if dv_applies_to(p, table)
+    ]
     if not parts:
         return np.zeros(0, np.uint64)
     return np.unique(np.concatenate(parts))
@@ -166,9 +195,14 @@ def resolve_dv_paths(path: str, names) -> "list[str]":
     return out
 
 
-def deleted_count(path: str, dv_names) -> int:
-    """Total deleted rows across DV files (header-only reads)."""
-    return sum(read_count(p) for p in resolve_dv_paths(path, dv_names))
+def deleted_count(path: str, dv_names, table: "str | None" = None) -> int:
+    """Total deleted rows across DV files (header-only reads); DVs
+    scoped to a different table of the target chunk don't count."""
+    return sum(
+        read_count(p)
+        for p in resolve_dv_paths(path, dv_names)
+        if dv_applies_to(p, table)
+    )
 
 
 def retire_target_dvs(path: str, target_rel: str, history: bool) -> int:

@@ -354,8 +354,18 @@ class metadata_commit_lock:
     def __exit__(self, *exc) -> None:
         if self.token is None:
             return
-        # rename-then-unlink, same displaced-stealer protocol as the
-        # table lock's release
+        # Check-then-rename-then-verify: read the lock file FIRST and
+        # only displace it when the token is ours.  If our lock was
+        # TTL-stolen (this commit stalled past the TTL) a new holder's
+        # lock is live — unconditionally renaming it aside would open a
+        # window where a third process acquires and the restore link
+        # fails, leaving TWO believers (r10 advice).  The remaining
+        # read→rename race is a steal landing in between; the post-
+        # rename re-verify below restores the stolen holder's file.
+        cur = _read_lock_file(self.path)
+        if cur is not None and cur.get("token") != self.token:
+            self.token = None  # stolen — the new holder owns the file
+            return
         aside = self.path + f".rel-{uuid.uuid4().hex[:8]}"
         try:
             os.rename(self.path, aside)

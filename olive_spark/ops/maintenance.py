@@ -1804,7 +1804,7 @@ def merge_upsert(
             if dv_files:
                 staged = _stage_dv_positions(
                     dying.filter(F.col(fc).isin(dv_files)), fc, pc,
-                    path, run,
+                    path, run, table=table,
                 )
                 dv_add = [(f, dv) for f, dv, _n in staged]
         # the write set: every source-landed row (null provenance) plus
@@ -1888,6 +1888,7 @@ def _file_rows(path: str, rel: str, table: str, man: dict) -> "int | None":
 
 def _stage_dv_positions(
     positions_df, fc: str, pc: str, path: str, run: str,
+    table: "str | None" = None,
 ) -> "list[tuple[str, str, int]]":
     """Stage one deletion vector per distinct file of ``positions_df``
     (a (file rel, raw position) relation) — written straight from
@@ -1909,7 +1910,7 @@ def _stage_dv_positions(
         dv_rel = _os.path.join(_D.DV_DIR, rel, f"{run}.dv")
         dest = _os.path.join(path, dv_rel) + ".staging"
         _os.makedirs(_os.path.dirname(dest), exist_ok=True)
-        blob = _D.encode_dv(rel, pdf[pc].to_numpy(_np.uint64))
+        blob = _D.encode_dv(rel, pdf[pc].to_numpy(_np.uint64), table=table)
         with open(dest, "wb") as f:
             f.write(blob)
         return _pd.DataFrame(
@@ -1943,6 +1944,7 @@ def _write_dvs_for(
     )
     return _stage_dv_positions(
         scan.filter(F.expr(condition)).select(fc, pc), fc, pc, path, run,
+        table=table,
     )
 
 
@@ -3314,13 +3316,19 @@ def describe(path: str, table: str = "data") -> dict:
         rows += th.num_rows
         fold(_header_file_stats(th))
     # deletion vectors mask rows without touching file bytes: subtract
-    # their header counts (min/max bounds stay conservative-valid)
+    # their header counts (min/max bounds stay conservative-valid).
+    # Only DVs whose TARGET file is still live count — an orphan DV
+    # (crash between a rewrite's data-file retire and its DV retire)
+    # masks nothing at scan time, so counting it here would undercount
+    # rows relative to scan results until vacuum sweeps it.
     dv_deleted = 0
     try:
         from olive_spark.format.deletion import deleted_count, list_dvs
 
-        for dv_names in list_dvs(path).values():
-            dv_deleted += deleted_count(path, dv_names)
+        live_rel = {os.path.relpath(fp, path) for fp in files}
+        for target, dv_names in list_dvs(path).items():
+            if target in live_rel:
+                dv_deleted += deleted_count(path, dv_names, table=table)
     except Exception:  # noqa: BLE001 — describe stays best-effort
         dv_deleted = 0
     rows -= dv_deleted
@@ -3387,8 +3395,13 @@ def count_rows(
         dv_state_at(path, int(snapshot)) if snapshot is not None
         else list_dvs(path)
     )
-    for dv_names in dv_state.values():
-        total -= deleted_count(path, dv_names)
+    # orphan DVs (target file already retired by a crashed rewrite, DV
+    # retire lost) mask nothing at scan time — skip them, like the scan
+    # does, or the count undercounts until vacuum sweeps the orphan
+    counted = set(names)
+    for target, dv_names in dv_state.items():
+        if target in counted:
+            total -= deleted_count(path, dv_names, table=table)
     for fp in paths:
         # the same size-validated lookup the pruning path uses: an
         # entry is trusted only while the on-disk bytes still match its

@@ -791,3 +791,84 @@ def test_snapshot_replay_with_dvs_matches_model(tmp_path):
             want_files, want_dv = states[rv]
             assert files_at(path, rv) == want_files, (rv, "files")
             assert dv_state_at(path, rv) == want_dv, (rv, "dv")
+
+
+# ---- r11 advice fixes ---------------------------------------------------
+
+
+def test_dv_table_scoped_in_multi_table_chunk(spark, tmp_path):
+    """A DV written against one table of a hand-written multi-table
+    chunk must not fold into scans of the OTHER tables in that file
+    (r10 advice: DVs were keyed by target file only)."""
+    import pyarrow as pa
+
+    from olive_spark.format import deletion as D
+    from olive_spark.format.writer import write_chunk
+
+    path = tmp_path / "mt"
+    path.mkdir()
+    a = pa.table({"id": list(range(10))})
+    b = pa.table({"id": list(range(100, 110))})
+    fp = path / "chunk-0.olive"
+    fp.write_bytes(write_chunk({"ta": a, "tb": b}))
+    # DV against table "ta": drop positions 0..4
+    dv_dir = path / D.DV_DIR / "chunk-0.olive"
+    dv_dir.mkdir(parents=True)
+    (dv_dir / "x.dv").write_bytes(
+        D.encode_dv("chunk-0.olive", np.arange(5), table="ta")
+    )
+    ta = _scan(spark, path, table="ta").collect()
+    tb = _scan(spark, path, table="tb").collect()
+    assert sorted(r["id"] for r in ta) == list(range(5, 10))
+    # tb keeps ALL rows — the DV is scoped to ta
+    assert sorted(r["id"] for r in tb) == list(range(100, 110))
+    # legacy DV without a table field applies to any table (pre-r11)
+    (dv_dir / "x.dv").write_bytes(
+        D.encode_dv("chunk-0.olive", np.arange(2))
+    )
+    tb2 = _scan(spark, path, table="tb").collect()
+    assert sorted(r["id"] for r in tb2) == list(range(102, 110))
+
+
+def test_count_rows_ignores_orphan_dvs(spark, tmp_path):
+    """count_rows/describe must skip DVs whose target file is no
+    longer live (crash between data-file retire and DV retire) — scans
+    ignore them, so metadata counts must agree (r10 advice)."""
+    from olive_spark.format import deletion as D
+    from olive_spark.ops.maintenance import count_rows, delete_where, describe
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=400, files=2)
+    delete_where(spark, path, "id < 10", mode="dv")
+    assert count_rows(path) == 390
+    # fabricate an orphan: a DV whose target never existed
+    orphan = os.path.join(path, D.DV_DIR, "gone.olive")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "o.dv"), "wb") as f:
+        f.write(D.encode_dv("gone.olive", np.arange(50)))
+    scan_n = _scan(spark, path).count()
+    assert scan_n == 390
+    assert count_rows(path) == 390  # orphan skipped
+    assert describe(path)["rows"] == 390
+
+
+def test_commit_lock_release_respects_stolen_lock(tmp_path):
+    """__exit__ after a TTL steal must NOT displace the new holder's
+    live lock file (r10 advice)."""
+    from olive_spark.format.lock import metadata_commit_lock
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    a = metadata_commit_lock(d, ttl=0.05)
+    a.__enter__()
+    import time as _t
+
+    _t.sleep(0.1)  # a's lock is now TTL-stale
+    b = metadata_commit_lock(d)
+    b.__enter__()  # steals a's stale lock
+    a.__exit__(None, None, None)  # must leave b's lock in place
+    lock_fp = os.path.join(d, os.path.basename(b.path))
+    with open(b.path) as f:
+        assert json.load(f)["token"] == b.token, lock_fp
+    b.__exit__(None, None, None)
+    assert not os.path.exists(b.path)
