@@ -433,9 +433,32 @@ class OliveReader(DataSourceReader):
         # 'renames' map) raises LOUD here — swallowing it would
         # silently null-fill every renamed column out of old files
         # (r9 review finding).
-        from olive_spark.format.table_schema import read_renames
+        from olive_spark.format.table_schema import (
+            read_column_mapping,
+            read_renames,
+        )
 
         self.renames = read_renames(self.path, self.table)
+        # column-mapping ids (activated by rename/drop/add DDL): when
+        # present, every stored column resolves by ID — header fids for
+        # stamped files, the sidecar's legacy name→id map for older
+        # ones — which makes rename/drop/re-add lifecycles exact.  One
+        # plan-time GET, ships with the pickled reader.
+        self.colmap = read_column_mapping(self.path, self.table)
+        # "stable" columns: current name has ALWAYS denoted this id in
+        # unstamped files too (legacy binding == current id).  Only
+        # these may drive manifest-level pruning, where no header is
+        # available to disambiguate — a re-added name's old per-file
+        # stats describe the RETIRED column's values, and pruning with
+        # them would (e.g.) drop a file whose re-added column is all
+        # null from an IS NULL scan.
+        self.stable_cols: "set[str] | None" = None
+        if self.colmap is not None:
+            self.stable_cols = {
+                n
+                for n, i in zip(self.colmap["names"], self.colmap["fids"])
+                if self.colmap["legacy"].get(n) == i
+            }
         self.predicates: list[tuple[str, str, Any]] = []
 
     def partitions(self) -> Sequence[OliveInputPartition]:
@@ -550,7 +573,15 @@ class OliveReader(DataSourceReader):
             from olive_spark.format.manifest import entry_prunable, lookup
 
             ent = lookup(manifest, self.path, fp)
-            if ent is not None and entry_prunable(ent, list(preds)):
+            # manifest entries key stats by the names STORED at write
+            # time; with column mapping, only "stable" columns (name
+            # has always meant this id) may prune here — a re-added
+            # name's old stats describe the retired column's values
+            mpreds = (
+                [p for p in preds if p[0] in self.stable_cols]
+                if self.stable_cols is not None else list(preds)
+            )
+            if ent is not None and mpreds and entry_prunable(ent, mpreds):
                 return True
 
             # only the header fallback needs the (numpy/pyarrow-heavy)
@@ -562,6 +593,15 @@ class OliveReader(DataSourceReader):
 
             header, _ = _read_header_bytes(fp)
             th = _pick_table(header, self.table)
+            if self.colmap is not None or self.renames:
+                # exact per-file translation: current → stored names
+                # (ids for stamped files, legacy bindings otherwise);
+                # predicates with no stored counterpart prune nothing
+                cur_of = _stored_to_current(th, self.colmap, self.renames)
+                back = {c: s for s, c in (cur_of or {}).items()}
+                preds = [
+                    (back[c], op, v) for c, op, v in preds if c in back
+                ]
             by_name = dict(zip(th.field_names, th.fields))
             for col, op, _v in preds:
                 fh = by_name.get(col)
@@ -595,31 +635,46 @@ class OliveReader(DataSourceReader):
         for fp in partition.files:
             r = ChunkReader.from_path(fp)
             th = _pick_table(r.header, partition.table)
-            # RENAME mapping for THIS file: a current name the file
-            # lacks may live under a pre-rename alias (metadata-only
-            # rename never rewrites data) — stored_name -> current_name
-            remap: dict[str, str] = {}
-            if self.renames:
-                fields = set(th.field_names)
-                for cur, olds in self.renames.items():
-                    if cur in fields:
-                        continue
-                    for o in olds:
-                        if o in fields:
-                            remap[o] = cur
-                            break
-            back = {cur: old for old, cur in remap.items()}
+            # Stored→current column resolution for THIS file.
+            # current_of is None on tables without column mapping or
+            # renames (identity); with mapping it is AUTHORITATIVE: a
+            # stored column it does not map belongs to a dropped/
+            # renamed-away column and must NOT be read — even when its
+            # stored name equals a current column's (DROP x / ADD x).
+            current_of = _stored_to_current(th, self.colmap, self.renames)
+            remap = (
+                {s: c for s, c in current_of.items() if s != c}
+                if current_of is not None else {}
+            )
+            back = (
+                {c: s for s, c in current_of.items()}
+                if current_of is not None else {}
+            )
             preds = list(partition.predicates) if partition.predicates else []
-            if back and preds:
-                # page-stat pruning keys off STORED names in old files
-                preds = [(back.get(c, c), op, v) for c, op, v in preds]
+            if preds and current_of is not None:
+                # page-stat pruning keys off STORED names; a predicate
+                # column with no stored counterpart in this file prunes
+                # nothing here (Spark re-applies the filter post-scan)
+                preds = [
+                    (back[c], op, v) for c, op, v in preds if c in back
+                ]
             pages = select_pages(th, preds) if preds else None
             cols = list(partition.columns) if partition.columns else None
             if cols:  # merged-schema dirs: this file may lack some columns
-                cols = [back.get(c, c) for c in cols]
-                cols = [c for c in cols if c in th.field_names] or None
+                if current_of is not None:
+                    cols = [back[c] for c in cols if c in back] or None
+                else:
+                    cols = [c for c in cols if c in th.field_names] or None
             tbl = r.read_table(th.name, columns=cols, pages=pages)
-            if remap:
+            if self.colmap is not None:
+                # drop stored columns outside the mapping (their data
+                # belongs to retired column ids), then rename; row
+                # count survives even a zero-column projection
+                keep = [s for s in tbl.column_names if s in current_of]
+                tbl = tbl.select(keep).rename_columns(
+                    [current_of[s] for s in keep]
+                )
+            elif remap:
                 tbl = tbl.rename_columns(
                     [remap.get(n, n) for n in tbl.column_names]
                 )
@@ -713,6 +768,53 @@ class OlivePushdownReader(OliveReader):
             if p is not None:
                 self.predicates.append(p)
         return iter(filters)
+
+
+def _stored_to_current(th, colmap, renames) -> "dict[str, str] | None":
+    """Resolve one file's STORED column names to the table's CURRENT
+    names.  None = identity (no mapping, no renames).  With column
+    mapping (``colmap`` from table_schema.read_column_mapping) the
+    result is authoritative: stamped files resolve header field-ids
+    against the current schema's ids; unstamped files resolve stored
+    names through the sidecar's legacy name→id bindings.  Stored
+    columns that resolve to no current id are OMITTED — their data
+    belongs to dropped/renamed-away columns (a re-added same name is a
+    DIFFERENT id, so old values never resurface under it).  Without
+    mapping, only rename aliases remap (pre-mapping behavior)."""
+    if colmap is not None:
+        byfid = dict(zip(colmap["fids"], colmap["names"]))
+        names_set = set(colmap["names"])
+        legacy = colmap["legacy"]
+        out: dict[str, str] = {}
+        if th.field_ids is not None:
+            for sname, sfid in zip(th.field_names, th.field_ids):
+                cur = byfid.get(sfid)
+                if cur is not None:
+                    out[sname] = cur
+        else:
+            for sname in th.field_names:
+                fid = legacy.get(sname)
+                if fid is not None:
+                    cur = byfid.get(fid)
+                else:
+                    # never-bound stored name (hand-written file beside
+                    # a mapped table): current-name match, else omitted
+                    cur = sname if sname in names_set else None
+                if cur is not None:
+                    out[sname] = cur
+        return out
+    if renames:
+        fields = set(th.field_names)
+        out = {n: n for n in th.field_names}
+        for cur, olds in renames.items():
+            if cur in fields:
+                continue
+            for o in olds:
+                if o in fields:
+                    out[o] = cur
+                    break
+        return out
+    return None
 
 
 def _file_positions(th, pages):
@@ -1047,26 +1149,56 @@ class OliveWriter(DataSourceArrowWriter):
             "committag", options.get("commitTag")
         )
         self.overwrite = overwrite
-        # DROP COLUMN tombstones: an append carrying a dropped name
-        # would resurface OLD files' values under it (the projection is
-        # by name) — refuse at plan time, before any file lands.
-        # Overwrite resets the table (and its sidecar), so it is exempt.
+        # Column-mapping ids: on a MAPPED table (the sidecar assigned
+        # field-ids — table_schema.py), reserve/resolve an id for every
+        # written column at plan time (driver-side, under the metadata
+        # commit lock) and stamp them into each chunk header at write.
+        # With ids, re-using a DROPped name is SAFE — the new column
+        # gets a fresh id, old files' same-named data stays bound to
+        # the retired id — so the per-name tombstone refusal below only
+        # applies to unmapped tables.  Overwrite resets the table (and
+        # its sidecar), so it is exempt from both.
+        self.field_ids: "dict | None" = None
         if not overwrite and self.path and os.path.isdir(self.path):
             from olive_spark.format.table_schema import (
+                read_column_mapping,
                 read_dropped_columns,
             )
 
-            tomb = set(read_dropped_columns(self.path, self.table))
-            bad = sorted(
-                f.name for f in schema.fields if f.name in tomb
-            )
-            if bad:
-                raise ValueError(
-                    f"olive: columns {bad} were DROPped from table "
-                    f"{self.table!r}: old files still hold their values, "
-                    "so appending the name would resurface stale data — "
-                    "use a new name, or overwrite/rewrite the table"
+            if read_column_mapping(self.path, self.table) is not None:
+                from olive_spark.format.table_schema import (
+                    reserve_field_ids,
                 )
+
+                self.field_ids = reserve_field_ids(
+                    self.path, self.table,
+                    [f.name for f in schema.fields],
+                )
+            else:
+                # DROP COLUMN tombstones (unmapped tables): an append
+                # carrying a dropped name would resurface OLD files'
+                # values under it (the projection is by name) — refuse
+                # at plan time, before any file lands.
+                tomb = set(read_dropped_columns(self.path, self.table))
+                bad = sorted(
+                    f.name for f in schema.fields if f.name in tomb
+                )
+                if bad:
+                    raise ValueError(
+                        f"olive: columns {bad} were DROPped from table "
+                        f"{self.table!r}: old files still hold their values, "
+                        "so appending the name would resurface stale data — "
+                        "use a new name, or overwrite/rewrite the table"
+                    )
+        # explicit override (rewrites staging into a DIFFERENT directory
+        # that will be swapped into a mapped table pass the mapping in,
+        # since the staging dir has no sidecar to derive it from)
+        fid_opt = options.get("fieldids", options.get("fieldIds"))
+        if fid_opt:
+            ids = json.loads(fid_opt)
+            if not isinstance(ids, dict):
+                raise ValueError("olive: 'fieldIds' must be a JSON object")
+            self.field_ids = {str(k): int(v) for k, v in ids.items()}
 
     def _emit(self, tbl: "pa.Table", subdir: str, files: list) -> None:
         from olive_spark.format.writer import write_chunk
@@ -1080,6 +1212,7 @@ class OliveWriter(DataSourceArrowWriter):
             dict_encode=self.dict_encode,
             collect_stats=self.stats,
             bloom_columns=self.bloom_columns,
+            field_ids=self.field_ids,
         )
         d = os.path.join(self.path, subdir) if subdir else self.path
         os.makedirs(d, exist_ok=True)
@@ -1302,7 +1435,10 @@ class OliveWriter(DataSourceArrowWriter):
         empty = pa.table(
             {f.name: pa.nulls(0, f.type) for f in to_arrow_schema(self.schema)}
         )
-        blob = write_chunk({self.table: empty}, page_rows=self.page_rows)
+        blob = write_chunk(
+            {self.table: empty}, page_rows=self.page_rows,
+            field_ids=self.field_ids,
+        )
         os.makedirs(self.path, exist_ok=True)
         fp = os.path.join(self.path, _chunk_file_name())
         with open(fp, "wb") as f:
@@ -1990,6 +2126,18 @@ class OliveDataSource(DataSource):
         headers = (
             files if merge else ([] if side is not None else files[:1])
         )
+        if side is not None:
+            from olive_spark.format.table_schema import read_column_mapping
+
+            if read_column_mapping(
+                self.options["path"], self.options.get("table")
+            ) is not None:
+                # column mapping active: the sidecar is the complete id
+                # authority (every schema change writes it), so header
+                # union could only resurface retired columns — a stored
+                # name outside the sidecar is a dropped/renamed-away
+                # column's data, never a missing schema entry
+                headers = []
         # DROP COLUMN tombstones: mergeSchema's header union must not
         # resurrect a dropped column out of old files
         tomb = set(dropped) if side is not None else set()

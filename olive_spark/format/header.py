@@ -170,15 +170,25 @@ class TableHeader:
     field_names: list[str]
     field_types: list[Any]  # JSON-encoded logical types (types.type_to_json)
     fields: list[ArrayHeader]
+    # column-mapping IDs (Delta ColumnMapping / Iceberg field-IDs):
+    # stable per-column integers assigned by the table's schema sidecar
+    # (table_schema.py).  Optional — files written before a table's
+    # first ID-requiring DDL carry none and resolve by name through the
+    # sidecar's legacy map.  When present, scans resolve stored columns
+    # by ID, so rename/drop/re-add lifecycles never misattribute data.
+    field_ids: "list[int] | None" = None
 
     def to_json(self) -> dict[str, Any]:
-        return {
+        out = {
             "name": self.name,
             "rows": self.num_rows,
             "fnames": self.field_names,
             "ftypes": self.field_types,
             "fields": [f.to_json() for f in self.fields],
         }
+        if self.field_ids is not None:
+            out["fids"] = self.field_ids
+        return out
 
     @staticmethod
     def from_json(j: Any) -> "TableHeader":
@@ -198,7 +208,22 @@ class TableHeader:
         if len(fnames) != len(fields) or len(ftypes) != len(fields):
             raise ValidationError("field name/type/header count mismatch")
         _validate_names(fnames)
-        return TableHeader(name, rows, fnames, ftypes, [ArrayHeader.from_json(f) for f in fields])
+        fids = j.get("fids")
+        if fids is not None:
+            if (
+                not isinstance(fids, list)
+                or len(fids) != len(fnames)
+                or not all(isinstance(i, int) and i > 0 for i in fids)
+                or len(set(fids)) != len(fids)
+            ):
+                raise ValidationError(
+                    f"malformed field-id list for table {name!r}: "
+                    "must be distinct positive ints, one per field"
+                )
+        return TableHeader(
+            name, rows, fnames, ftypes,
+            [ArrayHeader.from_json(f) for f in fields], fids,
+        )
 
 
 @dataclass

@@ -176,17 +176,198 @@ def read_dropped_columns(path: str, table: "str | None") -> "list[str]":
     return _entry_dropped(_table_entry(path, table))
 
 
+# ---- column-mapping IDs (Delta ColumnMapping / Iceberg field-IDs) ----
+#
+# A stable positive integer per column, assigned once and never reused.
+# Activated lazily by the first DDL that needs identity-stable columns
+# (rename/drop/add); appends on a mapped table reserve IDs for new
+# columns at plan time.  Sidecar entry keys:
+#   fids:     [int, ...] parallel to fnames — the CURRENT columns' IDs
+#   next_fid: next unassigned ID (monotonic; aborted reservations leave
+#             harmless gaps)
+#   legacy:   {stored_name: fid} — which column's data a STORED name
+#             holds in files written WITHOUT header field-ids.  Bound
+#             once per name (first writer wins): after DROP x / ADD x,
+#             legacy["x"] keeps pointing at the RETIRED id, so old
+#             files' x-values stay invisible — exactly the resurrection
+#             the per-name tombstones used to refuse.
+#   reserved: {name: fid} — IDs handed to in-flight appends for columns
+#             not yet in the schema; promoted to fids at commit.
+
+
+def _entry_mapping(entry: "dict | None", path: str) -> "dict | None":
+    """Parse the column-mapping keys of a sidecar entry: None when the
+    table has no mapping (pre-activation), else {"fids", "next_fid",
+    "legacy", "reserved"}.  Corruption raises loud, like every sidecar
+    consumer — a silently dropped mapping would resurrect old data."""
+    if entry is None:
+        return None
+    fids = entry.get("fids")
+    if fids is None:
+        return None
+    names = entry.get("fnames")
+    if (
+        not isinstance(fids, list)
+        or not isinstance(names, list)
+        or len(fids) != len(names)
+        or not all(isinstance(i, int) and i > 0 for i in fids)
+        or len(set(fids)) != len(fids)
+    ):
+        raise ValidationError(
+            f"corrupt schema sidecar {sidecar_path(path)}: malformed "
+            "field-id list"
+        )
+    legacy = entry.get("legacy") or {}
+    reserved = entry.get("reserved") or {}
+    for m, key in ((legacy, "legacy"), (reserved, "reserved")):
+        if not isinstance(m, dict) or not all(
+            isinstance(k, str) and isinstance(v, int) and v > 0
+            for k, v in m.items()
+        ):
+            raise ValidationError(
+                f"corrupt schema sidecar {sidecar_path(path)}: "
+                f"malformed {key!r} map"
+            )
+    nf = entry.get("next_fid")
+    if not isinstance(nf, int) or nf <= max(
+        [0, *fids, *legacy.values(), *reserved.values()]
+    ):
+        raise ValidationError(
+            f"corrupt schema sidecar {sidecar_path(path)}: next_fid "
+            "must exceed every assigned id"
+        )
+    return {
+        "fids": list(fids),
+        "next_fid": nf,
+        "legacy": dict(legacy),
+        "reserved": dict(reserved),
+    }
+
+
+def read_column_mapping(path: str, table: "str | None") -> "dict | None":
+    """The table's column mapping for the READ path: ``{"names",
+    "fids", "legacy"}`` (parallel names/fids = current schema), or None
+    when mapping was never activated.  Missing sidecar/table → None;
+    corrupt sidecar raises."""
+    entry = _table_entry(path, table)
+    m = _entry_mapping(entry, path)
+    if m is None:
+        return None
+    names, _types = _entry_schema(entry, path)
+    return {"names": names, "fids": m["fids"], "legacy": m["legacy"]}
+
+
+def activate_column_mapping(
+    path: str, table: str, field_names: list, field_types: list,
+) -> dict:
+    """Assign field-ids to ``table`` (idempotent).  Current columns get
+    ids 1..n; every name the table has EVER stored data under — current
+    names, rename aliases, dropped names — gets a ``legacy`` binding so
+    files without header ids keep resolving exactly as before: aliases
+    to their renamed column's id, dropped names to fresh RETIRED ids
+    (assigned but absent from the schema → their old data stays
+    invisible).  Returns {name: fid} for the current columns."""
+    from olive_spark.format.lock import metadata_commit_lock
+
+    with metadata_commit_lock(path):
+        entry = _table_entry(path, table)
+        m = _entry_mapping(entry, path)
+        if m is not None:
+            names, _ = _entry_schema(entry, path)
+            return dict(zip(names, m["fids"]))
+        if entry is not None:
+            field_names, field_types = _entry_schema(entry, path)
+        fids = list(range(1, len(field_names) + 1))
+        nxt = len(field_names) + 1
+        legacy = dict(zip(field_names, fids))
+        byname = dict(zip(field_names, fids))
+        for cur, olds in _entry_renames(entry).items():
+            if cur in byname:
+                for o in olds:
+                    legacy.setdefault(o, byname[cur])
+        for d in _entry_dropped(entry):
+            if d not in legacy:
+                legacy[d] = nxt  # retired id: bound, never in schema
+                nxt += 1
+        _write_table_schema_locked(
+            path, table, field_names, field_types,
+            mapping={"fids": fids, "next_fid": nxt, "legacy": legacy,
+                     "reserved": {}},
+        )
+        return dict(zip(field_names, fids))
+
+
+def reserve_field_ids(path: str, table: "str | None", names: list) -> dict:
+    """IDs for an append's columns on a MAPPED table: existing columns
+    return their id, unknown names get a fresh id persisted under
+    ``reserved`` (promoted to the schema at commit).  Two concurrent
+    appends introducing the same new column converge on one id — the
+    second sees the first's reservation.  Returns {} when the table has
+    no mapping (writers then stamp nothing).  A reserved name's legacy
+    binding is only added when the name was never bound — a re-added
+    name keeps its old binding, protecting old files."""
+    from olive_spark.format.lock import metadata_commit_lock
+
+    entry = _table_entry(path, table)
+    if _entry_mapping(entry, path) is None:
+        return {}
+    with metadata_commit_lock(path):
+        entry = _table_entry(path, table)
+        m = _entry_mapping(entry, path)
+        if m is None:
+            return {}
+        cur_names, cur_types = _entry_schema(entry, path)
+        byname = dict(zip(cur_names, m["fids"]))
+        out: dict = {}
+        dirty = False
+        for n in names:
+            if n in byname:
+                out[n] = byname[n]
+            elif n in m["reserved"]:
+                out[n] = m["reserved"][n]
+            else:
+                fid = m["next_fid"]
+                m["next_fid"] += 1
+                m["reserved"][n] = fid
+                m["legacy"].setdefault(n, fid)
+                out[n] = fid
+                dirty = True
+        if dirty:
+            _write_table_schema_locked(
+                path, table if table is not None else _resolve_single(path),
+                cur_names, cur_types, mapping=m,
+            )
+        return out
+
+
+def _resolve_single(path: str) -> str:
+    """table=None on a single-entry sidecar → the real table name."""
+    p = sidecar_path(path)
+    with open(p, "rb") as f:
+        doc = json.loads(f.read())
+    tables = doc.get("tables") or {}
+    if len(tables) != 1:
+        raise ValidationError(
+            "table name required for a multi-table schema sidecar"
+        )
+    return next(iter(tables))
+
+
 def write_table_schema(
     path: str, table: str, field_names: list, field_types: list,
     dropped: "list[str] | None" = None,
     renames: "dict[str, list[str]] | None" = None,
+    fids: "list[int] | None" = None,
 ) -> None:
     """Record ``table``'s current schema in the sidecar (atomic
     tmp+rename; other tables' entries are preserved).  ``dropped`` /
     ``renames`` replace the table's tombstone list / rename map when
     given; otherwise existing values are PRESERVED (evolution/appends
-    must not erase drop tombstones or rename history).  Caller holds
-    the single-writer contract."""
+    must not erase drop tombstones or rename history).  ``fids`` pins
+    the field-ids explicitly (rename keeps ids across a name change);
+    without it, a MAPPED table's ids carry over by name and new names
+    take their reservation (or a fresh id).  Caller holds the
+    single-writer contract."""
     if len(field_names) != len(field_types):
         raise ValidationError("field name/type count mismatch")
     # the RMW runs under the metadata commit lock: two concurrent
@@ -196,12 +377,14 @@ def write_table_schema(
 
     with metadata_commit_lock(path):
         _write_table_schema_locked(
-            path, table, field_names, field_types, dropped, renames
+            path, table, field_names, field_types, dropped, renames,
+            fids=fids,
         )
 
 
 def _write_table_schema_locked(
     path, table, field_names, field_types, dropped=None, renames=None,
+    mapping=None, fids=None,
 ) -> None:
     p = sidecar_path(path)
     doc: dict = {"version": _SIDECAR_VERSION, "tables": {}}
@@ -228,6 +411,42 @@ def _write_table_schema_locked(
         dropped = (prev or {}).get("dropped") or []
     if renames is None:
         renames = _entry_renames(prev if isinstance(prev, dict) else None)
+    if mapping is None:
+        mapping = _entry_mapping(
+            prev if isinstance(prev, dict) else None, path
+        )
+        if mapping is not None:
+            # mapped table, mapping not given: carry ids over by name;
+            # new names take their reservation (append plan-time) or a
+            # fresh id.  Every id assignment binds legacy once (first
+            # writer wins — re-added names keep their OLD binding).
+            prev_names, _ = _entry_schema(prev, path)
+            byname = dict(zip(prev_names, mapping["fids"]))
+            if fids is not None:
+                if len(fids) != len(field_names):
+                    raise ValidationError("fids/field_names length mismatch")
+                new_fids = list(fids)
+                for n, i in zip(field_names, new_fids):
+                    mapping["reserved"].pop(n, None)
+                    mapping["legacy"].setdefault(n, i)
+                    mapping["next_fid"] = max(mapping["next_fid"], i + 1)
+            else:
+                new_fids = []
+                for n in field_names:
+                    if n in byname:
+                        new_fids.append(byname[n])
+                    elif n in mapping["reserved"]:
+                        new_fids.append(mapping["reserved"].pop(n))
+                    else:
+                        i = mapping["next_fid"]
+                        mapping["next_fid"] += 1
+                        mapping["legacy"].setdefault(n, i)
+                        new_fids.append(i)
+            mapping["fids"] = new_fids
+            if len(set(new_fids)) != len(new_fids):
+                raise ValidationError(
+                    f"duplicate field-ids for table {table!r}: {new_fids}"
+                )
     doc["tables"][table] = {
         "fnames": list(field_names),
         "ftypes": list(field_types),
@@ -238,6 +457,14 @@ def _write_table_schema_locked(
         doc["tables"][table]["renames"] = {
             k: list(v) for k, v in renames.items()
         }
+    if mapping is not None:
+        ent = doc["tables"][table]
+        ent["fids"] = list(mapping["fids"])
+        ent["next_fid"] = int(mapping["next_fid"])
+        if mapping.get("legacy"):
+            ent["legacy"] = dict(mapping["legacy"])
+        if mapping.get("reserved"):
+            ent["reserved"] = dict(mapping["reserved"])
     blob = json.dumps(doc, separators=(",", ":")).encode()
     fd, tmp = tempfile.mkstemp(dir=path, prefix=".schema-", suffix=".tmp")
     try:

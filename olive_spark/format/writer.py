@@ -206,6 +206,7 @@ class ChunkWriter:
         dict_encode: bool = True,
         collect_stats: bool = True,
         bloom_columns: "tuple[str, ...] | list[str]" = (),
+        field_ids: "dict | None" = None,
     ) -> None:
         if compression_bias not in ("balanced", "read_optimized"):
             raise ValidationError(f"bad compression bias {compression_bias!r}")
@@ -215,6 +216,12 @@ class ChunkWriter:
         self.dict_encode = dict_encode
         self.collect_stats = collect_stats
         self.bloom_columns = tuple(bloom_columns)
+        # column-mapping IDs ({column name: id}) to stamp into each
+        # table header — the sidecar's stable ids (table_schema.py).
+        # All-or-nothing per table: a partial stamp would leave the
+        # uncovered columns resolving by the legacy-name path while
+        # their neighbors resolve by id — refuse instead.
+        self.field_ids = dict(field_ids) if field_ids else None
 
     def write(self, tables: dict[str, pa.Table]) -> bytes:
         if not tables:
@@ -268,7 +275,18 @@ class ChunkWriter:
 
                     ah.bloom = build_bloom(arr)
                 fields.append(ah)
-            theaders.append(TableHeader(name, n, list(t.column_names), ftypes, fields))
+            fids = None
+            if self.field_ids is not None:
+                missing = [c for c in t.column_names if c not in self.field_ids]
+                if missing:
+                    raise ValidationError(
+                        f"field_ids missing columns {missing} of table "
+                        f"{name!r} — ids are all-or-nothing per table"
+                    )
+                fids = [int(self.field_ids[c]) for c in t.column_names]
+            theaders.append(TableHeader(
+                name, n, list(t.column_names), ftypes, fields, fids
+            ))
 
         header = ChunkHeader(1, theaders, dict20, dict32, len(out.buf))
         return frame_file(header, bytes(out.buf))

@@ -694,6 +694,42 @@ def _rewrite_and_swap(
             .option("table", table)
             .option("chunkRows", target_rows)
         )
+        # column-mapping ids: the staging dir has no schema sidecar, so
+        # the writer can't derive the table's ids from it — pass them
+        # explicitly or the rewritten files would land UNSTAMPED and a
+        # re-added column's data would resolve through the legacy map
+        # to its retired id (i.e. vanish)
+        from olive_spark.format.table_schema import read_column_mapping
+
+        cm = read_column_mapping(path, table)
+        if cm is not None:
+            ids = dict(zip(cm["names"], cm["fids"]))
+            missing = [c for c in df.columns if c not in ids]
+            if missing:
+                # rewrite carries brand-new columns (merge evolution):
+                # reserve ids for them under the commit lock first
+                from olive_spark.format.table_schema import (
+                    reserve_field_ids,
+                )
+
+                ids.update(reserve_field_ids(path, table, missing))
+            w = w.option("fieldIds", json.dumps(ids))
+        # NDV sketch continuity: if the replaced files carried HLL
+        # sketches, re-sketch the SAME columns on the rewritten output
+        # (this is also how compact_if_needed's DV GC repairs the
+        # sketch upper-bound — the materializing rewrite re-sketches
+        # the surviving rows, r11 verdict task #3)
+        pre_man = load_manifest(path)
+        sketch_cols = sorted({
+            c
+            for rel in original_rels
+            for c in (
+                (pre_man.get(rel) or {}).get("ndv") or {}
+            )
+            if c in df.columns
+        })
+        if sketch_cols:
+            w = w.option("ndvColumns", ",".join(sketch_cols))
         if layout:
             w = w.option("partitionBy", layout["spec"])
         w.mode("append").save(tmp)
@@ -1056,14 +1092,21 @@ def _seed_evolved_sidecar(path, table, src_schema, new_cols) -> None:
         header, _ = _read_header_bytes(_list_chunk_files(path)[0])
         th = _pick_table(header, table)
         names, types = list(th.field_names), list(th.field_types)
-    tomb = set(read_dropped_columns(path, table))
-    resurrect = [c for c in new_cols if c in tomb]
-    if resurrect:
-        raise ValidationError(
-            f"columns {resurrect} were DROPped from {table!r}: old files "
-            "still hold their values, so re-adding the name would "
-            "resurface stale data — use a new name, or rewrite the table"
-        )
+    from olive_spark.format.table_schema import read_column_mapping
+
+    if read_column_mapping(path, table) is None:
+        # unmapped table: per-name tombstones are the only resurrection
+        # guard, so a dropped name stays refused.  Mapped tables re-add
+        # freely — the fresh column id keeps old values invisible.
+        tomb = set(read_dropped_columns(path, table))
+        resurrect = [c for c in new_cols if c in tomb]
+        if resurrect:
+            raise ValidationError(
+                f"columns {resurrect} were DROPped from {table!r}: old "
+                "files still hold their values, so re-adding the name "
+                "would resurface stale data — use a new name, or rewrite "
+                "the table"
+            )
     for c in new_cols:
         if c not in names:
             names.append(c)
@@ -2429,15 +2472,14 @@ def drop_column(path: str, column: str, table: str = "data") -> dict:
     scan schema doesn't name.  The inverse of add-column evolution,
     under the same latest-schema-wins model.
 
-    The name is TOMBSTONED, not freed: old files still hold values
-    under it, so a later append/merge re-introducing the same name
-    would silently resurface stale data where fresh NULLs are expected
-    — writers and schema evolution refuse tombstoned names (rename the
-    new column, or rewrite the table).  Dropping a hive PARTITION
-    column is refused: the value lives in the directory layout that
-    pruning and rewrites depend on.  Like rename, resurrecting a
-    dropped name safely needs column-mapping IDs (Delta/Iceberg) —
-    out of scope, documented.
+    The name IS freed (r11): this DDL activates column-mapping ids
+    (format/table_schema.py — Delta ColumnMapping / Iceberg
+    field-ids), under which the dropped column's ID retires with its
+    data.  Old files' values stay bound to the retired id, so a later
+    ``add_column`` of the same name (a fresh id) reads as NULL over
+    them — never a resurrection.  Dropping a hive PARTITION column is
+    still refused: the value lives in the directory layout that
+    pruning and rewrites depend on.
 
     Reference n/a (no directory/schema layer, src/root.zig:9-16)."""
     from olive_spark.datasource.olive_datasource import (
@@ -2484,13 +2526,22 @@ def drop_column(path: str, column: str, table: str = "data") -> dict:
             f"cannot drop {column!r}: it is the source of a hidden "
             "partition transform — the directory layout derives from it"
         )
+    # identity-stable drop: activate column-mapping ids first, so the
+    # dropped column's id retires with its data (old files' values stay
+    # bound to it) and the NAME becomes reusable — a later add_column
+    # of the same name is a fresh id, not a resurrection
+    from olive_spark.format.table_schema import activate_column_mapping
+
+    idmap = activate_column_mapping(path, table, names, types)
+    fids = [idmap[n] for n in names]
     idx = names.index(column)
     names.pop(idx)
     types.pop(idx)
+    fids.pop(idx)
     dropped = read_dropped_columns(path, table)
     if column not in dropped:
-        dropped.append(column)
-    write_table_schema(path, table, names, types, dropped=dropped)
+        dropped.append(column)  # historical record; ids make it advisory
+    write_table_schema(path, table, names, types, dropped=dropped, fids=fids)
     return {"dropped": column, "columns": names}
 
 
@@ -2547,15 +2598,19 @@ def add_column(
     ``col_type`` accepts the same primitive grammar as widen_column
     (olive names or Spark DDL aliases, ``decimal(p,s)``) plus
     ``string``/``binary``/``boolean``/``date``/``timestamp``.
-    Re-adding a DROPped or renamed-away name is refused (old files
-    still hold its values — resurrection tombstones); so are reserved
-    prefixes.  Returns {column, type}."""
+    Re-adding a DROPped or renamed-away name is ALLOWED: this DDL
+    activates column-mapping ids (table_schema.py — Delta
+    ColumnMapping / Iceberg field-ids), so the re-added name is a NEW
+    column id; old files' same-named values stay bound to the retired
+    id and never resurface (they read as NULL, like any pre-add file).
+    Reserved prefixes are still refused.  Returns {column, type}."""
     from olive_spark.datasource.olive_datasource import (
         _list_chunk_files,
         _pick_table,
         _read_header_bytes,
     )
     from olive_spark.format.table_schema import (
+        activate_column_mapping,
         read_dropped_columns,
         read_table_schema,
         write_table_schema,
@@ -2590,17 +2645,18 @@ def add_column(
         header, _ = _read_header_bytes(_list_chunk_files(path)[0])
         th = _pick_table(header, table)
         names, types = list(th.field_names), list(th.field_types)
+        table = th.name  # resolve the default to the real name
     if column in names:
         raise ValidationError(f"column {column!r} already exists")
-    if column in set(read_dropped_columns(path, table)):
-        raise ValidationError(
-            f"column {column!r} was DROPped: old files still hold its "
-            "values, so re-adding the name would resurface stale data — "
-            "use a new name, or rewrite the table"
-        )
+    # identity-stable columns from here on: with ids, a re-added name
+    # is a fresh id — the old id's data stays invisible by construction
+    activate_column_mapping(path, table, names, types)
+    dropped = read_dropped_columns(path, table)
+    if column in dropped:
+        dropped = [d for d in dropped if d != column]  # name re-enters
     names.append(column)
     types.append(tj)
-    write_table_schema(path, table, names, types)
+    write_table_schema(path, table, names, types, dropped=dropped)
     return {"column": column, "type": tj}
 
 
@@ -2719,14 +2775,12 @@ def rename_column(
 ) -> dict:
     """RENAME COLUMN as metadata-only evolution (one small JSON write,
     no file rewritten): the sidecar's schema authority swaps the name
-    in place, its ``renames`` map records ``{new: [old, ...older]}`` so
-    the READ path projects the column out of pre-rename files (their
-    bytes still sit under the old name — olive_datasource maps the name
-    per file at scan time), and the old name is drop-TOMBSTONED so a
-    later append/merge reintroducing it cannot resurface stale values
-    beside the renamed column.  Rename chains flatten (a→b→c keeps
-    [b, a] as read aliases); latest-schema-wins, so time travel reads
-    old snapshots through the CURRENT names, like add/drop evolution.
+    in place while the column KEEPS its column-mapping id (activated
+    here if it wasn't yet — format/table_schema.py), so old files
+    resolve the column by id/legacy-binding rather than by name.  The
+    freed old name can later be re-added as a fresh id.  Rename chains
+    flatten; latest-schema-wins, so time travel reads old snapshots
+    through the CURRENT names, like add/drop evolution.
 
     Renaming a hive partition column or a hidden-transform source is
     refused — the directory layout spells the old name.
@@ -2770,11 +2824,6 @@ def rename_column(
             f"cannot rename {old!r} to {new!r}: the name is taken"
         )
     dropped = read_dropped_columns(path, table)
-    if new in dropped:
-        raise ValidationError(
-            f"cannot rename to {new!r}: the name was DROPped and old "
-            "files still hold its values — pick another name"
-        )
     part_cols = _detect_partition_cols(path) or []
     from olive_spark.format.partition import read_sidecar
 
@@ -2796,15 +2845,25 @@ def rename_column(
             f"cannot rename to {new!r}: it is a hidden-partition dir "
             f"key of this table (dir keys: {sorted(dir_keys)})"
         )
+    # identity-stable rename: activate column-mapping ids (no-op when
+    # already active) and keep the column's id across the name change —
+    # old files resolve through the id, not the name, so no per-name
+    # tombstone is needed and the freed name can later be re-added
+    from olive_spark.format.table_schema import activate_column_mapping
+
+    idmap = activate_column_mapping(path, table, names, types)
+    fids = [idmap[n] for n in names]
     names[names.index(old)] = new
     renames = read_renames(path, table)
     # chain flatten: aliases of the old name become aliases of the new
+    # (kept as history + unmapped-reader fallback)
     aliases = [old] + renames.pop(old, [])
     renames[new] = aliases
     if old not in dropped:
-        dropped.append(old)  # resurrection guard, same as DROP
+        dropped.append(old)  # historical record; ids make it advisory
     write_table_schema(
-        path, table, names, types, dropped=dropped, renames=renames
+        path, table, names, types, dropped=dropped, renames=renames,
+        fids=fids,
     )
     return {"renamed": {old: new}, "columns": names}
 
@@ -3421,7 +3480,7 @@ def count_rows(
 
 def approx_distinct(
     path: str, column: str, table: str = "data",
-    snapshot: "int | None" = None,
+    snapshot: "int | None" = None, exact_dv: bool = False,
 ) -> int:
     """Metadata-only approx COUNT(DISTINCT column): merge the per-file
     HLL sketches the writer recorded under ``.option("ndvColumns",...)``
@@ -3433,20 +3492,28 @@ def approx_distinct(
     ``count_rows``/``describe`` sibling for the planner's other
     favorite statistic.
 
-    Deletion vectors are NOT folded (the sketches are per-file and a
-    mask can't subtract from an HLL): on a DV'd table the estimate is
-    an UPPER bound until ``compact`` materializes the masks — fine for
-    the planner use (NDV guides join strategy, where over-estimating
-    is the safe direction)."""
+    Deletion vectors: a per-file sketch describes the file's RAW rows,
+    and an HLL can't subtract, so by default a DV'd table's estimate is
+    an UPPER bound until the masks are materialized — the safe
+    direction for the planner use (NDV guides join strategy), and
+    ``compact_if_needed`` re-sketches DV-heavy files away in the same
+    pass that materializes them.  ``exact_dv=True`` restores the error
+    bound immediately: ONLY the DV-carrying files are re-read (one
+    column, mask folded, re-sketched here); clean files keep their
+    manifest sketches, so the cost is proportional to the masked
+    fraction, not the table (r11 verdict task #3)."""
     from olive_spark.datasource.olive_datasource import _pick_table
     from olive_spark.format import ndv
+    from olive_spark.format.deletion import list_dvs
     from olive_spark.format.manifest import load_manifest, lookup
     from olive_spark.format.reader import ChunkReader
     from olive_spark.format.snapshots import (
+        dv_state_at,
         files_at,
         list_live_files,
         resolve_paths,
     )
+    from olive_spark.format.table_schema import read_column_mapping
 
     names = (
         files_at(path, int(snapshot)) if snapshot is not None
@@ -3454,22 +3521,59 @@ def approx_distinct(
     )
     paths = resolve_paths(path, names)
     man = load_manifest(path)
+    dv_state: dict = {}
+    if exact_dv:
+        dv_state = (
+            dv_state_at(path, int(snapshot)) if snapshot is not None
+            else list_dvs(path)
+        )
+    colmap = read_column_mapping(path, table if os.path.isdir(path) else None)
     blobs = []
-    for fp in paths:
+    for rel, fp in zip(names, paths):
+        dv_names = dv_state.get(rel)
         ent = lookup(man, path, fp)
         enc = (ent or {}).get("ndv", {}).get(column)
-        if isinstance(enc, str):
+        if isinstance(enc, str) and not dv_names:
             blobs.append(ndv.decode(enc))
             continue
         r = ChunkReader.from_path(fp)
         th = _pick_table(r.header, table)
-        if column not in th.field_names:
+        stored = column
+        if column not in th.field_names and colmap is not None:
+            # remapped table: the column's bytes may sit under an older
+            # stored name — resolve through the id, same as the scan
+            from olive_spark.datasource.olive_datasource import (
+                _stored_to_current,
+            )
+
+            cur_of = _stored_to_current(th, colmap, None) or {}
+            back = {c: s for s, c in cur_of.items()}
+            stored = back.get(column)
+            if stored is None:
+                continue  # file predates the column: contributes nothing
+        elif column not in th.field_names:
             raise ValidationError(
                 f"approx_distinct: {column!r} is not a column of "
                 f"{th.name!r} (columns: {list(th.field_names)})"
             )
-        tbl = r.read_table(th.name, columns=[column])
-        blobs.append(ndv.sketch_from_array(tbl.column(column)))
+        tbl = r.read_table(th.name, columns=[stored])
+        if dv_names:
+            import numpy as _np
+            import pyarrow as _pa
+
+            from olive_spark.format.deletion import (
+                resolve_dv_paths,
+                union_positions,
+            )
+
+            deleted = union_positions(
+                resolve_dv_paths(path, dv_names), th.name
+            ).astype("int64")
+            mask = ~_np.isin(
+                _np.arange(tbl.num_rows, dtype=_np.int64), deleted
+            )
+            tbl = tbl.filter(_pa.array(mask))
+        blobs.append(ndv.sketch_from_array(tbl.column(stored)))
     if not blobs:
         return 0
     return ndv.estimate(ndv.merge_sketches(blobs))

@@ -56,21 +56,72 @@ _RAW: dict[str, tuple] = {
 }
 
 # Driver coverage window: the correctness gate checks the FIRST 50
-# registry entries.  Round-10 rotation (VERDICT r9 task #8): the window
-# leads with the 7 r10-new queries (deletion vectors, NOT MATCHED BY
-# SOURCE, replaceWhere, type widening, persisted PQ), re-checks the 12
-# r9-green queries whose code paths r10 rewired (merge provenance
-# threading + per-file DV strategy, executor-side tombstones,
-# commit-lock metadata RMWs, snapshot replay, CDF DV diffing,
-# restore/clone DV state), keeps the canary, and fills with the
-# LONGEST-unchecked entries — the r02-r04 cohort (TPC-H parts 2/3,
-# scalar/array/map/datetime families, last driver-checked 6+ rounds
-# ago) — keeping ≥1 per query family.  Cumulative coverage stays
-# complete: every registry query has appeared in some driver window
-# r2–r10 with zero real failures on its latest appearance; entries
-# beyond 50 keep bench/pytest coverage.
+# registry entries.  Round-11 rotation (VERDICT r10 task #2): lead with
+# the canary, the r11-new column-mapping lifecycle query, and the TWO
+# entries registered after r10's window capture (scan_after_add_column,
+# scan_dv_gc — never yet driver-windowed); then sweep the LONGEST-
+# unchecked cohort — all 35 queries last windowed in r6 and the 10
+# oldest r7 entries the verdict named (similarity rows-only family,
+# llm_token_budget_mix, scan_bloom_pruning, tpch_q4/q6, scan-format
+# basics) — plus setop_union_except so every query family keeps >=1
+# windowed entry.  The remaining r7 cohort (14 entries) rotates in
+# r12.  Cumulative coverage stays complete: every registry query has
+# appeared in some driver window r2-r11 with zero real failures on its
+# latest appearance; entries beyond 50 keep bench/pytest coverage.
 _ORDER = [
     "scan_roundtrip_lineitem",
+    "scan_after_column_remap",  # r11: column-mapping id lifecycle
+    "scan_after_add_column",  # never windowed (registered post-r10 capture)
+    "scan_dv_gc",  # never windowed (registered post-r10 capture)
+    "setop_union_except",
+    "agg_conditional_bools",
+    "agg_grouped_map_mad",
+    "agg_histogram_buckets",
+    "agg_median_disc",
+    "join_lateral_topn",
+    "join_left_right_outer",
+    "llm_fingerprint",
+    "llm_lang_id",
+    "llm_length_percentiles",
+    "llm_ngram_topk",
+    "llm_pack_sequences",
+    "llm_pii_redact",
+    "llm_repetition_ratio",
+    "llm_similarity_arrow",
+    "llm_similarity_range",
+    "llm_stratified_sample",
+    "llm_tfidf_topk",
+    "llm_token_count",
+    "llm_vocab_topk",
+    "mm_audio_windows",
+    "mm_frame_sample",
+    "scalar_hash_bitwise",
+    "stream_dedup_counts",
+    "stream_olive_sink",
+    "stream_session_window",
+    "stream_sliding_counts",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_user_totals",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_suppliers",
+    "window_first_last",
+    "window_running_sum",
+    "llm_token_budget_mix",
+    "scan_bloom_pruning",
+    "tpch_q4_order_priority",
+    "tpch_q6_revenue",
+    "llm_similarity_ivf",
+    "llm_similarity_pq",
+    "scan_filter_pages",
+    "scan_nulls_validity",
+    "scan_multi_table_chunk",
+    "types_decimal_date",
+    # ---- beyond the 50-entry driver window: everything below was
+    # green in its latest window (r06-r10) and keeps bench/pytest
+    # coverage; cumulative driver coverage over rounds stays complete ----
     "scan_after_dv_delete",
     "scan_dv_time_travel",
     "scan_dv_changes_feed",
@@ -120,11 +171,6 @@ _ORDER = [
     "llm_quality_score",
     "mm_decode_meta",
     "ts_ewma_events",
-    "scan_after_add_column",  # r10: metadata-only ADD COLUMN DDL
-    "scan_dv_gc",  # r10: max_dv_fraction auto-materialization lifecycle
-    # ---- beyond the 50-entry driver window: everything below was
-    # green in its latest window (r06-r09) and keeps bench/pytest
-    # coverage; cumulative driver coverage over rounds stays complete ----
     "scan_truncate_partition_pruning",
     "scan_after_respec",
     "scan_after_rename_column",
@@ -139,7 +185,6 @@ _ORDER = [
     "ts_resample_locf",
     "events_window_funnel",
     "scalar_json_events",
-    "setop_union_except",
     "subquery_correlated_scalar",
     "tpch_q3_shipping",
     "agg_cube_events",
@@ -168,9 +213,6 @@ _ORDER = [
     "join_full_outer",
     "null_handling",
     "reshape_unpivot",
-    "agg_median_disc",
-    "window_first_last",
-    "scalar_hash_bitwise",
     "scan_merge_time_travel",
     "mm_decode_png_real",
     "mm_audio_wav_real",
@@ -204,62 +246,20 @@ _ORDER = [
     "join_skew_salted",
     "window_sessionize",
     "dedup_latest_per_key",
-    "llm_token_budget_mix",
     "stream_incremental_dedup",
     "llm_gopher_rules",
     "llm_chunk_documents",
-    "scan_bloom_pruning",
     "llm_pretrain_pipeline",
     "join_interval_overlap",
     "llm_dedup_simhash",
     "llm_dedup_ngram",
     "llm_dedup_embedding",
     "llm_dedup_semantic",
-    "llm_similarity_ivf",
-    "llm_similarity_pq",
-    "tpch_q4_order_priority",
-    "tpch_q6_revenue",
     "scan_projection_pruning",
-    "scan_filter_pages",
-    "scan_nulls_validity",
     "scan_nested_list",
-    "scan_multi_table_chunk",
     "scan_partitioned_pruning",
     "dict_encode_fsb",
     "compression_codecs",
-    "types_decimal_date",
-    "agg_histogram_buckets",
-    "agg_conditional_bools",
-    "agg_grouped_map_mad",
-    "join_lateral_topn",
-    "join_left_right_outer",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_suppliers",
-    "llm_similarity_arrow",
-    "llm_similarity_range",
-    "llm_tfidf_topk",
-    "llm_lang_id",
-    "llm_fingerprint",
-    "llm_token_count",
-    "llm_pii_redact",
-    "llm_repetition_ratio",
-    "llm_pack_sequences",
-    "llm_stratified_sample",
-    "llm_vocab_topk",
-    "llm_ngram_topk",
-    "llm_length_percentiles",
-    "mm_frame_sample",
-    "mm_audio_windows",
-    "stream_session_window",
-    "stream_sliding_counts",
-    "stream_static_join",
-    "stream_user_totals",
-    "stream_stream_join",
-    "stream_dedup_counts",
-    "stream_olive_sink",
-    "window_running_sum",
 ]
 
 assert set(_ORDER) == set(_RAW), (

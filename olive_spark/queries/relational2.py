@@ -2393,6 +2393,82 @@ SQL_AFTER_ADD_COLUMN = (
 )
 
 
+def _ensure_orders_remapped(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) a table exercising the full COLUMN-
+    MAPPING lifecycle (r11 — Delta ColumnMapping / Iceberg field-ids,
+    format/table_schema.py):
+
+      v1  base: orders → (o_orderkey, o_totalprice, o_tag) where
+          o_tag carries o_orderstatus values, 2 files
+      --  rename_column(o_totalprice → o_price): id-stable, no rewrite
+      --  drop_column(o_tag): the id retires with its data
+      --  add_column(o_tag string): SAME name, FRESH id
+      v2  append the %7==0 orders re-keyed +900M with doubled o_price
+          and o_tag='new'
+
+    Pre-DDL files must resolve o_price by COLUMN ID (their bytes sit
+    under 'o_totalprice') and read the re-added o_tag as NULL — a read
+    path that matched the stored name would resurrect 'O'/'F'/'P'
+    status strings into the o_tag groups and hash-mismatch loudly."""
+    from olive_spark.ops.maintenance import (
+        add_column,
+        drop_column,
+        rename_column,
+    )
+
+    def build(out: str) -> None:
+        base = data.load(
+            spark, sf, "orders",
+            columns=["o_orderkey", "o_totalprice", "o_orderstatus"],
+        ).withColumnRenamed("o_orderstatus", "o_tag")
+        base.coalesce(2).write.format("olive") \
+            .option("table", "orders_remapped").mode("append").save(out)
+        rename_column(out, "o_totalprice", "o_price", table="orders_remapped")
+        drop_column(out, "o_tag", table="orders_remapped")
+        add_column(out, "o_tag", "string", table="orders_remapped")
+        extra = base.filter(F.col("o_orderkey") % 7 == 0).select(
+            (F.col("o_orderkey") + F.lit(900_000_000)).alias("o_orderkey"),
+            (F.col("o_totalprice") * 2).alias("o_price"),
+            F.lit("new").alias("o_tag"),
+        )
+        extra.write.format("olive").option("table", "orders_remapped") \
+            .mode("append").save(out)
+
+    return _build_once(spark, sf, "orders_remapped", "_REMAP_OK", build)
+
+
+def scan_after_column_remap(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-mapping parity: aggregate the RENAMED column (resolved by
+    id out of pre-rename files) grouped by the DROPPED-then-RE-ADDED
+    name (NULL for every pre-DDL row — old values bound to the retired
+    id).  Cites Delta ColumnMapping semantics; reference n/a (no
+    directory/schema layer, /root/reference/src/root.zig:9-16)."""
+    path = _ensure_orders_remapped(spark, sf)
+    df = (
+        spark.read.format("olive")
+        .option("table", "orders_remapped").load(path)
+    )
+    return df.groupBy("o_tag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_price").cast(D)).cast(D).alias("sum_price"),
+        F.sum("o_orderkey").alias("sum_keys"),
+    )
+
+
+SQL_AFTER_COLUMN_REMAP = (
+    "WITH unioned AS ("
+    "SELECT o_orderkey, o_totalprice AS o_price, "
+    "CAST(NULL AS VARCHAR) AS o_tag FROM orders "
+    "UNION ALL "
+    "SELECT o_orderkey + 900000000, o_totalprice * 2, 'new' "
+    "FROM orders WHERE o_orderkey % 7 = 0) "
+    "SELECT o_tag, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_price AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys "
+    "FROM unioned GROUP BY o_tag"
+)
+
+
 def _ensure_orders_dv_gc(spark: SparkSession, sf: str) -> str:
     """Build (once per cache) a table exercising the DV GARBAGE
     COLLECTION lifecycle (r10):
@@ -2539,6 +2615,9 @@ QUERIES: dict[str, tuple] = {
     ),
     "scan_after_widen_column": (scan_after_widen_column, SQL_AFTER_WIDEN),
     "scan_after_add_column": (scan_after_add_column, SQL_AFTER_ADD_COLUMN),
+    "scan_after_column_remap": (
+        scan_after_column_remap, SQL_AFTER_COLUMN_REMAP,
+    ),
     "scan_dv_gc": (scan_dv_gc, SQL_DV_GC),
     "scan_dv_time_travel": (scan_dv_time_travel, SQL_DV_TIME_TRAVEL),
     "scan_dv_changes_feed": (scan_dv_changes_feed, SQL_DV_CHANGES_FEED),

@@ -1260,8 +1260,9 @@ def test_facade_update_where(spark, tmp_path):
 def test_drop_column_hides_everywhere(spark, tmp_path):
     """DROP COLUMN: metadata-only — the column leaves default scans,
     snapshot reads, and mergeSchema unions; appends without it work;
-    re-adding the name is refused at plan time (append AND evolving
-    merge); partition columns and the last column are refused."""
+    re-introducing the name (append AND evolving merge) is a FRESH
+    column id (r11 column mapping) — old values never resurface;
+    partition columns and the last column are refused."""
     from olive_spark.format.errors import ValidationError
     from olive_spark.ops.maintenance import drop_column, merge_upsert
 
@@ -1285,21 +1286,31 @@ def test_drop_column_hides_everywhere(spark, tmp_path):
     ).write.format("olive").mode("append").save(path)
     assert spark.read.format("olive").load(path).count() == 110
 
-    # resurrection refused: plain append...
-    with pytest.raises(Exception, match="DROPped"):
-        spark.range(5).selectExpr(
-            "id AS k", "id AS v", "cast(0 as int) AS grp"
-        ).write.format("olive").mode("append").save(path)
-    # ...and schema-evolving merge
+    # re-introduction is a FRESH column id, never a resurrection:
+    # a plain append carrying the dropped name evolves the schema...
+    spark.range(200, 205).selectExpr(
+        "id AS k", "id AS v", "cast(0 as int) AS grp"
+    ).write.format("olive").mode("append").save(path)
+    got = spark.read.format("olive").load(path)
+    assert "v" in got.columns
+    # pre-drop rows read NULL v (old data bound to the retired id);
+    # the appended rows carry their new values
+    assert got.filter("k < 100 AND v IS NOT NULL").count() == 0
+    assert got.filter("k >= 200 AND v = k").count() == 5
+    # ...and so does a schema-evolving merge re-adding another name
+    drop_column(path, "v")
     src = spark.range(3).selectExpr(
-        "id AS k", "cast(1 as int) AS grp", "id AS v"
+        "id AS k", "cast(1 as int) AS grp", "id + 1000 AS v"
     )
-    with pytest.raises(ValidationError, match="DROPped"):
-        merge_upsert(spark, path, src, ["k"], evolve_schema=True)
+    merge_upsert(spark, path, src, ["k"], evolve_schema=True)
+    got = spark.read.format("olive").load(path)
+    assert got.filter("k = 1 AND v = 1001").count() == 1
+    assert got.filter("k >= 200 AND v IS NOT NULL").count() == 0
 
     # guards
     with pytest.raises(ValidationError, match="not a column"):
         drop_column(path, "nope")
+    drop_column(path, "v")
     drop_column(path, "grp")
     with pytest.raises(ValidationError, match="only column"):
         drop_column(path, "k")

@@ -132,3 +132,45 @@ def test_ndv_columns_validated_at_plan_time(spark, tmp_path):
     with pytest.raises(Exception, match="ndvColumns"):
         df.write.format("olive").option("ndvColumns", "nope") \
             .mode("append").save(str(tmp_path / "x"))
+
+
+def test_approx_distinct_dv_aware(spark, tmp_path):
+    """r11 verdict task #3: on a table where ~15 % of rows are
+    DV-deleted (taking whole value groups with them), the default
+    estimate over-counts (documented upper bound), exact_dv=True
+    restores the HLL error bound by re-sketching ONLY the DV-carrying
+    files, and the DV-GC compaction repairs the DEFAULT estimate by
+    re-sketching the materialized files."""
+    from olive_spark.ops.maintenance import (
+        approx_distinct,
+        compact_if_needed,
+        delete_where,
+    )
+
+    path = str(tmp_path / "t")
+    # v has 10_000 distinct values; v % 100 < 15 deletes ~15 % of rows
+    # AND removes exactly 1_500 distinct values entirely
+    spark.range(100_000).selectExpr(
+        "id AS k", "cast(id % 10000 as long) AS v"
+    ).repartition(4).write.format("olive") \
+        .option("ndvColumns", "v").mode("append").save(path)
+    delete_where(spark, path, "v % 100 < 15", mode="dv")
+    true_ndv = 8_500
+
+    est_upper = approx_distinct(path, "v")
+    assert est_upper > true_ndv * 1.05  # today's documented over-count
+
+    est_exact = approx_distinct(path, "v", exact_dv=True)
+    assert abs(est_exact - true_ndv) / true_ndv < 0.05, est_exact
+
+    # snapshot-scoped exact_dv folds THAT version's DV state: v1 had
+    # no DVs yet, so exact_dv there sees the full cardinality
+    est_v1 = approx_distinct(path, "v", snapshot=1, exact_dv=True)
+    assert abs(est_v1 - 10_000) / 10_000 < 0.05, est_v1
+
+    # DV GC: materializing the masks re-sketches the rewritten files,
+    # so the DEFAULT estimate is repaired without exact_dv
+    g = compact_if_needed(spark, path, max_dv_fraction=0.10)
+    assert g["compacted"], g
+    est_after_gc = approx_distinct(path, "v")
+    assert abs(est_after_gc - true_ndv) / true_ndv < 0.05, est_after_gc

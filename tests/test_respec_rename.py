@@ -155,10 +155,17 @@ def test_rename_column_reads_old_files(spark, tmp_path):
         (i, i * 2) for i in range(120)
     ]
 
-    # the OLD name is tombstoned: an append carrying it is refused
-    with pytest.raises(Exception, match="DROPped"):
-        spark.range(5).selectExpr("id AS k", "id AS v") \
-            .write.format("olive").mode("append").save(path)
+    # the OLD name is FREE again (r11 column mapping): an append
+    # carrying it lands as a FRESH column id — pre-append rows read
+    # NULL under it, and the renamed column's values never leak into it
+    spark.range(500, 505).selectExpr("id AS k", "id AS v") \
+        .write.format("olive").mode("append").save(path)
+    got3 = spark.read.format("olive").load(path)
+    assert sorted(got3.columns) == ["k", "v", "val"]
+    assert got3.filter("k < 120 AND v IS NOT NULL").count() == 0
+    assert got3.filter("k >= 500 AND v = k").count() == 5
+    # old files still resolve the renamed column by id
+    assert got3.filter("k = 10 AND val = 20").count() == 1
 
 
 def test_rename_chain_and_validation(spark, tmp_path):
@@ -185,9 +192,15 @@ def test_rename_chain_and_validation(spark, tmp_path):
         rename_column(path, "c", "k")
     with pytest.raises(ValidationError, match="reserved"):
         rename_column(path, "c", "__x")
-    # renaming TO a tombstoned (old) name is refused
-    with pytest.raises(ValidationError, match="DROPped"):
-        rename_column(path, "c", "a")
+    # renaming BACK to a previously-used name works under column
+    # mapping: the id follows the column; old stored 'a' data (the
+    # same id, pre-rename files) still resolves to it correctly
+    rename_column(path, "c", "a")
+    got = spark.read.format("olive").load(path)
+    assert sorted(got.columns) == ["a", "k"]
+    assert sorted((r["k"], r["a"]) for r in got.collect()) == [
+        (i, i * 3) for i in range(80)
+    ]
 
 
 def test_rename_survives_merge_rewrite(spark, tmp_path):
@@ -464,5 +477,8 @@ def test_add_column_metadata_only(spark, tmp_path):
     with _pytest.raises(ValidationError, match="unsupported"):
         add_column(path, "m", "map<string,int>")
     drop_column(path, "label")
-    with _pytest.raises(ValidationError, match="DROPped"):
-        add_column(path, "label", "string")
+    # re-adding the dropped name is a FRESH column id (r11 column
+    # mapping): the old 'x' value stays invisible
+    add_column(path, "label", "string")
+    df = spark.read.format("olive").load(path)
+    assert df.filter("label IS NOT NULL").count() == 0
