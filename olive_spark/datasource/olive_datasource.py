@@ -659,6 +659,22 @@ class OliveReader(DataSourceReader):
                     (back[c], op, v) for c, op, v in preds if c in back
                 ]
             pages = select_pages(th, preds) if preds else None
+            # deletion-vector state FIRST: whole pages the DV decides
+            # (fully dead on a folding scan, unmarked on a DV-diff
+            # scan) are skipped before any data page is touched
+            dv_paths = dv_lookup.get(fp)
+            dv_positions = None
+            if self.dv_select and not dv_paths:
+                continue  # DV-diff scan of a file with no DV: no rows
+            if dv_paths:
+                from olive_spark.format.deletion import union_positions
+
+                dv_positions = union_positions(
+                    dv_paths, th.name
+                ).astype("int64")
+                pages = _dv_page_filter(
+                    th, pages, dv_positions, keep_marked=self.dv_select
+                )
             cols = list(partition.columns) if partition.columns else None
             if cols:  # merged-schema dirs: this file may lack some columns
                 if current_of is not None:
@@ -681,28 +697,18 @@ class OliveReader(DataSourceReader):
             # deletion vectors / raw positions: positions index the
             # file's shared row grid, page-selection-aware, so a DV
             # written against the full file folds correctly into any
-            # pruned read (format/deletion.py)
-            dv_paths = dv_lookup.get(fp)
+            # pruned read; positions are table-scoped (a DV against
+            # another table of a multi-table chunk never folds here)
             pos = None
-            if dv_paths or self.pos_column or self.dv_select:
+            if dv_positions is not None or self.pos_column:
                 pos = _file_positions(th, pages)
             if self.dv_select:
                 # change-feed DV-diff mode: ONLY the listed positions
-                from olive_spark.format.deletion import union_positions
-
-                if not dv_paths:
-                    continue
-                sel = union_positions(dv_paths, th.name).astype("int64")
-                mask = np.isin(pos, sel)
+                mask = np.isin(pos, dv_positions)
                 tbl = tbl.filter(pa.array(mask))
                 pos = pos[mask]
-            elif dv_paths:
-                from olive_spark.format.deletion import union_positions
-
-                # table-scoped fold: a DV written against another table
-                # of a multi-table chunk must not drop this table's rows
-                deleted = union_positions(dv_paths, th.name).astype("int64")
-                mask = ~np.isin(pos, deleted)
+            elif dv_positions is not None:
+                mask = ~np.isin(pos, dv_positions)
                 if not mask.all():
                     tbl = tbl.filter(pa.array(mask))
                     pos = pos[mask]
@@ -768,6 +774,54 @@ class OlivePushdownReader(OliveReader):
             if p is not None:
                 self.predicates.append(p)
         return iter(filters)
+
+
+def _page_grid(th):
+    """(starts, ends) of the file's shared row grid, or None when the
+    table has no buffers (all-null / zero-row sentinel)."""
+    from olive_spark.format import buffers as B
+
+    ends = None
+    for f in th.fields:
+        for b in f.buffers.values():
+            ends = b.row_index_ends
+            break
+        if ends is not None:
+            break
+    if not ends:
+        return None
+    return B.grid_starts(ends), ends
+
+
+def _dv_page_filter(th, pages, positions, keep_marked: bool):
+    """Page-level deletion-vector pruning (r11 verdict task #8): given
+    the sorted unique DV ``positions`` of this file, drop pages the DV
+    decides wholesale — fully-deleted pages on a folding scan
+    (``keep_marked=False``), pages holding NO marked position on a
+    change-feed DV-diff scan (``keep_marked=True``).  Returns the new
+    page selection (None = all pages survive untouched, [] = nothing
+    to read).  Skipped pages are never decompressed or decoded — a
+    delete of a contiguous half of a file halves its scan I/O without
+    waiting for materialization."""
+    import numpy as np
+
+    grid = _page_grid(th)
+    if grid is None or len(positions) == 0:
+        return pages if pages is not None else None
+    starts, ends = grid
+    idx = list(range(len(ends))) if pages is None else list(pages)
+    if not idx:
+        return idx
+    s = np.asarray([starts[i] for i in idx], dtype=np.int64)
+    e = np.asarray([ends[i] for i in idx], dtype=np.int64)
+    cnt = np.searchsorted(positions, e) - np.searchsorted(positions, s)
+    if keep_marked:
+        kept = [i for i, c in zip(idx, cnt) if c > 0]
+    else:
+        kept = [i for i, c, a, b in zip(idx, cnt, s, e) if c < (b - a)]
+    if pages is None and len(kept) == len(ends):
+        return None  # nothing dropped: keep the no-subset fast path
+    return kept
 
 
 def _stored_to_current(th, colmap, renames) -> "dict[str, str] | None":

@@ -41,3 +41,11 @@ class InvalidBufferLen(OliveError):
 class DataSectionOverflow(OliveError):
     """Write-side: chunk data section would exceed the 4 GiB cap
     (reference src/write.zig:986-991)."""
+
+
+class SerializableConflict(OliveError):
+    """Opt-in Serializable isolation (ops.maintenance mutations with
+    ``isolation="serializable"``): a concurrent append committed rows
+    intersecting the mutation's predicate between its snapshot read
+    and its commit — the mutation aborts with nothing made visible;
+    re-run it to read the new rows."""

@@ -297,11 +297,21 @@ class metadata_commit_lock:
       then fails loud naming the holder; crashed holders are stolen by
       TTL with the same same-host-liveness rules as the table lock.
 
-    NOT reentrant and never held across a Spark job — acquire, rewrite
-    one JSON file, release.  Lock ordering: table lock (long) →
-    commit lock (micro); nothing acquires the table lock while holding
-    this one, so there is no deadlock cycle.
+    Reentrant WITHIN a thread (r11): a serializable mutation commit
+    holds it across the file swap + snapshot entry, and the manifest
+    refresh inside that window takes it again — the nested acquire
+    just bumps a depth counter; only the outermost release touches the
+    lock file.  Never held across a Spark job — acquire, rewrite one
+    JSON file (or, serializable-commit only, a handful of renames),
+    release.  Lock ordering: table lock (long) → commit lock (micro);
+    nothing acquires the table lock while holding this one, so there
+    is no deadlock cycle.
     """
+
+    #: per-process reentrancy registry: {abspath: {"thread": id,
+    #: "depth": n}} — guarded by the GIL-atomic dict ops plus the fact
+    #: that only the holding thread mutates its own entry
+    _ACTIVE: dict = {}
 
     def __init__(
         self, dirpath: str, ttl: float = COMMIT_TTL,
@@ -312,8 +322,15 @@ class metadata_commit_lock:
         self.ttl = float(ttl)
         self.timeout = float(timeout)
         self.token: "str | None" = None
+        self._nested = False
 
     def __enter__(self) -> "metadata_commit_lock":
+        key = os.path.abspath(self.path)
+        cur = metadata_commit_lock._ACTIVE.get(key)
+        if cur is not None and cur["thread"] == threading.get_ident():
+            cur["depth"] += 1
+            self._nested = True
+            return self
         os.makedirs(self.dirpath, exist_ok=True)
         deadline = time.time() + self.timeout
         delay = 0.005
@@ -332,6 +349,9 @@ class metadata_commit_lock:
                         "ttl": self.ttl,
                     }, f)
                 self.token = token
+                metadata_commit_lock._ACTIVE[key] = {
+                    "thread": threading.get_ident(), "depth": 1,
+                }
                 return self
             except FileExistsError:
                 cur = _read_lock_file(self.path)
@@ -352,6 +372,19 @@ class metadata_commit_lock:
                 delay = min(delay * 2, 0.25)
 
     def __exit__(self, *exc) -> None:
+        key = os.path.abspath(self.path)
+        if self._nested:
+            cur = metadata_commit_lock._ACTIVE.get(key)
+            if cur is not None:
+                cur["depth"] -= 1
+            self._nested = False
+            return
+        cur = metadata_commit_lock._ACTIVE.get(key)
+        if cur is not None and cur["thread"] == threading.get_ident():
+            if cur["depth"] > 1:  # outermost exited before a nested one?
+                cur["depth"] -= 1
+                return
+            del metadata_commit_lock._ACTIVE[key]
         if self.token is None:
             return
         # Check-then-rename-then-verify: read the lock file FIRST and

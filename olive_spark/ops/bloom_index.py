@@ -203,6 +203,176 @@ def compact_bloom_index(spark, index_dir: str) -> dict:
     return meta
 
 
+# ---- transactional corpus+index ingest (r11 verdict task #4) ----------
+
+_TXN_PENDING = "_index_txn.pending"
+
+#: test-only crash injection: maps a phase name ("after_marker",
+#: "after_corpus") to a callable that raises.  Production never sets it.
+_CRASH_HOOKS: dict = {}
+
+
+def _crash_point(phase: str) -> None:
+    hook = _CRASH_HOOKS.get(phase)
+    if hook is not None:
+        hook()
+
+
+def _txn_path(index_dir: str) -> str:
+    return os.path.join(index_dir, _TXN_PENDING)
+
+
+def _tagged_entry(corpus_path: str, tag: str) -> "dict | None":
+    """The retained snapshot-log entry carrying ``tag`` (None if the
+    corpus commit never landed)."""
+    from olive_spark.format.snapshots import load_log
+
+    for e in load_log(corpus_path).get("entries", []):
+        if e.get("tag") == tag:
+            return e
+    return None
+
+
+def _fold_corpus_version_into_index(
+    spark, corpus_path: str, index_dir: str, entry: dict,
+    text_col: str, table: str,
+) -> int:
+    """Fold EXACTLY the files one corpus commit added into the index —
+    the shared redo path of ingest and recovery.  Reads only that
+    version's files (snapshot-diff scan) and appends their shard
+    partials.  Safe to re-run: Bloom OR is idempotent, so a crash
+    mid-fold redoes into the same bits."""
+    meta = load_meta(index_dir)
+    files = entry.get("add") or []
+    if not files:
+        return 0
+    batch = (
+        spark.read.format("olive").option("table", table)
+        .option("files", ",".join(files)).load(corpus_path)
+    )
+    d = os.path.join(index_dir, "shards")
+    _shard_partials(
+        batch, text_col, int(meta["m"]), int(meta["n_shards"])
+    ).write.format("olive").option("table", "bloom_shards").mode(
+        "append"
+    ).save(d)
+    return len(files)
+
+
+def recover_index_txn(spark, index_dir: str) -> "dict | None":
+    """Finish (or discard) an interrupted :func:`ingest_with_bloom_index`
+    so corpus and index are never observably out of step:
+
+    - corpus commit LANDED (its tag is in the snapshot log) → roll the
+      index FORWARD by re-folding that version's files (idempotent —
+      Bloom OR re-sets the same bits), then clear the marker: BOTH
+      visible;
+    - corpus commit never landed → the crash preceded any visible
+      effect: clear the marker, NEITHER visible.
+
+    Returns {"replayed": bool} when a marker was healed, None when
+    there was nothing to do.  Serialized against concurrent ingests by
+    the index directory's (reentrant) write lock."""
+    if not os.path.exists(_txn_path(index_dir)):
+        return None  # cheap no-marker fast path, no lock taken
+    from olive_spark.format.lock import table_write_lock
+
+    with table_write_lock(index_dir):
+        p = _txn_path(index_dir)
+        try:
+            with open(p) as f:
+                txn = json.load(f)
+        except FileNotFoundError:
+            return None  # healed by whoever held the lock before us
+        from olive_spark.datasource import register_olive
+
+        register_olive(spark)
+        corpus_path = txn["corpus_path"]
+        entry = _tagged_entry(corpus_path, txn["tag"])
+        replayed = False
+        if entry is not None:
+            _fold_corpus_version_into_index(
+                spark, corpus_path, index_dir, entry,
+                txn.get("text_col", "text"), txn.get("table", "data"),
+            )
+            replayed = True
+        os.remove(p)
+        return {"replayed": replayed}
+
+
+def ingest_with_bloom_index(
+    spark,
+    corpus_path: str,
+    batch: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    table: str = "data",
+) -> dict:
+    """ATOMIC corpus+index ingest: append ``batch`` to the snapshot-
+    logged corpus table AND fold it into the Bloom index, with a crash
+    at ANY point leaving both-or-neither visible (r11 verdict task #4).
+
+    Protocol (intent marker + tagged corpus commit + idempotent redo):
+
+    1. heal any interrupted prior txn (:func:`recover_index_txn`);
+    2. write ``_index_txn.pending`` in the index dir — from here until
+       step 5 the index is 'in transaction': probes heal it first;
+    3. append the batch to the corpus, tagged (ONE snapshot version —
+       the corpus side is atomic by the snapshot log's own contract);
+    4. fold exactly that version's files into the index (the same
+       snapshot-diff redo path recovery uses — re-runnable because
+       Bloom OR is idempotent);
+    5. remove the marker.
+
+    Crash between 2-3 → recovery finds no tagged version: marker
+    dropped, NOTHING visible.  Crash between 3-5 (including mid-fold)
+    → recovery re-folds version's files: BOTH visible.  The index-side
+    fold needs no exactly-once bookkeeping precisely because re-OR-ing
+    a batch sets the same bits."""
+    import uuid as _uuid
+
+    from olive_spark.format.lock import table_write_lock
+
+    # the index write lock serializes concurrent ingests (two markers
+    # would clobber each other); reentrant, so the heal below nests
+    with table_write_lock(index_dir):
+        recover_index_txn(spark, index_dir)
+        load_meta(index_dir)  # refuse loudly when there is no index
+        from olive_spark.datasource import register_olive
+
+        register_olive(spark)
+        tag = "bloom-txn-" + _uuid.uuid4().hex
+        txn = {
+            "tag": tag,
+            "corpus_path": os.path.abspath(corpus_path),
+            "text_col": text_col,
+            "table": table,
+        }
+        tmp = _txn_path(index_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(txn, f)
+        os.replace(tmp, _txn_path(index_dir))
+        _crash_point("after_marker")
+        (
+            batch.write.format("olive").option("table", table)
+            .option("commitTag", tag).mode("append")
+            .save(corpus_path)
+        )
+        _crash_point("after_corpus")
+        entry = _tagged_entry(os.path.abspath(corpus_path), tag)
+        if entry is None:  # the tag must exist — the write just landed
+            raise ValueError(
+                f"corpus commit tag {tag} not found in {corpus_path} — "
+                "snapshot log collapsed mid-ingest?"
+            )
+        n = _fold_corpus_version_into_index(
+            spark, os.path.abspath(corpus_path), index_dir, entry,
+            text_col, table,
+        )
+        os.remove(_txn_path(index_dir))
+        return {"tag": tag, "version": int(entry["v"]), "files_folded": n}
+
+
 def probe_bloom_index(
     spark,
     new_df: DataFrame,
@@ -228,6 +398,9 @@ def probe_bloom_index(
     from olive_spark.datasource import register_olive
 
     register_olive(spark)
+    # an interrupted transactional ingest leaves the index one commit
+    # behind its corpus — heal before serving (no-op without a marker)
+    recover_index_txn(spark, index_dir)
     meta = load_meta(index_dir)
     m, nsh = int(meta["m"]), int(meta["n_shards"])
     d = os.path.join(index_dir, "shards")

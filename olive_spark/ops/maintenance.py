@@ -633,6 +633,7 @@ def _rewrite_and_swap(
     prefix: str, layout: "dict | None" = None,
     empty: bool = False, commit_tag: "str | None" = None,
     dv_add: "list[tuple[str, str]] | None" = None,
+    precommit=None,
 ) -> "list[str]":
     """Write ``df`` as the replacement for ``original_rels`` inside the
     live table at ``path`` — the crash-safe copy-on-write core shared by
@@ -775,39 +776,84 @@ def _rewrite_and_swap(
             "dv_add": [list(p) for p in (dv_add or [])],
         }
     )
-    with open(manifest + ".tmp", "w") as fh:
-        fh.write(payload)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(manifest + ".tmp", manifest)
-    for dest in staged:
-        os.replace(dest, dest[: -len(".staging")])
-    for _t, dv_rel in (dv_add or []):
-        stag = os.path.join(path, dv_rel) + ".staging"
-        if os.path.exists(stag):
-            os.replace(stag, os.path.join(path, dv_rel))
-    for rel in original_rels:
-        _retire_original(path, rel, retain_history)
-    os.remove(manifest)
-    shutil.rmtree(tmp, ignore_errors=True)
-    try:
-        # refresh the stats manifest: retired originals drop out (their
-        # files are gone from the live listing), replacements keep their
-        # commit-time stats under the activated names — sorted/z-ordered
-        # layout plus the manifest is what lets a 100 TB plan prune
-        # files without opening them
-        merge_manifest(path, stats_entries)
-    except OSError:
-        pass
-    try:
-        # snapshot log: this rewrite is one version — new files in, old
-        # files out (resolvable from _olive_history when retained)
-        from olive_spark.format.snapshots import append_entry
 
-        append_entry(path, add=finals, remove=original_rels,
-                     tag=commit_tag, dv_add=tuple(dv_add or ()))
-    except OSError:
-        pass
+    def _commit_visible() -> None:
+        with open(manifest + ".tmp", "w") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(manifest + ".tmp", manifest)
+        for dest in staged:
+            os.replace(dest, dest[: -len(".staging")])
+        for _t, dv_rel in (dv_add or []):
+            stag = os.path.join(path, dv_rel) + ".staging"
+            if os.path.exists(stag):
+                os.replace(stag, os.path.join(path, dv_rel))
+        for rel in original_rels:
+            _retire_original(path, rel, retain_history)
+        os.remove(manifest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            # refresh the stats manifest: retired originals drop out
+            # (their files are gone from the live listing),
+            # replacements keep their commit-time stats under the
+            # activated names — sorted/z-ordered layout plus the
+            # manifest is what lets a 100 TB plan prune files without
+            # opening them
+            merge_manifest(path, stats_entries)
+        except OSError:
+            pass
+
+    if precommit is None:
+        _commit_visible()
+        try:
+            # snapshot log: this rewrite is one version — new files in,
+            # old files out (resolvable from _olive_history if retained)
+            from olive_spark.format.snapshots import append_entry
+
+            append_entry(path, add=finals, remove=original_rels,
+                         tag=commit_tag, dv_add=tuple(dv_add or ()))
+        except OSError:
+            pass
+        return finals
+    # SERIALIZABLE commit (r11 verdict task #6): the conflict check,
+    # the file swap, and the snapshot-log entry all run under ONE hold
+    # of the metadata commit lock — no concurrent append's log entry
+    # can interleave between the final validation and this mutation's
+    # version.  Everything inside is driver-local file IO (renames +
+    # JSON), never a Spark job, honoring the micro-lock contract.  A
+    # precommit abort leaves nothing visible: staged files and DVs are
+    # inert non-.olive names, removed here.
+    from olive_spark.format.lock import metadata_commit_lock
+    from olive_spark.format.snapshots import _append_entry_locked
+
+    with metadata_commit_lock(path):
+        try:
+            precommit()
+        except Exception:
+            # abort: un-stage everything this op wrote; the table is
+            # byte-for-byte what a never-started mutation would see
+            for dest in staged:
+                try:
+                    os.remove(dest)
+                except OSError:
+                    pass
+            for _t, dv_rel in (dv_add or []):
+                try:
+                    os.remove(os.path.join(path, dv_rel) + ".staging")
+                except OSError:
+                    pass
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        _commit_visible()
+        try:
+            _append_entry_locked(
+                path, add=finals, remove=original_rels, reset=False,
+                tag=commit_tag, max_entries=None,
+                dv_add=tuple(dv_add or ()), dv_remove=(),
+            )
+        except OSError:
+            pass  # same best-effort contract as the unlocked path
     return finals
 
 
@@ -1149,6 +1195,7 @@ def merge_upsert(
     dv_threshold: float = 0.2,
     not_matched_by_source_delete: bool = False,
     not_matched_by_source_condition: "str | None" = None,
+    isolation: str = "write_serializable",
 ) -> dict:
     """``MERGE INTO`` (upsert) on a snapshot-logged olive table: rows of
     ``source`` whose ``key_cols`` match an existing row REPLACE it; the
@@ -1305,6 +1352,12 @@ def merge_upsert(
     lakehouse extension, built on the snapshot log
     (olive_spark/format/snapshots.py).
 
+    ``isolation="serializable"`` (default WriteSerializable) aborts
+    with ``SerializableConflict`` when a concurrent append commits rows
+    whose keys the source touches (or ANY rows, under NOT MATCHED BY
+    SOURCE) between this merge's snapshot read and its commit — see
+    :func:`_serializable_precommit`.
+
     Returns {files_rewritten, files_added, rows_after_in_rewritten,
     inserted_only (bool), version}."""
     from pyspark.sql import functions as F
@@ -1316,9 +1369,14 @@ def merge_upsert(
 
     if strategy not in ("auto", "dv", "rewrite"):
         raise ValueError("strategy must be 'auto', 'dv', or 'rewrite'")
+    if isolation not in ("write_serializable", "serializable"):
+        raise ValueError(
+            "isolation must be 'write_serializable' or 'serializable'"
+        )
     register_olive(spark)
     _recover_pending(path)
     _seed_snapshot_log(path)
+    v0 = current_version(path)
     fc = "_olive_file"
     if fc in source.columns:
         raise ValueError(f"source must not carry the provenance column {fc!r}")
@@ -1565,6 +1623,28 @@ def merge_upsert(
         nmbs_files = [r[0] for r in anti.select(fc).distinct().collect()]
         affected = sorted(set(affected) | set(nmbs_files))
     pre_version = current_version(path)
+    _test_hook("serializable_window")
+    precommit = None
+    if isolation == "serializable":
+        # the merge's read set: rows whose keys the source touches —
+        # or, under NOT MATCHED BY SOURCE, EVERY target row (absent
+        # keys get deleted), where any concurrent append conflicts
+        if not_matched_by_source_delete:
+            def _conflicts(files):  # noqa: ARG001 — any append conflicts
+                return bool(files)
+        else:
+            _keys_df = src.select(*key_cols).distinct()
+
+            def _conflicts(files):
+                df = (
+                    spark.read.format("olive").option("table", table)
+                    .option("files", ",".join(files)).load(path)
+                )
+                return bool(
+                    df.join(_keys_df, key_cols, "left_semi")
+                    .limit(1).count() > 0
+                )
+        precommit = _serializable_precommit(spark, path, v0, _conflicts)
     if not affected:
         # pure insert: a plain append commit (its own snapshot entry).
         # The batch may have shrunk (intra-source dedup, all-stale rows
@@ -1618,6 +1698,12 @@ def merge_upsert(
                 iw = iw.option("commitTag", commit_tag)
             if new_cols:  # sidecar BEFORE data: see _seed_evolved_sidecar
                 _seed_evolved_sidecar(path, table, src.schema, new_cols)
+            if precommit is not None:
+                # pure-insert commits ride the plain append protocol
+                # (no staged swap to gate), so the serializable check
+                # runs immediately before the write — the residual
+                # window is the append commit itself, documented
+                precommit()
             iw.mode("append").save(path)
             added = [
                 f for f in _list_chunk_files(path) if f not in before_files
@@ -1886,7 +1972,7 @@ def merge_upsert(
             path, rw_files, run,
             table=table, target_rows=target_rows,
             retain_history=retain_history, prefix="merge",
-            layout=layout, commit_tag=commit_tag,
+            layout=layout, commit_tag=commit_tag, precommit=precommit,
             empty=(rw_rows == 0 and not wipe_all),
             dv_add=dv_add,
         )
@@ -1968,6 +2054,97 @@ def _stage_dv_positions(
     return [(r["file"], r["dv"], int(r["n"])) for r in out]
 
 
+# ---- opt-in Serializable isolation (r11 verdict task #6) ---------------
+
+#: test-only hooks: {"serializable_window": callable} runs between a
+#: mutation's snapshot read and its conflict check, so tests can land a
+#: real concurrent append inside the race window.  Production never
+#: sets these.
+_TEST_HOOKS: dict = {}
+
+
+def _test_hook(name: str) -> None:
+    hook = _TEST_HOOKS.get(name)
+    if hook is not None:
+        hook()
+
+
+def _appended_since(path: str, v0: int) -> "list[str]":
+    """Relative names of files ADDED by snapshot versions > v0 that are
+    still live — the mutation's unread write set."""
+    from olive_spark.format.snapshots import load_log
+
+    out: list[str] = []
+    for e in load_log(path).get("entries", []):
+        if int(e.get("v", 0)) > v0:
+            out.extend(e.get("add") or [])
+    return [r for r in out if os.path.exists(os.path.join(path, r))]
+
+
+def _serializable_precommit(spark, path: str, v0: int, conflicts):
+    """Serializable isolation for mutations (Delta's Serializable
+    level; the engine default stays WriteSerializable — SURVEY §2):
+    the mutation read snapshot version ``v0``; any append committed
+    after it whose rows intersect the mutation's read predicate makes
+    the actual schedule non-equivalent to every serial order (the
+    append precedes the mutation in the log, yet the mutation ignored
+    its rows) — abort loudly, visible-state untouched.
+
+    Two phases so the commit micro-lock never spans a Spark job:
+
+    1. EXACT, outside the lock: scan ONLY the files appended in
+       (v0, now] and evaluate the real predicate (``conflicts``, one
+       slim limit-1 job).  A match raises ``SerializableConflict``.
+    2. CONSERVATIVE, returned as the precommit callable that
+       _rewrite_and_swap runs UNDER the commit lock: any append that
+       landed after phase 1's re-read conflicts outright (no stats
+       guessing under the lock — the window is milliseconds, so a hit
+       means a genuinely racing writer; re-run the mutation).
+    """
+    from olive_spark.format.errors import SerializableConflict
+    from olive_spark.format.snapshots import current_version
+
+    new = _appended_since(path, v0)
+    if new and conflicts(new):
+        raise SerializableConflict(
+            f"serializable conflict on {path}: a concurrent append "
+            f"committed rows matching this mutation's predicate after "
+            f"its snapshot read (v{v0}; files {new[:4]}"
+            + ("..." if len(new) > 4 else "")
+            + ") — nothing was changed; re-run the mutation"
+        )
+    v1 = current_version(path)
+
+    def precommit_locked() -> None:
+        late = _appended_since(path, v1)
+        if late:
+            raise SerializableConflict(
+                f"serializable conflict on {path}: appends {late[:4]} "
+                f"landed inside the commit window (after v{v1}) — "
+                "nothing was changed; re-run the mutation"
+            )
+
+    return precommit_locked
+
+
+def _condition_conflicts(spark, path: str, table: str, condition: str):
+    """conflicts(files) for WHERE-predicate mutations: do the appended
+    files hold ANY row matching ``condition``?  Exact — scans only
+    those files, stops at the first hit."""
+    from pyspark.sql import functions as F
+
+    def conflicts(files: "list[str]") -> bool:
+        df = (
+            spark.read.format("olive").option("table", table)
+            .option("files", ",".join(files)).load(path)
+        )
+        return bool(
+            df.filter(F.expr(condition)).limit(1).count() > 0
+        )
+
+    return conflicts
+
+
 def _write_dvs_for(
     spark, path: str, table: str, condition: str,
     dv_files: "list[str]", run: str,
@@ -2001,6 +2178,7 @@ def delete_where(
     target_rows: int = 1 << 20,
     mode: str = "auto",
     dv_threshold: float = 0.2,
+    isolation: str = "write_serializable",
 ) -> dict:
     """``DELETE FROM ... WHERE condition`` on a snapshot-logged olive
     table (SQL expression string; NULL condition keeps the row, per SQL
@@ -2033,6 +2211,12 @@ def delete_where(
     single-writer contract as :func:`compact`; partitioned layouts are
     preserved.
 
+    ``isolation="serializable"`` (default WriteSerializable, SURVEY §2)
+    re-validates the predicate against files appended between this
+    delete's snapshot read and its commit and aborts with
+    ``SerializableConflict`` when they intersect — see
+    :func:`_serializable_precommit`.
+
     Returns {files_rewritten, files_added, files_dv, rows_deleted,
     version, pre_version}."""
     from pyspark.sql import functions as F
@@ -2042,9 +2226,14 @@ def delete_where(
 
     if mode not in ("auto", "dv", "rewrite"):
         raise ValueError("mode must be 'auto', 'dv', or 'rewrite'")
+    if isolation not in ("write_serializable", "serializable"):
+        raise ValueError(
+            "isolation must be 'write_serializable' or 'serializable'"
+        )
     register_olive(spark)
     _recover_pending(path)
     _seed_snapshot_log(path)
+    v0 = current_version(path)
     fc = "_olive_file"
     cond = F.expr(condition)
     # discovery on its own (possibly pushdown-pruned) relation; the
@@ -2088,6 +2277,13 @@ def delete_where(
             else:
                 rw_files.append(rel)
     run = uuid.uuid4().hex[:8]
+    _test_hook("serializable_window")
+    precommit = None
+    if isolation == "serializable":
+        precommit = _serializable_precommit(
+            spark, path, v0,
+            _condition_conflicts(spark, path, table, condition),
+        )
     dv_add: list[tuple[str, str]] = []
     if dv_files:
         staged = _write_dvs_for(
@@ -2102,6 +2298,7 @@ def delete_where(
             table=table, target_rows=target_rows,
             retain_history=retain_history, prefix="delete",
             layout=None, empty=True, dv_add=dv_add,
+            precommit=precommit,
         )
         return {
             "files_rewritten": 0,
@@ -2145,6 +2342,7 @@ def delete_where(
             layout=layout,
             empty=(rows == 0 and not wipe_all),
             dv_add=dv_add,
+            precommit=precommit,
         )
     finally:
         survivors.unpersist()
@@ -2299,6 +2497,7 @@ def update_where(
     target_rows: int = 1 << 20,
     mode: str = "auto",
     dv_threshold: float = 0.2,
+    isolation: str = "write_serializable",
 ) -> dict:
     """``UPDATE … SET col = expr, … WHERE condition`` on a
     snapshot-logged olive table — the predicate-UPDATE sibling of
@@ -2326,6 +2525,8 @@ def update_where(
     touches only affected files and preserves hive layouts.  Same
     single-writer contract as :func:`compact`.
 
+    ``isolation="serializable"``: as in :func:`delete_where`.
+
     Returns {files_rewritten, files_added, rows_updated, version,
     pre_version}."""
     from pyspark.sql import functions as F
@@ -2337,9 +2538,14 @@ def update_where(
         raise ValueError("set_exprs must be non-empty")
     if mode not in ("auto", "dv", "rewrite"):
         raise ValueError("mode must be 'auto', 'dv', or 'rewrite'")
+    if isolation not in ("write_serializable", "serializable"):
+        raise ValueError(
+            "isolation must be 'write_serializable' or 'serializable'"
+        )
     register_olive(spark)
     _recover_pending(path)
     _seed_snapshot_log(path)
+    v0 = current_version(path)
     fc = "_olive_file"
     tagged = (
         spark.read.format("olive")
@@ -2406,6 +2612,13 @@ def update_where(
             else:
                 rw_files.append(rel)
     run = uuid.uuid4().hex[:8]
+    _test_hook("serializable_window")
+    precommit = None
+    if isolation == "serializable":
+        precommit = _serializable_precommit(
+            spark, path, v0,
+            _condition_conflicts(spark, path, table, condition),
+        )
     dv_add: list[tuple[str, str]] = []
     if dv_files:
         # DV leg: matched positions mask out the PRE-update rows...
@@ -2445,7 +2658,7 @@ def update_where(
         n_files = max(1, math.ceil(rows / target_rows))
         finals = _rewrite_and_swap(
             _shape_for_write(rewritten, n_files, layout), path, rw_files,
-            run,
+            run, precommit=precommit,
             table=table, target_rows=target_rows,
             retain_history=retain_history, prefix="update",
             layout=layout,

@@ -711,17 +711,30 @@ def ivf_topk_indexed(
     )
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     q_assigned = _ivf_q_assigned(queries, cents_rows, n_probe, vec_col, id_col)
-    # Directory-pruned inverted-list scan: the probe set is tiny (it is
-    # broadcast anyway), so evaluating it once up front costs one small
-    # job and yields the literal probed-bucket list; pushing that IN
-    # filter into the hive-partitioned assignments scan skips every
+    # Directory-pruned inverted-list scan: the probed-bucket IN filter
+    # pushed into the hive-partitioned assignments scan skips every
     # unprobed bucket=... directory at PLAN time — the point of an IVF
     # index at 100 TB (n_probe/n_centroids of the corpus is read, not
-    # all of it).  The filter is exactly the join's bucket set, so
-    # results are identical to the unpruned join.
-    buckets = sorted(
-        r["bucket"] for r in q_assigned.select("bucket").distinct().collect()
-    )
+    # all of it).  ONE slim job computes it (r11 verdict task #7): the
+    # whole assignment result — (query_id, query_vec, bucket), a few
+    # rows per query — collects WITHOUT the former distinct shuffle,
+    # the buckets come from it locally, and the probe join broadcasts
+    # the localized assignment instead of re-scanning + re-assigning
+    # the queries relation (one fixed Python-DSv2 round trip saved per
+    # serve).  The probe-set bits are identical: the same JVM
+    # expression computed them.  A query set too large to localize
+    # (batch ANN join, > max_local rows) falls back to the two-job
+    # plan, which never collects query vectors.
+    max_local = 4096 * max(1, int(n_probe))
+    q_local = q_assigned.limit(max_local + 1).collect()
+    if len(q_local) <= max_local:
+        buckets = sorted({r["bucket"] for r in q_local})
+        q_assigned = spark.createDataFrame(q_local, q_assigned.schema)
+    else:
+        buckets = sorted(
+            r["bucket"]
+            for r in q_assigned.select("bucket").distinct().collect()
+        )
     c_assigned = (
         spark.read.format("olive")
         .option("pushdown", "true")
@@ -926,6 +939,7 @@ def build_pq_index(
     id_col: str = "vec_id",
     corpus_version: "int | None" = None,
     ivf_centroids: "int | None" = None,
+    residual: bool = True,
 ) -> dict:
     """Persist a product-quantization index as olive tables — the
     memory-bounded ANN shape for corpora whose full vectors can't be
@@ -947,10 +961,19 @@ def build_pq_index(
     (trained like :func:`build_ivf_index`) bucket-hive-partitions the
     codes table, so an ``n_probe`` query scans only the probed
     ``bucket=`` directories — dir-pruned IO on top of code-compressed
-    IO, the standard billion-scale layout (codes stay raw-vector PQ,
-    not residual PQ: one codebook serves every bucket, and the re-rank
-    stage restores exact ordering either way; documented deviation from
-    Faiss's residual encoding).
+    IO, the standard billion-scale layout.  With ``residual=True``
+    (the default, r11 — Faiss IVF-PQ's encoding) the codes quantize
+    ``vec − centroid[assigned]`` instead of the raw vector, so the
+    SAME m·n_cent codebook budget stops re-describing the coarse
+    structure and spends its resolution on what the coarse layer
+    didn't explain.  This wins on the HIERARCHICAL distributions real
+    embedding corpora have (topic clusters × shared fine structure —
+    measurably better candidate ranking at identical geometry, pinned
+    in tests/test_similarity.py); on unstructured/near-uniform vectors
+    residuals are white noise whose independent quantization errors
+    can hurt ranking — pass ``residual=False`` there (the r10 raw
+    encoding; older indexes read as raw via the meta flag).  Serving
+    builds per-(query, probed bucket) ADC tables.
 
     Crash safety and staleness mirror the IVF index: a pending marker
     covers the whole build, and ``corpus_version`` keys the artifact to
@@ -982,8 +1005,9 @@ def build_pq_index(
         [r[vec_col] for r in sample_df.collect()], dtype=np.float64
     ))
     d = sample.shape[1]
-    books = _pq_train_codebooks(sample, m, n_cent)
     cents_rows = None
+    cmat = None
+    use_residual = bool(residual and ivf_centroids)
     if ivf_centroids:
         # coarse layer: deterministic first-N-sample centroids, same
         # geometry rule as _ivf_train_assign's trainer
@@ -991,16 +1015,23 @@ def build_pq_index(
         cents_rows = [
             (int(i), [float(x) for x in v]) for i, v in enumerate(cmat)
         ]
+    train = sample
+    if use_residual:
+        # train the codebooks on residuals w.r.t. each sample vector's
+        # own assigned coarse centroid — the distribution the encoder
+        # will actually quantize
+        assign = (sample @ _norm(cmat).T).argmax(1)
+        train = sample - cmat[assign]
+    books = _pq_train_codebooks(train, m, n_cent)
     bc = spark.sparkContext.broadcast(
-        (books, np.array([v for _c, v in cents_rows])
-         if cents_rows else None)
+        (books, cmat, use_residual)
     )
     out_schema = (
         f"{id_col} long, codes binary" + (", bucket int" if cents_rows else "")
     )
 
     def encode(batches):
-        books_, cmat_ = bc.value
+        books_, cmat_, residual_ = bc.value
         m_ = len(books_)
         sub = d // m_
         for batch in batches:
@@ -1009,9 +1040,14 @@ def build_pq_index(
             if len(vecs) == 0:
                 continue
             vecs = _norm(np.asarray(vecs, np.float64))
+            bkt = None
+            if cmat_ is not None:
+                sims = _norm(vecs) @ _norm(cmat_).T
+                bkt = sims.argmax(1)
+            enc_in = vecs - cmat_[bkt] if residual_ else vecs
             codes = np.empty((len(vecs), m_), dtype=np.uint8)
             for j in range(m_):
-                x = vecs[:, j * sub : (j + 1) * sub]
+                x = enc_in[:, j * sub : (j + 1) * sub]
                 d2 = ((x[:, None, :] - books_[j][None, :, :]) ** 2).sum(-1)
                 codes[:, j] = d2.argmin(1)
             cols = {
@@ -1020,10 +1056,9 @@ def build_pq_index(
                     [c.tobytes() for c in codes], pa.binary()
                 ),
             }
-            if cmat_ is not None:
-                sims = _norm(vecs) @ _norm(cmat_).T
+            if bkt is not None:
                 cols["bucket"] = pa.array(
-                    sims.argmax(1).astype(np.int32), pa.int32()
+                    bkt.astype(np.int32), pa.int32()
                 )
             yield pa.RecordBatch.from_pydict(cols)
 
@@ -1055,6 +1090,7 @@ def build_pq_index(
         "m": int(m), "n_cent": int(n_cent), "dims": int(d),
         "vec_col": vec_col, "id_col": id_col,
         "ivf_centroids": int(ivf_centroids) if ivf_centroids else None,
+        "residual": use_residual,
         "corpus_version": corpus_version,
         "build_id": uuid.uuid4().hex,
     }
@@ -1140,15 +1176,28 @@ def pq_topk_indexed(
     qids = np.array([q[0] for q in query_rows], dtype=np.int64)
     qmat = _norm(np.array([q[1] for q in query_rows], dtype=np.float64))
     codes_scan = spark.read.format("olive").option("pushdown", "true")
+    cmat = None
     if meta.get("ivf_centroids"):
-        cents = (
-            spark.read.format("olive")
-            .load(os.path.join(index_dir, "centroids")).collect()
+        # memoized like the codebooks: the centroid table is tiny but a
+        # fresh DSv2 relation per serve pays the fixed plan-worker
+        # round trip (r11 verdict task #7)
+        skey = (
+            spark.sparkContext.applicationId, index_dir,
+            "pqcents:" + meta.get("build_id", ""),
         )
-        cmat = _norm(np.array(
-            [r["centroid_vec"] for r in
-             sorted(cents, key=lambda r: r["centroid_id"])]
-        ))
+        cmat = _CENTROID_CACHE.get(skey)
+        if cmat is None:
+            cents = (
+                spark.read.format("olive")
+                .load(os.path.join(index_dir, "centroids")).collect()
+            )
+            cmat = _norm(np.array(
+                [r["centroid_vec"] for r in
+                 sorted(cents, key=lambda r: r["centroid_id"])]
+            ))
+            if len(_CENTROID_CACHE) > 64:
+                _CENTROID_CACHE.clear()
+            _CENTROID_CACHE[skey] = cmat
         sims = qmat @ cmat.T
         probe = min(int(n_probe), sims.shape[1])
         buckets = sorted({
@@ -1160,26 +1209,54 @@ def pq_topk_indexed(
         )
     else:
         codes = codes_scan.load(os.path.join(index_dir, "codes"))
-    bc = spark.sparkContext.broadcast((books, qids, qmat))
+    residual = bool(meta.get("residual"))
+    bc = spark.sparkContext.broadcast(
+        (books, qids, qmat, cmat if residual else None)
+    )
     n_cand = k * refine
     sub = d // m
 
     def adc_scan(batches):
-        books_, qids_, qmat_ = bc.value
-        luts = []
-        for qv in qmat_:
-            luts.append(np.stack([
-                ((books_[j] - qv[j * sub : (j + 1) * sub]) ** 2).sum(1)
-                for j in range(m)
-            ]))
+        books_, qids_, qmat_, cres_ = bc.value
+        # ADC tables: raw encoding keys them by query; residual
+        # encoding (Faiss IVF-PQ, r11) by (query, bucket) — the code
+        # approximates vec - centroid[bucket], so the query side
+        # subtracts the same centroid.  Built lazily per bucket seen:
+        # hive partitioning means a task usually sees ONE bucket.
+        lut_cache: dict = {}
+
+        def lut(qi, b):
+            got = lut_cache.get((qi, b))
+            if got is None:
+                qv = qmat_[qi] if b is None else qmat_[qi] - cres_[b]
+                got = np.stack([
+                    ((books_[j] - qv[j * sub : (j + 1) * sub]) ** 2).sum(1)
+                    for j in range(m)
+                ])
+                lut_cache[(qi, b)] = got
+            return got
+
+        cols_m = np.arange(m)[None, :]
         best: dict = {}
         for batch in batches:
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
             codes_ = _codes_matrix(batch.column("codes"), m).astype(np.int64)
             if len(codes_) == 0:
                 continue
+            bkts = (
+                batch.column("bucket").to_numpy(zero_copy_only=False)
+                if cres_ is not None else None
+            )
             for qi in range(len(qids_)):
-                dist = luts[qi][np.arange(m)[None, :], codes_].sum(1)
+                if bkts is None:
+                    dist = lut(qi, None)[cols_m, codes_].sum(1)
+                else:
+                    dist = np.empty(len(codes_), np.float64)
+                    for b in np.unique(bkts):
+                        msk = bkts == b
+                        dist[msk] = lut(qi, int(b))[
+                            cols_m, codes_[msk]
+                        ].sum(1)
                 mask = ids != qids_[qi]
                 cid, cd = ids[mask], dist[mask]
                 if len(cid) > n_cand:
@@ -1200,7 +1277,8 @@ def pq_topk_indexed(
                 "adc": cd,
             })
 
-    cands = codes.select(id_col, "codes").mapInArrow(
+    scan_cols = [id_col, "codes"] + (["bucket"] if residual else [])
+    cands = codes.select(*scan_cols).mapInArrow(
         adc_scan, "query_id long, neighbor_id long, adc double"
     )
     w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")

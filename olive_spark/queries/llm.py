@@ -60,14 +60,18 @@ SQL_DEDUP_INCR = (
 
 def llm_dedup_index_update(spark: SparkSession, sf: str) -> DataFrame:
     """The persisted Bloom index's per-ingest LIFECYCLE, driver-gated
-    (r9): build over the even-id corpus, APPEND the %3==0 documents'
-    shard partials (Bloom OR-composition as a table append — the
-    merge_blooms replacement), COMPACT back to one row per shard (a
-    copy-on-write MERGE version), then probe doc_id < 300 against the
-    grown corpus.  Output stays exact (the index only prunes the
-    confirm join), so the oracle is plain NOT EXISTS over the unioned
-    corpus — an append that dropped a shard row, a compact that OR'd
-    wrong, or a probe that skipped the confirm join hash-mismatches."""
+    (r9, extended r11): build over the even-id corpus, APPEND the
+    %3==0 documents' shard partials (Bloom OR-composition as a table
+    append), COMPACT back to one row per shard, then run a
+    TRANSACTIONAL corpus+index ingest of the %5==0 stragglers with a
+    CRASH INJECTED between the corpus commit and the index fold
+    (ops/bloom_index.ingest_with_bloom_index, r11 verdict task #4) —
+    the probe's self-heal must roll the index forward so both land.
+    Output stays exact (the index only prunes the confirm join), so
+    the oracle is plain NOT EXISTS over the final corpus — a heal that
+    lost the crashed ingest, an append that dropped a shard row, a
+    compact that OR'd wrong, or a probe that skipped the confirm join
+    hash-mismatches."""
     import os as _os
 
     from olive_spark.ops import bloom_index
@@ -77,23 +81,63 @@ def llm_dedup_index_update(spark: SparkSession, sf: str) -> DataFrame:
     corpus_b = docs.filter(
         (F.col("doc_id") % 2 != 0) & (F.col("doc_id") % 3 == 0)
     )
-    batch = docs.filter(F.col("doc_id") < 300)
-    index_dir = _os.path.join(
-        data.ensure_olive(sf), "bloom_index_lifecycle"
+    corpus_c = docs.filter(
+        (F.col("doc_id") % 2 != 0) & (F.col("doc_id") % 3 != 0)
+        & (F.col("doc_id") % 5 == 0)
     )
-    if not _os.path.exists(_os.path.join(index_dir, "_bloom_meta.json")):
+    batch = docs.filter(F.col("doc_id") < 300)
+    root = data.ensure_olive(sf)
+    index_dir = _os.path.join(root, "bloom_index_lifecycle")
+    corpus_dir = _os.path.join(root, "bloom_lifecycle_corpus")
+    done = _os.path.join(index_dir, "_TXN_OK")
+    if not _os.path.exists(done):
+        import shutil as _shutil
+
+        for d in (index_dir, corpus_dir):
+            if _os.path.exists(d):
+                _shutil.rmtree(d)
+        corpus_a.unionByName(corpus_b).write.format("olive") \
+            .option("table", "data").mode("append").save(corpus_dir)
         bloom_index.build_bloom_index(
             spark, corpus_a, index_dir, expected_items=4096, n_shards=4
         )
         bloom_index.append_bloom_index(spark, corpus_b, index_dir)
         bloom_index.compact_bloom_index(spark, index_dir)
-    corpus = corpus_a.unionByName(corpus_b)
+        # transactional ingest with a crash between the corpus commit
+        # and the index fold: the corpus version lands, the marker
+        # stays, and the next probe heals the index forward
+        class _Boom(RuntimeError):
+            pass
+
+        def _boom() -> None:
+            raise _Boom()
+
+        bloom_index._CRASH_HOOKS["after_corpus"] = _boom
+        try:
+            bloom_index.ingest_with_bloom_index(
+                spark, corpus_dir, corpus_c, index_dir
+            )
+            raise AssertionError("crash hook did not fire")
+        except _Boom:
+            pass
+        finally:
+            bloom_index._CRASH_HOOKS.clear()
+        assert _os.path.exists(
+            _os.path.join(index_dir, "_index_txn.pending")
+        ), "crash must leave the txn marker"
+        with open(done, "w") as f:
+            f.write("ok")
+    corpus = (
+        spark.read.format("olive").option("table", "data")
+        .load(corpus_dir)
+    )
+    # probe_bloom_index self-heals the interrupted txn before serving
     return bloom_index.probe_bloom_index(spark, batch, corpus, index_dir)
 
 
 SQL_DEDUP_INDEX_UPDATE = (
     "WITH corpus AS (SELECT md5(text) AS content_hash FROM documents "
-    "WHERE doc_id % 2 = 0 OR doc_id % 3 = 0), "
+    "WHERE doc_id % 2 = 0 OR doc_id % 3 = 0 OR doc_id % 5 = 0), "
     "batch AS (SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash "
     "FROM documents WHERE doc_id < 300 GROUP BY md5(text)) "
     "SELECT b.doc_id, b.content_hash FROM batch b "

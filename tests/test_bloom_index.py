@@ -256,3 +256,94 @@ def test_lifecycle_model_random_sequences(spark, tmp_path):
             ).collect()
         )
         assert got == sorted(500000 + i for i in range(50)), (seed, got[:5])
+
+
+def test_atomic_corpus_index_ingest_crash_injection(spark, tmp_path):
+    """r11 verdict task #4: ingest_with_bloom_index leaves corpus and
+    index BOTH-or-NEITHER visible under a crash at every phase —
+    before the corpus commit (neither), and between the corpus commit
+    and the index fold (recovery rolls the index forward)."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops import bloom_index
+
+    corpus_path = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    base = _mk(spark, n=200, dup_mod=200)
+    base.write.format("olive").option("table", "data") \
+        .mode("append").save(corpus_path)
+    bloom_index.build_bloom_index(
+        spark, base, idx, expected_items=4096, n_shards=4
+    )
+
+    def corpus_df():
+        return spark.read.format("olive").option("table", "data") \
+            .load(corpus_path)
+
+    def probe(batch):
+        return {
+            r["doc_id"]
+            for r in bloom_index.probe_bloom_index(
+                spark, batch, corpus_df(), idx
+            ).collect()
+        }
+
+    # happy path: one call commits corpus AND index
+    b1 = spark.range(200, 250).selectExpr(
+        "id AS doc_id", "concat('text-', cast(id as string)) AS text"
+    )
+    out = bloom_index.ingest_with_bloom_index(spark, corpus_path, b1, idx)
+    assert out["files_folded"] >= 1
+    assert corpus_df().count() == 250
+    assert not os.path.exists(os.path.join(idx, "_index_txn.pending"))
+    # re-probing the ingested texts (re-keyed) finds them all known
+    rek = b1.select((F.col("doc_id") + 900_000).alias("doc_id"), "text")
+    assert probe(rek) == set()
+
+    class Boom(RuntimeError):
+        pass
+
+    def boom():
+        raise Boom()
+
+    # crash BEFORE the corpus commit → NEITHER visible after recovery
+    b2 = spark.range(250, 300).selectExpr(
+        "id AS doc_id", "concat('text-', cast(id as string)) AS text"
+    )
+    bloom_index._CRASH_HOOKS["after_marker"] = boom
+    try:
+        with pytest.raises(Boom):
+            bloom_index.ingest_with_bloom_index(
+                spark, corpus_path, b2, idx
+            )
+    finally:
+        bloom_index._CRASH_HOOKS.clear()
+    assert os.path.exists(os.path.join(idx, "_index_txn.pending"))
+    healed = bloom_index.recover_index_txn(spark, idx)
+    assert healed == {"replayed": False}
+    assert corpus_df().count() == 250  # corpus untouched
+    assert not os.path.exists(os.path.join(idx, "_index_txn.pending"))
+
+    # crash BETWEEN corpus commit and index fold → recovery (here via
+    # the probe's self-heal) rolls the index forward: BOTH visible
+    bloom_index._CRASH_HOOKS["after_corpus"] = boom
+    try:
+        with pytest.raises(Boom):
+            bloom_index.ingest_with_bloom_index(
+                spark, corpus_path, b2, idx
+            )
+    finally:
+        bloom_index._CRASH_HOOKS.clear()
+    assert corpus_df().count() == 300  # corpus landed
+    assert os.path.exists(os.path.join(idx, "_index_txn.pending"))
+    # probe heals first, then must see the b2 texts as known
+    rek2 = b2.select((F.col("doc_id") + 900_000).alias("doc_id"), "text")
+    assert probe(rek2) == set()
+    assert not os.path.exists(os.path.join(idx, "_index_txn.pending"))
+    # and the healed state equals a no-crash ingest: brand-new rows
+    # still probe as new
+    fresh = spark.range(5).selectExpr(
+        "id + 777000 AS doc_id",
+        "concat('never-seen-', cast(id as string)) AS text",
+    )
+    assert len(probe(fresh)) == 5

@@ -854,21 +854,134 @@ def test_count_rows_ignores_orphan_dvs(spark, tmp_path):
 
 def test_commit_lock_release_respects_stolen_lock(tmp_path):
     """__exit__ after a TTL steal must NOT displace the new holder's
-    live lock file (r10 advice)."""
+    live lock file (r10 advice).  A real steal needs a dead foreign
+    pid (the same-host liveness guard refuses intra-process), so the
+    steal is simulated: replace the lock file with the new holder's —
+    exactly the on-disk state __exit__ faces after being stolen from."""
     from olive_spark.format.lock import metadata_commit_lock
 
     d = str(tmp_path / "t")
     os.makedirs(d)
     a = metadata_commit_lock(d, ttl=0.05)
     a.__enter__()
-    import time as _t
-
-    _t.sleep(0.1)  # a's lock is now TTL-stale
+    # simulate the new holder's lock landing after a TTL steal
+    foreign = {"pid": 99999, "host": "elsewhere", "token": "them",
+               "ts": 9e18, "ttl": 30.0}
+    with open(a.path, "w") as f:
+        json.dump(foreign, f)
+    a.__exit__(None, None, None)  # must leave the foreign lock in place
+    with open(a.path) as f:
+        assert json.load(f)["token"] == "them"
+    os.remove(a.path)
+    # normal acquire/release still round-trips
     b = metadata_commit_lock(d)
-    b.__enter__()  # steals a's stale lock
-    a.__exit__(None, None, None)  # must leave b's lock in place
-    lock_fp = os.path.join(d, os.path.basename(b.path))
-    with open(b.path) as f:
-        assert json.load(f)["token"] == b.token, lock_fp
+    b.__enter__()
     b.__exit__(None, None, None)
     assert not os.path.exists(b.path)
+
+
+# ---- r11: page-level DV pruning ----------------------------------------
+
+
+def _poison_pages(path_file, page_indices):
+    """Overwrite the full byte range of the given row-grid pages (every
+    buffer of every field) with 0xFF — any attempt to decompress them
+    fails loudly, so a scan that succeeds provably skipped them."""
+    from olive_spark.format.header import read_header
+
+    header, data_off = read_header(path_file)
+    spans = []
+    for th in header.tables:
+        for f in th.fields:
+            for b in f.buffers.values():
+                for i in page_indices:
+                    if i < len(b.pages):
+                        p = b.pages[i]
+                        if p.compressed_size:
+                            spans.append((p.offset, p.compressed_size))
+    assert spans
+    with open(path_file, "r+b") as fh:
+        for off, size in spans:
+            fh.seek(data_off + off)
+            fh.write(b"\xff" * size)
+
+
+def test_fully_deleted_pages_never_decoded(spark, tmp_path):
+    """A DV covering a contiguous half of the file drops those pages at
+    select_pages time (r11 verdict task #8): poisoning their bytes
+    proves the folding scan never decompresses them, and the result is
+    identical to the unpoisoned fold."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    (
+        spark.range(1000).withColumn("v", F.col("id") * 2)
+        .coalesce(1).write.format("olive")
+        .option("pageRows", "100").mode("append").save(path)
+    )
+    from olive_spark.ops.maintenance import delete_where
+
+    st = delete_where(spark, path, "id < 500", mode="dv")
+    assert st["files_dv"] == 1, st
+    fp = [f for f in glob.glob(os.path.join(path, "*.olive"))]
+    assert len(fp) == 1
+    _poison_pages(fp[0], list(range(5)))  # pages 0-4 are fully dead
+    from olive_spark.format.header import _HEADER_CACHE
+
+    _HEADER_CACHE.clear()
+    got = sorted(r["id"] for r in _scan(spark, path).collect())
+    assert got == list(range(500, 1000))
+    # predicate + DV compose: pushdown still works over the survivors
+    n = _scan(spark, path, pushdown="true").filter("id >= 900").count()
+    assert n == 100
+
+
+def test_dv_select_reads_only_marked_pages(spark, tmp_path):
+    """Change-feed DV-diff mode (dvMode=select) reads ONLY pages that
+    hold marked positions: poisoning every other page proves it."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    (
+        spark.range(1000).withColumn("v", F.col("id") * 2)
+        .coalesce(1).write.format("olive")
+        .option("pageRows", "100").mode("append").save(path)
+    )
+    from olive_spark.format.deletion import list_dvs
+    from olive_spark.ops.maintenance import delete_where
+
+    delete_where(spark, path, "id < 100", mode="dv")
+    dvs = list_dvs(path)
+    fp = glob.glob(os.path.join(path, "*.olive"))
+    assert len(fp) == 1
+    # poison exactly the pages holding NO marked position (the page
+    # grid rounds page boundaries, so compute them with the filter)
+    from olive_spark.datasource.olive_datasource import (
+        _dv_page_filter,
+        _page_grid,
+    )
+    from olive_spark.format.deletion import read_positions
+    from olive_spark.format.header import read_header
+
+    h, _off = read_header(fp[0])
+    th = h.tables[0]
+    n_pages = len(_page_grid(th)[1])
+    dv_file = glob.glob(os.path.join(path, "_olive_dv", "**", "*.dv"),
+                        recursive=True)[0]
+    marked = _dv_page_filter(
+        th, None, read_positions(dv_file).astype("int64"),
+        keep_marked=True,
+    )
+    unmarked = [i for i in range(n_pages) if i not in set(marked)]
+    assert marked and unmarked
+    _poison_pages(fp[0], unmarked)
+    from olive_spark.format.header import _HEADER_CACHE
+
+    _HEADER_CACHE.clear()
+    got = (
+        _scan(spark, path, dvMode="select", dvs=_json.dumps(dvs))
+        .collect()
+    )
+    assert sorted(r["id"] for r in got) == list(range(100))

@@ -465,3 +465,79 @@ def test_ivf_pq_composition_prunes_and_recalls(spark, tmp_path):
     ex, ap = by_query(exact), by_query(served)
     recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_ivf_pq_residual_beats_raw_encoding(spark, tmp_path):
+    """r11 verdict task #5: residual IVF-PQ (encode vec − centroid,
+    Faiss's IVF-PQ encoding) must rank candidates better than raw
+    encoding at IDENTICAL m/n_cent geometry on CLUSTERED data — the
+    distribution real embeddings have, where residuals concentrate
+    around zero and the codebook budget stops re-describing the coarse
+    structure.  Measured on the CANDIDATE sets (refine=1, so the exact
+    re-rank can't paper over a bad code ordering); both numbers pinned.
+    (Fixture note: the sf0.001 embeddings are near-uniform on the
+    sphere — residual variance EXCEEDS vector variance there and
+    residual encoding cannot help; with flat isotropic clusters the
+    fine structure is white noise, whose independent quantization
+    errors hurt RANKING even at lower reconstruction error.  The
+    fixture is therefore HIERARCHICAL — coarse topic centers × a small
+    set of shared fine offsets — the structure real embedding corpora
+    have and the case residual encoding exists for: the codebook
+    learns the fine offsets near-exactly once the coarse layer is
+    subtracted.)"""
+    import numpy as np
+
+    from olive_spark.ops import similarity
+
+    rng = np.random.default_rng(7)
+    d, n_clusters, n_fine, per = 64, 8, 16, 64
+    coarse = rng.normal(size=(n_clusters, d))
+    coarse /= np.linalg.norm(coarse, axis=1, keepdims=True)
+    fine = rng.normal(size=(n_fine, d))
+    fine = 0.4 * fine / np.linalg.norm(fine, axis=1, keepdims=True)
+    n = n_clusters * per
+    pts = (
+        coarse[np.arange(n) % n_clusters]
+        + fine[rng.integers(0, n_fine, size=n)]
+        + 0.02 * rng.normal(size=(n, d))
+    )
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(pts)]
+    k = 10
+    qrows = rows[:16]
+
+    def recall(index_dir, residual):
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        meta = similarity.build_pq_index(
+            spark, corpus, index_dir, m=16, n_cent=32,
+            ivf_centroids=8, residual=residual, corpus_version=1,
+        )
+        assert meta["residual"] is residual
+        served = similarity.pq_topk_indexed(
+            spark, index_dir, corpus, qrows, k=k, refine=1, n_probe=3,
+            expect_corpus_version=1,
+        ).collect()
+        exact = similarity.cosine_topk(
+            corpus,
+            spark.createDataFrame(
+                qrows, "vec_id long, embedding array<double>"
+            ),
+            k=k,
+        ).collect()
+        ex, ap = {}, {}
+        for r in exact:
+            ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for r in served:
+            ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        rs = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+        return sum(rs) / len(rs)
+
+    r_raw = recall(str(tmp_path / "raw"), residual=False)
+    r_res = recall(str(tmp_path / "res"), residual=True)
+    # pin both numbers: residual strictly better on hierarchical data,
+    # raw keeps a sane floor
+    assert r_res > r_raw, (r_res, r_raw)
+    assert r_res >= 0.68, (r_res, r_raw)
+    assert r_raw >= 0.45, r_raw
