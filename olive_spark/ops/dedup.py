@@ -120,6 +120,99 @@ def shingle_hash_grams(
     return t.select(F.col(id_col), F.array_distinct(grams).alias("grams"))
 
 
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+    stride: int = 8,
+    min_count: int = 2,
+    flag_coverage: float = 0.3,
+) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): slide
+    a ``width``-token window with ``stride`` over each document, find
+    fragments whose exact text occurs >= ``min_count`` times anywhere
+    in the corpus (cross- OR intra-document), and report per document
+    how much of it is duplicated span:
+
+        (id, n_tokens, n_frag, n_dup, dup_cov, flagged)
+
+    ``dup_cov`` is the fraction of token POSITIONS covered by at least
+    one duplicated fragment (overlapping windows union, not sum), the
+    quantity the paper thresholds on; ``flagged`` = dup_cov >=
+    ``flag_coverage``.  Documents shorter than ``width`` tokens carry
+    no fragment and are excluded (they can't host a width-token span).
+
+    Scale shape: tokenization is hoisted (one regex split per doc, see
+    shingle_hash_grams); the only shuffles are one groupBy on the
+    fragment string (≈ n_tokens/stride slim rows per doc) to count
+    occurrences and one broadcast-or-shuffle join back; span coverage
+    is computed per doc from the fragment index list with array
+    higher-order functions — no position explode, no window over raw
+    rows.  Everything is JVM-side built-ins; no Python UDF."""
+    w, s = int(width), int(stride)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.size(F.filter(F.col("__toks"), lambda x: x != "")).alias("__n"),
+        )
+        .filter(F.col("__n") >= w)
+    )
+    tc = F.filter(F.col("__toks"), lambda x: x != "")
+    frags = F.transform(
+        F.sequence(F.lit(0), F.floor((F.col("__n") - w) / s).cast("int")),
+        lambda k: F.struct(
+            k.alias("k"),
+            F.concat_ws(" ", F.slice(tc, k * s + 1, w)).alias("frag"),
+        ),
+    )
+    fr = t.select(
+        F.col(id_col), F.col("__n").alias("n_tokens"),
+        F.explode(frags).alias("f"),
+    ).select(id_col, "n_tokens", F.col("f.k").alias("k"), F.col("f.frag").alias("frag"))
+    dup = (
+        fr.groupBy("frag").agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("frag", F.lit(True).alias("__dup"))
+    )
+    marked = fr.join(dup, "frag", "left").select(
+        id_col, "n_tokens", "k", F.coalesce("__dup", F.lit(False)).alias("is_dup")
+    )
+    # union of covered positions: distinct over the flattened per-dup-
+    # fragment ranges [k*s+1, k*s+w]; list length bounded by
+    # n_frag*width per doc (≈ n_tokens*width/stride), array-local
+    cov = F.size(F.array_distinct(F.flatten(F.transform(
+        F.col("__dup_ks"),
+        lambda k: F.sequence(k * s + 1, k * s + w),
+    ))))
+    per_doc = (
+        marked.groupBy(id_col)
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.count("*").alias("n_frag"),
+            F.sum(F.col("is_dup").cast("int")).alias("n_dup"),
+            F.collect_list(F.when(F.col("is_dup"), F.col("k"))).alias("__dup_ks"),
+        )
+        .withColumn("__cov", F.when(F.col("n_dup") > 0, cov).otherwise(F.lit(0)))
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_frag",
+        "n_dup",
+        (F.least(F.col("__cov"), F.col("n_tokens")) / F.col("n_tokens"))
+        .alias("dup_cov"),
+        (
+            F.least(F.col("__cov"), F.col("n_tokens")) / F.col("n_tokens")
+            >= F.lit(float(flag_coverage))
+        ).alias("flagged"),
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """doc_id → array<long> of _N_PERM minhashes.
 

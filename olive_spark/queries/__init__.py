@@ -73,6 +73,7 @@ _ORDER = [
     "scan_after_column_remap",  # r11: column-mapping id lifecycle
     "scan_after_add_column",  # never windowed (registered post-r10 capture)
     "scan_dv_gc",  # never windowed (registered post-r10 capture)
+    "llm_dedup_substring",  # r11-new: exact-substring dedup (Lee et al.)
     "setop_union_except",
     "agg_conditional_bools",
     "agg_grouped_map_mad",
@@ -118,7 +119,6 @@ _ORDER = [
     "scan_filter_pages",
     "scan_nulls_validity",
     "scan_multi_table_chunk",
-    "types_decimal_date",
     # ---- beyond the 50-entry driver window: everything below was
     # green in its latest window (r06-r10) and keeps bench/pytest
     # coverage; cumulative driver coverage over rounds stays complete ----
@@ -260,6 +260,7 @@ _ORDER = [
     "scan_partitioned_pruning",
     "dict_encode_fsb",
     "compression_codecs",
+    "types_decimal_date",
 ]
 
 assert set(_ORDER) == set(_RAW), (

@@ -730,8 +730,68 @@ SQL_MM_WAV_REAL = (
 )
 
 
+def llm_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring duplication profile (ops/dedup.
+    substring_dup_spans — Lee et al. 2022 suffix-array dedup,
+    re-expressed as a Spark fragment-hash sweep): 16-token windows at
+    stride 8; a window duplicated anywhere in the corpus marks its
+    span; per doc the UNION of duplicated spans over token positions is
+    the dup coverage.  The corpus is augmented with a deterministic
+    20-token family preamble (doc_id % 7) so cross-doc duplicated runs
+    exist by construction: every doc's first window duplicates across
+    its ~70-doc family, so dup_cov ≈ 16/n_tokens and the 0.3 flag
+    threshold splits the corpus on length — both branches live at
+    sf0.01 (short docs flag, long docs don't)."""
+    docs = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    pre = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(20)),
+            lambda i: F.concat(
+                F.lit("p"), (F.col("doc_id") % 7).cast("string"),
+                F.lit("t"), i.cast("string"),
+            ),
+        ),
+    )
+    aug = docs.select(
+        "doc_id", F.concat_ws(" ", pre, F.col("text")).alias("text")
+    )
+    return dedup.substring_dup_spans(
+        aug, width=16, stride=8, min_count=2, flag_coverage=0.3
+    )
+
+
+SQL_DEDUP_SUBSTRING = (
+    "WITH aug AS (SELECT doc_id, "
+    "  array_to_string(list_transform(range(1, 21), "
+    "    i -> 'p' || (doc_id % 7) || 't' || i), ' ') || ' ' || text AS t "
+    "  FROM documents), "
+    "tok AS (SELECT doc_id, "
+    "  list_filter(string_split_regex(trim(t), '\\s+'), x -> x <> '') AS w "
+    "  FROM aug), "
+    "fr AS (SELECT doc_id, len(w) AS n_tokens, CAST(k AS BIGINT) AS k, "
+    "  array_to_string(w[k*8+1 : k*8+16], ' ') AS frag "
+    "  FROM tok, UNNEST(range(0, CAST(floor((len(w)-16)/8) AS BIGINT)+1)) "
+    "    AS u(k) WHERE len(w) >= 16), "
+    "dup AS (SELECT frag FROM fr GROUP BY frag HAVING COUNT(*) >= 2), "
+    "mk AS (SELECT fr.doc_id, fr.n_tokens, fr.k, "
+    "  (fr.frag IN (SELECT frag FROM dup)) AS is_dup FROM fr), "
+    "cov AS (SELECT doc_id, COUNT(DISTINCT p) AS c FROM mk, "
+    "  UNNEST(range(k*8+1, k*8+17)) AS v(p) WHERE is_dup GROUP BY doc_id) "
+    "SELECT mk.doc_id, MIN(mk.n_tokens) AS n_tokens, "
+    "  COUNT(*) AS n_frag, "
+    "  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, "
+    "  CAST(LEAST(COALESCE(MIN(cov.c), 0), MIN(mk.n_tokens)) AS DOUBLE) "
+    "    / MIN(mk.n_tokens) AS dup_cov, "
+    "  (CAST(LEAST(COALESCE(MIN(cov.c), 0), MIN(mk.n_tokens)) AS DOUBLE) "
+    "    / MIN(mk.n_tokens)) >= 0.3 AS flagged "
+    "FROM mk LEFT JOIN cov ON mk.doc_id = cov.doc_id GROUP BY mk.doc_id"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "llm_dedup_exact": (llm_dedup_exact, SQL_DEDUP_EXACT),
+    "llm_dedup_substring": (llm_dedup_substring, SQL_DEDUP_SUBSTRING),
     "mm_phash_pairs": (mm_phash_pairs, None),
     "mm_decode_png_real": (mm_decode_png_real, SQL_MM_PNG_REAL),
     "mm_audio_wav_real": (mm_audio_wav_real, SQL_MM_WAV_REAL),

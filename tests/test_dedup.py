@@ -376,3 +376,65 @@ def test_fuzzy_pairs_degenerate_duplicate_heavy_corpus(spark):
     assert (100, 101) in got                            # variant-variant
     assert not any(102 in p for p in got)               # far string alone
     assert len(got) == 50 * 49 // 2 + 50 + 50 + 1
+
+
+def test_substring_dup_spans_exact_semantics(spark):
+    """Hand-computable fixture for substring_dup_spans (width=4,
+    stride=2): docs A and B share their first 6 tokens (so A/B window
+    k=0 'w1 w2 w3 w4' and k=1 'w3 w4 w5 w6' both duplicate — covered
+    positions 1..6); doc C repeats a 4-token run INTRA-doc at aligned
+    strides (both windows identical → duplicated by the corpus-count
+    rule); doc D is unique; doc E is shorter than the window and must
+    not appear."""
+    from olive_spark.ops import dedup
+
+    a = "w1 w2 w3 w4 w5 w6 ax ay"            # 8 tokens
+    b = "w1 w2 w3 w4 w5 w6 bx by"            # 8 tokens
+    c = "r1 r2 r3 r4 r1 r2 r3 r4"            # k=0 and k=2 identical
+    d = "d1 d2 d3 d4 d5 d6 d7 d8"            # unique
+    e = "e1 e2 e3"                            # < width → excluded
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d), (5, e)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.substring_dup_spans(
+            df, width=4, stride=2, flag_coverage=0.5
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # 8 tokens, width 4, stride 2 → k in {0,1,2}: 3 windows each
+    assert all(out[i]["n_frag"] == 3 for i in (1, 2, 3, 4))
+    for i in (1, 2):
+        assert out[i]["n_dup"] == 2                  # k=0, k=1 shared
+        assert out[i]["dup_cov"] == pytest.approx(6 / 8)
+        assert bool(out[i]["flagged"]) is True
+    # C: windows k=0 'r1 r2 r3 r4' and k=2 'r1 r2 r3 r4' duplicate
+    # (corpus count 2), k=1 'r3 r4 r1 r2' is unique → covered
+    # positions 1..4 ∪ 5..8 = all 8
+    assert out[3]["n_dup"] == 2
+    assert out[3]["dup_cov"] == pytest.approx(1.0)
+    assert bool(out[3]["flagged"]) is True
+    assert out[4]["n_dup"] == 0
+    assert out[4]["dup_cov"] == 0.0
+    assert bool(out[4]["flagged"]) is False
+
+
+def test_substring_dup_spans_overlap_union_not_sum(spark):
+    """Coverage is the UNION of overlapping duplicated windows: two
+    overlapping dup windows over 6 distinct positions must give 6/n,
+    never 8/n — and multi-space tokenization matches the split-filter
+    rule."""
+    from olive_spark.ops import dedup
+
+    shared = "s1 s2  s3 s4 s5   s6"           # messy whitespace, 6 toks
+    rows = [(1, shared + " t1 t2"), (2, shared + " u1 u2")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.substring_dup_spans(df, width=4, stride=2).collect()
+    }
+    for i in (1, 2):
+        assert out[i]["n_tokens"] == 8
+        assert out[i]["n_dup"] == 2
+        assert out[i]["dup_cov"] == pytest.approx(6 / 8)
