@@ -61,26 +61,43 @@ def _write_meta(index_dir: str, meta: dict) -> None:
     os.replace(tmp, _meta_path(index_dir))
 
 
-def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, token, tf, dl): term frequency + document length ride along
-    in each posting row (denormalized — repeating the small dl int per
-    posting compresses to nothing and saves the doc-length join every
+def _postings(
+    docs: DataFrame, text_col: str, id_col: str, positions: bool = False
+) -> DataFrame:
+    """(id, token, tf, dl[, pos]): term frequency + document length ride
+    along in each posting row (denormalized — repeating the small dl int
+    per posting compresses to nothing and saves the doc-length join every
     ranked search would otherwise pay).  The explode + groupBy shuffles
-    (id, token) pairs once at BUILD time; searches never re-derive."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    (id, token) pairs once at BUILD time; searches never re-derive.
+
+    With ``positions``, each posting also carries the sorted 1-based
+    token positions of the term inside the document (array<int>,
+    tf elements) — the payload :func:`search_phrase` intersects for
+    adjacency.  Storage grows by one int per token occurrence, i.e. by
+    O(corpus tokens) total — the classical positional-index overhead."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
     ex = (
         docs.select(F.col(id_col), toks.alias("__toks"))
         .select(
             F.col(id_col),
-            F.size(F.filter(F.col("__toks"), lambda t: t != "")).alias("dl"),
-            F.explode("__toks").alias("token"),
+            F.size("__toks").alias("dl"),
+            F.posexplode("__toks").alias("__p", "token"),
         )
-        .filter(F.col("token") != "")
     )
-    return ex.groupBy(id_col, "token").agg(
+    aggs = [
         F.count("*").cast("int").alias("tf"),
         F.first("dl").alias("dl"),
-    )
+    ]
+    if positions:
+        aggs.append(
+            F.sort_array(
+                F.collect_list((F.col("__p") + 1).cast("int"))
+            ).alias("pos")
+        )
+    return ex.groupBy(id_col, "token").agg(*aggs)
 
 
 def _write_postings(postings: DataFrame, path: str, id_col: str,
@@ -100,6 +117,7 @@ def build_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_files: int = 16,
+    positions: bool = False,
 ) -> dict:
     """Create the index from scratch.  ``n_files`` sets the token-range
     granularity — more files = finer pruning; size it so a file is a
@@ -127,7 +145,7 @@ def build_text_index(
         import shutil
 
         shutil.rmtree(pdir)
-    p = _postings(docs, text_col, id_col).persist()
+    p = _postings(docs, text_col, id_col, positions=positions).persist()
     try:
         n, total = p.agg(
             F.count_distinct(F.col(id_col)), F.sum("tf")
@@ -138,6 +156,7 @@ def build_text_index(
     meta = {
         "id_col": id_col, "n_docs": int(n or 0),
         "n_tokens": int(total or 0), "n_files": int(n_files),
+        "positions": bool(positions),
         "build_id": uuid.uuid4().hex,
     }
     _write_meta(index_dir, meta)
@@ -168,7 +187,12 @@ def append_text_index(
         .select(F.col(id_col)).distinct()
     )
     fresh = new_docs.join(indexed, id_col, "left_anti")
-    p = _postings(fresh, text_col, id_col).persist()
+    # appends MUST match the index's posting shape: a positional index
+    # appended without positions would leave phrase search silently
+    # blind to the new documents (nulls never intersect)
+    p = _postings(
+        fresh, text_col, id_col, positions=bool(meta.get("positions"))
+    ).persist()
     try:
         n_new = int(p.agg(F.count_distinct(F.col(id_col))).first()[0] or 0)
         if n_new:
@@ -227,6 +251,78 @@ def search_tokens(
         .agg(F.count("*").alias("__nt"))
         .filter(F.col("__nt") == len(norm))
         .select(id_col)
+    )
+
+
+def search_phrase(
+    spark,
+    index_dir: str,
+    phrase: str,
+    hits_col: str = "n_hits",
+) -> DataFrame:
+    """Exact phrase search over a POSITIONAL index (``build_text_index
+    (..., positions=True)``): document ids containing the consecutive
+    token sequence ``phrase`` (the index tokenizer's rule — lowercased,
+    whitespace-split), plus the occurrence count (overlapping
+    occurrences included, the positional-intersection definition).
+
+    Classic information-retrieval positional postings (Manning/IIR
+    §2.4): candidates are the postings rows of ONLY the phrase's
+    tokens (token-range file pruning + per-file token Blooms apply,
+    same as search_tokens), grouped per doc; adjacency is the
+    intersection of the first token's positions with each later
+    token's positions shifted left by its offset — all array built-ins,
+    no text re-scan, no Python UDF.  Cost ∝ the phrase tokens' posting
+    lists, never corpus size."""
+    from functools import reduce as _reduce
+
+    from olive_spark.datasource import register_olive
+
+    register_olive(spark)
+    toks = [t.lower() for t in phrase.strip().split()]
+    if not toks:
+        raise ValueError("phrase must contain at least one token")
+    meta = load_meta(index_dir)
+    if not meta.get("positions"):
+        raise ValueError(
+            f"index at {index_dir} has no positional postings — rebuild "
+            "with build_text_index(..., positions=True) for phrase search"
+        )
+    id_col = meta["id_col"]
+    uniq = sorted(set(toks))
+    postings = spark.read.format("olive").load(
+        os.path.join(index_dir, "postings")
+    )
+    per_doc = (
+        postings.filter(F.col("token").isin(uniq))
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("token", "pos"))
+            ).alias("__m")
+        )
+        .filter(
+            _reduce(
+                lambda a, b: a & b,
+                [F.map_contains_key("__m", t) for t in uniq],
+            )
+        )
+    )
+    def _shifted(col, off: int):
+        # NOTE: F.transform dispatches on lambda ARITY — a two-arg
+        # lambda means (element, index), so the off parameter must be
+        # captured by closure, never as a defaulted second argument
+        return F.transform(col, lambda p: p - F.lit(off))
+
+    base = F.col("__m").getItem(toks[0])
+    for i, t in enumerate(toks[1:], start=1):
+        base = F.array_intersect(
+            base, _shifted(F.col("__m").getItem(t), i)
+        )
+    n = F.size(base)
+    return (
+        per_doc.select(F.col(id_col), n.alias(hits_col))
+        .filter(F.col(hits_col) > 0)
     )
 
 

@@ -248,6 +248,42 @@ def llm_keyword_search(spark: SparkSession, sf: str) -> DataFrame:
     return both.unionByName(either)
 
 
+def llm_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact phrase search ("table hash") from a POSITIONAL inverted
+    index (ops/text_index.search_phrase — Manning IIR §2.4 positional
+    postings): per-term position arrays ride in the postings rows;
+    adjacency is array_intersect of offset-shifted positions, so only
+    the two terms' posting files are read (token-range + Bloom pruned),
+    never the corpus text.  n_hits counts occurrences (one doc at
+    sf0.01 contains the phrase twice — both count branches live).  The
+    DuckDB oracle re-derives occurrence positions straight from the
+    text, so a positional index that dropped, duplicated, or
+    off-by-one'd a position hash-mismatches."""
+    import os as _os
+
+    from olive_spark.ops import text_index
+
+    docs = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    index_dir = _os.path.join(
+        data.ensure_olive(sf), "text_index_documents_pos"
+    )
+    if not _os.path.exists(_os.path.join(index_dir, "_text_meta.json")):
+        text_index.build_text_index(
+            spark, docs, index_dir, positions=True
+        )
+    return text_index.search_phrase(spark, index_dir, "table hash")
+
+
+SQL_PHRASE_SEARCH = (
+    "WITH tok AS (SELECT doc_id, "
+    "  list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+    "    x -> x <> '') AS w FROM documents), "
+    "hits AS (SELECT doc_id, len(list_filter(range(1, len(w)), "
+    "  i -> w[i] = 'table' AND w[i+1] = 'hash')) AS n_hits FROM tok) "
+    "SELECT doc_id, n_hits FROM hits WHERE n_hits > 0"
+)
+
+
 SQL_KEYWORD_SEARCH = (
     "WITH toks AS (SELECT doc_id, "
     "regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents) "
@@ -804,6 +840,7 @@ QUERIES: dict[str, tuple] = {
     "llm_dedup_minhash": (llm_dedup_minhash, None),
     "llm_neardup_incremental": (llm_neardup_incremental, None),
     "llm_keyword_search": (llm_keyword_search, SQL_KEYWORD_SEARCH),
+    "llm_phrase_search": (llm_phrase_search, SQL_PHRASE_SEARCH),
     "llm_bm25_search": (llm_bm25_search, SQL_BM25_SEARCH),
     "llm_graph_pagerank": (llm_graph_pagerank, None),
     "llm_dedup_simhash": (llm_dedup_simhash, None),

@@ -301,3 +301,101 @@ def test_append_crash_meta_drift_self_heals(spark, tmp_path, docs_rows):
     )
     assert st["n_docs"] == 41
     assert st["n_tokens"] == true_meta["n_tokens"] + 3
+
+
+def _ref_phrase(rows, phrase):
+    """Python reference: per-doc count of (possibly overlapping)
+    occurrences of the token sequence."""
+    want = phrase.lower().split()
+    k = len(want)
+    out = {}
+    for i, text in rows:
+        toks = text.lower().split()
+        n = sum(
+            1 for s in range(len(toks) - k + 1) if toks[s:s + k] == want
+        )
+        if n:
+            out[i] = n
+    return out
+
+
+def test_phrase_search_parity_and_overlap(spark, tmp_path):
+    """Positional phrase search matches a Python reference on a corpus
+    with adjacency traps: tokens present but not adjacent, adjacent in
+    the wrong order, repeated-token phrases, and overlapping
+    occurrences ('a a a' contains 'a a' twice)."""
+    from olive_spark.ops.text_index import build_text_index, search_phrase
+
+    rows = [
+        (1, "the quick brown fox"),          # phrase present once
+        (2, "quick the brown fox"),          # tokens present, wrong order
+        (3, "the slow brown quick fox"),     # both tokens, not adjacent
+        (4, "x the quick y the quick z"),    # twice, non-overlapping
+        (5, "a a a b"),                      # overlap: 'a a' twice
+        (6, "b a a"),                        # once at the tail
+        (7, "unrelated words only"),
+    ]
+    idx = str(tmp_path / "pidx")
+    build_text_index(spark, _frame(spark, rows), idx, positions=True)
+    for phrase in ("the quick", "a a", "brown fox", "quick the"):
+        got = {
+            r["doc_id"]: r["n_hits"]
+            for r in search_phrase(spark, idx, phrase).collect()
+        }
+        assert got == _ref_phrase(rows, phrase), phrase
+    # 3-token phrase with a repeated token
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in search_phrase(spark, idx, "a a a").collect()
+    }
+    assert got == {5: 1}
+    # single-token phrase degenerates to tf
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in search_phrase(spark, idx, "the").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2}
+
+
+def test_phrase_search_requires_positional_index(spark, tmp_path):
+    from olive_spark.ops.text_index import build_text_index, search_phrase
+
+    idx = str(tmp_path / "noposidx")
+    build_text_index(spark, _frame(spark, [(1, "a b c")]), idx)
+    with pytest.raises(ValueError, match="positional"):
+        search_phrase(spark, idx, "a b")
+    with pytest.raises(ValueError, match="at least one token"):
+        build_text_index(
+            spark, _frame(spark, [(2, "a b")]), str(tmp_path / "p2"),
+            positions=True,
+        )
+        search_phrase(spark, str(tmp_path / "p2"), "   ")
+
+
+def test_phrase_search_after_append_keeps_positions(spark, tmp_path):
+    """Appends to a positional index must carry positions: a phrase in
+    an appended-only document is findable, and BM25/search_tokens stay
+    correct on the mixed postings."""
+    from olive_spark.ops.text_index import (
+        append_text_index,
+        build_text_index,
+        search_phrase,
+        search_tokens,
+    )
+
+    rows = [(1, "alpha beta gamma"), (2, "beta gamma alpha")]
+    idx = str(tmp_path / "pappend")
+    build_text_index(spark, _frame(spark, rows), idx, positions=True)
+    append_text_index(
+        spark, _frame(spark, [(3, "delta alpha beta")]), idx
+    )
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in search_phrase(spark, idx, "alpha beta").collect()
+    }
+    assert got == {1: 1, 3: 1}
+    hit_ids = sorted(
+        r["doc_id"]
+        for r in search_tokens(spark, idx, ["delta"], "all").collect()
+    )
+    assert hit_ids == [3]
