@@ -75,6 +75,13 @@ Options:
                      "select" (ONLY the listed positions are returned —
                      the change feed's DV-diff delete reader; files
                      with no dvs entry yield no rows)
+    snapshotAsOf     time travel by TIMESTAMP (Delta's timestampAsOf):
+                     epoch seconds or ISO-8601 (naive = UTC) → resolved
+                     at plan time to the latest commit at-or-before the
+                     instant (format/snapshots.version_at_timestamp);
+                     exclusive with ``snapshot``/``snapshotTag``; fails
+                     loud when the instant predates the oldest retained
+                     commit
 """
 
 from __future__ import annotations
@@ -120,6 +127,30 @@ def _read_header_bytes(path: str):
     from olive_spark.format.header import read_header
 
     return read_header(path)
+
+
+def _parse_asof_timestamp(raw: str) -> float:
+    """snapshotAsOf accepts epoch seconds (int/float string) or an
+    ISO-8601 datetime; a naive datetime is UTC (session tz is pinned
+    UTC everywhere in this engine — hashing against DuckDB depends on
+    it, so the option follows the same convention)."""
+    s = str(raw).strip()
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    from datetime import datetime, timezone
+
+    try:
+        dt = datetime.fromisoformat(s)
+    except ValueError:
+        raise ValueError(
+            f"olive: cannot parse snapshotAsOf {raw!r} — use epoch "
+            "seconds or ISO-8601 (e.g. 2026-08-16T01:00:00+00:00)"
+        )
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
 
 
 def _chunk_file_name() -> str:
@@ -405,6 +436,21 @@ class OliveReader(DataSourceReader):
             from olive_spark.format.snapshots import version_for_tag
 
             self.snapshot = version_for_tag(self.path, stag)
+        sasof = options.get("snapshotasof", options.get("snapshotAsOf"))
+        if sasof is not None:
+            if self.snapshot is not None:
+                raise ValueError(
+                    "olive: 'snapshotAsOf' is exclusive with "
+                    "'snapshot'/'snapshotTag'"
+                )
+            # Delta's timestampAsOf: latest commit at-or-before the
+            # instant; epoch seconds or ISO-8601 (naive = UTC).
+            # Resolved at PLAN time like snapshotTag.
+            from olive_spark.format.snapshots import version_at_timestamp
+
+            self.snapshot = version_at_timestamp(
+                self.path, _parse_asof_timestamp(sasof)
+            )
         fl = options.get("files")
         self.files_opt = (
             [n.strip() for n in fl.split(",") if n.strip()]
@@ -2142,6 +2188,15 @@ class OliveDataSource(DataSource):
             from olive_spark.format.snapshots import version_for_tag
 
             snap = version_for_tag(self.options["path"], stag)
+        sasof = self.options.get(
+            "snapshotasof", self.options.get("snapshotAsOf")
+        )
+        if snap is None and sasof is not None:
+            from olive_spark.format.snapshots import version_at_timestamp
+
+            snap = version_at_timestamp(
+                self.options["path"], _parse_asof_timestamp(sasof)
+            )
         fl = self.options.get("files")
         if fl is not None:
             from olive_spark.format.snapshots import resolve_paths

@@ -487,6 +487,40 @@ def expire_older_than(
     return expire(dirpath, max(1, retain))
 
 
+def version_at_timestamp(dirpath: str, ts: float) -> int:
+    """Latest version whose commit timestamp is <= ``ts`` — Delta's
+    ``timestampAsOf`` resolution rule.  An entry with no timestamp (a
+    hand-edited log, or a collapse base whose source lacked one) counts
+    as arbitrarily old, mirroring :func:`expire_older_than`.  Raises
+    when even the oldest retained entry is newer than ``ts``: the table
+    either didn't exist yet or that history has been expired — both
+    must fail loud, never silently serve the closest newer version."""
+    from olive_spark.format.errors import ValidationError
+
+    entries = load_log(dirpath)["entries"]
+    if not entries:
+        raise ValidationError(f"no snapshot log at {dirpath}")
+    cutoff = float(ts)
+    best = None
+    oldest = None
+    for e in entries:
+        ets = e.get("ts")
+        known = isinstance(ets, (int, float))
+        if known and (oldest is None or float(ets) < oldest):
+            oldest = float(ets)
+        if (not known) or float(ets) <= cutoff:
+            v = int(e["v"])
+            if best is None or v > best:
+                best = v
+    if best is None:
+        raise ValidationError(
+            f"no snapshot at or before timestamp {cutoff} — the oldest "
+            f"retained commit is at {oldest} (table created later, or "
+            "earlier history expired); read a version/tag instead"
+        )
+    return best
+
+
 def tag_version(
     dirpath: str, name: str, version: "int | None" = None
 ) -> int:

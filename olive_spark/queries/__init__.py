@@ -75,6 +75,7 @@ _ORDER = [
     "scan_dv_gc",  # never windowed (registered post-r10 capture)
     "llm_dedup_substring",  # r11-new: exact-substring dedup (Lee et al.)
     "llm_phrase_search",  # r11-new: positional-postings phrase search
+    "scan_time_travel_timestamp",  # r11-new: snapshotAsOf resolution
     "setop_union_except",
     "agg_conditional_bools",
     "agg_grouped_map_mad",
@@ -108,7 +109,6 @@ _ORDER = [
     "tpch_q11_important_stock",
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",
-    "window_first_last",
     "window_running_sum",
     "llm_token_budget_mix",
     "scan_bloom_pruning",
@@ -122,9 +122,11 @@ _ORDER = [
     # ---- beyond the 50-entry driver window: everything below was
     # green in its latest window (r06-r10) and keeps bench/pytest
     # coverage; cumulative driver coverage over rounds stays complete
-    # (tpch_q16_parts_suppliers + types_decimal_date displaced by the
-    # two r11-new queries → r12 rotation with the remaining r7 cohort) ----
+    # (tpch_q16_parts_suppliers + types_decimal_date + window_first_last
+    # displaced by the three r11-new queries → r12 rotation with the
+    # remaining r7 cohort; their families keep >=1 windowed entry) ----
     "tpch_q16_parts_suppliers",
+    "window_first_last",
     "scan_after_dv_delete",
     "scan_dv_time_travel",
     "scan_dv_changes_feed",

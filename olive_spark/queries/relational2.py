@@ -967,6 +967,35 @@ SQL_TIME_TRAVEL = (
 )
 
 
+def scan_time_travel_timestamp(spark: SparkSession, sf: str) -> DataFrame:
+    """Timestamp time travel (Delta's timestampAsOf; ``snapshotAsOf``
+    option → format/snapshots.version_at_timestamp): an instant between
+    the two logged commits of events_versioned must resolve to v1 —
+    same oracle as scan_time_travel, so a resolver that picked the
+    nearest-newer version (or compared timestamps off-by-one) serves
+    v2's rows and hash-mismatches."""
+    import os as _os
+
+    from olive_spark.datasource import register_olive
+    from olive_spark.format import snapshots as _snaps
+
+    register_olive(spark)
+    path = _os.path.join(data.ensure_olive(sf), "events_versioned")
+    ts = {
+        int(e["v"]): float(e["ts"])
+        for e in _snaps.load_log(path)["entries"]
+    }
+    asof = (ts[1] + ts[2]) / 2 if ts.get(2, 0) > ts[1] else ts[1]
+    df = (
+        spark.read.format("olive")
+        .option("snapshotAsOf", repr(asof)).load(path)
+    )
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(D)).cast(D).alias("sum_value"),
+    )
+
+
 def reshape_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     """Unpivot/melt: wide per-part numeric columns to long (attr, val)
     rows — the inverse of agg_pivot_status."""
@@ -2568,6 +2597,9 @@ QUERIES: dict[str, tuple] = {
     "join_fuzzy_names": (join_fuzzy_names, SQL_FUZZY_NAMES),
     "scan_table_checksum": (scan_table_checksum, SQL_TABLE_CHECKSUM),
     "scan_time_travel": (scan_time_travel, SQL_TIME_TRAVEL),
+    "scan_time_travel_timestamp": (
+        scan_time_travel_timestamp, SQL_TIME_TRAVEL,
+    ),
     "scan_after_merge_upsert": (scan_after_merge_upsert, SQL_AFTER_MERGE),
     "scan_merge_time_travel": (scan_merge_time_travel, SQL_MERGE_TIME_TRAVEL),
     "scan_merge_conditional_evolve": (

@@ -527,3 +527,81 @@ def test_time_based_retention(tmp_path):
         snapshots.append_entry(d2, [f"g{i}.olive"])
     res = vacuum(d2, retain_hours=1.0)
     assert res["snapshots"]["retained"] == 3  # all fresh — nothing expires
+
+
+def test_snapshot_as_of_timestamp(spark, tmp_path_factory):
+    """snapshotAsOf resolves to the latest commit at-or-before the
+    instant (Delta timestampAsOf): cutoffs between the real commit
+    timestamps select each version exactly; an instant before the
+    first commit fails loud; the option is exclusive with 'snapshot';
+    ISO-8601 parses."""
+    from olive_spark.format import snapshots
+    from olive_spark.format.errors import ValidationError
+
+    path = str(tmp_path_factory.mktemp("asof") / "t")
+    _write(spark, path, 0, 10)
+    _write(spark, path, 10, 30)
+    _write(spark, path, 30, 35)
+    log = snapshots.load_log(path)["entries"]
+    ts = {int(e["v"]): float(e["ts"]) for e in log}
+    assert len(ts) == 3
+
+    def read_asof(raw):
+        return (
+            spark.read.format("olive")
+            .option("snapshotAsOf", str(raw)).load(path).count()
+        )
+
+    # exactly at each commit ts → that version; just before → previous
+    assert read_asof(ts[1]) == 10
+    assert read_asof(ts[3] + 10.0) == 35
+    mid12 = (ts[1] + ts[2]) / 2
+    assert read_asof(mid12) == (10 if mid12 < ts[2] else 30)
+    # unit-level determinism (file reads may share a clock tick; the
+    # resolver's rule is pure max-version-at-or-before)
+    assert snapshots.version_at_timestamp(path, ts[2]) in (2, 3)
+    assert snapshots.version_at_timestamp(path, ts[3]) == 3
+    with pytest.raises(Exception) as ei:
+        read_asof(ts[1] - 100.0)
+    assert "no snapshot at or before" in str(ei.value)
+    with pytest.raises(ValidationError):
+        snapshots.version_at_timestamp(path, ts[1] - 100.0)
+    # ISO-8601 round trip of a known-good instant
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(
+        ts[3] + 5, tz=timezone.utc
+    ).isoformat()
+    assert read_asof(iso) == 35
+    with pytest.raises(Exception) as ei:
+        (
+            spark.read.format("olive").option("snapshot", "1")
+            .option("snapshotAsOf", str(ts[1])).load(path).count()
+        )
+    assert "exclusive" in str(ei.value)
+    with pytest.raises(Exception) as ei:
+        (
+            spark.read.format("olive")
+            .option("snapshotAsOf", "not-a-time").load(path).count()
+        )
+    assert "snapshotAsOf" in str(ei.value)
+
+
+def test_version_at_timestamp_missing_ts_counts_old(tmp_path):
+    """A log entry without a timestamp (hand-edited / legacy collapse
+    base) is arbitrarily old: it satisfies any cutoff but never beats a
+    timestamped later version."""
+    import json
+
+    from olive_spark.format import snapshots
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    log = {"entries": [
+        {"v": 1, "add": ["a.olive"]},
+        {"v": 2, "add": ["b.olive"], "ts": 1000.0},
+    ]}
+    with open(snapshots.log_path(d), "w") as f:
+        json.dump(log, f)
+    assert snapshots.version_at_timestamp(d, 500.0) == 1
+    assert snapshots.version_at_timestamp(d, 1000.0) == 2
