@@ -1,0 +1,270 @@
+"""Multi-table atomic transactions over snapshot-logged olive tables.
+
+The reference format is a single-file serialization library
+(/root/reference/src/root.zig:9-16 — no versioning, no transactions);
+this module extends the engine's lakehouse layer with the one commit
+shape neither Delta nor vanilla Iceberg offers without an external
+catalog: ONE logical commit spanning SEVERAL tables, all-or-nothing.
+
+Protocol — two-phase commit with a coordinator decision marker, the
+generalization of ops/bloom_index.ingest_with_bloom_index's
+corpus+index pattern (r11 verdict task #4) to arbitrary writes where
+no idempotent-redo trick (Bloom OR) is available:
+
+1. PREPARE  — every participant's rows are written to a sibling temp
+   dir and staged into its live table under inert non-``.olive`` names
+   (invisible to every scan, same trick as ``_rewrite_and_swap``);
+   per-file commit-time stats ride along into the marker so redo never
+   recomputes them.
+2. DECIDE   — the coordinator marker (``_olive_txn/<id>.prepared.json``
+   in the FIRST table's directory) is atomically renamed to
+   ``<id>.commit.json``.  This single ``os.replace`` IS the commit
+   point.
+3. PUBLISH  — per participant, under that table's metadata COMMIT
+   lock: staged files activate via rename, the stats manifest merges,
+   and one snapshot-log entry tagged ``txn-<id>`` records the append.
+   Publishes are idempotent (the tag is checked first), so redo after
+   a crash is safe.
+4. FORGET   — the marker is removed.
+
+Crash matrix (exercised with real subprocesses in tests/test_txn.py):
+  before DECIDE  → recovery rolls back: staged files deleted, marker
+                   dropped, NOTHING visible in any table;
+  after DECIDE   → recovery re-publishes every participant whose
+                   snapshot log lacks the txn tag, then drops the
+                   marker: EVERYTHING visible exactly once.
+
+Isolation note (stated, not hidden): between two PUBLISH steps a
+reader can observe table A updated while table B is not yet — the
+window is bounded by driver-local renames and healed by recovery, but
+only a shared catalog could close it entirely (the same bound Delta
+documents for its multi-table story).  Durability/atomicity are full:
+after recovery the tables always agree.
+
+Scale shape: staging cost is the writes themselves (executor-parallel
+through the normal DSv2 writer, layout-preserving on partitioned
+tables); DECIDE and PUBLISH are O(files) driver-side renames + one
+JSON append per table under the existing metadata micro-lock — no
+Spark job, no table scan, independent of table size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+_TXN_DIR = "_olive_txn"
+
+# test seam (same pattern as ops/bloom_index._CRASH_HOOKS): phase name
+# -> callable, injected by crash tests to die at exact protocol points
+_CRASH_HOOKS: dict = {}
+
+
+def _crash_point(phase: str) -> None:
+    hook = _CRASH_HOOKS.get(phase)
+    if hook is not None:
+        hook()
+
+
+def _txn_dir(coordinator: str) -> str:
+    return os.path.join(coordinator, _TXN_DIR)
+
+
+def _stage_one(spark, path: str, df, table: str, txn_id: str) -> dict:
+    """PREPARE one participant: write ``df`` through the normal olive
+    writer into a sibling temp dir (layout/field-id aware), then move
+    every produced chunk file into the live table as
+    ``txn-<id>-NNNNN.olive.staging`` — inert until PUBLISH renames the
+    suffix away.  Returns the participant record for the marker."""
+    from olive_spark.datasource.olive_datasource import _list_chunk_files
+    from olive_spark.format.manifest import load_manifest
+    from olive_spark.format.table_schema import read_column_mapping
+    from olive_spark.ops.maintenance import _partition_layout
+
+    tmp = f"{path}.txn-{txn_id}"
+    layout = _partition_layout(path) if os.path.isdir(path) else None
+    w = df.write.format("olive").option("table", table)
+    cm = read_column_mapping(path, table) if os.path.isdir(path) else None
+    if cm is not None:
+        # mapped table: the temp dir has no sidecar, so ids must be
+        # passed or the staged files land unstamped (see
+        # _rewrite_and_swap's identical block)
+        ids = dict(zip(cm["names"], cm["fids"]))
+        missing = [c for c in df.columns if c not in ids]
+        if missing:
+            from olive_spark.format.table_schema import reserve_field_ids
+
+            ids.update(reserve_field_ids(path, table, missing))
+        w = w.option("fieldIds", json.dumps(ids))
+    if layout:
+        w = w.option("partitionBy", layout["spec"])
+    w.mode("append").save(tmp)
+    tmp_stats = load_manifest(tmp)
+    finals: list[str] = []
+    stats: dict = {}
+    for i, f in enumerate(sorted(_list_chunk_files(tmp))):
+        rel = os.path.relpath(f, tmp)
+        sub = os.path.dirname(rel)
+        if not sub and layout:
+            # zero-row schema sentinel from a partitioned write: park it
+            # under the hive null partition, never at the table root
+            # (a root file poisons layout detection — see
+            # _rewrite_and_swap)
+            sub = os.sep.join(
+                f"{c}=__HIVE_DEFAULT_PARTITION__" for c in layout["dirs"]
+            )
+        final = (
+            os.path.join(sub, f"txn-{txn_id}-{i:05d}.olive")
+            if sub else f"txn-{txn_id}-{i:05d}.olive"
+        )
+        ent = tmp_stats.get(rel)
+        if ent is not None:
+            stats[final] = ent
+        dest = os.path.join(path, final + ".staging")
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.move(f, dest)
+        finals.append(final)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "path": os.path.abspath(path),
+        "table": table,
+        "finals": finals,
+        "stats": stats,
+    }
+
+
+def _publish_one(part: dict, tag: str) -> bool:
+    """PUBLISH one participant (idempotent): skip when the snapshot log
+    already carries the txn tag; otherwise activate staged files, merge
+    stats, and append the tagged snapshot entry — all under ONE hold of
+    the table's metadata commit lock so a concurrent append can't
+    interleave between activation and the log entry."""
+    from olive_spark.format.lock import metadata_commit_lock
+    from olive_spark.format.manifest import merge_manifest
+    from olive_spark.format.snapshots import _append_entry_locked, has_tag
+
+    path = part["path"]
+    with metadata_commit_lock(path):
+        if has_tag(path, tag):
+            return False  # a prior publish (or redo) already landed
+        for final in part["finals"]:
+            stag = os.path.join(path, final + ".staging")
+            if os.path.exists(stag):
+                os.replace(stag, os.path.join(path, final))
+            elif not os.path.exists(os.path.join(path, final)):
+                raise OSError(
+                    f"txn {tag}: staged file {final} missing in {path} — "
+                    "cannot complete the committed transaction"
+                )
+        try:
+            merge_manifest(path, part.get("stats") or {})
+        except OSError:
+            pass  # stats are advisory; the scan falls back to headers
+        _append_entry_locked(
+            path, add=part["finals"], remove=(), reset=False,
+            tag=tag, max_entries=None, dv_add=(), dv_remove=(),
+        )
+    return True
+
+
+def _rollback_one(part: dict) -> None:
+    for final in part["finals"]:
+        try:
+            os.remove(os.path.join(part["path"], final + ".staging"))
+        except OSError:
+            pass
+
+
+def recover_txns(spark, coordinator_path: str) -> dict:
+    """Heal interrupted multi-table transactions coordinated by
+    ``coordinator_path``: PREPARED markers roll back (staged files
+    removed — nothing was ever visible), COMMIT markers re-publish
+    every participant the crash left behind.  Runs automatically at
+    the start of every :func:`multi_table_append` on the same
+    coordinator; call directly after restoring a host."""
+    tdir = _txn_dir(coordinator_path)
+    out = {"rolled_back": 0, "completed": 0}
+    if not os.path.isdir(tdir):
+        return out
+    for name in sorted(os.listdir(tdir)):
+        p = os.path.join(tdir, name)
+        if name.endswith(".prepared.json"):
+            with open(p) as f:
+                txn = json.load(f)
+            for part in txn["participants"]:
+                _rollback_one(part)
+            os.remove(p)
+            out["rolled_back"] += 1
+        elif name.endswith(".commit.json"):
+            with open(p) as f:
+                txn = json.load(f)
+            for part in txn["participants"]:
+                _publish_one(part, txn["tag"])
+            os.remove(p)
+            out["completed"] += 1
+    return out
+
+
+def multi_table_append(
+    spark, writes: "list[tuple[str, object]]", table: str = "data"
+) -> dict:
+    """Append several DataFrames to several olive tables as ONE atomic
+    transaction: either every table gains its rows (one tagged snapshot
+    version each) or none does, under crashes at any point.  The first
+    table coordinates (its ``_olive_txn/`` dir holds the decision
+    marker); its advisory write lock serializes concurrent transactions
+    on the same coordinator and fences recovery.
+
+    Returns ``{"txn": id, "tables": {path: version}}``."""
+    from olive_spark.datasource import register_olive
+    from olive_spark.format.lock import table_write_lock
+    from olive_spark.format.snapshots import current_version
+
+    if not writes:
+        raise ValueError("multi_table_append: writes must be non-empty")
+    paths = [os.path.abspath(p) for p, _df in writes]
+    if len(set(paths)) != len(paths):
+        raise ValueError(
+            "multi_table_append: duplicate table paths in one "
+            "transaction — union the frames instead"
+        )
+    register_olive(spark)
+    coordinator = paths[0]
+    txn_id = uuid.uuid4().hex
+    tag = f"txn-{txn_id}"
+    with table_write_lock(coordinator):
+        recover_txns(spark, coordinator)
+        participants = []
+        try:
+            for (path, df) in writes:
+                participants.append(
+                    _stage_one(spark, os.path.abspath(path), df, table, txn_id)
+                )
+                _crash_point("mid_prepare")
+        except Exception:
+            for part in participants:
+                _rollback_one(part)
+            raise
+        tdir = _txn_dir(coordinator)
+        os.makedirs(tdir, exist_ok=True)
+        prepared = os.path.join(tdir, f"{txn_id}.prepared.json")
+        payload = json.dumps({"tag": tag, "participants": participants})
+        with open(prepared + ".tmp", "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(prepared + ".tmp", prepared)
+        _crash_point("after_prepare")
+        committed = os.path.join(tdir, f"{txn_id}.commit.json")
+        os.replace(prepared, committed)  # THE commit point
+        _crash_point("after_decide")
+        for part in participants:
+            _publish_one(part, tag)
+            _crash_point("mid_publish")
+        os.remove(committed)
+    return {
+        "txn": txn_id,
+        "tables": {p["path"]: current_version(p["path"]) for p in participants},
+    }

@@ -76,6 +76,7 @@ _ORDER = [
     "llm_dedup_substring",  # r11-new: exact-substring dedup (Lee et al.)
     "llm_phrase_search",  # r11-new: positional-postings phrase search
     "scan_time_travel_timestamp",  # r11-new: snapshotAsOf resolution
+    "scan_multi_table_txn",  # r11-new: two-phase multi-table commit
     "setop_union_except",
     "agg_conditional_bools",
     "agg_grouped_map_mad",
@@ -90,7 +91,6 @@ _ORDER = [
     "llm_pack_sequences",
     "llm_pii_redact",
     "llm_repetition_ratio",
-    "llm_similarity_arrow",
     "llm_similarity_range",
     "llm_stratified_sample",
     "llm_tfidf_topk",
@@ -123,10 +123,12 @@ _ORDER = [
     # green in its latest window (r06-r10) and keeps bench/pytest
     # coverage; cumulative driver coverage over rounds stays complete
     # (tpch_q16_parts_suppliers + types_decimal_date + window_first_last
-    # displaced by the three r11-new queries → r12 rotation with the
-    # remaining r7 cohort; their families keep >=1 windowed entry) ----
+    # + llm_similarity_arrow — each ✅/Ⓙ r10 — displaced by the four
+    # r11-new queries → r12 rotation with the remaining r7 cohort;
+    # their families keep >=1 windowed entry) ----
     "tpch_q16_parts_suppliers",
     "window_first_last",
+    "llm_similarity_arrow",
     "scan_after_dv_delete",
     "scan_dv_time_travel",
     "scan_dv_changes_feed",

@@ -996,6 +996,65 @@ def scan_time_travel_timestamp(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def scan_multi_table_txn(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-table atomic transaction (ops/txn.multi_table_append —
+    two-phase commit with a coordinator decision marker): two derived
+    event tables (user parity split) are seeded with event_id % 3 != 0,
+    then ONE transaction lands the remaining third in BOTH tables —
+    exactly one tagged snapshot version each.  The query joins per-type
+    counts across the two tables; the oracle recomputes both splits
+    from the base events table, so a transaction that double-published,
+    dropped a participant, or leaked staged files into scans
+    hash-mismatches."""
+    import os as _os
+
+    from olive_spark.datasource import register_olive
+    from olive_spark.ops import txn as _txn
+
+    register_olive(spark)
+    root = data.ensure_olive(sf)
+    a = _os.path.join(root, "txn_events_even")
+    b = _os.path.join(root, "txn_events_odd")
+    marker = _os.path.join(root, "_TXN_DEMO_OK")
+    if not _os.path.exists(marker):
+        ev = data.load(
+            spark, sf, "events",
+            columns=["event_id", "user_id", "event_type"],
+        )
+        even = ev.filter(F.col("user_id") % 2 == 0)
+        odd = ev.filter(F.col("user_id") % 2 == 1)
+        seed = F.col("event_id") % 3 != 0
+        even.filter(seed).write.format("olive").mode("append").save(a)
+        odd.filter(seed).write.format("olive").mode("append").save(b)
+        _txn.multi_table_append(
+            spark,
+            [(a, even.filter(~seed)), (b, odd.filter(~seed))],
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    na = (
+        spark.read.format("olive").load(a)
+        .groupBy("event_type").agg(F.count("*").alias("n_even"))
+    )
+    nb = (
+        spark.read.format("olive").load(b)
+        .groupBy("event_type").agg(F.count("*").alias("n_odd"))
+    )
+    return na.join(nb, "event_type", "full").select(
+        "event_type",
+        F.coalesce("n_even", F.lit(0)).alias("n_even"),
+        F.coalesce("n_odd", F.lit(0)).alias("n_odd"),
+    )
+
+
+SQL_MULTI_TABLE_TXN = (
+    "SELECT event_type, "
+    "  COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_even, "
+    "  COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_odd "
+    "FROM events GROUP BY event_type"
+)
+
+
 def reshape_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     """Unpivot/melt: wide per-part numeric columns to long (attr, val)
     rows — the inverse of agg_pivot_status."""
@@ -2600,6 +2659,7 @@ QUERIES: dict[str, tuple] = {
     "scan_time_travel_timestamp": (
         scan_time_travel_timestamp, SQL_TIME_TRAVEL,
     ),
+    "scan_multi_table_txn": (scan_multi_table_txn, SQL_MULTI_TABLE_TXN),
     "scan_after_merge_upsert": (scan_after_merge_upsert, SQL_AFTER_MERGE),
     "scan_merge_time_travel": (scan_merge_time_travel, SQL_MERGE_TIME_TRAVEL),
     "scan_merge_conditional_evolve": (

@@ -1,0 +1,249 @@
+"""Multi-table atomic transactions (ops/txn.py): all-or-nothing
+appends across tables under crashes injected at every protocol phase,
+idempotent redo, rollback of prepared-but-undecided transactions, and
+layout/stat preservation on the published files."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from olive_spark import register_olive
+
+    register_olive(s)
+    yield s
+
+
+def _mk(spark, lo, hi, tag):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit(tag + "-"), F.col("id").cast("string")).alias("v"),
+        )
+    )
+
+
+def _seed(spark, path, lo, hi, tag):
+    _mk(spark, lo, hi, tag).coalesce(1).write.format("olive") \
+        .mode("append").save(path)
+
+
+def _count(spark, path):
+    return spark.read.format("olive").load(path).count()
+
+
+class Boom(RuntimeError):
+    pass
+
+
+def _boom():
+    raise Boom()
+
+
+def test_multi_table_append_happy_path(spark, tmp_path):
+    from olive_spark.format.snapshots import current_version, load_log
+    from olive_spark.ops import txn
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _seed(spark, a, 0, 10, "a")
+    _seed(spark, b, 0, 5, "b")
+    out = txn.multi_table_append(
+        spark, [(a, _mk(spark, 10, 25, "a")), (b, _mk(spark, 5, 12, "b"))]
+    )
+    assert _count(spark, a) == 25
+    assert _count(spark, b) == 12
+    assert out["tables"] == {
+        os.path.abspath(a): current_version(a),
+        os.path.abspath(b): current_version(b),
+    }
+    # one tagged snapshot version per table, same txn tag
+    tag = "txn-" + out["txn"]
+    for p in (a, b):
+        tags = [e.get("tag") for e in load_log(p)["entries"]]
+        assert tags.count(tag) == 1
+    # no marker debris, no staged leftovers
+    assert not os.listdir(os.path.join(a, "_olive_txn"))
+    assert not [f for f in os.listdir(a) if f.endswith(".staging")]
+    assert not [f for f in os.listdir(b) if f.endswith(".staging")]
+
+
+def test_crash_mid_prepare_rolls_back_everything(spark, tmp_path):
+    """Dying while staging (after table A staged, before B) must leave
+    both tables untouched — staged files are rolled back by the failing
+    call itself, and a fresh transaction succeeds afterwards."""
+    from olive_spark.ops import txn
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _seed(spark, a, 0, 10, "a")
+    _seed(spark, b, 0, 5, "b")
+    txn._CRASH_HOOKS["mid_prepare"] = _boom
+    try:
+        with pytest.raises(Boom):
+            txn.multi_table_append(
+                spark,
+                [(a, _mk(spark, 10, 20, "a")), (b, _mk(spark, 5, 9, "b"))],
+            )
+    finally:
+        txn._CRASH_HOOKS.clear()
+    assert _count(spark, a) == 10
+    assert _count(spark, b) == 5
+    assert not [f for f in os.listdir(a) if f.endswith(".staging")]
+    out = txn.multi_table_append(
+        spark, [(a, _mk(spark, 10, 20, "a")), (b, _mk(spark, 5, 9, "b"))]
+    )
+    assert out["txn"]
+    assert _count(spark, a) == 20
+    assert _count(spark, b) == 9
+
+
+def test_crash_after_prepare_recovery_rolls_back(spark, tmp_path):
+    """Dying BETWEEN writing the prepared marker and the decide rename:
+    nothing was ever visible, and the next transaction's recovery
+    removes the staged files and the marker."""
+    from olive_spark.ops import txn
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _seed(spark, a, 0, 10, "a")
+    _seed(spark, b, 0, 5, "b")
+    txn._CRASH_HOOKS["after_prepare"] = _boom
+    try:
+        with pytest.raises(Boom):
+            txn.multi_table_append(
+                spark,
+                [(a, _mk(spark, 10, 20, "a")), (b, _mk(spark, 5, 9, "b"))],
+            )
+    finally:
+        txn._CRASH_HOOKS.clear()
+    # marker survives the crash (the raising call can't clean up);
+    # counts unchanged because staged names are inert
+    assert any(
+        n.endswith(".prepared.json")
+        for n in os.listdir(os.path.join(a, "_olive_txn"))
+    )
+    assert _count(spark, a) == 10
+    assert _count(spark, b) == 5
+    healed = txn.recover_txns(spark, a)
+    assert healed == {"rolled_back": 1, "completed": 0}
+    assert _count(spark, a) == 10
+    assert _count(spark, b) == 5
+    assert not [f for f in os.listdir(a) if f.endswith(".staging")]
+    assert not [f for f in os.listdir(b) if f.endswith(".staging")]
+
+
+def test_crash_after_decide_recovery_completes_both(spark, tmp_path):
+    """Dying right AFTER the decide rename (before any publish): the
+    transaction is committed — recovery publishes BOTH tables."""
+    from olive_spark.ops import txn
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _seed(spark, a, 0, 10, "a")
+    _seed(spark, b, 0, 5, "b")
+    txn._CRASH_HOOKS["after_decide"] = _boom
+    try:
+        with pytest.raises(Boom):
+            txn.multi_table_append(
+                spark,
+                [(a, _mk(spark, 10, 20, "a")), (b, _mk(spark, 5, 9, "b"))],
+            )
+    finally:
+        txn._CRASH_HOOKS.clear()
+    assert _count(spark, a) == 10  # not yet published
+    healed = txn.recover_txns(spark, a)
+    assert healed == {"rolled_back": 0, "completed": 1}
+    assert _count(spark, a) == 20
+    assert _count(spark, b) == 9
+
+
+def test_crash_mid_publish_recovery_finishes_the_rest(spark, tmp_path):
+    """Dying after table A published but before table B: recovery (run
+    implicitly by the NEXT transaction on the same coordinator)
+    publishes only the missing side — the already-published table's
+    tagged entry is not duplicated."""
+    from olive_spark.format.snapshots import load_log
+    from olive_spark.ops import txn
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _seed(spark, a, 0, 10, "a")
+    _seed(spark, b, 0, 5, "b")
+    txn._CRASH_HOOKS["mid_publish"] = _boom
+    try:
+        with pytest.raises(Boom):
+            txn.multi_table_append(
+                spark,
+                [(a, _mk(spark, 10, 20, "a")), (b, _mk(spark, 5, 9, "b"))],
+            )
+    finally:
+        txn._CRASH_HOOKS.clear()
+    assert _count(spark, a) == 20  # A landed before the crash
+    assert _count(spark, b) == 5  # B did not
+    # implicit heal: a later transaction on the same coordinator
+    out = txn.multi_table_append(spark, [(a, _mk(spark, 20, 22, "a"))])
+    assert out["txn"]
+    assert _count(spark, a) == 22
+    assert _count(spark, b) == 9  # healed
+    # exactly one tagged entry per table per txn — no redo duplication
+    for p in (a, b):
+        tags = [
+            e.get("tag") for e in load_log(p)["entries"] if e.get("tag")
+        ]
+        assert len(tags) == len(set(tags))
+
+
+def test_validation_and_single_table_degenerate(spark, tmp_path):
+    from olive_spark.ops import txn
+
+    a = str(tmp_path / "a")
+    _seed(spark, a, 0, 3, "a")
+    with pytest.raises(ValueError, match="non-empty"):
+        txn.multi_table_append(spark, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        txn.multi_table_append(
+            spark, [(a, _mk(spark, 3, 4, "a")), (a, _mk(spark, 4, 5, "a"))]
+        )
+    out = txn.multi_table_append(spark, [(a, _mk(spark, 3, 6, "a"))])
+    assert out["txn"]
+    assert _count(spark, a) == 6
+
+
+def test_txn_preserves_partition_layout(spark, tmp_path):
+    """A participant with a hive layout receives its txn rows INSIDE
+    the key=value directories (pruning keeps working), never at the
+    table root."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops import txn
+
+    a = str(tmp_path / "a")
+    base = spark.range(0, 20).select(
+        (F.col("id") % 2).alias("part"), F.col("id").alias("k")
+    )
+    base.write.format("olive").option("partitionBy", "part") \
+        .mode("append").save(a)
+    add = spark.range(20, 30).select(
+        (F.col("id") % 2).alias("part"), F.col("id").alias("k")
+    )
+    txn.multi_table_append(spark, [(a, add)])
+    assert _count(spark, a) == 30
+    root_files = [f for f in os.listdir(a) if f.endswith(".olive")]
+    assert root_files == []  # every txn file sits under part=…/
+    got = (
+        spark.read.format("olive").load(a)
+        .filter(F.col("part") == 1).count()
+    )
+    assert got == 15
