@@ -119,6 +119,13 @@ HEADLINE = [
     "scan_after_replace_where",       # r10: atomic partition overwrite
     "scan_after_widen_column",        # r10: metadata-only type widening
     "llm_similarity_pq_persisted",    # r10: persisted IVF-PQ ANN
+    "scan_dv_gc",                     # r10: DV GC auto-materialization
+    "scan_after_column_remap",        # r11: column-mapping id lifecycle
+    "llm_dedup_substring",            # r11: exact-substring dedup spans
+    "llm_phrase_search",              # r11: positional phrase search
+    "scan_time_travel_timestamp",     # r11: snapshotAsOf resolution
+    "scan_multi_table_txn",           # r11: two-phase multi-table commit
+    "scan_branch_wap",                # r11: write-audit-publish branch
 ]
 
 

@@ -1055,6 +1055,65 @@ SQL_MULTI_TABLE_TXN = (
 )
 
 
+def scan_branch_wap(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-audit-publish branch (ops/branch.py — Iceberg WAP): the
+    wap_events table is seeded with event_id % 4 != 0; the remaining
+    quarter is staged on an isolated branch (invisible to live scans —
+    pinned by counting live rows BEFORE publish), audited with
+    expectations, then fast-forward published as one tagged snapshot
+    commit.  The final per-type aggregate must equal a straight
+    recomputation from the base events table, so a branch that leaked
+    staged rows early, dropped a file at publish, or double-published
+    hash-mismatches."""
+    import os as _os
+
+    from olive_spark.datasource import register_olive
+    from olive_spark.ops import branch as _branch
+
+    register_olive(spark)
+    root = data.ensure_olive(sf)
+    t = _os.path.join(root, "wap_events")
+    marker = _os.path.join(root, "_WAP_DEMO_OK")
+    if not _os.path.exists(marker):
+        ev = data.load(
+            spark, sf, "events",
+            columns=["event_id", "event_type", "value"],
+        )
+        seed = ev.filter(F.col("event_id") % 4 != 0)
+        rest = ev.filter(F.col("event_id") % 4 == 0)
+        seed.write.format("olive").mode("append").save(t)
+        _branch.create_branch(t, "ingest")
+        _branch.append_to_branch(spark, rest, t, "ingest")
+        n_live = spark.read.format("olive").load(t).count()
+        n_seed = seed.count()
+        if n_live != n_seed:  # isolation is part of the tested contract
+            raise RuntimeError(
+                f"branch rows leaked into the live scan: {n_live} != "
+                f"{n_seed}"
+            )
+        _branch.publish_branch(
+            spark, t, "ingest",
+            expect={"has_type": "event_type IS NOT NULL"},
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return (
+        spark.read.format("olive").load(t)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(D)).cast(D).alias("sum_value"),
+        )
+    )
+
+
+SQL_BRANCH_WAP = (
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value "
+    "FROM events GROUP BY event_type"
+)
+
+
 def reshape_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     """Unpivot/melt: wide per-part numeric columns to long (attr, val)
     rows — the inverse of agg_pivot_status."""
@@ -2660,6 +2719,7 @@ QUERIES: dict[str, tuple] = {
         scan_time_travel_timestamp, SQL_TIME_TRAVEL,
     ),
     "scan_multi_table_txn": (scan_multi_table_txn, SQL_MULTI_TABLE_TXN),
+    "scan_branch_wap": (scan_branch_wap, SQL_BRANCH_WAP),
     "scan_after_merge_upsert": (scan_after_merge_upsert, SQL_AFTER_MERGE),
     "scan_merge_time_travel": (scan_merge_time_travel, SQL_MERGE_TIME_TRAVEL),
     "scan_merge_conditional_evolve": (

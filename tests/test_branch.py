@@ -1,0 +1,217 @@
+"""Write-audit-publish branches (ops/branch.py): isolation of staged
+rows from every live surface, branch-scan preview parity, the audit
+gate, crash-safe publish, and branch lifecycle validation."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from olive_spark import register_olive
+
+    register_olive(s)
+    yield s
+
+
+def _mk(spark, lo, hi):
+    from pyspark.sql import functions as F
+
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+def _seed(spark, path, lo, hi):
+    _mk(spark, lo, hi).coalesce(1).write.format("olive") \
+        .mode("append").save(path)
+
+
+def _live(spark, path):
+    return spark.read.format("olive").load(path)
+
+
+class Boom(RuntimeError):
+    pass
+
+
+def _boom():
+    raise Boom()
+
+
+def test_branch_rows_invisible_until_publish(spark, tmp_path):
+    from olive_spark.format.snapshots import load_log
+    from olive_spark.ops import branch
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 100)
+    branch.create_branch(t, "audit1")
+    branch.append_to_branch(
+        spark, _mk(spark, 100, 150).coalesce(1), t, "audit1"
+    )
+    branch.append_to_branch(
+        spark, _mk(spark, 150, 160).coalesce(1), t, "audit1"
+    )
+    # live scan, count, and time travel see NOTHING of the branch
+    assert _live(spark, t).count() == 100
+    v_before = max(int(e["v"]) for e in load_log(t)["entries"])
+    # branch preview = base + staged
+    assert branch.scan_branch(spark, t, "audit1").count() == 160
+    out = branch.publish_branch(spark, t, "audit1")
+    assert out["files_published"] == 2
+    assert _live(spark, t).count() == 160
+    # ONE new snapshot version, tagged
+    log = load_log(t)["entries"]
+    assert max(int(e["v"]) for e in log) == v_before + 1
+    assert [e.get("tag") for e in log].count(out["tag"]) == 1
+    # published rows are exactly the staged ones
+    got = sorted(r["k"] for r in _live(spark, t).collect())
+    assert got == list(range(160))
+    # branch is gone
+    from olive_spark.format.errors import ValidationError
+
+    with pytest.raises(ValidationError, match="no branch"):
+        branch.scan_branch(spark, t, "audit1")
+
+
+def test_branch_preview_uses_base_dv_state(spark, tmp_path):
+    """Live deletes made AFTER the branch base must not fold into the
+    branch preview (the preview is what a publish of the BASE +
+    branch rows would have served), while the publish itself lands on
+    the CURRENT state — appends never conflict."""
+    from olive_spark.ops import branch
+    from olive_spark.ops.maintenance import delete_where
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 100)
+    branch.create_branch(t, "b")
+    branch.append_to_branch(spark, _mk(spark, 100, 110), t, "b")
+    delete_where(spark, t, "k < 10", mode="dv")
+    assert _live(spark, t).count() == 90
+    assert branch.scan_branch(spark, t, "b").count() == 110  # base view
+    branch.publish_branch(spark, t, "b")
+    assert _live(spark, t).count() == 100  # 90 live + 10 branch rows
+
+
+def test_audit_gate_refuses_and_keeps_branch(spark, tmp_path):
+    from olive_spark.ops import branch
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 10)
+    branch.create_branch(t, "b")
+    branch.append_to_branch(spark, _mk(spark, 10, 20), t, "b")
+    with pytest.raises(branch.BranchAuditError, match="k_bound"):
+        branch.publish_branch(
+            spark, t, "b",
+            expect={"k_bound": "k < 15", "v_nonneg": "v >= 0"},
+        )
+    # refused: nothing visible, branch intact
+    assert _live(spark, t).count() == 10
+    assert branch.scan_branch(spark, t, "b").count() == 20
+    # a passing audit publishes
+    branch.publish_branch(
+        spark, t, "b", expect={"k_bound": "k < 100", "v_nonneg": "v >= 0"}
+    )
+    assert _live(spark, t).count() == 20
+
+
+def test_publish_crash_after_decide_recovers(spark, tmp_path):
+    """Dying right after the decision marker: the branch rows are not
+    yet live, and recovery (implicit in the next publish on the table,
+    or explicit) completes the rename+commit exactly once."""
+    from olive_spark.format.snapshots import load_log
+    from olive_spark.ops import branch
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 10)
+    branch.create_branch(t, "b")
+    branch.append_to_branch(spark, _mk(spark, 10, 25), t, "b")
+    branch._CRASH_HOOKS["after_decide"] = _boom
+    try:
+        with pytest.raises(Boom):
+            branch.publish_branch(spark, t, "b")
+    finally:
+        branch._CRASH_HOOKS.clear()
+    assert _live(spark, t).count() == 10
+    healed = branch.recover_branch_publishes(t)
+    assert healed == {"completed": 1}
+    assert _live(spark, t).count() == 25
+    tags = [e.get("tag") for e in load_log(t)["entries"] if e.get("tag")]
+    assert len(tags) == len(set(tags))
+    # healing again is a no-op
+    assert branch.recover_branch_publishes(t) == {"completed": 0}
+
+
+def test_publish_crash_mid_activate_recovers(spark, tmp_path):
+    """Dying after the renames but before the snapshot entry: the
+    half-published state is healed into exactly one commit (renames
+    are skipped for already-final files, the entry lands once)."""
+    from olive_spark.ops import branch
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 10)
+    branch.create_branch(t, "b")
+    branch.append_to_branch(spark, _mk(spark, 10, 30), t, "b")
+    branch._CRASH_HOOKS["mid_activate"] = _boom
+    try:
+        with pytest.raises(Boom):
+            branch.publish_branch(spark, t, "b")
+    finally:
+        branch._CRASH_HOOKS.clear()
+    healed = branch.recover_branch_publishes(t)
+    assert healed == {"completed": 1}
+    assert _live(spark, t).count() == 30
+    assert sorted(r["k"] for r in _live(spark, t).collect()) == list(range(30))
+
+
+def test_branch_lifecycle_validation(spark, tmp_path):
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops import branch
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 5)
+    branch.create_branch(t, "b")
+    with pytest.raises(ValidationError, match="already exists"):
+        branch.create_branch(t, "b")
+    for bad in ("", "_x", ".x", "a/b"):
+        with pytest.raises(ValidationError, match="invalid branch name"):
+            branch.create_branch(t, bad)
+    branch.append_to_branch(spark, _mk(spark, 5, 8).coalesce(1), t, "b")
+    out = branch.drop_branch(t, "b")
+    assert out["files_dropped"] == 1
+    assert _live(spark, t).count() == 5
+    assert not os.path.exists(os.path.join(t, "_olive_branch", "b"))
+    with pytest.raises(ValidationError, match="no branch"):
+        branch.publish_branch(spark, t, "b")
+
+
+def test_published_branch_files_keep_manifest_stats(spark, tmp_path):
+    """Plan-time pruning must keep working on published branch files:
+    the commit-time stats ride the ref and the publish marker into the
+    stats manifest under the final names."""
+    from olive_spark.format.manifest import load_manifest
+    from olive_spark.ops import branch
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 10)
+    branch.create_branch(t, "b")
+    branch.append_to_branch(spark, _mk(spark, 10, 20), t, "b")
+    out = branch.publish_branch(spark, t, "b")
+    man = load_manifest(t)
+    published = [n for n in man if n.startswith(out["tag"])]
+    assert len(published) == out["files_published"], man.keys()
+    assert sum(man[n].get("rows", 0) for n in published) == 10
+    # per-file min/max stats survive the re-key → pruning keeps working
+    assert all("columns" in man[n] for n in published)

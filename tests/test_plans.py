@@ -649,3 +649,67 @@ def test_nmbs_discovery_is_anti_join_not_cartesian(spark, tmp_path):
     p = plan_of(anti)
     assert "CartesianProduct" not in p
     assert "LeftAnti" in p
+
+
+def test_substring_dedup_plan_shape(spark):
+    """substring_dup_spans must stay JVM-side and slim: tokenization is
+    hoisted (no per-fragment re-split), the only exchanges are the
+    fragment-count groupBy, the join back, and the per-doc aggregate —
+    no Python row eval, no cartesian, no window over raw rows, and
+    span coverage is computed by array functions (no position
+    explode)."""
+    from olive_spark.ops.dedup import substring_dup_spans
+
+    docs = spark.range(80).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(0, 39), "
+        "j -> concat('w', (id % 5) * 37 + j))) AS text",
+    )
+    out = substring_dup_spans(docs, width=16, stride=8)
+    p = plan_of(out)
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    # one posexplode-free fragment explode only (the fragment structs)
+    assert p.count("Generate explode") == 1, p
+    # groupBy(frag) partial+final, join back, per-doc agg partial+final
+    assert p.count("Exchange") <= 5, p
+
+
+def test_phrase_search_prunes_to_phrase_token_files(spark, tmp_path):
+    """Phrase search reads ONLY the posting files whose token range
+    straddles the phrase tokens (same pruning as search_tokens), does
+    the adjacency check with array intersects (no Python row eval, no
+    re-scan of any document text), and shuffles once into the per-doc
+    map."""
+    from olive_spark.ops.text_index import build_text_index, search_phrase
+
+    docs = spark.range(60).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(0, 11), "
+        "j -> concat('w', lpad(cast((id * 37 + j * 11) % 100 as string), "
+        "2, '0')))) AS text",
+    )
+    idx = str(tmp_path / "pix")
+    build_text_index(spark, docs, idx, n_files=4, positions=True)
+    out = search_phrase(spark, idx, "w13 w24")
+    p = plan_of(out)
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "array_intersect" in p
+    assert p.count("Exchange") <= 2, p
+    # token-range pruning: the two-token isin plans a strict subset of
+    # the clustered posting files (same survivor probe the
+    # search_tokens contract uses)
+    import os as _os
+
+    from tests.test_datasource import _surviving
+
+    pdir = f"{idx}/postings"
+    n_files = sum(
+        1 for f in _os.listdir(pdir) if f.endswith(".olive")
+    )
+    survivors = _surviving(
+        spark, pdir, [("token", "in", ["w13", "w24"])]
+    )
+    assert survivors < n_files, (survivors, n_files)
