@@ -1894,6 +1894,7 @@ def _append_snapshot_entry(
             reset=reset,
             tag=tag,
             max_entries=max_entries,
+            op="overwrite" if reset else "append",
         )
     except OSError:
         try:
@@ -2068,6 +2069,7 @@ class OliveStreamWriter(DataSourceStreamArrowWriter):
             snapshots.append_entry(
                 self._batch.path, add=rels, tag=tag,
                 max_entries=self._SNAPSHOT_MAX_ENTRIES,
+                op="stream-epoch",
             )
         except Exception:  # noqa: BLE001 — advisory, replay must not fail
             pass

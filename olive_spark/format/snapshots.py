@@ -99,7 +99,8 @@ def list_live_files(dirpath: str) -> "list[str]":
 def append_entry(
     dirpath: str, add, remove=(), reset: bool = False,
     tag: "str | None" = None, max_entries: "int | None" = None,
-    dv_add=(), dv_remove=(),
+    dv_add=(), dv_remove=(), op: "str | None" = None,
+    params: "dict | None" = None,
 ) -> int:
     """Record one commit; returns the new version number.  Single-writer
     contract (same as the stats manifest): no concurrent appenders.
@@ -133,12 +134,13 @@ def append_entry(
     with metadata_commit_lock(dirpath):
         return _append_entry_locked(
             dirpath, add, remove, reset, tag, max_entries,
-            dv_add, dv_remove,
+            dv_add, dv_remove, op=op, params=params,
         )
 
 
 def _append_entry_locked(
     dirpath, add, remove, reset, tag, max_entries, dv_add, dv_remove,
+    op: "str | None" = None, params: "dict | None" = None,
 ) -> int:
     log = load_log(dirpath)
     entries = log["entries"]
@@ -178,6 +180,12 @@ def _append_entry_locked(
         entry["reset"] = True
     if tag is not None:
         entry["tag"] = str(tag)
+    if op is not None:
+        # commit provenance (the DESCRIBE HISTORY surface): a short verb
+        # name plus slim JSON-able params — never data, never row sets
+        entry["op"] = str(op)
+    if params:
+        entry["params"] = dict(params)
     if dv_add:
         entry["dv_add"] = sorted([t, d] for t, d in dv_add)
     if dv_remove:

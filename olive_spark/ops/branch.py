@@ -250,6 +250,7 @@ def _finish_publish(path: str, txn: dict) -> None:
                 path, add=[f for _s, f in txn["renames"]], remove=(),
                 reset=False, tag=txn["tag"], max_entries=None,
                 dv_add=(), dv_remove=(),
+                op="branch-publish", params={"branch": txn["name"]},
             )
     shutil.rmtree(os.path.join(path, _BRANCH_DIR, name), ignore_errors=True)
     os.remove(os.path.join(path, _BRANCH_DIR, f"{name}.publish.json"))

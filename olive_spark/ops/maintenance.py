@@ -633,7 +633,8 @@ def _rewrite_and_swap(
     prefix: str, layout: "dict | None" = None,
     empty: bool = False, commit_tag: "str | None" = None,
     dv_add: "list[tuple[str, str]] | None" = None,
-    precommit=None,
+    precommit=None, op: "str | None" = None,
+    op_params: "dict | None" = None,
 ) -> "list[str]":
     """Write ``df`` as the replacement for ``original_rels`` inside the
     live table at ``path`` — the crash-safe copy-on-write core shared by
@@ -774,6 +775,8 @@ def _rewrite_and_swap(
             "empty": bool(empty),
             "tag": commit_tag,
             "dv_add": [list(p) for p in (dv_add or [])],
+            "op": op or prefix,
+            "op_params": op_params or {},
         }
     )
 
@@ -812,7 +815,8 @@ def _rewrite_and_swap(
             from olive_spark.format.snapshots import append_entry
 
             append_entry(path, add=finals, remove=original_rels,
-                         tag=commit_tag, dv_add=tuple(dv_add or ()))
+                         tag=commit_tag, dv_add=tuple(dv_add or ()),
+                         op=op or prefix, params=op_params)
         except OSError:
             pass
         return finals
@@ -851,6 +855,7 @@ def _rewrite_and_swap(
                 path, add=finals, remove=original_rels, reset=False,
                 tag=commit_tag, max_entries=None,
                 dv_add=tuple(dv_add or ()), dv_remove=(),
+                op=op or prefix, params=op_params,
             )
         except OSError:
             pass  # same best-effort contract as the unlocked path
@@ -942,6 +947,7 @@ def _recover_pending(path: str) -> dict:
                 tag=man.get("tag"),
                 dv_add=[tuple(p) for p in man.get("dv_add", [])],
                 dv_remove=[tuple(p) for p in man.get("dv_remove", [])],
+                op=man.get("op"), params=man.get("op_params") or None,
             )
         except OSError:
             pass
@@ -1975,6 +1981,7 @@ def merge_upsert(
             layout=layout, commit_tag=commit_tag, precommit=precommit,
             empty=(rw_rows == 0 and not wipe_all),
             dv_add=dv_add,
+            op_params={"keys": list(key_cols)},
         )
         if new_cols and finals:
             _update_schema_sidecar(
@@ -2299,6 +2306,7 @@ def delete_where(
             retain_history=retain_history, prefix="delete",
             layout=None, empty=True, dv_add=dv_add,
             precommit=precommit,
+            op_params={"condition": condition, "strategy": "dv"},
         )
         return {
             "files_rewritten": 0,
@@ -2343,6 +2351,7 @@ def delete_where(
             empty=(rows == 0 and not wipe_all),
             dv_add=dv_add,
             precommit=precommit,
+            op_params={"condition": condition},
         )
     finally:
         survivors.unpersist()
@@ -2475,6 +2484,7 @@ def replace_where(
         retain_history=retain_history, prefix="replace",
         layout=layout,
         empty=(n_written == 0 and not wipe_all),
+        op_params={"predicate": condition},
     )
     return {
         "files_replaced": len(affected),
@@ -2663,6 +2673,7 @@ def update_where(
             retain_history=retain_history, prefix="update",
             layout=layout,
             dv_add=dv_add,
+            op_params={"condition": condition},
         )
     finally:
         rewritten.unpersist()
@@ -3426,6 +3437,7 @@ def restore(path: str, version: int, table: str = "data") -> dict:
         "finals": add,
         "history": True,
         "op": "restore",
+        "op_params": {"to_version": int(version)},
         "tag": f"restore:{int(version)}",
         "empty": not add,
         "dv_add": [list(p) for p in dv_add],
@@ -3447,6 +3459,7 @@ def restore(path: str, version: int, table: str = "data") -> dict:
     new_v = append_entry(
         path, add=add, remove=remove, tag=f"restore:{int(version)}",
         dv_add=dv_add, dv_remove=dv_remove,
+        op="restore", params={"to_version": int(version)},
     )
     entries = {}
     for rel in add:
@@ -3847,6 +3860,11 @@ def snapshot_history(path: str) -> "list[dict]":
         elif e.get("reset"):
             live.clear()
             kind = "overwrite"
+        elif e.get("op"):
+            # exact provenance (r11): every engine verb stamps its name
+            # (and slim params) into the entry, so history stops
+            # guessing from entry shape
+            kind = str(e["op"])
         elif str(e.get("tag", "")).startswith("restore:"):
             kind = "restore"
         elif e.get("remove"):
@@ -3871,5 +3889,7 @@ def snapshot_history(path: str) -> "list[dict]":
             rec["dv_removed"] = len(e["dv_remove"])
         if e.get("tag") is not None:
             rec["tag"] = e["tag"]
+        if e.get("params"):
+            rec["params"] = e["params"]
         out.append(rec)
     return out

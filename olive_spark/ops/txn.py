@@ -165,6 +165,7 @@ def _publish_one(part: dict, tag: str) -> bool:
         _append_entry_locked(
             path, add=part["finals"], remove=(), reset=False,
             tag=tag, max_entries=None, dv_add=(), dv_remove=(),
+            op="txn-append", params={"txn": tag},
         )
     return True
 

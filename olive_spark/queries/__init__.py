@@ -78,6 +78,7 @@ _ORDER = [
     "scan_time_travel_timestamp",  # r11-new: snapshotAsOf resolution
     "scan_multi_table_txn",  # r11-new: two-phase multi-table commit
     "scan_branch_wap",  # r11-new: write-audit-publish branch
+    "scan_snapshot_history",  # r11-new: exact commit provenance
     "setop_union_except",
     "agg_conditional_bools",
     "agg_grouped_map_mad",
@@ -98,7 +99,6 @@ _ORDER = [
     "llm_token_count",
     "llm_vocab_topk",
     "mm_audio_windows",
-    "scalar_hash_bitwise",
     "stream_dedup_counts",
     "stream_olive_sink",
     "stream_session_window",
@@ -123,13 +123,15 @@ _ORDER = [
     # green in its latest window (r06-r10) and keeps bench/pytest
     # coverage; cumulative driver coverage over rounds stays complete
     # (tpch_q16_parts_suppliers + types_decimal_date + window_first_last
-    # + llm_similarity_arrow + mm_frame_sample — each ✅/Ⓙ r10 —
-    # displaced by the five r11-new queries → r12 rotation with the
-    # remaining r7 cohort; their families keep >=1 windowed entry) ----
+    # + llm_similarity_arrow + mm_frame_sample + scalar_hash_bitwise —
+    # each ✅/Ⓙ r10 — displaced by the six r11-new queries → r12
+    # rotation with the remaining r7 cohort; their families keep >=1
+    # windowed entry) ----
     "tpch_q16_parts_suppliers",
     "window_first_last",
     "llm_similarity_arrow",
     "mm_frame_sample",
+    "scalar_hash_bitwise",
     "scan_after_dv_delete",
     "scan_dv_time_travel",
     "scan_dv_changes_feed",

@@ -1055,16 +1055,10 @@ SQL_MULTI_TABLE_TXN = (
 )
 
 
-def scan_branch_wap(spark: SparkSession, sf: str) -> DataFrame:
-    """Write-audit-publish branch (ops/branch.py — Iceberg WAP): the
-    wap_events table is seeded with event_id % 4 != 0; the remaining
-    quarter is staged on an isolated branch (invisible to live scans —
-    pinned by counting live rows BEFORE publish), audited with
-    expectations, then fast-forward published as one tagged snapshot
-    commit.  The final per-type aggregate must equal a straight
-    recomputation from the base events table, so a branch that leaked
-    staged rows early, dropped a file at publish, or double-published
-    hash-mismatches."""
+def _ensure_wap_events(spark, sf: str) -> str:
+    """Build the wap_events demo table once per cache: seed 3/4 of
+    events as a plain append, stage the rest on a branch, audit,
+    publish — leaving exactly [append, branch-publish] in the log."""
     import os as _os
 
     from olive_spark.datasource import register_olive
@@ -1072,8 +1066,12 @@ def scan_branch_wap(spark: SparkSession, sf: str) -> DataFrame:
 
     register_olive(spark)
     root = data.ensure_olive(sf)
-    t = _os.path.join(root, "wap_events")
-    marker = _os.path.join(root, "_WAP_DEMO_OK")
+    # v2: the demo table is rebuilt when its construction recipe gains
+    # observable state (v2 = op-provenance stamps in the log) — a new
+    # dir name, because appending into a pre-provenance cache dir would
+    # duplicate rows and serve a stale history
+    t = _os.path.join(root, "wap_events_v2")
+    marker = _os.path.join(root, "_WAP_DEMO_OK_V2")
     if not _os.path.exists(marker):
         ev = data.load(
             spark, sf, "events",
@@ -1097,6 +1095,52 @@ def scan_branch_wap(spark: SparkSession, sf: str) -> DataFrame:
         )
         with open(marker, "w") as f:
             f.write("ok")
+    return t
+
+
+def scan_snapshot_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Commit provenance (ops/maintenance.snapshot_history — the
+    DESCRIBE HISTORY surface, r11): every verb stamps its op name and
+    slim params into its snapshot entry, so the wap_events table's
+    history is exactly [append, branch-publish(ingest)] — heuristics
+    that guessed kinds from entry shape, a lost op stamp, or a
+    double-published branch all hash-mismatch against the literal
+    oracle."""
+    from olive_spark.ops.maintenance import snapshot_history
+
+    t = _ensure_wap_events(spark, sf)
+    hist = snapshot_history(t)
+    rows = [
+        (
+            int(h["version"]),
+            str(h["kind"]),
+            (h.get("params") or {}).get("branch"),
+        )
+        for h in hist
+    ]
+    return spark.createDataFrame(
+        rows, "version int, kind string, branch string"
+    )
+
+
+SQL_SNAPSHOT_HISTORY = (
+    "SELECT 1 AS version, 'append' AS kind, NULL AS branch "
+    "UNION ALL "
+    "SELECT 2 AS version, 'branch-publish' AS kind, 'ingest' AS branch"
+)
+
+
+def scan_branch_wap(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-audit-publish branch (ops/branch.py — Iceberg WAP): the
+    wap_events table is seeded with event_id % 4 != 0; the remaining
+    quarter is staged on an isolated branch (invisible to live scans —
+    pinned by counting live rows BEFORE publish), audited with
+    expectations, then fast-forward published as one tagged snapshot
+    commit.  The final per-type aggregate must equal a straight
+    recomputation from the base events table, so a branch that leaked
+    staged rows early, dropped a file at publish, or double-published
+    hash-mismatches."""
+    t = _ensure_wap_events(spark, sf)
     return (
         spark.read.format("olive").load(t)
         .groupBy("event_type")
@@ -2720,6 +2764,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "scan_multi_table_txn": (scan_multi_table_txn, SQL_MULTI_TABLE_TXN),
     "scan_branch_wap": (scan_branch_wap, SQL_BRANCH_WAP),
+    "scan_snapshot_history": (scan_snapshot_history, SQL_SNAPSHOT_HISTORY),
     "scan_after_merge_upsert": (scan_after_merge_upsert, SQL_AFTER_MERGE),
     "scan_merge_time_travel": (scan_merge_time_travel, SQL_MERGE_TIME_TRAVEL),
     "scan_merge_conditional_evolve": (

@@ -605,3 +605,38 @@ def test_version_at_timestamp_missing_ts_counts_old(tmp_path):
         json.dump(log, f)
     assert snapshots.version_at_timestamp(d, 500.0) == 1
     assert snapshots.version_at_timestamp(d, 1000.0) == 2
+
+
+def test_snapshot_history_exact_op_provenance(spark, tmp_path_factory):
+    """r11: every engine verb stamps its name (and slim params) into
+    its snapshot entry, so DESCRIBE-HISTORY-style listings report exact
+    provenance instead of shape heuristics — a delete is 'delete', not
+    'compact', and conditions/keys ride along."""
+    from olive_spark.ops.maintenance import (
+        delete_where,
+        merge_upsert,
+        restore,
+        snapshot_history,
+        update_where,
+    )
+
+    path = str(tmp_path_factory.mktemp("prov") / "t")
+    _write(spark, path, 0, 50)
+    delete_where(spark, path, "k < 5", mode="rewrite")
+    update_where(spark, path, {"k": "k + 1000"}, "k >= 45")
+    src = spark.range(20, 23).withColumnRenamed("id", "k")
+    merge_upsert(spark, path, src, ["k"])
+    restore(path, 1)
+    hist = snapshot_history(path)
+    kinds = [h["kind"] for h in hist]
+    assert kinds == ["append", "delete", "update", "merge", "restore"]
+    assert hist[1]["params"] == {"condition": "k < 5"}
+    assert hist[2]["params"] == {"condition": "k >= 45"}
+    assert hist[3]["params"] == {"keys": ["k"]}
+    assert hist[4]["params"] == {"to_version": 1}
+    # DV-strategy delete stamps its strategy
+    _write(spark, path, 500, 600)
+    delete_where(spark, path, "k = 501", mode="dv")
+    h = snapshot_history(path)[-1]
+    assert h["kind"] == "delete"
+    assert h["params"] == {"condition": "k = 501", "strategy": "dv"}
