@@ -147,10 +147,17 @@ def substring_dup_spans(
     Scale shape: tokenization is hoisted (one regex split per doc, see
     shingle_hash_grams); the only shuffles are one groupBy on the
     fragment string (≈ n_tokens/stride slim rows per doc) to count
-    occurrences and one broadcast-or-shuffle join back; span coverage
-    is computed per doc from the fragment index list with array
-    higher-order functions — no position explode, no window over raw
-    rows.  Everything is JVM-side built-ins; no Python UDF."""
+    occurrences and one join back; span coverage is computed per doc
+    from the fragment index list with array higher-order functions —
+    no position explode, no window over raw rows.  The groupBy+join
+    shape (rather than COUNT OVER PARTITION BY frag) is deliberate: a
+    boilerplate fragment duplicated across millions of docs stays
+    skew-safe under map-side partial aggregation, where a window would
+    funnel all its rows to one task.  The fragment derivation is
+    recomputed on each side of the self-join (plan contract pins <= 2
+    Generate nodes) — scan-local work, cheaper at scale than
+    persisting tokens·width/stride rows.  Everything is JVM-side
+    built-ins; no Python UDF."""
     w, s = int(width), int(stride)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     t = (

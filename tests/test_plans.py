@@ -669,9 +669,16 @@ def test_substring_dedup_plan_shape(spark):
     p = plan_of(out)
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+    # no Window over fragment rows: a count-over-partition(frag) would
+    # be shuffle-equivalent but skew-UNSAFE (a boilerplate fragment
+    # duplicated in 10M docs lands on one task with no partial agg);
+    # the groupBy+join shape keeps map-side combine
     assert "Window" not in p
-    # one posexplode-free fragment explode only (the fragment structs)
-    assert p.count("Generate explode") == 1, p
+    # the fragment explode appears once per side of the self-join (the
+    # recompute is scan-local; the dup set can't be broadcast at
+    # scale).  ") Generate" matches only the detail-section node lines
+    # (formatted plans print each node in the tree AND the details)
+    assert 1 <= p.count(") Generate") <= 2, p
     # groupBy(frag) partial+final, join back, per-doc agg partial+final
     assert p.count("Exchange") <= 5, p
 
