@@ -514,3 +514,58 @@ def test_stats_pruning_naive_timestamps_local_tz():
         else:
             os.environ["TZ"] = old_tz
         time.tzset()
+
+
+def test_timestamp_resolution_and_provenance_model(tmp_path):
+    """Model check for the r11 log surfaces: version_at_timestamp must
+    equal the max version whose recorded ts is at-or-before the probe
+    (for probes at every entry's own ts, between entries, and outside
+    the range), and snapshot_history must report EXACTLY the op/params
+    each commit stamped — including after expire collapses a prefix
+    (the retained suffix keeps its provenance; the collapse base is a
+    vacuum-base, never a phantom op)."""
+    import random
+
+    import pytest
+
+    from olive_spark.format import snapshots
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops.maintenance import snapshot_history
+
+    rng = random.Random(1311)
+    for trial in range(10):
+        d = str(tmp_path / f"prov{trial}")
+        ops = []
+        nf = 0
+        for step in range(rng.randrange(3, 10)):
+            op = rng.choice(["append", "delete", "merge", "stream-epoch"])
+            params = {"step": step} if rng.random() < 0.5 else None
+            snapshots.append_entry(
+                d, add=[f"f{nf}.olive"], op=op, params=params,
+            )
+            nf += 1
+            ops.append((op, params))
+        entries = snapshots.load_log(d)["entries"]
+        ts_of = {int(e["v"]): float(e["ts"]) for e in entries}
+        # resolver vs model at every entry ts, between entries, outside
+        probes = [t for t in ts_of.values()]
+        probes += [t + 0.0005 for t in ts_of.values()]
+        probes.append(max(ts_of.values()) + 100.0)
+        for probe in probes:
+            want = max(v for v, t in ts_of.items() if t <= probe)
+            assert snapshots.version_at_timestamp(d, probe) == want
+        with pytest.raises(ValidationError):
+            snapshots.version_at_timestamp(d, min(ts_of.values()) - 1.0)
+        # exact provenance, pre-expire
+        hist = snapshot_history(d)
+        assert [h["kind"] for h in hist] == [o for o, _p in ops], trial
+        for h, (_o, p) in zip(hist, ops):
+            assert h.get("params") == (p if p else None), (trial, h)
+        # provenance survives expire on the retained suffix
+        retain = rng.randrange(1, len(ops) + 1)
+        snapshots.expire(d, retain)
+        hist2 = snapshot_history(d)
+        tail = hist2[-(retain - 1):] if retain > 1 else []
+        want_tail = ops[-(retain - 1):] if retain > 1 else []
+        assert [h["kind"] for h in tail] == [o for o, _p in want_tail]
+        assert hist2[0]["kind"] in ("vacuum-base", ops[len(ops) - retain][0])
