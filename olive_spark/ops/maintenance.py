@@ -3230,6 +3230,23 @@ def vacuum(
     are never touched.  Safe whichever phase the compaction died in;
     single-writer contract as for :func:`compact`."""
     recovery = _recover_pending(path)
+    # heal multi-table transactions and branch publishes BEFORE the
+    # .staging sweep: a PREPARED txn rolls back (its staged files are
+    # then legitimately gone) and a COMMITTED one publishes (its staged
+    # files rename live) — sweeping first would destroy a committed
+    # transaction's only copy of its staged files
+    try:
+        from olive_spark.ops.txn import recover_txns
+
+        txn_healed = recover_txns(None, path)
+    except OSError:
+        txn_healed = {}
+    try:
+        from olive_spark.ops.branch import recover_branch_publishes
+
+        branch_healed = recover_branch_publishes(path)
+    except OSError:
+        branch_healed = {}
     removed_staging = 0
     for f in glob.glob(os.path.join(path, "compact-*.manifest.json.tmp")):
         try:
@@ -3250,10 +3267,15 @@ def vacuum(
             except OSError:
                 pass
     removed_tmpdirs = 0
-    for d in glob.glob(f"{path}.compact-*"):
-        if os.path.isdir(d):
-            shutil.rmtree(d, ignore_errors=True)
-            removed_tmpdirs += 1
+    # sibling temp write dirs of compact/merge/delete (.compact-*),
+    # crashed multi-table stagings (.txn-*) and branch appends
+    # (.branch-*) — all invisible to readers, all safe after the heals
+    # above completed or rolled back their owners
+    for pat in (f"{path}.compact-*", f"{path}.txn-*", f"{path}.branch-*"):
+        for d in glob.glob(pat):
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+                removed_tmpdirs += 1
     # crashed executor-side tombstone stages (merge died between the
     # stage write and activation): dot-prefixed, invisible to reads,
     # safe to drop — the replay re-applies the delete and re-stages
@@ -3284,6 +3306,10 @@ def vacuum(
         "orphan_dvs": orphan_dvs,
         **recovery,
     }
+    if txn_healed.get("rolled_back") or txn_healed.get("completed"):
+        out["txns"] = txn_healed
+    if branch_healed.get("completed"):
+        out["branch_publishes"] = branch_healed
     if retain_hours is not None:
         # time-based retention (VACUUM ... RETAIN n HOURS): expire
         # versions older than the cutoff, minimum the current one;

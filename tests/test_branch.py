@@ -215,3 +215,26 @@ def test_published_branch_files_keep_manifest_stats(spark, tmp_path):
     assert sum(man[n].get("rows", 0) for n in published) == 10
     # per-file min/max stats survive the re-key → pruning keeps working
     assert all("columns" in man[n] for n in published)
+
+
+def test_vacuum_completes_crashed_branch_publish(spark, tmp_path):
+    """vacuum heals a decided-but-unfinished branch publish instead of
+    leaving the marker (the staged files live under _olive_branch/, so
+    the sweep can't hurt them — but the commit must land exactly
+    once)."""
+    from olive_spark.ops import branch
+    from olive_spark.ops.maintenance import vacuum
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 10)
+    branch.create_branch(t, "b")
+    branch.append_to_branch(spark, _mk(spark, 10, 18), t, "b")
+    branch._CRASH_HOOKS["after_decide"] = _boom
+    try:
+        with pytest.raises(Boom):
+            branch.publish_branch(spark, t, "b")
+    finally:
+        branch._CRASH_HOOKS.clear()
+    out = vacuum(t)
+    assert out.get("branch_publishes", {}).get("completed") == 1
+    assert _live(spark, t).count() == 18

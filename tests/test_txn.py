@@ -247,3 +247,39 @@ def test_txn_preserves_partition_layout(spark, tmp_path):
         .filter(F.col("part") == 1).count()
     )
     assert got == 15
+
+
+def test_vacuum_heals_txns_before_sweeping_staging(spark, tmp_path):
+    """vacuum must COMPLETE a committed-but-unpublished transaction
+    (never sweep its staged files as debris) and roll back a merely
+    prepared one — then the .staging sweep finds nothing of either."""
+    from olive_spark.ops import txn
+    from olive_spark.ops.maintenance import vacuum
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _seed(spark, a, 0, 10, "a")
+    _seed(spark, b, 0, 5, "b")
+    txn._CRASH_HOOKS["after_decide"] = _boom
+    try:
+        with pytest.raises(Boom):
+            txn.multi_table_append(
+                spark,
+                [(a, _mk(spark, 10, 20, "a")), (b, _mk(spark, 5, 9, "b"))],
+            )
+    finally:
+        txn._CRASH_HOOKS.clear()
+    out = vacuum(a)
+    assert out.get("txns", {}).get("completed") == 1
+    assert _count(spark, a) == 20
+    assert _count(spark, b) == 9
+    # prepared (undecided) txn: vacuum rolls it back
+    txn._CRASH_HOOKS["after_prepare"] = _boom
+    try:
+        with pytest.raises(Boom):
+            txn.multi_table_append(spark, [(a, _mk(spark, 20, 30, "a"))])
+    finally:
+        txn._CRASH_HOOKS.clear()
+    out = vacuum(a)
+    assert out.get("txns", {}).get("rolled_back") == 1
+    assert _count(spark, a) == 20
+    assert not [f for f in os.listdir(a) if f.endswith(".staging")]
