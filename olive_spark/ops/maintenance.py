@@ -3658,6 +3658,30 @@ def describe(path: str, table: str = "data") -> dict:
         cols_detected = _detect_partition_cols(path)
         if cols_detected:
             out["partition_spec"] = ",".join(cols_detected)
+    # staged-but-unpublished state an operator should know about:
+    # active WAP branches (ops/branch.py) and multi-table transaction
+    # markers awaiting recovery (ops/txn.py)
+    try:
+        bdir = os.path.join(path, "_olive_branch")
+        if os.path.isdir(bdir):
+            branches = sorted(
+                n for n in os.listdir(bdir)
+                if os.path.isdir(os.path.join(bdir, n))
+            )
+            if branches:
+                out["branches"] = branches
+            pending_pub = [
+                n for n in os.listdir(bdir) if n.endswith(".publish.json")
+            ]
+            if pending_pub:
+                out["pending_branch_publishes"] = len(pending_pub)
+        tdir = os.path.join(path, "_olive_txn")
+        if os.path.isdir(tdir):
+            pend = [n for n in os.listdir(tdir) if n.endswith(".json")]
+            if pend:
+                out["pending_txns"] = len(pend)
+    except OSError:
+        pass
     return out
 
 

@@ -238,3 +238,26 @@ def test_vacuum_completes_crashed_branch_publish(spark, tmp_path):
     out = vacuum(t)
     assert out.get("branch_publishes", {}).get("completed") == 1
     assert _live(spark, t).count() == 18
+
+
+def test_describe_surfaces_branch_and_txn_state(spark, tmp_path):
+    from olive_spark.ops import branch, txn
+    from olive_spark.ops.maintenance import describe
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 10)
+    assert "branches" not in describe(t)
+    branch.create_branch(t, "exp1")
+    branch.create_branch(t, "exp2")
+    d = describe(t)
+    assert d["branches"] == ["exp1", "exp2"]
+    # a crashed txn leaves a visible pending marker
+    txn._CRASH_HOOKS["after_prepare"] = _boom
+    try:
+        with pytest.raises(Boom):
+            txn.multi_table_append(spark, [(t, _mk(spark, 10, 12))])
+    finally:
+        txn._CRASH_HOOKS.clear()
+    assert describe(t)["pending_txns"] == 1
+    txn.recover_txns(None, t)
+    assert "pending_txns" not in describe(t)
