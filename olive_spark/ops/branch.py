@@ -127,11 +127,14 @@ def append_to_branch(spark, df, path: str, name: str) -> dict:
     from olive_spark.format.lock import metadata_commit_lock
     from olive_spark.format.table_schema import read_column_mapping
 
+    from olive_spark.ops.maintenance import _partition_layout
+
     register_olive(spark)
     ref = _load_ref(path, name)
     table = ref["table"]
     run = uuid.uuid4().hex[:12]
     tmp = f"{path}.branch-{name}-{run}"
+    layout = _partition_layout(path)
     w = df.write.format("olive").option("table", table)
     cm = read_column_mapping(path, table)
     if cm is not None:
@@ -143,6 +146,12 @@ def append_to_branch(spark, df, path: str, name: str) -> dict:
 
             ids.update(reserve_field_ids(path, table, missing))
         w = w.option("fieldIds", json.dumps(ids))
+    if layout:
+        # partitioned table: branch files keep their key=value subpath
+        # INSIDE the branch dir, so the publish renames land in the
+        # live partition dirs — a flat root file would poison layout
+        # detection (same rule as _rewrite_and_swap / txn staging)
+        w = w.option("partitionBy", layout["spec"])
     w.mode("append").save(tmp)
     from olive_spark.format.manifest import load_manifest
 
@@ -150,11 +159,23 @@ def append_to_branch(spark, df, path: str, name: str) -> dict:
     moved, stats = [], {}
     bdir = _bdir(path, name)
     for i, f in enumerate(sorted(_list_chunk_files(tmp))):
-        rel = f"b-{run}-{i:05d}.olive"
-        ent = tmp_stats.get(os.path.relpath(f, tmp))
+        src_rel = os.path.relpath(f, tmp)
+        sub = os.path.dirname(src_rel)
+        if not sub and layout:
+            # zero-row schema sentinel: park under the null partition
+            sub = os.sep.join(
+                f"{c}=__HIVE_DEFAULT_PARTITION__" for c in layout["dirs"]
+            )
+        rel = (
+            os.path.join(sub, f"b-{run}-{i:05d}.olive")
+            if sub else f"b-{run}-{i:05d}.olive"
+        )
+        ent = tmp_stats.get(src_rel)
         if ent is not None:
             stats[rel] = ent  # same bytes, new name — publish re-keys
-        shutil.move(f, os.path.join(bdir, rel))
+        dest = os.path.join(bdir, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.move(f, dest)
         moved.append(rel)
     shutil.rmtree(tmp, ignore_errors=True)
     with metadata_commit_lock(path):
@@ -233,6 +254,7 @@ def _finish_publish(path: str, txn: dict) -> None:
                 src = os.path.join(path, _BRANCH_DIR, name, src_rel)
                 dst = os.path.join(path, final)
                 if os.path.exists(src):
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
                     os.replace(src, dst)
                 elif not os.path.exists(dst):
                     raise OSError(
@@ -308,7 +330,11 @@ def publish_branch(
                 )
         tag = f"branch-{name}-{uuid.uuid4().hex[:12]}"
         renames = [
-            [rel, f"{tag}-{i:05d}.olive"]
+            # keep the partition subpath: branch files publish into the
+            # SAME key=value dir they were staged under
+            [rel, os.path.join(
+                os.path.dirname(rel), f"{tag}-{i:05d}.olive"
+            ) if os.path.dirname(rel) else f"{tag}-{i:05d}.olive"]
             for i, rel in enumerate(ref["files"])
         ]
         final_of = dict(renames)

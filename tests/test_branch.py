@@ -261,3 +261,40 @@ def test_describe_surfaces_branch_and_txn_state(spark, tmp_path):
     assert describe(t)["pending_txns"] == 1
     txn.recover_txns(None, t)
     assert "pending_txns" not in describe(t)
+
+
+def test_branch_on_partitioned_table_preserves_layout(spark, tmp_path):
+    """Branch appends on a hive-partitioned table stage under the
+    partition subpath and publish INTO the key=value dirs — never a
+    flat root file (the layout-poisoning hazard) — and partition
+    pruning keeps working on the published rows, including a partition
+    value the base table had never seen."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops import branch
+
+    t = str(tmp_path / "t")
+    base = spark.range(0, 20).select(
+        (F.col("id") % 2).alias("part"), F.col("id").alias("k")
+    )
+    base.write.format("olive").option("partitionBy", "part") \
+        .mode("append").save(t)
+    branch.create_branch(t, "b")
+    add = spark.range(20, 30).select(
+        (F.col("id") % 3 + 2).alias("part"),  # incl. NEW partitions 2..4
+        F.col("id").alias("k"),
+    )
+    branch.append_to_branch(spark, add, t, "b")
+    assert _live(spark, t).count() == 20
+    assert branch.scan_branch(spark, t, "b").count() == 30
+    branch.publish_branch(spark, t, "b")
+    assert _live(spark, t).count() == 30
+    # no flat root files; published rows sit under part=…/
+    root_files = [f for f in os.listdir(t) if f.endswith(".olive")]
+    assert root_files == []
+    assert os.path.isdir(os.path.join(t, "part=2"))
+    got = (
+        spark.read.format("olive").load(t)
+        .filter(F.col("part") == 2).count()
+    )
+    assert got == sum(1 for i in range(20, 30) if i % 3 == 0)
