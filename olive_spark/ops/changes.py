@@ -40,16 +40,52 @@ CHANGE_COL = "_change_type"
 COMMIT_COL = "_commit_version"
 
 
+def resolve_change_window(
+    path: str,
+    since: "int | None" = None,
+    until: "int | None" = None,
+    since_ts: "float | str | None" = None,
+    until_ts: "float | str | None" = None,
+) -> "tuple[int, int | None]":
+    """Resolve a change window given versions OR timestamps (Delta's
+    startingTimestamp/endingTimestamp shape): each timestamp maps to
+    the latest commit at-or-before it (snapshots.version_at_timestamp —
+    pre-history instants fail loud), and mixing a version with a
+    timestamp for the SAME bound is refused."""
+    from olive_spark.datasource.olive_datasource import (
+        _parse_asof_timestamp,
+    )
+    from olive_spark.format.snapshots import version_at_timestamp
+
+    if since_ts is not None:
+        if since is not None:
+            raise ValueError("pass since OR since_ts, not both")
+        since = version_at_timestamp(path, _parse_asof_timestamp(since_ts))
+    if until_ts is not None:
+        if until is not None:
+            raise ValueError("pass until OR until_ts, not both")
+        until = version_at_timestamp(path, _parse_asof_timestamp(until_ts))
+    if since is None:
+        raise ValueError("a change window needs since or since_ts")
+    return int(since), (int(until) if until is not None else None)
+
+
 def read_changes(
     spark,
     path: str,
-    since: int,
+    since: "int | None" = None,
     until: "int | None" = None,
     table: str = "data",
     key_cols: "list[str] | None" = None,
+    since_ts: "float | str | None" = None,
+    until_ts: "float | str | None" = None,
 ) -> DataFrame:
     """Rows that changed between snapshot ``since`` and ``until``
     (default: the current version), labeled in ``_change_type``.
+    Bounds can also be given as TIMESTAMPS (``since_ts``/``until_ts``,
+    epoch seconds or ISO-8601 — Delta's startingTimestamp/
+    endingTimestamp): each resolves to the latest commit at-or-before
+    the instant via the same rule as ``snapshotAsOf``.
 
     Without ``key_cols``: ``insert`` / ``delete`` (an update surfaces
     as its delete + insert pair, like Delta CDF without key knowledge).
@@ -77,6 +113,9 @@ def read_changes(
     )
 
     register_olive(spark)
+    since, until = resolve_change_window(
+        path, since, until, since_ts, until_ts
+    )
     v1 = int(until) if until is not None else current_version(path)
     v0 = int(since)
     if v1 < v0:

@@ -450,3 +450,43 @@ def test_pump_changes_fails_loud_on_bad_cursor_and_no_log(spark, tmp_path):
         json.dump({"version": "3"}, f)
     with pytest.raises(ValidationError, match="unreadable CDC cursor"):
         pump_changes(spark, path, state2, lambda df, v: None)
+
+
+def test_read_changes_timestamp_bounds(spark, tmp_path_factory):
+    """since_ts/until_ts resolve through the snapshotAsOf rule (latest
+    commit at-or-before the instant) and produce the same feed as the
+    version bounds they resolve to; mixing a version and a timestamp
+    for one bound, and a pre-history instant, fail loud."""
+    import pytest
+
+    from olive_spark.format import snapshots
+    from olive_spark.ops.changes import read_changes
+
+    path = str(tmp_path_factory.mktemp("cdcts") / "t")
+
+    def w(lo, hi):
+        spark.range(lo, hi).withColumnRenamed("id", "k") \
+            .coalesce(1).write.format("olive").mode("append").save(path)
+
+    w(0, 10)
+    w(10, 30)
+    w(30, 35)
+    ts = {
+        int(e["v"]): float(e["ts"])
+        for e in snapshots.load_log(path)["entries"]
+    }
+    by_v = read_changes(spark, path, since=1, until=3).collect()
+    by_t = read_changes(
+        spark, path, since_ts=ts[1], until_ts=ts[3] + 1.0
+    ).collect()
+    assert sorted(r["k"] for r in by_t) == sorted(r["k"] for r in by_v)
+    assert all(r["_change_type"] == "insert" for r in by_t)
+    assert len(by_t) == 25
+    with pytest.raises(ValueError, match="not both"):
+        read_changes(spark, path, since=1, since_ts=ts[1])
+    with pytest.raises(ValueError, match="needs since"):
+        read_changes(spark, path)
+    from olive_spark.format.errors import ValidationError
+
+    with pytest.raises(ValidationError, match="no snapshot at or before"):
+        read_changes(spark, path, since_ts=ts[1] - 100.0)
