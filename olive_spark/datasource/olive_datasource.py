@@ -75,6 +75,11 @@ Options:
                      "select" (ONLY the listed positions are returned —
                      the change feed's DV-diff delete reader; files
                      with no dvs entry yield no rows)
+    branch           WAP branch preview (ops/branch.py): scan the
+                     branch's base-version files + its staged files
+                     with the base version's DV state — what a publish
+                     would serve; resolved at plan time; exclusive
+                     with snapshot/snapshotTag/snapshotAsOf/files/dvs
     snapshotAsOf     time travel by TIMESTAMP (Delta's timestampAsOf):
                      epoch seconds or ISO-8601 (naive = UTC) → resolved
                      at plan time to the latest commit at-or-before the
@@ -458,6 +463,35 @@ class OliveReader(DataSourceReader):
         )
         if self.files_opt is not None and not self.files_opt:
             raise ValueError("olive: 'files' option must list >=1 file")
+        br = options.get("branch")
+        if br is not None:
+            # WAP branch preview (ops/branch.py), first-class reader
+            # option: base-version files + the branch's staged files
+            # with the BASE version's DV state — resolved at PLAN time
+            # like snapshotTag, so a publish between plan and execute
+            # can't split the scan across two states
+            if self.snapshot is not None or self.files_opt is not None \
+                    or options.get("dvs") is not None:
+                raise ValueError(
+                    "olive: 'branch' is exclusive with 'snapshot'/"
+                    "'snapshotTag'/'snapshotAsOf'/'files'/'dvs'"
+                )
+            from olive_spark.format.snapshots import dv_state_at, files_at
+            from olive_spark.ops.branch import _BRANCH_DIR, _load_ref
+
+            ref = _load_ref(self.path, br)
+            base = files_at(self.path, ref["base_version"])
+            self.files_opt = sorted(base) + [
+                os.path.join(_BRANCH_DIR, br, r) for r in ref["files"]
+            ]
+            if not self.files_opt:
+                raise ValueError(
+                    f"olive: branch {br!r} and its base are both empty"
+                )
+            options = dict(options)
+            options["dvs"] = json.dumps(
+                dv_state_at(self.path, ref["base_version"])
+            )
         if self.files_opt is not None and self.snapshot is not None:
             raise ValueError("olive: 'files' and 'snapshot' are exclusive")
         self.file_column = options.get("filecolumn", options.get("fileColumn"))

@@ -232,10 +232,12 @@ def read_changes(
 def read_changes_by_commit(
     spark,
     path: str,
-    since: int,
+    since: "int | None" = None,
     until: "int | None" = None,
     table: str = "data",
     key_cols: "list[str] | None" = None,
+    since_ts: "float | str | None" = None,
+    until_ts: "float | str | None" = None,
 ) -> DataFrame:
     """Per-COMMIT change feed: like :func:`read_changes`, but each
     change row carries the ``_commit_version`` that produced it — the
@@ -252,6 +254,9 @@ def read_changes_by_commit(
     from olive_spark.format.snapshots import current_version, load_log
 
     register_olive(spark)
+    since, until = resolve_change_window(
+        path, since, until, since_ts, until_ts
+    )
     v1 = int(until) if until is not None else current_version(path)
     v0 = int(since)
     if v1 < v0:

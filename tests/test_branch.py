@@ -298,3 +298,35 @@ def test_branch_on_partitioned_table_preserves_layout(spark, tmp_path):
         .filter(F.col("part") == 2).count()
     )
     assert got == sum(1 for i in range(20, 30) if i % 3 == 0)
+
+
+def test_branch_reader_option_equals_scan_branch(spark, tmp_path):
+    """.option('branch', name) is the first-class form of scan_branch:
+    same rows (base + staged, base DV state), resolved at plan time;
+    exclusive with snapshot/files/dvs options; unknown branches fail
+    loud."""
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops import branch
+    from olive_spark.ops.maintenance import delete_where
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 50)
+    branch.create_branch(t, "b")
+    branch.append_to_branch(spark, _mk(spark, 50, 60), t, "b")
+    delete_where(spark, t, "k < 5", mode="dv")  # post-base live delete
+    via_opt = (
+        spark.read.format("olive").option("branch", "b").load(t)
+    )
+    want = sorted(r["k"] for r in branch.scan_branch(spark, t, "b").collect())
+    got = sorted(r["k"] for r in via_opt.collect())
+    assert got == want == list(range(60))  # base view: delete not folded
+    with pytest.raises(Exception, match="exclusive"):
+        (
+            spark.read.format("olive").option("branch", "b")
+            .option("snapshot", "1").load(t).count()
+        )
+    with pytest.raises((ValidationError, Exception), match="no branch"):
+        (
+            spark.read.format("olive").option("branch", "nope")
+            .load(t).count()
+        )
