@@ -328,6 +328,11 @@ def publish_branch(
                     f"branch {name!r} failed audit — publish refused, "
                     f"branch intact: {bad}"
                 )
+        if not ref["files"]:
+            # nothing staged: dropping the empty branch IS the publish —
+            # an empty tagged commit would only noise up the history
+            shutil.rmtree(_bdir(path, name))
+            return {"branch": name, "tag": None, "files_published": 0}
         tag = f"branch-{name}-{uuid.uuid4().hex[:12]}"
         renames = [
             # keep the partition subpath: branch files publish into the

@@ -3375,8 +3375,14 @@ def _manifest_entry_from_header(path: str, rel: str, table: str) -> "dict | None
 
 
 @_locked(0)
-def restore(path: str, version: int, table: str = "data") -> dict:
-    """RESTORE the table to snapshot ``version``: the target version's
+def restore(
+    path: str, version: "int | None" = None, table: str = "data",
+    timestamp: "float | str | None" = None,
+) -> dict:
+    """RESTORE the table to snapshot ``version`` — or to the latest
+    commit at-or-before ``timestamp`` (epoch seconds or ISO-8601, the
+    snapshotAsOf resolution rule; Delta's RESTORE TO TIMESTAMP).  The
+    restore to snapshot ``version``: the target version's
     file set becomes the live set through ONE new commit — history is
     preserved (the restore is itself a snapshot entry, tagged
     ``restore:<version>``, so it can be time-traveled past or undone by
@@ -3411,6 +3417,19 @@ def restore(path: str, version: int, table: str = "data") -> dict:
     from olive_spark.format.deletion import list_dvs
     from olive_spark.format.snapshots import dv_state_at
 
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("restore: pass version OR timestamp, not both")
+        from olive_spark.datasource.olive_datasource import (
+            _parse_asof_timestamp,
+        )
+        from olive_spark.format.snapshots import version_at_timestamp
+
+        version = version_at_timestamp(
+            path, _parse_asof_timestamp(timestamp)
+        )
+    if version is None:
+        raise ValueError("restore: a version or timestamp is required")
     _recover_pending(path)
     target = files_at(path, int(version))
     head = current_version(path)

@@ -330,3 +330,19 @@ def test_branch_reader_option_equals_scan_branch(spark, tmp_path):
             spark.read.format("olive").option("branch", "nope")
             .load(t).count()
         )
+
+
+def test_publish_empty_branch_is_a_drop(spark, tmp_path):
+    """Publishing a branch with nothing staged drops it without
+    writing an empty snapshot commit."""
+    from olive_spark.format.snapshots import current_version
+    from olive_spark.ops import branch
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 5)
+    v0 = current_version(t)
+    branch.create_branch(t, "empty")
+    out = branch.publish_branch(spark, t, "empty")
+    assert out == {"branch": "empty", "tag": None, "files_published": 0}
+    assert current_version(t) == v0
+    assert not os.path.exists(os.path.join(t, "_olive_branch", "empty"))

@@ -193,3 +193,35 @@ def test_facade_restore(spark, tmp_path):
     # history lists the restore as a tagged commit
     tags = [e.get("tag") for e in t.history()]
     assert "restore:1" in tags
+
+
+def test_restore_to_timestamp(spark, tmp_path_factory):
+    """restore(timestamp=...) resolves through the snapshotAsOf rule
+    (Delta's RESTORE TO TIMESTAMP): an instant between v1 and v2
+    restores v1's content; version+timestamp together and neither are
+    refused."""
+    import pytest
+
+    from olive_spark.format import snapshots
+    from olive_spark.ops.maintenance import restore
+
+    path = str(tmp_path_factory.mktemp("rts") / "t")
+
+    def _w(lo, hi):
+        spark.range(lo, hi).withColumnRenamed("id", "k").coalesce(1) \
+            .write.format("olive").mode("append").save(path)
+
+    _w(0, 10)
+    _w(10, 30)
+    ts = {
+        int(e["v"]): float(e["ts"])
+        for e in snapshots.load_log(path)["entries"]
+    }
+    asof = (ts[1] + ts[2]) / 2 if ts[2] > ts[1] else ts[1]
+    out = restore(path, timestamp=asof)
+    assert out["restored_to"] == 1 if "restored_to" in out else True
+    assert spark.read.format("olive").load(path).count() == 10
+    with pytest.raises(ValueError, match="not both"):
+        restore(path, 1, timestamp=asof)
+    with pytest.raises(ValueError, match="required"):
+        restore(path)
