@@ -178,12 +178,24 @@ def append_to_branch(spark, df, path: str, name: str) -> dict:
         shutil.move(f, dest)
         moved.append(rel)
     shutil.rmtree(tmp, ignore_errors=True)
+    _record_branch_files(path, name, moved, stats)
+    return {"branch": name, "files_added": len(moved)}
+
+
+def _record_branch_files(
+    path: str, name: str, moved: "list[str]", stats: dict
+) -> None:
+    """Fold newly staged files into the branch ref under the metadata
+    commit lock — the RMW that makes concurrent branch appends from
+    separate processes all land (same micro-lock as the snapshot log;
+    real-subprocess race pinned in tests/test_concurrent_append.py)."""
+    from olive_spark.format.lock import metadata_commit_lock
+
     with metadata_commit_lock(path):
         ref = _load_ref(path, name)  # re-read: concurrent appends
         ref["files"] = list(ref["files"]) + moved
         ref["stats"] = {**ref.get("stats", {}), **stats}
         _write_ref(path, name, ref)
-    return {"branch": name, "files_added": len(moved)}
 
 
 def scan_branch(spark, path: str, name: str):

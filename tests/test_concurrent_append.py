@@ -170,3 +170,60 @@ def test_mutations_still_fail_loud_on_contention(tmp_path):
         with table_write_lock(path):
             pass
     os.remove(os.path.join(path, LOCK_NAME))
+
+
+_BRANCH_APPENDER = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+import pyarrow as pa
+from olive_spark.format.writer import write_chunk
+from olive_spark.ops.branch import _bdir, _record_branch_files
+
+path, who, rounds = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+bdir = _bdir(path, "race")
+for i in range(rounds):
+    tbl = pa.table({{"who": pa.array([who], pa.int64()),
+                     "i": pa.array([i], pa.int64())}})
+    blob = write_chunk({{"data": tbl}})
+    rel = f"b-w{{who}}-{{i:04d}}.olive"
+    with open(os.path.join(bdir, rel), "wb") as f:
+        f.write(blob)
+    _record_branch_files(path, "race", [rel], {{}})
+print("done", who)
+"""
+
+
+def test_concurrent_branch_appends_all_land(tmp_path):
+    """Two separate PROCESSES staging onto the same branch: the ref
+    read-modify-write runs under the metadata commit lock, so every
+    staged file is listed — a lost RMW would silently drop files from
+    the eventual publish."""
+    import pyarrow as pa
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    from olive_spark.format.writer import write_chunk
+    from olive_spark.ops.branch import _load_ref, create_branch
+
+    with open(os.path.join(path, "seed.olive"), "wb") as f:
+        f.write(write_chunk({"data": pa.table({
+            "who": pa.array([0], pa.int64()),
+            "i": pa.array([0], pa.int64()),
+        })}))
+    create_branch(path, "race")
+    script = tmp_path / "branch_appender.py"
+    script.write_text(_BRANCH_APPENDER.format(repo=REPO))
+    rounds = 15
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), path, str(who), str(rounds)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for who in (1, 2)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+    ref = _load_ref(path, "race")
+    assert len(ref["files"]) == 2 * rounds
+    assert len(set(ref["files"])) == 2 * rounds
