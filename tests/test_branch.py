@@ -346,3 +346,36 @@ def test_publish_empty_branch_is_a_drop(spark, tmp_path):
     assert out == {"branch": "empty", "tag": None, "files_published": 0}
     assert current_version(t) == v0
     assert not os.path.exists(os.path.join(t, "_olive_branch", "empty"))
+
+
+def test_branch_on_column_mapped_table(spark, tmp_path):
+    """Branch appends on a table with ACTIVE column-mapping ids (post
+    rename) stamp field ids into the staged files, so published rows
+    resolve by id alongside the pre-rename files — the rename is
+    invisible to the merged scan."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops import branch
+    from olive_spark.ops.maintenance import rename_column
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 10)  # columns: k, v
+    rename_column(t, "v", "val")
+    branch.create_branch(t, "b")
+    add = spark.range(10, 15).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+    )
+    branch.append_to_branch(spark, add, t, "b")
+    assert branch.scan_branch(spark, t, "b").count() == 15
+    branch.publish_branch(spark, t, "b")
+    got = {
+        r["k"]: r["val"]
+        for r in spark.read.format("olive").load(t).collect()
+    }
+    assert got == {i: i * 10 for i in range(15)}
+    # a second rename after the publish still resolves the branch rows
+    rename_column(t, "val", "value2")
+    got2 = sorted(
+        r["value2"] for r in spark.read.format("olive").load(t).collect()
+    )
+    assert got2 == [i * 10 for i in range(15)]
