@@ -308,6 +308,7 @@ def pump_changes(
     key_cols: "list[str] | None" = None,
     starting_version: "int | None" = None,
     max_commits_per_run: "int | None" = None,
+    starting_timestamp: "float | str | None" = None,
 ) -> dict:
     """Incremental CDC delivery: feed each NEW commit's change feed to
     ``apply_fn(changes_df, version)`` in version order, advancing a
@@ -346,6 +347,21 @@ def pump_changes(
     from olive_spark.format.errors import ValidationError
 
     register_olive(spark)
+    if starting_timestamp is not None:
+        # seed-by-instant (Delta's startingTimestamp): resolved once,
+        # only if this consumer has no cursor yet
+        if starting_version is not None:
+            raise ValueError(
+                "pass starting_version OR starting_timestamp, not both"
+            )
+        from olive_spark.datasource.olive_datasource import (
+            _parse_asof_timestamp,
+        )
+        from olive_spark.format.snapshots import version_at_timestamp
+
+        starting_version = version_at_timestamp(
+            path, _parse_asof_timestamp(starting_timestamp)
+        )
     cursor_path = os.path.join(state_dir, _CDC_CURSOR)
     cursor: "int | None" = None
     try:

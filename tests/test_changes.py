@@ -490,3 +490,41 @@ def test_read_changes_timestamp_bounds(spark, tmp_path_factory):
 
     with pytest.raises(ValidationError, match="no snapshot at or before"):
         read_changes(spark, path, since_ts=ts[1] - 100.0)
+
+
+def test_pump_changes_starting_timestamp_seed(spark, tmp_path_factory):
+    """pump_changes(starting_timestamp=...) seeds a fresh consumer at
+    the latest commit at-or-before the instant — later commits deliver,
+    earlier ones don't; both-seeds-given is refused."""
+    import pytest
+
+    from olive_spark.format import snapshots
+    from olive_spark.ops.changes import pump_changes
+
+    path = str(tmp_path_factory.mktemp("pumpts") / "t")
+
+    def w(lo, hi):
+        spark.range(lo, hi).withColumnRenamed("id", "k") \
+            .coalesce(1).write.format("olive").mode("append").save(path)
+
+    w(0, 10)
+    w(10, 30)
+    ts1 = {
+        int(e["v"]): float(e["ts"])
+        for e in snapshots.load_log(path)["entries"]
+    }[1]
+    state = str(tmp_path_factory.mktemp("pumptsstate"))
+    seen = []
+    out = pump_changes(
+        spark, path, state,
+        lambda df, v: seen.append((v, sorted(r["k"] for r in df.collect()))),
+        starting_timestamp=ts1,
+    )
+    assert out["applied"] == 1  # only v2 (v1 is the seed position)
+    assert seen == [(2, list(range(10, 30)))]
+    with pytest.raises(ValueError, match="not both"):
+        pump_changes(
+            spark, path, str(tmp_path_factory.mktemp("x")),
+            lambda df, v: None,
+            starting_version=1, starting_timestamp=ts1,
+        )
