@@ -126,6 +126,7 @@ HEADLINE = [
     "scan_time_travel_timestamp",     # r11: snapshotAsOf resolution
     "scan_multi_table_txn",           # r11: two-phase multi-table commit
     "scan_branch_wap",                # r11: write-audit-publish branch
+    "scan_snapshot_history",          # r11: exact commit provenance
 ]
 
 
