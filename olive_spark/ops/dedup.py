@@ -125,16 +125,16 @@ def substring_dup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     width: int = 16,
-    stride: int = 8,
+    stride: int = 1,
     min_count: int = 2,
     flag_coverage: float = 0.3,
 ) -> DataFrame:
     """Exact-substring duplication profile (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): slide
-    a ``width``-token window with ``stride`` over each document, find
-    fragments whose exact text occurs >= ``min_count`` times anywhere
-    in the corpus (cross- OR intra-document), and report per document
-    how much of it is duplicated span:
+    a ``width``-token window over each document, find fragments whose
+    exact token sequence occurs >= ``min_count`` times anywhere in the
+    corpus (cross- OR intra-document), and report per document how
+    much of it is duplicated span:
 
         (id, n_tokens, n_frag, n_dup, dup_cov, flagged)
 
@@ -144,19 +144,37 @@ def substring_dup_spans(
     ``flag_coverage``.  Documents shorter than ``width`` tokens carry
     no fragment and are excluded (they can't host a width-token span).
 
+    RECALL CONTRACT.  With the default ``stride=1`` every width-token
+    window of every document is counted, so every duplicated run of
+    >= ``width`` tokens is detected REGARDLESS of its offset in either
+    document — the same window-granular recall as the paper's suffix
+    array (runs longer than ``width`` duplicate all their in-run
+    windows and are covered end to end).  ``stride > 1`` is an opt-in
+    subsampling mode that anchors windows at ``k*stride`` from each
+    document's first token and therefore only finds duplicates whose
+    offsets in the two documents are congruent mod ``stride`` — a
+    phase-shifted duplicate is silently missed; use it only when an
+    approximate profile is acceptable.  Fragments are compared by
+    64-bit xxhash64 of the fragment text, so two DIFFERENT fragments
+    collide with probability ~n_frags²/2⁶⁵ (a handful of spurious
+    dup marks per 10¹⁰ fragments — profiling noise, never a miss).
+
     Scale shape: tokenization is hoisted (one regex split per doc, see
     shingle_hash_grams); the only shuffles are one groupBy on the
-    fragment string (≈ n_tokens/stride slim rows per doc) to count
+    8-byte fragment HASH (≈ n_tokens/stride slim rows per doc — the
+    fragment string itself never shuffles, so stride=1 costs ~24
+    bytes/token of shuffle, not width× the corpus) to count
     occurrences and one join back; span coverage is computed per doc
-    from the fragment index list with array higher-order functions —
-    no position explode, no window over raw rows.  The groupBy+join
-    shape (rather than COUNT OVER PARTITION BY frag) is deliberate: a
-    boilerplate fragment duplicated across millions of docs stays
-    skew-safe under map-side partial aggregation, where a window would
-    funnel all its rows to one task.  The fragment derivation is
-    recomputed on each side of the self-join (plan contract pins <= 2
-    Generate nodes) — scan-local work, cheaper at scale than
-    persisting tokens·width/stride rows.  Everything is JVM-side
+    from the SORTED duplicated-offset list with a single O(n_dup)
+    interval-union fold — no position explode, no flatten of
+    n_dup*width position arrays, no window over raw rows.  The
+    groupBy+join shape (rather than COUNT OVER PARTITION BY frag) is
+    deliberate: a boilerplate fragment duplicated across millions of
+    docs stays skew-safe under map-side partial aggregation, where a
+    window would funnel all its rows to one task.  The fragment
+    derivation is recomputed on each side of the self-join (plan
+    contract pins <= 2 Generate nodes) — scan-local work, cheaper at
+    scale than persisting tokens/stride rows.  Everything is JVM-side
     built-ins; no Python UDF."""
     w, s = int(width), int(stride)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -170,32 +188,44 @@ def substring_dup_spans(
         .filter(F.col("__n") >= w)
     )
     tc = F.filter(F.col("__toks"), lambda x: x != "")
+    # fragment identity = xxhash64 of the width-token text; the string
+    # is built scan-local and only the 8-byte hash leaves the stage
     frags = F.transform(
         F.sequence(F.lit(0), F.floor((F.col("__n") - w) / s).cast("int")),
         lambda k: F.struct(
             k.alias("k"),
-            F.concat_ws(" ", F.slice(tc, k * s + 1, w)).alias("frag"),
+            F.xxhash64(F.concat_ws(" ", F.slice(tc, k * s + 1, w))).alias("fh"),
         ),
     )
     fr = t.select(
         F.col(id_col), F.col("__n").alias("n_tokens"),
         F.explode(frags).alias("f"),
-    ).select(id_col, "n_tokens", F.col("f.k").alias("k"), F.col("f.frag").alias("frag"))
+    ).select(id_col, "n_tokens", F.col("f.k").alias("k"), F.col("f.fh").alias("fh"))
     dup = (
-        fr.groupBy("frag").agg(F.count("*").alias("__c"))
+        fr.groupBy("fh").agg(F.count("*").alias("__c"))
         .filter(F.col("__c") >= min_count)
-        .select("frag", F.lit(True).alias("__dup"))
+        .select("fh", F.lit(True).alias("__dup"))
     )
-    marked = fr.join(dup, "frag", "left").select(
+    marked = fr.join(dup, "fh", "left").select(
         id_col, "n_tokens", "k", F.coalesce("__dup", F.lit(False)).alias("is_dup")
     )
-    # union of covered positions: distinct over the flattened per-dup-
-    # fragment ranges [k*s+1, k*s+w]; list length bounded by
-    # n_frag*width per doc (≈ n_tokens*width/stride), array-local
-    cov = F.size(F.array_distinct(F.flatten(F.transform(
-        F.col("__dup_ks"),
-        lambda k: F.sequence(k * s + 1, k * s + w),
-    ))))
+    # union of covered positions: each duplicated offset k covers
+    # [k*s+1, k*s+w]; over the SORTED offset list the union length is a
+    # single fold adding min(w, gap to previous start) per interval —
+    # O(n_dup) longs, no n_dup*width position materialization
+    cov = F.aggregate(
+        F.array_sort(F.col("__dup_ks")),
+        F.struct(
+            F.lit(0).cast("long").alias("acc"),
+            F.lit(-(1 << 40)).cast("long").alias("prev"),
+        ),
+        lambda st, k: F.struct(
+            (st.acc + F.least(F.lit(w).cast("long"),
+                              (k - st.prev) * F.lit(s))).alias("acc"),
+            k.cast("long").alias("prev"),
+        ),
+        lambda st: st.acc,
+    )
     per_doc = (
         marked.groupBy(id_col)
         .agg(

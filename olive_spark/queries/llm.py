@@ -769,14 +769,17 @@ SQL_MM_WAV_REAL = (
 def llm_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-substring duplication profile (ops/dedup.
     substring_dup_spans — Lee et al. 2022 suffix-array dedup,
-    re-expressed as a Spark fragment-hash sweep): 16-token windows at
-    stride 8; a window duplicated anywhere in the corpus marks its
-    span; per doc the UNION of duplicated spans over token positions is
-    the dup coverage.  The corpus is augmented with a deterministic
-    20-token family preamble (doc_id % 7) so cross-doc duplicated runs
-    exist by construction: every doc's first window duplicates across
-    its ~70-doc family, so dup_cov ≈ 16/n_tokens and the 0.3 flag
-    threshold splits the corpus on length — both branches live at
+    re-expressed as a Spark fragment-hash sweep): EVERY 16-token window
+    (stride 1, the exact-recall mode — duplicates are found regardless
+    of their offset in either document); a window duplicated anywhere
+    in the corpus marks its span; per doc the UNION of duplicated spans
+    over token positions is the dup coverage.  The corpus is augmented
+    with a deterministic 20-token family preamble (doc_id % 7) PLUS a
+    one-token per-doc phase shim before it on doc_id % 3 == 0, so the
+    preamble run sits at OFFSET 0 or 1 depending on the doc — a
+    stride-anchored scan would miss every cross-phase pair; the stride=1
+    sweep must cover the full 20-token preamble in every doc.  The 0.3
+    flag threshold splits the corpus on length — both branches live at
     sf0.01 (short docs flag, long docs don't)."""
     docs = data.load(spark, sf, "documents", columns=["doc_id", "text"])
     pre = F.concat_ws(
@@ -789,16 +792,23 @@ def llm_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
             ),
         ),
     )
+    shim = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("shim"), (F.col("doc_id") % 11).cast("string"), F.lit(" ")),
+    ).otherwise(F.lit(""))
     aug = docs.select(
-        "doc_id", F.concat_ws(" ", pre, F.col("text")).alias("text")
+        "doc_id",
+        F.concat(shim, F.concat_ws(" ", pre, F.col("text"))).alias("text"),
     )
     return dedup.substring_dup_spans(
-        aug, width=16, stride=8, min_count=2, flag_coverage=0.3
+        aug, width=16, stride=1, min_count=2, flag_coverage=0.3
     )
 
 
 SQL_DEDUP_SUBSTRING = (
     "WITH aug AS (SELECT doc_id, "
+    "  (CASE WHEN doc_id % 3 = 0 THEN 'shim' || (doc_id % 11) || ' ' "
+    "   ELSE '' END) || "
     "  array_to_string(list_transform(range(1, 21), "
     "    i -> 'p' || (doc_id % 7) || 't' || i), ' ') || ' ' || text AS t "
     "  FROM documents), "
@@ -806,14 +816,14 @@ SQL_DEDUP_SUBSTRING = (
     "  list_filter(string_split_regex(trim(t), '\\s+'), x -> x <> '') AS w "
     "  FROM aug), "
     "fr AS (SELECT doc_id, len(w) AS n_tokens, CAST(k AS BIGINT) AS k, "
-    "  array_to_string(w[k*8+1 : k*8+16], ' ') AS frag "
-    "  FROM tok, UNNEST(range(0, CAST(floor((len(w)-16)/8) AS BIGINT)+1)) "
+    "  array_to_string(w[k+1 : k+16], ' ') AS frag "
+    "  FROM tok, UNNEST(range(0, CAST(len(w)-16 AS BIGINT)+1)) "
     "    AS u(k) WHERE len(w) >= 16), "
     "dup AS (SELECT frag FROM fr GROUP BY frag HAVING COUNT(*) >= 2), "
     "mk AS (SELECT fr.doc_id, fr.n_tokens, fr.k, "
     "  (fr.frag IN (SELECT frag FROM dup)) AS is_dup FROM fr), "
     "cov AS (SELECT doc_id, COUNT(DISTINCT p) AS c FROM mk, "
-    "  UNNEST(range(k*8+1, k*8+17)) AS v(p) WHERE is_dup GROUP BY doc_id) "
+    "  UNNEST(range(k+1, k+17)) AS v(p) WHERE is_dup GROUP BY doc_id) "
     "SELECT mk.doc_id, MIN(mk.n_tokens) AS n_tokens, "
     "  COUNT(*) AS n_frag, "
     "  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, "

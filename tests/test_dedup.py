@@ -420,6 +420,42 @@ def test_substring_dup_spans_exact_semantics(spark):
     assert bool(out[4]["flagged"]) is False
 
 
+def test_substring_dup_spans_phase_shifted_detected(spark):
+    """r12 recall fix (VERDICT r11 task #1): the default stride=1 mode
+    must detect a duplicated run at ANY pair of offsets — including
+    offsets NOT congruent mod the old default stride of 8.  The same
+    16-token run sits at offsets 0 / 1 / 3 / 7 across four docs; every
+    doc must report the run fully covered.  The legacy stride=8 mode
+    (documented subsampling approximation) anchors windows at k*8 and
+    misses every cross-phase pair — pinned too, so the docstring's
+    recall contract stays honest in both directions."""
+    from olive_spark.ops import dedup
+
+    run = " ".join(f"z{i}" for i in range(16))
+    rows = [
+        (1, run + " a1 a2 a3 a4"),                       # offset 0, 20 toks
+        (2, "b1 " + run + " b2 b3 b4"),                  # offset 1, 20 toks
+        (3, "c1 c2 c3 " + run + " c4"),                  # offset 3, 20 toks
+        (4, " ".join(f"d{i}" for i in range(7)) + " " + run),  # offset 7
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.substring_dup_spans(df, width=16).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_frag"] == 5 and out[4]["n_frag"] == 8
+    for i in (1, 2, 3):
+        assert out[i]["n_dup"] == 1, out[i]
+        assert out[i]["dup_cov"] == pytest.approx(16 / 20)
+    assert out[4]["n_dup"] == 1
+    assert out[4]["dup_cov"] == pytest.approx(16 / 23)
+    # legacy stride=8: only doc 1's run is window-anchored; no other doc
+    # produces the same anchored window string, so NOTHING duplicates
+    legacy = dedup.substring_dup_spans(df, width=16, stride=8).collect()
+    assert all(r["n_dup"] == 0 for r in legacy)
+
+
 def test_substring_dup_spans_overlap_union_not_sum(spark):
     """Coverage is the UNION of overlapping duplicated windows: two
     overlapping dup windows over 6 distinct positions must give 6/n,

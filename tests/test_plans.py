@@ -665,7 +665,7 @@ def test_substring_dedup_plan_shape(spark):
         "concat_ws(' ', transform(sequence(0, 39), "
         "j -> concat('w', (id % 5) * 37 + j))) AS text",
     )
-    out = substring_dup_spans(docs, width=16, stride=8)
+    out = substring_dup_spans(docs, width=16)  # default stride=1 (r12)
     p = plan_of(out)
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
