@@ -480,7 +480,10 @@ class OliveReader(DataSourceReader):
             from olive_spark.ops.branch import _BRANCH_DIR, _load_ref
 
             ref = _load_ref(self.path, br)
-            base = files_at(self.path, ref["base_version"])
+            base = (
+                files_at(self.path, ref["base_version"])
+                if ref["base_version"] else []  # branch on an empty table
+            )
             self.files_opt = sorted(base) + [
                 os.path.join(_BRANCH_DIR, br, r) for r in ref["files"]
             ]
@@ -491,6 +494,7 @@ class OliveReader(DataSourceReader):
             options = dict(options)
             options["dvs"] = json.dumps(
                 dv_state_at(self.path, ref["base_version"])
+                if ref["base_version"] else {}
             )
         if self.files_opt is not None and self.snapshot is not None:
             raise ValueError("olive: 'files' and 'snapshot' are exclusive")
@@ -2234,7 +2238,27 @@ class OliveDataSource(DataSource):
                 self.options["path"], _parse_asof_timestamp(sasof)
             )
         fl = self.options.get("files")
-        if fl is not None:
+        br = self.options.get("branch")
+        if br is not None and snap is None and fl is None:
+            # mirror OliveReader's branch resolution (r12, ADVICE): a
+            # branch preview's schema must see columns that exist ONLY
+            # in branch-staged files (append_to_branch reserves field
+            # ids for new columns), and a branch over an empty live
+            # table must not fall back to the live listing
+            from olive_spark.format.snapshots import files_at, resolve_paths
+            from olive_spark.ops.branch import _BRANCH_DIR, _load_ref
+
+            path = self.options["path"]
+            ref = _load_ref(path, br)
+            base = (
+                files_at(path, ref["base_version"])
+                if ref["base_version"] else []  # branch on an empty table
+            )
+            rels = sorted(base) + [
+                os.path.join(_BRANCH_DIR, br, r) for r in ref["files"]
+            ]
+            files = resolve_paths(path, rels)
+        elif fl is not None:
             from olive_spark.format.snapshots import resolve_paths
 
             files = resolve_paths(

@@ -499,34 +499,59 @@ def version_at_timestamp(dirpath: str, ts: float) -> int:
     """Latest version whose commit timestamp is <= ``ts`` — Delta's
     ``timestampAsOf`` resolution rule.  An entry with no timestamp (a
     hand-edited log, or a collapse base whose source lacked one) counts
-    as arbitrarily old, mirroring :func:`expire_older_than`.  Raises
-    when even the oldest retained entry is newer than ``ts``: the table
-    either didn't exist yet or that history has been expired — both
-    must fail loud, never silently serve the closest newer version."""
+    as arbitrarily old ONLY when its version is below every known-ts
+    entry (a collapse base predating all dated history); an undated
+    entry sitting at or above dated entries is never served — treating
+    it as old would hand back FUTURE data for instants long before it
+    was committed (r12, ADVICE).  Raises when even the oldest retained
+    entry is newer than ``ts``, and when the log is too ambiguous to
+    place the cutoff (every entry undated): the table either didn't
+    exist yet, that history has been expired, or the log can't answer
+    — all must fail loud, never silently serve the closest newer
+    version."""
     from olive_spark.format.errors import ValidationError
 
     entries = load_log(dirpath)["entries"]
     if not entries:
         raise ValidationError(f"no snapshot log at {dirpath}")
     cutoff = float(ts)
-    best = None
-    oldest = None
+    best_known = None          # max v among known ts <= cutoff
+    oldest = None              # oldest known ts (for the error message)
+    min_known_v = None         # lowest version carrying ANY known ts
+    unknown_vs: list = []      # versions with no usable ts
     for e in entries:
         ets = e.get("ts")
-        known = isinstance(ets, (int, float))
-        if known and (oldest is None or float(ets) < oldest):
-            oldest = float(ets)
-        if (not known) or float(ets) <= cutoff:
-            v = int(e["v"])
-            if best is None or v > best:
-                best = v
-    if best is None:
+        v = int(e["v"])
+        if isinstance(ets, (int, float)):
+            if oldest is None or float(ets) < oldest:
+                oldest = float(ets)
+            if min_known_v is None or v < min_known_v:
+                min_known_v = v
+            if float(ets) <= cutoff and (
+                best_known is None or v > best_known
+            ):
+                best_known = v
+        else:
+            unknown_vs.append(v)
+    if best_known is not None:
+        return best_known
+    # no dated entry at/before the cutoff: an undated entry is eligible
+    # only when provably ancient — strictly below every dated version
+    if unknown_vs and min_known_v is not None:
+        anc = [v for v in unknown_vs if v < min_known_v]
+        if anc:
+            return max(anc)
+    if unknown_vs and min_known_v is None:
         raise ValidationError(
-            f"no snapshot at or before timestamp {cutoff} — the oldest "
-            f"retained commit is at {oldest} (table created later, or "
-            "earlier history expired); read a version/tag instead"
+            f"snapshot log at {dirpath} carries no commit timestamps — "
+            f"cannot resolve timestamp {cutoff}; read a version/tag "
+            "instead"
         )
-    return best
+    raise ValidationError(
+        f"no snapshot at or before timestamp {cutoff} — the oldest "
+        f"retained commit is at {oldest} (table created later, or "
+        "earlier history expired); read a version/tag instead"
+    )
 
 
 def tag_version(

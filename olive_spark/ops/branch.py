@@ -188,11 +188,34 @@ def _record_branch_files(
     """Fold newly staged files into the branch ref under the metadata
     commit lock — the RMW that makes concurrent branch appends from
     separate processes all land (same micro-lock as the snapshot log;
-    real-subprocess race pinned in tests/test_concurrent_append.py)."""
+    real-subprocess race pinned in tests/test_concurrent_append.py).
+
+    Publish race (r12, ADVICE r11): _finish_publish serializes against
+    this lock and only ever removes files its marker lists, so a record
+    that lands BEFORE the publish's cleanup survives into the re-created
+    ref, and one that lands AFTER sees the recreated ref and lands
+    normally.  The one losing interleave — the branch was fully
+    published and removed while our writer job ran — fails LOUD here
+    (never a silent drop of files the caller thinks are staged): the
+    staged copies are deleted and the append raises, so the caller
+    retries against live state or a fresh branch."""
     from olive_spark.format.lock import metadata_commit_lock
 
     with metadata_commit_lock(path):
-        ref = _load_ref(path, name)  # re-read: concurrent appends
+        try:
+            ref = _load_ref(path, name)  # re-read: concurrent appends
+        except ValidationError:
+            bdir = os.path.join(path, _BRANCH_DIR, name)
+            for rel in moved:
+                try:
+                    os.remove(os.path.join(bdir, rel))
+                except OSError:
+                    pass
+            raise ValidationError(
+                f"branch {name!r} at {path} was published (or dropped) "
+                "while this append was staging — staged copies removed; "
+                "append to live state or re-create the branch"
+            )
         ref["files"] = list(ref["files"]) + moved
         ref["stats"] = {**ref.get("stats", {}), **stats}
         _write_ref(path, name, ref)
@@ -207,7 +230,10 @@ def scan_branch(spark, path: str, name: str):
 
     register_olive(spark)
     ref = _load_ref(path, name)
-    base = files_at(path, ref["base_version"])
+    base = (
+        files_at(path, ref["base_version"])
+        if ref["base_version"] else []  # branch on an empty table
+    )
     branch_rels = [
         os.path.join(_BRANCH_DIR, name, rel) for rel in ref["files"]
     ]
@@ -221,7 +247,10 @@ def scan_branch(spark, path: str, name: str):
         spark.read.format("olive")
         .option("table", ref["table"])
         .option("files", ",".join(names))
-        .option("dvs", json.dumps(dv_state_at(path, ref["base_version"])))
+        .option("dvs", json.dumps(
+            dv_state_at(path, ref["base_version"])
+            if ref["base_version"] else {}
+        ))
         .load(path)
     )
 
@@ -254,16 +283,28 @@ def recover_branch_publishes(path: str) -> dict:
 
 def _finish_publish(path: str, txn: dict) -> None:
     """Idempotent activation: branch→final renames (skipping pairs a
-    prior attempt finished) + ONE tagged snapshot entry + branch dir
-    removal, all under the metadata commit lock."""
+    prior attempt finished) + ONE tagged snapshot entry + TARGETED
+    branch cleanup, all under ONE hold of the metadata commit lock.
+
+    Cleanup is targeted, not rmtree (r12, ADVICE r11): a concurrent
+    append_to_branch can legally stage files between the publish's ref
+    read and this activation (appends take no table write lock — by
+    design, they're cheap and isolated).  Only the marker-listed
+    sources, the ref and the marker are removed; any OTHER recorded
+    file survives and the branch ref is RE-CREATED around it, re-based
+    on the just-published version — the late append stays staged
+    instead of being silently deleted after its caller saw success."""
     from olive_spark.format.lock import metadata_commit_lock
-    from olive_spark.format.snapshots import _append_entry_locked, has_tag
+    from olive_spark.format.snapshots import (
+        _append_entry_locked, current_version, has_tag,
+    )
 
     name = txn["name"]
+    bdir = os.path.join(path, _BRANCH_DIR, name)
     with metadata_commit_lock(path):
         if not has_tag(path, txn["tag"]):
             for src_rel, final in txn["renames"]:
-                src = os.path.join(path, _BRANCH_DIR, name, src_rel)
+                src = os.path.join(bdir, src_rel)
                 dst = os.path.join(path, final)
                 if os.path.exists(src):
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
@@ -286,8 +327,42 @@ def _finish_publish(path: str, txn: dict) -> None:
                 dv_add=(), dv_remove=(),
                 op="branch-publish", params={"branch": txn["name"]},
             )
-    shutil.rmtree(os.path.join(path, _BRANCH_DIR, name), ignore_errors=True)
-    os.remove(os.path.join(path, _BRANCH_DIR, f"{name}.publish.json"))
+        # targeted cleanup — serialized against _record_branch_files by
+        # the same lock, so every recorded-but-unpublished file is
+        # either visible in the on-disk ref here (→ preserved) or its
+        # recorder will observe the ref we leave behind
+        published = {src for src, _f in txn["renames"]}
+        leftover: list = []
+        disk: dict = {}
+        try:
+            with open(_ref_path(path, name)) as f:
+                disk = json.load(f)
+            leftover = [
+                r for r in disk.get("files", [])
+                if r not in published
+                and os.path.exists(os.path.join(bdir, r))
+            ]
+        except (OSError, ValueError):
+            pass
+        if leftover:
+            keep = set(leftover)
+            _write_ref(path, name, {
+                "name": name,
+                "table": disk.get("table", "data"),
+                "base_version": current_version(path),
+                "files": leftover,
+                "stats": {
+                    r: e for r, e in (disk.get("stats") or {}).items()
+                    if r in keep
+                },
+                "created": disk.get("created", time.time()),
+            })
+        else:
+            shutil.rmtree(bdir, ignore_errors=True)
+        try:
+            os.remove(os.path.join(path, _BRANCH_DIR, f"{name}.publish.json"))
+        except FileNotFoundError:
+            pass  # idempotent redo after a crash mid-cleanup
 
 
 def publish_branch(
@@ -313,38 +388,47 @@ def publish_branch(
     with table_write_lock(path):
         recover_branch_publishes(path)
         ref = _load_ref(path, name)
+        if not ref["files"]:
+            # nothing staged: dropping the empty branch IS the publish —
+            # an empty tagged commit would only noise up the history.
+            # Re-check under the metadata lock: a concurrent append may
+            # have recorded files since our ref read (appends take no
+            # table lock), and rmtree-ing those would be silent loss
+            from olive_spark.format.lock import metadata_commit_lock
+
+            with metadata_commit_lock(path):
+                ref = _load_ref(path, name)
+                if not ref["files"]:
+                    shutil.rmtree(_bdir(path, name))
+                    return {
+                        "branch": name, "tag": None, "files_published": 0,
+                    }
+            # files landed meanwhile — fall through (ref refreshed, so
+            # the audit below covers them) and publish them
         if expect:
-            if not ref["files"]:
-                counts = {}
-            else:
-                branch_only = (
-                    spark.read.format("olive")
-                    .option("table", ref["table"])
-                    .option("files", ",".join(
-                        os.path.join(_BRANCH_DIR, name, r)
-                        for r in ref["files"]
-                    ))
-                    .option("dvs", "{}")
-                    .load(path)
-                )
-                row = branch_only.agg(*[
-                    F.sum(
-                        (~F.coalesce(F.expr(e), F.lit(False))).cast("long")
-                    ).alias(n)
-                    for n, e in expect.items()
-                ]).first()
-                counts = {n: int(row[n] or 0) for n in expect}
+            branch_only = (
+                spark.read.format("olive")
+                .option("table", ref["table"])
+                .option("files", ",".join(
+                    os.path.join(_BRANCH_DIR, name, r)
+                    for r in ref["files"]
+                ))
+                .option("dvs", "{}")
+                .load(path)
+            )
+            row = branch_only.agg(*[
+                F.sum(
+                    (~F.coalesce(F.expr(e), F.lit(False))).cast("long")
+                ).alias(n)
+                for n, e in expect.items()
+            ]).first()
+            counts = {n: int(row[n] or 0) for n in expect}
             bad = {n: c for n, c in counts.items() if c > 0}
             if bad:
                 raise BranchAuditError(
                     f"branch {name!r} failed audit — publish refused, "
                     f"branch intact: {bad}"
                 )
-        if not ref["files"]:
-            # nothing staged: dropping the empty branch IS the publish —
-            # an empty tagged commit would only noise up the history
-            shutil.rmtree(_bdir(path, name))
-            return {"branch": name, "tag": None, "files_published": 0}
         tag = f"branch-{name}-{uuid.uuid4().hex[:12]}"
         renames = [
             # keep the partition subpath: branch files publish into the

@@ -23,6 +23,7 @@ import math
 import operator
 import os
 import shutil
+import time
 import uuid
 
 from olive_spark.format.errors import ValidationError
@@ -594,9 +595,13 @@ def _detect_partition_cols(path: str) -> "list[str] | None":
     rewrite ops then fall back to root placement rather than guess."""
     from olive_spark.datasource.olive_datasource import _list_chunk_files
 
+    from olive_spark.format.errors import ValidationError
+
     try:
         rels = [os.path.relpath(f, path) for f in _list_chunk_files(path)]
-    except OSError:
+    except (OSError, ValidationError):
+        # no live files (seeded-empty table, e.g. a branch staging onto
+        # an empty base): flat layout, never an error
         return None
     return _detect_partition_cols_from_rels(rels)
 
@@ -3217,6 +3222,7 @@ def clone_table(
 def vacuum(
     path: str, retain_snapshots: int = 0,
     retain_hours: "float | None" = None,
+    txn_grace_seconds: float = 3600.0,
 ) -> dict:
     """Recover from a crashed ``compact`` and remove its debris.
 
@@ -3228,7 +3234,17 @@ def vacuum(
     never visible to readers) and sibling ``<path>.compact-*`` temp
     write directories.  Live ``*.olive`` files not named by a manifest
     are never touched.  Safe whichever phase the compaction died in;
-    single-writer contract as for :func:`compact`."""
+    single-writer contract as for :func:`compact`.
+
+    Multi-table transaction interlock (r12, ADVICE r11): a
+    ``txn-*.olive.staging`` file on a PARTICIPANT table is resolved
+    through the staging-time coordinator pointer before any sweep — a
+    COMMITTED transaction's slice is published here and now, a pending
+    (prepared / in-flight) one is left untouched, and only provably
+    ownerless debris older than ``txn_grace_seconds`` is removed.
+    Likewise, sibling ``<path>.txn-*`` / ``<path>.branch-*`` temp write
+    dirs get the same age gate so a write job mid-flight on another
+    process isn't yanked out from under its move."""
     recovery = _recover_pending(path)
     # heal multi-table transactions and branch publishes BEFORE the
     # .staging sweep: a PREPARED txn rolls back (its staged files are
@@ -3259,8 +3275,40 @@ def vacuum(
             os.remove(f)
         except OSError:
             pass
+    txn_published = 0
+    txn_skipped = 0
+    now = time.time()
     for pat in ("*.olive.staging", "*.dv.staging"):
         for f in glob.glob(os.path.join(path, "**", pat), recursive=True):
+            base = os.path.basename(f)
+            if base.startswith("txn-"):
+                # participant of a multi-table txn whose marker lives in
+                # the COORDINATOR's _olive_txn/ — resolve, never guess
+                from olive_spark.ops.txn import participant_txn_state
+
+                bits = base.split("-")
+                txn_id = bits[1] if len(bits) >= 3 else ""
+                state = participant_txn_state(path, txn_id)
+                if state == "published":
+                    txn_published += 1
+                    continue  # staging renamed live by the heal
+                if state == "pending":
+                    txn_skipped += 1
+                    continue
+                try:
+                    if now - os.path.getmtime(f) < float(txn_grace_seconds):
+                        txn_skipped += 1
+                        continue
+                except OSError:
+                    continue  # raced away (renamed/removed) — fine
+                try:
+                    from olive_spark.ops.txn import _txn_dir as _tdir_of
+
+                    os.remove(
+                        os.path.join(_tdir_of(path), f"{txn_id}.coord.json")
+                    )
+                except OSError:
+                    pass
             try:
                 os.remove(f)
                 removed_staging += 1
@@ -3269,11 +3317,22 @@ def vacuum(
     removed_tmpdirs = 0
     # sibling temp write dirs of compact/merge/delete (.compact-*),
     # crashed multi-table stagings (.txn-*) and branch appends
-    # (.branch-*) — all invisible to readers, all safe after the heals
-    # above completed or rolled back their owners
+    # (.branch-*) — all invisible to readers; compact dirs are safe
+    # after the heals above, txn/branch dirs may belong to an IN-FLIGHT
+    # writer on another process (no lock relation to this table), so
+    # they get the same age gate as txn staging
     for pat in (f"{path}.compact-*", f"{path}.txn-*", f"{path}.branch-*"):
+        aged = pat != f"{path}.compact-*"
         for d in glob.glob(pat):
             if os.path.isdir(d):
+                if aged:
+                    try:
+                        if now - os.path.getmtime(d) < float(
+                            txn_grace_seconds
+                        ):
+                            continue
+                    except OSError:
+                        continue
                 shutil.rmtree(d, ignore_errors=True)
                 removed_tmpdirs += 1
     # crashed executor-side tombstone stages (merge died between the
@@ -3304,6 +3363,8 @@ def vacuum(
         "staging_files": removed_staging,
         "tmp_dirs": removed_tmpdirs,
         "orphan_dvs": orphan_dvs,
+        "txn_staging_published": txn_published,
+        "txn_staging_skipped": txn_skipped,
         **recovery,
     }
     if txn_healed.get("rolled_back") or txn_healed.get("completed"):

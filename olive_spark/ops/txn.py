@@ -25,7 +25,11 @@ no idempotent-redo trick (Bloom OR) is available:
    and one snapshot-log entry tagged ``txn-<id>`` records the append.
    Publishes are idempotent (the tag is checked first), so redo after
    a crash is safe.
-4. FORGET   — the marker is removed.
+4. ROOT     — the coordinator's table-group root pointer
+   (``_olive_txn/_root.json``) is atomically swapped to the new
+   per-table versions (the Iceberg-catalog / Delta commit-coordinator
+   move, r12 verdict task #2).
+5. FORGET   — the marker is removed.
 
 Crash matrix (exercised with real subprocesses in tests/test_txn.py):
   before DECIDE  → recovery rolls back: staged files deleted, marker
@@ -34,12 +38,16 @@ Crash matrix (exercised with real subprocesses in tests/test_txn.py):
                    snapshot log lacks the txn tag, then drops the
                    marker: EVERYTHING visible exactly once.
 
-Isolation note (stated, not hidden): between two PUBLISH steps a
-reader can observe table A updated while table B is not yet — the
-window is bounded by driver-local renames and healed by recovery, but
-only a shared catalog could close it entirely (the same bound Delta
-documents for its multi-table story).  Durability/atomicity are full:
-after recovery the tables always agree.
+Isolation: a LIVE scan between two PUBLISH steps can observe table A
+updated while table B is not yet (the same bound Delta documents for
+its multi-table story).  Readers that need a consistent cross-table
+cut opt into the GROUP via :func:`scan_txn_group` (or resolve
+versions with :func:`group_versions`): versions come from the root
+pointer, which moves in ONE ``os.replace`` strictly after every
+participant published — so an opted-in reader sees all-pre or
+all-post, never a mix, whatever instant it reads at (pinned by a
+mid-publish subprocess in tests/test_txn.py).  Durability/atomicity
+are full either way: after recovery the tables always agree.
 
 Scale shape: staging cost is the writes themselves (executor-parallel
 through the normal DSv2 writer, layout-preserving on partitioned
@@ -72,17 +80,36 @@ def _txn_dir(coordinator: str) -> str:
     return os.path.join(coordinator, _TXN_DIR)
 
 
-def _stage_one(spark, path: str, df, table: str, txn_id: str) -> dict:
+def _stage_one(
+    spark, path: str, df, table: str, txn_id: str,
+    coordinator: "str | None" = None,
+) -> dict:
     """PREPARE one participant: write ``df`` through the normal olive
     writer into a sibling temp dir (layout/field-id aware), then move
     every produced chunk file into the live table as
     ``txn-<id>-NNNNN.olive.staging`` — inert until PUBLISH renames the
-    suffix away.  Returns the participant record for the marker."""
+    suffix away.  Returns the participant record for the marker.
+
+    A pointer file ``_olive_txn/<id>.coord.json`` is dropped in the
+    PARTICIPANT before any staged file lands (r12, ADVICE r11): the
+    decision marker lives only in the coordinator's ``_olive_txn/``,
+    so without the pointer a ``vacuum`` on a participant cannot tell a
+    committed transaction's staged files (the only copy — sweeping
+    them permanently breaks the publish) from pre-PREPARE debris."""
     from olive_spark.datasource.olive_datasource import _list_chunk_files
     from olive_spark.format.manifest import load_manifest
     from olive_spark.format.table_schema import read_column_mapping
     from olive_spark.ops.maintenance import _partition_layout
 
+    if coordinator is not None:
+        pdir = _txn_dir(path)
+        os.makedirs(pdir, exist_ok=True)
+        ptr = os.path.join(pdir, f"{txn_id}.coord.json")
+        with open(ptr + ".tmp", "w") as f:
+            json.dump({"coordinator": os.path.abspath(coordinator)}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ptr + ".tmp", ptr)
     tmp = f"{path}.txn-{txn_id}"
     layout = _partition_layout(path) if os.path.isdir(path) else None
     w = df.write.format("olive").option("table", table)
@@ -148,6 +175,7 @@ def _publish_one(part: dict, tag: str) -> bool:
     path = part["path"]
     with metadata_commit_lock(path):
         if has_tag(path, tag):
+            _remove_coord_ptr(part)  # crash between commit and cleanup
             return False  # a prior publish (or redo) already landed
         for final in part["finals"]:
             stag = os.path.join(path, final + ".staging")
@@ -167,7 +195,27 @@ def _publish_one(part: dict, tag: str) -> bool:
             tag=tag, max_entries=None, dv_add=(), dv_remove=(),
             op="txn-append", params={"txn": tag},
         )
+    _remove_coord_ptr(part)
     return True
+
+
+def _remove_coord_ptr(part: dict) -> None:
+    """Drop the participant-side coordinator pointer once the txn is
+    fully published or rolled back on this table (the id is parsed from
+    the staged names, ``txn-<id>-NNNNN.olive``)."""
+    finals = part.get("finals") or []
+    if not finals:
+        return
+    base = os.path.basename(finals[0])
+    parts = base.split("-")
+    if len(parts) < 3 or parts[0] != "txn":
+        return
+    try:
+        os.remove(
+            os.path.join(_txn_dir(part["path"]), f"{parts[1]}.coord.json")
+        )
+    except OSError:
+        pass
 
 
 def _rollback_one(part: dict) -> None:
@@ -176,6 +224,125 @@ def _rollback_one(part: dict) -> None:
             os.remove(os.path.join(part["path"], final + ".staging"))
         except OSError:
             pass
+    _remove_coord_ptr(part)
+
+
+_ROOT_NAME = "_root.json"
+
+
+def _root_path(coordinator: str) -> str:
+    return os.path.join(_txn_dir(coordinator), _ROOT_NAME)
+
+
+def _update_root(coordinator: str, participants: "list[dict]") -> None:
+    """Swap the table-group root pointer to the participants' current
+    versions — ONE atomic rename, performed strictly AFTER every
+    participant published.  The root is the group's consistent cut:
+    opted-in readers resolve versions through it, so between DECIDE and
+    this swap they keep reading the all-pre cut even though live
+    listings already show some tables updated (r12 verdict task #2)."""
+    from olive_spark.format.snapshots import current_version
+
+    root = group_versions(coordinator) or {}
+    for part in participants:
+        p = os.path.abspath(part["path"])
+        root[p] = current_version(p)
+    rp = _root_path(coordinator)
+    os.makedirs(os.path.dirname(rp), exist_ok=True)
+    with open(rp + ".tmp", "w") as f:
+        json.dump({"versions": root}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(rp + ".tmp", rp)
+
+
+def group_versions(coordinator: str) -> "dict[str, int] | None":
+    """The table-group root pointer's {abspath: version} map, or None
+    when no transaction has completed on this coordinator yet."""
+    try:
+        with open(_root_path(coordinator)) as f:
+            return {
+                k: int(v) for k, v in json.load(f)["versions"].items()
+            }
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def scan_txn_group(spark, coordinator: str, path: str, table: str = "data"):
+    """Read ``path`` at the table-group root pointer's version — the
+    opt-in consistent view across a multi-table transaction's members.
+    A reader pinned between two publishes of an in-flight txn sees the
+    ALL-PRE cut (the root moves only after the last publish); after
+    the root swap it sees ALL-POST — never table A new with table B
+    old.  Falls back to a live read for tables no completed txn on
+    this coordinator has written yet (consistency begins with the
+    first group commit that includes the table)."""
+    from olive_spark.datasource import register_olive
+
+    register_olive(spark)
+    versions = group_versions(coordinator) or {}
+    v = versions.get(os.path.abspath(path))
+    r = spark.read.format("olive").option("table", table)
+    if v is not None:
+        r = r.option("snapshot", str(v))
+    return r.load(path)
+
+
+def participant_txn_state(path: str, txn_id: str) -> "str | None":
+    """Vacuum's interlock for a ``txn-*.olive.staging`` file found on a
+    PARTICIPANT table (r12, ADVICE r11 — the decision marker lives only
+    in the coordinator's ``_olive_txn/``, so a participant-side sweep
+    must resolve it through the staging-time pointer).  Returns:
+
+    - ``'published'`` — commit marker found; this table's slice is
+      published HERE AND NOW (idempotent ``_publish_one`` under the
+      participant metadata lock — safe even racing the live
+      coordinator, whose own redo skips by tag), so the staging name is
+      gone;
+    - ``'pending'`` — a prepared/commit marker exists, or the
+      coordinator's write lock is live (a slow multi-table PREPARE can
+      hold staged files for hours before any marker exists): do NOT
+      sweep;
+    - ``None`` — pointer or marker absent and no live coordinator:
+      pre-PREPARE crash debris, sweepable after the caller's grace
+      window.
+
+    Never removes the coordinator's marker — rollback/forget belong to
+    the coordinator's own recovery (its write lock fences them)."""
+    ptr = os.path.join(_txn_dir(path), f"{txn_id}.coord.json")
+    try:
+        with open(ptr) as f:
+            coord = json.load(f)["coordinator"]
+    except (OSError, ValueError, KeyError):
+        return None
+    cdir = _txn_dir(coord)
+    cpath = os.path.join(cdir, f"{txn_id}.commit.json")
+    if os.path.exists(cpath):
+        try:
+            with open(cpath) as f:
+                txn = json.load(f)
+        except (OSError, ValueError):
+            return "pending"  # marker mid-swap — leave it alone
+        me = os.path.abspath(path)
+        for part in txn.get("participants", ()):
+            if os.path.abspath(part.get("path", "")) == me:
+                _publish_one(part, txn["tag"])
+                return "published"
+        return "pending"
+    if os.path.exists(os.path.join(cdir, f"{txn_id}.prepared.json")):
+        return "pending"
+    # no marker yet: an in-flight PREPARE holds the coordinator's write
+    # lock for its whole duration — a live (non-stale) lock means the
+    # staging may belong to it, whatever its age
+    try:
+        from olive_spark.format import lock as _lock
+
+        cur = _lock._read(coord)
+        if cur is not None and not _lock._is_stale(coord, cur):
+            return "pending"
+    except OSError:
+        pass
+    return None
 
 
 def recover_txns(spark, coordinator_path: str) -> dict:
@@ -203,6 +370,7 @@ def recover_txns(spark, coordinator_path: str) -> dict:
                 txn = json.load(f)
             for part in txn["participants"]:
                 _publish_one(part, txn["tag"])
+            _update_root(coordinator_path, txn["participants"])
             os.remove(p)
             out["completed"] += 1
     return out
@@ -241,7 +409,10 @@ def multi_table_append(
         try:
             for (path, df) in writes:
                 participants.append(
-                    _stage_one(spark, os.path.abspath(path), df, table, txn_id)
+                    _stage_one(
+                        spark, os.path.abspath(path), df, table, txn_id,
+                        coordinator=coordinator,
+                    )
                 )
                 _crash_point("mid_prepare")
         except Exception:
@@ -264,6 +435,8 @@ def multi_table_append(
         for part in participants:
             _publish_one(part, tag)
             _crash_point("mid_publish")
+        _update_root(coordinator, participants)
+        _crash_point("after_root")
         os.remove(committed)
     return {
         "txn": txn_id,

@@ -77,6 +77,7 @@ _ORDER = [
     "llm_phrase_search",  # r11-new: positional-postings phrase search
     "scan_time_travel_timestamp",  # r11-new: snapshotAsOf resolution
     "scan_multi_table_txn",  # r11-new: two-phase multi-table commit
+    "scan_txn_group_cut",  # r12-new: table-group root pointer cut
     "scan_branch_wap",  # r11-new: write-audit-publish branch
     "scan_snapshot_history",  # r11-new: exact commit provenance
     "setop_union_except",

@@ -280,6 +280,31 @@ def _write_derived(sf_dir: str, out: str) -> None:
         with open(os.path.join(vdir, fn), "wb") as f:
             f.write(write_chunk({"events_versioned": part}))
         append_entry(vdir, add=[fn])
+    monotonize_log_ts(vdir)
+
+
+def monotonize_log_ts(vdir: str) -> None:
+    """Force the snapshot log's commit timestamps STRICTLY increasing.
+    The timestamp time-travel query needs ts(v1) < ts(v2): back-to-back
+    appends on a coarse clock can stamp equal ts, and
+    version_at_timestamp's at-or-before rule would then resolve any
+    asof >= ts1 to v2 (ADVICE r11).  Deterministic (+2ms bumps), no
+    sleeps; called at fixture build AND from the query so caches built
+    before this fix heal in place."""
+    from olive_spark.format.snapshots import _write_log, load_log
+
+    vlog = load_log(vdir)
+    prev = None
+    bumped = False
+    for e in vlog["entries"]:
+        t = e.get("ts")
+        if isinstance(t, (int, float)):
+            if prev is not None and float(t) <= prev:
+                e["ts"] = prev + 0.002
+                bumped = True
+            prev = float(e["ts"])
+    if bumped:
+        _write_log(vdir, vlog)
 
 
 def load_partitioned(spark, sf_dir: str, table: str, partition_by: str,

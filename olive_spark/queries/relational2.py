@@ -981,11 +981,18 @@ def scan_time_travel_timestamp(spark: SparkSession, sf: str) -> DataFrame:
 
     register_olive(spark)
     path = _os.path.join(data.ensure_olive(sf), "events_versioned")
+    # heal pre-r12 caches whose back-to-back commits stamped equal ts —
+    # without this, ANY asof >= ts1 resolves to v2 and the query would
+    # be a latent hash-mismatch flake instead of deterministic (ADVICE)
+    data.monotonize_log_ts(path)
     ts = {
         int(e["v"]): float(e["ts"])
         for e in _snaps.load_log(path)["entries"]
     }
-    asof = (ts[1] + ts[2]) / 2 if ts.get(2, 0) > ts[1] else ts[1]
+    # strictly below ts2 and (log monotone) at/above ts1 → always v1
+    import math as _math
+
+    asof = max(ts[1], _math.nextafter(ts[2], float("-inf")))
     df = (
         spark.read.format("olive")
         .option("snapshotAsOf", repr(asof)).load(path)
@@ -1052,6 +1059,83 @@ SQL_MULTI_TABLE_TXN = (
     "  COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_even, "
     "  COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_odd "
     "FROM events GROUP BY event_type"
+)
+
+
+def scan_txn_group_cut(spark: SparkSession, sf: str) -> DataFrame:
+    """Table-group root pointer (ops/txn.scan_txn_group — r12 verdict
+    task #2): the fixture leaves a transaction CRASHED between its two
+    publishes (table A holds the new rows live, table B does not), so
+    live scans are torn — but group reads resolve versions through the
+    coordinator's atomically-swapped ``_olive_txn/_root.json`` and
+    must serve the ALL-PRE cut: both tables exactly as of the last
+    COMPLETED transaction.  The oracle recomputes that pre-state from
+    the base events table (event_id % 3 IN (1, 2)); a group read that
+    leaked the torn live state (A's extra third) hash-mismatches."""
+    import os as _os
+
+    from olive_spark.datasource import register_olive
+    from olive_spark.ops import txn as _txn
+
+    register_olive(spark)
+    root = data.ensure_olive(sf)
+    a = _os.path.join(root, "txn_cut_even")
+    b = _os.path.join(root, "txn_cut_odd")
+    marker = _os.path.join(root, "_TXN_CUT_OK")
+    if not _os.path.exists(marker):
+        ev = data.load(
+            spark, sf, "events",
+            columns=["event_id", "user_id", "event_type"],
+        )
+        even = ev.filter(F.col("user_id") % 2 == 0)
+        odd = ev.filter(F.col("user_id") % 2 == 1)
+        m3 = F.col("event_id") % 3
+        # plain seed, then one COMPLETED txn (establishes the root)
+        even.filter(m3 == 1).write.format("olive").mode("append").save(a)
+        odd.filter(m3 == 1).write.format("olive").mode("append").save(b)
+        _txn.multi_table_append(
+            spark, [(a, even.filter(m3 == 2)), (b, odd.filter(m3 == 2))]
+        )
+
+        class _Torn(RuntimeError):
+            pass
+
+        def _die():
+            raise _Torn()
+
+        # second txn dies between A's publish and B's — the torn state
+        # this query exists to mask
+        _txn._CRASH_HOOKS["mid_publish"] = _die
+        try:
+            _txn.multi_table_append(
+                spark, [(a, even.filter(m3 == 0)), (b, odd.filter(m3 == 0))]
+            )
+        except _Torn:
+            pass
+        finally:
+            _txn._CRASH_HOOKS.clear()
+        with open(marker, "w") as f:
+            f.write("ok")
+    na = (
+        _txn.scan_txn_group(spark, a, a)
+        .groupBy("event_type").agg(F.count("*").alias("n_even"))
+    )
+    nb = (
+        _txn.scan_txn_group(spark, a, b)
+        .groupBy("event_type").agg(F.count("*").alias("n_odd"))
+    )
+    return na.join(nb, "event_type", "full").select(
+        "event_type",
+        F.coalesce("n_even", F.lit(0)).alias("n_even"),
+        F.coalesce("n_odd", F.lit(0)).alias("n_odd"),
+    )
+
+
+SQL_TXN_GROUP_CUT = (
+    "SELECT event_type, "
+    "  COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_even, "
+    "  COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_odd "
+    "FROM events WHERE event_id % 3 IN (1, 2) GROUP BY event_type"
 )
 
 
@@ -2763,6 +2847,7 @@ QUERIES: dict[str, tuple] = {
         scan_time_travel_timestamp, SQL_TIME_TRAVEL,
     ),
     "scan_multi_table_txn": (scan_multi_table_txn, SQL_MULTI_TABLE_TXN),
+    "scan_txn_group_cut": (scan_txn_group_cut, SQL_TXN_GROUP_CUT),
     "scan_branch_wap": (scan_branch_wap, SQL_BRANCH_WAP),
     "scan_snapshot_history": (scan_snapshot_history, SQL_SNAPSHOT_HISTORY),
     "scan_after_merge_upsert": (scan_after_merge_upsert, SQL_AFTER_MERGE),

@@ -332,6 +332,88 @@ def test_branch_reader_option_equals_scan_branch(spark, tmp_path):
         )
 
 
+def test_publish_concurrent_append_survives(spark, tmp_path):
+    """r12 (ADVICE r11): an append_to_branch that lands between the
+    publish's decision marker and its activation must NOT be silently
+    deleted — the publish activates only its marker-listed files, and
+    the branch ref is re-created around the late files (re-based on
+    the just-published version).  Injected at the exact interleave via
+    the after_decide seam; a second publish then lands the late rows."""
+    from olive_spark.ops import branch
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 50)
+    branch.create_branch(t, "b")
+    branch.append_to_branch(spark, _mk(spark, 50, 60), t, "b")
+
+    def late_append():
+        branch._CRASH_HOOKS.clear()  # only once
+        branch.append_to_branch(spark, _mk(spark, 60, 70), t, "b")
+
+    branch._CRASH_HOOKS["after_decide"] = late_append
+    try:
+        out = branch.publish_branch(spark, t, "b")
+    finally:
+        branch._CRASH_HOOKS.clear()
+    assert out["files_published"] >= 1
+    live = sorted(r["k"] for r in _live(spark, t).collect())
+    assert live == list(range(60))          # late rows NOT published yet
+    # the branch survives with exactly the late files, re-based
+    ref = branch._load_ref(t, "b")
+    assert ref["files"], "late append was deleted by publish cleanup"
+    preview = sorted(
+        r["k"] for r in branch.scan_branch(spark, t, "b").collect()
+    )
+    assert preview == list(range(70))       # published base + late rows
+    out2 = branch.publish_branch(spark, t, "b")
+    assert out2["files_published"] >= 1
+    assert sorted(r["k"] for r in _live(spark, t).collect()) == list(range(70))
+
+
+def test_record_after_branch_gone_fails_loud(spark, tmp_path):
+    """A recorder whose branch was fully published (ref gone) must
+    clean its staged copies and raise — never return success for files
+    that will not be read."""
+    import pytest as _pytest
+
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops import branch
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 10)
+    branch.create_branch(t, "b")
+    branch.append_to_branch(spark, _mk(spark, 10, 20), t, "b")
+    branch.publish_branch(spark, t, "b")  # branch fully gone
+    bdir = os.path.join(t, "_olive_branch", "b")
+    os.makedirs(bdir, exist_ok=True)
+    stray = os.path.join(bdir, "b-zz-00000.olive")
+    with open(stray, "wb") as f:
+        f.write(b"x")
+    with _pytest.raises(ValidationError, match="published"):
+        branch._record_branch_files(t, "b", ["b-zz-00000.olive"], {})
+    assert not os.path.exists(stray)
+
+
+def test_branch_option_schema_sees_branch_only_state(spark, tmp_path):
+    """r12 (ADVICE r11): OliveDataSource.schema() must resolve the
+    'branch' option like the reader does.  A branch over an EMPTY live
+    table previously inferred schema from the live listing (empty →
+    files[:1] on an empty list → no columns); now the branch's staged
+    files drive inference, so the preview has the staged schema and
+    rows."""
+    from olive_spark.format.snapshots import ensure_seeded
+    from olive_spark.ops import branch
+
+    t = str(tmp_path / "t")
+    os.makedirs(t)
+    ensure_seeded(t, files=[])
+    branch.create_branch(t, "b")
+    branch.append_to_branch(spark, _mk(spark, 0, 10), t, "b")
+    df = spark.read.format("olive").option("branch", "b").load(t)
+    assert [f.name for f in df.schema.fields] == ["k", "v"]
+    assert sorted(r["k"] for r in df.collect()) == list(range(10))
+
+
 def test_publish_empty_branch_is_a_drop(spark, tmp_path):
     """Publishing a branch with nothing staged drops it without
     writing an empty snapshot commit."""

@@ -588,12 +588,19 @@ def test_snapshot_as_of_timestamp(spark, tmp_path_factory):
 
 
 def test_version_at_timestamp_missing_ts_counts_old(tmp_path):
-    """A log entry without a timestamp (hand-edited / legacy collapse
-    base) is arbitrarily old: it satisfies any cutoff but never beats a
-    timestamped later version."""
+    """An undated log entry (hand-edited / legacy collapse base) is
+    arbitrarily old ONLY when it sits strictly below every dated
+    version — a collapse base predating the dated history.  An undated
+    entry AT OR ABOVE dated entries is never served: r12 fix (ADVICE
+    r11) — the old rule picked max version among eligible entries, so a
+    NEWEST undated entry answered ANY instant, silently returning
+    future data instead of failing loud."""
     import json
 
+    import pytest
+
     from olive_spark.format import snapshots
+    from olive_spark.format.errors import ValidationError
 
     d = str(tmp_path / "t")
     os.makedirs(d)
@@ -605,6 +612,43 @@ def test_version_at_timestamp_missing_ts_counts_old(tmp_path):
         json.dump(log, f)
     assert snapshots.version_at_timestamp(d, 500.0) == 1
     assert snapshots.version_at_timestamp(d, 1000.0) == 2
+
+    # newest entry undated: pre-v2 instants resolve v1 (the dated
+    # commit), NEVER the undated v3; at/after ts2 still v2
+    d2 = str(tmp_path / "t2")
+    os.makedirs(d2)
+    log2 = {"entries": [
+        {"v": 1, "add": ["a.olive"], "ts": 100.0},
+        {"v": 2, "add": ["b.olive"], "ts": 1000.0},
+        {"v": 3, "add": ["c.olive"]},
+    ]}
+    with open(snapshots.log_path(d2), "w") as f:
+        json.dump(log2, f)
+    assert snapshots.version_at_timestamp(d2, 100.0) == 1
+    assert snapshots.version_at_timestamp(d2, 500.0) == 1
+    assert snapshots.version_at_timestamp(d2, 2000.0) == 2
+    with pytest.raises(ValidationError):
+        snapshots.version_at_timestamp(d2, 50.0)
+
+    # undated entry BETWEEN dated ones: not provably old → skipped
+    d3 = str(tmp_path / "t3")
+    os.makedirs(d3)
+    log3 = {"entries": [
+        {"v": 1, "add": ["a.olive"], "ts": 100.0},
+        {"v": 2, "add": ["b.olive"]},
+        {"v": 3, "add": ["c.olive"], "ts": 1000.0},
+    ]}
+    with open(snapshots.log_path(d3), "w") as f:
+        json.dump(log3, f)
+    assert snapshots.version_at_timestamp(d3, 500.0) == 1
+
+    # every entry undated: ambiguous — fail loud, never guess
+    d4 = str(tmp_path / "t4")
+    os.makedirs(d4)
+    with open(snapshots.log_path(d4), "w") as f:
+        json.dump({"entries": [{"v": 1, "add": ["a.olive"]}]}, f)
+    with pytest.raises(ValidationError):
+        snapshots.version_at_timestamp(d4, 500.0)
 
 
 def test_snapshot_history_exact_op_provenance(spark, tmp_path_factory):

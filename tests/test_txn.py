@@ -77,8 +77,9 @@ def test_multi_table_append_happy_path(spark, tmp_path):
     for p in (a, b):
         tags = [e.get("tag") for e in load_log(p)["entries"]]
         assert tags.count(tag) == 1
-    # no marker debris, no staged leftovers
-    assert not os.listdir(os.path.join(a, "_olive_txn"))
+    # no marker debris, no staged leftovers (the group root pointer is
+    # the one durable artifact a completed txn leaves behind — r12)
+    assert os.listdir(os.path.join(a, "_olive_txn")) == ["_root.json"]
     assert not [f for f in os.listdir(a) if f.endswith(".staging")]
     assert not [f for f in os.listdir(b) if f.endswith(".staging")]
 
@@ -205,6 +206,76 @@ def test_crash_mid_publish_recovery_finishes_the_rest(spark, tmp_path):
         assert len(tags) == len(set(tags))
 
 
+def test_txn_group_root_pointer_consistent_cut(spark, tmp_path):
+    """r12 verdict task #2: the table-group root pointer closes the
+    read-side window.  With a txn crashed BETWEEN its two publishes,
+    live scans show the torn state (A new, B old) but group reads
+    (scan_txn_group — versions resolved through _olive_txn/_root.json,
+    swapped only after the LAST publish) still serve the all-pre cut;
+    after recovery they serve all-post.  The pointer is durable: a
+    separate process resolves the same cut.  A crash between the root
+    swap and marker removal redoes idempotently — same versions, no
+    duplicate tags."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from olive_spark.format.snapshots import load_log
+    from olive_spark.ops import txn
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _seed(spark, a, 0, 10, "a")
+    _seed(spark, b, 0, 5, "b")
+    # first completed txn establishes the group root
+    txn.multi_table_append(
+        spark, [(a, _mk(spark, 10, 12, "a")), (b, _mk(spark, 5, 7, "b"))]
+    )
+    assert txn.scan_txn_group(spark, a, a).count() == 12
+    assert txn.scan_txn_group(spark, a, b).count() == 7
+
+    # crash between A's publish and B's
+    txn._CRASH_HOOKS["mid_publish"] = _boom
+    try:
+        with pytest.raises(Boom):
+            txn.multi_table_append(
+                spark,
+                [(a, _mk(spark, 12, 20, "a")), (b, _mk(spark, 7, 9, "b"))],
+            )
+    finally:
+        txn._CRASH_HOOKS.clear()
+    assert _count(spark, a) == 20 and _count(spark, b) == 7  # torn live
+    pre = txn.group_versions(a)
+    assert txn.scan_txn_group(spark, a, a).count() == 12     # all-pre
+    assert txn.scan_txn_group(spark, a, b).count() == 7
+    # a separate PROCESS resolves the identical cut (root is durable
+    # state, not session memory)
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import json, sys; from olive_spark.ops import txn; "
+         "print(json.dumps(txn.group_versions(sys.argv[1])))", a],
+        capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert _json.loads(out.stdout.strip()) == pre
+
+    txn.recover_txns(spark, a)
+    assert txn.scan_txn_group(spark, a, a).count() == 20     # all-post
+    assert txn.scan_txn_group(spark, a, b).count() == 9
+
+    # crash AFTER the root swap, before marker removal: redo is a no-op
+    txn._CRASH_HOOKS["after_root"] = _boom
+    try:
+        with pytest.raises(Boom):
+            txn.multi_table_append(spark, [(a, _mk(spark, 20, 22, "a"))])
+    finally:
+        txn._CRASH_HOOKS.clear()
+    txn.recover_txns(spark, a)
+    assert txn.scan_txn_group(spark, a, a).count() == 22
+    for p in (a, b):
+        tags = [e.get("tag") for e in load_log(p)["entries"] if e.get("tag")]
+        assert len(tags) == len(set(tags))
+
+
 def test_validation_and_single_table_degenerate(spark, tmp_path):
     from olive_spark.ops import txn
 
@@ -247,6 +318,71 @@ def test_txn_preserves_partition_layout(spark, tmp_path):
         .filter(F.col("part") == 1).count()
     )
     assert got == 15
+
+
+def test_vacuum_on_participant_respects_txn_interlock(spark, tmp_path):
+    """r12 (ADVICE r11): the decision marker lives only in the
+    COORDINATOR's _olive_txn/, so vacuum on a PARTICIPANT used to sweep
+    a committed transaction's staged files as debris — permanently
+    breaking the publish.  Now the staging-time coordinator pointer
+    resolves the txn: committed → the participant's slice publishes
+    here and now; prepared → untouched (the coordinator's rollback owns
+    it); ownerless → swept only past the grace window."""
+    import time as _time
+
+    from olive_spark.ops import txn
+    from olive_spark.ops.maintenance import vacuum
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _seed(spark, a, 0, 10, "a")
+    _seed(spark, b, 0, 5, "b")
+
+    # committed, crashed before publish — vacuum the PARTICIPANT first
+    txn._CRASH_HOOKS["after_decide"] = _boom
+    try:
+        with pytest.raises(Boom):
+            txn.multi_table_append(
+                spark,
+                [(a, _mk(spark, 10, 20, "a")), (b, _mk(spark, 5, 9, "b"))],
+            )
+    finally:
+        txn._CRASH_HOOKS.clear()
+    out = vacuum(b)
+    assert out["txn_staging_published"] >= 1
+    assert _count(spark, b) == 9          # b's slice published, not swept
+    assert _count(spark, a) == 10         # a still pending
+    out = vacuum(a)                        # coordinator completes the rest
+    assert _count(spark, a) == 20
+
+    # prepared (undecided): participant vacuum must NOT touch it
+    txn._CRASH_HOOKS["after_prepare"] = _boom
+    try:
+        with pytest.raises(Boom):
+            txn.multi_table_append(
+                spark,
+                [(a, _mk(spark, 20, 30, "a")), (b, _mk(spark, 9, 12, "b"))],
+            )
+    finally:
+        txn._CRASH_HOOKS.clear()
+    out = vacuum(b)
+    assert out["txn_staging_skipped"] >= 1
+    assert [f for f in os.listdir(b) if f.endswith(".staging")]
+    vacuum(a)                              # coordinator rolls back
+    assert not [f for f in os.listdir(b) if f.endswith(".staging")]
+    assert _count(spark, a) == 20 and _count(spark, b) == 9
+
+    # ownerless txn staging (no pointer, no marker): grace-gated sweep
+    stray = os.path.join(b, "txn-deadbeef-00000.olive.staging")
+    with open(stray, "wb") as f:
+        f.write(b"x")
+    out = vacuum(b)
+    assert os.path.exists(stray)           # fresh: inside the grace window
+    assert out["txn_staging_skipped"] >= 1
+    old = _time.time() - 7200
+    os.utime(stray, (old, old))
+    out = vacuum(b)
+    assert not os.path.exists(stray)       # aged out: swept
+    assert out["staging_files"] >= 1
 
 
 def test_vacuum_heals_txns_before_sweeping_staging(spark, tmp_path):
