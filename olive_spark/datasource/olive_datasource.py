@@ -476,8 +476,10 @@ class OliveReader(DataSourceReader):
                     "olive: 'branch' is exclusive with 'snapshot'/"
                     "'snapshotTag'/'snapshotAsOf'/'files'/'dvs'"
                 )
-            from olive_spark.format.snapshots import dv_state_at, files_at
-            from olive_spark.ops.branch import _BRANCH_DIR, _load_ref
+            from olive_spark.format.snapshots import files_at
+            from olive_spark.ops.branch import (
+                _BRANCH_DIR, _branch_dv_state, _load_ref,
+            )
 
             ref = _load_ref(self.path, br)
             base = (
@@ -493,8 +495,7 @@ class OliveReader(DataSourceReader):
                 )
             options = dict(options)
             options["dvs"] = json.dumps(
-                dv_state_at(self.path, ref["base_version"])
-                if ref["base_version"] else {}
+                _branch_dv_state(self.path, br, ref)
             )
         if self.files_opt is not None and self.snapshot is not None:
             raise ValueError("olive: 'files' and 'snapshot' are exclusive")

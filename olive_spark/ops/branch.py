@@ -30,9 +30,17 @@ append-only WAP workflow):
   branch rows once; any violated expectation refuses the publish with
   per-rule counts and the branch intact (the "A" of WAP).
 
-Branches stage APPENDS (the WAP use case).  Mutations (delete/merge)
-operate on live state only — a branch holding mutations would need
-Iceberg's full metadata forest; refused loudly instead of half-built.
+Branches stage APPENDS and, since r12 (verdict task #3), MUTATIONS:
+``delete_on_branch`` / ``merge_on_branch`` record deletion vectors in
+a branch-scoped DV set (``_olive_branch/<name>/_dv/`` + a ``dvs`` map
+in the ref) that folds into every branch preview but never into live
+scans; publish re-keys branch-file DVs to the published names and
+lands base-file DVs as live DV commits — the audit-fix-publish loop
+without Iceberg's full metadata forest.  One honest conflict rule: a
+base-file DV whose target was rewritten (compact/merge) between
+staging and publish refuses the publish loudly (the Iceberg
+validation rule) — rebasing positions across a rewrite is the one
+thing this layer does not do.
 
 Scale shape: branch writes are normal executor-parallel writer jobs;
 scan cost equals the eventual published scan (same files, same DV
@@ -224,9 +232,10 @@ def _record_branch_files(
 def scan_branch(spark, path: str, name: str):
     """The DataFrame a publish would make live: base-version files plus
     branch files, with the BASE version's deletion-vector state (live
-    DVs written after the base must not fold into the preview)."""
+    DVs written after the base must not fold into the preview) PLUS the
+    branch-scoped DVs staged by delete_on_branch/merge_on_branch."""
     from olive_spark.datasource import register_olive
-    from olive_spark.format.snapshots import dv_state_at, files_at
+    from olive_spark.format.snapshots import files_at
 
     register_olive(spark)
     ref = _load_ref(path, name)
@@ -234,10 +243,7 @@ def scan_branch(spark, path: str, name: str):
         files_at(path, ref["base_version"])
         if ref["base_version"] else []  # branch on an empty table
     )
-    branch_rels = [
-        os.path.join(_BRANCH_DIR, name, rel) for rel in ref["files"]
-    ]
-    names = sorted(base) + branch_rels
+    names = _branch_scan_names(name, ref, base)
     if not names:
         return (
             spark.read.format("olive").option("table", ref["table"])
@@ -247,12 +253,205 @@ def scan_branch(spark, path: str, name: str):
         spark.read.format("olive")
         .option("table", ref["table"])
         .option("files", ",".join(names))
-        .option("dvs", json.dumps(
-            dv_state_at(path, ref["base_version"])
-            if ref["base_version"] else {}
-        ))
+        .option("dvs", json.dumps(_branch_dv_state(path, name, ref)))
         .load(path)
     )
+
+
+def _branch_dv_state(path: str, name: str, ref: dict) -> dict:
+    """Merged DV map for the branch view: the BASE version's state plus
+    the branch-scoped DVs recorded in the ref (targets are keyed
+    exactly as the branch scan lists them — base rels for base files,
+    ``_olive_branch/<name>/…`` rels for staged files)."""
+    from olive_spark.format.snapshots import dv_state_at
+
+    state = {
+        t: list(n)
+        for t, n in (
+            dv_state_at(path, ref["base_version"])
+            if ref["base_version"] else {}
+        ).items()
+    }
+    for tgt, names in (ref.get("dvs") or {}).items():
+        state[tgt] = sorted(state.get(tgt, []) + list(names))
+    return state
+
+
+def _branch_scan_names(name: str, ref: dict, base: "list[str]") -> list:
+    return sorted(base) + [
+        os.path.join(_BRANCH_DIR, name, rel) for rel in ref["files"]
+    ]
+
+
+def _stage_branch_dvs(positions_df, fc: str, pc: str, path: str,
+                      name: str, run: str, table: str) -> list:
+    """Write one branch-scoped DV per affected file, straight from
+    executors (same shape as maintenance._stage_dv_positions, but the
+    blobs land FINAL under ``_olive_branch/<name>/_dv/`` — invisible to
+    everything until the ref records them, so no staging suffix is
+    needed; unrecorded debris dies with the branch dir)."""
+    import pandas as _pd
+
+    def write_group(pdf):
+        import hashlib as _hl
+        import os as _os
+
+        import numpy as _np
+
+        from olive_spark.format import deletion as _D
+
+        rel = pdf[fc].iloc[0]
+        key = _hl.sha1(rel.encode()).hexdigest()[:12]
+        dv_rel = _os.path.join(_BRANCH_DIR, name, "_dv", f"{run}-{key}.dv")
+        dest = _os.path.join(path, dv_rel)
+        _os.makedirs(_os.path.dirname(dest), exist_ok=True)
+        blob = _D.encode_dv(rel, pdf[pc].to_numpy(_np.uint64), table=table)
+        tmp = dest + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        _os.replace(tmp, dest)
+        return _pd.DataFrame({"file": [rel], "dv": [dv_rel], "n": [len(pdf)]})
+
+    out = (
+        positions_df.groupBy(fc)
+        .applyInPandas(write_group, "file string, dv string, n long")
+        .collect()  # one slim row per affected file, never positions
+    )
+    return [(r["file"], r["dv"], int(r["n"])) for r in out]
+
+
+def _record_branch_dvs(path: str, name: str, staged: list) -> None:
+    """Fold staged branch DVs into the ref under the metadata commit
+    lock (same RMW + loud-failure contract as _record_branch_files)."""
+    from olive_spark.format.lock import metadata_commit_lock
+
+    with metadata_commit_lock(path):
+        try:
+            ref = _load_ref(path, name)
+        except ValidationError:
+            for _t, dv_rel, _n in staged:
+                try:
+                    os.remove(os.path.join(path, dv_rel))
+                except OSError:
+                    pass
+            raise ValidationError(
+                f"branch {name!r} at {path} was published (or dropped) "
+                "while this mutation was staging — staged DVs removed"
+            )
+        dvs = {t: list(n) for t, n in (ref.get("dvs") or {}).items()}
+        for target, dv_rel, _n in staged:
+            dvs.setdefault(target, []).append(dv_rel)
+        ref["dvs"] = {t: sorted(n) for t, n in dvs.items()}
+        _write_ref(path, name, ref)
+
+
+def delete_on_branch(spark, path: str, name: str, condition: str) -> dict:
+    """``DELETE FROM <branch view> WHERE condition`` staged ON the
+    branch (WAP phase 2, r12 verdict task #3): positions of matching
+    rows — across base files AND branch-staged files, with existing
+    branch DVs folded so re-deletes compose — are written as
+    branch-scoped deletion vectors.  Live scans never see them; every
+    branch preview folds them; publish lands them (base-file DVs as
+    live DV commits, branch-file DVs re-keyed to the published names).
+
+    Scale shape: one provenance scan filtered by the condition, DV
+    blobs written from executors, one slim (file, dv, count) row per
+    affected file to the driver — write cost ∝ deleted rows, exactly
+    like live ``delete_where(mode='dv')``."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.datasource import register_olive
+    from olive_spark.format.lock import table_write_lock
+
+    register_olive(spark)
+    with table_write_lock(path):
+        from olive_spark.format.snapshots import files_at
+
+        ref = _load_ref(path, name)
+        base = (
+            files_at(path, ref["base_version"])
+            if ref["base_version"] else []
+        )
+        names = _branch_scan_names(name, ref, base)
+        if not names:
+            return {"branch": name, "files_dv": 0, "rows_deleted": 0}
+        fc, pc = "_olive_file", "_olive_pos"
+        scan = (
+            spark.read.format("olive")
+            .option("table", ref["table"])
+            .option("files", ",".join(names))
+            .option("dvs", json.dumps(_branch_dv_state(path, name, ref)))
+            .option("fileColumn", fc)
+            .option("posColumn", pc)
+            .load(path)
+        )
+        run = uuid.uuid4().hex[:8]
+        staged = _stage_branch_dvs(
+            scan.filter(F.expr(condition)).select(fc, pc),
+            fc, pc, path, name, run, ref["table"],
+        )
+        if not staged:
+            return {"branch": name, "files_dv": 0, "rows_deleted": 0}
+        _record_branch_dvs(path, name, staged)
+    return {
+        "branch": name,
+        "files_dv": len(staged),
+        "rows_deleted": int(sum(n for _t, _d, n in staged)),
+    }
+
+
+def merge_on_branch(spark, src_df, path: str, name: str,
+                    keys: "list[str]") -> dict:
+    """Upsert ``src_df`` into the branch view (delete-and-insert MERGE
+    staged on the branch): rows of the branch view whose key tuple
+    appears in the source are deleted via branch-scoped DVs, then the
+    whole source appends to the branch.  Publish makes it one live
+    commit.  Matching is a broadcast-or-shuffle semi join on the keys —
+    never a collected key list, so a 10⁹-row source works."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.datasource import register_olive
+    from olive_spark.format.lock import table_write_lock
+
+    register_olive(spark)
+    with table_write_lock(path):
+        from olive_spark.format.snapshots import files_at
+
+        ref = _load_ref(path, name)
+        base = (
+            files_at(path, ref["base_version"])
+            if ref["base_version"] else []
+        )
+        names = _branch_scan_names(name, ref, base)
+        staged: list = []
+        if names:
+            fc, pc = "_olive_file", "_olive_pos"
+            scan = (
+                spark.read.format("olive")
+                .option("table", ref["table"])
+                .option("files", ",".join(names))
+                .option("dvs", json.dumps(_branch_dv_state(path, name, ref)))
+                .option("fileColumn", fc)
+                .option("posColumn", pc)
+                .load(path)
+            )
+            matched = scan.join(
+                src_df.select(*keys).dropDuplicates(list(keys)),
+                on=list(keys), how="left_semi",
+            ).select(fc, pc)
+            run = uuid.uuid4().hex[:8]
+            staged = _stage_branch_dvs(
+                matched, fc, pc, path, name, run, ref["table"],
+            )
+            if staged:
+                _record_branch_dvs(path, name, staged)
+    out = append_to_branch(spark, src_df, path, name)
+    return {
+        "branch": name,
+        "rows_matched_deleted": int(sum(n for _t, _d, n in staged)),
+        "files_dv": len(staged),
+        "files_added": out["files_added"],
+    }
 
 
 def drop_branch(path: str, name: str) -> dict:
@@ -303,6 +502,40 @@ def _finish_publish(path: str, txn: dict) -> None:
     bdir = os.path.join(path, _BRANCH_DIR, name)
     with metadata_commit_lock(path):
         if not has_tag(path, txn["tag"]):
+            # branch DVs FIRST (r12): a DV under _olive_dv/<final>/ for
+            # a not-yet-renamed chunk is an invisible orphan, while a
+            # renamed chunk briefly missing its DV would expose deleted
+            # rows to directory-authority scans.  Branch-file DVs are
+            # re-encoded against their published target name; base-file
+            # DVs move as-is.  Idempotent: dst-exists skips.
+            for src_dv, final_target, final_dv in txn.get("dv_moves", ()):
+                src = os.path.join(bdir, src_dv)
+                dst = os.path.join(path, final_dv)
+                if os.path.exists(dst):
+                    try:
+                        os.remove(src)
+                    except OSError:
+                        pass
+                    continue
+                if not os.path.exists(src):
+                    raise OSError(
+                        f"branch publish {txn['tag']}: DV {src_dv} "
+                        "missing — cannot complete the committed publish"
+                    )
+                from olive_spark.format import deletion as _D
+
+                blob = _D.encode_dv(
+                    final_target, _D.read_positions(src),
+                    table=txn.get("table"),
+                )
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                with open(dst + ".tmp2", "wb") as f:
+                    f.write(blob)
+                os.replace(dst + ".tmp2", dst)
+                try:
+                    os.remove(src)
+                except OSError:
+                    pass
             for src_rel, final in txn["renames"]:
                 src = os.path.join(bdir, src_rel)
                 dst = os.path.join(path, final)
@@ -324,7 +557,10 @@ def _finish_publish(path: str, txn: dict) -> None:
             _append_entry_locked(
                 path, add=[f for _s, f in txn["renames"]], remove=(),
                 reset=False, tag=txn["tag"], max_entries=None,
-                dv_add=(), dv_remove=(),
+                dv_add=[
+                    (t, dv) for _s, t, dv in txn.get("dv_moves", ())
+                ],
+                dv_remove=(),
                 op="branch-publish", params={"branch": txn["name"]},
             )
         # targeted cleanup — serialized against _record_branch_files by
@@ -388,17 +624,18 @@ def publish_branch(
     with table_write_lock(path):
         recover_branch_publishes(path)
         ref = _load_ref(path, name)
-        if not ref["files"]:
-            # nothing staged: dropping the empty branch IS the publish —
-            # an empty tagged commit would only noise up the history.
-            # Re-check under the metadata lock: a concurrent append may
-            # have recorded files since our ref read (appends take no
-            # table lock), and rmtree-ing those would be silent loss
+        if not ref["files"] and not ref.get("dvs"):
+            # nothing staged (no files, no branch DVs): dropping the
+            # empty branch IS the publish — an empty tagged commit
+            # would only noise up the history.  Re-check under the
+            # metadata lock: a concurrent append may have recorded
+            # files since our ref read (appends take no table lock),
+            # and rmtree-ing those would be silent loss
             from olive_spark.format.lock import metadata_commit_lock
 
             with metadata_commit_lock(path):
                 ref = _load_ref(path, name)
-                if not ref["files"]:
+                if not ref["files"] and not ref.get("dvs"):
                     shutil.rmtree(_bdir(path, name))
                     return {
                         "branch": name, "tag": None, "files_published": 0,
@@ -406,6 +643,7 @@ def publish_branch(
             # files landed meanwhile — fall through (ref refreshed, so
             # the audit below covers them) and publish them
         if expect:
+            prefix = os.path.join(_BRANCH_DIR, name) + os.sep
             branch_only = (
                 spark.read.format("olive")
                 .option("table", ref["table"])
@@ -413,7 +651,13 @@ def publish_branch(
                     os.path.join(_BRANCH_DIR, name, r)
                     for r in ref["files"]
                 ))
-                .option("dvs", "{}")
+                # branch-scoped DVs on the branch's own files fold into
+                # the audit: rows a branch mutation already deleted must
+                # not fail (or pass) the gate — they will never publish
+                .option("dvs", json.dumps({
+                    t: v for t, v in (ref.get("dvs") or {}).items()
+                    if t.startswith(prefix)
+                }))
                 .load(path)
             )
             row = branch_only.agg(*[
@@ -439,8 +683,55 @@ def publish_branch(
             for i, rel in enumerate(ref["files"])
         ]
         final_of = dict(renames)
+        # branch-scoped DV publication plan (r12): branch-file targets
+        # re-key to their published names; base-file targets land as
+        # live DVs — but ONLY if the base file is still live (a
+        # compact/merge since staging rewrote the row grid; positions
+        # don't rebase — refuse loudly, branch intact, the Iceberg
+        # validation rule)
+        prefix = os.path.join(_BRANCH_DIR, name) + os.sep
+        dv_moves: list = []
+        if ref.get("dvs"):
+            from olive_spark.format.snapshots import list_live_files
+
+            live_now = set(list_live_files(path))
+            conflicts = []
+            from olive_spark.format.deletion import DV_DIR as _DVD
+
+            for target, dv_rels in sorted(ref["dvs"].items()):
+                if target.startswith(prefix):
+                    final_target = final_of.get(target[len(prefix):])
+                    if final_target is None:
+                        continue  # DV on a file no longer in the ref
+                elif target in live_now:
+                    final_target = target
+                else:
+                    conflicts.append(target)
+                    continue
+                for j, dv_rel in enumerate(sorted(dv_rels)):
+                    dv_moves.append([
+                        # src is bdir-relative (the marker's renames
+                        # convention); recorded rels carry the branch
+                        # dir prefix — strip it
+                        dv_rel[len(prefix):]
+                        if dv_rel.startswith(prefix) else dv_rel,
+                        final_target,
+                        os.path.join(
+                            _DVD, final_target, f"{tag}-{j:04d}.dv"
+                        ),
+                    ])
+            if conflicts:
+                raise BranchAuditError(
+                    f"branch {name!r} publish refused — its deletes "
+                    f"target base files rewritten since staging "
+                    f"(positions cannot rebase): {conflicts[:4]}"
+                    + ("..." if len(conflicts) > 4 else "")
+                    + "; re-apply the mutation on a fresh branch"
+                )
         txn = {
             "name": name, "tag": tag, "renames": renames,
+            "table": ref["table"],
+            "dv_moves": dv_moves,
             "stats": {
                 final_of[r]: ent
                 for r, ent in (ref.get("stats") or {}).items()

@@ -3757,7 +3757,13 @@ def describe(path: str, table: str = "data") -> dict:
                 out["pending_branch_publishes"] = len(pending_pub)
         tdir = os.path.join(path, "_olive_txn")
         if os.path.isdir(tdir):
-            pend = [n for n in os.listdir(tdir) if n.endswith(".json")]
+            # only decision markers are "pending" — participant-side
+            # coordinator pointers (.coord.json) and the group root
+            # (_root.json) are durable bookkeeping, not unfinished work
+            pend = [
+                n for n in os.listdir(tdir)
+                if n.endswith((".prepared.json", ".commit.json"))
+            ]
             if pend:
                 out["pending_txns"] = len(pend)
     except OSError:

@@ -42,6 +42,14 @@ def _meta_path(index_dir: str) -> str:
     return os.path.join(index_dir, _TEXT_META)
 
 
+def _pdir(index_dir: str, meta: dict) -> str:
+    """The CURRENT postings directory — meta-resolved so
+    compact_text_index can swap in a re-clustered copy with one atomic
+    meta replace (readers resolve through the meta, never a hardcoded
+    name; pre-r12 metas default to 'postings')."""
+    return os.path.join(index_dir, meta.get("postings_dir", "postings"))
+
+
 def load_meta(index_dir: str) -> dict:
     p = _meta_path(index_dir)
     if not os.path.exists(p):
@@ -172,16 +180,18 @@ def append_text_index(
 ) -> dict:
     """Add new documents (idempotent on already-indexed ids).  Appended
     postings land token-clustered among THEMSELVES; interleaving with
-    the existing token ranges degrades pruning gradually — run
-    ops.maintenance.compact(sort_by=["token"]) on the postings dir to
-    restore a single global clustering."""
+    the existing token ranges degrades term-lookup pruning gradually —
+    run :func:`compact_text_index` to restore a single global
+    clustering with fresh per-file token Blooms (r12 verdict task #5;
+    a plain maintenance.compact would re-sort but silently DROP the
+    Blooms, which only the writer option recreates)."""
     from olive_spark.datasource import register_olive
 
     register_olive(spark)
     meta = load_meta(index_dir)
     if meta["id_col"] != id_col:
         raise ValueError(f"index id_col is {meta['id_col']!r}, got {id_col!r}")
-    path = os.path.join(index_dir, "postings")
+    path = _pdir(index_dir, meta)
     indexed = (
         spark.read.format("olive").load(path)
         .select(F.col(id_col)).distinct()
@@ -216,6 +226,65 @@ def append_text_index(
     return {**meta, "appended": n_new}
 
 
+def compact_text_index(
+    spark, index_dir: str, n_files: "int | None" = None
+) -> dict:
+    """Re-cluster the postings back into DISJOINT token ranges with
+    fresh per-file token Blooms (r12 verdict task #5).  Each
+    ``append_text_index`` lands its batch as new files clustered only
+    among themselves; after many appends the per-file token ranges
+    overlap and a term lookup degrades toward opening every file.
+    This rewrites ALL postings through the same
+    ``repartitionByRange(token) + sortWithinPartitions`` +
+    ``bloomColumns`` writer the fresh build uses — a plain
+    ``maintenance.compact(sort_by='token')`` would re-sort but drop
+    the Blooms, which only the writer option recreates.
+
+    Swap is ATOMIC via the meta file: the rewrite lands in a new
+    ``postings-<build>`` directory, one ``os.replace`` of the meta
+    points readers at it (every search resolves the directory through
+    the meta), then the old directory is removed.  A crash before the
+    meta swap leaves the old index fully live (the orphan rewrite dir
+    is GC'd by the next compact); a crash after it leaves the new
+    index fully live (the old dir likewise GC'd)."""
+    import shutil
+
+    from olive_spark.datasource import register_olive
+
+    register_olive(spark)
+    meta = load_meta(index_dir)
+    cur_rel = meta.get("postings_dir", "postings")
+    # GC debris from prior crashed compacts (either orphan rewrites or
+    # a replaced dir whose removal crashed): every postings* dir that
+    # is not the meta-referenced one is dead
+    for d in sorted(os.listdir(index_dir)):
+        if d != cur_rel and d.startswith("postings") \
+                and os.path.isdir(os.path.join(index_dir, d)):
+            shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+    nf = int(n_files or meta["n_files"])
+    new_build = uuid.uuid4().hex
+    new_rel = f"postings-{new_build[:12]}"
+    old = _pdir(index_dir, meta)
+    from olive_spark.datasource.olive_datasource import _list_chunk_files
+
+    files_before = len(_list_chunk_files(old))
+    stored = spark.read.format("olive").load(old)
+    _write_postings(
+        stored, os.path.join(index_dir, new_rel), meta["id_col"], nf,
+    )
+    meta["postings_dir"] = new_rel
+    meta["n_files"] = nf
+    meta["build_id"] = new_build
+    _write_meta(index_dir, meta)  # THE swap — readers move atomically
+    shutil.rmtree(old, ignore_errors=True)
+    files_after = len(
+        _list_chunk_files(os.path.join(index_dir, new_rel))
+    )
+    return {
+        **meta, "files_before": files_before, "files_after": files_after,
+    }
+
+
 def search_tokens(
     spark,
     index_dir: str,
@@ -234,9 +303,7 @@ def search_tokens(
         raise ValueError(f"unknown mode {mode!r}")
     meta = load_meta(index_dir)
     id_col = meta["id_col"]
-    postings = spark.read.format("olive").load(
-        os.path.join(index_dir, "postings")
-    )
+    postings = spark.read.format("olive").load(_pdir(index_dir, meta))
     # isin on the clustered token column: min/max stats prune whole
     # files, the token Bloom kills range stragglers (plan-contract
     # tested).  Postings are UNIQUE per (id, token) — the build groupBy
@@ -290,9 +357,7 @@ def search_phrase(
         )
     id_col = meta["id_col"]
     uniq = sorted(set(toks))
-    postings = spark.read.format("olive").load(
-        os.path.join(index_dir, "postings")
-    )
+    postings = spark.read.format("olive").load(_pdir(index_dir, meta))
     per_doc = (
         postings.filter(F.col("token").isin(uniq))
         .groupBy(id_col)
@@ -374,7 +439,7 @@ def search_bm25(
         )
     avgdl = float(meta["n_tokens"]) / float(n_docs)
     hits = spark.read.format("olive").load(
-        os.path.join(index_dir, "postings")
+        _pdir(index_dir, meta)
     ).filter(F.col("token").isin(norm)).persist()
     try:
         import math

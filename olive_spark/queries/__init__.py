@@ -79,6 +79,7 @@ _ORDER = [
     "scan_multi_table_txn",  # r11-new: two-phase multi-table commit
     "scan_txn_group_cut",  # r12-new: table-group root pointer cut
     "scan_branch_wap",  # r11-new: write-audit-publish branch
+    "scan_branch_mutation",  # r12-new: delete/merge staged on a branch
     "scan_snapshot_history",  # r11-new: exact commit provenance
     "setop_union_except",
     "agg_conditional_bools",

@@ -1242,6 +1242,58 @@ SQL_BRANCH_WAP = (
 )
 
 
+def scan_branch_mutation(spark: SparkSession, sf: str) -> DataFrame:
+    """Branch MUTATIONS (ops/branch.delete_on_branch — WAP phase 2,
+    r12 verdict task #3): the fixture seeds event_id % 4 != 0 live,
+    stages the remaining quarter on a branch, then deletes
+    event_id % 5 == 0 ON THE BRANCH — the delete hits BOTH base files
+    (branch-scoped DVs over live data, invisible to live scans) and
+    branch-staged files — and publishes: one commit carrying the
+    appends AND the folded deletion vectors.  The oracle replays the
+    whole lifecycle as plain SQL (events minus the %5 rows), so a
+    branch DV that leaked into live scans early, failed to re-key to a
+    published file, or dropped at publish hash-mismatches."""
+    import os as _os
+
+    from olive_spark.datasource import register_olive
+    from olive_spark.ops import branch as _branch
+
+    register_olive(spark)
+    root = data.ensure_olive(sf)
+    t = _os.path.join(root, "branch_mut_events")
+    marker = _os.path.join(root, "_BRANCH_MUT_OK")
+    if not _os.path.exists(marker):
+        ev = data.load(
+            spark, sf, "events",
+            columns=["event_id", "event_type", "value"],
+        )
+        ev.filter(F.col("event_id") % 4 != 0).write.format("olive") \
+            .mode("append").save(t)
+        _branch.create_branch(t, "fix")
+        _branch.append_to_branch(
+            spark, ev.filter(F.col("event_id") % 4 == 0), t, "fix"
+        )
+        _branch.delete_on_branch(spark, t, "fix", "event_id % 5 = 0")
+        _branch.publish_branch(spark, t, "fix")
+        with open(marker, "w") as f:
+            f.write("ok")
+    return (
+        spark.read.format("olive").load(t)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(D)).cast(D).alias("sum_value"),
+        )
+    )
+
+
+SQL_BRANCH_MUTATION = (
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value "
+    "FROM events WHERE event_id % 5 <> 0 GROUP BY event_type"
+)
+
+
 def reshape_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     """Unpivot/melt: wide per-part numeric columns to long (attr, val)
     rows — the inverse of agg_pivot_status."""
@@ -2849,6 +2901,7 @@ QUERIES: dict[str, tuple] = {
     "scan_multi_table_txn": (scan_multi_table_txn, SQL_MULTI_TABLE_TXN),
     "scan_txn_group_cut": (scan_txn_group_cut, SQL_TXN_GROUP_CUT),
     "scan_branch_wap": (scan_branch_wap, SQL_BRANCH_WAP),
+    "scan_branch_mutation": (scan_branch_mutation, SQL_BRANCH_MUTATION),
     "scan_snapshot_history": (scan_snapshot_history, SQL_SNAPSHOT_HISTORY),
     "scan_after_merge_upsert": (scan_after_merge_upsert, SQL_AFTER_MERGE),
     "scan_merge_time_travel": (scan_merge_time_travel, SQL_MERGE_TIME_TRAVEL),

@@ -332,6 +332,152 @@ def test_branch_reader_option_equals_scan_branch(spark, tmp_path):
         )
 
 
+def test_delete_on_branch_full_lifecycle(spark, tmp_path):
+    """WAP phase 2 (r12 verdict task #3): write → audit → fix-via-
+    delete → publish.  Deletes staged on the branch fold into every
+    branch preview (both scan_branch and the reader option), stay
+    invisible to live scans, and publish lands them as ONE commit —
+    branch-file DVs re-keyed to the published names, base-file DVs as
+    live DV entries; pre-publish time travel still shows the base."""
+    from olive_spark.format.snapshots import current_version, load_log
+    from olive_spark.ops import branch
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 50)
+    v_base = current_version(t)
+    branch.create_branch(t, "fix")
+    branch.append_to_branch(spark, _mk(spark, 50, 60), t, "fix")
+    # audit found bad rows in BOTH the staged batch and the base
+    out = branch.delete_on_branch(spark, t, "fix", "k >= 57")   # staged
+    assert out["rows_deleted"] == 3
+    out = branch.delete_on_branch(spark, t, "fix", "k < 4")     # base
+    assert out["rows_deleted"] == 4
+    want = list(range(4, 57))
+    got = sorted(r["k"] for r in branch.scan_branch(spark, t, "fix").collect())
+    assert got == want
+    via_opt = (
+        spark.read.format("olive").option("branch", "fix").load(t)
+    )
+    assert sorted(r["k"] for r in via_opt.collect()) == want
+    # live scans never see branch DVs
+    assert sorted(r["k"] for r in _live(spark, t).collect()) == list(range(50))
+    # re-deletes compose (existing branch DVs fold into the next scan)
+    out = branch.delete_on_branch(spark, t, "fix", "k < 4")
+    assert out["rows_deleted"] == 0
+    # publish = one commit; live == the preview
+    pub = branch.publish_branch(spark, t, "fix")
+    assert pub["files_published"] >= 1
+    assert sorted(r["k"] for r in _live(spark, t).collect()) == want
+    ent = load_log(t)["entries"][-1]
+    assert ent.get("tag") == pub["tag"] and ent.get("dv_add")
+    # pre-publish snapshot unaffected
+    pre = (
+        spark.read.format("olive").option("snapshot", str(v_base)).load(t)
+    )
+    assert pre.count() == 50
+    assert not os.path.isdir(os.path.join(t, "_olive_branch", "fix"))
+
+
+def test_merge_on_branch_upsert(spark, tmp_path):
+    """merge_on_branch stages a delete-and-insert upsert: branch-view
+    rows matching the source keys are DV-deleted, the source appends;
+    publish lands the whole upsert as one live commit."""
+    from olive_spark.ops import branch
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 10)                   # v = k*10
+    branch.create_branch(t, "up")
+    from pyspark.sql import functions as F
+
+    src = spark.range(5, 15).select(
+        F.col("id").alias("k"), (F.col("id") * 1000).alias("v")
+    )
+    out = branch.merge_on_branch(spark, src, t, "up", keys=["k"])
+    assert out["rows_matched_deleted"] == 5  # keys 5..9 existed
+    assert out["files_added"] >= 1
+    prev = {
+        r["k"]: r["v"]
+        for r in branch.scan_branch(spark, t, "up").collect()
+    }
+    assert len(prev) == 15
+    assert prev[3] == 30 and prev[7] == 7000 and prev[14] == 14000
+    # live untouched until publish
+    assert {r["k"]: r["v"] for r in _live(spark, t).collect()}[7] == 70
+    branch.publish_branch(spark, t, "up")
+    live = {r["k"]: r["v"] for r in _live(spark, t).collect()}
+    assert live == prev
+
+
+def test_branch_delete_publish_crash_recovers(spark, tmp_path):
+    """Crash-injected at the decision point with DV moves in the
+    marker: recovery must land chunk renames AND the DV publication
+    idempotently — deleted rows stay deleted, exactly one tagged
+    entry."""
+    from olive_spark.format.snapshots import load_log
+    from olive_spark.ops import branch
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 20)
+    branch.create_branch(t, "fx")
+    branch.append_to_branch(spark, _mk(spark, 20, 30), t, "fx")
+    branch.delete_on_branch(spark, t, "fx", "k IN (2, 25)")
+    branch._CRASH_HOOKS["after_decide"] = _boom
+    try:
+        with pytest.raises(Boom):
+            branch.publish_branch(spark, t, "fx")
+    finally:
+        branch._CRASH_HOOKS.clear()
+    assert _live(spark, t).count() == 20          # nothing live yet
+    healed = branch.recover_branch_publishes(t)
+    assert healed["completed"] == 1
+    got = sorted(r["k"] for r in _live(spark, t).collect())
+    assert got == sorted(set(range(30)) - {2, 25})
+    tags = [e.get("tag") for e in load_log(t)["entries"] if e.get("tag")]
+    assert len(tags) == len(set(tags))
+    # redo on the healed state is a no-op
+    assert branch.recover_branch_publishes(t) == {"completed": 0}
+
+
+def test_branch_base_rewrite_conflicts_at_publish(spark, tmp_path):
+    """A base-file DV whose target was REWRITTEN (compact) between
+    staging and publish refuses the publish loudly — positions don't
+    rebase across a row-grid rewrite (the Iceberg validation rule);
+    the branch stays intact for a re-apply."""
+    from olive_spark.ops import branch
+    from olive_spark.ops.maintenance import compact
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 10)
+    _seed(spark, t, 10, 20)                  # two files so compact acts
+    branch.create_branch(t, "fx")
+    branch.delete_on_branch(spark, t, "fx", "k = 3")
+    # rewrites the base files (history retained so the branch's pinned
+    # base stays readable — a compact without retention would break the
+    # preview too, which is the same conflict told earlier)
+    compact(spark, t, retain_history=True)
+    with pytest.raises(branch.BranchAuditError, match="rewritten"):
+        branch.publish_branch(spark, t, "fx")
+    # branch intact — preview still serves the staged delete
+    got = sorted(r["k"] for r in branch.scan_branch(spark, t, "fx").collect())
+    assert 3 not in got and len(got) == 19
+
+
+def test_dv_only_branch_publish(spark, tmp_path):
+    """A branch holding ONLY deletes (no appended files) publishes as a
+    pure DV commit — it is not mistaken for an empty branch drop."""
+    from olive_spark.ops import branch
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 12)
+    branch.create_branch(t, "delonly")
+    out = branch.delete_on_branch(spark, t, "delonly", "k % 3 = 0")
+    assert out["rows_deleted"] == 4
+    pub = branch.publish_branch(spark, t, "delonly")
+    assert pub["tag"] is not None and pub["files_published"] == 0
+    got = sorted(r["k"] for r in _live(spark, t).collect())
+    assert got == [k for k in range(12) if k % 3 != 0]
+
+
 def test_publish_concurrent_append_survives(spark, tmp_path):
     """r12 (ADVICE r11): an append_to_branch that lands between the
     publish's decision marker and its activation must NOT be silently

@@ -218,15 +218,24 @@ def test_term_validation(spark, tmp_path, docs_rows):
         search_tokens(spark, idx, ["w00"], "phrase")
 
 
-def test_compact_restores_token_clustering(spark, tmp_path, docs_rows):
-    """Appends land token-clustered only among themselves; after
-    several appends a term lookup touches extra files.  compact(
-    sort_by=["token"]) must restore ONE global clustering — pruning
-    tightens back to the single-file bound."""
-    from olive_spark.ops.maintenance import compact
+def test_compact_text_index_restores_clustering_and_blooms(
+    spark, tmp_path, docs_rows
+):
+    """r12 verdict task #5: appends land token-clustered only among
+    themselves; after several appends a term lookup touches extra
+    files.  compact_text_index must restore ONE global clustering AND
+    refresh the per-file token Blooms (a plain maintenance.compact
+    re-sorts but drops them), swapping the rewritten postings in
+    atomically through the meta — same results, bumped build_id, old
+    dir gone, orphan rewrite dirs GC'd."""
+    import os
+
     from olive_spark.ops.text_index import (
+        _pdir,
         append_text_index,
         build_text_index,
+        compact_text_index,
+        load_meta,
         search_tokens,
     )
     from tests.test_datasource import _surviving
@@ -237,21 +246,50 @@ def test_compact_restores_token_clustering(spark, tmp_path, docs_rows):
     for b in range(3):
         extra = [(2000 + b * 100 + i, t) for i, t in docs_rows[100 + b * 30: 130 + b * 30]]
         append_text_index(spark, _frame(spark, extra), idx)
-    postings = f"{idx}/postings"
+    old_meta = load_meta(idx)
+    postings = _pdir(idx, old_meta)
     before = _surviving(spark, postings, [("token", "in", ["w03"])])
     assert before >= 3, "appends should have degraded pruning"
     want = sorted(
         r["doc_id"]
         for r in search_tokens(spark, idx, ["w03"], "all").collect()
     )
-    compact(spark, postings, sort_by="token", target_rows=400)
-    after = _surviving(spark, postings, [("token", "in", ["w03"])])
+    # plant an orphan rewrite dir from a "crashed" prior compact
+    os.makedirs(os.path.join(idx, "postings-deadbeefcafe"), exist_ok=True)
+    out = compact_text_index(spark, idx)
+    assert out["files_after"] <= out["files_before"]
+    meta = load_meta(idx)
+    assert meta["build_id"] != old_meta["build_id"]
+    assert meta["postings_dir"] != old_meta.get("postings_dir", "postings")
+    assert not os.path.isdir(postings), "old postings dir must be removed"
+    assert not os.path.isdir(os.path.join(idx, "postings-deadbeefcafe"))
+    new_postings = _pdir(idx, meta)
+    after = _surviving(spark, new_postings, [("token", "in", ["w03"])])
     assert after <= 2, (before, after)
+    # Blooms refreshed: a token that does not exist but falls INSIDE a
+    # file's [min, max] token range survives stats pruning and only the
+    # per-file Bloom can kill it — zero survivors proves the rewrite
+    # went through the bloomColumns writer (maintenance.compact loses
+    # this and would leave >= 1 survivor)
+    ghost = _surviving(spark, new_postings, [("token", "in", ["w03x"])])
+    assert ghost == 0, ghost
     got = sorted(
         r["doc_id"]
         for r in search_tokens(spark, idx, ["w03"], "all").collect()
     )
     assert got == want, "compaction must not change search results"
+    # a fresh-build equivalent opens the same file count for the term
+    ref = str(tmp_path / "ref")
+    all_rows = docs_rows[:100] + [
+        (2000 + b * 100 + i, t)
+        for b in range(3)
+        for i, t in docs_rows[100 + b * 30: 130 + b * 30]
+    ]
+    build_text_index(spark, _frame(spark, all_rows), ref, n_files=8)
+    fresh = _surviving(
+        spark, _pdir(ref, load_meta(ref)), [("token", "in", ["w03"])]
+    )
+    assert after == fresh, (after, fresh)
 
 
 def test_build_crash_before_meta_rebuilds_clean(spark, tmp_path, docs_rows):
