@@ -127,6 +127,8 @@ HEADLINE = [
     "scan_multi_table_txn",           # r11: two-phase multi-table commit
     "scan_branch_wap",                # r11: write-audit-publish branch
     "scan_snapshot_history",          # r11: exact commit provenance
+    "scan_txn_group_cut",             # r12: table-group root pointer cut
+    "scan_branch_mutation",           # r12: branch-staged delete publish
 ]
 
 

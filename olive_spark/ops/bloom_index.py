@@ -404,9 +404,13 @@ def probe_bloom_index(
     meta = load_meta(index_dir)
     m, nsh = int(meta["m"]), int(meta["n_shards"])
     d = os.path.join(index_dir, "shards")
-    shards = spark.read.format("olive").option(
-        "table", "bloom_shards"
-    ).load(d)
+    # version-keyed relation cache: the probe's fixed Python-DSv2
+    # relation tax dominated warm serve latency (r12 verdict task #4);
+    # any append/compact/fold bumps the shards snapshot version, so a
+    # stale bitmap can never be served
+    from olive_spark.ops.relcache import cached_relation
+
+    shards = cached_relation(spark, d, table="bloom_shards")
 
     id_type = dict(new_df.dtypes)[id_col]
     from pyspark import StorageLevel

@@ -210,8 +210,12 @@ def probe_index(
     q_bands = band_hashes(q_sigs, id_col).select(
         F.col(id_col).alias("__qid"), "band_id", "band_hash"
     )
-    stored_bands = spark.read.format("olive").load(
-        os.path.join(index_dir, "bands")
+    # index relations come from the version-keyed cache: the fixed
+    # Python-DSv2 relation tax was the serve's dominant cost (r12)
+    from olive_spark.ops.relcache import cached_relation
+
+    stored_bands = cached_relation(
+        spark, os.path.join(index_dir, "bands")
     ).select(
         F.col(idx_id).alias("__cid"), "band_id", "band_hash"
     )
@@ -219,8 +223,8 @@ def probe_index(
         q_bands.join(stored_bands, ["band_id", "band_hash"])
         .select("__qid", "__cid").dropDuplicates(["__qid", "__cid"])
     )
-    stored_sigs = spark.read.format("olive").load(
-        os.path.join(index_dir, "sigs")
+    stored_sigs = cached_relation(
+        spark, os.path.join(index_dir, "sigs")
     ).select(F.col(idx_id).alias("__cid"), F.col("minhash").alias("mh_c"))
     pairs = (
         cand.join(

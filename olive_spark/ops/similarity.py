@@ -268,20 +268,38 @@ def _ivf_assign(corpus: DataFrame, cents_rows, vec_col: str) -> DataFrame:
     return corpus.mapInArrow(assign, assign_schema)
 
 
+#: memoized probe-assignment bucket expressions: the JVM expression
+#: tree over N centroids costs N array-literal py4j calls to build —
+#: ~1.5 s of pure driver-side chatter per serve on a 64-centroid
+#: index (the r11→r11 serve-latency drift, r12 verdict task #4).  The
+#: expression is a pure function of (centroids, n_probe, vec_col), so
+#: persisted serves reuse it across calls; keyed alongside the
+#: centroid cache's build_id so a rebuild can never serve stale
+#: geometry.
+_QEXPR_CACHE: dict = {}
+
+
 def _ivf_q_assigned(
     queries: DataFrame, cents_rows, n_probe: int, vec_col: str, id_col: str,
+    cache_key: "tuple | None" = None,
 ) -> DataFrame:
     """Query-side probe assignment: one row per (query, probed bucket),
     buckets ranked by centroid cosine via a JVM expression tree (exact
     and shared by the trained and persisted paths, so both produce
-    bit-identical probe sets)."""
+    bit-identical probe sets).  ``cache_key`` (persisted serves) memos
+    the built bucket expression — it references only the unresolved
+    ``vec_col`` column, so it re-resolves against any query frame with
+    that column."""
 
     def nearest_buckets(vec, n):
         # zero_as=0.0: a zero-norm QUERY vector (or a zero centroid —
         # hash-bucket leaders are arbitrary corpus rows) must rank
-        # buckets at similarity 0, not raise ANSI DIVIDE_BY_ZERO
+        # buckets at similarity 0, not raise ANSI DIVIDE_BY_ZERO.
+        # One F.lit per centroid VECTOR (an array literal), not one
+        # per element — the per-element form was n_cents*dim py4j
+        # round trips
         sims = [
-            (cid, cosine_expr(vec, F.array([F.lit(float(x)) for x in cvec]),
+            (cid, cosine_expr(vec, F.lit([float(x) for x in cvec]),
                               zero_as=0.0))
             for cid, cvec in cents_rows
         ]
@@ -290,11 +308,24 @@ def _ivf_q_assigned(
         ])
         return F.slice(F.reverse(F.array_sort(arr)), 1, n)
 
+    full_key = None
+    if cache_key is not None:
+        full_key = (*cache_key, int(n_probe), vec_col)
+        hit = _QEXPR_CACHE.get(full_key)
+        if hit is not None:
+            buckets_expr = hit
+        else:
+            buckets_expr = nearest_buckets(F.col(vec_col), n_probe)
+            if len(_QEXPR_CACHE) > 64:
+                _QEXPR_CACHE.clear()
+            _QEXPR_CACHE[full_key] = buckets_expr
+    else:
+        buckets_expr = nearest_buckets(F.col(vec_col), n_probe)
     return queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
         F.explode(
-            F.transform(nearest_buckets(F.col(vec_col), n_probe), lambda s: s["cid"])
+            F.transform(buckets_expr, lambda s: s["cid"])
         ).alias("bucket"),
     )
 
@@ -354,7 +385,6 @@ _IVF_PENDING = "_ivf_append.pending"
 
 
 _CENTROID_CACHE: dict = {}
-
 
 def _load_centroids(spark, index_dir: str, build_key: str):
     """Collect the (tiny) centroid table, memoized per (app, dir,
@@ -710,7 +740,13 @@ def ivf_topk_indexed(
         spark, index_dir, meta.get("build_id", "")
     )
     vec_col, id_col = meta["vec_col"], meta["id_col"]
-    q_assigned = _ivf_q_assigned(queries, cents_rows, n_probe, vec_col, id_col)
+    q_assigned = _ivf_q_assigned(
+        queries, cents_rows, n_probe, vec_col, id_col,
+        cache_key=(
+            spark.sparkContext.applicationId, index_dir,
+            meta.get("build_id", ""),
+        ),
+    )
     # Directory-pruned inverted-list scan: the probed-bucket IN filter
     # pushed into the hive-partitioned assignments scan skips every
     # unprobed bucket=... directory at PLAN time — the point of an IVF
@@ -735,12 +771,16 @@ def ivf_topk_indexed(
             r["bucket"]
             for r in q_assigned.select("bucket").distinct().collect()
         )
-    c_assigned = (
-        spark.read.format("olive")
-        .option("pushdown", "true")
-        .load(os.path.join(index_dir, "assignments"))
-        .filter(F.col("bucket").isin(buckets))
-    )
+    # version-keyed relation cache (ops/relcache): an IVF append bumps
+    # the assignments snapshot version, so the cached lazy relation can
+    # never serve a pre-append file list; the per-serve bucket filter
+    # layers on top of the immutable cached frame
+    from olive_spark.ops.relcache import cached_relation
+
+    c_assigned = cached_relation(
+        spark, os.path.join(index_dir, "assignments"),
+        options={"pushdown": "true"},
+    ).filter(F.col("bucket").isin(buckets))
     return _ivf_probe(c_assigned, q_assigned, k, vec_col, id_col)
 
 

@@ -127,10 +127,9 @@ def llm_dedup_index_update(spark: SparkSession, sf: str) -> DataFrame:
         ), "crash must leave the txn marker"
         with open(done, "w") as f:
             f.write("ok")
-    corpus = (
-        spark.read.format("olive").option("table", "data")
-        .load(corpus_dir)
-    )
+    from olive_spark.ops.relcache import cached_relation
+
+    corpus = cached_relation(spark, corpus_dir, table="data")
     # probe_bloom_index self-heals the interrupted txn before serving
     return bloom_index.probe_bloom_index(spark, batch, corpus, index_dir)
 
@@ -292,6 +291,54 @@ SQL_KEYWORD_SEARCH = (
     "UNION ALL "
     "SELECT doc_id, 'either' AS match_kind FROM toks "
     "WHERE list_contains(t, 'vector') OR list_contains(t, 'customer')"
+)
+
+
+def llm_search_after_compact(spark: SparkSession, sf: str) -> DataFrame:
+    """Text-index APPEND→COMPACT lifecycle (ops/text_index.
+    compact_text_index — r12 verdict task #5): the fixture builds the
+    index over the even-id half of the corpus, APPENDS the odd half in
+    two batches (each lands token-clustered only among itself, so the
+    per-file token ranges overlap), then re-clusters with
+    compact_text_index — disjoint ranges, fresh per-file token Blooms,
+    atomic meta-pointer swap.  The search output is EXACT over the full
+    corpus, so the oracle is a plain tokenize-and-filter: a compaction
+    that dropped a posting file, double-landed a batch, or served the
+    half-swapped state hash-mismatches."""
+    import os as _os
+
+    from olive_spark.ops import text_index
+
+    docs = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    index_dir = _os.path.join(data.ensure_olive(sf), "text_index_compacted")
+    marker = _os.path.join(index_dir, "_COMPACT_OK")
+    if not _os.path.exists(marker):
+        import shutil as _shutil
+
+        if _os.path.exists(index_dir):
+            _shutil.rmtree(index_dir)
+        text_index.build_text_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 0), index_dir
+        )
+        text_index.append_text_index(
+            spark, docs.filter(F.col("doc_id") % 4 == 1), index_dir
+        )
+        text_index.append_text_index(
+            spark, docs.filter(F.col("doc_id") % 4 == 3), index_dir
+        )
+        text_index.compact_text_index(spark, index_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return text_index.search_tokens(
+        spark, index_dir, ["vector", "customer"], "all"
+    )
+
+
+SQL_SEARCH_AFTER_COMPACT = (
+    "WITH toks AS (SELECT doc_id, "
+    "regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents) "
+    "SELECT doc_id FROM toks "
+    "WHERE list_contains(t, 'vector') AND list_contains(t, 'customer')"
 )
 
 
@@ -850,6 +897,9 @@ QUERIES: dict[str, tuple] = {
     "llm_dedup_minhash": (llm_dedup_minhash, None),
     "llm_neardup_incremental": (llm_neardup_incremental, None),
     "llm_keyword_search": (llm_keyword_search, SQL_KEYWORD_SEARCH),
+    "llm_search_after_compact": (
+        llm_search_after_compact, SQL_SEARCH_AFTER_COMPACT,
+    ),
     "llm_phrase_search": (llm_phrase_search, SQL_PHRASE_SEARCH),
     "llm_bm25_search": (llm_bm25_search, SQL_BM25_SEARCH),
     "llm_graph_pagerank": (llm_graph_pagerank, None),

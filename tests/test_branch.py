@@ -332,6 +332,74 @@ def test_branch_reader_option_equals_scan_branch(spark, tmp_path):
         )
 
 
+def test_branch_vacuum_interleave_model(spark, tmp_path):
+    """r12 verdict task #8: random interleavings of branch-create /
+    append / publish / drop with vacuum and crash injection, checked
+    against a row-set model.  The invariant under every schedule: a
+    COMMITTED publish (decision marker written) is never swept — its
+    rows always reach the live table exactly once, whether the publish
+    completed, crashed at the decision, or crashed mid-activation and
+    was healed by a later vacuum; an UNDECIDED branch's rows never
+    appear.  Fixed-ordering tests cover each crash point once; this
+    covers their compositions."""
+    import random
+
+    from olive_spark.ops import branch
+    from olive_spark.ops.maintenance import vacuum
+
+    rng = random.Random(1212)
+    for trial in range(2):
+        t = str(tmp_path / f"t{trial}")
+        _seed(spark, t, 0, 10)
+        live = set(range(10))          # model of committed row keys
+        staged: "list[tuple[int, int]]" = []
+        nxt = 10
+        has_branch = False
+        pending_heal = False           # a decided publish awaits heal
+        for step in range(10):
+            op = rng.choice(
+                ["live_append", "branch_append", "publish", "vacuum",
+                 "publish_crash", "drop"]
+            )
+            if op == "live_append":
+                _seed(spark, t, nxt, nxt + 5)
+                live |= set(range(nxt, nxt + 5))
+                nxt += 5
+            elif op == "branch_append":
+                if not has_branch:
+                    branch.create_branch(t, "b")
+                    has_branch = True
+                branch.append_to_branch(spark, _mk(spark, nxt, nxt + 5), t, "b")
+                staged.append((nxt, nxt + 5))
+                nxt += 5
+            elif op == "publish" and has_branch and not pending_heal:
+                branch.publish_branch(spark, t, "b")
+                live |= {k for lo, hi in staged for k in range(lo, hi)}
+                staged, has_branch = [], False
+            elif op == "publish_crash" and has_branch and staged \
+                    and not pending_heal:
+                phase = rng.choice(["after_decide", "mid_activate"])
+                branch._CRASH_HOOKS[phase] = _boom
+                try:
+                    with pytest.raises(Boom):
+                        branch.publish_branch(spark, t, "b")
+                finally:
+                    branch._CRASH_HOOKS.clear()
+                # DECIDED: the rows are committed, heal must land them
+                live |= {k for lo, hi in staged for k in range(lo, hi)}
+                staged, has_branch = [], False
+                pending_heal = True
+            elif op == "vacuum":
+                vacuum(t)              # heals any decided publish first
+                pending_heal = False
+            elif op == "drop" and has_branch and not pending_heal:
+                branch.drop_branch(t, "b")
+                staged, has_branch = [], False
+        vacuum(t)                      # final heal + sweep
+        got = sorted(r["k"] for r in _live(spark, t).collect())
+        assert got == sorted(live), (trial, step)
+
+
 def test_delete_on_branch_full_lifecycle(spark, tmp_path):
     """WAP phase 2 (r12 verdict task #3): write → audit → fix-via-
     delete → publish.  Deletes staged on the branch fold into every
