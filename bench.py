@@ -129,6 +129,8 @@ HEADLINE = [
     "scan_snapshot_history",          # r11: exact commit provenance
     "scan_txn_group_cut",             # r12: table-group root pointer cut
     "scan_branch_mutation",           # r12: branch-staged delete publish
+    "stream_branch_wap",              # r12: streaming write-audit-publish
+    "llm_search_after_compact",       # r12: text-index re-cluster serve
 ]
 
 

@@ -87,6 +87,14 @@ Options:
                      exclusive with ``snapshot``/``snapshotTag``; fails
                      loud when the instant predates the oldest retained
                      commit
+    txnGroup         consistent multi-table read (ops/txn.py, r12):
+                     value = the transaction COORDINATOR's table path;
+                     this table's version resolves through the group
+                     root pointer (_olive_txn/_root.json, swapped
+                     atomically after the last publish) so every member
+                     table reads all-pre or all-post of an in-flight
+                     transaction, never a mix; tables absent from the
+                     root read live; exclusive with snapshot options
 """
 
 from __future__ import annotations
@@ -456,6 +464,28 @@ class OliveReader(DataSourceReader):
             self.snapshot = version_at_timestamp(
                 self.path, _parse_asof_timestamp(sasof)
             )
+        tg = options.get("txngroup", options.get("txnGroup"))
+        if tg is not None:
+            # consistent multi-table read (ops/txn.py group root
+            # pointer, r12): resolve THIS table's version through the
+            # coordinator's atomically-swapped _olive_txn/_root.json —
+            # all member tables read all-pre or all-post of any
+            # in-flight transaction, never a mix.  Tables no completed
+            # txn has written read live (consistency starts with their
+            # first group commit).  Resolved at PLAN time like
+            # snapshotTag.
+            if self.snapshot is not None:
+                raise ValueError(
+                    "olive: 'txnGroup' is exclusive with "
+                    "'snapshot'/'snapshotTag'/'snapshotAsOf'"
+                )
+            from olive_spark.ops.txn import group_versions
+
+            v = (group_versions(tg) or {}).get(
+                os.path.abspath(self.path)
+            )
+            if v is not None:
+                self.snapshot = int(v)
         fl = options.get("files")
         self.files_opt = (
             [n.strip() for n in fl.split(",") if n.strip()]
@@ -2237,6 +2267,13 @@ class OliveDataSource(DataSource):
 
             snap = version_at_timestamp(
                 self.options["path"], _parse_asof_timestamp(sasof)
+            )
+        tg = self.options.get("txngroup", self.options.get("txnGroup"))
+        if snap is None and tg is not None:
+            from olive_spark.ops.txn import group_versions
+
+            snap = (group_versions(tg) or {}).get(
+                os.path.abspath(self.options["path"])
             )
         fl = self.options.get("files")
         br = self.options.get("branch")

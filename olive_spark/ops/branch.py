@@ -125,11 +125,23 @@ def create_branch(path: str, name: str, table: str = "data") -> dict:
     return ref
 
 
-def append_to_branch(spark, df, path: str, name: str) -> dict:
+def append_to_branch(
+    spark, df, path: str, name: str,
+    epoch: "tuple[str, int] | None" = None,
+) -> dict:
     """Stage ``df``'s rows on the branch: a normal executor-parallel
     writer job into a sibling temp dir, files moved under the branch
     directory (never visible to live scans), ref updated under the
-    metadata commit lock so concurrent branch appends both land."""
+    metadata commit lock so concurrent branch appends both land.
+
+    ``epoch`` = (stream_key, batch_id) makes the append IDEMPOTENT for
+    streaming delivery (r12): a microbatch replayed after a crash finds
+    its (key, id) already recorded in the ref and skips — both the
+    cheap pre-check here and the authoritative re-check inside the
+    locked record.  A crash between the file moves and the record
+    leaves unreferenced ``b-*`` strays in the branch dir (the replayed
+    batch re-stages under a fresh run id); they die with the branch's
+    rmtree at publish/drop."""
     from olive_spark.datasource import register_olive
     from olive_spark.datasource.olive_datasource import _list_chunk_files
     from olive_spark.format.lock import metadata_commit_lock
@@ -139,6 +151,10 @@ def append_to_branch(spark, df, path: str, name: str) -> dict:
 
     register_olive(spark)
     ref = _load_ref(path, name)
+    if epoch is not None and str(epoch[1]) in (
+        ref.get("epochs") or {}
+    ).get(str(epoch[0]), []):
+        return {"branch": name, "files_added": 0, "replayed": True}
     table = ref["table"]
     run = uuid.uuid4().hex[:12]
     tmp = f"{path}.branch-{name}-{run}"
@@ -186,13 +202,16 @@ def append_to_branch(spark, df, path: str, name: str) -> dict:
         shutil.move(f, dest)
         moved.append(rel)
     shutil.rmtree(tmp, ignore_errors=True)
-    _record_branch_files(path, name, moved, stats)
+    landed = _record_branch_files(path, name, moved, stats, epoch=epoch)
+    if not landed:
+        return {"branch": name, "files_added": 0, "replayed": True}
     return {"branch": name, "files_added": len(moved)}
 
 
 def _record_branch_files(
-    path: str, name: str, moved: "list[str]", stats: dict
-) -> None:
+    path: str, name: str, moved: "list[str]", stats: dict,
+    epoch: "tuple[str, int] | None" = None,
+) -> bool:
     """Fold newly staged files into the branch ref under the metadata
     commit lock — the RMW that makes concurrent branch appends from
     separate processes all land (same micro-lock as the snapshot log;
@@ -224,9 +243,25 @@ def _record_branch_files(
                 "while this append was staging — staged copies removed; "
                 "append to live state or re-create the branch"
             )
+        if epoch is not None:
+            key, bid = str(epoch[0]), str(epoch[1])
+            eps = {k: list(v) for k, v in (ref.get("epochs") or {}).items()}
+            if bid in eps.get(key, []):
+                # replayed microbatch raced the pre-check: drop the
+                # re-staged copies, the first delivery already landed
+                bdir = os.path.join(path, _BRANCH_DIR, name)
+                for rel in moved:
+                    try:
+                        os.remove(os.path.join(bdir, rel))
+                    except OSError:
+                        pass
+                return False
+            eps.setdefault(key, []).append(bid)
+            ref["epochs"] = eps
         ref["files"] = list(ref["files"]) + moved
         ref["stats"] = {**ref.get("stats", {}), **stats}
         _write_ref(path, name, ref)
+        return True
 
 
 def scan_branch(spark, path: str, name: str):

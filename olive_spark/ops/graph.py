@@ -283,7 +283,11 @@ def _pagerank_body(
         # OOMs the driver).  persist() makes the convergence scan below
         # materialize an InMemoryRelation whose stats are the EXACT
         # cached bytes, resetting the estimate each round; the previous
-        # round's cache is dropped.
+        # round's cache is dropped.  (r12 measured: a LAZY checkpoint
+        # folded into the convergence aggregate is ~20% SLOWER than the
+        # eager two-job shape — the deferred materialization runs the
+        # step subtree under the agg's scheduling instead of a clean
+        # pipelined job — so eager stays.)
         stepped = (
             contrib.unionByName(zeros)
             .groupBy("node")

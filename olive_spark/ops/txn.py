@@ -276,16 +276,17 @@ def scan_txn_group(spark, coordinator: str, path: str, table: str = "data"):
     the root swap it sees ALL-POST — never table A new with table B
     old.  Falls back to a live read for tables no completed txn on
     this coordinator has written yet (consistency begins with the
-    first group commit that includes the table)."""
+    first group commit that includes the table).  Thin facade over the
+    first-class ``.option("txnGroup", coordinator)`` reader option."""
     from olive_spark.datasource import register_olive
 
     register_olive(spark)
-    versions = group_versions(coordinator) or {}
-    v = versions.get(os.path.abspath(path))
-    r = spark.read.format("olive").option("table", table)
-    if v is not None:
-        r = r.option("snapshot", str(v))
-    return r.load(path)
+    return (
+        spark.read.format("olive")
+        .option("table", table)
+        .option("txnGroup", coordinator)
+        .load(path)
+    )
 
 
 def participant_txn_state(path: str, txn_id: str) -> "str | None":

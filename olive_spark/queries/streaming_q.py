@@ -151,6 +151,56 @@ SQL_STREAM_SINK = (
 )
 
 
+def stream_branch_wap(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming WRITE-AUDIT-PUBLISH (streaming.stream_to_branch_
+    available_now — r12): a filtered event stream drains microbatch by
+    microbatch onto a WAP BRANCH of a fresh table (replay-safe via
+    per-epoch ids in the branch ref; live scans see NOTHING while
+    draining — pinned in-query by counting live rows before publish),
+    then the whole backlog is audited and published as ONE tagged
+    commit.  The oracle recomputes the filtered aggregate from the
+    base events table, so staged rows leaking early, a dropped or
+    double-delivered microbatch, or a lost publish all
+    hash-mismatch."""
+    from olive_spark.ops import branch as _branch
+
+    src = os.path.join(data.ensure_olive(sf), "events")
+    run = uuid.uuid4().hex[:12]
+    out = os.path.join(tempfile.gettempdir(), f"olive_sbranch_{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"olive_sbranch_ck_{run}")
+    # seed the table with the error rows so the branch has a live base
+    base = spark.read.format("olive").load(src)
+    base.filter(F.col("event_type") == "error").write.format("olive") \
+        .mode("append").save(out)
+    _branch.create_branch(out, "ingest")
+    sdf = streaming.read_stream(spark, src).filter(
+        F.col("event_type") != "error"
+    )
+    streaming.stream_to_branch_available_now(sdf, out, "ingest", ckpt)
+    n_live_before = spark.read.format("olive").load(out).count()
+    _branch.publish_branch(
+        spark, out, "ingest", expect={"typed": "event_type IS NOT NULL"}
+    )
+    written = spark.read.format("olive").load(out)
+    return written.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").alias("sum_value"),
+        # isolation pinned IN the result: rows visible before publish
+        # must be exactly the seeded error rows
+        F.lit(n_live_before).alias("n_live_before_publish"),
+    )
+
+
+SQL_STREAM_BRANCH_WAP = (
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value, "
+    "(SELECT COUNT(*) FROM events WHERE event_type = 'error') "
+    "AS n_live_before_publish "
+    "FROM events GROUP BY event_type"
+)
+
+
 def stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming gap-based session windows (30-min gap) per user —
     F.session_window state machine; the oracle recomputes the same
@@ -511,5 +561,6 @@ QUERIES: dict[str, tuple] = {
     "stream_session_window": (stream_session_window, SQL_STREAM_SESSION),
     "stream_user_totals": (stream_user_totals, SQL_STREAM_USER_TOTALS),
     "stream_olive_sink": (stream_olive_sink, SQL_STREAM_SINK),
+    "stream_branch_wap": (stream_branch_wap, SQL_STREAM_BRANCH_WAP),
     "stream_incremental_dedup": (stream_incremental_dedup, SQL_STREAM_INCR_DEDUP),
 }

@@ -19,6 +19,7 @@ from olive_spark.streaming.ops import (  # noqa: F401
     stream_matview_available_now,
     stream_static_join,
     stream_stream_join,
+    stream_to_branch_available_now,
     stream_upsert_available_now,
     tumbling_counts,
     write_stream_olive,

@@ -371,6 +371,46 @@ def stream_matview_available_now(
     return drain_available_now(start, max_runs=max_runs, on_epoch=refresh)
 
 
+def stream_to_branch_available_now(
+    sdf: DataFrame,
+    path: str,
+    branch_name: str,
+    checkpoint: str,
+) -> int:
+    """Streaming WRITE-AUDIT-PUBLISH (r12): drain a (capped) stream
+    onto a WAP BRANCH of a snapshot-logged olive table — every
+    microbatch stages as branch files invisible to live scans; the
+    caller audits the branch (``publish_branch(expect=...)``) and
+    publishes the whole drained backlog as ONE tagged live commit.
+    The Iceberg streaming-WAP story: continuous ingest, gated release.
+
+    Exactly-once without the sink's commit log: each microbatch
+    appends with ``epoch=(checkpoint, batch_id)`` and
+    ``append_to_branch`` records delivered ids in the branch ref, so a
+    crash-replayed epoch skips instead of double-staging.  Combine
+    with ``maxFilesPerTrigger`` + ``admissionStateDir`` on the source
+    for bounded epochs; returns the number of runs that progressed."""
+    from olive_spark.ops.branch import append_to_branch
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            append_to_branch(
+                batch_df.sparkSession, batch_df, path, branch_name,
+                epoch=(checkpoint, batch_id),
+            )
+
+    def start():
+        return (
+            sdf.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return drain_available_now(start)
+
+
 def drain_available_now(
     start_query, max_runs: int = 1000, on_epoch=None,
 ) -> int:

@@ -829,3 +829,44 @@ def test_sink_epochs_compose_with_auto_compact(spark, tmp_path_factory):
     ).snapshot_history(sink)}
     assert "compact" in hist_kinds
     assert snapshots.current_version(sink) >= 7
+
+
+def test_stream_to_branch_wap_replay_safe(spark, tmp_path_factory):
+    """r12 streaming WAP: a stream drains onto a branch — live scans
+    see nothing while draining, per-epoch ids in the branch ref make
+    delivery replay-safe (a re-run microbatch and a re-run of the
+    whole drained checkpoint both no-op), and publish lands the
+    backlog as one tagged commit."""
+    from olive_spark.ops import branch
+    from olive_spark.streaming import stream_to_branch_available_now
+    from olive_spark.streaming.ops import read_stream
+
+    d = tmp_path_factory.mktemp("sbranch")
+    src, out = str(d / "src"), str(d / "out")
+    ckpt = str(d / "ckpt")
+    _write_part(src, 0, 0, 20)
+    _write_part(src, 1, 20, 35)
+    # seed the live table + branch
+    _write_part(out, 0, 1000, 1005)
+    branch.create_branch(out, "ing")
+    runs = stream_to_branch_available_now(
+        read_stream(spark, src), out, "ing", ckpt
+    )
+    assert runs >= 1
+    live = spark.read.format("olive").load(out)
+    assert live.count() == 5                      # nothing leaked
+    prev = branch.scan_branch(spark, out, "ing")
+    assert prev.count() == 40                     # seed + streamed
+    # whole-checkpoint re-run: whatever the runner reports as progress
+    # (offset bookkeeping can re-commit a final empty epoch), the DATA
+    # must not re-deliver — that is the replay-safety contract
+    stream_to_branch_available_now(read_stream(spark, src), out, "ing", ckpt)
+    assert branch.scan_branch(spark, out, "ing").count() == 40
+    # direct epoch replay: same (key, batch_id) skips
+    rep = branch.append_to_branch(
+        spark, spark.range(3).selectExpr("id AS k", "1.0 AS v"),
+        out, "ing", epoch=(ckpt, 0),
+    )
+    assert rep.get("replayed") is True and rep["files_added"] == 0
+    branch.publish_branch(spark, out, "ing")
+    assert spark.read.format("olive").load(out).count() == 40

@@ -274,6 +274,17 @@ def test_txn_group_root_pointer_consistent_cut(spark, tmp_path):
     for p in (a, b):
         tags = [e.get("tag") for e in load_log(p)["entries"] if e.get("tag")]
         assert len(tags) == len(set(tags))
+    # the first-class reader option is the same resolution (schema()
+    # included); exclusive with explicit snapshots
+    got = (
+        spark.read.format("olive").option("txnGroup", a).load(b).count()
+    )
+    assert got == 9
+    with pytest.raises(Exception, match="exclusive"):
+        (
+            spark.read.format("olive").option("txnGroup", a)
+            .option("snapshot", "1").load(b).count()
+        )
 
 
 def test_validation_and_single_table_degenerate(spark, tmp_path):
