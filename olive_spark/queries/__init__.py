@@ -65,10 +65,11 @@ _RAW: dict[str, tuple] = {
 # r8-stale entries, perf-watch serves first (ivf_persisted /
 # neardup_incremental / index_update had r11 latency drift; their r12
 # relation-cache fix needs fresh driver evidence).  The remaining 8
-# r8-stale entries (scan_merge_time_travel, scan_table_checksum,
-# scan_time_travel, stream_cdc_pump, stream_matview,
-# stream_snapshot_tail, ts_anomaly_zscore, ts_resample_interpolate,
-# types_unsigned_time, window_sessionize) rotate in r13.  NOTE for the
+# r8-stale entries (scan_expectations_gate, scan_merge_time_travel,
+# scan_table_checksum, scan_time_travel, stream_cdc_pump,
+# stream_matview, stream_snapshot_tail, ts_anomaly_zscore,
+# ts_resample_interpolate, types_unsigned_time, window_sessionize)
+# rotate in r13.  NOTE for the
 # gate reader: llm_dedup_simhash/ngram/semantic/embedding,
 # llm_graph_pagerank, llm_neardup_incremental, llm_similarity_ivf_persisted
 # and mm_phash_pairs are genuinely non-SQL (rows-only) — the driver
@@ -107,6 +108,7 @@ _ORDER = [
     "llm_keyword_search",
     "llm_search_after_compact",  # r12-new: append→compact lifecycle
     "stream_branch_wap",  # r12-new: streaming write-audit-publish
+    "llm_dsir_weights",  # r12-new: DSIR importance resampling
     "llm_bm25_search",
     "llm_graph_pagerank",
     "agg_approx_sketches",
@@ -126,10 +128,10 @@ _ORDER = [
     "mm_audio_wav_real",
     "mm_decode_png_real",
     "mm_phash_pairs",
-    "scan_expectations_gate",
     # ---- beyond the 50-entry driver window: everything below was
     # green in its latest window (r08-r11) and keeps bench/pytest
     # coverage; cumulative driver coverage over rounds stays complete ----
+    "scan_expectations_gate",
     "scan_merge_time_travel",
     "scan_table_checksum",
     "scan_after_column_remap",

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from olive_spark.ops import dedup, multimodal, similarity, textstats
+from olive_spark.ops import curation, dedup, multimodal, similarity, textstats
 from olive_spark.queries import data
 
 
@@ -339,6 +339,46 @@ SQL_SEARCH_AFTER_COMPACT = (
     "regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents) "
     "SELECT doc_id FROM toks "
     "WHERE list_contains(t, 'vector') AND list_contains(t, 'customer')"
+)
+
+
+def llm_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (ops/curation.dsir_importance — Xie et
+    al. 2023, arXiv:2302.03169): hashed-bigram log-likelihood ratios
+    against a target domain, the classifier-free lever for tilting a
+    crawl toward a curated reference.  Target subset = doc_id % 7 == 0
+    (deterministic, oracle-replayable); features hash through the same
+    md5-hex bridge as hash_split, so DuckDB replays the exact buckets;
+    weights round to 6 decimals (libm-vs-JVM log agrees far beyond
+    that).  A scorer that mixed up the distributions, dropped Laplace
+    smoothing, or mis-bucketed a single bigram hash-mismatches."""
+    docs = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    return curation.dsir_importance(
+        docs, F.col("doc_id") % 7 == 0, n_buckets=4096,
+    )
+
+
+SQL_DSIR_WEIGHTS = (
+    "WITH toks AS (SELECT doc_id, doc_id % 7 = 0 AS tgt, "
+    "  list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+    "    x -> x <> '') AS w FROM documents), "
+    "ex AS (SELECT doc_id, tgt, "
+    "  CAST(('0x' || substr(md5(w[i+1] || ' ' || w[i+2]), 1, 8)) AS BIGINT) "
+    "    % 4096 AS bucket "
+    "  FROM toks, UNNEST(range(0, CAST(len(w) AS BIGINT) - 1)) AS u(i) "
+    "  WHERE len(w) >= 2), "
+    "pd AS (SELECT doc_id, bucket, COUNT(*) AS c FROM ex "
+    "  GROUP BY doc_id, bucket), "
+    "dist AS (SELECT bucket, COUNT(*) AS n_raw, "
+    "  SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_tgt FROM ex "
+    "  GROUP BY bucket), "
+    "tot AS (SELECT SUM(n_raw) AS t_raw, SUM(n_tgt) AS t_tgt FROM dist), "
+    "r AS (SELECT bucket, "
+    "  ln((n_tgt + 1.0) / (t_tgt + 4096.0)) "
+    "  - ln((n_raw + 1.0) / (t_raw + 4096.0)) AS lr FROM dist, tot) "
+    "SELECT pd.doc_id, CAST(SUM(pd.c) AS BIGINT) AS n_feats, "
+    "  ROUND(SUM(pd.c * r.lr), 6) AS logw "
+    "FROM pd JOIN r USING (bucket) GROUP BY pd.doc_id"
 )
 
 
@@ -919,5 +959,6 @@ QUERIES: dict[str, tuple] = {
     "llm_fingerprint": (llm_fingerprint, SQL_FINGERPRINT),
     "llm_token_count": (llm_token_count, SQL_TOKEN_COUNT),
     "llm_curation_pipeline": (llm_curation_pipeline, SQL_CURATION),
+    "llm_dsir_weights": (llm_dsir_weights, SQL_DSIR_WEIGHTS),
     "mm_decode_meta": (mm_decode_meta, SQL_MM_DECODE),
 }

@@ -530,6 +530,48 @@ def test_branch_base_rewrite_conflicts_at_publish(spark, tmp_path):
     assert 3 not in got and len(got) == 19
 
 
+def test_branch_mutation_on_partitioned_table(spark, tmp_path):
+    """Branch deletes on a hive-partitioned table: DV targets carry the
+    key=value subpath (both base files and branch-staged files), the
+    publish re-keys branch-file DVs into the published partition
+    subdirs, and partition pruning on the published table still
+    works."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops import branch
+
+    t = str(tmp_path / "t")
+    base = spark.range(0, 40).select(
+        (F.col("id") % 2).alias("part"), F.col("id").alias("k")
+    )
+    base.write.format("olive").option("partitionBy", "part") \
+        .mode("append").save(t)
+    branch.create_branch(t, "fx")
+    add = spark.range(40, 60).select(
+        (F.col("id") % 2).alias("part"), F.col("id").alias("k")
+    )
+    branch.append_to_branch(spark, add, t, "fx")
+    out = branch.delete_on_branch(spark, t, "fx", "k IN (3, 45)")
+    assert out["rows_deleted"] == 2
+    want = sorted(set(range(60)) - {3, 45})
+    got = sorted(r["k"] for r in branch.scan_branch(spark, t, "fx").collect())
+    assert got == want
+    branch.publish_branch(spark, t, "fx")
+    live = spark.read.format("olive").load(t)
+    assert sorted(r["k"] for r in live.collect()) == want
+    # no chunk files at the table root; DVs live under _olive_dv with
+    # partitioned target rels
+    assert not [f for f in os.listdir(t) if f.endswith(".olive")]
+    from olive_spark.format.deletion import list_dvs
+
+    targets = list(list_dvs(t))
+    assert targets and all("part=" in tgt for tgt in targets), targets
+    # partition pruning still live on the published table
+    assert live.filter(F.col("part") == 0).count() == len(
+        [k for k in want if k % 2 == 0]
+    )
+
+
 def test_dv_only_branch_publish(spark, tmp_path):
     """A branch holding ONLY deletes (no appended files) publishes as a
     pure DV commit — it is not mistaken for an empty branch drop."""

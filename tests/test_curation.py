@@ -573,3 +573,36 @@ def test_unigram_lm_score_orders_common_vs_rare(spark):
     got = {r["doc_id"]: r["nll"] for r in unigram_lm_score(df).collect()}
     assert got[0] < got[1] < got[99]
     assert all(v == v and v > 0 for v in got.values())  # finite, positive
+
+
+def test_dsir_importance_separates_domains(spark):
+    """DSIR (arXiv:2302.03169) semantics on a planted two-domain
+    corpus: docs written in the TARGET vocabulary must score strictly
+    higher logw than docs in the off-domain vocabulary, a mixed doc
+    sits between, and n_feats = n_tokens - 1 (bigram count).  Exact
+    bucket parity with the md5 replay is pinned by the driver oracle;
+    this pins the direction and the feature accounting."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops.curation import dsir_importance
+
+    tgt_text = "alpha beta gamma delta alpha beta gamma delta"
+    raw_text = "zeta eta theta iota zeta eta theta iota"
+    mixed = "alpha beta zeta eta alpha beta zeta eta"
+    rows = (
+        [(i, tgt_text) for i in range(0, 8)]          # target-flagged
+        + [(i, raw_text) for i in range(100, 130)]    # off-domain bulk
+        + [(200, mixed)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance(
+            df, F.col("doc_id") < 8, n_buckets=512
+        ).collect()
+    }
+    assert all(out[i]["n_feats"] == 7 for i in out)   # 8 tokens → 7 bigrams
+    t, r, m = out[0]["logw"], out[100]["logw"], out[200]["logw"]
+    assert t > m > r, (t, m, r)
+    # every target-vocab doc scores identically (same text, same hash)
+    assert len({out[i]["logw"] for i in range(0, 8)}) == 1

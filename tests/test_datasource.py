@@ -885,3 +885,26 @@ def test_compact_zorder_within_partition_dirs(spark, tmp_path):
             assert hit <= len(spans) // 2 + 1, (g, col, spans)
     back = spark.read.format("olive").load(d)
     assert back.count() == 2 * n * n
+
+
+def test_cached_relation_invalidates_on_any_write(spark, tmp_path):
+    """ops/relcache (r12): persisted-index serves reuse lazy DSv2
+    relations to dodge the fixed per-relation plan tax, keyed by the
+    directory's snapshot VERSION — a Python-DSv2 relation freezes its
+    file list at load, so serving one across a write would silently
+    miss data.  Same version → same object; any append → new key, new
+    relation, new rows visible."""
+    from olive_spark.ops.relcache import cached_relation
+
+    t = str(tmp_path / "t")
+    spark.range(5).write.format("olive").mode("append").save(t)
+    r1 = cached_relation(spark, t)
+    assert r1.count() == 5
+    assert cached_relation(spark, t) is r1          # memo hit
+    spark.range(5, 12).write.format("olive").mode("append").save(t)
+    r2 = cached_relation(spark, t)
+    assert r2 is not r1                              # version bumped
+    assert r2.count() == 12
+    # option-bearing variants key separately
+    r3 = cached_relation(spark, t, options={"pushdown": "true"})
+    assert r3 is not r2 and r3.count() == 12
