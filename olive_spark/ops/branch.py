@@ -626,6 +626,12 @@ def _finish_publish(path: str, txn: dict) -> None:
                     r: e for r, e in (disk.get("stats") or {}).items()
                     if r in keep
                 },
+                # delivered-epoch ids survive the publish: a streaming
+                # microbatch whose first delivery just PUBLISHED must
+                # still skip on crash-replay — dropping the ledger here
+                # would re-stage it onto the re-created branch (rows
+                # once live + once staged)
+                "epochs": disk.get("epochs") or {},
                 "created": disk.get("created", time.time()),
             })
         else:
