@@ -480,7 +480,11 @@ def merge_on_branch(spark, src_df, path: str, name: str,
             )
             if staged:
                 _record_branch_dvs(path, name, staged)
-    out = append_to_branch(spark, src_df, path, name)
+        # the insert leg stays INSIDE the table-lock hold: a publish
+        # slipping between the DV record and the append would land the
+        # deletes live while the inserts re-stage on a recreated branch
+        # — a torn upsert; under the lock both legs publish together
+        out = append_to_branch(spark, src_df, path, name)
     return {
         "branch": name,
         "rows_matched_deleted": int(sum(n for _t, _d, n in staged)),

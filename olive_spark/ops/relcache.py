@@ -31,8 +31,17 @@ def cached_relation(
 
     try:
         version = current_version(path)
-    except OSError:
-        version = -1  # unreadable log: key misses, relation still works
+    except Exception:
+        # unreadable/corrupt log: never cache (every call re-loads), and
+        # let the relation load itself surface the real error loudly
+        version = None
+    if version is None:
+        r = spark.read.format("olive")
+        if table is not None:
+            r = r.option("table", table)
+        for k, v in (options or {}).items():
+            r = r.option(k, v)
+        return r.load(path)
     opt_key = tuple(sorted((options or {}).items()))
     key = (spark.sparkContext.applicationId, path, table, version, opt_key)
     hit = _CACHE.get(key)

@@ -456,6 +456,60 @@ def test_substring_dup_spans_phase_shifted_detected(spark):
     assert all(r["n_dup"] == 0 for r in legacy)
 
 
+def test_substring_dup_spans_randomized_reference_parity(spark):
+    """Randomized model check for the stride=1 exact mode: on random
+    small-vocab corpora (natural cross- and intra-doc duplicates
+    guaranteed by the tiny vocabulary) every output column must equal a
+    pure-Python reference that counts ALL width-token windows and
+    unions covered positions — the planted fixtures pin hand-picked
+    shapes, this pins the general contract."""
+    import random
+    from collections import Counter
+
+    from olive_spark.ops import dedup
+
+    rng = random.Random(1213)
+    for trial, (width, vocab) in enumerate([(4, 6), (5, 4), (3, 10)]):
+        docs = []
+        for i in range(30):
+            n = rng.randrange(2, 20)
+            docs.append((i, " ".join(
+                f"t{rng.randrange(vocab)}" for _ in range(n)
+            )))
+        # reference: exact window counting + interval union
+        frags: Counter = Counter()
+        toks = {i: s.split() for i, s in docs}
+        for i, ts in toks.items():
+            for k in range(len(ts) - width + 1):
+                frags[" ".join(ts[k:k + width])] += 1
+        want = {}
+        for i, ts in toks.items():
+            n = len(ts)
+            if n < width:
+                continue
+            ks = [
+                k for k in range(n - width + 1)
+                if frags[" ".join(ts[k:k + width])] >= 2
+            ]
+            cov = set()
+            for k in ks:
+                cov.update(range(k, k + width))
+            want[i] = (n, n - width + 1, len(ks),
+                       min(len(cov), n) / n)
+        out = dedup.substring_dup_spans(
+            spark.createDataFrame(docs, ["doc_id", "text"]), width=width
+        ).collect()
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_frag"], r["n_dup"],
+                          r["dup_cov"])
+            for r in out
+        }
+        assert set(got) == set(want), trial
+        for i in want:
+            assert got[i][:3] == want[i][:3], (trial, i, got[i], want[i])
+            assert got[i][3] == pytest.approx(want[i][3]), (trial, i)
+
+
 def test_substring_dup_spans_overlap_union_not_sum(spark):
     """Coverage is the UNION of overlapping duplicated windows: two
     overlapping dup windows over 6 distinct positions must give 6/n,

@@ -287,6 +287,94 @@ def test_txn_group_root_pointer_consistent_cut(spark, tmp_path):
         )
 
 
+def test_txn_group_random_schedule_model(spark, tmp_path):
+    """Randomized schedule model for the group root pointer: under any
+    interleaving of completed txns, crashes at every protocol phase,
+    independent live appends, and recovery, a group read of any member
+    table must equal the table's state AT THE LAST ROOT SWAP — never a
+    torn or in-flight state.  (Live reads are allowed to be torn; the
+    group cut is the invariant.)"""
+    import random
+
+    from olive_spark.ops import txn
+
+    rng = random.Random(1412)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _seed(spark, a, 0, 5, "a")
+    _seed(spark, b, 0, 5, "b")
+    nxt = 5
+    live = {a: 5, b: 5}
+    group = {a: None, b: None}   # None = no root entry → live read
+    pending = False              # a decided txn awaits recovery
+
+    def swap_record():
+        group[a], group[b] = live[a], live[b]
+
+    for step in range(8):
+        op = rng.choice(
+            ["txn", "crash", "live_append", "recover", "recover"]
+        )
+        if op == "txn" and not pending:
+            txn.multi_table_append(
+                spark,
+                [(a, _mk(spark, nxt, nxt + 3, "a")),
+                 (b, _mk(spark, nxt, nxt + 2, "b"))],
+            )
+            live[a] += 3
+            live[b] += 2
+            swap_record()
+            nxt += 3
+        elif op == "crash" and not pending:
+            phase = rng.choice(
+                ["after_prepare", "after_decide", "mid_publish",
+                 "after_root"]
+            )
+            txn._CRASH_HOOKS[phase] = _boom
+            try:
+                with pytest.raises(Boom):
+                    txn.multi_table_append(
+                        spark,
+                        [(a, _mk(spark, nxt, nxt + 3, "a")),
+                         (b, _mk(spark, nxt, nxt + 2, "b"))],
+                    )
+            finally:
+                txn._CRASH_HOOKS.clear()
+            nxt += 3
+            if phase == "after_prepare":
+                # undecided: recovery rolls back; nothing ever visible
+                pending = True
+            elif phase == "after_root":
+                # decided AND swapped: fully visible incl. group reads
+                live[a] += 3
+                live[b] += 2
+                swap_record()
+                pending = True  # marker still present until recovery
+            else:
+                # decided, not yet (fully) published/swapped: the rows
+                # are committed but the GROUP cut must stay all-pre
+                live[a] += 3
+                live[b] += 2
+                pending = True
+        elif op == "live_append":
+            _seed(spark, a, nxt, nxt + 2, "a")
+            live[a] += 2
+            nxt += 2
+        elif op == "recover":
+            healed = txn.recover_txns(spark, a)
+            if pending and healed.get("completed"):
+                swap_record()
+            pending = False
+        # invariant: group reads serve exactly the last-swap cut
+        for t in (a, b):
+            want = group[t] if group[t] is not None else \
+                spark.read.format("olive").load(t).count()
+            got = txn.scan_txn_group(spark, a, t).count()
+            assert got == want, (step, op, t, got, want)
+    txn.recover_txns(spark, a)
+    for t in (a, b):
+        assert spark.read.format("olive").load(t).count() == live[t]
+
+
 def test_validation_and_single_table_degenerate(spark, tmp_path):
     from olive_spark.ops import txn
 
