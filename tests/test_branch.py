@@ -356,15 +356,29 @@ def test_branch_vacuum_interleave_model(spark, tmp_path):
         nxt = 10
         has_branch = False
         pending_heal = False           # a decided publish awaits heal
+        deleted: set = set()       # branch-staged deletes not yet live
         for step in range(10):
             op = rng.choice(
                 ["live_append", "branch_append", "publish", "vacuum",
-                 "publish_crash", "drop"]
+                 "publish_crash", "drop", "branch_delete"]
             )
             if op == "live_append":
                 _seed(spark, t, nxt, nxt + 5)
                 live |= set(range(nxt, nxt + 5))
                 nxt += 5
+            elif op == "branch_delete" and has_branch and not pending_heal:
+                # delete one known branch-view row (staged or base)
+                pool = sorted(
+                    ({k for lo, hi in staged for k in range(lo, hi)}
+                     | live) - deleted
+                )
+                if pool:
+                    victim = rng.choice(pool)
+                    from olive_spark.ops.branch import delete_on_branch
+
+                    out = delete_on_branch(spark, t, "b", f"k = {victim}")
+                    assert out["rows_deleted"] == 1, (trial, step, victim)
+                    deleted.add(victim)
             elif op == "branch_append":
                 if not has_branch:
                     branch.create_branch(t, "b")
@@ -375,7 +389,8 @@ def test_branch_vacuum_interleave_model(spark, tmp_path):
             elif op == "publish" and has_branch and not pending_heal:
                 branch.publish_branch(spark, t, "b")
                 live |= {k for lo, hi in staged for k in range(lo, hi)}
-                staged, has_branch = [], False
+                live -= deleted        # branch DVs fold into the commit
+                staged, has_branch, deleted = [], False, set()
             elif op == "publish_crash" and has_branch and staged \
                     and not pending_heal:
                 phase = rng.choice(["after_decide", "mid_activate"])
@@ -385,16 +400,18 @@ def test_branch_vacuum_interleave_model(spark, tmp_path):
                         branch.publish_branch(spark, t, "b")
                 finally:
                     branch._CRASH_HOOKS.clear()
-                # DECIDED: the rows are committed, heal must land them
+                # DECIDED: the rows AND the branch deletes are
+                # committed; heal must land both
                 live |= {k for lo, hi in staged for k in range(lo, hi)}
-                staged, has_branch = [], False
+                live -= deleted
+                staged, has_branch, deleted = [], False, set()
                 pending_heal = True
             elif op == "vacuum":
                 vacuum(t)              # heals any decided publish first
                 pending_heal = False
             elif op == "drop" and has_branch and not pending_heal:
                 branch.drop_branch(t, "b")
-                staged, has_branch = [], False
+                staged, has_branch, deleted = [], False, set()
         vacuum(t)                      # final heal + sweep
         got = sorted(r["k"] for r in _live(spark, t).collect())
         assert got == sorted(live), (trial, step)
