@@ -131,6 +131,8 @@ HEADLINE = [
     "scan_branch_mutation",           # r12: branch-staged delete publish
     "stream_branch_wap",              # r12: streaming write-audit-publish
     "llm_search_after_compact",       # r12: text-index re-cluster serve
+    "llm_dedup_span_removal",         # r12: Lee et al. span excision
+    "llm_dsir_weights",               # r12: DSIR importance resampling
 ]
 
 

@@ -250,6 +250,146 @@ def substring_dup_spans(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+    min_count: int = 2,
+) -> DataFrame:
+    """EXACT-SUBSTRING REMOVAL (the second half of Lee et al. 2022 —
+    :func:`substring_dup_spans` finds duplicated spans, this EXCISES
+    them, keeping exactly one canonical copy corpus-wide):
+
+        (id, n_tokens, n_removed, clean_text)
+
+    Rule (deterministic, window-granular): every ``width``-token window
+    occurring >= ``min_count`` times elects ONE canonical occurrence —
+    the (min id, then min offset) one; every token position covered by
+    a NON-canonical duplicated window is removed; the canonical copy's
+    positions survive unless another fragment's non-canonical window
+    also covers them (overlap resolves toward removal, the
+    paper-faithful direction — duplicated text never survives twice).
+    Documents shorter than ``width`` tokens pass through unchanged.
+    ``clean_text`` re-joins the surviving tokens with single spaces
+    (the tokenizer's whitespace is NOT preserved — token-level
+    fidelity, byte-level normalization, same as every op downstream of
+    the ``\\s+`` split).
+
+    Scale shape: the fragment derivation and skew-safe groupBy+join of
+    :func:`substring_dup_spans` (8-byte fragment hashes shuffle, never
+    strings), one extra min-struct per fragment group to elect the
+    canonical owner; per-doc reconstruction gathers the doc's removal
+    offsets (bounded by n_tokens ints) and filters the token array with
+    one O(n·ranges) higher-order pass — no explode of positions, no
+    Python.  Collision note: fragments compare by xxhash64, so two
+    different windows collide with probability ~n²/2⁶⁵ (an unlucky
+    collision removes a non-duplicated window — curation noise, never
+    corpus-scale loss)."""
+    w = int(width)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = (
+        df.select(F.col(id_col), toks.alias("__rawtoks"))
+        .select(
+            F.col(id_col),
+            F.filter(F.col("__rawtoks"), lambda x: x != "").alias("__toks"),
+        )
+        .select(
+            F.col(id_col), F.col("__toks"),
+            F.size("__toks").alias("__n"),
+        )
+    )
+    tc = F.col("__toks")
+    frags = F.transform(
+        F.sequence(F.lit(0), F.col("__n") - w),
+        lambda k: F.struct(
+            k.alias("k"),
+            F.xxhash64(F.concat_ws(" ", F.slice(tc, k + 1, w))).alias("fh"),
+        ),
+    )
+    fr = (
+        t.filter(F.col("__n") >= w)
+        .select(F.col(id_col), F.explode(frags).alias("f"))
+        .select(id_col, F.col("f.k").alias("k"), F.col("f.fh").alias("fh"))
+    )
+    dup = (
+        fr.groupBy("fh")
+        .agg(
+            F.count("*").alias("__c"),
+            F.min(F.struct(F.col(id_col), F.col("k"))).alias("__own"),
+        )
+        .filter(F.col("__c") >= min_count)
+        .select("fh", "__own")
+    )
+    # every NON-canonical occurrence of a duplicated fragment marks its
+    # window for removal; the owner's window survives
+    removals = (
+        fr.join(dup, "fh")
+        .filter(
+            (F.col(id_col) != F.col(f"__own.{id_col}"))
+            | (F.col("k") != F.col("__own.k"))
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("k")).alias("__rm_ks"))
+    )
+    out = t.join(removals, id_col, "left")
+    # surviving tokens: position p (1-based) is removed iff some rm
+    # start k satisfies k+1 <= p <= k+w; with SORTED starts, the binary
+    # containment test is "the largest start <= p-1 is within w of p" —
+    # O(log ranges) per token via a fold over the starts is overkill at
+    # these widths; a linear exists() over MERGED disjoint ranges keeps
+    # it simple and bounded (ranges ≈ distinct dup runs per doc)
+    merged = F.aggregate(
+        F.coalesce(F.col("__rm_ks"), F.array().cast("array<int>")),
+        F.array().cast("array<struct<lo:int,hi:int>>"),
+        lambda acc, k: F.when(
+            (F.size(acc) > 0)
+            & (k + 1 <= F.element_at(acc, -1)["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["lo"].alias("lo"),
+                    F.greatest(
+                        F.element_at(acc, -1)["hi"], (k + w).cast("int")
+                    ).alias("hi"),
+                )),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(
+                (k + 1).cast("int").alias("lo"),
+                (k + w).cast("int").alias("hi"),
+            )))
+        ),
+    )
+    with_ranges = out.withColumn("__ranges", merged)
+    keep = F.filter(
+        F.zip_with(
+            F.col("__toks"),
+            F.sequence(F.lit(1), F.greatest(F.col("__n"), F.lit(1))),
+            lambda tok, p: F.struct(
+                tok.alias("tok"),
+                (~F.exists(
+                    F.col("__ranges"),
+                    lambda r: (r["lo"] <= p) & (p <= r["hi"]),
+                )).alias("keep"),
+            ),
+        ),
+        lambda s: s["keep"],
+    )
+    return with_ranges.select(
+        F.col(id_col),
+        F.col("__n").alias("n_tokens"),
+        F.aggregate(
+            F.col("__ranges"),
+            F.lit(0),
+            lambda acc, r: acc + (r["hi"] - r["lo"] + 1),
+        ).alias("n_removed"),
+        F.concat_ws(
+            " ", F.transform(keep, lambda s: s["tok"])
+        ).alias("clean_text"),
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """doc_id → array<long> of _N_PERM minhashes.
 

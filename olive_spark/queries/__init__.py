@@ -65,11 +65,11 @@ _RAW: dict[str, tuple] = {
 # r8-stale entries, perf-watch serves first (ivf_persisted /
 # neardup_incremental / index_update had r11 latency drift; their r12
 # relation-cache fix needs fresh driver evidence).  The remaining 8
-# r8-stale entries (scan_expectations_gate, scan_merge_time_travel,
-# scan_table_checksum, scan_time_travel, stream_cdc_pump,
-# stream_matview, stream_snapshot_tail, ts_anomaly_zscore,
-# ts_resample_interpolate, types_unsigned_time, window_sessionize)
-# rotate in r13.  NOTE for the
+# r8-stale entries (mm_phash_pairs, scan_expectations_gate,
+# scan_merge_time_travel, scan_table_checksum, scan_time_travel,
+# stream_cdc_pump, stream_matview, stream_snapshot_tail,
+# ts_anomaly_zscore, ts_resample_interpolate, types_unsigned_time,
+# window_sessionize) rotate in r13.  NOTE for the
 # gate reader: llm_dedup_simhash/ngram/semantic/embedding,
 # llm_graph_pagerank, llm_neardup_incremental, llm_similarity_ivf_persisted
 # and mm_phash_pairs are genuinely non-SQL (rows-only) — the driver
@@ -82,6 +82,7 @@ _ORDER = [
     "scan_txn_group_cut",
     "scan_branch_mutation",
     "llm_dedup_substring",
+    "llm_dedup_span_removal",  # r12-new: Lee et al. span excision
     "scan_time_travel_timestamp",
     "llm_similarity_arrow",
     "mm_frame_sample",
@@ -127,10 +128,10 @@ _ORDER = [
     "llm_word_entropy",
     "mm_audio_wav_real",
     "mm_decode_png_real",
-    "mm_phash_pairs",
     # ---- beyond the 50-entry driver window: everything below was
     # green in its latest window (r08-r11) and keeps bench/pytest
     # coverage; cumulative driver coverage over rounds stays complete ----
+    "mm_phash_pairs",
     "scan_expectations_gate",
     "scan_merge_time_travel",
     "scan_table_checksum",

@@ -892,6 +892,80 @@ def llm_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def llm_dedup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT-SUBSTRING REMOVAL (ops/dedup.remove_dup_spans — the
+    second half of Lee et al. 2022: excise every duplicated 16-token
+    window, keeping the corpus-wide canonical (min doc_id, min offset)
+    copy).  Same shim+preamble fixture as llm_dedup_substring, so each
+    ~70-doc family's preamble survives in exactly ONE document and is
+    cut from every other — cross-phase (the shim offsets the run by
+    one token in a third of the docs), intra-doc, and boundary cases
+    all live at sf0.01.  The oracle replays the full rule in SQL
+    including the reconstructed clean text, so a removal that excised
+    the canonical copy, missed a phase-shifted occurrence, or
+    re-joined tokens off by one position hash-mismatches."""
+    docs = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    pre = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(20)),
+            lambda i: F.concat(
+                F.lit("p"), (F.col("doc_id") % 7).cast("string"),
+                F.lit("t"), i.cast("string"),
+            ),
+        ),
+    )
+    shim = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("shim"), (F.col("doc_id") % 11).cast("string"), F.lit(" ")),
+    ).otherwise(F.lit(""))
+    aug = docs.select(
+        "doc_id",
+        F.concat(shim, F.concat_ws(" ", pre, F.col("text"))).alias("text"),
+    )
+    return dedup.remove_dup_spans(aug, width=16, min_count=2)
+
+
+SQL_DEDUP_SPAN_REMOVAL = (
+    "WITH aug AS (SELECT doc_id, "
+    "  (CASE WHEN doc_id % 3 = 0 THEN 'shim' || (doc_id % 11) || ' ' "
+    "   ELSE '' END) || "
+    "  array_to_string(list_transform(range(1, 21), "
+    "    i -> 'p' || (doc_id % 7) || 't' || i), ' ') || ' ' || text AS t "
+    "  FROM documents), "
+    "tok AS (SELECT doc_id, "
+    "  list_filter(string_split_regex(trim(t), '\\s+'), x -> x <> '') AS w "
+    "  FROM aug), "
+    "fr AS (SELECT doc_id, CAST(k AS BIGINT) AS k, "
+    "  array_to_string(w[k+1 : k+16], ' ') AS frag "
+    "  FROM tok, UNNEST(range(0, CAST(len(w)-16 AS BIGINT)+1)) AS u(k) "
+    "  WHERE len(w) >= 16), "
+    "oc AS (SELECT frag, COUNT(*) AS c, MIN(doc_id) AS od FROM fr "
+    "  GROUP BY frag), "
+    "own AS (SELECT fr.frag, fr.doc_id AS od, MIN(fr.k) AS ok FROM fr "
+    "  JOIN oc ON fr.frag = oc.frag AND fr.doc_id = oc.od "
+    "  WHERE oc.c >= 2 GROUP BY fr.frag, fr.doc_id), "
+    "rm AS (SELECT fr.doc_id, fr.k FROM fr JOIN own "
+    "  ON fr.frag = own.frag "
+    "  WHERE NOT (fr.doc_id = own.od AND fr.k = own.ok)), "
+    "rmpos AS (SELECT DISTINCT doc_id, p FROM rm, "
+    "  UNNEST(range(k+1, k+17)) AS v(p)), "
+    "tokpos AS (SELECT doc_id, p, w[p] AS tok FROM tok, "
+    "  UNNEST(range(1, CAST(len(w) AS BIGINT)+1)) AS v(p)), "
+    "kept AS (SELECT t.doc_id, t.p, t.tok FROM tokpos t "
+    "  LEFT JOIN rmpos r ON t.doc_id = r.doc_id AND t.p = r.p "
+    "  WHERE r.p IS NULL) "
+    "SELECT tok.doc_id, CAST(len(tok.w) AS BIGINT) AS n_tokens, "
+    "  CAST(COALESCE(rc.c, 0) AS BIGINT) AS n_removed, "
+    "  COALESCE(ks.txt, '') AS clean_text "
+    "FROM tok "
+    "LEFT JOIN (SELECT doc_id, COUNT(*) AS c FROM rmpos GROUP BY doc_id) rc "
+    "  ON tok.doc_id = rc.doc_id "
+    "LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt "
+    "  FROM kept GROUP BY doc_id) ks ON tok.doc_id = ks.doc_id"
+)
+
+
 SQL_DEDUP_SUBSTRING = (
     "WITH aug AS (SELECT doc_id, "
     "  (CASE WHEN doc_id % 3 = 0 THEN 'shim' || (doc_id % 11) || ' ' "
@@ -925,6 +999,9 @@ SQL_DEDUP_SUBSTRING = (
 QUERIES: dict[str, tuple] = {
     "llm_dedup_exact": (llm_dedup_exact, SQL_DEDUP_EXACT),
     "llm_dedup_substring": (llm_dedup_substring, SQL_DEDUP_SUBSTRING),
+    "llm_dedup_span_removal": (
+        llm_dedup_span_removal, SQL_DEDUP_SPAN_REMOVAL,
+    ),
     "mm_phash_pairs": (mm_phash_pairs, None),
     "mm_decode_png_real": (mm_decode_png_real, SQL_MM_PNG_REAL),
     "mm_audio_wav_real": (mm_audio_wav_real, SQL_MM_WAV_REAL),

@@ -528,3 +528,79 @@ def test_substring_dup_spans_overlap_union_not_sum(spark):
         assert out[i]["n_tokens"] == 8
         assert out[i]["n_dup"] == 2
         assert out[i]["dup_cov"] == pytest.approx(6 / 8)
+
+
+def test_remove_dup_spans_keeps_one_canonical_copy(spark):
+    """Lee et al. removal semantics: the (min id, min offset)
+    occurrence of each duplicated window survives, every other
+    occurrence's span is excised — cross-doc, intra-doc, and
+    short-doc passthrough."""
+    from olive_spark.ops import dedup
+
+    rows = [
+        (1, "z1 z2 z3 z4 a1 a2"),          # owns the z-run
+        (2, "b1 z1 z2 z3 z4 b2"),          # loses its copy
+        (3, "r1 r2 r3 r4 r1 r2 r3 r4"),    # intra-doc: second half goes
+        (4, "d1 d2"),                       # shorter than width: untouched
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.remove_dup_spans(df, width=4).collect()
+    }
+    assert out[1]["clean_text"] == "z1 z2 z3 z4 a1 a2"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "b1 b2"
+    assert out[2]["n_removed"] == 4
+    assert out[3]["clean_text"] == "r1 r2 r3 r4"
+    assert out[3]["n_removed"] == 4
+    assert out[4]["clean_text"] == "d1 d2"
+    assert out[4]["n_removed"] == 0
+    assert all(out[i]["n_tokens"] == len(rows[i - 1][1].split())
+               for i in out)
+
+
+def test_remove_dup_spans_randomized_reference_parity(spark):
+    """Randomized model check of the window-level removal rule against
+    a pure-Python reference (canonical = lexicographic (id, offset)
+    minimum; remove every position covered by a non-canonical
+    duplicated window)."""
+    import random
+
+    from olive_spark.ops import dedup
+
+    rng = random.Random(1999)
+    for width, vocab in [(3, 5), (4, 7)]:
+        docs = []
+        for i in range(25):
+            n = rng.randrange(1, 16)
+            docs.append((i, " ".join(
+                f"t{rng.randrange(vocab)}" for _ in range(n)
+            )))
+        toks = {i: s.split() for i, s in docs}
+        occs: dict = {}
+        for i, ts in toks.items():
+            for k in range(len(ts) - width + 1):
+                occs.setdefault(" ".join(ts[k:k + width]), []).append((i, k))
+        want = {}
+        for i, ts in toks.items():
+            rm = set()
+            for frag, os_ in occs.items():
+                if len(os_) < 2:
+                    continue
+                owner = min(os_)
+                for d, k in os_:
+                    if d == i and (d, k) != owner:
+                        rm.update(range(k, k + width))
+            kept = [t for p, t in enumerate(ts) if p not in rm]
+            want[i] = (len(ts), len(rm), " ".join(kept))
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+            for r in dedup.remove_dup_spans(
+                spark.createDataFrame(docs, ["doc_id", "text"]),
+                width=width,
+            ).collect()
+        }
+        assert got == want, (width, {
+            k: (got[k], want[k]) for k in want if got.get(k) != want[k]
+        })
