@@ -720,3 +720,47 @@ def test_phrase_search_prunes_to_phrase_token_files(spark, tmp_path):
         spark, pdir, [("token", "in", ["w13", "w24"])]
     )
     assert survivors < n_files, (survivors, n_files)
+
+
+def test_remove_dup_spans_plan_shape(spark):
+    """Span removal stays JVM-side and slim like the profiling op: no
+    Python row eval, no cartesian, no window over fragment rows; the
+    owner election rides the same skew-safe groupBy, and the text
+    reconstruction is array functions over the joined-back removal
+    offsets (no position explode)."""
+    from olive_spark.ops.dedup import remove_dup_spans
+
+    docs = spark.range(80).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(0, 39), "
+        "j -> concat('w', (id % 5) * 37 + j))) AS text",
+    )
+    p = plan_of(remove_dup_spans(docs, width=16))
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    # fragment explode once per self-join side, nothing else generates
+    assert 1 <= p.count(") Generate") <= 2, p
+
+
+def test_dsir_importance_plan_shape(spark):
+    """DSIR: one bigram explode feeds both the per-doc counts and the
+    corpus distributions; the bucket→log-ratio table comes back as a
+    BROADCAST join (kilobytes at any corpus size), no Python eval, no
+    cartesian beyond the explicit one-row totals broadcast."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops.curation import dsir_importance
+
+    docs = spark.range(80).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(0, 19), "
+        "j -> concat('w', (id * 7 + j) % 40))) AS text",
+    )
+    p = plan_of(dsir_importance(docs, F.col("doc_id") % 7 == 0))
+    assert "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoop" in p, p
+    # the only cartesian-shaped node allowed is the one-row totals
+    # broadcast; a real cartesian would be BroadcastNestedLoop over
+    # multi-row sides — pin the ratio join itself as a hash join
+    assert "BroadcastHashJoin" in p, p
