@@ -518,6 +518,7 @@ def version_at_timestamp(dirpath: str, ts: float) -> int:
     best_known = None          # max v among known ts <= cutoff
     oldest = None              # oldest known ts (for the error message)
     min_known_v = None         # lowest version carrying ANY known ts
+    max_known_v = None         # highest version carrying ANY known ts
     unknown_vs: list = []      # versions with no usable ts
     for e in entries:
         ets = e.get("ts")
@@ -527,6 +528,8 @@ def version_at_timestamp(dirpath: str, ts: float) -> int:
                 oldest = float(ets)
             if min_known_v is None or v < min_known_v:
                 min_known_v = v
+            if max_known_v is None or v > max_known_v:
+                max_known_v = v
             if float(ets) <= cutoff and (
                 best_known is None or v > best_known
             ):
@@ -534,6 +537,20 @@ def version_at_timestamp(dirpath: str, ts: float) -> int:
         else:
             unknown_vs.append(v)
     if best_known is not None:
+        if best_known == max_known_v and any(
+            v > max_known_v for v in unknown_vs
+        ):
+            # the newest DATED version qualifies, but UNDATED entries
+            # sit above it with no dated ceiling — those commits may
+            # well predate the cutoff too, so serving the older dated
+            # cut would be a silent stale read.  Mirror the all-undated
+            # handling: fail loud (r13, ADVICE r12).
+            raise ValidationError(
+                f"snapshot log at {dirpath} is ambiguous at timestamp "
+                f"{cutoff}: entries newer than version {best_known} "
+                "carry no commit timestamps — cannot tell whether they "
+                "predate the cutoff; read a version/tag instead"
+            )
         return best_known
     # no dated entry at/before the cutoff: an undated entry is eligible
     # only when provably ancient — strictly below every dated version

@@ -442,13 +442,26 @@ def merge_on_branch(spark, src_df, path: str, name: str,
     appears in the source are deleted via branch-scoped DVs, then the
     whole source appends to the branch.  Publish makes it one live
     commit.  Matching is a broadcast-or-shuffle semi join on the keys —
-    never a collected key list, so a 10⁹-row source works."""
+    never a collected key list, so a 10⁹-row source works.
+
+    A source with DUPLICATE key tuples is refused (standard MERGE
+    semantics — Delta/Iceberg raise on multiple source rows per target
+    match); silently appending both copies would turn the upsert into a
+    fan-out insert."""
     from pyspark.sql import functions as F
 
     from olive_spark.datasource import register_olive
     from olive_spark.format.lock import table_write_lock
 
     register_olive(spark)
+    if (
+        src_df.groupBy(*keys).count()
+        .filter(F.col("count") > 1).limit(1).count()
+    ):
+        raise ValueError(
+            f"merge_on_branch: source has duplicate key tuples on "
+            f"{keys} — MERGE requires at most one source row per key"
+        )
     with table_write_lock(path):
         from olive_spark.format.snapshots import files_at
 
@@ -687,7 +700,13 @@ def publish_branch(
                     }
             # files landed meanwhile — fall through (ref refreshed, so
             # the audit below covers them) and publish them
-        if expect:
+        if expect and not ref["files"]:
+            # delete-only branch (legal since delete_on_branch): there
+            # are ZERO branch rows to audit — the gate vacuously holds.
+            # Building the scan anyway would pass option('files','')
+            # and the reader refuses an empty file list.
+            pass
+        elif expect:
             prefix = os.path.join(_BRANCH_DIR, name) + os.sep
             branch_only = (
                 spark.read.format("olive")

@@ -280,9 +280,10 @@ def remove_dup_spans(
     :func:`substring_dup_spans` (8-byte fragment hashes shuffle, never
     strings), one extra min-struct per fragment group to elect the
     canonical owner; per-doc reconstruction gathers the doc's removal
-    offsets (bounded by n_tokens ints) and filters the token array with
-    one O(n·ranges) higher-order pass — no explode of positions, no
-    Python.  Collision note: fragments compare by xxhash64, so two
+    offsets (bounded by n_tokens ints) and rebuilds the token array
+    with one O(n + ranges) gap walk over the merged disjoint ranges
+    (one array slice per kept segment) — no explode of positions, no
+    per-position containment scan, no Python.  Collision note: fragments compare by xxhash64, so two
     different windows collide with probability ~n²/2⁶⁵ (an unlucky
     collision removes a non-duplicated window — curation noise, never
     corpus-scale loss)."""
@@ -362,20 +363,43 @@ def remove_dup_spans(
         ),
     )
     with_ranges = out.withColumn("__ranges", merged)
-    keep = F.filter(
-        F.zip_with(
-            F.col("__toks"),
-            F.sequence(F.lit(1), F.greatest(F.col("__n"), F.lit(1))),
-            lambda tok, p: F.struct(
-                tok.alias("tok"),
-                (~F.exists(
-                    F.col("__ranges"),
-                    lambda r: (r["lo"] <= p) & (p <= r["hi"]),
-                )).alias("keep"),
-            ),
+    # Surviving tokens via one O(ranges) gap walk (r13, VERDICT r12
+    # watch item): the merged ranges are DISJOINT and SORTED with
+    # nonempty gaps (the fold above merges abutting starts), so the
+    # kept positions are exactly the complement segments —
+    # [1, lo1-1], [hi1+1, lo2-1], …, [hik+1, n].  Emit one array
+    # slice per gap instead of testing every position against every
+    # range: the old exists()-per-position pass was O(n·ranges)
+    # interpreted and went quadratic on a long doc riddled with
+    # disjoint dup runs; this is O(n + ranges) regardless of layout.
+    segs = F.aggregate(
+        F.col("__ranges"),
+        F.struct(
+            F.lit(0).cast("int").alias("prev"),
+            F.array().cast("array<struct<lo:int,hi:int>>").alias("segs"),
         ),
-        lambda s: s["keep"],
+        lambda acc, r: F.struct(
+            r["hi"].alias("prev"),
+            F.when(
+                r["lo"] > acc["prev"] + 1,
+                F.concat(acc["segs"], F.array(F.struct(
+                    (acc["prev"] + 1).cast("int").alias("lo"),
+                    (r["lo"] - 1).cast("int").alias("hi"),
+                ))),
+            ).otherwise(acc["segs"]).alias("segs"),
+        ),
+        lambda acc: F.when(
+            acc["prev"] < F.col("__n"),
+            F.concat(acc["segs"], F.array(F.struct(
+                (acc["prev"] + 1).cast("int").alias("lo"),
+                F.col("__n").cast("int").alias("hi"),
+            ))),
+        ).otherwise(acc["segs"]),
     )
+    kept = F.flatten(F.transform(
+        segs,
+        lambda s: F.slice(F.col("__toks"), s["lo"], s["hi"] - s["lo"] + 1),
+    ))
     return with_ranges.select(
         F.col(id_col),
         F.col("__n").alias("n_tokens"),
@@ -384,9 +408,7 @@ def remove_dup_spans(
             F.lit(0),
             lambda acc, r: acc + (r["hi"] - r["lo"] + 1),
         ).alias("n_removed"),
-        F.concat_ws(
-            " ", F.transform(keep, lambda s: s["tok"])
-        ).alias("clean_text"),
+        F.concat_ws(" ", kept).alias("clean_text"),
     )
 
 

@@ -110,6 +110,7 @@ _ORDER = [
     "llm_search_after_compact",  # r12-new: append→compact lifecycle
     "stream_branch_wap",  # r12-new: streaming write-audit-publish
     "llm_dsir_weights",  # r12-new: DSIR importance resampling
+    "llm_token_count_bpe",  # r13-new: real BPE subword counts
     "llm_bm25_search",
     "llm_graph_pagerank",
     "agg_approx_sketches",

@@ -680,6 +680,114 @@ SQL_TOKEN_COUNT = (
 )
 
 
+def llm_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-accurate token counts (ops/tokenize.py, r13 — VERDICT r12
+    task #1): every doc encoded with the committed BPE fixture
+    (vocab.json + merges.txt, the public GPT-2 artifact shape) via the
+    Arrow-batched pandas UDF; whitespace count alongside for the
+    under-count comparison (~1.6× on this corpus).  ``ids_ck`` is the
+    POSITIONAL checksum Σ i·ids[i] computed JVM-side from the id array
+    — it pins token identity AND order, so a wrong merge order, a
+    dropped rank, or an off-by-one in the loop hash-mismatches.  The
+    oracle replays the exact merge loop as a DuckDB recursive CTE over
+    the same fixture (first occurrence of the min-rank adjacent pair
+    per step, § the tokenize.py spec)."""
+    from olive_spark.ops import tokenize
+
+    docs = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    enc = tokenize.bpe_encode(docs)
+    ids = F.col("token_ids")
+    ck = F.when(F.size(ids) == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.zip_with(
+                ids, F.sequence(F.lit(1), F.size(ids)),
+                lambda t, i: i.cast("long") * t.cast("long"),
+            ),
+            F.lit(0).cast("long"), lambda a, x: a + x,
+        )
+    )
+    return enc.select(
+        "doc_id",
+        F.size(textstats.tokens(F.col("text"))).alias("n_ws"),
+        F.col("n_tokens_bpe").alias("n_bpe"),
+        ck.alias("ids_ck"),
+    )
+
+
+def _sql_bpe_token_count() -> str:
+    """Build the recursive-CTE oracle from the SAME committed fixture
+    the Spark path encodes with: merges and vocab embed as MAP
+    literals; the CTE merges the first occurrence of the min-rank
+    adjacent pair per iteration until fixpoint — the tokenize.py spec,
+    replayed independently by DuckDB (encoding runs over DISTINCT
+    words, then joins back in word order for the positional
+    checksum)."""
+    from olive_spark.ops.tokenize import default_bpe
+
+    b = default_bpe()
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    mk = ", ".join(q(l + " " + r) for l, r in b["merges"])
+    mv = ", ".join(str(i) for i in range(len(b["merges"])))
+    vk = ", ".join(q(t) for t in b["vocab"])
+    vv = ", ".join(str(i) for i in b["vocab"].values())
+    return f"""
+WITH words AS (
+  SELECT doc_id, i AS widx, w[CAST(i AS INT)+1] AS word FROM (
+    SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS w
+    FROM documents), UNNEST(range(0, CAST(len(w) AS BIGINT))) AS u(i)
+),
+dw AS (SELECT DISTINCT word FROM words),
+init AS (SELECT word, string_split(word, '') || ['</w>'] AS s FROM dw),
+rec AS (
+  WITH RECURSIVE r(word, s, done) AS (
+    SELECT word, s, false FROM init
+    UNION ALL
+    SELECT word,
+      CASE WHEN b IS NULL THEN s
+           ELSE list_slice(s, 1, b.j - 1) || [s[b.j] || s[b.j + 1]]
+                || list_slice(s, b.j + 2, len(s)) END,
+      b IS NULL
+    FROM (
+      SELECT word, s,
+        list_sort(list_filter(list_transform(
+          range(1, CAST(len(s) AS BIGINT)),
+          j -> {{rk: coalesce(map_extract(MAP([{mk}], [{mv}]),
+                  s[CAST(j AS INT)] || ' ' || s[CAST(j AS INT) + 1])[1],
+                  2147483647),
+                j: CAST(j AS INT)}}),
+          x -> x.rk < 2147483647))[1] AS b
+      FROM r WHERE NOT done
+    )
+  )
+  SELECT word, s FROM r WHERE done
+),
+toks AS (
+  SELECT word, list_transform(s, x -> coalesce(
+    map_extract(MAP([{vk}], [{vv}]), x)[1], 0)) AS tids
+  FROM rec
+),
+per_doc AS (
+  SELECT w.doc_id, flatten(list(t.tids ORDER BY w.widx)) AS ids
+  FROM words w JOIN toks t USING (word) GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+  CAST(len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+                       x -> x <> '')) AS INT) AS n_ws,
+  CAST(coalesce(len(p.ids), 0) AS INT) AS n_bpe,
+  CAST(coalesce(list_sum(list_transform(
+    range(1, CAST(len(p.ids) AS BIGINT) + 1),
+    i -> i * p.ids[CAST(i AS INT)])), 0) AS BIGINT) AS ids_ck
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+SQL_TOKEN_COUNT_BPE = _sql_bpe_token_count()
+
+
 def llm_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """Composite training-data curation pipeline: quality gate (token/char
     bounds) → fingerprint dedup (keep lowest doc_id) → per-language doc
@@ -1035,6 +1143,7 @@ QUERIES: dict[str, tuple] = {
     "llm_lang_id": (llm_lang_id, SQL_LANG_ID),
     "llm_fingerprint": (llm_fingerprint, SQL_FINGERPRINT),
     "llm_token_count": (llm_token_count, SQL_TOKEN_COUNT),
+    "llm_token_count_bpe": (llm_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "llm_curation_pipeline": (llm_curation_pipeline, SQL_CURATION),
     "llm_dsir_weights": (llm_dsir_weights, SQL_DSIR_WEIGHTS),
     "mm_decode_meta": (mm_decode_meta, SQL_MM_DECODE),

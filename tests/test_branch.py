@@ -734,3 +734,43 @@ def test_branch_on_column_mapped_table(spark, tmp_path):
         r["value2"] for r in spark.read.format("olive").load(t).collect()
     )
     assert got2 == [i * 10 for i in range(15)]
+
+
+def test_delete_only_branch_publish_with_expect(spark, tmp_path):
+    """r13 (ADVICE r12): publish_branch with an expect= audit on a
+    DELETE-ONLY branch (no staged files, branch DVs present) must not
+    build an empty-file-list scan — there are zero branch rows to
+    audit, so the gate vacuously holds and the deletes publish."""
+    from olive_spark.ops import branch
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 12)
+    branch.create_branch(t, "delaud")
+    out = branch.delete_on_branch(spark, t, "delaud", "k % 3 = 0")
+    assert out["rows_deleted"] == 4
+    pub = branch.publish_branch(
+        spark, t, "delaud", expect={"v_nonneg": "v >= 0"}
+    )
+    assert pub["tag"] is not None and pub["files_published"] == 0
+    got = sorted(r["k"] for r in _live(spark, t).collect())
+    assert got == [k for k in range(12) if k % 3 != 0]
+
+
+def test_merge_on_branch_refuses_duplicate_source_keys(spark, tmp_path):
+    """r13 (ADVICE r12): a source with duplicate key tuples is refused
+    (standard MERGE semantics) instead of silently fanning out the
+    insert leg; the branch stays untouched."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops import branch
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 10)
+    branch.create_branch(t, "dupsrc")
+    dup = spark.range(0, 6).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") * 100).alias("v")
+    )  # keys 0,1,2 each appear twice
+    with pytest.raises(ValueError, match="duplicate key tuples"):
+        branch.merge_on_branch(spark, dup, t, "dupsrc", keys=["k"])
+    # branch untouched: preview still equals the base
+    assert branch.scan_branch(spark, t, "dupsrc").count() == 10

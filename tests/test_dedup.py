@@ -604,3 +604,144 @@ def test_remove_dup_spans_randomized_reference_parity(spark):
         assert got == want, (width, {
             k: (got[k], want[k]) for k in want if got.get(k) != want[k]
         })
+
+
+def _span_removal_model(docs, width):
+    """Pure-Python reference for remove_dup_spans: canonical =
+    lexicographic (id, offset) minimum per duplicated window; remove
+    every position covered by a non-canonical duplicated window."""
+    toks = {i: s.split() for i, s in docs}
+    occs: dict = {}
+    for i, ts in toks.items():
+        for k in range(len(ts) - width + 1):
+            occs.setdefault(" ".join(ts[k:k + width]), []).append((i, k))
+    want = {}
+    for i, ts in toks.items():
+        rm = set()
+        for os_ in occs.values():
+            if len(os_) < 2:
+                continue
+            owner = min(os_)
+            for d, k in os_:
+                if d == i and (d, k) != owner:
+                    rm.update(range(k, k + width))
+        kept = [t for p, t in enumerate(ts) if p not in rm]
+        want[i] = (len(ts), len(rm), " ".join(kept))
+    return want
+
+
+def _span_cov_model(docs, width):
+    """Pure-Python reference for substring_dup_spans at stride=1:
+    (n_frag, n_dup, dup_cov) per doc with >= width tokens."""
+    toks = {i: s.split() for i, s in docs}
+    count: dict = {}
+    for ts in toks.values():
+        for k in range(len(ts) - width + 1):
+            f = " ".join(ts[k:k + width])
+            count[f] = count.get(f, 0) + 1
+    want = {}
+    for i, ts in toks.items():
+        n = len(ts)
+        if n < width:
+            continue
+        cov: set = set()
+        ndup = 0
+        for k in range(n - width + 1):
+            if count[" ".join(ts[k:k + width])] >= 2:
+                ndup += 1
+                cov.update(range(k, k + width))
+        want[i] = (n - width + 1, ndup, len(cov) / n)
+    return want
+
+
+def test_remove_dup_spans_long_doc_many_runs(spark):
+    """r13 (VERDICT r12 watch item #1): a pathological LONG document
+    riddled with disjoint duplicated runs (ranges → n/stride) must
+    stay linear — the old exists()-per-position reconstruction was
+    O(n·ranges) inside one task (~3M interpreted ops here).  Pins
+    exact parity with the pure-Python reference on a 10⁴-token doc
+    carrying ~300 disjoint removal ranges."""
+    import time
+
+    from olive_spark.ops import dedup
+
+    width = 16
+    run = " ".join(f"R{j}" for j in range(width))
+    blocks = []
+    u = 0
+    for _ in range(312):                     # ~312 disjoint dup runs
+        blocks.append(" ".join(f"u{u + j}" for j in range(width)))
+        u += width
+        blocks.append(run)
+    long_doc = " ".join(blocks)              # 9,984 tokens
+    docs = [(0, run + " zz0 zz1"), (1, long_doc)]   # doc 0 owns the run
+    want = _span_removal_model(docs, width)
+    t0 = time.monotonic()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in dedup.remove_dup_spans(
+            spark.createDataFrame(docs, ["doc_id", "text"]), width=width
+        ).collect()
+    }
+    elapsed = time.monotonic() - t0
+    assert got == want
+    assert got[1][1] == 312 * width          # every long-doc copy excised
+    # loose wall bound: linear reconstruction finishes in seconds; the
+    # quadratic path took minutes on this layout
+    assert elapsed < 120, f"span removal took {elapsed:.0f}s — quadratic?"
+
+
+def test_span_family_adversarial_layouts(spark):
+    """r13 (VERDICT r12 task #7): randomized run-structured corpora —
+    docs are concatenations drawn from a small pool of shared runs plus
+    unique filler, which naturally produces NESTED repeats (a long run
+    containing a shorter shared run), ABUTTING dup runs, and cross-doc
+    repeats at arbitrary phases.  Both span ops must match the
+    pure-Python reference exactly on every layout."""
+    import random
+
+    from olive_spark.ops import dedup
+
+    rng = random.Random(20260816)
+    width = 5
+    for trial in range(3):
+        pool = [
+            [f"p{trial}_{r}_{j}" for j in range(rng.randrange(3, 18))]
+            for r in range(6)
+        ]
+        pool.append(pool[0] + pool[1])       # nested: contains two runs
+        docs = []
+        uniq = 0
+        for i in range(18):
+            parts: list = []
+            for _ in range(rng.randrange(1, 7)):
+                if rng.random() < 0.55:
+                    parts.extend(rng.choice(pool))      # shared run
+                else:
+                    n = rng.randrange(1, 8)
+                    parts.extend(f"q{uniq + j}" for j in range(n))
+                    uniq += n
+            if parts:
+                docs.append((i, " ".join(parts)))
+        want_rm = _span_removal_model(docs, width)
+        got_rm = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+            for r in dedup.remove_dup_spans(
+                spark.createDataFrame(docs, ["doc_id", "text"]),
+                width=width,
+            ).collect()
+        }
+        assert got_rm == want_rm, trial
+        want_cov = _span_cov_model(docs, width)
+        got_cov = {
+            r["doc_id"]: (r["n_frag"], r["n_dup"], r["dup_cov"])
+            for r in dedup.substring_dup_spans(
+                spark.createDataFrame(docs, ["doc_id", "text"]),
+                width=width,
+            ).collect()
+        }
+        assert set(got_cov) == set(want_cov), trial
+        for i, (nf, nd, cov) in want_cov.items():
+            gnf, gnd, gcov = got_cov[i]
+            assert (gnf, gnd) == (nf, nd), (trial, i)
+            assert gcov == pytest.approx(cov), (trial, i)

@@ -613,8 +613,12 @@ def test_version_at_timestamp_missing_ts_counts_old(tmp_path):
     assert snapshots.version_at_timestamp(d, 500.0) == 1
     assert snapshots.version_at_timestamp(d, 1000.0) == 2
 
-    # newest entry undated: pre-v2 instants resolve v1 (the dated
-    # commit), NEVER the undated v3; at/after ts2 still v2
+    # newest entry undated: pre-v2 instants resolve v1 (the dated v2
+    # at ts=1000 proves everything above it is newer than the cutoff),
+    # NEVER the undated v3.  An instant AFTER the last dated commit is
+    # AMBIGUOUS (r13, ADVICE r12): v3 has no dated ceiling, so it may
+    # well predate the cutoff too — serving v2 would be a silent stale
+    # read; fail loud like the all-undated case.
     d2 = str(tmp_path / "t2")
     os.makedirs(d2)
     log2 = {"entries": [
@@ -626,7 +630,8 @@ def test_version_at_timestamp_missing_ts_counts_old(tmp_path):
         json.dump(log2, f)
     assert snapshots.version_at_timestamp(d2, 100.0) == 1
     assert snapshots.version_at_timestamp(d2, 500.0) == 1
-    assert snapshots.version_at_timestamp(d2, 2000.0) == 2
+    with pytest.raises(ValidationError, match="ambiguous"):
+        snapshots.version_at_timestamp(d2, 2000.0)
     with pytest.raises(ValidationError):
         snapshots.version_at_timestamp(d2, 50.0)
 
