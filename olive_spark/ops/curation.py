@@ -330,6 +330,7 @@ def pack_sequences_sharded(
     shard_size: int = 100,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_tokens_col: "Column | None" = None,
 ) -> DataFrame:
     """Partition-wise sequence packing — the 100 TB variant of the
     global-cumsum packing in queries.pipeline.llm_pack_sequences.
@@ -359,13 +360,21 @@ def pack_sequences_sharded(
     edge regardless of corpus size.
 
     Returns (id_col, n_tokens, pack_id) per document.
+
+    ``n_tokens_col`` (r13): optional Column overriding the whitespace
+    token count — the model-accurate opt-in, e.g.
+    ``tokenize.bpe_token_count_col(df)`` for BPE subword packing.
     """
     if capacity < 1 or shard_size < 1:
         raise ValueError("capacity and shard_size must be >= 1")
+    n_tok = (
+        n_tokens_col if n_tokens_col is not None
+        else F.size(words(text_col))
+    )
     toks = df.select(
         F.col(id_col),
         F.floor(F.col(id_col) / shard_size).cast("long").alias("__shard"),
-        F.size(words(text_col)).alias("n_tokens"),
+        n_tok.cast("int").alias("n_tokens"),
     )
     # slim pre-pass: one row per shard; prefix over shards on the driver
     totals = toks.groupBy("__shard").agg(F.sum("n_tokens").alias("__total"))
@@ -430,6 +439,7 @@ def token_budget_mix(
     df: DataFrame, budget_per_source: int,
     text_col: str = "text", source_col: str = "source", id_col: str = "doc_id",
     hot_bucket_rows: int = 4_000_000,
+    n_tokens_col: "Column | None" = None,
 ) -> DataFrame:
     """Training-mixture sampling: per source, take documents in
     deterministic priority order (longest first, id as tiebreak) until
@@ -497,7 +507,13 @@ def token_budget_mix(
 
     budget = int(budget_per_source)
     hot = int(hot_bucket_rows)
-    n_tok = F.size(tokens(F.col(text_col)))
+    # n_tokens_col (r13): model-accurate opt-in — pass e.g.
+    # tokenize.bpe_token_count_col(df) to budget in BPE subwords
+    # instead of whitespace tokens
+    n_tok = (
+        n_tokens_col if n_tokens_col is not None
+        else F.size(tokens(F.col(text_col)))
+    )
     toks = df.select(source_col, id_col, n_tok.alias("n_tokens")).persist()
     sid = df.sparkSession.sparkContext.applicationId
     prev = _TOKS_PERSISTED.pop(sid, None)

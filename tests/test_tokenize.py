@@ -1,0 +1,181 @@
+"""BPE tokenizer (ops/tokenize.py): trainer determinism, artifact
+roundtrip, encoder invariants, Spark-UDF vs pure-Python parity, and
+the model-accurate opt-in into the curation ops."""
+
+from __future__ import annotations
+
+import random
+import string
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+
+
+def _rand_texts(rng, n, unicode_=False):
+    alpha = string.ascii_lowercase + string.digits
+    if unicode_:
+        alpha += "éüλ✓"
+    out = []
+    for _ in range(n):
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randrange(1, 12)))
+            for _ in range(rng.randrange(0, 20))
+        ]
+        out.append(" ".join(words))
+    return out
+
+
+def test_trainer_deterministic_and_roundtrip(tmp_path):
+    from olive_spark.ops import tokenize
+
+    rng = random.Random(7)
+    corpus = _rand_texts(rng, 50) + ["the the the cat cat sat"] * 5
+    a = tokenize.train_bpe(corpus, vocab_size=96)
+    b = tokenize.train_bpe(list(corpus), vocab_size=96)
+    assert a == b                           # deterministic
+    assert a["vocab"][tokenize.UNK] == 0
+    assert len(a["vocab"]) <= 96
+    # ids are dense and unique
+    ids = sorted(a["vocab"].values())
+    assert ids == list(range(len(ids)))
+    d = str(tmp_path / "bpe")
+    tokenize.save_bpe(a, d)
+    back = tokenize.load_bpe(d)
+    assert back["vocab"] == a["vocab"]
+    assert back["merges"] == a["merges"]
+
+
+def test_encoder_invariants_random(tmp_path):
+    """Symbols always reconstruct word + </w>; every merged symbol is
+    in the vocab; unknown chars hit <unk>; empty/None → []."""
+    from olive_spark.ops import tokenize
+
+    rng = random.Random(11)
+    bpe = tokenize.train_bpe(_rand_texts(rng, 80), vocab_size=128)
+    ranks = tokenize._ranks(bpe)
+    for w in {w for t in _rand_texts(rng, 40, unicode_=True)
+              for w in t.split()}:
+        syms = tokenize.encode_word(w, ranks)
+        assert "".join(syms) == w + tokenize.EOW
+    assert tokenize.encode_text("", bpe) == []
+    assert tokenize.encode_text(None, bpe) == []
+    assert tokenize.encode_text("   ", bpe) == []
+    # unknown char: unicode word vs ascii-trained vocab
+    ids = tokenize.encode_text("é", bpe)
+    assert 0 in ids
+
+
+def test_fixture_committed_and_reproducible():
+    """The committed fixture loads, has the documented shape, and the
+    builder script reproduces it byte-for-byte (no drift between the
+    artifact and the trainer)."""
+    import importlib.util
+    import os
+
+    from olive_spark.ops import tokenize
+
+    b = tokenize.default_bpe()
+    assert b["vocab"][tokenize.UNK] == 0
+    assert len(b["merges"]) > 50
+    spec = importlib.util.spec_from_file_location(
+        "build_bpe_fixture",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "build_bpe_fixture.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fresh = tokenize.train_bpe(mod.CORPUS, vocab_size=128)
+    assert fresh["vocab"] == b["vocab"]
+    assert fresh["merges"] == b["merges"]
+
+
+def test_spark_udf_matches_reference(spark):
+    """bpe_encode / bpe_token_count_col == the pure-Python spec encoder
+    on randomized strings (incl. empties and unknown chars)."""
+    from olive_spark.ops import tokenize
+
+    rng = random.Random(23)
+    texts = _rand_texts(rng, 60, unicode_=True) + ["", "   ", "scan scan"]
+    b = tokenize.default_bpe()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens_bpe"])
+        for r in tokenize.bpe_encode(df).collect()
+    }
+    cache: dict = {}
+    for i, t in enumerate(texts):
+        want = tokenize.encode_text(t, b, cache)
+        assert got[i] == (want, len(want)), i
+    cnt = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", tokenize.bpe_token_count_col(df).alias("n")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert cnt[i] == len(tokenize.encode_text(t, b, cache)), i
+
+
+def test_curation_bpe_opt_in(spark):
+    """token_budget_mix / pack_sequences_sharded accept the BPE count
+    column and reproduce the exact selection a pure-Python replay of
+    the same counts predicts."""
+    from olive_spark.ops import curation, tokenize
+
+    rng = random.Random(31)
+    rows = []
+    for i in range(40):
+        words = ["tokenization" if rng.random() < 0.5 else "scan"
+                 for _ in range(rng.randrange(1, 15))]
+        rows.append((i, "s%d" % (i % 2), " ".join(words)))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    b = tokenize.default_bpe()
+    cache: dict = {}
+    nb = {i: len(tokenize.encode_text(t, b, cache)) for i, _s, t in rows}
+
+    got = {
+        (r["source"], r["doc_id"]): (r["n_tokens"], r["cum_tokens"])
+        for r in curation.token_budget_mix(
+            df, 60, n_tokens_col=tokenize.bpe_token_count_col(df),
+        ).collect()
+    }
+    # pure-python replay: per source, longest-first then id, cut at 60
+    want = {}
+    for s in ("s0", "s1"):
+        docs = sorted(
+            [(i, nb[i]) for i, src, _t in rows if src == s],
+            key=lambda x: (-x[1], x[0]),
+        )
+        cum = 0
+        for i, n in docs:
+            if cum + n > 60:
+                break
+            cum += n
+            want[(s, i)] = (n, cum)
+    assert got == want
+
+    packs = {
+        r["doc_id"]: (r["n_tokens"], r["pack_id"])
+        for r in curation.pack_sequences_sharded(
+            df, capacity=64, shard_size=10,
+            n_tokens_col=tokenize.bpe_token_count_col(df),
+        ).collect()
+    }
+    assert {i for i, _s, _t in rows} == set(packs)
+    for i, _s, _t in rows:
+        assert packs[i][0] == nb[i], i
