@@ -80,6 +80,22 @@ def _txn_dir(coordinator: str) -> str:
     return os.path.join(coordinator, _TXN_DIR)
 
 
+def _drop_coord_ptr(path: str, txn_id: str, coordinator: str) -> None:
+    """Record the participant-side pointer to the coordinator BEFORE
+    any staged artifact lands (r12, ADVICE r11): the decision marker
+    lives only in the coordinator's ``_olive_txn/``, so without the
+    pointer a participant-side ``vacuum`` cannot tell a committed
+    transaction's staged files from pre-PREPARE debris."""
+    pdir = _txn_dir(path)
+    os.makedirs(pdir, exist_ok=True)
+    ptr = os.path.join(pdir, f"{txn_id}.coord.json")
+    with open(ptr + ".tmp", "w") as f:
+        json.dump({"coordinator": os.path.abspath(coordinator)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(ptr + ".tmp", ptr)
+
+
 def _stage_one(
     spark, path: str, df, table: str, txn_id: str,
     coordinator: "str | None" = None,
@@ -102,14 +118,7 @@ def _stage_one(
     from olive_spark.ops.maintenance import _partition_layout
 
     if coordinator is not None:
-        pdir = _txn_dir(path)
-        os.makedirs(pdir, exist_ok=True)
-        ptr = os.path.join(pdir, f"{txn_id}.coord.json")
-        with open(ptr + ".tmp", "w") as f:
-            json.dump({"coordinator": os.path.abspath(coordinator)}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(ptr + ".tmp", ptr)
+        _drop_coord_ptr(path, txn_id, coordinator)
     tmp = f"{path}.txn-{txn_id}"
     layout = _partition_layout(path) if os.path.isdir(path) else None
     w = df.write.format("olive").option("table", table)
@@ -159,15 +168,21 @@ def _stage_one(
         "table": table,
         "finals": finals,
         "stats": stats,
+        "txn": txn_id,
+        "op": "txn-append",
     }
 
 
 def _publish_one(part: dict, tag: str) -> bool:
     """PUBLISH one participant (idempotent): skip when the snapshot log
-    already carries the txn tag; otherwise activate staged files, merge
-    stats, and append the tagged snapshot entry — all under ONE hold of
-    the table's metadata commit lock so a concurrent append can't
-    interleave between activation and the log entry."""
+    already carries the txn tag; otherwise activate staged files AND
+    staged deletion vectors, merge stats, and append ONE tagged
+    snapshot entry — all under ONE hold of the table's metadata commit
+    lock so a concurrent append can't interleave between activation
+    and the log entry.  A mutation participant (``dvs`` non-empty)
+    lands its delete leg and its insert leg in the SAME entry — the
+    per-table commit is itself atomic, the cross-table marker makes
+    the group atomic."""
     from olive_spark.format.lock import metadata_commit_lock
     from olive_spark.format.manifest import merge_manifest
     from olive_spark.format.snapshots import _append_entry_locked, has_tag
@@ -186,14 +201,24 @@ def _publish_one(part: dict, tag: str) -> bool:
                     f"txn {tag}: staged file {final} missing in {path} — "
                     "cannot complete the committed transaction"
                 )
+        dvs = [tuple(p) for p in (part.get("dvs") or [])]
+        for _target, dv_rel in dvs:
+            stag = os.path.join(path, dv_rel) + ".staging"
+            if os.path.exists(stag):
+                os.replace(stag, os.path.join(path, dv_rel))
+            elif not os.path.exists(os.path.join(path, dv_rel)):
+                raise OSError(
+                    f"txn {tag}: staged DV {dv_rel} missing in {path} — "
+                    "cannot complete the committed transaction"
+                )
         try:
             merge_manifest(path, part.get("stats") or {})
         except OSError:
             pass  # stats are advisory; the scan falls back to headers
         _append_entry_locked(
             path, add=part["finals"], remove=(), reset=False,
-            tag=tag, max_entries=None, dv_add=(), dv_remove=(),
-            op="txn-append", params={"txn": tag},
+            tag=tag, max_entries=None, dv_add=tuple(dvs), dv_remove=(),
+            op=part.get("op", "txn-append"), params={"txn": tag},
         )
     _remove_coord_ptr(part)
     return True
@@ -201,18 +226,23 @@ def _publish_one(part: dict, tag: str) -> bool:
 
 def _remove_coord_ptr(part: dict) -> None:
     """Drop the participant-side coordinator pointer once the txn is
-    fully published or rolled back on this table (the id is parsed from
-    the staged names, ``txn-<id>-NNNNN.olive``)."""
-    finals = part.get("finals") or []
-    if not finals:
-        return
-    base = os.path.basename(finals[0])
-    parts = base.split("-")
-    if len(parts) < 3 or parts[0] != "txn":
-        return
+    fully published or rolled back on this table.  The id comes from
+    the participant record (``txn``, r13 — mutation slices may stage
+    only DVs) with the legacy staged-name parse
+    (``txn-<id>-NNNNN.olive``) as fallback for pre-r13 markers."""
+    txn_id = part.get("txn")
+    if not txn_id:
+        finals = part.get("finals") or []
+        if not finals:
+            return
+        base = os.path.basename(finals[0])
+        parts = base.split("-")
+        if len(parts) < 3 or parts[0] != "txn":
+            return
+        txn_id = parts[1]
     try:
         os.remove(
-            os.path.join(_txn_dir(part["path"]), f"{parts[1]}.coord.json")
+            os.path.join(_txn_dir(part["path"]), f"{txn_id}.coord.json")
         )
     except OSError:
         pass
@@ -222,6 +252,11 @@ def _rollback_one(part: dict) -> None:
     for final in part["finals"]:
         try:
             os.remove(os.path.join(part["path"], final + ".staging"))
+        except OSError:
+            pass
+    for _target, dv_rel in part.get("dvs") or []:
+        try:
+            os.remove(os.path.join(part["path"], dv_rel) + ".staging")
         except OSError:
             pass
     _remove_coord_ptr(part)
@@ -377,44 +412,184 @@ def recover_txns(spark, coordinator_path: str) -> dict:
     return out
 
 
-def multi_table_append(
-    spark, writes: "list[tuple[str, object]]", table: str = "data"
+def _stage_delete(
+    spark, path: str, condition: str, table: str, txn_id: str,
+    coordinator: str,
 ) -> dict:
-    """Append several DataFrames to several olive tables as ONE atomic
-    transaction: either every table gains its rows (one tagged snapshot
-    version each) or none does, under crashes at any point.  The first
-    table coordinates (its ``_olive_txn/`` dir holds the decision
-    marker); its advisory write lock serializes concurrent transactions
-    on the same coordinator and fences recovery.
+    """PREPARE a staged DELETE slice (r13, VERDICT r12 task #2): one
+    merge-on-read deletion vector per affected file, written straight
+    from executors into ``_olive_dv/<rel>/txn-<id>-dv.dv.staging`` —
+    inert until PUBLISH renames the suffix away and folds the
+    ``dv_add`` pairs into the tagged snapshot entry.  The ``txn-``
+    run prefix keeps vacuum's participant interlock working on the
+    DV sidecars exactly as it does on staged chunk files.  Positions
+    come from a live posColumn scan (existing DVs fold first), valid
+    for the txn's lifetime because :func:`multi_table_txn` holds every
+    participant's table write lock across PREPARE→PUBLISH."""
+    from pyspark.sql import functions as F
 
-    Returns ``{"txn": id, "tables": {path: version}}``."""
+    from olive_spark.format.snapshots import list_live_files
+    from olive_spark.ops.maintenance import _stage_dv_positions
+
+    _drop_coord_ptr(path, txn_id, coordinator)
+    staged: list = []
+    if list_live_files(path):
+        fc, pc = "_olive_file", "_olive_pos"
+        scan = (
+            spark.read.format("olive")
+            .option("table", table)
+            .option("fileColumn", fc)
+            .option("posColumn", pc)
+            .load(path)
+        )
+        staged = _stage_dv_positions(
+            scan.filter(F.expr(condition)).select(fc, pc),
+            fc, pc, path, f"txn-{txn_id}-dv", table=table,
+        )
+    return {
+        "path": os.path.abspath(path),
+        "table": table,
+        "finals": [],
+        "stats": {},
+        "dvs": [[f, dv] for f, dv, _n in staged],
+        "rows_deleted": int(sum(n for _f, _d, n in staged)),
+        "txn": txn_id,
+        "op": "txn-delete",
+    }
+
+
+def _stage_merge(
+    spark, path: str, src_df, keys: "list[str]", table: str,
+    txn_id: str, coordinator: str,
+) -> dict:
+    """PREPARE a staged MERGE slice: delete-and-insert upsert — rows
+    whose key tuple appears in the source are DV-deleted (staged), the
+    whole source stages as an append; PUBLISH lands both legs in ONE
+    tagged snapshot entry.  Duplicate source key tuples are refused
+    (standard MERGE semantics, same rule as branch.merge_on_branch)."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.format.snapshots import list_live_files
+    from olive_spark.ops.maintenance import _stage_dv_positions
+
+    if (
+        src_df.groupBy(*keys).count()
+        .filter(F.col("count") > 1).limit(1).count()
+    ):
+        raise ValueError(
+            f"multi_table_txn merge: source for {path} has duplicate "
+            f"key tuples on {keys} — MERGE requires at most one source "
+            "row per key"
+        )
+    _drop_coord_ptr(path, txn_id, coordinator)
+    staged: list = []
+    if list_live_files(path):
+        fc, pc = "_olive_file", "_olive_pos"
+        scan = (
+            spark.read.format("olive")
+            .option("table", table)
+            .option("fileColumn", fc)
+            .option("posColumn", pc)
+            .load(path)
+        )
+        matched = scan.join(
+            src_df.select(*keys).dropDuplicates(list(keys)),
+            on=list(keys), how="left_semi",
+        ).select(fc, pc)
+        staged = _stage_dv_positions(
+            matched, fc, pc, path, f"txn-{txn_id}-dv", table=table,
+        )
+    part = _stage_one(
+        spark, path, src_df, table, txn_id, coordinator=coordinator,
+    )
+    part["dvs"] = [[f, dv] for f, dv, _n in staged]
+    part["rows_deleted"] = int(sum(n for _f, _d, n in staged))
+    part["op"] = "txn-merge"
+    return part
+
+
+def multi_table_txn(
+    spark, ops: "list[dict]", table: str = "data"
+) -> dict:
+    """ONE atomic commit spanning several tables where each slice is an
+    APPEND, a DELETE, or a MERGE (r13, VERDICT r12 task #2 — the
+    generalization :func:`multi_table_append` is now a facade over).
+    Either every table lands its mutation (one tagged snapshot version
+    each, delete + insert legs of a merge in the SAME entry) or none
+    does, under crashes at any point — same marker protocol, same
+    crash matrix, same group-root cut for opted-in readers.
+
+    ``ops``: ``[{"path": t, "op": "append", "df": df},
+    {"path": u, "op": "delete", "condition": "k < 0"},
+    {"path": v, "op": "merge", "df": src, "keys": ["k"]}]``
+    (``op`` defaults to ``"append"``; per-op ``"table"`` overrides the
+    shared table name).  The first op's path coordinates.
+
+    Locking: any transaction containing a mutation holds EVERY
+    participant's table write lock (sorted acquisition — deadlock
+    free) from PREPARE through PUBLISH: staged DV positions are valid
+    only against the staging-time row grid, and a concurrent
+    compact/merge on a participant would silently re-point them.
+    Pure-append transactions keep the coordinator-only lock (appends
+    commute; unchanged pre-r13 concurrency).
+
+    Returns ``{"txn", "tables": {path: version},
+    "rows_deleted": {path: n}}``."""
+    from contextlib import ExitStack
+
     from olive_spark.datasource import register_olive
     from olive_spark.format.lock import table_write_lock
     from olive_spark.format.snapshots import current_version
 
-    if not writes:
-        raise ValueError("multi_table_append: writes must be non-empty")
-    paths = [os.path.abspath(p) for p, _df in writes]
+    if not ops:
+        raise ValueError("multi_table_txn: ops must be non-empty")
+    norm = []
+    for o in ops:
+        kind = o.get("op", "append")
+        if kind not in ("append", "delete", "merge"):
+            raise ValueError(f"multi_table_txn: unknown op {kind!r}")
+        if kind in ("append", "merge") and o.get("df") is None:
+            raise ValueError(f"multi_table_txn: {kind} needs 'df'")
+        if kind == "delete" and not o.get("condition"):
+            raise ValueError("multi_table_txn: delete needs 'condition'")
+        if kind == "merge" and not o.get("keys"):
+            raise ValueError("multi_table_txn: merge needs 'keys'")
+        norm.append({**o, "op": kind, "path": os.path.abspath(o["path"])})
+    paths = [o["path"] for o in norm]
     if len(set(paths)) != len(paths):
         raise ValueError(
-            "multi_table_append: duplicate table paths in one "
-            "transaction — union the frames instead"
+            "multi_table_txn: duplicate table paths in one "
+            "transaction — combine the slices instead"
         )
     register_olive(spark)
     coordinator = paths[0]
     txn_id = uuid.uuid4().hex
     tag = f"txn-{txn_id}"
-    with table_write_lock(coordinator):
+    has_mutation = any(o["op"] != "append" for o in norm)
+    with ExitStack() as stack:
+        lock_paths = sorted(set(paths)) if has_mutation else [coordinator]
+        for p in lock_paths:
+            stack.enter_context(table_write_lock(p))
         recover_txns(spark, coordinator)
         participants = []
         try:
-            for (path, df) in writes:
-                participants.append(
-                    _stage_one(
-                        spark, os.path.abspath(path), df, table, txn_id,
+            for o in norm:
+                t = o.get("table", table)
+                if o["op"] == "append":
+                    participants.append(_stage_one(
+                        spark, o["path"], o["df"], t, txn_id,
                         coordinator=coordinator,
-                    )
-                )
+                    ))
+                elif o["op"] == "delete":
+                    participants.append(_stage_delete(
+                        spark, o["path"], o["condition"], t, txn_id,
+                        coordinator,
+                    ))
+                else:
+                    participants.append(_stage_merge(
+                        spark, o["path"], o["df"], list(o["keys"]), t,
+                        txn_id, coordinator,
+                    ))
                 _crash_point("mid_prepare")
         except Exception:
             for part in participants:
@@ -441,5 +616,40 @@ def multi_table_append(
         os.remove(committed)
     return {
         "txn": txn_id,
-        "tables": {p["path"]: current_version(p["path"]) for p in participants},
+        "tables": {
+            p["path"]: current_version(p["path"]) for p in participants
+        },
+        "rows_deleted": {
+            p["path"]: int(p.get("rows_deleted", 0)) for p in participants
+        },
     }
+
+
+def multi_table_append(
+    spark, writes: "list[tuple[str, object]]", table: str = "data"
+) -> dict:
+    """Append several DataFrames to several olive tables as ONE atomic
+    transaction: either every table gains its rows (one tagged snapshot
+    version each) or none does, under crashes at any point.  The first
+    table coordinates (its ``_olive_txn/`` dir holds the decision
+    marker); its advisory write lock serializes concurrent transactions
+    on the same coordinator and fences recovery.
+
+    Facade over :func:`multi_table_txn` (r13) with the pre-r13
+    signature and return shape.
+
+    Returns ``{"txn": id, "tables": {path: version}}``."""
+    if not writes:
+        raise ValueError("multi_table_append: writes must be non-empty")
+    paths = [os.path.abspath(p) for p, _df in writes]
+    if len(set(paths)) != len(paths):
+        raise ValueError(
+            "multi_table_append: duplicate table paths in one "
+            "transaction — union the frames instead"
+        )
+    out = multi_table_txn(
+        spark,
+        [{"path": p, "op": "append", "df": df} for p, df in writes],
+        table=table,
+    )
+    return {"txn": out["txn"], "tables": out["tables"]}

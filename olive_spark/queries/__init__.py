@@ -80,6 +80,7 @@ _RAW: dict[str, tuple] = {
 _ORDER = [
     "scan_roundtrip_lineitem",
     "scan_txn_group_cut",
+    "scan_txn_mutation_cut",  # r13-new: MERGE/DELETE txn slices
     "scan_branch_mutation",
     "llm_dedup_substring",
     "llm_dedup_span_removal",  # r12-new: Lee et al. span excision

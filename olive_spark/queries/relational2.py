@@ -1139,6 +1139,101 @@ SQL_TXN_GROUP_CUT = (
 )
 
 
+def scan_txn_mutation_cut(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-table transactional MUTATIONS (ops/txn.multi_table_txn —
+    r13, VERDICT r12 task #2): slices can be MERGE/DELETE, not just
+    appends.  The fixture runs one COMPLETED mutation txn (a DELETE on
+    each table — establishes the group root at the post-delete cut),
+    then a second mutation txn (MERGE into A + DELETE on B) that
+    CRASHES between the two publishes — live state is torn (A carries
+    the merge, B kept its rows), but group reads resolve through the
+    root pointer and must serve BOTH tables exactly as of the completed
+    transaction.  The oracle recomputes that cut from the base events
+    table; a group read that leaked the torn merge or missed the
+    committed delete's DVs hash-mismatches."""
+    import os as _os
+
+    from olive_spark.datasource import register_olive
+    from olive_spark.ops import txn as _txn
+
+    register_olive(spark)
+    root = data.ensure_olive(sf)
+    a = _os.path.join(root, "txn_mut_even")
+    b = _os.path.join(root, "txn_mut_odd")
+    marker = _os.path.join(root, "_TXN_MUT_OK")
+    if not _os.path.exists(marker):
+        ev = data.load(
+            spark, sf, "events",
+            columns=["event_id", "user_id", "event_type"],
+        )
+        even = ev.filter(F.col("user_id") % 2 == 0)
+        odd = ev.filter(F.col("user_id") % 2 == 1)
+        even.write.format("olive").mode("append").save(a)
+        odd.write.format("olive").mode("append").save(b)
+        # txn 1 COMPLETES: a DELETE slice on each table — the root now
+        # points at the post-delete cut (merge-on-read DVs, one tagged
+        # entry per table)
+        _txn.multi_table_txn(spark, [
+            {"path": a, "op": "delete", "condition": "event_id % 5 = 0"},
+            {"path": b, "op": "delete", "condition": "event_id % 5 = 1"},
+        ])
+
+        class _Torn(RuntimeError):
+            pass
+
+        def _die():
+            raise _Torn()
+
+        # txn 2 dies between A's publish and B's: A's live state now
+        # carries the merge, B's delete never lands — the torn state
+        # the group cut must mask
+        src = (
+            even.filter(F.col("event_id") % 7 == 0)
+            .withColumn("event_type", F.lit("merged"))
+        )
+        _txn._CRASH_HOOKS["mid_publish"] = _die
+        try:
+            _txn.multi_table_txn(spark, [
+                {"path": a, "op": "merge", "df": src,
+                 "keys": ["event_id"]},
+                {"path": b, "op": "delete",
+                 "condition": "event_id % 7 = 0"},
+            ])
+        except _Torn:
+            pass
+        finally:
+            _txn._CRASH_HOOKS.clear()
+        with open(marker, "w") as f:
+            f.write("ok")
+    na = (
+        _txn.scan_txn_group(spark, a, a)
+        .groupBy("event_type").agg(F.count("*").alias("n_even"))
+    )
+    nb = (
+        _txn.scan_txn_group(spark, a, b)
+        .groupBy("event_type").agg(F.count("*").alias("n_odd"))
+    )
+    return na.join(nb, "event_type", "full").select(
+        "event_type",
+        F.coalesce("n_even", F.lit(0)).alias("n_even"),
+        F.coalesce("n_odd", F.lit(0)).alias("n_odd"),
+    )
+
+
+SQL_TXN_MUTATION_CUT = (
+    # the completed cut: A = even users minus event_id%5=0,
+    # B = odd users minus event_id%5=1; the crashed txn's merge and
+    # delete must be invisible to the group read
+    "SELECT event_type, "
+    "  COUNT(CASE WHEN user_id % 2 = 0 AND event_id % 5 <> 0 "
+    "        THEN 1 END) AS n_even, "
+    "  COUNT(CASE WHEN user_id % 2 = 1 AND event_id % 5 <> 1 "
+    "        THEN 1 END) AS n_odd "
+    "FROM events GROUP BY event_type "
+    "HAVING n_even > 0 OR n_odd > 0"
+)
+
+
 def _ensure_wap_events(spark, sf: str) -> str:
     """Build the wap_events demo table once per cache: seed 3/4 of
     events as a plain append, stage the rest on a branch, audit,
@@ -2900,6 +2995,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "scan_multi_table_txn": (scan_multi_table_txn, SQL_MULTI_TABLE_TXN),
     "scan_txn_group_cut": (scan_txn_group_cut, SQL_TXN_GROUP_CUT),
+    "scan_txn_mutation_cut": (scan_txn_mutation_cut, SQL_TXN_MUTATION_CUT),
     "scan_branch_wap": (scan_branch_wap, SQL_BRANCH_WAP),
     "scan_branch_mutation": (scan_branch_mutation, SQL_BRANCH_MUTATION),
     "scan_snapshot_history": (scan_snapshot_history, SQL_SNAPSHOT_HISTORY),

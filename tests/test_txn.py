@@ -518,3 +518,204 @@ def test_vacuum_heals_txns_before_sweeping_staging(spark, tmp_path):
     assert out.get("txns", {}).get("rolled_back") == 1
     assert _count(spark, a) == 20
     assert not [f for f in os.listdir(a) if f.endswith(".staging")]
+
+
+def _vals(spark, path):
+    return sorted(
+        r["k"] for r in spark.read.format("olive").load(path).collect()
+    )
+
+
+def test_multi_table_txn_mutations_happy_path(spark, tmp_path):
+    """r13 (VERDICT r12 task #2): one transaction mixing MERGE,
+    DELETE, and APPEND slices — every table lands exactly one tagged
+    snapshot entry, the merge's delete+insert legs share that entry,
+    and the group root moves to the post state."""
+    from olive_spark.format.snapshots import load_log
+    from olive_spark.ops import txn
+
+    a, b, c = (str(tmp_path / n) for n in "abc")
+    _seed(spark, a, 0, 10, "a")       # merge target
+    _seed(spark, b, 0, 20, "b")       # delete target
+    _seed(spark, c, 0, 5, "c")        # append target
+    src = _mk(spark, 5, 15, "new")    # upsert keys 5..14 (5..9 exist)
+    out = txn.multi_table_txn(spark, [
+        {"path": a, "op": "merge", "df": src, "keys": ["k"]},
+        {"path": b, "op": "delete", "condition": "k % 4 = 0"},
+        {"path": c, "op": "append", "df": _mk(spark, 5, 8, "c")},
+    ])
+    assert _vals(spark, a) == list(range(15))
+    got_a = {
+        r["k"]: r["v"]
+        for r in spark.read.format("olive").load(a).collect()
+    }
+    assert got_a[7] == "new-7" and got_a[3] == "a-3"   # upserted vs kept
+    assert _vals(spark, b) == [k for k in range(20) if k % 4 != 0]
+    assert _count(spark, c) == 8
+    assert out["rows_deleted"] == {
+        os.path.abspath(a): 5, os.path.abspath(b): 5,
+        os.path.abspath(c): 0,
+    }
+    tag = "txn-" + out["txn"]
+    for p, op in ((a, "txn-merge"), (b, "txn-delete"), (c, "txn-append")):
+        entries = [e for e in load_log(p)["entries"]
+                   if e.get("tag") == tag]
+        assert len(entries) == 1, p
+        assert entries[0].get("op") == op
+    # merge entry carries BOTH legs: added files and dv adds
+    e = [e for e in load_log(a)["entries"] if e.get("tag") == tag][0]
+    assert e["add"] and e.get("dv_add")
+    # no staging debris anywhere
+    for p in (a, b, c):
+        assert not [
+            f for r, _d, fs in os.walk(p) for f in fs
+            if f.endswith(".staging")
+        ], p
+    # group root reflects the post state for all three
+    vers = txn.group_versions(a)
+    for p in (a, b, c):
+        assert vers[os.path.abspath(p)] == out["tables"][os.path.abspath(p)]
+
+
+@pytest.mark.parametrize("phase", [
+    "mid_prepare", "after_prepare", "after_decide", "mid_publish",
+    "after_root",
+])
+def test_txn_mutation_crash_matrix(spark, tmp_path, phase):
+    """Crash-inject a MERGE+DELETE transaction at every protocol
+    phase: pre-DECIDE crashes leave both tables byte-identical
+    (rollback removes staged chunks AND staged DVs); post-DECIDE
+    crashes complete idempotently via recovery."""
+    from olive_spark.ops import txn
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _seed(spark, a, 0, 10, "a")
+    _seed(spark, b, 0, 20, "b")
+    pre_a, pre_b = _vals(spark, a), _vals(spark, b)
+    txn._CRASH_HOOKS[phase] = _boom
+    try:
+        with pytest.raises(Boom):
+            txn.multi_table_txn(spark, [
+                {"path": a, "op": "merge",
+                 "df": _mk(spark, 5, 15, "new"), "keys": ["k"]},
+                {"path": b, "op": "delete", "condition": "k >= 15"},
+            ])
+    finally:
+        txn._CRASH_HOOKS.clear()
+    healed = txn.recover_txns(spark, a)
+    if phase in ("mid_prepare", "after_prepare"):
+        assert _vals(spark, a) == pre_a
+        assert _vals(spark, b) == pre_b
+        assert healed["completed"] == 0
+    else:
+        assert healed == {
+            "rolled_back": 0,
+            "completed": 0 if phase == "after_root" else 1,
+        } or healed["completed"] <= 1
+        assert _vals(spark, a) == list(range(15))
+        assert _vals(spark, b) == list(range(15))
+        # recovery is idempotent
+        again = txn.recover_txns(spark, a)
+        assert again == {"rolled_back": 0, "completed": 0}
+        assert _vals(spark, a) == list(range(15))
+    # never any staged leftovers after heal (chunks or DVs)
+    for p in (a, b):
+        assert not [
+            f for r, _d, fs in os.walk(p) for f in fs
+            if f.endswith(".staging")
+        ], (phase, p)
+
+
+def test_txn_mutation_group_cut_masks_torn_state(spark, tmp_path):
+    """A transaction that crashed between the two publishes leaves a
+    torn LIVE state (A mutated, B not) — scan_txn_group must serve
+    the all-pre cut: the delete's DVs and the merge's inserts are
+    invisible until the root swaps."""
+    from olive_spark.ops import txn
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _seed(spark, a, 0, 10, "a")
+    _seed(spark, b, 0, 20, "b")
+    # one completed txn establishes the root
+    txn.multi_table_txn(spark, [
+        {"path": a, "op": "append", "df": _mk(spark, 10, 12, "a")},
+        {"path": b, "op": "delete", "condition": "k = 19"},
+    ])
+    txn._CRASH_HOOKS["mid_publish"] = _boom
+    try:
+        with pytest.raises(Boom):
+            txn.multi_table_txn(spark, [
+                {"path": a, "op": "merge",
+                 "df": _mk(spark, 11, 14, "new"), "keys": ["k"]},
+                {"path": b, "op": "delete", "condition": "k >= 10"},
+            ])
+    finally:
+        txn._CRASH_HOOKS.clear()
+    # live A already shows the merge, live B does not: torn
+    assert _vals(spark, a) == list(range(14))
+    assert _vals(spark, b) == list(range(19))
+    # group cut: all-pre on BOTH
+    ga = sorted(r["k"] for r in txn.scan_txn_group(spark, a, a).collect())
+    gb = sorted(r["k"] for r in txn.scan_txn_group(spark, a, b).collect())
+    assert ga == list(range(12))
+    assert gb == list(range(19))
+    # heal → all-post everywhere
+    txn.recover_txns(spark, a)
+    ga = sorted(r["k"] for r in txn.scan_txn_group(spark, a, a).collect())
+    gb = sorted(r["k"] for r in txn.scan_txn_group(spark, a, b).collect())
+    assert ga == list(range(14))
+    assert gb == list(range(10))
+
+
+def test_txn_merge_refuses_duplicate_source_keys(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops import txn
+
+    a = str(tmp_path / "a")
+    _seed(spark, a, 0, 10, "a")
+    dup = spark.range(0, 4).select(
+        (F.col("id") % 2).alias("k"), F.lit("x").alias("v")
+    )
+    with pytest.raises(ValueError, match="duplicate key tuples"):
+        txn.multi_table_txn(spark, [
+            {"path": a, "op": "merge", "df": dup, "keys": ["k"]},
+        ])
+    assert _count(spark, a) == 10
+    assert not [
+        f for r, _d, fs in os.walk(a) for f in fs
+        if f.endswith(".staging")
+    ]
+
+
+def test_vacuum_heals_mutation_txn_dv_staging(spark, tmp_path):
+    """A committed-but-unpublished DELETE slice leaves txn-named DV
+    staging sidecars on the participant; vacuum must resolve them
+    through the coordinator pointer and PUBLISH (heal), never sweep."""
+    from olive_spark.ops import txn
+    from olive_spark.ops.maintenance import vacuum
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _seed(spark, a, 0, 10, "a")
+    _seed(spark, b, 0, 20, "b")
+    txn._CRASH_HOOKS["mid_publish"] = _boom   # A publishes, B does not
+    try:
+        with pytest.raises(Boom):
+            txn.multi_table_txn(spark, [
+                {"path": a, "op": "append", "df": _mk(spark, 10, 12, "a")},
+                {"path": b, "op": "delete", "condition": "k >= 10"},
+            ])
+    finally:
+        txn._CRASH_HOOKS.clear()
+    assert _vals(spark, b) == list(range(20))   # delete not yet live
+    staged = [
+        f for r, _d, fs in os.walk(b) for f in fs
+        if f.endswith(".dv.staging")
+    ]
+    assert staged and all(f.startswith("txn-") for f in staged)
+    out = vacuum(b, txn_grace_seconds=0.0)
+    assert out["txn_staging_published"] >= 1
+    assert _vals(spark, b) == list(range(10))   # healed, delete live
+    # coordinator marker still belongs to the coordinator's recovery
+    txn.recover_txns(spark, a)
+    assert _vals(spark, b) == list(range(10))
