@@ -184,6 +184,70 @@ def append_index(
     return {**meta, "appended": int(n_new), "healed": int(n_healed)}
 
 
+def ingest_with_lsh_index(
+    spark,
+    corpus_path: str,
+    batch: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    table: str = "data",
+) -> dict:
+    """ATOMIC corpus+LSH-index ingest (r13, VERDICT r12 task #2):
+    append ``batch`` to the snapshot-logged corpus AND its signature /
+    band rows to both index legs as ONE multi-table transaction
+    (ops/txn.multi_table_txn) — a crash at ANY phase leaves
+    all-or-nothing across the three tables.
+
+    This replaces, for the ingest path, the bespoke machinery the
+    other index families need: no ordering contract (sigs-before-
+    bands), no orphan heal, no idempotent-OR trick — the generalized
+    two-phase protocol provides the atomicity the Bloom path
+    (bloom_index.ingest_with_bloom_index) hand-rolls.  ``append_index``
+    remains for non-transactional callers and still heals pre-r13
+    half-landed states.
+
+    Ids already indexed are skipped (idempotent re-ingest).  The meta
+    doc count is advisory and self-healing (recomputed from the sigs
+    leg, same as append_index), so its post-txn write needs no
+    transactional cover."""
+    from olive_spark.datasource import register_olive
+    from olive_spark.ops.txn import multi_table_txn
+
+    register_olive(spark)
+    meta = load_meta(index_dir)
+    if meta["id_col"] != id_col:
+        raise ValueError(
+            f"index id_col is {meta['id_col']!r}, got {id_col!r}"
+        )
+    sigs_path = os.path.join(index_dir, "sigs")
+    bands_path = os.path.join(index_dir, "bands")
+    stored_sigs = spark.read.format("olive").load(sigs_path)
+    fresh = batch.join(
+        stored_sigs.select(id_col), id_col, "left_anti"
+    ).persist()
+    try:
+        n_new = fresh.count()
+        if n_new == 0:
+            return {**meta, "appended": 0, "txn": None}
+        new_sigs = minhash_signatures(fresh, text_col, id_col)
+        out = multi_table_txn(spark, [
+            {"path": corpus_path, "op": "append", "df": fresh,
+             "table": table},
+            {"path": sigs_path, "op": "append", "df": new_sigs},
+            {"path": bands_path, "op": "append",
+             "df": band_hashes(new_sigs, id_col)},
+        ])
+    finally:
+        fresh.unpersist()
+    meta["n_docs"] = int(
+        spark.read.format("olive").load(sigs_path).count()
+    )
+    meta["build_id"] = uuid.uuid4().hex
+    _write_meta(index_dir, meta)
+    return {**meta, "appended": int(n_new), "txn": out["txn"]}
+
+
 def probe_index(
     spark,
     query: DataFrame,

@@ -112,6 +112,7 @@ _ORDER = [
     "stream_branch_wap",  # r12-new: streaming write-audit-publish
     "llm_dsir_weights",  # r12-new: DSIR importance resampling
     "llm_token_count_bpe",  # r13-new: real BPE subword counts
+    "llm_lsh_ingest_txn",  # r13-new: atomic corpus+LSH ingest via txn
     "llm_bm25_search",
     "llm_graph_pagerank",
     "agg_approx_sketches",

@@ -680,6 +680,71 @@ SQL_TOKEN_COUNT = (
 )
 
 
+def llm_lsh_ingest_txn(spark: SparkSession, sf: str) -> DataFrame:
+    """Atomic corpus+LSH-index ingest (ops/lsh_index.
+    ingest_with_lsh_index riding ops/txn.multi_table_txn — r13,
+    VERDICT r12 task #2): the fixture seeds corpus+index with
+    doc_id % 3 != 0, transactionally ingests the remaining third with
+    a crash injected BETWEEN participant publishes (corpus landed,
+    index legs not — the torn state the bespoke Bloom path needed
+    hand-rolled idempotent redo for), then heals via recover_txns.
+    The gate: corpus rows, signature rows, and distinct banded doc ids
+    must all equal the FULL documents count — a lost index leg, a
+    double publish, or an unhealed tear shifts a count and
+    hash-mismatches against the oracle's replay from the base table."""
+    import os as _os
+
+    from olive_spark.ops import lsh_index, txn as _txn
+
+    docs = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    root = data.ensure_olive(sf)
+    corpus = _os.path.join(root, "lsh_txn_corpus")
+    idx = _os.path.join(root, "lsh_txn_idx")
+    marker = _os.path.join(root, "_LSH_TXN_OK")
+    if not _os.path.exists(marker):
+        seed = docs.filter(F.col("doc_id") % 3 != 0)
+        seed.write.format("olive").mode("append").save(corpus)
+        lsh_index.build_lsh_index(spark, seed, idx)
+        batch = docs.filter(F.col("doc_id") % 3 == 0)
+
+        class _Torn(RuntimeError):
+            pass
+
+        def _die():
+            raise _Torn()
+
+        _txn._CRASH_HOOKS["mid_publish"] = _die
+        try:
+            lsh_index.ingest_with_lsh_index(spark, corpus, batch, idx)
+        except _Torn:
+            pass
+        finally:
+            _txn._CRASH_HOOKS.clear()
+        _txn.recover_txns(spark, corpus)
+        with open(marker, "w") as f:
+            f.write("ok")
+    ca = (
+        spark.read.format("olive").load(corpus)
+        .agg(F.count("*").alias("n_corpus"))
+    )
+    sa = (
+        spark.read.format("olive").load(_os.path.join(idx, "sigs"))
+        .agg(F.count("*").alias("n_sigs"))
+    )
+    ba = (
+        spark.read.format("olive").load(_os.path.join(idx, "bands"))
+        .select("doc_id").distinct()
+        .agg(F.count("*").alias("n_band_docs"))
+    )
+    return ca.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(ba))
+
+
+SQL_LSH_INGEST_TXN = (
+    "SELECT COUNT(*) AS n_corpus, COUNT(*) AS n_sigs, "
+    "COUNT(*) AS n_band_docs FROM documents"
+)
+
+
 def llm_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
     """Model-accurate token counts (ops/tokenize.py, r13 — VERDICT r12
     task #1): every doc encoded with the committed BPE fixture
@@ -1144,6 +1209,7 @@ QUERIES: dict[str, tuple] = {
     "llm_fingerprint": (llm_fingerprint, SQL_FINGERPRINT),
     "llm_token_count": (llm_token_count, SQL_TOKEN_COUNT),
     "llm_token_count_bpe": (llm_token_count_bpe, SQL_TOKEN_COUNT_BPE),
+    "llm_lsh_ingest_txn": (llm_lsh_ingest_txn, SQL_LSH_INGEST_TXN),
     "llm_curation_pipeline": (llm_curation_pipeline, SQL_CURATION),
     "llm_dsir_weights": (llm_dsir_weights, SQL_DSIR_WEIGHTS),
     "mm_decode_meta": (mm_decode_meta, SQL_MM_DECODE),

@@ -180,3 +180,70 @@ def test_geometry_guard(spark, tmp_path, corpus_rows):
     json.dump(meta, open(os.path.join(idx, "_lsh_meta.json"), "w"))
     with pytest.raises(ValueError, match="geometry"):
         load_meta(idx)
+
+
+@pytest.mark.parametrize("phase", [
+    "mid_prepare", "after_prepare", "after_decide", "mid_publish",
+])
+def test_ingest_with_lsh_index_crash_matrix(
+    spark, tmp_path, corpus_rows, phase
+):
+    """r13 (VERDICT r12 task #2): the atomic corpus+LSH ingest rides
+    multi_table_txn — a crash at any protocol phase leaves corpus,
+    sigs, and bands ALL-PRE (rollback) or ALL-POST (recovery), never
+    a corpus row without its band rows or vice versa."""
+    import os
+
+    from olive_spark.ops import lsh_index, txn
+
+    base = [r for r in corpus_rows if r[0] < 30]
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    _frame(spark, base).write.format("olive").mode("append").save(corpus)
+    lsh_index.build_lsh_index(spark, _frame(spark, base), idx)
+    batch = _frame(spark, [(200 + i, _doc(50 + i)) for i in range(8)])
+
+    class Boom(RuntimeError):
+        pass
+
+    def _boom():
+        raise Boom()
+
+    txn._CRASH_HOOKS[phase] = _boom
+    try:
+        with pytest.raises(Boom):
+            lsh_index.ingest_with_lsh_index(spark, corpus, batch, idx)
+    finally:
+        txn._CRASH_HOOKS.clear()
+    txn.recover_txns(spark, corpus)
+
+    def counts():
+        c = spark.read.format("olive").load(corpus).count()
+        s = spark.read.format("olive").load(
+            os.path.join(idx, "sigs")).count()
+        b = spark.read.format("olive").load(
+            os.path.join(idx, "bands")).select("doc_id").distinct().count()
+        return c, s, b
+
+    if phase in ("mid_prepare", "after_prepare"):
+        assert counts() == (30, 30, 30)
+    else:
+        assert counts() == (38, 38, 38)
+    # no staging debris in any of the three tables
+    for p in (corpus, os.path.join(idx, "sigs"), os.path.join(idx, "bands")):
+        assert not [
+            f for _r, _d, fs in os.walk(p) for f in fs
+            if f.endswith(".staging")
+        ], (phase, p)
+    # a committed ingest is idempotently skippable, and probe serves
+    # the healed index
+    out = lsh_index.ingest_with_lsh_index(spark, corpus, batch, idx)
+    if phase in ("mid_prepare", "after_prepare"):
+        assert out["appended"] == 8
+    else:
+        assert out["appended"] == 0
+    hits = lsh_index.probe_index(
+        spark, _frame(spark, [(999, _doc(50, mutate=1))]), idx,
+        threshold=0.5,
+    ).collect()
+    assert any(r["corpus_id"] == 200 for r in hits)
