@@ -659,9 +659,176 @@ def _finish_publish(path: str, txn: dict) -> None:
             pass  # idempotent redo after a crash mid-cleanup
 
 
+def _replacement_files(path: str, rel: str, base_version: int) -> list:
+    """Transitive replacement set of base file ``rel``: walk the
+    snapshot log AFTER the branch's base version; whenever a commit
+    removes a file of the current set, its rows can only have moved
+    into that commit's added files (compaction/merge/delete rewrite
+    semantics) — union them in and keep walking.  Returns the
+    still-LIVE members (a superset of where ``rel``'s rows now sit;
+    the content join narrows it)."""
+    from olive_spark.format.snapshots import list_live_files, load_log
+
+    current = {rel}
+    entries = sorted(
+        load_log(path).get("entries", []), key=lambda e: int(e["v"])
+    )
+    for e in entries:
+        if int(e["v"]) <= int(base_version):
+            continue
+        removed = set(e.get("remove") or ())
+        if removed & current:
+            current = (current - removed) | set(e.get("add") or ())
+    return sorted(current & set(list_live_files(path)))
+
+
+def rebase_branch(spark, path: str, name: str) -> dict:
+    """Re-key the branch's base-file deletion vectors after a
+    concurrent rewrite (r13, VERDICT r12 task #4 — the Iceberg
+    rebase/cherry-pick move): for every branch DV whose target base
+    file was compacted/merged away since staging, recover the DELETED
+    ROWS from the original file (history read at the branch's base DV
+    state), locate the same rows in the rewrite's replacement files by
+    CONTENT (the engine's CDF is a content diff — there is no
+    positional row map, so the bridge is the full-row JSON key with a
+    per-key occurrence rank: deterministic pairing even under
+    duplicate rows), and stage fresh branch DVs at the new positions.
+    One ref read-modify-write then drops the stale records and adds
+    the re-keyed ones — crash before it leaves only unrecorded blob
+    debris that dies with the branch dir.
+
+    Rows whose content no longer exists live (a concurrent
+    delete_where already removed them) are DROPPED from the branch
+    delete — the branch wanted them gone and they are gone; the count
+    returns as ``rows_already_gone``.  Requires the rewritten file in
+    ``_olive_history/`` (``retain_history=True`` rewrites); a vacuumed
+    history fails loud — re-stage on a fresh branch.
+
+    Scale shape: per conflicted file, two single-file provenance scans
+    (original at base DV state, with/without the branch DV) and one
+    scan of the bounded replacement set; the pairing join shuffles on
+    the content key — cost ∝ rewritten data, never table size.  The
+    default publish still REFUSES on conflicts; rebase is the explicit
+    opt-in (``publish_branch(..., rebase=True)``)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from olive_spark.datasource import register_olive
+    from olive_spark.format.lock import table_write_lock
+    from olive_spark.format.snapshots import (
+        current_version, dv_state_at, list_live_files,
+    )
+
+    register_olive(spark)
+    fc, pc = "_olive_file", "_olive_pos"
+    with table_write_lock(path):
+        ref = _load_ref(path, name)
+        prefix = os.path.join(_BRANCH_DIR, name) + os.sep
+        live_now = set(list_live_files(path))
+        conflicts = sorted(
+            t for t in (ref.get("dvs") or {})
+            if not t.startswith(prefix) and t not in live_now
+        )
+        if not conflicts:
+            return {"branch": name, "targets_rebased": 0,
+                    "rows_rebased": 0, "rows_already_gone": 0}
+        base_dv = dv_state_at(path, ref["base_version"]) \
+            if ref["base_version"] else {}
+        live_dv = dv_state_at(path, current_version(path))
+        run = f"rebase-{uuid.uuid4().hex[:8]}"
+
+        def _scan(files, dvs):
+            return (
+                spark.read.format("olive")
+                .option("table", ref["table"])
+                .option("files", ",".join(files))
+                .option("dvs", json.dumps(
+                    {t: v for t, v in dvs.items() if t in set(files)}
+                ))
+                .option("fileColumn", fc)
+                .option("posColumn", pc)
+                .load(path)
+            )
+
+        # ONE global pairing pass across every conflicted target (a
+        # compact can merge several old files into one replacement;
+        # per-target pairing would collide on duplicate content and
+        # per-target staging would overwrite blobs): deleted rows =
+        # the conflicted files at base DV state MINUS the same scan
+        # with the branch DVs folded on top
+        both = dict(base_dv)
+        for t in conflicts:
+            both[t] = sorted(
+                list(both.get(t, [])) + list(ref["dvs"][t])
+            )
+        all_rows = _scan(conflicts, base_dv)
+        kept = _scan(conflicts, both)
+        cols = [c for c in all_rows.columns if c not in (fc, pc)]
+        key = F.to_json(F.struct(*[F.col(c) for c in cols]))
+        deleted = (
+            all_rows.join(kept.select(fc, pc), [fc, pc], "left_anti")
+            .select(
+                key.alias("__key"),
+                F.col(fc).alias("__tgt"),
+                F.col(pc).alias("__opos"),
+            )
+        )
+        wd = Window.partitionBy("__key").orderBy("__tgt", "__opos")
+        dr = deleted.withColumn("__rk", F.row_number().over(wd))
+        n_deleted = dr.count()
+        repl = sorted(set().union(*[
+            set(_replacement_files(path, t, ref["base_version"]))
+            for t in conflicts
+        ]))
+        if not repl or n_deleted == 0:
+            staged = []
+        else:
+            new_rows = _scan(repl, live_dv).select(
+                key.alias("__key"), F.col(fc), F.col(pc)
+            )
+            wn = Window.partitionBy("__key").orderBy(fc, pc)
+            nr = new_rows.withColumn("__rk", F.row_number().over(wn))
+            matched = nr.join(
+                dr.select("__key", "__rk"), ["__key", "__rk"]
+            ).select(fc, pc)
+            staged = _stage_branch_dvs(
+                matched, fc, pc, path, name, run, ref["table"],
+            )
+        rows_rebased = int(sum(n for _t, _d, n in staged))
+        rows_gone = int(n_deleted - rows_rebased)
+        _crash_point("rebase_staged")
+        # ONE ref RMW: drop every stale record + its blobs, add the
+        # re-keyed ones
+        from olive_spark.format.lock import metadata_commit_lock
+
+        with metadata_commit_lock(path):
+            ref = _load_ref(path, name)
+            dvs = {t: list(n) for t, n in (ref.get("dvs") or {}).items()}
+            stale_blobs: list = []
+            for target in conflicts:
+                stale_blobs.extend(dvs.pop(target, []))
+            for t_new, dv_rel, _n in staged:
+                if dv_rel not in dvs.setdefault(t_new, []):
+                    dvs[t_new].append(dv_rel)
+            ref["dvs"] = {t: sorted(n) for t, n in dvs.items()}
+            _write_ref(path, name, ref)
+        for b in stale_blobs:
+            try:
+                os.remove(os.path.join(path, b))
+            except OSError:
+                pass
+    return {
+        "branch": name,
+        "targets_rebased": len(conflicts),
+        "rows_rebased": int(rows_rebased),
+        "rows_already_gone": int(rows_gone),
+    }
+
+
 def publish_branch(
     spark, path: str, name: str,
     expect: "dict[str, str] | None" = None,
+    rebase: bool = False,
 ) -> dict:
     """Fast-forward the branch into the live table as ONE tagged
     snapshot commit (the "P" of WAP).  Appends staged on the branch
@@ -672,7 +839,11 @@ def publish_branch(
     ``expect`` ({rule_name: sql_bool_expr}) is the AUDIT gate: every
     expression must hold on EVERY branch row; violations refuse the
     publish with per-rule counts and leave the branch intact for
-    inspection (:class:`BranchAuditError`)."""
+    inspection (:class:`BranchAuditError`).
+
+    ``rebase=True`` (r13): when branch DVs target base files rewritten
+    since staging, re-key them through :func:`rebase_branch` first
+    instead of refusing — the refusal stays the default."""
     from pyspark.sql import functions as F
 
     from olive_spark.datasource import register_olive
@@ -681,6 +852,10 @@ def publish_branch(
     register_olive(spark)
     with table_write_lock(path):
         recover_branch_publishes(path)
+        if rebase:
+            # opt-in (r13): re-key DVs whose base files were rewritten
+            # since staging; the refusal below stays the default path
+            rebase_branch(spark, path, name)
         ref = _load_ref(path, name)
         if not ref["files"] and not ref.get("dvs"):
             # nothing staged (no files, no branch DVs): dropping the

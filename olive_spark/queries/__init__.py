@@ -82,6 +82,7 @@ _ORDER = [
     "scan_txn_group_cut",
     "scan_txn_mutation_cut",  # r13-new: MERGE/DELETE txn slices
     "scan_branch_mutation",
+    "scan_branch_rebase",  # r13-new: DV re-key across concurrent rewrite
     "llm_dedup_substring",
     "llm_dedup_span_removal",  # r12-new: Lee et al. span excision
     "scan_time_travel_timestamp",

@@ -1389,6 +1389,62 @@ SQL_BRANCH_MUTATION = (
 )
 
 
+def scan_branch_rebase(spark: SparkSession, sf: str) -> DataFrame:
+    """Branch REBASE (ops/branch.rebase_branch — r13, VERDICT r12 task
+    #4): the audit-fix-publish loop on a HOT table.  The fixture seeds
+    all events, stages a delete on a branch (event_id % 9 = 0), then a
+    CONCURRENT compact rewrites every base file the branch DVs target
+    AND a concurrent live delete removes part of the branch's own
+    target set (event_id % 9 = 0 AND user_id % 10 = 3 — rows the
+    rebase must classify already-gone, not double-count).  The default
+    publish refuses (pinned in tests); ``publish_branch(rebase=True)``
+    re-keys the DVs through the rewrite's content bridge and lands the
+    delete on the new row grid.  The oracle replays the end state as
+    plain SQL: events minus the %9 set — a rebase that re-pointed a DV
+    at the wrong duplicate, lost a row, or resurrected an
+    already-deleted one hash-mismatches."""
+    import os as _os
+
+    from olive_spark.datasource import register_olive
+    from olive_spark.ops import branch as _branch
+    from olive_spark.ops.maintenance import compact, delete_where
+
+    register_olive(spark)
+    root = data.ensure_olive(sf)
+    t = _os.path.join(root, "branch_rebase_events")
+    marker = _os.path.join(root, "_BRANCH_REBASE_OK")
+    if not _os.path.exists(marker):
+        ev = data.load(
+            spark, sf, "events",
+            columns=["event_id", "user_id", "event_type"],
+        )
+        ev.filter(F.col("event_id") % 2 == 0).write.format("olive") \
+            .mode("append").save(t)
+        ev.filter(F.col("event_id") % 2 == 1).write.format("olive") \
+            .mode("append").save(t)
+        _branch.create_branch(t, "fix")
+        _branch.delete_on_branch(spark, t, "fix", "event_id % 9 = 0")
+        # concurrent rewrite + concurrent overlapping live delete
+        compact(spark, t, retain_history=True)
+        delete_where(
+            spark, t, "event_id % 9 = 0 AND user_id % 10 = 3",
+            mode="rewrite", retain_history=True,
+        )
+        _branch.publish_branch(spark, t, "fix", rebase=True)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return (
+        spark.read.format("olive").load(t)
+        .groupBy("event_type").agg(F.count("*").alias("n"))
+    )
+
+
+SQL_BRANCH_REBASE = (
+    "SELECT event_type, COUNT(*) AS n FROM events "
+    "WHERE event_id % 9 <> 0 GROUP BY event_type"
+)
+
+
 def reshape_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     """Unpivot/melt: wide per-part numeric columns to long (attr, val)
     rows — the inverse of agg_pivot_status."""
@@ -2998,6 +3054,7 @@ QUERIES: dict[str, tuple] = {
     "scan_txn_mutation_cut": (scan_txn_mutation_cut, SQL_TXN_MUTATION_CUT),
     "scan_branch_wap": (scan_branch_wap, SQL_BRANCH_WAP),
     "scan_branch_mutation": (scan_branch_mutation, SQL_BRANCH_MUTATION),
+    "scan_branch_rebase": (scan_branch_rebase, SQL_BRANCH_REBASE),
     "scan_snapshot_history": (scan_snapshot_history, SQL_SNAPSHOT_HISTORY),
     "scan_after_merge_upsert": (scan_after_merge_upsert, SQL_AFTER_MERGE),
     "scan_merge_time_travel": (scan_merge_time_travel, SQL_MERGE_TIME_TRAVEL),

@@ -774,3 +774,133 @@ def test_merge_on_branch_refuses_duplicate_source_keys(spark, tmp_path):
         branch.merge_on_branch(spark, dup, t, "dupsrc", keys=["k"])
     # branch untouched: preview still equals the base
     assert branch.scan_branch(spark, t, "dupsrc").count() == 10
+
+
+def test_rebase_branch_after_compact_then_publish(spark, tmp_path):
+    """r13 (VERDICT r12 task #4): a branch delete whose base files were
+    compacted away re-keys through rebase_branch — the default publish
+    still refuses, publish(rebase=True) lands the delete on the
+    rewritten row grid."""
+    from olive_spark.ops import branch
+    from olive_spark.ops.maintenance import compact
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 10)
+    _seed(spark, t, 10, 20)
+    branch.create_branch(t, "fx")
+    out = branch.delete_on_branch(spark, t, "fx", "k IN (3, 7, 15)")
+    assert out["rows_deleted"] == 3
+    compact(spark, t, retain_history=True)
+    with pytest.raises(branch.BranchAuditError, match="rewritten"):
+        branch.publish_branch(spark, t, "fx")
+    pub = branch.publish_branch(spark, t, "fx", rebase=True)
+    assert pub["tag"] is not None
+    got = sorted(r["k"] for r in _live(spark, t).collect())
+    assert got == [k for k in range(20) if k not in (3, 7, 15)]
+
+
+def test_rebase_branch_duplicate_rows_count_correct(spark, tmp_path):
+    """The content bridge pairs duplicate rows by per-key occurrence
+    rank: a branch that deleted ONE copy of a duplicated row still
+    deletes exactly one copy after the rewrite."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops import branch
+    from olive_spark.ops.maintenance import compact
+
+    t = str(tmp_path / "t")
+    # three identical (k=1, v=10) rows + distinct fillers, two files
+    df1 = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 20)], ["k", "v"])
+    df2 = spark.createDataFrame(
+        [(1, 10), (3, 30), (4, 40)], ["k", "v"])
+    df1.coalesce(1).write.format("olive").mode("append").save(t)
+    df2.coalesce(1).write.format("olive").mode("append").save(t)
+    branch.create_branch(t, "dup")
+    # delete exactly the two copies living in file 1 (positions 0,1)
+    from olive_spark.datasource import register_olive
+
+    register_olive(spark)
+    fc, pc = "_olive_file", "_olive_pos"
+    first_file = sorted(
+        r[fc] for r in spark.read.format("olive")
+        .option("fileColumn", fc).load(t).select(fc).distinct().collect()
+    )[0]
+    scan = (
+        spark.read.format("olive").option("fileColumn", fc)
+        .option("posColumn", pc).load(t)
+    )
+    matched = scan.filter(
+        (F.col(fc) == first_file) & (F.col("k") == 1)
+    ).select(fc, pc)
+    from olive_spark.ops.branch import _record_branch_dvs, _stage_branch_dvs
+
+    staged = _stage_branch_dvs(matched, fc, pc, t, "dup", "r0", "data")
+    assert sum(n for _t, _d, n in staged) == 2
+    _record_branch_dvs(t, "dup", staged)
+    compact(spark, t, retain_history=True)
+    out = branch.rebase_branch(spark, t, "dup")
+    assert out["rows_rebased"] == 2 and out["rows_already_gone"] == 0
+    branch.publish_branch(spark, t, "dup")
+    rows = sorted(
+        (r["k"], r["v"]) for r in _live(spark, t).collect()
+    )
+    assert rows == [(1, 10), (2, 20), (3, 30), (4, 40)]
+
+
+def test_rebase_branch_drops_already_gone_rows(spark, tmp_path):
+    """Rows the branch deleted that a concurrent live delete_where
+    ALSO removed rebase to nothing — reported as already-gone, the
+    rest of the branch delete lands."""
+    from olive_spark.ops import branch
+    from olive_spark.ops.maintenance import delete_where
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 12)
+    branch.create_branch(t, "fx")
+    branch.delete_on_branch(spark, t, "fx", "k IN (2, 5, 9)")
+    # concurrent live delete removes k=5 (rewrite mode forces the
+    # file swap, so the branch DV target vanishes)
+    delete_where(spark, t, "k = 5", mode="rewrite", retain_history=True)
+    out = branch.rebase_branch(spark, t, "fx")
+    assert out["rows_rebased"] == 2
+    assert out["rows_already_gone"] == 1
+    branch.publish_branch(spark, t, "fx")
+    got = sorted(r["k"] for r in _live(spark, t).collect())
+    assert got == [k for k in range(12) if k not in (2, 5, 9)]
+
+
+def test_rebase_branch_crash_before_record_is_redoable(spark, tmp_path):
+    """Crash after staging the re-keyed DVs but BEFORE the ref RMW:
+    the ref still holds the stale conflicted records (publish still
+    refuses), the staged blobs are unrecorded debris, and a re-run
+    rebase completes cleanly."""
+    from olive_spark.ops import branch
+    from olive_spark.ops.maintenance import compact
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, 0, 10)
+    _seed(spark, t, 10, 20)
+    branch.create_branch(t, "fx")
+    branch.delete_on_branch(spark, t, "fx", "k IN (4, 14)")
+    compact(spark, t, retain_history=True)
+
+    class Boom(RuntimeError):
+        pass
+
+    def _boom():
+        raise Boom()
+
+    branch._CRASH_HOOKS["rebase_staged"] = _boom
+    try:
+        with pytest.raises(Boom):
+            branch.rebase_branch(spark, t, "fx")
+    finally:
+        branch._CRASH_HOOKS.clear()
+    with pytest.raises(branch.BranchAuditError, match="rewritten"):
+        branch.publish_branch(spark, t, "fx")
+    out = branch.rebase_branch(spark, t, "fx")
+    assert out["rows_rebased"] == 2
+    branch.publish_branch(spark, t, "fx")
+    got = sorted(r["k"] for r in _live(spark, t).collect())
+    assert got == [k for k in range(20) if k not in (4, 14)]
