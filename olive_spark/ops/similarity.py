@@ -697,6 +697,58 @@ def ivf_index_drift(
     }
 
 
+def rebuild_ivf_index_if_needed(
+    spark, index_dir: str, rebuild_threshold: float = 0.05,
+    corpus=None, corpus_version: "int | None" = None,
+) -> dict:
+    """Wire the drift gauge to the re-train (r13, VERDICT r12 task #6):
+    run :func:`ivf_index_drift`; when it recommends a rebuild, re-train
+    the centroids with :func:`build_ivf_index` and return the fresh
+    meta, otherwise return the gauge verdict with ``rebuilt: False`` —
+    the schedulable nightly "check, and pay for the rebuild only when
+    recall is actually at risk" verb.
+
+    ``corpus``: the vector source for the re-train.  At 100 TB pass
+    the live corpus DataFrame (the source of truth); when omitted, the
+    index's own assignments table is snapshotted to a scratch parquet
+    under the index dir first — build_ivf_index OVERWRITES assignments,
+    and lazily reading the table being overwritten would corrupt the
+    rebuild.  ``corpus_version`` defaults to the meta's recorded
+    version (the corpus didn't change, only the geometry)."""
+    import json as _json
+    import os
+    import shutil as _sh
+
+    drift = ivf_index_drift(spark, index_dir, rebuild_threshold)
+    if not drift["rebuild_recommended"]:
+        return {"rebuilt": False, **drift}
+    with open(os.path.join(index_dir, _IVF_META)) as f:
+        meta = _json.load(f)
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    ver = corpus_version if corpus_version is not None \
+        else meta.get("corpus_version")
+    scratch = None
+    if corpus is None:
+        scratch = os.path.join(index_dir, "rebuild-src-tmp")
+        (
+            spark.read.format("olive")
+            .load(os.path.join(index_dir, "assignments"))
+            .select(id_col, vec_col)
+            .write.mode("overwrite").parquet(scratch)
+        )
+        corpus = spark.read.parquet(scratch)
+    try:
+        new_meta = build_ivf_index(
+            spark, corpus, index_dir,
+            n_centroids=int(meta["n_centroids"]),
+            vec_col=vec_col, id_col=id_col, corpus_version=ver,
+        )
+    finally:
+        if scratch is not None:
+            _sh.rmtree(scratch, ignore_errors=True)
+    return {"rebuilt": True, "pre_drift": drift["drift"], **new_meta}
+
+
 def ivf_topk_indexed(
     spark,
     index_dir: str,

@@ -285,6 +285,37 @@ def compact_text_index(
     }
 
 
+def compact_text_index_if_needed(
+    spark, index_dir: str, max_file_ratio: float = 2.0,
+    n_files: "int | None" = None,
+) -> dict:
+    """Threshold-scheduled re-clustering (r13, VERDICT r12 task #6 —
+    the text-index sibling of ``maintenance.compact_if_needed``): run
+    :func:`compact_text_index` when the live posting chunk-file count
+    has grown past ``max_file_ratio`` × the index's target file count
+    (every ``append_text_index`` adds files clustered only among
+    themselves, so file growth IS range-overlap growth — a term lookup
+    opens proportionally more files until compaction restores the
+    disjoint global clustering).
+
+    The check is one directory listing — no Spark job on the no-op
+    path, so a scheduler can call it after every append for free.
+    Returns ``{"compacted": False, ...}`` or the compaction's result
+    dict with ``compacted: True``."""
+    from olive_spark.datasource.olive_datasource import _list_chunk_files
+
+    meta = load_meta(index_dir)
+    target = int(meta["n_files"])
+    live = len(_list_chunk_files(_pdir(index_dir, meta)))
+    if live <= max(target, int(float(max_file_ratio) * target)):
+        return {
+            "compacted": False, "files_live": live,
+            "files_target": target, "ratio": live / max(1, target),
+        }
+    out = compact_text_index(spark, index_dir, n_files=n_files)
+    return {**out, "compacted": True, "files_live": live}
+
+
 def search_tokens(
     spark,
     index_dir: str,

@@ -541,3 +541,85 @@ def test_ivf_pq_residual_beats_raw_encoding(spark, tmp_path):
     assert r_res > r_raw, (r_res, r_raw)
     assert r_res >= 0.68, (r_res, r_raw)
     assert r_raw >= 0.45, r_raw
+
+
+def test_rebuild_ivf_index_if_needed(spark, tmp_path):
+    """r13 (VERDICT r12 task #6): drift gauge wired to the re-train —
+    healthy index returns rebuilt=False untouched; a drifted index
+    re-trains (fresh build_id + baseline, drift back to ~0, scratch
+    snapshot removed, no pending marker), and the served top-k still
+    honors the index contract."""
+    import json
+    import os
+
+    import numpy as np
+
+    from olive_spark.ops import similarity
+    from olive_spark.queries import data
+
+    corpus = data.load(spark, SF, "embeddings", columns=["vec_id", "embedding"])
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(spark, corpus, idx, corpus_version=1)
+    with open(os.path.join(idx, "_ivf_meta.json")) as f:
+        build0 = json.load(f)["build_id"]
+    out = similarity.rebuild_ivf_index_if_needed(spark, idx)
+    assert out["rebuilt"] is False
+    with open(os.path.join(idx, "_ivf_meta.json")) as f:
+        assert json.load(f)["build_id"] == build0
+
+    # force drift: orthogonalize a copy of every vector against its
+    # assigned centroid (the drift-gauge test's recipe)
+    cents = sorted(
+        ((r["centroid_id"], np.array(r["centroid_vec"], dtype=float))
+         for r in spark.read.format("olive")
+         .load(os.path.join(idx, "centroids")).collect()),
+        key=lambda t: t[0],
+    )
+    cmat = np.array([v for _, v in cents])
+    cmat = cmat / np.maximum(
+        np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300
+    )
+    shifted_rows = []
+    for r in corpus.collect():
+        v = np.array(r["embedding"], dtype=float)
+        nv = v / max(np.linalg.norm(v), 1e-300)
+        best = cmat[(cmat @ nv).argmax()]
+        w = v - (v @ best) * best
+        if np.linalg.norm(w) < 1e-9:
+            w = np.roll(best, 1) - best * (np.roll(best, 1) @ best)
+        shifted_rows.append(
+            (int(r["vec_id"]) + 1_000_000, [float(x) for x in w])
+        )
+    similarity.append_ivf_index(
+        spark,
+        spark.createDataFrame(
+            shifted_rows, "vec_id bigint, embedding array<double>"
+        ),
+        idx, corpus_version=2,
+    )
+    drift = similarity.ivf_index_drift(spark, idx)["drift"]
+    assert drift > 1e-6
+    out = similarity.rebuild_ivf_index_if_needed(
+        spark, idx, rebuild_threshold=drift / 2,
+    )
+    assert out["rebuilt"] is True and out["pre_drift"] > 0
+    with open(os.path.join(idx, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["build_id"] not in (build0,)
+    assert not os.path.exists(os.path.join(idx, "_ivf_append.pending"))
+    assert not os.path.exists(os.path.join(idx, "rebuild-src-tmp"))
+    d2 = similarity.ivf_index_drift(spark, idx)
+    assert abs(d2["drift"]) < 1e-9
+    assert d2["n_rows"] == 2 * corpus.count()
+    # the rebuilt index still serves: exact top-1 self-match
+    probe = corpus.limit(1).collect()[0]
+    hits = similarity.ivf_topk_indexed(
+        spark, idx,
+        spark.createDataFrame(
+            [(999_999_999, list(probe["embedding"]))],
+            "vec_id bigint, embedding array<double>",
+        ),
+        k=1, n_probe=16, expect_corpus_version=2,
+    ).collect()
+    assert hits and hits[0]["neighbor_id"] == probe["vec_id"]
+    assert hits[0]["cosine"] > 0.999

@@ -437,3 +437,42 @@ def test_phrase_search_after_append_keeps_positions(spark, tmp_path):
         for r in search_tokens(spark, idx, ["delta"], "all").collect()
     )
     assert hit_ids == [3]
+
+
+def test_compact_text_index_if_needed_threshold(spark, tmp_path, docs_rows):
+    """r13 (VERDICT r12 task #6): the schedulable trigger — no-op
+    below the file-growth threshold (one dir listing, no Spark job),
+    compacts above it, idempotent afterwards, search unchanged."""
+    from olive_spark.ops.text_index import (
+        append_text_index,
+        build_text_index,
+        compact_text_index_if_needed,
+        load_meta,
+        search_tokens,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_text_index(spark, _frame(spark, docs_rows[:100]), idx, n_files=4)
+    out = compact_text_index_if_needed(spark, idx, max_file_ratio=1.5)
+    assert out["compacted"] is False
+    before_build = load_meta(idx)["build_id"]
+    for b in range(3):
+        extra = [(3000 + b * 100 + i, t)
+                 for i, t in docs_rows[100 + b * 30: 130 + b * 30]]
+        append_text_index(spark, _frame(spark, extra), idx)
+    want = sorted(
+        r["doc_id"]
+        for r in search_tokens(spark, idx, ["w03"], "all").collect()
+    )
+    out = compact_text_index_if_needed(spark, idx, max_file_ratio=1.5)
+    assert out["compacted"] is True
+    assert out["files_after"] <= out["files_live"]
+    assert load_meta(idx)["build_id"] != before_build
+    # idempotent: freshly compacted index is back under threshold
+    out2 = compact_text_index_if_needed(spark, idx, max_file_ratio=1.5)
+    assert out2["compacted"] is False
+    got = sorted(
+        r["doc_id"]
+        for r in search_tokens(spark, idx, ["w03"], "all").collect()
+    )
+    assert got == want
