@@ -133,6 +133,10 @@ HEADLINE = [
     "llm_search_after_compact",       # r12: text-index re-cluster serve
     "llm_dedup_span_removal",         # r12: Lee et al. span excision
     "llm_dsir_weights",               # r12: DSIR importance resampling
+    "llm_token_count_bpe",            # r13: real-BPE subword counts
+    "scan_txn_mutation_cut",          # r13: MERGE/DELETE txn group cut
+    "scan_branch_rebase",             # r13: DV re-key across rewrite
+    "llm_lsh_ingest_txn",             # r13: atomic corpus+LSH ingest
 ]
 
 

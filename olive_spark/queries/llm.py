@@ -779,14 +779,15 @@ def llm_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_bpe_token_count() -> str:
-    """Build the recursive-CTE oracle from the SAME committed fixture
-    the Spark path encodes with: merges and vocab embed as MAP
-    literals; the CTE merges the first occurrence of the min-rank
-    adjacent pair per iteration until fixpoint — the tokenize.py spec,
-    replayed independently by DuckDB (encoding runs over DISTINCT
-    words, then joins back in word order for the positional
-    checksum)."""
+def _bpe_cte() -> str:
+    """The shared recursive-CTE replay of the BPE merge loop, built
+    from the SAME committed fixture the Spark path encodes with:
+    merges and vocab embed as MAP literals; the CTE merges the first
+    occurrence of the min-rank adjacent pair per iteration until
+    fixpoint — the tokenize.py spec, replayed independently by DuckDB
+    (encoding runs over DISTINCT words, then joins back in word order).
+    Ends with ``per_doc(doc_id, ids)``; consumers append their own
+    final SELECT."""
     from olive_spark.ops.tokenize import default_bpe
 
     b = default_bpe()
@@ -838,7 +839,10 @@ toks AS (
 per_doc AS (
   SELECT w.doc_id, flatten(list(t.tids ORDER BY w.widx)) AS ids
   FROM words w JOIN toks t USING (word) GROUP BY w.doc_id
-)
+)"""
+
+
+SQL_TOKEN_COUNT_BPE = _bpe_cte() + """
 SELECT d.doc_id,
   CAST(len(list_filter(string_split_regex(trim(d.text), '\\s+'),
                        x -> x <> '')) AS INT) AS n_ws,
@@ -850,7 +854,43 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
-SQL_TOKEN_COUNT_BPE = _sql_bpe_token_count()
+def llm_budget_mix_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """The BPE opt-in END-TO-END (r13, VERDICT r12 task #1): the same
+    per-source longest-first token-budget mix as llm_token_budget_mix,
+    but budgeted in REAL subword tokens — ``token_budget_mix(...,
+    n_tokens_col=bpe_token_count_col(df))``.  BPE counts run ~1.6× the
+    whitespace counts on this corpus, so the same 800-token budget
+    selects a visibly different document set; the oracle recomputes
+    the counts through the recursive-CTE merge-loop replay and applies
+    the identical window — a mis-merged word, a count drift, or a
+    broken opt-in plumbing path shifts the selection and
+    hash-mismatches."""
+    from olive_spark.ops import tokenize
+
+    df = data.load(
+        spark, sf, "documents", columns=["doc_id", "text", "source"],
+    )
+    return curation.token_budget_mix(
+        df, budget_per_source=800,
+        n_tokens_col=tokenize.bpe_token_count_col(df),
+    )
+
+
+SQL_BUDGET_MIX_BPE = _bpe_cte() + """,
+counts AS (
+  SELECT d.doc_id, d.source,
+    CAST(coalesce(len(p.ids), 0) AS INT) AS n_tokens
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT source, doc_id, n_tokens, cum_tokens FROM (
+  SELECT source, doc_id, n_tokens,
+    CAST(SUM(n_tokens) OVER (PARTITION BY source
+      ORDER BY n_tokens DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_tokens
+  FROM counts)
+WHERE cum_tokens <= 800
+"""
 
 
 def llm_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
@@ -1210,6 +1250,7 @@ QUERIES: dict[str, tuple] = {
     "llm_token_count": (llm_token_count, SQL_TOKEN_COUNT),
     "llm_token_count_bpe": (llm_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "llm_lsh_ingest_txn": (llm_lsh_ingest_txn, SQL_LSH_INGEST_TXN),
+    "llm_budget_mix_bpe": (llm_budget_mix_bpe, SQL_BUDGET_MIX_BPE),
     "llm_curation_pipeline": (llm_curation_pipeline, SQL_CURATION),
     "llm_dsir_weights": (llm_dsir_weights, SQL_DSIR_WEIGHTS),
     "mm_decode_meta": (mm_decode_meta, SQL_MM_DECODE),
