@@ -205,6 +205,23 @@ def encode_text(text: "str | None", bpe: dict,
     return out
 
 
+def decode_ids(ids, bpe: "dict | None" = None) -> str:
+    """Inverse of :func:`encode_text` up to whitespace normalization:
+    ids → symbols, concatenate, split on the ``</w>`` markers and
+    rejoin with single spaces.  Round-trip contract (pinned in
+    tests/test_tokenize.py): ``decode_ids(encode_text(t)) ==
+    " ".join(t.split())`` whenever every character of ``t`` is in the
+    vocab alphabet; unknown characters encode to ``<unk>`` and decode
+    to the literal ``<unk>`` marker (standard lossy-unk behavior)."""
+    b = bpe or default_bpe()
+    inv = b.get("_inv")
+    if inv is None:
+        inv = {v: k for k, v in b["vocab"].items()}
+        b["_inv"] = inv
+    text = "".join(inv.get(int(i), "") for i in ids)
+    return " ".join(w for w in text.split(EOW) if w != "")
+
+
 # --------------------------------------------------------------- spark
 
 def bpe_encode(df, text_col: str = "text", bpe: "dict | None" = None,

@@ -764,3 +764,42 @@ def test_dsir_importance_plan_shape(spark):
     # broadcast; a real cartesian would be BroadcastNestedLoop over
     # multi-row sides — pin the ratio join itself as a hash join
     assert "BroadcastHashJoin" in p, p
+
+
+def test_bpe_encode_plan_shape(spark):
+    """r13: BPE encode is a pure projection — Arrow-batched pandas UDF
+    (never row-at-a-time BatchEvalPython), zero exchanges, zero joins;
+    the count-only column keeps the same shape."""
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops.tokenize import bpe_encode, bpe_token_count_col
+
+    docs = spark.range(80).selectExpr(
+        "id AS doc_id", "concat('w', id, ' tokenization scan') AS text"
+    )
+    p = plan_of(bpe_encode(docs))
+    assert "ArrowEvalPython" in p, p
+    assert "BatchEvalPython" not in p
+    assert "Exchange" not in p
+    assert "Join" not in p
+    p2 = plan_of(docs.select(bpe_token_count_col(docs).alias("n")))
+    assert "ArrowEvalPython" in p2 and "Exchange" not in p2
+
+
+def test_token_budget_mix_bpe_optin_keeps_plan_contract(spark):
+    """The n_tokens_col opt-in must not regress the skew-safe shape:
+    still no raw-row window partitioned by source alone (the histogram
+    two-phase survives with the UDF-derived count)."""
+    from olive_spark.ops.curation import token_budget_mix
+    from olive_spark.ops.tokenize import bpe_token_count_col
+
+    docs = spark.range(80).selectExpr(
+        "id AS doc_id", "concat('s', id % 3) AS source",
+        "concat_ws(' ', transform(sequence(0, CAST(id % 9 AS INT)), "
+        "j -> 'tokenization')) AS text",
+    )
+    p = plan_of(token_budget_mix(
+        docs, 50, n_tokens_col=bpe_token_count_col(docs),
+    ))
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" in p, p

@@ -179,3 +179,25 @@ def test_curation_bpe_opt_in(spark):
     assert {i for i, _s, _t in rows} == set(packs)
     for i, _s, _t in rows:
         assert packs[i][0] == nb[i], i
+
+
+def test_decode_roundtrip():
+    """decode(encode(t)) == whitespace-normalized t for in-alphabet
+    text; unknown chars surface as the literal <unk> marker."""
+    from olive_spark.ops import tokenize
+
+    b = tokenize.default_bpe()
+    alpha = [s for s in b["vocab"] if len(s) == 1 and s != tokenize.UNK]
+    rng = random.Random(41)
+    for _ in range(50):
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randrange(1, 10)))
+            for _ in range(rng.randrange(0, 12))
+        ]
+        t = "  ".join(words)
+        ids = tokenize.encode_text(t, b)
+        assert tokenize.decode_ids(ids, b) == " ".join(t.split())
+    assert tokenize.decode_ids([], b) == ""
+    assert tokenize.UNK in tokenize.decode_ids(
+        tokenize.encode_text("λ", b), b
+    )
