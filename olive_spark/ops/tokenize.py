@@ -253,6 +253,48 @@ def bpe_encode(df, text_col: str = "text", bpe: "dict | None" = None,
     return df.withColumn(out_ids, st["ids"]).withColumn(out_n, st["n"])
 
 
+def chunk_token_ids(df, capacity: int, text_col: str = "text",
+                    id_col: str = "doc_id", bpe: "dict | None" = None):
+    """Tokenized context-window shards (r13): encode each document
+    with BPE and split the id stream into consecutive chunks of at
+    most ``capacity`` tokens — the artifact a pretraining pipeline
+    actually emits (chunks may split MID-WORD: sequences are id
+    streams, word alignment is not a boundary rule).  Returns
+    ``(id_col, chunk_id, token_ids, n_tokens)``; documents with zero
+    tokens produce zero chunks.
+
+    Scale shape: one encode projection (:func:`bpe_encode`) + JVM-side
+    array slicing and ONE explode per document's chunk list — no
+    shuffle, no window, chunk count bounded by doc length/capacity."""
+    from pyspark.sql import functions as F
+
+    cap = int(capacity)
+    if cap < 1:
+        raise ValueError("capacity must be >= 1")
+    enc = bpe_encode(df, text_col=text_col, bpe=bpe)
+    ids = F.col("token_ids")
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.ceil(F.size(ids) / F.lit(cap)).cast("int") - 1,
+        ),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.slice(ids, i * cap + 1, cap).alias("ids"),
+        ),
+    )
+    return (
+        enc.filter(F.size(ids) > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.ids").alias("token_ids"),
+            F.size("c.ids").alias("n_tokens"),
+        )
+    )
+
+
 def bpe_token_count_col(df, text_col: str = "text",
                         bpe: "dict | None" = None):
     """A Column of model-accurate token counts for ``text_col`` — the

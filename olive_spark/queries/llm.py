@@ -854,6 +854,53 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def llm_tokenize_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenized context-window shards (ops/tokenize.chunk_token_ids,
+    r13): every document BPE-encoded and its id stream split into
+    ≤64-token chunks — the artifact a pretraining pipeline actually
+    emits (mid-word splits included; sequences are id streams).  Each
+    chunk reports count, boundary ids, and the positional checksum, so
+    a shifted boundary, a dropped tail chunk, or a mis-merged word
+    anywhere in the stream hash-mismatches against the oracle's
+    recursive-CTE + list-slice replay."""
+    from olive_spark.ops import tokenize
+
+    docs = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    ch = tokenize.chunk_token_ids(docs, capacity=64)
+    ids = F.col("token_ids")
+    ck = F.aggregate(
+        F.zip_with(
+            ids, F.sequence(F.lit(1), F.size(ids)),
+            lambda t, i: i.cast("long") * t.cast("long"),
+        ),
+        F.lit(0).cast("long"), lambda a, x: a + x,
+    )
+    return ch.select(
+        "doc_id", "chunk_id", "n_tokens",
+        F.element_at(ids, 1).alias("first_id"),
+        F.element_at(ids, -1).alias("last_id"),
+        ck.alias("ids_ck"),
+    )
+
+
+SQL_TOKENIZE_CHUNKS = _bpe_cte() + """,
+chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_id,
+    list_slice(ids, CAST(i * 64 + 1 AS BIGINT),
+               CAST(least((i + 1) * 64, len(ids)) AS BIGINT)) AS cids
+  FROM per_doc,
+    UNNEST(range(0, CAST(ceil(len(ids) / 64.0) AS BIGINT))) AS u(i)
+  WHERE len(ids) > 0
+)
+SELECT doc_id, chunk_id, CAST(len(cids) AS INT) AS n_tokens,
+  CAST(cids[1] AS INT) AS first_id,
+  CAST(cids[CAST(len(cids) AS INT)] AS INT) AS last_id,
+  CAST(list_sum(list_transform(range(1, CAST(len(cids) AS BIGINT) + 1),
+    j -> j * cids[CAST(j AS INT)])) AS BIGINT) AS ids_ck
+FROM chunks
+"""
+
+
 def llm_budget_mix_bpe(spark: SparkSession, sf: str) -> DataFrame:
     """The BPE opt-in END-TO-END (r13, VERDICT r12 task #1): the same
     per-source longest-first token-budget mix as llm_token_budget_mix,
@@ -1251,6 +1298,7 @@ QUERIES: dict[str, tuple] = {
     "llm_token_count_bpe": (llm_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "llm_lsh_ingest_txn": (llm_lsh_ingest_txn, SQL_LSH_INGEST_TXN),
     "llm_budget_mix_bpe": (llm_budget_mix_bpe, SQL_BUDGET_MIX_BPE),
+    "llm_tokenize_chunks": (llm_tokenize_chunks, SQL_TOKENIZE_CHUNKS),
     "llm_curation_pipeline": (llm_curation_pipeline, SQL_CURATION),
     "llm_dsir_weights": (llm_dsir_weights, SQL_DSIR_WEIGHTS),
     "mm_decode_meta": (mm_decode_meta, SQL_MM_DECODE),

@@ -201,3 +201,34 @@ def test_decode_roundtrip():
     assert tokenize.UNK in tokenize.decode_ids(
         tokenize.encode_text("λ", b), b
     )
+
+
+def test_chunk_token_ids(spark):
+    """Context-window shards: chunks tile the id stream exactly (incl.
+    mid-word splits), last chunk carries the remainder, empty docs
+    emit nothing, capacity 1 degenerates to one id per chunk."""
+    from olive_spark.ops import tokenize
+
+    b = tokenize.default_bpe()
+    texts = ["tokenization scan merge " * 6, "scan", "", "   ",
+             "tokenization"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got: dict = {}
+    for r in tokenize.chunk_token_ids(df, capacity=7).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], list(r["token_ids"]), r["n_tokens"])
+        )
+    cache: dict = {}
+    for i, t in enumerate(texts):
+        ids = tokenize.encode_text(t, b, cache)
+        want = [
+            (j, ids[j * 7:(j + 1) * 7], min(7, len(ids) - j * 7))
+            for j in range((len(ids) + 6) // 7)
+        ]
+        assert sorted(got.get(i, [])) == want, i
+    one = tokenize.chunk_token_ids(df.limit(1), capacity=1).collect()
+    assert all(r["n_tokens"] == 1 for r in one)
+    with pytest.raises(ValueError):
+        tokenize.chunk_token_ids(df, capacity=0)
