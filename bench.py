@@ -137,6 +137,8 @@ HEADLINE = [
     "scan_txn_mutation_cut",          # r13: MERGE/DELETE txn group cut
     "scan_branch_rebase",             # r13: DV re-key across rewrite
     "llm_lsh_ingest_txn",             # r13: atomic corpus+LSH ingest
+    "llm_budget_mix_bpe",             # r13: BPE-budgeted mixture (opt-in e2e)
+    "llm_tokenize_chunks",            # r13: tokenized context-window shards
 ]
 
 
