@@ -224,6 +224,38 @@ def decode_ids(ids, bpe: "dict | None" = None) -> str:
 
 # --------------------------------------------------------------- spark
 
+#: executor-lifetime word→ids caches, keyed by broadcast id: a scalar
+#: pandas UDF is invoked once per Arrow batch, and a per-invocation
+#: cache would re-encode every distinct word once per batch instead of
+#: once per executor.  Zipf economics at 100 TB: the cache converts
+#: per-word cost into per-distinct-word cost ACROSS the whole task
+#: stream.  Bounded: reset when it outgrows the cap (cold restart, not
+#: an error).
+_WORD_CACHES: dict = {}
+
+
+def _shared_cache(key, cap: int = 1_000_000) -> dict:
+    c = _WORD_CACHES.get(key)
+    if c is None or len(c) > cap:
+        c = {}
+        _WORD_CACHES[key] = c
+    return c
+
+
+def _vocab_key(bpe: dict) -> str:
+    """Content fingerprint of a vocab (driver-side, shipped in the UDF
+    closure): stable across calls and processes, so every task stream
+    encoding with the same fixture shares one executor cache."""
+    import hashlib
+
+    k = bpe.get("_key")
+    if k is None:
+        k = hashlib.md5(
+            json.dumps(bpe["merges"]).encode()
+        ).hexdigest()
+        bpe["_key"] = k
+    return k
+
 def bpe_encode(df, text_col: str = "text", bpe: "dict | None" = None,
                out_ids: str = "token_ids", out_n: str = "n_tokens_bpe"):
     """Add ``out_ids`` (array<int>) and ``out_n`` (int) columns: the
@@ -237,11 +269,12 @@ def bpe_encode(df, text_col: str = "text", bpe: "dict | None" = None,
     b = bpe or default_bpe()
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast({"vocab": b["vocab"], "merges": b["merges"]})
+    ck = _vocab_key(b)
 
     @pandas_udf("struct<ids: array<int>, n: int>")
     def _enc(texts: pd.Series) -> pd.DataFrame:
         bb = bc.value
-        cache: dict = {}
+        cache = _shared_cache(ck)
         ids_out, n_out = [], []
         for t in texts:
             ids = encode_text(t, bb, cache)
@@ -308,11 +341,12 @@ def bpe_token_count_col(df, text_col: str = "text",
     b = bpe or default_bpe()
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast({"vocab": b["vocab"], "merges": b["merges"]})
+    ck = _vocab_key(b)
 
     @pandas_udf("int")
     def _cnt(texts: pd.Series) -> pd.Series:
         bb = bc.value
-        cache: dict = {}
+        cache = _shared_cache(ck)
         return pd.Series(
             [len(encode_text(t, bb, cache)) for t in texts],
             dtype="int32",
