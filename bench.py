@@ -139,6 +139,7 @@ HEADLINE = [
     "llm_lsh_ingest_txn",             # r13: atomic corpus+LSH ingest
     "llm_budget_mix_bpe",             # r13: BPE-budgeted mixture (opt-in e2e)
     "llm_tokenize_chunks",            # r13: tokenized context-window shards
+    "llm_pack_bpe",                   # r13: BPE-budgeted sharded packing
 ]
 
 

@@ -79,6 +79,7 @@ _ORDER = [
     "llm_lsh_ingest_txn",  # r13-new: atomic corpus+LSH ingest via txn
     "llm_budget_mix_bpe",  # r13-new: budget mix in BPE subwords (opt-in e2e)
     "llm_tokenize_chunks",  # r13-new: tokenized context-window shards
+    "llm_pack_bpe",  # r13-new: BPE-budgeted sharded packing (opt-in e2e)
     "mm_phash_pairs",
     "scan_expectations_gate",
     "scan_merge_time_travel",
@@ -121,10 +122,10 @@ _ORDER = [
     "stream_dedup_counts",
     "stream_olive_sink",
     "stream_session_window",
-    "stream_sliding_counts",
     # ---- beyond the 50-entry driver window: the r12-checked
     # cohort (freshest evidence) first, then the rest; all keep
     # bench/pytest coverage ----
+    "stream_sliding_counts",
     "stream_static_join",
     "stream_stream_join",
     "scan_txn_group_cut",

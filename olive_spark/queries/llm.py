@@ -854,6 +854,53 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def llm_pack_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-wise sequence packing budgeted in REAL subword tokens
+    (the second curation opt-in, r13): pack_sequences_sharded with
+    ``n_tokens_col=bpe_token_count_col`` — 512-token packs, 100-doc id
+    shards, pack ids offset by earlier shards' pack counts exactly as
+    the whitespace variant.  BPE counts run ~1.6× whitespace here, so
+    pack boundaries land visibly differently; the oracle recomputes
+    counts through the recursive-CTE merge-loop replay and applies the
+    identical shard math."""
+    from olive_spark.ops import tokenize
+
+    df = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    packed = curation.pack_sequences_sharded(
+        df, capacity=512, shard_size=100,
+        n_tokens_col=tokenize.bpe_token_count_col(df),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+SQL_PACK_BPE = _bpe_cte() + """,
+tcounts AS (
+  SELECT d.doc_id, CAST(FLOOR(d.doc_id / 100) AS BIGINT) AS shard,
+    CAST(coalesce(len(p.ids), 0) AS INT) AS n_tokens
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)),
+off AS (
+  SELECT shard, CAST(COALESCE(SUM(GREATEST(
+      CAST(FLOOR((total + 511) / 512) AS BIGINT), 1)) OVER (
+    ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    AS BIGINT) AS pack_off
+  FROM (SELECT shard, SUM(n_tokens) AS total FROM tcounts GROUP BY shard)),
+packed AS (
+  SELECT t.doc_id, t.n_tokens,
+    o.pack_off + CAST(FLOOR(COALESCE(SUM(t.n_tokens) OVER (
+      PARTITION BY t.shard ORDER BY t.doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT)
+    AS pack_id
+  FROM tcounts t JOIN off o USING (shard))
+SELECT pack_id, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, MIN(doc_id) AS first_doc
+FROM packed GROUP BY pack_id
+"""
+
+
 def llm_tokenize_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """Tokenized context-window shards (ops/tokenize.chunk_token_ids,
     r13): every document BPE-encoded and its id stream split into
@@ -1299,6 +1346,7 @@ QUERIES: dict[str, tuple] = {
     "llm_lsh_ingest_txn": (llm_lsh_ingest_txn, SQL_LSH_INGEST_TXN),
     "llm_budget_mix_bpe": (llm_budget_mix_bpe, SQL_BUDGET_MIX_BPE),
     "llm_tokenize_chunks": (llm_tokenize_chunks, SQL_TOKENIZE_CHUNKS),
+    "llm_pack_bpe": (llm_pack_bpe, SQL_PACK_BPE),
     "llm_curation_pipeline": (llm_curation_pipeline, SQL_CURATION),
     "llm_dsir_weights": (llm_dsir_weights, SQL_DSIR_WEIGHTS),
     "mm_decode_meta": (mm_decode_meta, SQL_MM_DECODE),
