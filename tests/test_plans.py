@@ -803,3 +803,20 @@ def test_token_budget_mix_bpe_optin_keeps_plan_contract(spark):
     ))
     assert "BatchEvalPython" not in p
     assert "ArrowEvalPython" in p, p
+
+
+def test_chunk_token_ids_plan_shape(spark):
+    """Tokenized shards stay a projection: encode UDF + array slices +
+    one Generate (the chunk explode) — no exchange, no join, no window."""
+    from olive_spark.ops.tokenize import chunk_token_ids
+
+    docs = spark.range(80).selectExpr(
+        "id AS doc_id", "concat('w', id, ' tokenization scan') AS text"
+    )
+    p = plan_of(chunk_token_ids(docs, capacity=5))
+    assert "ArrowEvalPython" in p, p
+    assert "BatchEvalPython" not in p
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "Window" not in p
+    assert p.count(") Generate") == 1, p
