@@ -250,9 +250,9 @@ def _vocab_key(bpe: dict) -> str:
 
     k = bpe.get("_key")
     if k is None:
-        k = hashlib.md5(
-            json.dumps(bpe["merges"]).encode()
-        ).hexdigest()
+        k = hashlib.md5(json.dumps(
+            [bpe["merges"], sorted(bpe["vocab"].items())]
+        ).encode()).hexdigest()
         bpe["_key"] = k
     return k
 
@@ -287,33 +287,43 @@ def bpe_encode(df, text_col: str = "text", bpe: "dict | None" = None,
 
 
 def chunk_token_ids(df, capacity: int, text_col: str = "text",
-                    id_col: str = "doc_id", bpe: "dict | None" = None):
+                    id_col: str = "doc_id", bpe: "dict | None" = None,
+                    overlap: int = 0):
     """Tokenized context-window shards (r13): encode each document
-    with BPE and split the id stream into consecutive chunks of at
-    most ``capacity`` tokens — the artifact a pretraining pipeline
-    actually emits (chunks may split MID-WORD: sequences are id
-    streams, word alignment is not a boundary rule).  Returns
-    ``(id_col, chunk_id, token_ids, n_tokens)``; documents with zero
-    tokens produce zero chunks.
+    with BPE and split the id stream into chunks of at most
+    ``capacity`` tokens — the artifact a pretraining pipeline actually
+    emits (chunks may split MID-WORD: sequences are id streams, word
+    alignment is not a boundary rule).  ``overlap`` > 0 makes windows
+    start every ``capacity - overlap`` tokens (the sliding-context
+    variant; the last window still ends at the stream end, shorter
+    tails included once).  Returns ``(id_col, chunk_id, token_ids,
+    n_tokens)``; documents with zero tokens produce zero chunks.
 
     Scale shape: one encode projection (:func:`bpe_encode`) + JVM-side
     array slicing and ONE explode per document's chunk list — no
-    shuffle, no window, chunk count bounded by doc length/capacity."""
+    shuffle, no window, chunk count bounded by doc length/stride."""
     from pyspark.sql import functions as F
 
     cap = int(capacity)
+    ov = int(overlap)
     if cap < 1:
         raise ValueError("capacity must be >= 1")
+    if not 0 <= ov < cap:
+        raise ValueError("overlap must satisfy 0 <= overlap < capacity")
+    stride = cap - ov
     enc = bpe_encode(df, text_col=text_col, bpe=bpe)
     ids = F.col("token_ids")
+    # number of windows starting at 0, stride, 2*stride, … that still
+    # cover a fresh token: ceil((n - overlap) / stride), floor 1
+    n_chunks = F.greatest(
+        F.ceil((F.size(ids) - F.lit(ov)) / F.lit(stride)).cast("int"),
+        F.lit(1),
+    )
     chunks = F.transform(
-        F.sequence(
-            F.lit(0),
-            F.ceil(F.size(ids) / F.lit(cap)).cast("int") - 1,
-        ),
+        F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.struct(
             i.alias("chunk_id"),
-            F.slice(ids, i * cap + 1, cap).alias("ids"),
+            F.slice(ids, i * stride + 1, cap).alias("ids"),
         ),
     )
     return (

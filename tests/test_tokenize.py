@@ -232,3 +232,79 @@ def test_chunk_token_ids(spark):
     assert all(r["n_tokens"] == 1 for r in one)
     with pytest.raises(ValueError):
         tokenize.chunk_token_ids(df, capacity=0)
+
+
+def test_chunk_token_ids_overlap(spark):
+    """Sliding-context shards: windows start every capacity-overlap
+    tokens, each covers <=capacity ids, every token appears in at
+    least one window, and consecutive windows share exactly `overlap`
+    ids away from the tail."""
+    from olive_spark.ops import tokenize
+
+    b = tokenize.default_bpe()
+    text = "tokenization scan merge window " * 5
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    ids = tokenize.encode_text(text, b)
+    cap, ov = 8, 3
+    rows = sorted(
+        (r["chunk_id"], list(r["token_ids"]))
+        for r in tokenize.chunk_token_ids(
+            df, capacity=cap, overlap=ov).collect()
+    )
+    stride = cap - ov
+    import math
+    assert len(rows) == max(1, math.ceil((len(ids) - ov) / stride))
+    covered = []
+    for j, (cid, c) in enumerate(rows):
+        assert cid == j
+        assert c == ids[j * stride: j * stride + cap]
+        covered.extend(range(j * stride, j * stride + len(c)))
+    assert set(covered) == set(range(len(ids)))
+    with pytest.raises(ValueError):
+        tokenize.chunk_token_ids(df, capacity=4, overlap=4)
+
+
+def test_merge_loop_first_occurrence_equivalence():
+    """Pins the spec docstring's equivalence claim: merging the FIRST
+    occurrence of the min-rank pair per step yields the same fixpoint
+    as the standard all-occurrences-left-to-right variant (a merge at
+    rank r only creates pairs learned after r).  Randomized over small
+    alphabets so repeated/overlapping runs (aaaa…) are common."""
+    from olive_spark.ops import tokenize
+
+    def encode_all_occ(word, ranks):
+        syms = list(word) + [tokenize.EOW]
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and ranks.get((syms[i], syms[i + 1])) == best):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return tuple(syms)
+
+    rng = random.Random(67)
+    for trial in range(20):
+        alpha = "ab" if trial % 3 == 0 else "abc"
+        corpus = [" ".join(
+            "".join(rng.choice(alpha) for _ in range(rng.randrange(1, 9)))
+            for _ in range(30)
+        ) for _ in range(5)]
+        bpe = tokenize.train_bpe(corpus, vocab_size=40)
+        ranks = tokenize._ranks(bpe)
+        for _ in range(60):
+            w = "".join(rng.choice(alpha)
+                        for _ in range(rng.randrange(1, 14)))
+            assert tokenize.encode_word(w, ranks) == \
+                encode_all_occ(w, ranks), (trial, w)
