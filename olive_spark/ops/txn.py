@@ -192,15 +192,13 @@ def _publish_one(part: dict, tag: str) -> bool:
         if has_tag(path, tag):
             _remove_coord_ptr(part)  # crash between commit and cleanup
             return False  # a prior publish (or redo) already landed
-        for final in part["finals"]:
-            stag = os.path.join(path, final + ".staging")
-            if os.path.exists(stag):
-                os.replace(stag, os.path.join(path, final))
-            elif not os.path.exists(os.path.join(path, final)):
-                raise OSError(
-                    f"txn {tag}: staged file {final} missing in {path} — "
-                    "cannot complete the committed transaction"
-                )
+        # DVs activate BEFORE chunk files (r13 — same rule as branch
+        # publish): live listing and DV state are DIRECTORY-authority,
+        # so each artifact becomes visible at its rename.  Delete-leg
+        # first means a mid-publish reader of a MERGE sees the old row
+        # briefly GONE (a committed delete, early by microseconds);
+        # files-first would show old+new side by side — transient
+        # duplicate keys, the one state an upsert must never expose.
         dvs = [tuple(p) for p in (part.get("dvs") or [])]
         for _target, dv_rel in dvs:
             stag = os.path.join(path, dv_rel) + ".staging"
@@ -209,6 +207,15 @@ def _publish_one(part: dict, tag: str) -> bool:
             elif not os.path.exists(os.path.join(path, dv_rel)):
                 raise OSError(
                     f"txn {tag}: staged DV {dv_rel} missing in {path} — "
+                    "cannot complete the committed transaction"
+                )
+        for final in part["finals"]:
+            stag = os.path.join(path, final + ".staging")
+            if os.path.exists(stag):
+                os.replace(stag, os.path.join(path, final))
+            elif not os.path.exists(os.path.join(path, final)):
+                raise OSError(
+                    f"txn {tag}: staged file {final} missing in {path} — "
                     "cannot complete the committed transaction"
                 )
         try:
