@@ -256,6 +256,7 @@ def _vocab_key(bpe: dict) -> str:
         bpe["_key"] = k
     return k
 
+
 def bpe_encode(df, text_col: str = "text", bpe: "dict | None" = None,
                out_ids: str = "token_ids", out_n: str = "n_tokens_bpe"):
     """Add ``out_ids`` (array<int>) and ``out_n`` (int) columns: the
