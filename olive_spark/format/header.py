@@ -160,6 +160,22 @@ class ArrayHeader:
         bloom = j.get("bl")
         if bloom is not None and not isinstance(bloom, dict):
             raise ValidationError("malformed bloom")
+        # Per-tag structural requirements (reference src/read.zig:22-31:
+        # hostile headers must fail with a typed error, never crash the
+        # dispatch downstream on a missing key / missing child).
+        if tag in ("fixed_size_binary", "dict_indices"):
+            w = extra.get("width")
+            if not (isinstance(w, int) and not isinstance(w, bool) and 0 < w <= MAX_BUFFER_BYTES):
+                raise ValidationError(f"{tag} header missing/invalid width: {w!r}")
+        if tag == "fixed_size_list":
+            sz = extra.get("size")
+            if not (isinstance(sz, int) and not isinstance(sz, bool) and 0 <= sz <= MAX_ARRAY_LEN):
+                raise ValidationError(f"fixed_size_list header missing/invalid size: {sz!r}")
+        _need_children = {"list": 1, "fixed_size_list": 1, "map": 2}.get(tag)
+        if _need_children is not None and len(children) != _need_children:
+            raise ValidationError(
+                f"{tag} header has {len(children)} children, needs {_need_children}"
+            )
         return ArrayHeader(tag, n, z, bufs, children, extra, stats, bloom)
 
 

@@ -168,6 +168,20 @@ class ChunkReader:
     def _read_array(
         self, h: ArrayHeader, dt: pa.DataType, pages: Optional[Sequence[int]]
     ) -> pa.Array:
+        # Hostile headers that slip past from_json's per-tag validation must
+        # still surface as typed OliveErrors, never a bare KeyError /
+        # IndexError / TypeError crash (reference src/read.zig:22-31,
+        # src/fuzz.zig:12-52).
+        try:
+            return self._read_array_impl(h, dt, pages)
+        except (KeyError, IndexError, TypeError, AttributeError) as exc:
+            raise ValidationError(
+                f"malformed {h.tag!r} array header: {type(exc).__name__}: {exc}"
+            ) from exc
+
+    def _read_array_impl(
+        self, h: ArrayHeader, dt: pa.DataType, pages: Optional[Sequence[int]]
+    ) -> pa.Array:
         tag = h.tag
         if tag == "null":
             if not pa.types.is_null(dt):
