@@ -537,19 +537,34 @@ def version_at_timestamp(dirpath: str, ts: float) -> int:
         else:
             unknown_vs.append(v)
     if best_known is not None:
-        if best_known == max_known_v and any(
-            v > max_known_v for v in unknown_vs
-        ):
-            # the newest DATED version qualifies, but UNDATED entries
-            # sit above it with no dated ceiling — those commits may
-            # well predate the cutoff too, so serving the older dated
-            # cut would be a silent stale read.  Mirror the all-undated
-            # handling: fail loud (r13, ADVICE r12).
+        # An undated version ABOVE best_known is ambiguous unless a
+        # DATED version sits between them: that dated entry's ts is
+        # > cutoff (else it would be best_known), which bounds every
+        # later commit — including the undated one — past the cutoff.
+        # Without such a ceiling the undated commit may well predate
+        # the cutoff, and serving the older dated cut would be a
+        # silent stale read (r13/r14, ADVICE r12/r13: covers both the
+        # trailing-undated case and v1 ts=10 / v2 undated / v3 ts=100
+        # at cutoff=50).
+        ceiling = min(
+            (
+                int(e["v"]) for e in entries
+                if isinstance(e.get("ts"), (int, float))
+                and int(e["v"]) > best_known
+            ),
+            default=None,
+        )
+        ambiguous = [
+            v for v in unknown_vs
+            if v > best_known and (ceiling is None or v < ceiling)
+        ]
+        if ambiguous:
             raise ValidationError(
                 f"snapshot log at {dirpath} is ambiguous at timestamp "
-                f"{cutoff}: entries newer than version {best_known} "
-                "carry no commit timestamps — cannot tell whether they "
-                "predate the cutoff; read a version/tag instead"
+                f"{cutoff}: undated version(s) {sorted(ambiguous)} sit "
+                f"above version {best_known} with no dated commit "
+                "between them and the cutoff — cannot tell whether they "
+                "predate it; read a version/tag instead"
             )
         return best_known
     # no dated entry at/before the cutoff: an undated entry is eligible

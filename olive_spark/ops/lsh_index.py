@@ -207,11 +207,17 @@ def ingest_with_lsh_index(
     remains for non-transactional callers and still heals pre-r13
     half-landed states.
 
-    Ids already indexed are skipped (idempotent re-ingest).  The meta
-    doc count is advisory and self-healing (recomputed from the sigs
-    leg, same as append_index), so its post-txn write needs no
-    transactional cover."""
+    Ids already indexed are skipped (idempotent re-ingest) — and the
+    skip check runs under the CORPUS table write lock together with the
+    transaction itself (r14, ADVICE r13): two concurrent ingests with
+    overlapping ids serialize, so the second sees the first's sig rows
+    and skips instead of double-inserting into all three tables (the
+    lock is reentrant, so the txn's own coordinator-lock acquisition
+    on the same path nests).  The meta doc count is advisory and
+    self-healing (recomputed from the sigs leg, same as append_index),
+    so its post-txn write needs no transactional cover."""
     from olive_spark.datasource import register_olive
+    from olive_spark.format.lock import table_write_lock
     from olive_spark.ops.txn import multi_table_txn
 
     register_olive(spark)
@@ -222,24 +228,25 @@ def ingest_with_lsh_index(
         )
     sigs_path = os.path.join(index_dir, "sigs")
     bands_path = os.path.join(index_dir, "bands")
-    stored_sigs = spark.read.format("olive").load(sigs_path)
-    fresh = batch.join(
-        stored_sigs.select(id_col), id_col, "left_anti"
-    ).persist()
-    try:
-        n_new = fresh.count()
-        if n_new == 0:
-            return {**meta, "appended": 0, "txn": None}
-        new_sigs = minhash_signatures(fresh, text_col, id_col)
-        out = multi_table_txn(spark, [
-            {"path": corpus_path, "op": "append", "df": fresh,
-             "table": table},
-            {"path": sigs_path, "op": "append", "df": new_sigs},
-            {"path": bands_path, "op": "append",
-             "df": band_hashes(new_sigs, id_col)},
-        ])
-    finally:
-        fresh.unpersist()
+    with table_write_lock(corpus_path):
+        stored_sigs = spark.read.format("olive").load(sigs_path)
+        fresh = batch.join(
+            stored_sigs.select(id_col), id_col, "left_anti"
+        ).persist()
+        try:
+            n_new = fresh.count()
+            if n_new == 0:
+                return {**meta, "appended": 0, "txn": None}
+            new_sigs = minhash_signatures(fresh, text_col, id_col)
+            out = multi_table_txn(spark, [
+                {"path": corpus_path, "op": "append", "df": fresh,
+                 "table": table},
+                {"path": sigs_path, "op": "append", "df": new_sigs},
+                {"path": bands_path, "op": "append",
+                 "df": band_hashes(new_sigs, id_col)},
+            ])
+        finally:
+            fresh.unpersist()
     meta["n_docs"] = int(
         spark.read.format("olive").load(sigs_path).count()
     )

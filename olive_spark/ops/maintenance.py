@@ -29,12 +29,19 @@ import uuid
 from olive_spark.format.errors import ValidationError
 
 
-def _locked(path_arg: int):
+def _locked(path_arg: int, heal_txns: bool = False):
     """Wrap a mutation op in the table's advisory write lock
     (format/lock.py): two concurrent mutators fail loud naming the
     holder instead of interleaving snapshot-log rewrites.  Reentrant,
     so composed ops (restore → recovery, compact_if_needed → compact,
-    facade → op) acquire once."""
+    facade → op) acquire once.
+
+    ``heal_txns`` (ADVICE r13): file-REWRITING ops (compact /
+    delete_where / merge_upsert) publish any committed-but-unpublished
+    multi-table-txn slice before reading the table — a crashed
+    coordinator's staged DVs reference the current files, and rewriting
+    first would strand the committed delete leg.  Vacuum keeps its own
+    interlock (it counts what IT publishes)."""
 
     def deco(fn):
         @functools.wraps(fn)
@@ -45,6 +52,13 @@ def _locked(path_arg: int):
             from olive_spark.format.lock import table_write_lock
 
             with table_write_lock(path):
+                if heal_txns:
+                    try:
+                        from olive_spark.ops.txn import heal_committed_slices
+
+                        heal_committed_slices(path)
+                    except OSError:
+                        pass  # unreadable txn dir: the op's IO will say so
                 return fn(*args, **kwargs)
 
         return wrapper
@@ -168,7 +182,7 @@ def _retire_original(path: str, rel: str, history: bool) -> bool:
         return False
 
 
-@_locked(1)
+@_locked(1, heal_txns=True)
 def compact(
     spark,
     path: str,
@@ -1187,7 +1201,7 @@ def _update_schema_sidecar(path: str, table: str, sample_file: str) -> None:
     write_table_schema(path, th.name, th.field_names, th.field_types)
 
 
-@_locked(1)
+@_locked(1, heal_txns=True)
 def merge_upsert(
     spark,
     path: str,
@@ -2180,7 +2194,7 @@ def _write_dvs_for(
     )
 
 
-@_locked(1)
+@_locked(1, heal_txns=True)
 def delete_where(
     spark,
     path: str,

@@ -200,6 +200,30 @@ def _publish_one(part: dict, tag: str) -> bool:
         # files-first would show old+new side by side — transient
         # duplicate keys, the one state an upsert must never expose.
         dvs = [tuple(p) for p in (part.get("dvs") or [])]
+        if any(
+            os.path.exists(os.path.join(path, dv_rel) + ".staging")
+            for _t, dv_rel in dvs
+        ):
+            # Redo-safety (ADVICE r13): staged DV positions are valid
+            # only against the staging-time files.  Live operation holds
+            # the participant write lock PREPARE→PUBLISH, but a publish
+            # REDO after a crash runs with that lock long dead — if a
+            # compact/delete/merge rewrite retired a target in between,
+            # renaming the DV would silently evaporate the committed
+            # delete.  Fail loud instead; the rewrite ops heal committed
+            # markers before touching files, so hitting this means an
+            # out-of-band writer bypassed the heal.
+            from olive_spark.format.snapshots import list_live_files
+
+            live = set(list_live_files(path))
+            dead = [t for t, _d in dvs if t not in live]
+            if dead:
+                raise OSError(
+                    f"txn {tag}: deletion-vector target(s) {dead} are no "
+                    f"longer live in {path} — a file rewrite retired them "
+                    "after this transaction committed; refusing to publish "
+                    "a delete leg that would silently drop positions"
+                )
         for _target, dv_rel in dvs:
             stag = os.path.join(path, dv_rel) + ".staging"
             if os.path.exists(stag):
@@ -386,6 +410,31 @@ def participant_txn_state(path: str, txn_id: str) -> "str | None":
     except OSError:
         pass
     return None
+
+
+def heal_committed_slices(path: str) -> int:
+    """Participant-side heal (ADVICE r13): before a file-rewriting op
+    (compact / delete_where / merge) touches ``path``, publish any
+    COMMITTED-but-unpublished multi-table-txn slice whose staged DVs
+    still reference the about-to-be-rewritten files.  Resolution goes
+    through the staging-time coordinator pointers exactly like vacuum's
+    :func:`participant_txn_state` interlock (which does the publish as
+    a side effect).  PREPARED-only slices are left alone: the caller
+    holds this table's write lock, so a mutation txn's coordinator
+    cannot be alive (it would hold the same lock) and its rollback just
+    deletes the inert staged artifacts — rewriting under it is safe.
+    Returns the number of slices published here."""
+    tdir = _txn_dir(path)
+    if not os.path.isdir(tdir):
+        return 0
+    healed = 0
+    for name in sorted(os.listdir(tdir)):
+        if not name.endswith(".coord.json"):
+            continue
+        txn_id = name[: -len(".coord.json")]
+        if participant_txn_state(path, txn_id) == "published":
+            healed += 1
+    return healed
 
 
 def recover_txns(spark, coordinator_path: str) -> dict:

@@ -635,7 +635,12 @@ def test_version_at_timestamp_missing_ts_counts_old(tmp_path):
     with pytest.raises(ValidationError):
         snapshots.version_at_timestamp(d2, 50.0)
 
-    # undated entry BETWEEN dated ones: not provably old → skipped
+    # undated entry BETWEEN dated ones (r14, ADVICE r13): for a cutoff
+    # BELOW the next dated commit the undated v2 may or may not predate
+    # it — same 'silent stale read' hazard as the trailing case, so it
+    # raises; a cutoff AT/ABOVE the next dated commit is unambiguous
+    # (v2 ≤ ts(v3) ≤ cutoff regardless), and one BELOW the first dated
+    # commit never reaches v2.
     d3 = str(tmp_path / "t3")
     os.makedirs(d3)
     log3 = {"entries": [
@@ -645,7 +650,11 @@ def test_version_at_timestamp_missing_ts_counts_old(tmp_path):
     ]}
     with open(snapshots.log_path(d3), "w") as f:
         json.dump(log3, f)
-    assert snapshots.version_at_timestamp(d3, 500.0) == 1
+    with pytest.raises(ValidationError, match="ambiguous"):
+        snapshots.version_at_timestamp(d3, 500.0)
+    assert snapshots.version_at_timestamp(d3, 1000.0) == 3
+    with pytest.raises(ValidationError):
+        snapshots.version_at_timestamp(d3, 50.0)
 
     # every entry undated: ambiguous — fail loud, never guess
     d4 = str(tmp_path / "t4")

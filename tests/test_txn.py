@@ -719,3 +719,87 @@ def test_vacuum_heals_mutation_txn_dv_staging(spark, tmp_path):
     # coordinator marker still belongs to the coordinator's recovery
     txn.recover_txns(spark, a)
     assert _vals(spark, b) == list(range(10))
+
+
+def test_compact_heals_committed_slice_before_rewrite(spark, tmp_path):
+    """ADVICE r13: a compact on a participant between a coordinator
+    crash and recover_txns must PUBLISH the committed delete slice
+    before rewriting — otherwise the rewrite retires the DV targets and
+    the committed DELETE silently evaporates at redo."""
+    from olive_spark.ops import txn
+    from olive_spark.ops.maintenance import compact
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _seed(spark, a, 0, 10, "a")
+    _seed(spark, b, 0, 20, "b")
+    txn._CRASH_HOOKS["mid_publish"] = _boom   # A publishes, B does not
+    try:
+        with pytest.raises(Boom):
+            txn.multi_table_txn(spark, [
+                {"path": a, "op": "append", "df": _mk(spark, 10, 12, "a")},
+                {"path": b, "op": "delete", "condition": "k >= 10"},
+            ])
+    finally:
+        txn._CRASH_HOOKS.clear()
+    assert _vals(spark, b) == list(range(20))   # delete not yet live
+    # the dead coordinator's write lock on b is stealable; compact runs
+    compact(spark, b, target_rows=1 << 20)
+    # heal-before-rewrite: the committed delete is live, not lost
+    assert _vals(spark, b) == list(range(10))
+    # coordinator recovery finds the slice already published (idempotent)
+    txn.recover_txns(spark, a)
+    assert _vals(spark, b) == list(range(10))
+    assert not [
+        f for r, _d, fs in os.walk(b) for f in fs
+        if f.endswith(".staging")
+    ]
+
+
+def test_publish_redo_refuses_dead_dv_targets(spark, tmp_path):
+    """Defense-in-depth for the same hazard: if an out-of-band rewrite
+    DID retire a committed slice's DV targets (heal bypassed — here by
+    hiding the coordinator pointer), the redo must fail LOUD instead of
+    publishing a delete leg whose positions reference dead files."""
+    from olive_spark.ops import txn
+    from olive_spark.ops.maintenance import compact
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _seed(spark, a, 0, 10, "a")
+    _seed(spark, b, 0, 20, "b")
+    txn._CRASH_HOOKS["mid_publish"] = _boom
+    try:
+        with pytest.raises(Boom):
+            txn.multi_table_txn(spark, [
+                {"path": a, "op": "append", "df": _mk(spark, 10, 12, "a")},
+                {"path": b, "op": "delete", "condition": "k >= 10"},
+            ])
+    finally:
+        txn._CRASH_HOOKS.clear()
+    # hide the pointer so compact's heal cannot resolve the slice, and
+    # squirrel the staged DVs away across the rewrite — simulating a
+    # pre-fix rewriter that neither heals nor sweeps the sidecar
+    ptr_dir = os.path.join(b, "_olive_txn")
+    hidden = {}
+    for name in sorted(os.listdir(ptr_dir)):
+        src = os.path.join(ptr_dir, name)
+        hidden[name] = open(src).read()
+        os.remove(src)
+    dv_saved = {}
+    for root, _d, fs in os.walk(os.path.join(b, "_olive_dv")):
+        for f in fs:
+            if f.endswith(".dv.staging"):
+                p = os.path.join(root, f)
+                dv_saved[p] = open(p, "rb").read()
+    assert dv_saved
+    compact(spark, b, target_rows=1 << 20)   # retires the DV targets
+    for name, payload in hidden.items():
+        with open(os.path.join(ptr_dir, name), "w") as f:
+            f.write(payload)
+    for p, blob in dv_saved.items():
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(blob)
+    with pytest.raises(OSError, match="no longer live"):
+        txn.recover_txns(spark, a)
+    # the table itself stays readable (delete lost loudly, not silently)
+    assert _count(spark, b) == 20
