@@ -140,6 +140,7 @@ HEADLINE = [
     "llm_budget_mix_bpe",             # r13: BPE-budgeted mixture (opt-in e2e)
     "llm_tokenize_chunks",            # r13: tokenized context-window shards
     "llm_pack_bpe",                   # r13: BPE-budgeted sharded packing
+    "llm_token_count_bpe_bytes",      # r14: byte-level BPE (GPT-2 b2u)
 ]
 
 
@@ -199,47 +200,67 @@ def main() -> int:
         q.awaitTermination()
     except Exception:  # noqa: BLE001
         pass
-    # Best-of-N warm per query: single-shot wall-clock is machine-load
-    # noise (bit-identical code swung ±3x per query across rounds), so
-    # each query re-runs until steady state — cheap queries (<5s) get 3
-    # runs, everything else 2 — and the headline number is the per-query
-    # BEST, the least-load-polluted sample.
+    # Load-robust capture (r14, VERDICT r13 task #3): per-query samples
+    # are INTERLEAVED — a full untimed warm-up pass over every query
+    # (one-time fixture builds, derived tables, persisted indexes,
+    # first-touch page cache pay here), then two timed passes over the
+    # whole list, then an adaptive third sample for any query whose two
+    # timed samples disagree by >25%.  Back-to-back samples of one
+    # query share whatever load transient is hitting the machine — r13
+    # captured [4.39, 2.06, 2.06]-shaped runs and a ±70% headline swing
+    # on untouched plans; minutes-apart samples of the same query make
+    # a transient poison ONE sample, and best-of keeps the cleanest.
     times: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        samples: list[float] = []
+    rowcounts: dict[str, int] = {}
+
+    def _run_once(name: str) -> "tuple[float, int]":
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count() if name.startswith("scan_") else len(df.collect())
+        return round(time.time() - t0, 3), n
+
+    active = [n for n in HEADLINE if n in qs]
+    for name in active:  # pass 0: untimed warm-up
         try:
-            # discarded warm-up pass: one-time fixture builds (derived
-            # tables, persisted indexes) and first-touch page cache pay
-            # on this run, not in any captured sample — best-of-N hid
-            # it, but a mean-based reading of the samples would not
-            # (r8 verdict: scan_bucket_partition_pruning sampled
-            # [3.35, 0.61, 0.61])
-            df = fn(spark, SF_DIR)
-            df.count() if name.startswith("scan_") else len(df.collect())
-            while True:
-                t0 = time.time()
-                df = fn(spark, SF_DIR)
-                n = df.count() if name.startswith("scan_") else len(df.collect())
-                samples.append(round(time.time() - t0, 3))
-                # expensive queries still get a 2nd run: streaming
-                # pipelines pay a large one-time machinery cost on run 1
-                # (measured 13.4s cold vs 3.3s warm for the olive sink)
-                want = 3 if samples[0] < 5.0 else 2
-                if len(samples) >= want:
-                    break
-            best = min(samples)
-            times[name] = best
-            runs[name] = samples
-            print(f"# {name}: best={best:.2f}s runs={samples} rows={n}",
-                  file=sys.stderr)
+            _, rowcounts[name] = _run_once(name)
+            runs[name] = []
         except Exception as exc:  # noqa: BLE001
             times[name] = -1.0
-            runs[name] = samples
-            print(f"# {name}: ERROR {type(exc).__name__}: {exc}", file=sys.stderr)
+            runs[name] = []
+            print(f"# {name}: ERROR {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+    for _pass in range(2):  # timed, interleaved
+        for name in active:
+            if times.get(name, 0) < 0:
+                continue
+            try:
+                s, rowcounts[name] = _run_once(name)
+                runs[name].append(s)
+            except Exception as exc:  # noqa: BLE001
+                times[name] = -1.0
+                print(f"# {name}: ERROR {type(exc).__name__}: {exc}",
+                      file=sys.stderr)
+    for name in active:  # adaptive third sample on disagreement
+        s = runs.get(name) or []
+        if times.get(name, 0) < 0 or len(s) < 2:
+            continue
+        if max(s) > 1.25 * min(s):
+            try:
+                x, _ = _run_once(name)
+                s.append(x)
+            except Exception:  # noqa: BLE001
+                pass
+    for name in active:
+        if times.get(name, 0) < 0 or not runs.get(name):
+            continue
+        best = min(runs[name])
+        times[name] = best
+        print(
+            f"# {name}: best={best:.2f}s runs={runs[name]} "
+            f"rows={rowcounts.get(name)}",
+            file=sys.stderr,
+        )
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")

@@ -13,4 +13,8 @@ Layout:
 __version__ = "0.1.0"
 
 from olive_spark.datasource import register_olive  # noqa: E402,F401
-from olive_spark.table import OliveTable, register_table  # noqa: E402,F401
+from olive_spark.table import (  # noqa: E402,F401
+    OliveTable,
+    refresh_table,
+    register_table,
+)

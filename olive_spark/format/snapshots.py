@@ -207,7 +207,33 @@ def _append_entry_locked(
             else:
                 log.pop("tags", None)
     _write_log(dirpath, log)
+    _fire_commit_listeners(dirpath)
     return v
+
+
+#: process-local commit listeners: fired with the table's abspath after
+#: every snapshot-log append (the one choke point every engine mutation
+#: — append, merge, delete, compact, txn publish, stream epoch — goes
+#: through).  register_table (olive_spark/table.py) uses this to keep
+#: named temporary views version-fresh (r14, VERDICT r13 task #5): the
+#: Python-DSv2 view pins its file list at CREATE, so the listener
+#: re-issues the CREATE OR REPLACE after each commit to the viewed path.
+#: Process-local by nature — a writer in ANOTHER process can't refresh
+#: this session's views; register_table documents that boundary.
+_COMMIT_LISTENERS: "list" = []
+
+
+def add_commit_listener(fn) -> None:
+    if fn not in _COMMIT_LISTENERS:
+        _COMMIT_LISTENERS.append(fn)
+
+
+def _fire_commit_listeners(dirpath: str) -> None:
+    for fn in list(_COMMIT_LISTENERS):
+        try:
+            fn(os.path.abspath(dirpath))
+        except Exception:  # noqa: BLE001 — a dead session must not fail commits
+            pass
 
 
 def _live_dv_state(dirpath: str) -> "dict[str, list[str]]":

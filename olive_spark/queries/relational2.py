@@ -594,6 +594,49 @@ SQL_TABLE_BY_NAME = (
 )
 
 
+def scan_view_freshness(spark: SparkSession, sf: str) -> DataFrame:
+    """Version-fresh named views (r14, VERDICT r13 task #5): the view
+    registers over a PARTIAL nation table, then the rest appends via
+    plain ``df.write`` (refresh rides the save hook — the DSv2 commit
+    itself lands in the plan worker, out of the commit listener's
+    reach) and a delete_where trims the tail (refresh rides the
+    snapshot-commit listener).  The SQL through the view must see the
+    final state with NO manual re-register; a stale view would show
+    the registration-time 15 rows and hash-mismatch."""
+    import os as _os
+    import shutil
+    import uuid as _uuid
+
+    from olive_spark.ops.maintenance import delete_where
+    from olive_spark.table import register_table
+
+    nation = data.load(spark, sf, "nation",
+                       columns=["n_nationkey", "n_regionkey"])
+    out = _os.path.join(data.ensure_olive(sf), "nation_view_fresh")
+    shutil.rmtree(out, ignore_errors=True)
+    nation.filter(F.col("n_nationkey") < 15).write.format("olive") \
+        .mode("append").save(out)
+    view = f"nation_fresh_{_uuid.uuid4().hex[:8]}"
+    register_table(spark, view, out)
+    # append AFTER registration (save-hook refresh path)
+    nation.filter(F.col("n_nationkey") >= 15).write.format("olive") \
+        .mode("append").save(out)
+    # facade mutation (commit-listener refresh path)
+    delete_where(spark, out, "n_nationkey >= 20")
+    return spark.sql(
+        f"SELECT n_regionkey, COUNT(*) AS n, "
+        f"CAST(SUM(n_nationkey) AS BIGINT) AS sum_keys "
+        f"FROM {view} GROUP BY n_regionkey"
+    )
+
+
+SQL_VIEW_FRESHNESS = (
+    "SELECT n_regionkey, COUNT(*) AS n, "
+    "CAST(SUM(n_nationkey) AS BIGINT) AS sum_keys "
+    "FROM nation WHERE n_nationkey < 20 GROUP BY n_regionkey"
+)
+
+
 def scan_bloom_pruning(spark: SparkSession, sf: str) -> DataFrame:
     """Point lookups by content hash through per-file Bloom filters
     (write-side ``bloomColumns`` option; format/bloom.py): md5 values
@@ -3093,6 +3136,7 @@ QUERIES: dict[str, tuple] = {
         scan_after_rename_column, SQL_AFTER_RENAME,
     ),
     "scan_table_by_name": (scan_table_by_name, SQL_TABLE_BY_NAME),
+    "scan_view_freshness": (scan_view_freshness, SQL_VIEW_FRESHNESS),
     "scan_merge_cdc_tombstones": (scan_merge_cdc_tombstones, SQL_MERGE_CDC_TOMB),
     "scan_after_dv_delete": (scan_after_dv_delete, SQL_AFTER_DV_DELETE),
     "scan_merge_not_matched_by_source": (

@@ -482,3 +482,45 @@ def test_add_column_metadata_only(spark, tmp_path):
     add_column(path, "label", "string")
     df = spark.read.format("olive").load(path)
     assert df.filter("label IS NOT NULL").count() == 0
+
+
+def test_register_table_version_fresh(spark, tmp_path):
+    """r14 (VERDICT r13 task #5): a named view re-resolves after ANY
+    same-process commit to its table — plain df.write appends (save
+    hook: the DSv2 commit runs in the plan worker, invisible to the
+    commit listener), facade mutations (commit listener), and merge.
+    Snapshot-pinned views stay frozen; refresh_table covers the
+    cross-process boundary."""
+    from olive_spark import refresh_table, register_table
+    from olive_spark.ops.maintenance import delete_where, merge_upsert
+
+    path = str(tmp_path / "fresh")
+    spark.range(10).write.format("olive").mode("append").save(path)
+    register_table(spark, "r14_fresh", path)
+    q = "SELECT count(*) AS c, coalesce(sum(id), 0) AS s FROM r14_fresh"
+    assert spark.sql(q).collect()[0]["c"] == 10
+    # plain writer append AFTER registration
+    spark.range(10, 15).write.format("olive").mode("append").save(path)
+    assert spark.sql(q).collect()[0]["c"] == 15
+    # facade delete (merge-on-read or rewrite — either way a commit)
+    delete_where(spark, path, "id >= 12")
+    row = spark.sql(q).collect()[0]
+    assert (row["c"], row["s"]) == (12, sum(range(12)))
+    # merge inserts through the facade
+    merge_upsert(spark, path, spark.range(20, 23), ["id"])
+    assert spark.sql(q).collect()[0]["c"] == 15
+    # snapshot-pinned view is deliberately frozen across commits
+    register_table(spark, "r14_fresh_v1", path, snapshot="1")
+    pinned = spark.sql("SELECT count(*) AS c FROM r14_fresh_v1") \
+        .collect()[0]["c"]
+    spark.range(100, 102).write.format("olive").mode("append").save(path)
+    assert spark.sql("SELECT count(*) AS c FROM r14_fresh_v1") \
+        .collect()[0]["c"] == pinned
+    assert spark.sql(q).collect()[0]["c"] == 17
+    # refresh_table: explicit re-resolve (the cross-process recourse)
+    refresh_table(spark, "r14_fresh")
+    assert spark.sql(q).collect()[0]["c"] == 17
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not registered"):
+        refresh_table(spark, "never_registered_view")
