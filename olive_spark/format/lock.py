@@ -137,9 +137,17 @@ def _steal(dirpath: str) -> None:
     _steal_lock_file(_lock_path(dirpath))
 
 
-def acquire(dirpath: str, ttl: float = DEFAULT_TTL) -> None:
+def acquire(dirpath: str, ttl: float = DEFAULT_TTL,
+            wait: float = 0.0) -> None:
     """Take (or re-enter, same thread) the table write lock; raises
-    ValidationError naming the holder when another live writer has it."""
+    ValidationError naming the holder when another live writer has it.
+
+    ``wait`` (r14, VERDICT r13 task #8): seconds to BLOCK for a live
+    holder before failing loud — the opt-in for pipelines running two
+    maintenance jobs against one table (compact racing a scheduled
+    vacuum wants to queue, not crash).  Default 0.0 keeps the historic
+    fail-fast contract; TTL-stale locks are stolen on the same rules
+    either way."""
     os.makedirs(dirpath, exist_ok=True)
     key = (threading.get_ident(), os.path.abspath(dirpath))
     tkey = os.path.abspath(dirpath)
@@ -149,7 +157,10 @@ def acquire(dirpath: str, ttl: float = DEFAULT_TTL) -> None:
             return
     p = _lock_path(dirpath)
     me_host = socket.gethostname()
-    for _ in range(3):
+    deadline = time.time() + max(0.0, float(wait))
+    delay = 0.02
+    races = 0
+    while True:
         token = uuid.uuid4().hex
         try:
             fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -167,6 +178,9 @@ def acquire(dirpath: str, ttl: float = DEFAULT_TTL) -> None:
         except FileExistsError:
             cur = _read(dirpath)
             if cur is None:
+                races += 1
+                if races > 16 and time.time() >= deadline:
+                    break  # pathological churn: fail via the loop exit
                 continue  # released between exists and read — retry
             with _guard:
                 ours = _tokens.get(tkey)
@@ -193,17 +207,27 @@ def acquire(dirpath: str, ttl: float = DEFAULT_TTL) -> None:
                 return
             if _is_stale(dirpath, cur):
                 _steal(dirpath)
+                races += 1
+                if races > 16 and time.time() >= deadline:
+                    break
+                continue
+            if time.time() < deadline:
+                # opted-in blocking: the holder is live — back off and
+                # re-probe until it releases or the wait runs out
+                time.sleep(delay)
+                delay = min(delay * 1.6, 0.5)
                 continue
             age = time.time() - float(cur.get("ts") or time.time())
             raise ValidationError(
                 f"table at {dirpath} is write-locked by "
                 f"pid {cur.get('pid')} on {cur.get('host')} "
                 f"(age {age:.0f}s, ttl {cur.get('ttl', DEFAULT_TTL)}s) — "
-                "concurrent mutations corrupt the snapshot log; wait, or "
-                "remove _olive_lock.json if the holder is known dead"
+                "concurrent mutations corrupt the snapshot log; wait "
+                "(pass lock wait= on the verb), or remove "
+                "_olive_lock.json if the holder is known dead"
             )
     raise ValidationError(
-        f"could not acquire write lock at {dirpath} (lost three steal "
+        f"could not acquire write lock at {dirpath} (lost {races} steal "
         "races) — retry"
     )
 
@@ -258,14 +282,17 @@ def release(dirpath: str) -> None:
 
 class table_write_lock:
     """``with table_write_lock(path):`` — reentrant (same thread)
-    advisory lock."""
+    advisory lock.  ``wait`` blocks up to that many seconds for a live
+    holder before failing loud (default: fail fast)."""
 
-    def __init__(self, dirpath: str, ttl: float = DEFAULT_TTL) -> None:
+    def __init__(self, dirpath: str, ttl: float = DEFAULT_TTL,
+                 wait: float = 0.0) -> None:
         self.dirpath = dirpath
         self.ttl = ttl
+        self.wait = wait
 
     def __enter__(self) -> "table_write_lock":
-        acquire(self.dirpath, self.ttl)
+        acquire(self.dirpath, self.ttl, wait=self.wait)
         return self
 
     def __exit__(self, *exc) -> None:

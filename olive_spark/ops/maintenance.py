@@ -49,9 +49,13 @@ def _locked(path_arg: int, heal_txns: bool = False):
             path = kwargs.get("path")
             if path is None and len(args) > path_arg:
                 path = args[path_arg]
+            # every @_locked verb accepts lock_wait=seconds (r14): block
+            # that long for a live holder instead of failing fast —
+            # pipelines queue two maintenance jobs against one table
+            lock_wait = float(kwargs.pop("lock_wait", 0.0) or 0.0)
             from olive_spark.format.lock import table_write_lock
 
-            with table_write_lock(path):
+            with table_write_lock(path, wait=lock_wait):
                 if heal_txns:
                     try:
                         from olive_spark.ops.txn import heal_committed_slices

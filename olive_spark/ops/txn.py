@@ -565,7 +565,8 @@ def _stage_merge(
 
 
 def multi_table_txn(
-    spark, ops: "list[dict]", table: str = "data"
+    spark, ops: "list[dict]", table: str = "data",
+    lock_wait: float = 0.0,
 ) -> dict:
     """ONE atomic commit spanning several tables where each slice is an
     APPEND, a DELETE, or a MERGE (r13, VERDICT r12 task #2 — the
@@ -625,7 +626,9 @@ def multi_table_txn(
     with ExitStack() as stack:
         lock_paths = sorted(set(paths)) if has_mutation else [coordinator]
         for p in lock_paths:
-            stack.enter_context(table_write_lock(p))
+            stack.enter_context(
+                table_write_lock(p, wait=float(lock_wait or 0.0))
+            )
         recover_txns(spark, coordinator)
         participants = []
         try:

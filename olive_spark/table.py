@@ -134,12 +134,14 @@ class OliveTable:
             table=self.table, **kw
         )
 
-    def lock(self, ttl: float = 600.0):
+    def lock(self, ttl: float = 600.0, wait: float = 0.0):
         """``with t.lock():`` — hold the table's advisory write lock
-        across a multi-op sequence (each op re-enters it)."""
+        across a multi-op sequence (each op re-enters it).  ``wait``
+        blocks up to that many seconds for a live holder instead of
+        failing fast."""
         from olive_spark.format.lock import table_write_lock
 
-        return table_write_lock(self.path, ttl)
+        return table_write_lock(self.path, ttl, wait=wait)
 
     def pump_changes(self, state_dir: str, apply_fn, **kw) -> dict:
         """Cursor-resumed per-commit CDC delivery bound to this table

@@ -270,3 +270,57 @@ def test_tag_and_expire_respect_the_table_lock(tmp_path):
     assert out["retained"] == 1
     # no lock debris left behind
     assert not os.path.exists(os.path.join(d, lock.LOCK_NAME))
+
+
+def test_lock_wait_blocks_until_release_subprocess(spark, tmp_path):
+    """r14 (VERDICT r13 task #8): with ``lock_wait`` a second mutation
+    QUEUES behind a live holder in another PROCESS and succeeds once it
+    releases; without it the historic fail-fast contract holds."""
+    import subprocess
+    import sys
+
+    from olive_spark.format.errors import ValidationError
+    from olive_spark.ops.maintenance import delete_where
+
+    d = str(tmp_path / "t")
+    spark.range(20).write.format("olive").mode("append").save(d)
+
+    holder = subprocess.Popen(
+        [sys.executable, "-c", (
+            "import sys, time; sys.path.insert(0, %r); "
+            "from olive_spark.format import lock; "
+            "lock.acquire(%r); print('HELD', flush=True); "
+            "time.sleep(4.0); lock.release(%r); print('RELEASED')"
+        ) % (os.path.join(os.path.dirname(__file__), ".."), d, d)],
+        stdout=subprocess.PIPE, text=True,
+    )
+    try:
+        assert holder.stdout.readline().strip() == "HELD"
+        # fail-fast default: loud refusal naming the live holder
+        with pytest.raises(ValidationError, match="write-locked"):
+            delete_where(spark, d, "id >= 15")
+        # opted-in wait: queues behind the ~4s hold, then mutates
+        t0 = time.time()
+        out = delete_where(spark, d, "id >= 15", lock_wait=30.0)
+        waited = time.time() - t0
+        assert out["rows_deleted"] == 5
+        assert waited < 29.0  # released long before the wait budget
+        assert spark.read.format("olive").load(d).count() == 15
+    finally:
+        holder.wait(timeout=30)
+    # wait budget EXHAUSTED against a still-live holder: loud refusal
+    holder2 = subprocess.Popen(
+        [sys.executable, "-c", (
+            "import sys, time; sys.path.insert(0, %r); "
+            "from olive_spark.format import lock; "
+            "lock.acquire(%r); print('HELD', flush=True); "
+            "time.sleep(8.0); lock.release(%r)"
+        ) % (os.path.join(os.path.dirname(__file__), ".."), d, d)],
+        stdout=subprocess.PIPE, text=True,
+    )
+    try:
+        assert holder2.stdout.readline().strip() == "HELD"
+        with pytest.raises(ValidationError, match="write-locked"):
+            delete_where(spark, d, "id >= 10", lock_wait=1.0)
+    finally:
+        holder2.wait(timeout=30)
