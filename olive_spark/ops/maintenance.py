@@ -197,6 +197,7 @@ def compact(
     retain_history: bool = False,
     where: "str | None" = None,
     files: "list[str] | None" = None,
+    page_rows: "int | None" = None,
 ) -> dict:
     """Rewrite the olive directory at ``path`` into files of
     ``target_rows``; with ``sort_by``, range-partition + sort so page
@@ -376,7 +377,7 @@ def compact(
         df, path, original_rels, run,
         table=table, target_rows=target_rows,
         retain_history=retain_history, prefix="compact",
-        layout=layout,
+        layout=layout, page_rows=page_rows,
     )
     after = _list_chunk_files(path)
     out = {"files_before": n_before_total, "files_after": len(after),
@@ -658,6 +659,7 @@ def _rewrite_and_swap(
     dv_add: "list[tuple[str, str]] | None" = None,
     precommit=None, op: "str | None" = None,
     op_params: "dict | None" = None,
+    page_rows: "int | None" = None,
 ) -> "list[str]":
     """Write ``df`` as the replacement for ``original_rels`` inside the
     live table at ``path`` — the crash-safe copy-on-write core shared by
@@ -719,6 +721,10 @@ def _rewrite_and_swap(
             .option("table", table)
             .option("chunkRows", target_rows)
         )
+        if page_rows is not None:
+            # page granularity = skipping granularity: z-order callers
+            # shrink it so 2-predicate point lookups open ~1 page
+            w = w.option("pageRows", int(page_rows))
         # column-mapping ids: the staging dir has no schema sidecar, so
         # the writer can't derive the table's ids from it — pass them
         # explicitly or the rewritten files would land UNSTAMPED and a

@@ -75,6 +75,7 @@ _ORDER = [
     "scan_roundtrip_lineitem",
     "llm_token_count_bpe_bytes",  # r14-new: byte-level BPE (GPT-2 b2u)
     "scan_view_freshness",  # r14-new: version-fresh named views
+    "scan_zorder_pruning",  # r14-new: Z-order 2-predicate page skipping
     "scan_txn_mutation_cut",  # r13-new: MERGE/DELETE txn slices
     "scan_branch_rebase",  # r13-new: DV re-key across concurrent rewrite
     "llm_token_count_bpe",  # r13-new: real BPE subword counts

@@ -637,6 +637,58 @@ SQL_VIEW_FRESHNESS = (
 )
 
 
+def _ensure_orders_zordered(spark: SparkSession, sf: str) -> str:
+    """Build (once per cache) an orders table Z-order-compacted on
+    (o_custkey, o_orderkey) at 2,048-row pages — the two-predicate
+    skipping layout (ops/maintenance.compact zorder_by + page_rows;
+    the Delta OPTIMIZE ZORDER shape)."""
+    from olive_spark.ops.maintenance import compact
+
+    def build(out: str) -> None:
+        cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+        base = data.load(spark, sf, "orders", columns=cols)
+        base.write.format("olive").option("table", "orders_z") \
+            .mode("append").save(out)
+        compact(spark, out, target_rows=1 << 20, page_rows=2048,
+                zorder_by=["o_custkey", "o_orderkey"], table="orders_z")
+
+    return _build_once(spark, sf, "orders_zordered", "_ZORDER_OK", build)
+
+
+def scan_zorder_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-predicate range scan over the Z-ORDERED orders table (r14,
+    VERDICT r13 task #6): the Morton-clustered layout prunes pages on
+    o_custkey AND o_orderkey multiplicatively, where a 1-D sort prunes
+    only its own column (the comparative poisoned-page proof lives in
+    tests/test_plans.py::test_zorder_two_predicate_page_opens_vs_plain_
+    sort).  The oracle recomputes the aggregate from the parquet base —
+    a rewrite that lost, duplicated, or re-keyed a row mismatches."""
+    zpath = _ensure_orders_zordered(spark, sf)
+    df = (
+        spark.read.format("olive").option("table", "orders_z")
+        .option("pushdown", "true").load(zpath)
+        .filter(
+            (F.col("o_custkey") >= 100) & (F.col("o_custkey") <= 500)
+            & (F.col("o_orderkey") >= 10_000)
+            & (F.col("o_orderkey") <= 200_000)
+        )
+    )
+    return df.groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").alias("sum_keys"),
+        F.sum(F.col("o_totalprice").cast(D)).cast(D).alias("sum_price"),
+    )
+
+
+SQL_ZORDER_PRUNING = (
+    "SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+    "AS sum_price FROM orders "
+    "WHERE o_custkey BETWEEN 100 AND 500 "
+    "AND o_orderkey BETWEEN 10000 AND 200000"
+)
+
+
 def scan_bloom_pruning(spark: SparkSession, sf: str) -> DataFrame:
     """Point lookups by content hash through per-file Bloom filters
     (write-side ``bloomColumns`` option; format/bloom.py): md5 values
@@ -3137,6 +3189,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "scan_table_by_name": (scan_table_by_name, SQL_TABLE_BY_NAME),
     "scan_view_freshness": (scan_view_freshness, SQL_VIEW_FRESHNESS),
+    "scan_zorder_pruning": (scan_zorder_pruning, SQL_ZORDER_PRUNING),
     "scan_merge_cdc_tombstones": (scan_merge_cdc_tombstones, SQL_MERGE_CDC_TOMB),
     "scan_after_dv_delete": (scan_after_dv_delete, SQL_AFTER_DV_DELETE),
     "scan_merge_not_matched_by_source": (

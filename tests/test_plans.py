@@ -820,3 +820,110 @@ def test_chunk_token_ids_plan_shape(spark):
     assert "Join" not in p
     assert "Window" not in p
     assert p.count(") Generate") == 1, p
+
+
+def test_zorder_two_predicate_page_opens_vs_plain_sort(spark, tmp_path):
+    """r14 (VERDICT r13 task #6 'Done'): the comparative poisoned-page
+    proof.  Same 256x256 grid compacted two ways at 1,024-row pages:
+
+    - ``sort_by="x"``: an x-range prunes pages, but a y-range opens
+      EVERY page (y is smeared across the whole x-sorted layout);
+    - ``zorder_by=["x","y"]``: the Morton layout prunes pages on x, on
+      y, and multiplicatively on both.
+
+    Then the pages OUTSIDE the z-order selection are physically
+    poisoned and the real Spark scan answers the 2-predicate query
+    correctly — the engine provably never opens the skipped pages."""
+    import pyarrow as pa
+
+    from olive_spark.datasource.olive_datasource import (
+        _list_chunk_files,
+        _pick_table,
+        _read_header_bytes,
+    )
+    from olive_spark.format.reader import select_pages
+    from olive_spark.format import write_chunk
+    from olive_spark.ops.maintenance import compact
+
+    n = 256
+    t = pa.table({
+        "x": pa.array([i % n for i in range(n * n)], pa.int64()),
+        "y": pa.array([i // n for i in range(n * n)], pa.int64()),
+    })
+
+    def build(d, **kw):
+        d.mkdir()
+        (d / "part-0.olive").write_bytes(write_chunk({"data": t}))
+        compact(spark, str(d), target_rows=n * n, page_rows=1024, **kw)
+        return str(d)
+
+    sorted_d = build(tmp_path / "s", sort_by="x")
+    zorder_d = build(tmp_path / "z", zorder_by=["x", "y"])
+
+    def pages_opened(path, preds):
+        hit = total = 0
+        for fp in _list_chunk_files(path):
+            header, _ = _read_header_bytes(fp)
+            th = _pick_table(header, "data")
+            sel = select_pages(th, preds)
+            n_pages = len(th.fields[0].stats["min"])
+            total += n_pages
+            hit += n_pages if sel is None else len(sel)
+        return hit, total
+
+    # x covers a QUARTER of the axis (a realistic coarse first
+    # predicate), y an eighth — the shape where a 1-D sort's second
+    # column is pure dead weight
+    both = [("x", ">=", 0), ("x", "<=", 63), ("y", ">=", 8), ("y", "<=", 15)]
+    y_only = [("y", ">=", 8), ("y", "<=", 15)]
+    hit_s_both, total_s = pages_opened(sorted_d, both)
+    hit_z_both, total_z = pages_opened(zorder_d, both)
+    hit_s_y, _ = pages_opened(sorted_d, y_only)
+    hit_z_y, _ = pages_opened(zorder_d, y_only)
+    assert total_s == total_z == 64
+    # plain sort: the y predicate can't prune a single page
+    assert hit_s_y == total_s, (hit_s_y, total_s)
+    # z-order prunes on the SECOND column alone...
+    assert hit_z_y <= total_z // 4, (hit_z_y, total_z)
+    # ...and multiplicatively on both: the 64x8 box is 1/128 of the
+    # data; a handful of 1,024-row pages must survive
+    assert hit_z_both <= 8, (hit_z_both, total_z)
+    # plain sort prunes the x-quarter but opens its FULL y extent —
+    # every page the x-range keeps, 2x+ the z-order cost
+    assert hit_s_both == total_s // 4, (hit_s_both, total_s)
+    assert hit_s_both >= 2 * hit_z_both, (hit_s_both, hit_z_both)
+
+    # ---- poisoned-page proof: corrupt every non-selected page in the
+    # z-order layout; the pushdown scan must still answer exactly
+    fp = _list_chunk_files(zorder_d)[0]
+    header, data_off = _read_header_bytes(fp)
+    th = _pick_table(header, "data")
+    sel = set(select_pages(th, both))
+    blob = bytearray(open(fp, "rb").read())
+    poisoned = 0
+    for field in th.fields:
+        for meta in field.buffers.values():
+            for i, p in enumerate(meta.pages):
+                if i in sel:
+                    continue
+                start = data_off + p.offset
+                blob[start:start + p.compressed_size] = bytes(
+                    b"\xde" * p.compressed_size
+                )
+                poisoned += 1
+    assert poisoned >= 100
+    open(fp, "wb").write(bytes(blob))
+    got = (
+        spark.read.format("olive").option("pushdown", "true")
+        .load(zorder_d)
+        .filter("x BETWEEN 0 AND 63 AND y BETWEEN 8 AND 15")
+        .groupBy().agg(F.count("*").alias("n"), F.sum("x").alias("sx"),
+                       F.sum("y").alias("sy"))
+        .collect()[0]
+    )
+    # 64 x-values * 8 y-values; sum(x)=8*sum(0..63), sum(y)=64*sum(8..15)
+    assert (got["n"], got["sx"], got["sy"]) == (512, 8 * 2016, 64 * 92)
+    # control: a query needing a poisoned page fails (poison is real)
+    with pytest.raises(Exception):
+        spark.read.format("olive").option("pushdown", "true") \
+            .load(zorder_d).filter("x = 200 AND y = 200").collect()
