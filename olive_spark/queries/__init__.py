@@ -56,81 +56,137 @@ _RAW: dict[str, tuple] = {
 }
 
 # Driver coverage window: the correctness gate checks the FIRST 50
-# registry entries.  Round-13 rotation (VERDICT r12 task #5): lead with
-# the canary, then the four r13-new queries (multi-table MERGE/DELETE
-# txn cut, branch rebase across a concurrent rewrite, real-BPE token
-# counts, atomic corpus+LSH ingest), then the ENTIRE 12-query r8-stale
-# tail the r12 verdict named, then 33 of the r9-stale cohort (the
-# stalest remaining evidence after r12 rotated the r6/r7+r8 cohorts).
-# Everything checked in the r12 window sits just below the 50-cut —
-# freshest evidence, still bench/pytest covered.  NOTE for the gate
-# reader: llm_dedup_simhash/ngram/semantic/embedding, llm_graph_pagerank,
-# llm_neardup_incremental, llm_similarity_ivf_persisted and
-# mm_phash_pairs are genuinely non-SQL (rows-only) — the driver records
-# them as err:"no_oracle" BY DESIGN (SURVEY section 2.7), not as
-# failures.  Cumulative coverage stays complete: every registry query
-# has appeared in some driver window r2-r13 with zero real failures on
-# its latest appearance.
+# registry entries.  Round-14 rotation (VERDICT r13 task #7): lead with
+# the canary, then the three r14-new queries (byte-level BPE counts,
+# version-fresh named views, Z-order two-predicate pruning), then the
+# ENTIRE 42-query r9-stale cohort (computed from the CORRECTNESS_r*
+# history: every registry query whose last driver check was the r9
+# window), then the 4 oldest r10-checked entries to fill the window.
+# After this round no registry query's evidence predates r10.  NOTE for
+# the gate reader: llm_dedup_simhash/ngram/semantic/embedding,
+# llm_graph_pagerank, llm_neardup_incremental,
+# llm_similarity_ivf_persisted and mm_phash_pairs are genuinely non-SQL
+# (rows-only) — the driver records them as err:"no_oracle" BY DESIGN
+# (SURVEY section 2.7), not as failures.
 _ORDER = [
     "scan_roundtrip_lineitem",
-    "llm_token_count_bpe_bytes",  # r14-new: byte-level BPE (GPT-2 b2u)
-    "scan_view_freshness",  # r14-new: version-fresh named views
-    "scan_zorder_pruning",  # r14-new: Z-order 2-predicate page skipping
-    "scan_txn_mutation_cut",  # r13-new: MERGE/DELETE txn slices
-    "scan_branch_rebase",  # r13-new: DV re-key across concurrent rewrite
-    "llm_token_count_bpe",  # r13-new: real BPE subword counts
-    "llm_lsh_ingest_txn",  # r13-new: atomic corpus+LSH ingest via txn
-    "llm_budget_mix_bpe",  # r13-new: budget mix in BPE subwords (opt-in e2e)
-    "llm_tokenize_chunks",  # r13-new: tokenized context-window shards
-    "llm_pack_bpe",  # r13-new: BPE-budgeted sharded packing (opt-in e2e)
-    "mm_phash_pairs",
-    "scan_expectations_gate",
-    "scan_merge_time_travel",
-    "scan_table_checksum",
-    "scan_time_travel",
-    "stream_cdc_pump",
-    "stream_matview",
-    "stream_snapshot_tail",
-    "ts_anomaly_zscore",
-    "ts_resample_interpolate",
-    "types_unsigned_time",
-    "window_sessionize",  # last of the r8-stale tail
-    "scan_after_column_remap",  # r9-stale cohort from here
-    "scan_after_add_column",
-    "scan_dv_gc",
-    "llm_phrase_search",
-    "scan_multi_table_txn",
-    "scan_branch_wap",
-    "scan_snapshot_history",
-    "setop_union_except",
-    "agg_conditional_bools",
-    "agg_grouped_map_mad",
-    "agg_histogram_buckets",
-    "agg_median_disc",
-    "join_lateral_topn",
-    "join_left_right_outer",
-    "llm_fingerprint",
-    "llm_lang_id",
-    "llm_length_percentiles",
-    "llm_ngram_topk",
-    "llm_pack_sequences",
-    "llm_pii_redact",
-    "llm_repetition_ratio",
-    "llm_similarity_range",
-    "llm_stratified_sample",
-    "llm_tfidf_topk",
-    "llm_token_count",
-    "llm_vocab_topk",
-    "mm_audio_windows",
-    "stream_dedup_counts",
-    "stream_olive_sink",
-    "stream_session_window",
-    # ---- beyond the 50-entry driver window: the r12-checked
-    # cohort (freshest evidence) first, then the rest; all keep
-    # bench/pytest coverage ----
+    "llm_token_count_bpe_bytes",  # r14-new
+    "scan_view_freshness",  # r14-new
+    "scan_zorder_pruning",  # r14-new
+    # ---- r9-stale cohort: every remaining query last checked in the
+    # r9 window (42 entries — the stalest evidence in the registry) ----
+    "scan_truncate_partition_pruning",
+    "scan_after_respec",
+    "scan_after_rename_column",
+    "scan_table_by_name",
+    "llm_dedup_incremental",
+    "llm_dedup_index_update",
+    "events_window_funnel_chained",
+    "scan_after_update_where",
+    "scan_after_drop_column",
+    "scan_hidden_partition_pruning",
+    "scan_bucket_partition_pruning",
+    "ts_resample_locf",
+    "events_window_funnel",
+    "scalar_json_events",
+    "subquery_correlated_scalar",
+    "tpch_q3_shipping",
+    "agg_cube_events",
+    "agg_rollup",
+    "agg_distinct",
+    "join_semi_anti",
+    "join_range_events",
+    "join_asof_event_order",
+    "window_rank_events",
+    "agg_grouping_sets",
+    "events_cohort_retention",
+    "tpch_q9_product_revenue",
+    "tpch_q21_waiting_orders",
+    "llm_dedup_exact",
+    "llm_dedup_minhash",
+    "llm_dedup_clusters",
+    "llm_similarity_topk",
+    "llm_contamination",
+    "llm_curation_pipeline",
+    "llm_text_stats",
+    "mm_image_resize",
+    "stream_window_counts",
+    "agg_pivot_status",
+    "agg_stats_moments",
+    "agg_collect_sorted",
+    "join_full_outer",
+    "null_handling",
+    "reshape_unpivot",
+    # ---- oldest of the r10 cohort fills the 50-entry window ----
+    "scan_after_dv_delete",
+    "scan_dv_time_travel",
+    "scan_dv_changes_feed",
+    "scan_merge_not_matched_by_source",
+    # ---- beyond the driver window: stalest-first (r10 remainder,
+    # then r11/r12/r13-checked cohorts) so future rotations pop from
+    # the front; all keep bench/pytest coverage ----
+    "scan_after_replace_where",
+    "scan_after_widen_column",
+    "llm_similarity_pq_persisted",
+    "scan_after_merge_upsert",
+    "scan_merge_cdc_tombstones",
+    "scan_merge_partitioned",
+    "scan_merge_conditional_evolve",
+    "scan_merge_conditional_delete",
+    "scan_merge_hidden_partition",
+    "scan_changes_feed",
+    "scan_changes_by_commit",
+    "scan_after_restore",
+    "scan_after_clone",
+    "scan_incremental_matview",
+    "stream_merge_upsert",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q12_shipmode",
+    "tpch_q14_promo_ratio",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_shippers",
+    "tpch_q22_global_sales",
+    "scalar_functions",
+    "scalar_array_functions",
+    "scalar_map_functions",
+    "scalar_datetime_functions",
+    "scalar_string_advanced",
+    "window_ntile_percent",
+    "window_lead_lag",
+    "window_range_frame",
+    "sort_limit_topk",
+    "setop_intersect",
+    "explode_embeddings",
+    "join_nested_loop",
+    "subquery_in_uncorrelated",
+    "agg_groupby_sum",
+    "llm_dedup_lines",
+    "llm_quality_score",
+    "mm_decode_meta",
+    "ts_ewma_events",
     "stream_sliding_counts",
     "stream_static_join",
     "stream_stream_join",
+    "stream_user_totals",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "window_running_sum",
+    "llm_token_budget_mix",
+    "scan_bloom_pruning",
+    "tpch_q4_order_priority",
+    "tpch_q6_revenue",
+    "llm_similarity_ivf",
+    "llm_similarity_pq",
+    "scan_filter_pages",
+    "scan_nulls_validity",
+    "scan_multi_table_chunk",
     "scan_txn_group_cut",
     "scan_branch_mutation",
     "llm_dedup_substring",
@@ -180,111 +236,55 @@ _ORDER = [
     "llm_word_entropy",
     "mm_audio_wav_real",
     "mm_decode_png_real",
-    "stream_user_totals",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "window_running_sum",
-    "llm_token_budget_mix",
-    "scan_bloom_pruning",
-    "tpch_q4_order_priority",
-    "tpch_q6_revenue",
-    "llm_similarity_ivf",
-    "llm_similarity_pq",
-    "scan_filter_pages",
-    "scan_nulls_validity",
-    "scan_multi_table_chunk",
-    "scan_after_dv_delete",
-    "scan_dv_time_travel",
-    "scan_dv_changes_feed",
-    "scan_merge_not_matched_by_source",
-    "scan_after_replace_where",
-    "scan_after_widen_column",
-    "llm_similarity_pq_persisted",
-    "scan_after_merge_upsert",
-    "scan_merge_cdc_tombstones",
-    "scan_merge_partitioned",
-    "scan_merge_conditional_evolve",
-    "scan_merge_conditional_delete",
-    "scan_merge_hidden_partition",
-    "scan_changes_feed",
-    "scan_changes_by_commit",
-    "scan_after_restore",
-    "scan_after_clone",
-    "scan_incremental_matview",
-    "stream_merge_upsert",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q5_local_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q12_shipmode",
-    "tpch_q14_promo_ratio",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_excess_shippers",
-    "tpch_q22_global_sales",
-    "scalar_functions",
-    "scalar_array_functions",
-    "scalar_map_functions",
-    "scalar_datetime_functions",
-    "scalar_string_advanced",
-    "window_ntile_percent",
-    "window_lead_lag",
-    "window_range_frame",
-    "sort_limit_topk",
-    "setop_intersect",
-    "explode_embeddings",
-    "join_nested_loop",
-    "subquery_in_uncorrelated",
-    "agg_groupby_sum",
-    "llm_dedup_lines",
-    "llm_quality_score",
-    "mm_decode_meta",
-    "ts_ewma_events",
-    "scan_truncate_partition_pruning",
-    "scan_after_respec",
-    "scan_after_rename_column",
-    "scan_table_by_name",
-    "llm_dedup_incremental",
-    "llm_dedup_index_update",
-    "events_window_funnel_chained",
-    "scan_after_update_where",
-    "scan_after_drop_column",
-    "scan_hidden_partition_pruning",
-    "scan_bucket_partition_pruning",
-    "ts_resample_locf",
-    "events_window_funnel",
-    "scalar_json_events",
-    "subquery_correlated_scalar",
-    "tpch_q3_shipping",
-    "agg_cube_events",
-    "agg_rollup",
-    "agg_distinct",
-    "join_semi_anti",
-    "join_range_events",
-    "join_asof_event_order",
-    "window_rank_events",
-    "agg_grouping_sets",
-    "events_cohort_retention",
-    "tpch_q9_product_revenue",
-    "tpch_q21_waiting_orders",
-    "llm_dedup_exact",
-    "llm_dedup_minhash",
-    "llm_dedup_clusters",
-    "llm_similarity_topk",
-    "llm_contamination",
-    "llm_curation_pipeline",
-    "llm_text_stats",
-    "mm_image_resize",
-    "stream_window_counts",
-    "agg_pivot_status",
-    "agg_stats_moments",
-    "agg_collect_sorted",
-    "join_full_outer",
-    "null_handling",
-    "reshape_unpivot",
+    "scan_txn_mutation_cut",
+    "scan_branch_rebase",
+    "llm_token_count_bpe",
+    "llm_lsh_ingest_txn",
+    "llm_budget_mix_bpe",
+    "llm_tokenize_chunks",
+    "llm_pack_bpe",
+    "mm_phash_pairs",
+    "scan_expectations_gate",
+    "scan_merge_time_travel",
+    "scan_table_checksum",
+    "scan_time_travel",
+    "stream_cdc_pump",
+    "stream_matview",
+    "stream_snapshot_tail",
+    "ts_anomaly_zscore",
+    "ts_resample_interpolate",
+    "types_unsigned_time",
+    "window_sessionize",
+    "scan_after_column_remap",
+    "scan_after_add_column",
+    "scan_dv_gc",
+    "llm_phrase_search",
+    "scan_multi_table_txn",
+    "scan_branch_wap",
+    "scan_snapshot_history",
+    "setop_union_except",
+    "agg_conditional_bools",
+    "agg_grouped_map_mad",
+    "agg_histogram_buckets",
+    "agg_median_disc",
+    "join_lateral_topn",
+    "join_left_right_outer",
+    "llm_fingerprint",
+    "llm_lang_id",
+    "llm_length_percentiles",
+    "llm_ngram_topk",
+    "llm_pack_sequences",
+    "llm_pii_redact",
+    "llm_repetition_ratio",
+    "llm_similarity_range",
+    "llm_stratified_sample",
+    "llm_tfidf_topk",
+    "llm_token_count",
+    "llm_vocab_topk",
+    "mm_audio_windows",
+    "stream_dedup_counts",
+    "stream_olive_sink",
+    "stream_session_window",
 ]
 
 assert set(_ORDER) == set(_RAW), (
