@@ -141,6 +141,9 @@ HEADLINE = [
     "llm_tokenize_chunks",            # r13: tokenized context-window shards
     "llm_pack_bpe",                   # r13: BPE-budgeted sharded packing
     "llm_token_count_bpe_bytes",      # r14: byte-level BPE (GPT-2 b2u)
+    "scan_view_freshness",            # r14: version-fresh named views
+    "scan_zorder_pruning",            # r14: Z-order 2-predicate skipping
+    "llm_bpe_train_corpus",           # r14: distributed BPE trainer
 ]
 
 

@@ -209,6 +209,7 @@ def synthesize_bpe(n_merges: int = 50_000, head: "dict | None" = None) -> dict:
 def train_bpe_distributed(
     spark, df, text_col: str = "text", vocab_size: int = 384,
     byte_level: bool = False, checkpoint_every: int = 24,
+    max_merges: "int | None" = None,
 ) -> dict:
     """The Sennrich trainer with the pair counting as SPARK
     aggregations (r14, VERDICT r13 task #4): the driver holds only the
@@ -255,8 +256,9 @@ def train_bpe_distributed(
                 ).distinct().collect()
             )
         merges: list[list[str]] = []
-        max_merges = max(0, int(vocab_size) - 1 - len(alphabet))
-        for it in range(max_merges):
+        if max_merges is None:
+            max_merges = max(0, int(vocab_size) - 1 - len(alphabet))
+        for it in range(int(max_merges)):
             # guard: sequence(1, 0) DESCENDS in Spark, so a fully
             # merged single-symbol word needs the explicit empty case
             pair = F.expr(

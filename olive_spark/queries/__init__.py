@@ -57,7 +57,8 @@ _RAW: dict[str, tuple] = {
 
 # Driver coverage window: the correctness gate checks the FIRST 50
 # registry entries.  Round-14 rotation (VERDICT r13 task #7): lead with
-# the canary, then the three r14-new queries (byte-level BPE counts,
+# the canary, then the four r14-new queries (byte-level BPE counts,
+# the CTE-replayed distributed trainer,
 # version-fresh named views, Z-order two-predicate pruning), then the
 # ENTIRE 42-query r9-stale cohort (computed from the CORRECTNESS_r*
 # history: every registry query whose last driver check was the r9
@@ -73,6 +74,7 @@ _ORDER = [
     "llm_token_count_bpe_bytes",  # r14-new
     "scan_view_freshness",  # r14-new
     "scan_zorder_pruning",  # r14-new
+    "llm_bpe_train_corpus",  # r14-new: distributed trainer, CTE-replayed
     # ---- r9-stale cohort: every remaining query last checked in the
     # r9 window (42 entries — the stalest evidence in the registry) ----
     "scan_truncate_partition_pruning",
@@ -121,10 +123,10 @@ _ORDER = [
     "scan_after_dv_delete",
     "scan_dv_time_travel",
     "scan_dv_changes_feed",
-    "scan_merge_not_matched_by_source",
     # ---- beyond the driver window: stalest-first (r10 remainder,
     # then r11/r12/r13-checked cohorts) so future rotations pop from
     # the front; all keep bench/pytest coverage ----
+    "scan_merge_not_matched_by_source",
     "scan_after_replace_where",
     "scan_after_widen_column",
     "llm_similarity_pq_persisted",

@@ -926,6 +926,88 @@ def _sql_token_count_bpe_bytes() -> str:
     return _bpe_cte(default_bpe_bytes()) + _SQL_TOKEN_COUNT_TAIL
 
 
+_TRAIN_MERGES = 16
+
+
+def llm_bpe_train_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """TRAIN BPE on the corpus with the DISTRIBUTED trainer (r14,
+    VERDICT r13 task #4, driver-gated): the first 16 merges learned
+    from the documents table by train_bpe_distributed — pair counting
+    as Spark aggregations, one 2-field argmax row to the driver per
+    merge, merge application as a JVM array fold.  The oracle replays
+    the ENTIRE TRAINING LOOP as a DuckDB recursive CTE: state = one
+    row per iteration carrying every word's symbol sequence; the best
+    pair is the same max-count/lexicographic argmax; the merge applies
+    via a separator-framed string REPLACE (left-to-right
+    non-overlapping — exactly the trainer's scan).  A trainer that
+    miscounts a pair, breaks a tie differently, or merges overlapping
+    occurrences diverges at some rank and hash-mismatches."""
+    from olive_spark.ops import tokenize
+
+    docs = data.load(spark, sf, "documents", columns=["text"])
+    b = tokenize.train_bpe_distributed(
+        spark, docs, vocab_size=1 << 20, max_merges=_TRAIN_MERGES
+    )
+    rows = [(i, f"{l} {r}") for i, (l, r) in enumerate(b["merges"])]
+    return spark.createDataFrame(rows, schema="rank int, pair string")
+
+
+def _sql_bpe_train_corpus() -> str:
+    sep = "\x1e"  # framing separator: absent from the corpus text
+    return rf"""
+WITH RECURSIVE
+words AS (
+  SELECT w AS word, count(*)::BIGINT AS c FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS w
+    FROM documents
+  ) GROUP BY w
+),
+init AS (
+  SELECT list({{s: string_split(word, '') || ['</w>'], c: c}}
+              ORDER BY word) AS seqs
+  FROM words
+),
+state(iter, seqs, merges, done) AS (
+  SELECT 0, seqs, []::VARCHAR[], false FROM init
+  UNION ALL
+  SELECT iter + 1,
+    CASE WHEN best.l IS NULL THEN seqs ELSE
+      list_transform(seqs, w -> {{
+        s: list_filter(string_split(
+             replace('{sep}' || array_to_string(w.s, '{sep}') || '{sep}',
+                     '{sep}' || best.l || '{sep}' || best.r || '{sep}',
+                     '{sep}' || best.l || best.r || '{sep}'),
+             '{sep}'), x -> x <> ''),
+        c: w.c }})
+    END,
+    CASE WHEN best.l IS NULL THEN merges
+         ELSE merges || [best.l || ' ' || best.r] END,
+    best.l IS NULL
+  FROM (
+    SELECT iter, seqs, merges,
+      (SELECT {{l: q.l, r: q.r}} FROM (
+         SELECT l, r, SUM(c) AS n FROM (
+           SELECT u.pr.l AS l, u.pr.r AS r, u.c AS c
+           FROM (
+             SELECT unnest(list_transform(range(1, len(w.s)::BIGINT),
+                    j -> {{l: w.s[j::INT], r: w.s[j::INT + 1]}})) AS pr,
+                    w.c AS c
+             FROM unnest(seqs) AS t(w)
+           ) u
+         ) GROUP BY l, r
+         HAVING SUM(c) >= 2
+         ORDER BY n DESC, l, r LIMIT 1
+      ) q) AS best
+    FROM state WHERE NOT done AND iter < {_TRAIN_MERGES}
+  )
+)
+SELECT CAST(i - 1 AS INT) AS rank, m.merges[i::INT] AS pair
+FROM (SELECT merges FROM state ORDER BY iter DESC LIMIT 1) m,
+     UNNEST(range(1, len(m.merges)::BIGINT + 1)) AS u(i)
+"""
+
+
 def llm_pack_bpe(spark: SparkSession, sf: str) -> DataFrame:
     """Partition-wise sequence packing budgeted in REAL subword tokens
     (the second curation opt-in, r13): pack_sequences_sharded with
@@ -1417,6 +1499,9 @@ QUERIES: dict[str, tuple] = {
     "llm_token_count_bpe": (llm_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "llm_token_count_bpe_bytes": (
         llm_token_count_bpe_bytes, _sql_token_count_bpe_bytes()
+    ),
+    "llm_bpe_train_corpus": (
+        llm_bpe_train_corpus, _sql_bpe_train_corpus()
     ),
     "llm_lsh_ingest_txn": (llm_lsh_ingest_txn, SQL_LSH_INGEST_TXN),
     "llm_budget_mix_bpe": (llm_budget_mix_bpe, SQL_BUDGET_MIX_BPE),
