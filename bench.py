@@ -144,6 +144,7 @@ HEADLINE = [
     "scan_view_freshness",            # r14: version-fresh named views
     "scan_zorder_pruning",            # r14: Z-order 2-predicate skipping
     "llm_bpe_train_corpus",           # r14: distributed BPE trainer
+    "scan_hilbert_pruning",           # r14: Hilbert-curve clustering
 ]
 
 

@@ -141,6 +141,47 @@ def _morton_expr(cols, bits: int | None = None):
     return z
 
 
+def _hilbert_expr(cols, bits: int):
+    """2-D Hilbert-curve distance of two non-negative int columns —
+    the public xy2d algorithm (per-bit reflect+rotate walk from the
+    top bit down) folded over bit levels as a pure JVM expression via
+    ``aggregate``; no UDF.  Hilbert keeps axis-neighbors curve-adjacent
+    strictly better than Morton (no Z-jumps across quadrant seams), so
+    box queries open the same or fewer pages."""
+    from pyspark.sql import functions as F
+
+    if len(cols) != 2:
+        raise ValueError("hilbert clustering takes exactly 2 columns")
+    x, y = cols
+    acc0 = F.struct(
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    svals = F.expr(
+        f"transform(sequence({int(bits) - 1}, 0, -1), i -> shiftleft(1L, i))"
+    )
+
+    def step(acc, s):
+        one = F.lit(1).cast("long")
+        zero = F.lit(0).cast("long")
+        rx = F.when(acc["x"].bitwiseAND(s) > 0, one).otherwise(zero)
+        ry = F.when(acc["y"].bitwiseAND(s) > 0, one).otherwise(zero)
+        d2 = acc["d"] + s * s * ((F.lit(3).cast("long") * rx).bitwiseXOR(ry))
+        # rotate the frame: if ry==0 { if rx==1 reflect; swap(x,y) }
+        nx = F.when(
+            ry == 0,
+            F.when(rx == 1, s - 1 - acc["y"]).otherwise(acc["y"]),
+        ).otherwise(acc["x"])
+        ny = F.when(
+            ry == 0,
+            F.when(rx == 1, s - 1 - acc["x"]).otherwise(acc["x"]),
+        ).otherwise(acc["y"])
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    return F.aggregate(svals, acc0, step)["d"]
+
+
 def _retire_original(path: str, rel: str, history: bool) -> bool:
     """Remove a compaction-replaced file from the LIVE listing: deleted
     outright, or moved into _olive_history/ (invisible to directory
@@ -198,6 +239,7 @@ def compact(
     where: "str | None" = None,
     files: "list[str] | None" = None,
     page_rows: "int | None" = None,
+    curve: str = "morton",
 ) -> dict:
     """Rewrite the olive directory at ``path`` into files of
     ``target_rows``; with ``sort_by``, range-partition + sort so page
@@ -335,7 +377,13 @@ def compact(
             for i, c in enumerate(zorder_by)
         ]
         drop = [x for i in range(len(zorder_by)) for x in (f"_lo{i}", f"_hi{i}")]
-        z = df.withColumn("_z", _morton_expr(norm, nbits))
+        if curve == "hilbert":
+            z = df.withColumn("_z", _hilbert_expr(norm, nbits))
+        elif curve == "morton":
+            z = df.withColumn("_z", _morton_expr(norm, nbits))
+        else:
+            raise ValueError(f"unknown clustering curve {curve!r}: "
+                             "use 'morton' or 'hilbert'")
         if layout:
             # Delta's OPTIMIZE ZORDER on a partitioned table: cluster
             # WITHIN each partition dir (global z-ranging would scatter

@@ -689,6 +689,56 @@ SQL_ZORDER_PRUNING = (
 )
 
 
+def _ensure_orders_hilbert(spark: SparkSession, sf: str) -> str:
+    """orders compacted on the 2-D HILBERT curve (r14 — compact
+    ``curve="hilbert"``): unit-step locality, no Morton quadrant-seam
+    jumps; same normalization and page_rows as the z-order twin."""
+    from olive_spark.ops.maintenance import compact
+
+    def build(out: str) -> None:
+        cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+        base = data.load(spark, sf, "orders", columns=cols)
+        base.write.format("olive").option("table", "orders_h") \
+            .mode("append").save(out)
+        compact(spark, out, target_rows=1 << 20, page_rows=2048,
+                zorder_by=["o_custkey", "o_orderkey"], curve="hilbert",
+                table="orders_h")
+
+    return _build_once(spark, sf, "orders_hilbert", "_HILBERT_OK", build)
+
+
+def scan_hilbert_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-predicate range scan over the HILBERT-clustered orders table
+    (r14): the exact-parity fold (tests/test_plans.py pins the JVM
+    expression against the public xy2d algorithm point-by-point) feeds
+    the same rewrite machinery as z-order; the oracle recomputes the
+    aggregate from the parquet base."""
+    zpath = _ensure_orders_hilbert(spark, sf)
+    df = (
+        spark.read.format("olive").option("table", "orders_h")
+        .option("pushdown", "true").load(zpath)
+        .filter(
+            (F.col("o_custkey") >= 600) & (F.col("o_custkey") <= 900)
+            & (F.col("o_orderkey") >= 300_000)
+            & (F.col("o_orderkey") <= 500_000)
+        )
+    )
+    return df.groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").alias("sum_keys"),
+        F.sum(F.col("o_totalprice").cast(D)).cast(D).alias("sum_price"),
+    )
+
+
+SQL_HILBERT_PRUNING = (
+    "SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+    "AS sum_price FROM orders "
+    "WHERE o_custkey BETWEEN 600 AND 900 "
+    "AND o_orderkey BETWEEN 300000 AND 500000"
+)
+
+
 def scan_bloom_pruning(spark: SparkSession, sf: str) -> DataFrame:
     """Point lookups by content hash through per-file Bloom filters
     (write-side ``bloomColumns`` option; format/bloom.py): md5 values
@@ -3190,6 +3240,7 @@ QUERIES: dict[str, tuple] = {
     "scan_table_by_name": (scan_table_by_name, SQL_TABLE_BY_NAME),
     "scan_view_freshness": (scan_view_freshness, SQL_VIEW_FRESHNESS),
     "scan_zorder_pruning": (scan_zorder_pruning, SQL_ZORDER_PRUNING),
+    "scan_hilbert_pruning": (scan_hilbert_pruning, SQL_HILBERT_PRUNING),
     "scan_merge_cdc_tombstones": (scan_merge_cdc_tombstones, SQL_MERGE_CDC_TOMB),
     "scan_after_dv_delete": (scan_after_dv_delete, SQL_AFTER_DV_DELETE),
     "scan_merge_not_matched_by_source": (

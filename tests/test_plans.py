@@ -927,3 +927,90 @@ def test_zorder_two_predicate_page_opens_vs_plain_sort(spark, tmp_path):
     with pytest.raises(Exception):
         spark.read.format("olive").option("pushdown", "true") \
             .load(zorder_d).filter("x = 200 AND y = 200").collect()
+
+
+def test_hilbert_expr_matches_reference_and_prunes(spark, tmp_path):
+    """r14: Hilbert clustering (compact curve='hilbert') — the JVM fold
+    must equal the public xy2d algorithm exactly, and the clustered
+    layout must prune pages on BOTH dimensions like z-order (Hilbert's
+    unit-step curve has no Morton quadrant-seam jumps, so box-query
+    page opens are the same or tighter)."""
+    import pyarrow as pa
+
+    from olive_spark.datasource.olive_datasource import (
+        _list_chunk_files,
+        _pick_table,
+        _read_header_bytes,
+    )
+    from olive_spark.format import write_chunk
+    from olive_spark.format.reader import select_pages
+    from olive_spark.ops.maintenance import _hilbert_expr, compact
+
+    def xy2d(order, x, y):
+        d = 0
+        s = 1 << (order - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    # exact parity on a 32x32 grid at order 5
+    df = spark.createDataFrame(
+        [(x, y) for x in range(32) for y in range(32)], "x long, y long"
+    )
+    got = {
+        (r["x"], r["y"]): r["d"]
+        for r in df.select(
+            "x", "y", _hilbert_expr([F.col("x"), F.col("y")], 5).alias("d")
+        ).collect()
+    }
+    for (x, y), d in got.items():
+        assert d == xy2d(5, x, y), (x, y, d)
+
+    # clustered layout prunes pages on both dimensions
+    n = 256
+    t = pa.table({
+        "x": pa.array([i % n for i in range(n * n)], pa.int64()),
+        "y": pa.array([i // n for i in range(n * n)], pa.int64()),
+    })
+    d = tmp_path / "hil"
+    d.mkdir()
+    (d / "part-0.olive").write_bytes(write_chunk({"data": t}))
+    compact(spark, str(d), target_rows=n * n, page_rows=1024,
+            zorder_by=["x", "y"], curve="hilbert")
+
+    def pages_opened(preds):
+        hit = total = 0
+        for fp in _list_chunk_files(str(d)):
+            header, _ = _read_header_bytes(fp)
+            th = _pick_table(header, "data")
+            sel = select_pages(th, preds)
+            n_pages = len(th.fields[0].stats["min"])
+            total += n_pages
+            hit += n_pages if sel is None else len(sel)
+        return hit, total
+
+    hit_x, total = pages_opened([("x", ">=", 8), ("x", "<=", 15)])
+    hit_y, _ = pages_opened([("y", ">=", 8), ("y", "<=", 15)])
+    hit_both, _ = pages_opened(
+        [("x", ">=", 0), ("x", "<=", 63), ("y", ">=", 8), ("y", "<=", 15)]
+    )
+    assert total == 64
+    assert hit_x <= total // 4, (hit_x, total)
+    assert hit_y <= total // 4, (hit_y, total)
+    assert hit_both <= 8, (hit_both, total)
+    # content exact after the rewrite
+    back = spark.read.format("olive").load(str(d))
+    assert back.count() == n * n
+    assert back.agg(F.sum("x"), F.sum("y")).collect()[0] == (
+        n * n * (n - 1) // 2, n * n * (n - 1) // 2,
+    )
+    # unknown curve fails loud
+    with pytest.raises(ValueError, match="curve"):
+        compact(spark, str(d), zorder_by=["x", "y"], curve="peano")
