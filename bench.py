@@ -145,6 +145,7 @@ HEADLINE = [
     "scan_zorder_pruning",            # r14: Z-order 2-predicate skipping
     "llm_bpe_train_corpus",           # r14: distributed BPE trainer
     "scan_hilbert_pruning",           # r14: Hilbert-curve clustering
+    "llm_token_count_gpt2",           # r14: GPT-2 regex pretok (lossless)
 ]
 
 

@@ -54,6 +54,9 @@ _FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "bpe_fixture")
 _FIXTURE_BYTES_DIR = os.path.join(
     os.path.dirname(__file__), "bpe_fixture_bytes"
 )
+_FIXTURE_GPT2_DIR = os.path.join(
+    os.path.dirname(__file__), "bpe_fixture_gpt2"
+)
 
 
 # ------------------------------------------------------- byte-level mode
@@ -84,6 +87,36 @@ B2U = bytes_to_unicode()
 U2B = {v: k for k, v in B2U.items()}
 
 
+#: GPT-2-SHAPED pre-tokenizer pattern, ASCII-EXPLICIT by design: the
+#: public GPT-2 regex uses \p{L}/\p{N} + a lookahead, which Python re,
+#: Java regex (Spark), and RE2 (DuckDB) each interpret differently —
+#: these fully-explicit classes tokenize IDENTICALLY in all three
+#: engines (pinned by test), which is what makes the oracle exact.
+#: Contractions split off, one leading space attaches to a word,
+#: whitespace runs are in-band tokens — so the token stream COVERS the
+#: text and decode is lossless (no whitespace normalization).
+GPT2_SPLIT_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+|[ \t\n\r]+"
+)
+_GPT2_RX = None
+
+
+def pretokenize(text: str, mode: str = "whitespace") -> "list[str]":
+    """SPEC step 1: text → words.  ``whitespace`` (default corpus
+    convention) drops separators; ``gpt2`` is the lossless regex split
+    above (requires byte_level — whitespace rides inside tokens, and
+    the byte remap keeps symbols printable for merges.txt)."""
+    if mode == "gpt2":
+        global _GPT2_RX
+        if _GPT2_RX is None:
+            import re
+
+            _GPT2_RX = re.compile(GPT2_SPLIT_PATTERN)
+        return _GPT2_RX.findall(text)
+    return text.split()
+
+
 def word_symbols(word: str, byte_level: bool) -> "list[str]":
     """SPEC step 2, both modes: the initial symbol list for one word
     (no EOW).  Byte-level maps the word's UTF-8 bytes through
@@ -97,7 +130,8 @@ def word_symbols(word: str, byte_level: bool) -> "list[str]":
 # ---------------------------------------------------------------- train
 
 def train_bpe(texts, vocab_size: int = 384,
-              byte_level: bool = False) -> dict:
+              byte_level: bool = False,
+              pretokenizer: str = "whitespace") -> dict:
     """Learn a BPE vocab + merge list from an iterable of texts.
 
     Classic Sennrich trainer: count whitespace words, then repeatedly
@@ -114,10 +148,11 @@ def train_bpe(texts, vocab_size: int = 384,
     0, the sorted base alphabet next, then one id per merge in
     learned order.
     """
+    _check_pretok(pretokenizer, byte_level)
     words: Counter = Counter()
     for t in texts:
         if t:
-            words.update(t.split())
+            words.update(pretokenize(t, pretokenizer))
     seqs: dict[tuple, int] = {
         tuple(word_symbols(w, byte_level)) + (EOW,): c
         for w, c in words.items()
@@ -157,10 +192,22 @@ def train_bpe(texts, vocab_size: int = 384,
                     i += 1
             new_seqs[tuple(out)] = new_seqs.get(tuple(out), 0) + c
         seqs = new_seqs
-    return _assemble(alphabet, merges, byte_level)
+    return _assemble(alphabet, merges, byte_level, pretokenizer)
 
 
-def _assemble(alphabet, merges, byte_level: bool) -> dict:
+def _check_pretok(pretokenizer: str, byte_level: bool) -> None:
+    if pretokenizer not in ("whitespace", "gpt2"):
+        raise ValueError(f"unknown pretokenizer {pretokenizer!r}")
+    if pretokenizer == "gpt2" and not byte_level:
+        raise ValueError(
+            "gpt2 pre-tokenization requires byte_level=True: whitespace "
+            "rides inside tokens, and only the byte remap keeps symbols "
+            "printable for the merges.txt line format"
+        )
+
+
+def _assemble(alphabet, merges, byte_level: bool,
+              pretokenizer: str = "whitespace") -> dict:
     vocab = {UNK: 0}
     for s in alphabet:
         vocab[s] = len(vocab)
@@ -168,7 +215,8 @@ def _assemble(alphabet, merges, byte_level: bool) -> dict:
         tok = l + r
         if tok not in vocab:
             vocab[tok] = len(vocab)
-    return {"vocab": vocab, "merges": merges, "byte_level": byte_level}
+    return {"vocab": vocab, "merges": merges, "byte_level": byte_level,
+            "pretokenizer": pretokenizer}
 
 
 def synthesize_bpe(n_merges: int = 50_000, head: "dict | None" = None) -> dict:
@@ -209,7 +257,7 @@ def synthesize_bpe(n_merges: int = 50_000, head: "dict | None" = None) -> dict:
 def train_bpe_distributed(
     spark, df, text_col: str = "text", vocab_size: int = 384,
     byte_level: bool = False, checkpoint_every: int = 24,
-    max_merges: "int | None" = None,
+    max_merges: "int | None" = None, pretokenizer: str = "whitespace",
 ) -> dict:
     """The Sennrich trainer with the pair counting as SPARK
     aggregations (r14, VERDICT r13 task #4): the driver holds only the
@@ -230,12 +278,18 @@ def train_bpe_distributed(
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
-    words = (
-        df.select(
-            F.explode(
-                F.split(F.trim(F.col(text_col)), r"\s+")
-            ).alias("w")
+    _check_pretok(pretokenizer, byte_level)
+    if pretokenizer == "gpt2":
+        # Java regex here, Python re in the local trainer, RE2 in the
+        # oracle — the ASCII-explicit pattern tokenizes identically in
+        # all three (pinned by test)
+        words_col = F.regexp_extract_all(
+            F.col(text_col), F.lit(GPT2_SPLIT_PATTERN), 0
         )
+    else:
+        words_col = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = (
+        df.select(F.explode(words_col).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w").agg(F.count("*").alias("c"))
     )
@@ -299,7 +353,7 @@ def train_bpe_distributed(
                 nxt = nxt.localCheckpoint(eager=True)
             old, seqs = seqs, nxt.persist()
             old.unpersist()
-        return _assemble(alphabet, merges, bl)
+        return _assemble(alphabet, merges, bl, pretokenizer)
     finally:
         seqs.unpersist()
 
@@ -321,9 +375,14 @@ def save_bpe(bpe: dict, dirpath: str) -> None:
         for l, r in bpe["merges"]:
             f.write(f"{l} {r}\n")
     cfg = os.path.join(dirpath, "tokenizer_config.json")
+    conf = {}
     if bpe.get("byte_level"):
+        conf["byte_level"] = True
+    if bpe.get("pretokenizer", "whitespace") != "whitespace":
+        conf["pretokenizer"] = bpe["pretokenizer"]
+    if conf:
         with open(cfg, "w") as f:
-            json.dump({"byte_level": True}, f)
+            json.dump(conf, f)
     elif os.path.exists(cfg):
         os.remove(cfg)
 
@@ -340,15 +399,20 @@ def load_bpe(dirpath: str) -> dict:
             l, _, r = line.partition(" ")
             merges.append([l, r])
     byte_level = False
+    pretok = "whitespace"
     cfg = os.path.join(dirpath, "tokenizer_config.json")
     if os.path.exists(cfg):
         with open(cfg) as f:
-            byte_level = bool(json.load(f).get("byte_level"))
-    return {"vocab": vocab, "merges": merges, "byte_level": byte_level}
+            conf = json.load(f)
+        byte_level = bool(conf.get("byte_level"))
+        pretok = conf.get("pretokenizer", "whitespace")
+    return {"vocab": vocab, "merges": merges, "byte_level": byte_level,
+            "pretokenizer": pretok}
 
 
 _DEFAULT: "dict | None" = None
 _DEFAULT_BYTES: "dict | None" = None
+_DEFAULT_GPT2: "dict | None" = None
 
 
 def default_bpe() -> dict:
@@ -358,6 +422,16 @@ def default_bpe() -> dict:
     if _DEFAULT is None:
         _DEFAULT = load_bpe(_FIXTURE_DIR)
     return _DEFAULT
+
+
+def default_bpe_gpt2() -> dict:
+    """The committed GPT-2-SHAPED fixture (byte-level + regex
+    pre-tokenization): whitespace is in-band, so decode is a LOSSLESS
+    inverse — exact text reconstruction, no normalization."""
+    global _DEFAULT_GPT2
+    if _DEFAULT_GPT2 is None:
+        _DEFAULT_GPT2 = load_bpe(_FIXTURE_GPT2_DIR)
+    return _DEFAULT_GPT2
 
 
 def default_bpe_bytes() -> dict:
@@ -409,7 +483,8 @@ def encode_text(text: "str | None", bpe: dict,
     out: list[int] = []
     unk = vocab[UNK]
     bl = bool(bpe.get("byte_level"))
-    for w in text.split():
+    ptk = bpe.get("pretokenizer", "whitespace")
+    for w in pretokenize(text, ptk):
         ids = cache.get(w)
         if ids is None:
             ids = tuple(
@@ -440,6 +515,8 @@ def decode_ids(ids, bpe: "dict | None" = None) -> str:
             bytes(U2B[c] for c in w).decode("utf-8", errors="replace")
             for w in words
         ]
+    if b.get("pretokenizer", "whitespace") == "gpt2":
+        return "".join(words)  # whitespace is in-band: exact roundtrip
     return " ".join(words)
 
 
@@ -473,7 +550,8 @@ def _vocab_key(bpe: dict) -> str:
     if k is None:
         k = hashlib.md5(json.dumps(
             [bpe["merges"], sorted(bpe["vocab"].items()),
-             bool(bpe.get("byte_level"))]
+             bool(bpe.get("byte_level")),
+             bpe.get("pretokenizer", "whitespace")]
         ).encode()).hexdigest()
         bpe["_key"] = k
     return k
@@ -492,7 +570,8 @@ def bpe_encode(df, text_col: str = "text", bpe: "dict | None" = None,
     b = bpe or default_bpe()
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast({"vocab": b["vocab"], "merges": b["merges"],
-                       "byte_level": bool(b.get("byte_level"))})
+                       "byte_level": bool(b.get("byte_level")),
+                       "pretokenizer": b.get("pretokenizer", "whitespace")})
     ck = _vocab_key(b)
 
     @pandas_udf("struct<ids: array<int>, n: int>")
@@ -575,7 +654,8 @@ def bpe_token_count_col(df, text_col: str = "text",
     b = bpe or default_bpe()
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast({"vocab": b["vocab"], "merges": b["merges"],
-                       "byte_level": bool(b.get("byte_level"))})
+                       "byte_level": bool(b.get("byte_level")),
+                       "pretokenizer": b.get("pretokenizer", "whitespace")})
     ck = _vocab_key(b)
 
     @pandas_udf("int")

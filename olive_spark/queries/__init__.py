@@ -57,7 +57,7 @@ _RAW: dict[str, tuple] = {
 
 # Driver coverage window: the correctness gate checks the FIRST 50
 # registry entries.  Round-14 rotation (VERDICT r13 task #7): lead with
-# the canary, then the five r14-new queries (byte-level BPE counts,
+# the canary, then the six r14-new queries (byte-level BPE counts,
 # the CTE-replayed distributed trainer,
 # version-fresh named views, Z-order two-predicate pruning), then the
 # ENTIRE 42-query r9-stale cohort (computed from the CORRECTNESS_r*
@@ -76,6 +76,7 @@ _ORDER = [
     "scan_zorder_pruning",  # r14-new
     "llm_bpe_train_corpus",  # r14-new: distributed trainer, CTE-replayed
     "scan_hilbert_pruning",  # r14-new: Hilbert-curve clustering
+    "llm_token_count_gpt2",  # r14-new: GPT-2 regex pretok, lossless decode
     # ---- r9-stale cohort: every remaining query last checked in the
     # r9 window (42 entries — the stalest evidence in the registry) ----
     "scan_truncate_partition_pruning",
@@ -122,10 +123,10 @@ _ORDER = [
     "reshape_unpivot",
     # ---- oldest of the r10 cohort fills the 50-entry window ----
     "scan_after_dv_delete",
-    "scan_dv_time_travel",
     # ---- beyond the driver window: stalest-first (r10 remainder,
     # then r11/r12/r13-checked cohorts) so future rotations pop from
     # the front; all keep bench/pytest coverage ----
+    "scan_dv_time_travel",
     "scan_dv_changes_feed",
     "scan_merge_not_matched_by_source",
     "scan_after_replace_where",

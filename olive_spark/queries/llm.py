@@ -831,11 +831,20 @@ init AS (
             "init AS (SELECT word, string_split(word, '') || ['</w>'] "
             "AS s FROM dw),"
         )
+    if b.get("pretokenizer", "whitespace") == "gpt2":
+        from olive_spark.ops.tokenize import GPT2_SPLIT_PATTERN
+
+        pat = GPT2_SPLIT_PATTERN.replace("'", "''")
+        words_expr = f"regexp_extract_all(text, '{pat}')"
+    else:
+        words_expr = (
+            "list_filter(string_split_regex(trim(text), '\\s+'), "
+            "x -> x <> '')"
+        )
     return f"""
 WITH words AS (
   SELECT doc_id, i AS widx, w[CAST(i AS INT)+1] AS word FROM (
-    SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
-                               x -> x <> '') AS w
+    SELECT doc_id, {words_expr} AS w
     FROM documents), UNNEST(range(0, CAST(len(w) AS BIGINT))) AS u(i)
 ),
 dw AS (SELECT DISTINCT word FROM words),
@@ -924,6 +933,43 @@ def _sql_token_count_bpe_bytes() -> str:
     from olive_spark.ops.tokenize import default_bpe_bytes
 
     return _bpe_cte(default_bpe_bytes()) + _SQL_TOKEN_COUNT_TAIL
+
+
+def llm_token_count_gpt2(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-2-SHAPED tokenization (r14): byte-level BPE behind the
+    ASCII-explicit regex pre-tokenizer — contractions split off, one
+    leading space rides the word, whitespace runs are in-band tokens,
+    so decode is a LOSSLESS inverse (pinned in tests/test_tokenize.py).
+    The oracle swaps only the words step of the shared recursive-CTE
+    replay to ``regexp_extract_all`` with the same pattern: Python re
+    (spec), Java regex (Spark executors), and RE2 (DuckDB) all
+    tokenize identically because every class is explicit ASCII."""
+    from olive_spark.ops import tokenize
+
+    docs = data.load(spark, sf, "documents", columns=["doc_id", "text"])
+    enc = tokenize.bpe_encode(docs, bpe=tokenize.default_bpe_gpt2())
+    ids = F.col("token_ids")
+    ck = F.when(F.size(ids) == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.zip_with(
+                ids, F.sequence(F.lit(1), F.size(ids)),
+                lambda t, i: i.cast("long") * t.cast("long"),
+            ),
+            F.lit(0).cast("long"), lambda a, x: a + x,
+        )
+    )
+    return enc.select(
+        "doc_id",
+        F.size(textstats.tokens(F.col("text"))).alias("n_ws"),
+        F.col("n_tokens_bpe").alias("n_bpe"),
+        ck.alias("ids_ck"),
+    )
+
+
+def _sql_token_count_gpt2() -> str:
+    from olive_spark.ops.tokenize import default_bpe_gpt2
+
+    return _bpe_cte(default_bpe_gpt2()) + _SQL_TOKEN_COUNT_TAIL
 
 
 _TRAIN_MERGES = 16
@@ -1502,6 +1548,9 @@ QUERIES: dict[str, tuple] = {
     ),
     "llm_bpe_train_corpus": (
         llm_bpe_train_corpus, _sql_bpe_train_corpus()
+    ),
+    "llm_token_count_gpt2": (
+        llm_token_count_gpt2, _sql_token_count_gpt2()
     ),
     "llm_lsh_ingest_txn": (llm_lsh_ingest_txn, SQL_LSH_INGEST_TXN),
     "llm_budget_mix_bpe": (llm_budget_mix_bpe, SQL_BUDGET_MIX_BPE),

@@ -501,3 +501,123 @@ def test_real_vocab_scale_proof(spark):
         f"broadcast_bytes={bsize}"
     )
     assert hi_total > 0
+
+
+# ------------------------------------------------- gpt2 pretok (r14)
+
+def test_gpt2_pretokenizer_three_engine_parity(spark):
+    """The ASCII-explicit pattern must tokenize IDENTICALLY in Python
+    re (the spec encoder), Java regex (Spark executors), and RE2
+    (the DuckDB oracle) — the property the hash oracle rests on —
+    and the token stream must COVER the text exactly (losslessness)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from olive_spark.ops.tokenize import GPT2_SPLIT_PATTERN, pretokenize
+
+    texts = [
+        "Hello world!  It's 2024...", "tabs\tand\nnewlines  end ",
+        "  leading", "naïve café 😀", "a1b2 c'd", "don't we'll I'm",
+        "   ", "x", "'s alone", "mixé123!!", "a  b   c", "-3.14e+10",
+        "__dunder__ [x](y) \"quoted\" 'single'", "\r\n\r\n",
+    ]
+    py = {t: pretokenize(t, "gpt2") for t in texts}
+    for t, toks in py.items():
+        assert "".join(toks) == t, (t, toks)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    jv = {
+        r["text"]: list(r["toks"])
+        for r in df.select(
+            "text",
+            F.regexp_extract_all(
+                F.col("text"), F.lit(GPT2_SPLIT_PATTERN), 0
+            ).alias("toks"),
+        ).collect()
+    }
+    for t in texts:
+        assert jv[t] == py[t], ("java", t, jv[t], py[t])
+        db = duckdb.sql(
+            "SELECT regexp_extract_all(?, ?)",
+            params=[t, GPT2_SPLIT_PATTERN],
+        ).fetchone()[0]
+        assert db == py[t], ("re2", t, db, py[t])
+
+
+def test_gpt2_mode_lossless_roundtrip(tmp_path):
+    """decode(encode(t)) == t EXACTLY — whitespace runs, tabs,
+    newlines, punctuation, unicode — the property whitespace mode
+    can't give (it normalizes separators)."""
+    from olive_spark.ops import tokenize
+
+    corpus = ["Hello  world!\tIt's 2024... naïve café 😀 scan data "]
+    b = tokenize.train_bpe(corpus, vocab_size=330, byte_level=True,
+                           pretokenizer="gpt2")
+    for t in [
+        "Hello  world!\tdon't   x\n\nnaïve 😀 ",
+        "  leading and trailing  ", "a\r\nb", "", "x",
+    ]:
+        ids = tokenize.encode_text(t, b)
+        assert tokenize.decode_ids(ids, b) == t, repr(t)
+        assert 0 not in ids
+    # artifacts roundtrip with both mode flags
+    d = str(tmp_path / "g")
+    tokenize.save_bpe(b, d)
+    b2 = tokenize.load_bpe(d)
+    assert b2["byte_level"] and b2["pretokenizer"] == "gpt2"
+    assert b2["vocab"] == b["vocab"] and b2["merges"] == b["merges"]
+    # gpt2 pretok without byte_level is refused (spaces would break
+    # the merges.txt line format)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="byte_level"):
+        tokenize.train_bpe(corpus, vocab_size=200, pretokenizer="gpt2")
+
+
+def test_gpt2_fixture_committed_and_reproducible():
+    from olive_spark.ops import tokenize
+
+    b = tokenize.default_bpe_gpt2()
+    assert b["byte_level"] and b["pretokenizer"] == "gpt2"
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "build_bpe_fixture",
+        _os.path.join(_os.path.dirname(__file__), "..", "tools",
+                      "build_bpe_fixture.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fresh = tokenize.train_bpe(mod.CORPUS, vocab_size=384,
+                               byte_level=True, pretokenizer="gpt2")
+    assert fresh["vocab"] == b["vocab"]
+    assert fresh["merges"] == b["merges"]
+
+
+def test_gpt2_spark_udf_and_distributed_trainer_parity(spark):
+    from olive_spark.ops import tokenize
+
+    b = tokenize.default_bpe_gpt2()
+    texts = ["Hello  world! It's x", None, "", "tab\there  ", "a'd-3"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    got = {
+        r["i"]: list(r["token_ids"])
+        for r in tokenize.bpe_encode(df, bpe=b).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == tokenize.encode_text(t, b), (i, t)
+    # distributed trainer parity in gpt2 mode
+    corpus = ["the scan scans, the scan's data! " * 4,
+              "pack  your box:\twith five jugs " * 3]
+    cdf = spark.createDataFrame([(t,) for t in corpus], "text string")
+    local = tokenize.train_bpe(corpus, vocab_size=300, byte_level=True,
+                               pretokenizer="gpt2")
+    dist = tokenize.train_bpe_distributed(
+        spark, cdf, vocab_size=300, byte_level=True, pretokenizer="gpt2",
+        checkpoint_every=8,
+    )
+    assert dist["merges"] == local["merges"]
+    assert dist["vocab"] == local["vocab"]
+    assert len(local["merges"]) > 5

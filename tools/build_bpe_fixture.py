@@ -42,12 +42,16 @@ def fixture_corpus() -> "list[str]":
     return CORPUS
 
 
-def build(byte_level: bool = False, distributed: bool = False) -> str:
+def build(byte_level: bool = False, distributed: bool = False,
+          gpt2: bool = False) -> str:
     """Build one fixture dir; ``distributed`` routes training through
     ops.tokenize.train_bpe_distributed (r14 task #4) — the merge list
     is identical by the parity contract, so the artifacts are
     byte-for-byte the same either way."""
+    if gpt2:
+        byte_level = True
     vocab_size = 384 if byte_level else 128
+    pretok = "gpt2" if gpt2 else "whitespace"
     if distributed:
         from pyspark.sql import SparkSession
 
@@ -62,14 +66,16 @@ def build(byte_level: bool = False, distributed: bool = False) -> str:
             [(t,) for t in CORPUS], schema="text string"
         )
         bpe = train_bpe_distributed(
-            spark, df, vocab_size=vocab_size, byte_level=byte_level
+            spark, df, vocab_size=vocab_size, byte_level=byte_level,
+            pretokenizer=pretok,
         )
     else:
         bpe = train_bpe(CORPUS, vocab_size=vocab_size,
-                        byte_level=byte_level)
+                        byte_level=byte_level, pretokenizer=pretok)
     out = os.path.join(
         os.path.dirname(__file__), "..", "olive_spark", "ops",
-        "bpe_fixture_bytes" if byte_level else "bpe_fixture",
+        "bpe_fixture_gpt2" if gpt2
+        else ("bpe_fixture_bytes" if byte_level else "bpe_fixture"),
     )
     save_bpe(bpe, out)
     print(f"wrote {out}: vocab={len(bpe['vocab'])} "
@@ -79,4 +85,5 @@ def build(byte_level: bool = False, distributed: bool = False) -> str:
 
 if __name__ == "__main__":
     build(byte_level="--byte-level" in sys.argv,
-          distributed="--distributed" in sys.argv)
+          distributed="--distributed" in sys.argv,
+          gpt2="--gpt2" in sys.argv)
