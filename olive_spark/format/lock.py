@@ -190,6 +190,16 @@ def acquire(dirpath: str, ttl: float = DEFAULT_TTL,
                 )
             if ours is not None and cur.get("token") == ours:
                 if held_by_other_thread:
+                    if time.time() < deadline:
+                        # opted-in blocking applies to SAME-PROCESS
+                        # holders too (ADVICE r14): an in-process
+                        # threaded pipeline queuing two maintenance
+                        # jobs is exactly the advertised wait= use
+                        # case — back off and re-probe until the other
+                        # thread releases or the wait runs out
+                        time.sleep(delay)
+                        delay = min(delay * 1.6, 0.5)
+                        continue
                     # ANOTHER thread of this process is mid-mutation:
                     # that is the corruption case, not a reclaim
                     raise ValidationError(

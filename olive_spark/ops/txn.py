@@ -213,12 +213,17 @@ def _publish_one(part: dict, tag: str) -> bool:
             # delete.  Fail loud instead; the rewrite ops heal committed
             # markers before touching files, so hitting this means an
             # out-of-band writer bypassed the heal.
+            from olive_spark.format.errors import ValidationError
             from olive_spark.format.snapshots import list_live_files
 
             live = set(list_live_files(path))
             dead = [t for t, _d in dvs if t not in live]
             if dead:
-                raise OSError(
+                # ValidationError, not OSError (ADVICE r14): the heal
+                # path's callers swallow OSError as "unreadable txn
+                # dir", and this deliberate redo-safety refusal must
+                # surface there, not vanish
+                raise ValidationError(
                     f"txn {tag}: deletion-vector target(s) {dead} are no "
                     f"longer live in {path} — a file rewrite retired them "
                     "after this transaction committed; refusing to publish "
@@ -229,7 +234,9 @@ def _publish_one(part: dict, tag: str) -> bool:
             if os.path.exists(stag):
                 os.replace(stag, os.path.join(path, dv_rel))
             elif not os.path.exists(os.path.join(path, dv_rel)):
-                raise OSError(
+                from olive_spark.format.errors import ValidationError
+
+                raise ValidationError(  # deliberate refusal — see above
                     f"txn {tag}: staged DV {dv_rel} missing in {path} — "
                     "cannot complete the committed transaction"
                 )
@@ -238,7 +245,9 @@ def _publish_one(part: dict, tag: str) -> bool:
             if os.path.exists(stag):
                 os.replace(stag, os.path.join(path, final))
             elif not os.path.exists(os.path.join(path, final)):
-                raise OSError(
+                from olive_spark.format.errors import ValidationError
+
+                raise ValidationError(  # deliberate refusal — see above
                     f"txn {tag}: staged file {final} missing in {path} — "
                     "cannot complete the committed transaction"
                 )

@@ -976,11 +976,19 @@ _TRAIN_MERGES = 16
 
 
 def llm_bpe_train_corpus(spark: SparkSession, sf: str) -> DataFrame:
-    """TRAIN BPE on the corpus with the DISTRIBUTED trainer (r14,
-    VERDICT r13 task #4, driver-gated): the first 16 merges learned
-    from the documents table by train_bpe_distributed — pair counting
-    as Spark aggregations, one 2-field argmax row to the driver per
-    merge, merge application as a JVM array fold.  The oracle replays
+    """TRAIN BPE on the corpus with the HYBRID trainer (r14, VERDICT
+    r13 task #4, driver-gated): the first 16 merges learned from the
+    documents table by train_bpe_distributed.  Honest gate scope
+    (ADVICE r14): at this corpus' ~31 distinct words the trainer's
+    small-state cutover (local_threshold) iterates the merge loop
+    driver-local after the one distributed word-count — so this gate
+    pins the trainer's RESULT and its word-count aggregation, while
+    the full Spark pair-count/fold loop is pinned by
+    tests/test_tokenize.py (local_threshold=0 parity + 10× scale
+    smoke).  Above the threshold the loop runs distributed: pair
+    counting as Spark aggregations, one 2-field argmax row to the
+    driver per merge, merge application as a JVM array fold.  The
+    same-result property is the cutover's contract.  The oracle replays
     the ENTIRE TRAINING LOOP as a DuckDB recursive CTE: state = one
     row per iteration carrying every word's symbol sequence; the best
     pair is the same max-count/lexicographic argmax; the merge applies
@@ -999,7 +1007,15 @@ def llm_bpe_train_corpus(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_bpe_train_corpus() -> str:
-    sep = "\x1e"  # framing separator: absent from the corpus text
+    # Framing separator (absent from the corpus text).  Symbols join
+    # with a DOUBLED separator and the pattern consumes exactly one of
+    # the pair, so the boundary survives for the next adjacent match:
+    # with a single separator, adjacent occurrences of the winning pair
+    # share it and REPLACE treats them as overlapping — 'a b a b'
+    # would merge only the first (ab, a, b) instead of the trainer's
+    # left-to-right scan (ab, ab) (ADVICE r14, fixed r15; pinned by
+    # tests/test_tokenize.py::test_trainer_oracle_agrees_on_adjacent_pairs).
+    sep = "\x1e"
     return rf"""
 WITH RECURSIVE
 words AS (
@@ -1021,8 +1037,8 @@ state(iter, seqs, merges, done) AS (
     CASE WHEN best.l IS NULL THEN seqs ELSE
       list_transform(seqs, w -> {{
         s: list_filter(string_split(
-             replace('{sep}' || array_to_string(w.s, '{sep}') || '{sep}',
-                     '{sep}' || best.l || '{sep}' || best.r || '{sep}',
+             replace('{sep}' || array_to_string(w.s, '{sep}{sep}') || '{sep}',
+                     '{sep}' || best.l || '{sep}{sep}' || best.r || '{sep}',
                      '{sep}' || best.l || best.r || '{sep}'),
              '{sep}'), x -> x <> ''),
         c: w.c }})

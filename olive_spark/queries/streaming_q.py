@@ -176,7 +176,9 @@ def stream_branch_wap(spark: SparkSession, sf: str) -> DataFrame:
     sdf = streaming.read_stream(spark, src).filter(
         F.col("event_type") != "error"
     )
-    streaming.stream_to_branch_available_now(sdf, out, "ingest", ckpt)
+    streaming.stream_to_branch_available_now(
+        sdf, out, "ingest", ckpt, source_path=src
+    )
     n_live_before = spark.read.format("olive").load(out).count()
     _branch.publish_branch(
         spark, out, "ingest", expect={"typed": "event_type IS NOT NULL"}
@@ -387,7 +389,7 @@ def stream_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
         ).filter(F.col("o_orderkey") % 3 != 0)
         streaming.stream_upsert_available_now(
             sdf, target, ["o_custkey"], os.path.join(root, "ckpt"),
-            latest_by="o_orderkey",
+            latest_by="o_orderkey", source_path=src,
         )
         with open(marker, "w") as f:
             f.write("ok")
@@ -444,6 +446,7 @@ def stream_matview(spark: SparkSession, sf: str) -> DataFrame:
         ).filter(F.col("o_orderkey") % 3 != 0)
         streaming.stream_matview_available_now(
             sdf, table, os.path.join(root, "ckpt"), view,
+            stream_source_path=src,
             group_cols=["o_orderstatus"],
             aggs={
                 "n": "count(*)",

@@ -295,12 +295,15 @@ def stream_upsert_available_now(
     table: str = "data",
     latest_by: "str | None" = None,
     delete_col: "str | None" = None,
+    source_path: "str | None" = None,
 ) -> int:
     """Drain a (capped) stream into a target table via per-microbatch
     MERGE, in bounded availableNow epochs; returns the number of runs
     that made progress.  Combine with ``maxFilesPerTrigger`` +
     ``admissionStateDir`` on the source so every batch — and therefore
-    every copy-on-write rewrite — is bounded."""
+    every copy-on-write rewrite — is bounded.  ``source_path`` (the
+    stream's olive directory) lets the drain loop skip its final
+    no-progress probe run (see drain_available_now)."""
 
     def start():
         return (
@@ -316,7 +319,9 @@ def stream_upsert_available_now(
             .start()
         )
 
-    return drain_available_now(start)
+    return drain_available_now(
+        start, source_paths=[source_path] if source_path else None
+    )
 
 
 def stream_matview_available_now(
@@ -330,6 +335,7 @@ def stream_matview_available_now(
     mv_table: str = "matview",
     mode: str = "auto",
     max_runs: int = 1000,
+    stream_source_path: "str | None" = None,
 ) -> int:
     """The continuous-aggregate loop: drain a (capped) stream into a
     snapshot-logged olive table through the EXACTLY-ONCE sink, and
@@ -368,7 +374,10 @@ def stream_matview_available_now(
             .start(src_path)
         )
 
-    return drain_available_now(start, max_runs=max_runs, on_epoch=refresh)
+    return drain_available_now(
+        start, max_runs=max_runs, on_epoch=refresh,
+        source_paths=[stream_source_path] if stream_source_path else None,
+    )
 
 
 def stream_to_branch_available_now(
@@ -376,6 +385,7 @@ def stream_to_branch_available_now(
     path: str,
     branch_name: str,
     checkpoint: str,
+    source_path: "str | None" = None,
 ) -> int:
     """Streaming WRITE-AUDIT-PUBLISH (r12): drain a (capped) stream
     onto a WAP BRANCH of a snapshot-logged olive table — every
@@ -408,11 +418,51 @@ def stream_to_branch_available_now(
             .start()
         )
 
-    return drain_available_now(start)
+    return drain_available_now(
+        start, source_paths=[source_path] if source_path else None
+    )
+
+
+def _offset_index(raw) -> "int | None":
+    """Index field of an olive stream offset (dict or JSON string)."""
+    import json
+
+    try:
+        doc = raw if isinstance(raw, dict) else json.loads(raw)
+        idx = doc.get("index") if isinstance(doc, dict) else None
+        return int(idx) if isinstance(idx, int) and idx >= 0 else None
+    except (ValueError, TypeError):
+        return None
+
+
+def _backlog_drained(progress, source_paths) -> bool:
+    """True when every source's end offset covers its directory's
+    CURRENT listing — i.e. another run could not make progress.  The
+    listing happens after the run completed, so files appended while it
+    ran keep the loop going exactly like the no-progress probe would.
+    Conservative on any parse/listing doubt (returns False → the caller
+    falls back to the probe run)."""
+    from olive_spark.datasource.olive_datasource import _list_chunk_files
+
+    sources = (progress or {}).get("sources") or ()
+    if not source_paths or len(sources) != len(source_paths):
+        return False
+    for s, path in zip(sources, source_paths):
+        idx = _offset_index(s.get("endOffset"))
+        if idx is None:
+            return False
+        try:
+            n = len(_list_chunk_files(path))
+        except Exception:  # noqa: BLE001 — unlistable: let the probe decide
+            return False
+        if idx < n:
+            return False
+    return True
 
 
 def drain_available_now(
     start_query, max_runs: int = 1000, on_epoch=None,
+    source_paths: "list[str] | None" = None,
 ) -> int:
     """Drain a capped backlog in bounded epochs: repeatedly start an
     availableNow query (``start_query() -> StreamingQuery``) and await
@@ -438,7 +488,15 @@ def drain_available_now(
 
     ``on_epoch`` (optional callable, no args) runs after every epoch
     that made progress — the hook the continuous-aggregate loop uses to
-    refresh a matview per commit."""
+    refresh a matview per commit.
+
+    ``source_paths`` (optional, one olive directory per stream source in
+    plan order) lets the loop stop WITHOUT the final no-progress probe
+    run: when every source's end offset already covers its directory's
+    current file listing, another run provably cannot advance, and the
+    probe's full query lifecycle (~2 s of checkpoint/runner setup per
+    availableNow start, measured r15) is pure latency.  Unparseable
+    offsets or unlistable directories fall back to the probe."""
     runs = 0
     last_end = None
     for _ in range(int(max_runs)):
@@ -460,4 +518,6 @@ def drain_available_now(
         runs += 1
         if on_epoch is not None:
             on_epoch()
+        if _backlog_drained(progress, source_paths):
+            break
     return runs

@@ -343,6 +343,15 @@ def register_table(
       session's listener — after cross-process writes, call
       :func:`refresh_table` (or register again).  Mutation facades
       that take paths (OliveTable) always replan.
+    - Write paths the freshness machinery does NOT cover (ADVICE r14):
+      plain ``df.write`` freshness rides a process-wide wrapper on
+      ``DataFrameWriter.save`` — a save whose target arrives only via
+      ``.option("path", ...)`` is invisible Python-side and falls back
+      to refreshing EVERY registered view (correct, just broader), and
+      writes through ``saveAsTable``/``insertInto`` or a streaming
+      ``start()`` bypass the wrapper entirely.  Engine verbs and the
+      olive streaming sink still refresh via the snapshot-commit
+      listener; for foreign write paths, call :func:`refresh_table`.
 
     See docs/MIGRATION.md.
     """

@@ -324,3 +324,53 @@ def test_lock_wait_blocks_until_release_subprocess(spark, tmp_path):
             delete_where(spark, d, "id >= 10", lock_wait=1.0)
     finally:
         holder2.wait(timeout=30)
+
+
+def test_lock_wait_blocks_same_process_other_thread(tmp_path):
+    """ADVICE r14: ``wait=`` must also queue behind a live holder that
+    is ANOTHER THREAD of this process (in-process threaded pipelines
+    queuing two maintenance jobs), not just a foreign process; the
+    fail-fast corruption guard applies only once the wait budget is
+    exhausted."""
+    import threading
+    import time
+
+    from olive_spark.format import lock as L
+    from olive_spark.format.errors import ValidationError
+
+    d = str(tmp_path / "t")
+    released = threading.Event()
+    holding = threading.Event()
+
+    def holder():
+        L.acquire(d)
+        holding.set()
+        time.sleep(1.5)
+        L.release(d)
+        released.set()
+
+    th = threading.Thread(target=holder)
+    th.start()
+    assert holding.wait(timeout=10)
+    # no wait: historic fail-fast contract, names the same process
+    import pytest
+
+    with pytest.raises(ValidationError, match="another thread"):
+        L.acquire(d)
+    # opted-in wait: queues until the holder thread releases
+    t0 = time.time()
+    L.acquire(d, wait=30.0)
+    waited = time.time() - t0
+    try:
+        assert released.is_set()
+        assert waited < 29.0
+    finally:
+        L.release(d)
+        th.join(timeout=10)
+    # wait budget exhausted against a still-held lock: loud refusal
+    th2 = threading.Thread(target=lambda: (L.acquire(d), time.sleep(3.0), L.release(d)))
+    th2.start()
+    time.sleep(0.3)
+    with pytest.raises(ValidationError, match="another thread"):
+        L.acquire(d, wait=0.5)
+    th2.join(timeout=10)

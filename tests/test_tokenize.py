@@ -628,3 +628,38 @@ def test_gpt2_spark_udf_and_distributed_trainer_parity(spark):
     assert dist["merges"] == local["merges"]
     assert dist["vocab"] == local["vocab"]
     assert len(local["merges"]) > 5
+
+
+def test_trainer_oracle_agrees_on_adjacent_pairs(spark):
+    """ADVICE r14 (high): the llm_bpe_train_corpus oracle's
+    separator-framed REPLACE must merge ADJACENT occurrences of the
+    winning pair exactly like the trainers' left-to-right scan.  With a
+    single-separator frame, 'a b a b' shares the middle separator and
+    REPLACE merges only the first occurrence — this corpus (abab/haha/
+    cocoa words, where the winning pair recurs back-to-back inside one
+    word) diverged at rank 0 before the r15 doubled-separator fix."""
+    import duckdb
+    import pandas as pd
+
+    from olive_spark.ops import tokenize
+    from olive_spark.queries.llm import _TRAIN_MERGES, _sql_bpe_train_corpus
+
+    corpus = [
+        "abab abab haha cocoa", "cocoa abab haha xyxyxy",
+        "abab haha cocoa xyxyxy",
+    ]
+    local = tokenize.train_bpe(corpus, vocab_size=1 << 20)
+    df = spark.createDataFrame([(t,) for t in corpus], schema="text string")
+    dist = tokenize.train_bpe_distributed(
+        spark, df, vocab_size=1 << 20, max_merges=_TRAIN_MERGES,
+        local_threshold=0,
+    )
+    assert dist["merges"] == local["merges"][:_TRAIN_MERGES]
+    local = {"merges": local["merges"][:_TRAIN_MERGES]}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"text": corpus}))
+    got = con.execute(
+        _sql_bpe_train_corpus() + " ORDER BY rank"
+    ).fetchall()
+    want = [(i, f"{l} {r}") for i, (l, r) in enumerate(local["merges"])]
+    assert got == want, (got, want)

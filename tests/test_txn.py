@@ -799,7 +799,17 @@ def test_publish_redo_refuses_dead_dv_targets(spark, tmp_path):
         os.makedirs(os.path.dirname(p), exist_ok=True)
         with open(p, "wb") as f:
             f.write(blob)
-    with pytest.raises(OSError, match="no longer live"):
+    from olive_spark.format.errors import ValidationError
+
+    # ValidationError, not OSError (ADVICE r14): the rewrite ops' heal
+    # swallows OSError as "unreadable txn dir", so the deliberate
+    # redo-safety refusal must carry a type that propagates there too
+    with pytest.raises(ValidationError, match="no longer live"):
         txn.recover_txns(spark, a)
+    # ...and the rewrite ops' own pre-scan heal surfaces the same
+    # refusal instead of swallowing it and rewriting anyway (the exact
+    # compact/delete/merge path the heal was added to protect)
+    with pytest.raises(ValidationError, match="no longer live"):
+        compact(spark, b, target_rows=1 << 20)
     # the table itself stays readable (delete lost loudly, not silently)
     assert _count(spark, b) == 20
