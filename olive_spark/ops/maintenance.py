@@ -367,7 +367,15 @@ def compact(
     else:
         n_matched = None
         df = spark.read.format("olive").load(path)
-    rows = df.count()
+    # compact keeps every live row of the files it rewrites, so the
+    # output sizing comes from METADATA when possible (r15, guide §5:
+    # manifest/header totals minus DV-masked positions) — the count
+    # action, a full extra pass over the compaction set, is the
+    # fallback for unknowable files only
+    live = _live_rows_local(
+        path, [os.path.relpath(f, path) for f in before], table
+    )
+    rows = live if live is not None else df.count()
     n_files = max(1, math.ceil(rows / target_rows))
     if zorder_by:
         # min-max normalize each column into the per-column bit budget
@@ -2418,6 +2426,46 @@ def _discover_and_stage_dvs(
     )
 
 
+def _live_rows_local(
+    path: str, rels: "list[str]", table: str
+) -> "int | None":
+    """Total LIVE rows (raw minus deletion-vector-masked) of ``rels``
+    from metadata alone — manifest/header row counts + the live DV
+    state's position unions; no Spark job.  None when any count is
+    unknowable (caller falls back to a counting action).  Lets the
+    rewrite legs size their output files without a persist+count pass
+    over the survivors (guide §5: at 100 TB that pass CACHES the whole
+    rewrite set just to learn a number the metadata already knows)."""
+    from olive_spark.format import deletion as D
+    from olive_spark.format.manifest import load_manifest
+
+    try:
+        man = load_manifest(path) if os.path.isdir(path) else {}
+        dvs = D.list_dvs(path)
+    except Exception:  # noqa: BLE001 — unreadable metadata: count
+        return None
+    total = 0
+    for rel in rels:
+        raw = _file_rows(path, rel, table, man)
+        if raw is None:
+            return None
+        dead = 0
+        names = dvs.get(rel)
+        if names:
+            try:
+                dead = int(
+                    D.union_positions(
+                        D.resolve_dv_paths(path, names), table
+                    ).size
+                )
+            except Exception:  # noqa: BLE001 — undecodable DV: count
+                return None
+        if dead > raw:
+            return None
+        total += raw - dead
+    return total
+
+
 def _discard_staged_dvs(path: str, dv_add: "list[tuple[str, str]]") -> None:
     """Best-effort unlink of staged-but-unpublished DV blobs (abort
     paths); leftovers are inert ``.dv.staging`` debris vacuum sweeps."""
@@ -2621,11 +2669,22 @@ def delete_where(
         tagged.filter(F.col(fc).isin(rw_files))
         .filter(~F.coalesce(cond, F.lit(False)))
         .drop(fc)
-        .persist()  # needed twice: count to size files, then the write
     )
     layout = _partition_layout(path)
+    # output sizing from METADATA when possible (r15, guide §5): the
+    # survivor count is live rows of the rewrite-classed files minus
+    # their matched counts (both already known), so the old
+    # persist+count pass — which cached the whole rewrite set to learn
+    # one number — is skipped; the write below is then the ONLY scan
+    live = _live_rows_local(path, rw_files, table)
+    matched_rw = sum(n for f, dv, n in staged if dv is None)
+    cached = None
+    if live is not None and live - matched_rw >= 0:
+        rows = live - matched_rw
+    else:
+        cached = survivors.persist()
+        rows = cached.count()
     try:
-        rows = survivors.count()
         # every row of every affected file deleted: write no
         # replacement (remove-only rewrite) — UNLESS that would empty
         # the whole table, where the zero-row write's schema sentinel
@@ -2638,7 +2697,9 @@ def delete_where(
         )
         n_files = max(1, math.ceil(rows / target_rows))
         finals = _rewrite_and_swap(
-            _shape_for_write(survivors, n_files, layout), path, rw_files,
+            _shape_for_write(cached if cached is not None else survivors,
+                             n_files, layout),
+            path, rw_files,
             run,
             table=table, target_rows=target_rows,
             retain_history=retain_history, prefix="delete",
@@ -2649,7 +2710,8 @@ def delete_where(
             op_params={"condition": condition},
         )
     finally:
-        survivors.unpersist()
+        if cached is not None:
+            cached.unpersist()
     return {
         "files_rewritten": len(rw_files),
         "files_added": len(finals),
@@ -2952,14 +3014,25 @@ def update_where(
             tagged.filter(F.col(fc).isin(dv_files))
             .filter(upd).select(*set_cols)
         )
-    rewritten = functools.reduce(lambda a, b: a.unionByName(b), parts) \
-        .persist()
+    rewritten = functools.reduce(lambda a, b: a.unionByName(b), parts)
     layout = _partition_layout(path)
+    # output sizing from METADATA when possible (r15, see delete_where):
+    # the rewrite carries every live row of the rewrite-classed files
+    # plus the updated copies of the DV-masked matches — both known
+    live = _live_rows_local(path, rw_files, table) if rw_files else 0
+    matched_dv = sum(n for f, dv, n in staged if dv is not None)
+    cached = None
+    if live is not None:
+        rows = live + matched_dv
+    else:
+        cached = rewritten.persist()
+        rows = cached.count()
     try:
-        rows = rewritten.count()
         n_files = max(1, math.ceil(rows / target_rows))
         finals = _rewrite_and_swap(
-            _shape_for_write(rewritten, n_files, layout), path, rw_files,
+            _shape_for_write(cached if cached is not None else rewritten,
+                             n_files, layout),
+            path, rw_files,
             run, precommit=precommit,
             table=table, target_rows=target_rows,
             retain_history=retain_history, prefix="update",
@@ -2968,7 +3041,8 @@ def update_where(
             op_params={"condition": condition},
         )
     finally:
-        rewritten.unpersist()
+        if cached is not None:
+            cached.unpersist()
     return {
         "files_rewritten": len(rw_files),
         "files_added": len(finals),
