@@ -21,6 +21,11 @@ def spark():
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # same hardening as __spark_entry__._prepare: under full-suite
+        # load a freshly-forked Python worker can miss the default 15 s
+        # connect-back window → a transient "Python worker failed to
+        # connect back" flake (seen once in the r15 full-suite run)
+        .config("spark.python.authenticate.socketTimeout", "120s")
         .getOrCreate()
     )
     from olive_spark import register_olive
