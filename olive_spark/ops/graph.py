@@ -185,8 +185,13 @@ def pagerank(
 
     100 TB shape per round: ranks are a slim (node, rank) frame; the
     contribution join maps them onto an edge list that carries its
-    out-degree (computed once, persisted), and the whole step is ONE
-    shuffle — per-dst contributions UNION a zero-row per node (which
+    out-degree (computed once, persisted hash-partitioned + sorted on
+    src so the join re-uses its layout every round — r16; the edge
+    side never re-shuffles or re-sorts after the cache fills).  A
+    round therefore moves only slim data: the ranks side of the join
+    (the checkpoint returns UnknownPartitioning, so it re-clusters to
+    the cached edge layout) and the per-dst transpose — per-dst
+    contributions UNION a zero-row per node (which
     carries the previous rank and the static dangling flag through the
     same aggregate) → a single partial→final groupBy.  The round is
     also ONE JOB (r15): the convergence delta and the next round's
@@ -222,6 +227,118 @@ def pagerank(
         spark.conf.set("spark.sql.shuffle.partitions", saved_p)
 
 
+def _pagerank_round_plan_for_capture(edges: DataFrame) -> DataFrame:
+    """One power-iteration round's step plan, built exactly the way
+    :func:`_pagerank_body`'s loop builds it (minus the eager
+    localCheckpoint at the end, which would execute it) — used by
+    tools/capture_plans_r16.py so the committed plan evidence tracks
+    the real loop body."""
+    from pyspark.sql import Observation
+
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).dropDuplicates(["src", "dst"])
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("__deg"))
+    links = _persist_links(e.join(outdeg, "src"))
+    flagged = nodes.join(
+        outdeg.select(F.col("src").alias("node"),
+                      F.lit(True).alias("__has_out")),
+        "node", "left",
+    ).select(
+        "node", F.coalesce(F.col("__has_out"), F.lit(False)).alias("__out")
+    )
+    n = 1000  # representative; the plan shape does not depend on n
+    ranks = flagged.select(
+        "node", F.lit(1.0 / n).alias("rank"), "__out"
+    ).localCheckpoint()
+    contrib = links.join(
+        ranks.select("node", "rank"), links["src"] == F.col("node")
+    ).select(
+        F.col("dst").alias("node"),
+        (F.col("rank") / F.col("__deg")).alias("__c"),
+        F.lit(None).cast("boolean").alias("__out"),
+        F.lit(None).cast("double").alias("__old"),
+    )
+    zeros = ranks.select(
+        "node", F.lit(0.0).alias("__c"), "__out",
+        F.col("rank").alias("__old"),
+    )
+    import uuid as _uuid
+
+    obs = Observation(f"__pr_capture_{_uuid.uuid4().hex[:12]}")
+    step = (
+        contrib.unionByName(zeros)
+        .groupBy("node")
+        .agg(
+            F.sum("__c").alias("__in"),
+            F.max("__out").alias("__out"),
+            F.max("__old").alias("__old"),
+        )
+        .select(
+            "node",
+            (F.lit(0.15 / n) + F.lit(0.85)
+             * (F.col("__in") + F.lit(0.0))).alias("rank"),
+            "__out",
+            "__old",
+        )
+        .observe(
+            obs,
+            F.sum(F.abs(F.col("rank") - F.col("__old"))).alias("__delta"),
+            F.coalesce(
+                F.sum(F.when(~F.col("__out"), F.col("rank"))), F.lit(0.0)
+            ).alias("__dang"),
+        )
+    )
+    # links stays persisted so the captured plan shows the cached-scan
+    # node the real loop joins against (capture process exits anyway)
+    return step
+
+
+def _persist_links(links: DataFrame) -> DataFrame:
+    """Materialize the static per-round join input HASH-PARTITIONED AND
+    SORTED on ``src`` (r16, guide §2.4): the per-round ``links ⋈
+    ranks`` sort-merge join's distribution AND ordering requirements
+    are then already satisfied on the edge side, so the only data that
+    moves per round is the slim (node, rank) frame — the r15 shape
+    re-shuffled and re-sorted the FULL edge list every iteration
+    (plain ``persist()`` reports UnknownPartitioning through an
+    AQE-compiled cached plan, so the planner could never reuse the
+    layout).  Two mechanics notes, both measured r16:
+
+    - ``localCheckpoint`` (not persist): Spark records the physical
+      plan's partitioning/ordering on the checkpoint's LogicalRDD, and
+      EnsureRequirements honors it — the cached-relation path hides it.
+    - AQE is scoped OFF for this one materialization: checkpointing an
+      AdaptiveSparkPlan records UnknownPartitioning (the final plan's
+      layout isn't exposed through the wrapper), which would silently
+      re-introduce the per-round edge shuffle.  The loop itself runs
+      with the session's AQE setting untouched.
+
+    The checkpoint also gives the planner REAL size stats for links,
+    and each round's checkpointed ranks likewise — so the join picks
+    broadcast for small rank frames and a ranks-side-only shuffle for
+    big ones, both without moving the edges.  At cluster scale this
+    converts the loop's dominant per-round exchange (edge-sized) into
+    a one-time cost paid at materialization."""
+    spark = links.sparkSession
+    aqe_key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(aqe_key)
+    try:
+        spark.conf.set(aqe_key, "false")
+        return (
+            links.repartition("src").sortWithinPartitions("src")
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set(aqe_key, prev)
+
+
 def _pagerank_body(
     edges: DataFrame, damping: float, max_iter: int, tol: float
 ) -> DataFrame:
@@ -237,7 +354,7 @@ def _pagerank_body(
         .distinct().persist()
     )
     outdeg = e.groupBy("src").agg(F.count("*").alias("__deg"))
-    links = e.join(outdeg, "src").persist()
+    links = _persist_links(e.join(outdeg, "src"))
     # the DANGLING MEMBERSHIP is static — flag it on the node frame
     # once; deriving it per round through `outdeg`'s unpersisted
     # lineage re-ran the full edge dedup + degree shuffle every
@@ -261,7 +378,6 @@ def _pagerank_body(
     if n == 0:
         out = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint()
         nodes.unpersist()
-        links.unpersist()
         flagged.unpersist()
         return out
     # the iterated state carries (node, rank, __out): the dangling
@@ -331,7 +447,8 @@ def _pagerank_body(
         if row["__delta"] is not None and row["__delta"] < tol:
             break
     ranks = ranks.select("node", "rank")
-    links.unpersist()
+    # links is a localCheckpoint: its blocks are reclaimed by the
+    # ContextCleaner once the frame is unreachable (no cache entry to drop)
     flagged.unpersist()
     nodes.unpersist()
     return ranks

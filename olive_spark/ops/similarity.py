@@ -814,7 +814,24 @@ def ivf_topk_indexed(
     # (batch ANN join, > max_local rows) falls back to the two-job
     # plan, which never collects query vectors.
     max_local = 4096 * max(1, int(n_probe))
-    q_local = q_assigned.limit(max_local + 1).collect()
+    # ONE job for the guarded collect: a bare .limit(n).collect() is
+    # CollectLimitExec.executeTake, which scans 1 partition first and
+    # retries with 4x more until the limit fills — on a query scan that
+    # can't fill it (the normal serve: a handful of queries) that is
+    # TWO jobs per serve where one suffices.  Scoping
+    # spark.sql.limit.initialNumPartitions to the scan width makes the
+    # first (and only) take cover every partition.
+    sess = q_assigned.sparkSession
+    _lim_key = "spark.sql.limit.initialNumPartitions"
+    _lim_prev = sess.conf.get(_lim_key, None)
+    try:
+        sess.conf.set(_lim_key, "10000")
+        q_local = q_assigned.limit(max_local + 1).collect()
+    finally:
+        if _lim_prev is None:
+            sess.conf.unset(_lim_key)
+        else:
+            sess.conf.set(_lim_key, _lim_prev)
     if len(q_local) <= max_local:
         buckets = sorted({r["bucket"] for r in q_local})
         q_assigned = spark.createDataFrame(q_local, q_assigned.schema)
@@ -986,8 +1003,16 @@ def pq_topk(
     )
     sim = F.round(cosine_expr(F.col("query_vec"), F.col("corpus_vec")), 6)
     wf = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    # BROADCAST the candidate list into the re-rank join (guide §3.1):
+    # cands is bounded by k·refine rows per query (a few hundred), while
+    # ``full`` is the whole corpus — without the hint the planner's
+    # stats for the mapInArrow output are unknowable and it falls back
+    # to a SortMergeJoin that SHUFFLES EVERY CORPUS VECTOR by id just to
+    # look up the survivors (measured r16: the serve's only full-corpus
+    # exchange).  Broadcasting cands turns the re-rank into a pruned
+    # probe of the corpus scan: no corpus shuffle at any scale.
     return (
-        cands.join(full, "neighbor_id")
+        full.join(F.broadcast(cands), "neighbor_id")
         .join(F.broadcast(qdf), "query_id")
         .select("query_id", "neighbor_id", sim.alias("cosine"))
         .withColumn("rk", F.row_number().over(wf))
@@ -1391,8 +1416,16 @@ def pq_topk_indexed(
     wf = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), "neighbor_id"
     )
+    # BROADCAST the candidate list into the re-rank join (guide §3.1):
+    # cands is bounded by k·refine rows per query (a few hundred), while
+    # ``full`` is the whole corpus — without the hint the planner's
+    # stats for the mapInArrow output are unknowable and it falls back
+    # to a SortMergeJoin that SHUFFLES EVERY CORPUS VECTOR by id just to
+    # look up the survivors (measured r16: the serve's only full-corpus
+    # exchange).  Broadcasting cands turns the re-rank into a pruned
+    # probe of the corpus scan: no corpus shuffle at any scale.
     return (
-        cands.join(full, "neighbor_id")
+        full.join(F.broadcast(cands), "neighbor_id")
         .join(F.broadcast(qdf), "query_id")
         .select("query_id", "neighbor_id", sim.alias("cosine"))
         .withColumn("rk", F.row_number().over(wf))

@@ -406,6 +406,17 @@ def funnel_depths_chained(
     evs = df.filter(F.col(type_col).isin(types)).select(
         F.col(key_col), tus.alias("t"), F.col(type_col).alias("et")
     )
+    # ONE shuffle establishes the per-key partitioning every downstream
+    # step needs (guide §2.4): each stage aggregate, the stage joins,
+    # and the distinct-keys pass all cluster on key_col, and because
+    # they all branch off this SAME repartitioned frame, ReuseExchange
+    # dedups the shuffle (and the scan feeding it) across the branches
+    # — the previous shape re-scanned the events source once per stage
+    # plus once for the key census, each branch paying its own
+    # exchange (measured r16: 4 source scans, ~14 exchange
+    # materializations for a 3-stage funnel; now 1 scan + 1 shared
+    # exchange + the per-stage in-partition aggregates).
+    evs = evs.repartition(key_col)
     # anchor: first stage-1 event per key
     cur = (
         evs.filter(F.col("et") == types[0])
